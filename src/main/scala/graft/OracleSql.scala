@@ -1,0 +1,385 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible entry in
+  * [[SparkEntry.queries]]. Each statement mirrors the Spark pipeline
+  * formula-for-formula (same clip constants, same rounding, same
+  * tie-breaks, same null semantics) so the driver's value-hash compare
+  * is stable. Engine-specific aggregate definitions are avoided:
+  * skew/kurt are manual two-pass population moments, histograms use
+  * explicit bucket arithmetic instead of width_bucket, language/dedup
+  * ops re-derive tokens with the same split + filter.
+  *
+  * Dialect notes (verified against the driver's DuckDB):
+  *  - dayofweek: DuckDB Sun=0 → (d+6)%7 gives Mon=0; Spark Sun=1 →
+  *    (d+5)%7 gives Mon=0 (pandas convention, SURVEY W8).
+  *  - zip-unnest (`SELECT unnest(a), unnest(b)`) pairs lists
+  *    elementwise — used for token positions and char-gram indexes.
+  *  - DuckDB sum(INT) is HUGEINT → explicit ::BIGINT / ::DOUBLE casts
+  *    keep schemas aligned with Spark's LongType/DoubleType.
+  *  - row_number() is BIGINT in DuckDB, INT in Spark → rk::INT.
+  */
+object OracleSql {
+
+  private val stopList = "'the','a','an','of','and','to','in','is','it','that'"
+
+  val all: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),6) AS avg_qty,
+        | round(avg(l_extendedprice),6) AS avg_price,
+        | round(avg(l_discount),6) AS avg_disc,
+        | count(*)::BIGINT AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(DISTINCT o_orderkey)::BIGINT AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q03_top_orders_per_priority" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk::INT AS rk FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_orderpriority
+        |                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders) t
+        |WHERE rk <= 10
+        |ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q04_moments_by_segment" ->
+      """WITH base AS (
+        | SELECT c_mktsegment, count(c_acctbal)::BIGINT AS n, avg(c_acctbal) AS mean,
+        |        stddev_pop(c_acctbal) AS std_pop, var_pop(c_acctbal) AS var_pop,
+        |        min(c_acctbal) AS min_v, max(c_acctbal) AS max_v
+        | FROM customer GROUP BY c_mktsegment),
+        |z AS (
+        | SELECT c.c_mktsegment,
+        |        avg(pow((c_acctbal - mean)/std_pop, 3)) AS skew,
+        |        avg(pow((c_acctbal - mean)/std_pop, 4)) AS kurt_raw
+        | FROM customer c JOIN base USING (c_mktsegment)
+        | GROUP BY c.c_mktsegment)
+        |SELECT c_mktsegment, n, round(mean,6) AS mean, round(std_pop,6) AS std_pop,
+        |  round(var_pop,2) AS var_pop, round(min_v,2) AS min_v, round(max_v,2) AS max_v,
+        |  round(skew,6) AS skew, round(kurt_raw,6) AS kurt_raw
+        |FROM base JOIN z USING (c_mktsegment)
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q05_log_returns" ->
+      """WITH r AS (
+        | SELECT user_id, event_id,
+        |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+        | FROM events)
+        |SELECT user_id, event_id, round(ret,8) AS ret
+        |FROM r WHERE ret IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q06_cum_log_return" ->
+      """WITH r AS (
+        | SELECT user_id, event_id, ts,
+        |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+        | FROM events),
+        |c AS (
+        | SELECT user_id, event_id,
+        |   sum(coalesce(ret,0.0)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ret
+        | FROM r)
+        |SELECT user_id, event_id, round(cum_ret,6) AS cum_ret,
+        |  round(exp(round(cum_ret,6)),4) AS price_rel
+        |FROM c ORDER BY user_id, event_id""".stripMargin,
+
+    "q07_rolling_vol" ->
+      """SELECT user_id, event_id,
+        | round(CASE WHEN count(value) OVER w24 >= 12
+        |            THEN stddev_samp(value) OVER w24 END, 6) AS vol24,
+        | round(CASE WHEN count(value) OVER w6 >= 3
+        |            THEN stddev_samp(value) OVER w6 END, 6) AS vol6,
+        | round(CASE WHEN (CASE WHEN count(value) OVER w24 >= 12
+        |                       THEN stddev_samp(value) OVER w24 END) > 1e-10
+        |            THEN (CASE WHEN count(value) OVER w6 >= 3
+        |                       THEN stddev_samp(value) OVER w6 END)
+        |               / (CASE WHEN count(value) OVER w24 >= 12
+        |                       THEN stddev_samp(value) OVER w24 END)
+        |            ELSE 1.0 END, 6) AS vol_ratio
+        |FROM events
+        |WINDOW
+        | w24 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+        | w6 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q08_temporal_features" ->
+      """SELECT event_id,
+        | round(sin(hour(ts) * (2*pi()/24)),8) AS hour_sin,
+        | round(cos(hour(ts) * (2*pi()/24)),8) AS hour_cos,
+        | round(sin(((dayofweek(ts)+6)%7) * (2*pi()/5)),8) AS dow_sin,
+        | round(cos(((dayofweek(ts)+6)%7) * (2*pi()/5)),8) AS dow_cos,
+        | round(sin(month(ts) * (2*pi()/12)),8) AS month_sin,
+        | round(cos(month(ts) * (2*pi()/12)),8) AS month_cos
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q09_event_transitions" ->
+      """WITH t AS (
+        | SELECT event_type AS state,
+        |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_state
+        | FROM events)
+        |SELECT state, next_state, count(*)::BIGINT AS cnt,
+        | round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY state), 6) AS prob
+        |FROM t WHERE next_state IS NOT NULL
+        |GROUP BY state, next_state
+        |ORDER BY state, next_state""".stripMargin,
+
+    "q10_autocorr_per_user" ->
+      """WITH r AS (
+        | SELECT user_id, ts, event_id,
+        |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+        | FROM events),
+        |l AS (
+        | SELECT user_id, ret,
+        |   lag(ret,1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag1,
+        |   abs(lead(ret,1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS fwd_abs
+        | FROM r)
+        |SELECT user_id, round(corr(ret, lag1),6) AS acf1,
+        |  round(corr(abs(ret), abs(lag1)),6) AS vol_ac,
+        |  round(corr(ret, fwd_abs),6) AS leverage
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q11_max_drawdown" ->
+      """WITH p AS (
+        | SELECT user_id, value,
+        |   max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        | FROM events)
+        |SELECT user_id, round(min((value - peak)/peak),6) AS max_drawdown
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q12_histogram_price" ->
+      """WITH rng AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+        |b AS (SELECT least(floor((l_extendedprice - lo)/(hi - lo)*100), 99)::INT AS bucket,
+        |        (hi - lo)/100 AS bin_width
+        |      FROM lineitem, rng),
+        |c AS (SELECT bucket, count(*)::BIGINT AS cnt, max(bin_width) AS bin_width
+        |      FROM b GROUP BY bucket)
+        |SELECT bucket, cnt, cnt / (sum(cnt) OVER () * bin_width) AS density
+        |FROM c ORDER BY bucket""".stripMargin,
+
+    "q13_quantile_edges" ->
+      """SELECT 0.0::DOUBLE AS p, round(quantile_cont(l_quantity, 0.0),6) AS edge FROM lineitem
+        |UNION ALL SELECT 0.25::DOUBLE, round(quantile_cont(l_quantity, 0.25),6) FROM lineitem
+        |UNION ALL SELECT 0.5::DOUBLE, round(quantile_cont(l_quantity, 0.5),6) FROM lineitem
+        |UNION ALL SELECT 0.75::DOUBLE, round(quantile_cont(l_quantity, 0.75),6) FROM lineitem
+        |UNION ALL SELECT 1.0::DOUBLE, round(quantile_cont(l_quantity, 1.0),6) FROM lineitem
+        |ORDER BY p""".stripMargin,
+
+    "q14_ecdf_distance" ->
+      """WITH pv AS (
+        | SELECT value AS v,
+        |   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+        |   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nb
+        | FROM events WHERE event_type IN ('click','view') GROUP BY value),
+        |e AS (
+        | SELECT v,
+        |   sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+        |     / sum(na) OVER () AS fa,
+        |   sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+        |     / sum(nb) OVER () AS fb,
+        |   lead(v) OVER (ORDER BY v) - v AS dx
+        | FROM pv)
+        |SELECT round(sum(CASE WHEN dx IS NOT NULL THEN abs(fa - fb)*dx ELSE 0.0 END),6) AS wasserstein,
+        |       round(max(abs(fa - fb)),8) AS ks_stat
+        |FROM e""".stripMargin,
+
+    "q15_js_divergence" ->
+      """WITH ts2 AS (SELECT value AS v, event_type AS lab FROM events
+        |             WHERE event_type IN ('click','view')),
+        |rng AS (SELECT min(v) AS lo, max(v) AS hi FROM ts2),
+        |cb AS (SELECT least(floor((v - lo)/(hi - lo)*100), 99)::INT AS bucket,
+        |         sum(CASE WHEN lab = 'click' THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN lab = 'view' THEN 1 ELSE 0 END) AS cb_
+        |       FROM ts2, rng GROUP BY 1),
+        |bins AS (SELECT unnest(generate_series(0,99)) AS bucket),
+        |h AS (SELECT b.bucket, coalesce(ca,0)::BIGINT AS ca, coalesce(cb_,0)::BIGINT AS cb_
+        |      FROM bins b LEFT JOIN cb USING (bucket)),
+        |sm AS (SELECT bucket,
+        |         ca::DOUBLE / sum(ca) OVER () + 1e-10 AS pa_raw,
+        |         cb_::DOUBLE / sum(cb_) OVER () + 1e-10 AS pb_raw
+        |       FROM h),
+        |p AS (SELECT pa_raw / sum(pa_raw) OVER () AS pa,
+        |        pb_raw / sum(pb_raw) OVER () AS pb FROM sm),
+        |m AS (SELECT pa, pb, (pa + pb)/2 AS mid FROM p)
+        |SELECT round(sum(pa*ln(pa/mid))*0.5 + sum(pb*ln(pb/mid))*0.5, 8) AS kl_divergence,
+        |       round(sqrt(sum(pa*ln(pa/mid))*0.5 + sum(pb*ln(pb/mid))*0.5), 8) AS js_divergence
+        |FROM m""".stripMargin,
+
+    // maxLag = min(100, n/4) = 100 for every driver SF (n >= 1000)
+    "q16_hurst" ->
+      """WITH x AS (SELECT value AS x, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn FROM events),
+        |wl AS (SELECT x.x, x.rn, l.lag, floor(x.rn / l.lag) AS seg
+        |       FROM x, (SELECT unnest(generate_series(2,100)) AS lag) l),
+        |cm1 AS (SELECT lag, seg, rn, x, avg(x) OVER (PARTITION BY lag, seg) AS m FROM wl),
+        |cm2 AS (SELECT lag, seg, x,
+        |          sum(x - m) OVER (PARTITION BY lag, seg ORDER BY rn
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumdev
+        |        FROM cm1),
+        |ps AS (SELECT lag, seg, count(*)::BIGINT AS cnt,
+        |         max(cumdev) - min(cumdev) AS r, stddev_pop(x) AS s
+        |       FROM cm2 GROUP BY lag, seg),
+        |pl AS (SELECT lag, avg(r/s) AS rs_mean FROM ps
+        |       WHERE cnt = lag AND s > 1e-12 GROUP BY lag),
+        |sl AS (SELECT regr_slope(ln(rs_mean), ln(lag::DOUBLE)) AS slope,
+        |         count(*)::BIGINT AS n_lags
+        |       FROM pl WHERE rs_mean > 0)
+        |SELECT round(coalesce(least(greatest(slope, 0.0), 1.0), 0.5), 4) AS hurst, n_lags
+        |FROM sl""".stripMargin,
+
+    "q17_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keeper,
+        |  count(*)::BIGINT AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
+
+    "q18_dedup_by_time" ->
+      """SELECT user_id, event_id FROM (
+        | SELECT user_id, event_id,
+        |   row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rk
+        | FROM events) t
+        |WHERE rk = 1 ORDER BY user_id, event_id""".stripMargin,
+
+    "q19_token_stats" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+         |t AS (SELECT doc_id, token FROM toks WHERE token <> '')
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  round(avg(len(token)::DOUBLE),6) AS avg_token_len,
+         |  round(sum(CASE WHEN token IN ($stopList) THEN 1 ELSE 0 END)::DOUBLE / count(*),6) AS stop_ratio,
+         |  round(count(DISTINCT token)::DOUBLE / count(*),6) AS ttr,
+         |  round(sum(CASE WHEN token IN ($stopList) THEN 1 ELSE 0 END)::DOUBLE / count(*) * 0.5
+         |      + count(DISTINCT token)::DOUBLE / count(*) * 0.5, 6) AS quality_score
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q20_lang_id" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |scores AS (
+        | SELECT doc_id, 'de' AS lang_guess,
+        |   sum(CASE WHEN token IN ('der','die','das','und','ist','ein') THEN 1 ELSE 0 END)::BIGINT AS score
+        | FROM t GROUP BY doc_id
+        | UNION ALL SELECT doc_id, 'en',
+        |   sum(CASE WHEN token IN ('the','a','of','and','to','is','in') THEN 1 ELSE 0 END)::BIGINT
+        | FROM t GROUP BY doc_id
+        | UNION ALL SELECT doc_id, 'es',
+        |   sum(CASE WHEN token IN ('el','la','los','de','que','y','un') THEN 1 ELSE 0 END)::BIGINT
+        | FROM t GROUP BY doc_id
+        | UNION ALL SELECT doc_id, 'fr',
+        |   sum(CASE WHEN token IN ('le','la','les','et','est','une') THEN 1 ELSE 0 END)::BIGINT
+        | FROM t GROUP BY doc_id
+        | UNION ALL SELECT doc_id, 'zh',
+        |   sum(CASE WHEN token IN ('de','shi','le','zhong') THEN 1 ELSE 0 END)::BIGINT
+        | FROM t GROUP BY doc_id)
+        |SELECT doc_id, lang_guess, score FROM (
+        | SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_guess) AS rk
+        | FROM scores) t
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q21_jaccard_neardup" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |              FROM documents),
+        |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+        |sh0 AS (SELECT doc_id,
+        |          token || ' ' || lead(token,1) OVER w || ' ' || lead(token,2) OVER w
+        |            || ' ' || lead(token,3) OVER w || ' ' || lead(token,4) OVER w AS shingle,
+        |          lead(token,4) OVER w AS l4
+        |        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l4 IS NOT NULL),
+        |dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |pr AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfc USING (shingle) WHERE df <= 1000),
+        |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM pr GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+        |           FROM pr a JOIN pr b USING (shingle)
+        |           WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b,
+        |  round(shared::DOUBLE/(sa.sz + sb.sz - shared),6) AS jaccard
+        |FROM shared
+        |JOIN sz sa ON sa.doc_id = shared.id_a
+        |JOIN sz sb ON sb.doc_id = shared.id_b
+        |WHERE shared::DOUBLE/(sa.sz + sb.sz - shared) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q22_doc_fingerprint" ->
+      """WITH g AS (SELECT doc_id, md5(substr(text, i, 8)) AS gram_md5
+        |           FROM (SELECT doc_id, text,
+        |                   unnest(generate_series(1, len(text)-7)) AS i
+        |                 FROM documents WHERE len(text) >= 8) t)
+        |SELECT doc_id, min(gram_md5) AS fingerprint,
+        |  count(DISTINCT gram_md5)::BIGINT AS n_grams
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q23_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |        round(list_inner_product(qv,cv)
+        |          / sqrt(list_inner_product(qv,qv)*list_inner_product(cv,cv)), 5) AS cosine
+        |      FROM c, q WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, cosine, rk::INT AS rk FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id) AS rk FROM s) t
+        |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "q24_embed_neardup_blocked" ->
+      """WITH a AS (SELECT label, vec_id AS id_a, embedding::DOUBLE[] AS va FROM embeddings),
+        |b AS (SELECT label, vec_id AS id_b, embedding::DOUBLE[] AS vb FROM embeddings),
+        |p AS (SELECT id_a, id_b,
+        |        round(list_inner_product(va,vb)
+        |          / sqrt(list_inner_product(va,va)*list_inner_product(vb,vb)), 5) AS cosine
+        |      FROM a JOIN b USING (label) WHERE id_a < id_b)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q25_daily_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*)::BIGINT AS n,
+        | round(sum(value),4) AS sum_value, round(avg(value),6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q26_sliding_window_sum" ->
+      """SELECT user_id, event_id, round(x_sum,6) AS x_sum, y FROM (
+        | SELECT user_id, event_id,
+        |   sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS x_sum,
+        |   count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cnt,
+        |   lead(value,3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+        | FROM events) t
+        |WHERE cnt = 5 AND y IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q27_backfill" ->
+      """SELECT user_id, event_id,
+        | round(coalesce(vol24,
+        |   first_value(vol24 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6) AS vol_filled
+        |FROM (SELECT user_id, event_id, ts,
+        |        CASE WHEN count(value) OVER w24 >= 12
+        |             THEN stddev_samp(value) OVER w24 END AS vol24
+        |      FROM events
+        |      WINDOW w24 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) t
+        |ORDER BY user_id, event_id""".stripMargin
+  )
+}

@@ -1,13 +1,354 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.gen.{BlockBootstrap, Grasynda}
+import graft.series.{SeriesOps, SeriesSpec}
+import graft.sim.Similarity
+import graft.stats.{Divergence, Histogram, Moments, SeriesStats}
+import graft.text.{Dedup, TextOps}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline operator set), each with a
+  * DuckDB-equivalent `oracleSql` where SQL-expressible.
+  *
+  * Oracle-parity rules used throughout:
+  *  - identical arithmetic formulas on both sides (no engine-specific
+  *    built-ins with different definitions — e.g. skew/kurt are manual
+  *    two-pass population moments because DuckDB's are sample-biased);
+  *  - float outputs rounded (r2/r6/r8 by magnitude) to absorb
+  *    last-ulp libm/summation-order differences;
+  *  - every multi-row result deterministically ordered, every ranking
+  *    tie-broken by a unique key;
+  *  - timestamps never emitted raw (ns-vs-µs parquet mismatch) — only
+  *    date strings or id columns.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** events-table series spec: one series per user, ordered by event
+    * time with the unique event_id as tiebreaker. */
+  private val perUser = SeriesSpec(Seq("user_id"), Seq("ts", "event_id"))
+  /** whole-events-table global series (single ordered partition —
+    * used only for reference-parity single-series statistics). */
+  private val global = SeriesSpec(Nil, Seq("ts", "event_id"))
+
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+  private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  /** q05/q06/q10 shared: per-user log-returns (W1 + P4 clip). */
+  private def logret(s: SparkSession, dir: String): DataFrame =
+    SeriesOps.logReturns(ev(s, dir), perUser, "value", "ret")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q02_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── A1/A15: grouped aggregation (TPC-H Q1 shape) ──────────────────
+    "q01_pricing_summary" -> ((s, dir) => {
+      li(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ── joins (broadcast dims) + agg ──────────────────────────────────
+    "q02_revenue_by_nation" -> ((s, dir) => {
+      li(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // ── O2/O3: ranking window + top-k per group ───────────────────────
+    "q03_top_orders_per_priority" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    }),
+
+    // ── A1+A2: population moments incl. two-pass skew/kurt ────────────
+    "q04_moments_by_segment" -> ((s, dir) => {
+      Moments.describe(Tables.customer(s, dir), "c_acctbal", Seq("c_mktsegment"))
+        .select(col("c_mktsegment"), col("n"),
+          round(col("mean"), 6).as("mean"),
+          round(col("std_pop"), 6).as("std_pop"),
+          round(col("var_pop"), 2).as("var_pop"),
+          round(col("min_v"), 2).as("min_v"),
+          round(col("max_v"), 2).as("max_v"),
+          round(col("skew"), 6).as("skew"),
+          round(col("kurt_raw"), 6).as("kurt_raw"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ── W1+P4: log-returns per series ─────────────────────────────────
+    "q05_log_returns" -> ((s, dir) => {
+      logret(s, dir)
+        .filter(col("ret").isNotNull)
+        .select(col("user_id"), col("event_id"), round(col("ret"), 8).as("ret"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ── W2: running-sum reconstruction ────────────────────────────────
+    "q06_cum_log_return" -> ((s, dir) => {
+      logret(s, dir)
+        .withColumn("cum_ret",
+          sum(coalesce(col("ret"), lit(0.0))).over(perUser.running))
+        .select(col("user_id"), col("event_id"),
+          round(col("cum_ret"), 6).as("cum_ret"),
+          // exp() over the ROUNDED sum: both engines then exponentiate
+          // bit-identical inputs (1-ulp libm differences can't flip the
+          // outer rounding of a diverging unrounded sum)
+          round(exp(round(col("cum_ret"), 6)), 4).as("price_rel"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ── W5+W7: rolling sample-std vol with min_periods + vol ratio ────
+    "q07_rolling_vol" -> ((s, dir) => {
+      val a = SeriesOps.rollingStd(ev(s, dir), perUser, "value", 24, 12, "vol24")
+      val b = SeriesOps.rollingStd(a, perUser, "value", 6, 3, "vol6")
+      b.withColumn("vol_ratio", SeriesOps.volRatio(col("vol6"), col("vol24")))
+        .select(col("user_id"), col("event_id"),
+          round(col("vol24"), 6).as("vol24"),
+          round(col("vol6"), 6).as("vol6"),
+          round(col("vol_ratio"), 6).as("vol_ratio"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ── W8: cyclical temporal features ────────────────────────────────
+    "q08_temporal_features" -> ((s, dir) => {
+      SeriesOps.temporalFeatures(ev(s, dir), "ts")
+        .select(col("event_id"),
+          round(col("hour_sin"), 8).as("hour_sin"),
+          round(col("hour_cos"), 8).as("hour_cos"),
+          round(col("dow_sin"), 8).as("dow_sin"),
+          round(col("dow_cos"), 8).as("dow_cos"),
+          round(col("month_sin"), 8).as("month_sin"),
+          round(col("month_cos"), 8).as("month_cos"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── J2+A7: adjacent-state transition matrix ───────────────────────
+    "q09_event_transitions" -> ((s, dir) => {
+      val wState = Window.partitionBy(col("state"))
+      ev(s, dir)
+        .withColumn("state", col("event_type"))
+        .withColumn("next_state", lead(col("state"), 1).over(perUser.w))
+        .filter(col("next_state").isNotNull)
+        .groupBy(col("state"), col("next_state"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("prob", round(col("cnt") / sum(col("cnt")).over(wState), 6))
+        .orderBy(col("state"), col("next_state"))
+    }),
+
+    // ── A10+A11+A12: autocorr / vol clustering / leverage ─────────────
+    "q10_autocorr_per_user" -> ((s, dir) => {
+      logret(s, dir)
+        .withColumn("lag1", lag(col("ret"), 1).over(perUser.w))
+        .withColumn("fwd_abs", abs(lead(col("ret"), 1).over(perUser.w)))
+        .groupBy(col("user_id"))
+        .agg(
+          round(corr(col("ret"), col("lag1")), 6).as("acf1"),
+          round(corr(abs(col("ret")), abs(col("lag1"))), 6).as("vol_ac"),
+          round(corr(col("ret"), col("fwd_abs")), 6).as("leverage"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── W10+A13: running peak + max drawdown ──────────────────────────
+    "q11_max_drawdown" -> ((s, dir) => {
+      SeriesStats.maxDrawdown(ev(s, dir), perUser, "value")
+        .select(col("user_id"), round(col("max_drawdown"), 6).as("max_drawdown"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── A3+A6: fixed-range 100-bin histogram (exact, unrounded) ───────
+    "q12_histogram_price" -> ((s, dir) => {
+      Histogram.fixedBins(li(s, dir), "l_extendedprice", 100)
+        .select(col("bucket"), col("cnt"), col("density"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ── A4: exact quantile bin edges ──────────────────────────────────
+    "q13_quantile_edges" -> ((s, dir) => {
+      val probs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+      li(s, dir)
+        .agg(expr(s"percentile(l_quantity, array(${probs.mkString("D,")}D))").as("qs"))
+        .select(posexplode(col("qs")).as(Seq("i", "edge")))
+        .select(element_at(array(probs.map(lit): _*), col("i") + 1).as("p"),
+          round(col("edge"), 6).as("edge"))
+        .orderBy(col("p"))
+    }),
+
+    // ── C3+C4: Wasserstein-1 + KS via shared ECDF pipeline ────────────
+    "q14_ecdf_distance" -> ((s, dir) => {
+      Divergence.ecdfStats(ev(s, dir), "value", col("event_type"), "click", "view")
+        .select(round(col("wasserstein"), 6).as("wasserstein"),
+          round(col("ks_stat"), 8).as("ks_stat"))
+    }),
+
+    // ── C1+C2: histogram Jensen–Shannon divergence ────────────────────
+    "q15_js_divergence" -> ((s, dir) => {
+      Divergence.histJsd(ev(s, dir), "value", col("event_type"), "click", "view", 100)
+        .select(round(col("kl_divergence"), 8).as("kl_divergence"),
+          round(col("js_divergence"), 8).as("js_divergence"))
+    }),
+
+    // ── C6: Hurst exponent (R/S), all-Spark ───────────────────────────
+    "q16_hurst" -> ((s, dir) => {
+      SeriesStats.hurst(ev(s, dir), global, "value")
+        .select(round(col("hurst"), 4).as("hurst"), col("n_lags"))
+    }),
+
+    // ── exact dedup groups (hash-groupBy) ─────────────────────────────
+    "q17_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+        .orderBy(col("text_md5"))
+    }),
+
+    // ── S2/P7: keep-first dedup on a key (row_number) ─────────────────
+    "q18_dedup_by_time" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id"))
+      ev(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ── text quality scoring ──────────────────────────────────────────
+    "q19_token_stats" -> ((s, dir) => {
+      TextOps.tokenStats(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_token_len"), 6).as("avg_token_len"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(col("ttr"), 6).as("ttr"),
+          round(col("quality_score"), 6).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── language ID (marker-word scoring) ─────────────────────────────
+    "q20_lang_id" -> ((s, dir) => {
+      TextOps.langId(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("lang_guess"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── n-gram Jaccard near-dup pairs ─────────────────────────────────
+    "q21_jaccard_neardup" -> ((s, dir) => {
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", k = 5,
+          threshold = 0.5, maxDf = 1000)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── document fingerprint (char-8-gram min-hash digest) ────────────
+    "q22_doc_fingerprint" -> ((s, dir) => {
+      TextOps.charGramFingerprint(docs(s, dir), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── similarity search: exact cosine top-k ─────────────────────────
+    "q23_ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e,
+          "vec_id", "embedding", k = 10, roundTo = 5)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // ── embedding near-dup pairs (blocked exact) ──────────────────────
+    "q24_embed_neardup_blocked" -> ((s, dir) => {
+      Similarity.blockedNearDupPairs(emb(s, dir), "vec_id", "embedding",
+          "label", threshold = 0.3, roundTo = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── event-time daily rollup (batch shape of the streaming agg) ────
+    "q25_daily_rollup" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"),
+          round(avg(col("value")), 6).as("avg_value"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    // ── W3+W4: sliding windows + supervised X/y ───────────────────────
+    "q26_sliding_window_sum" -> ((s, dir) => {
+      SeriesOps.supervisedWindows(ev(s, dir), perUser, "value", 5, 3, "x", "y")
+        .withColumn("x_sum", aggregate(col("x"), lit(0.0), (a, v) => a + v))
+        .select(col("user_id"), col("event_id"),
+          round(col("x_sum"), 6).as("x_sum"), col("y"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ── W6: backfill of leading nulls ─────────────────────────────────
+    "q27_backfill" -> ((s, dir) => {
+      val a = SeriesOps.rollingStd(ev(s, dir), perUser, "value", 24, 12, "vol24")
+      SeriesOps.backfill(a, perUser, "vol24", "vol_filled")
+        .select(col("user_id"), col("event_id"),
+          round(col("vol_filled"), 6).as("vol_filled"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ── G2: block-bootstrap generator (seed-deterministic; rows-only) ─
+    "g01_block_bootstrap" -> ((s, dir) => {
+      BlockBootstrap.generate(ev(s, dir), Seq("ts", "event_id"), "value",
+          blockSize = 30, n = 2000, seed = 42L)
+        .orderBy(col("rn"))
+    }),
+
+    // ── G3: Grasynda Markov generator (rows-only) ─────────────────────
+    "g02_grasynda" -> ((s, dir) => {
+      val rets = logret(s, dir).filter(col("ret").isNotNull)
+      val model = Grasynda.fit(rets, Seq("ts", "event_id"), "ret", nBins = 10)
+      Grasynda.generate(s, model, seed = 42L, n = 2000, initialPrice = 100.0)
+        .orderBy(col("rn"))
+    }),
+
+    // ── MinHash+LSH near-dup (rows-only; cross-checked in tests) ──────
+    "d01_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", k = 5,
+          numPerm = 64, bands = 16, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── SimHash near-dup (rows-only) ──────────────────────────────────
+    "d02_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── sign-LSH ANN near-dup (rows-only) ─────────────────────────────
+    "s01_lsh_ann" -> ((s, dir) => {
+      Similarity.lshNearDupPairs(emb(s, dir), "vec_id", "embedding",
+          threshold = 0.3, nPlanes = 6, seed = 42L)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 5).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

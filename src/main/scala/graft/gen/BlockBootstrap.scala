@@ -1,0 +1,70 @@
+package graft.gen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** G2: block-bootstrap synthetic series generator.
+  * Ref: sdg_plugins/generator/block_bootstrap_generator.py:50-103 —
+  * sample contiguous price blocks from the real series, rescale each
+  * block so its first price continues the previous block's (scaled)
+  * last price, concatenate, truncate to n.
+  *
+  * Determinism contract (tests/test_plugins.py:73-83): same seed ⇒
+  * identical output; different seed ⇒ different. Block starts come from
+  * a driver-side seeded RNG (tiny array); everything data-sized is
+  * distributed.
+  *
+  * Scale: the rescale chain looks sequential but telescopes —
+  * ln s_b = Σ_{j≤b} (ln last_{j−1} − ln first_j) — so it is one running
+  * window sum over the per-block aggregate (nBlocks rows), then a
+  * broadcast join back onto the block rows. No recurrence, no collect
+  * of data rows.
+  */
+object BlockBootstrap {
+
+  /** @param prices single ordered series (orderCols define the order)
+    * @param value  price column (must be > 0)
+    */
+  def generate(prices: DataFrame, orderCols: Seq[String], value: String,
+               blockSize: Int, n: Int, seed: Long): DataFrame = {
+    val spark = prices.sparkSession
+    import spark.implicits._
+
+    val indexed = prices
+      .withColumn("rn",
+        row_number().over(Window.orderBy(orderCols.map(col): _*)) - 1)
+      .select(col("rn"), col(value).cast("double").as("p"))
+    val total = indexed.count()
+    require(total >= blockSize, s"need >= $blockSize rows, got $total")
+
+    val nBlocks = n / blockSize + 2
+    val rnd = new scala.util.Random(seed)
+    val starts = Array.fill(nBlocks)(rnd.nextInt((total - blockSize + 1).toInt))
+    val blocks = starts.zipWithIndex
+      .map { case (s, b) => (b, s) }.toSeq.toDF("block_id", "start")
+
+    val positions = blocks
+      .select(col("block_id"), col("start"),
+        explode(sequence(lit(0), lit(blockSize - 1))).as("pos"))
+      .withColumn("rn", col("start") + col("pos"))
+    val rows = positions.join(indexed, "rn")
+      .select(col("block_id"), col("pos"), col("p"))
+
+    val perBlock = rows.groupBy(col("block_id")).agg(
+      min_by(col("p"), col("pos")).as("first_p"),
+      max_by(col("p"), col("pos")).as("last_p"))
+    val wB = Window.orderBy(col("block_id"))
+    val chained = perBlock
+      .withColumn("d",
+        coalesce(log(lag(col("last_p"), 1).over(wB)) - log(col("first_p")), lit(0.0)))
+      .withColumn("ln_scale",
+        sum(col("d")).over(wB.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("block_id"), col("ln_scale"))
+
+    rows.join(broadcast(chained), "block_id")
+      .withColumn("rn", col("block_id") * blockSize + col("pos"))
+      .filter(col("rn") < n)
+      .select(col("rn"), exp(log(col("p")) + col("ln_scale")).as("typical_price"))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.series
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Which series a row belongs to and how rows are ordered within it.
+  *
+  * The reference engine (harveybc/synthetic-datagen) operates on ONE
+  * implicit-row-order pandas series; every Spark transform here pins the
+  * order explicitly (`app/data_processor.py` relies on positional order).
+  * `partitionCols` generalizes the single-series semantics to a
+  * many-series engine: at 100 TB the data is millions of independent
+  * series, window functions shuffle once on the series key and then run
+  * within partitions with no further data movement (SURVEY.md §7.4.7).
+  * `orderCols` should end with a unique tiebreaker column so every
+  * transform is deterministic under re-partitioning.
+  */
+final case class SeriesSpec(partitionCols: Seq[String], orderCols: Seq[String]) {
+  def w: WindowSpec =
+    if (partitionCols.isEmpty) Window.orderBy(orderCols.map(col): _*)
+    else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols.map(col): _*)
+
+  /** rows-frame [-(k-1), 0] — trailing window of k rows incl. current */
+  def trailing(k: Int): WindowSpec = w.rowsBetween(-(k - 1).toLong, 0L)
+  def running: WindowSpec = w.rowsBetween(Window.unboundedPreceding, 0L)
+  def following: WindowSpec = w.rowsBetween(0L, Window.unboundedFollowing)
+  def whole: WindowSpec =
+    (if (partitionCols.isEmpty) Window.partitionBy()
+     else Window.partitionBy(partitionCols.map(col): _*))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+}
+
+/** W1–W14 series transforms from SURVEY.md §2.5, as composable DataFrame
+  * ops over `org.apache.spark.sql.functions` (whole-stage-codegen'd; no
+  * UDFs). References cite the behavior source in the reference repo.
+  */
+object SeriesOps {
+
+  /** W1 + P4: log-returns `ln(p_t) − ln(p_{t−1})` with a positive-floor
+    * clip guard. Ref: app/data_processor.py:44-47 (np.diff(np.log(p)));
+    * clip ref: regime_hmm_garch.py:67. First row of each series gets
+    * null (reference drops it — callers filter).
+    */
+  def logReturns(df: DataFrame, spec: SeriesSpec, value: String,
+                 out: String = "ret", floor: Double = 1e-10): DataFrame = {
+    val lp = log(greatest(col(value), lit(floor)))
+    df.withColumn(out, lp - lag(lp, 1).over(spec.w))
+  }
+
+  /** W2: reconstruct prices from log-returns: `exp(ln(p0) + running Σ ret)`.
+    * Ref: app/data_processor.py:50-54. `initial` is the p0 column or
+    * literal; the running sum is a single window scan — no recurrence.
+    */
+  def reconstructPrices(df: DataFrame, spec: SeriesSpec, ret: String,
+                        initial: Column, out: String = "price"): DataFrame =
+    df.withColumn(out,
+      exp(log(initial) + coalesce(sum(col(ret)).over(spec.running), lit(0.0))))
+
+  /** W3: overlapping sliding windows of `size` values (only full windows
+    * kept — reference errors when n < W, data_processor.py:62-63; here
+    * short prefixes are dropped which matches the (N−W+1) output shape).
+    * Ref: app/data_processor.py:59-65.
+    */
+  def slidingWindows(df: DataFrame, spec: SeriesSpec, value: String, size: Int,
+                     out: String = "window"): DataFrame =
+    df.withColumn(out, collect_list(col(value)).over(spec.trailing(size)))
+      .filter(size_(col(out)) === size)
+
+  /** W4: supervised (X, y): X = trailing window, y = value at +horizon.
+    * Ref: sdg_plugins/evaluator/predictive_evaluator.py:54-72. */
+  def supervisedWindows(df: DataFrame, spec: SeriesSpec, value: String,
+                        size: Int, horizon: Int,
+                        xOut: String = "x", yOut: String = "y"): DataFrame =
+    slidingWindows(df, spec, value, size, xOut)
+      .withColumn(yOut, lead(col(value), horizon).over(spec.w))
+      .filter(col(yOut).isNotNull)
+
+  /** W5: rolling SAMPLE std (pandas rolling(...).std() is ddof=1 —
+    * unlike the population std of the global moments, SURVEY §7.4.5)
+    * with min_periods semantics: null until `minPeriods` observations.
+    * Ref: regime_conditional.py:64-79.
+    */
+  def rollingStd(df: DataFrame, spec: SeriesSpec, value: String, window: Int,
+                 minPeriods: Int, out: String = "vol"): DataFrame = {
+    val fr = spec.trailing(window)
+    df.withColumn(out,
+      when(count(col(value)).over(fr) >= minPeriods,
+        stddev_samp(col(value)).over(fr)))
+  }
+
+  /** W6: backfill leading nulls with the first following non-null.
+    * Ref: regime_bootstrap_hybrid.py:41-44 (.bfill()). */
+  def backfill(df: DataFrame, spec: SeriesSpec, value: String,
+               out: String = "filled"): DataFrame =
+    df.withColumn(out,
+      coalesce(col(value), first(col(value), ignoreNulls = true).over(spec.following)))
+
+  /** W7: short/long vol ratio with ÷0→1.0 guard.
+    * Ref: regime_conditional.py:73; regime_hmm_garch.py:70. */
+  def volRatio(short: Column, long: Column): Column =
+    when(long > 1e-10, short / long).otherwise(1.0)
+
+  /** W8: cyclical temporal features — sin/cos of hour/24, weekday/5
+    * (forex trading week, Mon=0), month/12. pandas dayofweek is 0=Mon;
+    * Spark dayofweek is 1=Sun, hence the (+5)%7 shift.
+    * Ref: app/data_processor.py:70-92.
+    */
+  def temporalFeatures(df: DataFrame, ts: String): DataFrame = {
+    val tau = 2.0 * math.Pi
+    val hr = hour(col(ts)).cast("double")
+    val dw = ((dayofweek(col(ts)) + 5) % 7).cast("double")
+    val mo = month(col(ts)).cast("double")
+    df.withColumn("hour_sin", sin(hr * (tau / 24.0)))
+      .withColumn("hour_cos", cos(hr * (tau / 24.0)))
+      .withColumn("dow_sin", sin(dw * (tau / 5.0)))
+      .withColumn("dow_cos", cos(dw * (tau / 5.0)))
+      .withColumn("month_sin", sin(mo * (tau / 12.0)))
+      .withColumn("month_cos", cos(mo * (tau / 12.0)))
+  }
+
+  /** W9: subtract the window mean from each element of an array column
+    * ("zero-mean drift correction"). Pure higher-order array functions —
+    * stays inside codegen. Ref: typical_price_generator.py:146-149. */
+  def meanCenter(arr: Column): Column = {
+    val mean = aggregate(arr, lit(0.0), (acc, x) => acc + x) / size_(arr)
+    transform(arr, x => x - mean)
+  }
+
+  /** W10: running peak (for drawdown). Ref: evaluate_all_generators.py:110-113. */
+  def runningPeak(df: DataFrame, spec: SeriesSpec, value: String,
+                  out: String = "peak"): DataFrame =
+    df.withColumn(out, max(col(value)).over(spec.running))
+
+  /** W12: block boundary smoothing — blend each block's first return with
+    * the previous row's value. Ref: regime_bootstrap_hybrid.py:170-181. */
+  def blockSmooth(df: DataFrame, spec: SeriesSpec, ret: String,
+                  isBlockStart: Column, smoothWeight: Double,
+                  out: String = "ret_smooth"): DataFrame =
+    df.withColumn(out,
+      when(isBlockStart && lag(col(ret), 1).over(spec.w).isNotNull,
+        (lit(1.0) - smoothWeight) * col(ret) + lit(smoothWeight) * lag(col(ret), 1).over(spec.w))
+        .otherwise(col(ret)))
+
+  /** Contiguous-run segmentation: label each maximal run of equal `state`
+    * with a running segment id (change-flag + running sum). Used by the
+    * regime-bootstrap generator to cut per-regime blocks.
+    * Ref: regime_bootstrap_hybrid.py:49-108 (SURVEY G6). */
+  def runSegments(df: DataFrame, spec: SeriesSpec, state: String,
+                  out: String = "segment"): DataFrame = {
+    val changed = when(
+      lag(col(state), 1).over(spec.w).isNull ||
+      lag(col(state), 1).over(spec.w) =!= col(state), 1).otherwise(0)
+    df.withColumn(out, sum(changed).over(spec.running))
+  }
+
+  // spark's `size` shadowed by WindowSpec import contexts; local alias
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+}

@@ -1,0 +1,83 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** C1–C4 two-sample distribution distances (SURVEY.md §2.4), computed as
+  * pure DataFrame pipelines (one sort-free hash-agg pass for histograms;
+  * one global sort over the DISTINCT value support for ECDF stats — the
+  * support is orders of magnitude smaller than the data after the
+  * group-by, so the sort is cheap even at scale).
+  */
+object Divergence {
+
+  /** C1/C2: Jensen–Shannon divergence between the equal-width histograms
+    * of two labeled samples over their COMBINED min..max support.
+    * Ref: distribution_evaluator.py:27-36,94 (100 bins, density=True,
+    * +1e-10 smoothing, renormalize, squared JS distance published under
+    * the — kept — misnomer key `kl_divergence`);
+    * composite_metric.py:96-100 (unsquared `js_divergence`).
+    * Output single row: (kl_divergence = JS², js_divergence = JS).
+    */
+  def histJsd(df: DataFrame, value: String, label: Column,
+              a: String, b: String, nBins: Int = 100): DataFrame = {
+    val spark = df.sparkSession
+    val v = col(value).cast("double")
+    val twoSamples = df.filter(label.isin(a, b)).select(v.as("v"), label.as("lab"))
+    val range = twoSamples.groupBy().agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val counts = twoSamples.crossJoin(broadcast(range))
+      .withColumn("bucket", Histogram.bucketCol(col("v"), col("lo"), col("hi"), nBins))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("lab") === a, 1).otherwise(0)).as("ca"),
+        sum(when(col("lab") === b, 1).otherwise(0)).as("cb"))
+    // all nBins bins participate in smoothing (np.histogram emits zeros)
+    val allBins = spark.range(nBins).select(col("id").cast("int").as("bucket"))
+    val eps = 1e-10
+    val hist = allBins.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = Window.partitionBy()
+    val smoothed = hist
+      .withColumn("pa_raw", col("ca") / sum(col("ca")).over(tot) + eps)
+      .withColumn("pb_raw", col("cb") / sum(col("cb")).over(tot) + eps)
+      .withColumn("pa", col("pa_raw") / sum(col("pa_raw")).over(tot))
+      .withColumn("pb", col("pb_raw") / sum(col("pb_raw")).over(tot))
+      .withColumn("m", (col("pa") + col("pb")) / 2)
+    smoothed.groupBy().agg(
+      (sum(col("pa") * log(col("pa") / col("m"))) * 0.5 +
+       sum(col("pb") * log(col("pb") / col("m"))) * 0.5).as("kl_divergence"))
+      .withColumn("js_divergence", sqrt(col("kl_divergence")))
+  }
+
+  /** C3+C4 in one pass: exact 1-D Wasserstein-1 distance (∫|Fa−Fb| dx
+    * over the union support — scipy.stats.wasserstein_distance semantics)
+    * and the Kolmogorov–Smirnov statistic max|Fa−Fb|.
+    * Ref: distribution_evaluator.py:39-40,95; composite_metric.py:103.
+    * Output single row: (wasserstein, ks_stat).
+    */
+  def ecdfStats(df: DataFrame, value: String, label: Column,
+                a: String, b: String): DataFrame = {
+    val v = col(value).cast("double")
+    val perValue = df.filter(label.isin(a, b))
+      .select(v.as("v"), label.as("lab"))
+      .groupBy(col("v"))
+      .agg(
+        sum(when(col("lab") === a, 1).otherwise(0)).as("na"),
+        sum(when(col("lab") === b, 1).otherwise(0)).as("nb"))
+    val byV = Window.orderBy(col("v"))
+    val tot = Window.partitionBy()
+    val ecdf = perValue
+      .withColumn("fa", sum(col("na")).over(byV.rowsBetween(Window.unboundedPreceding, 0))
+        / sum(col("na")).over(tot))
+      .withColumn("fb", sum(col("nb")).over(byV.rowsBetween(Window.unboundedPreceding, 0))
+        / sum(col("nb")).over(tot))
+      .withColumn("dx", lead(col("v"), 1).over(byV) - col("v"))
+      .withColumn("gap", abs(col("fa") - col("fb")))
+    ecdf.groupBy().agg(
+      sum(when(col("dx").isNotNull, col("gap") * col("dx")).otherwise(0.0)).as("wasserstein"),
+      max(col("gap")).as("ks_stat"))
+  }
+}

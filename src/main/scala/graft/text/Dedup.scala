@@ -1,0 +1,133 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its 100 TB behavior:
+  *
+  *  - exact: one hash-agg on md5(text) — map-side combinable, no join.
+  *  - n-gram Jaccard: shingle-inverted-index self-join. The join key is
+  *    the shingle, so hot (common) shingles are skew bombs — they are
+  *    dropped via a document-frequency cap before the join (standard
+  *    inverted-index pruning; a shingle shared by >maxDf docs carries
+  *    almost no discriminating power).
+  *  - MinHash+LSH: constant-size signatures (numPerm hashes) per doc,
+  *    banded into buckets; only intra-bucket pairs are candidates, then
+  *    exact-verified. Shuffle volume is O(docs × bands), independent of
+  *    document length — the scale path.
+  *  - SimHash: 64-bit signature per doc; near-dup = small Hamming
+  *    distance, verified via bit_count(xor). Bucketing on the top 16
+  *    bits gives the banding (pairs differing only in low bits collide).
+  */
+object Dedup {
+
+  /** Exact dedup: keeper = min id per md5(text); n = group size. */
+  def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(col(text)).as("text_md5"))
+      .agg(min(col(id)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup applied: keep the min-id row of each text group. */
+  def dropExactDuplicates(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(text))).orderBy(col(id))
+    df.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1).drop("_rk")
+  }
+
+  /** N-gram Jaccard near-dup pairs: word-k-shingle inverted index join;
+    * jaccard = |A∩B| / (|A|+|B|−|A∩B|); emit pairs ≥ threshold.
+    * `maxDf` prunes stop-shingles before the self-join (skew control).
+    */
+  def jaccardPairs(df: DataFrame, id: String, text: String, k: Int = 5,
+                   threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    val sh = TextOps.shingles(df, id, text, k)
+    val dfCount = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val pruned = sh.join(dfCount.filter(col("df") <= maxDf), "shingle")
+      .select(col(id), col("shingle"))
+    val sizes = pruned.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val a = pruned.select(col(id).as("id_a"), col("shingle"))
+    val b = pruned.select(col(id).as("id_b"), col("shingle"))
+    val shared = a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: for each of `numPerm` hash seeds, the min
+    * xxhash64(seed ⧺ shingle) over the doc's shingles. One row per doc,
+    * signature as an array column. */
+  def minhashSignatures(df: DataFrame, id: String, text: String, k: Int = 5,
+                        numPerm: Int = 64): DataFrame = {
+    val sh = TextOps.shingles(df, id, text, k)
+    val hashCols = (0 until numPerm).map(s =>
+      min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
+    sh.groupBy(col(id)).agg(hashCols.head, hashCols.tail: _*)
+      .select(col(id), array((0 until numPerm).map(s => col(s"h$s")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs from banded minhash signatures, exact-verified
+    * by estimated jaccard = fraction of agreeing signature slots
+    * (the unbiased minhash estimator). */
+  def minhashLshPairs(df: DataFrame, id: String, text: String, k: Int = 5,
+                      numPerm: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rowsPerBand = numPerm / bands
+    val sigs = minhashSignatures(df, id, text, k, numPerm)
+    val banded = sigs.select(col(id), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col(id).as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col(id).as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("bucket"))
+    val cands = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+    cands
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numPerm))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash per document: bit j is the sign of Σ_tokens (±1)
+    * where the sign comes from bit j of xxhash64(token). Token weights
+    * = term frequency (each occurrence votes). */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = TextOps.tokens(df, text).withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    toks.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(id),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: bucket on the high 16 bits (cheap band),
+    * verify with Hamming distance ≤ maxHamming via bit_count(xor). */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(df, id, text)
+      .withColumn("bucket", shiftright(col("simhash"), 48))
+    val a = sigs.select(col(id).as("id_a"), col("simhash").as("s_a"), col("bucket"))
+    val b = sigs.select(col(id).as("id_b"), col("simhash").as("s_b"), col("bucket"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("s_a").bitwiseXOR(col("s_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each Verify output
+parquet, run the oracle SQL in DuckDB over the same sf dir and compare
+(schema, row count, values after sorting columns by name + rows).
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            try: df[c] = pd.to_numeric(df[c])
+            except Exception: pass
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            results[name] = "NO_OUTPUT"
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in files])
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY rows={len(spark_df)}"
+            continue
+        try:
+            duck_df = con.sql(oracle[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {str(e)[:200]}"
+            continue
+        s, o = norm(spark_df), norm(duck_df)
+        if list(s.columns) != list(o.columns):
+            results[name] = f"SCHEMA_MISMATCH spark={list(s.columns)} duck={list(o.columns)}"
+            continue
+        if len(s) != len(o):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(s)} duck={len(o)}"
+            continue
+        bad = []
+        for c in s.columns:
+            a, b = s[c].values, o[c].values
+            if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(o[c].dtype, np.floating):
+                af = a.astype(float); bf = b.astype(float)
+                nan_ok = np.isnan(af) == np.isnan(bf)
+                eq = np.where(np.isnan(af), nan_ok, af == bf)
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    diff = np.nanmax(np.abs(np.nan_to_num(af) - np.nan_to_num(bf)))
+                    bad.append(f"{c}: {int((~eq).sum())} diffs, first@{i} {a[i]}!={b[i]}, maxabs={diff:.3g}")
+            else:
+                eq = pd.Series(a).astype(str).values == pd.Series(b).astype(str).values
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    bad.append(f"{c}: {int((~eq).sum())} diffs, first@{i} {a[i]}!={b[i]}")
+        results[name] = "OK rows=%d" % len(s) if not bad else "VALUE_MISMATCH " + "; ".join(bad[:3])
+    npass = sum(1 for v in results.values() if v.startswith(("OK", "ROWS_ONLY")))
+    for k, v in results.items():
+        print(f"{'PASS' if v.startswith(('OK','ROWS_ONLY')) else 'FAIL'} {k}: {v}")
+    print(f"== {npass}/{len(results)} pass")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
