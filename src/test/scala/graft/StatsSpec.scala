@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.series.SeriesSpec
+import graft.stats.{Divergence, Histogram, Moments, SeriesStats}
+
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("moments: population std/skew/kurt on a known sample") {
+    val s = spark
+    import s.implicits._
+    // sample 1,2,3,4: mean 2.5, var_pop 1.25, skew 0, kurt_raw 1.64
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val m = Moments.describe(df, "v", Nil).first()
+    assert(m.getAs[Long]("n") === 4L)
+    assert(math.abs(m.getAs[Double]("mean") - 2.5) < 1e-12)
+    assert(math.abs(m.getAs[Double]("var_pop") - 1.25) < 1e-12)
+    assert(math.abs(m.getAs[Double]("skew")) < 1e-12)
+    assert(math.abs(m.getAs[Double]("kurt_raw") - 1.64) < 1e-12)
+  }
+
+  test("histogram: buckets cover range, counts sum to n, density integrates to 1") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val h = Histogram.fixedBins(df, "v", 10).collect()
+    assert(h.map(_.getAs[Long]("cnt")).sum === 1000L)
+    val widths = (999.0 - 0.0) // hi-lo = 999 over 10 bins
+    val integral = h.map(r => r.getAs[Double]("density") * (999.0 / 10)).sum
+    assert(math.abs(integral - 1.0) < 1e-9)
+  }
+
+  test("ecdf stats: identical samples give 0 distance; shifted gives the shift") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 100).map(i => (i.toDouble, "a"))
+    val b = (1 to 100).map(i => (i.toDouble, "b"))
+    val same = Divergence.ecdfStats(
+      (a ++ b).toDF("v", "lab"), "v", col("lab"), "a", "b").first()
+    assert(same.getAs[Double]("wasserstein") === 0.0)
+    assert(same.getAs[Double]("ks_stat") === 0.0)
+    // b = a + 10 ⇒ wasserstein-1 exactly 10
+    val shifted = (a ++ a.map(p => (p._1 + 10.0, "b"))).toDF("v", "lab")
+    val r = Divergence.ecdfStats(shifted, "v", col("lab"), "a", "b").first()
+    assert(math.abs(r.getAs[Double]("wasserstein") - 10.0) < 1e-9)
+  }
+
+  test("JSD: identical samples ~0, disjoint samples ~ln(2)") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 500).map(i => (i.toDouble, "a"))
+    val same = Divergence.histJsd(
+      (a ++ a.map(p => (p._1, "b"))).toDF("v", "lab"), "v", col("lab"), "a", "b")
+      .first().getAs[Double]("kl_divergence")
+    assert(same < 1e-6)
+    val disjoint = (a ++ a.map(p => (p._1 + 1e6, "b"))).toDF("v", "lab")
+    val d = Divergence.histJsd(disjoint, "v", col("lab"), "a", "b")
+      .first().getAs[Double]("kl_divergence")
+    assert(math.abs(d - math.log(2)) < 1e-3)
+  }
+
+  test("hurst: random walk in plausible band, short series falls back to 0.5") {
+    val df = SparkSpec.randomWalk(800)
+    val h = SeriesStats.hurst(df, SeriesSpec(Nil, Seq("DATE_TIME")), "typical_price")
+      .first().getAs[Double]("hurst")
+    assert(h >= 0.0 && h <= 1.0)
+    // prices (integrated walk) are strongly persistent: H should be high
+    assert(h > 0.6, s"random-walk price hurst was $h")
+    val tiny = SparkSpec.randomWalk(5)
+    val ht = SeriesStats.hurst(tiny, SeriesSpec(Nil, Seq("DATE_TIME")), "typical_price")
+      .first().getAs[Double]("hurst")
+    assert(ht === 0.5)
+  }
+
+  test("max drawdown: known path") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0, 100.0), (1, 120.0), (2, 60.0), (3, 90.0)).toDF("rn", "p")
+    val dd = SeriesStats.maxDrawdown(df, SeriesSpec(Nil, Seq("rn")), "p")
+      .first().getAs[Double]("max_drawdown")
+    assert(math.abs(dd - (60.0 - 120.0) / 120.0) < 1e-12)
+  }
+
+  test("autocorr: AR-free iid noise ~0, trending series ~1") {
+    val s = spark
+    import s.implicits._
+    val trend = (1 to 200).map(i => (i, i.toDouble)).toDF("rn", "v")
+    val ac = SeriesStats.autocorr(trend, SeriesSpec(Nil, Seq("rn")), "v", 1, "acf")
+      .first().getAs[Double]("acf")
+    assert(ac > 0.99)
+  }
+}
