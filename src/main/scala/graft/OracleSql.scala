@@ -352,6 +352,25 @@ object OracleSql {
         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q28_regime_stats" ->
+      """WITH r AS (
+        | SELECT event_type, ts, event_id,
+        |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |     OVER (ORDER BY ts, event_id) AS ret
+        | FROM events),
+        |l AS (SELECT event_type, ts, event_id, ret,
+        |        lag(ret,1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS lag_ret
+        |      FROM r WHERE ret IS NOT NULL),
+        |base AS (SELECT event_type, count(ret)::BIGINT AS n, avg(ret) AS mean,
+        |           stddev_pop(ret) AS std_pop, corr(ret, lag_ret) AS ar1
+        |         FROM l GROUP BY event_type),
+        |z AS (SELECT l.event_type, avg(pow((ret - mean)/std_pop, 3)) AS skew
+        |      FROM l JOIN base USING (event_type) GROUP BY l.event_type)
+        |SELECT event_type, n, round(mean,8) AS mean, round(std_pop,8) AS std_pop,
+        |  round(ar1,6) AS ar1, round(skew,6) AS skew
+        |FROM base JOIN z USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     "q25_daily_rollup" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*)::BIGINT AS n,
         | round(sum(value),4) AS sum_value, round(avg(value),6) AS avg_value

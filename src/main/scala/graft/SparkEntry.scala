@@ -341,6 +341,49 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── A8: per-regime return stats (regime = event_type) ─────────────
+    "q28_regime_stats" -> ((s, dir) => {
+      val rets = SeriesOps.logReturns(ev(s, dir), global, "value", "ret")
+        .filter(col("ret").isNotNull)
+      graft.stats.RegimeStats
+        .perRegime(rets, global, "event_type", "ret")
+        .select(col("event_type"), col("n"),
+          round(col("mean"), 8).as("mean"),
+          round(col("std_pop"), 8).as("std_pop"),
+          round(col("ar1"), 6).as("ar1"),
+          round(col("skew"), 6).as("skew"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── C10+O5: Spark-parallel GARCH(1,1) grid (rows-only) ────────────
+    "q29_garch_grid" -> ((s, dir) => {
+      val rets = logret(s, dir).filter(col("ret").isNotNull)
+        .select(col("ts"), col("event_id"), col("ret"))
+      graft.stats.Garch.grid(rets, Seq("ts", "event_id"), "ret")
+        .select(col("alpha"), col("beta"),
+          round(col("omega"), 10).as("omega"),
+          round(col("long_run_var"), 10).as("long_run_var"),
+          round(col("ll"), 4).as("ll"))
+        .orderBy(col("alpha"), col("beta"))
+    }),
+
+    // ── full DistributionEvaluator metric record (rows-only) ──────────
+    "q30_distribution_eval" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val real = e.filter(col("user_id") < 75)
+      val synth = e.filter(col("user_id") >= 75)
+      graft.eval.DistributionEvaluator
+        .evaluate(real, synth, Seq("ts", "event_id"), "value")
+    }),
+
+    // ── C7+C8: composite score incl. distributed spectral (rows-only) ─
+    "q31_composite_score" -> ((s, dir) => {
+      val e = ev(s, dir)
+      graft.eval.CompositeMetric.scoreDf(
+        e.filter(col("user_id") < 75), e.filter(col("user_id") >= 75),
+        Seq("ts", "event_id"), "value")
+    }),
+
     // ── sign-LSH ANN near-dup (rows-only) ─────────────────────────────
     "s01_lsh_ann" -> ((s, dir) => {
       Similarity.lshNearDupPairs(emb(s, dir), "vec_id", "embedding",

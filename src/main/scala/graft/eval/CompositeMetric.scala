@@ -1,0 +1,112 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.series.{SeriesOps, SeriesSpec}
+import graft.stats.{Divergence, SeriesStats, Spectral}
+
+/** C8: composite quality score — weighted sum of 11 normalized
+  * sub-metrics over real vs synthetic price series (0 = perfect).
+  * Ref: composite_metric.py:66-153 (weights table :78-90).
+  *
+  * Deviations (documented per SURVEY §5 tolerance rules):
+  *  - JS uses the shared-support 100-bin probability histogram of
+  *    Divergence.histJsd (reference: 99 linspace-edge density bins with
+  *    pre-normalization ε — numerically equivalent smoothing).
+  *  - Hurst uses SeriesStats.hurst's segment-on-values R/S variant
+  *    (reference diffs within each segment); both are standard R/S
+  *    estimators and agree on the reference's fixtures to ~1e-2.
+  */
+object CompositeMetric {
+
+  val DefaultWeights: Map[String, Double] = Map(
+    "js_divergence" -> 3.0, "ks_statistic" -> 2.0,
+    "ac_lag1" -> 2.0, "ac_lag5" -> 1.5, "ac_lag24" -> 1.0,
+    "hurst_diff" -> 2.0, "vol_cluster" -> 1.5, "spectral" -> 1.5,
+    "skew_diff" -> 1.0, "kurt_diff" -> 1.0, "std_ratio" -> 2.0)
+
+  /** @return (score, details) — score 0 = perfect, higher = worse. */
+  def score(real: DataFrame, synth: DataFrame, orderCols: Seq[String],
+            price: String,
+            weights: Map[String, Double] = DefaultWeights): (Double, Map[String, Double]) = {
+    val spark = real.sparkSession
+    val spec = SeriesSpec(Nil, orderCols)
+
+    def rets(df: DataFrame, lab: String): DataFrame =
+      SeriesOps.logReturns(df, spec, price, "ret")
+        .filter(col("ret").isNotNull)
+        .select((lit(lab).as("lab") +: col("ret") +: orderCols.map(col)): _*)
+
+    val rr = rets(real, "real"); val rs = rets(synth, "synth")
+    val u = rr.unionByName(rs)
+
+    val js = Divergence.histJsd(u, "ret", col("lab"), "real", "synth", 99)
+      .first().getAs[Double]("js_divergence")
+    val ks = Divergence.ecdfStats(u, "ret", col("lab"), "real", "synth")
+      .first().getAs[Double]("ks_stat")
+
+    // per-label lag autocorrs + |ret| vol clustering + moments, one pass
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lab")).orderBy(orderCols.map(col): _*)
+    val lagged = u
+      .withColumn("l1", lag(col("ret"), 1).over(w))
+      .withColumn("l5", lag(col("ret"), 5).over(w))
+      .withColumn("l24", lag(col("ret"), 24).over(w))
+      .groupBy(col("lab")).agg(
+        coalesce(corr(col("ret"), col("l1")), lit(0.0)).as("ac1"),
+        coalesce(corr(col("ret"), col("l5")), lit(0.0)).as("ac5"),
+        coalesce(corr(col("ret"), col("l24")), lit(0.0)).as("ac24"),
+        coalesce(corr(abs(col("ret")), abs(col("l1"))), lit(0.0)).as("vc"),
+        avg(col("ret")).as("mean"),
+        stddev_pop(col("ret")).as("std"),
+        skewness(col("ret")).as("skew"),
+        (kurtosis(col("ret")) + 3.0).as("kurt_raw")) // fisher=False
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (re, sy) = (lagged("real"), lagged("synth"))
+
+    def ratioDev(r: Double, s: Double): Double =
+      if (math.abs(r) > 1e-6) math.abs(s / r - 1.0) else math.abs(s)
+
+    val hr = SeriesStats.hurst(real, spec, price).first().getAs[Double]("hurst")
+    val hs = SeriesStats.hurst(synth, spec, price).first().getAs[Double]("hurst")
+
+    val retsR = rr.orderBy(orderCols.map(col): _*).select("ret")
+      .collect().map(_.getDouble(0))
+    val retsS = rs.orderBy(orderCols.map(col): _*).select("ret")
+      .collect().map(_.getDouble(0))
+    val spectral = Spectral.distance(spark, retsR, retsS)
+
+    val kurtR = re.getAs[Double]("kurt_raw")
+    val details = Map(
+      "js_divergence" -> js,
+      "ks_statistic" -> ks,
+      "ac_lag1" -> ratioDev(re.getAs[Double]("ac1"), sy.getAs[Double]("ac1")),
+      "ac_lag5" -> ratioDev(re.getAs[Double]("ac5"), sy.getAs[Double]("ac5")),
+      "ac_lag24" -> ratioDev(re.getAs[Double]("ac24"), sy.getAs[Double]("ac24")),
+      "hurst_diff" -> math.abs(hs - hr),
+      "vol_cluster" -> ratioDev(re.getAs[Double]("vc"), sy.getAs[Double]("vc")),
+      "spectral" -> spectral,
+      "skew_diff" -> math.abs(sy.getAs[Double]("skew") - re.getAs[Double]("skew")),
+      "kurt_diff" -> math.abs(sy.getAs[Double]("kurt_raw") - kurtR) / math.max(kurtR, 1.0),
+      "std_ratio" -> math.abs(sy.getAs[Double]("std") / re.getAs[Double]("std") - 1.0))
+
+    val totalW = weights.values.sum
+    val s = weights.map { case (k, wt) => wt * details(k) }.sum / totalW
+    (s, details)
+  }
+
+  /** Details as a one-row DataFrame (for sinks/views). */
+  def scoreDf(real: DataFrame, synth: DataFrame, orderCols: Seq[String],
+              price: String): DataFrame = {
+    val spark = real.sparkSession
+    val (s, d) = score(real, synth, orderCols, price)
+    import spark.implicits._
+    Seq((s, d("js_divergence"), d("ks_statistic"), d("ac_lag1"), d("ac_lag5"),
+      d("ac_lag24"), d("hurst_diff"), d("vol_cluster"), d("spectral"),
+      d("skew_diff"), d("kurt_diff"), d("std_ratio")))
+      .toDF("composite_score", "js_divergence", "ks_statistic", "ac_lag1",
+        "ac_lag5", "ac_lag24", "hurst_diff", "vol_cluster", "spectral",
+        "skew_diff", "kurt_diff", "std_ratio")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S1–S3: the reference's price-series CSV source/sink.
+  * Ref: app/data_processor.py:19-39.
+  *
+  * Schema is DECLARED, never inferred (SURVEY §1.3): load fails fast if
+  * `typical_price` is missing, matching load_csv's ValueError.
+  */
+object CsvIO {
+
+  val priceSchema: StructType = StructType(Seq(
+    StructField("DATE_TIME", TimestampType, nullable = false),
+    StructField("typical_price", DoubleType, nullable = false)))
+
+  /** S1: one CSV with header, DATE_TIME parsed as timestamp. */
+  def loadCsv(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .schema(priceSchema)
+      .csv(path)
+    require(df.columns.contains("typical_price"),
+      s"CSV $path must contain 'typical_price'")
+    df
+  }
+
+  /** S2: multi-CSV union → sort by time → keep FIRST row per duplicate
+    * DATE_TIME (pandas drop_duplicates keep="first" after sort — made
+    * deterministic here with an explicit source-order priority).
+    * Ref: app/data_processor.py:27-34. */
+  def loadMultipleCsv(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val tagged = paths.zipWithIndex.map { case (p, i) =>
+      loadCsv(spark, p).withColumn("_src", lit(i))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("DATE_TIME")).orderBy(col("_src"))
+    tagged
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("DATE_TIME"), col("typical_price"))
+      .orderBy(col("DATE_TIME"))
+  }
+
+  /** S3: ordered single-file CSV (the reference's byte-for-byte output
+    * shape — coalesce(1) is deliberate: generation sizes are small;
+    * large outputs should use [[saveParquet]]). */
+  def saveCsv(df: DataFrame, path: String): Unit =
+    df.orderBy(col("DATE_TIME"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss") // reference format
+      .csv(path)
+
+  /** Scale-path sink: partitioned parquet, no coalesce. */
+  def saveParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+}

@@ -1,0 +1,67 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import graft.gen.GrasyndaModel
+import graft.stats.GarchFit
+
+/** S5: statistical-model artifact persistence — flat JSON files, the
+  * shape the reference uses for regime/statistical models
+  * (regime_conditional.py:188-195; SURVEY §1.1). Driver-resident
+  * models are small (K×K matrices + pools); Jackson (already on the
+  * Spark classpath) handles the round-trip.
+  */
+object ModelIO {
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
+  def saveGrasynda(model: GrasyndaModel, path: String): Unit = {
+    val json = mapper.createObjectNode()
+    json.set[com.fasterxml.jackson.databind.JsonNode]("interior_edges",
+      mapper.valueToTree(model.interiorEdges))
+    json.set[com.fasterxml.jackson.databind.JsonNode]("transition",
+      mapper.valueToTree(model.transition))
+    json.set[com.fasterxml.jackson.databind.JsonNode]("pools",
+      mapper.valueToTree(model.pools.map { case (k, v) => k.toString -> v }))
+    json.set[com.fasterxml.jackson.databind.JsonNode]("start_probs",
+      mapper.valueToTree(model.startProbs))
+    Files.writeString(Paths.get(path), mapper.writeValueAsString(json))
+  }
+
+  def loadGrasynda(path: String): GrasyndaModel = {
+    val n = mapper.readTree(Files.readString(Paths.get(path)))
+    def arr(node: com.fasterxml.jackson.databind.JsonNode): Array[Double] = {
+      val it = node.elements(); val b = Array.newBuilder[Double]
+      while (it.hasNext) b += it.next().asDouble()
+      b.result()
+    }
+    def mat(node: com.fasterxml.jackson.databind.JsonNode): Array[Array[Double]] = {
+      val it = node.elements(); val b = Array.newBuilder[Array[Double]]
+      while (it.hasNext) b += arr(it.next())
+      b.result()
+    }
+    val pools = {
+      val f = n.get("pools").fields()
+      val b = Map.newBuilder[Int, Array[Double]]
+      while (f.hasNext) { val e = f.next(); b += e.getKey.toInt -> arr(e.getValue) }
+      b.result()
+    }
+    GrasyndaModel(arr(n.get("interior_edges")), mat(n.get("transition")),
+      pools, arr(n.get("start_probs")))
+  }
+
+  def saveGarch(fit: GarchFit, path: String): Unit =
+    Files.writeString(Paths.get(path), mapper.writeValueAsString(
+      Map("omega" -> fit.omega, "alpha" -> fit.alpha, "beta" -> fit.beta,
+        "long_run_var" -> fit.longRunVar, "log_lik" -> fit.logLik)))
+
+  def loadGarch(path: String): GarchFit = {
+    val n = mapper.readTree(Files.readString(Paths.get(path)))
+    GarchFit(n.get("omega").asDouble(), n.get("alpha").asDouble(),
+      n.get("beta").asDouble(), n.get("long_run_var").asDouble(),
+      n.get("log_lik").asDouble())
+  }
+}

@@ -1,0 +1,95 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fitted GARCH(1,1): σ²_t = ω + α·r²_{t−1} + β·σ²_{t−1}. */
+final case class GarchFit(omega: Double, alpha: Double, beta: Double,
+                          longRunVar: Double, logLik: Double)
+
+/** C10: GARCH(1,1) fit by grid search with variance targeting.
+  * Ref: regime_hmm_garch.py:23-62 — α×β grid with α+β < 0.999, ω from
+  * variance targeting ω = var·(1−α−β), Gaussian log-likelihood through
+  * the sequential σ² recursion; best LL wins (O5 argmax).
+  *
+  * Scale split (SURVEY §2.4 C10): the grid is embarrassingly parallel —
+  * one Spark task per (α, β) candidate, each running the cheap O(n)
+  * recursion over the broadcast return series; `max_by` picks the
+  * winner. The data-sized work (the returns themselves) is reduced to
+  * one ordered collect of a bounded series (the reference operates on
+  * ≤ ~10⁴ returns; for longer series fit per-window or per-regime
+  * slices, which is how the reference uses it).
+  */
+object Garch {
+
+  val DefaultAlphas: Seq[Double] = Seq(0.01, 0.05, 0.10, 0.15, 0.20, 0.25)
+  val DefaultBetas: Seq[Double] = Seq(0.50, 0.60, 0.70, 0.75, 0.80, 0.85, 0.90, 0.95)
+
+  /** Gaussian log-likelihood of returns under a (ω, α, β) candidate. */
+  private def logLik(r: Array[Double], omega: Double, alpha: Double,
+                     beta: Double, initVar: Double): Double = {
+    var sigma2 = initVar
+    var ll = 0.0
+    var t = 0
+    while (t < r.length) {
+      if (t > 0) sigma2 = omega + alpha * r(t - 1) * r(t - 1) + beta * sigma2
+      val s2 = math.max(sigma2, 1e-12)
+      ll += -0.5 * (math.log(2.0 * math.Pi * s2) + r(t) * r(t) / s2)
+      t += 1
+    }
+    ll
+  }
+
+  /** Fit on an ordered returns column. Deterministic. */
+  def fit(returns: DataFrame, orderCols: Seq[String], value: String,
+          alphas: Seq[Double] = DefaultAlphas,
+          betas: Seq[Double] = DefaultBetas): GarchFit = {
+    val spark = returns.sparkSession
+    import spark.implicits._
+    val r = returns
+      .orderBy(orderCols.map(col): _*)
+      .select(col(value).cast("double"))
+      .collect().map(_.getDouble(0))
+    val variance = {
+      val mean = r.sum / r.length
+      r.map(x => (x - mean) * (x - mean)).sum / r.length
+    }
+    val bc = spark.sparkContext.broadcast(r)
+    val grid = for {
+      a <- alphas; b <- betas if a + b < 0.999
+    } yield (a, b)
+    val fits = grid.toDF("alpha", "beta").as[(Double, Double)]
+      .map { case (a, b) =>
+        val omega = variance * (1.0 - a - b)
+        (omega, a, b, variance, logLik(bc.value, omega, a, b, variance))
+      }
+      .toDF("omega", "alpha", "beta", "long_run_var", "ll")
+    val best = fits
+      .orderBy(col("ll").desc, col("alpha"), col("beta"))
+      .first()
+    GarchFit(best.getDouble(0), best.getDouble(1), best.getDouble(2),
+      best.getDouble(3), best.getDouble(4))
+  }
+
+  /** The full scored grid as a DataFrame (for inspection / queries). */
+  def grid(returns: DataFrame, orderCols: Seq[String], value: String,
+           alphas: Seq[Double] = DefaultAlphas,
+           betas: Seq[Double] = DefaultBetas): DataFrame = {
+    val spark = returns.sparkSession
+    import spark.implicits._
+    val r = returns
+      .orderBy(orderCols.map(col): _*)
+      .select(col(value).cast("double"))
+      .collect().map(_.getDouble(0))
+    val mean = r.sum / r.length
+    val variance = r.map(x => (x - mean) * (x - mean)).sum / r.length
+    val bc = spark.sparkContext.broadcast(r)
+    val grid = for { a <- alphas; b <- betas if a + b < 0.999 } yield (a, b)
+    grid.toDF("alpha", "beta").as[(Double, Double)]
+      .map { case (a, b) =>
+        val omega = variance * (1.0 - a - b)
+        (a, b, omega, variance, logLik(bc.value, omega, a, b, variance))
+      }
+      .toDF("alpha", "beta", "omega", "long_run_var", "ll")
+  }
+}

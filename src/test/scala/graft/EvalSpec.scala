@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.eval.{CompositeMetric, DistributionEvaluator}
+import graft.io.{CsvIO, MetricsViews, ModelIO}
+import graft.stats.{Garch, Spectral}
+
+class EvalSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("distribution evaluator: self-comparison is near-perfect, has all reference keys") {
+    val a = SparkSpec.randomWalk(400, seed = 1)
+    val b = SparkSpec.randomWalk(400, seed = 2)
+    val m = DistributionEvaluator.evaluate(a, b, Seq("DATE_TIME"), "typical_price")
+    val row = m.first()
+    val expectedKeys = Seq("kl_divergence", "wasserstein_distance",
+      "real_return_mean", "synthetic_return_mean", "real_return_std",
+      "synthetic_return_std", "real_autocorr_lag1", "synthetic_autocorr_lag1",
+      "real_autocorr_lag5", "synthetic_autocorr_lag5", "real_autocorr_lag10",
+      "synthetic_autocorr_lag10", "real_adf_pvalue", "synthetic_adf_pvalue",
+      "quality_score")
+    expectedKeys.foreach(k => assert(m.columns.contains(k), s"missing $k"))
+    assert(row.getAs[Double]("kl_divergence") >= 0.0)
+    assert(row.getAs[Double]("quality_score") >= 0.0)
+    assert(row.getAs[Double]("real_adf_pvalue") === -1.0)
+    // same-distribution walks: small divergence
+    assert(row.getAs[Double]("kl_divergence") < 0.2)
+  }
+
+  test("composite metric: identical series scores ~0; different walks score worse") {
+    val a = SparkSpec.randomWalk(300, seed = 5)
+    val (sSame, dSame) = CompositeMetric.score(a, a, Seq("DATE_TIME"), "typical_price")
+    assert(sSame < 0.02, s"self-score $sSame")
+    assert(dSame("ks_statistic") === 0.0)
+    assert(dSame("hurst_diff") === 0.0)
+    val b = SparkSpec.randomWalk(300, seed = 6, vol = 5e-3) // 10x vol
+    val (sDiff, dDiff) = CompositeMetric.score(a, b, Seq("DATE_TIME"), "typical_price")
+    assert(sDiff > sSame)
+    assert(dDiff("std_ratio") > 1.0) // 10x vol ⇒ ratio dev ~9
+  }
+
+  test("spectral distance: identical spectra 0, white noise vs impulse > 0") {
+    val x = Array.tabulate(64)(i => math.sin(2 * math.Pi * i / 8.0))
+    assert(Spectral.distance(spark, x, x) < 1e-12)
+    val y = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+    assert(Spectral.distance(spark, x, y) > 0.01)
+  }
+
+  test("GARCH grid fit: recovers high persistence on vol-clustered data, respects constraint") {
+    val s = spark
+    import s.implicits._
+    // synthetic GARCH-ish: alternating calm/storm vol regimes
+    val rnd = new scala.util.Random(3)
+    val rets = (0 until 2000).map { i =>
+      val vol = if ((i / 100) % 2 == 0) 0.001 else 0.01
+      (i, rnd.nextGaussian() * vol)
+    }.toDF("rn", "ret")
+    val fit = Garch.fit(rets, Seq("rn"), "ret")
+    assert(fit.alpha + fit.beta < 0.999)
+    assert(fit.beta >= 0.5, s"expected persistent beta, got ${fit.beta}")
+    assert(fit.omega > 0)
+    val grid = Garch.grid(rets, Seq("rn"), "ret")
+    assert(grid.count() === Garch.DefaultAlphas.size * Garch.DefaultBetas.size -
+      Garch.DefaultAlphas.flatMap(a => Garch.DefaultBetas.map(b => (a, b)))
+        .count { case (a, b) => a + b >= 0.999 })
+    // argmax consistency (O5)
+    val best = grid.orderBy(col("ll").desc, col("alpha"), col("beta")).first()
+    assert(best.getAs[Double]("ll") === fit.logLik)
+  }
+
+  test("CSV round-trip with price schema; multi-CSV dedup keeps first source") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
+    val df = SparkSpec.randomWalk(50).select("DATE_TIME", "typical_price")
+    CsvIO.saveCsv(df, s"$dir/a")
+    val back = CsvIO.loadCsv(spark, s"$dir/a")
+    assert(back.count() === 50)
+    assert(back.schema("typical_price").dataType.typeName === "double")
+    // same file twice → dedup on DATE_TIME keeps 50
+    val multi = CsvIO.loadMultipleCsv(spark, Seq(s"$dir/a", s"$dir/a"))
+    assert(multi.count() === 50)
+  }
+
+  test("model JSON round-trip (S5)") {
+    val path = java.nio.file.Files.createTempFile("grasynda", ".json").toString
+    val m = graft.gen.GrasyndaModel(
+      Array(0.1, 0.2), Array(Array(0.5, 0.5), Array(0.3, 0.7)),
+      Map(0 -> Array(1.0, 2.0), 1 -> Array(3.0)), Array(0.4, 0.6))
+    ModelIO.saveGrasynda(m, path)
+    val back = ModelIO.loadGrasynda(path)
+    assert(back.interiorEdges.toSeq === m.interiorEdges.toSeq)
+    assert(back.transition.map(_.toSeq).toSeq === m.transition.map(_.toSeq).toSeq)
+    assert(back.pools(0).toSeq === Seq(1.0, 2.0))
+    assert(back.startProbs.toSeq === Seq(0.4, 0.6))
+    val gpath = java.nio.file.Files.createTempFile("garch", ".json").toString
+    val g = graft.stats.GarchFit(1e-6, 0.1, 0.85, 2e-5, -1234.5)
+    ModelIO.saveGarch(g, gpath)
+    assert(ModelIO.loadGarch(gpath) === g)
+  }
+
+  test("metrics SQL views (S6): group-by summary over generator runs") {
+    val s = spark
+    import s.implicits._
+    val metrics = Seq(
+      ("bootstrap", 1, 1.02, 0.11, 0.21),
+      ("bootstrap", 2, 0.98, 0.13, 0.19),
+      ("grasynda", 1, 1.44, 0.40, 0.55))
+      .toDF("generator", "seed", "std_ratio", "js_divergence", "composite_score")
+    MetricsViews.register(spark, metrics)
+    val summary = MetricsViews.summary(spark).collect()
+    assert(summary.length === 2)
+    assert(summary.head.getAs[String]("generator") === "bootstrap")
+    assert(summary.head.getAs[Long]("n_runs") === 2L)
+    assert(math.abs(summary.head.getAs[Double]("avg_std_ratio") - 1.0) < 1e-9)
+    val best = spark.sql("SELECT generator, composite_score FROM v_best_runs").collect()
+    assert(best.length === 2)
+  }
+}
