@@ -47,45 +47,66 @@ object SeriesStats {
       .agg(min((col(price) - col("_peak")) / col("_peak")).as(out))
   }
 
-  /** C6: Hurst exponent via rescaled-range (R/S) analysis, fully as two
-    * grouped aggregations + a regr_slope — no driver loop.
+  /** C6: Hurst exponent via rescaled-range (R/S) analysis.
     * Ref: composite_metric.py:25-47. For each lag ∈ [2, min(100, n/4)]:
     * chop the series into ⌊n/lag⌋ full segments; per segment
     * R = range of the cumulative deviations from the segment mean and
     * S = population std; Hurst = slope of log(mean R/S) vs log(lag),
     * clipped to [0,1] (0.5 when degenerate).
     *
-    * Scale: the rows×lags expansion is a generate/explode (no shuffle);
-    * the (lag, segment) aggregation shuffles once on small keys.
+    * Scale design: parallel-over-LAGS with the (bounded, single) series
+    * broadcast — each of the ≤99 tasks runs one cheap O(n) pass, zero
+    * shuffle (same pattern as the GARCH grid, SURVEY §7.4.2: a single
+    * ordered series is driver-bounded by definition; the cluster
+    * dimension is lags/seeds/series, not rows of one series). The
+    * equivalent pure-DataFrame formulation (rows×lags explode + two
+    * (lag,seg)-window stages) shuffles rows×99 and benches 80× slower
+    * at 100k rows. The final slope is a one-row regr_slope agg.
     * Output: single row (hurst, n_lags).
     */
   def hurst(df: DataFrame, spec: SeriesSpec, value: String): DataFrame = {
-    val n = df.count()
-    val maxLag = math.min(100L, n / 4).toInt
+    val spark = df.sparkSession
+    val series = df
+      .orderBy(spec.orderCols.map(col): _*)
+      .select(col(value).cast("double"))
+      .collect().map(_.getDouble(0))
+    val n = series.length
+    val maxLag = math.min(100L, n.toLong / 4).toInt
     if (maxLag < 2)
-      return df.sparkSession.sql("SELECT CAST(0.5 AS DOUBLE) AS hurst, 0 AS n_lags")
-    val indexed = df
-      .withColumn("rn", row_number().over(spec.w) - 1)
-      .select(col(value).cast("double").as("x"), col("rn"))
-    val withLag = indexed.select(col("x"), col("rn"),
-      explode(sequence(lit(2), lit(maxLag))).as("lag"))
-      .withColumn("seg", floor(col("rn") / col("lag")))
-    val segW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lag"), col("seg"))
-    val segRun = segW.orderBy(col("rn")).rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = withLag
-      .withColumn("m", avg(col("x")).over(segW))
-      .withColumn("cumdev", sum(col("x") - col("m")).over(segRun))
-    val perSeg = cum.groupBy(col("lag"), col("seg")).agg(
-      count(lit(1)).as("cnt"),
-      (max(col("cumdev")) - min(col("cumdev"))).as("r"),
-      stddev_pop(col("x")).as("s"))
-    val perLag = perSeg
-      .filter(col("cnt") === col("lag") && col("s") > 1e-12)
-      .groupBy(col("lag"))
-      .agg(avg(col("r") / col("s")).as("rs_mean"))
-      .filter(col("rs_mean") > 0)
+      return spark.sql("SELECT CAST(0.5 AS DOUBLE) AS hurst, CAST(0 AS BIGINT) AS n_lags")
+    val bc = spark.sparkContext.broadcast(series)
+    import spark.implicits._
+    val perLag = spark.range(2, maxLag + 1).as[Long].mapPartitions { lags =>
+      val x = bc.value
+      lags.flatMap { lagL =>
+        val lag = lagL.toInt
+        val nSeg = x.length / lag
+        var sumRs = 0.0; var nRs = 0
+        var s0 = 0
+        while (s0 < nSeg) {
+          val off = s0 * lag
+          // segment mean
+          var m = 0.0; var i = 0
+          while (i < lag) { m += x(off + i); i += 1 }
+          m /= lag
+          // pop std + cumdev range in one pass
+          var v = 0.0; var cum = 0.0; var cmax = 0.0; var cmin = 0.0
+          i = 0
+          while (i < lag) {
+            val d = x(off + i) - m
+            v += d * d
+            cum += d
+            if (cum > cmax) cmax = cum
+            if (cum < cmin) cmin = cum
+            i += 1
+          }
+          val s = math.sqrt(v / lag)
+          if (s > 1e-12) { sumRs += (cmax - cmin) / s; nRs += 1 }
+          s0 += 1
+        }
+        if (nRs > 0 && sumRs > 0) Some((lag, sumRs / nRs)) else None
+      }
+    }.toDF("lag", "rs_mean").filter(col("rs_mean") > 0)
     perLag.groupBy().agg(
       regr_slope(log(col("rs_mean")), log(col("lag").cast("double"))).as("slope"),
       count(lit(1)).as("n_lags"))

@@ -39,17 +39,24 @@ object Spectral {
     }.toDF("k", "power")
   }
 
-  /** Spectral distance between two series (truncated to common length). */
+  /** Spectral distance between two series (truncated to common length).
+    * Bounded series go through the driver FFT (O(n log n), the
+    * reference's shape); the distributed DFT above remains the path for
+    * spectra of series too long to FFT in one task. */
   def distance(spark: SparkSession, a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     if (n == 0) return 0.0
-    val pa = powerSpectrum(spark, a.take(n)).withColumnRenamed("power", "pa")
-    val pb = powerSpectrum(spark, b.take(n)).withColumnRenamed("power", "pb")
-    val r = pa.join(pb, "k")
-      .crossJoin(broadcast(pa.agg(sum(col("pa")).as("sa"))))
-      .crossJoin(broadcast(pb.agg(sum(col("pb")).as("sb"))))
-      .select(pow(col("pa") / (col("sa") + 1e-20) - col("pb") / (col("sb") + 1e-20), 2).as("d2"))
-      .agg(sqrt(avg(col("d2"))).as("spectral"))
-    r.first().getDouble(0)
+    val pa = Fft.powerSpectrum(a.take(n))
+    val pb = Fft.powerSpectrum(b.take(n))
+    val sa = pa.sum + 1e-20
+    val sb = pb.sum + 1e-20
+    var acc = 0.0
+    var k = 0
+    while (k < n) {
+      val d = pa(k) / sa - pb(k) / sb
+      acc += d * d
+      k += 1
+    }
+    math.sqrt(acc / n)
   }
 }

@@ -75,6 +75,24 @@ class StatsSpec extends AnyFunSuite {
     assert(ht === 0.5)
   }
 
+  test("FFT matches naive DFT for power-of-two and arbitrary lengths") {
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(16, 100, 257)) {
+      val x = Array.fill(n)(rnd.nextGaussian())
+      val fast = graft.stats.Fft.powerSpectrum(x)
+      val naive = Array.tabulate(n) { k =>
+        var re = 0.0; var im = 0.0
+        for (t <- 0 until n) {
+          val ang = -2.0 * math.Pi * k * t / n
+          re += x(t) * math.cos(ang); im += x(t) * math.sin(ang)
+        }
+        re * re + im * im
+      }
+      val maxErr = fast.zip(naive).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxErr < 1e-8, s"n=$n maxErr=$maxErr")
+    }
+  }
+
   test("max drawdown: known path") {
     val s = spark
     import s.implicits._
