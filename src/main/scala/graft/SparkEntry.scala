@@ -328,6 +328,48 @@ object SparkEntry {
         .orderBy(col("rn"))
     }),
 
+    // ── G6: regime block-bootstrap hybrid (rows-only) ─────────────────
+    "g03_regime_bootstrap" -> ((s, dir) => {
+      val model = graft.gen.RegimeBootstrap.fit(
+        ev(s, dir), Seq("ts", "event_id"), "value", nRegimes = 3)
+      graft.gen.RegimeBootstrap.generate(s, model, seed = 42L, n = 2000,
+          initialPrice = 100.0)
+        .orderBy(col("rn"))
+    }),
+
+    // ── G4: HMM regime-conditional AR(1) generator (rows-only) ────────
+    "g04_regime_conditional" -> ((s, dir) => {
+      val model = graft.gen.RegimeConditional.fit(
+        ev(s, dir), Seq("ts", "event_id"), "value", nRegimes = 4)
+      graft.gen.RegimeConditional.generate(s, model, seed = 42L, n = 2000,
+          initialPrice = 100.0)
+        .orderBy(col("rn"))
+    }),
+
+    // ── G5: HMM + per-regime GARCH(1,1) generator (rows-only) ─────────
+    "g05_regime_hmm_garch" -> ((s, dir) => {
+      val model = graft.gen.RegimeConditional.fit(
+        ev(s, dir), Seq("ts", "event_id"), "value", nRegimes = 4,
+        withGarch = true)
+      graft.gen.RegimeConditional.generate(s, model, seed = 42L, n = 2000,
+          initialPrice = 100.0)
+        .orderBy(col("rn"))
+    }),
+
+    // ── predictive/augmentation evaluation (MLlib GBT; rows-only) ─────
+    "q32_predictive_eval" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val train = e.filter(col("user_id") < 75)
+      val valid = e.filter(col("user_id") >= 75 && col("user_id") < 110)
+      val test = e.filter(col("user_id") >= 110)
+      val synth = BlockBootstrap.generate(train, Seq("ts", "event_id"),
+        "value", blockSize = 30, n = 1000, seed = 7L)
+        .withColumnRenamed("typical_price", "value")
+        .withColumn("ts", col("rn")).withColumn("event_id", col("rn"))
+      graft.eval.PredictiveEvaluator.evaluate(synth, train, valid, test,
+        Seq("ts", "event_id"), "value", windowSize = 12, horizon = 1)
+    }),
+
     // ── MinHash+LSH near-dup (rows-only; cross-checked in tests) ──────
     "d01_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", k = 5,

@@ -1,0 +1,116 @@
+package graft.eval
+
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.series.{SeriesOps, SeriesSpec}
+
+/** THE reference metric (SURVEY §3.3): does augmenting a predictor's
+  * training set with synthetic data reduce MAE on real val/test?
+  * Ref: sdg_plugins/evaluator/predictive_evaluator.py:169-287.
+  *
+  * Faithful semantics:
+  *  - windows: X = strictly-past window of `windowSize` prices, y =
+  *    price at +horizon after the window end (ref :54-72 — identical to
+  *    SeriesOps.supervisedWindows), raw prices, no normalization;
+  *  - augmentation: synthetic PREPENDED to real train at the series
+  *    level, windows built ACROSS the seam (ref :223-229, SURVEY U2);
+  *  - deltas: augmented − baseline; pct vs baseline + 1e-12; verdict
+  *    booleans delta < 0; n_* bookkeeping; dist_* secondary metrics
+  *    merged from DistributionEvaluator (ref :267-275).
+  *
+  * Documented deviation (SURVEY §7.3): the predictor is an MLlib
+  * GBTRegressor on the flattened window (the reference's 32-unit LSTM
+  * has no Spark-native training story) — both legs use the identical
+  * model + seed, so the baseline-vs-augmented deltas stay meaningful.
+  *
+  * Scale: windowing is one window-function pass per leg; training is
+  * MLlib's distributed gradient boosting; evaluation is one agg per
+  * split. Nothing data-sized touches the driver.
+  */
+object PredictiveEvaluator {
+
+  private def indexed(df: DataFrame, orderCols: Seq[String], price: String): DataFrame =
+    df.withColumn("rn",
+      row_number().over(Window.orderBy(orderCols.map(col): _*)))
+      .select(col("rn"), col(price).cast("double").as("p"))
+
+  /** Supervised windows on an indexed (rn, p) series → (features, label). */
+  private def windowsXy(series: DataFrame, windowSize: Int, horizon: Int): DataFrame = {
+    val spec = SeriesSpec(Nil, Seq("rn"))
+    SeriesOps.supervisedWindows(series, spec, "p", windowSize, horizon, "x", "y")
+      .select(array_to_vector(col("x")).as("features"), col("y").as("label"))
+  }
+
+  private def fitPredictor(train: DataFrame, seed: Long): GBTRegressionModel =
+    new GBTRegressor()
+      .setMaxIter(20).setMaxDepth(5).setStepSize(0.1)
+      .setSeed(seed)
+      .fit(train)
+
+  private def mae(model: GBTRegressionModel, df: DataFrame): Double =
+    model.transform(df)
+      .agg(avg(abs(col("prediction") - col("label"))))
+      .first().getDouble(0)
+
+  def evaluate(synthetic: DataFrame, realTrain: DataFrame, realVal: DataFrame,
+               realTest: DataFrame, orderCols: Seq[String], price: String,
+               windowSize: Int = 24, horizon: Int = 1,
+               seed: Long = 42L): DataFrame = {
+    val spark = synthetic.sparkSession
+
+    val sTrain = indexed(realTrain, orderCols, price).cache()
+    val sVal = indexed(realVal, orderCols, price)
+    val sTest = indexed(realTest, orderCols, price)
+    val sSyn = indexed(synthetic, orderCols, price).cache()
+
+    val nTrain = sTrain.count(); val nSyn = sSyn.count()
+    val nVal = sVal.count(); val nTest = sTest.count()
+
+    // synthetic ⧺ real: re-index real rows after the synthetic block so
+    // windows straddle the seam exactly like np.concatenate (U2)
+    val augmented = sSyn
+      .unionByName(sTrain.withColumn("rn", col("rn") + lit(nSyn))).cache()
+
+    val wTrain = windowsXy(sTrain, windowSize, horizon).cache()
+    val wVal = windowsXy(sVal, windowSize, horizon).cache()
+    val wTest = windowsXy(sTest, windowSize, horizon).cache()
+    val wAug = windowsXy(augmented, windowSize, horizon).cache()
+
+    val base = fitPredictor(wTrain, seed)
+    val bTrain = mae(base, wTrain); val bVal = mae(base, wVal); val bTest = mae(base, wTest)
+    val aug = fitPredictor(wAug, seed)
+    val aTrain = mae(aug, wAug); val aVal = mae(aug, wVal); val aTest = mae(aug, wTest)
+
+    val dVal = aVal - bVal
+    val dTest = aTest - bTest
+
+    import spark.implicits._
+    val core = Seq((
+      bTrain, bVal, bTest, aTrain, aVal, aTest,
+      dVal, dTest,
+      dVal / (bVal + 1e-12) * 100.0, dTest / (bTest + 1e-12) * 100.0,
+      nTrain, nSyn, nSyn + nTrain, nVal, nTest,
+      windowSize, horizon,
+      dVal < 0, dTest < 0))
+      .toDF("baseline_mae_train", "baseline_mae_val", "baseline_mae_test",
+        "augmented_mae_train", "augmented_mae_val", "augmented_mae_test",
+        "mae_delta_val", "mae_delta_test",
+        "mae_pct_change_val", "mae_pct_change_test",
+        "n_real_train", "n_synthetic", "n_augmented_train", "n_val", "n_test",
+        "window_size", "horizon",
+        "synthetic_helps_val", "synthetic_helps_test")
+
+    // secondary distribution metrics: dist_* of synthetic vs real train
+    val dist = DistributionEvaluator
+      .evaluate(sTrain, sSyn, Seq("rn"), "p")
+    val distRenamed = dist.columns.foldLeft(dist)((d, c) =>
+      d.withColumnRenamed(c, s"dist_$c"))
+
+    Seq(wTrain, wVal, wTest, wAug, sTrain, sSyn, augmented).foreach(_.unpersist())
+    core.crossJoin(distRenamed)
+  }
+}

@@ -1,0 +1,171 @@
+package graft.gen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.series.{SeriesOps, SeriesSpec}
+import graft.stats.{Garch, GarchFit}
+
+/** Per-regime return parameters (ref RegimeModel regime_params,
+  * regime_conditional.py:108-132). */
+final case class RegimeParams(mean: Double, std: Double, skew: Double,
+                              ar1: Double, count: Long)
+
+final case class RegimeModel(
+    nRegimes: Int,
+    transition: Array[Array[Double]],
+    startProbs: Array[Double],
+    params: Array[RegimeParams],
+    garch: Option[Array[GarchFit]] = None)
+
+/** G4/G5: HMM regime-conditional generators.
+  * Ref: regime_conditional.py:83-186 (G4); regime_hmm_garch.py:77-190
+  * (G5 adds per-regime GARCH(1,1) variance recursions).
+  *
+  * Fit split: feature extraction (W1 log-returns, W5 rolling vols with
+  * min_periods=1, W7 vol ratio, P3 NaN/Inf row filter, z-normalize) is
+  * all Spark window/agg work; the small Baum-Welch EM runs on the
+  * driver over the collected bounded feature matrix ([[Hmm]]); the
+  * per-regime statistics are one Spark groupBy over the Viterbi-labeled
+  * rows; G5's GARCH grids run Spark-parallel per regime ([[Garch]]).
+  *
+  * Generation: sequential small-state recurrences (regime path, AR(1)
+  * returns, GARCH σ²) on the driver (SURVEY §7.4.2), price
+  * reconstruction (W2) distributed.
+  */
+object RegimeConditional {
+
+  /** Extract + normalize the [ret, vol_short, vol_ratio] feature frame.
+    * Ref: regime_conditional.py:64-79. */
+  def features(prices: DataFrame, orderCols: Seq[String], price: String,
+               volWindow: Int = 24, volLong: Int = 72): DataFrame = {
+    val spec = SeriesSpec(Nil, orderCols)
+    val rets = SeriesOps.logReturns(prices, spec, price, "ret")
+      .filter(col("ret").isNotNull)
+      .withColumn("rn", row_number().over(spec.w))
+    val rspec = SeriesSpec(Nil, Seq("rn"))
+    val f = SeriesOps.rollingStd(
+      SeriesOps.rollingStd(rets, rspec, "ret", volWindow, 1, "vol_short"),
+      rspec, "ret", volLong, 1, "vol_long")
+      .withColumn("vol_ratio", SeriesOps.volRatio(col("vol_short"), col("vol_long")))
+    // P3: NaN/Inf/null row filter (rolling std of a single row is null)
+    val cols = Seq("ret", "vol_short", "vol_ratio")
+    val clean = cols.foldLeft(f)((d, c) =>
+      d.filter(col(c).isNotNull && !isnan(col(c)) &&
+        abs(col(c)) =!= Double.PositiveInfinity))
+    // z-normalize each feature (ref :92-94)
+    val stats = clean.agg(
+      avg(col("ret")).as("m0"), stddev_pop(col("ret")).as("s0"),
+      avg(col("vol_short")).as("m1"), stddev_pop(col("vol_short")).as("s1"),
+      avg(col("vol_ratio")).as("m2"), stddev_pop(col("vol_ratio")).as("s2"))
+    clean.crossJoin(broadcast(stats))
+      .select(col("rn"), col("ret"),
+        ((col("ret") - col("m0")) / (col("s0") + 1e-10)).as("f0"),
+        ((col("vol_short") - col("m1")) / (col("s1") + 1e-10)).as("f1"),
+        ((col("vol_ratio") - col("m2")) / (col("s2") + 1e-10)).as("f2"))
+  }
+
+  /** Fit G4 (withGarch=false) or G5 (withGarch=true). */
+  def fit(prices: DataFrame, orderCols: Seq[String], price: String,
+          nRegimes: Int = 4, withGarch: Boolean = false): RegimeModel = {
+    val spark = prices.sparkSession
+    val feat = features(prices, orderCols, price).orderBy(col("rn")).cache()
+    val rows = feat.select("rn", "ret", "f0", "f1", "f2").collect()
+    val x = rows.map(r => Array(r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val hmm = Hmm.fit(x, nRegimes)
+    val labels = Hmm.predict(hmm, x)
+
+    // per-regime stats over the labeled returns — Spark groupBy (A8)
+    import spark.implicits._
+    val labeled = rows.zip(labels).toIndexedSeq
+      .map { case (r, lab) => (r.getInt(0), r.getDouble(1), lab) }
+      .toDF("rn", "ret", "regime")
+    val wReg = Window.partitionBy(col("regime")).orderBy(col("rn"))
+    val statsDf = labeled
+      .withColumn("lag_ret", lag(col("ret"), 1).over(wReg))
+      .groupBy(col("regime"))
+      .agg(count(lit(1)).as("n"), avg(col("ret")).as("mean"),
+        stddev_pop(col("ret")).as("std"), skewness(col("ret")).as("skew"),
+        coalesce(corr(col("ret"), col("lag_ret")), lit(0.0)).as("ar1"))
+      .collect().map { r =>
+        def dbl(i: Int): Double =
+          if (r.isNullAt(i)) 0.0
+          else { val v = r.getDouble(i); if (v.isNaN) 0.0 else v }
+        r.getInt(0) -> RegimeParams(dbl(2), dbl(3), dbl(4), dbl(5), r.getLong(1))
+      }.toMap
+    val globalStd = feat.agg(stddev_pop(col("ret"))).first().getDouble(0)
+    val params = Array.tabulate(nRegimes) { k =>
+      statsDf.get(k).filter(_.count >= 5).getOrElse(
+        RegimeParams(0.0, globalStd, 0.0, 0.0,
+          statsDf.get(k).map(_.count).getOrElse(0L)))
+    }
+
+    // G5: per-regime GARCH(1,1) over that regime's return subsequence
+    val garchFits =
+      if (!withGarch) None
+      else Some(Array.tabulate(nRegimes) { k =>
+        val sub = labeled.filter(col("regime") === k)
+        if (sub.count() >= 30) Garch.fit(sub, Seq("rn"), "ret")
+        else GarchFit(globalStd * globalStd * 0.05, 0.05, 0.90,
+          globalStd * globalStd, 0.0)
+      })
+
+    feat.unpersist()
+    RegimeModel(nRegimes, hmm.transition, hmm.startProbs, params, garchFits)
+  }
+
+  private def sampleCat(probs: Array[Double], u: Double): Int = {
+    var acc = 0.0; var i = 0
+    while (i < probs.length - 1) {
+      acc += probs(i); if (u < acc) return i
+      i += 1
+    }
+    probs.length - 1
+  }
+
+  /** Seed-deterministic generation (ref :152-186): regime path from the
+    * transition matrix, AR(1) returns per regime (G5: GARCH σ²
+    * recursion instead of constant σ), then W2 reconstruction in Spark.
+    * Output: (rn, ret, typical_price). */
+  def generate(spark: SparkSession, model: RegimeModel, seed: Long, n: Int,
+               initialPrice: Double): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val regimes = new Array[Int](n)
+    regimes(0) = sampleCat(model.startProbs, rnd.nextDouble())
+    var t = 1
+    while (t < n) {
+      regimes(t) = sampleCat(model.transition(regimes(t - 1)), rnd.nextDouble())
+      t += 1
+    }
+    val rets = new Array[Double](n)
+    var prevRet = 0.0
+    val sigma2 = model.garch.map(g => g.map(_.longRunVar)).getOrElse(Array.empty)
+    var prevEps = 0.0
+    t = 0
+    while (t < n) {
+      val k = regimes(t)
+      val rp = model.params(k)
+      val std = model.garch match {
+        case Some(g) =>
+          val gf = g(k)
+          sigma2(k) = gf.omega + gf.alpha * prevEps * prevEps + gf.beta * sigma2(k)
+          math.sqrt(math.max(sigma2(k), 1e-12))
+        case None => rp.std
+      }
+      val innovStd = std * math.sqrt(math.max(1.0 - rp.ar1 * rp.ar1, 0.01))
+      val innovation = rnd.nextGaussian() * innovStd
+      rets(t) = rp.ar1 * prevRet + rp.mean + innovation
+      prevRet = rets(t) - rp.mean
+      prevEps = rets(t) - rp.mean
+      t += 1
+    }
+    val df = rets.toIndexedSeq.zipWithIndex.map { case (r, i) => (i, r) }
+      .toDF("rn", "ret")
+    val w = Window.orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("typical_price",
+      lit(initialPrice) * exp(sum(col("ret")).over(w)))
+  }
+}
