@@ -45,9 +45,10 @@ object PredictiveEvaluator {
       .select(array_to_vector(col("x")).as("features"), col("y").as("label"))
   }
 
-  private def fitPredictor(train: DataFrame, seed: Long): GBTRegressionModel =
+  private def fitPredictor(train: DataFrame, seed: Long,
+                           maxIter: Int): GBTRegressionModel =
     new GBTRegressor()
-      .setMaxIter(20).setMaxDepth(5).setStepSize(0.1)
+      .setMaxIter(maxIter).setMaxDepth(5).setStepSize(0.1)
       .setSeed(seed)
       .fit(train)
 
@@ -59,7 +60,7 @@ object PredictiveEvaluator {
   def evaluate(synthetic: DataFrame, realTrain: DataFrame, realVal: DataFrame,
                realTest: DataFrame, orderCols: Seq[String], price: String,
                windowSize: Int = 24, horizon: Int = 1,
-               seed: Long = 42L): DataFrame = {
+               seed: Long = 42L, maxIter: Int = 20): DataFrame = {
     val spark = synthetic.sparkSession
 
     val sTrain = indexed(realTrain, orderCols, price).cache()
@@ -80,9 +81,9 @@ object PredictiveEvaluator {
     val wTest = windowsXy(sTest, windowSize, horizon).cache()
     val wAug = windowsXy(augmented, windowSize, horizon).cache()
 
-    val base = fitPredictor(wTrain, seed)
+    val base = fitPredictor(wTrain, seed, maxIter)
     val bTrain = mae(base, wTrain); val bVal = mae(base, wVal); val bTest = mae(base, wTest)
-    val aug = fitPredictor(wAug, seed)
+    val aug = fitPredictor(wAug, seed, maxIter)
     val aTrain = mae(aug, wAug); val aVal = mae(aug, wVal); val aTest = mae(aug, wTest)
 
     val dVal = aVal - bVal

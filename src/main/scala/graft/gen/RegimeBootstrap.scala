@@ -49,8 +49,10 @@ object RegimeBootstrap {
       expr(s"percentile(volf, array(${probs.mkString(",")}))")).first()
       .getSeq[Double](0).distinct.sorted.toArray
     val edgeLit = array(edges.map(lit): _*)
+    // cached: three collects (blocks/transition/starts) share the
+    // window-heavy lineage above
     val regimed = withVol.withColumn("regime",
-      size(filter(edgeLit, e => e <= col("volf"))))
+      size(filter(edgeLit, e => e <= col("volf")))).cache()
 
     // contiguous per-regime blocks (runSegments) → per-block return arrays
     val seg = SeriesOps.runSegments(regimed, rspec, "regime", "segment")
@@ -85,6 +87,7 @@ object RegimeBootstrap {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = counts.values.sum.toDouble
     val start = Array.tabulate(k)(i => counts.getOrElse(i, 0L) / total)
+    regimed.unpersist()
 
     RegimeBootstrapModel(
       blocks.filter(_._2.nonEmpty),

@@ -66,14 +66,20 @@ object RegimeConditional {
         ((col("vol_ratio") - col("m2")) / (col("s2") + 1e-10)).as("f2"))
   }
 
-  /** Fit G4 (withGarch=false) or G5 (withGarch=true). */
+  /** Fit G4 (withGarch=false) or G5 (withGarch=true).
+    * `maxFitRows` caps the series prefix used for the driver-side EM
+    * (the reference fits on ≤ ~7.4k rows; EM is O(iters·n·k²) and a
+    * longer single series adds no regime information worth the time —
+    * per-regime Spark stats still use the capped frame consistently). */
   def fit(prices: DataFrame, orderCols: Seq[String], price: String,
-          nRegimes: Int = 4, withGarch: Boolean = false): RegimeModel = {
+          nRegimes: Int = 4, withGarch: Boolean = false,
+          maxFitRows: Int = 20000, emIters: Int = 50): RegimeModel = {
     val spark = prices.sparkSession
-    val feat = features(prices, orderCols, price).orderBy(col("rn")).cache()
+    val feat = features(prices, orderCols, price)
+      .orderBy(col("rn")).limit(maxFitRows).cache()
     val rows = feat.select("rn", "ret", "f0", "f1", "f2").collect()
     val x = rows.map(r => Array(r.getDouble(2), r.getDouble(3), r.getDouble(4)))
-    val hmm = Hmm.fit(x, nRegimes)
+    val hmm = Hmm.fit(x, nRegimes, maxIter = emIters)
     val labels = Hmm.predict(hmm, x)
 
     // per-regime stats over the labeled returns — Spark groupBy (A8)
