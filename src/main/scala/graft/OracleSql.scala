@@ -371,6 +371,17 @@ object OracleSql {
         |FROM base JOIN z USING (event_type)
         |ORDER BY event_type""".stripMargin,
 
+    // mirrors the STUB codec arithmetic (Multimodal.decode): all docs
+    // are ASCII so ascii(char k) == byte k and strlen == byte length
+    "m01_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        | CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | (64 + ascii(substr(text,1,1)) % 64)::INT AS width,
+        | (64 + ascii(substr(text,2,1)) % 64)::INT AS height,
+        | (CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text)//256 ELSE 1 END)::INT AS n_frames,
+        | strlen(text)::BIGINT AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     "q25_daily_rollup" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*)::BIGINT AS n,
         | round(sum(value),4) AS sum_value, round(avg(value),6) AS avg_value

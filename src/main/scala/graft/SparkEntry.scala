@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.gen.{BlockBootstrap, Grasynda}
+import graft.gen.{BlockBootstrap, DecoderGenerator, Grasynda, MlpDecoder}
 import graft.series.{SeriesOps, SeriesSpec}
 import graft.sim.Similarity
 import graft.stats.{Divergence, Histogram, Moments, SeriesStats}
@@ -428,6 +428,52 @@ object SparkEntry {
       graft.eval.CompositeMetric.scoreDf(
         e.filter(col("user_id") < 75), e.filter(col("user_id") >= 75),
         Seq("ts", "event_id"), "value")
+    }),
+
+    // ── multimodal: binary column decode plumbing (stub codec) ────────
+    "m01_multimodal_decode" -> ((s, dir) => {
+      val media = graft.mm.Multimodal.synthesizeFromDocuments(docs(s, dir))
+      graft.mm.Multimodal.decode(media).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("n_frames"), col("n_bytes"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ── multimodal: frame sampling + feature→ANN integration ──────────
+    "m02_multimodal_features" -> ((s, dir) => {
+      val media = graft.mm.Multimodal.synthesizeFromDocuments(docs(s, dir))
+      val feats = graft.mm.Multimodal.featureFrame(graft.mm.Multimodal.decode(media))
+      Similarity.bruteForceTopK(
+        feats.filter(col("media_id") < 3).withColumnRenamed("feature", "embedding")
+          .withColumnRenamed("media_id", "vec_id"),
+        feats.withColumnRenamed("feature", "embedding")
+          .withColumnRenamed("media_id", "vec_id"),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // ── G1: decoder-inference generator (rows-only) ───────────────────
+    "g06_decoder_infer" -> ((s, dir) => {
+      val anchors = ev(s, dir).orderBy(col("ts"), col("event_id")).limit(5000)
+        .select(col("value").cast("double")).collect().map(_.getDouble(0))
+      val dec = MlpDecoder.random(latentDim = 16, hidden = 64,
+        windowSize = 24, seed = 11L)
+      DecoderGenerator.generate(s, dec, anchors, n = 2000, seed = 42L)
+        .select(col("rn"), col("typical_price"))
+        .orderBy(col("rn"))
+    }),
+
+    // ── optimizer: Spark-parallel random sweep (rows-only) ────────────
+    "o01_random_sweep" -> ((s, dir) => {
+      val rets = logret(s, dir).filter(col("ret").isNotNull)
+        .orderBy(col("ts"), col("event_id")).limit(5000)
+        .select(col("ret")).collect().map(_.getDouble(0))
+      graft.opt.SweepOptimizer.randomSweep(s, rets,
+        nBinsChoices = Seq(5, 8, 10, 15), smoothChoices = Seq(0.0, 0.2, 0.5),
+        nConfigs = 12, seeds = Seq(1L, 2L), genN = 500)
+        .select(col("config_id"), col("n_bins"), col("smooth"),
+          round(col("avg_score"), 6).as("avg_score"), col("n_seeds"))
+        .orderBy(col("avg_score"), col("config_id"))
     }),
 
     // ── sign-LSH ANN near-dup (rows-only) ─────────────────────────────

@@ -1,0 +1,136 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.gen._
+import graft.io.{CsvIO, ModelIO}
+import graft.series.{SeriesOps, SeriesSpec}
+
+/** Mode dispatch mirroring the reference CLI (app/main.py:47-90):
+  * train | generate | evaluate | optimize, with the same config
+  * precedence (defaults ← --load_config JSON ← CLI flags) and the
+  * metrics/config JSON sinks (S4, app/main.py:86-96).
+  *
+  * Usage:
+  *   graft.cli.Cli --mode train --generator grasynda \
+  *     --input a.csv,b.csv --model /tmp/m.json
+  *   graft.cli.Cli --mode generate --generator grasynda \
+  *     --model /tmp/m.json --n_samples 1575 --seed 42 --output out_csv
+  *   graft.cli.Cli --mode evaluate --synthetic out_csv --real d4.csv \
+  *     --metrics_out metrics.json
+  *   graft.cli.Cli --mode optimize --input a.csv --sweep_out sweep_csv
+  */
+object Cli {
+
+  private val Order = Seq("DATE_TIME")
+  private val Price = "typical_price"
+
+  def main(args: Array[String]): Unit = {
+    val cfg = GraftConfig.resolve(args)
+    val spark = Tables.localSession(cfg.int("threads"), s"graft-${cfg.str("mode")}")
+    try run(spark, cfg) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, cfg: GraftConfig): Unit = cfg.str("mode") match {
+    case "train" => runTrain(spark, cfg)
+    case "generate" => runGenerate(spark, cfg)
+    case "evaluate" => runEvaluate(spark, cfg)
+    case "optimize" => runOptimize(spark, cfg)
+    case m => throw new IllegalArgumentException(s"unknown mode $m")
+  }
+
+  private def loadInput(spark: SparkSession, cfg: GraftConfig): DataFrame =
+    CsvIO.loadMultipleCsv(spark, cfg.str("input").split(",").toSeq)
+
+  def runTrain(spark: SparkSession, cfg: GraftConfig): Unit = {
+    val data = loadInput(spark, cfg)
+    val model = cfg.str("generator") match {
+      case "grasynda" =>
+        val rets = SeriesOps.logReturns(data, SeriesSpec(Nil, Order), Price, "ret")
+          .filter(col("ret").isNotNull)
+        val m = Grasynda.fit(rets, Order, "ret", cfg.int("n_bins"))
+        ModelIO.saveGrasynda(m, cfg.str("model")); m
+      case "regime_conditional" =>
+        val m = RegimeConditional.fit(data, Order, Price, cfg.int("n_regimes"))
+        ModelIO.saveRegime(m, cfg.str("model")); m
+      case "regime_hmm_garch" =>
+        val m = RegimeConditional.fit(data, Order, Price, cfg.int("n_regimes"),
+          withGarch = true)
+        ModelIO.saveRegime(m, cfg.str("model")); m
+      case g => throw new IllegalArgumentException(s"unknown trainable generator $g")
+    }
+    cfg.strOpt("save_config").foreach(GraftConfig.saveJson(cfg, _))
+    System.err.println(s"[graft] trained ${cfg.str("generator")} -> ${cfg.str("model")}")
+  }
+
+  def runGenerate(spark: SparkSession, cfg: GraftConfig): Unit = {
+    val n = cfg.int("n_samples"); val seed = cfg.long("seed")
+    val p0 = cfg.double("initial_price")
+    val out = cfg.str("generator") match {
+      case "grasynda" =>
+        Grasynda.generate(spark, ModelIO.loadGrasynda(cfg.str("model")), seed, n, p0)
+      case "regime_conditional" | "regime_hmm_garch" =>
+        RegimeConditional.generate(spark, ModelIO.loadRegime(cfg.str("model")), seed, n, p0)
+      case "block_bootstrap" =>
+        BlockBootstrap.generate(loadInput(spark, cfg), Order, Price,
+          cfg.int("block_size"), n, seed)
+      case "regime_bootstrap" =>
+        val m = RegimeBootstrap.fit(loadInput(spark, cfg), Order, Price,
+          cfg.int("n_regimes"))
+        RegimeBootstrap.generate(spark, m, seed, n, p0)
+      case "decoder" =>
+        val anchors = loadInput(spark, cfg)
+          .select(col(Price).cast("double")).collect().map(_.getDouble(0))
+        val dec = MlpDecoder.random(16, 64, cfg.int("window_size"), seed)
+        DecoderGenerator.generate(spark, dec, anchors, n, seed)
+      case g => throw new IllegalArgumentException(s"unknown generator $g")
+    }
+    val withTs = if (out.columns.contains("DATE_TIME")) out
+      else out.withColumn("DATE_TIME", timestamp_seconds(
+        lit(1577836800L) + col("rn") * (cfg.int("interval_hours") * 3600)))
+    CsvIO.saveCsv(withTs.select(col("DATE_TIME"), col(Price)), cfg.str("output"))
+    System.err.println(s"[graft] generated $n rows -> ${cfg.str("output")}")
+  }
+
+  def runEvaluate(spark: SparkSession, cfg: GraftConfig): Unit = {
+    val synth = CsvIO.loadMultipleCsv(spark, cfg.str("synthetic").split(",").toSeq)
+    val real = CsvIO.loadMultipleCsv(spark, cfg.str("real").split(",").toSeq)
+    val metrics = cfg.str("evaluator") match {
+      case "distribution" =>
+        graft.eval.DistributionEvaluator.evaluate(real, synth, Order, Price)
+      case "composite" =>
+        graft.eval.CompositeMetric.scoreDf(real, synth, Order, Price)
+      case e => throw new IllegalArgumentException(s"unknown evaluator $e")
+    }
+    val row = metrics.first()
+    val json = metrics.columns.zipWithIndex.map { case (c, i) =>
+      val v = row.get(i) match {
+        case d: Double => d.toString
+        case b: Boolean => b.toString
+        case x => "\"" + x.toString + "\""
+      }
+      s""""$c": $v"""
+    }.mkString("{", ", ", "}")
+    Files.writeString(Paths.get(cfg.str("metrics_out")), json)
+    System.err.println(s"[graft] metrics -> ${cfg.str("metrics_out")}")
+  }
+
+  def runOptimize(spark: SparkSession, cfg: GraftConfig): Unit = {
+    val rets = SeriesOps.logReturns(loadInput(spark, cfg),
+        SeriesSpec(Nil, Order), Price, "ret")
+      .filter(col("ret").isNotNull)
+      .orderBy(col("DATE_TIME"))
+      .select(col("ret")).collect().map(_.getDouble(0))
+    val sweep = graft.opt.SweepOptimizer.randomSweep(spark, rets,
+      nBinsChoices = Seq(5, 8, 10, 15, 20), smoothChoices = Seq(0.0, 0.2, 0.5),
+      nConfigs = cfg.strOpt("n_configs").map(_.toInt).getOrElse(30),
+      seeds = Seq(1L, 2L, 3L), genN = cfg.int("n_samples"), seed = cfg.long("seed"))
+    sweep.coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(cfg.str("sweep_out"))
+    System.err.println(s"[graft] sweep -> ${cfg.str("sweep_out")}")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.gen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MLP decoder weights: layers of (W: out×in, b: out), last layer
+  * linear, hidden layers activated. The VAE/VAE-GAN training loop is
+  * explicitly out of the v1 Spark contract (SURVEY §7.4.4) — this is
+  * the INFERENCE path: weights exported to JSON (S5 artifact shape)
+  * drive a pure-Scala forward pass. */
+final case class MlpDecoder(
+    weights: Array[Array[Array[Double]]],
+    biases: Array[Array[Double]],
+    activation: String = "tanh") {
+  def latentDim: Int = weights(0)(0).length
+  def outputDim: Int = biases.last.length
+
+  def forward(z: Array[Double]): Array[Double] = {
+    var h = z
+    var l = 0
+    while (l < weights.length) {
+      val w = weights(l); val b = biases(l)
+      val out = new Array[Double](w.length)
+      var o = 0
+      while (o < w.length) {
+        var acc = b(o); val row = w(o)
+        var i = 0
+        while (i < row.length) { acc += row(i) * h(i); i += 1 }
+        out(o) =
+          if (l == weights.length - 1) acc // linear head
+          else activation match {
+            case "relu" => math.max(acc, 0.0)
+            case _ => math.tanh(acc)
+          }
+        o += 1
+      }
+      h = out
+      l += 1
+    }
+    h
+  }
+}
+
+object MlpDecoder {
+  /** Seeded random decoder (for tests / demo generation without an
+    * externally trained artifact). */
+  def random(latentDim: Int, hidden: Int, windowSize: Int, seed: Long,
+             scale: Double = 0.1): MlpDecoder = {
+    val rnd = new scala.util.Random(seed)
+    def mat(out: Int, in: Int) =
+      Array.fill(out, in)(rnd.nextGaussian() * scale)
+    def vec(out: Int) = Array.fill(out)(rnd.nextGaussian() * scale * 0.1)
+    MlpDecoder(
+      Array(mat(hidden, latentDim), mat(windowSize, hidden)),
+      Array(vec(hidden), vec(windowSize)))
+  }
+}
+
+/** G1: decoder-inference generator.
+  * Ref: typical_price_generator.py:88-159 — sample z∼N(0,I) per window,
+  * decode to a return window, per-window mean-center (W9), anchor each
+  * window at a random real price, reconstruct prices (W2), concat,
+  * truncate to n, attach fixed-interval timestamps.
+  *
+  * Scale design (SURVEY §3.1): windows are INDEPENDENT ⇒
+  * `spark.range(nWindows)` → mapPartitions forward pass with the
+  * decoder + anchor pool broadcast → explode to rows. RNG is derived
+  * per-window from (seed, windowIdx), so output is deterministic under
+  * any partitioning / task retry — the determinism contract survives
+  * the cluster.
+  */
+object DecoderGenerator {
+
+  def generate(spark: SparkSession, decoder: MlpDecoder,
+               anchors: Array[Double], n: Int, seed: Long,
+               startEpochSec: Long = 1577836800L, // 2020-01-01
+               intervalHours: Int = 4): DataFrame = {
+    import spark.implicits._
+    val windowSize = decoder.outputDim
+    val latent = decoder.latentDim
+    val nWindows = n / windowSize + 2 // ref :118
+    val bcD = spark.sparkContext.broadcast(decoder)
+    val bcA = spark.sparkContext.broadcast(anchors)
+    val rows = spark.range(nWindows).as[Long].mapPartitions { idxs =>
+      val dec = bcD.value; val anc = bcA.value
+      idxs.flatMap { idx =>
+        // per-window deterministic RNG: stable under repartitioning
+        val rnd = new scala.util.Random(seed * 1000003L + idx * 7919L)
+        val z = Array.fill(latent)(rnd.nextGaussian())
+        val rets = dec.forward(z)
+        // W9 mean-center ("zero-mean drift correction", ref :146-149)
+        val mean = rets.sum / rets.length
+        var i = 0
+        while (i < rets.length) { rets(i) -= mean; i += 1 }
+        // anchor at a random real price (ref :141-154)
+        val anchor = anc(rnd.nextInt(anc.length))
+        var logP = math.log(anchor)
+        val out = new Array[(Long, Double)](rets.length)
+        i = 0
+        while (i < rets.length) {
+          logP += rets(i)
+          out(i) = (idx * windowSize + i, math.exp(logP))
+          i += 1
+        }
+        out
+      }
+    }.toDF("rn", "typical_price")
+    rows.filter(col("rn") < n)
+      .withColumn("DATE_TIME", timestamp_seconds(
+        lit(startEpochSec) + col("rn") * (intervalHours * 3600)))
+      .select(col("rn"), col("DATE_TIME"), col("typical_price"))
+  }
+}

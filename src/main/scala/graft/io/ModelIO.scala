@@ -53,6 +53,59 @@ object ModelIO {
       pools, arr(n.get("start_probs")))
   }
 
+  def saveRegime(model: graft.gen.RegimeModel, path: String): Unit = {
+    val m = Map(
+      "n_regimes" -> model.nRegimes,
+      "transition_matrix" -> model.transition,
+      "start_probs" -> model.startProbs,
+      "regime_params" -> model.params.map(p => Map(
+        "mean" -> p.mean, "std" -> p.std, "skew" -> p.skew,
+        "ar1" -> p.ar1, "count" -> p.count)),
+      "garch" -> model.garch.map(_.map(g => Map(
+        "omega" -> g.omega, "alpha" -> g.alpha, "beta" -> g.beta,
+        "long_run_var" -> g.longRunVar, "log_lik" -> g.logLik))).orNull)
+    Files.writeString(Paths.get(path), mapper.writeValueAsString(m))
+  }
+
+  def loadRegime(path: String): graft.gen.RegimeModel = {
+    val n = mapper.readTree(Files.readString(Paths.get(path)))
+    def arr(node: com.fasterxml.jackson.databind.JsonNode): Array[Double] = {
+      val it = node.elements(); val b = Array.newBuilder[Double]
+      while (it.hasNext) b += it.next().asDouble()
+      b.result()
+    }
+    def mat(node: com.fasterxml.jackson.databind.JsonNode): Array[Array[Double]] = {
+      val it = node.elements(); val b = Array.newBuilder[Array[Double]]
+      while (it.hasNext) b += arr(it.next())
+      b.result()
+    }
+    val params = {
+      val it = n.get("regime_params").elements()
+      val b = Array.newBuilder[graft.gen.RegimeParams]
+      while (it.hasNext) {
+        val p = it.next()
+        b += graft.gen.RegimeParams(p.get("mean").asDouble(), p.get("std").asDouble(),
+          p.get("skew").asDouble(), p.get("ar1").asDouble(), p.get("count").asLong())
+      }
+      b.result()
+    }
+    val garch =
+      if (n.get("garch") == null || n.get("garch").isNull) None
+      else Some {
+        val it = n.get("garch").elements()
+        val b = Array.newBuilder[GarchFit]
+        while (it.hasNext) {
+          val g = it.next()
+          b += GarchFit(g.get("omega").asDouble(), g.get("alpha").asDouble(),
+            g.get("beta").asDouble(), g.get("long_run_var").asDouble(),
+            g.get("log_lik").asDouble())
+        }
+        b.result()
+      }
+    graft.gen.RegimeModel(n.get("n_regimes").asInt(),
+      mat(n.get("transition_matrix")), arr(n.get("start_probs")), params, garch)
+  }
+
   def saveGarch(fit: GarchFit, path: String): Unit =
     Files.writeString(Paths.get(path), mapper.writeValueAsString(
       Map("omega" -> fit.omega, "alpha" -> fit.alpha, "beta" -> fit.beta,

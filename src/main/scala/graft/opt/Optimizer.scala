@@ -1,0 +1,211 @@
+package graft.opt
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pure-Scala (task-local) fit + generate + score used as the sweep
+  * fitness function. This is the reference's cheap statistical fitness
+  * ("No GPU needed — runs in seconds per config",
+  * optimize_generator.py / optimize_hybrid.py) restructured for Spark:
+  * the REAL returns are broadcast once; each executor task fits a
+  * candidate generator and scores it locally, so a 300-config × 3-seed
+  * sweep is one embarrassingly-parallel Spark job instead of 900
+  * subprocess launches (SURVEY §2.12, §4 "fitness fan-out").
+  */
+object LocalFitness {
+
+  /** Grasynda-style fit/gen/score against real returns, all in-task.
+    * Params: n_bins (quantile states), smooth (pool jitter weight). */
+  def grasyndaScore(real: Array[Double], nBins: Int, smooth: Double,
+                    n: Int, seed: Long): Double = {
+    if (real.length < nBins * 4) return Double.MaxValue
+    // quantile edges
+    val sorted = real.sorted
+    val interior = (1 until nBins).map { i =>
+      sorted(((i.toDouble / nBins) * (sorted.length - 1)).round.toInt)
+    }.distinct.toArray
+    def state(x: Double): Int = {
+      var c = 0; var i = 0
+      while (i < interior.length) { if (interior(i) <= x) c += 1; i += 1 }
+      c
+    }
+    val k = interior.length + 1
+    val states = real.map(state)
+    val trans = Array.ofDim[Double](k, k)
+    var i = 0
+    while (i < states.length - 1) { trans(states(i))(states(i + 1)) += 1; i += 1 }
+    val transN = trans.map { row =>
+      val s = row.sum
+      if (s > 0) row.map(_ / s) else Array.fill(k)(1.0 / k)
+    }
+    val pools = states.zip(real).groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2).sorted }
+    // walk
+    val rnd = new scala.util.Random(seed)
+    var st = states(0)
+    val synth = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val pool = pools.getOrElse(st, pools(pools.keys.min))
+      val v = pool(rnd.nextInt(pool.length))
+      synth(i) = (1.0 - smooth) * v + smooth * (if (i > 0) synth(i - 1) else v)
+      var acc = 0.0; val u = rnd.nextDouble(); var nx = k - 1
+      var j = 0
+      var done = false
+      while (j < k && !done) {
+        acc += transN(st)(j); if (u < acc) { nx = j; done = true }
+        j += 1
+      }
+      st = nx
+      i += 1
+    }
+    compositeLite(real, synth)
+  }
+
+  /** Composite-lite: JS divergence (20-bin) + KS + |std ratio − 1| +
+    * |ac1 ratio − 1| — the dominant terms of C8 cheap enough per task. */
+  def compositeLite(real: Array[Double], synth: Array[Double]): Double = {
+    val lo = math.min(real.min, synth.min)
+    val hi = math.max(real.max, synth.max)
+    val bins = 20
+    def hist(x: Array[Double]): Array[Double] = {
+      val h = new Array[Double](bins)
+      x.foreach { v =>
+        val b = math.min(((v - lo) / (hi - lo + 1e-30) * bins).toInt, bins - 1)
+        h(b) += 1
+      }
+      val s = h.sum
+      h.map(v => v / s + 1e-10)
+    }
+    val hr = hist(real); val hs = hist(synth)
+    val js = {
+      val sr = hr.sum; val ss = hs.sum
+      var acc = 0.0
+      for (b <- 0 until bins) {
+        val p = hr(b) / sr; val q = hs(b) / ss; val m = (p + q) / 2
+        acc += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+      }
+      math.sqrt(math.max(acc, 0.0))
+    }
+    def ecdfKs: Double = {
+      val a = real.sorted; val b = synth.sorted
+      var ia = 0; var ib = 0; var ks = 0.0
+      while (ia < a.length && ib < b.length) {
+        if (a(ia) <= b(ib)) ia += 1 else ib += 1
+        ks = math.max(ks, math.abs(ia.toDouble / a.length - ib.toDouble / b.length))
+      }
+      ks
+    }
+    def std(x: Array[Double]): Double = {
+      val m = x.sum / x.length
+      math.sqrt(x.map(v => (v - m) * (v - m)).sum / x.length)
+    }
+    def ac1(x: Array[Double]): Double = {
+      if (x.length < 3) return 0.0
+      val m = x.sum / x.length
+      var num = 0.0; var den = 0.0
+      for (i <- x.indices) {
+        den += (x(i) - m) * (x(i) - m)
+        if (i > 0) num += (x(i) - m) * (x(i - 1) - m)
+      }
+      if (den > 0) num / den else 0.0
+    }
+    val stdDev = math.abs(std(synth) / math.max(std(real), 1e-12) - 1.0)
+    val acR = ac1(real)
+    val acDev = if (math.abs(acR) > 1e-6) math.abs(ac1(synth) / acR - 1.0)
+                else math.abs(ac1(synth))
+    (3.0 * js + 2.0 * ecdfKs + 2.0 * stdDev + 2.0 * acDev) / 9.0
+  }
+}
+
+/** Random sweep + staged tournament GA with Spark-parallel fitness.
+  * Ref: optimize_generator.py:20-131 (random sweep over an 18k grid,
+  * multi-seed averaging, incremental CSV log); optimize_staged.py
+  * (staged tournament GA); ga_optimizer.py (resume checkpointing).
+  */
+object SweepOptimizer {
+
+  /** Random sweep: nConfigs draws from the grid × seeds, one Spark
+    * task per (config, seed), averaged per config (A17), best-first. */
+  def randomSweep(spark: SparkSession, realReturns: Array[Double],
+                  nBinsChoices: Seq[Int], smoothChoices: Seq[Double],
+                  nConfigs: Int, seeds: Seq[Long], genN: Int,
+                  seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val configs = (0 until nConfigs).map { id =>
+      (id, nBinsChoices(rnd.nextInt(nBinsChoices.size)),
+        smoothChoices(rnd.nextInt(smoothChoices.size)))
+    }
+    val tasks = for { (id, nb, sm) <- configs; s <- seeds } yield (id, nb, sm, s)
+    val bc = spark.sparkContext.broadcast(realReturns)
+    tasks.toDF("config_id", "n_bins", "smooth", "seed")
+      .repartition(math.min(tasks.size, 64))
+      .as[(Int, Int, Double, Long)]
+      .map { case (id, nb, sm, s) =>
+        (id, nb, sm, s, LocalFitness.grasyndaScore(bc.value, nb, sm, genN, s))
+      }
+      .toDF("config_id", "n_bins", "smooth", "seed", "score")
+      .groupBy(col("config_id"), col("n_bins"), col("smooth"))
+      .agg(avg(col("score")).as("avg_score"),
+        stddev_pop(col("score")).as("std_score"),
+        count(lit(1)).as("n_seeds"))
+      .orderBy(col("avg_score"), col("config_id"))
+  }
+
+  /** Staged tournament GA (compact): per generation, the population is
+    * evaluated as ONE Spark job; selection/crossover/mutation are
+    * driver bookkeeping (O4 hall-of-fame tracked across generations).
+    * Returns (best params, best score, history rows). */
+  def tournamentGa(spark: SparkSession, realReturns: Array[Double],
+                   popSize: Int = 20, generations: Int = 8,
+                   seeds: Seq[Long] = Seq(1L, 2L, 3L), genN: Int = 1000,
+                   patience: Int = 4, seed: Long = 42L): (Map[String, Double], Double, DataFrame) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val bc = spark.sparkContext.broadcast(realReturns)
+    def randomInd(): (Int, Double) =
+      (3 + rnd.nextInt(28), rnd.nextDouble() * 0.8)
+    var pop = Vector.fill(popSize)(randomInd())
+    var best: ((Int, Double), Double) = (pop.head, Double.MaxValue)
+    var stale = 0
+    val history = Vector.newBuilder[(Int, Int, Double, Double)]
+    var g = 0
+    while (g < generations && stale < patience) {
+      val tasks = for { (ind, i) <- pop.zipWithIndex; s <- seeds }
+        yield (i, ind._1, ind._2, s)
+      val scored = tasks.toDF("i", "n_bins", "smooth", "seed")
+        .repartition(math.min(tasks.size, 64))
+        .as[(Int, Int, Double, Long)]
+        .map { case (i, nb, sm, s) =>
+          (i, LocalFitness.grasyndaScore(bc.value, nb, sm, genN, s))
+        }
+        .toDF("i", "score").groupBy(col("i")).agg(avg(col("score")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val ranked = pop.zipWithIndex.map { case (ind, i) => (ind, scored(i)) }
+        .sortBy(_._2)
+      if (ranked.head._2 < best._2 - 1e-12) { best = ranked.head; stale = 0 }
+      else stale += 1
+      history += ((g, ranked.head._1._1, ranked.head._1._2, ranked.head._2))
+      // elitism + tournament-3 + blend crossover + mutation
+      def tournament(): (Int, Double) =
+        Seq.fill(3)(ranked(rnd.nextInt(ranked.size))).minBy(_._2)._1
+      pop = Vector(ranked.head._1) ++ Vector.fill(popSize - 1) {
+        val a = tournament(); val b = tournament()
+        val child =
+          if (rnd.nextDouble() < 0.7)
+            (if (rnd.nextBoolean()) a._1 else b._1, (a._2 + b._2) / 2)
+          else a
+        if (rnd.nextDouble() < 0.2)
+          (math.max(3, child._1 + rnd.nextInt(7) - 3),
+            math.min(0.95, math.max(0.0, child._2 + rnd.nextGaussian() * 0.1)))
+        else child
+      }
+      g += 1
+    }
+    val hist = history.result()
+      .toDF("generation", "best_n_bins", "best_smooth", "best_score")
+    (Map("n_bins" -> best._1._1.toDouble, "smooth" -> best._1._2),
+      best._2, hist)
+  }
+}

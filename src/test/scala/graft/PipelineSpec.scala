@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cli.{Cli, GraftConfig}
+import graft.gen.{DecoderGenerator, MlpDecoder}
+import graft.mm.Multimodal
+import graft.opt.SweepOptimizer
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("multimodal: binary payload survives round-trip, decode shapes are right") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+    val media = Multimodal.synthesizeFromDocuments(docs)
+    val decoded = Multimodal.decode(media, featureDim = 16)
+    val rows = decoded.collect()
+    assert(rows.length === docs.count())
+    rows.foreach { d =>
+      assert(d.width >= 64 && d.width < 128)
+      assert(d.feature.length === 16)
+      assert(d.n_bytes > 0)
+      if (d.kind != "video") assert(d.n_frames === 1)
+    }
+    // resize truncates payloads and nothing else
+    val resized = Multimodal.resize(media, 100).collect()
+    assert(resized.forall(_.bytes.length <= 100))
+    // frame sampling: only video rows, stride respected
+    val frames = Multimodal.sampleFrames(media, everyK = 2)
+    val idx = frames.select("frame_idx").collect().map(_.getInt(0))
+    assert(idx.nonEmpty && idx.forall(_ % 2 == 0))
+    // decode is deterministic
+    val again = Multimodal.decode(media, featureDim = 16).collect()
+    assert(rows.map(_.feature.toSeq).toSeq === again.map(_.feature.toSeq).toSeq)
+  }
+
+  test("G1 decoder generator: deterministic, partitioning-independent, n rows") {
+    val anchors = Array(1.0, 1.5, 2.0)
+    val dec = MlpDecoder.random(8, 16, 12, seed = 3L)
+    def gen(seed: Long) = DecoderGenerator
+      .generate(spark, dec, anchors, n = 100, seed = seed)
+      .orderBy("rn").select("typical_price").collect().map(_.getDouble(0)).toSeq
+    val a = gen(1); val b = gen(1); val c = gen(2)
+    assert(a.length === 100); assert(a === b); assert(a !== c)
+    assert(a.forall(_ > 0))
+    // windows are mean-centered: within-window log drift ~0 ⇒ bounded prices
+    assert(a.max / a.min < 100)
+  }
+
+  test("optimizer sweep: deterministic ranking, better configs rank first") {
+    val rnd = new scala.util.Random(5)
+    val rets = Array.fill(2000)(rnd.nextGaussian() * 0.001)
+    val sweep = SweepOptimizer.randomSweep(spark, rets,
+      nBinsChoices = Seq(5, 10), smoothChoices = Seq(0.0, 0.5),
+      nConfigs = 6, seeds = Seq(1L, 2L), genN = 500)
+    val rows = sweep.collect()
+    assert(rows.length === 6)
+    val scores = rows.map(_.getAs[Double]("avg_score"))
+    assert(scores.sameElements(scores.sorted), "sweep must be best-first")
+    assert(scores.forall(s => s >= 0 && s < Double.MaxValue))
+    // determinism
+    val again = SweepOptimizer.randomSweep(spark, rets,
+      nBinsChoices = Seq(5, 10), smoothChoices = Seq(0.0, 0.5),
+      nConfigs = 6, seeds = Seq(1L, 2L), genN = 500).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("tournament GA improves or matches random init, honors patience") {
+    val rnd = new scala.util.Random(6)
+    // AR(1)-ish returns so autocorr matters
+    var prev = 0.0
+    val rets = Array.fill(1500) {
+      val r = 0.3 * prev + rnd.nextGaussian() * 0.001; prev = r; r
+    }
+    val (best, score, hist) = SweepOptimizer.tournamentGa(spark, rets,
+      popSize = 8, generations = 3, seeds = Seq(1L), genN = 400)
+    assert(best.contains("n_bins") && best.contains("smooth"))
+    assert(score < Double.MaxValue && score >= 0)
+    val gens = hist.select("best_score").collect().map(_.getDouble(0))
+    assert(gens.length <= 3)
+    // best-so-far never worsens across generations
+    assert(gens.zip(gens.tail).forall { case (a, b) => b <= a + 1e-12 })
+  }
+
+  test("CLI end-to-end: train -> generate -> evaluate round trip (S1-S5 + modes)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcli").toString
+    val data = SparkSpec.randomWalk(600).select("DATE_TIME", "typical_price")
+    graft.io.CsvIO.saveCsv(data, s"$dir/real")
+    val realCsv = new java.io.File(s"$dir/real").listFiles()
+      .filter(_.getName.endsWith(".csv")).head.getPath
+
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "train", "generator" -> "grasynda",
+      "input" -> realCsv, "model" -> s"$dir/model.json", "n_bins" -> "8"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/model.json")))
+
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "generate", "generator" -> "grasynda",
+      "model" -> s"$dir/model.json", "n_samples" -> "300", "seed" -> "42",
+      "output" -> s"$dir/synth"))
+    val synthCsv = new java.io.File(s"$dir/synth").listFiles()
+      .filter(_.getName.endsWith(".csv")).head.getPath
+    val synth = graft.io.CsvIO.loadCsv(spark, synthCsv)
+    assert(synth.count() === 300)
+
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "evaluate", "evaluator" -> "distribution",
+      "synthetic" -> synthCsv, "real" -> realCsv,
+      "metrics_out" -> s"$dir/metrics.json"))
+    val metrics = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metrics.json")))
+    assert(metrics.contains("\"kl_divergence\""))
+    assert(metrics.contains("\"quality_score\""))
+  }
+}
