@@ -24,8 +24,12 @@ import graft.stats.Divergence
   */
 object DistributionEvaluator {
 
+  /** `withAdf=true` runs the real ADF (graft.stats.Adf — C5) over the
+    * collected bounded return series; short series keep the reference's
+    * −1.0 "unavailable" sentinel. */
   def evaluate(real: DataFrame, synth: DataFrame,
-               orderCols: Seq[String], price: String): DataFrame = {
+               orderCols: Seq[String], price: String,
+               withAdf: Boolean = true): DataFrame = {
     val spec = SeriesSpec(Nil, orderCols)
     def rets(df: DataFrame, lab: String): DataFrame =
       SeriesOps.logReturns(df, spec, price, "ret")
@@ -66,9 +70,19 @@ object DistributionEvaluator {
       max(when(col("lab") === "real", col("ac10"))).as("real_autocorr_lag10"),
       max(when(col("lab") === "synth", col("ac10"))).as("synthetic_autocorr_lag10"))
 
+    def adfOf(lab: String): Double =
+      if (!withAdf) -1.0
+      else {
+        val s = u.filter(col("lab") === lab)
+          .orderBy(orderCols.map(col): _*)
+          .select(col("ret")).collect().map(_.getDouble(0))
+        if (s.length <= 31) -1.0 // reference sentinel when untestable
+        else graft.stats.Adf.test(s).pValue
+      }
+
     kl.crossJoin(wass).crossJoin(momentsRow).crossJoin(acRow)
-      .withColumn("real_adf_pvalue", lit(-1.0))
-      .withColumn("synthetic_adf_pvalue", lit(-1.0))
+      .withColumn("real_adf_pvalue", lit(adfOf("real")))
+      .withColumn("synthetic_adf_pvalue", lit(adfOf("synth")))
       .withColumn("quality_score",
         col("kl_divergence") + lit(0.1) * col("wasserstein_distance") +
           abs(col("real_return_std") - col("synthetic_return_std")))

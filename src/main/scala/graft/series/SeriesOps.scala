@@ -155,6 +155,44 @@ object SeriesOps {
         (lit(1.0) - smoothWeight) * col(ret) + lit(smoothWeight) * lag(col(ret), 1).over(spec.w))
         .otherwise(col(ret)))
 
+  /** W13: crossfade stitch — rows in the first `overlap` positions of a
+    * non-first block are alpha-blended with the previous block's tail
+    * (linear ramp), as pure window arithmetic.
+    * Ref variant: optimize_generator_v3.py:87-133. Expects rows keyed
+    * by (blockCol, posCol); `spec` orders the concatenated stream. */
+  def crossfadeStitch(df: DataFrame, spec: SeriesSpec, value: String,
+                      blockCol: String, posCol: String, overlap: Int,
+                      out: String = "stitched"): DataFrame = {
+    val alpha = (col(posCol) + 1).cast("double") / (overlap + 1)
+    val prevTail = lag(col(value), overlap).over(spec.w)
+    df.withColumn(out,
+      when(col(posCol) < overlap && col(blockCol) > 0 && prevTail.isNotNull,
+        (lit(1.0) - alpha) * prevTail + alpha * col(value))
+        .otherwise(col(value)))
+  }
+
+  /** W14: AR(1) bridge — a short endpoint-pinned interpolation segment
+    * between two blocks. Sequential recurrence over a SHORT bridge ⇒
+    * driver-side by design (ref optimize_generator_v3.py:148-201;
+    * SURVEY §7.4.2). Noise shrinks linearly toward both endpoints. */
+  def arBridge(from: Double, to: Double, length: Int, phi: Double,
+               sigma: Double, seed: Long): Array[Double] = {
+    require(length >= 2, "bridge needs >= 2 points")
+    val rnd = new scala.util.Random(seed)
+    val out = new Array[Double](length)
+    var noise = 0.0
+    var i = 0
+    while (i < length) {
+      val f = i.toDouble / (length - 1)
+      noise = phi * noise + rnd.nextGaussian() * sigma
+      val pin = math.min(f, 1.0 - f) * 2.0 // 0 at endpoints, 1 mid
+      out(i) = (1.0 - f) * from + f * to + noise * pin
+      i += 1
+    }
+    out(0) = from; out(length - 1) = to
+    out
+  }
+
   /** Contiguous-run segmentation: label each maximal run of equal `state`
     * with a running segment id (change-flag + running sum). Used by the
     * regime-bootstrap generator to cut per-regime blocks.

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.series.{SeriesOps, SeriesSpec}
+import graft.stats.Adf
+import graft.streaming.StreamingRollup
+
+class StreamingAdfSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("ADF: stationary white noise rejects unit root; random walk does not") {
+    val rnd = new scala.util.Random(2)
+    val noise = Array.fill(800)(rnd.nextGaussian())
+    val rNoise = Adf.test(noise)
+    assert(rNoise.stat < -3.43, s"white-noise tau ${rNoise.stat} should be deep negative")
+    assert(rNoise.pValue < 0.01)
+    var acc = 0.0
+    val walk = Array.fill(800) { acc += rnd.nextGaussian(); acc }
+    val rWalk = Adf.test(walk)
+    assert(rWalk.stat > -2.57, s"random-walk tau ${rWalk.stat} should be shallow")
+    assert(rWalk.pValue > 0.10)
+    assert(rWalk.usedLag <= 20 && rNoise.usedLag <= 20)
+  }
+
+  test("ADF p-value interpolation is monotone and anchored") {
+    assert(math.abs(Adf.pValue(-3.43) - 0.01) < 1e-9)
+    assert(math.abs(Adf.pValue(-2.86) - 0.05) < 1e-9)
+    assert(math.abs(Adf.pValue(-2.57) - 0.10) < 1e-9)
+    val taus = Seq(-5.0, -4.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0)
+    val ps = taus.map(Adf.pValue)
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("distribution evaluator publishes real ADF p-values now") {
+    val a = SparkSpec.randomWalk(400, seed = 1)
+    val b = SparkSpec.randomWalk(400, seed = 2)
+    val m = graft.eval.DistributionEvaluator
+      .evaluate(a, b, Seq("DATE_TIME"), "typical_price").first()
+    val p = m.getAs[Double]("real_adf_pvalue")
+    assert(p >= 0.0 && p <= 1.0, s"expected real p-value, got $p")
+  }
+
+  test("W13 crossfade: blended rows interpolate, non-overlap rows unchanged") {
+    val s = spark
+    import s.implicits._
+    // two blocks of 4, overlap 2
+    val df = Seq(
+      (0, 0, 10.0), (0, 1, 10.0), (0, 2, 10.0), (0, 3, 10.0),
+      (1, 0, 20.0), (1, 1, 20.0), (1, 2, 20.0), (1, 3, 20.0))
+      .toDF("block", "pos", "v")
+      .withColumn("rn", col("block") * 4 + col("pos"))
+    val r = SeriesOps.crossfadeStitch(df, SeriesSpec(Nil, Seq("rn")), "v",
+      "block", "pos", overlap = 2, "out")
+      .orderBy("rn").select("out").collect().map(_.getDouble(0))
+    assert(r.take(4).toSeq === Seq(10.0, 10.0, 10.0, 10.0))
+    // block 1 pos 0: alpha=1/3 → 2/3*10 + 1/3*20 = 13.33…
+    assert(math.abs(r(4) - (2.0 / 3 * 10 + 1.0 / 3 * 20)) < 1e-9)
+    assert(math.abs(r(5) - (1.0 / 3 * 10 + 2.0 / 3 * 20)) < 1e-9)
+    assert(r(6) === 20.0 && r(7) === 20.0)
+  }
+
+  test("W14 AR bridge pins endpoints, is deterministic") {
+    val b1 = SeriesOps.arBridge(1.0, 2.0, 10, 0.5, 0.1, seed = 3)
+    val b2 = SeriesOps.arBridge(1.0, 2.0, 10, 0.5, 0.1, seed = 3)
+    assert(b1.toSeq === b2.toSeq)
+    assert(b1.head === 1.0 && b1.last === 2.0)
+    assert(b1.length === 10)
+  }
+
+  test("streaming daily rollup matches the batch rollup (q25 twin)") {
+    val sfDir = SparkSpec.sfDir
+    val stream = StreamingRollup.dailyRollup(spark, sfDir)
+    // complete mode for the finite-file test: append would (correctly)
+    // withhold the final day's window until the watermark passes it
+    val q = stream.writeStream.format("memory").queryName("roll")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT day, event_type, n FROM roll")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = SparkEntry.queries("q25_daily_rollup")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // watermark of a finite file drops nothing: exact agreement
+    assert(streamed === batch)
+  }
+
+  test("stateful streaming running stats produce one final row per user") {
+    val stream = StreamingRollup.runningUserStats(spark, SparkSpec.sfDir)
+    val q = stream.writeStream.format("memory").queryName("ustats")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql(
+      "SELECT user_id, max(n_events) n FROM ustats GROUP BY user_id").collect()
+    val batch = graft.core.Tables.events(spark, SparkSpec.sfDir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length === batch.size)
+    rows.foreach(r => assert(r.getLong(1) === batch(r.getLong(0))))
+  }
+}
