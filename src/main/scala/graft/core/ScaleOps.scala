@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale layout utilities: bucketed co-located joins and
+  * skew-salted joins. On local[32] these are exercised by tests that
+  * assert on the PLAN (no shuffle exchange over the bucketed side;
+  * salt fan-out present) — the properties that matter at 100 TB.
+  */
+object ScaleOps {
+
+  /** Write both sides bucketed+sorted on the join key, so repeated
+    * fact-to-fact joins read pre-shuffled data (no Exchange over
+    * either side — SortMergeJoin directly on bucket files). This is
+    * the "pay the shuffle once at ingest" pattern for 100 TB facts
+    * that join on the same key query after query. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Salted join for a skewed big side against a small-ish right side:
+    * big rows get a random salt in [0, saltFactor); the right side is
+    * replicated saltFactor× with an exploded salt column; the join key
+    * becomes (key, salt), splitting each hot key across saltFactor
+    * tasks. Prefer AQE skew handling first; salt when a single key is
+    * hot enough to defeat even AQE's split (or the join is
+    * broadcast-ineligible). */
+  def saltedJoin(big: DataFrame, right: DataFrame, key: String,
+                 saltFactor: Int, seed: Long = 42L): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(hash(col(key), monotonically_increasing_id(), lit(seed)),
+        lit(saltFactor)))
+    val replicated = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -30,14 +30,20 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector (queries must be
     * small — they are broadcast). Excludes self-matches on id equality.
     * Deterministic tie-break: (cos desc, corpus id asc) after rounding
-    * cosine to `roundTo` decimals. */
+    * cosine to `roundTo` decimals.
+    * Self-norms are computed ONCE per row before the pair join (keeping
+    * the oracle's dot/sqrt(na·nb) expression shape) — per-pair norm
+    * recomputation is the dominant waste in naive all-pairs cosine. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, id: String,
                      vec: String, k: Int, roundTo: Int = 5): DataFrame = {
-    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      dot(col(vec), col(vec)).as("qn"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      dot(col(vec), col(vec)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("qv"), col("cv")), roundTo))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), roundTo))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -74,11 +80,15 @@ object Similarity {
                       seed: Long = 42L): DataFrame = {
     val dim = df.select(size(col(vec))).first().getInt(0)
     val bucketed = signBuckets(df, vec, hyperplanes(dim, nPlanes, seed))
-    val a = bucketed.select(col(id).as("id_a"), col(vec).as("va"), col("bucket"))
-    val b = bucketed.select(col(id).as("id_b"), col(vec).as("vb"), col("bucket"))
+      .withColumn("_n", dot(col(vec), col(vec)))
+    val a = bucketed.select(col(id).as("id_a"), col(vec).as("va"),
+      col("_n").as("na"), col("bucket"))
+    val b = bucketed.select(col(id).as("id_b"), col(vec).as("vb"),
+      col("_n").as("nb"), col("bucket"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine",
+        dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -88,11 +98,15 @@ object Similarity {
   def blockedNearDupPairs(df: DataFrame, id: String, vec: String,
                           block: String, threshold: Double,
                           roundTo: Int = 5): DataFrame = {
-    val a = df.select(col(block), col(id).as("id_a"), col(vec).as("va"))
-    val b = df.select(col(block), col(id).as("id_b"), col(vec).as("vb"))
+    val withNorm = df.withColumn("_n", dot(col(vec), col(vec)))
+    val a = withNorm.select(col(block), col(id).as("id_a"),
+      col(vec).as("va"), col("_n").as("na"))
+    val b = withNorm.select(col(block), col(id).as("id_b"),
+      col(vec).as("vb"), col("_n").as("nb"))
     a.join(b, block)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosine(col("va"), col("vb")), roundTo))
+      .withColumn("cosine",
+        round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), roundTo))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

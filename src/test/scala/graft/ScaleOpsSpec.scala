@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{ScaleOps, Tables}
+
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("bucketed join plan has no shuffle exchange over the bucketed sides") {
+    val li = Tables.lineitem(spark, SparkSpec.sfDir)
+    val or = Tables.orders(spark, SparkSpec.sfDir)
+    for (t <- Seq("li_bucketed", "or_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    ScaleOps.writeBucketed(li.select("l_orderkey", "l_quantity"),
+      "li_bucketed", "l_orderkey", 8)
+    ScaleOps.writeBucketed(or.select("o_orderkey", "o_totalprice")
+        .withColumnRenamed("o_orderkey", "l_orderkey"),
+      "or_bucketed", "l_orderkey", 8)
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("or_bucketed"), "l_orderkey")
+    // disable broadcast so the co-located sort-merge path is exercised
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === li.count()) // all orderkeys resolve
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("salted join splits hot keys and preserves join semantics") {
+    val s = spark
+    import s.implicits._
+    // big side: one pathologically hot key
+    val big = ((1 to 5000).map(i => (42L, i.toDouble)) ++
+      (1 to 100).map(i => (i.toLong, i.toDouble))).toDF("k", "v")
+    val right = (1 to 100).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val plain = big.join(right, "k")
+    val salted = ScaleOps.saltedJoin(big, right, "k", saltFactor = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.filter(col("k") === 42L).count() === 5001) // 5000 hot + dim row
+    // hot key spread across several salt partitions pre-join
+    val saltSpread = big.withColumn("_salt",
+      pmod(hash(col("k"), monotonically_increasing_id(), lit(42L)), lit(8)))
+      .filter(col("k") === 42L)
+      .select(countDistinct(col("_salt"))).first().getLong(0)
+    assert(saltSpread >= 6, s"hot key only hit $saltSpread of 8 salts")
+  }
+}
