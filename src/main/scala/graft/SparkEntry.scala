@@ -430,6 +430,15 @@ object SparkEntry {
         Seq("ts", "event_id"), "value")
     }),
 
+    // ── G7: PELT change-point regime generator (rows-only) ────────────
+    "g07_regime_changepoint" -> ((s, dir) => {
+      val model = graft.gen.RegimeGan.fit(
+        ev(s, dir), Seq("ts", "event_id"), "value", nRegimes = 4)
+      graft.gen.RegimeGan.generate(s, model, seed = 42L, n = 2000,
+          initialPrice = 100.0)
+        .orderBy(col("rn"))
+    }),
+
     // ── multimodal: binary column decode plumbing (stub codec) ────────
     "m01_multimodal_decode" -> ((s, dir) => {
       val media = graft.mm.Multimodal.synthesizeFromDocuments(docs(s, dir))
