@@ -101,6 +101,21 @@ class EvalSpec extends AnyFunSuite {
     assert(ModelIO.loadGarch(gpath) === g)
   }
 
+  test("evaluate-all-generators matrix: 4 generators x seeds -> metrics + views") {
+    val real = SparkSpec.randomWalk(500)
+    val metrics = graft.eval.EvaluateAllGenerators.run(
+      spark, real, Seq("DATE_TIME"), "typical_price", seeds = Seq(1L, 2L), n = 300)
+    assert(metrics.count() === 8) // 4 generators x 2 seeds
+    assert(metrics.select("generator").distinct().count() === 4)
+    metrics.collect().foreach { r =>
+      assert(r.getAs[Double]("kl_divergence") >= 0.0)
+      assert(r.getAs[Double]("std_ratio") > 0.0)
+    }
+    val summary = graft.io.MetricsViews.summary(spark).collect()
+    assert(summary.length === 4)
+    assert(summary.forall(_.getAs[Long]("n_runs") === 2L))
+  }
+
   test("metrics SQL views (S6): group-by summary over generator runs") {
     val s = spark
     import s.implicits._
