@@ -439,6 +439,17 @@ object SparkEntry {
         .orderBy(col("rn"))
     }),
 
+    // ── G8: TimeGAN inference-only generator (rows-only) ──────────────
+    "g08_timegan_infer" -> ((s, dir) => {
+      val anchors = ev(s, dir).orderBy(col("ts"), col("event_id")).limit(5000)
+        .select(col("value").cast("double")).collect().map(_.getDouble(0))
+      val model = graft.gen.TimeGanModel.random(
+        windowSize = 24, latentDim = 8, hidden = 16, seed = 13L)
+      graft.gen.TimeGanGenerator.generate(s, model, anchors, n = 2000,
+          seed = 42L)
+        .orderBy(col("rn"))
+    }),
+
     // ── multimodal: binary column decode plumbing (stub codec) ────────
     "m01_multimodal_decode" -> ((s, dir) => {
       val media = graft.mm.Multimodal.synthesizeFromDocuments(docs(s, dir))

@@ -48,6 +48,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.max / a.min < 100)
   }
 
+  test("G8 TimeGAN inference: deterministic, partitioning-invariant, bounded prices") {
+    val anchors = Array(1.0, 1.3, 1.6)
+    val model = graft.gen.TimeGanModel.random(12, 4, 8, seed = 21L)
+    def gen(seed: Long) = graft.gen.TimeGanGenerator
+      .generate(spark, model, anchors, n = 120, seed = seed)
+      .orderBy("rn").select("typical_price").collect().map(_.getDouble(0)).toSeq
+    val a = gen(9); val b = gen(9); val c = gen(10)
+    assert(a.length === 120); assert(a === b); assert(a !== c)
+    assert(a.forall(_ > 0))
+    // mean-centered windows keep prices near anchor scale
+    assert(a.max / a.min < 100)
+    // GRU forward is deterministic per model: same model twice
+    val model2 = graft.gen.TimeGanModel.random(12, 4, 8, seed = 21L)
+    val d = graft.gen.TimeGanGenerator
+      .generate(spark, model2, anchors, n = 120, seed = 9L)
+      .orderBy("rn").select("typical_price").collect().map(_.getDouble(0)).toSeq
+    assert(d === a)
+  }
+
   test("optimizer sweep: deterministic ranking, better configs rank first") {
     val rnd = new scala.util.Random(5)
     val rets = Array.fill(2000)(rnd.nextGaussian() * 0.001)
