@@ -33,26 +33,26 @@ import graft.series.{SeriesOps, SeriesSpec}
   */
 object PredictiveEvaluator {
 
-  private def indexed(df: DataFrame, orderCols: Seq[String], price: String): DataFrame =
+  private[eval] def indexed(df: DataFrame, orderCols: Seq[String], price: String): DataFrame =
     df.withColumn("rn",
       row_number().over(Window.orderBy(orderCols.map(col): _*)))
       .select(col("rn"), col(price).cast("double").as("p"))
 
   /** Supervised windows on an indexed (rn, p) series → (features, label). */
-  private def windowsXy(series: DataFrame, windowSize: Int, horizon: Int): DataFrame = {
+  private[eval] def windowsXy(series: DataFrame, windowSize: Int, horizon: Int): DataFrame = {
     val spec = SeriesSpec(Nil, Seq("rn"))
     SeriesOps.supervisedWindows(series, spec, "p", windowSize, horizon, "x", "y")
       .select(array_to_vector(col("x")).as("features"), col("y").as("label"))
   }
 
-  private def fitPredictor(train: DataFrame, seed: Long,
+  private[eval] def fitPredictor(train: DataFrame, seed: Long,
                            maxIter: Int): GBTRegressionModel =
     new GBTRegressor()
       .setMaxIter(maxIter).setMaxDepth(5).setStepSize(0.1)
       .setSeed(seed)
       .fit(train)
 
-  private def mae(model: GBTRegressionModel, df: DataFrame): Double =
+  private[eval] def mae(model: GBTRegressionModel, df: DataFrame): Double =
     model.transform(df)
       .agg(avg(abs(col("prediction") - col("label"))))
       .first().getDouble(0)

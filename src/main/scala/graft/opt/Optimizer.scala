@@ -153,15 +153,26 @@ object SweepOptimizer {
       .orderBy(col("avg_score"), col("config_id"))
   }
 
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
   /** Staged tournament GA (compact): per generation, the population is
     * evaluated as ONE Spark job; selection/crossover/mutation are
     * driver bookkeeping (O4 hall-of-fame tracked across generations).
+    * `checkpointPath` persists {generation, population, best, stale}
+    * after each generation and resumes from it when present — the
+    * reference's resume-JSON contract (ga_optimizer.py:214-229).
     * Returns (best params, best score, history rows). */
   def tournamentGa(spark: SparkSession, realReturns: Array[Double],
                    popSize: Int = 20, generations: Int = 8,
                    seeds: Seq[Long] = Seq(1L, 2L, 3L), genN: Int = 1000,
-                   patience: Int = 4, seed: Long = 42L): (Map[String, Double], Double, DataFrame) = {
+                   patience: Int = 4, seed: Long = 42L,
+                   checkpointPath: Option[String] = None): (Map[String, Double], Double, DataFrame) = {
     import spark.implicits._
+    import java.nio.file.{Files, Paths}
     val rnd = new scala.util.Random(seed)
     val bc = spark.sparkContext.broadcast(realReturns)
     def randomInd(): (Int, Double) =
@@ -171,6 +182,21 @@ object SweepOptimizer {
     var stale = 0
     val history = Vector.newBuilder[(Int, Int, Double, Double)]
     var g = 0
+    // resume from checkpoint if present
+    checkpointPath.map(Paths.get(_)).filter(Files.exists(_)).foreach { p =>
+      val n = mapper.readTree(Files.readString(p))
+      g = n.get("generation").asInt()
+      stale = n.get("stale").asInt()
+      best = ((n.get("best_n_bins").asInt(), n.get("best_smooth").asDouble()),
+        n.get("best_score").asDouble())
+      val it = n.get("population").elements()
+      val b = Vector.newBuilder[(Int, Double)]
+      while (it.hasNext) {
+        val e = it.next()
+        b += ((e.get(0).asInt(), e.get(1).asDouble()))
+      }
+      pop = b.result()
+    }
     while (g < generations && stale < patience) {
       val tasks = for { (ind, i) <- pop.zipWithIndex; s <- seeds }
         yield (i, ind._1, ind._2, s)
@@ -202,6 +228,14 @@ object SweepOptimizer {
         else child
       }
       g += 1
+      checkpointPath.foreach { p =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+          mapper.writeValueAsString(Map(
+            "generation" -> g, "stale" -> stale,
+            "best_n_bins" -> best._1._1, "best_smooth" -> best._1._2,
+            "best_score" -> best._2,
+            "population" -> pop.map(i => Seq(i._1, i._2)))))
+      }
     }
     val hist = history.result()
       .toDF("generation", "best_n_bins", "best_smooth", "best_score")

@@ -102,6 +102,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(gens.zip(gens.tail).forall { case (a, b) => b <= a + 1e-12 })
   }
 
+  test("GA checkpoint: interrupted run resumes from the saved generation") {
+    val rnd = new scala.util.Random(7)
+    val rets = Array.fill(1200)(rnd.nextGaussian() * 0.001)
+    val ckpt = java.nio.file.Files.createTempDirectory("ga")
+      .resolve("ga.json").toString
+    // run 2 generations with checkpointing
+    SweepOptimizer.tournamentGa(spark, rets, popSize = 6, generations = 2,
+      seeds = Seq(1L), genN = 300, checkpointPath = Some(ckpt))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt)))
+    val saved = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ckpt)))
+    assert(saved.contains("\"generation\":2") || saved.contains("\"generation\": 2"))
+    // resume: continues to generations=4 without error, best never worsens
+    val (_, score4, hist) = SweepOptimizer.tournamentGa(spark, rets,
+      popSize = 6, generations = 4, seeds = Seq(1L), genN = 300,
+      checkpointPath = Some(ckpt))
+    assert(score4 < Double.MaxValue)
+    assert(hist.count() <= 2) // only generations 2..3 ran this time
+  }
+
   test("CLI end-to-end: train -> generate -> evaluate round trip (S1-S5 + modes)") {
     val dir = java.nio.file.Files.createTempDirectory("graftcli").toString
     val data = SparkSpec.randomWalk(600).select("DATE_TIME", "typical_price")

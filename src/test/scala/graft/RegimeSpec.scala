@@ -76,6 +76,29 @@ class RegimeSpec extends AnyFunSuite {
     assert(d.length === 300 && d.forall(_ > 0))
   }
 
+  test("augmentation evaluator: baseline computed once, cache hit skips baseline leg") {
+    val train = SparkSpec.randomWalk(300, seed = 11)
+    val valid = SparkSpec.randomWalk(120, seed = 12)
+    val test = SparkSpec.randomWalk(120, seed = 13)
+    val synth = SparkSpec.randomWalk(150, seed = 14)
+    val cache = java.nio.file.Files.createTempDirectory("augcache")
+      .resolve("baseline.json").toString
+    val r1 = graft.eval.AugmentationEvaluator.evaluate(
+      synth, train, valid, test, Seq("DATE_TIME"), "typical_price",
+      cache, windowSize = 10, maxIter = 5).first()
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(cache)))
+    // second candidate: cache hit — baseline identical, deltas consistent
+    val synth2 = SparkSpec.randomWalk(150, seed = 15)
+    val r2 = graft.eval.AugmentationEvaluator.evaluate(
+      synth2, train, valid, test, Seq("DATE_TIME"), "typical_price",
+      cache, windowSize = 10, maxIter = 5).first()
+    assert(r2.getAs[Double]("baseline_mae_val") === r1.getAs[Double]("baseline_mae_val"))
+    assert(math.abs(r2.getAs[Double]("mae_delta_test") -
+      (r2.getAs[Double]("augmented_mae_test") - r1.getAs[Double]("baseline_mae_test"))) < 1e-9)
+    assert(r2.getAs[Boolean]("synthetic_helps_test") ===
+      (r2.getAs[Double]("mae_delta_test") < 0))
+  }
+
   test("predictive evaluator: full key contract, delta consistency (ref test_predictive_evaluator.py:20-69)") {
     val train = SparkSpec.randomWalk(400, seed = 1)
     val valid = SparkSpec.randomWalk(150, seed = 2)
