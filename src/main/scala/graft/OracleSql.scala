@@ -123,14 +123,17 @@ object OracleSql {
         |        ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
 
+    // `+ 0.0` after each round(): DuckDB round() preserves the sign bit, so
+    // round(sin(2*pi), 8) = -0.0 there while Spark's BigDecimal round gives +0.0.
+    // IEEE -0.0 + 0.0 = +0.0 normalizes both engines to the same bit pattern.
     "q08_temporal_features" ->
       """SELECT event_id,
-        | round(sin(hour(ts) * (2*pi()/24)),8) AS hour_sin,
-        | round(cos(hour(ts) * (2*pi()/24)),8) AS hour_cos,
-        | round(sin(((dayofweek(ts)+6)%7) * (2*pi()/5)),8) AS dow_sin,
-        | round(cos(((dayofweek(ts)+6)%7) * (2*pi()/5)),8) AS dow_cos,
-        | round(sin(month(ts) * (2*pi()/12)),8) AS month_sin,
-        | round(cos(month(ts) * (2*pi()/12)),8) AS month_cos
+        | round(sin(hour(ts) * (2*pi()/24)),8) + 0.0 AS hour_sin,
+        | round(cos(hour(ts) * (2*pi()/24)),8) + 0.0 AS hour_cos,
+        | round(sin(((dayofweek(ts)+6)%7) * (2*pi()/5)),8) + 0.0 AS dow_sin,
+        | round(cos(((dayofweek(ts)+6)%7) * (2*pi()/5)),8) + 0.0 AS dow_cos,
+        | round(sin(month(ts) * (2*pi()/12)),8) + 0.0 AS month_sin,
+        | round(cos(month(ts) * (2*pi()/12)),8) + 0.0 AS month_cos
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q09_event_transitions" ->

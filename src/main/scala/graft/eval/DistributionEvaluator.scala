@@ -77,7 +77,11 @@ object DistributionEvaluator {
           .orderBy(orderCols.map(col): _*)
           .select(col("ret")).collect().map(_.getDouble(0))
         if (s.length <= 31) -1.0 // reference sentinel when untestable
-        else graft.stats.Adf.test(s).pValue
+        else
+          // Reference wraps adfuller in try/except and publishes -1.0; a
+          // constant series (level collinear with intercept) or a barely-
+          // long-enough one makes the OLS normal equations singular here.
+          scala.util.Try(graft.stats.Adf.test(s).pValue).getOrElse(-1.0)
       }
 
     kl.crossJoin(wass).crossJoin(momentsRow).crossJoin(acRow)

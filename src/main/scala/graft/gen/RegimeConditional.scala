@@ -17,7 +17,17 @@ final case class RegimeModel(
     transition: Array[Array[Double]],
     startProbs: Array[Double],
     params: Array[RegimeParams],
-    garch: Option[Array[GarchFit]] = None)
+    garch: Option[Array[GarchFit]] = None,
+    // Reference-checkpoint interop (regime_conditional.py:22-31 to_dict):
+    // z-normalization stats for [ret, vol_short, vol_ratio], HMM emission
+    // parameters, and the original price level — enough to re-run HMM
+    // labeling on new data from a loaded artifact.
+    featureMeans: Array[Double] = Array.empty,
+    featureStds: Array[Double] = Array.empty,
+    hmmMeans: Array[Array[Double]] = Array.empty,
+    hmmCovars: Array[Array[Double]] = Array.empty,
+    dataMean: Double = 0.0,
+    dataStd: Double = 1.0)
 
 /** G4/G5: HMM regime-conditional generators.
   * Ref: regime_conditional.py:83-186 (G4); regime_hmm_garch.py:77-190
@@ -63,7 +73,10 @@ object RegimeConditional {
       .select(col("rn"), col("ret"),
         ((col("ret") - col("m0")) / (col("s0") + 1e-10)).as("f0"),
         ((col("vol_short") - col("m1")) / (col("s1") + 1e-10)).as("f1"),
-        ((col("vol_ratio") - col("m2")) / (col("s2") + 1e-10)).as("f2"))
+        ((col("vol_ratio") - col("m2")) / (col("s2") + 1e-10)).as("f2"),
+        // carried through (constant columns) so fit() can persist the
+        // normalization stats into the reference-compatible artifact
+        col("m0"), col("s0"), col("m1"), col("s1"), col("m2"), col("s2"))
   }
 
   /** Fit G4 (withGarch=false) or G5 (withGarch=true).
@@ -117,8 +130,15 @@ object RegimeConditional {
           globalStd * globalStd, 0.0)
       })
 
+    val znorm = feat.select("m0", "s0", "m1", "s1", "m2", "s2").first()
+    val priceStats = prices.agg(
+      avg(col(price)).as("m"), stddev_pop(col(price)).as("s")).first()
     feat.unpersist()
-    RegimeModel(nRegimes, hmm.transition, hmm.startProbs, params, garchFits)
+    RegimeModel(nRegimes, hmm.transition, hmm.startProbs, params, garchFits,
+      featureMeans = Array(znorm.getDouble(0), znorm.getDouble(2), znorm.getDouble(4)),
+      featureStds = Array(znorm.getDouble(1), znorm.getDouble(3), znorm.getDouble(5)),
+      hmmMeans = hmm.means, hmmCovars = hmm.variances,
+      dataMean = priceStats.getDouble(0), dataStd = priceStats.getDouble(1))
   }
 
   private def sampleCat(probs: Array[Double], u: Double): Int = {

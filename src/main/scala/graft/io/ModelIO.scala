@@ -63,7 +63,16 @@ object ModelIO {
         "ar1" -> p.ar1, "count" -> p.count)),
       "garch" -> model.garch.map(_.map(g => Map(
         "omega" -> g.omega, "alpha" -> g.alpha, "beta" -> g.beta,
-        "long_run_var" -> g.longRunVar, "log_lik" -> g.logLik))).orNull)
+        "long_run_var" -> g.longRunVar, "log_lik" -> g.logLik))).orNull,
+      // reference to_dict fields (regime_conditional.py:34-46) — makes the
+      // artifact a superset of the reference checkpoint, so a loaded model
+      // can re-run HMM labeling on new data
+      "feature_means" -> model.featureMeans,
+      "feature_stds" -> model.featureStds,
+      "hmm_means" -> model.hmmMeans,
+      "hmm_covars" -> model.hmmCovars,
+      "data_mean" -> model.dataMean,
+      "data_std" -> model.dataStd)
     Files.writeString(Paths.get(path), mapper.writeValueAsString(m))
   }
 
@@ -102,8 +111,17 @@ object ModelIO {
         }
         b.result()
       }
+    def optArr(key: String): Array[Double] =
+      if (n.get(key) == null || n.get(key).isNull) Array.empty else arr(n.get(key))
+    def optMat(key: String): Array[Array[Double]] =
+      if (n.get(key) == null || n.get(key).isNull) Array.empty else mat(n.get(key))
+    def optDbl(key: String, dflt: Double): Double =
+      if (n.get(key) == null || n.get(key).isNull) dflt else n.get(key).asDouble()
     graft.gen.RegimeModel(n.get("n_regimes").asInt(),
-      mat(n.get("transition_matrix")), arr(n.get("start_probs")), params, garch)
+      mat(n.get("transition_matrix")), arr(n.get("start_probs")), params, garch,
+      featureMeans = optArr("feature_means"), featureStds = optArr("feature_stds"),
+      hmmMeans = optMat("hmm_means"), hmmCovars = optMat("hmm_covars"),
+      dataMean = optDbl("data_mean", 0.0), dataStd = optDbl("data_std", 1.0))
   }
 
   def saveGarch(fit: GarchFit, path: String): Unit =

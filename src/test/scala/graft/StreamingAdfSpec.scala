@@ -24,13 +24,38 @@ class StreamingAdfSpec extends AnyFunSuite {
     assert(rWalk.usedLag <= 20 && rNoise.usedLag <= 20)
   }
 
-  test("ADF p-value interpolation is monotone and anchored") {
-    assert(math.abs(Adf.pValue(-3.43) - 0.01) < 1e-9)
-    assert(math.abs(Adf.pValue(-2.86) - 0.05) < 1e-9)
-    assert(math.abs(Adf.pValue(-2.57) - 0.10) < 1e-9)
-    val taus = Seq(-5.0, -4.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0)
+  test("ADF MacKinnon p-values hit the published critical anchors") {
+    // The asymptotic τ_c critical values must map to their nominal levels
+    // under the response surface (statsmodels mackinnonp agreement ≤ 1e-3
+    // at the anchors; the surface is a fit, not an inversion).
+    assert(math.abs(Adf.pValue(-3.43) - 0.01) < 1e-3)
+    assert(math.abs(Adf.pValue(-2.86) - 0.05) < 1.5e-3)
+    assert(math.abs(Adf.pValue(-2.57) - 0.10) < 3e-3)
+    // Golden statsmodels mackinnonp(tau, regression="c", N=1) values
+    // (Φ(poly(τ)) with the published small/large-p coefficients).
+    assert(math.abs(Adf.pValue(-4.0) - 0.0014105) < 1e-4)
+    assert(math.abs(Adf.pValue(-1.0) - 0.7532643) < 1e-4)
+    assert(Adf.pValue(-20.0) === 0.0) // below surface minimum
+    assert(Adf.pValue(3.0) === 1.0)   // above surface maximum
+    val taus = Seq(-18.0, -5.0, -4.0, -3.0, -2.0, -1.61, -1.0, 0.0, 1.0, 2.0)
     val ps = taus.map(Adf.pValue)
     assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    // interp fallback stays anchored exactly
+    assert(math.abs(Adf.pValueInterp(-2.86) - 0.05) < 1e-9)
+  }
+
+  test("ADF guards: constant and short series raise instead of garbage") {
+    intercept[IllegalArgumentException](Adf.test(Array.fill(20)(1.0)))
+    // constant series: singular design → require() failure, which the
+    // evaluator maps to the -1.0 sentinel
+    intercept[IllegalArgumentException](Adf.test(Array.fill(200)(5.0)))
+    // length 40 with default maxlag=20 used to be impossible; the cap
+    // makes it fit
+    val rnd = new scala.util.Random(7)
+    val short = Array.fill(40)(rnd.nextGaussian())
+    val r = Adf.test(short)
+    assert(r.pValue >= 0.0 && r.pValue <= 1.0)
+    assert(r.usedLag <= (39 / 2) - 3)
   }
 
   test("distribution evaluator publishes real ADF p-values now") {

@@ -57,7 +57,10 @@ def main(sf_dir, out_dir):
             if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(o[c].dtype, np.floating):
                 af = a.astype(float); bf = b.astype(float)
                 nan_ok = np.isnan(af) == np.isnan(bf)
-                eq = np.where(np.isnan(af), nan_ok, af == bf)
+                # Bit-pattern compare (matches the driver's value-hash):
+                # -0.0 == +0.0 under IEEE ==, but hashes differently.
+                bit_eq = af.view(np.int64) == bf.view(np.int64)
+                eq = np.where(np.isnan(af), nan_ok, bit_eq)
                 if not eq.all():
                     i = int(np.argmin(eq))
                     diff = np.nanmax(np.abs(np.nan_to_num(af) - np.nan_to_num(bf)))
