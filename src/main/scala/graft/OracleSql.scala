@@ -22,6 +22,40 @@ object OracleSql {
 
   private val stopList = "'the','a','an','of','and','to','in','is','it','that'"
 
+  /** DuckDB list literal for one hyperplane (Double.toString round-trips
+    * exactly, so both engines see bit-identical plane weights). */
+  private def planeLit(p: Array[Double]): String = "[" + p.mkString(",") + "]"
+
+  /** Sign-LSH bucket expression over DOUBLE[] column `v` for the given
+    * literal planes — mirrors [[graft.sim.Similarity.signBuckets]]
+    * (bit i set when dot(v, plane_i) >= 0). */
+  private def bucketExpr(v: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product($v, ${planeLit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Portable 60-bit hash — SQL twin of [[graft.text.Dedup.h64]]. */
+  private def h64Sql(expr: String, seed: String): String =
+    s"('0x' || substr(md5($seed || '|' || $expr), 1, 15))::BIGINT"
+
+  /** Per-user log-return CTE body (W1 + clip), shared by the fit-stage
+    * oracles: emits (user_id, ts, event_id, ret) with nulls dropped. */
+  private val perUserRets: String =
+    """SELECT user_id, ts, event_id, ret FROM (
+      | SELECT user_id, ts, event_id,
+      |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+      |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+      | FROM events) t WHERE ret IS NOT NULL""".stripMargin
+
+  /** GLOBAL-series log-return CTE body (the single-series generators'
+    * fit contract: one lag over the whole events order). */
+  private val globalRets: String =
+    """SELECT ts, event_id, ret FROM (
+      | SELECT ts, event_id,
+      |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+      |     OVER (ORDER BY ts, event_id) AS ret
+      | FROM events) t WHERE ret IS NOT NULL""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q01_pricing_summary" ->
@@ -345,34 +379,42 @@ object OracleSql {
         |   ORDER BY cosine DESC, neighbor_id) AS rk FROM s) t
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
+    // label-blocked + sign-LSH banded (4 planes, seed 7 — literal-embedded
+    // so both engines compute identical buckets)
     "q24_embed_neardup_blocked" ->
-      """WITH a AS (SELECT label, vec_id AS id_a, embedding::DOUBLE[] AS va FROM embeddings),
-        |b AS (SELECT label, vec_id AS id_b, embedding::DOUBLE[] AS vb FROM embeddings),
-        |p AS (SELECT id_a, id_b,
-        |        round(list_inner_product(va,vb)
-        |          / sqrt(list_inner_product(va,va)*list_inner_product(vb,vb)), 5) AS cosine
-        |      FROM a JOIN b USING (label) WHERE id_a < id_b)
-        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b0 AS (SELECT label, vec_id, v,
+         |         ${bucketExpr("v", graft.sim.Similarity.hyperplanes(64, 4, 7L))} AS bucket,
+         |         list_inner_product(v,v) AS n FROM e),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        round(list_inner_product(a.v,b.v)/sqrt(a.n*b.n), 5) AS cosine
+         |      FROM b0 a JOIN b0 b ON a.label = b.label AND a.bucket = b.bucket
+         |      WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
 
+    // per-user regime stats: every window partitions on user_id (and the
+    // AR(1) lag on user_id+event_type) — no single-partition stage
     "q28_regime_stats" ->
       """WITH r AS (
-        | SELECT event_type, ts, event_id,
+        | SELECT user_id, event_type, ts, event_id,
         |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
-        |     OVER (ORDER BY ts, event_id) AS ret
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
         | FROM events),
-        |l AS (SELECT event_type, ts, event_id, ret,
-        |        lag(ret,1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS lag_ret
+        |l AS (SELECT user_id, event_type, ts, event_id, ret,
+        |        lag(ret,1) OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY ts, event_id) AS lag_ret
         |      FROM r WHERE ret IS NOT NULL),
-        |base AS (SELECT event_type, count(ret)::BIGINT AS n, avg(ret) AS mean,
+        |base AS (SELECT user_id, event_type, count(ret)::BIGINT AS n, avg(ret) AS mean,
         |           stddev_pop(ret) AS std_pop, corr(ret, lag_ret) AS ar1
-        |         FROM l GROUP BY event_type),
-        |z AS (SELECT l.event_type, avg(pow((ret - mean)/std_pop, 3)) AS skew
-        |      FROM l JOIN base USING (event_type) GROUP BY l.event_type)
-        |SELECT event_type, n, round(mean,8) AS mean, round(std_pop,8) AS std_pop,
+        |         FROM l GROUP BY user_id, event_type),
+        |z AS (SELECT l.user_id, l.event_type, avg(pow((ret - mean)/std_pop, 3)) AS skew
+        |      FROM l JOIN base USING (user_id, event_type)
+        |      GROUP BY l.user_id, l.event_type)
+        |SELECT user_id, event_type, n, round(mean,8) AS mean, round(std_pop,8) AS std_pop,
         |  round(ar1,6) AS ar1, round(skew,6) AS skew
-        |FROM base JOIN z USING (event_type)
-        |ORDER BY event_type""".stripMargin,
+        |FROM base JOIN z USING (user_id, event_type)
+        |ORDER BY user_id, event_type""".stripMargin,
 
     // mirrors the STUB codec arithmetic (Multimodal.decode): all docs
     // are ASCII so ascii(char k) == byte k and strlen == byte length
@@ -413,6 +455,307 @@ object OracleSql {
         |      FROM events
         |      WINDOW w24 AS (PARTITION BY user_id ORDER BY ts, event_id
         |        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) t
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // GARCH(1,1) grid: the σ²/log-likelihood recursion replayed as a
+    // recursive CTE in t order — same accumulation order as the Spark
+    // task's sequential loop, so round(ll,4) is stable
+    "q29_garch_grid" ->
+      s"""WITH RECURSIVE
+         |r5 AS (SELECT ret, ts, event_id FROM ($perUserRets) x
+         |       ORDER BY ts, event_id LIMIT 1000),
+         |rr AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS t, ret FROM r5),
+         |st AS (SELECT count(*)::BIGINT AS n, avg(ret) AS m FROM rr),
+         |vv AS (SELECT sum((ret - m)*(ret - m)) / (SELECT n FROM st) AS v FROM rr, st),
+         |grid AS (SELECT alpha, beta
+         |         FROM (VALUES (0.01),(0.05),(0.10),(0.15),(0.20),(0.25)) a(alpha)
+         |         CROSS JOIN (VALUES (0.50),(0.60),(0.70),(0.75),(0.80),(0.85),(0.90),(0.95)) b(beta)
+         |         WHERE alpha + beta < 0.999),
+         |rec AS (
+         | SELECT g.alpha, g.beta, 1::BIGINT AS t, v.v AS sigma2, v.v AS v, r1.ret AS pret,
+         |   -0.5*(ln(2*pi()*greatest(v.v,1e-12)) + r1.ret*r1.ret/greatest(v.v,1e-12)) AS ll
+         | FROM grid g, vv v, (SELECT ret FROM rr WHERE t = 1) r1
+         | UNION ALL
+         | SELECT rec.alpha, rec.beta, rec.t + 1,
+         |   rec.v*(1.0-rec.alpha-rec.beta) + rec.alpha*rec.pret*rec.pret
+         |     + rec.beta*rec.sigma2,
+         |   rec.v, rc.ret,
+         |   rec.ll - 0.5*(ln(2*pi()*greatest(rec.v*(1.0-rec.alpha-rec.beta)
+         |       + rec.alpha*rec.pret*rec.pret + rec.beta*rec.sigma2, 1e-12))
+         |     + rc.ret*rc.ret/greatest(rec.v*(1.0-rec.alpha-rec.beta)
+         |       + rec.alpha*rec.pret*rec.pret + rec.beta*rec.sigma2, 1e-12))
+         | FROM rec
+         | JOIN rr rc ON rc.t = rec.t + 1)
+         |SELECT alpha, beta,
+         |  round(v*(1.0-alpha-beta), 10) AS omega,
+         |  round(v, 10) AS long_run_var,
+         |  round(ll, 4) AS ll
+         |FROM rec WHERE t = (SELECT n FROM st)
+         |ORDER BY alpha, beta""".stripMargin,
+
+    // multimodal features: the STUB feature is a position-weighted byte
+    // sum per dimension (order-independent by design so this aggregate
+    // mirrors it; documents text is ASCII so ascii(char)=byte), then
+    // brute-force cosine top-5 in the q23 shape
+    "m02_multimodal_features" ->
+      """WITH ch AS (SELECT doc_id, unnest(generate_series(1, strlen(text))) AS i
+        |            FROM documents),
+        |dims AS (SELECT c.doc_id, (c.i-1) % 16 AS j,
+        |           ((sum(c.i * ascii(substr(d.text, c.i, 1))) % 1000) / 1000.0)::FLOAT::DOUBLE AS f
+        |         FROM ch c JOIN documents d USING (doc_id)
+        |         GROUP BY c.doc_id, (c.i-1) % 16),
+        |vecs AS (SELECT doc_id, list(f ORDER BY j) AS v FROM dims GROUP BY doc_id),
+        |q AS (SELECT doc_id AS query_id, v AS qv FROM vecs WHERE doc_id < 3),
+        |c2 AS (SELECT doc_id AS neighbor_id, v AS cv FROM vecs),
+        |s AS (SELECT query_id, neighbor_id,
+        |        round(list_inner_product(qv,cv)
+        |          / sqrt(list_inner_product(qv,qv)*list_inner_product(cv,cv)), 5) AS cosine
+        |      FROM c2, q WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, cosine, rk::INT AS rk FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id) AS rk FROM s) t
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // MinHash+LSH: portable md5-derived 60-bit hashes (same value both
+    // engines), 64 perms, 16 bands of 4, md5-of-slice band buckets,
+    // est_jaccard = agreeing slots / 64 (exact k/64 rationals)
+    "d01_minhash_lsh" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+         |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+         |              FROM documents),
+         |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+         |sh0 AS (SELECT doc_id,
+         |          token || ' ' || lead(token,1) OVER w || ' ' || lead(token,2) OVER w
+         |            || ' ' || lead(token,3) OVER w || ' ' || lead(token,4) OVER w AS shingle,
+         |          lead(token,4) OVER w AS l4
+         |        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l4 IS NOT NULL),
+         |seeds AS (SELECT unnest(generate_series(0,63)) AS s),
+         |mh AS (SELECT doc_id, s, min(${h64Sql("shingle", "s::VARCHAR")}) AS h
+         |       FROM sh, seeds GROUP BY doc_id, s),
+         |bands AS (SELECT doc_id, s // 4 AS band,
+         |            md5(string_agg(h::VARCHAR, ',' ORDER BY s)) AS bucket
+         |          FROM mh GROUP BY doc_id, s // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |         WHERE a.doc_id < b.doc_id),
+         |est AS (SELECT c.id_a, c.id_b,
+         |          (SELECT count(*) FROM mh x JOIN mh y ON x.s = y.s AND x.h = y.h
+         |           WHERE x.doc_id = c.id_a AND y.doc_id = c.id_b) / 64.0 AS est_jaccard
+         |        FROM cand c)
+         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // SimHash: 60-bit portable signature, 4 rotated 15-bit bands
+    // (recall 100% for hamming <= 3 by pigeonhole), bit_count(xor) verify
+    "d02_simhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+         |              FROM documents),
+         |t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         |hh AS (SELECT doc_id, ${h64Sql("token", "'0'")} AS h FROM t),
+         |bits AS (SELECT doc_id, j,
+         |           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS bs
+         |         FROM hh, (SELECT unnest(generate_series(0,59)) AS j) js
+         |         GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id,
+         |          sum(CASE WHEN bs > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+         |        FROM bits GROUP BY doc_id),
+         |banded AS (SELECT doc_id, b AS band, (simhash >> (15*b)) & 32767 AS bucket, simhash
+         |           FROM sig, (SELECT unnest(generate_series(0,3)) AS b) bs),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |           a.simhash AS sa, b.simhash AS sb
+         |         FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+         |         WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // sign-LSH ANN: 6 hyperplanes (seed 42) literal-embedded so both
+    // engines compute identical buckets; exact cosine verify
+    "s01_lsh_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b0 AS (SELECT vec_id, v,
+         |         ${bucketExpr("v", graft.sim.Similarity.hyperplanes(64, 6, 42L))} AS bucket,
+         |         list_inner_product(v,v) AS n FROM e),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        list_inner_product(a.v,b.v)/sqrt(a.n*b.n) AS cosine
+         |      FROM b0 a JOIN b0 b ON a.bucket = b.bucket
+         |      WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cosine,5) AS cosine FROM p WHERE cosine >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // block-bootstrap chain with deterministic strided starts: start_b =
+    // (b*523) mod (total-29); telescoped ln-scale running sum
+    "g01f_block_chain" ->
+      """WITH idx AS (SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+        |               value::DOUBLE AS p FROM events),
+        |tot AS (SELECT count(*)::BIGINT AS total FROM idx),
+        |blocks AS (SELECT b::INT AS block_id, ((b*523) % (total - 29))::INT AS start
+        |           FROM tot, (SELECT unnest(generate_series(0,67)) AS b) g),
+        |pos AS (SELECT block_id, start, unnest(generate_series(0,29)) AS pos FROM blocks),
+        |rows_ AS (SELECT p1.block_id, p1.pos, i.p
+        |          FROM pos p1 JOIN idx i ON i.rn = p1.start + p1.pos),
+        |pb AS (SELECT block_id, arg_min(p, pos) AS first_p, arg_max(p, pos) AS last_p
+        |       FROM rows_ GROUP BY block_id),
+        |d0 AS (SELECT block_id,
+        |         coalesce(ln(lag(last_p) OVER (ORDER BY block_id)) - ln(first_p), 0.0) AS d
+        |       FROM pb),
+        |ch AS (SELECT block_id,
+        |         sum(d) OVER (ORDER BY block_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ln_scale
+        |       FROM d0)
+        |SELECT (r.block_id*30 + r.pos)::INT AS rn,
+        |  round(ln(exp(ln(r.p) + c.ln_scale)), 6) AS ln_price
+        |FROM rows_ r JOIN ch c USING (block_id)
+        |WHERE r.block_id*30 + r.pos < 2000
+        |ORDER BY rn""".stripMargin,
+
+    // Grasynda fit artifact: quantile edges (interior of the deduped
+    // 0..1 ladder), digitize, adjacent-transition probs, per-bin pool
+    // stats, start distribution
+    "g02f_grasynda_fit" ->
+      s"""WITH d AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, ret AS v
+         |           FROM ($perUserRets) r0),
+         |e0 AS (SELECT list_slice(es, 2, len(es)-1) AS interior FROM (
+         |         SELECT list_sort(list_distinct(
+         |           quantile_cont(v, [${(0 to 10).map(i => i / 10.0).mkString(",")}]))) AS es
+         |         FROM d) q),
+         |st AS (SELECT d.rn, d.v,
+         |         len(list_filter(e0.interior, x -> x <= d.v))::INT AS state
+         |       FROM d, e0),
+         |tr AS (SELECT state, next_state, count(*)::BIGINT AS cnt FROM
+         |        (SELECT state, lead(state) OVER (ORDER BY rn) AS next_state FROM st) x
+         |       WHERE next_state IS NOT NULL GROUP BY state, next_state),
+         |trp AS (SELECT state, next_state, cnt,
+         |          round(cnt::DOUBLE / sum(cnt) OVER (PARTITION BY state), 6) AS prob
+         |        FROM tr),
+         |ps AS (SELECT state, count(*)::BIGINT AS pool_n, round(avg(v),8) AS pool_mean,
+         |         round(stddev_pop(v),8) AS pool_std FROM st GROUP BY state),
+         |sp AS (SELECT state, round(pool_n::DOUBLE / sum(pool_n) OVER (), 6) AS start_prob
+         |       FROM ps)
+         |SELECT t.state, t.next_state, t.cnt, t.prob,
+         |  p.pool_n, p.pool_mean, p.pool_std, s.start_prob
+         |FROM trp t JOIN ps p USING (state) JOIN sp s USING (state)
+         |ORDER BY t.state, t.next_state""".stripMargin,
+
+    // regime-bootstrap fit: rolling vol (w24/min12) -> backfill ->
+    // vol-quantile digitize (k=3) -> run segmentation -> per-segment stats
+    "g03f_regime_segments" ->
+      s"""WITH rr AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, ret
+         |            FROM ($globalRets) r0),
+         |v0 AS (SELECT rn, ret,
+         |         CASE WHEN count(ret) OVER w >= 12 THEN stddev_samp(ret) OVER w END AS vol
+         |       FROM rr WINDOW w AS (ORDER BY rn ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         |v1 AS (SELECT rn, ret, coalesce(vol,
+         |         first_value(vol IGNORE NULLS) OVER (ORDER BY rn
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS volf
+         |       FROM v0),
+         |ed AS (SELECT list_sort(list_distinct(
+         |         quantile_cont(volf, [${(1 until 3).map(i => i / 3.0).mkString(",")}]))) AS edges
+         |       FROM v1),
+         |rg AS (SELECT rn, ret, len(list_filter(ed.edges, x -> x <= v1.volf))::INT AS regime
+         |       FROM v1, ed),
+         |cg AS (SELECT rn, ret, regime,
+         |         CASE WHEN lag(regime) OVER (ORDER BY rn) IS NULL
+         |                OR lag(regime) OVER (ORDER BY rn) <> regime THEN 1 ELSE 0 END AS chg
+         |       FROM rg),
+         |sg AS (SELECT rn, ret, regime,
+         |         sum(chg) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment
+         |       FROM cg)
+         |SELECT segment::BIGINT AS segment, min(regime)::INT AS regime,
+         |  count(*)::BIGINT AS len, round(avg(ret),8) AS mean_ret,
+         |  round(stddev_pop(ret),8) AS std_ret
+         |FROM sg GROUP BY segment HAVING count(*) >= 3
+         |ORDER BY segment""".stripMargin,
+
+    // HMM feature frame: ret + rolling vols (w24/w72, min_periods=1) +
+    // guarded vol ratio, NaN/Inf row filter, z-normalize (pop std + 1e-10)
+    "g04f_regime_features" ->
+      s"""WITH rr AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, ret
+         |            FROM ($globalRets) r0),
+         |v AS (SELECT rn, ret,
+         |        CASE WHEN count(ret) OVER w24 >= 1 THEN stddev_samp(ret) OVER w24 END AS vol_short,
+         |        CASE WHEN count(ret) OVER w72 >= 1 THEN stddev_samp(ret) OVER w72 END AS vol_long
+         |      FROM rr
+         |      WINDOW w24 AS (ORDER BY rn ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+         |             w72 AS (ORDER BY rn ROWS BETWEEN 71 PRECEDING AND CURRENT ROW)),
+         |vr AS (SELECT rn, ret, vol_short,
+         |         CASE WHEN vol_long > 1e-10 THEN vol_short/vol_long ELSE 1.0 END AS vol_ratio
+         |       FROM v),
+         |cl AS (SELECT * FROM vr
+         |       WHERE ret IS NOT NULL AND NOT isnan(ret) AND abs(ret) <> 'infinity'::DOUBLE
+         |         AND vol_short IS NOT NULL AND NOT isnan(vol_short)
+         |         AND abs(vol_short) <> 'infinity'::DOUBLE
+         |         AND vol_ratio IS NOT NULL AND NOT isnan(vol_ratio)
+         |         AND abs(vol_ratio) <> 'infinity'::DOUBLE),
+         |st AS (SELECT avg(ret) AS m0, stddev_pop(ret) AS s0,
+         |              avg(vol_short) AS m1, stddev_pop(vol_short) AS s1,
+         |              avg(vol_ratio) AS m2, stddev_pop(vol_ratio) AS s2 FROM cl)
+         |SELECT cl.rn::INT AS rn,
+         |  round((ret - m0)/(s0 + 1e-10), 6) AS f0,
+         |  round((vol_short - m1)/(s1 + 1e-10), 6) AS f1,
+         |  round((vol_ratio - m2)/(s2 + 1e-10), 6) AS f2
+         |FROM cl, st ORDER BY rn""".stripMargin,
+
+    // DistributionEvaluator deterministic core: JS²-"kl" over 100 shared
+    // bins, ECDF wasserstein, per-label moments and autocorr (lags
+    // 1/5/10), quality = kl + 0.1*wass + |Δstd| — the label is the
+    // user_id<75 split and returns lag WITHIN each half (global spec)
+    "q30f_dist_core" ->
+      """WITH u0 AS (SELECT (user_id % 2 = 0) AS is_real, ts, event_id,
+        |              ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |                OVER (PARTITION BY (user_id % 2 = 0) ORDER BY ts, event_id) AS ret
+        |            FROM events),
+        |ur AS (SELECT is_real, ts, event_id, ret FROM u0 WHERE ret IS NOT NULL),
+        |rng AS (SELECT min(ret) AS lo, max(ret) AS hi FROM ur),
+        |cb AS (SELECT least(floor((ret - lo)/(hi - lo)*100), 99)::INT AS bucket,
+        |         sum(CASE WHEN is_real THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN is_real THEN 0 ELSE 1 END) AS cb_
+        |       FROM ur, rng GROUP BY 1),
+        |bins AS (SELECT unnest(generate_series(0,99)) AS bucket),
+        |h AS (SELECT b.bucket, coalesce(ca,0)::BIGINT AS ca, coalesce(cb_,0)::BIGINT AS cb_
+        |      FROM bins b LEFT JOIN cb USING (bucket)),
+        |sm AS (SELECT ca::DOUBLE / sum(ca) OVER () + 1e-10 AS pa_raw,
+        |         cb_::DOUBLE / sum(cb_) OVER () + 1e-10 AS pb_raw FROM h),
+        |pp AS (SELECT pa_raw / sum(pa_raw) OVER () AS pa,
+        |         pb_raw / sum(pb_raw) OVER () AS pb FROM sm),
+        |klv AS (SELECT sum(pa*ln(pa/((pa+pb)/2)))*0.5
+        |             + sum(pb*ln(pb/((pa+pb)/2)))*0.5 AS kl FROM pp),
+        |pv AS (SELECT ret AS v, sum(CASE WHEN is_real THEN 1 ELSE 0 END) AS na,
+        |         sum(CASE WHEN is_real THEN 0 ELSE 1 END) AS nb FROM ur GROUP BY ret),
+        |ec AS (SELECT v,
+        |         sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+        |           / sum(na) OVER () AS fa,
+        |         sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+        |           / sum(nb) OVER () AS fb,
+        |         lead(v) OVER (ORDER BY v) - v AS dx FROM pv),
+        |wv AS (SELECT sum(CASE WHEN dx IS NOT NULL THEN abs(fa - fb)*dx ELSE 0.0 END) AS wass
+        |       FROM ec),
+        |mo AS (SELECT max(CASE WHEN is_real THEN mean END) AS rm,
+        |              max(CASE WHEN NOT is_real THEN mean END) AS sme,
+        |              max(CASE WHEN is_real THEN std END) AS rs,
+        |              max(CASE WHEN NOT is_real THEN std END) AS ss
+        |       FROM (SELECT is_real, avg(ret) AS mean, stddev_pop(ret) AS std
+        |             FROM ur GROUP BY is_real) x),
+        |lg AS (SELECT is_real, ret, lag(ret,1) OVER wl AS l1, lag(ret,5) OVER wl AS l5,
+        |         lag(ret,10) OVER wl AS l10
+        |       FROM ur WINDOW wl AS (PARTITION BY is_real ORDER BY ts, event_id)),
+        |ac0 AS (SELECT is_real, coalesce(corr(ret,l1),0.0) AS ac1,
+        |          coalesce(corr(ret,l5),0.0) AS ac5, coalesce(corr(ret,l10),0.0) AS ac10
+        |        FROM lg GROUP BY is_real),
+        |ac AS (SELECT max(CASE WHEN is_real THEN ac1 END) AS rac1,
+        |              max(CASE WHEN NOT is_real THEN ac1 END) AS sac1,
+        |              max(CASE WHEN is_real THEN ac5 END) AS rac5,
+        |              max(CASE WHEN NOT is_real THEN ac5 END) AS sac5,
+        |              max(CASE WHEN is_real THEN ac10 END) AS rac10,
+        |              max(CASE WHEN NOT is_real THEN ac10 END) AS sac10
+        |       FROM ac0)
+        |SELECT round(kl,8) AS kl_divergence, round(wass,6) AS wasserstein_distance,
+        |  round(rm,8) AS real_return_mean, round(sme,8) AS synthetic_return_mean,
+        |  round(rs,8) AS real_return_std, round(ss,8) AS synthetic_return_std,
+        |  round(rac1,6) AS real_autocorr_lag1, round(sac1,6) AS synthetic_autocorr_lag1,
+        |  round(rac5,6) AS real_autocorr_lag5, round(sac5,6) AS synthetic_autocorr_lag5,
+        |  round(rac10,6) AS real_autocorr_lag10, round(sac10,6) AS synthetic_autocorr_lag10,
+        |  round(kl + 0.1*wass + abs(rs - ss), 6) AS quality_score
+        |FROM klv, wv, mo, ac""".stripMargin
   )
 }

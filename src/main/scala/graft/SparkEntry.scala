@@ -278,10 +278,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
-    // ── embedding near-dup pairs (blocked exact) ──────────────────────
+    // ── embedding near-dup pairs (label-blocked + sign-LSH banded: the
+    //    join key is (label, bucket) so no pair group is quadratic in
+    //    block size — the 100 TB-safe default; blockedNearDupPairs
+    //    remains the exact small-scale counterpart) ────────────────────
     "q24_embed_neardup_blocked" -> ((s, dir) => {
-      Similarity.blockedNearDupPairs(emb(s, dir), "vec_id", "embedding",
-          "label", threshold = 0.3, roundTo = 5)
+      Similarity.bandedNearDupPairs(emb(s, dir), "vec_id", "embedding",
+          "label", threshold = 0.3, Similarity.hyperplanes(64, 4, 7L))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -362,9 +365,10 @@ object SparkEntry {
       // the evaluation CONTRACT (deltas/verdict) is what's under test,
       // so bench uses a capped training prefix + fewer trees
       val e = ev(s, dir)
-      val train = e.filter(col("user_id") < 30)
-      val valid = e.filter(col("user_id") >= 75 && col("user_id") < 90)
-      val test = e.filter(col("user_id") >= 110 && col("user_id") < 125)
+      // modulo split (30%/10%/10%) is non-empty at every SF
+      val train = e.filter(col("user_id") % 10 < 3)
+      val valid = e.filter(col("user_id") % 10 === 5)
+      val test = e.filter(col("user_id") % 10 === 7)
       val synth = BlockBootstrap.generate(train, Seq("ts", "event_id"),
         "value", blockSize = 30, n = 1000, seed = 7L)
         .withColumnRenamed("typical_price", "value")
@@ -387,23 +391,27 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ── A8: per-regime return stats (regime = event_type) ─────────────
+    // ── A8: per-regime return stats (regime = event_type), computed
+    //    PER USER SERIES — every window partitions on user_id, so no
+    //    stage funnels the table into one partition at any scale ──────
     "q28_regime_stats" -> ((s, dir) => {
-      val rets = SeriesOps.logReturns(ev(s, dir), global, "value", "ret")
-        .filter(col("ret").isNotNull)
+      val rets = logret(s, dir).filter(col("ret").isNotNull)
       graft.stats.RegimeStats
-        .perRegime(rets, global, "event_type", "ret")
-        .select(col("event_type"), col("n"),
+        .perRegime(rets, perUser, "event_type", "ret")
+        .select(col("user_id"), col("event_type"), col("n"),
           round(col("mean"), 8).as("mean"),
           round(col("std_pop"), 8).as("std_pop"),
           round(col("ar1"), 6).as("ar1"),
           round(col("skew"), 6).as("skew"))
-        .orderBy(col("event_type"))
+        .orderBy(col("user_id"), col("event_type"))
     }),
 
-    // ── C10+O5: Spark-parallel GARCH(1,1) grid (rows-only) ────────────
+    // ── C10+O5: Spark-parallel GARCH(1,1) grid — zero RNG, verified by
+    //    a DuckDB recursive-CTE replay of the σ² recursion over the same
+    //    bounded 1000-return prefix ─────────────────────────────────────
     "q29_garch_grid" -> ((s, dir) => {
       val rets = logret(s, dir).filter(col("ret").isNotNull)
+        .orderBy(col("ts"), col("event_id")).limit(1000)
         .select(col("ts"), col("event_id"), col("ret"))
       graft.stats.Garch.grid(rets, Seq("ts", "event_id"), "ret")
         .select(col("alpha"), col("beta"),
@@ -413,11 +421,12 @@ object SparkEntry {
         .orderBy(col("alpha"), col("beta"))
     }),
 
-    // ── full DistributionEvaluator metric record (rows-only) ──────────
+    // ── full DistributionEvaluator metric record (rows-only; the
+    //    even/odd user split is non-empty at every SF) ─────────────────
     "q30_distribution_eval" -> ((s, dir) => {
       val e = ev(s, dir)
-      val real = e.filter(col("user_id") < 75)
-      val synth = e.filter(col("user_id") >= 75)
+      val real = e.filter(col("user_id") % 2 === 0)
+      val synth = e.filter(col("user_id") % 2 === 1)
       graft.eval.DistributionEvaluator
         .evaluate(real, synth, Seq("ts", "event_id"), "value")
     }),
@@ -426,7 +435,7 @@ object SparkEntry {
     "q31_composite_score" -> ((s, dir) => {
       val e = ev(s, dir)
       graft.eval.CompositeMetric.scoreDf(
-        e.filter(col("user_id") < 75), e.filter(col("user_id") >= 75),
+        e.filter(col("user_id") % 2 === 0), e.filter(col("user_id") % 2 === 1),
         Seq("ts", "event_id"), "value")
     }),
 
@@ -496,12 +505,71 @@ object SparkEntry {
         .orderBy(col("avg_score"), col("config_id"))
     }),
 
-    // ── sign-LSH ANN near-dup (rows-only) ─────────────────────────────
+    // ── sign-LSH ANN near-dup (planes literal-embedded ⇒ oracled) ─────
     "s01_lsh_ann" -> ((s, dir) => {
       Similarity.lshNearDupPairs(emb(s, dir), "vec_id", "embedding",
           threshold = 0.3, nPlanes = 6, seed = 42L)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 5).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── G2 fit witness: the block/rescale chain with deterministic
+    //    strided starts — the zero-RNG twin of g01's seeded walk, fully
+    //    oracle-checkable ────────────────────────────────────────────
+    "g01f_block_chain" -> ((s, dir) => {
+      // compared in the LOG domain: the rescale chain can drift prices
+      // across orders of magnitude, where absolute rounding of the raw
+      // price is unstable but r6 of ln(price) is ~1e-6 relative
+      BlockBootstrap.generateStrided(ev(s, dir), Seq("ts", "event_id"),
+          "value", blockSize = 30, n = 2000, stride = 523)
+        .select(col("rn"), round(log(col("typical_price")), 6).as("ln_price"))
+        .orderBy(col("rn"))
+    }),
+
+    // ── G3 fit artifact: Grasynda edges/transition/pools (A4+A5+A7+A9),
+    //    distributed and oracle-checkable ─────────────────────────────
+    "g02f_grasynda_fit" -> ((s, dir) => {
+      val rets = logret(s, dir).filter(col("ret").isNotNull)
+      Grasynda.fitFrame(rets, Seq("ts", "event_id"), "ret", nBins = 10)
+    }),
+
+    // ── G6 fit witness: regime-bootstrap segmentation + per-segment
+    //    stats (W5+W6+A4+A5+run-segmentation), oracle-checkable ───────
+    "g03f_regime_segments" -> ((s, dir) => {
+      graft.gen.RegimeBootstrap.fitFrame(ev(s, dir), Seq("ts", "event_id"),
+        "value", nRegimes = 3)
+    }),
+
+    // ── G4/G5 fit front-end: the normalized [ret, vol_short, vol_ratio]
+    //    HMM feature frame, oracle-checkable ──────────────────────────
+    "g04f_regime_features" -> ((s, dir) => {
+      graft.gen.RegimeConditional.features(ev(s, dir), Seq("ts", "event_id"), "value")
+        .select(col("rn"), round(col("f0"), 6).as("f0"),
+          round(col("f1"), 6).as("f1"), round(col("f2"), 6).as("f2"))
+        .orderBy(col("rn"))
+    }),
+
+    // ── DistributionEvaluator deterministic core (everything except the
+    //    driver-side ADF leg, which q30 carries), oracle-checkable ─────
+    "q30f_dist_core" -> ((s, dir) => {
+      val e = ev(s, dir)
+      graft.eval.DistributionEvaluator
+        .evaluate(e.filter(col("user_id") % 2 === 0), e.filter(col("user_id") % 2 === 1),
+          Seq("ts", "event_id"), "value", withAdf = false)
+        .select(
+          round(col("kl_divergence"), 8).as("kl_divergence"),
+          round(col("wasserstein_distance"), 6).as("wasserstein_distance"),
+          round(col("real_return_mean"), 8).as("real_return_mean"),
+          round(col("synthetic_return_mean"), 8).as("synthetic_return_mean"),
+          round(col("real_return_std"), 8).as("real_return_std"),
+          round(col("synthetic_return_std"), 8).as("synthetic_return_std"),
+          round(col("real_autocorr_lag1"), 6).as("real_autocorr_lag1"),
+          round(col("synthetic_autocorr_lag1"), 6).as("synthetic_autocorr_lag1"),
+          round(col("real_autocorr_lag5"), 6).as("real_autocorr_lag5"),
+          round(col("synthetic_autocorr_lag5"), 6).as("synthetic_autocorr_lag5"),
+          round(col("real_autocorr_lag10"), 6).as("real_autocorr_lag10"),
+          round(col("synthetic_autocorr_lag10"), 6).as("synthetic_autocorr_lag10"),
+          round(col("quality_score"), 6).as("quality_score"))
     })
   )
 

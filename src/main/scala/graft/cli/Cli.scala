@@ -61,6 +61,15 @@ object Cli {
         val m = RegimeConditional.fit(data, Order, Price, cfg.int("n_regimes"),
           withGarch = true)
         ModelIO.saveRegime(m, cfg.str("model")); m
+      case "vae" | "vae_gan" =>
+        // the reference's flagship --mode train path (vae_gan_trainer.py;
+        // vae is the same loop without the adversarial steps)
+        val r = graft.train.VaeTrainer.train(data, Order, Price,
+          graft.train.VaeTrainer.TrainConfig(
+            epochs = cfg.int("epochs"),
+            adversarial = cfg.str("generator") == "vae_gan",
+            seed = cfg.long("seed")))
+        ModelIO.saveMlp(r.decoder, cfg.str("model")); r.decoder
       case g => throw new IllegalArgumentException(s"unknown trainable generator $g")
     }
     cfg.strOpt("save_config").foreach(GraftConfig.saveJson(cfg, _))
@@ -87,6 +96,12 @@ object Cli {
           .select(col(Price).cast("double")).collect().map(_.getDouble(0))
         val dec = MlpDecoder.random(16, 64, cfg.int("window_size"), seed)
         DecoderGenerator.generate(spark, dec, anchors, n, seed)
+      case "vae" | "vae_gan" =>
+        // G1 inference from a TRAINED artifact (--mode train --generator vae)
+        val anchors = loadInput(spark, cfg)
+          .select(col(Price).cast("double")).collect().map(_.getDouble(0))
+        DecoderGenerator.generate(spark, ModelIO.loadMlp(cfg.str("model")),
+          anchors, n, seed)
       case g => throw new IllegalArgumentException(s"unknown generator $g")
     }
     val withTs = if (out.columns.contains("DATE_TIME")) out

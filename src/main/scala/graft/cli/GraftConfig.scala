@@ -35,6 +35,7 @@ object GraftConfig {
     "block_size" -> "30",
     "n_regimes" -> "4",
     "initial_price" -> "1.3",
+    "epochs" -> "30",
     "threads" -> "4"))
 
   private val mapper = {

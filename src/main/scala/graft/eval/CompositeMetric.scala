@@ -71,10 +71,12 @@ object CompositeMetric {
     val hr = SeriesStats.hurst(real, spec, price).first().getAs[Double]("hurst")
     val hs = SeriesStats.hurst(synth, spec, price).first().getAs[Double]("hurst")
 
-    val retsR = rr.orderBy(orderCols.map(col): _*).select("ret")
-      .collect().map(_.getDouble(0))
-    val retsS = rs.orderBy(orderCols.map(col): _*).select("ret")
-      .collect().map(_.getDouble(0))
+    val retsR = rr.orderBy(orderCols.map(col): _*)
+      .limit(SeriesStats.MaxCollectRows) // bounded collect (FFT leg)
+      .select("ret").collect().map(_.getDouble(0))
+    val retsS = rs.orderBy(orderCols.map(col): _*)
+      .limit(SeriesStats.MaxCollectRows)
+      .select("ret").collect().map(_.getDouble(0))
     val spectral = Spectral.distance(spark, retsR, retsS)
 
     val kurtR = re.getAs[Double]("kurt_raw")

@@ -75,6 +75,7 @@ object DistributionEvaluator {
       else {
         val s = u.filter(col("lab") === lab)
           .orderBy(orderCols.map(col): _*)
+          .limit(graft.stats.SeriesStats.MaxCollectRows) // bounded collect
           .select(col("ret")).collect().map(_.getDouble(0))
         if (s.length <= 31) -1.0 // reference sentinel when untestable
         else

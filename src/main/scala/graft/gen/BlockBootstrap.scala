@@ -23,32 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object BlockBootstrap {
 
-  /** @param prices single ordered series (orderCols define the order)
-    * @param value  price column (must be > 0)
-    */
-  def generate(prices: DataFrame, orderCols: Seq[String], value: String,
-               blockSize: Int, n: Int, seed: Long): DataFrame = {
-    val spark = prices.sparkSession
-    import spark.implicits._
-
-    val indexed = prices
+  private def indexed(prices: DataFrame, orderCols: Seq[String],
+                      value: String): DataFrame =
+    prices
       .withColumn("rn",
         row_number().over(Window.orderBy(orderCols.map(col): _*)) - 1)
       .select(col("rn"), col(value).cast("double").as("p"))
-    val total = indexed.count()
-    require(total >= blockSize, s"need >= $blockSize rows, got $total")
 
-    val nBlocks = n / blockSize + 2
-    val rnd = new scala.util.Random(seed)
-    val starts = Array.fill(nBlocks)(rnd.nextInt((total - blockSize + 1).toInt))
-    val blocks = starts.zipWithIndex
-      .map { case (s, b) => (b, s) }.toSeq.toDF("block_id", "start")
-
+  /** The telescoped rescale chain over explicit (block_id, start) rows:
+    * shared by the seeded and the deterministic-stride paths. */
+  private def chainBlocks(idx: DataFrame, blocks: DataFrame,
+                          blockSize: Int, n: Int): DataFrame = {
     val positions = blocks
       .select(col("block_id"), col("start"),
         explode(sequence(lit(0), lit(blockSize - 1))).as("pos"))
       .withColumn("rn", col("start") + col("pos"))
-    val rows = positions.join(indexed, "rn")
+    val rows = positions.join(idx, "rn")
       .select(col("block_id"), col("pos"), col("p"))
 
     val perBlock = rows.groupBy(col("block_id")).agg(
@@ -66,5 +56,42 @@ object BlockBootstrap {
       .withColumn("rn", col("block_id") * blockSize + col("pos"))
       .filter(col("rn") < n)
       .select(col("rn"), exp(log(col("p")) + col("ln_scale")).as("typical_price"))
+  }
+
+  /** @param prices single ordered series (orderCols define the order)
+    * @param value  price column (must be > 0)
+    */
+  def generate(prices: DataFrame, orderCols: Seq[String], value: String,
+               blockSize: Int, n: Int, seed: Long): DataFrame = {
+    val spark = prices.sparkSession
+    import spark.implicits._
+
+    val idx = indexed(prices, orderCols, value)
+    val total = idx.count()
+    require(total >= blockSize, s"need >= $blockSize rows, got $total")
+
+    val nBlocks = n / blockSize + 2
+    val rnd = new scala.util.Random(seed)
+    val starts = Array.fill(nBlocks)(rnd.nextInt((total - blockSize + 1).toInt))
+    val blocks = starts.zipWithIndex
+      .map { case (s, b) => (b, s) }.toSeq.toDF("block_id", "start")
+    chainBlocks(idx, blocks, blockSize, n)
+  }
+
+  /** Deterministic variant: block b starts at (b·stride) mod
+    * (total − blockSize + 1). Exercises the identical block/rescale
+    * chain with zero RNG, so the whole output is oracle-checkable SQL —
+    * the fit-stage correctness witness for the seeded [[generate]]. */
+  def generateStrided(prices: DataFrame, orderCols: Seq[String], value: String,
+                      blockSize: Int, n: Int, stride: Int = 523): DataFrame = {
+    val spark = prices.sparkSession
+    val idx = indexed(prices, orderCols, value)
+    val total = idx.count()
+    require(total >= blockSize, s"need >= $blockSize rows, got $total")
+    val nBlocks = n / blockSize + 2
+    val blocks = spark.range(nBlocks)
+      .select(col("id").cast("int").as("block_id"),
+        ((col("id") * stride) % lit(total - blockSize + 1)).cast("int").as("start"))
+    chainBlocks(idx, blocks, blockSize, n)
   }
 }

@@ -77,6 +77,53 @@ object Grasynda {
     GrasyndaModel(interior, transition, pools, startProbs)
   }
 
+  /** The fit ARTIFACT as a checkable DataFrame — one row per observed
+    * (state → next_state) transition carrying the transition prob plus
+    * the from-state's pool statistics and start probability. Exactly the
+    * deterministic stage of [[fit]] (same edges, same digitize, same
+    * counts), emitted distributed so the DuckDB oracle can verify the
+    * whole fit without touching the seeded walk. */
+  def fitFrame(returns: DataFrame, orderCols: Seq[String], value: String,
+               nBins: Int = 10): DataFrame = {
+    val v = col(value).cast("double")
+    val data = returns.filter(v.isNotNull)
+      .withColumn("rn", row_number().over(Window.orderBy(orderCols.map(col): _*)))
+      .select(col("rn"), v.as("v"))
+
+    val probs = (0 to nBins).map(i => i.toDouble / nBins)
+    val edges = data.agg(
+      expr(s"percentile(v, array(${probs.mkString(",")}))")).first()
+      .getSeq[Double](0).distinct.sorted.toArray
+    val interior = edges.slice(1, edges.length - 1)
+    val edgeLit = array(interior.map(lit): _*)
+    val stated = data.withColumn("state",
+      size(filter(edgeLit, e => e <= col("v"))))
+
+    val w = Window.orderBy(col("rn"))
+    val trans = stated
+      .withColumn("next_state", lead(col("state"), 1).over(w))
+      .filter(col("next_state").isNotNull)
+      .groupBy(col("state"), col("next_state"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prob",
+        round(col("cnt").cast("double")
+          / sum(col("cnt")).over(Window.partitionBy(col("state"))), 6))
+
+    val poolStats = stated.groupBy(col("state")).agg(
+      count(lit(1)).as("pool_n"),
+      round(avg(col("v")), 8).as("pool_mean"),
+      round(stddev_pop(col("v")), 8).as("pool_std"))
+    val total = Window.partitionBy()
+    val starts = poolStats.select(col("state"),
+      round(col("pool_n").cast("double") / sum(col("pool_n")).over(total), 6)
+        .as("start_prob"))
+
+    trans.join(poolStats, "state").join(starts, "state")
+      .select(col("state"), col("next_state"), col("cnt"), col("prob"),
+        col("pool_n"), col("pool_mean"), col("pool_std"), col("start_prob"))
+      .orderBy(col("state"), col("next_state"))
+  }
+
   private def sampleCat(probs: Array[Double], u: Double): Int = {
     var acc = 0.0; var i = 0
     while (i < probs.length - 1) {

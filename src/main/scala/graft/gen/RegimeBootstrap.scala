@@ -94,6 +94,42 @@ object RegimeBootstrap {
       transition, start)
   }
 
+  /** The deterministic segmentation stage of [[fit]] as a checkable
+    * DataFrame: one row per contiguous same-regime run (length ≥
+    * minBlock) with its regime label and return statistics. Same
+    * rolling-vol → backfill → quantile-digitize → run-segmentation
+    * pipeline the fit collects blocks from, so the DuckDB oracle
+    * verifies the fit's data-shaped work end-to-end. */
+  def fitFrame(prices: DataFrame, orderCols: Seq[String], price: String,
+               nRegimes: Int = 3, volWindow: Int = 24,
+               minBlock: Int = 3): DataFrame = {
+    val spec = SeriesSpec(Nil, orderCols)
+    val rets = SeriesOps.logReturns(prices, spec, price, "ret")
+      .filter(col("ret").isNotNull)
+      .withColumn("rn", row_number().over(spec.w))
+    val rspec = SeriesSpec(Nil, Seq("rn"))
+    val withVol = SeriesOps.backfill(
+      SeriesOps.rollingStd(rets, rspec, "ret", volWindow, volWindow / 2, "vol"),
+      rspec, "vol", "volf")
+    val probs = (1 until nRegimes).map(i => i.toDouble / nRegimes)
+    val edges = withVol.agg(
+      expr(s"percentile(volf, array(${probs.mkString(",")}))")).first()
+      .getSeq[Double](0).distinct.sorted.toArray
+    val edgeLit = array(edges.map(lit): _*)
+    val regimed = withVol.withColumn("regime",
+      size(filter(edgeLit, e => e <= col("volf"))))
+    SeriesOps.runSegments(regimed, rspec, "regime", "segment")
+      .groupBy(col("segment"))
+      .agg(first(col("regime")).as("regime"),
+        count(lit(1)).as("len"),
+        round(avg(col("ret")), 8).as("mean_ret"),
+        round(stddev_pop(col("ret")), 8).as("std_ret"))
+      .filter(col("len") >= minBlock)
+      .select(col("segment").cast("long").as("segment"), col("regime"),
+        col("len"), col("mean_ret"), col("std_ret"))
+      .orderBy(col("segment"))
+  }
+
   private def sampleCat(probs: Array[Double], u: Double): Int = {
     var acc = 0.0; var i = 0
     while (i < probs.length - 1) {

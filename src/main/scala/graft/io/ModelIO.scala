@@ -129,6 +129,35 @@ object ModelIO {
       Map("omega" -> fit.omega, "alpha" -> fit.alpha, "beta" -> fit.beta,
         "long_run_var" -> fit.longRunVar, "log_lik" -> fit.logLik)))
 
+  /** S5: MLP decoder weights (the VAE/VAE-GAN training artifact the G1
+    * inference generator consumes — the flat-JSON analogue of the
+    * reference's `.parts/decoder.keras`, vae_gan_trainer.py:318-340). */
+  def saveMlp(dec: graft.gen.MlpDecoder, path: String): Unit =
+    Files.writeString(Paths.get(path), mapper.writeValueAsString(Map(
+      "weights" -> dec.weights, "biases" -> dec.biases,
+      "activation" -> dec.activation)))
+
+  def loadMlp(path: String): graft.gen.MlpDecoder = {
+    val n = mapper.readTree(Files.readString(Paths.get(path)))
+    def arr(node: com.fasterxml.jackson.databind.JsonNode): Array[Double] = {
+      val it = node.elements(); val b = Array.newBuilder[Double]
+      while (it.hasNext) b += it.next().asDouble()
+      b.result()
+    }
+    def mat(node: com.fasterxml.jackson.databind.JsonNode): Array[Array[Double]] = {
+      val it = node.elements(); val b = Array.newBuilder[Array[Double]]
+      while (it.hasNext) b += arr(it.next())
+      b.result()
+    }
+    def cube(node: com.fasterxml.jackson.databind.JsonNode): Array[Array[Array[Double]]] = {
+      val it = node.elements(); val b = Array.newBuilder[Array[Array[Double]]]
+      while (it.hasNext) b += mat(it.next())
+      b.result()
+    }
+    graft.gen.MlpDecoder(cube(n.get("weights")), mat(n.get("biases")),
+      n.get("activation").asText())
+  }
+
   def loadGarch(path: String): GarchFit = {
     val n = mapper.readTree(Files.readString(Paths.get(path)))
     GarchFit(n.get("omega").asDouble(), n.get("alpha").asDouble(),

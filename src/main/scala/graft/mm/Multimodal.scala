@@ -65,11 +65,13 @@ object Multimodal {
         val b0 = if (b.nonEmpty) b(0) & 0xff else 0
         val b1 = if (b.length > 1) b(1) & 0xff else 0
         val feature = Array.tabulate(featureDim) { j =>
-          // STUB feature: rolling byte hash per dimension, unit-ish scale
-          var acc = j + 1
+          // STUB feature: position-weighted byte sum per dimension
+          // (order-independent, so the DuckDB oracle can express it as
+          // a plain aggregate), unit-ish scale
+          var acc = 0L
           var i = j
-          while (i < b.length) { acc = acc * 31 + (b(i) & 0xff); i += featureDim }
-          (acc % 1000) / 1000.0f
+          while (i < b.length) { acc += (i + 1).toLong * (b(i) & 0xff); i += featureDim }
+          ((acc % 1000L) / 1000.0).toFloat
         }
         DecodedMedia(
           media_id = m.media_id,

@@ -93,6 +93,30 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Near-dup pairs within explicit blocks, ADDITIONALLY banded by
+    * sign-LSH bucket so no stage is quadratic in block size: the join
+    * key is (block, bucket), bounding each pair group to the vectors
+    * that agree on every hyperplane sign. With p planes the expected
+    * group is |block|/2^p — the scale-safe default where
+    * [[blockedNearDupPairs]] is the small-scale exact counterpart. */
+  def bandedNearDupPairs(df: DataFrame, id: String, vec: String,
+                         block: String, threshold: Double,
+                         planes: Array[Array[Double]],
+                         roundTo: Int = 5): DataFrame = {
+    val bucketed = signBuckets(df, vec, planes)
+      .withColumn("_n", dot(col(vec), col(vec)))
+    val a = bucketed.select(col(block), col("bucket"), col(id).as("id_a"),
+      col(vec).as("va"), col("_n").as("na"))
+    val b = bucketed.select(col(block), col("bucket"), col(id).as("id_b"),
+      col(vec).as("vb"), col("_n").as("nb"))
+    a.join(b, Seq(block, "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), roundTo))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Exact near-dup pairs within explicit blocks (e.g. a label column) —
     * the oracle-checkable counterpart of [[lshNearDupPairs]]. */
   def blockedNearDupPairs(df: DataFrame, id: String, vec: String,

@@ -11,6 +11,11 @@ import graft.series.{SeriesOps, SeriesSpec}
   */
 object SeriesStats {
 
+  /** Bound on any single-series driver collect (Hurst/ADF/FFT legs):
+    * statistics fitted on an ordered prefix of at most this many rows,
+    * making the collect O(1) in input scale. */
+  val MaxCollectRows: Int = 20000
+
   /** A10: autocorrelation of `value` at lag k (Pearson corr of the
     * series with its own lag; pairs with a null lag are skipped — same
     * as np.corrcoef over the aligned slices).
@@ -64,10 +69,17 @@ object SeriesStats {
     * at 100k rows. The final slope is a one-row regr_slope agg.
     * Output: single row (hurst, n_lags).
     */
-  def hurst(df: DataFrame, spec: SeriesSpec, value: String): DataFrame = {
+  def hurst(df: DataFrame, spec: SeriesSpec, value: String,
+            maxRows: Int = SeriesStats.MaxCollectRows): DataFrame = {
     val spark = df.sparkSession
+    // CONTRACT: the R/S fit runs on an ordered prefix of ≤ maxRows
+    // observations (the reference fits on ≤ ~7.4k rows; R/S slope
+    // estimates stabilize well below this cap). This bounds the driver
+    // collect regardless of input scale — the cluster dimension for
+    // Hurst at 100 TB is many series, not one unbounded one.
     val series = df
       .orderBy(spec.orderCols.map(col): _*)
+      .limit(maxRows)
       .select(col(value).cast("double"))
       .collect().map(_.getDouble(0))
     val n = series.length

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   *    bits gives the banding (pairs differing only in low bits collide).
   */
 object Dedup {
+
+  /** Portable 60-bit hash: the first 15 hex chars of md5(seed|s) parsed
+    * as a base-16 integer. md5 is bit-identical across engines, so the
+    * DuckDB oracle computes the same value with
+    * `('0x' || substr(md5(seed || '|' || s), 1, 15))::BIGINT` — unlike
+    * xxhash64/murmur, which are engine-specific. Always positive
+    * (< 2⁶⁰), so no sign-extension hazards in shifts/buckets. */
+  def h64(c: Column, seed: Int): Column =
+    conv(substring(md5(concat_ws("|", lit(seed.toString), c)), 1, 15), 16, 10)
+      .cast("long")
 
   /** Exact dedup: keeper = min id per md5(text); n = group size. */
   def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
@@ -61,13 +71,13 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numPerm` hash seeds, the min
-    * xxhash64(seed ⧺ shingle) over the doc's shingles. One row per doc,
+    * [[h64]](seed, shingle) over the doc's shingles. One row per doc,
     * signature as an array column. */
   def minhashSignatures(df: DataFrame, id: String, text: String, k: Int = 5,
                         numPerm: Int = 64): DataFrame = {
     val sh = TextOps.shingles(df, id, text, k)
     val hashCols = (0 until numPerm).map(s =>
-      min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
+      min(h64(col("shingle"), s)).as(s"h$s"))
     sh.groupBy(col(id)).agg(hashCols.head, hashCols.tail: _*)
       .select(col(id), array((0 until numPerm).map(s => col(s"h$s")): _*).as("sig"))
   }
@@ -81,9 +91,13 @@ object Dedup {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
     val sigs = minhashSignatures(df, id, text, k, numPerm)
+    // band bucket = md5 of the comma-joined signature slice — portable
+    // (long→decimal-string rendering is identical in both engines)
     val banded = sigs.select(col(id), col("sig"),
       posexplode(array((0 until bands).map(b =>
-        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        md5(concat_ws(",",
+          (0 until rowsPerBand).map(r =>
+            col("sig")(b * rowsPerBand + r).cast("string")): _*))): _*))
         .as(Seq("band", "bucket")))
     val a = banded.select(col(id).as("id_a"), col("sig").as("sig_a"),
       col("band"), col("bucket"))
@@ -102,30 +116,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** 64-bit SimHash per document: bit j is the sign of Σ_tokens (±1)
-    * where the sign comes from bit j of xxhash64(token). Token weights
+  /** SimHash bit width: 60 (the [[h64]] hash is 60-bit, so higher sign
+    * bits can never be set — keeping the signature positive and shift
+    * semantics identical across engines). */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash per document: bit j is the sign of Σ_tokens (±1)
+    * where the sign comes from bit j of [[h64]](token). Token weights
     * = term frequency (each occurrence votes). */
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
-    val toks = TextOps.tokens(df, text).withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map(j =>
+    val toks = TextOps.tokens(df, text).withColumn("h", h64(col("token"), 0))
+    val bitSums = (0 until SimhashBits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
     toks.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
       .select(col(id),
-        (0 until 64).map(j =>
+        (0 until SimhashBits).map(j =>
           when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: bucket on the high 16 bits (cheap band),
-    * verify with Hamming distance ≤ maxHamming via bit_count(xor). */
+  /** SimHash near-dup pairs: FOUR rotated 15-bit bands (bits 0–14,
+    * 15–29, 30–44, 45–59); a pair is a candidate if ANY band matches.
+    * Pigeonhole: ≤ 3 differing bits cannot touch all 4 bands, so recall
+    * is 100% for maxHamming ≤ 3 (the single-high-band variant missed
+    * pairs whose differing bits all fell in the band). Verified with
+    * exact Hamming distance via bit_count(xor). */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3): DataFrame = {
     val sigs = simhash(df, id, text)
-      .withColumn("bucket", shiftright(col("simhash"), 48))
-    val a = sigs.select(col(id).as("id_a"), col("simhash").as("s_a"), col("bucket"))
-    val b = sigs.select(col(id).as("id_b"), col("simhash").as("s_b"), col("bucket"))
-    a.join(b, "bucket")
+    val banded = sigs.select(col(id), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFF)): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col(id).as("id_a"), col("simhash").as("s_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col(id).as("id_b"), col("simhash").as("s_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .distinct()
       .withColumn("hamming", bit_count(col("s_a").bitwiseXOR(col("s_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

@@ -1,0 +1,392 @@
+package graft.train
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.MlpDecoder
+import graft.series.{SeriesOps, SeriesSpec}
+import graft.stats.Mmd
+
+/** §2.12 trainers: VAE with optional adversarial (GAN) refinement over
+  * typical-price log-return windows — the reference's flagship training
+  * path re-expressed for the Spark contract.
+  * Ref: vae_gan_trainer.py:46-124 (MLP encoder/decoder/discriminator
+  * builders), :220-300 (3-step loop: VAE grad step with
+  * recon + annealed KL + MMD, discriminator BCE step, generator
+  * adversarial step), :302-316 (early stopping); vae_trainer.py:30-113
+  * is the same loop minus the two GAN steps (`adversarial = false`).
+  *
+  * Scale split (SURVEY §7.4.2/§7.4.4): the window PREP is Spark
+  * (log-returns + sliding windows — the data-sized work); the gradient
+  * loop runs on the driver over a bounded window sample (the models are
+  * tiny MLPs — thousands of parameters — where a distributed step would
+  * be all shuffle and no math). At 100 TB the cluster dimension is many
+  * series × many configs, each a driver-bounded fit like this one.
+  *
+  * Deviations from the reference (documented, not hidden):
+  *  - no dropout in the discriminator (regularization-only; keeps the
+  *    backward pass exact and the run deterministic);
+  *  - no L2 kernel regularizers (same reason);
+  *  - Adam without the reference's Keras epsilon-inside-sqrt variant
+  *    (standard Adam, ε outside).
+  *
+  * Determinism: every random draw (init, shuffle, ε, noise z) comes
+  * from one seeded RNG stream ⇒ same seed, same data ⇒ bit-identical
+  * weights. Verified in VaeTrainerSpec.
+  */
+object VaeTrainer {
+
+  /** One dense layer with cached-forward / manual-backward and Adam
+    * state. Batched rows (batch × dim). */
+  final class Dense(val inDim: Int, val outDim: Int, act: String,
+                    rnd: scala.util.Random) {
+    private val limit = math.sqrt(6.0 / (inDim + outDim)) // Glorot uniform
+    val w: Array[Array[Double]] = Array.fill(outDim, inDim)((rnd.nextDouble() * 2 - 1) * limit)
+    val b: Array[Double] = new Array[Double](outDim)
+    private val mW = Array.ofDim[Double](outDim, inDim)
+    private val vW = Array.ofDim[Double](outDim, inDim)
+    private val mB = new Array[Double](outDim)
+    private val vB = new Array[Double](outDim)
+    val gW: Array[Array[Double]] = Array.ofDim[Double](outDim, inDim)
+    val gB: Array[Double] = new Array[Double](outDim)
+
+    private def phi(x: Double): Double = act match {
+      case "tanh" => math.tanh(x)
+      case "lrelu" => if (x >= 0) x else 0.2 * x
+      case "sigmoid" => 1.0 / (1.0 + math.exp(-x))
+      case _ => x // linear
+    }
+    private def dphi(pre: Double, out: Double): Double = act match {
+      case "tanh" => 1.0 - out * out
+      case "lrelu" => if (pre >= 0) 1.0 else 0.2
+      case "sigmoid" => out * (1.0 - out)
+      case _ => 1.0
+    }
+
+    /** Returns (preActivations, outputs), both batch × outDim. */
+    def forward(x: Array[Array[Double]]): (Array[Array[Double]], Array[Array[Double]]) = {
+      val n = x.length
+      val pre = Array.ofDim[Double](n, outDim)
+      val out = Array.ofDim[Double](n, outDim)
+      var r = 0
+      while (r < n) {
+        val xi = x(r)
+        var o = 0
+        while (o < outDim) {
+          var acc = b(o); val row = w(o)
+          var i = 0
+          while (i < inDim) { acc += row(i) * xi(i); i += 1 }
+          pre(r)(o) = acc
+          out(r)(o) = phi(acc)
+          o += 1
+        }
+        r += 1
+      }
+      (pre, out)
+    }
+
+    /** Accumulates gW/gB, returns dL/dx (batch × inDim). */
+    def backward(x: Array[Array[Double]], pre: Array[Array[Double]],
+                 out: Array[Array[Double]],
+                 gOut: Array[Array[Double]]): Array[Array[Double]] = {
+      val n = x.length
+      val gIn = Array.ofDim[Double](n, inDim)
+      var r = 0
+      while (r < n) {
+        var o = 0
+        while (o < outDim) {
+          val d = gOut(r)(o) * dphi(pre(r)(o), out(r)(o))
+          gB(o) += d
+          val row = w(o); val grow = gW(o); val xi = x(r); val gi = gIn(r)
+          var i = 0
+          while (i < inDim) {
+            grow(i) += d * xi(i)
+            gi(i) += d * row(i)
+            i += 1
+          }
+          o += 1
+        }
+        r += 1
+      }
+      gIn
+    }
+
+    def zeroGrad(): Unit = {
+      var o = 0
+      while (o < outDim) {
+        java.util.Arrays.fill(gW(o), 0.0); gB(o) = 0.0; o += 1
+      }
+    }
+
+    /** Adam update from accumulated grads; `t` is the 1-based step. */
+    def adam(lr: Double, t: Int, b1: Double = 0.9, b2: Double = 0.999,
+             eps: Double = 1e-8): Unit = {
+      val c1 = 1.0 - math.pow(b1, t)
+      val c2 = 1.0 - math.pow(b2, t)
+      var o = 0
+      while (o < outDim) {
+        var i = 0
+        while (i < inDim) {
+          val g = gW(o)(i)
+          mW(o)(i) = b1 * mW(o)(i) + (1 - b1) * g
+          vW(o)(i) = b2 * vW(o)(i) + (1 - b2) * g * g
+          w(o)(i) -= lr * (mW(o)(i) / c1) / (math.sqrt(vW(o)(i) / c2) + eps)
+          i += 1
+        }
+        val g = gB(o)
+        mB(o) = b1 * mB(o) + (1 - b1) * g
+        vB(o) = b2 * vB(o) + (1 - b2) * g * g
+        b(o) -= lr * (mB(o) / c1) / (math.sqrt(vB(o) / c2) + eps)
+        o += 1
+      }
+    }
+  }
+
+  final case class TrainConfig(
+      windowSize: Int = 24,
+      latentDim: Int = 8,
+      hidden: Int = 64,
+      epochs: Int = 30,
+      batchSize: Int = 64,
+      learningRate: Double = 1e-3,
+      discriminatorLr: Double = 1e-4,
+      generatorLr: Double = 1e-4,
+      klWeight: Double = 0.1,
+      klAnnealEpochs: Int = 10,
+      mmdLambda: Double = 0.1,
+      adversarial: Boolean = true, // false = plain VAE (vae_trainer.py)
+      earlyPatience: Int = 8,
+      startFromEpoch: Int = 15,
+      minDelta: Double = 1e-7,
+      maxWindows: Int = 20000,
+      seed: Long = 42L)
+
+  final case class TrainResult(decoder: MlpDecoder,
+                               epochMetrics: Vector[Map[String, Double]])
+
+  /** Spark leg: log-return sliding windows of the price column,
+    * collected as a bounded matrix (ref prepare_training_data with
+    * use_returns=true). */
+  def prepareWindows(prices: DataFrame, orderCols: Seq[String], price: String,
+                     windowSize: Int, maxWindows: Int): Array[Array[Double]] = {
+    val spec = SeriesSpec(Nil, orderCols)
+    val rets = SeriesOps.logReturns(prices, spec, price, "ret")
+      .filter(col("ret").isNotNull)
+      .withColumn("rn", row_number().over(spec.w))
+    SeriesOps.slidingWindows(rets, SeriesSpec(Nil, Seq("rn")), "ret",
+        windowSize, "window")
+      .orderBy(col("rn")).limit(maxWindows)
+      .select(col("window")).collect()
+      .map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Train on pre-extracted windows (driver loop). */
+  def trainOnWindows(windows: Array[Array[Double]], cfg: TrainConfig): TrainResult = {
+    require(windows.nonEmpty, "no training windows")
+    val ws = cfg.windowSize; val ld = cfg.latentDim
+    require(windows.head.length == ws, "window width mismatch")
+    val rnd = new scala.util.Random(cfg.seed)
+
+    // encoder: ws -> hidden(tanh) -> {mu, logVar}; decoder: ld -> hidden(tanh) -> ws
+    val enc1 = new Dense(ws, cfg.hidden, "tanh", rnd)
+    val encMu = new Dense(cfg.hidden, ld, "linear", rnd)
+    val encLv = new Dense(cfg.hidden, ld, "linear", rnd)
+    val dec1 = new Dense(ld, cfg.hidden, "tanh", rnd)
+    val dec2 = new Dense(cfg.hidden, ws, "linear", rnd)
+    // discriminator: ws -> 64(lrelu) -> 32(lrelu) -> 1 (linear head;
+    // sigmoid applied outside so the fused sigmoid+BCE gradient (p - t)
+    // feeds the pre-activation directly — numerically exact even when
+    // the sigmoid saturates)
+    val d1 = new Dense(ws, 64, "lrelu", rnd)
+    val d2 = new Dense(64, 32, "lrelu", rnd)
+    val d3 = new Dense(32, 1, "linear", rnd)
+
+    val vaeLayers = Seq(enc1, encMu, encLv, dec1, dec2)
+    val genLayers = Seq(dec1, dec2)
+    val discLayers = Seq(d1, d2, d3)
+
+    /** Forward through the disc; o3 holds the LOGIT, prob = sigmoid(o3). */
+    def discForward(x: Array[Array[Double]]) = {
+      val (p1, o1) = d1.forward(x)
+      val (p2, o2) = d2.forward(o1)
+      val (p3, o3) = d3.forward(o2)
+      (p1, o1, p2, o2, p3, o3)
+    }
+    def sigm(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
+    /** Fused sigmoid+BCE gradient: dL/dlogit = (σ(logit) − target)·scale/n.
+      * Backprops the disc (accumulating its grads) and returns dL/dx
+      * for the generator leg. */
+    def discBackward(x: Array[Array[Double]],
+                     f: (Array[Array[Double]], Array[Array[Double]], Array[Array[Double]],
+                         Array[Array[Double]], Array[Array[Double]], Array[Array[Double]]),
+                     target: Double, scale: Double): Array[Array[Double]] = {
+      val (p1, o1, p2, o2, p3, o3) = f
+      val n = x.length
+      val gLogit = Array.tabulate(n, 1)((r, _) =>
+        (sigm(o3(r)(0)) - target) * scale / n)
+      val g2 = d3.backward(o2, p3, o3, gLogit)
+      val g1 = d2.backward(o1, p2, o2, g2)
+      d1.backward(x, p1, o1, g1)
+    }
+
+    val nW = windows.length
+    val bs = math.min(cfg.batchSize, nW)
+    val history = Vector.newBuilder[Map[String, Double]]
+    var best = Double.MaxValue
+    var staleCount = 0
+    var adamT = 0
+    var epoch = 1
+    var stopped = false
+    while (epoch <= cfg.epochs && !stopped) {
+      val klW = cfg.klWeight * math.min(1.0, epoch.toDouble / math.max(cfg.klAnnealEpochs, 1))
+      val order = rnd.shuffle((0 until nW).toVector)
+      var ofs = 0
+      var sRecon = 0.0; var sKl = 0.0; var sMmd = 0.0; var sD = 0.0; var sG = 0.0
+      var nBatches = 0
+      while (ofs < nW) {
+        val idx = order.slice(ofs, math.min(ofs + bs, nW))
+        val batch = idx.map(windows).toArray
+        val n = batch.length
+        adamT += 1
+
+        // ── VAE step ──
+        vaeLayers.foreach(_.zeroGrad())
+        val (pe1, he1) = enc1.forward(batch)
+        val (pmu, mu) = encMu.forward(he1)
+        val (plv, lv) = encLv.forward(he1)
+        val eps = Array.fill(n, ld)(rnd.nextGaussian())
+        val z = Array.tabulate(n, ld)((r, j) =>
+          mu(r)(j) + math.exp(0.5 * lv(r)(j)) * eps(r)(j))
+        val (pd1, hd1) = dec1.forward(z)
+        val (pd2, recon) = dec2.forward(hd1)
+
+        var recL = 0.0
+        val gRecon = Array.ofDim[Double](n, ws)
+        var r = 0
+        while (r < n) {
+          var jj = 0
+          while (jj < ws) {
+            val d = recon(r)(jj) - batch(r)(jj)
+            recL += d * d
+            gRecon(r)(jj) = 2.0 * d / (n * ws)
+            jj += 1
+          }
+          r += 1
+        }
+        recL /= (n * ws)
+        var klL = 0.0
+        r = 0
+        while (r < n) {
+          var jj = 0
+          while (jj < ld) {
+            val l = lv(r)(jj); val m = mu(r)(jj)
+            klL += -0.5 * (1.0 + l - m * m - math.exp(l))
+            jj += 1
+          }
+          r += 1
+        }
+        klL /= (n * ld)
+        // MMD (ref _mmd_loss) + its gradient wrt recon
+        val gamma = Mmd.defaultGamma(batch)
+        val mmdL = Mmd.gaussian(batch, recon, gamma)
+        val gMmd = Mmd.gradWrtSecond(batch, recon, gamma)
+        r = 0
+        while (r < n) {
+          var jj = 0
+          while (jj < ws) {
+            gRecon(r)(jj) += cfg.mmdLambda * gMmd(r)(jj)
+            jj += 1
+          }
+          r += 1
+        }
+        // backward: decoder then split into mu / lv paths
+        val gHd1 = dec2.backward(hd1, pd2, recon, gRecon)
+        val gZ = dec1.backward(z, pd1, hd1, gHd1)
+        val gMu = Array.ofDim[Double](n, ld)
+        val gLv = Array.ofDim[Double](n, ld)
+        r = 0
+        while (r < n) {
+          var jj = 0
+          while (jj < ld) {
+            val m = mu(r)(jj); val l = lv(r)(jj)
+            gMu(r)(jj) = gZ(r)(jj) + klW * (m / (n * ld))
+            gLv(r)(jj) = gZ(r)(jj) * eps(r)(jj) * 0.5 * math.exp(0.5 * l) +
+              klW * (-0.5 * (1.0 - math.exp(l)) / (n * ld))
+            jj += 1
+          }
+          r += 1
+        }
+        val gHe1a = encMu.backward(he1, pmu, mu, gMu)
+        val gHe1b = encLv.backward(he1, plv, lv, gLv)
+        val gHe1 = Array.tabulate(n, cfg.hidden)((a, c) => gHe1a(a)(c) + gHe1b(a)(c))
+        enc1.backward(batch, pe1, he1, gHe1)
+        vaeLayers.foreach(_.adam(cfg.learningRate, adamT))
+
+        var dL = 0.0; var gL = 0.0
+        if (cfg.adversarial) {
+          // ── discriminator step ── (fake from frozen decoder on noise)
+          discLayers.foreach(_.zeroGrad())
+          val noise1 = Array.fill(n, ld)(rnd.nextGaussian())
+          val fake1 = dec2.forward(dec1.forward(noise1)._2)._2
+          val fR = discForward(batch)
+          val fF = discForward(fake1)
+          def bce(p: Double, t: Double): Double = {
+            val c = math.max(1e-7, math.min(1 - 1e-7, p))
+            -(t * math.log(c) + (1 - t) * math.log(1 - c))
+          }
+          dL = (batch.indices.map(i => bce(sigm(fR._6(i)(0)), 1.0)).sum / n +
+            batch.indices.map(i => bce(sigm(fF._6(i)(0)), 0.0)).sum / n) / 2.0
+          discBackward(batch, fR, 1.0, 0.5)
+          discBackward(fake1, fF, 0.0, 0.5)
+          discLayers.foreach(_.adam(cfg.discriminatorLr, adamT))
+
+          // ── generator adversarial step ── (disc frozen)
+          genLayers.foreach(_.zeroGrad())
+          val noise2 = Array.fill(n, ld)(rnd.nextGaussian())
+          val (pg1, hg1) = dec1.forward(noise2)
+          val (pg2, fake2) = dec2.forward(hg1)
+          val fF2 = discForward(fake2)
+          gL = batch.indices.map(i => bce(sigm(fF2._6(i)(0)), 1.0)).sum / n
+          // dL/dfake through the (frozen) disc: save+restore disc grads
+          discLayers.foreach(_.zeroGrad())
+          val gFake = discBackward(fake2, fF2, 1.0, 1.0)
+          discLayers.foreach(_.zeroGrad()) // discard disc grads (frozen)
+          val gHg1 = dec2.backward(hg1, pg2, fake2, gFake)
+          dec1.backward(noise2, pg1, hg1, gHg1)
+          genLayers.foreach(_.adam(cfg.generatorLr, adamT))
+        }
+
+        sRecon += recL; sKl += klL; sMmd += mmdL; sD += dL; sG += gL
+        nBatches += 1
+        ofs += bs
+      }
+      val avgRecon = sRecon / nBatches
+      val avgKl = sKl / nBatches
+      val avgMmd = sMmd / nBatches
+      val total = avgRecon + klW * avgKl + cfg.mmdLambda * avgMmd
+      history += Map("epoch" -> epoch.toDouble, "recon" -> avgRecon,
+        "kl" -> avgKl, "mmd" -> avgMmd, "d_loss" -> sD / nBatches,
+        "g_loss" -> sG / nBatches, "total" -> total)
+      if (epoch >= cfg.startFromEpoch) {
+        if (total < best - cfg.minDelta) { best = total; staleCount = 0 }
+        else staleCount += 1
+        if (staleCount >= cfg.earlyPatience) stopped = true
+      }
+      epoch += 1
+    }
+
+    val decoder = MlpDecoder(
+      Array(dec1.w.map(_.clone()), dec2.w.map(_.clone())),
+      Array(dec1.b.clone(), dec2.b.clone()),
+      activation = "tanh")
+    TrainResult(decoder, history.result())
+  }
+
+  /** Full path: Spark window prep + driver training. */
+  def train(prices: DataFrame, orderCols: Seq[String], price: String,
+            cfg: TrainConfig = TrainConfig()): TrainResult = {
+    val windows = prepareWindows(prices, orderCols, price,
+      cfg.windowSize, cfg.maxWindows)
+    trainOnWindows(windows, cfg)
+  }
+}
