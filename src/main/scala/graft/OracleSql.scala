@@ -34,6 +34,16 @@ object OracleSql {
       s"(CASE WHEN list_inner_product($v, ${planeLit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Multi-band banded rows as a UNION ALL over per-band bucket exprs —
+    * mirrors [[graft.sim.Similarity.bandPlanes]] + posexplode. `cols`
+    * are the passthrough columns of the source CTE `src` (must include
+    * the vector column named in `v`). */
+  private def bandedSql(src: String, cols: String, v: String,
+                        planes: Array[Array[Array[Double]]]): String =
+    planes.zipWithIndex.map { case (p, b) =>
+      s"SELECT $cols, $b AS band, ${bucketExpr(v, p)} AS bucket FROM $src"
+    }.mkString("\nUNION ALL\n")
+
   /** Portable 60-bit hash — SQL twin of [[graft.text.Dedup.h64]]. */
   private def h64Sql(expr: String, seed: String): String =
     s"('0x' || substr(md5($seed || '|' || $expr), 1, 15))::BIGINT"
@@ -379,17 +389,22 @@ object OracleSql {
         |   ORDER BY cosine DESC, neighbor_id) AS rk FROM s) t
         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
-    // label-blocked + sign-LSH banded (4 planes, seed 7 — literal-embedded
-    // so both engines compute identical buckets)
+    // label-blocked + multi-band sign-LSH (4 bands × 3 planes, seed 7 —
+    // literal-embedded so both engines compute identical buckets)
     "q24_embed_neardup_blocked" ->
-      s"""WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b0 AS (SELECT label, vec_id, v,
-         |         ${bucketExpr("v", graft.sim.Similarity.hyperplanes(64, 4, 7L))} AS bucket,
-         |         list_inner_product(v,v) AS n FROM e),
-         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |        round(list_inner_product(a.v,b.v)/sqrt(a.n*b.n), 5) AS cosine
-         |      FROM b0 a JOIN b0 b ON a.label = b.label AND a.bucket = b.bucket
-         |      WHERE a.vec_id < b.vec_id)
+      s"""WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v,
+         |             list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
+         |           FROM embeddings),
+         |banded AS (
+         |${bandedSql("e", "label, vec_id, v, n", "v", graft.sim.Similarity.bandPlanes(64, 3, 4, 7L))}),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM banded a JOIN banded b
+         |           ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
+         |         WHERE a.vec_id < b.vec_id),
+         |p AS (SELECT id_a, id_b,
+         |        round(list_inner_product(ea.v, eb.v)/sqrt(ea.n*eb.n), 5) AS cosine
+         |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+         |                JOIN e eb ON eb.vec_id = cand.id_b)
          |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
@@ -570,17 +585,23 @@ object OracleSql {
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // sign-LSH ANN: 6 hyperplanes (seed 42) literal-embedded so both
-    // engines compute identical buckets; exact cosine verify
+    // multi-band sign-LSH ANN (8 bands × 4 planes, seed 42) — planes
+    // literal-embedded so both engines compute identical buckets;
+    // exact cosine verify
     "s01_lsh_ann" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b0 AS (SELECT vec_id, v,
-         |         ${bucketExpr("v", graft.sim.Similarity.hyperplanes(64, 6, 42L))} AS bucket,
-         |         list_inner_product(v,v) AS n FROM e),
-         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |        list_inner_product(a.v,b.v)/sqrt(a.n*b.n) AS cosine
-         |      FROM b0 a JOIN b0 b ON a.bucket = b.bucket
-         |      WHERE a.vec_id < b.vec_id)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |             list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
+         |           FROM embeddings),
+         |banded AS (
+         |${bandedSql("e", "vec_id, v, n", "v", graft.sim.Similarity.bandPlanes(64, 4, 8, 42L))}),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM banded a JOIN banded b
+         |           ON a.band = b.band AND a.bucket = b.bucket
+         |         WHERE a.vec_id < b.vec_id),
+         |p AS (SELECT id_a, id_b,
+         |        list_inner_product(ea.v, eb.v)/sqrt(ea.n*eb.n) AS cosine
+         |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+         |                JOIN e eb ON eb.vec_id = cand.id_b)
          |SELECT id_a, id_b, round(cosine,5) AS cosine FROM p WHERE cosine >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 

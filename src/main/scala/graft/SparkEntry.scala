@@ -284,7 +284,7 @@ object SparkEntry {
     //    remains the exact small-scale counterpart) ────────────────────
     "q24_embed_neardup_blocked" -> ((s, dir) => {
       Similarity.bandedNearDupPairs(emb(s, dir), "vec_id", "embedding",
-          "label", threshold = 0.3, Similarity.hyperplanes(64, 4, 7L))
+          "label", threshold = 0.3, Similarity.bandPlanes(64, 3, 4, 7L))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -505,10 +505,10 @@ object SparkEntry {
         .orderBy(col("avg_score"), col("config_id"))
     }),
 
-    // ── sign-LSH ANN near-dup (planes literal-embedded ⇒ oracled) ─────
+    // ── multi-band sign-LSH ANN near-dup (planes literal ⇒ oracled) ───
     "s01_lsh_ann" -> ((s, dir) => {
       Similarity.lshNearDupPairs(emb(s, dir), "vec_id", "embedding",
-          threshold = 0.3, nPlanes = 6, seed = 42L)
+          threshold = 0.3, nPlanes = 4, bands = 8, seed = 42L)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 5).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     }),

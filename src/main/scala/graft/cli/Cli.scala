@@ -70,6 +70,15 @@ object Cli {
             adversarial = cfg.str("generator") == "vae_gan",
             seed = cfg.long("seed")))
         ModelIO.saveMlp(r.decoder, cfg.str("model")); r.decoder
+      case "timegan" =>
+        // 3-phase TimeGAN (timegan_generator.py:120-175)
+        val e = cfg.int("epochs")
+        val r = graft.train.TimeGanTrainer.train(data, Order, Price,
+          graft.train.TimeGanTrainer.Config(
+            windowSize = math.min(cfg.int("window_size"), 48),
+            epochsAe = e, epochsSup = e, epochsJoint = e,
+            seed = cfg.long("seed")))
+        ModelIO.saveTimeGan(r.model, cfg.str("model")); r.model
       case g => throw new IllegalArgumentException(s"unknown trainable generator $g")
     }
     cfg.strOpt("save_config").foreach(GraftConfig.saveJson(cfg, _))
@@ -102,6 +111,12 @@ object Cli {
           .select(col(Price).cast("double")).collect().map(_.getDouble(0))
         DecoderGenerator.generate(spark, ModelIO.loadMlp(cfg.str("model")),
           anchors, n, seed)
+      case "timegan" =>
+        // G8 inference from a TRAINED artifact
+        val anchors = loadInput(spark, cfg)
+          .select(col(Price).cast("double")).collect().map(_.getDouble(0))
+        graft.gen.TimeGanGenerator.generate(spark,
+          ModelIO.loadTimeGan(cfg.str("model")), anchors, n, seed)
       case g => throw new IllegalArgumentException(s"unknown generator $g")
     }
     val withTs = if (out.columns.contains("DATE_TIME")) out

@@ -30,6 +30,7 @@ final case class MlpDecoder(
           if (l == weights.length - 1) acc // linear head
           else activation match {
             case "relu" => math.max(acc, 0.0)
+            case "lrelu" => if (acc >= 0) acc else 0.2 * acc
             case _ => math.tanh(acc)
           }
         o += 1

@@ -7,32 +7,34 @@ import org.apache.spark.sql.functions._
 import graft.series.{SeriesOps, SeriesSpec}
 
 /** Fitted G7 model: per-regime return stats + segment-label transition
-  * matrix (Laplace-smoothed 0.01, ref regime_gan.py:103-108). */
+  * matrix (Laplace-smoothed 0.01, ref regime_gan.py:103-108), plus the
+  * per-regime trained GAN generators (None ⇒ parametric fallback for
+  * that regime — the reference's own behavior, regime_gan.py:366-369). */
 final case class RegimeGanModel(
     nRegimes: Int,
     seqLen: Int,
     stats: Array[RegimeParams],
     transition: Array[Array[Double]],
-    startProbs: Array[Double])
+    startProbs: Array[Double],
+    gans: Array[Option[graft.train.GanTrainer.TrainedGan]] = Array.empty)
 
 /** G7: change-point regime generator.
   * Ref: sdg_plugins/generator/regime_gan.py — PELT change-point
   * detection over log returns → per-segment features (mean, std, skew,
-  * ac1, log length) → ward clustering into regimes → per-regime model →
-  * generation chains seq_len chunks via the transition matrix.
-  *
-  * The per-regime TINY GAN is explicitly out of the Spark engine's v1
-  * scope; the reference's own parametric Normal fallback
-  * (regime_gan.py:366-369 — used whenever a regime's GAN is absent) is
-  * the supported generation path here (SURVEY §2.9 G7 disposition).
-  * PELT + ward run on the driver over the bounded series (SURVEY
-  * §7.4.2); reconstruction (W2) is distributed.
+  * ac1, log length) → ward clustering into regimes → per-regime tiny
+  * GAN ([[graft.train.GanTrainer]], ref :127-218) → generation chains
+  * seq_len chunks via the transition matrix, sampling each chunk from
+  * the regime's GAN (parametric Normal fallback when a regime was too
+  * short to train — same as the reference).
+  * PELT + ward + the tiny GAN fits run on the driver over the bounded
+  * series (SURVEY §7.4.2); reconstruction (W2) is distributed.
   */
 object RegimeGan {
 
   def fit(prices: DataFrame, orderCols: Seq[String], price: String,
           nRegimes: Int = 4, minSegment: Int = 30, penalty: Double = 3.0,
-          seqLen: Int = 64): RegimeGanModel = {
+          seqLen: Int = 64, withGan: Boolean = true, ganEpochs: Int = 150,
+          seed: Long = 42L): RegimeGanModel = {
     val spec = SeriesSpec(Nil, orderCols)
     val rets = SeriesOps.logReturns(prices, spec, price, "ret")
       .filter(col("ret").isNotNull)
@@ -95,7 +97,17 @@ object RegimeGan {
       if (counts.sum > 0) counts.map(_ / counts.sum)
       else Array.fill(k)(1.0 / k)
 
-    RegimeGanModel(k, seqLen, stats, transN, startProbs)
+    // per-regime tiny GAN over the regime's pooled returns (ref :283-301;
+    // regimes shorter than one window keep None -> parametric fallback)
+    val gans: Array[Option[graft.train.GanTrainer.TrainedGan]] =
+      if (!withGan) Array.fill(k)(None)
+      else Array.tabulate(k) { r =>
+        val pool = segments.zip(labels).filter(_._2 == r).flatMap(_._1)
+        graft.train.GanTrainer.train(pool, seqLen = seqLen,
+          epochs = ganEpochs, seed = seed * 31L + r)
+      }
+
+    RegimeGanModel(k, seqLen, stats, transN, startProbs, gans)
   }
 
   private def sampleCat(probs: Array[Double], u: Double): Int = {
@@ -107,9 +119,10 @@ object RegimeGan {
     probs.length - 1
   }
 
-  /** Chunked generation (ref :339-380): seq_len chunks of parametric
-    * Normal returns per regime, regime chained by the transition
-    * matrix; W2 reconstruction distributed. */
+  /** Chunked generation (ref :339-380): per seq_len chunk, sample the
+    * active regime's trained GAN (z∼N(0,I) → G(z) → denormalize) or the
+    * parametric Normal fallback when that regime has no GAN; regime
+    * chained by the transition matrix; W2 reconstruction distributed. */
   def generate(spark: SparkSession, model: RegimeGanModel, seed: Long,
                n: Int, initialPrice: Double): DataFrame = {
     import spark.implicits._
@@ -119,11 +132,23 @@ object RegimeGan {
     var i = 0
     while (i < n) {
       val chunk = math.min(model.seqLen, n - i)
-      val st = model.stats(regime)
-      var j = 0
-      while (j < chunk) {
-        rets(i) = st.mean + rnd.nextGaussian() * st.std
-        i += 1; j += 1
+      val gan = if (model.gans.isEmpty) None else model.gans(regime)
+      gan match {
+        case Some(g) =>
+          val z = Array.fill(g.zDim)(rnd.nextGaussian())
+          val win = g.decoder.forward(z)
+          var j = 0
+          while (j < chunk) {
+            rets(i) = win(j) * g.dataStd + g.dataMean
+            i += 1; j += 1
+          }
+        case None =>
+          val st = model.stats(regime)
+          var j = 0
+          while (j < chunk) {
+            rets(i) = st.mean + rnd.nextGaussian() * st.std
+            i += 1; j += 1
+          }
       }
       regime = sampleCat(model.transition(regime), rnd.nextDouble())
     }

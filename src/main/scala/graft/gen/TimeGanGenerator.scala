@@ -88,8 +88,8 @@ final case class TimeGanModel(
     dataMin: Double, dataRange: Double)
 
 object TimeGanModel {
-  /** Seeded random model (demo/tests — the trained artifact would come
-    * from exported weights; TRAINING is out of v1 scope, SURVEY §7.4.4). */
+  /** Seeded random model (demo/tests — trained weights come from
+    * [[graft.train.TimeGanTrainer]] via the S5 JSON artifact). */
   def random(windowSize: Int, latentDim: Int, hidden: Int, seed: Long): TimeGanModel = {
     val rnd = new scala.util.Random(seed)
     def net(in: Int, out: Int, sig: Boolean) = SeqNet(
@@ -104,12 +104,12 @@ object TimeGanModel {
   }
 }
 
-/** G8: TimeGAN generator, INFERENCE ONLY.
+/** G8: TimeGAN inference path.
   * Ref: timegan_generator.py:205-268 — per window: z ∼ N(0,I)^(W×L) →
   * generator GRU → supervisor GRU → recovery → min-max denormalize →
   * W9 mean-center → anchored W2 reconstruction, concat, truncate.
-  * Recurrent adversarial TRAINING is out of the Spark-native contract
-  * (SURVEY §2.9 G8 / §7.4.4); weights load from the S5 JSON artifact.
+  * Training lives in [[graft.train.TimeGanTrainer]] (3-phase BPTT);
+  * weights round-trip through the S5 JSON artifact (ModelIO.saveTimeGan).
   *
   * Same scale shape as G1: windows independent ⇒ spark.range →
   * mapPartitions with model+anchors broadcast; per-window RNG derived

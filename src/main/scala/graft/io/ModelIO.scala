@@ -129,6 +129,48 @@ object ModelIO {
       Map("omega" -> fit.omega, "alpha" -> fit.alpha, "beta" -> fit.beta,
         "long_run_var" -> fit.longRunVar, "log_lik" -> fit.logLik)))
 
+  /** S5: TimeGAN artifact — generator/supervisor/recovery SeqNets +
+    * normalization meta (the flat-JSON analogue of the reference's
+    * model dir of .keras files + meta.json, timegan_generator.py:167-186). */
+  def saveTimeGan(m: graft.gen.TimeGanModel, path: String): Unit = {
+    def net(n: graft.gen.SeqNet) = Map(
+      "wz" -> n.gru.wz, "uz" -> n.gru.uz, "bz" -> n.gru.bz,
+      "wr" -> n.gru.wr, "ur" -> n.gru.ur, "br" -> n.gru.br,
+      "wh" -> n.gru.wh, "uh" -> n.gru.uh, "bh" -> n.gru.bh,
+      "dw" -> n.dw, "db" -> n.db, "sigmoid" -> n.sigmoidHead)
+    Files.writeString(Paths.get(path), mapper.writeValueAsString(Map(
+      "generator" -> net(m.generator), "supervisor" -> net(m.supervisor),
+      "recovery" -> net(m.recovery),
+      "window_size" -> m.windowSize, "latent_dim" -> m.latentDim,
+      "data_min" -> m.dataMin, "data_range" -> m.dataRange)))
+  }
+
+  def loadTimeGan(path: String): graft.gen.TimeGanModel = {
+    val n = mapper.readTree(Files.readString(Paths.get(path)))
+    def arr(node: com.fasterxml.jackson.databind.JsonNode): Array[Double] = {
+      val it = node.elements(); val b = Array.newBuilder[Double]
+      while (it.hasNext) b += it.next().asDouble()
+      b.result()
+    }
+    def mat(node: com.fasterxml.jackson.databind.JsonNode): Array[Array[Double]] = {
+      val it = node.elements(); val b = Array.newBuilder[Array[Double]]
+      while (it.hasNext) b += arr(it.next())
+      b.result()
+    }
+    def net(key: String): graft.gen.SeqNet = {
+      val x = n.get(key)
+      graft.gen.SeqNet(
+        graft.gen.GruLayer(
+          mat(x.get("wz")), mat(x.get("uz")), arr(x.get("bz")),
+          mat(x.get("wr")), mat(x.get("ur")), arr(x.get("br")),
+          mat(x.get("wh")), mat(x.get("uh")), arr(x.get("bh"))),
+        mat(x.get("dw")), arr(x.get("db")), x.get("sigmoid").asBoolean())
+    }
+    graft.gen.TimeGanModel(net("generator"), net("supervisor"), net("recovery"),
+      n.get("window_size").asInt(), n.get("latent_dim").asInt(),
+      n.get("data_min").asDouble(), n.get("data_range").asDouble())
+  }
+
   /** S5: MLP decoder weights (the VAE/VAE-GAN training artifact the G1
     * inference generator consumes — the flat-JSON analogue of the
     * reference's `.parts/decoder.keras`, vae_gan_trainer.py:318-340). */

@@ -60,6 +60,13 @@ object Similarity {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
+  /** `bands` independent plane sets (OR-amplification): a pair is a
+    * candidate if it agrees on ALL planes of ANY band — recall
+    * 1 − (1 − p^planesPerBand)^bands vs p^n for one n-plane band. */
+  def bandPlanes(dim: Int, planesPerBand: Int, bands: Int,
+                 seed: Long): Array[Array[Array[Double]]] =
+    Array.tabulate(bands)(b => hyperplanes(dim, planesPerBand, seed * 101L + b))
+
   /** Random-hyperplane (sign) LSH bucket id per vector: one bit per
     * plane packed into a long. Vectors in the same bucket agree on all
     * nPlanes signs ⇒ small angular distance with high probability. */
@@ -72,45 +79,63 @@ object Similarity {
     df.withColumn(out, bits.reduce((a, b) => a.bitwiseOR(b)))
   }
 
-  /** ANN near-dup pairs: sign-LSH bucket join + exact cosine verify.
-    * `nPlanes` trades recall for bucket size (16 planes ⇒ ~n/65536
-    * per bucket on isotropic data). */
+  /** ANN near-dup pairs: MULTI-BAND sign-LSH bucket join + exact cosine
+    * verify. Candidates = pairs agreeing on all planes of ANY band
+    * (OR-amplification — a single AND-band's recall decays as
+    * p^nPlanes, ~5% at cos 0.3; 8 bands of 4 planes recover ~2/3 at
+    * that distance and ≈1 for true near-dups). Shuffle volume is
+    * O(rows × bands) bucket keys; each pair group is bounded by
+    * |bucket| so nothing is quadratic in table size. */
   def lshNearDupPairs(df: DataFrame, id: String, vec: String,
-                      threshold: Double, nPlanes: Int = 16,
-                      seed: Long = 42L): DataFrame = {
+                      threshold: Double, nPlanes: Int = 4,
+                      bands: Int = 8, seed: Long = 42L): DataFrame = {
     val dim = df.select(size(col(vec))).first().getInt(0)
-    val bucketed = signBuckets(df, vec, hyperplanes(dim, nPlanes, seed))
-      .withColumn("_n", dot(col(vec), col(vec)))
-    val a = bucketed.select(col(id).as("id_a"), col(vec).as("va"),
-      col("_n").as("na"), col("bucket"))
-    val b = bucketed.select(col(id).as("id_b"), col(vec).as("vb"),
-      col("_n").as("nb"), col("bucket"))
-    a.join(b, "bucket")
+    val planes = bandPlanes(dim, nPlanes, bands, seed)
+    val withNorm = df.withColumn("_n", dot(col(vec), col(vec)))
+    val banded = planes.zipWithIndex.foldLeft(withNorm) { case (d, (p, b)) =>
+      signBuckets(d, vec, p, s"_bk$b")
+    }.select(col(id), col(vec), col("_n"),
+      posexplode(array((0 until bands).map(b => col(s"_bk$b")): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col(id).as("id_a"), col(vec).as("va"),
+      col("_n").as("na"), col("band"), col("bucket"))
+    val b = banded.select(col(id).as("id_b"), col(vec).as("vb"),
+      col("_n").as("nb"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("na"), col("vb"), col("nb"))
+      .distinct()
       .withColumn("cosine",
         dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** Near-dup pairs within explicit blocks, ADDITIONALLY banded by
-    * sign-LSH bucket so no stage is quadratic in block size: the join
-    * key is (block, bucket), bounding each pair group to the vectors
-    * that agree on every hyperplane sign. With p planes the expected
-    * group is |block|/2^p — the scale-safe default where
-    * [[blockedNearDupPairs]] is the small-scale exact counterpart. */
+  /** Near-dup pairs within explicit blocks, ADDITIONALLY multi-band
+    * sign-LSH banded so no stage is quadratic in block size: the join
+    * key is (block, band, bucket), bounding each pair group to vectors
+    * that agree on one band's full sign vector. OR over bands keeps
+    * recall high (see [[bandPlanes]]); [[blockedNearDupPairs]] is the
+    * small-scale exact counterpart. */
   def bandedNearDupPairs(df: DataFrame, id: String, vec: String,
                          block: String, threshold: Double,
-                         planes: Array[Array[Double]],
+                         planes: Array[Array[Array[Double]]],
                          roundTo: Int = 5): DataFrame = {
-    val bucketed = signBuckets(df, vec, planes)
-      .withColumn("_n", dot(col(vec), col(vec)))
-    val a = bucketed.select(col(block), col("bucket"), col(id).as("id_a"),
-      col(vec).as("va"), col("_n").as("na"))
-    val b = bucketed.select(col(block), col("bucket"), col(id).as("id_b"),
-      col(vec).as("vb"), col("_n").as("nb"))
-    a.join(b, Seq(block, "bucket"))
+    val bands = planes.length
+    val withNorm = df.withColumn("_n", dot(col(vec), col(vec)))
+    val banded = planes.zipWithIndex.foldLeft(withNorm) { case (d, (p, b)) =>
+      signBuckets(d, vec, p, s"_bk$b")
+    }.select(col(block), col(id), col(vec), col("_n"),
+      posexplode(array((0 until bands).map(b => col(s"_bk$b")): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col(block), col("band"), col("bucket"),
+      col(id).as("id_a"), col(vec).as("va"), col("_n").as("na"))
+    val b = banded.select(col(block), col("band"), col("bucket"),
+      col(id).as("id_b"), col(vec).as("vb"), col("_n").as("nb"))
+    a.join(b, Seq(block, "band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("na"), col("vb"), col("nb"))
+      .distinct()
       .withColumn("cosine",
         round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), roundTo))
       .filter(col("cosine") >= threshold)

@@ -61,5 +61,17 @@ class ChangePointSpec extends AnyFunSuite {
     val x = ser(1); val y = ser(1); val z = ser(2)
     assert(x.length === 300); assert(x === y); assert(x !== z)
     assert(x.forall(_ > 0))
+    // per-regime GANs actually trained for the long regimes (>= seq_len
+    // pooled returns) and drive generation on a realistic return scale
+    assert(model.gans.nonEmpty && model.gans.exists(_.isDefined),
+      "expected at least one trained per-regime GAN")
+    model.gans.flatten.foreach { g =>
+      assert(g.decoder.weights.length == 3) // ref Generator: 3 linear layers
+      val win = g.decoder.forward(Array.fill(g.zDim)(0.5))
+      assert(win.length == model.seqLen)
+      val denorm = win.map(_ * g.dataStd + g.dataMean)
+      assert(denorm.forall(r => math.abs(r) < 1.0),
+        s"GAN returns out of scale: ${denorm.take(3).toSeq}")
+    }
   }
 }
