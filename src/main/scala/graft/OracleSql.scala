@@ -531,8 +531,9 @@ object OracleSql {
         |   ORDER BY cosine DESC, neighbor_id) AS rk FROM s) t
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
-    // MinHash+LSH: portable md5-derived 60-bit hashes (same value both
-    // engines), 64 perms, 16 bands of 4, md5-of-slice band buckets,
+    // MinHash+LSH: ONE portable md5-derived base value per shingle, 64
+    // arithmetic permutations (a·base+b mod 2^61−1 — coefficients shared
+    // with the Spark side), 16 bands of 4, md5-of-slice band buckets,
     // est_jaccard = agreeing slots / 64 (exact k/64 rationals)
     "d01_minhash_lsh" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
@@ -545,9 +546,14 @@ object OracleSql {
          |          lead(token,4) OVER w AS l4
          |        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
          |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l4 IS NOT NULL),
-         |seeds AS (SELECT unnest(generate_series(0,63)) AS s),
-         |mh AS (SELECT doc_id, s, min(${h64Sql("shingle", "s::VARCHAR")}) AS h
-         |       FROM sh, seeds GROUP BY doc_id, s),
+         |bs AS (SELECT doc_id, ${h64Sql("shingle", "'0'")} & ${graft.text.Dedup.MinhashBaseMask} AS base
+         |       FROM sh),
+         |params AS (SELECT * FROM (VALUES ${
+              graft.text.Dedup.minhashParams(64).zipWithIndex
+                .map { case ((a, b), s) => s"($s, ${a}::BIGINT, ${b}::BIGINT)" }
+                .mkString(",\n  ")}) p(s, a, b)),
+         |mh AS (SELECT doc_id, s, min((a * base + b) % ${graft.text.Dedup.MinhashPrime}) AS h
+         |       FROM bs, params GROUP BY doc_id, s),
          |bands AS (SELECT doc_id, s // 4 AS band,
          |            md5(string_agg(h::VARCHAR, ',' ORDER BY s)) AS bucket
          |          FROM mh GROUP BY doc_id, s // 4),

@@ -33,13 +33,19 @@ object CompositeMetric {
     val spark = real.sparkSession
     val spec = SeriesSpec(Nil, orderCols)
 
-    def rets(df: DataFrame, lab: String): DataFrame =
-      SeriesOps.logReturns(df, spec, price, "ret")
-        .filter(col("ret").isNotNull)
-        .select((lit(lab).as("lab") +: col("ret") +: orderCols.map(col)): _*)
-
-    val rr = rets(real, "real"); val rs = rets(synth, "synth")
-    val u = rr.unionByName(rs)
+    // union first, lag over (PARTITION BY lab) — identical values to
+    // per-half global lags, but the data-sized pass partitions
+    def labeled(df: DataFrame, lab: String): DataFrame =
+      df.select((lit(lab).as("lab") +: col(price).cast("double").as("_p")
+        +: orderCols.map(col)): _*)
+    val labSpec = SeriesSpec(Seq("lab"), orderCols)
+    val u = SeriesOps.logReturns(
+        labeled(real, "real").unionByName(labeled(synth, "synth")),
+        labSpec, "_p", "ret")
+      .filter(col("ret").isNotNull)
+      .select((col("lab") +: col("ret") +: orderCols.map(col)): _*)
+    val rr = u.filter(col("lab") === "real")
+    val rs = u.filter(col("lab") === "synth")
 
     val js = Divergence.histJsd(u, "ret", col("lab"), "real", "synth", 99)
       .first().getAs[Double]("js_divergence")

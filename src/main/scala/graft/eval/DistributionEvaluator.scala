@@ -30,13 +30,18 @@ object DistributionEvaluator {
   def evaluate(real: DataFrame, synth: DataFrame,
                orderCols: Seq[String], price: String,
                withAdf: Boolean = true): DataFrame = {
-    val spec = SeriesSpec(Nil, orderCols)
-    def rets(df: DataFrame, lab: String): DataFrame =
-      SeriesOps.logReturns(df, spec, price, "ret")
-        .filter(col("ret").isNotNull)
-        .select((lit(lab).as("lab") +: col("ret") +: orderCols.map(col)): _*)
-
-    val u = rets(real, "real").unionByName(rets(synth, "synth"))
+    // union first, lag over (PARTITION BY lab): identical values to
+    // lagging each half separately, but the window partitions — no
+    // single-partition stage for the data-sized returns pass
+    def labeled(df: DataFrame, lab: String): DataFrame =
+      df.select((lit(lab).as("lab") +: col(price).cast("double").as("_p")
+        +: orderCols.map(col)): _*)
+    val labSpec = SeriesSpec(Seq("lab"), orderCols)
+    val u = SeriesOps.logReturns(
+        labeled(real, "real").unionByName(labeled(synth, "synth")),
+        labSpec, "_p", "ret")
+      .filter(col("ret").isNotNull)
+      .select((col("lab") +: col("ret") +: orderCols.map(col)): _*)
 
     val kl = Divergence.histJsd(u, "ret", col("lab"), "real", "synth", 100)
       .select(col("kl_divergence"))

@@ -33,16 +33,45 @@ import graft.series.{SeriesOps, SeriesSpec}
   */
 object PredictiveEvaluator {
 
-  private[eval] def indexed(df: DataFrame, orderCols: Seq[String], price: String): DataFrame =
-    df.withColumn("rn",
-      row_number().over(Window.orderBy(orderCols.map(col): _*)))
-      .select(col("rn"), col(price).cast("double").as("p"))
+  /** Rows above which the distributed index/window builders engage —
+    * below it the plain single-partition pass is faster (no explode
+    * shuffle, no RDD boundary) and the partition is bounded anyway. */
+  private[eval] val BigSeriesRows = 100000L
 
-  /** Supervised windows on an indexed (rn, p) series → (features, label). */
-  private[eval] def windowsXy(series: DataFrame, windowSize: Int, horizon: Int): DataFrame = {
-    val spec = SeriesSpec(Nil, Seq("rn"))
-    SeriesOps.supervisedWindows(series, spec, "p", windowSize, horizon, "x", "y")
-      .select(array_to_vector(col("x")).as("features"), col("y").as("label"))
+  /** Dense 1-based index in orderCols order. Small series: one
+    * row_number pass. Big series: distributed range-partitioned sort +
+    * RDD zipWithIndex — no single-partition window at any scale. */
+  private[eval] def indexed(df: DataFrame, orderCols: Seq[String], price: String,
+                            big: Boolean = false): DataFrame =
+    if (!big)
+      df.withColumn("rn",
+        row_number().over(Window.orderBy(orderCols.map(col): _*)))
+        .select(col("rn"), col(price).cast("double").as("p"))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select((col(price).cast("double").as("p") +: orderCols.map(col)): _*)
+        .orderBy(orderCols.map(col): _*)
+        .select(col("p")) // ordering cols no longer needed after the sort
+        .rdd.zipWithIndex()
+        .map { case (row, i) => (i.toInt + 1, row.getDouble(0)) }
+        .toDF("rn", "p")
+    }
+
+  /** Supervised windows on an indexed (rn, p) series → (features, label).
+    * Big series use the chunked halo-replicated build (windows form
+    * within fixed-size chunk partitions — parallel at any length);
+    * bounded series take the direct single-pass build. */
+  private[eval] def windowsXy(series: DataFrame, windowSize: Int, horizon: Int,
+                              big: Boolean = false): DataFrame = {
+    val xy =
+      if (big)
+        SeriesOps.chunkedSupervisedWindows(series, "rn", "p", windowSize,
+          horizon, chunkSize = 4096, "x", "y")
+      else
+        SeriesOps.supervisedWindows(series, SeriesSpec(Nil, Seq("rn")), "p",
+          windowSize, horizon, "x", "y")
+    xy.select(array_to_vector(col("x")).as("features"), col("y").as("label"))
   }
 
   private[eval] def fitPredictor(train: DataFrame, seed: Long,
@@ -63,23 +92,26 @@ object PredictiveEvaluator {
                seed: Long = 42L, maxIter: Int = 20): DataFrame = {
     val spark = synthetic.sparkSession
 
-    val sTrain = indexed(realTrain, orderCols, price).cache()
-    val sVal = indexed(realVal, orderCols, price)
-    val sTest = indexed(realTest, orderCols, price)
-    val sSyn = indexed(synthetic, orderCols, price).cache()
+    // leg sizes first: they gate the distributed-vs-direct index/window
+    // builders AND feed the output bookkeeping
+    val nTrain = realTrain.count(); val nSyn = synthetic.count()
+    val nVal = realVal.count(); val nTest = realTest.count()
+    def isBig(n: Long) = n > BigSeriesRows
 
-    val nTrain = sTrain.count(); val nSyn = sSyn.count()
-    val nVal = sVal.count(); val nTest = sTest.count()
+    val sTrain = indexed(realTrain, orderCols, price, isBig(nTrain)).cache()
+    val sVal = indexed(realVal, orderCols, price, isBig(nVal))
+    val sTest = indexed(realTest, orderCols, price, isBig(nTest))
+    val sSyn = indexed(synthetic, orderCols, price, isBig(nSyn)).cache()
 
     // synthetic ⧺ real: re-index real rows after the synthetic block so
     // windows straddle the seam exactly like np.concatenate (U2)
     val augmented = sSyn
       .unionByName(sTrain.withColumn("rn", col("rn") + lit(nSyn))).cache()
 
-    val wTrain = windowsXy(sTrain, windowSize, horizon).cache()
-    val wVal = windowsXy(sVal, windowSize, horizon).cache()
-    val wTest = windowsXy(sTest, windowSize, horizon).cache()
-    val wAug = windowsXy(augmented, windowSize, horizon).cache()
+    val wTrain = windowsXy(sTrain, windowSize, horizon, isBig(nTrain)).cache()
+    val wVal = windowsXy(sVal, windowSize, horizon, isBig(nVal)).cache()
+    val wTest = windowsXy(sTest, windowSize, horizon, isBig(nTest)).cache()
+    val wAug = windowsXy(augmented, windowSize, horizon, isBig(nSyn + nTrain)).cache()
 
     val base = fitPredictor(wTrain, seed, maxIter)
     val bTrain = mae(base, wTrain); val bVal = mae(base, wVal); val bTest = mae(base, wTest)

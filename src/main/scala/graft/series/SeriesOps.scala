@@ -77,6 +77,45 @@ object SeriesOps {
       .withColumn(yOut, lead(col(value), horizon).over(spec.w))
       .filter(col(yOut).isNotNull)
 
+  /** W4 at scale: supervised windows over ONE huge series WITHOUT a
+    * single-partition window. Rows are halo-replicated into fixed-size
+    * chunks keyed by `floor(pos/chunkSize)` (a row is also copied to
+    * the previous chunk when it serves as a label for that chunk's tail
+    * windows, and to the next chunk when it feeds that chunk's head
+    * windows), then the trailing-window + lead build runs WITHIN each
+    * chunk partition. Output is row-for-row identical to
+    * [[supervisedWindows]] (asserted in SeriesOpsSpec); shuffle volume
+    * is rows × (1 + (size+horizon)/chunkSize) — parallel at any scale.
+    *
+    * @param rn 1-based dense row index column (row_number output). */
+  def chunkedSupervisedWindows(df: DataFrame, rn: String, value: String,
+                               size: Int, horizon: Int, chunkSize: Int = 4096,
+                               xOut: String = "x", yOut: String = "y"): DataFrame = {
+    require(chunkSize >= size + horizon,
+      s"chunkSize $chunkSize must cover window $size + horizon $horizon")
+    val pos = col(rn) - 1 // 0-based position
+    val c = lit(chunkSize)
+    val owner = floor(pos / c).cast("long")
+    val posIn = pos % c
+    // candidate chunk copies: owner; owner-1 when this row is a LABEL for
+    // the previous chunk's tail; owner+1 when it is an X-row of the next
+    // chunk's head windows
+    val copies = array_compact(array(
+      owner,
+      when(posIn <= horizon - 1 && owner > 0, owner - 1),
+      when(posIn >= chunkSize - size + 1, owner + 1)))
+    val exploded = df
+      .withColumn("_chunk", explode(copies))
+    val w = Window.partitionBy(col("_chunk")).orderBy(col(rn))
+    val trailing = w.rowsBetween(-(size - 1), 0)
+    exploded
+      .withColumn(xOut, collect_list(col(value)).over(trailing))
+      .withColumn(yOut, lead(col(value), horizon).over(w))
+      .filter(col("_chunk") === owner) // keep each window at its owner
+      .filter(size_(col(xOut)) === size && col(yOut).isNotNull)
+      .drop("_chunk")
+  }
+
   /** W5: rolling SAMPLE std (pandas rolling(...).std() is ddof=1 —
     * unlike the population std of the global moments, SURVEY §7.4.5)
     * with min_periods semantics: null until `minPeriods` observations.

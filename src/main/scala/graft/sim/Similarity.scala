@@ -94,17 +94,20 @@ object Similarity {
     val withNorm = df.withColumn("_n", dot(col(vec), col(vec)))
     val banded = planes.zipWithIndex.foldLeft(withNorm) { case (d, (p, b)) =>
       signBuckets(d, vec, p, s"_bk$b")
-    }.select(col(id), col(vec), col("_n"),
+    }.select(col(id),
       posexplode(array((0 until bands).map(b => col(s"_bk$b")): _*))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col(id).as("id_a"), col(vec).as("va"),
-      col("_n").as("na"), col("band"), col("bucket"))
-    val b = banded.select(col(id).as("id_b"), col(vec).as("vb"),
-      col("_n").as("nb"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+    // candidates de-duped on ids ONLY (distinct over the raw vectors
+    // would hash every array per pair); vectors re-joined after
+    val a = banded.select(col(id).as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col(id).as("id_b"), col("band"), col("bucket"))
+    val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("na"), col("vb"), col("nb"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val va = withNorm.select(col(id).as("id_a"), col(vec).as("va"), col("_n").as("na"))
+    val vb = withNorm.select(col(id).as("id_b"), col(vec).as("vb"), col("_n").as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine",
         dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
@@ -125,17 +128,18 @@ object Similarity {
     val withNorm = df.withColumn("_n", dot(col(vec), col(vec)))
     val banded = planes.zipWithIndex.foldLeft(withNorm) { case (d, (p, b)) =>
       signBuckets(d, vec, p, s"_bk$b")
-    }.select(col(block), col(id), col(vec), col("_n"),
+    }.select(col(block), col(id),
       posexplode(array((0 until bands).map(b => col(s"_bk$b")): _*))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col(block), col("band"), col("bucket"),
-      col(id).as("id_a"), col(vec).as("va"), col("_n").as("na"))
-    val b = banded.select(col(block), col("band"), col("bucket"),
-      col(id).as("id_b"), col(vec).as("vb"), col("_n").as("nb"))
-    a.join(b, Seq(block, "band", "bucket"))
+    val a = banded.select(col(block), col("band"), col("bucket"), col(id).as("id_a"))
+    val b = banded.select(col(block), col("band"), col("bucket"), col(id).as("id_b"))
+    val cand = a.join(b, Seq(block, "band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("na"), col("vb"), col("nb"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val va = withNorm.select(col(id).as("id_a"), col(vec).as("va"), col("_n").as("na"))
+    val vb = withNorm.select(col(id).as("id_b"), col(vec).as("vb"), col("_n").as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine",
         round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), roundTo))
       .filter(col("cosine") >= threshold)

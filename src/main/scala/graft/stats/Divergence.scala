@@ -39,12 +39,16 @@ object Divergence {
       .select(col("bucket"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-    val tot = Window.partitionBy()
-    val smoothed = hist
-      .withColumn("pa_raw", col("ca") / sum(col("ca")).over(tot) + eps)
-      .withColumn("pb_raw", col("cb") / sum(col("cb")).over(tot) + eps)
-      .withColumn("pa", col("pa_raw") / sum(col("pa_raw")).over(tot))
-      .withColumn("pb", col("pb_raw") / sum(col("pb_raw")).over(tot))
+    // totals via agg + broadcast crossJoin (not an empty-partition window:
+    // that funnels the frame into one partition and warns at scale)
+    val totals = hist.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val raw = hist.crossJoin(broadcast(totals))
+      .withColumn("pa_raw", col("ca") / col("ta") + eps)
+      .withColumn("pb_raw", col("cb") / col("tb") + eps)
+    val rawTotals = raw.agg(sum(col("pa_raw")).as("tpa"), sum(col("pb_raw")).as("tpb"))
+    val smoothed = raw.crossJoin(broadcast(rawTotals))
+      .withColumn("pa", col("pa_raw") / col("tpa"))
+      .withColumn("pb", col("pb_raw") / col("tpb"))
       .withColumn("m", (col("pa") + col("pb")) / 2)
     smoothed.groupBy().agg(
       (sum(col("pa") * log(col("pa") / col("m"))) * 0.5 +
@@ -68,12 +72,15 @@ object Divergence {
         sum(when(col("lab") === a, 1).otherwise(0)).as("na"),
         sum(when(col("lab") === b, 1).otherwise(0)).as("nb"))
     val byV = Window.orderBy(col("v"))
-    val tot = Window.partitionBy()
-    val ecdf = perValue
+    // integer grand totals via agg + broadcast (exact in any summation
+    // order); only the cumulative scan over the DISTINCT support remains
+    // an ordered window — inherent to an exact ECDF
+    val totals = perValue.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val ecdf = perValue.crossJoin(broadcast(totals))
       .withColumn("fa", sum(col("na")).over(byV.rowsBetween(Window.unboundedPreceding, 0))
-        / sum(col("na")).over(tot))
+        / col("ta"))
       .withColumn("fb", sum(col("nb")).over(byV.rowsBetween(Window.unboundedPreceding, 0))
-        / sum(col("nb")).over(tot))
+        / col("tb"))
       .withColumn("dx", lead(col("v"), 1).over(byV) - col("v"))
       .withColumn("gap", abs(col("fa") - col("fb")))
     ecdf.groupBy().agg(

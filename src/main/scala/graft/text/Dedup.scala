@@ -33,6 +33,27 @@ object Dedup {
     conv(substring(md5(concat_ws("|", lit(seed.toString), c)), 1, 15), 16, 10)
       .cast("long")
 
+  /** MinHash permutation family: h_s(x) = (a_s·(base & 2³⁰−1) + b_s)
+    * mod (2³¹−1), over ONE md5-derived base value per shingle — the
+    * standard universal hash family over Z_p. The modulus must be CLOSE
+    * to the base domain so the map wraps thoroughly (with a huge prime
+    * the map is near-monotone in base and every permutation shares the
+    * same argmin — a broken estimator). One digest per shingle; the
+    * per-seed work is two integer ops, exact in both engines
+    * (a·base ≤ 2⁶¹ < Long.Max). */
+  val MinhashPrime: Long = 2147483647L // 2^31 - 1 (Mersenne)
+  val MinhashBaseMask: Long = (1L << 30) - 1
+
+  /** Deterministic (a ∈ [1, p), b ∈ [0, p)) pairs per permutation —
+    * shared with the oracle SQL generator so both engines embed the
+    * same constants. */
+  def minhashParams(numPerm: Int, seed: Long = 1234567L): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPerm)((
+      rnd.nextLong().abs % (MinhashPrime - 1) + 1,
+      rnd.nextLong().abs % MinhashPrime))
+  }
+
   /** Exact dedup: keeper = min id per md5(text); n = group size. */
   def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
     df.groupBy(md5(col(text)).as("text_md5"))
@@ -70,14 +91,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature: for each of `numPerm` hash seeds, the min
-    * [[h64]](seed, shingle) over the doc's shingles. One row per doc,
-    * signature as an array column. */
+  /** MinHash signature: for each of `numPerm` arithmetic permutations
+    * over the shingle's md5-derived base value, the min over the doc's
+    * shingles. One row per doc, signature as an array column. */
   def minhashSignatures(df: DataFrame, id: String, text: String, k: Int = 5,
                         numPerm: Int = 64): DataFrame = {
     val sh = TextOps.shingles(df, id, text, k)
-    val hashCols = (0 until numPerm).map(s =>
-      min(h64(col("shingle"), s)).as(s"h$s"))
+      .withColumn("base", h64(col("shingle"), 0).bitwiseAND(MinhashBaseMask))
+    val params = minhashParams(numPerm)
+    val hashCols = params.zipWithIndex.map { case ((a, b), s) =>
+      min((lit(a) * col("base") + lit(b)) % MinhashPrime).as(s"h$s")
+    }.toSeq
     sh.groupBy(col(id)).agg(hashCols.head, hashCols.tail: _*)
       .select(col(id), array((0 until numPerm).map(s => col(s"h$s")): _*).as("sig"))
   }

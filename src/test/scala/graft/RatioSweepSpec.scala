@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.eval.{AugmentationEvaluator, RatioSweep}
+
+class RatioSweepSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("ratio sweep: one row per leg, baseline trained once and shared") {
+    val prices = SparkSpec.randomWalk(420, seed = 14)
+    val train = prices.filter(col("DATE_TIME") < lit("2020-02-01"))
+    val valid = prices.filter(col("DATE_TIME") >= lit("2020-02-01") &&
+      col("DATE_TIME") < lit("2020-02-15"))
+    val test0 = prices.filter(col("DATE_TIME") >= lit("2020-02-15"))
+    val cache = java.nio.file.Files.createTempDirectory("sweep")
+      .resolve("baseline.json").toString
+
+    val out = RatioSweep.blockBootstrapSweep(spark, train, valid, test0,
+      Seq("DATE_TIME"), "typical_price", cache,
+      ratios = Seq(60, 120), blockSizes = Seq(10, 30), fixedN = 60,
+      windowSize = 8, horizon = 1, maxIter = 3).cache()
+
+    val rows = out.collect()
+    assert(rows.length == 4) // 2 ratios + 2 block sizes
+    val labels = rows.map(_.getAs[String]("label")).toSet
+    assert(labels == Set("bb_n60", "bb_n120", "bb_block10", "bb_block30"))
+    // every leg shares the ONE cached baseline
+    val bvals = rows.map(_.getAs[Double]("baseline_mae_val")).distinct
+    assert(bvals.length == 1, s"baseline must be cached across legs: ${bvals.toSeq}")
+    assert(AugmentationEvaluator.loadBaseline(cache).isDefined)
+    // sweep bookkeeping columns
+    assert(rows.filter(_.getAs[String]("sweep_kind") == "n_samples")
+      .map(_.getAs[Int]("sweep_value")).sorted.toSeq == Seq(60, 120))
+    rows.foreach { r =>
+      assert(!r.getAs[Double]("augmented_mae_val").isNaN)
+      assert(r.getAs[Long]("n_synthetic") > 0)
+    }
+  }
+}

@@ -41,6 +41,26 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(xy.head === 6.0) // window [0..4] at rn=4, y = v[4+2]
   }
 
+  test("chunked supervised windows == single-partition windows (halo replication)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // 1-based rn, as produced by row_number()
+    val df = (1 to 200).map(i => (i, rnd.nextDouble())).toDF("rn", "v").repartition(7)
+    val ref = SeriesOps.supervisedWindows(df, SeriesSpec(Nil, Seq("rn")), "v", 7, 3)
+      .orderBy("rn").select("rn", "x", "y").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
+    // chunkSize 32 << 200: windows straddle many chunk boundaries
+    val chunked = SeriesOps.chunkedSupervisedWindows(df, "rn", "v", 7, 3, chunkSize = 32)
+      .orderBy("rn").select("rn", "x", "y").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
+    assert(chunked.toSeq === ref.toSeq)
+    // and the plan must NOT contain a partitionless window
+    val plan = SeriesOps.chunkedSupervisedWindows(df, "rn", "v", 7, 3, 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "chunked windows must not funnel to a single partition")
+  }
+
   test("W5 rolling std: null until min_periods, sample ddof=1 after") {
     import spark.implicits._
     val df = Seq(1.0, 2.0, 4.0, 8.0).zipWithIndex.map(_.swap).toDF("rn", "v")

@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Regenerate gate-status docs from the driver's artifacts so claimed
+and actual numbers cannot diverge (VERDICT r01 item 8).
+
+Reads the NEWEST CORRECTNESS_r*.json and BENCH_r*.json in the repo root
+and writes:
+  - COVERAGE_GATE.md : per-query gate status table + headline counts
+  - BENCH_NOTES.md   : bench totals + slowest queries from the bench JSON
+
+Run after each driver round:  python3 tools/gen_docs.py
+"""
+import glob
+import json
+import os
+import re
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def newest(pattern):
+    files = sorted(glob.glob(os.path.join(ROOT, pattern)),
+                   key=lambda f: int(re.search(r"_r(\d+)", f).group(1)))
+    return files[-1] if files else None
+
+
+def main():
+    cpath = newest("CORRECTNESS_r*.json")
+    bpath = newest("BENCH_r*.json")
+    if not cpath or not bpath:
+        raise SystemExit("no driver artifacts found")
+    rnd = re.search(r"_r(\d+)", cpath).group(1)
+    corr = json.load(open(cpath))
+    bench = json.load(open(bpath))
+    # the driver artifact wraps the Bench JSON line: {n, rc, sf, tail,
+    # parsed} — take `parsed` when present, else dig the line out of tail
+    if "metric" not in bench:
+        parsed = bench.get("parsed")
+        if not parsed:
+            m = re.search(r'\{"metric".*\}', bench.get("tail", ""))
+            parsed = json.loads(m.group(0)) if m else {}
+        bench = parsed if isinstance(parsed, dict) else json.loads(parsed)
+
+    # ── correctness ──
+    rows = []
+    n_pass = n_fail = n_none = 0
+    for name in sorted(corr):
+        r = corr[name]
+        if r.get("err") == "no_oracle":
+            status = "rows-only"
+            n_none += 1
+        elif r.get("hash_match") is True:
+            status = "PASS"
+            n_pass += 1
+        else:
+            status = "FAIL"
+            n_fail += 1
+        rows.append((name, status, r.get("spark_rows"), r.get("oracle_rows")))
+
+    with open(os.path.join(ROOT, "COVERAGE_GATE.md"), "w") as f:
+        f.write(f"""# COVERAGE_GATE — generated from {os.path.basename(cpath)}
+
+**DO NOT EDIT — regenerate with `python3 tools/gen_docs.py`.**
+
+Driver round {rnd} gate: **{n_pass} hash-verified / {n_fail} failed /
+{n_none} rows-only** of {len(rows)} queries. "rows-only" = no DuckDB
+oracle by design (seeded-RNG generator walks, ML training outputs) —
+each has a deterministic fit-stage twin (`g0*f_*` queries) or a
+ScalaTest cross-check; see COVERAGE.md for the operator mapping.
+
+| query | gate | spark rows | oracle rows |
+|---|---|---|---|
+""")
+        for name, status, sr, orr in rows:
+            f.write(f"| {name} | {status} | {sr} | {orr if orr is not None else '—'} |\n")
+
+    # ── bench ──
+    total = bench.get("value")
+    qtimes = sorted(bench.get("queries", {}).items(), key=lambda kv: -kv[1])
+    with open(os.path.join(ROOT, "BENCH_NOTES.md"), "w") as f:
+        f.write(f"""# BENCH_NOTES — generated from {os.path.basename(bpath)}
+
+**DO NOT EDIT — regenerate with `python3 tools/gen_docs.py`.**
+
+Driver round {rnd} bench (`graft.Bench`, sf={bench.get('sf')},
+local[32]): **{total:.2f} s total** across {len(qtimes)} queries.
+
+Slowest queries this round:
+
+| query | seconds |
+|---|---|
+""")
+        for name, t in qtimes[:12]:
+            f.write(f"| {name} | {t:.2f} |\n")
+        f.write(f"""
+Vs BASELINE.md anchors (the reference publishes no per-query walls):
+the predictive train+eval leg (`q32`) runs in seconds on CPU vs the
+reference's ~7 min/run on GPU (`tolerance_hmm_garch.py:4`), and
+optimizer candidate fitness (`o01`) is ~50 ms in-task vs the 60–90 s
+subprocess budget (`optimize_generator.py:17,75`).
+
+Known remaining single-partition window stages (by design, inputs
+bounded by contract): the single-series generator FIT queries
+(`g01`–`g05`, `g0*f_*`) index one logical series, and exact-ECDF
+cumulative scans run over the distinct value support. The evaluator
+family (q14/q15/q30/q30f) and the predictive pipeline (q32) are fully
+partitioned: chunked halo-replicated supervised windows, label-
+partitioned return lags, agg+broadcast totals.
+""")
+    print(f"wrote COVERAGE_GATE.md + BENCH_NOTES.md from round {rnd} artifacts "
+          f"({n_pass} pass / {n_fail} fail / {n_none} rows-only; {total:.2f}s)")
+
+
+if __name__ == "__main__":
+    main()
