@@ -723,6 +723,35 @@ object OracleSql {
          |  round((vol_ratio - m2)/(s2 + 1e-10), 6) AS f2
          |FROM cl, st ORDER BY rn""".stripMargin,
 
+    // per-user grouped-agg R/S Hurst (the q16 pipeline partitioned on
+    // user_id, with the per-series lag cap min(100, n/4))
+    "q16b_hurst_per_user" ->
+      """WITH x AS (SELECT user_id, value AS x,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn,
+        |             count(*) OVER (PARTITION BY user_id) AS n
+        |           FROM events),
+        |wl AS (SELECT x.user_id, x.x, x.rn, l.lag, floor(x.rn / l.lag) AS seg
+        |       FROM x, (SELECT unnest(generate_series(2,100)) AS lag) l
+        |       WHERE l.lag <= x.n // 4),
+        |cm1 AS (SELECT user_id, lag, seg, rn, x,
+        |          avg(x) OVER (PARTITION BY user_id, lag, seg) AS m FROM wl),
+        |cm2 AS (SELECT user_id, lag, seg, x,
+        |          sum(x - m) OVER (PARTITION BY user_id, lag, seg ORDER BY rn
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumdev
+        |        FROM cm1),
+        |ps AS (SELECT user_id, lag, seg, count(*)::BIGINT AS cnt,
+        |         max(cumdev) - min(cumdev) AS r, stddev_pop(x) AS s
+        |       FROM cm2 GROUP BY user_id, lag, seg),
+        |pl AS (SELECT user_id, lag, avg(r/s) AS rs_mean FROM ps
+        |       WHERE cnt = lag AND s > 1e-12 GROUP BY user_id, lag),
+        |sl AS (SELECT user_id,
+        |         regr_slope(ln(rs_mean), ln(lag::DOUBLE)) AS slope,
+        |         count(*)::BIGINT AS n_lags
+        |       FROM pl WHERE rs_mean > 0 GROUP BY user_id)
+        |SELECT user_id, round(coalesce(least(greatest(slope, 0.0), 1.0), 0.5), 4) AS hurst,
+        |  n_lags
+        |FROM sl ORDER BY user_id""".stripMargin,
+
     // DistributionEvaluator deterministic core: JS²-"kl" over 100 shared
     // bins, ECDF wasserstein, per-label moments and autocorr (lags
     // 1/5/10), quality = kl + 0.1*wass + |Δstd| — the label is the

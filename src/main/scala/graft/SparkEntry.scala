@@ -549,6 +549,13 @@ object SparkEntry {
         .orderBy(col("rn"))
     }),
 
+    // ── C6 at scale: grouped-aggregation R/S Hurst per USER series —
+    //    the many-series path with no collect and no global partition ──
+    "q16b_hurst_per_user" -> ((s, dir) => {
+      SeriesStats.hurstGrouped(ev(s, dir), perUser, "value")
+        .orderBy(col("user_id"))
+    }),
+
     // ── DistributionEvaluator deterministic core (everything except the
     //    driver-side ADF leg, which q30 carries), oracle-checkable ─────
     "q30f_dist_core" -> ((s, dir) => {

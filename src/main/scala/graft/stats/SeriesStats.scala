@@ -69,6 +69,55 @@ object SeriesStats {
     * at 100k rows. The final slope is a one-row regr_slope agg.
     * Output: single row (hurst, n_lags).
     */
+  /** C6 at scale: R/S Hurst per SERIES as pure grouped aggregation —
+    * the many-series path where nothing is collected and no partition
+    * is global. Rows explode ×(maxLag−1) onto (series, lag), segments
+    * key (series, lag, seg); two window passes (segment mean, then
+    * running cumdev) + two aggs + one per-series regr_slope. The
+    * broadcast-series [[hurst]] remains the single-bounded-series
+    * variant (SURVEY §2.4 C6 disposition).
+    * Output per series: (partitionCols, hurst r4 clamped [0,1], n_lags). */
+  def hurstGrouped(df: DataFrame, spec: SeriesSpec, value: String,
+                   maxLagCap: Int = 100): DataFrame = {
+    val pc = spec.partitionCols.map(col)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(pc: _*).orderBy(spec.orderCols.map(col): _*)
+    val base = df
+      .select((pc :+ col(value).cast("double").as("x")) ++ spec.orderCols.map(col): _*)
+      .withColumn("rn", row_number().over(wp) - 1)
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(pc: _*)))
+      .withColumn("maxlag",
+        least(lit(maxLagCap), floor(col("n") / 4)).cast("int"))
+      .filter(col("maxlag") >= 2)
+    val wl = base
+      .withColumn("lag", explode(sequence(lit(2), col("maxlag"))))
+      .withColumn("seg", floor(col("rn") / col("lag")))
+    val gSeg = (pc :+ col("lag")) :+ col("seg")
+    val wSeg = org.apache.spark.sql.expressions.Window.partitionBy(gSeg: _*)
+    val wCum = org.apache.spark.sql.expressions.Window.partitionBy(gSeg: _*)
+      .orderBy(col("rn"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ps = wl
+      .withColumn("m", avg(col("x")).over(wSeg))
+      .withColumn("cumdev", sum(col("x") - col("m")).over(wCum))
+      .groupBy(gSeg: _*)
+      .agg(count(lit(1)).as("cnt"),
+        (max(col("cumdev")) - min(col("cumdev"))).as("r"),
+        stddev_pop(col("x")).as("s"))
+    val pl = ps
+      .filter(col("cnt") === col("lag") && col("s") > 1e-12)
+      .groupBy((pc :+ col("lag")): _*)
+      .agg(avg(col("r") / col("s")).as("rs_mean"))
+      .filter(col("rs_mean") > 0)
+    pl.groupBy(pc: _*).agg(
+      round(coalesce(
+        least(greatest(
+          regr_slope(log(col("rs_mean")), log(col("lag").cast("double"))),
+          lit(0.0)), lit(1.0)), lit(0.5)), 4).as("hurst"),
+      count(lit(1)).as("n_lags"))
+  }
+
   def hurst(df: DataFrame, spec: SeriesSpec, value: String,
             maxRows: Int = SeriesStats.MaxCollectRows): DataFrame = {
     val spark = df.sparkSession

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts for representative queries: pushdown and
+  * column pruning reach the parquet scans, small dims broadcast, pair
+  * joins are keyed (never cartesian), and the hot paths stay inside
+  * whole-stage codegen. A failing assertion here means a plan
+  * regression even if results stay correct. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, SparkSpec.sfDir)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 star joins broadcast all three dims") {
+    val p = plan("q02_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "customer/nation/region must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q01 aggregation runs inside whole-stage codegen with partial aggs") {
+    val p = plan("q01_pricing_summary")
+    // "*(n)" node prefixes mark whole-stage-codegen spans in plan strings
+    assert(p.contains("*("), "expected whole-stage codegen spans")
+    assert("HashAggregate\\(keys=.*functions=\\[partial_".r.findFirstIn(p).isDefined
+      || p.contains("HashAggregate"),
+      "map-side partial aggregation expected")
+  }
+
+  test("q05 parquet scan prunes to the needed columns only") {
+    val p = plan("q05_log_returns")
+    val scan = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(scan.contains("value"), s"scan schema: $scan")
+    assert(!scan.contains("event_type"),
+      s"q05 must not read unused columns: $scan")
+  }
+
+  test("banded near-dup joins are keyed, never cartesian") {
+    for (q <- Seq("q24_embed_neardup_blocked", "s01_lsh_ann")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian join")
+    }
+  }
+
+  test("q23 broadcasts the bounded query side over the streaming corpus") {
+    val p = plan("q23_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast")
+  }
+
+  test("q28 per-user stats shuffle on the user key, no single partition") {
+    val p = plan("q28_regime_stats")
+    assert(!p.contains("SinglePartition"),
+      "per-user q28 must not funnel into one partition")
+  }
+}

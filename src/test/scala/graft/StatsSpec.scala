@@ -75,6 +75,34 @@ class StatsSpec extends AnyFunSuite {
     assert(ht === 0.5)
   }
 
+  test("grouped-agg hurst agrees with the broadcast-series hurst per series") {
+    val s = spark
+    import s.implicits._
+    // two independent walks as two "users"
+    def walk(seed: Int, uid: Int) = {
+      val rnd = new scala.util.Random(seed)
+      var p = 1.3
+      (0 until 600).map { i =>
+        p *= math.exp(rnd.nextGaussian() * 0.004); (uid, i, p)
+      }
+    }
+    val df = (walk(3, 0) ++ walk(4, 1)).toDF("user_id", "t", "price")
+    val grouped = SeriesStats.hurstGrouped(
+        df, SeriesSpec(Seq("user_id"), Seq("t")), "price")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(grouped.size == 2)
+    for (uid <- Seq(0, 1)) {
+      val single = SeriesStats.hurst(df.filter(col("user_id") === uid),
+        SeriesSpec(Nil, Seq("t")), "price").first().getAs[Double]("hurst")
+      // same R/S estimator; the broadcast variant seeds cumdev min/max at
+      // 0.0 while the grouped one spans observed cumdevs only -> small
+      // per-segment differences, same estimate to ~5e-2
+      assert(math.abs(grouped(uid) - single) < 0.05,
+        s"user $uid: grouped ${grouped(uid)} vs single $single")
+      assert(grouped(uid) > 0.55, "integrated walk should be persistent")
+    }
+  }
+
   test("FFT matches naive DFT for power-of-two and arbitrary lengths") {
     val rnd = new scala.util.Random(11)
     for (n <- Seq(16, 100, 257)) {
