@@ -439,10 +439,13 @@ object SparkEntry {
         Seq("ts", "event_id"), "value")
     }),
 
-    // ── G7: PELT change-point regime generator (rows-only) ────────────
+    // ── G7: PELT change-point regimes + per-regime trained GANs
+    //    (rows-only; 100 GAN epochs per regime keeps the bench leg
+    //    bounded — the CLI default trains 150) ─────────────────────────
     "g07_regime_changepoint" -> ((s, dir) => {
       val model = graft.gen.RegimeGan.fit(
-        ev(s, dir), Seq("ts", "event_id"), "value", nRegimes = 4)
+        ev(s, dir), Seq("ts", "event_id"), "value", nRegimes = 4,
+        ganEpochs = 100)
       graft.gen.RegimeGan.generate(s, model, seed = 42L, n = 2000,
           initialPrice = 100.0)
         .orderBy(col("rn"))
