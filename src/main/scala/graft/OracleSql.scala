@@ -723,6 +723,70 @@ object OracleSql {
          |  round((vol_ratio - m2)/(s2 + 1e-10), 6) AS f2
          |FROM cl, st ORDER BY rn""".stripMargin,
 
+    // composite-score deterministic core: JS (unsquared, 99 bins), KS,
+    // ratio-dev autocorrs (lags 1/5/24), |ret| vol clustering, manual
+    // population skew/kurt diffs, std ratio — the even/odd user split
+    // with returns lagged WITHIN each half
+    "q31f_composite_core" ->
+      """WITH u0 AS (SELECT (user_id % 2 = 0) AS is_real, ts, event_id,
+        |              ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |                OVER (PARTITION BY (user_id % 2 = 0) ORDER BY ts, event_id) AS ret
+        |            FROM events),
+        |ur AS (SELECT is_real, ts, event_id, ret FROM u0 WHERE ret IS NOT NULL),
+        |rng AS (SELECT min(ret) AS lo, max(ret) AS hi FROM ur),
+        |cb AS (SELECT least(floor((ret - lo)/(hi - lo)*99), 98)::INT AS bucket,
+        |         sum(CASE WHEN is_real THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN is_real THEN 0 ELSE 1 END) AS cb_
+        |       FROM ur, rng GROUP BY 1),
+        |bins AS (SELECT unnest(generate_series(0,98)) AS bucket),
+        |h AS (SELECT b.bucket, coalesce(ca,0)::BIGINT AS ca, coalesce(cb_,0)::BIGINT AS cb_
+        |      FROM bins b LEFT JOIN cb USING (bucket)),
+        |sm AS (SELECT ca::DOUBLE / sum(ca) OVER () + 1e-10 AS pa_raw,
+        |         cb_::DOUBLE / sum(cb_) OVER () + 1e-10 AS pb_raw FROM h),
+        |pp AS (SELECT pa_raw / sum(pa_raw) OVER () AS pa,
+        |         pb_raw / sum(pb_raw) OVER () AS pb FROM sm),
+        |jsv AS (SELECT sqrt(sum(pa*ln(pa/((pa+pb)/2)))*0.5
+        |             + sum(pb*ln(pb/((pa+pb)/2)))*0.5) AS js FROM pp),
+        |pv AS (SELECT ret AS v, sum(CASE WHEN is_real THEN 1 ELSE 0 END) AS na,
+        |         sum(CASE WHEN is_real THEN 0 ELSE 1 END) AS nb FROM ur GROUP BY ret),
+        |ec AS (SELECT
+        |         sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+        |           / sum(na) OVER () AS fa,
+        |         sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+        |           / sum(nb) OVER () AS fb
+        |       FROM pv),
+        |kv AS (SELECT max(abs(fa - fb)) AS ks FROM ec),
+        |lg AS (SELECT is_real, ret, lag(ret,1) OVER wl AS l1, lag(ret,5) OVER wl AS l5,
+        |         lag(ret,24) OVER wl AS l24
+        |       FROM ur WINDOW wl AS (PARTITION BY is_real ORDER BY ts, event_id)),
+        |ac0 AS (SELECT is_real, coalesce(corr(ret,l1),0.0) AS ac1,
+        |          coalesce(corr(ret,l5),0.0) AS ac5, coalesce(corr(ret,l24),0.0) AS ac24,
+        |          coalesce(corr(abs(ret),abs(l1)),0.0) AS vc,
+        |          avg(ret) AS mean, stddev_pop(ret) AS std
+        |        FROM lg GROUP BY is_real),
+        |zk AS (SELECT l.is_real,
+        |         avg(pow((l.ret - a.mean)/a.std, 3)) AS skew,
+        |         avg(pow((l.ret - a.mean)/a.std, 4)) AS kurt_raw
+        |       FROM ur l JOIN ac0 a USING (is_real) GROUP BY l.is_real),
+        |fin AS (SELECT
+        |    (SELECT js FROM jsv) AS js, (SELECT ks FROM kv) AS ks,
+        |    r.ac1 AS rac1, s.ac1 AS sac1, r.ac5 AS rac5, s.ac5 AS sac5,
+        |    r.ac24 AS rac24, s.ac24 AS sac24, r.vc AS rvc, s.vc AS svc,
+        |    r.std AS rstd, s.std AS sstd,
+        |    rz.skew AS rskew, sz.skew AS sskew,
+        |    rz.kurt_raw AS rkurt, sz.kurt_raw AS skurt
+        |  FROM ac0 r, ac0 s, zk rz, zk sz
+        |  WHERE r.is_real AND NOT s.is_real AND rz.is_real AND NOT sz.is_real)
+        |SELECT round(js,8) AS js_divergence, round(ks,8) AS ks_statistic,
+        |  round(CASE WHEN abs(rac1) > 1e-6 THEN abs(sac1/rac1 - 1.0) ELSE abs(sac1) END, 6) AS ac_lag1,
+        |  round(CASE WHEN abs(rac5) > 1e-6 THEN abs(sac5/rac5 - 1.0) ELSE abs(sac5) END, 6) AS ac_lag5,
+        |  round(CASE WHEN abs(rac24) > 1e-6 THEN abs(sac24/rac24 - 1.0) ELSE abs(sac24) END, 6) AS ac_lag24,
+        |  round(CASE WHEN abs(rvc) > 1e-6 THEN abs(svc/rvc - 1.0) ELSE abs(svc) END, 6) AS vol_cluster,
+        |  round(abs(sskew - rskew), 6) AS skew_diff,
+        |  round(abs(skurt - rkurt) / greatest(rkurt, 1.0), 6) AS kurt_diff,
+        |  round(abs(sstd/rstd - 1.0), 6) AS std_ratio
+        |FROM fin""".stripMargin,
+
     // per-user grouped-agg R/S Hurst (the q16 pipeline partitioned on
     // user_id, with the per-series lag cap min(100, n/4))
     "q16b_hurst_per_user" ->

@@ -552,6 +552,25 @@ object SparkEntry {
         .orderBy(col("rn"))
     }),
 
+    // ── C8 deterministic core: the composite's SQL-expressible
+    //    components (everything except hurst/spectral), oracle-checked ─
+    "q31f_composite_core" -> ((s, dir) => {
+      val e = ev(s, dir)
+      graft.eval.CompositeMetric.scoreDf(
+          e.filter(col("user_id") % 2 === 0), e.filter(col("user_id") % 2 === 1),
+          Seq("ts", "event_id"), "value", withExpensive = false)
+        .select(
+          round(col("js_divergence"), 8).as("js_divergence"),
+          round(col("ks_statistic"), 8).as("ks_statistic"),
+          round(col("ac_lag1"), 6).as("ac_lag1"),
+          round(col("ac_lag5"), 6).as("ac_lag5"),
+          round(col("ac_lag24"), 6).as("ac_lag24"),
+          round(col("vol_cluster"), 6).as("vol_cluster"),
+          round(col("skew_diff"), 6).as("skew_diff"),
+          round(col("kurt_diff"), 6).as("kurt_diff"),
+          round(col("std_ratio"), 6).as("std_ratio"))
+    }),
+
     // ── C6 at scale: grouped-aggregation R/S Hurst per USER series —
     //    the many-series path with no collect and no global partition ──
     "q16b_hurst_per_user" -> ((s, dir) => {

@@ -68,6 +68,7 @@ object Cli {
           graft.train.VaeTrainer.TrainConfig(
             epochs = cfg.int("epochs"),
             adversarial = cfg.str("generator") == "vae_gan",
+            conditional = cfg.str("conditional") == "true",
             seed = cfg.long("seed")))
         ModelIO.saveMlp(r.decoder, cfg.str("model")); r.decoder
       case "timegan" =>
@@ -109,8 +110,11 @@ object Cli {
         // G1 inference from a TRAINED artifact (--mode train --generator vae)
         val anchors = loadInput(spark, cfg)
           .select(col(Price).cast("double")).collect().map(_.getDouble(0))
-        DecoderGenerator.generate(spark, ModelIO.loadMlp(cfg.str("model")),
-          anchors, n, seed)
+        val dec = ModelIO.loadMlp(cfg.str("model"))
+        if (cfg.str("conditional") == "true")
+          DecoderGenerator.generateConditional(spark, dec, anchors, n, seed)
+        else
+          DecoderGenerator.generate(spark, dec, anchors, n, seed)
       case "timegan" =>
         // G8 inference from a TRAINED artifact
         val anchors = loadInput(spark, cfg)

@@ -36,6 +36,7 @@ object GraftConfig {
     "n_regimes" -> "4",
     "initial_price" -> "1.3",
     "epochs" -> "30",
+    "conditional" -> "false",
     "threads" -> "4"))
 
   private val mapper = {

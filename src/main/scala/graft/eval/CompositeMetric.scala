@@ -27,9 +27,13 @@ object CompositeMetric {
     "skew_diff" -> 1.0, "kurt_diff" -> 1.0, "std_ratio" -> 2.0)
 
   /** @return (score, details) — score 0 = perfect, higher = worse. */
+  /** @param withExpensive false skips the hurst + spectral legs (their
+    *        details report 0.0) — used by the oracle-checkable core
+    *        variant, whose components are all SQL-expressible. */
   def score(real: DataFrame, synth: DataFrame, orderCols: Seq[String],
             price: String,
-            weights: Map[String, Double] = DefaultWeights): (Double, Map[String, Double]) = {
+            weights: Map[String, Double] = DefaultWeights,
+            withExpensive: Boolean = true): (Double, Map[String, Double]) = {
     val spark = real.sparkSession
     val spec = SeriesSpec(Nil, orderCols)
 
@@ -74,16 +78,19 @@ object CompositeMetric {
     def ratioDev(r: Double, s: Double): Double =
       if (math.abs(r) > 1e-6) math.abs(s / r - 1.0) else math.abs(s)
 
-    val hr = SeriesStats.hurst(real, spec, price).first().getAs[Double]("hurst")
-    val hs = SeriesStats.hurst(synth, spec, price).first().getAs[Double]("hurst")
-
-    val retsR = rr.orderBy(orderCols.map(col): _*)
-      .limit(SeriesStats.MaxCollectRows) // bounded collect (FFT leg)
-      .select("ret").collect().map(_.getDouble(0))
-    val retsS = rs.orderBy(orderCols.map(col): _*)
-      .limit(SeriesStats.MaxCollectRows)
-      .select("ret").collect().map(_.getDouble(0))
-    val spectral = Spectral.distance(spark, retsR, retsS)
+    val (hr, hs, spectral) =
+      if (!withExpensive) (0.0, 0.0, 0.0)
+      else {
+        val h1 = SeriesStats.hurst(real, spec, price).first().getAs[Double]("hurst")
+        val h2 = SeriesStats.hurst(synth, spec, price).first().getAs[Double]("hurst")
+        val retsR = rr.orderBy(orderCols.map(col): _*)
+          .limit(SeriesStats.MaxCollectRows) // bounded collect (FFT leg)
+          .select("ret").collect().map(_.getDouble(0))
+        val retsS = rs.orderBy(orderCols.map(col): _*)
+          .limit(SeriesStats.MaxCollectRows)
+          .select("ret").collect().map(_.getDouble(0))
+        (h1, h2, Spectral.distance(spark, retsR, retsS))
+      }
 
     val kurtR = re.getAs[Double]("kurt_raw")
     val details = Map(
@@ -106,9 +113,10 @@ object CompositeMetric {
 
   /** Details as a one-row DataFrame (for sinks/views). */
   def scoreDf(real: DataFrame, synth: DataFrame, orderCols: Seq[String],
-              price: String): DataFrame = {
+              price: String, withExpensive: Boolean = true): DataFrame = {
     val spark = real.sparkSession
-    val (s, d) = score(real, synth, orderCols, price)
+    val (s, d) = score(real, synth, orderCols, price,
+      withExpensive = withExpensive)
     import spark.implicits._
     Seq((s, d("js_divergence"), d("ks_statistic"), d("ac_lag1"), d("ac_lag5"),
       d("ac_lag24"), d("hurst_diff"), d("vol_cluster"), d("spectral"),

@@ -72,6 +72,68 @@ object MlpDecoder {
   */
 object DecoderGenerator {
 
+  /** W8 cyclical features of an epoch-second timestamp (UTC) — the
+    * Scala twin of SeriesOps.temporalFeatures (hour/24, weekday Mon=0
+    * over the 5-day trading week, month/12). */
+  private[graft] def temporalOf(epochSec: Long): Array[Double] = {
+    val t = java.time.Instant.ofEpochSecond(epochSec)
+      .atZone(java.time.ZoneOffset.UTC)
+    val tau = 2.0 * math.Pi
+    val hr = t.getHour.toDouble
+    val dw = (t.getDayOfWeek.getValue - 1).toDouble // Mon=0
+    val mo = t.getMonthValue.toDouble
+    Array(math.sin(hr * tau / 24), math.cos(hr * tau / 24),
+      math.sin(dw * tau / 5), math.cos(dw * tau / 5),
+      math.sin(mo * tau / 12), math.cos(mo * tau / 12))
+  }
+
+  /** Conditional (season-aware) generation: the decoder was trained on
+    * z ⧺ temporal features, so each window's z is concatenated with the
+    * W8 features of that window's LAST output timestamp (ref
+    * vae_gan_trainer.py conditional decode; the generated series' own
+    * clock provides the conditioning signal). `nTemporal` of the
+    * decoder's input dims are temporal (latent = inputDim − nTemporal). */
+  def generateConditional(spark: SparkSession, decoder: MlpDecoder,
+                          anchors: Array[Double], n: Int, seed: Long,
+                          nTemporal: Int = 6,
+                          startEpochSec: Long = 1577836800L,
+                          intervalHours: Int = 4): DataFrame = {
+    import spark.implicits._
+    val windowSize = decoder.outputDim
+    val latent = decoder.latentDim - nTemporal
+    require(latent > 0, "decoder input smaller than the temporal width")
+    val nWindows = n / windowSize + 2
+    val bcD = spark.sparkContext.broadcast(decoder)
+    val bcA = spark.sparkContext.broadcast(anchors)
+    val rows = spark.range(nWindows).as[Long].mapPartitions { idxs =>
+      val dec = bcD.value; val anc = bcA.value
+      idxs.flatMap { idx =>
+        val rnd = new scala.util.Random(seed * 1000003L + idx * 7919L)
+        val lastTs = startEpochSec +
+          ((idx + 1) * windowSize - 1) * (intervalHours * 3600L)
+        val z = Array.fill(latent)(rnd.nextGaussian()) ++ temporalOf(lastTs)
+        val rets = dec.forward(z)
+        val mean = rets.sum / rets.length
+        var i = 0
+        while (i < rets.length) { rets(i) -= mean; i += 1 }
+        val anchor = anc(rnd.nextInt(anc.length))
+        var logP = math.log(anchor)
+        val out = new Array[(Long, Double)](rets.length)
+        i = 0
+        while (i < rets.length) {
+          logP += rets(i)
+          out(i) = (idx * windowSize + i, math.exp(logP))
+          i += 1
+        }
+        out
+      }
+    }.toDF("rn", "typical_price")
+    rows.filter(col("rn") < n)
+      .withColumn("DATE_TIME", timestamp_seconds(
+        lit(startEpochSec) + col("rn") * (intervalHours * 3600)))
+      .select(col("rn"), col("DATE_TIME"), col("typical_price"))
+  }
+
   def generate(spark: SparkSession, decoder: MlpDecoder,
                anchors: Array[Double], n: Int, seed: Long,
                startEpochSec: Long = 1577836800L, // 2020-01-01

@@ -142,10 +142,15 @@ object VaeTrainer {
     }
   }
 
+  /** Number of cyclical temporal features in conditional mode (sin/cos
+    * of hour, weekday, month — W8, data_processor.py:70-92). */
+  val NTemporal = 6
+
   final case class TrainConfig(
       windowSize: Int = 24,
       latentDim: Int = 8,
       hidden: Int = 64,
+      conditional: Boolean = false,
       epochs: Int = 30,
       batchSize: Int = 64,
       learningRate: Double = 1e-3,
@@ -180,24 +185,59 @@ object VaeTrainer {
       .map(_.getSeq[Double](0).toArray)
   }
 
-  /** Train on pre-extracted windows (driver loop). */
-  def trainOnWindows(windows: Array[Array[Double]], cfg: TrainConfig): TrainResult = {
+  /** Conditional leg: windows PLUS the W8 cyclical features of each
+    * window's LAST timestamp (ref prepare_training_data with
+    * conditional=true, data_processor.py:130-137 — trailing windows end
+    * at the current row, so the row's own features are the window's). */
+  def prepareWindowsConditional(prices: DataFrame, orderCols: Seq[String],
+                                price: String, ts: String, windowSize: Int,
+                                maxWindows: Int): (Array[Array[Double]], Array[Array[Double]]) = {
+    val spec = SeriesSpec(Nil, orderCols)
+    val rets = SeriesOps.temporalFeatures(
+      SeriesOps.logReturns(prices, spec, price, "ret")
+        .filter(col("ret").isNotNull)
+        .withColumn("rn", row_number().over(spec.w)), ts)
+    val rows = SeriesOps.slidingWindows(rets, SeriesSpec(Nil, Seq("rn")), "ret",
+        windowSize, "window")
+      .orderBy(col("rn")).limit(maxWindows)
+      .select(col("window"), array(col("hour_sin"), col("hour_cos"),
+        col("dow_sin"), col("dow_cos"), col("month_sin"), col("month_cos"))
+        .as("temp"))
+      .collect()
+    (rows.map(_.getSeq[Double](0).toArray), rows.map(_.getSeq[Double](1).toArray))
+  }
+
+  /** Train on pre-extracted windows (driver loop). In conditional mode
+    * `temps` carries the per-window W8 features, concatenated after the
+    * encoder's first layer, into the decoder input and into the
+    * discriminator input (ref vae_gan_trainer.py:60-66, 90-96, 112-117). */
+  def trainOnWindows(windows: Array[Array[Double]], cfg: TrainConfig,
+                     temps: Option[Array[Array[Double]]] = None): TrainResult = {
     require(windows.nonEmpty, "no training windows")
     val ws = cfg.windowSize; val ld = cfg.latentDim
     require(windows.head.length == ws, "window width mismatch")
+    val nT = if (cfg.conditional) NTemporal else 0
+    require(!cfg.conditional ||
+      temps.exists(t => t.length == windows.length && t.head.length == nT),
+      "conditional mode needs one temporal-feature row per window")
     val rnd = new scala.util.Random(cfg.seed)
+    def cat(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] =
+      if (nT == 0) a else a.zip(b).map { case (x, y) => x ++ y }
+    def head(a: Array[Array[Double]], cols: Int): Array[Array[Double]] =
+      if (nT == 0) a else a.map(_.take(cols))
 
-    // encoder: ws -> hidden(tanh) -> {mu, logVar}; decoder: ld -> hidden(tanh) -> ws
+    // encoder: ws -> hidden(tanh) -> [⧺temp] -> {mu, logVar};
+    // decoder: (ld [⧺temp]) -> hidden(tanh) -> ws
     val enc1 = new Dense(ws, cfg.hidden, "tanh", rnd)
-    val encMu = new Dense(cfg.hidden, ld, "linear", rnd)
-    val encLv = new Dense(cfg.hidden, ld, "linear", rnd)
-    val dec1 = new Dense(ld, cfg.hidden, "tanh", rnd)
+    val encMu = new Dense(cfg.hidden + nT, ld, "linear", rnd)
+    val encLv = new Dense(cfg.hidden + nT, ld, "linear", rnd)
+    val dec1 = new Dense(ld + nT, cfg.hidden, "tanh", rnd)
     val dec2 = new Dense(cfg.hidden, ws, "linear", rnd)
-    // discriminator: ws -> 64(lrelu) -> 32(lrelu) -> 1 (linear head;
-    // sigmoid applied outside so the fused sigmoid+BCE gradient (p - t)
-    // feeds the pre-activation directly — numerically exact even when
-    // the sigmoid saturates)
-    val d1 = new Dense(ws, 64, "lrelu", rnd)
+    // discriminator: (ws [⧺temp]) -> 64(lrelu) -> 32(lrelu) -> 1 (linear
+    // head; sigmoid applied outside so the fused sigmoid+BCE gradient
+    // (p - t) feeds the pre-activation directly — numerically exact even
+    // when the sigmoid saturates)
+    val d1 = new Dense(ws + nT, 64, "lrelu", rnd)
     val d2 = new Dense(64, 32, "lrelu", rnd)
     val d3 = new Dense(32, 1, "linear", rnd)
 
@@ -246,18 +286,21 @@ object VaeTrainer {
       while (ofs < nW) {
         val idx = order.slice(ofs, math.min(ofs + bs, nW))
         val batch = idx.map(windows).toArray
+        val tBatch = temps.map(t => idx.map(t).toArray).getOrElse(batch)
         val n = batch.length
         adamT += 1
 
         // ── VAE step ──
         vaeLayers.foreach(_.zeroGrad())
         val (pe1, he1) = enc1.forward(batch)
-        val (pmu, mu) = encMu.forward(he1)
-        val (plv, lv) = encLv.forward(he1)
+        val heCat = cat(he1, tBatch)
+        val (pmu, mu) = encMu.forward(heCat)
+        val (plv, lv) = encLv.forward(heCat)
         val eps = Array.fill(n, ld)(rnd.nextGaussian())
         val z = Array.tabulate(n, ld)((r, j) =>
           mu(r)(j) + math.exp(0.5 * lv(r)(j)) * eps(r)(j))
-        val (pd1, hd1) = dec1.forward(z)
+        val zCat = cat(z, tBatch)
+        val (pd1, hd1) = dec1.forward(zCat)
         val (pd2, recon) = dec2.forward(hd1)
 
         var recL = 0.0
@@ -299,9 +342,10 @@ object VaeTrainer {
           }
           r += 1
         }
-        // backward: decoder then split into mu / lv paths
+        // backward: decoder then split into mu / lv paths (temporal
+        // columns of concatenated inputs carry no trainable upstream)
         val gHd1 = dec2.backward(hd1, pd2, recon, gRecon)
-        val gZ = dec1.backward(z, pd1, hd1, gHd1)
+        val gZ = head(dec1.backward(zCat, pd1, hd1, gHd1), ld)
         val gMu = Array.ofDim[Double](n, ld)
         val gLv = Array.ofDim[Double](n, ld)
         r = 0
@@ -316,43 +360,45 @@ object VaeTrainer {
           }
           r += 1
         }
-        val gHe1a = encMu.backward(he1, pmu, mu, gMu)
-        val gHe1b = encLv.backward(he1, plv, lv, gLv)
+        val gHe1a = encMu.backward(heCat, pmu, mu, gMu)
+        val gHe1b = encLv.backward(heCat, plv, lv, gLv)
         val gHe1 = Array.tabulate(n, cfg.hidden)((a, c) => gHe1a(a)(c) + gHe1b(a)(c))
         enc1.backward(batch, pe1, he1, gHe1)
         vaeLayers.foreach(_.adam(cfg.learningRate, adamT))
 
         var dL = 0.0; var gL = 0.0
         if (cfg.adversarial) {
-          // ── discriminator step ── (fake from frozen decoder on noise)
+          // ── discriminator step ── (fake from frozen decoder on noise;
+          // conditional: temporal features ride along on every input)
           discLayers.foreach(_.zeroGrad())
           val noise1 = Array.fill(n, ld)(rnd.nextGaussian())
-          val fake1 = dec2.forward(dec1.forward(noise1)._2)._2
-          val fR = discForward(batch)
-          val fF = discForward(fake1)
+          val fake1 = dec2.forward(dec1.forward(cat(noise1, tBatch))._2)._2
+          val fR = discForward(cat(batch, tBatch))
+          val fF = discForward(cat(fake1, tBatch))
           def bce(p: Double, t: Double): Double = {
             val c = math.max(1e-7, math.min(1 - 1e-7, p))
             -(t * math.log(c) + (1 - t) * math.log(1 - c))
           }
           dL = (batch.indices.map(i => bce(sigm(fR._6(i)(0)), 1.0)).sum / n +
             batch.indices.map(i => bce(sigm(fF._6(i)(0)), 0.0)).sum / n) / 2.0
-          discBackward(batch, fR, 1.0, 0.5)
-          discBackward(fake1, fF, 0.0, 0.5)
+          discBackward(cat(batch, tBatch), fR, 1.0, 0.5)
+          discBackward(cat(fake1, tBatch), fF, 0.0, 0.5)
           discLayers.foreach(_.adam(cfg.discriminatorLr, adamT))
 
           // ── generator adversarial step ── (disc frozen)
           genLayers.foreach(_.zeroGrad())
           val noise2 = Array.fill(n, ld)(rnd.nextGaussian())
-          val (pg1, hg1) = dec1.forward(noise2)
+          val noise2Cat = cat(noise2, tBatch)
+          val (pg1, hg1) = dec1.forward(noise2Cat)
           val (pg2, fake2) = dec2.forward(hg1)
-          val fF2 = discForward(fake2)
+          val fF2 = discForward(cat(fake2, tBatch))
           gL = batch.indices.map(i => bce(sigm(fF2._6(i)(0)), 1.0)).sum / n
           // dL/dfake through the (frozen) disc: save+restore disc grads
           discLayers.foreach(_.zeroGrad())
-          val gFake = discBackward(fake2, fF2, 1.0, 1.0)
+          val gFake = head(discBackward(cat(fake2, tBatch), fF2, 1.0, 1.0), ws)
           discLayers.foreach(_.zeroGrad()) // discard disc grads (frozen)
           val gHg1 = dec2.backward(hg1, pg2, fake2, gFake)
-          dec1.backward(noise2, pg1, hg1, gHg1)
+          dec1.backward(noise2Cat, pg1, hg1, gHg1)
           genLayers.foreach(_.adam(cfg.generatorLr, adamT))
         }
 
@@ -382,11 +428,17 @@ object VaeTrainer {
     TrainResult(decoder, history.result())
   }
 
-  /** Full path: Spark window prep + driver training. */
+  /** Full path: Spark window prep + driver training. Conditional mode
+    * reads the timestamp column (`orderCols.head`) for the W8 features. */
   def train(prices: DataFrame, orderCols: Seq[String], price: String,
-            cfg: TrainConfig = TrainConfig()): TrainResult = {
-    val windows = prepareWindows(prices, orderCols, price,
-      cfg.windowSize, cfg.maxWindows)
-    trainOnWindows(windows, cfg)
-  }
+            cfg: TrainConfig = TrainConfig()): TrainResult =
+    if (cfg.conditional) {
+      val (windows, temps) = prepareWindowsConditional(prices, orderCols,
+        price, orderCols.head, cfg.windowSize, cfg.maxWindows)
+      trainOnWindows(windows, cfg, Some(temps))
+    } else {
+      val windows = prepareWindows(prices, orderCols, price,
+        cfg.windowSize, cfg.maxWindows)
+      trainOnWindows(windows, cfg)
+    }
 }

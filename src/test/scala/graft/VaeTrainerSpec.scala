@@ -82,6 +82,28 @@ class VaeTrainerSpec extends AnyFunSuite {
       out2.orderBy("rn").collect().map(_.getDouble(2)).toSeq)
   }
 
+  test("conditional VAE-GAN: temporal features ride all three nets; season-aware generation") {
+    val prices = SparkSpec.randomWalk(700, seed = 17)
+    val cfg = TrainConfig(windowSize = 12, latentDim = 4, hidden = 24,
+      epochs = 4, batchSize = 32, adversarial = true, conditional = true,
+      startFromEpoch = 100, seed = 19L)
+    val r = VaeTrainer.train(prices, Seq("DATE_TIME"), "typical_price", cfg)
+    // conditional decoder input = latent + 6 temporal dims
+    assert(r.decoder.latentDim == 4 + VaeTrainer.NTemporal)
+    assert(r.epochMetrics.forall(m => !m("total").isNaN && !m("g_loss").isNaN))
+    // conditional generation feeds real W8 features of the output clock
+    val out = DecoderGenerator.generateConditional(spark, r.decoder,
+      anchors = Array(1.0, 1.2), n = 60, seed = 5L)
+    assert(out.count() == 60)
+    assert(out.select("typical_price").collect()
+      .forall(v => v.getDouble(0) > 0 && !v.getDouble(0).isNaN))
+    // determinism
+    val out2 = DecoderGenerator.generateConditional(spark, r.decoder,
+      anchors = Array(1.0, 1.2), n = 60, seed = 5L)
+    assert(out.orderBy("rn").collect().map(_.getDouble(2)).toSeq ==
+      out2.orderBy("rn").collect().map(_.getDouble(2)).toSeq)
+  }
+
   test("C9 MMD: zero for identical batches, positive for shifted ones; grad check") {
     val rnd = new scala.util.Random(3)
     val x = Array.fill(40, 6)(rnd.nextGaussian())
