@@ -38,4 +38,27 @@ class RatioSweepSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_synthetic") > 0)
     }
   }
+
+  test("tolerance measure: seed spread -> recommended margin (ref formula)") {
+    val prices = SparkSpec.randomWalk(420, seed = 23)
+    val train = prices.filter(col("DATE_TIME") < lit("2020-02-01"))
+    val valid = prices.filter(col("DATE_TIME") >= lit("2020-02-01") &&
+      col("DATE_TIME") < lit("2020-02-15"))
+    val test0 = prices.filter(col("DATE_TIME") >= lit("2020-02-15"))
+    val cache = java.nio.file.Files.createTempDirectory("tol")
+      .resolve("baseline.json").toString
+    val r = graft.eval.ToleranceMeasure.blockBootstrapTolerance(spark,
+      train, valid, test0, Seq("DATE_TIME"), "typical_price", cache,
+      nSeeds = 3, nSamples = 60, blockSize = 10,
+      windowSize = 8, maxIter = 3).first()
+    assert(r.getAs[Long]("n_seeds") == 3)
+    val mean = r.getAs[Double]("fitness_mean")
+    val margin = r.getAs[Double]("recommended_tolerance_margin")
+    assert(mean > 0 && !mean.isNaN)
+    assert(margin > 0 && margin <= 0.50, s"margin $margin outside ref bounds")
+    assert(r.getAs[Double]("fitness_min") <= r.getAs[Double]("fitness_max"))
+    // margin = min(2*max_rel_dev, 0.5) per measure_tolerance.py:317-319
+    val expected = math.min(r.getAs[Double]("max_relative_dev") * 2.0, 0.50)
+    assert(math.abs(margin - expected) < 1e-12)
+  }
 }
