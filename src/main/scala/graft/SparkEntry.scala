@@ -451,7 +451,8 @@ object SparkEntry {
         .orderBy(col("rn"))
     }),
 
-    // ── G8: TimeGAN inference-only generator (rows-only) ──────────────
+    // ── G8: TimeGAN inference path (training lives in
+    //    train.TimeGanTrainer; the bench leg samples a seeded model) ───
     "g08_timegan_infer" -> ((s, dir) => {
       val anchors = ev(s, dir).orderBy(col("ts"), col("event_id")).limit(5000)
         .select(col("value").cast("double")).collect().map(_.getDouble(0))

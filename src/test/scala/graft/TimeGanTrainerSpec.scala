@@ -100,6 +100,26 @@ class TimeGanTrainerSpec extends AnyFunSuite {
     assert(r2.model.generator.dw.flatten.toSeq == r.model.generator.dw.flatten.toSeq)
   }
 
+  test("TimeGAN artifact round-trips through ModelIO and drives identical inference") {
+    val windows = Array.tabulate(40) { i =>
+      Array.tabulate(12)(t => 0.5 + 0.3 * math.sin((t + i) * 0.8))
+    }
+    val r = TimeGanTrainer.trainOnWindows(windows, dataMin = -0.001,
+      dataRange = 0.002, Config(windowSize = 12, latentDim = 3, hidden = 4,
+        epochsAe = 2, epochsSup = 2, epochsJoint = 1, patience = 50,
+        batchSize = 16, seed = 8L))
+    val path = java.nio.file.Files.createTempFile("tg", ".json").toString
+    graft.io.ModelIO.saveTimeGan(r.model, path)
+    val loaded = graft.io.ModelIO.loadTimeGan(path)
+    assert(loaded.windowSize == 12 && loaded.latentDim == 3)
+    assert(loaded.dataMin == r.model.dataMin && loaded.dataRange == r.model.dataRange)
+    val a = TimeGanGenerator.generate(spark, r.model, Array(1.0), 30, seed = 2L)
+      .orderBy("rn").collect().map(_.getDouble(1)).toSeq
+    val b = TimeGanGenerator.generate(spark, loaded, Array(1.0), 30, seed = 2L)
+      .orderBy("rn").collect().map(_.getDouble(1)).toSeq
+    assert(a == b, "loaded artifact must generate identically")
+  }
+
   test("full Spark path: prepare windows from prices and train briefly") {
     val prices = SparkSpec.randomWalk(400, seed = 21)
     val r = TimeGanTrainer.train(prices, Seq("DATE_TIME"), "typical_price",
