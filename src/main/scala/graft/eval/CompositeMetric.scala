@@ -43,11 +43,14 @@ object CompositeMetric {
       df.select((lit(lab).as("lab") +: col(price).cast("double").as("_p")
         +: orderCols.map(col)): _*)
     val labSpec = SeriesSpec(Seq("lab"), orderCols)
-    val u = SeriesOps.logReturns(
-        labeled(real, "real").unionByName(labeled(synth, "synth")),
-        labSpec, "_p", "ret")
+    // score() runs ~8 actions over these lineages (JS range+counts, KS,
+    // lagged agg, 2 hurst legs, 2 FFT collects) — persist both the
+    // labeled prices and the window-heavy returns pass, unpersist on exit
+    val lp = labeled(real, "real").unionByName(labeled(synth, "synth")).persist()
+    val u = SeriesOps.logReturns(lp, labSpec, "_p", "ret")
       .filter(col("ret").isNotNull)
       .select((col("lab") +: col("ret") +: orderCols.map(col)): _*)
+      .persist()
     val rr = u.filter(col("lab") === "real")
     val rs = u.filter(col("lab") === "synth")
 
@@ -81,8 +84,12 @@ object CompositeMetric {
     val (hr, hs, spectral) =
       if (!withExpensive) (0.0, 0.0, 0.0)
       else {
-        val h1 = SeriesStats.hurst(real, spec, price).first().getAs[Double]("hurst")
-        val h2 = SeriesStats.hurst(synth, spec, price).first().getAs[Double]("hurst")
+        // hurst runs on PRICES — feed it the persisted labeled halves
+        // rather than re-deriving the raw inputs
+        val h1 = SeriesStats.hurst(lp.filter(col("lab") === "real"), spec, "_p")
+          .first().getAs[Double]("hurst")
+        val h2 = SeriesStats.hurst(lp.filter(col("lab") === "synth"), spec, "_p")
+          .first().getAs[Double]("hurst")
         val retsR = rr.orderBy(orderCols.map(col): _*)
           .limit(SeriesStats.MaxCollectRows) // bounded collect (FFT leg)
           .select("ret").collect().map(_.getDouble(0))
@@ -106,6 +113,7 @@ object CompositeMetric {
       "kurt_diff" -> math.abs(sy.getAs[Double]("kurt_raw") - kurtR) / math.max(kurtR, 1.0),
       "std_ratio" -> math.abs(sy.getAs[Double]("std") / re.getAs[Double]("std") - 1.0))
 
+    u.unpersist(); lp.unpersist()
     val totalW = weights.values.sum
     val s = weights.map { case (k, wt) => wt * details(k) }.sum / totalW
     (s, details)

@@ -37,11 +37,15 @@ object DistributionEvaluator {
       df.select((lit(lab).as("lab") +: col(price).cast("double").as("_p")
         +: orderCols.map(col)): _*)
     val labSpec = SeriesSpec(Seq("lab"), orderCols)
+    // ~6 actions consume this window-heavy lineage (JS range+counts, KS,
+    // moments, autocorr, 2 ADF collects) — persist it, materialize the
+    // one-row record eagerly, unpersist before returning
     val u = SeriesOps.logReturns(
         labeled(real, "real").unionByName(labeled(synth, "synth")),
         labSpec, "_p", "ret")
       .filter(col("ret").isNotNull)
       .select((col("lab") +: col("ret") +: orderCols.map(col)): _*)
+      .persist()
 
     val kl = Divergence.histJsd(u, "ret", col("lab"), "real", "synth", 100)
       .select(col("kl_divergence"))
@@ -90,11 +94,16 @@ object DistributionEvaluator {
           scala.util.Try(graft.stats.Adf.test(s).pValue).getOrElse(-1.0)
       }
 
-    kl.crossJoin(wass).crossJoin(momentsRow).crossJoin(acRow)
+    val record = kl.crossJoin(wass).crossJoin(momentsRow).crossJoin(acRow)
       .withColumn("real_adf_pvalue", lit(adfOf("real")))
       .withColumn("synthetic_adf_pvalue", lit(adfOf("synth")))
       .withColumn("quality_score",
         col("kl_divergence") + lit(0.1) * col("wasserstein_distance") +
           abs(col("real_return_std") - col("synthetic_return_std")))
+    val spark = real.sparkSession
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(record.collect(): _*), record.schema)
+    u.unpersist()
+    local
   }
 }

@@ -33,30 +33,16 @@ import graft.series.{SeriesOps, SeriesSpec}
   */
 object PredictiveEvaluator {
 
-  /** Rows above which the distributed index/window builders engage —
-    * below it the plain single-partition pass is faster (no explode
-    * shuffle, no RDD boundary) and the partition is bounded anyway. */
-  private[eval] val BigSeriesRows = 100000L
+  /** Rows above which the distributed index/window builders engage. */
+  private[eval] val BigSeriesRows = SeriesOps.BigSeriesRows
 
-  /** Dense 1-based index in orderCols order. Small series: one
-    * row_number pass. Big series: distributed range-partitioned sort +
-    * RDD zipWithIndex — no single-partition window at any scale. */
+  /** Dense 1-based long index in orderCols order — shared builder
+    * ([[SeriesOps.indexedSeries]]): row_number for bounded series, a
+    * distributed range-sort + zipWithIndex (long counter) above
+    * [[BigSeriesRows]]. */
   private[eval] def indexed(df: DataFrame, orderCols: Seq[String], price: String,
                             big: Boolean = false): DataFrame =
-    if (!big)
-      df.withColumn("rn",
-        row_number().over(Window.orderBy(orderCols.map(col): _*)))
-        .select(col("rn"), col(price).cast("double").as("p"))
-    else {
-      val spark = df.sparkSession
-      import spark.implicits._
-      df.select((col(price).cast("double").as("p") +: orderCols.map(col)): _*)
-        .orderBy(orderCols.map(col): _*)
-        .select(col("p")) // ordering cols no longer needed after the sort
-        .rdd.zipWithIndex()
-        .map { case (row, i) => (i.toInt + 1, row.getDouble(0)) }
-        .toDF("rn", "p")
-    }
+    SeriesOps.indexedSeries(df, orderCols, price, big)
 
   /** Supervised windows on an indexed (rn, p) series → (features, label).
     * Big series use the chunked halo-replicated build (windows form

@@ -23,22 +23,31 @@ import org.apache.spark.sql.functions._
   */
 object BlockBootstrap {
 
+  /** 0-based (rn, p) index via the shared [[SeriesOps.indexedSeries]]
+    * builder: row_number for bounded inputs, a distributed range-sort +
+    * zipWithIndex above [[SeriesOps.BigSeriesRows]] — the source table
+    * never funnels through one partition. */
   private def indexed(prices: DataFrame, orderCols: Seq[String],
-                      value: String): DataFrame =
-    prices
-      .withColumn("rn",
-        row_number().over(Window.orderBy(orderCols.map(col): _*)) - 1)
-      .select(col("rn"), col(value).cast("double").as("p"))
+                      value: String, total: Long): DataFrame =
+    graft.series.SeriesOps
+      .indexedSeries(prices, orderCols, value,
+        big = total > graft.series.SeriesOps.BigSeriesRows)
+      .withColumn("rn", col("rn") - 1)
 
   /** The telescoped rescale chain over explicit (block_id, start) rows:
     * shared by the seeded and the deterministic-stride paths. */
   private def chainBlocks(idx: DataFrame, blocks: DataFrame,
                           blockSize: Int, n: Int): DataFrame = {
+    // the indexed source feeds BOTH the per-block-aggregate broadcast
+    // job and the final join job — persist it so the (sorted) index is
+    // computed once, and localCheckpoint the bounded n-row result so the
+    // cache can be dropped before returning
+    val cachedIdx = idx.persist()
     val positions = blocks
       .select(col("block_id"), col("start"),
         explode(sequence(lit(0), lit(blockSize - 1))).as("pos"))
       .withColumn("rn", col("start") + col("pos"))
-    val rows = positions.join(idx, "rn")
+    val rows = positions.join(cachedIdx, "rn")
       .select(col("block_id"), col("pos"), col("p"))
 
     val perBlock = rows.groupBy(col("block_id")).agg(
@@ -52,10 +61,13 @@ object BlockBootstrap {
         sum(col("d")).over(wB.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("block_id"), col("ln_scale"))
 
-    rows.join(broadcast(chained), "block_id")
+    val out = rows.join(broadcast(chained), "block_id")
       .withColumn("rn", col("block_id") * blockSize + col("pos"))
       .filter(col("rn") < n)
       .select(col("rn"), exp(log(col("p")) + col("ln_scale")).as("typical_price"))
+      .localCheckpoint() // eager: n rows, stays distributed
+    cachedIdx.unpersist()
+    out
   }
 
   /** @param prices single ordered series (orderCols define the order)
@@ -66,9 +78,9 @@ object BlockBootstrap {
     val spark = prices.sparkSession
     import spark.implicits._
 
-    val idx = indexed(prices, orderCols, value)
-    val total = idx.count()
+    val total = prices.count()
     require(total >= blockSize, s"need >= $blockSize rows, got $total")
+    val idx = indexed(prices, orderCols, value, total)
 
     val nBlocks = n / blockSize + 2
     val rnd = new scala.util.Random(seed)
@@ -85,9 +97,9 @@ object BlockBootstrap {
   def generateStrided(prices: DataFrame, orderCols: Seq[String], value: String,
                       blockSize: Int, n: Int, stride: Int = 523): DataFrame = {
     val spark = prices.sparkSession
-    val idx = indexed(prices, orderCols, value)
-    val total = idx.count()
+    val total = prices.count()
     require(total >= blockSize, s"need >= $blockSize rows, got $total")
+    val idx = indexed(prices, orderCols, value, total)
     val nBlocks = n / blockSize + 2
     val blocks = spark.range(nBlocks)
       .select(col("id").cast("int").as("block_id"),

@@ -38,6 +38,34 @@ final case class SeriesSpec(partitionCols: Seq[String], orderCols: Seq[String]) 
   */
 object SeriesOps {
 
+  /** Rows above which [[indexedSeries]] switches to the distributed
+    * build — below it the plain single-partition row_number pass is
+    * faster (no RDD boundary) and the partition is bounded anyway. */
+  val BigSeriesRows = 100000L
+
+  /** Dense 1-based (rn: long, p: double) index of a single ordered
+    * series. Small series: one row_number pass. Big series: distributed
+    * range-partitioned sort + RDD zipWithIndex — no single-partition
+    * window at any scale, and the index stays a long (an Int counter
+    * would silently wrap past 2^31 rows — exactly the scale this path
+    * exists for). */
+  def indexedSeries(df: DataFrame, orderCols: Seq[String], value: String,
+                    big: Boolean): DataFrame =
+    if (!big)
+      df.withColumn("rn",
+        row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("long"))
+        .select(col("rn"), col(value).cast("double").as("p"))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select((col(value).cast("double").as("p") +: orderCols.map(col)): _*)
+        .orderBy(orderCols.map(col): _*)
+        .select(col("p")) // ordering cols no longer needed after the sort
+        .rdd.zipWithIndex()
+        .map { case (row, i) => (i + 1L, row.getDouble(0)) }
+        .toDF("rn", "p")
+    }
+
   /** W1 + P4: log-returns `ln(p_t) − ln(p_{t−1})` with a positive-floor
     * clip guard. Ref: app/data_processor.py:44-47 (np.diff(np.log(p)));
     * clip ref: regime_hmm_garch.py:67. First row of each series gets

@@ -23,15 +23,28 @@ object Divergence {
   def histJsd(df: DataFrame, value: String, label: Column,
               a: String, b: String, nBins: Int = 100): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
     val v = col(value).cast("double")
     val twoSamples = df.filter(label.isin(a, b)).select(v.as("v"), label.as("lab"))
-    val range = twoSamples.groupBy().agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-    val counts = twoSamples.crossJoin(broadcast(range))
-      .withColumn("bucket", Histogram.bucketCol(col("v"), col("lo"), col("hi"), nBins))
+    // exactly two data-sized passes: the min/max agg and the bucket
+    // hash-agg (each map-side combinable). Binning against LITERAL
+    // lo/hi — a broadcast range subquery re-derives the input lineage
+    // once per downstream broadcast job, which is what made every
+    // caller pay ~4 full scans per action.
+    val r0 = twoSamples.agg(min(col("v")).as("lo"), max(col("v")).as("hi")).first()
+    val (lo, hi) =
+      if (r0.isNullAt(0)) (0.0, 0.0) else (r0.getDouble(0), r0.getDouble(1))
+    // ≤ nBins count rows — collected; all smoothing arithmetic below
+    // runs on a local relation (identical formulas, zero re-scans)
+    val counts = twoSamples
+      .withColumn("bucket", Histogram.bucketCol(col("v"), lit(lo), lit(hi), nBins))
+      .filter(col("bucket").isNotNull) // null v never lands in a bin
       .groupBy(col("bucket"))
       .agg(
         sum(when(col("lab") === a, 1).otherwise(0)).as("ca"),
         sum(when(col("lab") === b, 1).otherwise(0)).as("cb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSeq.toDF("bucket", "ca", "cb")
     // all nBins bins participate in smoothing (np.histogram emits zeros)
     val allBins = spark.range(nBins).select(col("id").cast("int").as("bucket"))
     val eps = 1e-10
