@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array columns (double math). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two array columns (double math) —
+    * a native codegen'd Catalyst expression ([[graft.functions.DotProduct]]);
+    * value-identical to the aggregate(zip_with(...)) fold it replaced,
+    * which ran interpreted (higher-order functions are CodegenFallback). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   /** Cosine similarity = dot / sqrt(|a|²·|b|²). */
   def cosine(a: Column, b: Column): Column =

@@ -123,19 +123,89 @@ object Adf {
     adfWithLag(series, effLag)
   }
 
+  /** Solve the leading k×k system G·β = g (gauss-jordan, k ≤ 22). */
+  private def solveLeading(gram: Array[Array[Double]], gv: Array[Double],
+                           k: Int): Array[Double] = {
+    val m = Array.tabulate(k, k)((a, b) => gram(a)(b))
+    val rhs = Array.tabulate(k)(gv(_))
+    var colI = 0
+    while (colI < k) {
+      var piv = colI
+      var r = colI + 1
+      while (r < k) { if (math.abs(m(r)(colI)) > math.abs(m(piv)(colI))) piv = r; r += 1 }
+      val tmp = m(colI); m(colI) = m(piv); m(piv) = tmp
+      val t2 = rhs(colI); rhs(colI) = rhs(piv); rhs(piv) = t2
+      val d = m(colI)(colI)
+      require(math.abs(d) > 1e-300, "singular design matrix in ADF autolag")
+      var c = 0
+      while (c < k) { m(colI)(c) /= d; c += 1 }
+      rhs(colI) /= d
+      r = 0
+      while (r < k) {
+        if (r != colI) {
+          val f = m(r)(colI)
+          c = 0
+          while (c < k) { m(r)(c) -= f * m(colI)(c); c += 1 }
+          rhs(r) -= f * rhs(colI)
+        }
+        r += 1
+      }
+      colI += 1
+    }
+    rhs
+  }
+
   private def adfWithLag(series: Array[Double], maxLag: Int): AdfResult = {
     val n = series.length
     val dx = Array.tabulate(n - 1)(i => series(i + 1) - series(i))
     val x = series // level aligned: regressor for dx(t) is series(t)
-    // autolag on the common sample (start at maxLag so all p comparable)
+    // autolag on the common sample (start at maxLag so all p comparable).
+    // The lag-p design is a COLUMN PREFIX of the full lag-maxLag design
+    // [1, x(t), dx(t-1..t-maxLag)], so one X'X / X'y / y'y accumulation
+    // pass serves every candidate: ssr_p = y'y − β_p·g[0..k) from the
+    // leading submatrix solve. (The previous per-p design rebuild
+    // allocated ~rows×k doubles 21× — measurable GC pressure when the
+    // evaluator runs after trainer-heavy queries.)
+    val kFull = 2 + maxLag
+    val rows = dx.length - maxLag
+    val gram = Array.ofDim[Double](kFull, kFull)
+    val gv = new Array[Double](kFull)
+    var yty = 0.0
+    val xi = new Array[Double](kFull)
+    var t = maxLag
+    while (t < dx.length) {
+      val y = dx(t)
+      xi(0) = 1.0; xi(1) = x(t)
+      var i = 0
+      while (i < maxLag) { xi(2 + i) = dx(t - 1 - i); i += 1 }
+      yty += y * y
+      var a = 0
+      while (a < kFull) {
+        val xa = xi(a)
+        gv(a) += xa * y
+        var b = a
+        while (b < kFull) { gram(a)(b) += xa * xi(b); b += 1 }
+        a += 1
+      }
+      t += 1
+    }
+    var a = 0
+    while (a < kFull) { var b = a + 1; while (b < kFull) { gram(b)(a) = gram(a)(b); b += 1 }; a += 1 }
     var bestP = 0; var bestAic = Double.MaxValue
     var p = 0
     while (p <= maxLag) {
-      val (_, aic, _, _) = fitLag(x, dx, p, maxLag)
+      val k = 2 + p
+      val beta = solveLeading(gram, gv, k)
+      var bg = 0.0
+      var j = 0
+      while (j < k) { bg += beta(j) * gv(j); j += 1 }
+      val ssr = yty - bg
+      val aic = rows * math.log(ssr / rows) + 2.0 * k
       if (aic < bestAic) { bestAic = aic; bestP = p }
       p += 1
     }
-    // refit chosen lag on its full sample
+    // refit chosen lag on its full sample (explicit-residual OLS — the
+    // published τ keeps the original numerically-direct path)
     val (tau, _, _, nObs) = fitLag(x, dx, bestP, bestP)
     AdfResult(tau, pValue(tau), bestP, nObs)
   }

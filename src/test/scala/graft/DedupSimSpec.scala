@@ -57,6 +57,28 @@ class DedupSimSpec extends AnyFunSuite {
     assert(pairs.get((1L, 2L)).contains(0))
   }
 
+  test("DotProduct expression matches the interpreted zip_with fold bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5L)
+    val rows = Seq.fill(50)((
+      Seq.fill(64)(rnd.nextFloat()), Seq.fill(64)(rnd.nextDouble())))
+    val df = rows.toDF("a", "b")
+    val legacy = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = df.select(
+      graft.functions.DotProduct(col("a"), col("b")).as("fast"),
+      legacy.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff === 0L) // identical fold order => identical doubles
+    // null array => null result (both sides)
+    val withNull = Seq((Option.empty[Seq[Float]], Option(Seq(1.0, 2.0))))
+      .toDF("a", "b")
+    assert(withNull.select(graft.functions.DotProduct(col("a"), col("b")))
+      .first().isNullAt(0))
+  }
+
   test("cosine: self-similarity 1, orthogonal 0") {
     val s = spark
     import s.implicits._
