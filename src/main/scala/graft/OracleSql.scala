@@ -66,6 +66,112 @@ object OracleSql {
       |     OVER (ORDER BY ts, event_id) AS ret
       | FROM events) t WHERE ret IS NOT NULL""".stripMargin
 
+  /** [[globalRets]] over the 20000-row fit prefix of events — the
+    * single-series fit contract (RegimeBootstrap/RegimeConditional
+    * maxFitRows; log-returns are causal so prefix-then-lag equals
+    * lag-then-prefix). A no-op at the sf0.01 gate (10k rows). */
+  private val globalRetsCapped: String =
+    """SELECT ts, event_id, ret FROM (
+      | SELECT ts, event_id,
+      |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+      |     OVER (ORDER BY ts, event_id) AS ret
+      | FROM (SELECT * FROM events ORDER BY ts, event_id LIMIT 20000) p
+      |) t WHERE ret IS NOT NULL""".stripMargin
+
+  /** tanh as exp arithmetic (this DuckDB build ships no tanh built-in):
+    * 1 − 2/(e²ˣ+1) — monotone-safe at both tails (overflow → ±1), and
+    * within ~2 ulp of Math.tanh over the bounded pre-activations here
+    * (absorbed by the r6 output rounding). */
+  private def tanhSql(x: String): String = s"(1.0 - 2.0/(exp(2.0*($x))+1.0))"
+
+  /** SQL twin of [[graft.gen.MlpDecoder.forward]] over fixed literal
+    * weights: h = tanh(W1·z + b1), out = W2·h + b2, term order matching
+    * the Scala accumulation (bias first, then inputs in index order). */
+  private def mlpForwardSql(dec: graft.gen.MlpDecoder, z: Array[Double]): String = {
+    val w1 = dec.weights(0); val b1 = dec.biases(0)
+    val w2 = dec.weights(1); val b2 = dec.biases(1)
+    val hExprs = w1.indices.map { h =>
+      val terms = w1(h).indices.map(i => s"(${w1(h)(i)})*(${z(i)})").mkString(" + ")
+      tanhSql(s"${b1(h)} + $terms")
+    }
+    val outExprs = w2.indices.map { o =>
+      val terms = w2(o).indices.map(h => s"(${w2(o)(h)})*hl[${h + 1}]").mkString(" + ")
+      s"${b2(o)} + $terms"
+    }
+    s"""WITH hs AS (SELECT [${hExprs.mkString(",\n   ")}] AS hl)
+       |SELECT i::INT AS i, round(v, 6) AS v FROM (
+       | SELECT unnest(generate_series(0, ${outExprs.length - 1})) AS i,
+       |        unnest([${outExprs.mkString(",\n   ")}]) AS v
+       | FROM hs) t ORDER BY i""".stripMargin
+  }
+
+  /** CTE chain unrolling one GRU net ([[graft.gen.SeqNet]]) over `steps`
+    * timesteps: per step, z/r gates → candidate → h update, then the
+    * dense head per timestep. `xOf(t)` yields the SQL list expression
+    * for the step-t input vector. Returns (cteText, headListNames). */
+  private def gruNetSql(tag: String, net: graft.gen.SeqNet, steps: Int,
+                        xOf: Int => String): (String, Seq[String]) = {
+    val g = net.gru
+    val u = g.units
+    def dotW(w: Array[Array[Double]], o: Int, x: String) =
+      w(o).indices.map(i => s"(${w(o)(i)})*$x[${i + 1}]").mkString(" + ")
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"${tag}_h0 AS (SELECT [${Seq.fill(u)("CAST(0.0 AS DOUBLE)").mkString(",")}] AS h)"
+    for (t <- 1 to steps) {
+      val prev = s"${tag}_h${t - 1}"
+      val x = s"${tag}_x$t"
+      ctes += s"$x AS (SELECT ${xOf(t - 1)} AS x, h FROM $prev)"
+      // gates from (x, h): sig((b + W·x) + (U·h)) — Scala's mv/mvU grouping
+      val zl = (0 until u).map(o =>
+        s"1.0/(1.0+exp(-((${g.bz(o)} + ${dotW(g.wz, o, "x")}) + (${dotW(g.uz, o, "h")}))))")
+      val rl = (0 until u).map(o =>
+        s"1.0/(1.0+exp(-((${g.br(o)} + ${dotW(g.wr, o, "x")}) + (${dotW(g.ur, o, "h")}))))")
+      val gates = s"${tag}_g$t"
+      ctes += s"$gates AS (SELECT x, h, [${zl.mkString(",\n   ")}] AS zl, [${rl.mkString(",\n   ")}] AS rl FROM $x)"
+      // candidate uses rh_j = h[j]*rl[j]; new h = (1-z)h + z*cand
+      val hNew = (0 until u).map { o =>
+        val uhTerms = g.uh(o).indices
+          .map(j => s"(${g.uh(o)(j)})*(h[${j + 1}]*rl[${j + 1}])").mkString(" + ")
+        val cand = tanhSql(s"(${g.bh(o)} + ${dotW(g.wh, o, "x")}) + ($uhTerms)")
+        s"(1.0 - zl[${o + 1}])*h[${o + 1}] + zl[${o + 1}]*$cand"
+      }
+      ctes += s"${tag}_h$t AS (SELECT [${hNew.mkString(",\n   ")}] AS h FROM $gates)"
+    }
+    // dense head per timestep
+    val heads = (1 to steps).map { t =>
+      val outs = net.db.indices.map { o =>
+        val terms = net.dw(o).indices.map(j => s"(${net.dw(o)(j)})*h[${j + 1}]").mkString(" + ")
+        val lin = s"${net.db(o)} + $terms"
+        if (net.sigmoidHead) s"1.0/(1.0+exp(-($lin)))" else lin
+      }
+      ctes += s"${tag}_y$t AS (SELECT [${outs.mkString(",\n   ")}] AS y FROM ${tag}_h$t)"
+      s"${tag}_y$t"
+    }
+    (ctes.mkString(",\n"), heads)
+  }
+
+  /** SQL twin of the G8 forward witness: generator → supervisor →
+    * recovery over the fixed latent window, emitting (t, xhat). */
+  private def timeganForwardSql(m: graft.gen.TimeGanModel,
+                                z: Array[Array[Double]]): String = {
+    val steps = z.length
+    def lit(v: Array[Double]) = "[" + v.mkString(",") + "]"
+    val (genC, genY) = gruNetSql("gen", m.generator, steps, t => lit(z(t)))
+    val (supC, supY) = gruNetSql("sup", m.supervisor, steps,
+      t => s"(SELECT y FROM ${genY(t)})")
+    val (recC, recY) = gruNetSql("rec", m.recovery, steps,
+      t => s"(SELECT y FROM ${supY(t)})")
+    val rows = recY.zipWithIndex.map { case (cte, t) =>
+      s"SELECT $t AS t, round(y[1], 6) AS xhat FROM $cte"
+    }
+    s"""WITH
+       |$genC,
+       |$supC,
+       |$recC
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY t""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
 
     "q01_pricing_summary" ->
@@ -666,9 +772,149 @@ object OracleSql {
 
     // regime-bootstrap fit: rolling vol (w24/min12) -> backfill ->
     // vol-quantile digitize (k=3) -> run segmentation -> per-segment stats
+    // G5 fit witness: vol-tertile regime split of the 1000-return
+    // prefix (g03f's labeling pipeline), then the q29 σ² recursion
+    // replayed PER REGIME over each regime's renumbered subsequence
+    "g05f_regime_garch" ->
+      s"""WITH RECURSIVE
+         |r5 AS (SELECT ret, ts, event_id FROM ($perUserRets) x
+         |       ORDER BY ts, event_id LIMIT 1000),
+         |rr AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, ret FROM r5),
+         |v0 AS (SELECT rn, ret,
+         |         CASE WHEN count(ret) OVER w >= 12 THEN stddev_samp(ret) OVER w END AS vol
+         |       FROM rr WINDOW w AS (ORDER BY rn ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         |v1 AS (SELECT rn, ret, coalesce(vol,
+         |         first_value(vol IGNORE NULLS) OVER (ORDER BY rn
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS volf
+         |       FROM v0),
+         |ed AS (SELECT list_sort(list_distinct(
+         |         quantile_cont(volf, [${(1 until 3).map(i => i / 3.0).mkString(",")}]))) AS edges
+         |       FROM v1),
+         |rg AS (SELECT rn, ret, len(list_filter(ed.edges, x -> x <= v1.volf))::INT AS regime
+         |       FROM v1, ed),
+         |rt AS (SELECT regime, ret, row_number() OVER (PARTITION BY regime ORDER BY rn) AS t
+         |       FROM rg),
+         |st AS (SELECT regime, count(*)::BIGINT AS n, avg(ret) AS m FROM rt GROUP BY regime),
+         |vv AS (SELECT rt.regime, sum((ret - st.m)*(ret - st.m)) / st.n AS v
+         |       FROM rt JOIN st ON rt.regime = st.regime GROUP BY rt.regime, st.n),
+         |grid AS (SELECT alpha, beta
+         |         FROM (VALUES (0.01),(0.05),(0.10),(0.15),(0.20),(0.25)) a(alpha)
+         |         CROSS JOIN (VALUES (0.50),(0.60),(0.70),(0.75),(0.80),(0.85),(0.90),(0.95)) b(beta)
+         |         WHERE alpha + beta < 0.999),
+         |rec AS (
+         | SELECT v.regime, g.alpha, g.beta, 1::BIGINT AS t, v.v AS sigma2, v.v AS v,
+         |   rt1.ret AS pret,
+         |   -0.5*(ln(2*pi()*greatest(v.v,1e-12)) + rt1.ret*rt1.ret/greatest(v.v,1e-12)) AS ll
+         | FROM grid g, vv v JOIN (SELECT regime, ret FROM rt WHERE t = 1) rt1
+         |   ON rt1.regime = v.regime
+         | UNION ALL
+         | SELECT rec.regime, rec.alpha, rec.beta, rec.t + 1,
+         |   rec.v*(1.0-rec.alpha-rec.beta) + rec.alpha*rec.pret*rec.pret
+         |     + rec.beta*rec.sigma2,
+         |   rec.v, rc.ret,
+         |   rec.ll - 0.5*(ln(2*pi()*greatest(rec.v*(1.0-rec.alpha-rec.beta)
+         |       + rec.alpha*rec.pret*rec.pret + rec.beta*rec.sigma2, 1e-12))
+         |     + rc.ret*rc.ret/greatest(rec.v*(1.0-rec.alpha-rec.beta)
+         |       + rec.alpha*rec.pret*rec.pret + rec.beta*rec.sigma2, 1e-12))
+         | FROM rec
+         | JOIN rt rc ON rc.regime = rec.regime AND rc.t = rec.t + 1)
+         |SELECT rec.regime, alpha, beta,
+         |  round(v*(1.0-alpha-beta), 10) AS omega,
+         |  round(v, 10) AS long_run_var,
+         |  round(ll, 4) AS ll
+         |FROM rec JOIN st ON st.regime = rec.regime WHERE rec.t = st.n
+         |ORDER BY rec.regime, alpha, beta""".stripMargin,
+
+    // G7 fit witness: the PELT DP replayed WITHOUT pruning (pruning is
+    // optimum-preserving) as a list-carrying recursive CTE over the
+    // jump-5 candidate grid, then backtrack + per-segment features
+    "g07f_pelt_segments" ->
+      s"""WITH RECURSIVE
+         |r5 AS (SELECT ret, ts, event_id FROM ($perUserRets) x
+         |       ORDER BY ts, event_id LIMIT 1000),
+         |rr AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, ret FROM r5),
+         |n0 AS (SELECT count(*)::INT AS n FROM rr),
+         |ps AS (SELECT [0.0] || list(s1 ORDER BY rn) AS s1l,
+         |              [0.0] || list(s2 ORDER BY rn) AS s2l
+         |       FROM (SELECT rn,
+         |               sum(ret) OVER win AS s1, sum(ret*ret) OVER win AS s2
+         |             FROM rr
+         |             WINDOW win AS (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) q),
+         |cd AS (SELECT list(t ORDER BY t) AS cl FROM (
+         |        SELECT rn::INT AS t FROM rr WHERE rn % 5 = 0
+         |        UNION SELECT 0 UNION SELECT n FROM n0) c),
+         |dp AS (
+         |  SELECT 1 AS i, [CAST(-3.0 AS DOUBLE)] AS fs, [1] AS pv,
+         |         cd.cl AS cl, ps.s1l AS s1l, ps.s2l AS s2l
+         |  FROM cd, ps
+         |  UNION ALL
+         |  SELECT i + 1, list_append(fs, mn),
+         |         list_append(pv, coalesce(list_position(vals, mn), 1)),
+         |         cl, s1l, s2l
+         |  FROM (
+         |    SELECT t2.*, list_aggregate(vals, 'min') AS mn FROM (
+         |      SELECT dp.*, list_transform(generate_series(1, i), j ->
+         |        CASE WHEN cl[i+1] - cl[j] >= 30 THEN
+         |          fs[j] + (cl[i+1]-cl[j]) * ln(greatest(
+         |            (s2l[cl[i+1]+1] - s2l[cl[j]+1]) / (cl[i+1]-cl[j])
+         |            - ((s1l[cl[i+1]+1] - s1l[cl[j]+1]) / (cl[i+1]-cl[j]))^2, 1e-12))
+         |          + 3.0
+         |        END) AS vals
+         |      FROM dp WHERE i < len(cl)) t2) t3),
+         |fin AS (SELECT cl, pv FROM dp WHERE i = (SELECT len(cl) FROM cd)),
+         |bt AS (
+         |  SELECT (SELECT len(cl) FROM cd) AS cur, cl, pv FROM fin
+         |  UNION ALL
+         |  SELECT pv[cur], cl, pv FROM bt WHERE cur > 1),
+         |bounds AS (SELECT 0 AS b FROM fin
+         |           UNION ALL SELECT cl[cur] AS b FROM bt WHERE cur > 1),
+         |segs AS (SELECT b AS a, lead(b) OVER (ORDER BY b) AS e,
+         |           (row_number() OVER (ORDER BY b) - 1)::INT AS seg_id
+         |         FROM bounds),
+         |sgr AS (SELECT s.seg_id, s.a, s.e, rr.rn, rr.ret
+         |        FROM segs s JOIN rr ON rr.rn > s.a AND rr.rn <= s.e
+         |        WHERE s.e IS NOT NULL),
+         |ms AS (SELECT seg_id, min(a) AS a, min(e) AS e,
+         |         count(*)::BIGINT AS len, avg(ret) AS m
+         |       FROM sgr GROUP BY seg_id),
+         |vs AS (SELECT sgr.seg_id, sum((ret - ms.m)*(ret - ms.m)) / ms.len AS v
+         |       FROM sgr JOIN ms ON sgr.seg_id = ms.seg_id GROUP BY sgr.seg_id, ms.len),
+         |sk AS (SELECT sgr.seg_id,
+         |         sum(((ret - ms.m)/sqrt(vs.v))^3) AS s3
+         |       FROM sgr JOIN ms ON sgr.seg_id = ms.seg_id
+         |                JOIN vs ON sgr.seg_id = vs.seg_id
+         |       WHERE vs.v > 0 GROUP BY sgr.seg_id),
+         |ac AS (SELECT l.seg_id, sum((l.ret - ms.m)*(l.pret - ms.m)) AS num
+         |       FROM (SELECT seg_id, ret,
+         |               lag(ret) OVER (PARTITION BY seg_id ORDER BY rn) AS pret
+         |             FROM sgr) l
+         |       JOIN ms ON l.seg_id = ms.seg_id
+         |       WHERE l.pret IS NOT NULL GROUP BY l.seg_id)
+         |SELECT ms.seg_id, ms.a::INT AS start_idx, ms.e::INT AS end_idx,
+         |  ms.len::INT AS len,
+         |  round(ms.m, 8) AS mean_ret,
+         |  round(sqrt(vs.v), 8) AS std_ret,
+         |  round(CASE WHEN ms.len > 2 AND sqrt(vs.v) > 1e-12
+         |        THEN sk.s3 / ms.len ELSE 0.0 END, 6) AS skew,
+         |  round(CASE WHEN ms.len > 2 AND vs.v > 1e-24
+         |        THEN coalesce(ac.num, 0.0) / (ms.len * vs.v) ELSE 0.0 END, 6) AS ac1
+         |FROM ms JOIN vs ON ms.seg_id = vs.seg_id
+         |        LEFT JOIN sk ON ms.seg_id = sk.seg_id
+         |        LEFT JOIN ac ON ms.seg_id = ac.seg_id
+         |ORDER BY ms.seg_id""".stripMargin,
+
+    // G1 forward witness: fixed-literal-weight MLP decode recomputed as
+    // nested SQL arithmetic (weights shared via WitnessFixtures)
+    "g06f_decoder_forward" ->
+      mlpForwardSql(graft.WitnessFixtures.G06Decoder, graft.WitnessFixtures.G06Z),
+
+    // G8 forward witness: the 3-net GRU stack unrolled step by step
+    "g08f_timegan_forward" ->
+      timeganForwardSql(graft.WitnessFixtures.G08Model, graft.WitnessFixtures.G08Z),
+
     "g03f_regime_segments" ->
       s"""WITH rr AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, ret
-         |            FROM ($globalRets) r0),
+         |            FROM ($globalRetsCapped) r0),
          |v0 AS (SELECT rn, ret,
          |         CASE WHEN count(ret) OVER w >= 12 THEN stddev_samp(ret) OVER w END AS vol
          |       FROM rr WINDOW w AS (ORDER BY rn ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
@@ -698,7 +944,7 @@ object OracleSql {
     // guarded vol ratio, NaN/Inf row filter, z-normalize (pop std + 1e-10)
     "g04f_regime_features" ->
       s"""WITH rr AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, ret
-         |            FROM ($globalRets) r0),
+         |            FROM ($globalRetsCapped) r0),
          |v AS (SELECT rn, ret,
          |        CASE WHEN count(ret) OVER w24 >= 1 THEN stddev_samp(ret) OVER w24 END AS vol_short,
          |        CASE WHEN count(ret) OVER w72 >= 1 THEN stddev_samp(ret) OVER w72 END AS vol_long

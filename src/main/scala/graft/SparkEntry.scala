@@ -579,6 +579,84 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ── G5 fit witness: per-regime GARCH grids over a DETERMINISTIC
+    //    regime split (vol-tertile digitize — the same labeling g03f
+    //    oracles) of the q29 1000-return prefix. Witnesses the
+    //    per-regime split machinery of regime_hmm_garch.py:96-128 with
+    //    zero HMM dependence; verified by a regime-keyed recursive-CTE
+    //    σ² replay ──────────────────────────────────────────────────────
+    "g05f_regime_garch" -> ((s, dir) => {
+      val rets = logret(s, dir).filter(col("ret").isNotNull)
+        .orderBy(col("ts"), col("event_id")).limit(1000)
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+        .select(col("rn"), col("ret"))
+      val rspec = SeriesSpec(Nil, Seq("rn"))
+      val withVol = SeriesOps.backfill(
+        SeriesOps.rollingStd(rets, rspec, "ret", 24, 12, "vol"),
+        rspec, "vol", "volf")
+      val probs = (1 until 3).map(i => i.toDouble / 3)
+      val edges = withVol.agg(
+        expr(s"percentile(volf, array(${probs.mkString(",")}))")).first()
+        .getSeq[Double](0).distinct.sorted.toArray
+      val edgeLit = array(edges.map(lit): _*)
+      val regimed = withVol.withColumn("regime",
+        size(filter(edgeLit, e => e <= col("volf"))))
+      graft.stats.Garch.gridPerRegime(regimed, Seq("rn"), "ret", "regime")
+        .select(col("regime"), col("alpha"), col("beta"),
+          round(col("omega"), 10).as("omega"),
+          round(col("long_run_var"), 10).as("long_run_var"),
+          round(col("ll"), 4).as("ll"))
+        .orderBy(col("regime"), col("alpha"), col("beta"))
+    }),
+
+    // ── G7 fit witness: the deterministic PELT change-point frame over
+    //    the 1000-return prefix; the oracle replays the (unpruned —
+    //    optimum-preserving) DP in a recursive CTE ────────────────────
+    "g07f_pelt_segments" -> ((s, dir) => {
+      val rets = logret(s, dir).filter(col("ret").isNotNull)
+        .orderBy(col("ts"), col("event_id")).limit(1000)
+        .select(col("ts"), col("event_id"), col("ret"))
+      graft.gen.RegimeGan.peltFrame(rets, Seq("ts", "event_id"), "ret")
+        .select(col("seg_id"), col("start_idx"), col("end_idx"), col("len"),
+          round(col("mean_ret"), 8).as("mean_ret"),
+          round(col("std_ret"), 8).as("std_ret"),
+          round(col("skew"), 6).as("skew"),
+          round(col("ac1"), 6).as("ac1"))
+        .orderBy(col("seg_id"))
+    }),
+
+    // ── G1 forward witness: the MLP decoder inference math over FIXED
+    //    literal weights (WitnessFixtures — shared with the oracle,
+    //    which recomputes the same nested arithmetic in SQL) ──────────
+    "g06f_decoder_forward" -> ((s, dir) => {
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(
+        (WitnessFixtures.G06Decoder, WitnessFixtures.G06Z))
+      s.range(1).as[Long].flatMap { _ =>
+        val (d, z) = bc.value
+        d.forward(z).zipWithIndex.map { case (v, i) => (i, v) }
+      }.toDF("i", "v")
+        .select(col("i"), round(col("v"), 6).as("v"))
+        .orderBy(col("i"))
+    }),
+
+    // ── G8 forward witness: one latent window through the full
+    //    generator→supervisor→recovery GRU stack with fixed literal
+    //    weights; the oracle unrolls the identical recurrences ────────
+    "g08f_timegan_forward" -> ((s, dir) => {
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(
+        (WitnessFixtures.G08Model, WitnessFixtures.G08Z))
+      s.range(1).as[Long].flatMap { _ =>
+        val (m, z) = bc.value
+        val xh = m.recovery.run(m.supervisor.run(m.generator.run(z)))
+        xh.zipWithIndex.map { case (row, t) => (t, row(0)) }
+      }.toDF("t", "xhat")
+        .select(col("t"), round(col("xhat"), 6).as("xhat"))
+        .orderBy(col("t"))
+    }),
+
     // ── DistributionEvaluator deterministic core (everything except the
     //    driver-side ADF leg, which q30 carries), oracle-checkable ─────
     "q30f_dist_core" -> ((s, dir) => {

@@ -32,10 +32,19 @@ final case class RegimeBootstrapModel(
   */
 object RegimeBootstrap {
 
+  /** Rows of the fitted series prefix (same contract as
+    * [[RegimeConditional.fit]] maxFitRows and the driver-collect cap:
+    * the reference fits on ≤ ~7.4k rows; every fit stage below is
+    * causal, so prefix-then-window equals window-then-prefix and the
+    * single-series window stages stay bounded at any input scale). */
+  val MaxFitRows = 20000
+
   def fit(prices: DataFrame, orderCols: Seq[String], price: String,
-          nRegimes: Int = 3, volWindow: Int = 24, minBlock: Int = 3): RegimeBootstrapModel = {
+          nRegimes: Int = 3, volWindow: Int = 24, minBlock: Int = 3,
+          maxFitRows: Int = MaxFitRows): RegimeBootstrapModel = {
     val spec = SeriesSpec(Nil, orderCols)
-    val rets = SeriesOps.logReturns(prices, spec, price, "ret")
+    val prefix = prices.orderBy(orderCols.map(col): _*).limit(maxFitRows)
+    val rets = SeriesOps.logReturns(prefix, spec, price, "ret")
       .filter(col("ret").isNotNull)
       .withColumn("rn", row_number().over(spec.w))
     val rspec = SeriesSpec(Nil, Seq("rn"))
@@ -102,9 +111,10 @@ object RegimeBootstrap {
     * verifies the fit's data-shaped work end-to-end. */
   def fitFrame(prices: DataFrame, orderCols: Seq[String], price: String,
                nRegimes: Int = 3, volWindow: Int = 24,
-               minBlock: Int = 3): DataFrame = {
+               minBlock: Int = 3, maxFitRows: Int = MaxFitRows): DataFrame = {
     val spec = SeriesSpec(Nil, orderCols)
-    val rets = SeriesOps.logReturns(prices, spec, price, "ret")
+    val prefix = prices.orderBy(orderCols.map(col): _*).limit(maxFitRows)
+    val rets = SeriesOps.logReturns(prefix, spec, price, "ret")
       .filter(col("ret").isNotNull)
       .withColumn("rn", row_number().over(spec.w))
     val rspec = SeriesSpec(Nil, Seq("rn"))

@@ -49,9 +49,15 @@ object RegimeConditional {
   /** Extract + normalize the [ret, vol_short, vol_ratio] feature frame.
     * Ref: regime_conditional.py:64-79. */
   def features(prices: DataFrame, orderCols: Seq[String], price: String,
-               volWindow: Int = 24, volLong: Int = 72): DataFrame = {
+               volWindow: Int = 24, volLong: Int = 72,
+               maxRows: Int = 20000): DataFrame = {
     val spec = SeriesSpec(Nil, orderCols)
-    val rets = SeriesOps.logReturns(prices, spec, price, "ret")
+    // fit-prefix cap (same contract as maxFitRows below): every stage
+    // here is causal, so capping BEFORE the vol windows bounds the
+    // single-series window work instead of limiting afterwards; the
+    // z-normalization stats consistently describe the fitted prefix
+    val prefix = prices.orderBy(orderCols.map(col): _*).limit(maxRows)
+    val rets = SeriesOps.logReturns(prefix, spec, price, "ret")
       .filter(col("ret").isNotNull)
       .withColumn("rn", row_number().over(spec.w))
     val rspec = SeriesSpec(Nil, Seq("rn"))
@@ -88,8 +94,8 @@ object RegimeConditional {
           nRegimes: Int = 4, withGarch: Boolean = false,
           maxFitRows: Int = 20000, emIters: Int = 50): RegimeModel = {
     val spark = prices.sparkSession
-    val feat = features(prices, orderCols, price)
-      .orderBy(col("rn")).limit(maxFitRows).cache()
+    val feat = features(prices, orderCols, price, maxRows = maxFitRows)
+      .cache()
     val rows = feat.select("rn", "ret", "f0", "f1", "f2").collect()
     val x = rows.map(r => Array(r.getDouble(2), r.getDouble(3), r.getDouble(4)))
     val hmm = Hmm.fit(x, nRegimes, maxIter = emIters)

@@ -34,9 +34,15 @@ object RegimeGan {
   def fit(prices: DataFrame, orderCols: Seq[String], price: String,
           nRegimes: Int = 4, minSegment: Int = 30, penalty: Double = 3.0,
           seqLen: Int = 64, withGan: Boolean = true, ganEpochs: Int = 150,
-          seed: Long = 42L): RegimeGanModel = {
+          seed: Long = 42L,
+          maxFitRows: Int = graft.stats.SeriesStats.MaxCollectRows): RegimeGanModel = {
     val spec = SeriesSpec(Nil, orderCols)
-    val rets = SeriesOps.logReturns(prices, spec, price, "ret")
+    // fit-prefix cap: log-returns are causal so the prefix is taken on
+    // prices BEFORE the window pass, bounding both the single-series
+    // window stage and the driver collect (the collect was previously
+    // unbounded — the one fit in the family without the contract cap)
+    val prefix = prices.orderBy(orderCols.map(col): _*).limit(maxFitRows)
+    val rets = SeriesOps.logReturns(prefix, spec, price, "ret")
       .filter(col("ret").isNotNull)
       .orderBy(orderCols.map(col): _*)
       .select(col("ret")).collect().map(_.getDouble(0))
@@ -50,24 +56,7 @@ object RegimeGan {
       rets.slice(a, b)
     }.toArray
 
-    // per-segment features (ref :70-84): mean, std, skew, ac1, ln(len)
-    def feat(seg: Array[Double]): Array[Double] = {
-      if (seg.length < 2) return Array(0, 0, 0, 0, seg.length.toDouble)
-      val m = seg.sum / seg.length
-      val v = seg.map(x => (x - m) * (x - m)).sum / seg.length
-      val sd = math.sqrt(v)
-      val skew =
-        if (seg.length > 2 && sd > 1e-12)
-          seg.map(x => math.pow((x - m) / sd, 3)).sum / seg.length
-        else 0.0
-      val ac1 = if (seg.length > 2 && v > 1e-24) {
-        var num = 0.0
-        for (i <- 1 until seg.length) num += (seg(i) - m) * (seg(i - 1) - m)
-        num / (seg.length * v)
-      } else 0.0
-      Array(m, sd, skew, ac1, math.log(seg.length.toDouble))
-    }
-    val raw = segments.map(feat)
+    val raw = segments.map(segmentFeatures)
     val d = raw(0).length
     val means = Array.tabulate(d)(j => raw.map(_(j)).sum / raw.length)
     val stds = Array.tabulate(d) { j =>
@@ -108,6 +97,48 @@ object RegimeGan {
       }
 
     RegimeGanModel(k, seqLen, stats, transN, startProbs, gans)
+  }
+
+  /** Per-segment features (ref regime_gan.py:70-84): mean, population
+    * std, skew, lag-1 autocorr, ln(len) — what ward clusters on. */
+  private[gen] def segmentFeatures(seg: Array[Double]): Array[Double] = {
+    if (seg.length < 2) return Array(0, 0, 0, 0, seg.length.toDouble)
+    val m = seg.sum / seg.length
+    val v = seg.map(x => (x - m) * (x - m)).sum / seg.length
+    val sd = math.sqrt(v)
+    val skew =
+      if (seg.length > 2 && sd > 1e-12)
+        seg.map(x => math.pow((x - m) / sd, 3)).sum / seg.length
+      else 0.0
+    val ac1 = if (seg.length > 2 && v > 1e-24) {
+      var num = 0.0
+      for (i <- 1 until seg.length) num += (seg(i) - m) * (seg(i - 1) - m)
+      num / (seg.length * v)
+    } else 0.0
+    Array(m, sd, skew, ac1, math.log(seg.length.toDouble))
+  }
+
+  /** The deterministic PELT stage of [[fit]] as a checkable frame: one
+    * row per detected segment of the bounded return prefix, with its
+    * boundaries (0-based, end exclusive) and the per-segment features
+    * ward clusters on. The DP ([[ChangePoint.pelt]]) is deterministic,
+    * so a DuckDB replay of the (unpruned — PELT pruning is
+    * optimum-preserving) dynamic program verifies the fit's
+    * change-point stage end-to-end. */
+  def peltFrame(rets: DataFrame, orderCols: Seq[String], value: String,
+                penalty: Double = 3.0, minSegment: Int = 30,
+                jump: Int = 5): DataFrame = {
+    val spark = rets.sparkSession
+    import spark.implicits._
+    val r = rets.orderBy(orderCols.map(col): _*)
+      .select(col(value).cast("double")).collect().map(_.getDouble(0))
+    val bkps = ChangePoint.pelt(r, penalty, minSegment, jump)
+    val bounds = 0 +: bkps.toSeq
+    bounds.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      val f = segmentFeatures(r.slice(a, b))
+      (i, a, b, b - a, f(0), f(1), f(2), f(3))
+    }.toSeq.toDF("seg_id", "start_idx", "end_idx", "len",
+      "mean_ret", "std_ret", "skew", "ac1")
   }
 
   private def sampleCat(probs: Array[Double], u: Double): Int = {

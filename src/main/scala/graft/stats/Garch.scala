@@ -71,6 +71,41 @@ object Garch {
       best.getDouble(3), best.getDouble(4))
   }
 
+  /** The G5 fit stage as a checkable frame: one GARCH grid PER REGIME
+    * label (ref regime_hmm_garch.py:96-128 fits one GARCH per HMM
+    * regime). The cluster dimension is regimes × (α,β) candidates; each
+    * task replays the O(n) σ² recursion over its regime's broadcast
+    * return subsequence (ordered by `orderCols` within the regime).
+    * Output: (regime, alpha, beta, omega, long_run_var, ll). */
+  def gridPerRegime(returns: DataFrame, orderCols: Seq[String], value: String,
+                    regime: String,
+                    alphas: Seq[Double] = DefaultAlphas,
+                    betas: Seq[Double] = DefaultBetas): DataFrame = {
+    val spark = returns.sparkSession
+    import spark.implicits._
+    val collected = returns
+      .orderBy(orderCols.map(col): _*)
+      .select(col(regime).cast("int"), col(value).cast("double"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    // groupBy preserves encounter order => per-regime subsequences stay
+    // in series order
+    val byRegime = collected.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val bc = spark.sparkContext.broadcast(byRegime)
+    val grid = for {
+      k <- byRegime.keys.toSeq.sorted
+      a <- alphas; b <- betas if a + b < 0.999
+    } yield (k, a, b)
+    grid.toDF("regime", "alpha", "beta").as[(Int, Double, Double)]
+      .map { case (k, a, b) =>
+        val r = bc.value(k)
+        val mean = r.sum / r.length
+        val variance = r.map(x => (x - mean) * (x - mean)).sum / r.length
+        val omega = variance * (1.0 - a - b)
+        (k, a, b, omega, variance, logLik(r, omega, a, b, variance))
+      }
+      .toDF("regime", "alpha", "beta", "omega", "long_run_var", "ll")
+  }
+
   /** The full scored grid as a DataFrame (for inspection / queries). */
   def grid(returns: DataFrame, orderCols: Seq[String], value: String,
            alphas: Seq[Double] = DefaultAlphas,

@@ -71,7 +71,9 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, id: String, text: String, k: Int = 5,
                    threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    val sh = TextOps.shingles(df, id, text, k)
+    // materialize the shingle explode once: it feeds the df-count AND
+    // the self-join sides, and would otherwise be re-derived per branch
+    val sh = TextOps.shingles(df, id, text, k).localCheckpoint()
     val dfCount = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val pruned = sh.join(dfCount.filter(col("df") <= maxDf), "shingle")
       .select(col(id), col("shingle"))
@@ -114,24 +116,28 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
-    val sigs = minhashSignatures(df, id, text, k, numPerm)
+    // materialize signatures once (docs × (numPerm+1) longs — bounded):
+    // they feed both join sides plus the verify re-joins
+    val sigs = minhashSignatures(df, id, text, k, numPerm).localCheckpoint()
     // band bucket = md5 of the comma-joined signature slice — portable
     // (long→decimal-string rendering is identical in both engines)
-    val banded = sigs.select(col(id), col("sig"),
+    val banded = sigs.select(col(id),
       posexplode(array((0 until bands).map(b =>
         md5(concat_ws(",",
           (0 until rowsPerBand).map(r =>
             col("sig")(b * rowsPerBand + r).cast("string")): _*))): _*))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col(id).as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("bucket"))
-    val b = banded.select(col(id).as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("bucket"))
+    val a = banded.select(col(id).as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col(id).as("id_b"), col("band"), col("bucket"))
+    // dedup on the ID pair only (distinct over sig-carrying rows hashes
+    // every 64-slot array per candidate), re-join the signatures after
     val cands = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
-    cands
+    val sa = sigs.select(col(id).as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col(id).as("id_b"), col("sig").as("sig_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
