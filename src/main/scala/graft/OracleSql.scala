@@ -105,19 +105,18 @@ object OracleSql {
        | FROM hs) t ORDER BY i""".stripMargin
   }
 
-  /** CTE chain unrolling one GRU net ([[graft.gen.SeqNet]]) over `steps`
-    * timesteps: per step, z/r gates → candidate → h update, then the
-    * dense head per timestep. `xOf(t)` yields the SQL list expression
-    * for the step-t input vector. Returns (cteText, headListNames). */
-  private def gruNetSql(tag: String, net: graft.gen.SeqNet, steps: Int,
-                        xOf: Int => String): (String, Seq[String]) = {
-    val g = net.gru
+  /** CTE chain unrolling ONE GRU layer over `steps` timesteps: per
+    * step, z/r gates → candidate → h update. `xOf(t)` yields the SQL
+    * list expression for the step-t input vector. Returns the h-CTE
+    * name per timestep. */
+  private def gruLayerSql(tag: String, g: graft.gen.GruLayer, steps: Int,
+                          xOf: Int => String,
+                          ctes: scala.collection.mutable.ArrayBuffer[String]): Seq[String] = {
     val u = g.units
     def dotW(w: Array[Array[Double]], o: Int, x: String) =
       w(o).indices.map(i => s"(${w(o)(i)})*$x[${i + 1}]").mkString(" + ")
-    val ctes = scala.collection.mutable.ArrayBuffer[String]()
     ctes += s"${tag}_h0 AS (SELECT [${Seq.fill(u)("CAST(0.0 AS DOUBLE)").mkString(",")}] AS h)"
-    for (t <- 1 to steps) {
+    (1 to steps).map { t =>
       val prev = s"${tag}_h${t - 1}"
       val x = s"${tag}_x$t"
       ctes += s"$x AS (SELECT ${xOf(t - 1)} AS x, h FROM $prev)"
@@ -136,15 +135,31 @@ object OracleSql {
         s"(1.0 - zl[${o + 1}])*h[${o + 1}] + zl[${o + 1}]*$cand"
       }
       ctes += s"${tag}_h$t AS (SELECT [${hNew.mkString(",\n   ")}] AS h FROM $gates)"
+      s"${tag}_h$t"
     }
-    // dense head per timestep
+  }
+
+  /** CTE chain unrolling one stacked-GRU net ([[graft.gen.SeqNet]]):
+    * each layer consumes the previous layer's per-step hidden lists,
+    * then the dense head per timestep. Returns (cteText, headCteNames). */
+  private def gruNetSql(tag: String, net: graft.gen.SeqNet, steps: Int,
+                        xOf: Int => String): (String, Seq[String]) = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    var inputs: Int => String = xOf
+    var hNames: Seq[String] = Nil
+    net.layers.zipWithIndex.foreach { case (g, l) =>
+      hNames = gruLayerSql(s"${tag}l$l", g, steps, inputs, ctes)
+      val names = hNames
+      inputs = t => s"(SELECT h FROM ${names(t)})"
+    }
+    // dense head per timestep over the LAST layer's hiddens
     val heads = (1 to steps).map { t =>
       val outs = net.db.indices.map { o =>
         val terms = net.dw(o).indices.map(j => s"(${net.dw(o)(j)})*h[${j + 1}]").mkString(" + ")
         val lin = s"${net.db(o)} + $terms"
         if (net.sigmoidHead) s"1.0/(1.0+exp(-($lin)))" else lin
       }
-      ctes += s"${tag}_y$t AS (SELECT [${outs.mkString(",\n   ")}] AS y FROM ${tag}_h$t)"
+      ctes += s"${tag}_y$t AS (SELECT [${outs.mkString(",\n   ")}] AS y FROM ${hNames(t - 1)})"
       s"${tag}_y$t"
     }
     (ctes.mkString(",\n"), heads)

@@ -65,12 +65,15 @@ object GruLayer {
   }
 }
 
-/** GRU + time-distributed dense head (sigmoid for the [0,1] min-max
-  * space, matching the reference's recovery output). */
-final case class SeqNet(gru: GruLayer, dw: Array[Array[Double]],
+/** Stacked GRU layers + time-distributed dense head (sigmoid for the
+  * [0,1] min-max space, matching the reference's recovery output).
+  * The reference stacks n_layers=3 GRUs per net
+  * (timegan_generator.py:280-310); `layers` carries the stack in
+  * order, each layer consuming the previous layer's hidden sequence. */
+final case class SeqNet(layers: Seq[GruLayer], dw: Array[Array[Double]],
                         db: Array[Double], sigmoidHead: Boolean) {
   def run(seq: Array[Array[Double]]): Array[Array[Double]] =
-    gru.run(seq).map { h =>
+    layers.foldLeft(seq)((s, l) => l.run(s)).map { h =>
       Array.tabulate(db.length) { o =>
         var acc = db(o); val row = dw(o); var i = 0
         while (i < row.length) { acc += row(i) * h(i); i += 1 }
@@ -89,11 +92,15 @@ final case class TimeGanModel(
 
 object TimeGanModel {
   /** Seeded random model (demo/tests — trained weights come from
-    * [[graft.train.TimeGanTrainer]] via the S5 JSON artifact). */
-  def random(windowSize: Int, latentDim: Int, hidden: Int, seed: Long): TimeGanModel = {
+    * [[graft.train.TimeGanTrainer]] via the S5 JSON artifact).
+    * `nLayers` GRUs per net, reference default 3
+    * (timegan_generator.py:280-310). */
+  def random(windowSize: Int, latentDim: Int, hidden: Int, seed: Long,
+             nLayers: Int = 3): TimeGanModel = {
     val rnd = new scala.util.Random(seed)
     def net(in: Int, out: Int, sig: Boolean) = SeqNet(
-      GruLayer.random(in, hidden, rnd),
+      GruLayer.random(in, hidden, rnd) +:
+        Seq.fill(nLayers - 1)(GruLayer.random(hidden, hidden, rnd)),
       Array.fill(out, hidden)(rnd.nextGaussian() * 0.3),
       Array.fill(out)(rnd.nextGaussian() * 0.03), sig)
     TimeGanModel(

@@ -133,14 +133,17 @@ object ModelIO {
     * normalization meta (the flat-JSON analogue of the reference's
     * model dir of .keras files + meta.json, timegan_generator.py:167-186). */
   def saveTimeGan(m: graft.gen.TimeGanModel, path: String): Unit = {
+    def layer(g: graft.gen.GruLayer) = Map(
+      "wz" -> g.wz, "uz" -> g.uz, "bz" -> g.bz,
+      "wr" -> g.wr, "ur" -> g.ur, "br" -> g.br,
+      "wh" -> g.wh, "uh" -> g.uh, "bh" -> g.bh)
     def net(n: graft.gen.SeqNet) = Map(
-      "wz" -> n.gru.wz, "uz" -> n.gru.uz, "bz" -> n.gru.bz,
-      "wr" -> n.gru.wr, "ur" -> n.gru.ur, "br" -> n.gru.br,
-      "wh" -> n.gru.wh, "uh" -> n.gru.uh, "bh" -> n.gru.bh,
+      "layers" -> n.layers.map(layer), // n_layers GRU stack, in order
       "dw" -> n.dw, "db" -> n.db, "sigmoid" -> n.sigmoidHead)
     Files.writeString(Paths.get(path), mapper.writeValueAsString(Map(
       "generator" -> net(m.generator), "supervisor" -> net(m.supervisor),
       "recovery" -> net(m.recovery),
+      "n_layers" -> m.generator.layers.length,
       "window_size" -> m.windowSize, "latent_dim" -> m.latentDim,
       "data_min" -> m.dataMin, "data_range" -> m.dataRange)))
   }
@@ -157,13 +160,18 @@ object ModelIO {
       while (it.hasNext) b += arr(it.next())
       b.result()
     }
+    def layer(x: com.fasterxml.jackson.databind.JsonNode): graft.gen.GruLayer =
+      graft.gen.GruLayer(
+        mat(x.get("wz")), mat(x.get("uz")), arr(x.get("bz")),
+        mat(x.get("wr")), mat(x.get("ur")), arr(x.get("br")),
+        mat(x.get("wh")), mat(x.get("uh")), arr(x.get("bh")))
     def net(key: String): graft.gen.SeqNet = {
       val x = n.get(key)
+      val it = x.get("layers").elements()
+      val b = Seq.newBuilder[graft.gen.GruLayer]
+      while (it.hasNext) b += layer(it.next())
       graft.gen.SeqNet(
-        graft.gen.GruLayer(
-          mat(x.get("wz")), mat(x.get("uz")), arr(x.get("bz")),
-          mat(x.get("wr")), mat(x.get("ur")), arr(x.get("br")),
-          mat(x.get("wh")), mat(x.get("uh")), arr(x.get("bh"))),
+        b.result(),
         mat(x.get("dw")), arr(x.get("db")), x.get("sigmoid").asBoolean())
     }
     graft.gen.TimeGanModel(net("generator"), net("supervisor"), net("recovery"),

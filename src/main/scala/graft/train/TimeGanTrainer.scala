@@ -18,11 +18,10 @@ import graft.series.{SeriesOps, SeriesSpec}
   * Data: log returns min-max normalized to [0,1], chronological 15%
   * validation tail (ref :89-110).
   *
-  * The nets here are single-GRU-layer + time-distributed dense — the
-  * exact [[graft.gen.SeqNet]] the inference path runs, so the trained
-  * weights drop straight into [[TimeGanModel]] (the reference stacks
-  * n_layers=3 GRUs; the single-layer stack is the documented
-  * simplification shared by the round-1 inference artifact).
+  * The nets are stacked GRUs (Config.nLayers, reference default 3 —
+  * timegan_generator.py:280-310) + time-distributed dense — the exact
+  * [[graft.gen.SeqNet]] the inference path runs, so the trained
+  * weights drop straight into [[TimeGanModel]].
   *
   * All recurrent gradients are exact manual BPTT (finite-difference
   * checked in TimeGanTrainerSpec); window prep is Spark, the gradient
@@ -216,25 +215,38 @@ object TimeGanTrainer {
     }
   }
 
-  /** One trainable net = GRU + head (the trainable twin of SeqNet). */
-  final class TNet(val gru: TGru, val head: THead) {
-    def params: Seq[P] = gru.params ++ head.params
-    def forward(x: Array[Array[Double]]): (TGru#Cache, Array[Array[Double]]) = {
-      val c = gru.forward(x)
-      (c, head.forward(c.hs))
+  /** One trainable net = stacked GRUs + head (the trainable twin of
+    * SeqNet; ref timegan_generator.py:280-310 builds n_layers=3 GRU
+    * stacks per net). Backward chains dL/dx of each layer into dL/dh
+    * of the one below. */
+  final class TNet(val grus: Seq[TGru], val head: THead) {
+    def this(gru: TGru, head: THead) = this(Seq(gru), head)
+    def params: Seq[P] = grus.flatMap(_.params) ++ head.params
+    def forward(x: Array[Array[Double]]): (Seq[TGru#Cache], Array[Array[Double]]) = {
+      val caches = Seq.newBuilder[TGru#Cache]
+      var cur = x
+      grus.foreach { g =>
+        val c = g.forward(cur)
+        caches += c
+        cur = c.hs
+      }
+      (caches.result(), head.forward(cur))
     }
-    def backward(c: TGru#Cache, out: Array[Array[Double]],
+    def backward(cs: Seq[TGru#Cache], out: Array[Array[Double]],
                  dOut: Array[Array[Double]]): Array[Array[Double]] = {
-      val dH = head.backward(c.hs, out, dOut)
-      gru.backward(c.asInstanceOf[gru.Cache], dH)
+      var d = head.backward(cs.last.hs, out, dOut)
+      grus.zip(cs).reverse.foreach { case (g, c) =>
+        d = g.backward(c.asInstanceOf[g.Cache], d)
+      }
+      d
     }
     def zero(): Unit = params.foreach(_.zero())
     def adam(lr: Double, t: Int): Unit = params.foreach(_.adam(lr, t))
     def toSeqNet: SeqNet = SeqNet(
-      GruLayer(
+      grus.map(gru => GruLayer(
         gru.wz.v.map(_.clone()), gru.uz.v.map(_.clone()), gru.bz.v.map(_(0)),
         gru.wr.v.map(_.clone()), gru.ur.v.map(_.clone()), gru.br.v.map(_(0)),
-        gru.wh.v.map(_.clone()), gru.uh.v.map(_.clone()), gru.bh.v.map(_(0))),
+        gru.wh.v.map(_.clone()), gru.uh.v.map(_.clone()), gru.bh.v.map(_(0)))),
       head.w.v.map(_.clone()), head.b.v.map(_(0)), head.sigmoid)
   }
 
@@ -242,6 +254,7 @@ object TimeGanTrainer {
       windowSize: Int = 48,
       latentDim: Int = 24,
       hidden: Int = 24,
+      nLayers: Int = 3, // GRUs per net, ref timegan_generator.py:280-310
       epochsAe: Int = 100,
       epochsSup: Int = 100,
       epochsJoint: Int = 100,
@@ -294,11 +307,13 @@ object TimeGanTrainer {
     val xVal = seqX.takeRight(nVal)
 
     val h = cfg.hidden
-    val embedder = new TNet(new TGru(1, h, rnd), new THead(h, h, sigmoid = true, rnd))
-    val recovery = new TNet(new TGru(h, h, rnd), new THead(h, 1, sigmoid = true, rnd))
-    val generator = new TNet(new TGru(cfg.latentDim, h, rnd), new THead(h, h, sigmoid = true, rnd))
-    val supervisor = new TNet(new TGru(h, h, rnd), new THead(h, h, sigmoid = true, rnd))
-    val disc = new TNet(new TGru(h, h, rnd), new THead(h, 1, sigmoid = false, rnd))
+    def stack(in: Int): Seq[TGru] =
+      new TGru(in, h, rnd) +: Seq.fill(cfg.nLayers - 1)(new TGru(h, h, rnd))
+    val embedder = new TNet(stack(1), new THead(h, h, sigmoid = true, rnd))
+    val recovery = new TNet(stack(h), new THead(h, 1, sigmoid = true, rnd))
+    val generator = new TNet(stack(cfg.latentDim), new THead(h, h, sigmoid = true, rnd))
+    val supervisor = new TNet(stack(h), new THead(h, h, sigmoid = true, rnd))
+    val disc = new TNet(stack(h), new THead(h, 1, sigmoid = false, rnd))
 
     def l1Grad(a: Array[Array[Double]], b: Array[Array[Double]], scale: Double)
     : (Double, Array[Array[Double]]) = {

@@ -37,6 +37,37 @@ class TimeGanTrainerSpec extends AnyFunSuite {
     }
   }
 
+  test("stacked 3-layer TNet gradients match finite differences") {
+    import graft.train.TimeGanTrainer.TNet
+    val rnd = new scala.util.Random(19)
+    val net = new TNet(
+      Seq(new TGru(2, 3, rnd, scale = 0.4), new TGru(3, 3, rnd, scale = 0.4),
+        new TGru(3, 3, rnd, scale = 0.4)),
+      new THead(3, 2, sigmoid = false, rnd))
+    val x = Array.fill(4, 2)(rnd.nextGaussian() * 0.5)
+    val proj = Array.fill(4, 2)(rnd.nextGaussian())
+    def loss(): Double = {
+      val (_, out) = net.forward(x)
+      (0 until 4).map(t => (0 until 2).map(j => out(t)(j) * proj(t)(j)).sum).sum
+    }
+    net.zero()
+    val (cs, out) = net.forward(x)
+    net.backward(cs, out, proj)
+    val h = 1e-6
+    // one entry of one parameter in EVERY layer + the head
+    val probes = net.grus.map(g => g.uh) :+ net.head.w
+    probes.zipWithIndex.foreach { case (p, pi) =>
+      val r = pi % p.rows; val cc = (pi * 2) % p.cols
+      val orig = p.v(r)(cc)
+      p.v(r)(cc) = orig + h; val up = loss()
+      p.v(r)(cc) = orig - h; val dn = loss()
+      p.v(r)(cc) = orig
+      val fd = (up - dn) / (2 * h)
+      assert(math.abs(fd - p.g(r)(cc)) < 1e-4,
+        s"layer-probe $pi: finite diff $fd vs analytic ${p.g(r)(cc)}")
+    }
+  }
+
   test("dense head gradients match finite differences (sigmoid)") {
     val rnd = new scala.util.Random(12)
     val head = new THead(4, 2, sigmoid = true, rnd)
