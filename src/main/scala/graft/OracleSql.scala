@@ -1080,7 +1080,8 @@ object OracleSql {
     // DistributionEvaluator deterministic core: JS²-"kl" over 100 shared
     // bins, ECDF wasserstein, per-label moments and autocorr (lags
     // 1/5/10), quality = kl + 0.1*wass + |Δstd| — the label is the
-    // user_id<75 split and returns lag WITHIN each half (global spec)
+    // even/odd user_id % 2 split and returns lag WITHIN each half
+    // (global spec)
     "q30f_dist_core" ->
       """WITH u0 AS (SELECT (user_id % 2 = 0) AS is_real, ts, event_id,
         |              ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))

@@ -53,6 +53,67 @@ object ToleranceMeasure {
         "recommended_tolerance_margin")
   }
 
+  /** v2 harness (measure_tolerance_v2.py:150-290): train the predictor
+    * ONCE on real data, then evaluate the FIXED model across N
+    * seed-varied synthetic TEST sets — same weights + different
+    * synthetic data ⇒ the variance measures the synthetic-seed noise an
+    * honest evaluator must tolerate. Output keys mirror the v2 summary:
+    * real_val_mae baseline, syn mean/std/min/max, max relative
+    * deviation, real-vs-syn gap, margin = min(2·max_dev, 0.50). */
+  def measureV2(realTrain: DataFrame, realVal: DataFrame,
+                orderCols: Seq[String], price: String,
+                genBySeed: Long => DataFrame, seeds: Seq[Long],
+                windowSize: Int = 24, horizon: Int = 1,
+                seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+    val spark = realTrain.sparkSession
+    val wTrain = PredictiveEvaluator.windowsXy(
+      PredictiveEvaluator.indexed(realTrain, orderCols, price),
+      windowSize, horizon).cache()
+    val wVal = PredictiveEvaluator.windowsXy(
+      PredictiveEvaluator.indexed(realVal, orderCols, price),
+      windowSize, horizon)
+    val model = PredictiveEvaluator.fitPredictor(wTrain, seed, maxIter)
+    val realMae = PredictiveEvaluator.mae(model, wVal)
+    val synMaes = seeds.map { sd =>
+      val wSyn = PredictiveEvaluator.windowsXy(
+        PredictiveEvaluator.indexed(genBySeed(sd), orderCols, price),
+        windowSize, horizon)
+      PredictiveEvaluator.mae(model, wSyn)
+    }
+    wTrain.unpersist()
+    val mean = synMaes.sum / synMaes.length
+    val std = math.sqrt(synMaes.map(x => (x - mean) * (x - mean)).sum / synMaes.length)
+    val maxDev =
+      if (mean > 0) synMaes.map(x => math.abs(x - mean) / mean).max else 0.0
+    val gap = if (realMae > 0) math.abs(realMae - mean) / realMae else 0.0
+    import spark.implicits._
+    Seq((seeds.length.toLong, realMae, mean, std, synMaes.min, synMaes.max,
+      maxDev, gap, math.min(maxDev * 2.0, 0.50)))
+      .toDF("n_seeds", "real_val_mae", "syn_mae_mean", "syn_mae_std",
+        "syn_mae_min", "syn_mae_max", "max_relative_dev", "real_vs_syn_gap",
+        "recommended_tolerance_margin")
+  }
+
+  /** v2 concrete leg: block-bootstrap synthetic TEST sets (v2's
+    * generate_synthetic_test builds windows from a block-bootstrap walk
+    * of the real series). */
+  def blockBootstrapToleranceV2(realTrain: DataFrame, realVal: DataFrame,
+                                orderCols: Seq[String], price: String,
+                                nSeeds: Int = 8, seedStart: Long = 100L,
+                                nSamples: Int = 500, blockSize: Int = 30,
+                                windowSize: Int = 24, horizon: Int = 1,
+                                maxIter: Int = 20): DataFrame = {
+    def gen(seed: Long): DataFrame = {
+      val s = BlockBootstrap.generate(realTrain, orderCols, price, blockSize,
+          nSamples, seed)
+        .withColumnRenamed("typical_price", price)
+      orderCols.foldLeft(s)((d, c) => d.withColumn(c, col("rn"))).drop("rn")
+    }
+    measureV2(realTrain, realVal, orderCols, price, gen,
+      (seedStart until seedStart + nSeeds).toSeq, windowSize, horizon,
+      maxIter = maxIter)
+  }
+
   /** The reference's concrete leg: block-bootstrap synthetic data. */
   def blockBootstrapTolerance(spark: SparkSession, realTrain: DataFrame,
                               realVal: DataFrame, realTest: DataFrame,

@@ -7,13 +7,21 @@ import org.apache.spark.sql.functions._
   * linear, hidden layers activated. The VAE/VAE-GAN training loop is
   * explicitly out of the v1 Spark contract (SURVEY §7.4.4) — this is
   * the INFERENCE path: weights exported to JSON (S5 artifact shape)
-  * drive a pure-Scala forward pass. */
+  * drive a pure-Scala forward pass.
+  * `layerActivations` (when non-empty) gives each HIDDEN layer its own
+  * activation — needed by the G7 generator, whose reference stack is
+  * lrelu, lrelu, tanh, linear head (regime_gan.py:127-141); empty ⇒
+  * the single `activation` applies to every hidden layer. */
 final case class MlpDecoder(
     weights: Array[Array[Array[Double]]],
     biases: Array[Array[Double]],
-    activation: String = "tanh") {
+    activation: String = "tanh",
+    layerActivations: Seq[String] = Nil) {
   def latentDim: Int = weights(0)(0).length
   def outputDim: Int = biases.last.length
+
+  private def actOf(l: Int): String =
+    if (layerActivations.nonEmpty) layerActivations(l) else activation
 
   def forward(z: Array[Double]): Array[Double] = {
     var h = z
@@ -28,7 +36,7 @@ final case class MlpDecoder(
         while (i < row.length) { acc += row(i) * h(i); i += 1 }
         out(o) =
           if (l == weights.length - 1) acc // linear head
-          else activation match {
+          else actOf(l) match {
             case "relu" => math.max(acc, 0.0)
             case "lrelu" => if (acc >= 0) acc else 0.2 * acc
             case _ => math.tanh(acc)

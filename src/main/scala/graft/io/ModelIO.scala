@@ -185,7 +185,8 @@ object ModelIO {
   def saveMlp(dec: graft.gen.MlpDecoder, path: String): Unit =
     Files.writeString(Paths.get(path), mapper.writeValueAsString(Map(
       "weights" -> dec.weights, "biases" -> dec.biases,
-      "activation" -> dec.activation)))
+      "activation" -> dec.activation,
+      "layer_activations" -> dec.layerActivations)))
 
   def loadMlp(path: String): graft.gen.MlpDecoder = {
     val n = mapper.readTree(Files.readString(Paths.get(path)))
@@ -204,8 +205,15 @@ object ModelIO {
       while (it.hasNext) b += mat(it.next())
       b.result()
     }
+    val las =
+      if (n.has("layer_activations") && n.get("layer_activations").size() > 0) {
+        val it = n.get("layer_activations").elements()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().asText()
+        b.result()
+      } else Nil
     graft.gen.MlpDecoder(cube(n.get("weights")), mat(n.get("biases")),
-      n.get("activation").asText())
+      n.get("activation").asText(), las)
   }
 
   def loadGarch(path: String): GarchFit = {

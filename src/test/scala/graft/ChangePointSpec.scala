@@ -66,7 +66,9 @@ class ChangePointSpec extends AnyFunSuite {
     assert(model.gans.nonEmpty && model.gans.exists(_.isDefined),
       "expected at least one trained per-regime GAN")
     model.gans.flatten.foreach { g =>
-      assert(g.decoder.weights.length == 3) // ref Generator: 3 linear layers
+      // ref Generator: 4 linear layers (lrelu, lrelu, tanh, linear head)
+      assert(g.decoder.weights.length == 4)
+      assert(g.decoder.layerActivations == Seq("lrelu", "lrelu", "tanh"))
       val win = g.decoder.forward(Array.fill(g.zDim)(0.5))
       assert(win.length == model.seqLen)
       val denorm = win.map(_ * g.dataStd + g.dataMean)

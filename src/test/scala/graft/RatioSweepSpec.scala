@@ -61,4 +61,32 @@ class RatioSweepSpec extends AnyFunSuite {
     val expected = math.min(r.getAs[Double]("max_relative_dev") * 2.0, 0.50)
     assert(math.abs(margin - expected) < 1e-12)
   }
+
+  test("tolerance v2: fixed model, seed-varied synthetic TEST sets") {
+    val prices = SparkSpec.randomWalk(420, seed = 29)
+    val train = prices.filter(col("DATE_TIME") < lit("2020-02-01"))
+    val valid = prices.filter(col("DATE_TIME") >= lit("2020-02-01"))
+    val r = graft.eval.ToleranceMeasure.blockBootstrapToleranceV2(
+      train, valid, Seq("DATE_TIME"), "typical_price",
+      nSeeds = 3, seedStart = 100L, nSamples = 60, blockSize = 10,
+      windowSize = 8, maxIter = 3).first()
+    // v2 seed-spread contract (measure_tolerance_v2.py:258-282): one
+    // model, N synthetic test MAEs; margin = min(2*max_dev, 0.5);
+    // real-vs-syn gap relative to the real baseline
+    assert(r.getAs[Long]("n_seeds") == 3)
+    val mean = r.getAs[Double]("syn_mae_mean")
+    assert(mean > 0 && !mean.isNaN)
+    assert(r.getAs[Double]("syn_mae_min") <= r.getAs[Double]("syn_mae_max"))
+    val expected = math.min(r.getAs[Double]("max_relative_dev") * 2.0, 0.50)
+    assert(math.abs(r.getAs[Double]("recommended_tolerance_margin") - expected) < 1e-12)
+    val realMae = r.getAs[Double]("real_val_mae")
+    val gap = r.getAs[Double]("real_vs_syn_gap")
+    assert(math.abs(gap - math.abs(realMae - mean) / realMae) < 1e-12)
+    // determinism: same seeds + fixed model => identical record
+    val r2 = graft.eval.ToleranceMeasure.blockBootstrapToleranceV2(
+      train, valid, Seq("DATE_TIME"), "typical_price",
+      nSeeds = 3, seedStart = 100L, nSamples = 60, blockSize = 10,
+      windowSize = 8, maxIter = 3).first()
+    assert(r2.getAs[Double]("syn_mae_mean") == mean)
+  }
 }
