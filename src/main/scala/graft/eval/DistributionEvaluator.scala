@@ -52,15 +52,9 @@ object DistributionEvaluator {
     val wass = Divergence.ecdfStats(u, "ret", col("lab"), "real", "synth")
       .select(col("wasserstein").as("wasserstein_distance"))
 
-    val moments = u.groupBy(col("lab"))
-      .agg(avg(col("ret")).as("mean"), stddev_pop(col("ret")).as("std"))
-    val momentsRow = moments.groupBy().agg(
-      max(when(col("lab") === "real", col("mean"))).as("real_return_mean"),
-      max(when(col("lab") === "synth", col("mean"))).as("synthetic_return_mean"),
-      max(when(col("lab") === "real", col("std"))).as("real_return_std"),
-      max(when(col("lab") === "synth", col("std"))).as("synthetic_return_std"))
-
-    // autocorr at lags 1/5/10 per label, pivoted into one row
+    // moments + autocorr (lags 1/5/10) per label in ONE window+agg
+    // pass, pivoted into one row — the mean/std aggregate over exactly
+    // the same rows, so a separate moments scan would duplicate work
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lab")).orderBy(orderCols.map(col): _*)
     val lagged = u
@@ -68,9 +62,16 @@ object DistributionEvaluator {
       .withColumn("l5", lag(col("ret"), 5).over(w))
       .withColumn("l10", lag(col("ret"), 10).over(w))
       .groupBy(col("lab")).agg(
+        avg(col("ret")).as("mean"),
+        stddev_pop(col("ret")).as("std"),
         coalesce(corr(col("ret"), col("l1")), lit(0.0)).as("ac1"),
         coalesce(corr(col("ret"), col("l5")), lit(0.0)).as("ac5"),
         coalesce(corr(col("ret"), col("l10")), lit(0.0)).as("ac10"))
+    val momentsRow = lagged.groupBy().agg(
+      max(when(col("lab") === "real", col("mean"))).as("real_return_mean"),
+      max(when(col("lab") === "synth", col("mean"))).as("synthetic_return_mean"),
+      max(when(col("lab") === "real", col("std"))).as("real_return_std"),
+      max(when(col("lab") === "synth", col("std"))).as("synthetic_return_std"))
     val acRow = lagged.groupBy().agg(
       max(when(col("lab") === "real", col("ac1"))).as("real_autocorr_lag1"),
       max(when(col("lab") === "synth", col("ac1"))).as("synthetic_autocorr_lag1"),
@@ -79,13 +80,21 @@ object DistributionEvaluator {
       max(when(col("lab") === "real", col("ac10"))).as("real_autocorr_lag10"),
       max(when(col("lab") === "synth", col("ac10"))).as("synthetic_autocorr_lag10"))
 
+    // BOTH labels' bounded prefixes in one action (per-label row_number
+    // cap + ordered driver sort), instead of two separate sort+collects
+    lazy val adfSeries: Map[String, Array[Double]] = {
+      val rk = row_number().over(w)
+      u.withColumn("_rk", rk)
+        .filter(col("_rk") <= graft.stats.SeriesStats.MaxCollectRows)
+        .select(col("lab"), col("_rk"), col("ret"))
+        .collect()
+        .groupBy(_.getString(0))
+        .view.mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2))).toMap
+    }
     def adfOf(lab: String): Double =
       if (!withAdf) -1.0
       else {
-        val s = u.filter(col("lab") === lab)
-          .orderBy(orderCols.map(col): _*)
-          .limit(graft.stats.SeriesStats.MaxCollectRows) // bounded collect
-          .select(col("ret")).collect().map(_.getDouble(0))
+        val s = adfSeries.getOrElse(lab, Array.empty)
         if (s.length <= 31) -1.0 // reference sentinel when untestable
         else
           // Reference wraps adfuller in try/except and publishes -1.0; a

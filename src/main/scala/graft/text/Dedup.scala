@@ -68,14 +68,22 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs: word-k-shingle inverted index join;
     * jaccard = |A∩B| / (|A|+|B|−|A∩B|); emit pairs ≥ threshold.
     * `maxDf` prunes stop-shingles before the self-join (skew control).
-    */
+    * `maxDfFraction`, when set, overrides `maxDf` with
+    * ceil(fraction × corpus size) — the scale-correct form: an absolute
+    * cap tuned at one corpus size silently stops pruning (or
+    * over-prunes) at 1000× the documents. */
   def jaccardPairs(df: DataFrame, id: String, text: String, k: Int = 5,
-                   threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+                   threshold: Double = 0.5, maxDf: Int = 1000,
+                   maxDfFraction: Option[Double] = None): DataFrame = {
+    val effMaxDf = maxDfFraction match {
+      case Some(f) => math.max(math.ceil(df.count() * f).toLong, 2L)
+      case None    => maxDf.toLong
+    }
     // materialize the shingle explode once: it feeds the df-count AND
     // the self-join sides, and would otherwise be re-derived per branch
     val sh = TextOps.shingles(df, id, text, k).localCheckpoint()
     val dfCount = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val pruned = sh.join(dfCount.filter(col("df") <= maxDf), "shingle")
+    val pruned = sh.join(dfCount.filter(col("df") <= effMaxDf), "shingle")
       .select(col(id), col("shingle"))
     val sizes = pruned.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val a = pruned.select(col(id).as("id_a"), col("shingle"))

@@ -152,4 +152,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(metrics.contains("\"kl_divergence\""))
     assert(metrics.contains("\"quality_score\""))
   }
+
+  test("CLI conditional VAE-GAN: train conditional -> generateConditional e2e") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcvg").toString
+    val data = SparkSpec.randomWalk(400, seed = 31).select("DATE_TIME", "typical_price")
+    graft.io.CsvIO.saveCsv(data, s"$dir/real")
+    val realCsv = new java.io.File(s"$dir/real").listFiles()
+      .filter(_.getName.endsWith(".csv")).head.getPath
+
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "train", "generator" -> "vae_gan", "conditional" -> "true",
+      "input" -> realCsv, "model" -> s"$dir/cvg.json",
+      "epochs" -> "3", "seed" -> "5"))
+    // conditional artifact: latent widened by the 6 temporal dims
+    val dec = graft.io.ModelIO.loadMlp(s"$dir/cvg.json")
+    assert(dec.latentDim > 6, "conditional decoder input must include temporal dims")
+
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "generate", "generator" -> "vae_gan", "conditional" -> "true",
+      "model" -> s"$dir/cvg.json", "input" -> realCsv,
+      "n_samples" -> "120", "seed" -> "9", "output" -> s"$dir/synth"))
+    val synthCsv = new java.io.File(s"$dir/synth").listFiles()
+      .filter(_.getName.endsWith(".csv")).head.getPath
+    val synth = graft.io.CsvIO.loadCsv(spark, synthCsv)
+    assert(synth.count() === 120)
+    // deterministic under the same seed
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "generate", "generator" -> "vae_gan", "conditional" -> "true",
+      "model" -> s"$dir/cvg.json", "input" -> realCsv,
+      "n_samples" -> "120", "seed" -> "9", "output" -> s"$dir/synth2"))
+    val synth2Csv = new java.io.File(s"$dir/synth2").listFiles()
+      .filter(_.getName.endsWith(".csv")).head.getPath
+    val a = graft.io.CsvIO.loadCsv(spark, synthCsv)
+      .orderBy("DATE_TIME").collect().map(_.toSeq).toSeq
+    val b = graft.io.CsvIO.loadCsv(spark, synth2Csv)
+      .orderBy("DATE_TIME").collect().map(_.toSeq).toSeq
+    assert(a == b, "same seed must generate identical conditional output")
+  }
 }
