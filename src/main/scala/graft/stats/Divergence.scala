@@ -74,9 +74,22 @@ object Divergence {
     * and the Kolmogorov–Smirnov statistic max|Fa−Fb|.
     * Ref: distribution_evaluator.py:39-40,95; composite_metric.py:103.
     * Output single row: (wasserstein, ks_stat).
+    *
+    * Scale: the distinct support of a CONTINUOUS column is data-sized,
+    * so the cumulative ECDF scan must not be a single global ordered
+    * window. The support is range-partitioned on v; each partition
+    * computes its local integer cumsums + lead, and the per-partition
+    * count offsets / boundary next-values (≤ one row per partition) are
+    * collected and broadcast back. Every per-row fa/fb/gap/dx double is
+    * BIT-IDENTICAL to the global-window formulation — integer count
+    * prefixes are exact in any association — so oracle parity is
+    * untouched; only the final sum's association differs (absorbed by
+    * the callers' r6 rounding).
     */
   def ecdfStats(df: DataFrame, value: String, label: Column,
                 a: String, b: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val v = col(value).cast("double")
     val perValue = df.filter(label.isin(a, b))
       .select(v.as("v"), label.as("lab"))
@@ -84,17 +97,39 @@ object Divergence {
       .agg(
         sum(when(col("lab") === a, 1).otherwise(0)).as("na"),
         sum(when(col("lab") === b, 1).otherwise(0)).as("nb"))
-    val byV = Window.orderBy(col("v"))
-    // integer grand totals via agg + broadcast (exact in any summation
-    // order); only the cumulative scan over the DISTINCT support remains
-    // an ordered window — inherent to an exact ECDF
-    val totals = perValue.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
-    val ecdf = perValue.crossJoin(broadcast(totals))
-      .withColumn("fa", sum(col("na")).over(byV.rowsBetween(Window.unboundedPreceding, 0))
-        / col("ta"))
-      .withColumn("fb", sum(col("nb")).over(byV.rowsBetween(Window.unboundedPreceding, 0))
-        / col("tb"))
-      .withColumn("dx", lead(col("v"), 1).over(byV) - col("v"))
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val parts = perValue
+      .repartitionByRange(nParts, col("v"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // one support-sized materialization feeds both
+                         // the offset collect and the main pass
+    // per-partition totals + min v (≤ nParts rows): exact long prefix
+    // offsets and the boundary "next value" computed on the driver
+    val pstats = parts.groupBy(col("pid"))
+      .agg(sum(col("na")).as("pna"), sum(col("nb")).as("pnb"),
+        min(col("v")).as("vmin"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    if (pstats.isEmpty)
+      return Seq.empty[(Double, Double)].toDF("gap", "dx")
+        .agg(sum(lit(0.0)).as("wasserstein"), max(lit(0.0)).as("ks_stat"))
+    val ta = pstats.map(_._2).sum
+    val tb = pstats.map(_._3).sum
+    var accA = 0L; var accB = 0L
+    val offsets = pstats.zipWithIndex.map { case ((pid, pna, pnb, _), i) =>
+      val row = (pid, accA, accB,
+        if (i + 1 < pstats.length) Some(pstats(i + 1)._4) else None)
+      accA += pna; accB += pnb
+      row
+    }.toSeq.toDF("pid", "off_a", "off_b", "next_v")
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("v"))
+    val run = wIn.rowsBetween(Window.unboundedPreceding, 0)
+    val ecdf = parts.join(broadcast(offsets), "pid")
+      .withColumn("fa", (col("off_a") + sum(col("na")).over(run)) / lit(ta))
+      .withColumn("fb", (col("off_b") + sum(col("nb")).over(run)) / lit(tb))
+      .withColumn("dx",
+        coalesce(lead(col("v"), 1).over(wIn), col("next_v")) - col("v"))
       .withColumn("gap", abs(col("fa") - col("fb")))
     ecdf.groupBy().agg(
       sum(when(col("dx").isNotNull, col("gap") * col("dx")).otherwise(0.0)).as("wasserstein"),
