@@ -497,6 +497,36 @@ object OracleSql {
         |  count(DISTINCT gram_md5)::BIGINT AS n_grams
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // IVF ANN: literal codebook — centroid distance key |c|²−2·v·c
+    // (commutative-exact twin of the Spark expression), assignment =
+    // first index of the min distance, probes = nProbe smallest
+    // (d, cid) structs, exact cosine rerank within probed lists
+    "s02_ivf_ann" -> {
+      val cents = graft.sim.Similarity.ivfCentroids(64, 16, 21L)
+      val dExprs = cents.map(c =>
+        s"(${c.map(x => x * x).sum} - 2.0*list_inner_product(v, ${planeLit(c)}))")
+      val dl = "[" + dExprs.mkString(",\n   ") + "]"
+      val sl = "[" + dExprs.zipWithIndex
+        .map { case (d, i) => s"{'d': $d, 'cid': $i}" }.mkString(",\n   ") + "]"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |             list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
+         |           FROM embeddings),
+         |asg AS (SELECT vec_id AS neighbor_id, v AS cv, n AS cn,
+         |          (list_position(dl, list_aggregate(dl, 'min')) - 1) AS cid
+         |        FROM (SELECT vec_id, v, n, $dl AS dl FROM e) t),
+         |q AS (SELECT vec_id AS query_id, v AS qv, n AS qn,
+         |        unnest(list_transform((list_sort(sl))[1:4], x -> x.cid)) AS cid
+         |      FROM (SELECT vec_id, v, n, $sl AS sl FROM e WHERE vec_id < 5) t),
+         |s AS (SELECT query_id, neighbor_id,
+         |        round(list_inner_product(qv,cv) / sqrt(qn*cn), 5) AS cosine
+         |      FROM asg JOIN q USING (cid)
+         |      WHERE query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, cosine, rk::INT AS rk FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY cosine DESC, neighbor_id) AS rk FROM s) t
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+    },
+
     "q23_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 5),

