@@ -110,6 +110,23 @@ class StreamingAdfSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming dedup-by-time keeps one event per (user, ts) — q18 twin") {
+    val stream = graft.streaming.StreamingDedup.dedupByTime(
+      graft.streaming.StreamingDedup.eventsStream(spark, SparkSpec.sfDir))
+    val q = stream.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT user_id, ts FROM sdedup").collect()
+      .map(r => (r.getLong(0), r.get(1).toString)).toSet
+    // streaming keeps first ARRIVAL per key; the batch q18 keeps first
+    // event_id — the kept KEY SET is identical either way
+    val batchKeys = graft.core.Tables.events(spark, SparkSpec.sfDir)
+      .select(col("user_id"), col("ts")).distinct().collect()
+      .map(r => (r.getLong(0), r.get(1).toString)).toSet
+    assert(streamed === batchKeys)
+    assert(streamed.size <= graft.core.Tables.events(spark, SparkSpec.sfDir).count())
+  }
+
   test("stateful streaming running stats produce one final row per user") {
     val stream = StreamingRollup.runningUserStats(spark, SparkSpec.sfDir)
     val q = stream.writeStream.format("memory").queryName("ustats")
