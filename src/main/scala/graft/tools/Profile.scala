@@ -8,9 +8,11 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = args.drop(1).filterNot(_.startsWith("-"))
     val reps = args.sliding(2).collectFirst {
       case Array("-n", n) => n.toInt }.getOrElse(1)
+    val names = args.drop(1).zipWithIndex.filterNot { case (a, i) =>
+      a.startsWith("-") || (i > 0 && args.drop(1)(i - 1) == "-n")
+    }.map(_._1)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -57,4 +57,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"),
       "per-user q28 must not funnel into one partition")
   }
+
+  test("s02 IVF joins on the inverted-list id, never cartesian") {
+    val p = plan("s02_ivf_ann")
+    assert(!p.contains("CartesianProduct"), "IVF probe must join on cid")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "IVF probe should be a keyed join")
+  }
+
+  test("q14 exact ECDF has no un-partitioned data-sized window") {
+    // the cumulative scan must run per range partition — a global
+    // ordered window over the distinct support dies on continuous
+    // columns at scale. (The one-row final agg's SinglePartition
+    // exchange is fine; the checkpointed range-shuffle is upstream.)
+    val p = plan("q14_ecdf_distance")
+    val windows = "Window \\[[^\\n]*".r.findAllIn(p).toList
+    assert(windows.nonEmpty, "expected window nodes in the ECDF plan")
+    windows.foreach { w =>
+      assert(w.contains("pid"),
+        s"ECDF window must partition on the range-partition id: $w")
+    }
+  }
+
+  test("q24/s01 dot products run inside whole-stage codegen (DotProduct)") {
+    val p = plan("q23_ann_topk")
+    assert(p.contains("*("), "expected codegen spans in the ANN plan")
+    assert(p.contains("dot_product"), "expected the native DotProduct expr")
+  }
 }
