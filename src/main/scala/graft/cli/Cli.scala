@@ -77,6 +77,7 @@ object Cli {
         val r = graft.train.TimeGanTrainer.train(data, Order, Price,
           graft.train.TimeGanTrainer.Config(
             windowSize = math.min(cfg.int("window_size"), 48),
+            nLayers = cfg.int("n_layers"),
             epochsAe = e, epochsSup = e, epochsJoint = e,
             seed = cfg.long("seed")))
         ModelIO.saveTimeGan(r.model, cfg.str("model")); r.model

@@ -36,6 +36,7 @@ object GraftConfig {
     "n_regimes" -> "4",
     "initial_price" -> "1.3",
     "epochs" -> "30",
+    "n_layers" -> "3", // TimeGAN GRUs per net (timegan_generator.py:280)
     "conditional" -> "false",
     "threads" -> "4"))
 

@@ -108,6 +108,18 @@ class DedupSimSpec extends AnyFunSuite {
     assert(verify >= 0.3)
   }
 
+  test("jaccardPairs maxDfFraction equals the equivalent absolute cap") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+    val n = docs.count().toDouble
+    val byCap = Dedup.jaccardPairs(docs, "doc_id", "text", k = 5,
+      threshold = 0.5, maxDf = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byFrac = Dedup.jaccardPairs(docs, "doc_id", "text", k = 5,
+      threshold = 0.5, maxDf = 0, maxDfFraction = Some(1000.0 / n)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byFrac === byCap)
+  }
+
   test("IVF ANN: probed top-k overlaps brute-force top-k (s02 contract)") {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
     val cents = Similarity.ivfCentroids(64, 16, 21L)
