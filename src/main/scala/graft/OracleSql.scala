@@ -764,6 +764,51 @@ object OracleSql {
 
     // block-bootstrap chain with deterministic strided starts: start_b =
     // (b*523) mod (total-29); telescoped ln-scale running sum
+    // g01: the SEEDED walk replayed end to end. java.util.Random is a
+    // 48-bit LCG (seed' = (seed·25214903917 + 11) mod 2^48, next(31) =
+    // seed >> 17); nextInt(bound) takes r = u mod bound and redraws
+    // only when u − r + bound − 1 overflows a 32-bit int — all exact
+    // integer arithmetic, replayed in HUGEINT inside a recursive CTE.
+    // The 68 block starts feed the same telescoped chain as g01f.
+    "g01_block_bootstrap" -> {
+      val seed0 = (42L ^ 0x5DEECE66DL) & ((1L << 48) - 1)
+      s"""WITH RECURSIVE
+         |idx AS (SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+         |          value::DOUBLE AS p FROM events),
+         |tot AS (SELECT count(*)::BIGINT AS total FROM idx),
+         |lcg AS (
+         |  SELECT 0 AS nd, CAST($seed0 AS HUGEINT) AS s, CAST([] AS BIGINT[]) AS starts
+         |  UNION ALL
+         |  SELECT CASE WHEN u - (u % bnd) + bnd - 1 <= 2147483647 THEN nd + 1 ELSE nd END,
+         |         s2,
+         |         CASE WHEN u - (u % bnd) + bnd - 1 <= 2147483647
+         |              THEN list_append(starts, (u % bnd)::BIGINT) ELSE starts END
+         |  FROM (SELECT nd, starts, s2, s2 // 131072 AS u,
+         |          (SELECT total - 29 FROM tot) AS bnd
+         |        FROM (SELECT nd, starts,
+         |                (s * 25214903917 + 11) % 281474976710656 AS s2
+         |              FROM lcg WHERE nd < 68) a) b),
+         |blocks AS (SELECT b::INT AS block_id, starts[b+1]::INT AS start
+         |           FROM (SELECT starts FROM lcg WHERE nd = 68) f,
+         |                (SELECT unnest(generate_series(0,67)) AS b) g),
+         |pos AS (SELECT block_id, start, unnest(generate_series(0,29)) AS pos FROM blocks),
+         |rows_ AS (SELECT p1.block_id, p1.pos, i.p
+         |          FROM pos p1 JOIN idx i ON i.rn = p1.start + p1.pos),
+         |pb AS (SELECT block_id, arg_min(p, pos) AS first_p, arg_max(p, pos) AS last_p
+         |       FROM rows_ GROUP BY block_id),
+         |d0 AS (SELECT block_id,
+         |         coalesce(ln(lag(last_p) OVER (ORDER BY block_id)) - ln(first_p), 0.0) AS d
+         |       FROM pb),
+         |ch AS (SELECT block_id,
+         |         sum(d) OVER (ORDER BY block_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ln_scale
+         |       FROM d0)
+         |SELECT (r.block_id*30 + r.pos)::INT AS rn,
+         |  round(ln(exp(ln(r.p) + c.ln_scale)), 6) AS ln_price
+         |FROM rows_ r JOIN ch c USING (block_id)
+         |WHERE r.block_id*30 + r.pos < 2000
+         |ORDER BY rn""".stripMargin
+    },
+
     "g01f_block_chain" ->
       """WITH idx AS (SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
         |               value::DOUBLE AS p FROM events),
@@ -786,6 +831,105 @@ object OracleSql {
         |FROM rows_ r JOIN ch c USING (block_id)
         |WHERE r.block_id*30 + r.pos < 2000
         |ORDER BY rn""".stripMargin,
+
+    // g02: the SEEDED Grasynda walk replayed end to end. Fit stage =
+    // g02f's CTEs; then a phase-machine recursion over the LCG:
+    // phase 1/2 = the two next() draws of nextDouble (exact dyadic
+    // (hi·2^27+lo)/2^53), category-sampled against SEQUENTIAL
+    // cumulative probs (tiny recursive cumsum — matches the Scala
+    // accumulation order bit for bit); phase 0 = nextInt(pool size)
+    // with the rejection rule. Pool values joined back after the walk.
+    "g02_grasynda" -> {
+      val seed0 = (42L ^ 0x5DEECE66DL) & ((1L << 48) - 1)
+      s"""WITH RECURSIVE
+         |d AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, ret AS v
+         |      FROM ($perUserRets) r0),
+         |e0 AS (SELECT list_slice(es, 2, len(es)-1) AS interior FROM (
+         |         SELECT list_sort(list_distinct(
+         |           quantile_cont(v, [${(0 to 10).map(i => i / 10.0).mkString(",")}]))) AS es
+         |         FROM d) q),
+         |k0 AS (SELECT (len(interior)+1)::INT AS k FROM e0),
+         |st AS (SELECT d.rn, d.v,
+         |         len(list_filter(e0.interior, x -> x <= d.v))::INT AS state
+         |       FROM d, e0),
+         |states AS (SELECT unnest(generate_series(0, len(interior)))::INT AS state FROM e0),
+         |pc AS (SELECT state, count(*)::BIGINT AS cnt FROM st GROUP BY state),
+         |sp AS (SELECT s.state,
+         |         coalesce(pc.cnt, 0)::DOUBLE / (SELECT count(*) FROM st) AS p
+         |       FROM states s LEFT JOIN pc ON pc.state = s.state),
+         |tr AS (SELECT state, next_state, count(*)::BIGINT AS cnt FROM
+         |        (SELECT state, lead(state) OVER (ORDER BY rn) AS next_state FROM st) x
+         |       WHERE next_state IS NOT NULL GROUP BY state, next_state),
+         |dp AS (SELECT s1.state, s2.state AS nxt, coalesce(tr.cnt, 0)::DOUBLE AS cnt
+         |       FROM states s1 CROSS JOIN states s2
+         |       LEFT JOIN tr ON tr.state = s1.state AND tr.next_state = s2.state),
+         |rs AS (SELECT state, sum(cnt) AS tot FROM dp GROUP BY state),
+         |tp AS (SELECT dp.state, dp.nxt,
+         |         CASE WHEN rs.tot > 0 THEN dp.cnt / rs.tot
+         |              ELSE 1.0 / (SELECT k FROM k0) END AS p
+         |       FROM dp JOIN rs ON rs.state = dp.state),
+         |tcum AS (
+         |  SELECT state, 0 AS j, p AS acc FROM tp WHERE nxt = 0
+         |  UNION ALL
+         |  SELECT c.state, c.j + 1, c.acc + t.p
+         |  FROM tcum c JOIN tp t ON t.state = c.state AND t.nxt = c.j + 1
+         |  WHERE c.j + 1 <= (SELECT k FROM k0) - 2),
+         |tcl AS (SELECT state, list(acc ORDER BY j) AS cl FROM tcum GROUP BY state),
+         |tcll AS (SELECT list(cl ORDER BY state) AS tl FROM tcl),
+         |scum AS (
+         |  SELECT 0 AS j, p AS acc FROM sp WHERE state = 0
+         |  UNION ALL
+         |  SELECT c.j + 1, c.acc + s.p
+         |  FROM scum c JOIN sp s ON s.state = c.j + 1
+         |  WHERE c.j + 1 <= (SELECT k FROM k0) - 2),
+         |scl0 AS (SELECT list(acc ORDER BY j) AS scl FROM scum),
+         |po AS (SELECT state, list(v ORDER BY v) AS pool FROM st GROUP BY state),
+         |pl AS (SELECT list(coalesce(ln0, 0) ORDER BY state) AS pls FROM (
+         |         SELECT s.state, (SELECT len(pool) FROM po WHERE po.state = s.state) AS ln0
+         |         FROM states s) z),
+         |mp AS (SELECT min(state) AS ms FROM po),
+         |walk AS (
+         |  SELECT 0 AS it, CAST($seed0 AS HUGEINT) AS s, 1 AS phase, 0 AS curstate,
+         |         CAST(0 AS HUGEINT) AS hi, 0 AS nrets, TRUE AS isstart,
+         |         scl0.scl AS scl, tcll.tl AS tl, pl.pls AS pls, mp.ms AS ms,
+         |         CAST(NULL AS INT) AS acc_step, CAST(NULL AS INT) AS acc_state,
+         |         CAST(NULL AS INT) AS acc_r
+         |  FROM scl0, tcll, pl, mp
+         |  UNION ALL
+         |  SELECT it + 1, s2,
+         |    CASE phase WHEN 1 THEN 2 WHEN 2 THEN 0
+         |         ELSE CASE WHEN ok THEN 1 ELSE 0 END END,
+         |    CASE WHEN phase = 2
+         |         THEN len(list_filter(CASE WHEN isstart THEN scl
+         |                                   ELSE tl[curstate + 1] END, c -> c <= u))::INT
+         |         ELSE curstate END,
+         |    CASE WHEN phase = 1 THEN s2 // 4194304 ELSE hi END,
+         |    CASE WHEN phase = 0 AND ok THEN nrets + 1 ELSE nrets END,
+         |    CASE WHEN phase = 2 THEN FALSE ELSE isstart END,
+         |    scl, tl, pls, ms,
+         |    CASE WHEN phase = 0 AND ok THEN nrets END,
+         |    CASE WHEN phase = 0 AND ok THEN pk END,
+         |    CASE WHEN phase = 0 AND ok THEN r::INT END
+         |  FROM (
+         |    SELECT w2.*, (u31 - (u31 % bnd) + bnd - 1) <= 2147483647 AS ok,
+         |           u31 % bnd AS r
+         |    FROM (
+         |      SELECT w1.*, s2 // 131072 AS u31,
+         |        (hi * 134217728 + (s2 // 2097152)) / 9007199254740992.0 AS u,
+         |        CASE WHEN pls[curstate + 1] > 0 THEN curstate ELSE ms END AS pk,
+         |        pls[(CASE WHEN pls[curstate + 1] > 0 THEN curstate ELSE ms END) + 1] AS bnd
+         |      FROM (SELECT walk.*,
+         |              (s * 25214903917 + 11) % 281474976710656 AS s2
+         |            FROM walk WHERE nrets < 2000) w1) w2) w3),
+         |accs AS (SELECT acc_step AS rn, acc_state AS state, acc_r AS r
+         |         FROM walk WHERE acc_step IS NOT NULL),
+         |wr AS (SELECT a.rn::INT AS rn, po.pool[a.r + 1] AS ret
+         |       FROM accs a JOIN po ON po.state = a.state)
+         |SELECT rn, round(ret, 8) AS ret,
+         |  round(ln(100.0 * exp(sum(ret) OVER (ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))), 6) AS ln_price
+         |FROM wr ORDER BY rn""".stripMargin
+    },
 
     // Grasynda fit artifact: quantile edges (interior of the deduped
     // 0..1 ladder), digitize, adjacent-transition probs, per-bin pool

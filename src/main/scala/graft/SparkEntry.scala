@@ -316,18 +316,29 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
-    // ── G2: block-bootstrap generator (seed-deterministic; rows-only) ─
+    // ── G2: block-bootstrap generator — the SEEDED walk itself is
+    //    oracle-checked: the DuckDB oracle replays java.util.Random's
+    //    48-bit LCG (including nextInt's rejection rule) to reproduce
+    //    the block starts, then the same telescoped rescale chain as
+    //    g01f. Compared in the log domain like g01f ──────────────────
     "g01_block_bootstrap" -> ((s, dir) => {
       BlockBootstrap.generate(ev(s, dir), Seq("ts", "event_id"), "value",
           blockSize = 30, n = 2000, seed = 42L)
+        .select(col("rn"), round(log(col("typical_price")), 6).as("ln_price"))
         .orderBy(col("rn"))
     }),
 
-    // ── G3: Grasynda Markov generator (rows-only) ─────────────────────
+    // ── G3: Grasynda Markov generator — the SEEDED walk oracle-checked
+    //    like g01: the oracle replays the LCG (nextDouble = two exact
+    //    dyadic draws, nextInt with the rejection rule), the sequential
+    //    cumulative-probability category sampling, and the per-bin pool
+    //    indexing, all recomputed from its own fit ──────────────────────
     "g02_grasynda" -> ((s, dir) => {
       val rets = logret(s, dir).filter(col("ret").isNotNull)
       val model = Grasynda.fit(rets, Seq("ts", "event_id"), "ret", nBins = 10)
       Grasynda.generate(s, model, seed = 42L, n = 2000, initialPrice = 100.0)
+        .select(col("rn"), round(col("ret"), 8).as("ret"),
+          round(log(col("typical_price")), 6).as("ln_price"))
         .orderBy(col("rn"))
     }),
 
