@@ -1101,6 +1101,134 @@ object OracleSql {
     "g08f_timegan_forward" ->
       timeganForwardSql(graft.WitnessFixtures.G08Model, graft.WitnessFixtures.G08Z),
 
+    // g03: the seeded regime-bootstrap walk replayed end to end — the
+    // g03f segmentation re-derived, per-regime block pools (lists of
+    // whole return blocks ordered by segment), per-row regime
+    // transition matrix, then the same LCG phase machine as g02:
+    // cat-sample the regime chain (sequential cumprobs), nextInt-pick a
+    // whole block per step, crossfade-smooth block starts, cumsum.
+    "g03_regime_bootstrap" -> {
+      val seed0 = (42L ^ 0x5DEECE66DL) & ((1L << 48) - 1)
+      s"""WITH RECURSIVE
+         |rr AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, ret
+         |            FROM ($globalRetsCapped) r0),
+         |v0 AS (SELECT rn, ret,
+         |         CASE WHEN count(ret) OVER w >= 12 THEN stddev_samp(ret) OVER w END AS vol
+         |       FROM rr WINDOW w AS (ORDER BY rn ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         |v1 AS (SELECT rn, ret, coalesce(vol,
+         |         first_value(vol IGNORE NULLS) OVER (ORDER BY rn
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS volf
+         |       FROM v0),
+         |ed AS (SELECT list_sort(list_distinct(
+         |         quantile_cont(volf, [${(1 until 3).map(i => i / 3.0).mkString(",")}]))) AS edges
+         |       FROM v1),
+         |k0 AS (SELECT (len(edges)+1)::INT AS k FROM ed),
+         |rg AS (SELECT rn, ret, len(list_filter(ed.edges, x -> x <= v1.volf))::INT AS regime
+         |       FROM v1, ed),
+         |cg AS (SELECT rn, ret, regime,
+         |         CASE WHEN lag(regime) OVER (ORDER BY rn) IS NULL
+         |                OR lag(regime) OVER (ORDER BY rn) <> regime THEN 1 ELSE 0 END AS chg
+         |       FROM rg),
+         |sg AS (SELECT rn, ret, regime,
+         |         sum(chg) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment
+         |       FROM cg),
+         |blk AS (SELECT segment, min(regime) AS regime, count(*)::INT AS blen,
+         |          list(ret ORDER BY rn) AS brets
+         |        FROM sg GROUP BY segment HAVING count(*) >= 3),
+         |brk AS (SELECT regime, blen, brets,
+         |          (row_number() OVER (PARTITION BY regime ORDER BY segment) - 1)::INT AS bidx
+         |        FROM blk),
+         |states AS (SELECT unnest(generate_series(0, len(edges)))::INT AS state FROM ed),
+         |bld AS (SELECT list(coalesce(b.bl, CAST([] AS INT[])) ORDER BY s.state) AS bls
+         |        FROM states s LEFT JOIN (SELECT regime, list(blen ORDER BY bidx) AS bl
+         |                                 FROM brk GROUP BY regime) b ON b.regime = s.state),
+         |pc AS (SELECT regime AS state, count(*)::BIGINT AS cnt FROM rg GROUP BY regime),
+         |sp AS (SELECT s.state,
+         |         coalesce(pc.cnt, 0)::DOUBLE / (SELECT count(*) FROM rg) AS p
+         |       FROM states s LEFT JOIN pc ON pc.state = s.state),
+         |tr AS (SELECT regime AS state, nxt AS next_state, count(*)::BIGINT AS cnt FROM
+         |        (SELECT regime, lead(regime) OVER (ORDER BY rn) AS nxt FROM rg) x
+         |       WHERE nxt IS NOT NULL GROUP BY regime, nxt),
+         |dp AS (SELECT s1.state, s2.state AS nxt, coalesce(tr.cnt, 0)::DOUBLE AS cnt
+         |       FROM states s1 CROSS JOIN states s2
+         |       LEFT JOIN tr ON tr.state = s1.state AND tr.next_state = s2.state),
+         |rs AS (SELECT state, sum(cnt) AS tot FROM dp GROUP BY state),
+         |tp AS (SELECT dp.state, dp.nxt,
+         |         CASE WHEN rs.tot > 0 THEN dp.cnt / rs.tot
+         |              ELSE 1.0 / (SELECT k FROM k0) END AS p
+         |       FROM dp JOIN rs ON rs.state = dp.state),
+         |tcum AS (
+         |  SELECT state, 0 AS j, p AS acc FROM tp WHERE nxt = 0
+         |  UNION ALL
+         |  SELECT c.state, c.j + 1, c.acc + t.p
+         |  FROM tcum c JOIN tp t ON t.state = c.state AND t.nxt = c.j + 1
+         |  WHERE c.j + 1 <= (SELECT k FROM k0) - 2),
+         |tcl AS (SELECT state, list(acc ORDER BY j) AS cl FROM tcum GROUP BY state),
+         |tcll AS (SELECT list(cl ORDER BY state) AS tl FROM tcl),
+         |scum AS (
+         |  SELECT 0 AS j, p AS acc FROM sp WHERE state = 0
+         |  UNION ALL
+         |  SELECT c.j + 1, c.acc + s.p
+         |  FROM scum c JOIN sp s ON s.state = c.j + 1
+         |  WHERE c.j + 1 <= (SELECT k FROM k0) - 2),
+         |scl0 AS (SELECT list(acc ORDER BY j) AS scl FROM scum),
+         |walk AS (
+         |  SELECT 0 AS it, CAST($seed0 AS HUGEINT) AS s, 1 AS phase, 0 AS regime,
+         |         CAST(0 AS HUGEINT) AS hi, 0 AS i, 0 AS nblk, TRUE AS isstart,
+         |         scl0.scl AS scl, tcll.tl AS tl, bld.bls AS bls,
+         |         CAST(NULL AS INT) AS emit_ord, CAST(NULL AS INT) AS emit_regime,
+         |         CAST(NULL AS INT) AS emit_bidx
+         |  FROM scl0, tcll, bld
+         |  UNION ALL
+         |  SELECT it + 1, s2,
+         |    CASE phase WHEN 1 THEN 2 WHEN 2 THEN 0
+         |         ELSE CASE WHEN ok THEN 1 ELSE 0 END END,
+         |    CASE WHEN phase = 2
+         |         THEN len(list_filter(CASE WHEN isstart THEN scl
+         |                                   ELSE tl[regime + 1] END, c -> c <= u))::INT
+         |         ELSE regime END,
+         |    CASE WHEN phase = 1 THEN s2 // 4194304 ELSE hi END,
+         |    CASE WHEN phase = 0 AND ok THEN i + bls[regime + 1][(r + 1)::INT] ELSE i END,
+         |    CASE WHEN phase = 0 AND ok THEN nblk + 1 ELSE nblk END,
+         |    CASE WHEN phase = 2 THEN FALSE ELSE isstart END,
+         |    scl, tl, bls,
+         |    CASE WHEN phase = 0 AND ok THEN nblk END,
+         |    CASE WHEN phase = 0 AND ok THEN regime END,
+         |    CASE WHEN phase = 0 AND ok THEN r::INT END
+         |  FROM (
+         |    SELECT w2.*, (u31 - (u31 % bnd) + bnd - 1) <= 2147483647 AS ok,
+         |           u31 % bnd AS r
+         |    FROM (
+         |      SELECT w1.*, s2 // 131072 AS u31,
+         |        (hi * 134217728 + (s2 // 2097152)) / 9007199254740992.0 AS u,
+         |        greatest(len(bls[regime + 1]), 1) AS bnd
+         |      FROM (SELECT walk.*,
+         |              (s * 25214903917 + 11) % 281474976710656 AS s2
+         |            FROM walk WHERE i < 2000) w1) w2) w3),
+         |em AS (SELECT emit_ord, emit_regime, emit_bidx FROM walk
+         |       WHERE emit_ord IS NOT NULL),
+         |eml AS (SELECT e.emit_ord, b.blen, b.brets
+         |        FROM em e JOIN brk b ON b.regime = e.emit_regime
+         |                            AND b.bidx = e.emit_bidx),
+         |emo AS (SELECT *, coalesce(sum(blen) OVER (ORDER BY emit_ord
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS row0
+         |        FROM eml),
+         |rows0 AS (SELECT (row0 + unnest(generate_series(1, blen)) - 1) AS rn0,
+         |            unnest(brets) AS ret,
+         |            unnest(generate_series(1, blen)) = 1 AS is_start
+         |          FROM emo),
+         |rows1 AS (SELECT rn0::INT AS rn, ret, is_start FROM rows0 WHERE rn0 < 2000),
+         |sm AS (SELECT rn,
+         |         CASE WHEN is_start AND lag(ret) OVER (ORDER BY rn) IS NOT NULL
+         |              THEN (1.0 - 0.5)*ret + 0.5*lag(ret) OVER (ORDER BY rn)
+         |              ELSE ret END AS ret_s
+         |       FROM rows1)
+         |SELECT rn, round(ret_s, 8) AS ret,
+         |  round(ln(100.0 * exp(sum(ret_s) OVER (ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))), 6) AS ln_price
+         |FROM sm ORDER BY rn""".stripMargin
+    },
+
     "g03f_regime_segments" ->
       s"""WITH rr AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, ret
          |            FROM ($globalRetsCapped) r0),

@@ -342,12 +342,16 @@ object SparkEntry {
         .orderBy(col("rn"))
     }),
 
-    // ── G6: regime block-bootstrap hybrid (rows-only) ─────────────────
+    // ── G6: regime block-bootstrap hybrid — seeded walk oracle-checked
+    //    like g01/g02 (LCG replay drives the regime chain + block picks;
+    //    the oracle re-derives the block pools from its own fit) ──────
     "g03_regime_bootstrap" -> ((s, dir) => {
       val model = graft.gen.RegimeBootstrap.fit(
         ev(s, dir), Seq("ts", "event_id"), "value", nRegimes = 3)
       graft.gen.RegimeBootstrap.generate(s, model, seed = 42L, n = 2000,
           initialPrice = 100.0)
+        .select(col("rn"), round(col("ret"), 8).as("ret"),
+          round(log(col("typical_price")), 6).as("ln_price"))
         .orderBy(col("rn"))
     }),
 
