@@ -187,6 +187,131 @@ object OracleSql {
        |ORDER BY t""".stripMargin
   }
 
+  /** SQL twin of [[graft.gen.RegimeConditional.generate]] over LITERAL
+    * model params: replays java.util.Random's polar-method nextGaussian
+    * (two dyadic-exact uniform pairs per attempt, rejection on
+    * s ≥ 1 ∨ s = 0, the accepted pair yielding BOTH this step's and the
+    * next step's gaussian — so each accept emits up to two returns),
+    * the sequential-cumsum category sampling of the regime chain, the
+    * AR(1) recurrence, and (when `garch` is set) the per-regime σ²
+    * recursion. The cumulative-probability lists are folded in Scala
+    * with the same left-to-right accumulation as sampleCat and embedded
+    * as literals. */
+  private def regimeWalkSql(model: graft.gen.RegimeModel,
+                            garch: Option[Array[graft.stats.GarchFit]],
+                            n: Int, seed: Long): String = {
+    val seed0 = (seed ^ 0x5DEECE66DL) & ((1L << 48) - 1)
+    def cum(ps: Array[Double]): Array[Double] = {
+      var a = 0.0; ps.take(ps.length - 1).map { p => a += p; a }
+    }
+    val startCl = planeLit(cum(model.startProbs))
+    val transCl = "[" + model.transition.map(r => planeLit(cum(r))).mkString(",") + "]"
+    val means = planeLit(model.params.map(_.mean))
+    val stds = planeLit(model.params.map(_.std))
+    val ar1s = planeLit(model.params.map(_.ar1))
+    val sig2Init = garch.map(g => planeLit(g.map(_.longRunVar)))
+      .getOrElse(planeLit(Array.fill(model.nRegimes)(0.0)))
+    val oms = garch.map(g => planeLit(g.map(_.omega))).getOrElse("[]")
+    val als = garch.map(g => planeLit(g.map(_.alpha))).getOrElse("[]")
+    val bes = garch.map(g => planeLit(g.map(_.beta))).getOrElse("[]")
+    // per-step std: constant per regime (G4) or the GARCH recursion (G5)
+    def stdExpr(k: String, sig2new: String): String =
+      if (garch.isEmpty) s"($stds)[$k + 1]"
+      else s"sqrt(greatest($sig2new, 1e-12))"
+    def sig2NewExpr(k: String, eps: String, sig2: String): String =
+      if (garch.isEmpty) "0.0"
+      else s"(($oms)[$k + 1] + ($als)[$k + 1]*$eps*$eps + ($bes)[$k + 1]*$sig2[$k + 1])"
+    def retExpr(k: String, g: String, pr: String, stdE: String): String =
+      s"(($ar1s)[$k + 1]*$pr + ($means)[$k + 1] + $g*($stdE*sqrt(greatest(1.0 - ($ar1s)[$k + 1]*($ar1s)[$k + 1], 0.01))))"
+    def sig2Upd(k: String, v: String, sig2: String): String =
+      if (garch.isEmpty) sig2
+      else (0 until model.nRegimes).map(i =>
+        s"CASE WHEN $i = $k THEN $v ELSE $sig2[${i + 1}] END")
+        .mkString("[", ",", "]")
+    s"""WITH RECURSIVE
+       |w AS (
+       |  SELECT 0 AS it, CAST($seed0 AS HUGEINT) AS s, 11 AS ph,
+       |         CAST(0 AS HUGEINT) AS hi, CAST(0.0 AS DOUBLE) AS v1d,
+       |         CAST([] AS INT[]) AS regs, 0 AS t,
+       |         CAST(0.0 AS DOUBLE) AS prevret, CAST(0.0 AS DOUBLE) AS preveps,
+       |         CAST($sig2Init AS DOUBLE[]) AS sig2,
+       |         CAST([] AS DOUBLE[]) AS rets
+       |  UNION ALL
+       |  SELECT it + 1, s2,
+       |    CASE ph WHEN 11 THEN 12
+       |            WHEN 12 THEN CASE WHEN len(regs) + 1 = $n THEN 21 ELSE 11 END
+       |            WHEN 21 THEN 22 WHEN 22 THEN 23 WHEN 23 THEN 24
+       |            ELSE CASE WHEN acc THEN CASE WHEN t2 >= $n THEN 99 ELSE 21 END
+       |                 ELSE 21 END END,
+       |    CASE WHEN ph IN (11, 21, 23) THEN s2 // 4194304 ELSE hi END,
+       |    CASE WHEN ph = 22 THEN 2.0*u - 1.0 ELSE v1d END,
+       |    CASE WHEN ph = 12 THEN list_append(regs, rnew) ELSE regs END,
+       |    CASE WHEN acc THEN t2 ELSE t END,
+       |    CASE WHEN acc THEN CASE WHEN two THEN prevret2 ELSE prevret1 END
+       |         ELSE prevret END,
+       |    CASE WHEN acc THEN CASE WHEN two THEN prevret2 ELSE prevret1 END
+       |         ELSE preveps END,
+       |    CASE WHEN acc THEN CASE WHEN two THEN sig2b ELSE sig2a END
+       |         ELSE sig2 END,
+       |    CASE WHEN acc THEN CASE WHEN two THEN rets || [ret1, ret2]
+       |                            ELSE rets || [ret1] END
+       |         ELSE rets END
+       |  FROM (
+       |    SELECT w4.*, t + CASE WHEN two THEN 2 ELSE 1 END AS t2,
+       |      ${retExpr("k2", "gB", "prevret1", "std2")} AS ret2,
+       |      ${retExpr("k2", "gB", "prevret1", "std2")} - ($means)[k2 + 1] AS prevret2,
+       |      ${sig2Upd("k2", "sig2n2", "sig2a")} AS sig2b
+       |    FROM (
+       |      SELECT w3.*, regs[t + 2] AS k2, acc AND t + 1 < $n AS two,
+       |        ${stdExpr("(regs[t + 2])", "sig2n2x")} AS std2, sig2n2x AS sig2n2
+       |      FROM (
+       |        SELECT w3a.*,
+       |          ${sig2NewExpr("(regs[t + 2])", "prevret1", "sig2a")} AS sig2n2x
+       |        FROM (
+       |          SELECT w2b.*,
+       |            ${sig2Upd("k1", "sig2n1", "sig2")} AS sig2a
+       |          FROM (
+       |            SELECT w2a.*,
+       |              ${retExpr("k1", "gA", "prevret", "std1")} AS ret1,
+       |              ${retExpr("k1", "gA", "prevret", "std1")} - ($means)[k1 + 1] AS prevret1
+       |            FROM (
+       |              SELECT w2.*, regs[t + 1] AS k1,
+       |                ${stdExpr("(regs[t + 1])", "sig2n1x")} AS std1, sig2n1x AS sig2n1
+       |              FROM (
+       |                SELECT w1b.*,
+       |                  ${sig2NewExpr("(regs[t + 1])", "preveps", "sig2")} AS sig2n1x,
+       |                  v1d*mult AS gA, v2*mult AS gB,
+       |                  len(list_filter(
+       |                    CASE WHEN len(regs) = 0 THEN $startCl
+       |                         ELSE ($transCl)[regs[len(regs)] + 1] END,
+       |                    c -> c <= u))::INT AS rnew
+       |                FROM (
+       |                  SELECT w1a.*, ph = 24 AND ss < 1.0 AND ss <> 0.0 AS acc,
+       |                    -- guards are no-ops on ACCEPTED rows (0 < ss < 1);
+       |                    -- they only keep DuckDB's sqrt/ln from raising on
+       |                    -- the eagerly-evaluated rejected/other-phase rows
+       |                    sqrt(greatest((-2.0*ln(greatest(ss, 1e-300)))
+       |                      / (CASE WHEN ss = 0.0 THEN 1.0 ELSE ss END), 0.0)) AS mult
+       |                  FROM (
+       |                    SELECT w1.*, 2.0*u - 1.0 AS v2,
+       |                      v1d*v1d + (2.0*u - 1.0)*(2.0*u - 1.0) AS ss
+       |                    FROM (
+       |                      SELECT w0.*,
+       |                        (hi * 134217728 + (s2 // 2097152)) / 9007199254740992.0 AS u
+       |                      FROM (
+       |                        SELECT w.*,
+       |                          (s * 25214903917 + 11) % 281474976710656 AS s2
+       |                        FROM w WHERE t < $n) w0) w1) w1a) w1b) w2) w2a) w2b) w3a) w3) w4)
+       |),
+       |fin AS (SELECT rets FROM w WHERE t = $n AND len(rets) = $n),
+       |rows0 AS (SELECT (unnest(generate_series(1, $n)) - 1)::INT AS rn,
+       |            unnest(rets) AS ret FROM fin)
+       |SELECT rn, round(ret, 8) AS ret,
+       |  round(ln(100.0 * exp(sum(ret) OVER (ORDER BY rn
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))), 6) AS ln_price
+       |FROM rows0 ORDER BY rn""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
 
     "q01_pricing_summary" ->
@@ -1091,6 +1216,14 @@ object OracleSql {
          |        LEFT JOIN sk ON ms.seg_id = sk.seg_id
          |        LEFT JOIN ac ON ms.seg_id = ac.seg_id
          |ORDER BY ms.seg_id""".stripMargin,
+
+    // G4/G5 walk witnesses: the literal-param walks replayed exactly
+    // (polar nextGaussian, AR(1), GARCH sigma^2) — see regimeWalkSql
+    "g04w_conditional_walk" ->
+      regimeWalkSql(graft.WitnessFixtures.G04Model, None, 200, 7L),
+    "g05w_garch_walk" ->
+      regimeWalkSql(graft.WitnessFixtures.G04Model,
+        Some(graft.WitnessFixtures.G05Garch), 200, 7L),
 
     // G1 forward witness: fixed-literal-weight MLP decode recomputed as
     // nested SQL arithmetic (weights shared via WitnessFixtures)

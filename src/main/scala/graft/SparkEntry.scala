@@ -651,6 +651,28 @@ object SparkEntry {
         .orderBy(col("seg_id"))
     }),
 
+    // ── G4 walk witness: RegimeConditional.generate over a LITERAL
+    //    model (WitnessFixtures) — the seeded AR(1) walk incl. the
+    //    polar-method nextGaussian is replayed exactly by the oracle ──
+    "g04w_conditional_walk" -> ((s, dir) => {
+      graft.gen.RegimeConditional.generate(s, WitnessFixtures.G04Model,
+          seed = 7L, n = 200, initialPrice = 100.0)
+        .select(col("rn"), round(col("ret"), 8).as("ret"),
+          round(log(col("typical_price")), 6).as("ln_price"))
+        .orderBy(col("rn"))
+    }),
+
+    // ── G5 walk witness: same machine + the per-regime GARCH σ²
+    //    recursion over literal params ────────────────────────────────
+    "g05w_garch_walk" -> ((s, dir) => {
+      graft.gen.RegimeConditional.generate(s,
+          WitnessFixtures.G04Model.copy(garch = Some(WitnessFixtures.G05Garch)),
+          seed = 7L, n = 200, initialPrice = 100.0)
+        .select(col("rn"), round(col("ret"), 8).as("ret"),
+          round(log(col("typical_price")), 6).as("ln_price"))
+        .orderBy(col("rn"))
+    }),
+
     // ── G1 forward witness: the MLP decoder inference math over FIXED
     //    literal weights (WitnessFixtures — shared with the oracle,
     //    which recomputes the same nested arithmetic in SQL) ──────────

@@ -1,6 +1,7 @@
 package graft
 
-import graft.gen.{MlpDecoder, TimeGanModel}
+import graft.gen.{MlpDecoder, RegimeModel, RegimeParams, TimeGanModel}
+import graft.stats.GarchFit
 
 /** Shared fixed-weight fixtures for the g06f/g08f forward-pass
   * witnesses: BOTH SparkEntry (which runs the real inference code over
@@ -20,6 +21,27 @@ object WitnessFixtures {
     val rnd = new scala.util.Random(99L)
     Array.fill(4)(rnd.nextGaussian())
   }
+
+  /** Literal 3-regime model for the G4/G5 WALK witnesses: with fixed
+    * params the seeded generation path (regime chain, AR(1) returns,
+    * GARCH σ² recursion, nextGaussian's polar rejection) is exactly
+    * replayable by the oracle — the real g04/g05 runs stay rows-only
+    * because their params come from the driver-side HMM EM. */
+  val G04Model: RegimeModel = RegimeModel(
+    nRegimes = 3,
+    transition = Array(
+      Array(0.6, 0.3, 0.1), Array(0.2, 0.5, 0.3), Array(0.25, 0.25, 0.5)),
+    startProbs = Array(0.5, 0.3, 0.2),
+    params = Array(
+      RegimeParams(0.0002, 0.004, 0.0, 0.3, 100L),
+      RegimeParams(-0.0001, 0.009, 0.0, -0.2, 100L),
+      RegimeParams(0.0, 0.002, 0.0, 0.1, 100L)))
+
+  /** Per-regime GARCH params for the G5 walk witness. */
+  val G05Garch: Array[GarchFit] = Array(
+    GarchFit(1e-6, 0.08, 0.9, 5e-5, 0.0),
+    GarchFit(2e-6, 0.12, 0.85, 6.67e-5, 0.0),
+    GarchFit(5e-7, 0.05, 0.92, 1.67e-5, 0.0))
 
   /** Tiny TimeGAN (window 4, latent 2, hidden 3) for the G8 witness:
     * generator GRU → supervisor GRU → recovery GRU + sigmoid head. */
