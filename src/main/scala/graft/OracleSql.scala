@@ -312,6 +312,125 @@ object OracleSql {
        |FROM rows0 ORDER BY rn""".stripMargin
   }
 
+  /** SQL twin of the full G1 inference run (g06): one LCG machine
+    * replays the seeded WEIGHT stream (MlpDecoder.random's 2648 polar
+    * gaussians, emitted as (index, value) pairs and reshaped into the
+    * row-major weight matrices), a second machine runs all `nWindows`
+    * per-window LCGs in parallel recursion rows (16 latent gaussians +
+    * the anchor nextInt each), and the MLP forward / mean-center /
+    * anchored log-price chain is recomputed with list arithmetic.
+    * Rejection decisions are exact integer/dyadic math; the only float
+    * slop is the forward arithmetic, absorbed by the r6 rounding. */
+  private def decoderWalkSql(latent: Int, hidden: Int, wsize: Int,
+                             weightSeed: Long, genSeed: Long, n: Int): String = {
+    val seedW0 = (weightSeed ^ 0x5DEECE66DL) & ((1L << 48) - 1)
+    val nWindows = n / wsize + 2
+    val nG = hidden * latent + wsize * hidden + hidden + wsize
+    val w2Off = hidden * latent
+    val b1Off = w2Off + wsize * hidden
+    val b2Off = b1Off + hidden
+    s"""WITH RECURSIVE
+       |wm AS (
+       |  SELECT 0 AS it, CAST($seedW0 AS HUGEINT) AS s, 1 AS ph,
+       |         CAST(0 AS HUGEINT) AS hi, CAST(0.0 AS DOUBLE) AS v1d, 0 AS ng,
+       |         CAST(NULL AS INT) AS e1, CAST(NULL AS DOUBLE) AS g1,
+       |         CAST(NULL AS INT) AS e2, CAST(NULL AS DOUBLE) AS g2
+       |  UNION ALL
+       |  SELECT it + 1, s2,
+       |    CASE ph WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 1 END,
+       |    CASE WHEN ph IN (1, 3) THEN s2 // 4194304 ELSE hi END,
+       |    CASE WHEN ph = 2 THEN 2.0*u - 1.0 ELSE v1d END,
+       |    CASE WHEN acc THEN ng + 2 ELSE ng END,
+       |    CASE WHEN acc THEN ng END, CASE WHEN acc THEN v1d*mult END,
+       |    CASE WHEN acc THEN ng + 1 END, CASE WHEN acc THEN v2*mult END
+       |  FROM (
+       |    SELECT q1.*, ph = 4 AND ss < 1.0 AND ss <> 0.0 AS acc,
+       |      sqrt(greatest((-2.0*ln(greatest(ss, 1e-300)))
+       |        / (CASE WHEN ss = 0.0 THEN 1.0 ELSE ss END), 0.0)) AS mult
+       |    FROM (
+       |      SELECT q0.*, 2.0*u - 1.0 AS v2,
+       |        v1d*v1d + (2.0*u - 1.0)*(2.0*u - 1.0) AS ss
+       |      FROM (
+       |        SELECT wm.*, (s * 25214903917 + 11) % 281474976710656 AS s2,
+       |          (hi * 134217728 + (((s * 25214903917 + 11) % 281474976710656) // 2097152))
+       |            / 9007199254740992.0 AS u
+       |        FROM wm WHERE ng < $nG) q0) q1) q2),
+       |gs AS (SELECT e1 AS gidx, g1 AS g FROM wm WHERE e1 IS NOT NULL
+       |       UNION ALL SELECT e2, g2 FROM wm WHERE e2 IS NOT NULL),
+       |w1l AS (SELECT list(rowl ORDER BY h) AS m FROM (
+       |          SELECT gidx // $latent AS h, list(g * 0.1 ORDER BY gidx) AS rowl
+       |          FROM gs WHERE gidx < $w2Off GROUP BY gidx // $latent) t),
+       |w2l AS (SELECT list(rowl ORDER BY o) AS m FROM (
+       |          SELECT (gidx - $w2Off) // $hidden AS o,
+       |                 list(g * 0.1 ORDER BY gidx) AS rowl
+       |          FROM gs WHERE gidx >= $w2Off AND gidx < $b1Off
+       |          GROUP BY (gidx - $w2Off) // $hidden) t),
+       |b1l AS (SELECT list(g * 0.1 * 0.1 ORDER BY gidx) AS b FROM gs
+       |        WHERE gidx >= $b1Off AND gidx < $b2Off),
+       |b2l AS (SELECT list(g * 0.1 * 0.1 ORDER BY gidx) AS b FROM gs
+       |        WHERE gidx >= $b2Off),
+       |anc AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS arn,
+       |          value::DOUBLE AS av
+       |        FROM (SELECT ts, event_id, value FROM events
+       |              ORDER BY ts, event_id LIMIT 5000) t),
+       |ancn AS (SELECT count(*)::BIGINT AS na FROM anc),
+       |wseeds AS (SELECT w::INT AS widx,
+       |             CAST(xor(${genSeed}*1000003 + w*7919, 25214903917)
+       |               % 281474976710656 AS HUGEINT) AS s0
+       |           FROM (SELECT unnest(generate_series(0, ${nWindows - 1})) AS w) g),
+       |pm AS (
+       |  SELECT widx, s0 AS s, 1 AS ph, CAST(0 AS HUGEINT) AS hi,
+       |         CAST(0.0 AS DOUBLE) AS v1d,
+       |         CAST([] AS DOUBLE[]) AS z, CAST(NULL AS INT) AS ar
+       |  FROM wseeds
+       |  UNION ALL
+       |  SELECT widx, s2,
+       |    CASE WHEN ph = 1 THEN 2 WHEN ph = 2 THEN 3 WHEN ph = 3 THEN 4
+       |         WHEN ph = 4 THEN CASE WHEN acc AND len(z) + 2 = $latent THEN 5 ELSE 1 END
+       |         ELSE 5 END,
+       |    CASE WHEN ph IN (1, 3) THEN s2 // 4194304 ELSE hi END,
+       |    CASE WHEN ph = 2 THEN 2.0*u - 1.0 ELSE v1d END,
+       |    CASE WHEN ph = 4 AND acc THEN z || [v1d*mult, v2*mult] ELSE z END,
+       |    CASE WHEN ph = 5 AND ok THEN r::INT ELSE ar END
+       |  FROM (
+       |    SELECT q1.*, ph = 4 AND ss < 1.0 AND ss <> 0.0 AS acc,
+       |      sqrt(greatest((-2.0*ln(greatest(ss, 1e-300)))
+       |        / (CASE WHEN ss = 0.0 THEN 1.0 ELSE ss END), 0.0)) AS mult,
+       |      (u31 - (u31 % bnd) + bnd - 1) <= 2147483647 AS ok, u31 % bnd AS r
+       |    FROM (
+       |      SELECT q0.*, 2.0*u - 1.0 AS v2,
+       |        v1d*v1d + (2.0*u - 1.0)*(2.0*u - 1.0) AS ss,
+       |        s2 // 131072 AS u31, (SELECT na FROM ancn) AS bnd
+       |      FROM (
+       |        SELECT pm.*, (s * 25214903917 + 11) % 281474976710656 AS s2,
+       |          (hi * 134217728 + (((s * 25214903917 + 11) % 281474976710656) // 2097152))
+       |            / 9007199254740992.0 AS u
+       |        FROM pm WHERE ar IS NULL) q0) q1) q2),
+       |pw AS (SELECT widx, z, ar FROM pm WHERE ar IS NOT NULL),
+       |hid AS (SELECT pw.widx, pw.ar,
+       |          list_transform(generate_series(1, $hidden), h ->
+       |            ${tanhSql(s"b1l.b[h] + list_inner_product(w1l.m[h], pw.z)")}) AS hv
+       |        FROM pw, w1l, b1l),
+       |outp AS (SELECT hid.widx, hid.ar,
+       |           list_transform(generate_series(1, $wsize), o ->
+       |             b2l.b[o] + list_inner_product(w2l.m[o], hid.hv)) AS ov
+       |         FROM hid, w2l, b2l),
+       |cen AS (SELECT widx, ar,
+       |          list_transform(ov, x -> x - list_aggregate(ov, 'sum') / $wsize.0) AS rv
+       |        FROM outp),
+       |cen2 AS (SELECT c.widx, c.rv, a.av
+       |         FROM cen c JOIN anc a ON a.arn = c.ar + 1),
+       |rows0 AS (SELECT widx,
+       |            (widx * $wsize + unnest(generate_series(1, $wsize)) - 1) AS rn0,
+       |            unnest(rv) AS rv, av
+       |          FROM cen2),
+       |rows1 AS (SELECT rn0::INT AS rn, rv, av, widx FROM rows0 WHERE rn0 < $n)
+       |SELECT rn,
+       |  round(ln(exp(ln(av) + sum(rv) OVER (PARTITION BY widx ORDER BY rn
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))), 6) AS ln_price
+       |FROM rows1 ORDER BY rn""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
 
     "q01_pricing_summary" ->
@@ -1216,6 +1335,12 @@ object OracleSql {
          |        LEFT JOIN sk ON ms.seg_id = sk.seg_id
          |        LEFT JOIN ac ON ms.seg_id = ac.seg_id
          |ORDER BY ms.seg_id""".stripMargin,
+
+    // g06: the FULL decoder-inference run replayed (weight stream +
+    // per-window draws + forward pass) — see decoderWalkSql
+    "g06_decoder_infer" ->
+      decoderWalkSql(latent = 16, hidden = 64, wsize = 24,
+        weightSeed = 11L, genSeed = 42L, n = 2000),
 
     // G4/G5 walk witnesses: the literal-param walks replayed exactly
     // (polar nextGaussian, AR(1), GARCH sigma^2) — see regimeWalkSql

@@ -500,14 +500,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
-    // ── G1: decoder-inference generator (rows-only) ───────────────────
+    // ── G1: decoder-inference generator — fully oracle-checked: the
+    //    oracle replays the seeded WEIGHT stream (2648 polar gaussians),
+    //    every per-window latent/anchor draw (per-window LCGs seeded
+    //    seed·1000003 + idx·7919), and the forward pass itself ────────
     "g06_decoder_infer" -> ((s, dir) => {
       val anchors = ev(s, dir).orderBy(col("ts"), col("event_id")).limit(5000)
         .select(col("value").cast("double")).collect().map(_.getDouble(0))
       val dec = MlpDecoder.random(latentDim = 16, hidden = 64,
         windowSize = 24, seed = 11L)
       DecoderGenerator.generate(s, dec, anchors, n = 2000, seed = 42L)
-        .select(col("rn"), col("typical_price"))
+        .select(col("rn"), round(log(col("typical_price")), 6).as("ln_price"))
         .orderBy(col("rn"))
     }),
 
