@@ -355,19 +355,19 @@ object OracleSql {
        |          (hi * 134217728 + (((s * 25214903917 + 11) % 281474976710656) // 2097152))
        |            / 9007199254740992.0 AS u
        |        FROM wm WHERE ng < $nG) q0) q1) q2),
-       |gs AS (SELECT e1 AS gidx, g1 AS g FROM wm WHERE e1 IS NOT NULL
+       |gs AS MATERIALIZED (SELECT e1 AS gidx, g1 AS g FROM wm WHERE e1 IS NOT NULL
        |       UNION ALL SELECT e2, g2 FROM wm WHERE e2 IS NOT NULL),
-       |w1l AS (SELECT list(rowl ORDER BY h) AS m FROM (
+       |w1l AS MATERIALIZED (SELECT list(rowl ORDER BY h) AS m FROM (
        |          SELECT gidx // $latent AS h, list(g * 0.1 ORDER BY gidx) AS rowl
        |          FROM gs WHERE gidx < $w2Off GROUP BY gidx // $latent) t),
-       |w2l AS (SELECT list(rowl ORDER BY o) AS m FROM (
+       |w2l AS MATERIALIZED (SELECT list(rowl ORDER BY o) AS m FROM (
        |          SELECT (gidx - $w2Off) // $hidden AS o,
        |                 list(g * 0.1 ORDER BY gidx) AS rowl
        |          FROM gs WHERE gidx >= $w2Off AND gidx < $b1Off
        |          GROUP BY (gidx - $w2Off) // $hidden) t),
-       |b1l AS (SELECT list(g * 0.1 * 0.1 ORDER BY gidx) AS b FROM gs
+       |b1l AS MATERIALIZED (SELECT list(g * 0.1 * 0.1 ORDER BY gidx) AS b FROM gs
        |        WHERE gidx >= $b1Off AND gidx < $b2Off),
-       |b2l AS (SELECT list(g * 0.1 * 0.1 ORDER BY gidx) AS b FROM gs
+       |b2l AS MATERIALIZED (SELECT list(g * 0.1 * 0.1 ORDER BY gidx) AS b FROM gs
        |        WHERE gidx >= $b2Off),
        |anc AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS arn,
        |          value::DOUBLE AS av
@@ -406,7 +406,7 @@ object OracleSql {
        |          (hi * 134217728 + (((s * 25214903917 + 11) % 281474976710656) // 2097152))
        |            / 9007199254740992.0 AS u
        |        FROM pm WHERE ar IS NULL) q0) q1) q2),
-       |pw AS (SELECT widx, z, ar FROM pm WHERE ar IS NOT NULL),
+       |pw AS MATERIALIZED (SELECT widx, z, ar FROM pm WHERE ar IS NOT NULL),
        |hid AS (SELECT pw.widx, pw.ar,
        |          list_transform(generate_series(1, $hidden), h ->
        |            ${tanhSql(s"b1l.b[h] + list_inner_product(w1l.m[h], pw.z)")}) AS hv
@@ -420,6 +420,187 @@ object OracleSql {
        |        FROM outp),
        |cen2 AS (SELECT c.widx, c.rv, a.av
        |         FROM cen c JOIN anc a ON a.arn = c.ar + 1),
+       |rows0 AS (SELECT widx,
+       |            (widx * $wsize + unnest(generate_series(1, $wsize)) - 1) AS rn0,
+       |            unnest(rv) AS rv, av
+       |          FROM cen2),
+       |rows1 AS (SELECT rn0::INT AS rn, rv, av, widx FROM rows0 WHERE rn0 < $n)
+       |SELECT rn,
+       |  round(ln(exp(ln(av) + sum(rv) OVER (PARTITION BY widx ORDER BY rn
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))), 6) AS ln_price
+       |FROM rows1 ORDER BY rn""".stripMargin
+  }
+
+  /** SQL twin of the full G8 inference run (g08): replays the seeded
+    * TimeGanModel.random weight stream (~14.4k polar gaussians reshaped
+    * into 27 GRU matrices + 3 dense heads in exact draw order), the
+    * per-window latent/anchor draws, and the 3-net × 3-layer stacked
+    * GRU forward as a 24-step recursion over all windows in parallel.
+    * Same exactness posture as g06: every REJECTION/SELECTION decision
+    * is integer/dyadic-exact; forward-arithmetic slop is absorbed by
+    * the r6 log-price rounding. */
+  private def timeganWalkSql(wsize: Int, latent: Int, hidden: Int,
+                             nLayers: Int, weightSeed: Long, genSeed: Long,
+                             n: Int, dataMin: Double, dataRange: Double): String = {
+    val seedW0 = (weightSeed ^ 0x5DEECE66DL) & ((1L << 48) - 1)
+    val nWindows = n / wsize + 2
+    // weight layout in exact draw order
+    final case class M(name: String, off: Int, rows: Int, cols: Int, scale: String)
+    var off = 0
+    val mats = scala.collection.mutable.ArrayBuffer[M]()
+    def mat(name: String, r: Int, c: Int, s: String): Unit = {
+      mats += M(name, off, r, c, s); off += r * c
+    }
+    def gru(pfx: String, in: Int): Unit = {
+      mat(s"${pfx}_wz", hidden, in, "0.3"); mat(s"${pfx}_uz", hidden, hidden, "0.3")
+      mat(s"${pfx}_bz", hidden, 1, "0.3 * 0.1")
+      mat(s"${pfx}_wr", hidden, in, "0.3"); mat(s"${pfx}_ur", hidden, hidden, "0.3")
+      mat(s"${pfx}_br", hidden, 1, "0.3 * 0.1")
+      mat(s"${pfx}_wh", hidden, in, "0.3"); mat(s"${pfx}_uh", hidden, hidden, "0.3")
+      mat(s"${pfx}_bh", hidden, 1, "0.3 * 0.1")
+    }
+    def net(pfx: String, in: Int, outDim: Int): Unit = {
+      gru(s"${pfx}_l1", in)
+      (2 to nLayers).foreach(l => gru(s"${pfx}_l$l", hidden))
+      mat(s"${pfx}_dw", outDim, hidden, "0.3"); mat(s"${pfx}_db", outDim, 1, "0.03")
+    }
+    net("gen", latent, hidden); net("sup", hidden, hidden); net("rec", hidden, 1)
+    val nG = off
+    val wtsCols = mats.map { m =>
+      if (m.cols == 1)
+        s"""(SELECT list(g * ${m.scale} ORDER BY gidx) FROM tgs
+           |   WHERE gidx >= ${m.off} AND gidx < ${m.off + m.rows}) AS ${m.name}""".stripMargin
+      else
+        s"""(SELECT list(rowl ORDER BY r) FROM (
+           |   SELECT (gidx - ${m.off}) // ${m.cols} AS r,
+           |          list(g * ${m.scale} ORDER BY gidx) AS rowl
+           |   FROM tgs WHERE gidx >= ${m.off} AND gidx < ${m.off + m.rows * m.cols}
+           |   GROUP BY 1) q) AS ${m.name}""".stripMargin
+    }.mkString(",\n")
+    // forward levels: per layer zl/rl -> rh -> hnew; heads inline
+    def sig(x: String) = s"1.0/(1.0+exp(-($x)))"
+    def ip(w: String, v: String) = s"list_inner_product($w, $v)"
+    val rng = s"generate_series(1, $hidden)"
+    val levels = scala.collection.mutable.ArrayBuffer[String]()
+    levels += s"zs[(t*$latent+1):(t*$latent+$latent)] AS xt"
+    def layerLevels(tag: String, pfx: String, x: String, h: String): String = {
+      levels +=
+        s"""list_transform($rng, i -> ${sig(s"(${pfx}_bz[i] + ${ip(s"${pfx}_wz[i]", x)}) + ${ip(s"${pfx}_uz[i]", h)}")}) AS zl_$tag,
+           |list_transform($rng, i -> ${sig(s"(${pfx}_br[i] + ${ip(s"${pfx}_wr[i]", x)}) + ${ip(s"${pfx}_ur[i]", h)}")}) AS rl_$tag""".stripMargin
+      levels += s"list_transform($rng, j -> $h[j] * rl_$tag[j]) AS rh_$tag"
+      levels += s"list_transform($rng, i -> (1.0 - zl_$tag[i])*$h[i] + zl_$tag[i]*${tanhSql(s"(${pfx}_bh[i] + ${ip(s"${pfx}_wh[i]", x)}) + ${ip(s"${pfx}_uh[i]", s"rh_$tag")}")}) AS hn_$tag"
+      s"hn_$tag"
+    }
+    def netLevels(pfx: String, x0: String, outDim: Int, sigmoidHead: Boolean): String = {
+      var x = x0
+      (1 to nLayers).foreach { l =>
+        x = layerLevels(s"${pfx}$l", s"${pfx}_l$l", x, s"h_${pfx}$l")
+      }
+      val headUnit = (o: String) => {
+        val lin = s"${pfx}_db[$o] + ${ip(s"${pfx}_dw[$o]", x)}"
+        if (sigmoidHead) sig(lin) else lin
+      }
+      if (outDim == 1) levels += s"${headUnit("1")} AS out_$pfx"
+      else levels += s"list_transform(generate_series(1, $outDim), o -> ${headUnit("o")}) AS out_$pfx"
+      s"out_$pfx"
+    }
+    val genOut = netLevels("gen", "xt", hidden, sigmoidHead = true)
+    val supOut = netLevels("sup", genOut, hidden, sigmoidHead = false)
+    val recOut = netLevels("rec", supOut, 1, sigmoidHead = true)
+    val hCols = (for (p <- Seq("gen", "sup", "rec"); l <- 1 to nLayers) yield s"h_$p$l")
+    var nested =
+      s"(SELECT fw.*, pwz.zs, wts.* FROM fw JOIN pwz USING (widx) CROSS JOIN wts WHERE fw.t < $wsize)"
+    levels.zipWithIndex.foreach { case (cols, i) =>
+      nested = s"(SELECT l$i.*,\n$cols\nFROM $nested l$i)"
+    }
+    s"""WITH RECURSIVE
+       |tm AS (
+       |  SELECT 0 AS it, CAST($seedW0 AS HUGEINT) AS s, 1 AS ph,
+       |         CAST(0 AS HUGEINT) AS hi, CAST(0.0 AS DOUBLE) AS v1d, 0 AS ng,
+       |         CAST(NULL AS INT) AS e1, CAST(NULL AS DOUBLE) AS g1,
+       |         CAST(NULL AS INT) AS e2, CAST(NULL AS DOUBLE) AS g2
+       |  UNION ALL
+       |  SELECT it + 1, s2,
+       |    CASE ph WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 1 END,
+       |    CASE WHEN ph IN (1, 3) THEN s2 // 4194304 ELSE hi END,
+       |    CASE WHEN ph = 2 THEN 2.0*u - 1.0 ELSE v1d END,
+       |    CASE WHEN acc THEN ng + 2 ELSE ng END,
+       |    CASE WHEN acc THEN ng END, CASE WHEN acc THEN v1d*mult END,
+       |    CASE WHEN acc THEN ng + 1 END, CASE WHEN acc THEN v2*mult END
+       |  FROM (
+       |    SELECT q1.*, ph = 4 AND ss < 1.0 AND ss <> 0.0 AS acc,
+       |      sqrt(greatest((-2.0*ln(greatest(ss, 1e-300)))
+       |        / (CASE WHEN ss = 0.0 THEN 1.0 ELSE ss END), 0.0)) AS mult
+       |    FROM (
+       |      SELECT q0.*, 2.0*u - 1.0 AS v2,
+       |        v1d*v1d + (2.0*u - 1.0)*(2.0*u - 1.0) AS ss
+       |      FROM (
+       |        SELECT tm.*, (s * 25214903917 + 11) % 281474976710656 AS s2,
+       |          (hi * 134217728 + (((s * 25214903917 + 11) % 281474976710656) // 2097152))
+       |            / 9007199254740992.0 AS u
+       |        FROM tm WHERE ng < $nG) q0) q1) q2),
+       |tgs AS MATERIALIZED (SELECT e1 AS gidx, g1 AS g FROM tm WHERE e1 IS NOT NULL
+       |        UNION ALL SELECT e2, g2 FROM tm WHERE e2 IS NOT NULL),
+       |wts AS MATERIALIZED (SELECT
+       |$wtsCols),
+       |anc AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS arn,
+       |          value::DOUBLE AS av
+       |        FROM (SELECT ts, event_id, value FROM events
+       |              ORDER BY ts, event_id LIMIT 5000) t),
+       |ancn AS (SELECT count(*)::BIGINT AS na FROM anc),
+       |wseeds AS (SELECT w::INT AS widx,
+       |             CAST(xor(${genSeed}*1000003 + w*7919, 25214903917)
+       |               % 281474976710656 AS HUGEINT) AS s0
+       |           FROM (SELECT unnest(generate_series(0, ${nWindows - 1})) AS w) g),
+       |zm AS (
+       |  SELECT widx, s0 AS s, 1 AS ph, CAST(0 AS HUGEINT) AS hi,
+       |         CAST(0.0 AS DOUBLE) AS v1d,
+       |         CAST([] AS DOUBLE[]) AS zs, CAST(NULL AS INT) AS ar
+       |  FROM wseeds
+       |  UNION ALL
+       |  SELECT widx, s2,
+       |    CASE WHEN ph = 1 THEN 2 WHEN ph = 2 THEN 3 WHEN ph = 3 THEN 4
+       |         WHEN ph = 4 THEN CASE WHEN acc AND len(zs) + 2 = ${wsize * latent} THEN 5 ELSE 1 END
+       |         ELSE 5 END,
+       |    CASE WHEN ph IN (1, 3) THEN s2 // 4194304 ELSE hi END,
+       |    CASE WHEN ph = 2 THEN 2.0*u - 1.0 ELSE v1d END,
+       |    CASE WHEN ph = 4 AND acc THEN zs || [v1d*mult, v2*mult] ELSE zs END,
+       |    CASE WHEN ph = 5 AND ok THEN r::INT ELSE ar END
+       |  FROM (
+       |    SELECT q1.*, ph = 4 AND ss < 1.0 AND ss <> 0.0 AS acc,
+       |      sqrt(greatest((-2.0*ln(greatest(ss, 1e-300)))
+       |        / (CASE WHEN ss = 0.0 THEN 1.0 ELSE ss END), 0.0)) AS mult,
+       |      (u31 - (u31 % bnd) + bnd - 1) <= 2147483647 AS ok, u31 % bnd AS r
+       |    FROM (
+       |      SELECT q0.*, 2.0*u - 1.0 AS v2,
+       |        v1d*v1d + (2.0*u - 1.0)*(2.0*u - 1.0) AS ss,
+       |        s2 // 131072 AS u31, (SELECT na FROM ancn) AS bnd
+       |      FROM (
+       |        SELECT zm.*, (s * 25214903917 + 11) % 281474976710656 AS s2,
+       |          (hi * 134217728 + (((s * 25214903917 + 11) % 281474976710656) // 2097152))
+       |            / 9007199254740992.0 AS u
+       |        FROM zm WHERE ar IS NULL) q0) q1) q2),
+       |pwz AS MATERIALIZED (SELECT widx, zs, ar FROM zm WHERE ar IS NOT NULL),
+       |fw AS (
+       |  SELECT widx, 0 AS t,
+       |         ${hCols.map(h => s"CAST(${Seq.fill(hidden)("0.0").mkString("[", ",", "]")} AS DOUBLE[]) AS $h").mkString(",\n         ")},
+       |         CAST([] AS DOUBLE[]) AS xs
+       |  FROM pwz
+       |  UNION ALL
+       |  SELECT widx, t + 1,
+       |         ${(for (p <- Seq("gen", "sup", "rec"); l <- 1 to nLayers) yield s"hn_$p$l").mkString(", ")},
+       |         xs || [$recOut]
+       |  FROM $nested),
+       |fin AS (SELECT widx, xs FROM fw WHERE t = $wsize),
+       |cen0 AS (SELECT widx,
+       |           list_transform(xs, x -> x * $dataRange + $dataMin) AS rv0
+       |         FROM fin),
+       |cen AS (SELECT widx,
+       |          list_transform(rv0, x -> x - list_aggregate(rv0, 'sum') / $wsize.0) AS rv
+       |        FROM cen0),
+       |cen2 AS (SELECT c.widx, c.rv, a.av
+       |         FROM cen c JOIN pwz p ON p.widx = c.widx
+       |                    JOIN anc a ON a.arn = p.ar + 1),
        |rows0 AS (SELECT widx,
        |            (widx * $wsize + unnest(generate_series(1, $wsize)) - 1) AS rn0,
        |            unnest(rv) AS rv, av
@@ -1341,6 +1522,13 @@ object OracleSql {
     "g06_decoder_infer" ->
       decoderWalkSql(latent = 16, hidden = 64, wsize = 24,
         weightSeed = 11L, genSeed = 42L, n = 2000),
+
+    // g08: the FULL TimeGAN inference run replayed (weight stream +
+    // per-window draws + 3-net stacked-GRU forward) — see timeganWalkSql
+    "g08_timegan_infer" ->
+      timeganWalkSql(wsize = 24, latent = 8, hidden = 16, nLayers = 3,
+        weightSeed = 13L, genSeed = 42L, n = 2000,
+        dataMin = -0.002, dataRange = 0.004),
 
     // G4/G5 walk witnesses: the literal-param walks replayed exactly
     // (polar nextGaussian, AR(1), GARCH sigma^2) — see regimeWalkSql

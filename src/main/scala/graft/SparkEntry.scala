@@ -467,7 +467,9 @@ object SparkEntry {
     }),
 
     // ── G8: TimeGAN inference path (training lives in
-    //    train.TimeGanTrainer; the bench leg samples a seeded model) ───
+    //    train.TimeGanTrainer) — fully oracle-checked like g06: the
+    //    oracle replays the seeded weight stream, the per-window
+    //    latent/anchor draws, and the 3-net stacked-GRU forward ───────
     "g08_timegan_infer" -> ((s, dir) => {
       val anchors = ev(s, dir).orderBy(col("ts"), col("event_id")).limit(5000)
         .select(col("value").cast("double")).collect().map(_.getDouble(0))
@@ -475,6 +477,7 @@ object SparkEntry {
         windowSize = 24, latentDim = 8, hidden = 16, seed = 13L)
       graft.gen.TimeGanGenerator.generate(s, model, anchors, n = 2000,
           seed = 42L)
+        .select(col("rn"), round(log(col("typical_price")), 6).as("ln_price"))
         .orderBy(col("rn"))
     }),
 
