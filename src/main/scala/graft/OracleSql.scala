@@ -312,6 +312,41 @@ object OracleSql {
        |FROM rows0 ORDER BY rn""".stripMargin
   }
 
+  /** Seeded gaussian-stream machine: ONE polar-method pair attempt per
+    * recursion iteration (the four LCG steps inlined as sequential
+    * sub-levels) — 4× fewer iterations than a step-per-iteration phase
+    * machine, bitwise-identical draw order (each java nextGaussian
+    * attempt consumes exactly four next() calls). Emits accepted pairs
+    * as ((ng, v1·m), (ng+1, v2·m)). */
+  private def gaussStreamSql(name: String, seed0: Long, nG: Int): String =
+    s"""$name AS (
+       |  SELECT 0 AS ng, CAST($seed0 AS HUGEINT) AS s,
+       |         CAST(NULL AS INT) AS e1, CAST(NULL AS DOUBLE) AS g1,
+       |         CAST(NULL AS INT) AS e2, CAST(NULL AS DOUBLE) AS g2
+       |  UNION ALL
+       |  SELECT CASE WHEN acc THEN ng + 2 ELSE ng END, s4,
+       |         CASE WHEN acc THEN ng END, CASE WHEN acc THEN v1*mult END,
+       |         CASE WHEN acc THEN ng + 1 END, CASE WHEN acc THEN v2*mult END
+       |  FROM (
+       |    SELECT d1.*, ss < 1.0 AND ss <> 0.0 AS acc,
+       |      sqrt(greatest((-2.0*ln(greatest(ss, 1e-300)))
+       |        / (CASE WHEN ss = 0.0 THEN 1.0 ELSE ss END), 0.0)) AS mult
+       |    FROM (
+       |      SELECT c2.*, v1*v1 + v2*v2 AS ss
+       |      FROM (
+       |        SELECT c1.*,
+       |          2.0*(((s1 // 4194304)*134217728 + (s2 // 2097152)) / 9007199254740992.0) - 1.0 AS v1,
+       |          2.0*(((s3 // 4194304)*134217728 + (s4 // 2097152)) / 9007199254740992.0) - 1.0 AS v2
+       |        FROM (
+       |          SELECT b2.*, (s3 * 25214903917 + 11) % 281474976710656 AS s4
+       |          FROM (
+       |            SELECT b1.*, (s2 * 25214903917 + 11) % 281474976710656 AS s3
+       |            FROM (
+       |              SELECT a1.*, (s1 * 25214903917 + 11) % 281474976710656 AS s2
+       |              FROM (
+       |                SELECT ng, (s * 25214903917 + 11) % 281474976710656 AS s1
+       |                FROM $name WHERE ng < $nG) a1) b1) b2) c1) c2) d1))""".stripMargin
+
   /** SQL twin of the full G1 inference run (g06): one LCG machine
     * replays the seeded WEIGHT stream (MlpDecoder.random's 2648 polar
     * gaussians, emitted as (index, value) pairs and reshaped into the
@@ -330,31 +365,7 @@ object OracleSql {
     val b1Off = w2Off + wsize * hidden
     val b2Off = b1Off + hidden
     s"""WITH RECURSIVE
-       |wm AS (
-       |  SELECT 0 AS it, CAST($seedW0 AS HUGEINT) AS s, 1 AS ph,
-       |         CAST(0 AS HUGEINT) AS hi, CAST(0.0 AS DOUBLE) AS v1d, 0 AS ng,
-       |         CAST(NULL AS INT) AS e1, CAST(NULL AS DOUBLE) AS g1,
-       |         CAST(NULL AS INT) AS e2, CAST(NULL AS DOUBLE) AS g2
-       |  UNION ALL
-       |  SELECT it + 1, s2,
-       |    CASE ph WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 1 END,
-       |    CASE WHEN ph IN (1, 3) THEN s2 // 4194304 ELSE hi END,
-       |    CASE WHEN ph = 2 THEN 2.0*u - 1.0 ELSE v1d END,
-       |    CASE WHEN acc THEN ng + 2 ELSE ng END,
-       |    CASE WHEN acc THEN ng END, CASE WHEN acc THEN v1d*mult END,
-       |    CASE WHEN acc THEN ng + 1 END, CASE WHEN acc THEN v2*mult END
-       |  FROM (
-       |    SELECT q1.*, ph = 4 AND ss < 1.0 AND ss <> 0.0 AS acc,
-       |      sqrt(greatest((-2.0*ln(greatest(ss, 1e-300)))
-       |        / (CASE WHEN ss = 0.0 THEN 1.0 ELSE ss END), 0.0)) AS mult
-       |    FROM (
-       |      SELECT q0.*, 2.0*u - 1.0 AS v2,
-       |        v1d*v1d + (2.0*u - 1.0)*(2.0*u - 1.0) AS ss
-       |      FROM (
-       |        SELECT wm.*, (s * 25214903917 + 11) % 281474976710656 AS s2,
-       |          (hi * 134217728 + (((s * 25214903917 + 11) % 281474976710656) // 2097152))
-       |            / 9007199254740992.0 AS u
-       |        FROM wm WHERE ng < $nG) q0) q1) q2),
+       |${gaussStreamSql("wm", seedW0, nG)},
        |gs AS MATERIALIZED (SELECT e1 AS gidx, g1 AS g FROM wm WHERE e1 IS NOT NULL
        |       UNION ALL SELECT e2, g2 FROM wm WHERE e2 IS NOT NULL),
        |w1l AS MATERIALIZED (SELECT list(rowl ORDER BY h) AS m FROM (
@@ -514,31 +525,7 @@ object OracleSql {
       nested = s"(SELECT l$i.*,\n$cols\nFROM $nested l$i)"
     }
     s"""WITH RECURSIVE
-       |tm AS (
-       |  SELECT 0 AS it, CAST($seedW0 AS HUGEINT) AS s, 1 AS ph,
-       |         CAST(0 AS HUGEINT) AS hi, CAST(0.0 AS DOUBLE) AS v1d, 0 AS ng,
-       |         CAST(NULL AS INT) AS e1, CAST(NULL AS DOUBLE) AS g1,
-       |         CAST(NULL AS INT) AS e2, CAST(NULL AS DOUBLE) AS g2
-       |  UNION ALL
-       |  SELECT it + 1, s2,
-       |    CASE ph WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 1 END,
-       |    CASE WHEN ph IN (1, 3) THEN s2 // 4194304 ELSE hi END,
-       |    CASE WHEN ph = 2 THEN 2.0*u - 1.0 ELSE v1d END,
-       |    CASE WHEN acc THEN ng + 2 ELSE ng END,
-       |    CASE WHEN acc THEN ng END, CASE WHEN acc THEN v1d*mult END,
-       |    CASE WHEN acc THEN ng + 1 END, CASE WHEN acc THEN v2*mult END
-       |  FROM (
-       |    SELECT q1.*, ph = 4 AND ss < 1.0 AND ss <> 0.0 AS acc,
-       |      sqrt(greatest((-2.0*ln(greatest(ss, 1e-300)))
-       |        / (CASE WHEN ss = 0.0 THEN 1.0 ELSE ss END), 0.0)) AS mult
-       |    FROM (
-       |      SELECT q0.*, 2.0*u - 1.0 AS v2,
-       |        v1d*v1d + (2.0*u - 1.0)*(2.0*u - 1.0) AS ss
-       |      FROM (
-       |        SELECT tm.*, (s * 25214903917 + 11) % 281474976710656 AS s2,
-       |          (hi * 134217728 + (((s * 25214903917 + 11) % 281474976710656) // 2097152))
-       |            / 9007199254740992.0 AS u
-       |        FROM tm WHERE ng < $nG) q0) q1) q2),
+       |${gaussStreamSql("tm", seedW0, nG)},
        |tgs AS MATERIALIZED (SELECT e1 AS gidx, g1 AS g FROM tm WHERE e1 IS NOT NULL
        |        UNION ALL SELECT e2, g2 FROM tm WHERE e2 IS NOT NULL),
        |wts AS MATERIALIZED (SELECT
