@@ -347,6 +347,125 @@ object OracleSql {
        |                SELECT ng, (s * 25214903917 + 11) % 281474976710656 AS s1
        |                FROM $name WHERE ng < $nG) a1) b1) b2) c1) c2) d1))""".stripMargin
 
+  /** SQL twin of [[graft.gen.RegimeGan.generate]] over the literal
+    * G07 fixture: phase machine replaying the regime-chain category
+    * draws and per-chunk gaussian pairs (zDim gaussians through the
+    * 4-layer decoder for GAN regimes; seqLen gaussians through the
+    * parametric fallback otherwise), then the denormalize + log-price
+    * chain. Chunk gaussian counts are even by fixture construction, so
+    * the pair cache is empty at every draw-kind switch. */
+  /** SQL twin of [[graft.gen.RegimeGan.generate]] over the literal G07
+    * fixture: a phase machine replays the regime-chain category draws
+    * (phases 11/12, one LCG step each) and the per-chunk gaussian pairs
+    * (phase 21, one polar attempt = four inlined steps); GAN regimes
+    * push zDim gaussians through the literal 4-layer decoder, fallback
+    * regimes emit seqLen parametric-Normal draws. Chunk gaussian counts
+    * are even by fixture construction, so the nextNextGaussian cache is
+    * empty at every draw-kind switch and pair-based replay is exact. */
+  private def regimeGanWalkSql(model: graft.gen.RegimeGanModel,
+                               n: Int, seed: Long): String = {
+    val seed0 = (seed ^ 0x5DEECE66DL) & ((1L << 48) - 1)
+    val seqLen = model.seqLen
+    val nChunks = n / seqLen // fixture: n divisible by seqLen
+    def cum(ps: Array[Double]): Array[Double] = {
+      var a = 0.0; ps.take(ps.length - 1).map { p => a += p; a }
+    }
+    val startCl = planeLit(cum(model.startProbs))
+    val transCl = "[" + model.transition.map(r => planeLit(cum(r))).mkString(",") + "]"
+    val ganRegs = model.gans.zipWithIndex.collect { case (Some(_), i) => i }
+    val gan = model.gans(ganRegs.head).get
+    val dec = gan.decoder
+    val needExpr =
+      s"CASE WHEN rnew IN (${ganRegs.mkString(",")}) THEN ${gan.zDim} ELSE $seqLen END"
+    def lrelu(x: String) = s"(CASE WHEN ($x) >= 0.0 THEN ($x) ELSE 0.2*($x) END)"
+    def dot(w: Array[Double], ins: Seq[String]) =
+      w.indices.map(i => s"(${w(i)})*${ins(i)}").mkString(" + ")
+    val zCols = (1 to gan.zDim).map(i => s"z$i")
+    def layerCols(ws: Array[Array[Double]], bs: Array[Double], ins: Seq[String],
+                  act: String => String, pfx: String): (String, Seq[String]) = (
+      ws.indices.map(i => s"${act(s"${bs(i)} + ${dot(ws(i), ins)}")} AS ${pfx}_$i")
+        .mkString(",\n  "),
+      ws.indices.map(i => s"${pfx}_$i"))
+    val (l1Cols, h1n) = layerCols(dec.weights(0), dec.biases(0), zCols, lrelu, "h1")
+    val (l2Cols, h2n) = layerCols(dec.weights(1), dec.biases(1), h1n, lrelu, "h2")
+    val (l3Cols, h3n) = layerCols(dec.weights(2), dec.biases(2), h2n, tanhSql, "h3")
+    val outList = "[" + dec.weights(3).indices.map(o =>
+      s"${dec.biases(3)(o)} + ${dot(dec.weights(3)(o), h3n)}").mkString(",\n  ") + "]"
+    val zPivot = (1 to gan.zDim).map(i =>
+      s"max(CASE WHEN slot = ${i - 1} THEN g END) AS z${i}").mkString(", ")
+    val fbRet = s"CASE r ${model.stats.indices.map(i =>
+      s"WHEN $i THEN ${model.stats(i).mean} + g*${model.stats(i).std}").mkString(" ")} END"
+    s"""WITH RECURSIVE
+       |wk AS (
+       |  SELECT CAST($seed0 AS HUGEINT) AS s, 11 AS ph, CAST(0 AS HUGEINT) AS hi,
+       |         -1 AS c, 0 AS need, 0 AS cnt, 0 AS regime,
+       |         CAST(NULL AS INT) AS rc_c, CAST(NULL AS INT) AS rc_r,
+       |         CAST(NULL AS INT) AS e_c, CAST(NULL AS INT) AS e_s1,
+       |         CAST(NULL AS DOUBLE) AS e_g1, CAST(NULL AS INT) AS e_s2,
+       |         CAST(NULL AS DOUBLE) AS e_g2
+       |  UNION ALL
+       |  SELECT CASE WHEN ph = 21 THEN s4 ELSE s1 END,
+       |    CASE WHEN ph = 11 THEN 12 WHEN ph = 12 THEN 21
+       |         ELSE CASE WHEN acc AND cnt - 2 = 0 THEN 11 ELSE 21 END END,
+       |    CASE WHEN ph = 11 THEN s1 // 4194304 ELSE hi END,
+       |    CASE WHEN ph = 12 THEN c + 1 ELSE c END,
+       |    CASE WHEN ph = 12 THEN $needExpr ELSE need END,
+       |    CASE WHEN ph = 12 THEN $needExpr
+       |         WHEN ph = 21 AND acc THEN cnt - 2 ELSE cnt END,
+       |    CASE WHEN ph = 12 THEN rnew ELSE regime END,
+       |    CASE WHEN ph = 12 THEN c + 1 END, CASE WHEN ph = 12 THEN rnew END,
+       |    CASE WHEN ph = 21 AND acc THEN c END,
+       |    CASE WHEN ph = 21 AND acc THEN need - cnt END,
+       |    CASE WHEN ph = 21 AND acc THEN v1*mult END,
+       |    CASE WHEN ph = 21 AND acc THEN need - cnt + 1 END,
+       |    CASE WHEN ph = 21 AND acc THEN v2*mult END
+       |  FROM (
+       |    SELECT q2.*, ph = 21 AND ss < 1.0 AND ss <> 0.0 AS acc,
+       |      sqrt(greatest((-2.0*ln(greatest(ss, 1e-300)))
+       |        / (CASE WHEN ss = 0.0 THEN 1.0 ELSE ss END), 0.0)) AS mult,
+       |      len(list_filter(CASE WHEN c = -1 THEN $startCl
+       |                           ELSE ($transCl)[regime + 1] END,
+       |          x -> x <= u12))::INT AS rnew
+       |    FROM (
+       |      SELECT q1.*, v1*v1 + v2*v2 AS ss,
+       |        (hi * 134217728 + (s1 // 2097152)) / 9007199254740992.0 AS u12
+       |      FROM (
+       |        SELECT d1.*,
+       |          2.0*(((s1 // 4194304)*134217728 + (s2 // 2097152)) / 9007199254740992.0) - 1.0 AS v1,
+       |          2.0*(((s3 // 4194304)*134217728 + (s4 // 2097152)) / 9007199254740992.0) - 1.0 AS v2
+       |        FROM (
+       |          SELECT c1.*, (s3 * 25214903917 + 11) % 281474976710656 AS s4
+       |          FROM (
+       |            SELECT b1.*, (s2 * 25214903917 + 11) % 281474976710656 AS s3
+       |            FROM (
+       |              SELECT a1.*, (s1 * 25214903917 + 11) % 281474976710656 AS s2
+       |              FROM (
+       |                SELECT wk.*, (s * 25214903917 + 11) % 281474976710656 AS s1
+       |                FROM wk WHERE NOT (cnt = 0 AND c = ${nChunks - 1})) a1) b1) c1) d1) q1) q2) q3),
+       |rc AS (SELECT rc_c AS c, rc_r AS r FROM wk WHERE rc_c IS NOT NULL),
+       |gg AS (SELECT e_c AS c, e_s1 AS slot, e_g1 AS g FROM wk WHERE e_c IS NOT NULL
+       |       UNION ALL SELECT e_c, e_s2, e_g2 FROM wk WHERE e_c IS NOT NULL),
+       |ganz AS (SELECT gg.c, $zPivot
+       |         FROM gg JOIN rc ON rc.c = gg.c
+       |         WHERE rc.r IN (${ganRegs.mkString(",")}) GROUP BY gg.c),
+       |fw1 AS (SELECT c, $l1Cols FROM ganz),
+       |fw2 AS (SELECT c, $l2Cols FROM fw1),
+       |fw3 AS (SELECT c, $l3Cols FROM fw2),
+       |fwo AS (SELECT c, $outList AS ol FROM fw3),
+       |ganr AS (SELECT c, (unnest(generate_series(1, $seqLen)) - 1) AS j,
+       |           unnest(ol) * ${gan.dataStd} + ${gan.dataMean} AS ret
+       |         FROM fwo),
+       |fbr AS (SELECT gg.c, gg.slot AS j, $fbRet AS ret
+       |        FROM gg JOIN rc ON rc.c = gg.c
+       |        WHERE rc.r NOT IN (${ganRegs.mkString(",")})),
+       |allr AS (SELECT (c * $seqLen + j)::INT AS rn, ret FROM ganr
+       |         UNION ALL SELECT (c * $seqLen + j)::INT, ret FROM fbr)
+       |SELECT rn, round(ret, 8) AS ret,
+       |  round(ln(100.0 * exp(sum(ret) OVER (ORDER BY rn
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))), 6) AS ln_price
+       |FROM allr ORDER BY rn""".stripMargin
+  }
+
   /** SQL twin of the full G1 inference run (g06): one LCG machine
     * replays the seeded WEIGHT stream (MlpDecoder.random's 2648 polar
     * gaussians, emitted as (index, value) pairs and reshaped into the
@@ -1521,6 +1640,10 @@ object OracleSql {
     // (polar nextGaussian, AR(1), GARCH sigma^2) — see regimeWalkSql
     "g04w_conditional_walk" ->
       regimeWalkSql(graft.WitnessFixtures.G04Model, None, 200, 7L),
+
+    // G7 walk witness: trained-GAN sampling + parametric fallback
+    "g07w_gan_walk" ->
+      regimeGanWalkSql(graft.WitnessFixtures.G07Model, 64, 5L),
     "g05w_garch_walk" ->
       regimeWalkSql(graft.WitnessFixtures.G04Model,
         Some(graft.WitnessFixtures.G05Garch), 200, 7L),

@@ -679,6 +679,18 @@ object SparkEntry {
         .orderBy(col("rn"))
     }),
 
+    // ── G7 walk witness: RegimeGan.generate over a LITERAL model — the
+    //    regime chain, the trained-GAN sampling branch (z → 4-layer
+    //    decoder → denormalize) AND the parametric fallback branch are
+    //    all replayed exactly by the oracle ───────────────────────────
+    "g07w_gan_walk" -> ((s, dir) => {
+      graft.gen.RegimeGan.generate(s, WitnessFixtures.G07Model,
+          seed = 5L, n = 64, initialPrice = 100.0)
+        .select(col("rn"), round(col("ret"), 8).as("ret"),
+          round(log(col("typical_price")), 6).as("ln_price"))
+        .orderBy(col("rn"))
+    }),
+
     // ── G1 forward witness: the MLP decoder inference math over FIXED
     //    literal weights (WitnessFixtures — shared with the oracle,
     //    which recomputes the same nested arithmetic in SQL) ──────────

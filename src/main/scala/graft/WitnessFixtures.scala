@@ -43,6 +43,34 @@ object WitnessFixtures {
     GarchFit(2e-6, 0.12, 0.85, 6.67e-5, 0.0),
     GarchFit(5e-7, 0.05, 0.92, 1.67e-5, 0.0))
 
+  /** Literal per-regime GAN for the G7 WALK witness: regime 0 samples a
+    * fixed 4-layer decoder (lrelu/lrelu/tanh/linear — the trained-GAN
+    * shape), regime 1 has no GAN and exercises the parametric-Normal
+    * fallback branch. zDim and seqLen are both even so gaussian pair
+    * boundaries never straddle a category draw (nextNextGaussian cache
+    * empty at every draw-kind switch — exact replay stays pair-based). */
+  val G07Gan: graft.train.GanTrainer.TrainedGan = {
+    val r = new scala.util.Random(23L)
+    def m(o: Int, i: Int) = Array.fill(o, i)(r.nextGaussian() * 0.3)
+    def v(o: Int) = Array.fill(o)(r.nextGaussian() * 0.03)
+    graft.train.GanTrainer.TrainedGan(
+      MlpDecoder(
+        Array(m(3, 2), m(3, 3), m(3, 3), m(8, 3)),
+        Array(v(3), v(3), v(3), v(8)),
+        activation = "lrelu",
+        layerActivations = Seq("lrelu", "lrelu", "tanh")),
+      dataMean = 1e-4, dataStd = 0.005, zDim = 2)
+  }
+
+  val G07Model: graft.gen.RegimeGanModel = graft.gen.RegimeGanModel(
+    nRegimes = 2, seqLen = 8,
+    stats = Array(
+      RegimeParams(0.0002, 0.004, 0.0, 0.0, 50L),
+      RegimeParams(-0.0001, 0.006, 0.0, 0.0, 50L)),
+    transition = Array(Array(0.7, 0.3), Array(0.4, 0.6)),
+    startProbs = Array(0.6, 0.4),
+    gans = Array(Some(G07Gan), None))
+
   /** Tiny TimeGAN (window 4, latent 2, hidden 3) for the G8 witness:
     * generator GRU → supervisor GRU → recovery GRU + sigmoid head. */
   val G08Model: TimeGanModel =
