@@ -21,6 +21,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
+      // Per-query hygiene (outside the timed window): localCheckpoint RDD
+      // blocks (BlockBootstrap/Dedup/Divergence) and cached plans otherwise
+      // accumulate in the block manager across the 61-query run and inflate
+      // whatever executes late in sorted order 2-3x. getPersistentRDDs covers
+      // checkpoint blocks (they register with a storage level); the GC tick
+      // lets ContextCleaner drop dead broadcasts.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

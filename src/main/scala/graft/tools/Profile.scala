@@ -25,6 +25,10 @@ object Profile {
       val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[profile rep$r] $name%-28s $dt%8.2f s  ($n rows)")
+      // same between-query hygiene as Bench so multi-query profiles are attributable
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
     }
     spark.stop()
   }
