@@ -78,6 +78,169 @@ object OracleSql {
       | FROM (SELECT * FROM events ORDER BY ts, event_id LIMIT 20000) p
       |) t WHERE ret IS NOT NULL""".stripMargin
 
+  /** g04f: the normalized [ret, vol_short, vol_ratio] HMM feature frame
+    * (RegimeConditional.features) — also embedded by [[g04tSql]] as the
+    * EM-step witness's input prefix, so the two stay textually tied. */
+  private val g04FeaturesSql: String =
+    s"""WITH rr AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, ret
+       |            FROM ($globalRetsCapped) r0),
+       |v AS (SELECT rn, ret,
+       |        CASE WHEN count(ret) OVER w24 >= 1 THEN stddev_samp(ret) OVER w24 END AS vol_short,
+       |        CASE WHEN count(ret) OVER w72 >= 1 THEN stddev_samp(ret) OVER w72 END AS vol_long
+       |      FROM rr
+       |      WINDOW w24 AS (ORDER BY rn ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+       |             w72 AS (ORDER BY rn ROWS BETWEEN 71 PRECEDING AND CURRENT ROW)),
+       |vr AS (SELECT rn, ret, vol_short,
+       |         CASE WHEN vol_long > 1e-10 THEN vol_short/vol_long ELSE 1.0 END AS vol_ratio
+       |       FROM v),
+       |cl AS (SELECT * FROM vr
+       |       WHERE ret IS NOT NULL AND NOT isnan(ret) AND abs(ret) <> 'infinity'::DOUBLE
+       |         AND vol_short IS NOT NULL AND NOT isnan(vol_short)
+       |         AND abs(vol_short) <> 'infinity'::DOUBLE
+       |         AND vol_ratio IS NOT NULL AND NOT isnan(vol_ratio)
+       |         AND abs(vol_ratio) <> 'infinity'::DOUBLE),
+       |st AS (SELECT avg(ret) AS m0, stddev_pop(ret) AS s0,
+       |              avg(vol_short) AS m1, stddev_pop(vol_short) AS s1,
+       |              avg(vol_ratio) AS m2, stddev_pop(vol_ratio) AS s2 FROM cl)
+       |SELECT cl.rn::INT AS rn,
+       |  round((ret - m0)/(s0 + 1e-10), 6) AS f0,
+       |  round((vol_short - m1)/(s1 + 1e-10), 6) AS f1,
+       |  round((vol_ratio - m2)/(s2 + 1e-10), 6) AS f2
+       |FROM cl, st ORDER BY rn""".stripMargin
+
+  /** g04t: ONE Baum-Welch update ([[graft.gen.Hmm.emStep]], the twin of
+    * one hmmlearn fit iteration, regime_conditional.py:80-107) from the
+    * literal [[graft.WitnessFixtures.G04tInit]] params over the first
+    * 200 rounded g04f feature rows. The scaled forward and backward
+    * recursions are recursive CTEs — MATERIALIZED, or DuckDB re-inlines
+    * the whole forward pass into every downstream consumer (measured
+    * 69 s → 0.7 s). The M-step/ξ accumulations are ordered-list folds:
+    * list_aggregate(list(x ORDER BY t), 'sum') folds sequentially,
+    * bit-identical to the Scala t-loop accumulation (verified). Term
+    * association mirrors the Scala loops exactly: ((a*T)*exp)*β etc. */
+  private def g04tSql: String = {
+    val m = graft.WitnessFixtures.G04tInit
+    val k = 3; val d = 3; val n = 200
+    def T(i: Int, j: Int) = m.transition(i)(j).toString
+    def MU(c: Int, j: Int) = m.means(c)(j).toString
+    def VV(c: Int, j: Int) = m.variances(c)(j).toString
+    def ST(c: Int) = m.startProbs(c).toString
+    val ks = 0 until k
+    val dcs = 0 until d
+    val pairs = for (ci <- ks; cj <- ks) yield (ci, cj)
+    def logb(c: Int) = dcs.map(j =>
+      s"(-0.5*(ln(2.0*pi()*${VV(c, j)}) + ((f$j - (${MU(c, j)}))*(f$j - (${MU(c, j)})))/${VV(c, j)}))")
+      .mkString(" + ")
+    val fwdBaseUa = ks.map(c => s"${ST(c)}*exp(b$c - sh) AS ua$c").mkString(",\n      ")
+    val fwdStepUa = ks.map(cj =>
+      "(" + ks.map(ci => s"f.a$ci*${T(ci, cj)}").mkString(" + ") +
+        s") * exp(l.b$cj - greatest(l.b0,l.b1,l.b2)) AS ua$cj").mkString(",\n      ")
+    val bwdStep = ks.map(ci =>
+      "(" + ks.map(cj => s"${T(ci, cj)}*exp(s.b$cj - s.sh)*s.e$cj").mkString(" + ") +
+        s")/s.sc AS e$ci").mkString(",\n    ")
+    val xiTerms = pairs.map { case (ci, cj) =>
+      s"f.a$ci*${T(ci, cj)}*exp(l.b$cj - greatest(l.b0,l.b1,l.b2))*b.e$cj AS t$ci$cj"
+    }.mkString(",\n        ")
+    val xiSum = pairs.map { case (ci, cj) => s"t$ci$cj" }.mkString(" + ")
+    val xiRatios = pairs.map { case (ci, cj) => s"t$ci$cj/s AS r$ci$cj" }.mkString(", ")
+    val xsCols = pairs.map { case (ci, cj) =>
+      s"list_aggregate(list(r$ci$cj ORDER BY t), 'sum') AS x$ci$cj" }.mkString(",\n    ")
+    val mwCols = (ks.map(c => s"list_aggregate(list(g$c ORDER BY t), 'sum') AS w$c") ++
+      (for (c <- ks; j <- dcs) yield
+        s"list_aggregate(list(g$c*f$j ORDER BY t), 'sum') AS m$c$j")).mkString(",\n    ")
+    val vsCols = (for (c <- ks; j <- dcs) yield
+      s"list_aggregate(list(g$c*(f$j - mw.m$c$j/mw.w$c)*(f$j - mw.m$c$j/mw.w$c) ORDER BY t), 'sum') AS v$c$j")
+      .mkString(",\n    ")
+    val outRows = scala.collection.mutable.ArrayBuffer[String]()
+    outRows += "SELECT 'll' AS param, 0 AS i, 0 AS j, round((SELECT ll FROM fwd WHERE t = (SELECT max(t) FROM feats)), 6) + 0.0 AS v"
+    for (c <- ks) outRows +=
+      s"SELECT 'start', $c, 0, round((SELECT g$c FROM gm WHERE t = 0), 8) + 0.0"
+    for (i <- ks) {
+      val rs = "(" + ks.map(j => s"x$i$j").mkString(" + ") + ")"
+      for (j <- ks) outRows +=
+        s"SELECT 'trans', $i, $j, round((SELECT CASE WHEN $rs > 0 THEN x$i$j/$rs ELSE ${(1.0 / k).toString} END FROM xs), 8) + 0.0"
+    }
+    for (c <- ks; j <- dcs) outRows +=
+      s"SELECT 'mean', $c, $j, round((SELECT CASE WHEN w$c > 1e-10 THEN m$c$j/w$c ELSE (${MU(c, j)}) END FROM mw), 8) + 0.0"
+    for (c <- ks; j <- dcs) outRows +=
+      s"SELECT 'var', $c, $j, round((SELECT CASE WHEN mw.w$c > 1e-10 THEN greatest(vs.v$c$j/mw.w$c, 1e-10) ELSE ${VV(c, j)} END FROM mw, vs), 8) + 0.0"
+    s"""WITH RECURSIVE
+       |feats AS MATERIALIZED (SELECT row_number() OVER (ORDER BY rn) - 1 AS t, f0, f1, f2
+       |          FROM (SELECT rn, f0, f1, f2 FROM ($g04FeaturesSql) src ORDER BY rn LIMIT $n) p),
+       |logb AS MATERIALIZED (SELECT t, ${logb(0)} AS b0,
+       |  ${logb(1)} AS b1,
+       |  ${logb(2)} AS b2 FROM feats),
+       |fwd AS MATERIALIZED (
+       |  SELECT t, ua0/us AS a0, ua1/us AS a1, ua2/us AS a2, us AS sc, ln(us) + sh AS ll
+       |  FROM (SELECT t, ua0, ua1, ua2, (ua0 + ua1) + ua2 AS us, sh FROM
+       |    (SELECT t, $fwdBaseUa, sh
+       |     FROM (SELECT t, b0, b1, b2, greatest(b0, b1, b2) AS sh FROM logb WHERE t = 0) b0_) b1_) b2_
+       |  UNION ALL
+       |  SELECT t, ua0/us, ua1/us, ua2/us, us, ll + (ln(us) + sh)
+       |  FROM (SELECT t, ua0, ua1, ua2, (ua0 + ua1) + ua2 AS us, sh, ll FROM
+       |    (SELECT l.t AS t,
+       |      $fwdStepUa,
+       |      greatest(l.b0,l.b1,l.b2) AS sh, f.ll AS ll
+       |     FROM fwd f JOIN logb l ON l.t = f.t + 1) s1) s2
+       |),
+       |bwd AS MATERIALIZED (
+       |  SELECT (SELECT max(t) FROM feats) AS t,
+       |    1.0::DOUBLE AS e0, 1.0::DOUBLE AS e1, 1.0::DOUBLE AS e2
+       |  UNION ALL
+       |  SELECT s.t - 1,
+       |    $bwdStep
+       |  FROM (SELECT b.t, b.e0, b.e1, b.e2, l.b0, l.b1, l.b2,
+       |               greatest(l.b0, l.b1, l.b2) AS sh, f.sc
+       |        FROM bwd b JOIN logb l ON l.t = b.t JOIN fwd f ON f.t = b.t
+       |        WHERE b.t >= 1) s
+       |),
+       |gm AS MATERIALIZED (SELECT t, p0/den AS g0, p1/den AS g1, p2/den AS g2 FROM
+       |       (SELECT f.t AS t, f.a0*b.e0 AS p0, f.a1*b.e1 AS p1, f.a2*b.e2 AS p2,
+       |               (f.a0*b.e0 + f.a1*b.e1) + f.a2*b.e2 AS den
+       |        FROM fwd f JOIN bwd b ON b.t = f.t) q),
+       |xi AS MATERIALIZED (SELECT t, $xiRatios FROM
+       |  (SELECT t, ${pairs.map { case (ci, cj) => s"t$ci$cj" }.mkString(", ")},
+       |          $xiSum AS s FROM
+       |    (SELECT f.t AS t,
+       |        $xiTerms
+       |     FROM fwd f JOIN logb l ON l.t = f.t + 1 JOIN bwd b ON b.t = f.t + 1) q1) q2),
+       |xs AS MATERIALIZED (SELECT
+       |    $xsCols
+       |  FROM xi),
+       |mw AS MATERIALIZED (SELECT
+       |    $mwCols
+       |  FROM gm JOIN feats USING (t)),
+       |vs AS MATERIALIZED (SELECT
+       |    $vsCols
+       |  FROM gm JOIN feats USING (t) CROSS JOIN mw)
+       |${outRows.zipWithIndex.map { case (r, idx) => if (idx == 0) r else "UNION ALL " + r }.mkString("\n")}
+       |ORDER BY param, i, j""".stripMargin
+  }
+
+  /** w14: [[graft.series.SeriesOps.arBridge]] from literal params
+    * (from=0.02, to=-0.015, n=64, φ=0.6, σ=0.05, seed=21) — the polar
+    * nextGaussian stream via [[gaussStreamSql]] plus the AR(1) noise
+    * recursion; endpoint rows pinned exactly like the Scala overwrite.
+    * Ref: optimize_generator_v3.py:148-201. */
+  private def w14Sql: String = {
+    val seed0 = (21L ^ 0x5DEECE66DL) & ((1L << 48) - 1)
+    s"""WITH RECURSIVE
+       |${gaussStreamSql("gs", seed0, 64)},
+       |gd AS MATERIALIZED (SELECT e AS i, g FROM (
+       |  SELECT unnest([e1, e2]) AS e, unnest([g1, g2]) AS g FROM gs) u
+       |  WHERE e IS NOT NULL),
+       |br AS MATERIALIZED (
+       |  SELECT -1 AS i, 0.0::DOUBLE AS noise
+       |  UNION ALL
+       |  SELECT b.i + 1, 0.6*b.noise + g.g*0.05
+       |  FROM br b JOIN gd g ON g.i = b.i + 1 WHERE b.i < 63)
+       |SELECT i::INT AS i,
+       |  round(CASE WHEN i = 0 THEN 0.02 WHEN i = 63 THEN -0.015
+       |    ELSE (1.0 - i/63.0)*0.02 + (i/63.0)*(-0.015)
+       |         + noise*(least(i/63.0, 1.0 - i/63.0)*2.0) END, 8) + 0.0 AS v
+       |FROM br WHERE i >= 0 ORDER BY i""".stripMargin
+  }
+
   /** tanh as exp arithmetic (this DuckDB build ships no tanh built-in):
     * 1 − 2/(e²ˣ+1) — monotone-safe at both tails (overflow → ±1), and
     * within ~2 ulp of Math.tanh over the bounded pre-activations here
@@ -1815,32 +1978,114 @@ object OracleSql {
 
     // HMM feature frame: ret + rolling vols (w24/w72, min_periods=1) +
     // guarded vol ratio, NaN/Inf row filter, z-normalize (pop std + 1e-10)
-    "g04f_regime_features" ->
-      s"""WITH rr AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, ret
-         |            FROM ($globalRetsCapped) r0),
-         |v AS (SELECT rn, ret,
-         |        CASE WHEN count(ret) OVER w24 >= 1 THEN stddev_samp(ret) OVER w24 END AS vol_short,
-         |        CASE WHEN count(ret) OVER w72 >= 1 THEN stddev_samp(ret) OVER w72 END AS vol_long
-         |      FROM rr
-         |      WINDOW w24 AS (ORDER BY rn ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
-         |             w72 AS (ORDER BY rn ROWS BETWEEN 71 PRECEDING AND CURRENT ROW)),
-         |vr AS (SELECT rn, ret, vol_short,
-         |         CASE WHEN vol_long > 1e-10 THEN vol_short/vol_long ELSE 1.0 END AS vol_ratio
-         |       FROM v),
-         |cl AS (SELECT * FROM vr
-         |       WHERE ret IS NOT NULL AND NOT isnan(ret) AND abs(ret) <> 'infinity'::DOUBLE
-         |         AND vol_short IS NOT NULL AND NOT isnan(vol_short)
-         |         AND abs(vol_short) <> 'infinity'::DOUBLE
-         |         AND vol_ratio IS NOT NULL AND NOT isnan(vol_ratio)
-         |         AND abs(vol_ratio) <> 'infinity'::DOUBLE),
-         |st AS (SELECT avg(ret) AS m0, stddev_pop(ret) AS s0,
-         |              avg(vol_short) AS m1, stddev_pop(vol_short) AS s1,
-         |              avg(vol_ratio) AS m2, stddev_pop(vol_ratio) AS s2 FROM cl)
-         |SELECT cl.rn::INT AS rn,
-         |  round((ret - m0)/(s0 + 1e-10), 6) AS f0,
-         |  round((vol_short - m1)/(s1 + 1e-10), 6) AS f1,
-         |  round((vol_ratio - m2)/(s2 + 1e-10), 6) AS f2
-         |FROM cl, st ORDER BY rn""".stripMargin,
+    "g04f_regime_features" -> g04FeaturesSql,
+
+    "g04t_hmm_em_step" -> g04tSql,
+
+    // C7: 64-point DFT power spectra of two global-return windows,
+    // sum-normalized, RMSE distance — ordered-list folds mirror the
+    // Scala k/t loop accumulation (composite_metric.py:50-56)
+    "c01_spectral_dft" ->
+      s"""WITH ser AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS t, ret
+         |  FROM (SELECT * FROM ($globalRets) g ORDER BY ts, event_id LIMIT 128) p),
+         |ks AS (SELECT unnest(generate_series(0, 63)) AS k),
+         |pa AS MATERIALIZED (SELECT k, re*re + im*im AS p FROM (
+         |  SELECT k,
+         |    list_aggregate(list(ret*cos(-2.0*pi()*k*t/64.0) ORDER BY t), 'sum') AS re,
+         |    list_aggregate(list(ret*sin(-2.0*pi()*k*t/64.0) ORDER BY t), 'sum') AS im
+         |  FROM ks CROSS JOIN (SELECT t, ret FROM ser WHERE t < 64) sa GROUP BY k) q),
+         |pb AS MATERIALIZED (SELECT k, re*re + im*im AS p FROM (
+         |  SELECT k,
+         |    list_aggregate(list(ret*cos(-2.0*pi()*k*t/64.0) ORDER BY t), 'sum') AS re,
+         |    list_aggregate(list(ret*sin(-2.0*pi()*k*t/64.0) ORDER BY t), 'sum') AS im
+         |  FROM ks CROSS JOIN (SELECT t - 64 AS t, ret FROM ser WHERE t >= 64) sb GROUP BY k) q),
+         |sab AS (SELECT
+         |    (SELECT list_aggregate(list(p ORDER BY k), 'sum') FROM pa) + 1e-20 AS sa,
+         |    (SELECT list_aggregate(list(p ORDER BY k), 'sum') FROM pb) + 1e-20 AS sb),
+         |nd AS MATERIALIZED (SELECT pa.k AS k, pa.p/sa AS na, pb.p/sb AS nb
+         |      FROM pa JOIN pb ON pa.k = pb.k CROSS JOIN sab),
+         |dv AS (SELECT sqrt((SELECT list_aggregate(list((na - nb)*(na - nb) ORDER BY k), 'sum')
+         |                    FROM nd) / 64.0) AS dist)
+         |SELECT k::INT AS k, round(na, 8) + 0.0 AS p_real, round(nb, 8) + 0.0 AS p_synth,
+         |       round(dist, 8) + 0.0 AS spectral_distance
+         |FROM nd, dv ORDER BY k""".stripMargin,
+
+    // C9: Gaussian-kernel MMD² over the even/odd embedding halves —
+    // the three kernel means and the γ heuristic fold in the Scala
+    // i-major/j-minor order (vae_gan_trainer.py:131-139)
+    "c02_mmd" ->
+      """WITH xs AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS ri, embedding::DOUBLE[] AS v
+        |  FROM (SELECT * FROM embeddings WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 100) a),
+        |ys AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS ri, embedding::DOUBLE[] AS v
+        |  FROM (SELECT * FROM embeddings WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 100) b),
+        |nn AS (SELECT (SELECT count(*) FROM xs) AS nx, (SELECT count(*) FROM ys) AS ny),
+        |dxx AS MATERIALIZED (SELECT a.ri AS i, b.ri AS j,
+        |    list_aggregate(list_transform(generate_series(1, len(a.v)),
+        |      d -> (a.v[d] - b.v[d])*(a.v[d] - b.v[d])), 'sum') AS sd
+        |  FROM xs a CROSS JOIN xs b),
+        |dyy AS MATERIALIZED (SELECT a.ri AS i, b.ri AS j,
+        |    list_aggregate(list_transform(generate_series(1, len(a.v)),
+        |      d -> (a.v[d] - b.v[d])*(a.v[d] - b.v[d])), 'sum') AS sd
+        |  FROM ys a CROSS JOIN ys b),
+        |dxy AS MATERIALIZED (SELECT a.ri AS i, b.ri AS j,
+        |    list_aggregate(list_transform(generate_series(1, len(a.v)),
+        |      d -> (a.v[d] - b.v[d])*(a.v[d] - b.v[d])), 'sum') AS sd
+        |  FROM xs a CROSS JOIN ys b),
+        |gm AS (SELECT 1.0/((SELECT list_aggregate(list(sd ORDER BY i, j), 'sum') FROM dxx)
+        |                   /((SELECT nx FROM nn)::DOUBLE*(SELECT nx FROM nn)) + 1e-8) AS g),
+        |kxx AS (SELECT (SELECT list_aggregate(list(exp((-g)*sd) ORDER BY i, j), 'sum')
+        |                FROM dxx, gm)
+        |               /((SELECT nx FROM nn)::DOUBLE*(SELECT nx FROM nn)) AS v),
+        |kyy AS (SELECT (SELECT list_aggregate(list(exp((-g)*sd) ORDER BY i, j), 'sum')
+        |                FROM dyy, gm)
+        |               /((SELECT ny FROM nn)::DOUBLE*(SELECT ny FROM nn)) AS v),
+        |kxy AS (SELECT (SELECT list_aggregate(list(exp((-g)*sd) ORDER BY i, j), 'sum')
+        |                FROM dxy, gm)
+        |               /((SELECT nx FROM nn)::DOUBLE*(SELECT ny FROM nn)) AS v)
+        |SELECT round((kxx.v + kyy.v) - 2.0*kxy.v, 8) + 0.0 AS mmd2,
+        |       round((SELECT g FROM gm), 8) + 0.0 AS gamma,
+        |       (SELECT nx FROM nn)::INT AS n_real, (SELECT ny FROM nn)::INT AS n_synth
+        |FROM kxx, kyy, kxy""".stripMargin,
+
+    // W13: crossfade stitch — alpha ramp over the first 10 positions of
+    // each non-first 100-row block (optimize_generator_v3.py:87-133)
+    "w13_crossfade" ->
+      s"""WITH r AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, ret
+         |           FROM ($globalRets) g),
+         |b AS (SELECT rn, ret, ((rn - 1) // 100) AS block, (rn - 1) % 100 AS pos
+         |      FROM r WHERE rn <= 600),
+         |cf AS (SELECT rn,
+         |    CASE WHEN pos < 10 AND block > 0
+         |              AND lag(ret, 10) OVER (ORDER BY rn) IS NOT NULL
+         |      THEN (1.0 - ((pos + 1)::DOUBLE)/11)*lag(ret, 10) OVER (ORDER BY rn)
+         |           + (((pos + 1)::DOUBLE)/11)*ret
+         |      ELSE ret END AS stitched
+         |  FROM b)
+         |SELECT rn::INT AS rn, round(stitched, 8) + 0.0 AS stitched
+         |FROM cf ORDER BY rn""".stripMargin,
+
+    "w14_ar_bridge" -> w14Sql,
+
+    // A15/A16: the reference's v_generator_summary view verbatim
+    // (COUNT/ROUND(AVG)/GROUP BY, evaluate_all_generators.py:245-281)
+    // over per-user metric rows
+    "a15_generator_summary" ->
+      """WITH m AS (SELECT user_id AS seed,
+        |    'g' || (user_id % 3)::VARCHAR AS generator,
+        |    stddev_pop(value)/avg(value) AS std_ratio,
+        |    (max(value) - min(value))/(avg(value) + 1e-10) AS js_divergence,
+        |    avg(value) AS composite_score
+        |  FROM events GROUP BY user_id)
+        |SELECT generator,
+        |  COUNT(*) AS n_runs,
+        |  ROUND(AVG(std_ratio), 3) + 0.0 AS avg_std_ratio,
+        |  ROUND(AVG(js_divergence), 3) + 0.0 AS avg_js_div,
+        |  ROUND(AVG(composite_score), 4) + 0.0 AS avg_score
+        |FROM m GROUP BY generator
+        |ORDER BY avg_js_div, generator""".stripMargin,
 
     // composite-score deterministic core: JS (unsquared, 99 bins), KS,
     // ratio-dev autocorrs (lags 1/5/24), |ret| vol clustering, manual

@@ -722,6 +722,128 @@ object SparkEntry {
         .orderBy(col("t"))
     }),
 
+    // ── G4 EM witness: exactly ONE Baum-Welch update (scaled
+    //    forward-backward E-step + M-step, graft.gen.Hmm.emStep — the
+    //    twin of one hmmlearn fit iteration) from the literal
+    //    WitnessFixtures.G04tInit params over the first 200 rounded
+    //    g04f feature rows; the oracle replays the full forward/backward
+    //    recursion + M-step in recursive CTEs ──────────────────────────
+    "g04t_hmm_em_step" -> ((s, dir) => {
+      import s.implicits._
+      val x = graft.gen.RegimeConditional
+        .features(ev(s, dir), Seq("ts", "event_id"), "value")
+        .select(col("rn"), round(col("f0"), 6).as("f0"),
+          round(col("f1"), 6).as("f1"), round(col("f2"), 6).as("f2"))
+        .orderBy(col("rn")).limit(200)
+        .collect().sortBy(_.getInt(0))
+        .map(r => Array(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      val (m1, ll) = graft.gen.Hmm.emStep(x, WitnessFixtures.G04tInit)
+      val rows =
+        Seq(("ll", 0, 0, ll)) ++
+          m1.startProbs.zipWithIndex.map { case (v, c) => ("start", c, 0, v) } ++
+          (for (i <- 0 until 3; j <- 0 until 3)
+            yield ("trans", i, j, m1.transition(i)(j))) ++
+          (for (c <- 0 until 3; j <- 0 until 3)
+            yield ("mean", c, j, m1.means(c)(j))) ++
+          (for (c <- 0 until 3; j <- 0 until 3)
+            yield ("var", c, j, m1.variances(c)(j)))
+      rows.toDF("param", "i", "j", "raw")
+        .select(col("param"), col("i"), col("j"),
+          when(col("param") === "ll", round(col("raw"), 6))
+            .otherwise(round(col("raw"), 8)).as("v"))
+        .orderBy(col("param"), col("i"), col("j"))
+    }),
+
+    // ── C7 witness: spectral distance over the DISTRIBUTED DFT path
+    //    (Spectral.powerSpectrum — the at-scale leg; FFT ≡ DFT is
+    //    property-tested). Two 64-point windows of the global return
+    //    series; the oracle recomputes the DFT with ordered-list folds ─
+    "c01_spectral_dft" -> ((s, dir) => {
+      import s.implicits._
+      val r = SeriesOps.logReturns(ev(s, dir), global, "value", "ret")
+        .filter(col("ret").isNotNull)
+        .orderBy(col("ts"), col("event_id")).limit(128)
+        .select(col("ret")).collect().map(_.getDouble(0))
+      val a = r.slice(0, 64); val b = r.slice(64, 128)
+      def spec(x: Array[Double]) = graft.stats.Spectral.powerSpectrum(s, x)
+        .orderBy(col("k")).collect().map(_.getDouble(1))
+      val pa = spec(a); val pb = spec(b)
+      // same fold order as composite_metric.py:50-56 and the SQL replay
+      val sa = pa.sum + 1e-20; val sb = pb.sum + 1e-20
+      var acc = 0.0; var k = 0
+      while (k < 64) { val d = pa(k) / sa - pb(k) / sb; acc += d * d; k += 1 }
+      val dist = math.sqrt(acc / 64)
+      (0 until 64).map(k => (k, pa(k) / sa, pb(k) / sb, dist))
+        .toDF("k", "p_real", "p_synth", "spectral_distance")
+        .select(col("k"), round(col("p_real"), 8).as("p_real"),
+          round(col("p_synth"), 8).as("p_synth"),
+          round(col("spectral_distance"), 8).as("spectral_distance"))
+        .orderBy(col("k"))
+    }),
+
+    // ── C9 witness: Gaussian-kernel MMD² between the even/odd halves of
+    //    the embeddings table (bounded ordered samples, the quadratic-
+    //    kernel contract); γ is the reference's mean-pairwise-distance
+    //    heuristic over the real side ──────────────────────────────────
+    "c02_mmd" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (mmd2, gamma, nx, ny) = graft.stats.Mmd.sampledDetail(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        Seq("vec_id"), "v", maxRows = 100)
+      Seq((mmd2, gamma, nx, ny)).toDF("mmd2", "gamma", "n_real", "n_synth")
+        .select(round(col("mmd2"), 8).as("mmd2"),
+          round(col("gamma"), 8).as("gamma"), col("n_real"), col("n_synth"))
+    }),
+
+    // ── W13 witness: crossfade stitch over 100-row blocks of the global
+    //    return series (pure window arithmetic, fully distributed) ─────
+    "w13_crossfade" -> ((s, dir) => {
+      val r = SeriesOps.logReturns(ev(s, dir), global, "value", "ret")
+        .filter(col("ret").isNotNull)
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+        .filter(col("rn") <= 600)
+        .withColumn("block", expr("(rn - 1) div 100").cast("int"))
+        .withColumn("pos", (col("rn") - 1) % 100)
+      SeriesOps.crossfadeStitch(r, SeriesSpec(Nil, Seq("rn")), "ret",
+          "block", "pos", overlap = 10)
+        .select(col("rn"), round(col("stitched"), 8).as("stitched"))
+        .orderBy(col("rn"))
+    }),
+
+    // ── W14 witness: seeded AR(1) endpoint-pinned bridge from literal
+    //    params — the polar nextGaussian stream + noise recursion are
+    //    replayed exactly by the oracle ────────────────────────────────
+    "w14_ar_bridge" -> ((s, dir) => {
+      import s.implicits._
+      val v = SeriesOps.arBridge(from = 0.02, to = -0.015, length = 64,
+        phi = 0.6, sigma = 0.05, seed = 21L)
+      v.zipWithIndex.map { case (x, i) => (i, x) }.toSeq
+        .toDF("i", "v")
+        .select(col("i"), round(col("v"), 8).as("v"))
+        .orderBy(col("i"))
+    }),
+
+    // ── A15/A16 witness: the reference's per-generator summary view
+    //    (COUNT/ROUND(AVG)/GROUP BY — evaluate_all_generators.py:245-281)
+    //    over a metrics frame derived from per-user event stats ────────
+    "a15_generator_summary" -> ((s, dir) => {
+      val metrics = ev(s, dir).groupBy(col("user_id"))
+        .agg(
+          (stddev_pop(col("value")) / avg(col("value"))).as("std_ratio"),
+          ((max(col("value")) - min(col("value"))) /
+            (avg(col("value")) + lit(1e-10))).as("js_divergence"),
+          avg(col("value")).as("composite_score"))
+        .withColumn("generator",
+          concat(lit("g"), (col("user_id") % 3).cast("string")))
+        .withColumnRenamed("user_id", "seed")
+      graft.io.MetricsViews.register(s, metrics)
+      graft.io.MetricsViews.summary(s)
+        .orderBy(col("avg_js_div"), col("generator"))
+    }),
+
     // ── DistributionEvaluator deterministic core (everything except the
     //    driver-side ADF leg, which q30 carries), oracle-checkable ─────
     "q30f_dist_core" -> ((s, dir) => {

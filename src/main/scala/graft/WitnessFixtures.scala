@@ -81,4 +81,25 @@ object WitnessFixtures {
     val rnd = new scala.util.Random(77L)
     Array.fill(4)(Array.fill(2)(rnd.nextGaussian()))
   }
+
+  /** Literal 3-state diagonal-Gaussian HMM init for the g04t ONE-EM-STEP
+    * witness ([[graft.gen.Hmm.emStep]] vs a DuckDB recursive-CTE replay
+    * of the scaled forward-backward + M-step over the same 200-row
+    * rounded feature prefix). Spread means over the z-normalized
+    * [ret, vol_short, vol_ratio] feature space; vars well above the
+    * 1e-10 floor so the max() guard is inert on both sides. */
+  val G04tInit: graft.gen.HmmModel = graft.gen.HmmModel(
+    startProbs = Array(0.5, 0.3, 0.2),
+    transition = Array(
+      Array(0.8, 0.15, 0.05),
+      Array(0.1, 0.7, 0.2),
+      Array(0.25, 0.25, 0.5)),
+    means = Array(
+      Array(-0.8, -0.5, -0.25),
+      Array(0.0, 0.0, 0.0),
+      Array(0.9, 0.6, 0.3)),
+    variances = Array(
+      Array(1.5, 1.0, 0.75),
+      Array(0.5, 0.8, 1.0),
+      Array(1.25, 0.6, 0.9)))
 }

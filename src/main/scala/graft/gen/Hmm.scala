@@ -33,16 +33,13 @@ object Hmm {
     ll
   }
 
-  /** Fit on X (n×d). Init: sort rows by first feature, split into K
-    * equal quantile chunks for initial means/vars; uniform start/trans
-    * with self-transition bias. */
-  def fit(x: Array[Array[Double]], k: Int, maxIter: Int = 100,
-          tol: Double = 1e-4): HmmModel = {
+  /** Quantile-chunk initialization (ref hmmlearn-style deterministic
+    * init, SURVEY §7.3): sort rows by first feature (stable — ties keep
+    * input order), split into K equal chunks for initial means/vars;
+    * uniform start, self-transition-biased trans. */
+  def quantileInit(x: Array[Array[Double]], k: Int): HmmModel = {
     val n = x.length
-    require(n > k * 2, s"need > ${k * 2} rows to fit $k regimes")
     val d = x(0).length
-
-    // init from quantile chunks of the first feature
     val order = x.indices.sortBy(i => x(i)(0))
     val means = Array.ofDim[Double](k, d)
     val vars = Array.ofDim[Double](k, d)
@@ -55,14 +52,26 @@ object Hmm {
         vars(c)(j) = math.max(vals.map(v => (v - m) * (v - m)).sum / vals.length, 1e-10)
       }
     }
-    var start = Array.fill(k)(1.0 / k)
-    var trans = Array.tabulate(k, k)((i, j) => if (i == j) 0.9 else 0.1 / (k - 1))
+    val start = Array.fill(k)(1.0 / k)
+    val trans = Array.tabulate(k, k)((i, j) => if (i == j) 0.9 else 0.1 / (k - 1))
+    HmmModel(start, trans, means, vars)
+  }
 
-    var prevLl = Double.NegativeInfinity
-    var iter = 0
-    var converged = false
+  /** One Baum-Welch update (scaled forward-backward E-step + M-step),
+    * returning the updated model and the log-likelihood of the INPUT
+    * parameters (computed during the forward pass). Twin of one
+    * iteration of hmmlearn's fit (regime_conditional.py:80-107);
+    * oracle-witnessed by g04t. */
+  def emStep(x: Array[Array[Double]],
+             model: HmmModel): (HmmModel, Double) = {
+    val n = x.length
+    val k = model.k
+    val d = x(0).length
+    val start = model.startProbs
+    val trans = model.transition
+    val means = model.means.map(_.clone())
+    val vars = model.variances.map(_.clone())
     val logB = Array.ofDim[Double](n, k)
-    while (iter < maxIter && !converged) {
       // E: emission log-probs
       var t = 0
       while (t < n) {
@@ -149,8 +158,8 @@ object Hmm {
         t += 1
       }
       // M step
-      start = gamma(0).clone()
-      trans = Array.tabulate(k) { ci =>
+      val newStart = gamma(0).clone()
+      val newTrans = Array.tabulate(k) { ci =>
         val rowSum = xiSum(ci).sum
         if (rowSum > 0) xiSum(ci).map(_ / rowSum)
         else Array.fill(k)(1.0 / k)
@@ -187,11 +196,27 @@ object Hmm {
           }
         }
       }
+    (HmmModel(newStart, newTrans, means, vars), ll)
+  }
+
+  /** Fit on X (n×d): [[quantileInit]] then iterate [[emStep]] with a
+    * log-likelihood early stop. */
+  def fit(x: Array[Array[Double]], k: Int, maxIter: Int = 100,
+          tol: Double = 1e-4): HmmModel = {
+    val n = x.length
+    require(n > k * 2, s"need > ${k * 2} rows to fit $k regimes")
+    var model = quantileInit(x, k)
+    var prevLl = Double.NegativeInfinity
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val (next, ll) = emStep(x, model)
+      model = next
       converged = math.abs(ll - prevLl) < tol * math.abs(prevLl + 1e-10)
       prevLl = ll
       iter += 1
     }
-    HmmModel(start, trans, means, vars)
+    model
   }
 
   /** Viterbi decode: most-likely state path. */

@@ -89,12 +89,19 @@ object Mmd {
     * deterministic samples (ordered-prefix cap — same contract as the
     * other driver-bounded statistics). */
   def sampled(real: DataFrame, synth: DataFrame, orderCols: Seq[String],
-              vec: String, maxRows: Int = 500): Double = {
+              vec: String, maxRows: Int = 500): Double =
+    sampledDetail(real, synth, orderCols, vec, maxRows)._1
+
+  /** [[sampled]] plus the γ actually used and the sample sizes — the
+    * oracle-gated c02 surface. */
+  def sampledDetail(real: DataFrame, synth: DataFrame, orderCols: Seq[String],
+                    vec: String, maxRows: Int = 500): (Double, Double, Int, Int) = {
     def take(df: DataFrame): Array[Array[Double]] =
       df.orderBy(orderCols.map(col): _*).limit(maxRows)
         .select(col(vec)).collect()
         .map(_.getSeq[Double](0).toArray)
     val x = take(real); val y = take(synth)
-    gaussian(x, y, defaultGamma(x))
+    val g = defaultGamma(x)
+    (gaussian(x, y, g), g, x.length, y.length)
   }
 }
