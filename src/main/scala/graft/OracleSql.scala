@@ -1191,12 +1191,13 @@ object OracleSql {
         |  count(DISTINCT gram_md5)::BIGINT AS n_grams
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // IVF ANN: literal codebook — centroid distance key |c|²−2·v·c
-    // (commutative-exact twin of the Spark expression), assignment =
-    // first index of the min distance, probes = nProbe smallest
-    // (d, cid) structs, exact cosine rerank within probed lists
+    // IVF ANN: KMeans-trained literal codebook (IvfCodebook.K16) —
+    // centroid distance key |c|²−2·v·c (commutative-exact twin of the
+    // Spark expression), assignment = first index of the min distance,
+    // probes = nProbe smallest (d, cid) structs, exact cosine rerank
+    // within probed lists
     "s02_ivf_ann" -> {
-      val cents = graft.sim.Similarity.ivfCentroids(64, 16, 21L)
+      val cents = graft.sim.IvfCodebook.K16
       val dExprs = cents.map(c =>
         s"(${c.map(x => x * x).sum} - 2.0*list_inner_product(v, ${planeLit(c)}))")
       val dl = "[" + dExprs.mkString(",\n   ") + "]"

@@ -544,7 +544,7 @@ object SparkEntry {
     "s02_ivf_ann" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
-          Similarity.ivfCentroids(64, 16, 21L), nProbe = 4, k = 10)
+          graft.sim.IvfCodebook.K16, nProbe = 4, k = 10)
         .orderBy(col("query_id"), col("rk"))
     }),
 

@@ -122,23 +122,39 @@ class DedupSimSpec extends AnyFunSuite {
 
   test("IVF ANN: probed top-k overlaps brute-force top-k (s02 contract)") {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
-    val cents = Similarity.ivfCentroids(64, 16, 21L)
-    val ivf = Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
-      "vec_id", "embedding", cents, nProbe = 4, k = 10).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
-      "vec_id", "embedding", k = 10).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(cents: Array[Array[Double]]): (Set[(Long, Long)], Double) = {
+      val ivf = Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", cents, nProbe = 4, k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (ivf, ivf.intersect(brute).size.toDouble / brute.size)
+    }
+    // the shipped codebook: KMeans-trained at build time (IvfCodebook)
+    val (ivf, recall) = recallOf(graft.sim.IvfCodebook.K16)
     assert(ivf.nonEmpty && ivf.size <= 50)
     // probing 4/16 lists must still recover a solid share of the true
-    // top-k (clustered corpus ⇒ near neighbors share lists)
-    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    // top-k (trained codebook ⇒ near neighbors share lists); measured
+    // 0.48 — honest selectivity, unlike the old seeded-random codebook
+    // whose recall was 1.0 only because it dumped 100% of the corpus
+    // into 1-2 lists (zero pruning — brute force in disguise)
+    info(f"recall@10 trained codebook: $recall%.2f")
     assert(recall >= 0.3, s"IVF recall too low: $recall")
+    // partition quality — the property the random codebook fails: the
+    // corpus must actually spread across lists, or "recall" is
+    // meaningless because every probe scans everything
+    val occ = emb.select(
+      Similarity.ivfAssign(col("embedding"), graft.sim.IvfCodebook.K16)
+        .as("cid")).groupBy(col("cid")).count()
+      .collect().map(r => r.getLong(1))
+    val n = occ.sum.toDouble
+    info(s"occupancy: ${occ.length}/16 lists, max ${occ.max}/${n.toLong}")
+    assert(occ.length >= 12, s"only ${occ.length}/16 lists populated")
+    assert(occ.max / n <= 0.2, s"skewed codebook: max list ${occ.max / n}")
     // every IVF neighbor comes from a probed list of its query — and
     // the ranking is deterministic
-    val again = Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
-      "vec_id", "embedding", cents, nProbe = 4, k = 10).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (again, _) = recallOf(graft.sim.IvfCodebook.K16)
     assert(again == ivf)
   }
 
