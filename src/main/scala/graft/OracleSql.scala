@@ -241,6 +241,234 @@ object OracleSql {
        |FROM br WHERE i >= 0 ORDER BY i""".stripMargin
   }
 
+  /** g07t: ONE adversarial training step ([[graft.train.GanTrainer.step]]
+    * — a discriminator BCE step over (real, fake₁) then a generator step
+    * against the Adam-updated discriminator, regime_gan.py:202-259) over
+    * the literal [[graft.WitnessFixtures.G07t]] nets and batches,
+    * replayed end to end: forward passes, per-batch-row backprop deltas,
+    * gradient accumulation (real rows then fake rows — the Scala
+    * accumulation order), and the t=1 Adam update for every parameter.
+    * Single-row MATERIALIZED CTE chain (inlining would blow up the
+    * expression tree exponentially); nested-list columns indexed
+    * col[row+1][unit+1]. The Scala loop's term association is preserved
+    * exactly: bias-first dot products, ((1−β₂)·g)·g, w −
+    * lr·(m/c₁)/(√(v/c₂)+ε). tanh via [[tanhSql]] (~2 ulp, absorbed by
+    * the r8/r10 rounding — same posture as g07w). */
+  private def g07tSql: String = {
+    val f = graft.WitnessFixtures.G07t
+    val (g1, g2, g2t, g3, d1, d2, d3) = f.layers() // fresh = initial weights
+    val bs = f.Batch
+    val rs = 0 until bs
+    val lr = "2.0E-4"; val eps = "1.0E-8"
+    val c1 = (1.0 - math.pow(0.5, 1)).toString
+    val c2 = (1.0 - math.pow(0.999, 1)).toString
+    val b2c = (1 - 0.999).toString
+    def dl(x: Double) = s"($x::DOUBLE)"
+    def lrelu(p: String) = s"CASE WHEN $p >= 0 THEN $p ELSE 0.2*$p END"
+    def dLrelu(p: String) = s"(CASE WHEN $p >= 0 THEN 1.0 ELSE 0.2 END)"
+    def sig(x: String) = s"1.0/(1.0 + exp(-($x)))"
+    def nest(rows: Seq[Seq[String]]) =
+      rows.map(_.mkString("[", ",\n      ", "]")).mkString("[", ",\n     ", "]")
+    def flat(xs: Seq[String]) = xs.mkString("[", ",\n     ", "]")
+    def el(c: String, r: Int, o: Int) = s"$c[${r + 1}][${o + 1}]"
+    def el1(c: String, o: Int) = s"$c[${o + 1}]"
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    var prev = "q0"
+    ctes += "q0 AS MATERIALIZED (SELECT 1 AS one)"
+    def add(cols: (String, String)*): Unit = {
+      val name = s"q${ctes.length}"
+      ctes += s"$name AS MATERIALIZED (SELECT *, " +
+        cols.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ") + s" FROM $prev)"
+      prev = name
+    }
+    // affine forward: bias-first accumulation like Dense.forward
+    def affL(w: Array[Array[Double]], b: Array[Double],
+             in: (Int, Int) => String) =
+      nest(rs.map(r => w.indices.map(o =>
+        (Seq(dl(b(o))) ++
+          w(o).indices.map(i => s"${dl(w(o)(i))}*(${in(r, i)})")).mkString(" + "))))
+    def affR(w: Array[Array[Double]], b: Array[Double], c: String) =
+      affL(w, b, (r, i) => el(c, r, i))
+    // affine with UPDATED (column-ref) weights
+    def affU(wRef: String, bRef: String, inRef: String, outDim: Int, inDim: Int) =
+      nest(rs.map(r => (0 until outDim).map(o =>
+        (Seq(s"$bRef[${o + 1}]") ++
+          (0 until inDim).map(i => s"$wRef[${o + 1}][${i + 1}]*${el(inRef, r, i)}"))
+          .mkString(" + "))))
+    def lreluN(c: String, u: Int) =
+      nest(rs.map(r => (0 until u).map(o => lrelu(el(c, r, o)))))
+    def tanhN(c: String, u: Int) =
+      nest(rs.map(r => (0 until u).map(o => tanhSql(el(c, r, o)))))
+    // Adam t=1 from zero state; b1=0.5 (the GAN steps' β₁)
+    def adam(w0: Double, g: String) = {
+      val m = s"(0.5*0.0 + 0.5*($g))"
+      val v = s"(0.999*0.0 + $b2c*($g)*($g))"
+      s"((${dl(w0)}) - $lr*(($m)/($c1))/(sqrt(($v)/($c2)) + $eps))"
+    }
+    def adamW(w: Array[Array[Double]], gRef: String) =
+      nest(w.indices.map(o => w(o).indices.map(i =>
+        adam(w(o)(i), s"$gRef[${o + 1}][${i + 1}]"))))
+    def adamB(b: Array[Double], gRef: String) =
+      flat(b.indices.map(o => adam(b(o), s"$gRef[${o + 1}]")))
+
+    // ── D step: real forward ──
+    add("ap1" -> affL(d1.w, d1.b, (r, i) => f.Real(r)(i).toString))
+    add("ao1" -> lreluN("ap1", 3))
+    add("ap2" -> affR(d2.w, d2.b, "ao1"))
+    add("ao2" -> lreluN("ap2", 3))
+    add("alog" -> flat(rs.map(r =>
+      (Seq(dl(d3.b(0))) ++
+        d3.w(0).indices.map(i => s"${dl(d3.w(0)(i))}*${el("ao2", r, i)}")).mkString(" + "))))
+    add("adl" -> flat(rs.map(r => s"(${sig(el1("alog", r))} - 1.0)/$bs.0")))
+    // ── fake₁ = G(z₁) with initial G weights ──
+    add("fp1" -> affL(g1.w, g1.b, (r, i) => f.Z1(r)(i).toString))
+    add("fo1" -> lreluN("fp1", 3))
+    add("fp2" -> affR(g2.w, g2.b, "fo1"))
+    add("fo2" -> lreluN("fp2", 3))
+    add("fpt" -> affR(g2t.w, g2t.b, "fo2"))
+    add("fot" -> tanhN("fpt", 3))
+    add("ffk" -> affR(g3.w, g3.b, "fot")) // linear head: out = pre
+    // ── D forward on fake₁ ──
+    add("bp1" -> affR(d1.w, d1.b, "ffk"))
+    add("bo1" -> lreluN("bp1", 3))
+    add("bp2" -> affR(d2.w, d2.b, "bo1"))
+    add("bo2" -> lreluN("bp2", 3))
+    add("blog" -> flat(rs.map(r =>
+      (Seq(dl(d3.b(0))) ++
+        d3.w(0).indices.map(i => s"${dl(d3.w(0)(i))}*${el("bo2", r, i)}")).mkString(" + "))))
+    add("bdl" -> flat(rs.map(r => s"(${sig(el1("blog", r))} - 0.0)/$bs.0")))
+    // ── backprop deltas (d3 head is linear: delta = BCE grad itself) ──
+    add(
+      "ai2" -> nest(rs.map(r => (0 until 3).map(i =>
+        s"${el1("adl", r)}*${dl(d3.w(0)(i))}"))),
+      "bi2" -> nest(rs.map(r => (0 until 3).map(i =>
+        s"${el1("bdl", r)}*${dl(d3.w(0)(i))}"))))
+    add(
+      "ad2" -> nest(rs.map(r => (0 until 3).map(o =>
+        s"${el("ai2", r, o)}*${dLrelu(el("ap2", r, o))}"))),
+      "bd2" -> nest(rs.map(r => (0 until 3).map(o =>
+        s"${el("bi2", r, o)}*${dLrelu(el("bp2", r, o))}"))))
+    add(
+      "ai1" -> nest(rs.map(r => (0 until 3).map(i =>
+        (0 until 3).map(o => s"${el("ad2", r, o)}*${dl(d2.w(o)(i))}").mkString(" + ")))),
+      "bi1" -> nest(rs.map(r => (0 until 3).map(i =>
+        (0 until 3).map(o => s"${el("bd2", r, o)}*${dl(d2.w(o)(i))}").mkString(" + ")))))
+    add(
+      "ad1" -> nest(rs.map(r => (0 until 3).map(o =>
+        s"${el("ai1", r, o)}*${dLrelu(el("ap1", r, o))}"))),
+      "bd1" -> nest(rs.map(r => (0 until 3).map(o =>
+        s"${el("bi1", r, o)}*${dLrelu(el("bp1", r, o))}"))))
+    // ── D gradients: real rows then fake rows (Scala accumulation) ──
+    add(
+      "gwd1" -> nest((0 until 3).map(o => (0 until 8).map(i =>
+        (rs.map(r => s"${el("ad1", r, o)}*${dl(f.Real(r)(i))}") ++
+          rs.map(r => s"${el("bd1", r, o)}*${el("ffk", r, i)}")).mkString(" + ")))),
+      "gbd1" -> flat((0 until 3).map(o =>
+        (rs.map(r => el("ad1", r, o)) ++ rs.map(r => el("bd1", r, o))).mkString(" + "))),
+      "gwd2" -> nest((0 until 3).map(o => (0 until 3).map(i =>
+        (rs.map(r => s"${el("ad2", r, o)}*${el("ao1", r, i)}") ++
+          rs.map(r => s"${el("bd2", r, o)}*${el("bo1", r, i)}")).mkString(" + ")))),
+      "gbd2" -> flat((0 until 3).map(o =>
+        (rs.map(r => el("ad2", r, o)) ++ rs.map(r => el("bd2", r, o))).mkString(" + "))),
+      "gwd3" -> nest(Seq((0 until 3).map(i =>
+        (rs.map(r => s"${el1("adl", r)}*${el("ao2", r, i)}") ++
+          rs.map(r => s"${el1("bdl", r)}*${el("bo2", r, i)}")).mkString(" + ")))),
+      "gbd3" -> flat(Seq(
+        (rs.map(r => el1("adl", r)) ++ rs.map(r => el1("bdl", r))).mkString(" + "))))
+    // ── Adam: updated D params ──
+    add(
+      "uwd1" -> adamW(d1.w, "gwd1"), "ubd1" -> adamB(d1.b, "gbd1"),
+      "uwd2" -> adamW(d2.w, "gwd2"), "ubd2" -> adamB(d2.b, "gbd2"),
+      "uwd3" -> adamW(d3.w, "gwd3"), "ubd3" -> adamB(d3.b, "gbd3"))
+    // ── G step: fake₂ = G(z₂) with initial G weights ──
+    add("hp1" -> affL(g1.w, g1.b, (r, i) => f.Z2(r)(i).toString))
+    add("ho1" -> lreluN("hp1", 3))
+    add("hp2" -> affR(g2.w, g2.b, "ho1"))
+    add("ho2" -> lreluN("hp2", 3))
+    add("hpt" -> affR(g2t.w, g2t.b, "ho2"))
+    add("hot" -> tanhN("hpt", 3))
+    add("hfk" -> affR(g3.w, g3.b, "hot"))
+    // ── D forward on fake₂ with UPDATED weights ──
+    add("cp1" -> affU("uwd1", "ubd1", "hfk", 3, 8))
+    add("co1" -> lreluN("cp1", 3))
+    add("cp2" -> affU("uwd2", "ubd2", "co1", 3, 3))
+    add("co2" -> lreluN("cp2", 3))
+    add("clog" -> flat(rs.map(r =>
+      (Seq("ubd3[1]") ++
+        (0 until 3).map(i => s"uwd3[1][${i + 1}]*${el("co2", r, i)}")).mkString(" + "))))
+    add("cdl" -> flat(rs.map(r => s"(${sig(el1("clog", r))} - 1.0)/$bs.0")))
+    // ── backward through the UPDATED (frozen) D to get dL/dfake₂ ──
+    add("ci2" -> nest(rs.map(r => (0 until 3).map(i =>
+      s"${el1("cdl", r)}*uwd3[1][${i + 1}]"))))
+    add("cd2" -> nest(rs.map(r => (0 until 3).map(o =>
+      s"${el("ci2", r, o)}*${dLrelu(el("cp2", r, o))}"))))
+    add("ci1" -> nest(rs.map(r => (0 until 3).map(i =>
+      (0 until 3).map(o => s"${el("cd2", r, o)}*uwd2[${o + 1}][${i + 1}]").mkString(" + ")))))
+    add("cd1" -> nest(rs.map(r => (0 until 3).map(o =>
+      s"${el("ci1", r, o)}*${dLrelu(el("cp1", r, o))}"))))
+    add("gfk" -> nest(rs.map(r => (0 until 8).map(i =>
+      (0 until 3).map(o => s"${el("cd1", r, o)}*uwd1[${o + 1}][${i + 1}]").mkString(" + ")))))
+    // ── G backward with initial weights (g3 head linear: delta = gfk) ──
+    add(
+      "gwg3" -> nest((0 until 8).map(o => (0 until 3).map(i =>
+        rs.map(r => s"${el("gfk", r, o)}*${el("hot", r, i)}").mkString(" + ")))),
+      "gbg3" -> flat((0 until 8).map(o =>
+        rs.map(r => el("gfk", r, o)).mkString(" + "))))
+    add("git" -> nest(rs.map(r => (0 until 3).map(i =>
+      (0 until 8).map(o => s"${el("gfk", r, o)}*${dl(g3.w(o)(i))}").mkString(" + ")))))
+    add("dgt" -> nest(rs.map(r => (0 until 3).map(o =>
+      s"${el("git", r, o)}*(1.0 - ${el("hot", r, o)}*${el("hot", r, o)})"))))
+    add(
+      "gwgt" -> nest((0 until 3).map(o => (0 until 3).map(i =>
+        rs.map(r => s"${el("dgt", r, o)}*${el("ho2", r, i)}").mkString(" + ")))),
+      "gbgt" -> flat((0 until 3).map(o =>
+        rs.map(r => el("dgt", r, o)).mkString(" + "))))
+    add("gi2" -> nest(rs.map(r => (0 until 3).map(i =>
+      (0 until 3).map(o => s"${el("dgt", r, o)}*${dl(g2t.w(o)(i))}").mkString(" + ")))))
+    add("dg2" -> nest(rs.map(r => (0 until 3).map(o =>
+      s"${el("gi2", r, o)}*${dLrelu(el("hp2", r, o))}"))))
+    add(
+      "gwg2" -> nest((0 until 3).map(o => (0 until 3).map(i =>
+        rs.map(r => s"${el("dg2", r, o)}*${el("ho1", r, i)}").mkString(" + ")))),
+      "gbg2" -> flat((0 until 3).map(o =>
+        rs.map(r => el("dg2", r, o)).mkString(" + "))))
+    add("gi1" -> nest(rs.map(r => (0 until 3).map(i =>
+      (0 until 3).map(o => s"${el("dg2", r, o)}*${dl(g2.w(o)(i))}").mkString(" + ")))))
+    add("dg1" -> nest(rs.map(r => (0 until 3).map(o =>
+      s"${el("gi1", r, o)}*${dLrelu(el("hp1", r, o))}"))))
+    add(
+      "gwg1" -> nest((0 until 3).map(o => (0 until 2).map(i =>
+        rs.map(r => s"${el("dg1", r, o)}*${dl(f.Z2(r)(i))}").mkString(" + ")))),
+      "gbg1" -> flat((0 until 3).map(o =>
+        rs.map(r => el("dg1", r, o)).mkString(" + "))))
+    // ── Adam: updated G params ──
+    add(
+      "uwg1" -> adamW(g1.w, "gwg1"), "ubg1" -> adamB(g1.b, "gbg1"),
+      "uwg2" -> adamW(g2.w, "gwg2"), "ubg2" -> adamB(g2.b, "gbg2"),
+      "uwgt" -> adamW(g2t.w, "gwgt"), "ubgt" -> adamB(g2t.b, "gbgt"),
+      "uwg3" -> adamW(g3.w, "gwg3"), "ubg3" -> adamB(g3.b, "gbg3"))
+
+    // ── unpivot every updated parameter (+ delta vs the literal init) ──
+    val layers = Seq(
+      ("g", 0, g1, "uwg1", "ubg1"), ("g", 1, g2, "uwg2", "ubg2"),
+      ("g", 2, g2t, "uwgt", "ubgt"), ("g", 3, g3, "uwg3", "ubg3"),
+      ("d", 0, d1, "uwd1", "ubd1"), ("d", 1, d2, "uwd2", "ubd2"),
+      ("d", 2, d3, "uwd3", "ubd3"))
+    val outRows = layers.flatMap { case (net, li, l, wr, br) =>
+      val ws = for (o <- l.w.indices; i <- l.w(o).indices) yield
+        s"SELECT '$net' AS net, $li AS layer, $o AS o, $i AS i, " +
+          s"round($wr[${o + 1}][${i + 1}], 8) + 0.0 AS v, " +
+          s"round($wr[${o + 1}][${i + 1}] - ${dl(l.w(o)(i))}, 10) + 0.0 AS dv FROM $prev"
+      val bsRows = l.b.indices.map(o =>
+        s"SELECT '$net', $li, $o, -1, round($br[${o + 1}], 8) + 0.0, " +
+          s"round($br[${o + 1}] - ${dl(l.b(o))}, 10) + 0.0 FROM $prev")
+      ws ++ bsRows
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |${outRows.mkString("\nUNION ALL\n")}
+       |ORDER BY net, layer, o, i""".stripMargin
+  }
+
   /** tanh as exp arithmetic (this DuckDB build ships no tanh built-in):
     * 1 − 2/(e²ˣ+1) — monotone-safe at both tails (overflow → ±1), and
     * within ~2 ulp of Math.tanh over the bounded pre-activations here
@@ -1982,6 +2210,8 @@ object OracleSql {
     "g04f_regime_features" -> g04FeaturesSql,
 
     "g04t_hmm_em_step" -> g04tSql,
+
+    "g07t_gan_train_step" -> g07tSql,
 
     // C7: 64-point DFT power spectra of two global-return windows,
     // sum-normalized, RMSE distance — ordered-list folds mirror the

@@ -754,6 +754,34 @@ object SparkEntry {
         .orderBy(col("param"), col("i"), col("j"))
     }),
 
+    // ── G7 TRAINING witness: exactly ONE adversarial step (D BCE step
+    //    over real+fake, then a G step against the updated frozen D —
+    //    GanTrainer.step, the loop body of regime_gan.py:202-259) from
+    //    the literal WitnessFixtures.G07t nets/batches; the oracle
+    //    replays every forward, backward delta, gradient accumulation
+    //    and t=1 Adam update in SQL ─────────────────────────────────────
+    "g07t_gan_train_step" -> ((s, dir) => {
+      import s.implicits._
+      val fx = WitnessFixtures.G07t
+      val (g1, g2, g2t, g3, d1, d2, d3) = fx.layers()
+      val all = Seq(("g", 0, g1), ("g", 1, g2), ("g", 2, g2t), ("g", 3, g3),
+        ("d", 0, d1), ("d", 1, d2), ("d", 2, d3))
+      val w0 = all.map { case (_, _, l) => (l.w.map(_.clone()), l.b.clone()) }
+      graft.train.GanTrainer.step(g1, g2, g2t, g3, d1, d2, d3,
+        fx.Real, fx.Z1, fx.Z2, t = 1, lr = 2e-4)
+      val rows = all.zip(w0).flatMap { case ((net, li, l), (ww, bb)) =>
+        val ws = for (o <- l.w.indices; i <- l.w(o).indices)
+          yield (net, li, o, i, l.w(o)(i), l.w(o)(i) - ww(o)(i))
+        val bsr = l.b.indices.map(o =>
+          (net, li, o, -1, l.b(o), l.b(o) - bb(o)))
+        ws ++ bsr
+      }
+      rows.toDF("net", "layer", "o", "i", "raw", "draw")
+        .select(col("net"), col("layer"), col("o"), col("i"),
+          round(col("raw"), 8).as("v"), round(col("draw"), 10).as("dv"))
+        .orderBy(col("net"), col("layer"), col("o"), col("i"))
+    }),
+
     // ── C7 witness: spectral distance over the DISTRIBUTED DFT path
     //    (Spectral.powerSpectrum — the at-scale leg; FFT ≡ DFT is
     //    property-tested). Two 64-point windows of the global return

@@ -82,6 +82,43 @@ object WitnessFixtures {
     Array.fill(4)(Array.fill(2)(rnd.nextGaussian()))
   }
 
+  /** Tiny GAN (seqLen 8, z 2, hidden 3, batch 4) + literal batches for
+    * the g07t ONE-TRAINING-STEP witness (one D BCE step + one G step,
+    * [[graft.train.GanTrainer.step]] vs a full SQL replay of
+    * forward/backward/Adam). `layers()` constructs FRESH layers per
+    * call (Dense is mutable) in the same order as GanTrainer.train, so
+    * SparkEntry (which steps them) and OracleSql (which embeds the
+    * same initial doubles as literals) can never drift. */
+  object G07t {
+    import graft.train.VaeTrainer.Dense
+    val SeqLen = 8; val ZDim = 2; val Hidden = 3; val Batch = 4
+    def layers(): (Dense, Dense, Dense, Dense, Dense, Dense, Dense) = {
+      val rnd = new scala.util.Random(31L)
+      val g1 = new Dense(ZDim, Hidden, "lrelu", rnd)
+      val g2 = new Dense(Hidden, Hidden, "lrelu", rnd)
+      val g2t = new Dense(Hidden, Hidden, "tanh", rnd)
+      val g3 = new Dense(Hidden, SeqLen, "linear", rnd)
+      val d1 = new Dense(SeqLen, Hidden, "lrelu", rnd)
+      val d2 = new Dense(Hidden, Hidden, "lrelu", rnd)
+      val d3 = new Dense(Hidden, 1, "linear", rnd)
+      (g1, g2, g2t, g3, d1, d2, d3)
+    }
+    /** Normalized-scale real window batch (unit gaussians — the scale
+      * windows have after GanTrainer's z-normalization). */
+    val Real: Array[Array[Double]] = {
+      val r = new scala.util.Random(17L)
+      Array.fill(Batch, SeqLen)(r.nextGaussian())
+    }
+    val Z1: Array[Array[Double]] = {
+      val r = new scala.util.Random(18L)
+      Array.fill(Batch, ZDim)(r.nextGaussian())
+    }
+    val Z2: Array[Array[Double]] = {
+      val r = new scala.util.Random(19L)
+      Array.fill(Batch, ZDim)(r.nextGaussian())
+    }
+  }
+
   /** Literal 3-state diagonal-Gaussian HMM init for the g04t ONE-EM-STEP
     * witness ([[graft.gen.Hmm.emStep]] vs a DuckDB recursive-CTE replay
     * of the scaled forward-backward + M-step over the same 200-row

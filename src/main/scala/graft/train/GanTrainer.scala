@@ -38,6 +38,62 @@ object GanTrainer {
     if (all.isEmpty) None else Some(all)
   }
 
+  import VaeTrainer.Dense
+
+  /** One adversarial epoch — a discriminator BCE step over
+    * (real, fake₁) then a generator step against the frozen (already
+    * Adam-updated) discriminator: exactly the loop body of [[train]]
+    * (regime_gan.py:202-259). Mutates every layer's weights and Adam
+    * state; `t` is the 1-based Adam step. Oracle-witnessed by g07t. */
+  def step(g1: Dense, g2: Dense, g2t: Dense, g3: Dense,
+           d1: Dense, d2: Dense, d3: Dense,
+           real: Array[Array[Double]], z1: Array[Array[Double]],
+           z2: Array[Array[Double]], t: Int, lr: Double): Unit = {
+    val gLayers = Seq(g1, g2, g2t, g3); val dLayers = Seq(d1, d2, d3)
+    def gForward(z: Array[Array[Double]]) = {
+      val (p1, o1) = g1.forward(z); val (p2, o2) = g2.forward(o1)
+      val (p2t, o2t) = g2t.forward(o2)
+      val (p3, o3) = g3.forward(o2t)
+      (p1, o1, p2, o2, p2t, o2t, p3, o3)
+    }
+    def dForward(x: Array[Array[Double]]) = {
+      val (p1, o1) = d1.forward(x); val (p2, o2) = d2.forward(o1)
+      val (p3, o3) = d3.forward(o2)
+      (p1, o1, p2, o2, p3, o3)
+    }
+    def sigm(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    /** BCE-with-logits grad (σ(logit) − t)/n through the disc;
+      * returns dL/dx. */
+    def dBackward(x: Array[Array[Double]],
+                  f: (Array[Array[Double]], Array[Array[Double]], Array[Array[Double]],
+                      Array[Array[Double]], Array[Array[Double]], Array[Array[Double]]),
+                  target: Double): Array[Array[Double]] = {
+      val (p1, o1, p2, o2, p3, o3) = f
+      val n = x.length
+      val gLogit = Array.tabulate(n, 1)((r, _) => (sigm(o3(r)(0)) - target) / n)
+      val gb2 = d3.backward(o2, p3, o3, gLogit)
+      val gb1 = d2.backward(o1, p2, o2, gb2)
+      d1.backward(x, p1, o1, gb1)
+    }
+    // ── D step ── (fake detached: generator not updated)
+    dLayers.foreach(_.zeroGrad())
+    val fake1 = gForward(z1)._8
+    dBackward(real, dForward(real), 1.0)
+    dBackward(fake1, dForward(fake1), 0.0)
+    dLayers.foreach(_.adam(lr, t, b1 = 0.5))
+    // ── G step ── (disc frozen: its grads discarded after backprop)
+    gLayers.foreach(_.zeroGrad())
+    val (pg1, og1, pg2, og2, pg2t, og2t, pg3, fake2) = gForward(z2)
+    dLayers.foreach(_.zeroGrad())
+    val gFake = dBackward(fake2, dForward(fake2), 1.0)
+    dLayers.foreach(_.zeroGrad())
+    val gg2t = g3.backward(og2t, pg3, fake2, gFake)
+    val gg2 = g2t.backward(og2, pg2t, og2t, gg2t)
+    val gg1 = g2.backward(og1, pg2, og2, gg2)
+    g1.backward(z2, pg1, og1, gg1)
+    gLayers.foreach(_.adam(lr, t, b1 = 0.5))
+  }
+
   def train(returns: Array[Double], seqLen: Int = 64, zDim: Int = 8,
             hidden: Int = 64, epochs: Int = 200, batchSize: Int = 32,
             lr: Double = 2e-4, seed: Long = 42L): Option[TrainedGan] =
@@ -52,7 +108,6 @@ object GanTrainer {
           math.max(flat.length - 1, 1)) + 1e-10
       val norm = data.map(_.map(x => (x - mean) / std))
 
-      import VaeTrainer.Dense
       // generator: lrelu, lrelu, TANH, linear head (ref :132-141)
       val g1 = new Dense(zDim, hidden, "lrelu", rnd)
       val g2 = new Dense(hidden, hidden, "lrelu", rnd)
@@ -61,33 +116,6 @@ object GanTrainer {
       val d1 = new Dense(seqLen, hidden, "lrelu", rnd)
       val d2 = new Dense(hidden, hidden, "lrelu", rnd)
       val d3 = new Dense(hidden, 1, "linear", rnd) // logit head
-      val gLayers = Seq(g1, g2, g2t, g3); val dLayers = Seq(d1, d2, d3)
-
-      def gForward(z: Array[Array[Double]]) = {
-        val (p1, o1) = g1.forward(z); val (p2, o2) = g2.forward(o1)
-        val (p2t, o2t) = g2t.forward(o2)
-        val (p3, o3) = g3.forward(o2t)
-        (p1, o1, p2, o2, p2t, o2t, p3, o3)
-      }
-      def dForward(x: Array[Array[Double]]) = {
-        val (p1, o1) = d1.forward(x); val (p2, o2) = d2.forward(o1)
-        val (p3, o3) = d3.forward(o2)
-        (p1, o1, p2, o2, p3, o3)
-      }
-      def sigm(x: Double) = 1.0 / (1.0 + math.exp(-x))
-      /** BCE-with-logits grad (σ(logit) − t)/n through the disc;
-        * returns dL/dx. */
-      def dBackward(x: Array[Array[Double]],
-                    f: (Array[Array[Double]], Array[Array[Double]], Array[Array[Double]],
-                        Array[Array[Double]], Array[Array[Double]], Array[Array[Double]]),
-                    target: Double): Array[Array[Double]] = {
-        val (p1, o1, p2, o2, p3, o3) = f
-        val n = x.length
-        val gLogit = Array.tabulate(n, 1)((r, _) => (sigm(o3(r)(0)) - target) / n)
-        val gb2 = d3.backward(o2, p3, o3, gLogit)
-        val gb1 = d2.backward(o1, p2, o2, gb2)
-        d1.backward(x, p1, o1, gb1)
-      }
 
       var t = 0
       var epoch = 0
@@ -95,25 +123,12 @@ object GanTrainer {
         val bs = math.min(batchSize, norm.length)
         val real = Array.fill(bs)(norm(rnd.nextInt(norm.length)))
         t += 1
-        // ── D step ── (fake detached: generator not updated)
-        dLayers.foreach(_.zeroGrad())
+        // z₂ is drawn after the D step in the reference loop, but the
+        // D step consumes no RNG — hoisting the draw preserves the
+        // exact (real, z₁, z₂) stream order
         val z1 = Array.fill(bs, zDim)(rnd.nextGaussian())
-        val fake1 = gForward(z1)._8
-        dBackward(real, dForward(real), 1.0)
-        dBackward(fake1, dForward(fake1), 0.0)
-        dLayers.foreach(_.adam(lr, t, b1 = 0.5))
-        // ── G step ── (disc frozen: its grads discarded after backprop)
-        gLayers.foreach(_.zeroGrad())
         val z2 = Array.fill(bs, zDim)(rnd.nextGaussian())
-        val (pg1, og1, pg2, og2, pg2t, og2t, pg3, fake2) = gForward(z2)
-        dLayers.foreach(_.zeroGrad())
-        val gFake = dBackward(fake2, dForward(fake2), 1.0)
-        dLayers.foreach(_.zeroGrad())
-        val gg2t = g3.backward(og2t, pg3, fake2, gFake)
-        val gg2 = g2t.backward(og2, pg2t, og2t, gg2t)
-        val gg1 = g2.backward(og1, pg2, og2, gg2)
-        g1.backward(z2, pg1, og1, gg1)
-        gLayers.foreach(_.adam(lr, t, b1 = 0.5))
+        step(g1, g2, g2t, g3, d1, d2, d3, real, z1, z2, t, lr)
         epoch += 1
       }
 
