@@ -2213,6 +2213,79 @@ object OracleSql {
 
     "g07t_gan_train_step" -> g07tSql,
 
+    // G2 per-series: the g01f strided block/rescale chain replayed
+    // PARTITION BY user (series < blockSize rows are skipped, the
+    // too-short contract); n=200, blockSize=30 ⇒ blocks 0..7
+    "g01b_block_chain_per_user" ->
+      """WITH idx AS (SELECT user_id::BIGINT AS sid,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn,
+        |         value::DOUBLE AS p FROM events),
+        |tot AS (SELECT sid, count(*)::BIGINT AS total FROM idx GROUP BY sid),
+        |blocks AS (SELECT sid, b::INT AS block_id, ((b*523) % (total - 29))::INT AS start
+        |           FROM tot, (SELECT unnest(generate_series(0,7)) AS b) g
+        |           WHERE total >= 30),
+        |pos AS (SELECT sid, block_id, start, unnest(generate_series(0,29)) AS pos FROM blocks),
+        |rows_ AS (SELECT p1.sid, p1.block_id, p1.pos, i.p
+        |          FROM pos p1 JOIN idx i ON i.sid = p1.sid AND i.rn = p1.start + p1.pos),
+        |pb AS (SELECT sid, block_id, arg_min(p, pos) AS first_p, arg_max(p, pos) AS last_p
+        |       FROM rows_ GROUP BY sid, block_id),
+        |d0 AS (SELECT sid, block_id,
+        |         coalesce(ln(lag(last_p) OVER (PARTITION BY sid ORDER BY block_id))
+        |           - ln(first_p), 0.0) AS d
+        |       FROM pb),
+        |ch AS (SELECT sid, block_id,
+        |         sum(d) OVER (PARTITION BY sid ORDER BY block_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ln_scale
+        |       FROM d0)
+        |SELECT r.sid AS user_id, (r.block_id*30 + r.pos)::INT AS rn,
+        |  round(ln(exp(ln(r.p) + c.ln_scale)), 6) AS ln_price
+        |FROM rows_ r JOIN ch c ON c.sid = r.sid AND c.block_id = r.block_id
+        |WHERE r.block_id*30 + r.pos < 200
+        |ORDER BY user_id, rn""".stripMargin,
+
+    // G3 per-series: the g02f fit frame replayed PARTITION BY user —
+    // per-series quantile_cont edges (== Spark percentile incl.
+    // interpolation), interior slice, in-list digitize, keyed
+    // transition/pool/start aggregates
+    "g02b_grasynda_fit_per_user" ->
+      """WITH r0 AS (
+        | SELECT user_id::BIGINT AS sid, ts, event_id,
+        |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v
+        | FROM events),
+        |data AS (SELECT sid,
+        |           row_number() OVER (PARTITION BY sid ORDER BY ts, event_id) AS rn, v
+        |         FROM r0 WHERE v IS NOT NULL),
+        |ed AS (SELECT sid, list_sort(list_distinct(
+        |         quantile_cont(v, [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]))) AS lst
+        |       FROM data GROUP BY sid),
+        |ei AS (SELECT sid, lst[2:len(lst)-1] AS interior FROM ed),
+        |st AS (SELECT d.sid, d.rn, d.v,
+        |         len(list_filter(e.interior, x -> x <= d.v))::INT AS state
+        |       FROM data d JOIN ei e ON e.sid = d.sid),
+        |tr AS (SELECT sid, state, next_state, count(*)::BIGINT AS cnt FROM
+        |       (SELECT sid, state,
+        |          lead(state) OVER (PARTITION BY sid ORDER BY rn) AS next_state
+        |        FROM st) t
+        |       WHERE next_state IS NOT NULL GROUP BY sid, state, next_state),
+        |trp AS (SELECT sid, state, next_state, cnt,
+        |          round(cnt::DOUBLE / sum(cnt) OVER (PARTITION BY sid, state), 6) + 0.0 AS prob
+        |        FROM tr),
+        |ps AS (SELECT sid, state, count(*)::BIGINT AS pool_n,
+        |         round(avg(v), 8) + 0.0 AS pool_mean,
+        |         round(stddev_pop(v), 8) + 0.0 AS pool_std
+        |       FROM st GROUP BY sid, state),
+        |sp AS (SELECT sid, state,
+        |         round(pool_n::DOUBLE / sum(pool_n) OVER (PARTITION BY sid), 6) + 0.0 AS start_prob
+        |       FROM ps)
+        |SELECT t.sid AS user_id, t.state AS state, t.next_state AS next_state,
+        |  t.cnt AS cnt, t.prob AS prob,
+        |  p.pool_n, p.pool_mean, p.pool_std, s.start_prob
+        |FROM trp t
+        |JOIN ps p ON p.sid = t.sid AND p.state = t.state
+        |JOIN sp s ON s.sid = t.sid AND s.state = t.state
+        |ORDER BY t.sid, t.state, t.next_state""".stripMargin,
+
     // C7: 64-point DFT power spectra of two global-return windows,
     // sum-normalized, RMSE distance — ordered-list folds mirror the
     // Scala k/t loop accumulation (composite_metric.py:50-56)

@@ -561,6 +561,27 @@ object SparkEntry {
         .orderBy(col("rn"))
     }),
 
+    // ── G2 PER-SERIES: the strided block/rescale chain fitted and
+    //    generated independently for every user series in ONE shuffle
+    //    (flatMapGroups) — the many-series 100 TB generation shape ─────
+    "g01b_block_chain_per_user" -> ((s, dir) => {
+      BlockBootstrap.generateStridedGrouped(ev(s, dir), "user_id",
+          Seq("ts", "event_id"), "value", blockSize = 30, n = 200,
+          stride = 523)
+        .select(col("user_id"), col("rn"),
+          round(log(col("typical_price")), 6).as("ln_price"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // ── G3 PER-SERIES: the Grasynda fit frame (quantile edges,
+    //    digitize, transitions, pools, starts) keyed on user — one
+    //    hash shuffle fits every series at once ────────────────────────
+    "g02b_grasynda_fit_per_user" -> ((s, dir) => {
+      val rets = logret(s, dir).filter(col("ret").isNotNull)
+      Grasynda.fitFrameGrouped(rets, "user_id", Seq("ts", "event_id"),
+        "ret", nBins = 10)
+    }),
+
     // ── G3 fit artifact: Grasynda edges/transition/pools (A4+A5+A7+A9),
     //    distributed and oracle-checkable ─────────────────────────────
     "g02f_grasynda_fit" -> ((s, dir) => {

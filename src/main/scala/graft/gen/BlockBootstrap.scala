@@ -90,6 +90,80 @@ object BlockBootstrap {
     chainBlocks(idx, blocks, blockSize, n)
   }
 
+  /** PER-SERIES grouped variant of [[generateStrided]]: ONE shuffle on
+    * the series key, then every bounded series' whole block/rescale
+    * chain runs inside its group — the many-series generation shape
+    * (millions of independent series fits across the cluster at
+    * 100 TB, SURVEY §7.4.2 "small fits on the driver, many fits across
+    * the cluster" — here not even the driver: the fit lives in the
+    * executor task). The per-series arithmetic is the exact twin of
+    * [[chainBlocks]]'s telescoped rescale (d_b = ln last_{b−1} −
+    * ln first_b, cumulative), so the g01b oracle replays it per user.
+    * Series shorter than one block are skipped (the reference's
+    * too-short contract). Emits (seriesCol, rn, typical_price). */
+  def generateStridedGrouped(prices: DataFrame, seriesCol: String,
+                             orderCols: Seq[String], value: String,
+                             blockSize: Int, n: Int,
+                             stride: Int = 523): DataFrame = {
+    val spark = prices.sparkSession
+    import spark.implicits._
+    val spec = graft.series.SeriesSpec(Seq(seriesCol), orderCols)
+    val indexed = prices
+      .withColumn("rn", row_number().over(spec.w) - 1)
+      .select(col(seriesCol).cast("long").as("sid"),
+        col("rn"), col(value).cast("double").as("p"))
+
+    def chainOne(sid: Long, ps: Array[Double]): Iterator[(Long, Int, Double)] = {
+      val total = ps.length
+      if (total < blockSize) Iterator.empty
+      else {
+        val nBlocks = n / blockSize + 2
+        val span = total - blockSize + 1
+        val out = Array.newBuilder[(Long, Int, Double)]
+        var lnScale = 0.0
+        var prevLast = 0.0
+        var b = 0
+        while (b < nBlocks) {
+          val s0 = ((b.toLong * stride) % span).toInt
+          val first = ps(s0)
+          val d = if (b == 0) 0.0 else math.log(prevLast) - math.log(first)
+          lnScale += d
+          var pos = 0
+          while (pos < blockSize) {
+            val rn = b * blockSize + pos
+            if (rn < n)
+              out += ((sid, rn, math.exp(math.log(ps(s0 + pos)) + lnScale)))
+            pos += 1
+          }
+          prevLast = ps(s0 + blockSize - 1)
+          b += 1
+        }
+        out.result().iterator
+      }
+    }
+
+    // after the window, partitions are hash-clustered on the series key
+    // and sorted (sid, orderCols) — grouping CONSECUTIVE runs in
+    // mapPartitions costs no second exchange, where groupByKey's opaque
+    // lambda key would re-shuffle data Catalyst already co-located
+    // (asserted in PlanAuditSpec). Memory is bounded by one series.
+    indexed.as[(Long, Int, Double)].mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[(Long, Int, Double)] {
+        private var out: Iterator[(Long, Int, Double)] = Iterator.empty
+        private def advance(): Unit =
+          while (!out.hasNext && it.hasNext) {
+            val sid = it.head._1
+            val ps = Array.newBuilder[Double]
+            while (it.hasNext && it.head._1 == sid) ps += it.next()._3
+            out = chainOne(sid, ps.result())
+          }
+        def hasNext: Boolean = { advance(); out.hasNext }
+        def next(): (Long, Int, Double) = { advance(); out.next() }
+      }
+    }.toDF(seriesCol, "rn", "typical_price")
+  }
+
   /** Deterministic variant: block b starts at (b·stride) mod
     * (total − blockSize + 1). Exercises the identical block/rescale
     * chain with zero RNG, so the whole output is oracle-checkable SQL —

@@ -83,6 +83,56 @@ object Grasynda {
     * deterministic stage of [[fit]] (same edges, same digitize, same
     * counts), emitted distributed so the DuckDB oracle can verify the
     * whole fit without touching the seeded walk. */
+  /** PER-SERIES grouped twin of [[fitFrame]]: every stage keys on the
+    * series column (per-series quantile edges as an array aggregate,
+    * in-plan digitize against the per-series interior array, keyed
+    * transition counts / pools / start probs), so ONE hash shuffle on
+    * the series key carries the whole fit — the many-series shape for
+    * fitting millions of independent series in one pass at 100 TB.
+    * Oracle-gated by g02b. */
+  def fitFrameGrouped(returns: DataFrame, seriesCol: String,
+                      orderCols: Seq[String], value: String,
+                      nBins: Int = 10): DataFrame = {
+    val v = col(value).cast("double")
+    val data = returns.filter(v.isNotNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(seriesCol)).orderBy(orderCols.map(col): _*)))
+      .select(col(seriesCol).cast("long").as("sid"), col("rn"), v.as("v"))
+    val probs = (0 to nBins).map(i => i.toDouble / nBins)
+    // per-series interior quantile edges (dedup + sort in-plan; the
+    // slice length is clamped — a constant series has one distinct edge)
+    val edges = data.groupBy(col("sid"))
+      .agg(expr(s"percentile(v, array(${probs.mkString(",")}))").as("es"))
+      .select(col("sid"), expr(
+        "slice(array_sort(array_distinct(es)), 2, " +
+          "greatest(size(array_distinct(es)) - 2, 0))").as("interior"))
+    val stated = data.join(edges, "sid")
+      .withColumn("state", size(filter(col("interior"), e => e <= col("v"))))
+    val w = Window.partitionBy(col("sid")).orderBy(col("rn"))
+    val trans = stated
+      .withColumn("next_state", lead(col("state"), 1).over(w))
+      .filter(col("next_state").isNotNull)
+      .groupBy(col("sid"), col("state"), col("next_state"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prob",
+        round(col("cnt").cast("double")
+          / sum(col("cnt")).over(
+            Window.partitionBy(col("sid"), col("state"))), 6))
+    val poolStats = stated.groupBy(col("sid"), col("state")).agg(
+      count(lit(1)).as("pool_n"),
+      round(avg(col("v")), 8).as("pool_mean"),
+      round(stddev_pop(col("v")), 8).as("pool_std"))
+    val starts = poolStats.select(col("sid"), col("state"),
+      round(col("pool_n").cast("double")
+        / sum(col("pool_n")).over(Window.partitionBy(col("sid"))), 6)
+        .as("start_prob"))
+    trans.join(poolStats, Seq("sid", "state")).join(starts, Seq("sid", "state"))
+      .select(col("sid").as("user_id"), col("state"), col("next_state"),
+        col("cnt"), col("prob"), col("pool_n"), col("pool_mean"),
+        col("pool_std"), col("start_prob"))
+      .orderBy(col("user_id"), col("state"), col("next_state"))
+  }
+
   def fitFrame(returns: DataFrame, orderCols: Seq[String], value: String,
                nBins: Int = 10): DataFrame = {
     val v = col(value).cast("double")

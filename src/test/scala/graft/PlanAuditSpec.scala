@@ -65,6 +65,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "IVF probe should be a keyed join")
   }
 
+  test("g01b per-series chain reuses one hash shuffle on the series key") {
+    val p = plan("g01b_block_chain_per_user")
+    // the window's Exchange on user_id is the ONLY data-sized hash
+    // shuffle — the consecutive-run mapPartitions grouping must not
+    // re-shuffle what the window already co-located. (AQE plan strings
+    // repeat the tree under "== Initial Plan ==" — count the final
+    // section only.)
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("g02b per-series fit keys every stage on the series column") {
+    val p = plan("g02b_grasynda_fit_per_user")
+    assert(!p.contains("CartesianProduct"))
+    // no global (empty-key) data-sized window: every window/agg carries sid
+    assert(!"Window .*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined,
+      "found an un-partitioned window in the per-series fit")
+  }
+
   test("q14 exact ECDF has no un-partitioned data-sized window") {
     // the cumulative scan must run per range partition — a global
     // ordered window over the distinct support dies on continuous
