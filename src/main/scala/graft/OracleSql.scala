@@ -469,6 +469,191 @@ object OracleSql {
        |ORDER BY net, layer, o, i""".stripMargin
   }
 
+  /** g08t: ONE phase-2 supervised TimeGAN step
+    * ([[graft.train.TimeGanTrainer.supervisedStep]] — frozen-embedder
+    * forward, supervisor GRU forward, L1 next-step loss grad,
+    * full BPTT through the supervisor GRU + sigmoid head, and the t=1
+    * Adam update for all 11 parameter tensors) over the literal
+    * [[graft.WitnessFixtures.G08t]] nets and window. Same single-row
+    * MATERIALIZED CTE discipline as g07t; every accumulation preserves
+    * the Scala loop order (head grads t-ascending, BPTT grads
+    * t-DESCENDING, dhPrev's base + dRh·r + per-gate o-interleaved
+    * terms). */
+  private def g08tSql: String = {
+    val fx = graft.WitnessFixtures.G08t
+    val (emb, sup) = fx.nets()
+    val h = fx.H; val tn = fx.T
+    val eg = emb.grus.head; val ehd = emb.head
+    val sg = sup.grus.head; val shd = sup.head
+    val lr = "(0.001::DOUBLE)"; val eps = "1.0E-8"
+    val scale = (1.0 / (1 * (tn - 1) * h)).toString
+    val c1 = (1.0 - math.pow(0.9, 1)).toString
+    val c2 = (1.0 - math.pow(0.999, 1)).toString
+    val b1c = (1 - 0.9).toString
+    val b2c = (1 - 0.999).toString
+    def dl(x: Double) = s"($x::DOUBLE)"
+    def sig(x: String) = s"1.0/(1.0 + exp(-($x)))"
+    val hsI = 0 until h
+    def fl(xs: Seq[String]) = xs.mkString("[", ",\n     ", "]")
+    def nst(rows: Seq[Seq[String]]) =
+      rows.map(_.mkString("[", ",\n      ", "]")).mkString("[", ",\n     ", "]")
+    def e1(c: String, i: Int) = s"$c[${i + 1}]"
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    var prev = "p0"
+    ctes += "p0 AS MATERIALIZED (SELECT 1 AS one)"
+    def add(cols: (String, String)*): Unit = {
+      val name = s"p${ctes.length}"
+      ctes += s"$name AS MATERIALIZED (SELECT *, " +
+        cols.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ") + s" FROM $prev)"
+      prev = name
+    }
+    /** Σ_j w(i)(j)·x_j with the 0-started left-assoc mv() fold. */
+    def mv(w: Array[Array[Double]], i: Int, xf: Int => String) =
+      w(i).indices.map(j => s"${dl(w(i)(j))}*${xf(j)}").mkString(" + ")
+
+    // GRU forward over one sequence: emits z/r/rh/c/h columns per t.
+    // in(t, j) gives the input element, hp(t, j) the previous hidden.
+    def gruFwd(tag: String, g: graft.train.TimeGanTrainer.TGru,
+               in: (Int, Int) => String): Unit = {
+      for (t <- 0 until tn) {
+        def hp(j: Int) = if (t == 0) "0.0" else e1(s"${tag}h${t - 1}", j)
+        add(s"${tag}z$t" -> fl(hsI.map(i => sig(
+          s"${mv(g.wz.v, i, j => in(t, j))} + (${mv(g.uz.v, i, hp)}) + ${dl(g.bz.v(i)(0))}"))))
+        add(s"${tag}r$t" -> fl(hsI.map(i => sig(
+          s"${mv(g.wr.v, i, j => in(t, j))} + (${mv(g.ur.v, i, hp)}) + ${dl(g.br.v(i)(0))}"))))
+        add(s"${tag}rh$t" -> fl(hsI.map(i =>
+          s"${e1(s"${tag}r$t", i)}*${hp(i)}")))
+        add(s"${tag}c$t" -> fl(hsI.map(i => tanhSql(
+          s"${mv(g.wh.v, i, j => in(t, j))} + (${mv(g.uh.v, i, j => e1(s"${tag}rh$t", j))}) + ${dl(g.bh.v(i)(0))}"))))
+        add(s"${tag}h$t" -> fl(hsI.map(i =>
+          s"(1.0 - ${e1(s"${tag}z$t", i)})*${hp(i)} + ${e1(s"${tag}z$t", i)}*${e1(s"${tag}c$t", i)}")))
+      }
+    }
+    // sigmoid head per t over the given hidden columns
+    def headFwd(tag: String, hd: graft.train.TimeGanTrainer.THead,
+                hCol: Int => String): Unit =
+      for (t <- 0 until tn)
+        add(s"${tag}o$t" -> fl(hsI.map(o => sig(
+          (Seq(dl(hd.b.v(o)(0))) ++
+            hd.w.v(o).indices.map(i => s"${dl(hd.w.v(o)(i))}*${e1(hCol(t), i)}"))
+            .mkString(" + ")))))
+
+    // ── embedder forward (frozen) over the literal window ──
+    gruFwd("e", eg, (t, _) => dl(fx.X(t)(0)))
+    headFwd("e", ehd, t => s"eh$t")
+    // ── supervisor forward over the embedder head outputs ──
+    gruFwd("s", sg, (t, j) => e1(s"eo$t", j))
+    headFwd("s", shd, t => s"sh$t")
+    // ── L1 next-step loss grad wrt hHat (zero at the last step) ──
+    for (t <- 0 until tn)
+      add(s"gh$t" -> fl(hsI.map(j =>
+        if (t == tn - 1) "0.0::DOUBLE"
+        else s"sign(${e1(s"so$t", j)} - ${e1(s"eo${t + 1}", j)})*${dl(scale.toDouble)}")))
+    // ── head backward (t ASCENDING accumulation) ──
+    for (t <- 0 until tn)
+      add(s"hdd$t" -> fl(hsI.map(o =>
+        s"${e1(s"gh$t", o)}*${e1(s"so$t", o)}*(1.0 - ${e1(s"so$t", o)})")))
+    add(
+      "hwg" -> nst(hsI.map(o => hsI.map(i =>
+        (0 until tn).map(t => s"${e1(s"hdd$t", o)}*${e1(s"sh$t", i)}").mkString(" + ")))),
+      "hbg" -> fl(hsI.map(o =>
+        (0 until tn).map(t => e1(s"hdd$t", o)).mkString(" + "))))
+    for (t <- 0 until tn)
+      add(s"dH$t" -> fl(hsI.map(i =>
+        hsI.map(o => s"${e1(s"hdd$t", o)}*${dl(shd.w.v(o)(i))}").mkString(" + "))))
+    // ── BPTT t = T−1 .. 0 ──
+    add(s"carry$tn" -> fl(hsI.map(_ => "0.0::DOUBLE")))
+    for (t <- tn - 1 to 0 by -1) {
+      def hp(j: Int) = if (t == 0) "0.0" else e1(s"sh${t - 1}", j)
+      add(s"dall$t" -> fl(hsI.map(i =>
+        s"${e1(s"dH$t", i)} + ${e1(s"carry${t + 1}", i)}")))
+      add(
+        s"dz$t" -> fl(hsI.map(i =>
+          s"${e1(s"dall$t", i)}*(${e1(s"sc$t", i)} - ${hp(i)})")),
+        s"dc$t" -> fl(hsI.map(i =>
+          s"${e1(s"dall$t", i)}*${e1(s"sz$t", i)}")))
+      add(s"dac$t" -> fl(hsI.map(i =>
+        s"${e1(s"dc$t", i)}*(1.0 - ${e1(s"sc$t", i)}*${e1(s"sc$t", i)})")))
+      add(s"dRh$t" -> fl(hsI.map(i =>
+        hsI.map(o => s"${e1(s"dac$t", o)}*${dl(sg.uh.v(o)(i))}").mkString(" + "))))
+      add(s"dr$t" -> fl(hsI.map(i =>
+        s"${e1(s"dRh$t", i)}*${hp(i)}")))
+      add(
+        s"daz$t" -> fl(hsI.map(i =>
+          s"${e1(s"dz$t", i)}*${e1(s"sz$t", i)}*(1.0 - ${e1(s"sz$t", i)})")),
+        s"dar$t" -> fl(hsI.map(i =>
+          s"${e1(s"dr$t", i)}*${e1(s"sr$t", i)}*(1.0 - ${e1(s"sr$t", i)})")))
+      // dhPrev: base + dRh·r + per-gate o-interleaved uz/ur terms
+      add(s"carry$t" -> fl(hsI.map(i =>
+        (Seq(s"${e1(s"dall$t", i)}*(1.0 - ${e1(s"sz$t", i)})",
+          s"${e1(s"dRh$t", i)}*${e1(s"sr$t", i)}") ++
+          hsI.flatMap(o => Seq(
+            s"${e1(s"daz$t", o)}*${dl(sg.uz.v(o)(i))}",
+            s"${e1(s"dar$t", o)}*${dl(sg.ur.v(o)(i))}")))
+          .mkString(" + "))))
+    }
+    // ── GRU gradients (t-DESCENDING accumulation, the BPTT order) ──
+    val tsDesc = (tn - 1) to 0 by -1
+    def hpRef(t: Int, j: Int) = if (t == 0) "0.0" else e1(s"sh${t - 1}", j)
+    add(
+      "gwz" -> nst(hsI.map(o => hsI.map(i =>
+        tsDesc.map(t => s"${e1(s"daz$t", o)}*${e1(s"eo$t", i)}").mkString(" + ")))),
+      "gwr" -> nst(hsI.map(o => hsI.map(i =>
+        tsDesc.map(t => s"${e1(s"dar$t", o)}*${e1(s"eo$t", i)}").mkString(" + ")))),
+      "gwh" -> nst(hsI.map(o => hsI.map(i =>
+        tsDesc.map(t => s"${e1(s"dac$t", o)}*${e1(s"eo$t", i)}").mkString(" + ")))),
+      "guz" -> nst(hsI.map(o => hsI.map(i =>
+        tsDesc.map(t => s"${e1(s"daz$t", o)}*${hpRef(t, i)}").mkString(" + ")))),
+      "gur" -> nst(hsI.map(o => hsI.map(i =>
+        tsDesc.map(t => s"${e1(s"dar$t", o)}*${hpRef(t, i)}").mkString(" + ")))),
+      "guh" -> nst(hsI.map(o => hsI.map(i =>
+        tsDesc.map(t =>
+          s"${e1(s"dac$t", o)}*(${e1(s"sr$t", i)}*${hpRef(t, i)})").mkString(" + ")))),
+      "gbz" -> fl(hsI.map(o =>
+        tsDesc.map(t => e1(s"daz$t", o)).mkString(" + "))),
+      "gbr" -> fl(hsI.map(o =>
+        tsDesc.map(t => e1(s"dar$t", o)).mkString(" + "))),
+      "gbh" -> fl(hsI.map(o =>
+        tsDesc.map(t => e1(s"dac$t", o)).mkString(" + "))))
+    // ── Adam t=1 (β₁=0.9) over all 11 supervisor tensors ──
+    def adam8(v0: Double, g: String) = {
+      val m = s"(0.9*0.0 + $b1c*($g))"
+      val v = s"(0.999*0.0 + $b2c*($g)*($g))"
+      s"(${dl(v0)} - $lr*(($m)/($c1))/(sqrt(($v)/($c2)) + $eps))"
+    }
+    def upW(p: Array[Array[Double]], gRef: String) =
+      nst(p.indices.map(o => p(o).indices.map(i =>
+        adam8(p(o)(i), s"$gRef[${o + 1}][${i + 1}]"))))
+    def upB(p: Array[Array[Double]], gRef: String) =
+      fl(p.indices.map(o => adam8(p(o)(0), s"$gRef[${o + 1}]")))
+    add(
+      "uwz" -> upW(sg.wz.v, "gwz"), "uuz" -> upW(sg.uz.v, "guz"),
+      "ubz" -> upB(sg.bz.v, "gbz"),
+      "uwr" -> upW(sg.wr.v, "gwr"), "uur" -> upW(sg.ur.v, "gur"),
+      "ubr" -> upB(sg.br.v, "gbr"),
+      "uwh" -> upW(sg.wh.v, "gwh"), "uuh" -> upW(sg.uh.v, "guh"),
+      "ubh" -> upB(sg.bh.v, "gbh"),
+      "uhw" -> upW(shd.w.v, "hwg"), "uhb" -> upB(shd.b.v, "hbg"))
+    // ── unpivot (param, o, i, v, dv) ──
+    val mats = Seq(
+      ("wz", sg.wz.v, "uwz"), ("uz", sg.uz.v, "uuz"), ("bz", sg.bz.v, "ubz"),
+      ("wr", sg.wr.v, "uwr"), ("ur", sg.ur.v, "uur"), ("br", sg.br.v, "ubr"),
+      ("wh", sg.wh.v, "uwh"), ("uh", sg.uh.v, "uuh"), ("bh", sg.bh.v, "ubh"),
+      ("head_w", shd.w.v, "uhw"), ("head_b", shd.b.v, "uhb"))
+    val outRows = mats.flatMap { case (nm, p, ref) =>
+      for (o <- p.indices; i <- p(o).indices) yield {
+        val r = if (p(o).length == 1) s"$ref[${o + 1}]"
+                else s"$ref[${o + 1}][${i + 1}]"
+        s"SELECT '$nm' AS param, $o AS o, $i AS i, " +
+          s"round($r, 8) + 0.0 AS v, " +
+          s"round($r - ${dl(p(o)(i))}, 10) + 0.0 AS dv FROM $prev"
+      }
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |${outRows.mkString("\nUNION ALL\n")}
+       |ORDER BY param, o, i""".stripMargin
+  }
+
   /** tanh as exp arithmetic (this DuckDB build ships no tanh built-in):
     * 1 − 2/(e²ˣ+1) — monotone-safe at both tails (overflow → ±1), and
     * within ~2 ulp of Math.tanh over the bounded pre-activations here
@@ -2212,6 +2397,8 @@ object OracleSql {
     "g04t_hmm_em_step" -> g04tSql,
 
     "g07t_gan_train_step" -> g07tSql,
+
+    "g08t_timegan_sup_step" -> g08tSql,
 
     // G2 per-series: the g01f strided block/rescale chain replayed
     // PARTITION BY user (series < blockSize rows are skipped, the

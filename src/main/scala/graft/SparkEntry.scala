@@ -803,6 +803,35 @@ object SparkEntry {
         .orderBy(col("net"), col("layer"), col("o"), col("i"))
     }),
 
+    // ── G8 TRAINING witness: exactly ONE phase-2 supervised step
+    //    (frozen-embedder forward, supervisor GRU BPTT + sigmoid head,
+    //    t=1 Adam — TimeGanTrainer.supervisedStep, the loop body of
+    //    timegan_generator.py's supervised phase) from the literal
+    //    WitnessFixtures.G08t nets/window; the oracle replays the whole
+    //    backward pass in SQL ───────────────────────────────────────────
+    "g08t_timegan_sup_step" -> ((s, dir) => {
+      import s.implicits._
+      val fx = WitnessFixtures.G08t
+      val (embedder, supervisor) = fx.nets()
+      val sg = supervisor.grus.head
+      val named = Seq(
+        "wz" -> sg.wz, "uz" -> sg.uz, "bz" -> sg.bz,
+        "wr" -> sg.wr, "ur" -> sg.ur, "br" -> sg.br,
+        "wh" -> sg.wh, "uh" -> sg.uh, "bh" -> sg.bh,
+        "head_w" -> supervisor.head.w, "head_b" -> supervisor.head.b)
+      val snap = named.map { case (n, p) => n -> p.v.map(_.clone()) }.toMap
+      graft.train.TimeGanTrainer.supervisedStep(embedder, supervisor,
+        Seq(fx.X), lr = 1e-3, adamT = 1)
+      val rows = named.flatMap { case (n, p) =>
+        for (o <- 0 until p.rows; i <- 0 until p.cols)
+          yield (n, o, i, p.v(o)(i), p.v(o)(i) - snap(n)(o)(i))
+      }
+      rows.toDF("param", "o", "i", "raw", "draw")
+        .select(col("param"), col("o"), col("i"),
+          round(col("raw"), 8).as("v"), round(col("draw"), 10).as("dv"))
+        .orderBy(col("param"), col("o"), col("i"))
+    }),
+
     // ── C7 witness: spectral distance over the DISTRIBUTED DFT path
     //    (Spectral.powerSpectrum — the at-scale leg; FFT ≡ DFT is
     //    property-tested). Two 64-point windows of the global return

@@ -119,6 +119,30 @@ object WitnessFixtures {
     }
   }
 
+  /** Tiny TimeGAN pair (hidden 3, window 4, 1 GRU layer) + a literal
+    * input window for the g08t ONE-SUPERVISED-STEP witness
+    * ([[graft.train.TimeGanTrainer.supervisedStep]] vs a full SQL
+    * replay of the frozen-embedder forward, the supervisor GRU BPTT
+    * and the t=1 Adam update). `nets()` constructs FRESH nets per call
+    * in a fixed order from one seeded stream. */
+  object G08t {
+    import graft.train.TimeGanTrainer.{TGru, THead, TNet}
+    val H = 3; val T = 4
+    def nets(): (TNet, TNet) = {
+      val rnd = new scala.util.Random(41L)
+      val embedder = new TNet(new TGru(1, H, rnd),
+        new THead(H, H, sigmoid = true, rnd))
+      val supervisor = new TNet(new TGru(H, H, rnd),
+        new THead(H, H, sigmoid = true, rnd))
+      (embedder, supervisor)
+    }
+    /** One [0,1]-scaled window (the min-max-normalized input domain). */
+    val X: Array[Array[Double]] = {
+      val r = new scala.util.Random(43L)
+      Array.fill(T)(Array(r.nextDouble()))
+    }
+  }
+
   /** Literal 3-state diagonal-Gaussian HMM init for the g04t ONE-EM-STEP
     * witness ([[graft.gen.Hmm.emStep]] vs a DuckDB recursive-CTE replay
     * of the scaled forward-backward + M-step over the same 200-row

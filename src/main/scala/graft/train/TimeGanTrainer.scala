@@ -297,6 +297,50 @@ object TimeGanTrainer {
     trainOnWindows(windows, dataMin, dataRange, cfg)
   }
 
+  /** Supervised loss: mean |h[1:] − hHat[:−1]| and its grad wrt hHat
+    * (timegan_generator.py's G_loss_S twin). */
+  private def supLoss(hSeq: Array[Array[Double]], hHat: Array[Array[Double]],
+                      scale: Double, h: Int): (Double, Array[Array[Double]]) = {
+    val t0 = hSeq.length
+    var s = 0.0
+    val g = Array.ofDim[Double](t0, h)
+    var t = 0
+    while (t < t0 - 1) {
+      var j = 0
+      while (j < h) {
+        val d = hHat(t)(j) - hSeq(t + 1)(j)
+        s += math.abs(d)
+        g(t)(j) = math.signum(d) * scale
+        j += 1
+      }
+      t += 1
+    }
+    (s / ((t0 - 1) * h), g)
+  }
+
+  /** One phase-2 supervised batch step (embedder FROZEN): forward both
+    * nets per window, L1 next-step loss, supervisor BPTT, one Adam
+    * update — the exact loop body of the supervised phase
+    * (timegan_generator.py:372-417's twin). Returns the batch loss sum.
+    * Oracle-witnessed by g08t. */
+  def supervisedStep(embedder: TNet, supervisor: TNet,
+                     batch: Seq[Array[Array[Double]]], lr: Double,
+                     adamT: Int): Double = {
+    val h = supervisor.head.inDim
+    supervisor.zero()
+    var lossSum = 0.0
+    batch.foreach { xi =>
+      val hOut = embedder.forward(xi)._2
+      val (cs, hHat) = supervisor.forward(hOut)
+      val (l, gH) = supLoss(hOut, hHat,
+        1.0 / (batch.size * (xi.length - 1) * h), h)
+      lossSum += l
+      supervisor.backward(cs, hHat, gH)
+    }
+    supervisor.adam(lr, adamT)
+    lossSum
+  }
+
   def trainOnWindows(windows: Array[Array[Double]], dataMin: Double,
                      dataRange: Double, cfg: Config): Result = {
     require(windows.length >= 4, s"need >= 4 windows, got ${windows.length}")
@@ -371,45 +415,18 @@ object TimeGanTrainer {
 
     // ── phase 2: supervised (embedder frozen) ────────────────────────
     best = Double.MaxValue; wait = 0; epoch = 0
-    def supLoss(hSeq: Array[Array[Double]], hHat: Array[Array[Double]],
-                scale: Double): (Double, Array[Array[Double]]) = {
-      // mean |h[1:] - hHat[:-1]|, grad wrt hHat
-      val t0 = hSeq.length
-      var s = 0.0
-      val g = Array.ofDim[Double](t0, h)
-      var t = 0
-      while (t < t0 - 1) {
-        var j = 0
-        while (j < h) {
-          val d = hHat(t)(j) - hSeq(t + 1)(j)
-          s += math.abs(d)
-          g(t)(j) = math.signum(d) * scale
-          j += 1
-        }
-        t += 1
-      }
-      (s / ((t0 - 1) * h), g)
-    }
     while (epoch < cfg.epochsSup && wait < cfg.patience) {
       val order = rnd.shuffle(x.indices.toVector)
       var lossSum = 0.0
       order.grouped(cfg.batchSize).foreach { batch =>
         adamT += 1
-        supervisor.zero()
-        batch.foreach { i =>
-          val hOut = embedder.forward(x(i))._2
-          val (cs, hHat) = supervisor.forward(hOut)
-          val (l, gH) = supLoss(hOut, hHat,
-            1.0 / (batch.size * (x(i).length - 1) * h))
-          lossSum += l
-          supervisor.backward(cs, hHat, gH)
-        }
-        supervisor.adam(cfg.learningRate, adamT)
+        lossSum += supervisedStep(embedder, supervisor,
+          batch.map(x), cfg.learningRate, adamT)
       }
       val valLoss = xVal.map { xv =>
         val hOut = embedder.forward(xv)._2
         val hHat = supervisor.forward(hOut)._2
-        supLoss(hOut, hHat, 0.0)._1
+        supLoss(hOut, hHat, 0.0, h)._1
       }.sum / xVal.length
       supLosses += valLoss
       if (valLoss < best - cfg.minDelta) { best = valLoss; wait = 0 } else wait += 1
@@ -497,7 +514,7 @@ object TimeGanTrainer {
           val hOut = embedder.forward(x(i))._2
           val (cs2, hHat2) = supervisor.forward(hOut)
           val (_, gH) = supLoss(hOut, hHat2,
-            10.0 / (batch.size * (t0 - 1) * h))
+            10.0 / (batch.size * (t0 - 1) * h), h)
           supervisor.backward(cs2, hHat2, gH)
         }
         generator.adam(cfg.learningRate, adamT)
