@@ -96,8 +96,16 @@ object Cli {
       case "regime_conditional" | "regime_hmm_garch" =>
         RegimeConditional.generate(spark, ModelIO.loadRegime(cfg.str("model")), seed, n, p0)
       case "block_bootstrap" =>
-        BlockBootstrap.generate(loadInput(spark, cfg), Order, Price,
-          cfg.int("block_size"), n, seed)
+        // --series_col <col>: fit + generate PER SERIES in one shuffle
+        // (beyond-reference many-series mode; per-series seed = seed+sid)
+        cfg.strOpt("series_col") match {
+          case Some(sc) =>
+            BlockBootstrap.generateGrouped(loadInput(spark, cfg), sc,
+              Order, Price, cfg.int("block_size"), n, seed)
+          case None =>
+            BlockBootstrap.generate(loadInput(spark, cfg), Order, Price,
+              cfg.int("block_size"), n, seed)
+        }
       case "regime_bootstrap" =>
         val m = RegimeBootstrap.fit(loadInput(spark, cfg), Order, Price,
           cfg.int("n_regimes"))
@@ -127,7 +135,9 @@ object Cli {
     val withTs = if (out.columns.contains("DATE_TIME")) out
       else out.withColumn("DATE_TIME", timestamp_seconds(
         lit(1577836800L) + col("rn") * (cfg.int("interval_hours") * 3600)))
-    CsvIO.saveCsv(withTs.select(col("DATE_TIME"), col(Price)), cfg.str("output"))
+    val outCols = cfg.strOpt("series_col").filter(withTs.columns.contains)
+      .map(col).toSeq ++ Seq(col("DATE_TIME"), col(Price))
+    CsvIO.saveCsv(withTs.select(outCols: _*), cfg.str("output"))
     System.err.println(s"[graft] generated $n rows -> ${cfg.str("output")}")
   }
 

@@ -104,7 +104,28 @@ object BlockBootstrap {
   def generateStridedGrouped(prices: DataFrame, seriesCol: String,
                              orderCols: Seq[String], value: String,
                              blockSize: Int, n: Int,
-                             stride: Int = 523): DataFrame = {
+                             stride: Int = 523): DataFrame =
+    grouped(prices, seriesCol, orderCols, value, blockSize, n,
+      (_, span) => b => ((b.toLong * stride) % span).toInt)
+
+  /** Seeded per-series grouped generation: each series draws its own
+    * block starts from `Random(seed + sid)` (deterministic per
+    * (seed, series) — the many-series twin of [[generate]]'s
+    * contract: same seed ⇒ identical output, different seed ⇒
+    * different). Same one-shuffle plan as [[generateStridedGrouped]]. */
+  def generateGrouped(prices: DataFrame, seriesCol: String,
+                      orderCols: Seq[String], value: String,
+                      blockSize: Int, n: Int, seed: Long): DataFrame =
+    grouped(prices, seriesCol, orderCols, value, blockSize, n,
+      (sid, span) => {
+        val rnd = new scala.util.Random(seed + sid)
+        _ => rnd.nextInt(span)
+      })
+
+  private def grouped(prices: DataFrame, seriesCol: String,
+                      orderCols: Seq[String], value: String,
+                      blockSize: Int, n: Int,
+                      startsOf: (Long, Int) => Int => Int): DataFrame = {
     val spark = prices.sparkSession
     import spark.implicits._
     val spec = graft.series.SeriesSpec(Seq(seriesCol), orderCols)
@@ -119,20 +140,27 @@ object BlockBootstrap {
       else {
         val nBlocks = n / blockSize + 2
         val span = total - blockSize + 1
+        val nextStart = startsOf(sid, span)
         val out = Array.newBuilder[(Long, Int, Double)]
         var lnScale = 0.0
         var prevLast = 0.0
         var b = 0
+        // StrictMath, not math.*: Catalyst's Log/Exp expressions codegen
+        // to StrictMath, so the per-series chain is BIT-identical to the
+        // distributed chainBlocks plan (asserted in GeneratorSpec)
         while (b < nBlocks) {
-          val s0 = ((b.toLong * stride) % span).toInt
+          val s0 = nextStart(b)
           val first = ps(s0)
-          val d = if (b == 0) 0.0 else math.log(prevLast) - math.log(first)
+          val d =
+            if (b == 0) 0.0
+            else StrictMath.log(prevLast) - StrictMath.log(first)
           lnScale += d
           var pos = 0
           while (pos < blockSize) {
             val rn = b * blockSize + pos
             if (rn < n)
-              out += ((sid, rn, math.exp(math.log(ps(s0 + pos)) + lnScale)))
+              out += ((sid, rn,
+                StrictMath.exp(StrictMath.log(ps(s0 + pos)) + lnScale)))
             pos += 1
           }
           prevLast = ps(s0 + blockSize - 1)

@@ -24,9 +24,14 @@ import graft.stats.Mmd
   * series × many configs, each a driver-bounded fit like this one.
   *
   * Deviations from the reference (documented, not hidden):
-  *  - no dropout in the discriminator (regularization-only; keeps the
-  *    backward pass exact and the run deterministic);
-  *  - no L2 kernel regularizers (same reason);
+  *  - discriminator dropout and the l2_reg kernel regularizers are
+  *    OFF by default (TrainConfig.discDropout / l2Reg) so the seeded
+  *    stream backing the oracle witnesses is unchanged; enabling them
+  *    reproduces the reference's Dropout(0.3)-after-each-lrelu and
+  *    hidden-kernel l2 exactly, with SEEDED masks — still
+  *    deterministic (VaeTrainerSpec);
+  *  - L2 contributes only in the VAE step (the reference's combined
+  *    models also re-add it in the adversarial steps);
   *  - Adam without the reference's Keras epsilon-inside-sqrt variant
   *    (standard Adam, ε outside).
   *
@@ -118,6 +123,17 @@ object VaeTrainer {
       }
     }
 
+    /** Keras kernel_regularizer l2 twin: adds dλΣw²/dw = 2λw to the
+      * KERNEL grads (biases unregularized, matching Keras). */
+    def addL2(lambda: Double): Unit = {
+      var o = 0
+      while (o < outDim) {
+        var i = 0
+        while (i < inDim) { gW(o)(i) += 2.0 * lambda * w(o)(i); i += 1 }
+        o += 1
+      }
+    }
+
     /** Adam update from accumulated grads; `t` is the 1-based step. */
     def adam(lr: Double, t: Int, b1: Double = 0.9, b2: Double = 0.999,
              eps: Double = 1e-8): Unit = {
@@ -164,7 +180,14 @@ object VaeTrainer {
       startFromEpoch: Int = 15,
       minDelta: Double = 1e-7,
       maxWindows: Int = 20000,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      // reference-parity regularization (vae_gan_trainer.py:99-124:
+      // Dropout(0.3) after each disc lrelu, l2(l2_reg) on the hidden
+      // Dense kernels — output heads unregularized). Defaults OFF so
+      // the seeded stream (and every witness) is unchanged; when on,
+      // masks draw from the same seeded RNG — still deterministic.
+      discDropout: Double = 0.0,
+      l2Reg: Double = 0.0)
 
   final case class TrainResult(decoder: MlpDecoder,
                                epochMetrics: Vector[Map[String, Double]])
@@ -245,27 +268,48 @@ object VaeTrainer {
     val genLayers = Seq(dec1, dec2)
     val discLayers = Seq(d1, d2, d3)
 
-    /** Forward through the disc; o3 holds the LOGIT, prob = sigmoid(o3). */
-    def discForward(x: Array[Array[Double]]) = {
+    // seeded inverted dropout (Keras Dropout twin): keep with prob
+    // 1−p, scale kept units by 1/(1−p); masks draw from the main
+    // seeded stream so runs stay deterministic
+    val dropP = cfg.discDropout
+    def dropMask(n: Int, dim: Int): Array[Array[Double]] =
+      if (dropP <= 0) null
+      else Array.fill(n, dim)(
+        if (rnd.nextDouble() < dropP) 0.0 else 1.0 / (1.0 - dropP))
+    def masked(a: Array[Array[Double]], m: Array[Array[Double]]): Array[Array[Double]] =
+      if (m == null) a
+      else Array.tabulate(a.length, a(0).length)((r, j) => a(r)(j) * m(r)(j))
+
+    /** Forward through the disc; o3 holds the LOGIT, prob = sigmoid(o3).
+      * With dropout, the MASKED activations ride in the out slots —
+      * safe because every disc layer is lrelu/linear, whose dphi reads
+      * only the pre-activation. */
+    def discForward(x: Array[Array[Double]],
+                    m1: Array[Array[Double]] = null,
+                    m2: Array[Array[Double]] = null) = {
       val (p1, o1) = d1.forward(x)
-      val (p2, o2) = d2.forward(o1)
-      val (p3, o3) = d3.forward(o2)
-      (p1, o1, p2, o2, p3, o3)
+      val o1m = masked(o1, m1)
+      val (p2, o2) = d2.forward(o1m)
+      val o2m = masked(o2, m2)
+      val (p3, o3) = d3.forward(o2m)
+      (p1, o1m, p2, o2m, p3, o3)
     }
     def sigm(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
     /** Fused sigmoid+BCE gradient: dL/dlogit = (σ(logit) − target)·scale/n.
       * Backprops the disc (accumulating its grads) and returns dL/dx
-      * for the generator leg. */
+      * for the generator leg. Masks (if any) must be the forward's. */
     def discBackward(x: Array[Array[Double]],
                      f: (Array[Array[Double]], Array[Array[Double]], Array[Array[Double]],
                          Array[Array[Double]], Array[Array[Double]], Array[Array[Double]]),
-                     target: Double, scale: Double): Array[Array[Double]] = {
+                     target: Double, scale: Double,
+                     m1: Array[Array[Double]] = null,
+                     m2: Array[Array[Double]] = null): Array[Array[Double]] = {
       val (p1, o1, p2, o2, p3, o3) = f
       val n = x.length
       val gLogit = Array.tabulate(n, 1)((r, _) =>
         (sigm(o3(r)(0)) - target) * scale / n)
-      val g2 = d3.backward(o2, p3, o3, gLogit)
-      val g1 = d2.backward(o1, p2, o2, g2)
+      val g2 = masked(d3.backward(o2, p3, o3, gLogit), m2)
+      val g1 = masked(d2.backward(o1, p2, o2, g2), m1)
       d1.backward(x, p1, o1, g1)
     }
 
@@ -364,6 +408,10 @@ object VaeTrainer {
         val gHe1b = encLv.backward(heCat, plv, lv, gLv)
         val gHe1 = Array.tabulate(n, cfg.hidden)((a, c) => gHe1a(a)(c) + gHe1b(a)(c))
         enc1.backward(batch, pe1, he1, gHe1)
+        // l2(l2_reg) on the HIDDEN Dense kernels only (the reference's
+        // enc_dense_*/dec_dense_* carry kernel_regularizer; the mu/lv
+        // and output heads do not)
+        if (cfg.l2Reg > 0) { enc1.addL2(cfg.l2Reg); dec1.addL2(cfg.l2Reg) }
         vaeLayers.foreach(_.adam(cfg.learningRate, adamT))
 
         var dL = 0.0; var gL = 0.0
@@ -373,16 +421,18 @@ object VaeTrainer {
           discLayers.foreach(_.zeroGrad())
           val noise1 = Array.fill(n, ld)(rnd.nextGaussian())
           val fake1 = dec2.forward(dec1.forward(cat(noise1, tBatch))._2)._2
-          val fR = discForward(cat(batch, tBatch))
-          val fF = discForward(cat(fake1, tBatch))
+          val mR1 = dropMask(n, 64); val mR2 = dropMask(n, 32)
+          val fR = discForward(cat(batch, tBatch), mR1, mR2)
+          val mF1 = dropMask(n, 64); val mF2 = dropMask(n, 32)
+          val fF = discForward(cat(fake1, tBatch), mF1, mF2)
           def bce(p: Double, t: Double): Double = {
             val c = math.max(1e-7, math.min(1 - 1e-7, p))
             -(t * math.log(c) + (1 - t) * math.log(1 - c))
           }
           dL = (batch.indices.map(i => bce(sigm(fR._6(i)(0)), 1.0)).sum / n +
             batch.indices.map(i => bce(sigm(fF._6(i)(0)), 0.0)).sum / n) / 2.0
-          discBackward(cat(batch, tBatch), fR, 1.0, 0.5)
-          discBackward(cat(fake1, tBatch), fF, 0.0, 0.5)
+          discBackward(cat(batch, tBatch), fR, 1.0, 0.5, mR1, mR2)
+          discBackward(cat(fake1, tBatch), fF, 0.0, 0.5, mF1, mF2)
           discLayers.foreach(_.adam(cfg.discriminatorLr, adamT))
 
           // ── generator adversarial step ── (disc frozen)
@@ -391,11 +441,13 @@ object VaeTrainer {
           val noise2Cat = cat(noise2, tBatch)
           val (pg1, hg1) = dec1.forward(noise2Cat)
           val (pg2, fake2) = dec2.forward(hg1)
-          val fF2 = discForward(cat(fake2, tBatch))
+          val mG1 = dropMask(n, 64); val mG2 = dropMask(n, 32)
+          val fF2 = discForward(cat(fake2, tBatch), mG1, mG2)
           gL = batch.indices.map(i => bce(sigm(fF2._6(i)(0)), 1.0)).sum / n
           // dL/dfake through the (frozen) disc: save+restore disc grads
           discLayers.foreach(_.zeroGrad())
-          val gFake = head(discBackward(cat(fake2, tBatch), fF2, 1.0, 1.0), ws)
+          val gFake = head(
+            discBackward(cat(fake2, tBatch), fF2, 1.0, 1.0, mG1, mG2), ws)
           discLayers.foreach(_.zeroGrad()) // discard disc grads (frozen)
           val gHg1 = dec2.backward(hg1, pg2, fake2, gFake)
           dec1.backward(noise2Cat, pg1, hg1, gHg1)

@@ -27,6 +27,67 @@ class GeneratorSpec extends AnyFunSuite {
     assert(a.forall(_ > 0))
   }
 
+  test("per-series grouped block chain == global strided chain on one series") {
+    val s = spark
+    import s.implicits._
+    val prices = SparkSpec.randomWalk(400)
+      .withColumn("user_id", lit(7L))
+    val grouped = BlockBootstrap.generateStridedGrouped(prices, "user_id",
+        Seq("DATE_TIME"), "typical_price", blockSize = 30, n = 200)
+      .orderBy("rn").select("rn", "typical_price").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    val global = BlockBootstrap.generateStrided(
+        prices.drop("user_id"), Seq("DATE_TIME"), "typical_price",
+        blockSize = 30, n = 200)
+      .orderBy("rn").select("rn", "typical_price").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(grouped.length === 200)
+    // bit-identical: the grouped per-series chain is the same telescoped
+    // rescale arithmetic (ln last − ln first cumsum), so a single-series
+    // table must reproduce the distributed global path exactly
+    assert(grouped === global)
+    // a too-short series is skipped, not an error
+    val short = BlockBootstrap.generateStridedGrouped(
+      SparkSpec.randomWalk(10).withColumn("user_id", lit(1L)),
+      "user_id", Seq("DATE_TIME"), "typical_price", blockSize = 30, n = 60)
+    assert(short.count() === 0)
+  }
+
+  test("seeded per-series grouped generation: deterministic, series independent") {
+    val s = spark
+    import s.implicits._
+    val two = SparkSpec.randomWalk(400).withColumn("user_id", lit(1L))
+      .union(SparkSpec.randomWalk(400, seed = 9L).withColumn("user_id", lit(2L)))
+    def gen(seed: Long) = BlockBootstrap.generateGrouped(two, "user_id",
+        Seq("DATE_TIME"), "typical_price", blockSize = 30, n = 120, seed)
+      .orderBy("user_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val a = gen(42); val b = gen(42); val c = gen(43)
+    assert(a.length === 240)
+    assert(a === b, "same seed must give identical per-series output")
+    assert(a !== c, "different seed must differ")
+    assert(a.filter(_._1 == 1L).map(_._3) !== a.filter(_._1 == 2L).map(_._3),
+      "each series draws its own block starts (seed + sid)")
+  }
+
+  test("per-series grouped grasynda fit == global fit frame on one series") {
+    val s = spark
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy("DATE_TIME")
+    val rets = SparkSpec.randomWalk(500)
+      .withColumn("user_id", lit(3L))
+      .withColumn("ret",
+        col("typical_price") - lag(col("typical_price"), 1).over(w))
+      .filter(col("ret").isNotNull)
+    val grouped = Grasynda.fitFrameGrouped(rets, "user_id",
+        Seq("DATE_TIME"), "ret").drop("user_id")
+      .collect().map(_.toSeq).toSet
+    val global = Grasynda.fitFrame(rets, Seq("DATE_TIME"), "ret")
+      .collect().map(_.toSeq).toSet
+    assert(grouped.nonEmpty)
+    assert(grouped === global)
+  }
+
   test("G3 grasynda: fit on returns, deterministic generation") {
     val prices = SparkSpec.randomWalk(400)
     val rets = SeriesOps.logReturns(prices, spec, "typical_price", "ret")

@@ -35,6 +35,25 @@ class RegimeSpec extends AnyFunSuite {
     assert(m.transition(0)(0) > 0.8 && m.transition(1)(1) > 0.8)
   }
 
+  test("EM steps never decrease the log-likelihood (Baum-Welch invariant)") {
+    val rnd = new scala.util.Random(5)
+    val xs = Array.fill(300)(Array(rnd.nextGaussian() +
+      (if (rnd.nextBoolean()) 1.5 else -1.5), rnd.nextGaussian() * 0.3))
+    var model = Hmm.quantileInit(xs, 3)
+    var prevLl = Double.NegativeInfinity
+    for (_ <- 0 until 12) {
+      val (next, ll) = Hmm.emStep(xs, model)
+      // emStep returns the likelihood of the INPUT params — each
+      // update must improve (or hold) it
+      assert(ll >= prevLl - 1e-9, s"EM decreased the likelihood: $prevLl -> $ll")
+      prevLl = ll
+      model = next
+    }
+    // posterior rows stay stochastic through the updates
+    model.transition.foreach(r => assert(math.abs(r.sum - 1.0) < 1e-9))
+    assert(math.abs(model.startProbs.sum - 1.0) < 1e-9)
+  }
+
   test("G6 regime bootstrap: deterministic, n rows, positive prices") {
     val prices = SparkSpec.randomWalk(500)
     val model = RegimeBootstrap.fit(prices, Seq("DATE_TIME"), "typical_price", 3)

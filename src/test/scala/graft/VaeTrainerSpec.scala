@@ -58,6 +58,35 @@ class VaeTrainerSpec extends AnyFunSuite {
       c.decoder.weights.flatten.flatten.toSeq)
   }
 
+  test("seeded dropout + L2 parity: deterministic, and L2 shrinks kernels") {
+    val w = sineWindows(128, 16)
+    val cfg = TrainConfig(windowSize = 16, latentDim = 4, hidden = 32,
+      epochs = 3, batchSize = 32, adversarial = true,
+      startFromEpoch = 100, seed = 7L,
+      discDropout = 0.3, l2Reg = 0.01)
+    // same seed + regularization on => bit-identical runs (masks come
+    // from the seeded stream, the reference-parity contract)
+    val a = VaeTrainer.trainOnWindows(w, cfg)
+    val b = VaeTrainer.trainOnWindows(w, cfg)
+    assert(a.decoder.weights.flatten.flatten.toSeq ==
+      b.decoder.weights.flatten.flatten.toSeq)
+    assert(a.epochMetrics.forall(_.values.forall(v => !v.isNaN && !v.isInfinite)))
+    // regularization changes the trajectory vs the plain run
+    val plain = VaeTrainer.trainOnWindows(w,
+      cfg.copy(discDropout = 0.0, l2Reg = 0.0))
+    assert(a.decoder.weights.flatten.flatten.toSeq !=
+      plain.decoder.weights.flatten.flatten.toSeq)
+    // a heavy L2 penalty must shrink the decoder hidden kernel norm
+    val heavy = VaeTrainer.trainOnWindows(w,
+      cfg.copy(discDropout = 0.0, l2Reg = 0.5, epochs = 10))
+    val base = VaeTrainer.trainOnWindows(w,
+      cfg.copy(discDropout = 0.0, l2Reg = 0.0, epochs = 10))
+    def norm(ws2: Array[Array[Double]]) =
+      math.sqrt(ws2.flatten.map(x => x * x).sum)
+    assert(norm(heavy.decoder.weights(0)) < norm(base.decoder.weights(0)),
+      "L2-regularized hidden kernel should have smaller norm")
+  }
+
   test("end-to-end: Spark window prep -> train -> artifact -> G1 generation") {
     val prices = SparkSpec.randomWalk(600, seed = 9)
     val r = VaeTrainer.train(prices, Seq("DATE_TIME"), "typical_price",

@@ -33,11 +33,22 @@ def main():
     bench = json.load(open(bpath))
     # the driver artifact wraps the Bench JSON line: {n, rc, sf, tail,
     # parsed} — take `parsed` when present, else dig the line out of tail
+    partial = False
     if "metric" not in bench:
         parsed = bench.get("parsed")
         if not parsed:
             m = re.search(r'\{"metric".*\}', bench.get("tail", ""))
-            parsed = json.loads(m.group(0)) if m else {}
+            if m:
+                parsed = json.loads(m.group(0))
+            else:
+                # truncated tail (no complete JSON line): salvage the
+                # "name":seconds pairs that survived; totals are partial
+                pairs = re.findall(r'"([a-z0-9_]+)":([0-9.]+)',
+                                   bench.get("tail", ""))
+                parsed = {"queries": {k: float(v) for k, v in pairs
+                                      if k not in ("value", "sf")},
+                          "sf": bench.get("sf"), "value": None}
+                partial = True
         bench = parsed if isinstance(parsed, dict) else json.loads(parsed)
 
     # ── correctness ──
@@ -82,7 +93,9 @@ ScalaTest cross-check; see COVERAGE.md for the operator mapping.
 **DO NOT EDIT — regenerate with `python3 tools/gen_docs.py`.**
 
 Driver round {rnd} bench (`graft.Bench`, sf={bench.get('sf')},
-local[32]): **{total:.2f} s total** across {len(qtimes)} queries.
+local[32]): **{f"{total:.2f} s total" if total is not None else
+  "total lost to driver-side tail truncation (per-query times below are the salvaged subset)"}**
+across {len(qtimes)} queries{" (partial)" if partial else ""}.
 
 Slowest queries this round:
 
@@ -107,7 +120,8 @@ partitioned: chunked halo-replicated supervised windows, label-
 partitioned return lags, agg+broadcast totals.
 """)
     print(f"wrote COVERAGE_GATE.md + BENCH_NOTES.md from round {rnd} artifacts "
-          f"({n_pass} pass / {n_fail} fail / {n_none} rows-only; {total:.2f}s)")
+          f"({n_pass} pass / {n_fail} fail / {n_none} rows-only; "
+          f"{f'{total:.2f}s' if total is not None else 'partial bench'})")
 
 
 if __name__ == "__main__":
