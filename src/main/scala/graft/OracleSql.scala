@@ -2400,6 +2400,86 @@ object OracleSql {
 
     "g08t_timegan_sup_step" -> g08tSql,
 
+    // PER-SERIES DistributionEvaluator core: the q30f pipeline replayed
+    // PARTITION BY user with the even/odd event_id split — per-user JS
+    // (100 bins over the per-user combined support, +1e-10 smoothing,
+    // renormalize), per-user exact Wasserstein over the value support,
+    // per-(user, half) moments + lag-1/5/10 autocorrs
+    "q30b_dist_per_user" ->
+      """WITH u0 AS (SELECT user_id::BIGINT AS sid, (event_id % 2 = 0) AS is_real,
+        |              ts, event_id,
+        |              ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |                OVER (PARTITION BY user_id, (event_id % 2 = 0)
+        |                      ORDER BY ts, event_id) AS ret
+        |            FROM events),
+        |ur AS (SELECT sid, is_real, ts, event_id, ret FROM u0 WHERE ret IS NOT NULL),
+        |rng AS (SELECT sid, min(ret) AS lo, max(ret) AS hi FROM ur GROUP BY sid),
+        |cb AS (SELECT u.sid, least(floor((ret - lo)/(hi - lo)*100), 99)::INT AS bucket,
+        |         sum(CASE WHEN is_real THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN is_real THEN 0 ELSE 1 END) AS cb_
+        |       FROM ur u JOIN rng r ON r.sid = u.sid GROUP BY 1, 2),
+        |bins AS (SELECT sid, unnest(generate_series(0,99)) AS bucket FROM rng),
+        |h AS (SELECT b.sid, b.bucket, coalesce(ca,0)::BIGINT AS ca,
+        |        coalesce(cb_,0)::BIGINT AS cb_
+        |      FROM bins b LEFT JOIN cb ON cb.sid = b.sid AND cb.bucket = b.bucket),
+        |sm AS (SELECT sid, ca::DOUBLE / sum(ca) OVER (PARTITION BY sid) + 1e-10 AS pa_raw,
+        |         cb_::DOUBLE / sum(cb_) OVER (PARTITION BY sid) + 1e-10 AS pb_raw FROM h),
+        |pp AS (SELECT sid, pa_raw / sum(pa_raw) OVER (PARTITION BY sid) AS pa,
+        |         pb_raw / sum(pb_raw) OVER (PARTITION BY sid) AS pb FROM sm),
+        |klv AS (SELECT sid, sum(pa*ln(pa/((pa+pb)/2)))*0.5
+        |             + sum(pb*ln(pb/((pa+pb)/2)))*0.5 AS kl FROM pp GROUP BY sid),
+        |pv AS (SELECT sid, ret AS v, sum(CASE WHEN is_real THEN 1 ELSE 0 END) AS na,
+        |         sum(CASE WHEN is_real THEN 0 ELSE 1 END) AS nb
+        |       FROM ur GROUP BY sid, ret),
+        |ec AS (SELECT sid,
+        |         sum(na) OVER wr::DOUBLE / sum(na) OVER (PARTITION BY sid) AS fa,
+        |         sum(nb) OVER wr::DOUBLE / sum(nb) OVER (PARTITION BY sid) AS fb,
+        |         lead(v) OVER (PARTITION BY sid ORDER BY v) - v AS dx
+        |       FROM pv
+        |       WINDOW wr AS (PARTITION BY sid ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |wv AS (SELECT sid, sum(CASE WHEN dx IS NOT NULL
+        |         THEN abs(fa - fb)*dx ELSE 0.0 END) AS wass
+        |       FROM ec GROUP BY sid),
+        |mo AS (SELECT sid, max(CASE WHEN is_real THEN mean END) AS rm,
+        |              max(CASE WHEN NOT is_real THEN mean END) AS sme,
+        |              max(CASE WHEN is_real THEN std END) AS rs,
+        |              max(CASE WHEN NOT is_real THEN std END) AS ss
+        |       FROM (SELECT sid, is_real, avg(ret) AS mean, stddev_pop(ret) AS std
+        |             FROM ur GROUP BY sid, is_real) x GROUP BY sid),
+        |lg AS (SELECT sid, is_real, ret, lag(ret,1) OVER wl AS l1,
+        |         lag(ret,5) OVER wl AS l5, lag(ret,10) OVER wl AS l10
+        |       FROM ur WINDOW wl AS (PARTITION BY sid, is_real ORDER BY ts, event_id)),
+        |ac0 AS (SELECT sid, is_real, coalesce(corr(ret,l1),0.0) AS ac1,
+        |          coalesce(corr(ret,l5),0.0) AS ac5, coalesce(corr(ret,l10),0.0) AS ac10
+        |        FROM lg GROUP BY sid, is_real),
+        |ac AS (SELECT sid, max(CASE WHEN is_real THEN ac1 END) AS rac1,
+        |              max(CASE WHEN NOT is_real THEN ac1 END) AS sac1,
+        |              max(CASE WHEN is_real THEN ac5 END) AS rac5,
+        |              max(CASE WHEN NOT is_real THEN ac5 END) AS sac5,
+        |              max(CASE WHEN is_real THEN ac10 END) AS rac10,
+        |              max(CASE WHEN NOT is_real THEN ac10 END) AS sac10
+        |       FROM ac0 GROUP BY sid)
+        |SELECT k.sid AS user_id,
+        |  round(kl,8) + 0.0 AS kl_divergence,
+        |  round(wass,6) + 0.0 AS wasserstein_distance,
+        |  round(rm,8) + 0.0 AS real_return_mean,
+        |  round(sme,8) + 0.0 AS synthetic_return_mean,
+        |  round(rs,8) + 0.0 AS real_return_std,
+        |  round(ss,8) + 0.0 AS synthetic_return_std,
+        |  round(rac1,6) + 0.0 AS real_autocorr_lag1,
+        |  round(sac1,6) + 0.0 AS synthetic_autocorr_lag1,
+        |  round(rac5,6) + 0.0 AS real_autocorr_lag5,
+        |  round(sac5,6) + 0.0 AS synthetic_autocorr_lag5,
+        |  round(rac10,6) + 0.0 AS real_autocorr_lag10,
+        |  round(sac10,6) + 0.0 AS synthetic_autocorr_lag10,
+        |  round(kl + 0.1*wass + abs(rs - ss), 6) + 0.0 AS quality_score
+        |FROM klv k
+        |JOIN wv ON wv.sid = k.sid
+        |JOIN mo ON mo.sid = k.sid
+        |JOIN ac ON ac.sid = k.sid
+        |ORDER BY user_id""".stripMargin,
+
     // G2 per-series: the g01f strided block/rescale chain replayed
     // PARTITION BY user (series < blockSize rows are skipped, the
     // too-short contract); n=200, blockSize=30 ⇒ blocks 0..7

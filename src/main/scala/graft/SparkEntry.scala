@@ -922,6 +922,33 @@ object SparkEntry {
         .orderBy(col("avg_js_div"), col("generator"))
     }),
 
+    // ── PER-SERIES DistributionEvaluator core: one metric record per
+    //    user (real = even event_ids, synth = odd — a non-empty split
+    //    within every series at every SF); every stage keyed on the
+    //    series — the million-series evaluation shape ──────────────────
+    "q30b_dist_per_user" -> ((s, dir) => {
+      val e = ev(s, dir)
+      graft.eval.DistributionEvaluator.evaluateGrouped(
+          e.filter(col("event_id") % 2 === 0),
+          e.filter(col("event_id") % 2 === 1),
+          "user_id", Seq("ts", "event_id"), "value")
+        .select(col("user_id"),
+          round(col("kl_divergence"), 8).as("kl_divergence"),
+          round(col("wasserstein_distance"), 6).as("wasserstein_distance"),
+          round(col("real_return_mean"), 8).as("real_return_mean"),
+          round(col("synthetic_return_mean"), 8).as("synthetic_return_mean"),
+          round(col("real_return_std"), 8).as("real_return_std"),
+          round(col("synthetic_return_std"), 8).as("synthetic_return_std"),
+          round(col("real_autocorr_lag1"), 6).as("real_autocorr_lag1"),
+          round(col("synthetic_autocorr_lag1"), 6).as("synthetic_autocorr_lag1"),
+          round(col("real_autocorr_lag5"), 6).as("real_autocorr_lag5"),
+          round(col("synthetic_autocorr_lag5"), 6).as("synthetic_autocorr_lag5"),
+          round(col("real_autocorr_lag10"), 6).as("real_autocorr_lag10"),
+          round(col("synthetic_autocorr_lag10"), 6).as("synthetic_autocorr_lag10"),
+          round(col("quality_score"), 6).as("quality_score"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── DistributionEvaluator deterministic core (everything except the
     //    driver-side ADF leg, which q30 carries), oracle-checkable ─────
     "q30f_dist_core" -> ((s, dir) => {

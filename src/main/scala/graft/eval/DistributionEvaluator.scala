@@ -24,6 +24,67 @@ import graft.stats.Divergence
   */
 object DistributionEvaluator {
 
+  /** PER-SERIES twin of [[evaluate]]'s deterministic core: one metric
+    * record per `seriesCol` value (series present in either table;
+    * metrics involving a missing side go null-driven like the
+    * reference's degenerate cases). Every stage — returns, per-key
+    * JS²/Wasserstein/KS ([[Divergence.histJsdGrouped]] /
+    * [[Divergence.ecdfStatsGrouped]]), moments, autocorrs — is keyed
+    * hash aggregation over (series, label): the shape that scores
+    * millions of real-vs-synthetic series pairs in one pass at 100 TB.
+    * No ADF leg (that is [[evaluate]]'s driver-side C5 path). */
+  def evaluateGrouped(real: DataFrame, synth: DataFrame, seriesCol: String,
+                      orderCols: Seq[String], price: String): DataFrame = {
+    def labeled(df: DataFrame, lab: String): DataFrame =
+      df.select((col(seriesCol).as("_k") +: lit(lab).as("lab") +:
+        col(price).cast("double").as("_p") +: orderCols.map(col)): _*)
+    val labSpec = SeriesSpec(Seq("_k", "lab"), orderCols)
+    val u = SeriesOps.logReturns(
+        labeled(real, "real").unionByName(labeled(synth, "synth")),
+        labSpec, "_p", "ret")
+      .filter(col("ret").isNotNull)
+      .select((col("_k") +: col("lab") +: col("ret") +: orderCols.map(col)): _*)
+      .persist()
+
+    val kl = Divergence.histJsdGrouped(u, "ret", col("lab"), "real", "synth",
+        100, "_k")
+      .select(col("_k"), col("kl_divergence"))
+    val wass = Divergence.ecdfStatsGrouped(u, "ret", col("lab"), "real",
+        "synth", "_k")
+      .select(col("_k"), col("wasserstein").as("wasserstein_distance"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_k"), col("lab")).orderBy(orderCols.map(col): _*)
+    val lagged = u
+      .withColumn("l1", lag(col("ret"), 1).over(w))
+      .withColumn("l5", lag(col("ret"), 5).over(w))
+      .withColumn("l10", lag(col("ret"), 10).over(w))
+      .groupBy(col("_k"), col("lab")).agg(
+        avg(col("ret")).as("mean"),
+        stddev_pop(col("ret")).as("std"),
+        coalesce(corr(col("ret"), col("l1")), lit(0.0)).as("ac1"),
+        coalesce(corr(col("ret"), col("l5")), lit(0.0)).as("ac5"),
+        coalesce(corr(col("ret"), col("l10")), lit(0.0)).as("ac10"))
+    val pivoted = lagged.groupBy(col("_k")).agg(
+      max(when(col("lab") === "real", col("mean"))).as("real_return_mean"),
+      max(when(col("lab") === "synth", col("mean"))).as("synthetic_return_mean"),
+      max(when(col("lab") === "real", col("std"))).as("real_return_std"),
+      max(when(col("lab") === "synth", col("std"))).as("synthetic_return_std"),
+      max(when(col("lab") === "real", col("ac1"))).as("real_autocorr_lag1"),
+      max(when(col("lab") === "synth", col("ac1"))).as("synthetic_autocorr_lag1"),
+      max(when(col("lab") === "real", col("ac5"))).as("real_autocorr_lag5"),
+      max(when(col("lab") === "synth", col("ac5"))).as("synthetic_autocorr_lag5"),
+      max(when(col("lab") === "real", col("ac10"))).as("real_autocorr_lag10"),
+      max(when(col("lab") === "synth", col("ac10"))).as("synthetic_autocorr_lag10"))
+
+    val out = kl.join(wass, "_k").join(pivoted, "_k")
+      .withColumn("quality_score",
+        col("kl_divergence") + lit(0.1) * col("wasserstein_distance") +
+          abs(col("real_return_std") - col("synthetic_return_std")))
+      .withColumnRenamed("_k", seriesCol)
+    out
+  }
+
   /** `withAdf=true` runs the real ADF (graft.stats.Adf — C5) over the
     * collected bounded return series; short series keep the reference's
     * −1.0 "unavailable" sentinel. */

@@ -69,6 +69,80 @@ object Divergence {
       .withColumn("js_divergence", sqrt(col("kl_divergence")))
   }
 
+  /** PER-KEY twin of [[histJsd]]: one JS²/JS row per `key` value, with
+    * per-key combined min..max support. Everything stays keyed hash
+    * aggregation + broadcast-sized joins — the many-series evaluation
+    * shape (millions of series scored in one pass at 100 TB). */
+  def histJsdGrouped(df: DataFrame, value: String, label: Column,
+                     a: String, b: String, nBins: Int,
+                     key: String): DataFrame = {
+    val v = col(value).cast("double")
+    val two = df.filter(label.isin(a, b))
+      .select(col(key).as("_k"), v.as("v"), label.as("lab"))
+    val ranges = two.groupBy(col("_k"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val counts = two.join(ranges, "_k")
+      .withColumn("bucket", Histogram.bucketCol(col("v"), col("lo"), col("hi"), nBins))
+      .filter(col("bucket").isNotNull)
+      .groupBy(col("_k"), col("bucket"))
+      .agg(
+        sum(when(col("lab") === a, 1).otherwise(0)).as("ca"),
+        sum(when(col("lab") === b, 1).otherwise(0)).as("cb"))
+    // every key × bin participates in smoothing (np.histogram emits 0s)
+    val allBins = ranges.select(col("_k"),
+      explode(sequence(lit(0), lit(nBins - 1))).as("bucket"))
+    val hist = allBins.join(counts, Seq("_k", "bucket"), "left")
+      .select(col("_k"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val eps = 1e-10
+    val totals = hist.groupBy(col("_k"))
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val raw = hist.join(totals, "_k")
+      .withColumn("pa_raw", col("ca") / col("ta") + eps)
+      .withColumn("pb_raw", col("cb") / col("tb") + eps)
+    val rawTotals = raw.groupBy(col("_k"))
+      .agg(sum(col("pa_raw")).as("tpa"), sum(col("pb_raw")).as("tpb"))
+    val smoothed = raw.join(rawTotals, "_k")
+      .withColumn("pa", col("pa_raw") / col("tpa"))
+      .withColumn("pb", col("pb_raw") / col("tpb"))
+      .withColumn("m", (col("pa") + col("pb")) / 2)
+    smoothed.groupBy(col("_k")).agg(
+      (sum(col("pa") * log(col("pa") / col("m"))) * 0.5 +
+        sum(col("pb") * log(col("pb") / col("m"))) * 0.5).as("kl_divergence"))
+      .withColumn("js_divergence", sqrt(col("kl_divergence")))
+      .withColumnRenamed("_k", key)
+  }
+
+  /** PER-KEY twin of [[ecdfStats]]: (key, wasserstein, ks_stat) per key.
+    * Each key's distinct support is bounded (one series), so the
+    * cumulative scan partitions on the key itself — no range
+    * partitioning machinery needed, and no global window anywhere. */
+  def ecdfStatsGrouped(df: DataFrame, value: String, label: Column,
+                       a: String, b: String, key: String): DataFrame = {
+    val v = col(value).cast("double")
+    val perValue = df.filter(label.isin(a, b))
+      .select(col(key).as("_k"), v.as("v"), label.as("lab"))
+      .groupBy(col("_k"), col("v"))
+      .agg(
+        sum(when(col("lab") === a, 1).otherwise(0)).as("na"),
+        sum(when(col("lab") === b, 1).otherwise(0)).as("nb"))
+    val totals = perValue.groupBy(col("_k"))
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val wIn = Window.partitionBy(col("_k")).orderBy(col("v"))
+    val run = wIn.rowsBetween(Window.unboundedPreceding, 0)
+    val ecdf = perValue.join(totals, "_k")
+      .withColumn("fa", sum(col("na")).over(run) / col("ta"))
+      .withColumn("fb", sum(col("nb")).over(run) / col("tb"))
+      .withColumn("dx", lead(col("v"), 1).over(wIn) - col("v"))
+      .withColumn("gap", abs(col("fa") - col("fb")))
+    ecdf.groupBy(col("_k")).agg(
+      sum(when(col("dx").isNotNull, col("gap") * col("dx")).otherwise(0.0))
+        .as("wasserstein"),
+      max(col("gap")).as("ks_stat"))
+      .withColumnRenamed("_k", key)
+  }
+
   /** C3+C4 in one pass: exact 1-D Wasserstein-1 distance (∫|Fa−Fb| dx
     * over the union support — scipy.stats.wasserstein_distance semantics)
     * and the Kolmogorov–Smirnov statistic max|Fa−Fb|.

@@ -31,6 +31,28 @@ class EvalSpec extends AnyFunSuite {
     assert(row.getAs[Double]("kl_divergence") < 0.2)
   }
 
+  test("per-series evaluator on one series == global deterministic core") {
+    import org.apache.spark.sql.functions._
+    val a = SparkSpec.randomWalk(400, seed = 1).withColumn("uid", lit(9L))
+    val b = SparkSpec.randomWalk(400, seed = 2).withColumn("uid", lit(9L))
+    val grouped = DistributionEvaluator.evaluateGrouped(a, b, "uid",
+      Seq("DATE_TIME"), "typical_price").first()
+    val global = DistributionEvaluator.evaluate(
+      a.drop("uid"), b.drop("uid"), Seq("DATE_TIME"), "typical_price",
+      withAdf = false).first()
+    val keys = Seq("kl_divergence", "wasserstein_distance",
+      "real_return_mean", "synthetic_return_mean", "real_return_std",
+      "synthetic_return_std", "real_autocorr_lag1",
+      "synthetic_autocorr_lag1", "real_autocorr_lag5",
+      "synthetic_autocorr_lag5", "real_autocorr_lag10",
+      "synthetic_autocorr_lag10", "quality_score")
+    keys.foreach { k =>
+      val g = grouped.getAs[Double](k); val e = global.getAs[Double](k)
+      assert(math.abs(g - e) <= math.max(1e-12, math.abs(e) * 1e-12),
+        s"$k: grouped=$g global=$e")
+    }
+  }
+
   test("composite metric: identical series scores ~0; different walks score worse") {
     val a = SparkSpec.randomWalk(300, seed = 5)
     val (sSame, dSame) = CompositeMetric.score(a, a, Seq("DATE_TIME"), "typical_price")

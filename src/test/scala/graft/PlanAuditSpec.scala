@@ -86,6 +86,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "found an un-partitioned window in the per-series fit")
   }
 
+  test("q30b per-series evaluator keys every window on the series") {
+    val p = plan("q30b_dist_per_user")
+    assert(!p.contains("CartesianProduct"))
+    // every cumulative/lag window must carry the series key — a global
+    // window here would funnel all series into one partition
+    assert(!"Window .*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined,
+      "found an un-partitioned window in the per-series evaluator")
+  }
+
   test("q14 exact ECDF has no un-partitioned data-sized window") {
     // the cumulative scan must run per range partition — a global
     // ordered window over the distinct support dies on continuous
