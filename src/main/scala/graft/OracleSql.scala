@@ -2400,6 +2400,92 @@ object OracleSql {
 
     "g08t_timegan_sup_step" -> g08tSql,
 
+    // PER-SERIES composite core: the q31f component set PARTITION BY
+    // user over the even/odd event split — per-user 99-bin unsquared
+    // JS, per-user KS, ratio-dev autocorrs (1/5/24), |ret| vol
+    // clustering, manual two-pass population skew/kurt diffs, std ratio
+    "q31b_composite_per_user" ->
+      """WITH u0 AS (SELECT user_id::BIGINT AS sid, (event_id % 2 = 0) AS is_real,
+        |              ts, event_id,
+        |              ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |                OVER (PARTITION BY user_id, (event_id % 2 = 0)
+        |                      ORDER BY ts, event_id) AS ret
+        |            FROM events),
+        |ur AS (SELECT sid, is_real, ts, event_id, ret FROM u0 WHERE ret IS NOT NULL),
+        |rng AS (SELECT sid, min(ret) AS lo, max(ret) AS hi FROM ur GROUP BY sid),
+        |cb AS (SELECT u.sid, least(floor((ret - lo)/(hi - lo)*99), 98)::INT AS bucket,
+        |         sum(CASE WHEN is_real THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN is_real THEN 0 ELSE 1 END) AS cb_
+        |       FROM ur u JOIN rng r ON r.sid = u.sid GROUP BY 1, 2),
+        |bins AS (SELECT sid, unnest(generate_series(0,98)) AS bucket FROM rng),
+        |h AS (SELECT b.sid, b.bucket, coalesce(ca,0)::BIGINT AS ca,
+        |        coalesce(cb_,0)::BIGINT AS cb_
+        |      FROM bins b LEFT JOIN cb ON cb.sid = b.sid AND cb.bucket = b.bucket),
+        |sm AS (SELECT sid, ca::DOUBLE / sum(ca) OVER (PARTITION BY sid) + 1e-10 AS pa_raw,
+        |         cb_::DOUBLE / sum(cb_) OVER (PARTITION BY sid) + 1e-10 AS pb_raw FROM h),
+        |pp AS (SELECT sid, pa_raw / sum(pa_raw) OVER (PARTITION BY sid) AS pa,
+        |         pb_raw / sum(pb_raw) OVER (PARTITION BY sid) AS pb FROM sm),
+        |jsv AS (SELECT sid, sqrt(sum(pa*ln(pa/((pa+pb)/2)))*0.5
+        |             + sum(pb*ln(pb/((pa+pb)/2)))*0.5) AS js FROM pp GROUP BY sid),
+        |pv AS (SELECT sid, ret AS v, sum(CASE WHEN is_real THEN 1 ELSE 0 END) AS na,
+        |         sum(CASE WHEN is_real THEN 0 ELSE 1 END) AS nb
+        |       FROM ur GROUP BY sid, ret),
+        |ec AS (SELECT sid,
+        |         sum(na) OVER wr::DOUBLE / sum(na) OVER (PARTITION BY sid) AS fa,
+        |         sum(nb) OVER wr::DOUBLE / sum(nb) OVER (PARTITION BY sid) AS fb
+        |       FROM pv
+        |       WINDOW wr AS (PARTITION BY sid ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |kv AS (SELECT sid, max(abs(fa - fb)) AS ks FROM ec GROUP BY sid),
+        |lg AS (SELECT sid, is_real, ret, lag(ret,1) OVER wl AS l1,
+        |         lag(ret,5) OVER wl AS l5, lag(ret,24) OVER wl AS l24
+        |       FROM ur WINDOW wl AS (PARTITION BY sid, is_real ORDER BY ts, event_id)),
+        |ac0 AS (SELECT sid, is_real, coalesce(corr(ret,l1),0.0) AS ac1,
+        |          coalesce(corr(ret,l5),0.0) AS ac5, coalesce(corr(ret,l24),0.0) AS ac24,
+        |          coalesce(corr(abs(ret),abs(l1)),0.0) AS vc,
+        |          avg(ret) AS mean, stddev_pop(ret) AS std
+        |        FROM lg GROUP BY sid, is_real),
+        |zk AS (SELECT l.sid, l.is_real,
+        |         avg(pow((l.ret - a.mean)/a.std, 3)) AS skew,
+        |         avg(pow((l.ret - a.mean)/a.std, 4)) AS kurt_raw
+        |       FROM ur l JOIN ac0 a ON a.sid = l.sid AND a.is_real = l.is_real
+        |       GROUP BY l.sid, l.is_real),
+        |fin AS (SELECT a.sid,
+        |    max(CASE WHEN a.is_real THEN a.ac1 END) AS rac1,
+        |    max(CASE WHEN NOT a.is_real THEN a.ac1 END) AS sac1,
+        |    max(CASE WHEN a.is_real THEN a.ac5 END) AS rac5,
+        |    max(CASE WHEN NOT a.is_real THEN a.ac5 END) AS sac5,
+        |    max(CASE WHEN a.is_real THEN a.ac24 END) AS rac24,
+        |    max(CASE WHEN NOT a.is_real THEN a.ac24 END) AS sac24,
+        |    max(CASE WHEN a.is_real THEN a.vc END) AS rvc,
+        |    max(CASE WHEN NOT a.is_real THEN a.vc END) AS svc,
+        |    max(CASE WHEN a.is_real THEN a.std END) AS rstd,
+        |    max(CASE WHEN NOT a.is_real THEN a.std END) AS sstd,
+        |    max(CASE WHEN z.is_real THEN z.skew END) AS rskew,
+        |    max(CASE WHEN NOT z.is_real THEN z.skew END) AS sskew,
+        |    max(CASE WHEN z.is_real THEN z.kurt_raw END) AS rkurt,
+        |    max(CASE WHEN NOT z.is_real THEN z.kurt_raw END) AS skurt
+        |  FROM ac0 a JOIN zk z ON z.sid = a.sid AND z.is_real = a.is_real
+        |  GROUP BY a.sid)
+        |SELECT f.sid AS user_id,
+        |  round(j.js, 8) + 0.0 AS js_divergence,
+        |  round(k.ks, 8) + 0.0 AS ks_statistic,
+        |  round(CASE WHEN abs(rac1) > 1e-6 THEN abs(sac1/rac1 - 1.0)
+        |        ELSE abs(sac1) END, 6) + 0.0 AS ac_lag1,
+        |  round(CASE WHEN abs(rac5) > 1e-6 THEN abs(sac5/rac5 - 1.0)
+        |        ELSE abs(sac5) END, 6) + 0.0 AS ac_lag5,
+        |  round(CASE WHEN abs(rac24) > 1e-6 THEN abs(sac24/rac24 - 1.0)
+        |        ELSE abs(sac24) END, 6) + 0.0 AS ac_lag24,
+        |  round(CASE WHEN abs(rvc) > 1e-6 THEN abs(svc/rvc - 1.0)
+        |        ELSE abs(svc) END, 6) + 0.0 AS vol_cluster,
+        |  round(abs(sskew - rskew), 6) + 0.0 AS skew_diff,
+        |  round(abs(skurt - rkurt)/greatest(rkurt, 1.0), 6) + 0.0 AS kurt_diff,
+        |  round(abs(sstd/rstd - 1.0), 6) + 0.0 AS std_ratio
+        |FROM fin f
+        |JOIN jsv j ON j.sid = f.sid
+        |JOIN kv k ON k.sid = f.sid
+        |ORDER BY user_id""".stripMargin,
+
     // PER-SERIES DistributionEvaluator core: the q30f pipeline replayed
     // PARTITION BY user with the even/odd event_id split — per-user JS
     // (100 bins over the per-user combined support, +1e-10 smoothing,

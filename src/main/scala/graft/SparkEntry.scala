@@ -922,6 +922,27 @@ object SparkEntry {
         .orderBy(col("avg_js_div"), col("generator"))
     }),
 
+    // ── PER-SERIES composite core: the q31f component set per user
+    //    (even/odd event split) — keyed JS/KS/autocorr/moment stages ───
+    "q31b_composite_per_user" -> ((s, dir) => {
+      val e = ev(s, dir)
+      graft.eval.CompositeMetric.scoreGrouped(
+          e.filter(col("event_id") % 2 === 0),
+          e.filter(col("event_id") % 2 === 1),
+          "user_id", Seq("ts", "event_id"), "value")
+        .select(col("user_id"),
+          round(col("js_divergence"), 8).as("js_divergence"),
+          round(col("ks_statistic"), 8).as("ks_statistic"),
+          round(col("ac_lag1"), 6).as("ac_lag1"),
+          round(col("ac_lag5"), 6).as("ac_lag5"),
+          round(col("ac_lag24"), 6).as("ac_lag24"),
+          round(col("vol_cluster"), 6).as("vol_cluster"),
+          round(col("skew_diff"), 6).as("skew_diff"),
+          round(col("kurt_diff"), 6).as("kurt_diff"),
+          round(col("std_ratio"), 6).as("std_ratio"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── PER-SERIES DistributionEvaluator core: one metric record per
     //    user (real = even event_ids, synth = odd — a non-empty split
     //    within every series at every SF); every stage keyed on the

@@ -119,6 +119,73 @@ object CompositeMetric {
     (s, details)
   }
 
+  /** PER-SERIES twin of the deterministic core (the q31f component
+    * set): one row of the 9 SQL-expressible components per `seriesCol`
+    * value — JS (unsquared, 99 bins, per-key support), KS, ratio-dev
+    * autocorrs (1/5/24), |ret| vol clustering, skew/kurt diffs
+    * (population moments), std ratio. Every stage is keyed on the
+    * series — the million-series composite-scoring shape. The
+    * hurst/spectral legs stay with [[score]] (driver-bounded by
+    * contract). Oracle-gated by q31b. */
+  def scoreGrouped(real: DataFrame, synth: DataFrame, seriesCol: String,
+                   orderCols: Seq[String], price: String): DataFrame = {
+    def labeled(df: DataFrame, lab: String): DataFrame =
+      df.select((col(seriesCol).as("_k") +: lit(lab).as("lab") +:
+        col(price).cast("double").as("_p") +: orderCols.map(col)): _*)
+    val labSpec = SeriesSpec(Seq("_k", "lab"), orderCols)
+    val u = SeriesOps.logReturns(
+        labeled(real, "real").unionByName(labeled(synth, "synth")),
+        labSpec, "_p", "ret")
+      .filter(col("ret").isNotNull)
+      .select((col("_k") +: col("lab") +: col("ret") +: orderCols.map(col)): _*)
+      .persist()
+
+    val js = Divergence.histJsdGrouped(u, "ret", col("lab"), "real", "synth",
+        99, "_k")
+      .select(col("_k"), col("js_divergence"))
+    val ks = Divergence.ecdfStatsGrouped(u, "ret", col("lab"), "real",
+        "synth", "_k")
+      .select(col("_k"), col("ks_stat").as("ks_statistic"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_k"), col("lab")).orderBy(orderCols.map(col): _*)
+    val lagged = u
+      .withColumn("l1", lag(col("ret"), 1).over(w))
+      .withColumn("l5", lag(col("ret"), 5).over(w))
+      .withColumn("l24", lag(col("ret"), 24).over(w))
+      .groupBy(col("_k"), col("lab")).agg(
+        coalesce(corr(col("ret"), col("l1")), lit(0.0)).as("ac1"),
+        coalesce(corr(col("ret"), col("l5")), lit(0.0)).as("ac5"),
+        coalesce(corr(col("ret"), col("l24")), lit(0.0)).as("ac24"),
+        coalesce(corr(abs(col("ret")), abs(col("l1"))), lit(0.0)).as("vc"),
+        stddev_pop(col("ret")).as("std"),
+        skewness(col("ret")).as("skew"),
+        (kurtosis(col("ret")) + 3.0).as("kurt_raw")) // fisher=False
+    def side(lab: String, c: String) =
+      max(when(col("lab") === lab, col(c)))
+    val piv = lagged.groupBy(col("_k")).agg(
+      side("real", "ac1").as("rac1"), side("synth", "ac1").as("sac1"),
+      side("real", "ac5").as("rac5"), side("synth", "ac5").as("sac5"),
+      side("real", "ac24").as("rac24"), side("synth", "ac24").as("sac24"),
+      side("real", "vc").as("rvc"), side("synth", "vc").as("svc"),
+      side("real", "std").as("rstd"), side("synth", "std").as("sstd"),
+      side("real", "skew").as("rskew"), side("synth", "skew").as("sskew"),
+      side("real", "kurt_raw").as("rkurt"), side("synth", "kurt_raw").as("skurt"))
+    def ratioDev(r: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) =
+      when(abs(r) > 1e-6, abs(s / r - 1.0)).otherwise(abs(s))
+    js.join(ks, "_k").join(piv, "_k")
+      .select(col("_k").as(seriesCol),
+        col("js_divergence"), col("ks_statistic"),
+        ratioDev(col("rac1"), col("sac1")).as("ac_lag1"),
+        ratioDev(col("rac5"), col("sac5")).as("ac_lag5"),
+        ratioDev(col("rac24"), col("sac24")).as("ac_lag24"),
+        ratioDev(col("rvc"), col("svc")).as("vol_cluster"),
+        abs(col("sskew") - col("rskew")).as("skew_diff"),
+        (abs(col("skurt") - col("rkurt")) / greatest(col("rkurt"), lit(1.0)))
+          .as("kurt_diff"),
+        abs(col("sstd") / col("rstd") - 1.0).as("std_ratio"))
+  }
+
   /** Details as a one-row DataFrame (for sinks/views). */
   def scoreDf(real: DataFrame, synth: DataFrame, orderCols: Seq[String],
               price: String, withExpensive: Boolean = true): DataFrame = {

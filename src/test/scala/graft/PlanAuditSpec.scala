@@ -95,6 +95,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "found an un-partitioned window in the per-series evaluator")
   }
 
+  test("q31b per-series composite keys every window on the series") {
+    val p = plan("q31b_composite_per_user")
+    assert(!p.contains("CartesianProduct"))
+    assert(!"Window .*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined,
+      "found an un-partitioned window in the per-series composite")
+  }
+
   test("q14 exact ECDF has no un-partitioned data-sized window") {
     // the cumulative scan must run per range partition — a global
     // ordered window over the distinct support dies on continuous
