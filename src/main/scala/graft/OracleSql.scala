@@ -2400,6 +2400,47 @@ object OracleSql {
 
     "g08t_timegan_sup_step" -> g08tSql,
 
+    // G6 PER-SERIES fit: the g03f segmentation pipeline PARTITION BY
+    // user (per-user returns, w24 rolling vol min 12, backfill,
+    // per-user vol-tertile digitize, run segmentation, segment stats)
+    "g03b_regime_segments_per_user" ->
+      s"""WITH rr AS (SELECT user_id::BIGINT AS sid,
+         |              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         |              ret
+         |            FROM (SELECT user_id, ts, event_id,
+         |                    ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+         |                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+         |                  FROM events) r0 WHERE ret IS NOT NULL),
+         |v0 AS (SELECT sid, rn, ret,
+         |         CASE WHEN count(ret) OVER w >= 12 THEN stddev_samp(ret) OVER w END AS vol
+         |       FROM rr WINDOW w AS (PARTITION BY sid ORDER BY rn
+         |         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         |v1 AS (SELECT sid, rn, ret, coalesce(vol,
+         |         first_value(vol IGNORE NULLS) OVER (PARTITION BY sid ORDER BY rn
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS volf
+         |       FROM v0),
+         |ed AS (SELECT sid, list_sort(list_distinct(list_transform(
+         |         quantile_cont(volf, [${(1 until 3).map(i => i / 3.0).mkString(",")}]),
+         |         x -> round(x, 9)))) AS edges
+         |       FROM v1 GROUP BY sid),
+         |rg AS (SELECT v1.sid, rn, ret,
+         |         len(list_filter(ed.edges, x -> x <= v1.volf))::INT AS regime
+         |       FROM v1 JOIN ed ON ed.sid = v1.sid),
+         |cg AS (SELECT sid, rn, ret, regime,
+         |         CASE WHEN lag(regime) OVER ws IS NULL
+         |                OR lag(regime) OVER ws <> regime THEN 1 ELSE 0 END AS chg
+         |       FROM rg WINDOW ws AS (PARTITION BY sid ORDER BY rn)),
+         |sg AS (SELECT sid, rn, ret, regime,
+         |         sum(chg) OVER (PARTITION BY sid ORDER BY rn
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment
+         |       FROM cg)
+         |SELECT sid AS user_id, segment::BIGINT AS segment,
+         |  min(regime)::INT AS regime, count(*)::BIGINT AS len,
+         |  round(avg(ret),8) + 0.0 AS mean_ret,
+         |  round(stddev_pop(ret),8) + 0.0 AS std_ret
+         |FROM sg GROUP BY sid, segment HAVING count(*) >= 3
+         |ORDER BY user_id, segment""".stripMargin,
+
     // PER-SERIES composite core: the q31f component set PARTITION BY
     // user over the even/odd event split — per-user 99-bin unsquared
     // JS, per-user KS, ratio-dev autocorrs (1/5/24), |ret| vol

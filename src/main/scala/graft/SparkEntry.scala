@@ -922,6 +922,13 @@ object SparkEntry {
         .orderBy(col("avg_js_div"), col("generator"))
     }),
 
+    // ── G6 PER-SERIES fit: vol-regime segmentation keyed on user — one
+    //    shuffle segments every series at once ──────────────────────────
+    "g03b_regime_segments_per_user" -> ((s, dir) => {
+      graft.gen.RegimeBootstrap.fitFrameGrouped(ev(s, dir), "user_id",
+        Seq("ts", "event_id"), "value", nRegimes = 3)
+    }),
+
     // ── PER-SERIES composite core: the q31f component set per user
     //    (even/odd event split) — keyed JS/KS/autocorr/moment stages ───
     "q31b_composite_per_user" -> ((s, dir) => {

@@ -109,6 +109,51 @@ object RegimeBootstrap {
     * rolling-vol → backfill → quantile-digitize → run-segmentation
     * pipeline the fit collects blocks from, so the DuckDB oracle
     * verifies the fit's data-shaped work end-to-end. */
+  /** PER-SERIES grouped twin of [[fitFrame]]: the whole returns →
+    * rolling-vol → backfill → per-series quantile-digitize →
+    * run-segmentation pipeline keyed on the series column — one hash
+    * shuffle segments every series at once (the many-series fit shape;
+    * no prefix cap because each series is its own bounded unit).
+    * Oracle-gated by g03b. */
+  def fitFrameGrouped(prices: DataFrame, seriesCol: String,
+                      orderCols: Seq[String], price: String,
+                      nRegimes: Int = 3, volWindow: Int = 24,
+                      minBlock: Int = 3): DataFrame = {
+    val spec = SeriesSpec(Seq(seriesCol), orderCols)
+    val rets = SeriesOps.logReturns(prices, spec, price, "ret")
+      .filter(col("ret").isNotNull)
+      .withColumn("rn", row_number().over(spec.w))
+      .withColumn("sid", col(seriesCol).cast("long"))
+    val rspec = SeriesSpec(Seq("sid"), Seq("rn"))
+    val withVol = SeriesOps.backfill(
+      SeriesOps.rollingStd(rets, rspec, "ret", volWindow, volWindow / 2, "vol"),
+      rspec, "vol", "volf")
+    val probs = (1 until nRegimes).map(i => i.toDouble / nRegimes)
+    // edges quantized to r9: the backfill creates PLATEAUS of identical
+    // volf values, and when a quantile lands inside one, engines'
+    // interpolation formulas differ in the last ulp — which would flip
+    // the <= digitize for the whole plateau. Quantized edges make the
+    // boundary engine-portable (same convention both sides of the gate).
+    val edges = withVol.groupBy(col("sid"))
+      .agg(expr(s"percentile(volf, array(${probs.mkString(",")}))").as("es"))
+      .select(col("sid"),
+        expr("array_sort(array_distinct(transform(es, e -> round(e, 9))))")
+          .as("edges"))
+    val regimed = withVol.join(edges, "sid")
+      .withColumn("regime", size(filter(col("edges"), e => e <= col("volf"))))
+    SeriesOps.runSegments(regimed, rspec, "regime", "segment")
+      .groupBy(col("sid"), col("segment"))
+      .agg(first(col("regime")).as("regime"),
+        count(lit(1)).as("len"),
+        round(avg(col("ret")), 8).as("mean_ret"),
+        round(stddev_pop(col("ret")), 8).as("std_ret"))
+      .filter(col("len") >= minBlock)
+      .select(col("sid").as("user_id"),
+        col("segment").cast("long").as("segment"), col("regime"),
+        col("len"), col("mean_ret"), col("std_ret"))
+      .orderBy(col("user_id"), col("segment"))
+  }
+
   def fitFrame(prices: DataFrame, orderCols: Seq[String], price: String,
                nRegimes: Int = 3, volWindow: Int = 24,
                minBlock: Int = 3, maxFitRows: Int = MaxFitRows): DataFrame = {
