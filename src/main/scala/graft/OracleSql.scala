@@ -2400,6 +2400,49 @@ object OracleSql {
 
     "g08t_timegan_sup_step" -> g08tSql,
 
+    // C10 PER-SERIES: the q29 σ²/log-lik recursion replayed with a
+    // (user, alpha, beta) key — every series' grid advances in lockstep,
+    // each stopping at its own length
+    "q29b_garch_grid_per_user" ->
+      s"""WITH RECURSIVE
+         |rr AS MATERIALIZED (SELECT user_id::BIGINT AS sid,
+         |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t,
+         |        ret
+         |      FROM ($perUserRets) x),
+         |st AS MATERIALIZED (SELECT sid, count(*)::BIGINT AS n, avg(ret) AS m
+         |      FROM rr GROUP BY sid),
+         |vv AS MATERIALIZED (SELECT r.sid,
+         |        sum((ret - m)*(ret - m)) / max(st.n) AS v
+         |      FROM rr r JOIN st ON st.sid = r.sid GROUP BY r.sid),
+         |grid AS (SELECT alpha, beta
+         |         FROM (VALUES (0.01),(0.05),(0.10),(0.15),(0.20),(0.25)) a(alpha)
+         |         CROSS JOIN (VALUES (0.50),(0.60),(0.70),(0.75),(0.80),(0.85),(0.90),(0.95)) b(beta)
+         |         WHERE alpha + beta < 0.999),
+         |rec AS (
+         | SELECT v.sid, g.alpha, g.beta, 1::BIGINT AS t, v.v AS sigma2, v.v AS v,
+         |   r1.ret AS pret,
+         |   -0.5*(ln(2*pi()*greatest(v.v,1e-12)) + r1.ret*r1.ret/greatest(v.v,1e-12)) AS ll
+         | FROM vv v
+         | CROSS JOIN grid g
+         | JOIN (SELECT sid, ret FROM rr WHERE t = 1) r1 ON r1.sid = v.sid
+         | UNION ALL
+         | SELECT rec.sid, rec.alpha, rec.beta, rec.t + 1,
+         |   rec.v*(1.0-rec.alpha-rec.beta) + rec.alpha*rec.pret*rec.pret
+         |     + rec.beta*rec.sigma2,
+         |   rec.v, rc.ret,
+         |   rec.ll - 0.5*(ln(2*pi()*greatest(rec.v*(1.0-rec.alpha-rec.beta)
+         |       + rec.alpha*rec.pret*rec.pret + rec.beta*rec.sigma2, 1e-12))
+         |     + rc.ret*rc.ret/greatest(rec.v*(1.0-rec.alpha-rec.beta)
+         |       + rec.alpha*rec.pret*rec.pret + rec.beta*rec.sigma2, 1e-12))
+         | FROM rec
+         | JOIN rr rc ON rc.sid = rec.sid AND rc.t = rec.t + 1)
+         |SELECT rec.sid AS user_id, alpha, beta,
+         |  round(v*(1.0-alpha-beta), 10) + 0.0 AS omega,
+         |  round(v, 10) + 0.0 AS long_run_var,
+         |  round(ll, 4) + 0.0 AS ll
+         |FROM rec JOIN st ON st.sid = rec.sid AND rec.t = st.n
+         |ORDER BY user_id, alpha, beta""".stripMargin,
+
     // G6 PER-SERIES fit: the g03f segmentation pipeline PARTITION BY
     // user (per-user returns, w24 rolling vol min 12, backfill,
     // per-user vol-tertile digitize, run segmentation, segment stats)

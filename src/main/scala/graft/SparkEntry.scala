@@ -922,6 +922,18 @@ object SparkEntry {
         .orderBy(col("avg_js_div"), col("generator"))
     }),
 
+    // ── C10 PER-SERIES: every user's full GARCH(1,1) grid in one
+    //    shuffle (series × config parallelism at scale) ─────────────────
+    "q29b_garch_grid_per_user" -> ((s, dir) => {
+      val rets = logret(s, dir).filter(col("ret").isNotNull)
+      graft.stats.Garch.gridGrouped(rets, "user_id", Seq("ts", "event_id"), "ret")
+        .select(col("user_id"), col("alpha"), col("beta"),
+          round(col("omega"), 10).as("omega"),
+          round(col("long_run_var"), 10).as("long_run_var"),
+          round(col("ll"), 4).as("ll"))
+        .orderBy(col("user_id"), col("alpha"), col("beta"))
+    }),
+
     // ── G6 PER-SERIES fit: vol-regime segmentation keyed on user — one
     //    shuffle segments every series at once ──────────────────────────
     "g03b_regime_segments_per_user" -> ((s, dir) => {

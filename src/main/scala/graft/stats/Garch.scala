@@ -106,6 +106,54 @@ object Garch {
       .toDF("regime", "alpha", "beta", "omega", "long_run_var", "ll")
   }
 
+  /** PER-SERIES grid: every series' full (α, β) grid scored inside its
+    * group — ONE shuffle on the series key (consecutive-run
+    * mapPartitions over the window's clustering, the grouped-generator
+    * pattern), so at scale the work distributes as series × configs
+    * with each σ² recursion bounded by one series. Oracle-gated by
+    * q29b (keyed recursive-CTE replay). */
+  def gridGrouped(returns: DataFrame, seriesCol: String,
+                  orderCols: Seq[String], value: String,
+                  alphas: Seq[Double] = DefaultAlphas,
+                  betas: Seq[Double] = DefaultBetas): DataFrame = {
+    val spark = returns.sparkSession
+    import spark.implicits._
+    val spec = graft.series.SeriesSpec(Seq(seriesCol), orderCols)
+    val indexed = returns
+      .withColumn("rn", row_number().over(spec.w))
+      .select(col(seriesCol).cast("long").as("sid"), col("rn"),
+        col(value).cast("double").as("v"))
+    val grid = for { a <- alphas; b <- betas if a + b < 0.999 } yield (a, b)
+    indexed.as[(Long, Int, Double)].mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[(Long, Double, Double, Double, Double, Double)] {
+        private var out: Iterator[(Long, Double, Double, Double, Double, Double)] =
+          Iterator.empty
+        private def advance(): Unit =
+          while (!out.hasNext && it.hasNext) {
+            val sid = it.head._1
+            val ps = Array.newBuilder[Double]
+            while (it.hasNext && it.head._1 == sid) ps += it.next()._3
+            val r = ps.result()
+            out =
+              if (r.isEmpty) Iterator.empty
+              else {
+                val mean = r.sum / r.length
+                val variance = r.map(x => (x - mean) * (x - mean)).sum / r.length
+                grid.iterator.map { case (a, b) =>
+                  val omega = variance * (1.0 - a - b)
+                  (sid, a, b, omega, variance, logLik(r, omega, a, b, variance))
+                }
+              }
+          }
+        def hasNext: Boolean = { advance(); out.hasNext }
+        def next(): (Long, Double, Double, Double, Double, Double) = {
+          advance(); out.next()
+        }
+      }
+    }.toDF(seriesCol, "alpha", "beta", "omega", "long_run_var", "ll")
+  }
+
   /** The full scored grid as a DataFrame (for inspection / queries). */
   def grid(returns: DataFrame, orderCols: Seq[String], value: String,
            alphas: Seq[Double] = DefaultAlphas,

@@ -95,6 +95,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "found an un-partitioned window in the per-series evaluator")
   }
 
+  test("q29b per-series GARCH grid reuses one hash shuffle on the series key") {
+    val p = plan("q29b_garch_grid_per_user")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q31b per-series composite keys every window on the series") {
     val p = plan("q31b_composite_per_user")
     assert(!p.contains("CartesianProduct"))
