@@ -2400,6 +2400,48 @@ object OracleSql {
 
     "g08t_timegan_sup_step" -> g08tSql,
 
+    // C7 PER-SERIES: per-user n-point DFT power spectra of the even/odd
+    // return halves (truncated to the common length), sum-normalized,
+    // RMSE distance — keyed aggregations end to end
+    "c01b_spectral_per_user" ->
+      """WITH u0 AS (SELECT user_id::BIGINT AS sid, (event_id % 2 = 0) AS is_real,
+        |              ts, event_id,
+        |              ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |                OVER (PARTITION BY user_id, (event_id % 2 = 0)
+        |                      ORDER BY ts, event_id) AS ret
+        |            FROM events),
+        |rr AS (SELECT sid, is_real,
+        |         row_number() OVER (PARTITION BY sid, is_real ORDER BY ts, event_id) - 1 AS t,
+        |         ret
+        |       FROM u0 WHERE ret IS NOT NULL),
+        |le AS (SELECT sid, least(sum(CASE WHEN is_real THEN 1 ELSE 0 END),
+        |                         sum(CASE WHEN is_real THEN 0 ELSE 1 END))::INT AS n
+        |       FROM rr GROUP BY sid
+        |       HAVING least(sum(CASE WHEN is_real THEN 1 ELSE 0 END),
+        |                    sum(CASE WHEN is_real THEN 0 ELSE 1 END)) > 0),
+        |r2 AS (SELECT rr.sid, rr.is_real, rr.t, rr.ret, le.n
+        |       FROM rr JOIN le ON le.sid = rr.sid WHERE rr.t < le.n),
+        |ks AS (SELECT sid, unnest(generate_series(0, n - 1)) AS k FROM le),
+        |sp AS (SELECT r2.sid, r2.is_real, k.k,
+        |         sum(ret * cos(-2.0*pi()*k.k*r2.t/r2.n)) AS re,
+        |         sum(ret * sin(-2.0*pi()*k.k*r2.t/r2.n)) AS im
+        |       FROM r2 JOIN ks k ON k.sid = r2.sid
+        |       GROUP BY r2.sid, r2.is_real, k.k),
+        |pw AS (SELECT sid, is_real, k, re*re + im*im AS p FROM sp),
+        |ss AS (SELECT sid, is_real, sum(p) AS sp FROM pw GROUP BY sid, is_real),
+        |nm AS (SELECT pw.sid, pw.is_real, pw.k, pw.p / (ss.sp + 1e-20) AS pn
+        |       FROM pw JOIN ss ON ss.sid = pw.sid AND ss.is_real = pw.is_real),
+        |pv AS (SELECT sid, k, max(CASE WHEN is_real THEN pn END) AS pa,
+        |         max(CASE WHEN NOT is_real THEN pn END) AS pb
+        |       FROM nm GROUP BY sid, k),
+        |dv AS (SELECT p.sid, sqrt(sum((pa - pb)*(pa - pb)) / max(l.n)) AS dist
+        |       FROM pv p JOIN le l ON l.sid = p.sid GROUP BY p.sid)
+        |SELECT p.sid AS user_id, p.k::INT AS k,
+        |  round(pa, 8) + 0.0 AS p_real, round(pb, 8) + 0.0 AS p_synth,
+        |  round(d.dist, 8) + 0.0 AS spectral_distance
+        |FROM pv p JOIN dv d ON d.sid = p.sid
+        |ORDER BY user_id, k""".stripMargin,
+
     // C10 PER-SERIES: the q29 σ²/log-lik recursion replayed with a
     // (user, alpha, beta) key — every series' grid advances in lockstep,
     // each stopping at its own length

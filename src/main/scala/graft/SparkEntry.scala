@@ -922,6 +922,22 @@ object SparkEntry {
         .orderBy(col("avg_js_div"), col("generator"))
     }),
 
+    // ── C7 PER-SERIES: spectral distance computed fully IN-PLAN — the
+    //    per-user n-point DFT as keyed aggregation over an exploded
+    //    (t × k) frame; O(n²) per series, distributed across series ─────
+    "c01b_spectral_per_user" -> ((s, dir) => {
+      val e = ev(s, dir)
+      graft.stats.Spectral.distanceGrouped(
+          e.filter(col("event_id") % 2 === 0),
+          e.filter(col("event_id") % 2 === 1),
+          "user_id", Seq("ts", "event_id"), "value")
+        .select(col("user_id"), col("k"),
+          round(col("p_real"), 8).as("p_real"),
+          round(col("p_synth"), 8).as("p_synth"),
+          round(col("spectral_distance"), 8).as("spectral_distance"))
+        .orderBy(col("user_id"), col("k"))
+    }),
+
     // ── C10 PER-SERIES: every user's full GARCH(1,1) grid in one
     //    shuffle (series × config parallelism at scale) ─────────────────
     "q29b_garch_grid_per_user" -> ((s, dir) => {

@@ -39,6 +39,61 @@ object Spectral {
     }.toDF("k", "power")
   }
 
+  /** PER-SERIES spectral distance, fully IN-PLAN (no driver DFT): for
+    * each series key, the real/synth return halves are truncated to
+    * their common length n, the n-point DFT power spectra are computed
+    * as keyed aggregations over an exploded (t × k) frame (O(n²) work
+    * per series, distributed across series — the many-series C7 shape),
+    * sum-normalized, and reduced to the RMSE distance. Emits one row
+    * per (series, k) plus the per-series distance.
+    * Ref formula: composite_metric.py:50-56. Oracle-gated by c01b. */
+  def distanceGrouped(real: DataFrame, synth: DataFrame, seriesCol: String,
+                      orderCols: Seq[String], price: String): DataFrame = {
+    import graft.series.{SeriesOps, SeriesSpec}
+    def labeled(df: DataFrame, lab: String): DataFrame =
+      df.select((col(seriesCol).cast("long").as("sid") +: lit(lab).as("lab") +:
+        col(price).cast("double").as("_p") +: orderCols.map(col)): _*)
+    val labSpec = SeriesSpec(Seq("sid", "lab"), orderCols)
+    val rets = SeriesOps.logReturns(
+        labeled(real, "real").unionByName(labeled(synth, "synth")),
+        labSpec, "_p", "ret")
+      .filter(col("ret").isNotNull)
+      .withColumn("t",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sid"), col("lab"))
+          .orderBy(orderCols.map(col): _*)) - 1)
+      .select(col("sid"), col("lab"), col("t"), col("ret"))
+      .persist()
+    val lens = rets.groupBy(col("sid")).agg(
+      least(
+        sum(when(col("lab") === "real", 1).otherwise(0)),
+        sum(when(col("lab") === "synth", 1).otherwise(0))).cast("int").as("n"))
+      .filter(col("n") > 0)
+    val r = rets.join(lens, "sid").filter(col("t") < col("n"))
+    val ks = lens.select(col("sid"), col("n"),
+      explode(sequence(lit(0), col("n") - 1)).as("k"))
+    val ang = lit(-2.0 * math.Pi) * col("k") * col("t") / col("n")
+    val spectra = r.join(ks.select(col("sid"), col("k")), "sid")
+      .groupBy(col("sid"), col("lab"), col("k"))
+      .agg(sum(col("ret") * cos(ang)).as("re"),
+        sum(col("ret") * sin(ang)).as("im"))
+      .withColumn("p", col("re") * col("re") + col("im") * col("im"))
+    val sums = spectra.groupBy(col("sid"), col("lab"))
+      .agg(sum(col("p")).as("sp"))
+    val normed = spectra.join(sums, Seq("sid", "lab"))
+      .withColumn("pn", col("p") / (col("sp") + 1e-20))
+    val pivoted = normed.groupBy(col("sid"), col("k")).agg(
+      max(when(col("lab") === "real", col("pn"))).as("p_real"),
+      max(when(col("lab") === "synth", col("pn"))).as("p_synth"))
+    val dist = pivoted.join(lens, "sid")
+      .groupBy(col("sid")).agg(
+        sqrt(sum((col("p_real") - col("p_synth")) *
+          (col("p_real") - col("p_synth"))) / max(col("n"))).as("spectral_distance"))
+    pivoted.join(dist, "sid")
+      .select(col("sid").as(seriesCol), col("k"),
+        col("p_real"), col("p_synth"), col("spectral_distance"))
+  }
+
   /** Spectral distance between two series (truncated to common length).
     * Bounded series go through the driver FFT (O(n log n), the
     * reference's shape); the distributed DFT above remains the path for

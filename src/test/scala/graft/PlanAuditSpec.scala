@@ -95,6 +95,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "found an un-partitioned window in the per-series evaluator")
   }
 
+  test("c01b per-series DFT keys every stage on the series") {
+    val p = plan("c01b_spectral_per_user")
+    assert(!p.contains("CartesianProduct"))
+    assert(!"Window .*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined,
+      "found an un-partitioned window in the per-series DFT")
+  }
+
   test("q29b per-series GARCH grid reuses one hash shuffle on the series key") {
     val p = plan("q29b_garch_grid_per_user")
     val finalPlan = p.split("== Initial Plan ==")(0)
