@@ -5,6 +5,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      // numpy-parity numeric semantics: division/overflow yield
+      // nan/inf/null, never errors (the reference never ANSI-errors;
+      // DuckDB corr on constant input is NULL, matching coalesce(corr,0))
+      .config("spark.sql.ansi.enabled", "false")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

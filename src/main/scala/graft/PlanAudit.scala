@@ -14,6 +14,10 @@ object PlanAudit {
       else Seq("q01_pricing_summary", "q02_revenue_by_nation",
         "q05_log_returns", "q12_histogram_price", "q21_jaccard_neardup")
     val spark = SparkSession.builder()
+      // numpy-parity numeric semantics: division/overflow yield
+      // nan/inf/null, never errors (the reference never ANSI-errors;
+      // DuckDB corr on constant input is NULL, matching coalesce(corr,0))
+      .config("spark.sql.ansi.enabled", "false")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

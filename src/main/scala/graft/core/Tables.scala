@@ -46,6 +46,10 @@ object Tables {
   /** Local test/CLI session with the settings the driver uses. */
   def localSession(threads: Int = 4, appName: String = "graft"): SparkSession = {
     val s = SparkSession.builder()
+      // numpy-parity numeric semantics: division/overflow yield
+      // nan/inf/null, never errors (the reference never ANSI-errors;
+      // DuckDB corr on constant input is NULL, matching coalesce(corr,0))
+      .config("spark.sql.ansi.enabled", "false")
       .master(s"local[$threads]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", threads.toString)

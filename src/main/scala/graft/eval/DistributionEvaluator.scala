@@ -77,12 +77,15 @@ object DistributionEvaluator {
       max(when(col("lab") === "real", col("ac10"))).as("real_autocorr_lag10"),
       max(when(col("lab") === "synth", col("ac10"))).as("synthetic_autocorr_lag10"))
 
-    val out = kl.join(wass, "_k").join(pivoted, "_k")
+    // the persisted returns lineage feeds all three metric legs within
+    // the caller's action; the cache lives until the caller (or the
+    // bench's per-query cleanup) clears it — lazy results cannot
+    // unpersist behind their own evaluation
+    kl.join(wass, "_k").join(pivoted, "_k")
       .withColumn("quality_score",
         col("kl_divergence") + lit(0.1) * col("wasserstein_distance") +
           abs(col("real_return_std") - col("synthetic_return_std")))
       .withColumnRenamed("_k", seriesCol)
-    out
   }
 
   /** `withAdf=true` runs the real ADF (graft.stats.Adf — C5) over the

@@ -14,6 +14,10 @@ object Profile {
       a.startsWith("-") || (i > 0 && args.drop(1)(i - 1) == "-n")
     }.map(_._1)
     val spark = SparkSession.builder()
+      // numpy-parity numeric semantics: division/overflow yield
+      // nan/inf/null, never errors (the reference never ANSI-errors;
+      // DuckDB corr on constant input is NULL, matching coalesce(corr,0))
+      .config("spark.sql.ansi.enabled", "false")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")

@@ -53,6 +53,45 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped evaluators survive degenerate series (tiny, constant, lopsided)") {
+    import org.apache.spark.sql.functions._
+    val s = SparkSpec.spark
+    import s.implicits._
+    val t0 = java.time.Instant.parse("2021-01-01T00:00:00Z")
+    def mk(uid: Long, vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (uid, java.sql.Timestamp.from(t0.plusSeconds(i * 3600L)), i.toLong, v)
+    }
+    // uid 1: normal walk; uid 2: CONSTANT prices (zero returns);
+    // uid 3: two rows (one return); uid 4: single row (no returns)
+    val rows = mk(1, (1 to 60).map(i => 100.0 + math.sin(i * 0.7))) ++
+      mk(2, Seq.fill(40)(50.0)) ++ mk(3, Seq(10.0, 11.0)) ++ mk(4, Seq(5.0))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val real = df.filter(col("event_id") % 2 === 0)
+    val synth = df.filter(col("event_id") % 2 === 1)
+    // none of the keyed pipelines may throw; degenerate keys yield
+    // null/zero metrics rather than errors
+    val dist = graft.eval.DistributionEvaluator.evaluateGrouped(
+      real, synth, "user_id", Seq("ts", "event_id"), "value").collect()
+    assert(dist.nonEmpty)
+    val comp = graft.eval.CompositeMetric.scoreGrouped(
+      real, synth, "user_id", Seq("ts", "event_id"), "value").collect()
+    assert(comp.nonEmpty)
+    val spec = graft.stats.Spectral.distanceGrouped(
+      real, synth, "user_id", Seq("ts", "event_id"), "value").collect()
+    assert(spec.nonEmpty)
+    val garch = graft.stats.Garch.gridGrouped(
+      graft.series.SeriesOps.logReturns(df,
+        graft.series.SeriesSpec(Seq("user_id"), Seq("ts", "event_id")),
+        "value", "ret").filter(col("ret").isNotNull),
+      "user_id", Seq("ts", "event_id"), "ret").collect()
+    assert(garch.nonEmpty)
+    // the healthy series must be present everywhere
+    assert(dist.exists(_.getLong(0) == 1L))
+    assert(comp.exists(_.getLong(0) == 1L))
+    assert(spec.exists(_.getLong(0) == 1L))
+    assert(garch.exists(_.getLong(0) == 1L))
+  }
+
   test("composite metric: identical series scores ~0; different walks score worse") {
     val a = SparkSpec.randomWalk(300, seed = 5)
     val (sSame, dSame) = CompositeMetric.score(a, a, Seq("DATE_TIME"), "typical_price")

@@ -7,6 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
 object SparkSpec {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      // numpy-parity numeric semantics: division/overflow yield
+      // nan/inf/null, never errors (the reference never ANSI-errors;
+      // DuckDB corr on constant input is NULL, matching coalesce(corr,0))
+      .config("spark.sql.ansi.enabled", "false")
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
