@@ -92,6 +92,50 @@ class EvalSpec extends AnyFunSuite {
     assert(garch.exists(_.getLong(0) == 1L))
   }
 
+  test("grouped GARCH grid on one series == global grid bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val s = SparkSpec.spark
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy("DATE_TIME")
+    val rets = SparkSpec.randomWalk(300)
+      .withColumn("user_id", lit(5L))
+      .withColumn("ret",
+        col("typical_price") - lag(col("typical_price"), 1).over(w))
+      .filter(col("ret").isNotNull)
+    val grouped = graft.stats.Garch.gridGrouped(rets, "user_id",
+        Seq("DATE_TIME"), "ret")
+      .orderBy("alpha", "beta")
+      .select("alpha", "beta", "omega", "long_run_var", "ll").collect()
+      .map(_.toSeq).toSeq
+    val global = graft.stats.Garch.grid(rets, Seq("DATE_TIME"), "ret")
+      .orderBy("alpha", "beta")
+      .select("alpha", "beta", "omega", "long_run_var", "ll").collect()
+      .map(_.toSeq).toSeq
+    assert(grouped.nonEmpty)
+    assert(grouped === global)
+  }
+
+  test("grouped in-plan DFT distance matches the driver FFT distance") {
+    import org.apache.spark.sql.functions._
+    val s = SparkSpec.spark
+    val a = SparkSpec.randomWalk(130, seed = 3).withColumn("user_id", lit(2L))
+    val b = SparkSpec.randomWalk(130, seed = 4).withColumn("user_id", lit(2L))
+    val grouped = graft.stats.Spectral.distanceGrouped(a, b, "user_id",
+        Seq("DATE_TIME"), "typical_price")
+      .select("spectral_distance").first().getDouble(0)
+    // driver reference: same return halves through the FFT path
+    def rets(df: org.apache.spark.sql.DataFrame): Array[Double] = {
+      val spec = graft.series.SeriesSpec(Nil, Seq("DATE_TIME"))
+      graft.series.SeriesOps.logReturns(df.drop("user_id"), spec,
+          "typical_price", "ret")
+        .filter(col("ret").isNotNull).orderBy("DATE_TIME")
+        .select("ret").collect().map(_.getDouble(0))
+    }
+    val exact = graft.stats.Spectral.distance(s, rets(a), rets(b))
+    assert(math.abs(grouped - exact) < 1e-9,
+      s"in-plan DFT $grouped vs driver FFT $exact")
+  }
+
   test("composite metric: identical series scores ~0; different walks score worse") {
     val a = SparkSpec.randomWalk(300, seed = 5)
     val (sSame, dSame) = CompositeMetric.score(a, a, Seq("DATE_TIME"), "typical_price")
