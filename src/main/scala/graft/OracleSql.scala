@@ -469,6 +469,188 @@ object OracleSql {
        |ORDER BY net, layer, o, i""".stripMargin
   }
 
+  /** g06t: ONE VAE gradient step ([[graft.train.VaeTrainer.vaeStep]] —
+    * encoder forward, reparametrization with the literal ε batch,
+    * recon(MSE) + KL + MMD gradients, full backward, t=1 Adam; the first
+    * leg of vae_gan_trainer.py:220-262's 3-step loop body) over the
+    * literal [[graft.WitnessFixtures.G06t]] layers and batch, replayed
+    * end to end — including the γ = 1/(mean pairwise ‖x−x′‖² + 1e-8)
+    * heuristic and the pairwise Gaussian-kernel MMD gradient
+    * (vae_gan_trainer.py:131-139). Same single-row MATERIALIZED CTE
+    * discipline and exact term association as g07t/g08t: bias-first dot
+    * products, left-assoc accumulation in the Scala loop order (batch
+    * rows for kernel grads, j-then-i for the MMD pair sums), Adam as
+    * w − lr·(m/c₁)/(√(v/c₂)+ε). tanh via [[tanhSql]] (~2 ulp, absorbed
+    * by the r8/r10 rounding). */
+  private def g06tSql: String = {
+    val f = graft.WitnessFixtures.G06t
+    val (enc1, encMu, encLv, dec1, dec2) = f.layers() // fresh = initial weights
+    val n = f.Batch; val ws = f.Ws; val hid = f.Hidden; val ld = f.Ld
+    val rs = 0 until n
+    val lr = f.Lr.toString; val eps = "1.0E-8"
+    val b1c = (1 - 0.9).toString // the Dense.adam default β₁ path
+    val c1 = (1.0 - math.pow(0.9, 1)).toString
+    val b2c = (1 - 0.999).toString
+    val c2 = (1.0 - math.pow(0.999, 1)).toString
+    val klW = f.KlW.toString; val lam = f.MmdLambda.toString
+    val nws = (n * ws).toDouble.toString // 18.0 — the Int n*ws promoted
+    val nld = (n * ld).toDouble.toString // 6.0
+    val nn = (n.toDouble * n).toString   // 9.0
+    def dl(x: Double) = s"($x::DOUBLE)"
+    def nest(rows: Seq[Seq[String]]) =
+      rows.map(_.mkString("[", ",\n      ", "]")).mkString("[", ",\n     ", "]")
+    def flat(xs: Seq[String]) = xs.mkString("[", ",\n     ", "]")
+    def el(c: String, r: Int, o: Int) = s"$c[${r + 1}][${o + 1}]"
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    var prev = "q0"
+    ctes += "q0 AS MATERIALIZED (SELECT 1 AS one)"
+    def add(cols: (String, String)*): Unit = {
+      val name = s"q${ctes.length}"
+      ctes += s"$name AS MATERIALIZED (SELECT *, " +
+        cols.map { case (nm, e) => s"$e AS $nm" }.mkString(",\n  ") + s" FROM $prev)"
+      prev = name
+    }
+    // affine forward: bias-first accumulation like Dense.forward
+    def affL(w: Array[Array[Double]], b: Array[Double],
+             in: (Int, Int) => String) =
+      nest(rs.map(r => w.indices.map(o =>
+        (Seq(dl(b(o))) ++
+          w(o).indices.map(i => s"${dl(w(o)(i))}*(${in(r, i)})")).mkString(" + "))))
+    def affR(w: Array[Array[Double]], b: Array[Double], c: String) =
+      affL(w, b, (r, i) => el(c, r, i))
+    def tanhN(c: String, u: Int) =
+      nest(rs.map(r => (0 until u).map(o => tanhSql(el(c, r, o)))))
+    // Adam t=1 from zero state; β₁=0.9 (the VAE step's default)
+    def adam(w0: Double, g: String) = {
+      val m = s"(0.9*0.0 + $b1c*($g))"
+      val v = s"(0.999*0.0 + $b2c*($g)*($g))"
+      s"((${dl(w0)}) - $lr*(($m)/($c1))/(sqrt(($v)/($c2)) + $eps))"
+    }
+    def adamW(w: Array[Array[Double]], gRef: String) =
+      nest(w.indices.map(o => w(o).indices.map(i =>
+        adam(w(o)(i), s"$gRef[${o + 1}][${i + 1}]"))))
+    def adamB(b: Array[Double], gRef: String) =
+      flat(b.indices.map(o => adam(b(o), s"$gRef[${o + 1}]")))
+
+    // ── encoder forward ──
+    add("ep1" -> affL(enc1.w, enc1.b, (r, i) => f.X(r)(i).toString))
+    add("eh1" -> tanhN("ep1", hid))
+    add("emu" -> affR(encMu.w, encMu.b, "eh1"), // linear heads: out = pre
+      "elv" -> affR(encLv.w, encLv.b, "eh1"))
+    // ── reparametrize with the literal ε: z = μ + exp(0.5·logvar)·ε ──
+    add("zz" -> nest(rs.map(r => (0 until ld).map(j =>
+      s"${el("emu", r, j)} + exp(0.5*${el("elv", r, j)})*${dl(f.Eps(r)(j))}"))))
+    // ── decoder forward ──
+    add("dp1" -> affR(dec1.w, dec1.b, "zz"))
+    add("dh1" -> tanhN("dp1", hid))
+    add("rec" -> affR(dec2.w, dec2.b, "dh1"))
+    // ── γ heuristic over the literal real batch (i-then-j pair order,
+    //    left-assoc within each squared distance — the Scala loops) ──
+    add("gam" -> {
+      val pairs = for (i <- rs; j <- rs) yield
+        "(" + (0 until ws).map(t =>
+          s"(${dl(f.X(i)(t))} - ${dl(f.X(j)(t))})*(${dl(f.X(i)(t))} - ${dl(f.X(j)(t))})")
+          .mkString(" + ") + ")"
+      s"1.0/((${pairs.mkString(" + ")})/$nn + 1.0E-8)"
+    })
+    // ── recon-MSE gradient: 2(rec−x)/(n·ws) ──
+    add("gr0" -> nest(rs.map(r => (0 until ws).map(j =>
+      s"2.0*(${el("rec", r, j)} - ${dl(f.X(r)(j))})/$nws"))))
+    // ── pairwise kernels for the MMD gradient ──
+    add("syy" -> nest(rs.map(a => rs.map(j =>
+      (0 until ws).map(t =>
+        s"(${el("rec", a, t)} - ${el("rec", j, t)})*(${el("rec", a, t)} - ${el("rec", j, t)})")
+        .mkString(" + ")))),
+      "sxy" -> nest(rs.map(i => rs.map(a =>
+        (0 until ws).map(t =>
+          s"(${dl(f.X(i)(t))} - ${el("rec", a, t)})*(${dl(f.X(i)(t))} - ${el("rec", a, t)})")
+          .mkString(" + ")))))
+    add("kyy" -> nest(rs.map(a => rs.map(j =>
+      s"exp((-gam)*${el("syy", a, j)})"))),
+      "kxy" -> nest(rs.map(i => rs.map(a =>
+        s"exp((-gam)*${el("sxy", i, a)})"))))
+    // ── MMD gradient wrt rec: −4γ/B²·Σ_j k·(y_a−y_j) + 4γ/B²·Σ_i k·(y_a−x_i),
+    //    j-terms then i-terms in one left-assoc chain (the Scala order) ──
+    add("gmm" -> nest(rs.map(a => (0 until ws).map(t => (
+      rs.map(j =>
+        s"(((-4.0*gam)/$nn)*${el("kyy", a, j)})*(${el("rec", a, t)} - ${el("rec", j, t)})") ++
+      rs.map(i =>
+        s"(((4.0*gam)/$nn)*${el("kxy", i, a)})*(${el("rec", a, t)} - ${dl(f.X(i)(t))})"))
+      .mkString(" + ")))))
+    add("grc" -> nest(rs.map(r => (0 until ws).map(j =>
+      s"${el("gr0", r, j)} + $lam*${el("gmm", r, j)}"))))
+    // ── backward dec2 (linear head: delta = grc) ──
+    add("ghd1" -> nest(rs.map(r => (0 until hid).map(i =>
+      (0 until ws).map(o => s"${el("grc", r, o)}*${dl(dec2.w(o)(i))}").mkString(" + ")))),
+      "gwd2" -> nest((0 until ws).map(o => (0 until hid).map(i =>
+        rs.map(r => s"${el("grc", r, o)}*${el("dh1", r, i)}").mkString(" + ")))),
+      "gbd2" -> flat((0 until ws).map(o =>
+        rs.map(r => el("grc", r, o)).mkString(" + "))))
+    // ── backward dec1 (tanh): delta = ghd1·(1−dh1²) ──
+    add("dd1" -> nest(rs.map(r => (0 until hid).map(o =>
+      s"${el("ghd1", r, o)}*(1.0 - ${el("dh1", r, o)}*${el("dh1", r, o)})"))))
+    add("gz" -> nest(rs.map(r => (0 until ld).map(i =>
+      (0 until hid).map(o => s"${el("dd1", r, o)}*${dl(dec1.w(o)(i))}").mkString(" + ")))),
+      "gwd1" -> nest((0 until hid).map(o => (0 until ld).map(i =>
+        rs.map(r => s"${el("dd1", r, o)}*${el("zz", r, i)}").mkString(" + ")))),
+      "gbd1" -> flat((0 until hid).map(o =>
+        rs.map(r => el("dd1", r, o)).mkString(" + "))))
+    // ── μ / logvar gradients with the KL terms ──
+    add("gmu" -> nest(rs.map(r => (0 until ld).map(j =>
+      s"${el("gz", r, j)} + $klW*(${el("emu", r, j)}/$nld)"))),
+      "glv" -> nest(rs.map(r => (0 until ld).map(j =>
+        s"${el("gz", r, j)}*${dl(f.Eps(r)(j))}*0.5*exp(0.5*${el("elv", r, j)})" +
+          s" + $klW*((-0.5*(1.0 - exp(${el("elv", r, j)})))/$nld)"))))
+    // ── backward the two linear heads into the shared hidden ──
+    add("ghea" -> nest(rs.map(r => (0 until hid).map(i =>
+      (0 until ld).map(o => s"${el("gmu", r, o)}*${dl(encMu.w(o)(i))}").mkString(" + ")))),
+      "gheb" -> nest(rs.map(r => (0 until hid).map(i =>
+        (0 until ld).map(o => s"${el("glv", r, o)}*${dl(encLv.w(o)(i))}").mkString(" + ")))),
+      "gwmu" -> nest((0 until ld).map(o => (0 until hid).map(i =>
+        rs.map(r => s"${el("gmu", r, o)}*${el("eh1", r, i)}").mkString(" + ")))),
+      "gbmu" -> flat((0 until ld).map(o =>
+        rs.map(r => el("gmu", r, o)).mkString(" + "))),
+      "gwlv" -> nest((0 until ld).map(o => (0 until hid).map(i =>
+        rs.map(r => s"${el("glv", r, o)}*${el("eh1", r, i)}").mkString(" + ")))),
+      "gblv" -> flat((0 until ld).map(o =>
+        rs.map(r => el("glv", r, o)).mkString(" + "))))
+    add("ghe" -> nest(rs.map(r => (0 until hid).map(i =>
+      s"${el("ghea", r, i)} + ${el("gheb", r, i)}"))))
+    // ── backward enc1 (tanh) ──
+    add("de1" -> nest(rs.map(r => (0 until hid).map(o =>
+      s"${el("ghe", r, o)}*(1.0 - ${el("eh1", r, o)}*${el("eh1", r, o)})"))))
+    add("gwe1" -> nest((0 until hid).map(o => (0 until ws).map(i =>
+      rs.map(r => s"${el("de1", r, o)}*${dl(f.X(r)(i))}").mkString(" + ")))),
+      "gbe1" -> flat((0 until hid).map(o =>
+        rs.map(r => el("de1", r, o)).mkString(" + "))))
+    // ── Adam: updated params for all five layers ──
+    add(
+      "uwe1" -> adamW(enc1.w, "gwe1"), "ube1" -> adamB(enc1.b, "gbe1"),
+      "uwmu" -> adamW(encMu.w, "gwmu"), "ubmu" -> adamB(encMu.b, "gbmu"),
+      "uwlv" -> adamW(encLv.w, "gwlv"), "ublv" -> adamB(encLv.b, "gblv"),
+      "uwd1" -> adamW(dec1.w, "gwd1"), "ubd1" -> adamB(dec1.b, "gbd1"),
+      "uwd2" -> adamW(dec2.w, "gwd2"), "ubd2" -> adamB(dec2.b, "gbd2"))
+
+    // ── unpivot every updated parameter (+ delta vs the literal init) ──
+    val layers = Seq(
+      ("enc1", enc1, "uwe1", "ube1"), ("encMu", encMu, "uwmu", "ubmu"),
+      ("encLv", encLv, "uwlv", "ublv"), ("dec1", dec1, "uwd1", "ubd1"),
+      ("dec2", dec2, "uwd2", "ubd2"))
+    val outRows = layers.flatMap { case (nm, l, wr, br) =>
+      val wRows = for (o <- l.w.indices; i <- l.w(o).indices) yield
+        s"SELECT '$nm' AS layer, $o AS o, $i AS i, " +
+          s"round($wr[${o + 1}][${i + 1}], 8) + 0.0 AS v, " +
+          s"round($wr[${o + 1}][${i + 1}] - ${dl(l.w(o)(i))}, 10) + 0.0 AS dv FROM $prev"
+      val bRows = l.b.indices.map(o =>
+        s"SELECT '$nm', $o, -1, round($br[${o + 1}], 8) + 0.0, " +
+          s"round($br[${o + 1}] - ${dl(l.b(o))}, 10) + 0.0 FROM $prev")
+      wRows ++ bRows
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |${outRows.mkString("\nUNION ALL\n")}
+       |ORDER BY layer, o, i""".stripMargin
+  }
+
   /** g08t: ONE phase-2 supervised TimeGAN step
     * ([[graft.train.TimeGanTrainer.supervisedStep]] — frozen-embedder
     * forward, supervisor GRU forward, L1 next-step loss grad,
@@ -2395,6 +2577,8 @@ object OracleSql {
     "g04f_regime_features" -> g04FeaturesSql,
 
     "g04t_hmm_em_step" -> g04tSql,
+
+    "g06t_vae_step" -> g06tSql,
 
     "g07t_gan_train_step" -> g07tSql,
 

@@ -832,6 +832,35 @@ object SparkEntry {
         .orderBy(col("param"), col("o"), col("i"))
     }),
 
+    // ── G1 TRAINING witness: exactly ONE VAE gradient step (encoder
+    //    forward, reparametrize with literal ε, recon(MSE)+annealed-KL+
+    //    MMD gradients, full backward, t=1 Adam — VaeTrainer.vaeStep,
+    //    the first leg of vae_gan_trainer.py:220-262's 3-step loop body)
+    //    from the literal WitnessFixtures.G06t layers/batch; the oracle
+    //    replays every forward, the pairwise MMD kernel + gradient, every
+    //    backward delta and the Adam update in SQL ──────────────────────
+    "g06t_vae_step" -> ((s, dir) => {
+      import s.implicits._
+      val fx = WitnessFixtures.G06t
+      val (enc1, encMu, encLv, dec1, dec2) = fx.layers()
+      val all = Seq(("enc1", enc1), ("encMu", encMu), ("encLv", encLv),
+        ("dec1", dec1), ("dec2", dec2))
+      val w0 = all.map { case (_, l) => (l.w.map(_.clone()), l.b.clone()) }
+      graft.train.VaeTrainer.vaeStep(enc1, encMu, encLv, dec1, dec2,
+        fx.X, fx.X, nT = 0, eps = fx.Eps, klW = fx.KlW,
+        mmdLambda = fx.MmdLambda, lr = fx.Lr, adamT = 1)
+      val rows = all.zip(w0).flatMap { case ((name, l), (ww, bb)) =>
+        val wRows = for (o <- l.w.indices; i <- l.w(o).indices)
+          yield (name, o, i, l.w(o)(i), l.w(o)(i) - ww(o)(i))
+        val bRows = l.b.indices.map(o => (name, o, -1, l.b(o), l.b(o) - bb(o)))
+        wRows ++ bRows
+      }
+      rows.toDF("layer", "o", "i", "raw", "draw")
+        .select(col("layer"), col("o"), col("i"),
+          round(col("raw"), 8).as("v"), round(col("draw"), 10).as("dv"))
+        .orderBy(col("layer"), col("o"), col("i"))
+    }),
+
     // ── C7 witness: spectral distance over the DISTRIBUTED DFT path
     //    (Spectral.powerSpectrum — the at-scale leg; FFT ≡ DFT is
     //    property-tested). Two 64-point windows of the global return

@@ -143,6 +143,41 @@ object WitnessFixtures {
     }
   }
 
+  /** Tiny VAE (window 6, hidden 4, latent 2, batch 3) + literal batch
+    * and ε draws for the g06t ONE-VAE-STEP witness
+    * ([[graft.train.VaeTrainer.vaeStep]] — encoder forward,
+    * reparametrization, recon(MSE)+KL+MMD gradients, full backward,
+    * t=1 Adam — vs a full SQL replay). `layers()` constructs FRESH
+    * layers per call in the same order as trainOnWindows (enc1, encMu,
+    * encLv, dec1, dec2 from one seeded stream), so SparkEntry (which
+    * steps them) and OracleSql (which embeds the same initial doubles
+    * as literals) can never drift. */
+  object G06t {
+    import graft.train.VaeTrainer.Dense
+    val Ws = 6; val Hidden = 4; val Ld = 2; val Batch = 3
+    val KlW = 0.05; val MmdLambda = 0.1; val Lr = 1e-3
+    def layers(): (Dense, Dense, Dense, Dense, Dense) = {
+      val rnd = new scala.util.Random(53L)
+      val enc1 = new Dense(Ws, Hidden, "tanh", rnd)
+      val encMu = new Dense(Hidden, Ld, "linear", rnd)
+      val encLv = new Dense(Hidden, Ld, "linear", rnd)
+      val dec1 = new Dense(Ld, Hidden, "tanh", rnd)
+      val dec2 = new Dense(Hidden, Ws, "linear", rnd)
+      (enc1, encMu, encLv, dec1, dec2)
+    }
+    /** Log-return-scale window batch (the trainer's input domain). */
+    val X: Array[Array[Double]] = {
+      val r = new scala.util.Random(57L)
+      Array.fill(Batch, Ws)(r.nextGaussian() * 0.01)
+    }
+    /** The reparametrization ε draws (literal, so the oracle needs no
+      * RNG replay for this witness). */
+    val Eps: Array[Array[Double]] = {
+      val r = new scala.util.Random(59L)
+      Array.fill(Batch, Ld)(r.nextGaussian())
+    }
+  }
+
   /** Literal 3-state diagonal-Gaussian HMM init for the g04t ONE-EM-STEP
     * witness ([[graft.gen.Hmm.emStep]] vs a DuckDB recursive-CTE replay
     * of the scaled forward-backward + M-step over the same 200-row

@@ -230,6 +230,111 @@ object VaeTrainer {
     (rows.map(_.getSeq[Double](0).toArray), rows.map(_.getSeq[Double](1).toArray))
   }
 
+  /** Exactly ONE VAE gradient step (the first of the reference's
+    * 3-step loop body, vae_gan_trainer.py:220-262): encoder forward,
+    * reparametrize with the CALLER-supplied ε batch, decoder forward,
+    * recon(MSE) + annealed-KL + MMD gradients, full backward, Adam at
+    * step `adamT`. Mutates the five layers in place; returns
+    * (reconLoss, klLoss, mmdLoss). Extracted from the training loop so
+    * the g06t oracle witness steps the REAL code, not a copy; with
+    * `nT = 0` the temporal concatenation is a no-op and `tBatch` is
+    * ignored. */
+  def vaeStep(enc1: Dense, encMu: Dense, encLv: Dense,
+              dec1: Dense, dec2: Dense,
+              batch: Array[Array[Double]], tBatch: Array[Array[Double]],
+              nT: Int, eps: Array[Array[Double]], klW: Double,
+              mmdLambda: Double, lr: Double, adamT: Int,
+              l2Reg: Double = 0.0): (Double, Double, Double) = {
+    val n = batch.length
+    val ws = dec2.outDim
+    val ld = encMu.outDim
+    val hidden = enc1.outDim
+    def cat(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] =
+      if (nT == 0) a else a.zip(b).map { case (x, y) => x ++ y }
+    def head(a: Array[Array[Double]], cols: Int): Array[Array[Double]] =
+      if (nT == 0) a else a.map(_.take(cols))
+    val vaeLayers = Seq(enc1, encMu, encLv, dec1, dec2)
+
+    vaeLayers.foreach(_.zeroGrad())
+    val (pe1, he1) = enc1.forward(batch)
+    val heCat = cat(he1, tBatch)
+    val (pmu, mu) = encMu.forward(heCat)
+    val (plv, lv) = encLv.forward(heCat)
+    val z = Array.tabulate(n, ld)((r, j) =>
+      mu(r)(j) + math.exp(0.5 * lv(r)(j)) * eps(r)(j))
+    val zCat = cat(z, tBatch)
+    val (pd1, hd1) = dec1.forward(zCat)
+    val (pd2, recon) = dec2.forward(hd1)
+
+    var recL = 0.0
+    val gRecon = Array.ofDim[Double](n, ws)
+    var r = 0
+    while (r < n) {
+      var jj = 0
+      while (jj < ws) {
+        val d = recon(r)(jj) - batch(r)(jj)
+        recL += d * d
+        gRecon(r)(jj) = 2.0 * d / (n * ws)
+        jj += 1
+      }
+      r += 1
+    }
+    recL /= (n * ws)
+    var klL = 0.0
+    r = 0
+    while (r < n) {
+      var jj = 0
+      while (jj < ld) {
+        val l = lv(r)(jj); val m = mu(r)(jj)
+        klL += -0.5 * (1.0 + l - m * m - math.exp(l))
+        jj += 1
+      }
+      r += 1
+    }
+    klL /= (n * ld)
+    // MMD (ref _mmd_loss) + its gradient wrt recon
+    val gamma = Mmd.defaultGamma(batch)
+    val mmdL = Mmd.gaussian(batch, recon, gamma)
+    val gMmd = Mmd.gradWrtSecond(batch, recon, gamma)
+    r = 0
+    while (r < n) {
+      var jj = 0
+      while (jj < ws) {
+        gRecon(r)(jj) += mmdLambda * gMmd(r)(jj)
+        jj += 1
+      }
+      r += 1
+    }
+    // backward: decoder then split into mu / lv paths (temporal
+    // columns of concatenated inputs carry no trainable upstream)
+    val gHd1 = dec2.backward(hd1, pd2, recon, gRecon)
+    val gZ = head(dec1.backward(zCat, pd1, hd1, gHd1), ld)
+    val gMu = Array.ofDim[Double](n, ld)
+    val gLv = Array.ofDim[Double](n, ld)
+    r = 0
+    while (r < n) {
+      var jj = 0
+      while (jj < ld) {
+        val m = mu(r)(jj); val l = lv(r)(jj)
+        gMu(r)(jj) = gZ(r)(jj) + klW * (m / (n * ld))
+        gLv(r)(jj) = gZ(r)(jj) * eps(r)(jj) * 0.5 * math.exp(0.5 * l) +
+          klW * (-0.5 * (1.0 - math.exp(l)) / (n * ld))
+        jj += 1
+      }
+      r += 1
+    }
+    val gHe1a = encMu.backward(heCat, pmu, mu, gMu)
+    val gHe1b = encLv.backward(heCat, plv, lv, gLv)
+    val gHe1 = Array.tabulate(n, hidden)((a, c) => gHe1a(a)(c) + gHe1b(a)(c))
+    enc1.backward(batch, pe1, he1, gHe1)
+    // l2(l2_reg) on the HIDDEN Dense kernels only (the reference's
+    // enc_dense_*/dec_dense_* carry kernel_regularizer; the mu/lv
+    // and output heads do not)
+    if (l2Reg > 0) { enc1.addL2(l2Reg); dec1.addL2(l2Reg) }
+    vaeLayers.foreach(_.adam(lr, adamT))
+    (recL, klL, mmdL)
+  }
+
   /** Train on pre-extracted windows (driver loop). In conditional mode
     * `temps` carries the per-window W8 features, concatenated after the
     * encoder's first layer, into the decoder input and into the
@@ -264,7 +369,6 @@ object VaeTrainer {
     val d2 = new Dense(64, 32, "lrelu", rnd)
     val d3 = new Dense(32, 1, "linear", rnd)
 
-    val vaeLayers = Seq(enc1, encMu, encLv, dec1, dec2)
     val genLayers = Seq(dec1, dec2)
     val discLayers = Seq(d1, d2, d3)
 
@@ -334,85 +438,11 @@ object VaeTrainer {
         val n = batch.length
         adamT += 1
 
-        // ── VAE step ──
-        vaeLayers.foreach(_.zeroGrad())
-        val (pe1, he1) = enc1.forward(batch)
-        val heCat = cat(he1, tBatch)
-        val (pmu, mu) = encMu.forward(heCat)
-        val (plv, lv) = encLv.forward(heCat)
+        // ── VAE step (extracted: vaeStep is also the g06t witness) ──
         val eps = Array.fill(n, ld)(rnd.nextGaussian())
-        val z = Array.tabulate(n, ld)((r, j) =>
-          mu(r)(j) + math.exp(0.5 * lv(r)(j)) * eps(r)(j))
-        val zCat = cat(z, tBatch)
-        val (pd1, hd1) = dec1.forward(zCat)
-        val (pd2, recon) = dec2.forward(hd1)
-
-        var recL = 0.0
-        val gRecon = Array.ofDim[Double](n, ws)
-        var r = 0
-        while (r < n) {
-          var jj = 0
-          while (jj < ws) {
-            val d = recon(r)(jj) - batch(r)(jj)
-            recL += d * d
-            gRecon(r)(jj) = 2.0 * d / (n * ws)
-            jj += 1
-          }
-          r += 1
-        }
-        recL /= (n * ws)
-        var klL = 0.0
-        r = 0
-        while (r < n) {
-          var jj = 0
-          while (jj < ld) {
-            val l = lv(r)(jj); val m = mu(r)(jj)
-            klL += -0.5 * (1.0 + l - m * m - math.exp(l))
-            jj += 1
-          }
-          r += 1
-        }
-        klL /= (n * ld)
-        // MMD (ref _mmd_loss) + its gradient wrt recon
-        val gamma = Mmd.defaultGamma(batch)
-        val mmdL = Mmd.gaussian(batch, recon, gamma)
-        val gMmd = Mmd.gradWrtSecond(batch, recon, gamma)
-        r = 0
-        while (r < n) {
-          var jj = 0
-          while (jj < ws) {
-            gRecon(r)(jj) += cfg.mmdLambda * gMmd(r)(jj)
-            jj += 1
-          }
-          r += 1
-        }
-        // backward: decoder then split into mu / lv paths (temporal
-        // columns of concatenated inputs carry no trainable upstream)
-        val gHd1 = dec2.backward(hd1, pd2, recon, gRecon)
-        val gZ = head(dec1.backward(zCat, pd1, hd1, gHd1), ld)
-        val gMu = Array.ofDim[Double](n, ld)
-        val gLv = Array.ofDim[Double](n, ld)
-        r = 0
-        while (r < n) {
-          var jj = 0
-          while (jj < ld) {
-            val m = mu(r)(jj); val l = lv(r)(jj)
-            gMu(r)(jj) = gZ(r)(jj) + klW * (m / (n * ld))
-            gLv(r)(jj) = gZ(r)(jj) * eps(r)(jj) * 0.5 * math.exp(0.5 * l) +
-              klW * (-0.5 * (1.0 - math.exp(l)) / (n * ld))
-            jj += 1
-          }
-          r += 1
-        }
-        val gHe1a = encMu.backward(heCat, pmu, mu, gMu)
-        val gHe1b = encLv.backward(heCat, plv, lv, gLv)
-        val gHe1 = Array.tabulate(n, cfg.hidden)((a, c) => gHe1a(a)(c) + gHe1b(a)(c))
-        enc1.backward(batch, pe1, he1, gHe1)
-        // l2(l2_reg) on the HIDDEN Dense kernels only (the reference's
-        // enc_dense_*/dec_dense_* carry kernel_regularizer; the mu/lv
-        // and output heads do not)
-        if (cfg.l2Reg > 0) { enc1.addL2(cfg.l2Reg); dec1.addL2(cfg.l2Reg) }
-        vaeLayers.foreach(_.adam(cfg.learningRate, adamT))
+        val (recL, klL, mmdL) = vaeStep(enc1, encMu, encLv, dec1, dec2,
+          batch, tBatch, nT, eps, klW, cfg.mmdLambda, cfg.learningRate,
+          adamT, cfg.l2Reg)
 
         var dL = 0.0; var gL = 0.0
         if (cfg.adversarial) {
