@@ -3039,6 +3039,19 @@ object OracleSql {
     // A15/A16: the reference's v_generator_summary view verbatim
     // (COUNT/ROUND(AVG)/GROUP BY, evaluate_all_generators.py:245-281)
     // over per-user metric rows
+    // J4: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    // union-align windowed implementation (AsOfJoin.asOf)
+    "a01_asof_join" ->
+      """WITH r AS (SELECT user_id, ts, max(value) AS rv FROM events
+        |           WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        |     l AS (SELECT user_id, event_id, ts, value FROM events
+        |           WHERE event_id % 2 = 1)
+        |SELECT l.user_id, l.event_id, round(l.value, 6) AS value,
+        |       round(r.rv, 6) AS asof_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
+
     "a15_generator_summary" ->
       """WITH m AS (SELECT user_id AS seed,
         |    'g' || (user_id % 3)::VARCHAR AS generator,

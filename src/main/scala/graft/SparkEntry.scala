@@ -933,6 +933,24 @@ object SparkEntry {
         .orderBy(col("i"))
     }),
 
+    // ── J4 (beyond reference): as-of join — every odd event aligned to
+    //    the most recent even event of the same user (right side
+    //    pre-aggregated per (user, ts) so the match is well-defined);
+    //    one hash shuffle on the key, oracled by DuckDB's native
+    //    ASOF LEFT JOIN ─────────────────────────────────────────────────
+    "a01_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val right = e.filter(col("event_id") % 2 === 0)
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("rv"))
+      val left = e.filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      graft.series.AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "rv")
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("value"),
+          round(col("asof_value"), 6).as("asof_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // ── A15/A16 witness: the reference's per-generator summary view
     //    (COUNT/ROUND(AVG)/GROUP BY — evaluate_all_generators.py:245-281)
     //    over a metrics frame derived from per-user event stats ────────

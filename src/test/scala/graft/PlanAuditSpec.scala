@@ -46,6 +46,13 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("a01 as-of join compiles to union+window — no join operator at all") {
+    val p = plan("a01_asof_join")
+    assert(!p.contains("Join"),
+      "as-of must be the one-shuffle union-align shape, not a range/sort-merge join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q23 broadcasts the bounded query side over the streaming corpus") {
     val p = plan("q23_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

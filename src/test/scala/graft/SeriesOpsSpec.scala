@@ -96,6 +96,27 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(math.abs(c.head - (1.0 - 3.0)) < 1e-12)
   }
 
+  test("J4 as-of join: inclusive most-recent match per key; tolerance nulls stale matches") {
+    import spark.implicits._
+    def t(sec: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2020-01-01T00:00:00Z").plusSeconds(sec))
+    val left = Seq((1L, 1L, t(5), 0.0), (1L, 2L, t(10), 0.0), (1L, 3L, t(2), 0.0),
+      (2L, 4L, t(7), 0.0)).toDF("user_id", "event_id", "ts", "value")
+    val right = Seq((1L, t(3), 30.0), (1L, t(10), 100.0), (2L, t(8), 80.0))
+      .toDF("user_id", "ts", "rv")
+    val out = graft.series.AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "rv")
+      .select("event_id", "asof_value").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(30.0))  // t5 → right t3
+    assert(out(2L) === Some(100.0)) // equal timestamp matches (inclusive)
+    assert(out(3L) === None)        // before any right row
+    assert(out(4L) === None)        // other key's rows invisible; t8 > t7
+    val tol = graft.series.AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "rv",
+        maxGapSeconds = Some(1.0))
+      .select("event_id", "asof_value").as[(Long, Option[Double])].collect().toMap
+    assert(tol(1L) === None)        // gap 2 s > tolerance 1 s
+    assert(tol(2L) === Some(100.0)) // gap 0
+  }
+
   test("W8 temporal features: Monday maps to dow 0 (pandas convention)") {
     import spark.implicits._
     // 2024-01-01 is a Monday
