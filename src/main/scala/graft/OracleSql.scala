@@ -2578,6 +2578,46 @@ object OracleSql {
 
     "g04t_hmm_em_step" -> g04tSql,
 
+    // G4 PER-SERIES: the g04f feature pipeline with every window and
+    // aggregate partitioned by user (per-series fit-prefix cap included
+    // for contract fidelity — a no-op at the sf0.01 gate)
+    "g04b_regime_features_per_user" ->
+      """WITH rr AS (
+        |  SELECT user_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |         ret
+        |  FROM (SELECT user_id, ts, event_id,
+        |          ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+        |        FROM (SELECT * FROM events
+        |              QUALIFY row_number() OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) <= 20000) p) r0
+        |  WHERE ret IS NOT NULL),
+        |v AS (SELECT user_id, rn, ret,
+        |        CASE WHEN count(ret) OVER w24 >= 1 THEN stddev_samp(ret) OVER w24 END AS vol_short,
+        |        CASE WHEN count(ret) OVER w72 >= 1 THEN stddev_samp(ret) OVER w72 END AS vol_long
+        |      FROM rr
+        |      WINDOW w24 AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+        |             w72 AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 71 PRECEDING AND CURRENT ROW)),
+        |vr AS (SELECT user_id, rn, ret, vol_short,
+        |         CASE WHEN vol_long > 1e-10 THEN vol_short/vol_long ELSE 1.0 END AS vol_ratio
+        |       FROM v),
+        |cl AS (SELECT * FROM vr
+        |       WHERE ret IS NOT NULL AND NOT isnan(ret) AND abs(ret) <> 'infinity'::DOUBLE
+        |         AND vol_short IS NOT NULL AND NOT isnan(vol_short)
+        |         AND abs(vol_short) <> 'infinity'::DOUBLE
+        |         AND vol_ratio IS NOT NULL AND NOT isnan(vol_ratio)
+        |         AND abs(vol_ratio) <> 'infinity'::DOUBLE),
+        |st AS (SELECT user_id, avg(ret) AS m0, stddev_pop(ret) AS s0,
+        |              avg(vol_short) AS m1, stddev_pop(vol_short) AS s1,
+        |              avg(vol_ratio) AS m2, stddev_pop(vol_ratio) AS s2
+        |       FROM cl GROUP BY user_id)
+        |SELECT cl.user_id, cl.rn::INT AS rn,
+        |  round((ret - m0)/(s0 + 1e-10), 6) AS f0,
+        |  round((vol_short - m1)/(s1 + 1e-10), 6) AS f1,
+        |  round((vol_ratio - m2)/(s2 + 1e-10), 6) AS f2
+        |FROM cl JOIN st USING (user_id) ORDER BY user_id, rn""".stripMargin,
+
     "g06t_vae_step" -> g06tSql,
 
     "g07t_gan_train_step" -> g07tSql,

@@ -997,6 +997,17 @@ object SparkEntry {
         .orderBy(col("user_id"), col("alpha"), col("beta"))
     }),
 
+    // ── G4 PER-SERIES fit: every user's normalized HMM feature frame in
+    //    one shuffle on the series key (the grouped twin of g04f) ───────
+    "g04b_regime_features_per_user" -> ((s, dir) => {
+      graft.gen.RegimeConditional.featuresGrouped(ev(s, dir), "user_id",
+          Seq("ts", "event_id"), "value")
+        .select(col("user_id"), col("rn"),
+          round(col("f0"), 6).as("f0"), round(col("f1"), 6).as("f1"),
+          round(col("f2"), 6).as("f2"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
     // ── G6 PER-SERIES fit: vol-regime segmentation keyed on user — one
     //    shuffle segments every series at once ──────────────────────────
     "g03b_regime_segments_per_user" -> ((s, dir) => {

@@ -85,6 +85,46 @@ object RegimeConditional {
         col("m0"), col("s0"), col("m1"), col("s1"), col("m2"), col("s2"))
   }
 
+  /** PER-SERIES grouped twin of [[features]]: every series' normalized
+    * [f0, f1, f2] feature frame in ONE shuffle on the series key — the
+    * fit-prefix cap, log-returns, rolling vols, NaN filter and
+    * z-normalization all run per series inside (seriesCol)-partitioned
+    * windows / aggregations, so the number of series is unbounded (the
+    * 100-TB fit path: series × feature parallelism, no driver state).
+    * The per-series normalization stats come back via a join against
+    * the per-series aggregate (one row per series — broadcast-sized). */
+  def featuresGrouped(prices: DataFrame, seriesCol: String,
+                      orderCols: Seq[String], price: String,
+                      volWindow: Int = 24, volLong: Int = 72,
+                      maxRowsPerSeries: Int = 20000): DataFrame = {
+    val spec = SeriesSpec(Seq(seriesCol), orderCols)
+    // fit-prefix cap per series (same contract as features' maxRows)
+    val capped = prices
+      .withColumn("__prn", row_number().over(spec.w))
+      .filter(col("__prn") <= maxRowsPerSeries).drop("__prn")
+    val rets = SeriesOps.logReturns(capped, spec, price, "ret")
+      .filter(col("ret").isNotNull)
+      .withColumn("rn", row_number().over(spec.w))
+    val rspec = SeriesSpec(Seq(seriesCol), Seq("rn"))
+    val f = SeriesOps.rollingStd(
+      SeriesOps.rollingStd(rets, rspec, "ret", volWindow, 1, "vol_short"),
+      rspec, "ret", volLong, 1, "vol_long")
+      .withColumn("vol_ratio", SeriesOps.volRatio(col("vol_short"), col("vol_long")))
+    val cols = Seq("ret", "vol_short", "vol_ratio")
+    val clean = cols.foldLeft(f)((d, c) =>
+      d.filter(col(c).isNotNull && !isnan(col(c)) &&
+        abs(col(c)) =!= Double.PositiveInfinity))
+    val stats = clean.groupBy(col(seriesCol)).agg(
+      avg(col("ret")).as("m0"), stddev_pop(col("ret")).as("s0"),
+      avg(col("vol_short")).as("m1"), stddev_pop(col("vol_short")).as("s1"),
+      avg(col("vol_ratio")).as("m2"), stddev_pop(col("vol_ratio")).as("s2"))
+    clean.join(stats, Seq(seriesCol))
+      .select(col(seriesCol), col("rn"), col("ret"),
+        ((col("ret") - col("m0")) / (col("s0") + 1e-10)).as("f0"),
+        ((col("vol_short") - col("m1")) / (col("s1") + 1e-10)).as("f1"),
+        ((col("vol_ratio") - col("m2")) / (col("s2") + 1e-10)).as("f2"))
+  }
+
   /** Fit G4 (withGarch=false) or G5 (withGarch=true).
     * `maxFitRows` caps the series prefix used for the driver-side EM
     * (the reference fits on ≤ ~7.4k rows; EM is O(iters·n·k²) and a

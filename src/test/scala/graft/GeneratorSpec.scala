@@ -88,6 +88,22 @@ class GeneratorSpec extends AnyFunSuite {
     assert(grouped === global)
   }
 
+  test("per-series grouped G4 features == global feature frame on one series") {
+    val s = spark
+    import s.implicits._
+    val prices = SparkSpec.randomWalk(400).withColumn("user_id", lit(7L))
+    val grouped = graft.gen.RegimeConditional.featuresGrouped(
+        prices, "user_id", Seq("DATE_TIME"), "typical_price")
+      .select("rn", "f0", "f1", "f2")
+      .collect().map(_.toSeq).toSet
+    val global = graft.gen.RegimeConditional.features(
+        prices, Seq("DATE_TIME"), "typical_price")
+      .select("rn", "f0", "f1", "f2")
+      .collect().map(_.toSeq).toSet
+    assert(grouped.nonEmpty)
+    assert(grouped === global)
+  }
+
   test("G3 grasynda: fit on returns, deterministic generation") {
     val prices = SparkSpec.randomWalk(400)
     val rets = SeriesOps.logReturns(prices, spec, "typical_price", "ret")

@@ -93,6 +93,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "found an un-partitioned window in the per-series fit")
   }
 
+  test("g04b per-series features key every window on the series") {
+    val p = plan("g04b_regime_features_per_user")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("SinglePartition"),
+      "per-series g04b must not funnel into one partition")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q30b per-series evaluator keys every window on the series") {
     val p = plan("q30b_dist_per_user")
     assert(!p.contains("CartesianProduct"))
