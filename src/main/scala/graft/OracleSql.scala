@@ -1817,6 +1817,45 @@ object OracleSql {
          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
     },
 
+    // PQ ANN: per-subspace argmin codes (key |c|²−2·x_m·c — the
+    // commutative-exact twin of the Spark expression), per-query
+    // flat ADC lookup table, approx dot = Σ_m lut[m·K + code_m],
+    // shortlist by (adc r5 desc, id), exact cosine rerank
+    "s03_pq_ann" -> {
+      val cb = graft.sim.PqCodebook.M8K16
+      val m = cb.length; val ks = cb(0).length; val sub = cb(0)(0).length
+      def sl(mi: Int) = s"v[${mi * sub + 1}:${(mi + 1) * sub}]"
+      val codeCols = (0 until m).map { mi =>
+        val dl = "[" + cb(mi).map(c =>
+          s"(${c.map(x => x * x).sum} - 2.0*list_inner_product(${sl(mi)}, ${planeLit(c)}))")
+          .mkString(",\n      ") + "]"
+        s"(list_position($dl, list_aggregate($dl, 'min')) - 1) AS code$mi"
+      }
+      val lut = "[" + (0 until m).flatMap(mi => cb(mi).map(c =>
+        s"list_inner_product(${sl(mi)}, ${planeLit(c)})")).mkString(",\n      ") + "]"
+      val adc = (0 until m).map(mi => s"lut[code$mi + ${mi * ks + 1}]").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |             list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS neighbor_id, v AS cv, n AS cn,
+         |        ${codeCols.mkString(",\n        ")}
+         |      FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, n AS qn, $lut AS lut
+         |      FROM e WHERE vec_id < 5),
+         |sc AS (SELECT query_id, neighbor_id, qv, cv, qn, cn,
+         |         round($adc, 5) AS adc
+         |       FROM c, q WHERE query_id <> neighbor_id),
+         |sh AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY adc DESC, neighbor_id) AS ark FROM sc),
+         |rr AS (SELECT query_id, neighbor_id,
+         |         round(list_inner_product(qv,cv)/sqrt(qn*cn), 5) AS cosine
+         |       FROM sh WHERE ark <= 40)
+         |SELECT query_id, neighbor_id, cosine, rk::INT AS rk FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY cosine DESC, neighbor_id) AS rk FROM rr) t
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+    },
+
     "q23_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 5),

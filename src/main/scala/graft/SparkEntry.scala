@@ -548,6 +548,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // ── PQ ANN: asymmetric-distance compressed-domain scan (per-subspace
+    //    KMeans codebook frozen as literals) + exact cosine rerank of the
+    //    2k-deep shortlist ───────────────────────────────────────────────
+    "s03_pq_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+          graft.sim.PqCodebook.M8K16, k = 10, overfetch = 4)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // ── G2 fit witness: the block/rescale chain with deterministic
     //    strided starts — the zero-RNG twin of g01's seeded walk, fully
     //    oracle-checkable ────────────────────────────────────────────

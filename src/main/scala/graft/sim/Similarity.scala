@@ -174,6 +174,72 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
   }
 
+  /** PQ codes: per subspace, the argmin centroid of the subvector slice
+    * (comparison key |c|² − 2·x_m·c like [[ivfAssign]]; ties to the
+    * smallest code id), packed as an array<int> of length M. Encoding is
+    * map-only — the corpus never shuffles, and the 8-byte code array
+    * stands in for the 256-byte float vector in the scan. */
+  def pqEncode(v: Column, codebook: Array[Array[Array[Double]]]): Column = {
+    val sub = codebook(0)(0).length
+    array(codebook.zipWithIndex.map { case (cents, mi) =>
+      val s = slice(v, mi * sub + 1, sub)
+      val ds = cents.zipWithIndex.map { case (c, i) =>
+        val cLit = array(c.map(lit): _*)
+        val c2 = c.map(x => x * x).sum
+        struct((dot(s, cLit) * -2.0 + lit(c2)).as("d"), lit(i).as("cid"))
+      }
+      array_min(array(ds: _*)).getField("cid")
+    }: _*)
+  }
+
+  /** Per-query ADC lookup table: dot(q_m, c_{m,k}) for every subspace ×
+    * centroid, flattened m-major (m·K + k). dot(q, x) ≈ Σ_m lut[m·K +
+    * code_m(x)] — 8 array lookups per candidate instead of a 64-dim
+    * multiply. */
+  def pqLut(v: Column, codebook: Array[Array[Array[Double]]]): Column = {
+    val sub = codebook(0)(0).length
+    array(codebook.zipWithIndex.flatMap { case (cents, mi) =>
+      val s = slice(v, mi * sub + 1, sub)
+      cents.map(c => dot(s, array(c.map(lit): _*)))
+    }: _*)
+  }
+
+  /** PQ ANN top-k: asymmetric-distance (ADC) scan + exact rerank. The
+    * corpus is PQ-encoded once (map-only, no shuffle); each (query,
+    * candidate) score is M table lookups on the broadcast query's LUT —
+    * the compressed-domain scan that makes exhaustive ANN feasible when
+    * the float vectors no longer fit the cluster's memory. A per-query
+    * shortlist of k·overfetch by approximate dot is then reranked by
+    * exact cosine. Composable with [[ivfTopK]] (IVF-PQ: probe lists,
+    * then ADC within them). Deterministic: ADC rounded to `roundTo`
+    * with id tie-break picks the shortlist; exact (cos, id) ranks it. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+             codebook: Array[Array[Array[Double]]], k: Int,
+             overfetch: Int = 2, roundTo: Int = 5): DataFrame = {
+    val m = codebook.length; val ks = codebook(0).length
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      dot(col(vec), col(vec)).as("qn"), pqLut(col(vec), codebook).as("lut"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      dot(col(vec), col(vec)).as("cn"), pqEncode(col(vec), codebook).as("codes"))
+    val adc = (0 until m).map(mi =>
+        element_at(col("lut"), element_at(col("codes"), mi + 1) + lit(mi * ks + 1)))
+      .reduce(_ + _)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", round(adc, roundTo))
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= k * overfetch)
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+  }
+
   /** Near-dup pairs within explicit blocks, ADDITIONALLY multi-band
     * sign-LSH banded so no stage is quadratic in block size: the join
     * key is (block, band, bucket), bounding each pair group to vectors
