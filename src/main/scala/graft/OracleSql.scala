@@ -469,6 +469,157 @@ object OracleSql {
        |ORDER BY net, layer, o, i""".stripMargin
   }
 
+  /** o01f: ONE (config, seed) sweep fitness —
+    * [[graft.opt.LocalFitness.grasyndaWalk]] + compositeLite from
+    * literal params (nBins=8, smooth=0.2, n=200, seed=5) over the first
+    * 2000 per-user returns, replayed end to end: index-quantile edges
+    * (sorted[round(i/8·(n−1))], order-stable distinct), digitize,
+    * row-normalized transitions with uniform fallback, per-state sorted
+    * pools, the java.util.Random walk (nextInt with BOTH the power-of-2
+    * and rejection branches, nextDouble as two next() draws), the
+    * smoothing recursion as a second 200-step recursive CTE, and the
+    * JS(20-bin)/KS-merge/std-ratio/ac1-ratio composite. The KS merge's
+    * prefix maximum equals the maximum over the sorted union ordered
+    * (value, real-first): post-exhaustion prefixes only shrink the
+    * running diff, so no cutoff is needed. Walk values are exact
+    * (integer LCG + literal-double arithmetic); only the score column
+    * carries aggregate-order float fuzz, absorbed by its r6. */
+  private def o01fSql: String = {
+    val seed0 = (5L ^ 0x5DEECE66DL) & ((1L << 48) - 1)
+    val nBins = 8; val nGen = 200; val cap = 2000
+    val oneMinus = (1.0 - 0.2).toString // the Scala (1.0 - smooth) double
+    val smooth = 0.2.toString
+    val idxs = (1 until nBins).map(i =>
+      s"sl[floor(${i.toDouble / nBins}*(nn - 1) + 0.5)::INT + 1]").mkString(", ")
+    s"""WITH RECURSIVE
+       |d AS MATERIALIZED (SELECT row_number() OVER (ORDER BY ts, event_id) AS rn, ret AS v
+       |      FROM (SELECT ts, event_id, ret FROM ($perUserRets) x
+       |            ORDER BY ts, event_id LIMIT $cap) r0),
+       |n0 AS (SELECT count(*)::INT AS nn FROM d),
+       |srt AS (SELECT list_sort(list(v)) AS sl FROM d),
+       |e0 AS (SELECT list_sort(list_distinct([$idxs])) AS interior FROM srt, n0),
+       |k0 AS (SELECT (len(interior)+1)::INT AS k FROM e0),
+       |st AS MATERIALIZED (SELECT d.rn, d.v,
+       |         len(list_filter(e0.interior, x -> x <= d.v))::INT AS state
+       |       FROM d, e0),
+       |states AS (SELECT unnest(generate_series(0, len(interior)))::INT AS state FROM e0),
+       |tr AS (SELECT state, next_state, count(*)::BIGINT AS cnt FROM
+       |        (SELECT state, lead(state) OVER (ORDER BY rn) AS next_state FROM st) x
+       |       WHERE next_state IS NOT NULL GROUP BY state, next_state),
+       |dp AS (SELECT s1.state, s2.state AS nxt, coalesce(tr.cnt, 0)::DOUBLE AS cnt
+       |       FROM states s1 CROSS JOIN states s2
+       |       LEFT JOIN tr ON tr.state = s1.state AND tr.next_state = s2.state),
+       |rs AS (SELECT state, sum(cnt) AS tot FROM dp GROUP BY state),
+       |tp AS (SELECT dp.state, dp.nxt,
+       |         CASE WHEN rs.tot > 0 THEN dp.cnt / rs.tot
+       |              ELSE 1.0 / (SELECT k FROM k0) END AS p
+       |       FROM dp JOIN rs ON rs.state = dp.state),
+       |tcum AS (
+       |  SELECT state, 0 AS j, p AS acc FROM tp WHERE nxt = 0
+       |  UNION ALL
+       |  SELECT c.state, c.j + 1, c.acc + t.p
+       |  FROM tcum c JOIN tp t ON t.state = c.state AND t.nxt = c.j + 1
+       |  WHERE c.j + 1 <= (SELECT k FROM k0) - 2),
+       |tcl AS (SELECT state, list(acc ORDER BY j) AS cl FROM tcum GROUP BY state),
+       |tcll AS (SELECT list(cl ORDER BY state) AS tl FROM tcl),
+       |po AS MATERIALIZED (SELECT state, list(v ORDER BY v) AS pool FROM st GROUP BY state),
+       |pl AS (SELECT list(coalesce(ln0, 0) ORDER BY state) AS pls FROM (
+       |         SELECT s.state, (SELECT len(pool) FROM po WHERE po.state = s.state) AS ln0
+       |         FROM states s) z),
+       |mp AS (SELECT min(state) AS ms FROM po),
+       |sA AS (SELECT state AS st0 FROM st WHERE rn = 1),
+       |walk AS (
+       |  SELECT 0 AS it, CAST($seed0 AS HUGEINT) AS s, 0 AS phase,
+       |         sA.st0 AS curstate, CAST(0 AS HUGEINT) AS hi, 0 AS nrets,
+       |         tcll.tl AS tl, pl.pls AS pls, mp.ms AS ms,
+       |         CAST(NULL AS INT) AS acc_step, CAST(NULL AS INT) AS acc_state,
+       |         CAST(NULL AS INT) AS acc_r
+       |  FROM tcll, pl, mp, sA
+       |  UNION ALL
+       |  SELECT it + 1, s2,
+       |    CASE phase WHEN 0 THEN (CASE WHEN ok THEN 1 ELSE 0 END)
+       |         WHEN 1 THEN 2 ELSE 0 END,
+       |    CASE WHEN phase = 2
+       |         THEN len(list_filter(tl[curstate + 1], c -> c <= u))::INT
+       |         ELSE curstate END,
+       |    CASE WHEN phase = 1 THEN s2 // 4194304 ELSE hi END,
+       |    CASE WHEN phase = 0 AND ok THEN nrets + 1 ELSE nrets END,
+       |    tl, pls, ms,
+       |    CASE WHEN phase = 0 AND ok THEN nrets END,
+       |    CASE WHEN phase = 0 AND ok THEN pk END,
+       |    CASE WHEN phase = 0 AND ok THEN r::INT END
+       |  FROM (
+       |    SELECT w2.*,
+       |      ((bnd & (-bnd)) = bnd
+       |        OR (u31 - (u31 % bnd) + bnd - 1) <= 2147483647) AS ok,
+       |      CASE WHEN (bnd & (-bnd)) = bnd
+       |           THEN (bnd * u31) // 2147483648 ELSE u31 % bnd END AS r
+       |    FROM (
+       |      SELECT w1.*, s2 // 131072 AS u31,
+       |        (hi * 134217728 + (s2 // 2097152)) / 9007199254740992.0 AS u,
+       |        CASE WHEN pls[curstate + 1] > 0 THEN curstate ELSE ms END AS pk,
+       |        pls[(CASE WHEN pls[curstate + 1] > 0 THEN curstate ELSE ms END) + 1] AS bnd
+       |      FROM (SELECT walk.*,
+       |              (s * 25214903917 + 11) % 281474976710656 AS s2
+       |            FROM walk WHERE nrets < $nGen) w1) w2) w3),
+       |accs AS MATERIALIZED (SELECT acc_step AS i, acc_state AS state, acc_r AS r
+       |         FROM walk WHERE acc_step IS NOT NULL),
+       |pv AS MATERIALIZED (SELECT a.i, po.pool[a.r + 1] AS pv
+       |       FROM accs a JOIN po ON po.state = a.state),
+       |sm0 AS (
+       |  SELECT 0 AS i, ($oneMinus*pv + $smooth*pv) AS sv FROM pv WHERE i = 0
+       |  UNION ALL
+       |  SELECT p.i, $oneMinus*p.pv + $smooth*s.sv
+       |  FROM sm0 s JOIN pv p ON p.i = s.i + 1),
+       |sm AS MATERIALIZED (SELECT i, sv FROM sm0),
+       |lohi AS (SELECT least((SELECT min(v) FROM d), (SELECT min(sv) FROM sm)) AS lo,
+       |                greatest((SELECT max(v) FROM d), (SELECT max(sv) FROM sm)) AS hi),
+       |bg AS (SELECT unnest(generate_series(0, 19)) AS b),
+       |rcnt AS (SELECT least(floor(((v - lo)/(hi - lo + 1e-30))*20.0)::INT, 19) AS b,
+       |                count(*) AS cnt
+       |         FROM d, lohi GROUP BY 1),
+       |scnt AS (SELECT least(floor(((sv - lo)/(hi - lo + 1e-30))*20.0)::INT, 19) AS b,
+       |                count(*) AS cnt
+       |         FROM sm, lohi GROUP BY 1),
+       |rh AS (SELECT bg.b, coalesce(rcnt.cnt, 0)::DOUBLE / (SELECT count(*) FROM d) + 1e-10 AS h
+       |       FROM bg LEFT JOIN rcnt USING (b)),
+       |sh AS (SELECT bg.b, coalesce(scnt.cnt, 0)::DOUBLE / (SELECT count(*) FROM sm) + 1e-10 AS h
+       |       FROM bg LEFT JOIN scnt USING (b)),
+       |nrm AS (SELECT (SELECT sum(h) FROM rh) AS sr, (SELECT sum(h) FROM sh) AS ss),
+       |js AS (SELECT sqrt(greatest(sum(
+       |         0.5*(rh.h/sr)*ln((rh.h/sr)/(((rh.h/sr)+(sh.h/ss))/2))
+       |       + 0.5*(sh.h/ss)*ln((sh.h/ss)/(((rh.h/sr)+(sh.h/ss))/2))), 0.0)) AS js
+       |       FROM rh JOIN sh USING (b), nrm),
+       |uni AS (SELECT v AS x, 0 AS side FROM d UNION ALL SELECT sv, 1 FROM sm),
+       |kse AS (SELECT abs(
+       |          (count(*) FILTER (WHERE side = 0) OVER w)::DOUBLE
+       |            / (SELECT count(*) FROM d)
+       |        - (count(*) FILTER (WHERE side = 1) OVER w)::DOUBLE
+       |            / (SELECT count(*) FROM sm)) AS dd
+       |        FROM uni
+       |        WINDOW w AS (ORDER BY x, side ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |ks AS (SELECT max(dd) AS ks FROM kse),
+       |rmom AS (SELECT avg(v) AS m FROM d),
+       |rstd AS (SELECT sqrt(sum((v - m)*(v - m)) / count(*)) AS sd FROM d, rmom),
+       |smom AS (SELECT avg(sv) AS m FROM sm),
+       |sstd AS (SELECT sqrt(sum((sv - m)*(sv - m)) / count(*)) AS sd FROM sm, smom),
+       |rac AS (SELECT CASE WHEN sum((v - m)*(v - m)) > 0
+       |                 THEN sum((v - m)*(pv0 - m)) / sum((v - m)*(v - m))
+       |                 ELSE 0.0 END AS ac
+       |        FROM (SELECT v, lag(v) OVER (ORDER BY rn) AS pv0 FROM d) q, rmom),
+       |sac AS (SELECT CASE WHEN sum((sv - m)*(sv - m)) > 0
+       |                 THEN sum((sv - m)*(pv0 - m)) / sum((sv - m)*(sv - m))
+       |                 ELSE 0.0 END AS ac
+       |        FROM (SELECT sv, lag(sv) OVER (ORDER BY i) AS pv0 FROM sm) q, smom),
+       |scr AS (SELECT (3.0*js.js + 2.0*ks.ks
+       |         + 2.0*abs(sstd.sd / greatest(rstd.sd, 1e-12) - 1.0)
+       |         + 2.0*(CASE WHEN abs(rac.ac) > 1e-6 THEN abs(sac.ac / rac.ac - 1.0)
+       |                ELSE abs(sac.ac) END)) / 9.0 AS score
+       |        FROM js, ks, rstd, sstd, rac, sac)
+       |SELECT sm.i::INT AS i, round(sm.sv, 8) AS synth, round(scr.score, 6) AS score
+       |FROM sm, scr ORDER BY i""".stripMargin
+  }
+
   /** g06t: ONE VAE gradient step ([[graft.train.VaeTrainer.vaeStep]] —
     * encoder forward, reparametrization with the literal ε batch,
     * recon(MSE) + KL + MMD gradients, full backward, t=1 Adam; the first
@@ -1284,7 +1435,10 @@ object OracleSql {
        |    SELECT q1.*, ph = 4 AND ss < 1.0 AND ss <> 0.0 AS acc,
        |      sqrt(greatest((-2.0*ln(greatest(ss, 1e-300)))
        |        / (CASE WHEN ss = 0.0 THEN 1.0 ELSE ss END), 0.0)) AS mult,
-       |      (u31 - (u31 % bnd) + bnd - 1) <= 2147483647 AS ok, u31 % bnd AS r
+       |      ((bnd & (-bnd)) = bnd
+       |        OR (u31 - (u31 % bnd) + bnd - 1) <= 2147483647) AS ok,
+       |      CASE WHEN (bnd & (-bnd)) = bnd
+       |           THEN (bnd * u31) // 2147483648 ELSE u31 % bnd END AS r
        |    FROM (
        |      SELECT q0.*, 2.0*u - 1.0 AS v2,
        |        v1d*v1d + (2.0*u - 1.0)*(2.0*u - 1.0) AS ss,
@@ -1434,7 +1588,10 @@ object OracleSql {
        |    SELECT q1.*, ph = 4 AND ss < 1.0 AND ss <> 0.0 AS acc,
        |      sqrt(greatest((-2.0*ln(greatest(ss, 1e-300)))
        |        / (CASE WHEN ss = 0.0 THEN 1.0 ELSE ss END), 0.0)) AS mult,
-       |      (u31 - (u31 % bnd) + bnd - 1) <= 2147483647 AS ok, u31 % bnd AS r
+       |      ((bnd & (-bnd)) = bnd
+       |        OR (u31 - (u31 % bnd) + bnd - 1) <= 2147483647) AS ok,
+       |      CASE WHEN (bnd & (-bnd)) = bnd
+       |           THEN (bnd * u31) // 2147483648 ELSE u31 % bnd END AS r
        |    FROM (
        |      SELECT q0.*, 2.0*u - 1.0 AS v2,
        |        v1d*v1d + (2.0*u - 1.0)*(2.0*u - 1.0) AS ss,
@@ -2095,9 +2252,10 @@ object OracleSql {
     // (b*523) mod (total-29); telescoped ln-scale running sum
     // g01: the SEEDED walk replayed end to end. java.util.Random is a
     // 48-bit LCG (seed' = (seed·25214903917 + 11) mod 2^48, next(31) =
-    // seed >> 17); nextInt(bound) takes r = u mod bound and redraws
-    // only when u − r + bound − 1 overflows a 32-bit int — all exact
-    // integer arithmetic, replayed in HUGEINT inside a recursive CTE.
+    // seed >> 17); nextInt(bound) takes (bound·u) >> 31 when bound is a
+    // power of two, else r = u mod bound, redrawing only when
+    // u − r + bound − 1 overflows a 32-bit int — all exact integer
+    // arithmetic, replayed in HUGEINT inside a recursive CTE.
     // The 68 block starts feed the same telescoped chain as g01f.
     "g01_block_bootstrap" -> {
       val seed0 = (42L ^ 0x5DEECE66DL) & ((1L << 48) - 1)
@@ -2108,9 +2266,13 @@ object OracleSql {
          |lcg AS (
          |  SELECT 0 AS nd, CAST($seed0 AS HUGEINT) AS s, CAST([] AS BIGINT[]) AS starts
          |  UNION ALL
-         |  SELECT CASE WHEN u - (u % bnd) + bnd - 1 <= 2147483647 THEN nd + 1 ELSE nd END,
+         |  SELECT CASE WHEN (bnd & (-bnd)) = bnd
+         |                 OR u - (u % bnd) + bnd - 1 <= 2147483647
+         |              THEN nd + 1 ELSE nd END,
          |         s2,
-         |         CASE WHEN u - (u % bnd) + bnd - 1 <= 2147483647
+         |         CASE WHEN (bnd & (-bnd)) = bnd
+         |              THEN list_append(starts, ((bnd * u) // 2147483648)::BIGINT)
+         |              WHEN u - (u % bnd) + bnd - 1 <= 2147483647
          |              THEN list_append(starts, (u % bnd)::BIGINT) ELSE starts END
          |  FROM (SELECT nd, starts, s2, s2 // 131072 AS u,
          |          (SELECT total - 29 FROM tot) AS bnd
@@ -2167,7 +2329,8 @@ object OracleSql {
     // (hi·2^27+lo)/2^53), category-sampled against SEQUENTIAL
     // cumulative probs (tiny recursive cumsum — matches the Scala
     // accumulation order bit for bit); phase 0 = nextInt(pool size)
-    // with the rejection rule. Pool values joined back after the walk.
+    // with both the power-of-2 and rejection branches. Pool values
+    // joined back after the walk.
     "g02_grasynda" -> {
       val seed0 = (42L ^ 0x5DEECE66DL) & ((1L << 48) - 1)
       s"""WITH RECURSIVE
@@ -2240,8 +2403,11 @@ object OracleSql {
          |    CASE WHEN phase = 0 AND ok THEN pk END,
          |    CASE WHEN phase = 0 AND ok THEN r::INT END
          |  FROM (
-         |    SELECT w2.*, (u31 - (u31 % bnd) + bnd - 1) <= 2147483647 AS ok,
-         |           u31 % bnd AS r
+         |    SELECT w2.*,
+         |           ((bnd & (-bnd)) = bnd
+         |             OR (u31 - (u31 % bnd) + bnd - 1) <= 2147483647) AS ok,
+         |           CASE WHEN (bnd & (-bnd)) = bnd
+         |                THEN (bnd * u31) // 2147483648 ELSE u31 % bnd END AS r
          |    FROM (
          |      SELECT w1.*, s2 // 131072 AS u31,
          |        (hi * 134217728 + (s2 // 2097152)) / 9007199254740992.0 AS u,
@@ -2550,8 +2716,11 @@ object OracleSql {
          |    CASE WHEN phase = 0 AND ok THEN regime END,
          |    CASE WHEN phase = 0 AND ok THEN r::INT END
          |  FROM (
-         |    SELECT w2.*, (u31 - (u31 % bnd) + bnd - 1) <= 2147483647 AS ok,
-         |           u31 % bnd AS r
+         |    SELECT w2.*,
+         |           ((bnd & (-bnd)) = bnd
+         |             OR (u31 - (u31 % bnd) + bnd - 1) <= 2147483647) AS ok,
+         |           CASE WHEN (bnd & (-bnd)) = bnd
+         |                THEN (bnd * u31) // 2147483648 ELSE u31 % bnd END AS r
          |    FROM (
          |      SELECT w1.*, s2 // 131072 AS u31,
          |        (hi * 134217728 + (s2 // 2097152)) / 9007199254740992.0 AS u,
@@ -2658,6 +2827,8 @@ object OracleSql {
         |FROM cl JOIN st USING (user_id) ORDER BY user_id, rn""".stripMargin,
 
     "g06t_vae_step" -> g06tSql,
+
+    "o01f_sweep_fitness" -> o01fSql,
 
     "g07t_gan_train_step" -> g07tSql,
 

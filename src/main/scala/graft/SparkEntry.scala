@@ -530,6 +530,28 @@ object SparkEntry {
         .orderBy(col("avg_score"), col("config_id"))
     }),
 
+    // ── A17/§2.12 TRAINING witness: the sweep's per-candidate fitness —
+    //    ONE (config, seed) grasynda-lite fit + walk + composite-lite
+    //    score from literal params (LocalFitness.grasyndaWalk +
+    //    compositeLite, the loop body of o01's fan-out); the oracle
+    //    replays the quantile-index edges, transitions, the
+    //    nextInt/nextDouble LCG walk with smoothing recursion, and the
+    //    JS/KS/std/ac1 score in SQL ──────────────────────────────────────
+    "o01f_sweep_fitness" -> ((s, dir) => {
+      import s.implicits._
+      val real = logret(s, dir).filter(col("ret").isNotNull)
+        .orderBy(col("ts"), col("event_id")).limit(2000)
+        .select(col("ret")).collect().map(_.getDouble(0))
+      val synth = graft.opt.LocalFitness.grasyndaWalk(real, nBins = 8,
+        smooth = 0.2, n = 200, seed = 5L)
+      val score = graft.opt.LocalFitness.compositeLite(real, synth)
+      synth.zipWithIndex.map { case (v, i) => (i, v, score) }.toSeq
+        .toDF("i", "raw", "rawscore")
+        .select(col("i"), round(col("raw"), 8).as("synth"),
+          round(col("rawscore"), 6).as("score"))
+        .orderBy(col("i"))
+    }),
+
     // ── multi-band sign-LSH ANN near-dup (planes literal ⇒ oracled) ───
     "s01_lsh_ann" -> ((s, dir) => {
       Similarity.lshNearDupPairs(emb(s, dir), "vec_id", "embedding",

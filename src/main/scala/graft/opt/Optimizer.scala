@@ -19,6 +19,15 @@ object LocalFitness {
   def grasyndaScore(real: Array[Double], nBins: Int, smooth: Double,
                     n: Int, seed: Long): Double = {
     if (real.length < nBins * 4) return Double.MaxValue
+    compositeLite(real, grasyndaWalk(real, nBins, smooth, n, seed))
+  }
+
+  /** The fit + seeded pool walk of [[grasyndaScore]] (exact extraction
+    * so the o01f oracle witness steps the real sweep fitness): quantile
+    * states, transition matrix, per-state pools, then `n` smoothed
+    * samples from one java.util.Random stream. */
+  def grasyndaWalk(real: Array[Double], nBins: Int, smooth: Double,
+                   n: Int, seed: Long): Array[Double] = {
     // quantile edges
     val sorted = real.sorted
     val interior = (1 until nBins).map { i =>
@@ -59,7 +68,7 @@ object LocalFitness {
       st = nx
       i += 1
     }
-    compositeLite(real, synth)
+    synth
   }
 
   /** Composite-lite: JS divergence (20-bin) + KS + |std ratio − 1| +
