@@ -469,6 +469,43 @@ object OracleSql {
        |ORDER BY net, layer, o, i""".stripMargin
   }
 
+  /** d01's pair list as an embeddable SELECT (no trailing ORDER BY):
+    * ONE portable md5-derived base value per shingle, 64 arithmetic
+    * permutations (a·base+b mod 2^61−1 — coefficients shared with the
+    * Spark side), 16 bands of 4, md5-of-slice band buckets, est_jaccard
+    * = agreeing slots / 64. Shared by the d01 gate entry and the d03
+    * cluster closure. */
+  private def d01PairsSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+       |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+       |              FROM documents),
+       |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+       |sh0 AS (SELECT doc_id,
+       |          token || ' ' || lead(token,1) OVER w || ' ' || lead(token,2) OVER w
+       |            || ' ' || lead(token,3) OVER w || ' ' || lead(token,4) OVER w AS shingle,
+       |          lead(token,4) OVER w AS l4
+       |        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l4 IS NOT NULL),
+       |bs AS (SELECT doc_id, ${h64Sql("shingle", "'0'")} & ${graft.text.Dedup.MinhashBaseMask} AS base
+       |       FROM sh),
+       |params AS (SELECT * FROM (VALUES ${
+            graft.text.Dedup.minhashParams(64).zipWithIndex
+              .map { case ((a, b), s) => s"($s, ${a}::BIGINT, ${b}::BIGINT)" }
+              .mkString(",\n  ")}) p(s, a, b)),
+       |mh AS (SELECT doc_id, s, min((a * base + b) % ${graft.text.Dedup.MinhashPrime}) AS h
+       |       FROM bs, params GROUP BY doc_id, s),
+       |bands AS (SELECT doc_id, s // 4 AS band,
+       |            md5(string_agg(h::VARCHAR, ',' ORDER BY s)) AS bucket
+       |          FROM mh GROUP BY doc_id, s // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |         WHERE a.doc_id < b.doc_id),
+       |est AS (SELECT c.id_a, c.id_b,
+       |          (SELECT count(*) FROM mh x JOIN mh y ON x.s = y.s AND x.h = y.h
+       |           WHERE x.doc_id = c.id_a AND y.doc_id = c.id_b) / 64.0 AS est_jaccard
+       |        FROM cand c)
+       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
+
   /** o01f: ONE (config, seed) sweep fitness —
     * [[graft.opt.LocalFitness.grasyndaWalk]] + compositeLite from
     * literal params (nBins=8, smooth=0.2, n=200, seed=5) over the first
@@ -2172,37 +2209,29 @@ object OracleSql {
     // arithmetic permutations (a·base+b mod 2^61−1 — coefficients shared
     // with the Spark side), 16 bands of 4, md5-of-slice band buckets,
     // est_jaccard = agreeing slots / 64 (exact k/64 rationals)
-    "d01_minhash_lsh" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
-         |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
-         |              FROM documents),
-         |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
-         |sh0 AS (SELECT doc_id,
-         |          token || ' ' || lead(token,1) OVER w || ' ' || lead(token,2) OVER w
-         |            || ' ' || lead(token,3) OVER w || ' ' || lead(token,4) OVER w AS shingle,
-         |          lead(token,4) OVER w AS l4
-         |        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l4 IS NOT NULL),
-         |bs AS (SELECT doc_id, ${h64Sql("shingle", "'0'")} & ${graft.text.Dedup.MinhashBaseMask} AS base
-         |       FROM sh),
-         |params AS (SELECT * FROM (VALUES ${
-              graft.text.Dedup.minhashParams(64).zipWithIndex
-                .map { case ((a, b), s) => s"($s, ${a}::BIGINT, ${b}::BIGINT)" }
-                .mkString(",\n  ")}) p(s, a, b)),
-         |mh AS (SELECT doc_id, s, min((a * base + b) % ${graft.text.Dedup.MinhashPrime}) AS h
-         |       FROM bs, params GROUP BY doc_id, s),
-         |bands AS (SELECT doc_id, s // 4 AS band,
-         |            md5(string_agg(h::VARCHAR, ',' ORDER BY s)) AS bucket
-         |          FROM mh GROUP BY doc_id, s // 4),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-         |         WHERE a.doc_id < b.doc_id),
-         |est AS (SELECT c.id_a, c.id_b,
-         |          (SELECT count(*) FROM mh x JOIN mh y ON x.s = y.s AND x.h = y.h
-         |           WHERE x.doc_id = c.id_a AND y.doc_id = c.id_b) / 64.0 AS est_jaccard
-         |        FROM cand c)
-         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
+    "d01_minhash_lsh" -> s"$d01PairsSql\nORDER BY id_a, id_b",
+
+    // Dedup clusters: the d01 pair list closed into connected components
+    // (recursive reachability fixpoint, min id per component — the exact
+    // fixpoint the Spark min-label propagation converges to)
+    "d03_dedup_clusters" -> {
+      // the pair SQL is substituted AFTER stripMargin — its '||' concat
+      // operators at line starts would otherwise lose a pipe
+      """WITH RECURSIVE pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (__PAIRS__) p0),
+        |nodes AS (SELECT DISTINCT id FROM (
+        |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs) n),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id AS doc_id, cluster_id, (id = cluster_id) AS keep
+        |FROM comp ORDER BY doc_id""".stripMargin
+        .replace("__PAIRS__", d01PairsSql)
+    },
 
     // SimHash: 60-bit portable signature, 4 rotated 15-bit bands
     // (recall 100% for hamming <= 3 by pigeonhole), bit_count(xor) verify

@@ -400,6 +400,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── Dedup clusters: the d01 pair list closed into connected
+    //    components (min-label propagation — one keyed join + min-agg
+    //    per round), canonical keeper = the component's min id ─────────
+    "d03_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", k = 5,
+        numPerm = 64, bands = 16, threshold = 0.5)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+          (col("id") === col("cluster")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── SimHash near-dup (rows-only) ──────────────────────────────────
     "d02_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)

@@ -198,4 +198,53 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Dedup CLUSTERS from a near-dup pair list: connected components by
+    * iterative min-label propagation over the undirected pair graph —
+    * the production step after any pair finder (exact groups / Jaccard /
+    * MinHash / SimHash / embedding), turning pairwise matches into one
+    * canonical id per duplicate cluster (`cluster` = the component's
+    * minimum id, so `id === cluster` marks the keeper).
+    *
+    * Scale design: each iteration is ONE keyed join + ONE min-agg on the
+    * node id — no driver-side graph state; the only driver values are
+    * the per-iteration changed-label counts. Label propagation converges
+    * in O(graph diameter) iterations, and dedup components are
+    * near-cliques from banded finders (diameter ≤ ~3 in practice); the
+    * alternating large-star/small-star variant would halve rounds on
+    * pathological chains but adds nothing for dedup-shaped graphs.
+    * Labels only decrease (monotone min), so the fixpoint is exact, not
+    * approximate. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b",
+                          maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .union(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbr = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
+        .groupBy(col("src")).agg(min(col("dlbl")).as("nlbl"))
+      val next = labels
+        .join(nbr.select(col("src").as("id"), col("nlbl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.select(col("id"), col("lbl").as("plbl")), "id")
+        .filter(col("lbl") < col("plbl")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
 }

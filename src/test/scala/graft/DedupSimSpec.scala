@@ -120,6 +120,18 @@ class DedupSimSpec extends AnyFunSuite {
     assert(byFrac === byCap)
   }
 
+  test("connected components: chains merge, singletons keep, min id is canonical") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3,4} via a chain, {10,11}, and 20-20 self-pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
+      .toDF("id_a", "id_b")
+    val cc = graft.text.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("PQ ANN: ADC shortlist + exact rerank recovers brute-force top-k (s03 contract)") {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
     val pq = Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
