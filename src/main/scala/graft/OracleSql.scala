@@ -3318,6 +3318,30 @@ object OracleSql {
     // A15/A16: the reference's v_generator_summary view verbatim
     // (COUNT/ROUND(AVG)/GROUP BY, evaluate_all_generators.py:245-281)
     // over per-user metric rows
+    // sessionize: running count of session starts (first row or
+    // µs-gap > 1800 s) per user
+    "a02_sessionize" ->
+      """SELECT user_id, event_id,
+        |  (sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+        |FROM (SELECT user_id, event_id, ts,
+        |        epoch_us(ts) - lag(epoch_us(ts))
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |      FROM events) t
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // hash split: portable h64 bucket mod 10000 against the 8000/9000
+    // cutoffs (salt 7 — the same md5 derivation as the Spark side)
+    "a03_hash_split" -> {
+      val b = s"${h64Sql("doc_id::VARCHAR", "'7'")} % 10000"
+      s"""SELECT doc_id,
+         |  CASE WHEN bucket < 8000 THEN 'train'
+         |       WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, $b AS bucket FROM documents) t
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // J4: DuckDB's native ASOF LEFT JOIN is the oracle for the
     // union-align windowed implementation (AsOfJoin.asOf)
     "a01_asof_join" ->

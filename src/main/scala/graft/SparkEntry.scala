@@ -995,6 +995,23 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ── Sessionization (beyond reference): gap-based session ids per
+    //    user — one keyed window pass, µs-exact gap comparison ──────────
+    "a02_sessionize" -> ((s, dir) => {
+      SeriesOps.sessionize(ev(s, dir), perUser, "ts", gapSeconds = 1800)
+        .select(col("user_id"), col("event_id"), col("session_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ── Deterministic hash split (beyond reference): stable md5-bucket
+    //    train/val/test assignment, pure map-side ────────────────────────
+    "a03_hash_split" -> ((s, dir) => {
+      graft.core.ScaleOps.hashSplit(docs(s, dir), "doc_id", salt = 7,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── A15/A16 witness: the reference's per-generator summary view
     //    (COUNT/ROUND(AVG)/GROUP BY — evaluate_all_generators.py:245-281)
     //    over a metrics frame derived from per-user event stats ────────

@@ -39,4 +39,27 @@ object ScaleOps {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Deterministic hash split (train/val/test): bucket = portable
+    * md5-derived h64(salt|id) mod 10000, assigned against cumulative
+    * weight cutoffs computed once on the driver. Pure map-side — no
+    * shuffle, no RNG state — so the assignment is stable under reruns,
+    * repartitioning and incremental appends, which sample()-based
+    * splits are not. Weights are normalized; cutoffs are integer bucket
+    * boundaries (round(cum·10000)), exact on both oracle engines. */
+  def hashSplit(df: DataFrame, id: String, salt: Int,
+                splits: Seq[(String, Double)],
+                out: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    val total = splits.map(_._2).sum
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(c => math.round(c * 10000))
+    val bucket = pmod(graft.text.Dedup.h64(col(id).cast("string"), salt),
+      lit(10000L))
+    val assigned = splits.dropRight(1).zip(cuts).foldRight(
+        lit(splits.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), cut), acc) => when(bucket < cut, name).otherwise(acc)
+    }
+    df.withColumn(out, assigned)
+  }
 }

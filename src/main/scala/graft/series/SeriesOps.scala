@@ -176,6 +176,23 @@ object SeriesOps {
       coalesce(col(value), last(col(value), ignoreNulls = true).over(reversed)))
   }
 
+  /** Gap-based sessionization (beyond reference): a new session starts
+    * at each series' first row and wherever the time gap from the
+    * previous row exceeds `gapSeconds`; ids are the running count of
+    * session starts (1-based per series). ONE window pass keyed on the
+    * series — the same shuffle shape as a grouped aggregation, so it
+    * scales like groupBy at 100 TB. Gaps compare in integer
+    * microseconds (exact on both oracle engines). */
+  def sessionize(df: DataFrame, spec: SeriesSpec, ts: String,
+                 gapSeconds: Long, out: String = "session_id"): DataFrame = {
+    val gap = unix_micros(col(ts)) - lag(unix_micros(col(ts)), 1).over(spec.w)
+    df.withColumn("__newsess",
+        when(gap.isNull || gap > gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn(out, sum(col("__newsess"))
+        .over(spec.w.rowsBetween(Window.unboundedPreceding, 0L)))
+      .drop("__newsess")
+  }
+
   /** W7: short/long vol ratio with ÷0→1.0 guard.
     * Ref: regime_conditional.py:73; regime_hmm_garch.py:70. */
   def volRatio(short: Column, long: Column): Column =

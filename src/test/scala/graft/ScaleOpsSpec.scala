@@ -58,4 +58,23 @@ class ScaleOpsSpec extends AnyFunSuite {
       .select(countDistinct(col("_salt"))).first().getLong(0)
     assert(saltSpread >= 6, s"hot key only hit $saltSpread of 8 salts")
   }
+
+  test("hash split: deterministic, exhaustive, near the requested proportions") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 5000).map(_.toLong).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val counts = ScaleOps.hashSplit(df, "id", salt = 7, splits)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 5000L)
+    assert(math.abs(counts("train") - 4000.0) / 4000.0 < 0.05)
+    assert(math.abs(counts("val") - 500.0) / 500.0 < 0.25)
+    // stable under reruns and repartitioning (the property sample() lacks)
+    val a = ScaleOps.hashSplit(df, "id", salt = 7, splits)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = ScaleOps.hashSplit(df.repartition(13), "id", salt = 7, splits)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+  }
 }

@@ -96,6 +96,18 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(math.abs(c.head - (1.0 - 3.0)) < 1e-12)
   }
 
+  test("sessionize: gap over threshold starts a new session, ids 1-based per key") {
+    import spark.implicits._
+    def t(sec: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2020-01-01T00:00:00Z").plusSeconds(sec))
+    val df = Seq((1L, 1L, t(0)), (1L, 2L, t(100)), (1L, 3L, t(2000)),
+      (1L, 4L, t(2100)), (2L, 5L, t(0))).toDF("user_id", "event_id", "ts")
+    val r = SeriesOps.sessionize(df,
+        SeriesSpec(Seq("user_id"), Seq("ts", "event_id")), "ts", gapSeconds = 1800)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("J4 as-of join: inclusive most-recent match per key; tolerance nulls stale matches") {
     import spark.implicits._
     def t(sec: Int) = java.sql.Timestamp.from(
