@@ -127,6 +127,26 @@ class StreamingAdfSpec extends AnyFunSuite {
     assert(streamed.size <= graft.core.Tables.events(spark, SparkSpec.sfDir).count())
   }
 
+  test("streaming session windows match batch sessionize (a02 twin)") {
+    val sfDir = SparkSpec.sfDir
+    val stream = graft.streaming.StreamingSessions.sessionStats(spark, sfDir)
+    val q = stream.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql(
+        "SELECT user_id, session_start, n_events FROM sess").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2))).toSet
+    val batch = SeriesOps.sessionize(
+        graft.core.Tables.events(spark, sfDir),
+        SeriesSpec(Seq("user_id"), Seq("ts", "event_id")), "ts",
+        gapSeconds = 1800)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("stateful streaming running stats produce one final row per user") {
     val stream = StreamingRollup.runningUserStats(spark, SparkSpec.sfDir)
     val q = stream.writeStream.format("memory").queryName("ustats")
