@@ -592,6 +592,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // ── IVF-PQ ANN: list pruning + compressed-domain ADC scan + exact
+    //    rerank — the composed production shape ──────────────────────────
+    "s04_ivfpq_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+          graft.sim.IvfCodebook.K16, graft.sim.PqCodebook.M8K16,
+          nProbe = 4, k = 10, overfetch = 4)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // ── G2 fit witness: the block/rescale chain with deterministic
     //    strided starts — the zero-RNG twin of g01's seeded walk, fully
     //    oracle-checkable ────────────────────────────────────────────

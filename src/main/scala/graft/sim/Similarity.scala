@@ -240,6 +240,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
   }
 
+  /** IVF-PQ ANN top-k: the production composition at corpus scales
+    * where even scanning every PQ code per query is too much — IVF
+    * prunes the scan to `nProbe` inverted lists, ADC scores only those
+    * lists' 8-byte codes against the broadcast query's LUT, and exact
+    * cosine reranks the per-query shortlist. ONE corpus shuffle on the
+    * list id; codes and list assignment are computed in the same
+    * map-only pass. Pure composition of [[ivfTopK]]'s probing and
+    * [[pqTopK]]'s compressed-domain scan — determinism contracts
+    * unchanged. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
+                centroids: Array[Array[Double]],
+                codebook: Array[Array[Array[Double]]],
+                nProbe: Int, k: Int, overfetch: Int = 4,
+                roundTo: Int = 5): DataFrame = {
+    val m = codebook.length; val ks = codebook(0).length
+    val ds = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
+      struct((dot(col(vec), cLit) * -2.0 + lit(c2)).as("d"), lit(i).as("cid"))
+    }
+    val probes = transform(
+      slice(array_sort(array(ds: _*)), 1, nProbe), s => s.getField("cid"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      dot(col(vec), col(vec)).as("qn"), pqLut(col(vec), codebook).as("lut"),
+      explode(probes).as("cid"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      dot(col(vec), col(vec)).as("cn"),
+      ivfAssign(col(vec), centroids).as("cid"),
+      pqEncode(col(vec), codebook).as("codes"))
+    val adc = (0 until m).map(mi =>
+        element_at(col("lut"), element_at(col("codes"), mi + 1) + lit(mi * ks + 1)))
+      .reduce(_ + _)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = c.join(broadcast(q), "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", round(adc, roundTo))
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= k * overfetch)
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+  }
+
   /** Near-dup pairs within explicit blocks, ADDITIONALLY multi-band
     * sign-LSH banded so no stage is quadratic in block size: the join
     * key is (block, band, bucket), bounding each pair group to vectors

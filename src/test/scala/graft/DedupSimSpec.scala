@@ -155,6 +155,29 @@ class DedupSimSpec extends AnyFunSuite {
     assert(distinctCodes >= 8, s"only $distinctCodes distinct code values")
   }
 
+  test("IVF-PQ ANN: composed pruning+ADC still overlaps brute force (s04 contract)") {
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
+    val ivfpq = Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", graft.sim.IvfCodebook.K16,
+      graft.sim.PqCodebook.M8K16, nProbe = 4, k = 10, overfetch = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq.nonEmpty && ivfpq.size <= 50)
+    val recall = ivfpq.intersect(brute).size.toDouble / brute.size
+    info(f"IVF-PQ recall@10: $recall%.2f")
+    // both prunings stack: recall is bounded by the weaker of IVF (~0.5)
+    // and PQ (~0.6) — the honest cost of the composed production shape
+    assert(recall >= 0.2, s"IVF-PQ recall too low: $recall")
+    // every result must also be an IVF candidate: containment in the
+    // plain IVF result's probed lists
+    val ivf = Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", graft.sim.IvfCodebook.K16, nProbe = 4, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq.subsetOf(ivf), "IVF-PQ returned a non-probed candidate")
+  }
+
   test("IVF ANN: probed top-k overlaps brute-force top-k (s02 contract)") {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
     def recallOf(cents: Array[Array[Double]]): (Set[(Long, Long)], Double) = {
