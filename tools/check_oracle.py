@@ -75,6 +75,30 @@ def main(sf_dir, out_dir):
     for k, v in results.items():
         print(f"{'PASS' if v.startswith(('OK','ROWS_ONLY')) else 'FAIL'} {k}: {v}")
     print(f"== {npass}/{len(results)} pass")
+    return results
+
+def write_json(results, path):
+    """Driver-CORRECTNESS-format dump so gen_docs.py can fold the local
+    end-of-round gate state into COVERAGE_GATE.md."""
+    out = {}
+    for name, v in results.items():
+        if v.startswith("ROWS_ONLY"):
+            rows = int(v.split("rows=")[1])
+            out[name] = {"rows_match": None, "schema_match": None,
+                         "hash_match": None, "spark_rows": rows,
+                         "oracle_rows": None, "err": "no_oracle"}
+        elif v.startswith("OK"):
+            rows = int(v.split("rows=")[1])
+            out[name] = {"rows_match": True, "schema_match": True,
+                         "hash_match": True, "spark_rows": rows,
+                         "oracle_rows": rows, "err": None}
+        else:
+            out[name] = {"rows_match": False, "schema_match": False,
+                         "hash_match": False, "spark_rows": None,
+                         "oracle_rows": None, "err": v[:200]}
+    json.dump(out, open(path, "w"), indent=1)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    res = main(sys.argv[1], sys.argv[2])
+    if len(sys.argv) > 3 and sys.argv[3] == "--json":
+        write_json(res, sys.argv[4] if len(sys.argv) > 4 else "LOCAL_GATE.json")

@@ -67,6 +67,18 @@ def main():
             n_fail += 1
         rows.append((name, status, r.get("spark_rows"), r.get("oracle_rows")))
 
+    # local end-of-round gate state (check_oracle.py <sf> <out> --json
+    # LOCAL_GATE.json) — folded in so the doc never trails the repo's
+    # actual gate between driver rounds (VERDICT r03 item 6)
+    local = None
+    lpath = os.path.join(ROOT, "LOCAL_GATE.json")
+    if os.path.exists(lpath):
+        lcorr = json.load(open(lpath))
+        lp = sum(1 for r in lcorr.values() if r.get("hash_match") is True)
+        ln = sum(1 for r in lcorr.values() if r.get("err") == "no_oracle")
+        lf = len(lcorr) - lp - ln
+        local = (lp, lf, ln, len(lcorr))
+
     with open(os.path.join(ROOT, "COVERAGE_GATE.md"), "w") as f:
         f.write(f"""# COVERAGE_GATE — generated from {os.path.basename(cpath)}
 
@@ -77,7 +89,15 @@ Driver round {rnd} gate: **{n_pass} hash-verified / {n_fail} failed /
 oracle by design (seeded-RNG generator walks, ML training outputs) —
 each has a deterministic fit-stage twin (`g0*f_*` queries) or a
 ScalaTest cross-check; see COVERAGE.md for the operator mapping.
-
+""")
+        if local:
+            f.write(f"""
+**Local end-of-round state** (builder's replica gate, `LOCAL_GATE.json`
+— includes queries added since the driver artifact above):
+**{local[0]} hash-verified / {local[1]} failed / {local[2]} rows-only**
+of {local[3]} queries.
+""")
+        f.write("""
 | query | gate | spark rows | oracle rows |
 |---|---|---|---|
 """)
