@@ -93,6 +93,31 @@ class PlanAuditSpec extends AnyFunSuite {
       "found an un-partitioned window in the per-series fit")
   }
 
+  test("a03 hash split is map-only: no exchange, no shuffle at all") {
+    val p = plan("a03_hash_split")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    // the split itself adds nothing — the only allowed exchange is the
+    // final presentation orderBy's range partitioning
+    assert(!finalPlan.contains("Exchange hashpartitioning"),
+      s"hash split must not shuffle:\n$finalPlan")
+  }
+
+  test("a02 sessionize keys the window on the user, no single partition") {
+    val p = plan("a02_sessionize")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("SinglePartition"),
+      "sessionize must partition by the series key")
+  }
+
+  test("s03/s04 PQ paths: corpus never cartesian-joins, scan side keyed or broadcast") {
+    for (q <- Seq("s03_pq_ann", "s04_ivfpq_ann")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan has a cartesian join")
+      assert(p.contains("Broadcast") || p.contains("SortMergeJoin"),
+        s"$q should broadcast the bounded query side or join keyed")
+    }
+  }
+
   test("g04b per-series features key every window on the series") {
     val p = plan("g04b_regime_features_per_user")
     val finalPlan = p.split("== Initial Plan ==")(0)
