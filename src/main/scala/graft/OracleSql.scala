@@ -2252,6 +2252,43 @@ object OracleSql {
         |   ORDER BY cosine DESC, neighbor_id) AS rk FROM s) t
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
+    // decontamination: distinct 8-gram inverted-index join between the
+    // even ("train") and odd ("benchmark") docs, shared-gram counts >= 5
+    "t01_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |              FROM documents),
+        |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+        |sh0 AS (SELECT doc_id,
+        |          concat_ws(' ', token, lead(token,1) OVER w, lead(token,2) OVER w,
+        |            lead(token,3) OVER w, lead(token,4) OVER w, lead(token,5) OVER w,
+        |            lead(token,6) OVER w, lead(token,7) OVER w) AS shingle,
+        |          lead(token,7) OVER w AS l7
+        |        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l7 IS NOT NULL)
+        |SELECT a.doc_id AS train_id, b.doc_id AS bench_id,
+        |       count(*)::BIGINT AS n_shared
+        |FROM sh a JOIN sh b USING (shingle)
+        |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY train_id, bench_id""".stripMargin,
+
+    // repetition: duplicated-3-gram fraction (1 - distinct/total)
+    "t02_repetition" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |              FROM documents),
+        |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+        |sh0 AS (SELECT doc_id,
+        |          concat_ws(' ', token, lead(token,1) OVER w, lead(token,2) OVER w) AS shingle,
+        |          lead(token,2) OVER w AS l2
+        |        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT doc_id, shingle FROM sh0 WHERE l2 IS NOT NULL)
+        |SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |  count(DISTINCT shingle)::BIGINT AS n_distinct,
+        |  round(1.0 - count(DISTINCT shingle)::DOUBLE / count(*), 6) AS rep_ratio
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // MinHash+LSH: ONE portable md5-derived base value per shingle, 64
     // arithmetic permutations (a·base+b mod 2^61−1 — coefficients shared
     // with the Spark side), 16 bands of 4, md5-of-slice band buckets,

@@ -400,6 +400,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── Decontamination: 8-gram overlap between the even-doc "train"
+    //    corpus and the odd-doc "benchmark" set — inverted-index join
+    //    keyed on the gram (the q21 shape), thresholded ─────────────────
+    "t01_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.TextOps.contamination(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", k = 8, minShared = 5)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
+    // ── Repetition score: duplicated-3-gram fraction per document (the
+    //    Gopher-style intra-doc repetition quality filter) ──────────────
+    "t02_repetition" -> ((s, dir) => {
+      graft.text.TextOps.repetitionScore(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Dedup clusters: the d01 pair list closed into connected
     //    components (min-label propagation — one keyed join + min-agg
     //    per round), canonical keeper = the component's min id ─────────

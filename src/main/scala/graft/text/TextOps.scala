@@ -64,9 +64,11 @@ object TextOps {
       .drop("rk")
   }
 
-  /** Word k-gram shingles via k−1 window leads over the exploded tokens
-    * (no array materialization per row). Output: distinct (id, shingle). */
-  def shingles(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
+  /** Word k-gram shingles WITH duplicates (one row per gram occurrence)
+    * via k−1 window leads over the exploded tokens (no array
+    * materialization per row) — the repetition-scoring input;
+    * [[shingles]] is the distinct variant. */
+  def shinglesAll(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
     val toks = tokens(df, text).select(col(id), col("pos"), col("token"))
     val w = Window.partitionBy(col(id)).orderBy(col("pos"))
     val parts = (0 until k).map {
@@ -77,8 +79,40 @@ object TextOps {
       .withColumn("_last", parts.last)
       .filter(col("_last").isNotNull)   // window exprs must be materialized
       .select(col(id), col("shingle"))  // before they can appear in a filter
-      .distinct()
   }
+
+  /** Word k-gram shingles, distinct (id, shingle). */
+  def shingles(df: DataFrame, id: String, text: String, k: Int): DataFrame =
+    shinglesAll(df, id, text, k).distinct()
+
+  /** Decontamination (beyond reference): k-gram overlap between a train
+    * corpus and a benchmark/eval set — the standard eval-leakage filter
+    * in LLM training pipelines. Inverted-index join keyed on the gram
+    * (ONE shuffle — the q21 shape, so nothing is quadratic in corpus
+    * size), distinct shared-gram counts per (train, bench) pair,
+    * thresholded. Skew from boilerplate grams can be df-capped upstream
+    * exactly like [[Dedup.jaccardPairs]]. */
+  def contamination(train: DataFrame, bench: DataFrame, id: String,
+                    text: String, k: Int = 8, minShared: Long = 1): DataFrame = {
+    val tg = shingles(train, id, text, k).withColumnRenamed(id, "train_id")
+    val bg = shingles(bench, id, text, k).withColumnRenamed(id, "bench_id")
+    tg.join(bg, "shingle")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Repetition score (beyond reference): duplicated-k-gram fraction per
+    * document, 1 − distinct/total — the Gopher-style intra-document
+    * repetition quality filter. One explode + one keyed agg. */
+  def repetitionScore(df: DataFrame, id: String, text: String,
+                      k: Int = 3): DataFrame =
+    shinglesAll(df, id, text, k)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("shingle")).as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
 
   /** Document fingerprint (rolling-hash style): the lexicographic MIN of
     * the md5 hex digests of all character n-grams, plus the distinct

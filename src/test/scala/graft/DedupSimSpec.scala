@@ -120,6 +120,24 @@ class DedupSimSpec extends AnyFunSuite {
     assert(byFrac === byCap)
   }
 
+  test("repetition score and contamination: known-gram arithmetic") {
+    val s = spark
+    import s.implicits._
+    // "a b a b a" → 3-grams: "a b a", "b a b", "a b a" → 3 total, 2 distinct
+    val d = Seq((1L, "a b a b a"), (2L, "x y z w")).toDF("doc_id", "text")
+    val rep = graft.text.TextOps.repetitionScore(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rep(1L) === ((3L, 2L, 0.333333)))
+    assert(rep(2L) === ((2L, 2L, 0.0)))
+    // doc 3 shares its full 3-gram set with doc 1 (train/bench split)
+    val tr = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val be = Seq((3L, "a b a b")).toDF("doc_id", "text")
+    val cont = graft.text.TextOps.contamination(tr, be, "doc_id", "text",
+        k = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cont.toSeq === Seq((1L, 3L, 2L))) // shares "a b a" and "b a b"
+  }
+
   test("connected components: chains merge, singletons keep, min id is canonical") {
     val s = spark
     import s.implicits._
