@@ -2961,11 +2961,12 @@ object OracleSql {
         |         row_number() OVER (PARTITION BY sid, is_real ORDER BY ts, event_id) - 1 AS t,
         |         ret
         |       FROM u0 WHERE ret IS NOT NULL),
-        |le AS (SELECT sid, least(sum(CASE WHEN is_real THEN 1 ELSE 0 END),
-        |                         sum(CASE WHEN is_real THEN 0 ELSE 1 END))::INT AS n
+        |le AS (SELECT sid, least(least(sum(CASE WHEN is_real THEN 1 ELSE 0 END),
+        |                               sum(CASE WHEN is_real THEN 0 ELSE 1 END)),
+        |                         512)::INT AS n
         |       FROM rr GROUP BY sid
-        |       HAVING least(sum(CASE WHEN is_real THEN 1 ELSE 0 END),
-        |                    sum(CASE WHEN is_real THEN 0 ELSE 1 END)) > 0),
+        |       HAVING least(least(sum(CASE WHEN is_real THEN 1 ELSE 0 END),
+        |                          sum(CASE WHEN is_real THEN 0 ELSE 1 END)), 512) > 0),
         |r2 AS (SELECT rr.sid, rr.is_real, rr.t, rr.ret, le.n
         |       FROM rr JOIN le ON le.sid = rr.sid WHERE rr.t < le.n),
         |ks AS (SELECT sid, unnest(generate_series(0, n - 1)) AS k FROM le),

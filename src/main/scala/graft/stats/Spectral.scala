@@ -48,7 +48,8 @@ object Spectral {
     * per (series, k) plus the per-series distance.
     * Ref formula: composite_metric.py:50-56. Oracle-gated by c01b. */
   def distanceGrouped(real: DataFrame, synth: DataFrame, seriesCol: String,
-                      orderCols: Seq[String], price: String): DataFrame = {
+                      orderCols: Seq[String], price: String,
+                      maxPoints: Int = 512): DataFrame = {
     import graft.series.{SeriesOps, SeriesSpec}
     def labeled(df: DataFrame, lab: String): DataFrame =
       df.select((col(seriesCol).cast("long").as("sid") +: lit(lab).as("lab") +:
@@ -64,10 +65,16 @@ object Spectral {
           .orderBy(orderCols.map(col): _*)) - 1)
       .select(col("sid"), col("lab"), col("t"), col("ret"))
       .persist()
+    // per-series DFT-length cap (fit-prefix-style contract): the exploded
+    // (t × k) frame is O(n²) per series, so an unbounded series length
+    // would explode at 100 TB; maxPoints bounds it to ≤ maxPoints² rows
+    // per (series, side) while staying a no-op at the gate scales
     val lens = rets.groupBy(col("sid")).agg(
       least(
-        sum(when(col("lab") === "real", 1).otherwise(0)),
-        sum(when(col("lab") === "synth", 1).otherwise(0))).cast("int").as("n"))
+        least(
+          sum(when(col("lab") === "real", 1).otherwise(0)),
+          sum(when(col("lab") === "synth", 1).otherwise(0))),
+        lit(maxPoints)).cast("int").as("n"))
       .filter(col("n") > 0)
     val r = rets.join(lens, "sid").filter(col("t") < col("n"))
     val ks = lens.select(col("sid"), col("n"),
