@@ -393,7 +393,7 @@ object SparkEntry {
         maxIter = 8)
     }),
 
-    // ── MinHash+LSH near-dup (rows-only; cross-checked in tests) ──────
+    // ── MinHash+LSH near-dup (portable md5-derived hashes ⇒ oracled) ──
     "d01_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", k = 5,
           numPerm = 64, bands = 16, threshold = 0.5)
@@ -430,7 +430,7 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ── SimHash near-dup (rows-only) ──────────────────────────────────
+    // ── SimHash near-dup (portable 60-bit signature ⇒ oracled) ────────
     "d02_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))

@@ -115,16 +115,6 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** Deterministic IVF codebook: `nCentroids` pseudo-random centroids
-    * (seeded gaussians, generated driver-side and embedded as
-    * literals — same determinism story as [[hyperplanes]]). Production
-    * would train these with k-means; every downstream assign/probe
-    * mechanism is identical either way. */
-  def ivfCentroids(dim: Int, nCentroids: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nCentroids, dim)(rnd.nextGaussian())
-  }
-
   /** Per-vector inverted-list id: argmin centroid by L2 distance.
     * |v|² is common to all centroids, so the comparison key is
     * `|c|² − 2·v·c` — one codegen'd dot per centroid. Ties break to the
