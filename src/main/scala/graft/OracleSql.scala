@@ -3427,6 +3427,17 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // stratified sample: per-lang bucket cutoffs (en 5000, es 2500,
+    // default 10000), same h64 buckets as a03 with salt 11
+    "a04_stratified_sample" -> {
+      val b = s"${h64Sql("doc_id::VARCHAR", "'11'")} % 10000"
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, $b AS bucket FROM documents) t
+         |WHERE bucket < CASE lang WHEN 'en' THEN 5000
+         |                         WHEN 'es' THEN 2500 ELSE 10000 END
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // J4: DuckDB's native ASOF LEFT JOIN is the oracle for the
     // union-align windowed implementation (AsOfJoin.asOf)
     "a01_asof_join" ->

@@ -1040,6 +1040,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Deterministic stratified sampling (beyond reference): per-lang
+    //    keep fractions via the a03 hash buckets, map-side ──────────────
+    "a04_stratified_sample" -> ((s, dir) => {
+      graft.core.ScaleOps.stratifiedSample(docs(s, dir), "doc_id", "lang",
+          salt = 11, fractions = Map("en" -> 0.5, "es" -> 0.25))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── A15/A16 witness: the reference's per-generator summary view
     //    (COUNT/ROUND(AVG)/GROUP BY — evaluate_all_generators.py:245-281)
     //    over a metrics frame derived from per-user event stats ────────

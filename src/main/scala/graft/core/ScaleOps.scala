@@ -62,4 +62,22 @@ object ScaleOps {
     }
     df.withColumn(out, assigned)
   }
+
+  /** Deterministic stratified sampling: per-stratum keep fractions via
+    * the same portable md5 hash buckets as [[hashSplit]] — the
+    * class-balancing/downsampling step of a training-data pipeline,
+    * map-side and exactly reproducible (rerun/repartition/append-stable,
+    * unlike `sampleBy`). Strata absent from `fractions` keep
+    * `defaultFraction`; cutoffs are integer bucket boundaries. */
+  def stratifiedSample(df: DataFrame, id: String, stratum: String, salt: Int,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0): DataFrame = {
+    val bucket = pmod(graft.text.Dedup.h64(col(id).cast("string"), salt),
+      lit(10000L))
+    val cut = fractions.toSeq.sortBy(_._1).foldRight(
+        lit(math.round(defaultFraction * 10000)): org.apache.spark.sql.Column) {
+      case ((k, f), acc) => when(col(stratum) === k, math.round(f * 10000)).otherwise(acc)
+    }
+    df.filter(bucket < cut)
+  }
 }

@@ -77,4 +77,26 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(a === b)
   }
+
+  test("stratified sample: per-stratum fractions hit, others untouched, deterministic") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 2000).map(i => (i.toLong, "a")) ++
+      (2001 to 4000).map(i => (i.toLong, "b")) ++
+      (4001 to 4500).map(i => (i.toLong, "c"))).toDF("id", "stratum")
+    val kept = ScaleOps.stratifiedSample(df, "id", "stratum", salt = 11,
+        fractions = Map("a" -> 0.5, "b" -> 0.1))
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("a") - 1000.0) / 1000.0 < 0.1)
+    assert(math.abs(kept("b") - 200.0) / 200.0 < 0.3)
+    assert(kept("c") === 500L) // default fraction 1.0 keeps everything
+    val again = ScaleOps.stratifiedSample(df.repartition(7), "id", "stratum",
+        salt = 11, fractions = Map("a" -> 0.5, "b" -> 0.1))
+      .collect().map(_.getLong(0)).toSet
+    val first = ScaleOps.stratifiedSample(df, "id", "stratum", salt = 11,
+        fractions = Map("a" -> 0.5, "b" -> 0.1))
+      .collect().map(_.getLong(0)).toSet
+    assert(again === first)
+  }
 }
