@@ -3033,6 +3033,69 @@ object OracleSql {
          |FROM rec JOIN st ON st.sid = rec.sid AND rec.t = st.n
          |ORDER BY user_id, alpha, beta""".stripMargin,
 
+    // G5 PER-SERIES fit: g03b's per-user vol-tertile labeling + the q29b
+    // keyed sigma^2 recursion over the composite (user*3 + regime) key;
+    // regime subsequences renumbered in time order, groups < 10 dropped
+    "g05b_regime_garch_per_user" ->
+      s"""WITH RECURSIVE
+         |rr0 AS (SELECT user_id::BIGINT AS sid,
+         |          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         |          ret
+         |        FROM ($perUserRets) x),
+         |v0 AS (SELECT sid, rn, ret,
+         |         CASE WHEN count(ret) OVER w >= 12 THEN stddev_samp(ret) OVER w END AS vol
+         |       FROM rr0 WINDOW w AS (PARTITION BY sid ORDER BY rn
+         |         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         |v1 AS (SELECT sid, rn, ret, coalesce(vol,
+         |         first_value(vol IGNORE NULLS) OVER (PARTITION BY sid ORDER BY rn
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS volf
+         |       FROM v0),
+         |ed AS (SELECT sid, list_sort(list_distinct(list_transform(
+         |         quantile_cont(volf, [${(1 until 3).map(i => i / 3.0).mkString(",")}]),
+         |         x -> round(x, 9)))) AS edges
+         |       FROM v1 GROUP BY sid),
+         |ky AS MATERIALIZED (SELECT v1.sid*3 +
+         |         len(list_filter(ed.edges, x -> x <= v1.volf)) AS k, rn, ret
+         |       FROM v1 JOIN ed ON ed.sid = v1.sid),
+         |sz AS (SELECT k FROM ky GROUP BY k HAVING count(*) >= 10),
+         |rr AS MATERIALIZED (SELECT ky.k AS sid,
+         |        row_number() OVER (PARTITION BY ky.k ORDER BY rn) AS t, ret
+         |      FROM ky JOIN sz USING (k)),
+         |st AS MATERIALIZED (SELECT sid, count(*)::BIGINT AS n, avg(ret) AS m
+         |      FROM rr GROUP BY sid),
+         |vv AS MATERIALIZED (SELECT r.sid,
+         |        sum((ret - m)*(ret - m)) / max(st.n) AS v
+         |      FROM rr r JOIN st ON st.sid = r.sid GROUP BY r.sid),
+         |grid AS (SELECT alpha, beta
+         |         FROM (VALUES (0.01),(0.05),(0.10),(0.15),(0.20),(0.25)) a(alpha)
+         |         CROSS JOIN (VALUES (0.50),(0.60),(0.70),(0.75),(0.80),(0.85),(0.90),(0.95)) b(beta)
+         |         WHERE alpha + beta < 0.999),
+         |rec AS (
+         | SELECT v.sid, g.alpha, g.beta, 1::BIGINT AS t, v.v AS sigma2, v.v AS v,
+         |   r1.ret AS pret,
+         |   -0.5*(ln(2*pi()*greatest(v.v,1e-12)) + r1.ret*r1.ret/greatest(v.v,1e-12)) AS ll
+         | FROM vv v
+         | CROSS JOIN grid g
+         | JOIN (SELECT sid, ret FROM rr WHERE t = 1) r1 ON r1.sid = v.sid
+         | UNION ALL
+         | SELECT rec.sid, rec.alpha, rec.beta, rec.t + 1,
+         |   rec.v*(1.0-rec.alpha-rec.beta) + rec.alpha*rec.pret*rec.pret
+         |     + rec.beta*rec.sigma2,
+         |   rec.v, rc.ret,
+         |   rec.ll - 0.5*(ln(2*pi()*greatest(rec.v*(1.0-rec.alpha-rec.beta)
+         |       + rec.alpha*rec.pret*rec.pret + rec.beta*rec.sigma2, 1e-12))
+         |     + rc.ret*rc.ret/greatest(rec.v*(1.0-rec.alpha-rec.beta)
+         |       + rec.alpha*rec.pret*rec.pret + rec.beta*rec.sigma2, 1e-12))
+         | FROM rec
+         | JOIN rr rc ON rc.sid = rec.sid AND rc.t = rec.t + 1)
+         |SELECT (rec.sid // 3)::BIGINT AS user_id, (rec.sid % 3)::INT AS regime,
+         |  alpha, beta,
+         |  round(v*(1.0-alpha-beta), 10) + 0.0 AS omega,
+         |  round(v, 10) + 0.0 AS long_run_var,
+         |  round(ll, 4) + 0.0 AS ll
+         |FROM rec JOIN st ON st.sid = rec.sid AND rec.t = st.n
+         |ORDER BY user_id, regime, alpha, beta""".stripMargin,
+
     // G6 PER-SERIES fit: the g03f segmentation pipeline PARTITION BY
     // user (per-user returns, w24 rolling vol min 12, backfill,
     // per-user vol-tertile digitize, run segmentation, segment stats)

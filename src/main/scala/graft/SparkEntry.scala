@@ -1106,6 +1106,19 @@ object SparkEntry {
         .orderBy(col("user_id"), col("rn"))
     }),
 
+    // ── G5 PER-SERIES fit: every user's per-REGIME GARCH grids — g03b
+    //    labeling composed with the q29b machinery on the (user, regime)
+    //    composite key ───────────────────────────────────────────────────
+    "g05b_regime_garch_per_user" -> ((s, dir) => {
+      graft.gen.RegimeConditional.regimeGarchGridGrouped(ev(s, dir), "user_id",
+          Seq("ts", "event_id"), "value")
+        .select(col("user_id"), col("regime"), col("alpha"), col("beta"),
+          round(col("omega"), 10).as("omega"),
+          round(col("long_run_var"), 10).as("long_run_var"),
+          round(col("ll"), 4).as("ll"))
+        .orderBy(col("user_id"), col("regime"), col("alpha"), col("beta"))
+    }),
+
     // ── G6 PER-SERIES fit: vol-regime segmentation keyed on user — one
     //    shuffle segments every series at once ──────────────────────────
     "g03b_regime_segments_per_user" -> ((s, dir) => {

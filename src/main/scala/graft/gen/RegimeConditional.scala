@@ -125,6 +125,49 @@ object RegimeConditional {
         ((col("vol_ratio") - col("m2")) / (col("s2") + 1e-10)).as("f2"))
   }
 
+  /** PER-SERIES G5 fit: every series' per-REGIME GARCH(1,1) grids — the
+    * g03b labeling recipe (per-series rolling vol, backfill,
+    * r9-quantized tertile edges, digitize) composed with the q29b grid
+    * machinery over the composite (series, regime) key. Two keyed
+    * shuffles total; the number of series is unbounded. Regime
+    * subsequences shorter than `minRows` are dropped (a GARCH fit on a
+    * handful of returns is noise). Oracle-gated by g05b. */
+  def regimeGarchGridGrouped(prices: DataFrame, seriesCol: String,
+                             orderCols: Seq[String], price: String,
+                             nRegimes: Int = 3, volWindow: Int = 24,
+                             minRows: Int = 10): DataFrame = {
+    import graft.series.SeriesOps
+    val spec = SeriesSpec(Seq(seriesCol), orderCols)
+    val rets = SeriesOps.logReturns(prices, spec, price, "ret")
+      .filter(col("ret").isNotNull)
+      .withColumn("rn", row_number().over(spec.w))
+      .withColumn("sid", col(seriesCol).cast("long"))
+    val rspec = SeriesSpec(Seq("sid"), Seq("rn"))
+    val withVol = SeriesOps.backfill(
+      SeriesOps.rollingStd(rets, rspec, "ret", volWindow, volWindow / 2, "vol"),
+      rspec, "vol", "volf")
+    val probs = (1 until nRegimes).map(i => i.toDouble / nRegimes)
+    // r9-quantized per-series edges — same plateau-safe convention as
+    // RegimeBootstrap.fitFrameGrouped (backfill plateaus + engine
+    // quantile-interpolation ulps would otherwise flip digitize)
+    val edges = withVol.groupBy(col("sid"))
+      .agg(expr(s"percentile(volf, array(${probs.mkString(",")}))").as("es"))
+      .select(col("sid"),
+        expr("array_sort(array_distinct(transform(es, e -> round(e, 9))))")
+          .as("edges"))
+    val regimed = withVol.join(edges, "sid")
+      .withColumn("regime", size(filter(col("edges"), e => e <= col("volf"))))
+      .withColumn("skey", col("sid") * nRegimes + col("regime"))
+    val sizes = regimed.groupBy(col("skey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minRows)
+    val kept = regimed.join(sizes.select(col("skey")), "skey")
+    graft.stats.Garch.gridGrouped(kept, "skey", Seq("rn"), "ret")
+      .select(expr(s"skey div $nRegimes").cast("long").as("user_id"),
+        (col("skey") % nRegimes).cast("int").as("regime"),
+        col("alpha"), col("beta"), col("omega"),
+        col("long_run_var"), col("ll"))
+  }
+
   /** Fit G4 (withGarch=false) or G5 (withGarch=true).
     * `maxFitRows` caps the series prefix used for the driver-side EM
     * (the reference fits on ≤ ~7.4k rows; EM is O(iters·n·k²) and a

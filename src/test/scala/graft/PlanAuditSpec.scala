@@ -142,6 +142,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "found an un-partitioned window in the per-series DFT")
   }
 
+  test("g05b per-(series, regime) GARCH keys every stage, no single partition") {
+    val p = plan("g05b_regime_garch_per_user")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("SinglePartition"),
+      "per-series g05b must not funnel into one partition")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q29b per-series GARCH grid reuses one hash shuffle on the series key") {
     val p = plan("q29b_garch_grid_per_user")
     val finalPlan = p.split("== Initial Plan ==")(0)
