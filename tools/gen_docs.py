@@ -42,14 +42,33 @@ def main():
                 parsed = json.loads(m.group(0))
             else:
                 # truncated tail (no complete JSON line): salvage the
-                # "name":seconds pairs that survived; totals are partial
+                # "name":seconds pairs that survived; Bench duplicates the
+                # total as the LAST key ("total_sec") so it survives tail
+                # truncation even when the head of the line is cut
                 pairs = re.findall(r'"([a-z0-9_]+)":([0-9.]+)',
                                    bench.get("tail", ""))
-                parsed = {"queries": {k: float(v) for k, v in pairs
+                kv = {k: float(v) for k, v in pairs}
+                total = kv.pop("total_sec", None)
+                parsed = {"queries": {k: v for k, v in kv.items()
                                       if k not in ("value", "sf")},
-                          "sf": bench.get("sf"), "value": None}
-                partial = True
+                          "sf": bench.get("sf"), "value": total}
+                partial = total is None
         bench = parsed if isinstance(parsed, dict) else json.loads(parsed)
+    # BENCH_LOCAL.json: the full-precision record Bench writes alongside
+    # stdout; use it whenever the driver artifact is a truncated subset
+    blpath = os.path.join(ROOT, "BENCH_LOCAL.json")
+    if os.path.exists(blpath):
+        try:
+            blocal = json.load(open(blpath))
+            same_sf = (not bench.get("sf") or not blocal.get("sf")
+                       or str(blocal["sf"]).rstrip("/") == str(bench["sf"]).rstrip("/"))
+            if same_sf and (
+                    len(blocal.get("queries", {})) > len(bench.get("queries", {}))
+                    or (bench.get("value") is None
+                        and blocal.get("value") is not None)):
+                bench, partial = blocal, False
+        except (ValueError, KeyError):
+            pass
 
     # ── correctness ──
     rows = []
