@@ -471,7 +471,7 @@ object OracleSql {
 
   /** d01's pair list as an embeddable SELECT (no trailing ORDER BY):
     * ONE portable md5-derived base value per shingle, 64 arithmetic
-    * permutations (a·base+b mod 2^61−1 — coefficients shared with the
+    * permutations (a·base+b mod 2^31−1 — coefficients shared with the
     * Spark side), 16 bands of 4, md5-of-slice band buckets, est_jaccard
     * = agreeing slots / 64. Shared by the d01 gate entry and the d03
     * cluster closure. */
@@ -2290,7 +2290,7 @@ object OracleSql {
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // MinHash+LSH: ONE portable md5-derived base value per shingle, 64
-    // arithmetic permutations (a·base+b mod 2^61−1 — coefficients shared
+    // arithmetic permutations (a·base+b mod 2^31−1 — coefficients shared
     // with the Spark side), 16 bands of 4, md5-of-slice band buckets,
     // est_jaccard = agreeing slots / 64 (exact k/64 rationals)
     "d01_minhash_lsh" -> s"$d01PairsSql\nORDER BY id_a, id_b",

@@ -602,7 +602,7 @@ object SparkEntry {
 
     // ── PQ ANN: asymmetric-distance compressed-domain scan (per-subspace
     //    KMeans codebook frozen as literals) + exact cosine rerank of the
-    //    2k-deep shortlist ───────────────────────────────────────────────
+    //    overfetch*k-deep shortlist (4k = 40 here, matching the oracle) ───────────────────────────────────────────────
     "s03_pq_ann" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.pqTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",

@@ -68,7 +68,12 @@ object Spectral {
     // per-series DFT-length cap (fit-prefix-style contract): the exploded
     // (t × k) frame is O(n²) per series, so an unbounded series length
     // would explode at 100 TB; maxPoints bounds it to ≤ maxPoints² rows
-    // per (series, side) while staying a no-op at the gate scales
+    // per (series, side) while staying a no-op at the gate scales.
+    // NOTE the cap binds SILENTLY: a series longer than maxPoints gets a
+    // prefix-DFT distance, not the full-length composite_metric.py value.
+    // The bind is detectable from the output (rows with k = maxPoints-1
+    // present ⇒ that series hit the cap); raise maxPoints when full-length
+    // parity on long series matters more than the quadratic blowup.
     val lens = rets.groupBy(col("sid")).agg(
       least(
         least(

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * Boundary note: the batch sessionize starts a new session when a gap
   * is STRICTLY greater than the threshold, while session_window's
   * half-open [start, last+gap) range makes an exactly-gap-sized step a
-  * new session — indistinguishable on µs-grained event time (an exact
-  * 1800.000000 s gap), and the batch-agreement spec pins the twins on
-  * the real data.
+  * new session. The divergence is real (an exact 1800.000000s step IS
+  * representable in µs event time: same session in batch, new session
+  * here) but confined to exactly-gap-sized steps; the batch-agreement
+  * spec pins the twins on the gate data, where no such step occurs.
   */
 object StreamingSessions {
 

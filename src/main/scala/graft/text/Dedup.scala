@@ -214,7 +214,10 @@ object Dedup {
     * alternating large-star/small-star variant would halve rounds on
     * pathological chains but adds nothing for dedup-shaped graphs.
     * Labels only decrease (monotone min), so the fixpoint is exact, not
-    * approximate. */
+    * approximate. If the graph's diameter exceeds `maxIters` the labels
+    * returned are NOT yet a fixpoint — a warning is logged with the
+    * residual changed-label count; raise `maxIters` (cost is one join
+    * per extra round) for adversarially chain-shaped graphs. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIters: Int = 20): DataFrame = {
@@ -245,6 +248,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: maxIters=$maxIters reached with $changed " +
+          "labels still propagating — result is not a fixpoint; raise maxIters")
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 }
