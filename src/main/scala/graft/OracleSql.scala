@@ -1670,6 +1670,125 @@ object OracleSql {
        |FROM rows1 ORDER BY rn""".stripMargin
   }
 
+  /** c05 / q30b ADF legs — PER-SERIES closed-form ADF (maxlag=2):
+    * replays [[graft.stats.Adf.closedForm2]] verbatim per (user,
+    * event-parity label): standardized returns, Gram sums via FILTER
+    * clauses, Cramer determinants generated with the SAME
+    * cofactor-expansion association order as the Scala, AIC autolag on
+    * the common sample, chosen-lag refit, MacKinnon p through the
+    * identical erfc polynomial. Degenerate series (n ≤ 31, zero
+    * variance, non-finite τ) carry the reference −1.0 sentinel
+    * (distribution_evaluator.py:105-116). Returns the CTE list only
+    * (no WITH) so q30b can splice it into its own chain. */
+  private def adfPerUserCtes: String = {
+    def d3(a: String, b: String, c: String, d: String, e: String,
+           f: String, g: String, h: String, i: String): String =
+      s"($a*($e*$i - $f*$h) - $b*($d*$i - $f*$g) + $c*($d*$h - $e*$g))"
+    def d4(m: IndexedSeq[String]): String =
+      s"(${m(0)}*${d3(m(5), m(6), m(7), m(9), m(10), m(11), m(13), m(14), m(15))}" +
+        s" - ${m(1)}*${d3(m(4), m(6), m(7), m(8), m(10), m(11), m(12), m(14), m(15))}" +
+        s" + ${m(2)}*${d3(m(4), m(5), m(7), m(8), m(9), m(11), m(12), m(13), m(15))}" +
+        s" - ${m(3)}*${d3(m(4), m(5), m(6), m(8), m(9), m(10), m(12), m(13), m(14))})"
+    val a4 = Vector("n2", "sx", "sd1", "sd2", "sx", "sxx", "sxd1", "sxd2",
+      "sd1", "sxd1", "sd11", "sd12", "sd2", "sxd2", "sd12", "sd22")
+    val bv = Vector("sy", "sxy", "sd1y", "sd2y")
+    def rep(colI: Int): IndexedSeq[String] =
+      a4.zipWithIndex.map { case (v, idx) => if (idx % 4 == colI) bv(idx / 4) else v }
+    val common = (e: String) => s"sum($e) FILTER (WHERE t >= 2)"
+    val p1 = (e: String) => s"sum($e) FILTER (WHERE t >= 1)"
+    "adf_u0 AS (SELECT user_id::BIGINT AS sid, (event_id % 2 = 0) AS is_real, ts, event_id, " +
+      "ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10))) OVER " +
+      "(PARTITION BY user_id, (event_id % 2 = 0) ORDER BY ts, event_id) AS ret FROM events),\n" +
+    "adf_ur AS (SELECT sid, is_real, ret, row_number() OVER " +
+      "(PARTITION BY sid, is_real ORDER BY ts, event_id) - 1 AS rk " +
+      "FROM adf_u0 WHERE ret IS NOT NULL QUALIFY rk < 20000),\n" +
+    "adf_st AS (SELECT sid, is_real, (count(*))::DOUBLE AS nn, sum(ret) AS s1, " +
+      "sum(ret*ret) AS s2 FROM adf_ur GROUP BY 1, 2),\n" +
+    "adf_z AS (SELECT u.sid, u.is_real, u.rk, " +
+      "(u.ret - s.s1/s.nn)/sqrt(s.s2/s.nn - (s.s1/s.nn)*(s.s1/s.nn)) AS z " +
+      "FROM adf_ur u JOIN adf_st s USING (sid, is_real) " +
+      "WHERE s.nn > 31 AND (s.s2/s.nn - (s.s1/s.nn)*(s.s1/s.nn)) > 0),\n" +
+    "adf_dx AS (SELECT sid, is_real, rk AS t, z AS x, " +
+      "lead(z) OVER (PARTITION BY sid, is_real ORDER BY rk) - z AS y " +
+      "FROM adf_z QUALIFY y IS NOT NULL),\n" +
+    "adf_dl AS (SELECT sid, is_real, t, x, y, lag(y,1) OVER w AS d1, lag(y,2) OVER w AS d2 " +
+      "FROM adf_dx WINDOW w AS (PARTITION BY sid, is_real ORDER BY t)),\n" +
+    "adf_s AS (SELECT sid, is_real, " +
+      "(count(*) FILTER (WHERE t >= 2))::DOUBLE AS n2, " +
+      s"${common("x")} AS sx, ${common("d1")} AS sd1, ${common("d2")} AS sd2, " +
+      s"${common("x*x")} AS sxx, ${common("x*d1")} AS sxd1, ${common("x*d2")} AS sxd2, " +
+      s"${common("d1*d1")} AS sd11, ${common("d1*d2")} AS sd12, ${common("d2*d2")} AS sd22, " +
+      s"${common("y")} AS sy, ${common("x*y")} AS sxy, ${common("d1*y")} AS sd1y, " +
+      s"${common("d2*y")} AS sd2y, ${common("y*y")} AS syy, " +
+      "(count(*))::DOUBLE AS m0, sum(x) AS sx0, sum(x*x) AS sxx0, " +
+      "sum(y) AS sy0, sum(x*y) AS sxy0, sum(y*y) AS syy0, " +
+      "(count(*) FILTER (WHERE t >= 1))::DOUBLE AS m1, " +
+      s"${p1("x")} AS sx1, ${p1("d1")} AS sd1a, ${p1("x*x")} AS sxx1, " +
+      s"${p1("x*d1")} AS sxd1a, ${p1("d1*d1")} AS sd11a, " +
+      s"${p1("y")} AS sy1, ${p1("x*y")} AS sxy1, ${p1("d1*y")} AS sd1ya, ${p1("y*y")} AS syy1 " +
+      "FROM adf_dl GROUP BY 1, 2),\n" +
+    "adf_c1 AS (SELECT *, (n2*sxx - sx*sx) AS det2c, " +
+      s"${d3("n2", "sx", "sd1", "sx", "sxx", "sxd1", "sd1", "sxd1", "sd11")} AS det3c, " +
+      s"${d3("sy", "sx", "sd1", "sxy", "sxx", "sxd1", "sd1y", "sxd1", "sd11")} AS c1n0, " +
+      s"${d3("n2", "sy", "sd1", "sx", "sxy", "sxd1", "sd1", "sd1y", "sd11")} AS c1n1, " +
+      s"${d3("n2", "sx", "sy", "sx", "sxx", "sxy", "sd1", "sxd1", "sd1y")} AS c1n2, " +
+      s"${d4(a4)} AS det4c, " +
+      s"${d4(rep(0))} AS c2n0, ${d4(rep(1))} AS c2n1, " +
+      s"${d4(rep(2))} AS c2n2, ${d4(rep(3))} AS c2n3, " +
+      "(m0*sxx0 - sx0*sx0) AS dt0, " +
+      s"${d3("m1", "sx1", "sd1a", "sx1", "sxx1", "sxd1a", "sd1a", "sxd1a", "sd11a")} AS r1det, " +
+      s"${d3("sy1", "sx1", "sd1a", "sxy1", "sxx1", "sxd1a", "sd1ya", "sxd1a", "sd11a")} AS r1n0, " +
+      s"${d3("m1", "sy1", "sd1a", "sx1", "sxy1", "sxd1a", "sd1a", "sd1ya", "sd11a")} AS r1nx, " +
+      s"${d3("m1", "sx1", "sy1", "sx1", "sxx1", "sxy1", "sd1a", "sxd1a", "sd1ya")} AS r1n2, " +
+      "(m1*sd11a - sd1a*sd1a) AS inv11n1, " +
+      s"${d3("n2", "sd1", "sd2", "sd1", "sd11", "sd12", "sd2", "sd12", "sd22")} AS inv11n2 " +
+      "FROM adf_s),\n" +
+    "adf_c2 AS (SELECT *, (sy*sxx - sx*sxy)/det2c AS c0b0, (n2*sxy - sx*sy)/det2c AS c0b1, " +
+      "c1n0/det3c AS c1b0, c1n1/det3c AS c1b1, c1n2/det3c AS c1b2, " +
+      "c2n0/det4c AS c2b0, c2n1/det4c AS c2b1, c2n2/det4c AS c2b2, c2n3/det4c AS c2b3, " +
+      "(m0*sxy0 - sx0*sy0)/dt0 AS r0bx, (sy0*sxx0 - sx0*sxy0)/dt0 AS r0b0, " +
+      "r1n0/r1det AS r1b0, r1nx/r1det AS r1bx, r1n2/r1det AS r1b2 FROM adf_c1),\n" +
+    "adf_c3 AS (SELECT *, syy - (c0b0*sy + c0b1*sxy) AS ssr0, " +
+      "syy - (c1b0*sy + c1b1*sxy + c1b2*sd1y) AS ssr1, " +
+      "syy - (c2b0*sy + c2b1*sxy + c2b2*sd1y + c2b3*sd2y) AS ssr2, " +
+      "syy0 - (r0b0*sy0 + r0bx*sxy0) AS ssrr0, " +
+      "syy1 - (r1b0*sy1 + r1bx*sxy1 + r1b2*sd1ya) AS ssrr1 FROM adf_c2),\n" +
+    "adf_c4 AS (SELECT *, n2*ln(greatest(ssr0/n2, 1e-300)) + 4.0 AS aic0, " +
+      "n2*ln(greatest(ssr1/n2, 1e-300)) + 6.0 AS aic1, " +
+      "n2*ln(greatest(ssr2/n2, 1e-300)) + 8.0 AS aic2, " +
+      "r0bx/sqrt(ssrr0/(m0 - 2.0)*(m0/dt0)) AS tau0, " +
+      "r1bx/sqrt(ssrr1/(m1 - 3.0)*(inv11n1/r1det)) AS tau1, " +
+      "c2b1/sqrt(ssr2/(n2 - 4.0)*(inv11n2/det4c)) AS tau2 FROM adf_c3),\n" +
+    "adf_c5 AS (SELECT sid, is_real, " +
+      "CASE WHEN aic2 < least(aic0, aic1) THEN 2 WHEN aic1 < aic0 THEN 1 ELSE 0 END AS p, " +
+      "CASE WHEN aic2 < least(aic0, aic1) THEN tau2 WHEN aic1 < aic0 THEN tau1 ELSE tau0 END AS tau " +
+      "FROM adf_c4),\n" +
+    "adf_c6 AS (SELECT *, CASE WHEN tau <= -1.61 THEN 2.1659 + 1.4412*tau + 0.038269*tau*tau " +
+      "ELSE 1.7339 + 0.93202*tau - 0.12745*tau*tau - 0.010368*tau*tau*tau END AS poly FROM adf_c5),\n" +
+    "adf_c7 AS (SELECT *, -(poly)/sqrt(2.0) AS q FROM adf_c6),\n" +
+    "adf_c8 AS (SELECT *, abs(q) AS zz, 1.0/(1.0 + 0.5*abs(q)) AS tt FROM adf_c7),\n" +
+    "adf_c9 AS (SELECT *, tt*exp(-zz*zz - 1.26551223 + tt*(1.00002368 + tt*(0.37409196 + " +
+      "tt*(0.09678418 + tt*(-0.18628806 + tt*(0.27886807 + tt*(-1.13520398 + " +
+      "tt*(1.48851587 + tt*(-0.82215223 + tt*0.17087277))))))))) AS ans FROM adf_c8),\n" +
+    "adf_res AS (SELECT sid, is_real, " +
+      "CASE WHEN isfinite(tau) THEN tau ELSE 0.0 END AS tau_f, " +
+      "CASE WHEN NOT isfinite(tau) THEN -1.0 WHEN tau > 2.74 THEN 1.0 " +
+      "WHEN tau < -18.83 THEN 0.0 " +
+      "ELSE 0.5*(CASE WHEN q >= 0 THEN ans ELSE 2.0 - ans END) END AS pv, " +
+      "CASE WHEN isfinite(tau) THEN p ELSE -1 END AS ulag FROM adf_c9),\n" +
+    "adf_out AS (SELECT s.sid, s.is_real, coalesce(r.tau_f, 0.0) AS tau_f, " +
+      "coalesce(r.pv, -1.0) AS pv, coalesce(r.ulag, -1) AS ulag " +
+      "FROM adf_st s LEFT JOIN adf_res r USING (sid, is_real)),\n" +
+    "adf_piv AS (SELECT sid, " +
+      "coalesce(max(CASE WHEN is_real THEN tau_f END), 0.0) AS rtau, " +
+      "coalesce(max(CASE WHEN is_real THEN pv END), -1.0) AS rpv, " +
+      "coalesce(max(CASE WHEN is_real THEN ulag END), -1) AS rlag, " +
+      "coalesce(max(CASE WHEN NOT is_real THEN tau_f END), 0.0) AS stau, " +
+      "coalesce(max(CASE WHEN NOT is_real THEN pv END), -1.0) AS spv, " +
+      "coalesce(max(CASE WHEN NOT is_real THEN ulag END), -1) AS slag " +
+      "FROM adf_out GROUP BY sid)"
+  }
+
   val all: Map[String, String] = Map(
 
     "q01_pricing_summary" ->
@@ -3282,7 +3401,8 @@ object OracleSql {
         |              max(CASE WHEN NOT is_real THEN ac5 END) AS sac5,
         |              max(CASE WHEN is_real THEN ac10 END) AS rac10,
         |              max(CASE WHEN NOT is_real THEN ac10 END) AS sac10
-        |       FROM ac0 GROUP BY sid)
+        |       FROM ac0 GROUP BY sid),
+        |__ADF_CTES__
         |SELECT k.sid AS user_id,
         |  round(kl,8) + 0.0 AS kl_divergence,
         |  round(wass,6) + 0.0 AS wasserstein_distance,
@@ -3296,12 +3416,30 @@ object OracleSql {
         |  round(sac5,6) + 0.0 AS synthetic_autocorr_lag5,
         |  round(rac10,6) + 0.0 AS real_autocorr_lag10,
         |  round(sac10,6) + 0.0 AS synthetic_autocorr_lag10,
-        |  round(kl + 0.1*wass + abs(rs - ss), 6) + 0.0 AS quality_score
+        |  round(kl + 0.1*wass + abs(rs - ss), 6) + 0.0 AS quality_score,
+        |  round(ap.rpv, 6) + 0.0 AS real_adf_pvalue,
+        |  round(ap.spv, 6) + 0.0 AS synthetic_adf_pvalue
         |FROM klv k
         |JOIN wv ON wv.sid = k.sid
         |JOIN mo ON mo.sid = k.sid
         |JOIN ac ON ac.sid = k.sid
-        |ORDER BY user_id""".stripMargin,
+        |JOIN adf_piv ap ON ap.sid = k.sid
+        |ORDER BY user_id""".stripMargin.replace("__ADF_CTES__", adfPerUserCtes),
+
+    // C5 per-series: the closed-form ADF witness standalone — τ, p and
+    // the AIC-chosen lag per (user, parity label), sentinels for
+    // untestable series (see adfPerUserCtes)
+    "c05_adf_per_user" ->
+      ("""WITH __ADF_CTES__
+        |SELECT sid AS user_id,
+        |  round(rtau, 6) + 0.0 AS real_adf_tau,
+        |  round(rpv, 6) + 0.0 AS real_adf_pvalue,
+        |  rlag::INT AS real_adf_lag,
+        |  round(stau, 6) + 0.0 AS synthetic_adf_tau,
+        |  round(spv, 6) + 0.0 AS synthetic_adf_pvalue,
+        |  slag::INT AS synthetic_adf_lag
+        |FROM adf_piv ORDER BY user_id""".stripMargin
+        .replace("__ADF_CTES__", adfPerUserCtes)),
 
     // G2 per-series: the g01f strided block/rescale chain replayed
     // PARTITION BY user (series < blockSize rows are skipped, the

@@ -1153,10 +1153,20 @@ object SparkEntry {
     //    series — the million-series evaluation shape ──────────────────
     "q30b_dist_per_user" -> ((s, dir) => {
       val e = ev(s, dir)
-      graft.eval.DistributionEvaluator.evaluateGrouped(
+      val core = graft.eval.DistributionEvaluator.evaluateGrouped(
           e.filter(col("event_id") % 2 === 0),
           e.filter(col("event_id") % 2 === 1),
           "user_id", Seq("ts", "event_id"), "value")
+      // the ADF legs of the reference record (distribution_evaluator
+      // .py:105-106), per series: closed-form maxlag=2 witness (q30
+      // carries the maxlag=20 production path); same sid universe, so
+      // the equi-join is lossless
+      val adf = graft.eval.DistributionEvaluator.adfGrouped(
+          e.filter(col("event_id") % 2 === 0),
+          e.filter(col("event_id") % 2 === 1),
+          "user_id", Seq("ts", "event_id"), "value")
+        .select(col("user_id"), col("real_adf_pvalue"), col("synthetic_adf_pvalue"))
+      core.join(adf, "user_id")
         .select(col("user_id"),
           round(col("kl_divergence"), 8).as("kl_divergence"),
           round(col("wasserstein_distance"), 6).as("wasserstein_distance"),
@@ -1170,7 +1180,29 @@ object SparkEntry {
           round(col("synthetic_autocorr_lag5"), 6).as("synthetic_autocorr_lag5"),
           round(col("real_autocorr_lag10"), 6).as("real_autocorr_lag10"),
           round(col("synthetic_autocorr_lag10"), 6).as("synthetic_autocorr_lag10"),
-          round(col("quality_score"), 6).as("quality_score"))
+          round(col("quality_score"), 6).as("quality_score"),
+          round(col("real_adf_pvalue"), 6).as("real_adf_pvalue"),
+          round(col("synthetic_adf_pvalue"), 6).as("synthetic_adf_pvalue"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── C5 PER-SERIES: closed-form ADF(maxlag=2, autolag=AIC) — τ,
+    //    MacKinnon p and chosen lag for every (user, parity) series in
+    //    one keyed pass (consecutive-run mapPartitions after the
+    //    returns window; no second exchange) ──────────────────────────
+    "c05_adf_per_user" -> ((s, dir) => {
+      val e = ev(s, dir)
+      graft.eval.DistributionEvaluator.adfGrouped(
+          e.filter(col("event_id") % 2 === 0),
+          e.filter(col("event_id") % 2 === 1),
+          "user_id", Seq("ts", "event_id"), "value")
+        .select(col("user_id"),
+          round(col("real_adf_tau"), 6).as("real_adf_tau"),
+          round(col("real_adf_pvalue"), 6).as("real_adf_pvalue"),
+          col("real_adf_lag"),
+          round(col("synthetic_adf_tau"), 6).as("synthetic_adf_tau"),
+          round(col("synthetic_adf_pvalue"), 6).as("synthetic_adf_pvalue"),
+          col("synthetic_adf_lag"))
         .orderBy(col("user_id"))
     }),
 

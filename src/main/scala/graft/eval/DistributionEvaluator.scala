@@ -88,6 +88,60 @@ object DistributionEvaluator {
       .withColumnRenamed("_k", seriesCol)
   }
 
+  /** PER-SERIES ADF legs for the grouped metric record (the leg
+    * [[evaluateGrouped]] omits): one row per series with the reference
+    * record's real/synthetic adf p-values plus the τ statistic and the
+    * AIC-chosen lag ([[graft.stats.Adf.closedForm2]] — maxlag=2
+    * closed-form witness; q30 carries the maxlag=20 production path).
+    *
+    * Scale shape: the logReturns window already hash-clusters and sorts
+    * rows by (series, label, order); consecutive-run grouping in
+    * mapPartitions then fits every series with NO second exchange and
+    * memory bounded by one capped series (the g01b pattern). One keyed
+    * shuffle total for a million series. */
+  def adfGrouped(real: DataFrame, synth: DataFrame, seriesCol: String,
+                 orderCols: Seq[String], price: String,
+                 maxRows: Int = graft.stats.SeriesStats.MaxCollectRows): DataFrame = {
+    val spark = real.sparkSession
+    import spark.implicits._
+    def labeled(df: DataFrame, isReal: Int): DataFrame =
+      df.select((col(seriesCol).cast("long").as("_k") +: lit(isReal).as("lab") +:
+        col(price).cast("double").as("_p") +: orderCols.map(col)): _*)
+    val labSpec = SeriesSpec(Seq("_k", "lab"), orderCols)
+    val u = SeriesOps.logReturns(
+        labeled(real, 1).unionByName(labeled(synth, 0)),
+        labSpec, "_p", "ret")
+      .filter(col("ret").isNotNull)
+      .select(col("_k"), col("lab"), col("ret"))
+    val perLab = u.as[(Long, Int, Double)].mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[(Long, Int, Double, Double, Int)] {
+        def hasNext: Boolean = it.hasNext
+        def next(): (Long, Int, Double, Double, Int) = {
+          val sid = it.head._1; val lab = it.head._2
+          val b = Array.newBuilder[Double]
+          var kept = 0
+          while (it.hasNext && it.head._1 == sid && it.head._2 == lab) {
+            val v = it.next()._3
+            // fit-prefix cap: same first-maxRows contract as the
+            // driver-side collect path (and the oracle's rk filter)
+            if (kept < maxRows) { b += v; kept += 1 }
+          }
+          val r = graft.stats.Adf.closedForm2(b.result())
+          (sid, lab, r.tau, r.pValue, r.usedLag)
+        }
+      }
+    }.toDF("_k", "lab", "tau", "pv", "ulag")
+    perLab.groupBy(col("_k")).agg(
+        coalesce(max(when(col("lab") === 1, col("tau"))), lit(0.0)).as("real_adf_tau"),
+        coalesce(max(when(col("lab") === 1, col("pv"))), lit(-1.0)).as("real_adf_pvalue"),
+        coalesce(max(when(col("lab") === 1, col("ulag"))), lit(-1)).as("real_adf_lag"),
+        coalesce(max(when(col("lab") === 0, col("tau"))), lit(0.0)).as("synthetic_adf_tau"),
+        coalesce(max(when(col("lab") === 0, col("pv"))), lit(-1.0)).as("synthetic_adf_pvalue"),
+        coalesce(max(when(col("lab") === 0, col("ulag"))), lit(-1)).as("synthetic_adf_lag"))
+      .withColumnRenamed("_k", seriesCol)
+  }
+
   /** `withAdf=true` runs the real ADF (graft.stats.Adf — C5) over the
     * collected bounded return series; short series keep the reference's
     * −1.0 "unavailable" sentinel. */

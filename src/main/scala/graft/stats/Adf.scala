@@ -210,6 +210,137 @@ object Adf {
     AdfResult(tau, pValue(tau), bestP, nObs)
   }
 
+  final case class Adf2Result(tau: Double, pValue: Double, usedLag: Int)
+
+  /** C5 PER-SERIES variant: ADF(maxlag=2, autolag=AIC, constant-only)
+    * in CLOSED FORM — Cramer determinants over Gram sums of the
+    * STANDARDIZED series. τ is exactly invariant to affine scaling of
+    * the input (γ/se(γ) is unitless), and standardizing conditions the
+    * tiny Gram so the fixed determinant formulas agree with the pivoted
+    * Gauss-Jordan of [[test]] to ~1e-10 (asserted in AdfSpec).
+    *
+    * Exists for the many-series scale path: fixed k ≤ 4 means every
+    * step is flat scalar arithmetic that the DuckDB oracle replays
+    * verbatim per series (c05/q30b), where the pivoting branches of the
+    * k=22 production path ([[test]], maxlag=20 — what q30 carries)
+    * cannot be expressed as SQL. Same statsmodels semantics: AIC
+    * autolag on the common sample, refit on the chosen lag's full
+    * sample, exact MacKinnon p. Degenerate series (n ≤ 31, zero
+    * variance, singular design) publish the reference's −1.0 sentinel
+    * (distribution_evaluator.py:105-116 try/except). */
+  def closedForm2(series: Array[Double]): Adf2Result = {
+    val n = series.length
+    if (n <= 31) return Adf2Result(0.0, -1.0, -1)
+    var s1 = 0.0; var s2raw = 0.0
+    var i = 0
+    while (i < n) { val v = series(i); s1 += v; s2raw += v * v; i += 1 }
+    val mu = s1 / n
+    val va = s2raw / n - mu * mu
+    if (!(va > 0.0)) return Adf2Result(0.0, -1.0, -1)
+    val sd = math.sqrt(va)
+    val m = n - 1
+    val z = new Array[Double](n)
+    i = 0
+    while (i < n) { z(i) = (series(i) - mu) / sd; i += 1 }
+    val dx = new Array[Double](m)
+    i = 0
+    while (i < m) { dx(i) = z(i + 1) - z(i); i += 1 }
+    // Gram sums: common sample (t ≥ 2, all candidates comparable) plus
+    // the p=0 (t ≥ 0) and p=1 (t ≥ 1) full refit samples — the same
+    // conditional sums the oracle computes with FILTER clauses
+    var n2 = 0.0; var sx = 0.0; var sd1 = 0.0; var sd2 = 0.0
+    var sxx = 0.0; var sxd1 = 0.0; var sxd2 = 0.0
+    var sd11 = 0.0; var sd12 = 0.0; var sd22 = 0.0
+    var sy = 0.0; var sxy = 0.0; var sd1y = 0.0; var sd2y = 0.0; var syy = 0.0
+    var m0 = 0.0; var sx0 = 0.0; var sxx0 = 0.0
+    var sy0 = 0.0; var sxy0 = 0.0; var syy0 = 0.0
+    var m1 = 0.0; var sx1 = 0.0; var sd1a = 0.0; var sxx1 = 0.0
+    var sxd1a = 0.0; var sd11a = 0.0
+    var sy1 = 0.0; var sxy1 = 0.0; var sd1ya = 0.0; var syy1 = 0.0
+    var t = 0
+    while (t < m) {
+      val y = dx(t); val x = z(t)
+      m0 += 1; sx0 += x; sxx0 += x * x; sy0 += y; sxy0 += x * y; syy0 += y * y
+      if (t >= 1) {
+        val d1 = dx(t - 1)
+        m1 += 1; sx1 += x; sd1a += d1; sxx1 += x * x; sxd1a += x * d1
+        sd11a += d1 * d1; sy1 += y; sxy1 += x * y; sd1ya += d1 * y; syy1 += y * y
+      }
+      if (t >= 2) {
+        val d1 = dx(t - 1); val d2 = dx(t - 2)
+        n2 += 1; sx += x; sd1 += d1; sd2 += d2
+        sxx += x * x; sxd1 += x * d1; sxd2 += x * d2
+        sd11 += d1 * d1; sd12 += d1 * d2; sd22 += d2 * d2
+        sy += y; sxy += x * y; sd1y += d1 * y; sd2y += d2 * y; syy += y * y
+      }
+      t += 1
+    }
+    // candidate AICs on the common sample (k = 2, 3, 4)
+    val det2c = n2 * sxx - sx * sx
+    val c0b0 = (sy * sxx - sx * sxy) / det2c
+    val c0b1 = (n2 * sxy - sx * sy) / det2c
+    val ssr0 = syy - (c0b0 * sy + c0b1 * sxy)
+    val aic0 = n2 * math.log(math.max(ssr0 / n2, 1e-300)) + 4.0
+    val det3c = det3(n2, sx, sd1, sx, sxx, sxd1, sd1, sxd1, sd11)
+    val c1b0 = det3(sy, sx, sd1, sxy, sxx, sxd1, sd1y, sxd1, sd11) / det3c
+    val c1b1 = det3(n2, sy, sd1, sx, sxy, sxd1, sd1, sd1y, sd11) / det3c
+    val c1b2 = det3(n2, sx, sy, sx, sxx, sxy, sd1, sxd1, sd1y) / det3c
+    val ssr1 = syy - (c1b0 * sy + c1b1 * sxy + c1b2 * sd1y)
+    val aic1 = n2 * math.log(math.max(ssr1 / n2, 1e-300)) + 6.0
+    val a4 = Array(n2, sx, sd1, sd2, sx, sxx, sxd1, sxd2,
+      sd1, sxd1, sd11, sd12, sd2, sxd2, sd12, sd22)
+    val det4c = det4(a4)
+    def rep(colI: Int): Double = {
+      val c = a4.clone()
+      c(colI) = sy; c(4 + colI) = sxy; c(8 + colI) = sd1y; c(12 + colI) = sd2y
+      det4(c)
+    }
+    val c2b0 = rep(0) / det4c
+    val c2b1 = rep(1) / det4c
+    val c2b2 = rep(2) / det4c
+    val c2b3 = rep(3) / det4c
+    val ssr2 = syy - (c2b0 * sy + c2b1 * sxy + c2b2 * sd1y + c2b3 * sd2y)
+    val aic2 = n2 * math.log(math.max(ssr2 / n2, 1e-300)) + 8.0
+    // strict-< ascending scan, ties keep the smaller lag ([[adfWithLag]])
+    val p = if (aic2 < math.min(aic0, aic1)) 2 else if (aic1 < aic0) 1 else 0
+    // refit the chosen lag on its full sample (statsmodels semantics)
+    val tau =
+      if (p == 0) {
+        val dt = m0 * sxx0 - sx0 * sx0
+        val bx = (m0 * sxy0 - sx0 * sy0) / dt
+        val b0 = (sy0 * sxx0 - sx0 * sxy0) / dt
+        val ssr = syy0 - (b0 * sy0 + bx * sxy0)
+        bx / math.sqrt(ssr / (m0 - 2.0) * (m0 / dt))
+      } else if (p == 1) {
+        val dt = det3(m1, sx1, sd1a, sx1, sxx1, sxd1a, sd1a, sxd1a, sd11a)
+        val b0 = det3(sy1, sx1, sd1a, sxy1, sxx1, sxd1a, sd1ya, sxd1a, sd11a) / dt
+        val bx = det3(m1, sy1, sd1a, sx1, sxy1, sxd1a, sd1a, sd1ya, sd11a) / dt
+        val b2 = det3(m1, sx1, sy1, sx1, sxx1, sxy1, sd1a, sxd1a, sd1ya) / dt
+        val ssr = syy1 - (b0 * sy1 + bx * sxy1 + b2 * sd1ya)
+        val inv11 = (m1 * sd11a - sd1a * sd1a) / dt
+        bx / math.sqrt(ssr / (m1 - 3.0) * inv11)
+      } else {
+        // t ≥ 2 IS lag 2's full sample: candidate β/SSR are the refit
+        val inv11 = det3(n2, sd1, sd2, sd1, sd11, sd12, sd2, sd12, sd22) / det4c
+        c2b1 / math.sqrt(ssr2 / (n2 - 4.0) * inv11)
+      }
+    if (java.lang.Double.isFinite(tau)) Adf2Result(tau, pValue(tau), p)
+    else Adf2Result(0.0, -1.0, -1)
+  }
+
+  @inline private def det3(a: Double, b: Double, c: Double,
+                           d: Double, e: Double, f: Double,
+                           g: Double, h: Double, i: Double): Double =
+    a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+  /** det of a row-major 4×4 by first-row cofactor expansion — the same
+    * association order the oracle's generated SQL uses. */
+  private def det4(m: Array[Double]): Double =
+    m(0) * det3(m(5), m(6), m(7), m(9), m(10), m(11), m(13), m(14), m(15)) -
+      m(1) * det3(m(4), m(6), m(7), m(8), m(10), m(11), m(12), m(14), m(15)) +
+      m(2) * det3(m(4), m(5), m(7), m(8), m(9), m(11), m(12), m(13), m(15)) -
+      m(3) * det3(m(4), m(5), m(6), m(8), m(9), m(10), m(12), m(13), m(14))
+
   /** Exact MacKinnon (1994) response-surface p-value for the τ_c
     * (constant, no trend, N=1) case: Φ(poly(τ)), with the small-p /
     * large-p polynomial switch at τ* = −1.61 and hard clamps at the

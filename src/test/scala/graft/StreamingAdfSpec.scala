@@ -58,6 +58,65 @@ class StreamingAdfSpec extends AnyFunSuite {
     assert(r.usedLag <= (39 / 2) - 3)
   }
 
+  test("closed-form ADF (maxlag=2) agrees with the Gauss-Jordan path") {
+    val rnd = new scala.util.Random(11)
+    val noise = Array.fill(500)(rnd.nextGaussian())
+    var acc = 0.0
+    val walk = Array.fill(500) { acc += rnd.nextGaussian(); acc }
+    var ar = 0.0
+    val ar1 = Array.fill(500) { ar = 0.7 * ar + rnd.nextGaussian(); ar }
+    // returns-scaled series (the q30b regime: tiny values, where the
+    // un-standardized Gram would be ill-conditioned)
+    val rets = Array.fill(500)(rnd.nextGaussian() * 1e-3 + 1e-5)
+    for (s <- Seq(noise, walk, ar1, rets)) {
+      val cf = Adf.closedForm2(s)
+      val gj = Adf.test(s, maxLag = 2)
+      assert(cf.usedLag === gj.usedLag, "AIC lag choice must agree")
+      assert(math.abs(cf.tau - gj.stat) < 1e-8,
+        s"tau ${cf.tau} vs ${gj.stat}")
+      assert(math.abs(cf.pValue - gj.pValue) < 1e-8)
+    }
+    // degenerate series publish the reference sentinel instead of NaN
+    assert(Adf.closedForm2(Array.fill(20)(1.0)) === Adf.Adf2Result(0.0, -1.0, -1))
+    assert(Adf.closedForm2(Array.fill(200)(5.0)) === Adf.Adf2Result(0.0, -1.0, -1))
+  }
+
+  test("adfGrouped: per-series legs match per-array closed form") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    // two users with distinct AR structure + one too-short user
+    val rows = (0 until 2).flatMap { u =>
+      var p = 100.0 + u
+      (0 until 120).map { i =>
+        p *= math.exp(rnd.nextGaussian() * 1e-3 * (u + 1))
+        (u.toLong, i.toLong, i.toLong, p)
+      }
+    } ++ (0 until 5).map(i => (9L, i.toLong, i.toLong, 100.0))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val out = graft.eval.DistributionEvaluator.adfGrouped(
+        df.filter(col("event_id") % 2 === 0), df.filter(col("event_id") % 2 === 1),
+        "user_id", Seq("ts", "event_id"), "value")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // user 9: 5 even/odd events → too-short series → sentinels
+    assert(out(9L).getAs[Double]("real_adf_pvalue") === -1.0)
+    assert(out(9L).getAs[Int]("real_adf_lag") === -1)
+    // users 0/1: recompute expected from the same split serially
+    for (u <- 0L to 1L) {
+      def ser(par: Int): Array[Double] = {
+        val vs = rows.filter(r => r._1 == u && r._3 % 2 == par)
+          .sortBy(r => (r._2, r._3)).map(_._4).toArray
+        vs.sliding(2).map(a => math.log(math.max(a(1), 1e-10)) -
+          math.log(math.max(a(0), 1e-10))).toArray
+      }
+      val expReal = Adf.closedForm2(ser(0))
+      val expSyn = Adf.closedForm2(ser(1))
+      assert(math.abs(out(u).getAs[Double]("real_adf_pvalue") - expReal.pValue) < 1e-12)
+      assert(math.abs(out(u).getAs[Double]("synthetic_adf_pvalue") - expSyn.pValue) < 1e-12)
+      assert(out(u).getAs[Int]("real_adf_lag") === expReal.usedLag)
+    }
+  }
+
   test("distribution evaluator publishes real ADF p-values now") {
     val a = SparkSpec.randomWalk(400, seed = 1)
     val b = SparkSpec.randomWalk(400, seed = 2)
