@@ -217,6 +217,156 @@ object OracleSql {
        |ORDER BY param, i, j""".stripMargin
   }
 
+  /** g04tb: the g04t one-EM-step replay PARTITIONED BY USER — the
+    * keyed twin of [[g04tSql]]. quantileInit is computed per user in
+    * SQL (stable sort by (f0, t), integer-division chunk boundaries,
+    * ordered-list-fold chunk means/vars — the same sequential
+    * summation order as the Scala), start/transition inits are the
+    * Scala-computed literals (uniform 1/3, 0.9/0.05), and the scaled
+    * forward/backward recursions run for ALL users simultaneously —
+    * each recursion step joins on (sid, t±1), so short series simply
+    * stop contributing. M-step/ξ accumulations stay ordered-list folds
+    * per sid. Series with < 10 feature rows are skipped (matches
+    * emStepGrouped's minRows). */
+  private def g04tbSql: String = {
+    val k = 3; val d = 3; val n = 200; val minRows = 10
+    val ks = 0 until k
+    val dcs = 0 until d
+    val pairs = for (ci <- ks; cj <- ks) yield (ci, cj)
+    val ST = (1.0 / 3).toString
+    def T(i: Int, j: Int) = (if (i == j) 0.9 else 0.1 / 2).toString
+    def logb(c: Int) = dcs.map(j =>
+      s"(-0.5*(ln(2.0*pi()*mv.v$c$j) + ((f.f$j - mv.m$c$j)*(f.f$j - mv.m$c$j))/mv.v$c$j))")
+      .mkString(" + ")
+    val fwdBaseUa = ks.map(c => s"$ST*exp(b$c - sh) AS ua$c").mkString(",\n      ")
+    val fwdStepUa = ks.map(cj =>
+      "(" + ks.map(ci => s"f.a$ci*${T(ci, cj)}").mkString(" + ") +
+        s") * exp(l.b$cj - greatest(l.b0,l.b1,l.b2)) AS ua$cj").mkString(",\n      ")
+    val bwdStep = ks.map(ci =>
+      "(" + ks.map(cj => s"${T(ci, cj)}*exp(s.b$cj - s.sh)*s.e$cj").mkString(" + ") +
+        s")/s.sc AS e$ci").mkString(",\n    ")
+    val xiTerms = pairs.map { case (ci, cj) =>
+      s"f.a$ci*${T(ci, cj)}*exp(l.b$cj - greatest(l.b0,l.b1,l.b2))*b.e$cj AS t$ci$cj"
+    }.mkString(",\n        ")
+    val xiSum = pairs.map { case (ci, cj) => s"t$ci$cj" }.mkString(" + ")
+    val xiRatios = pairs.map { case (ci, cj) => s"t$ci$cj/s AS r$ci$cj" }.mkString(", ")
+    val xsCols = pairs.map { case (ci, cj) =>
+      s"list_aggregate(list(r$ci$cj ORDER BY t), 'sum') AS x$ci$cj" }.mkString(",\n    ")
+    val mwCols = (ks.map(c => s"list_aggregate(list(g.g$c ORDER BY g.t), 'sum') AS w$c") ++
+      (for (c <- ks; j <- dcs) yield
+        s"list_aggregate(list(g.g$c*f.f$j ORDER BY g.t), 'sum') AS m$c$j")).mkString(",\n    ")
+    val vsCols = (for (c <- ks; j <- dcs) yield
+      s"list_aggregate(list(g.g$c*(f.f$j - mw.m$c$j/mw.w$c)*(f.f$j - mw.m$c$j/mw.w$c) ORDER BY g.t), 'sum') AS v$c$j")
+      .mkString(",\n    ")
+    val mwGroup = "g.sid" +: (ks.map(c => s"mw.w$c") ++
+      (for (c <- ks; j <- dcs) yield s"mw.m$c$j")).toSeq
+    // per-user quantileInit pivot columns
+    val mvMeans = (for (c <- ks; j <- dcs) yield
+      s"max(CASE WHEN c = $c THEN mu$j END) AS m$c$j").mkString(",\n    ")
+    val mvVars = (for (c <- ks; j <- dcs) yield
+      s"max(CASE WHEN c = $c THEN vv$j END) AS v$c$j").mkString(",\n    ")
+    val outRows = scala.collection.mutable.ArrayBuffer[String]()
+    outRows += "SELECT l.sid AS user_id, 'll' AS param, 0 AS i, 0 AS j, round(l.ll, 6) + 0.0 AS v FROM llv l"
+    for (c <- ks) outRows +=
+      s"SELECT g.sid, 'start', $c, 0, round(g.g$c, 8) + 0.0 FROM gm g WHERE g.t = 0"
+    for (i <- ks) {
+      val rs = "(" + ks.map(j => s"x$i$j").mkString(" + ") + ")"
+      for (j <- ks) outRows +=
+        s"SELECT x.sid, 'trans', $i, $j, round(CASE WHEN $rs > 0 THEN x$i$j/$rs ELSE $ST END, 8) + 0.0 FROM xs x"
+    }
+    for (c <- ks; j <- dcs) outRows +=
+      s"SELECT mw.sid, 'mean', $c, $j, round(CASE WHEN mw.w$c > 1e-10 THEN mw.m$c$j/mw.w$c ELSE mv.m$c$j END, 8) + 0.0 FROM mw JOIN mv ON mv.sid = mw.sid"
+    for (c <- ks; j <- dcs) outRows +=
+      s"SELECT mw.sid, 'var', $c, $j, round(CASE WHEN mw.w$c > 1e-10 THEN greatest(vs.v$c$j/mw.w$c, 1e-10) ELSE mv.v$c$j END, 8) + 0.0 FROM mw JOIN vs ON vs.sid = mw.sid JOIN mv ON mv.sid = mw.sid"
+    s"""WITH RECURSIVE
+       |fb AS MATERIALIZED (SELECT user_id::BIGINT AS sid, rn, f0, f1, f2 FROM (__G04B_FEATS__) gbsrc),
+       |fcap AS (SELECT sid, rn2 - 1 AS t, f0, f1, f2 FROM
+       |  (SELECT sid, row_number() OVER (PARTITION BY sid ORDER BY rn) AS rn2, f0, f1, f2 FROM fb) q
+       |  WHERE rn2 <= $n),
+       |lens AS MATERIALIZED (SELECT sid, (count(*))::INT AS nf FROM fcap GROUP BY sid
+       |  HAVING count(*) >= $minRows),
+       |feats AS MATERIALIZED (SELECT f.sid, f.t, f.f0, f.f1, f.f2
+       |  FROM fcap f JOIN lens USING (sid)),
+       |srt AS (SELECT sid, t, f0, f1, f2,
+       |  row_number() OVER (PARTITION BY sid ORDER BY f0, t) - 1 AS p FROM feats),
+       |chk AS (SELECT s.sid, s.p, s.f0, s.f1, s.f2,
+       |  CASE WHEN s.p < floor((1.0*l.nf)/$k) THEN 0
+       |       WHEN s.p < floor((2.0*l.nf)/$k) THEN 1 ELSE 2 END AS c
+       |  FROM srt s JOIN lens l USING (sid)),
+       |im AS (SELECT sid, c, (count(*))::DOUBLE AS ln_,
+       |  list_aggregate(list(f0 ORDER BY p), 'sum') AS sf0,
+       |  list_aggregate(list(f1 ORDER BY p), 'sum') AS sf1,
+       |  list_aggregate(list(f2 ORDER BY p), 'sum') AS sf2
+       |  FROM chk GROUP BY sid, c),
+       |imm AS MATERIALIZED (SELECT sid, c, sf0/ln_ AS mu0, sf1/ln_ AS mu1, sf2/ln_ AS mu2, ln_ FROM im),
+       |ivv AS (SELECT ch.sid, ch.c,
+       |  greatest(list_aggregate(list((ch.f0 - i.mu0)*(ch.f0 - i.mu0) ORDER BY ch.p), 'sum')/i.ln_, 1e-10) AS vv0,
+       |  greatest(list_aggregate(list((ch.f1 - i.mu1)*(ch.f1 - i.mu1) ORDER BY ch.p), 'sum')/i.ln_, 1e-10) AS vv1,
+       |  greatest(list_aggregate(list((ch.f2 - i.mu2)*(ch.f2 - i.mu2) ORDER BY ch.p), 'sum')/i.ln_, 1e-10) AS vv2
+       |  FROM chk ch JOIN imm i ON i.sid = ch.sid AND i.c = ch.c
+       |  GROUP BY ch.sid, ch.c, i.mu0, i.mu1, i.mu2, i.ln_),
+       |mv AS MATERIALIZED (SELECT m.sid,
+       |    $mvMeans,
+       |    $mvVars
+       |  FROM (SELECT i.sid, i.c, i.mu0, i.mu1, i.mu2, v.vv0, v.vv1, v.vv2
+       |        FROM imm i JOIN ivv v ON v.sid = i.sid AND v.c = i.c) m
+       |  GROUP BY m.sid),
+       |logb AS MATERIALIZED (SELECT f.sid, f.t, ${logb(0)} AS b0,
+       |  ${logb(1)} AS b1,
+       |  ${logb(2)} AS b2 FROM feats f JOIN mv ON mv.sid = f.sid),
+       |fwd AS MATERIALIZED (
+       |  SELECT sid, t, ua0/us AS a0, ua1/us AS a1, ua2/us AS a2, us AS sc, ln(us) + sh AS ll
+       |  FROM (SELECT sid, t, ua0, ua1, ua2, (ua0 + ua1) + ua2 AS us, sh FROM
+       |    (SELECT sid, t, $fwdBaseUa, sh
+       |     FROM (SELECT sid, t, b0, b1, b2, greatest(b0, b1, b2) AS sh FROM logb WHERE t = 0) b0_) b1_) b2_
+       |  UNION ALL
+       |  SELECT sid, t, ua0/us, ua1/us, ua2/us, us, ll + (ln(us) + sh)
+       |  FROM (SELECT sid, t, ua0, ua1, ua2, (ua0 + ua1) + ua2 AS us, sh, ll FROM
+       |    (SELECT l.sid AS sid, l.t AS t,
+       |      $fwdStepUa,
+       |      greatest(l.b0,l.b1,l.b2) AS sh, f.ll AS ll
+       |     FROM fwd f JOIN logb l ON l.sid = f.sid AND l.t = f.t + 1) s1) s2
+       |),
+       |bwd AS MATERIALIZED (
+       |  SELECT sid, (nf - 1) AS t, 1.0::DOUBLE AS e0, 1.0::DOUBLE AS e1, 1.0::DOUBLE AS e2
+       |  FROM lens
+       |  UNION ALL
+       |  SELECT s.sid, s.t - 1,
+       |    $bwdStep
+       |  FROM (SELECT b.sid, b.t, b.e0, b.e1, b.e2, l.b0, l.b1, l.b2,
+       |               greatest(l.b0, l.b1, l.b2) AS sh, f.sc
+       |        FROM bwd b JOIN logb l ON l.sid = b.sid AND l.t = b.t
+       |                   JOIN fwd f ON f.sid = b.sid AND f.t = b.t
+       |        WHERE b.t >= 1) s
+       |),
+       |gm AS MATERIALIZED (SELECT sid, t, p0/den AS g0, p1/den AS g1, p2/den AS g2 FROM
+       |       (SELECT f.sid AS sid, f.t AS t, f.a0*b.e0 AS p0, f.a1*b.e1 AS p1, f.a2*b.e2 AS p2,
+       |               (f.a0*b.e0 + f.a1*b.e1) + f.a2*b.e2 AS den
+       |        FROM fwd f JOIN bwd b ON b.sid = f.sid AND b.t = f.t) q),
+       |xi AS MATERIALIZED (SELECT sid, t, $xiRatios FROM
+       |  (SELECT sid, t, ${pairs.map { case (ci, cj) => s"t$ci$cj" }.mkString(", ")},
+       |          $xiSum AS s FROM
+       |    (SELECT f.sid AS sid, f.t AS t,
+       |        $xiTerms
+       |     FROM fwd f JOIN logb l ON l.sid = f.sid AND l.t = f.t + 1
+       |                JOIN bwd b ON b.sid = f.sid AND b.t = f.t + 1) q1) q2),
+       |xs AS MATERIALIZED (SELECT sid,
+       |    $xsCols
+       |  FROM xi GROUP BY sid),
+       |mw AS MATERIALIZED (SELECT g.sid,
+       |    $mwCols
+       |  FROM gm g JOIN feats f ON f.sid = g.sid AND f.t = g.t GROUP BY g.sid),
+       |vs AS MATERIALIZED (SELECT g.sid,
+       |    $vsCols
+       |  FROM gm g JOIN feats f ON f.sid = g.sid AND f.t = g.t
+       |            JOIN mw ON mw.sid = g.sid
+       |  GROUP BY ${mwGroup.mkString(", ")}),
+       |llv AS (SELECT f.sid, f.ll FROM fwd f JOIN lens l ON l.sid = f.sid AND f.t = l.nf - 1)
+       |${outRows.zipWithIndex.map { case (r, idx) => if (idx == 0) r else "UNION ALL " + r }.mkString("\n")}
+       |ORDER BY user_id, param, i, j""".stripMargin
+      .replace("__G04B_FEATS__", g04bFeaturesSql)
+  }
+
   /** w14: [[graft.series.SeriesOps.arBridge]] from literal params
     * (from=0.02, to=-0.015, n=64, φ=0.6, σ=0.05, seed=21) — the polar
     * nextGaussian stream via [[gaussStreamSql]] plus the AR(1) noise
@@ -1142,10 +1292,18 @@ object OracleSql {
     * AR(1) recurrence, and (when `garch` is set) the per-regime σ²
     * recursion. The cumulative-probability lists are folded in Scala
     * with the same left-to-right accumulation as sampleCat and embedded
-    * as literals. */
+    * as literals.
+    *
+    * `perUser = true` (g04wb/g05wb) keys the whole machine by sid: one
+    * base row per DISTINCT events user with LCG state scrambled from
+    * `seed + sid` in SQL, every phase-machine row carrying its sid (all
+    * series advance simultaneously — DuckDB's recursion working set is
+    * the per-sid row frontier), and the W2 window partitioned by sid —
+    * the replay twin of [[graft.gen.RegimeConditional.generateGrouped]]. */
   private def regimeWalkSql(model: graft.gen.RegimeModel,
                             garch: Option[Array[graft.stats.GarchFit]],
-                            n: Int, seed: Long): String = {
+                            n: Int, seed: Long,
+                            perUser: Boolean = false): String = {
     val seed0 = (seed ^ 0x5DEECE66DL) & ((1L << 48) - 1)
     def cum(ps: Array[Double]): Array[Double] = {
       var a = 0.0; ps.take(ps.length - 1).map { p => a += p; a }
@@ -1174,16 +1332,27 @@ object OracleSql {
       else (0 until model.nRegimes).map(i =>
         s"CASE WHEN $i = $k THEN $v ELSE $sig2[${i + 1}] END")
         .mkString("[", ",", "]")
+    val sidsCte = if (perUser)
+      "sids AS (SELECT DISTINCT user_id::BIGINT AS sid FROM events),\n" else ""
+    val baseCols = if (perUser) "sid, 0 AS it, " else "0 AS it, "
+    val seedExpr =
+      if (perUser) s"xor($seed + sid, 25214903917) & 281474976710655"
+      else seed0.toString
+    val baseFrom = if (perUser) "\n  FROM sids" else ""
+    val stepSid = if (perUser) "sid, " else ""
+    val outSid = if (perUser) "sid AS user_id, " else ""
+    val partBy = if (perUser) "PARTITION BY sid " else ""
+    val ordBy = if (perUser) "user_id, rn" else "rn"
     s"""WITH RECURSIVE
-       |w AS (
-       |  SELECT 0 AS it, CAST($seed0 AS HUGEINT) AS s, 11 AS ph,
+       |${sidsCte}w AS (
+       |  SELECT ${baseCols}CAST($seedExpr AS HUGEINT) AS s, 11 AS ph,
        |         CAST(0 AS HUGEINT) AS hi, CAST(0.0 AS DOUBLE) AS v1d,
        |         CAST([] AS INT[]) AS regs, 0 AS t,
        |         CAST(0.0 AS DOUBLE) AS prevret, CAST(0.0 AS DOUBLE) AS preveps,
        |         CAST($sig2Init AS DOUBLE[]) AS sig2,
-       |         CAST([] AS DOUBLE[]) AS rets
+       |         CAST([] AS DOUBLE[]) AS rets$baseFrom
        |  UNION ALL
-       |  SELECT it + 1, s2,
+       |  SELECT ${stepSid}it + 1, s2,
        |    CASE ph WHEN 11 THEN 12
        |            WHEN 12 THEN CASE WHEN len(regs) + 1 = $n THEN 21 ELSE 11 END
        |            WHEN 21 THEN 22 WHEN 22 THEN 23 WHEN 23 THEN 24
@@ -1249,13 +1418,13 @@ object OracleSql {
        |                          (s * 25214903917 + 11) % 281474976710656 AS s2
        |                        FROM w WHERE t < $n) w0) w1) w1a) w1b) w2) w2a) w2b) w3a) w3) w4)
        |),
-       |fin AS (SELECT rets FROM w WHERE t = $n AND len(rets) = $n),
-       |rows0 AS (SELECT (unnest(generate_series(1, $n)) - 1)::INT AS rn,
+       |fin AS (SELECT ${stepSid}rets FROM w WHERE t = $n AND len(rets) = $n),
+       |rows0 AS (SELECT ${stepSid}(unnest(generate_series(1, $n)) - 1)::INT AS rn,
        |            unnest(rets) AS ret FROM fin)
-       |SELECT rn, round(ret, 8) AS ret,
-       |  round(ln(100.0 * exp(sum(ret) OVER (ORDER BY rn
+       |SELECT ${outSid}rn, round(ret, 8) AS ret,
+       |  round(ln(100.0 * exp(sum(ret) OVER (${partBy}ORDER BY rn
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))), 6) AS ln_price
-       |FROM rows0 ORDER BY rn""".stripMargin
+       |FROM rows0 ORDER BY $ordBy""".stripMargin
   }
 
   /** Seeded gaussian-stream machine: ONE polar-method pair attempt per
@@ -1788,6 +1957,46 @@ object OracleSql {
       "coalesce(max(CASE WHEN NOT is_real THEN ulag END), -1) AS slag " +
       "FROM adf_out GROUP BY sid)"
   }
+
+  /** Per-user g04 feature frame (shared by the g04b gate entry and the
+    * g04tb EM-step replay): fit-prefix cap, per-user log-returns,
+    * rolling vols, NaN filter, per-user z-normalization, round-6. */
+  private val g04bFeaturesSql: String =
+    """WITH rr AS (
+      |  SELECT user_id,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |         ret
+      |  FROM (SELECT user_id, ts, event_id,
+      |          ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+      |            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+      |        FROM (SELECT * FROM events
+      |              QUALIFY row_number() OVER (PARTITION BY user_id
+      |                        ORDER BY ts, event_id) <= 20000) p) r0
+      |  WHERE ret IS NOT NULL),
+      |v AS (SELECT user_id, rn, ret,
+      |        CASE WHEN count(ret) OVER w24 >= 1 THEN stddev_samp(ret) OVER w24 END AS vol_short,
+      |        CASE WHEN count(ret) OVER w72 >= 1 THEN stddev_samp(ret) OVER w72 END AS vol_long
+      |      FROM rr
+      |      WINDOW w24 AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+      |             w72 AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 71 PRECEDING AND CURRENT ROW)),
+      |vr AS (SELECT user_id, rn, ret, vol_short,
+      |         CASE WHEN vol_long > 1e-10 THEN vol_short/vol_long ELSE 1.0 END AS vol_ratio
+      |       FROM v),
+      |cl AS (SELECT * FROM vr
+      |       WHERE ret IS NOT NULL AND NOT isnan(ret) AND abs(ret) <> 'infinity'::DOUBLE
+      |         AND vol_short IS NOT NULL AND NOT isnan(vol_short)
+      |         AND abs(vol_short) <> 'infinity'::DOUBLE
+      |         AND vol_ratio IS NOT NULL AND NOT isnan(vol_ratio)
+      |         AND abs(vol_ratio) <> 'infinity'::DOUBLE),
+      |st AS (SELECT user_id, avg(ret) AS m0, stddev_pop(ret) AS s0,
+      |              avg(vol_short) AS m1, stddev_pop(vol_short) AS s1,
+      |              avg(vol_ratio) AS m2, stddev_pop(vol_ratio) AS s2
+      |       FROM cl GROUP BY user_id)
+      |SELECT cl.user_id, cl.rn::INT AS rn,
+      |  round((ret - m0)/(s0 + 1e-10), 6) AS f0,
+      |  round((vol_short - m1)/(s1 + 1e-10), 6) AS f1,
+      |  round((vol_ratio - m2)/(s2 + 1e-10), 6) AS f2
+      |FROM cl JOIN st USING (user_id)""".stripMargin
 
   val all: Map[String, String] = Map(
 
@@ -2837,6 +3046,15 @@ object OracleSql {
     "g04w_conditional_walk" ->
       regimeWalkSql(graft.WitnessFixtures.G04Model, None, 200, 7L),
 
+    // G4/G5 PER-SERIES walk witnesses: one Random(seed + sid) walk per
+    // events user, the whole phase machine keyed by sid
+    "g04wb_conditional_walk_per_user" ->
+      regimeWalkSql(graft.WitnessFixtures.G04Model, None, 100, 7L,
+        perUser = true),
+    "g05wb_garch_walk_per_user" ->
+      regimeWalkSql(graft.WitnessFixtures.G04Model,
+        Some(graft.WitnessFixtures.G05Garch), 100, 7L, perUser = true),
+
     // G7 walk witness: trained-GAN sampling + parametric fallback
     "g07w_gan_walk" ->
       regimeGanWalkSql(graft.WitnessFixtures.G07Model, 64, 5L),
@@ -3021,42 +3239,13 @@ object OracleSql {
     // G4 PER-SERIES: the g04f feature pipeline with every window and
     // aggregate partitioned by user (per-series fit-prefix cap included
     // for contract fidelity — a no-op at the sf0.01 gate)
-    "g04b_regime_features_per_user" ->
-      """WITH rr AS (
-        |  SELECT user_id,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-        |         ret
-        |  FROM (SELECT user_id, ts, event_id,
-        |          ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
-        |            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
-        |        FROM (SELECT * FROM events
-        |              QUALIFY row_number() OVER (PARTITION BY user_id
-        |                        ORDER BY ts, event_id) <= 20000) p) r0
-        |  WHERE ret IS NOT NULL),
-        |v AS (SELECT user_id, rn, ret,
-        |        CASE WHEN count(ret) OVER w24 >= 1 THEN stddev_samp(ret) OVER w24 END AS vol_short,
-        |        CASE WHEN count(ret) OVER w72 >= 1 THEN stddev_samp(ret) OVER w72 END AS vol_long
-        |      FROM rr
-        |      WINDOW w24 AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
-        |             w72 AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN 71 PRECEDING AND CURRENT ROW)),
-        |vr AS (SELECT user_id, rn, ret, vol_short,
-        |         CASE WHEN vol_long > 1e-10 THEN vol_short/vol_long ELSE 1.0 END AS vol_ratio
-        |       FROM v),
-        |cl AS (SELECT * FROM vr
-        |       WHERE ret IS NOT NULL AND NOT isnan(ret) AND abs(ret) <> 'infinity'::DOUBLE
-        |         AND vol_short IS NOT NULL AND NOT isnan(vol_short)
-        |         AND abs(vol_short) <> 'infinity'::DOUBLE
-        |         AND vol_ratio IS NOT NULL AND NOT isnan(vol_ratio)
-        |         AND abs(vol_ratio) <> 'infinity'::DOUBLE),
-        |st AS (SELECT user_id, avg(ret) AS m0, stddev_pop(ret) AS s0,
-        |              avg(vol_short) AS m1, stddev_pop(vol_short) AS s1,
-        |              avg(vol_ratio) AS m2, stddev_pop(vol_ratio) AS s2
-        |       FROM cl GROUP BY user_id)
-        |SELECT cl.user_id, cl.rn::INT AS rn,
-        |  round((ret - m0)/(s0 + 1e-10), 6) AS f0,
-        |  round((vol_short - m1)/(s1 + 1e-10), 6) AS f1,
-        |  round((vol_ratio - m2)/(s2 + 1e-10), 6) AS f2
-        |FROM cl JOIN st USING (user_id) ORDER BY user_id, rn""".stripMargin,
+    "g04b_regime_features_per_user" -> (g04bFeaturesSql + "\nORDER BY user_id, rn"),
+
+    // G4 PER-SERIES one-EM-step witness: g04t replayed PARTITION BY
+    // user — per-series quantileInit computed in SQL (sorted-chunk
+    // means/vars via ordered-list folds), then the keyed scaled
+    // forward/backward recursive CTEs and M-step folds
+    "g04tb_hmm_em_step_per_user" -> g04tbSql,
 
     "g06t_vae_step" -> g06tSql,
 

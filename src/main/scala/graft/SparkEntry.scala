@@ -761,6 +761,28 @@ object SparkEntry {
         .orderBy(col("rn"))
     }),
 
+    // ── G4 PER-SERIES walk: every user series draws its own seeded
+    //    AR(1) walk from Random(seed + sid) — generation distributed
+    //    across the series dimension; keyed W2 reconstruction ─────────
+    "g04wb_conditional_walk_per_user" -> ((s, dir) => {
+      graft.gen.RegimeConditional.generateGrouped(ev(s, dir), "user_id",
+          WitnessFixtures.G04Model, seed = 7L, n = 100, initialPrice = 100.0)
+        .select(col("user_id"), col("rn"), round(col("ret"), 8).as("ret"),
+          round(log(col("typical_price")), 6).as("ln_price"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // ── G5 PER-SERIES walk: same keyed machine + per-regime GARCH σ²
+    //    recursions, one independent σ² state per series ──────────────
+    "g05wb_garch_walk_per_user" -> ((s, dir) => {
+      graft.gen.RegimeConditional.generateGrouped(ev(s, dir), "user_id",
+          WitnessFixtures.G04Model.copy(garch = Some(WitnessFixtures.G05Garch)),
+          seed = 7L, n = 100, initialPrice = 100.0)
+        .select(col("user_id"), col("rn"), round(col("ret"), 8).as("ret"),
+          round(log(col("typical_price")), 6).as("ln_price"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
     // ── G5 walk witness: same machine + the per-regime GARCH σ²
     //    recursion over literal params ────────────────────────────────
     "g05w_garch_walk" -> ((s, dir) => {
@@ -813,6 +835,17 @@ object SparkEntry {
       }.toDF("t", "xhat")
         .select(col("t"), round(col("xhat"), 6).as("xhat"))
         .orderBy(col("t"))
+    }),
+
+    // ── G4 PER-SERIES EM witness: one Baum-Welch update for EVERY user
+    //    series in one keyed pass — per-series quantileInit + emStep
+    //    inside consecutive-run mapPartitions (no driver fit loop; the
+    //    oracle replays init + forward/backward + M-step per user in
+    //    keyed recursive CTEs) ───────────────────────────────────────
+    "g04tb_hmm_em_step_per_user" -> ((s, dir) => {
+      graft.gen.RegimeConditional.emStepGrouped(ev(s, dir), "user_id",
+          Seq("ts", "event_id"), "value", k = 3, n = 200)
+        .orderBy(col("user_id"), col("param"), col("i"), col("j"))
     }),
 
     // ── G4 EM witness: exactly ONE Baum-Welch update (scaled

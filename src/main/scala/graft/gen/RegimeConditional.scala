@@ -168,6 +168,107 @@ object RegimeConditional {
         col("long_run_var"), col("ll"))
   }
 
+  /** PER-SERIES one-EM-step witness (g04tb): for every series,
+    * [[Hmm.quantileInit]] over the first `n` ROUNDED feature rows (the
+    * g04t fixture discipline — round-6 features pin fp parity with the
+    * oracle's replay) then exactly ONE [[Hmm.emStep]], emitted
+    * long-form (series, param, i, j, v). Series with fewer than
+    * `minRows` feature rows are skipped (an EM update over a handful
+    * of rows is noise — same contract as the oracle's HAVING).
+    *
+    * Scale shape: [[featuresGrouped]] is keyed end-to-end and its rn
+    * window leaves rows clustered and sorted on the series key, so
+    * consecutive-run mapPartitions grouping runs every series' E+M
+    * pass with NO second exchange and memory bounded by one capped
+    * series — a million series fit in one shuffle (the last algorithm
+    * family that still fitted driver-side when a series column
+    * exists; VERDICT r04 #2). */
+  def emStepGrouped(prices: DataFrame, seriesCol: String,
+                    orderCols: Seq[String], price: String,
+                    k: Int = 3, n: Int = 200,
+                    minRows: Int = 10): DataFrame = {
+    val spark = prices.sparkSession
+    import spark.implicits._
+    val out = groupedFeatureRuns(prices, seriesCol, orderCols, price, n) {
+      (sid, x) =>
+        if (x.length < minRows) Iterator.empty
+        else {
+          val (m1, ll) = Hmm.emStep(x, Hmm.quantileInit(x, k))
+          (Iterator.single((sid, "ll", 0, 0, ll)) ++
+            m1.startProbs.iterator.zipWithIndex.map { case (v, c) => (sid, "start", c, 0, v) } ++
+            (for (i <- 0 until k; j <- 0 until k)
+              yield (sid, "trans", i, j, m1.transition(i)(j))).iterator ++
+            (for (c <- 0 until k; j <- 0 until 3)
+              yield (sid, "mean", c, j, m1.means(c)(j))).iterator ++
+            (for (c <- 0 until k; j <- 0 until 3)
+              yield (sid, "var", c, j, m1.variances(c)(j))).iterator)
+        }
+    }.toDF(seriesCol, "param", "i", "j", "raw")
+    out.select(col(seriesCol), col("param"), col("i"), col("j"),
+      when(col("param") === "ll", round(col("raw"), 6))
+        .otherwise(round(col("raw"), 8)).as("v"))
+  }
+
+  /** PER-SERIES full HMM fit — [[Hmm.fit]] (quantileInit + Baum-Welch
+    * with log-likelihood early stop) per series in the same
+    * one-shuffle shape as [[emStepGrouped]]; emits one row per series
+    * with the flattened model. The grouped production twin of the
+    * driver-side [[fit]] EM loop, witnessed by g04tb (one step, keyed
+    * oracle replay). */
+  def fitGrouped(prices: DataFrame, seriesCol: String,
+                 orderCols: Seq[String], price: String,
+                 k: Int = 3, n: Int = 20000, minRows: Int = 10,
+                 emIters: Int = 50): DataFrame = {
+    val spark = prices.sparkSession
+    import spark.implicits._
+    groupedFeatureRuns(prices, seriesCol, orderCols, price, n) { (sid, x) =>
+      if (x.length < minRows) Iterator.empty
+      else {
+        val m = Hmm.fit(x, k, maxIter = emIters)
+        Iterator.single((sid, x.length, m.startProbs.toSeq,
+          m.transition.flatten.toSeq, m.means.flatten.toSeq,
+          m.variances.flatten.toSeq))
+      }
+    }.toDF(seriesCol, "n_rows", "start_probs", "transition", "means", "variances")
+  }
+
+  /** Shared grouped-EM scaffold: ROUNDED per-series features, first-`n`
+    * cap, consecutive-run grouping (the _t window leaves rows clustered
+    * on the series key and sorted by rn, so the run grouping costs no
+    * further exchange), one callback per series. */
+  private def groupedFeatureRuns[T: org.apache.spark.sql.Encoder](
+      prices: DataFrame, seriesCol: String, orderCols: Seq[String],
+      price: String, n: Int)(
+      f: (Long, Array[Array[Double]]) => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
+    val spark = prices.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("sid")).orderBy(col("rn"))
+    val capped = featuresGrouped(prices, seriesCol, orderCols, price)
+      .select(col(seriesCol).cast("long").as("sid"), col("rn"),
+        round(col("f0"), 6).as("f0"), round(col("f1"), 6).as("f1"),
+        round(col("f2"), 6).as("f2"))
+      .withColumn("_t", row_number().over(w))
+      .filter(col("_t") <= n)
+      .select(col("sid"), col("f0"), col("f1"), col("f2"))
+    capped.as[(Long, Double, Double, Double)].mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[T] {
+        private var cur: Iterator[T] = Iterator.empty
+        private def advance(): Unit =
+          while (!cur.hasNext && it.hasNext) {
+            val sid = it.head._1
+            val b = Array.newBuilder[Array[Double]]
+            while (it.hasNext && it.head._1 == sid) {
+              val r = it.next(); b += Array(r._2, r._3, r._4)
+            }
+            cur = f(sid, b.result())
+          }
+        def hasNext: Boolean = { advance(); cur.hasNext }
+        def next(): T = { advance(); cur.next() }
+      }
+    }
+  }
+
   /** Fit G4 (withGarch=false) or G5 (withGarch=true).
     * `maxFitRows` caps the series prefix used for the driver-side EM
     * (the reference fits on ≤ ~7.4k rows; EM is O(iters·n·k²) and a
@@ -239,13 +340,11 @@ object RegimeConditional {
     probs.length - 1
   }
 
-  /** Seed-deterministic generation (ref :152-186): regime path from the
-    * transition matrix, AR(1) returns per regime (G5: GARCH σ²
-    * recursion instead of constant σ), then W2 reconstruction in Spark.
-    * Output: (rn, ret, typical_price). */
-  def generate(spark: SparkSession, model: RegimeModel, seed: Long, n: Int,
-               initialPrice: Double): DataFrame = {
-    import spark.implicits._
+  /** The pure seeded walk (ref :152-186): regime path from the
+    * transition matrix, then AR(1) returns per regime (G5: GARCH σ²
+    * recursion instead of constant σ). Shared by the single-series
+    * [[generate]] and the per-series [[generateGrouped]]. */
+  def walkRets(model: RegimeModel, seed: Long, n: Int): Array[Double] = {
     val rnd = new scala.util.Random(seed)
     val regimes = new Array[Int](n)
     regimes(0) = sampleCat(model.startProbs, rnd.nextDouble())
@@ -276,11 +375,47 @@ object RegimeConditional {
       prevEps = rets(t) - rp.mean
       t += 1
     }
-    val df = rets.toIndexedSeq.zipWithIndex.map { case (r, i) => (i, r) }
-      .toDF("rn", "ret")
+    rets
+  }
+
+  /** Seed-deterministic generation (ref :152-186): [[walkRets]] on the
+    * driver, then W2 reconstruction in Spark.
+    * Output: (rn, ret, typical_price). */
+  def generate(spark: SparkSession, model: RegimeModel, seed: Long, n: Int,
+               initialPrice: Double): DataFrame = {
+    import spark.implicits._
+    val df = walkRets(model, seed, n).toIndexedSeq.zipWithIndex
+      .map { case (r, i) => (i, r) }.toDF("rn", "ret")
     val w = Window.orderBy(col("rn"))
       .rowsBetween(Window.unboundedPreceding, 0)
     df.withColumn("typical_price",
+      lit(initialPrice) * exp(sum(col("ret")).over(w)))
+  }
+
+  /** PER-SERIES seeded generation: every series id in `users` draws its
+    * own [[walkRets]] from `Random(seed + sid)` — deterministic per
+    * (seed, series), different across series (the block-bootstrap
+    * `--series_col` contract extended to the G4/G5 walks). The walk
+    * recurrences run data-parallel across series inside mapPartitions
+    * (each series' chain is sequential by construction — the
+    * parallelism dimension at 100 TB is the MILLION series, not one
+    * walk), and price reconstruction is the keyed W2 window.
+    * Output: (seriesCol, rn, ret, typical_price). */
+  def generateGrouped(users: DataFrame, seriesCol: String,
+                      model: RegimeModel, seed: Long, n: Int,
+                      initialPrice: Double): DataFrame = {
+    val spark = users.sparkSession
+    import spark.implicits._
+    val rows = users.select(col(seriesCol).cast("long").as("sid")).distinct()
+      .as[Long].mapPartitions { sids =>
+        sids.flatMap { sid =>
+          walkRets(model, seed + sid, n).iterator.zipWithIndex
+            .map { case (r, i) => (sid, i, r) }
+        }
+      }.toDF(seriesCol, "rn", "ret")
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rows.withColumn("typical_price",
       lit(initialPrice) * exp(sum(col("ret")).over(w)))
   }
 }

@@ -54,6 +54,43 @@ class RegimeSpec extends AnyFunSuite {
     assert(math.abs(model.startProbs.sum - 1.0) < 1e-9)
   }
 
+  test("grouped per-series HMM fit matches the serial fit per series") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 3).flatMap { u =>
+      var p = 50.0 + 10 * u
+      (0 until 160).map { i =>
+        p *= math.exp(rnd.nextGaussian() * (0.002 + 0.003 * u))
+        (u.toLong, i.toLong, i.toLong, p)
+      }
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val fitted = RegimeConditional.fitGrouped(df, "user_id",
+        Seq("ts", "event_id"), "value", k = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(fitted.keySet === Set(0L, 1L, 2L))
+    // expected: same rounded-feature prefix per series, serial Hmm.fit
+    val feats = RegimeConditional.featuresGrouped(df, "user_id",
+        Seq("ts", "event_id"), "value")
+      .select(col("user_id").cast("long"), col("rn"),
+        round(col("f0"), 6), round(col("f1"), 6), round(col("f2"), 6))
+      .collect().groupBy(_.getLong(0))
+    for (u <- 0L to 2L) {
+      val x = feats(u).sortBy(_.getInt(1))
+        .map(r => Array(r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      val exp = Hmm.fit(x, 2)
+      val got = fitted(u)
+      assert(got.getAs[Int]("n_rows") === x.length)
+      val gm = got.getAs[scala.collection.Seq[Double]]("means")
+      exp.means.flatten.zip(gm).foreach { case (e, g) =>
+        assert(math.abs(e - g) < 1e-12, s"user $u means $e vs $g") }
+      val gt = got.getAs[scala.collection.Seq[Double]]("transition")
+      exp.transition.flatten.zip(gt).foreach { case (e, g) =>
+        assert(math.abs(e - g) < 1e-12) }
+    }
+  }
+
   test("G6 regime bootstrap: deterministic, n rows, positive prices") {
     val prices = SparkSpec.randomWalk(500)
     val model = RegimeBootstrap.fit(prices, Seq("DATE_TIME"), "typical_price", 3)
