@@ -2482,13 +2482,30 @@ object OracleSql {
 
     // mirrors the STUB codec arithmetic (Multimodal.decode): all docs
     // are ASCII so ascii(char k) == byte k and strlen == byte length
+    // m01: the synthesized containers are REAL (PPM for images, WAV for
+    // audio) — the oracle recomputes what the Spark-side HEADER PARSE
+    // must return: PPM dims from doc_id, WAV sample count from the text
+    // byte count, and the exact container byte sizes ("P6\n<w> <h>\n255\n"
+    // + 3wh pixels; 44-byte canonical RIFF + 2 bytes/sample). Video stays
+    // the declared stub (payload-byte dims).
     "m01_multimodal_decode" ->
       """SELECT doc_id AS media_id,
         | CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        | (64 + ascii(substr(text,1,1)) % 64)::INT AS width,
-        | (64 + ascii(substr(text,2,1)) % 64)::INT AS height,
+        | (CASE (doc_id % 3)
+        |    WHEN 0 THEN 8 + doc_id % 13
+        |    WHEN 1 THEN strlen(text)
+        |    ELSE 64 + ascii(substr(text,1,1)) % 64 END)::INT AS width,
+        | (CASE (doc_id % 3)
+        |    WHEN 0 THEN 8 + doc_id % 7
+        |    WHEN 1 THEN 1
+        |    ELSE 64 + ascii(substr(text,2,1)) % 64 END)::INT AS height,
         | (CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text)//256 ELSE 1 END)::INT AS n_frames,
-        | strlen(text)::BIGINT AS n_bytes
+        | (CASE (doc_id % 3)
+        |    WHEN 0 THEN 3 + strlen((8 + doc_id % 13)::VARCHAR) + 1
+        |              + strlen((8 + doc_id % 7)::VARCHAR) + 5
+        |              + 3*(8 + doc_id % 13)*(8 + doc_id % 7)
+        |    WHEN 1 THEN 44 + 2*strlen(text)
+        |    ELSE strlen(text) END)::BIGINT AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q25_daily_rollup" ->
@@ -2561,13 +2578,36 @@ object OracleSql {
     // sum per dimension (order-independent by design so this aggregate
     // mirrors it; documents text is ASCII so ascii(char)=byte), then
     // brute-force cosine top-5 in the q23 shape
+    // m02: features are computed over the DECODED content byte streams
+    // (image: the 3wh pixel array = text bytes cycled; audio: the PCM16LE
+    // data chunk = [0, (b-128)&0xff] per sample; video: the stub payload)
+    // — the oracle reconstructs each stream and folds the same
+    // position-weighted sum
     "m02_multimodal_features" ->
-      """WITH ch AS (SELECT doc_id, unnest(generate_series(1, strlen(text))) AS i
-        |            FROM documents),
-        |dims AS (SELECT c.doc_id, (c.i-1) % 16 AS j,
-        |           ((sum(c.i * ascii(substr(d.text, c.i, 1))) % 1000) / 1000.0)::FLOAT::DOUBLE AS f
-        |         FROM ch c JOIN documents d USING (doc_id)
-        |         GROUP BY c.doc_id, (c.i-1) % 16),
+      """WITH ch AS (
+        |  SELECT doc_id, i,
+        |    ascii(substr(text, ((i-1) % strlen(text)) + 1, 1)) AS byte
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, 3*(8 + doc_id % 13)*(8 + doc_id % 7))) AS i
+        |        FROM documents WHERE doc_id % 3 = 0) im
+        |  UNION ALL
+        |  SELECT doc_id, i,
+        |    CASE WHEN i % 2 = 1 THEN 0
+        |         WHEN ascii(substr(text, i//2, 1)) >= 128
+        |           THEN ascii(substr(text, i//2, 1)) - 128
+        |         ELSE ascii(substr(text, i//2, 1)) + 128 END AS byte
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, 2*strlen(text))) AS i
+        |        FROM documents WHERE doc_id % 3 = 1) au
+        |  UNION ALL
+        |  SELECT doc_id, i, ascii(substr(text, i, 1)) AS byte
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, strlen(text))) AS i
+        |        FROM documents WHERE doc_id % 3 = 2) vi),
+        |dims AS (SELECT doc_id, (i-1) % 16 AS j,
+        |           ((sum(i * byte) % 1000) / 1000.0)::FLOAT::DOUBLE AS f
+        |         FROM ch
+        |         GROUP BY doc_id, (i-1) % 16),
         |vecs AS (SELECT doc_id, list(f ORDER BY j) AS v FROM dims GROUP BY doc_id),
         |q AS (SELECT doc_id AS query_id, v AS qv FROM vecs WHERE doc_id < 3),
         |c2 AS (SELECT doc_id AS neighbor_id, v AS cv FROM vecs),

@@ -28,58 +28,83 @@ final case class DecodedMedia(
   * iterator of rows per partition, codec state initialized once per
   * task, no shuffle).
   *
-  * The CODECS ARE STUBS (this container has no image/audio libraries):
-  * `decodeStub` derives deterministic fake dimensions/features from the
-  * payload bytes. The Spark-side contract — schema, binary column
-  * handling, partition-local batching, feature-vector shape feeding
-  * [[graft.sim.Similarity]] — is real and tested; swapping in a real
-  * codec changes only the function body marked STUB.
+  * Image and audio decode are REAL pure-Scala codecs ([[Codecs]]):
+  * payloads are genuine PPM/WAV containers and width/height/samples
+  * come out of actual header parses over the pixel/sample arrays.
+  * Only the VIDEO path keeps a declared stub chunker (no container
+  * demuxer ships in this sandbox) — swapping it changes one match arm.
   */
 object Multimodal {
 
-  /** Deterministic fake media table derived from the documents table
-    * (no binary fixture ships with the testdata): payload = UTF-8 bytes
-    * of the text, kind assigned round-robin. */
+  /** Deterministic media table derived from the documents table (no
+    * binary fixture ships with the testdata): kind round-robin on
+    * doc_id; image docs become REAL P6 PPMs (dims from doc_id, pixels
+    * the UTF-8 text bytes cycled), audio docs become REAL PCM16 WAVs
+    * (one sample per text byte, centered and scaled to int16), video
+    * docs keep the raw text payload for the stub chunker. */
   def synthesizeFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("bytes"),
-      col("source"))
-      .as[MediaRow]
+    docs.select(col("doc_id").cast("long"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        val tb = text.getBytes("UTF-8")
+        (id % 3) match {
+          case 0 =>
+            val w = (8 + id % 13).toInt
+            val h = (8 + id % 7).toInt
+            val px = Array.tabulate(3 * w * h)(i =>
+              if (tb.isEmpty) 0.toByte else tb(i % tb.length))
+            MediaRow(id, "image", Codecs.encodePpm(w, h, px), source)
+          case 1 =>
+            val samples = Array.tabulate[Short](tb.length)(t =>
+              (((tb(t) & 0xff) - 128) * 256).toShort)
+            MediaRow(id, "audio", Codecs.encodeWavPcm16(8000, samples), source)
+          case _ =>
+            MediaRow(id, "video", tb, source)
+        }
+      }
   }
 
-  /** STUB decode: metadata + feature from payload bytes.
-    * A real implementation initializes the codec per PARTITION (the
-    * expensive part), then streams rows — exactly this shape. */
+  /** Decode: REAL header+payload parses for image (PPM) and audio
+    * (WAV); the feature is the position-weighted byte sum over the
+    * DECODED content (pixel array / PCM data chunk), not the container
+    * bytes — feature-extract happens after decode, the way a real
+    * embedding would. Codec state initializes per PARTITION, rows
+    * stream through (the mapInPandas shape). Video dims remain a
+    * declared STUB (payload-byte arithmetic, no demuxer in sandbox). */
   def decode(media: Dataset[MediaRow], featureDim: Int = 16): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-task codec init goes here (STUB: none needed)
       rows.map { m =>
-        val b = m.bytes
-        val b0 = if (b.nonEmpty) b(0) & 0xff else 0
-        val b1 = if (b.length > 1) b(1) & 0xff else 0
+        val (w, h, frames, content) = m.kind match {
+          case "image" =>
+            val p = Codecs.decodePpm(m.bytes)
+            (p.width, p.height, 1, p.pixels)
+          case "audio" =>
+            val wv = Codecs.decodeWav(m.bytes)
+            // width = samples/channel, height = channels
+            (wv.nSamples, wv.channels, 1, wv.data)
+          case _ => // video STUB: dims from payload bytes, 256B "frames"
+            val b = m.bytes
+            val b0 = if (b.nonEmpty) b(0) & 0xff else 0
+            val b1 = if (b.length > 1) b(1) & 0xff else 0
+            (64 + b0 % 64, 64 + b1 % 64, 1 + b.length / 256, b)
+        }
         val feature = Array.tabulate(featureDim) { j =>
-          // STUB feature: position-weighted byte sum per dimension
-          // (order-independent, so the DuckDB oracle can express it as
-          // a plain aggregate), unit-ish scale
           var acc = 0L
           var i = j
-          while (i < b.length) { acc += (i + 1).toLong * (b(i) & 0xff); i += featureDim }
+          while (i < content.length) { acc += (i + 1).toLong * (content(i) & 0xff); i += featureDim }
           ((acc % 1000L) / 1000.0).toFloat
         }
         DecodedMedia(
           media_id = m.media_id,
           kind = m.kind,
-          width = 64 + b0 % 64,           // STUB dims from header bytes
-          height = 64 + b1 % 64,
-          n_frames = if (m.kind == "video") 1 + b.length / 256 else 1,
-          n_bytes = b.length.toLong,
+          width = w,
+          height = h,
+          n_frames = frames,
+          n_bytes = m.bytes.length.toLong,
           feature = feature)
       }
     }

@@ -18,7 +18,17 @@ class PipelineSpec extends AnyFunSuite {
     val rows = decoded.collect()
     assert(rows.length === docs.count())
     rows.foreach { d =>
-      assert(d.width >= 64 && d.width < 128)
+      d.kind match {
+        case "image" => // REAL PPM parse: dims out of the header bytes
+          assert(d.width >= 8 && d.width <= 20, s"ppm width ${d.width}")
+          assert(d.height >= 8 && d.height <= 14)
+          assert(d.n_bytes > 3L * d.width * d.height) // container > pixels
+        case "audio" => // REAL WAV parse: width = samples, height = channels
+          assert(d.height === 1 && d.width > 0)
+          assert(d.n_bytes === 44L + 2L * d.width)
+        case _ => // video stub dims
+          assert(d.width >= 64 && d.width < 128)
+      }
       assert(d.feature.length === 16)
       assert(d.n_bytes > 0)
       if (d.kind != "video") assert(d.n_frames === 1)
@@ -33,6 +43,40 @@ class PipelineSpec extends AnyFunSuite {
     // decode is deterministic
     val again = Multimodal.decode(media, featureDim = 16).collect()
     assert(rows.map(_.feature.toSeq).toSeq === again.map(_.feature.toSeq).toSeq)
+  }
+
+  test("codecs: PPM/WAV round-trip, spec-variance tolerance, hard rejects") {
+    import graft.mm.Codecs
+    val rnd = new scala.util.Random(3)
+    val px = Array.fill[Byte](3 * 5 * 4)(rnd.nextInt(256).toByte)
+    val p = Codecs.decodePpm(Codecs.encodePpm(5, 4, px))
+    assert(p.width === 5 && p.height === 4 && p.maxVal === 255)
+    assert(p.pixels.toSeq === px.toSeq)
+    // comment-bearing header is valid netpbm
+    val withComment = "P6\n# hand-made\n5 4\n255\n".getBytes("US-ASCII") ++ px
+    val pc = Codecs.decodePpm(withComment)
+    assert(pc.width === 5 && pc.pixels.toSeq === px.toSeq)
+    intercept[IllegalArgumentException](
+      Codecs.decodePpm("P5\n1 1\n255\n0".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      Codecs.decodePpm("P6\n5 4\n255\n".getBytes("US-ASCII"))) // truncated pixels
+
+    val samples = Array.tabulate[Short](37)(i => (i * 1000 - 18000).toShort)
+    val wav = Codecs.encodeWavPcm16(8000, samples)
+    val w = Codecs.decodeWav(wav)
+    assert(w.channels === 1 && w.sampleRate === 8000 && w.bitsPerSample === 16)
+    assert(w.nSamples === 37)
+    assert(java.nio.ByteBuffer.wrap(w.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort === samples(0))
+    // real-world variance: an extra LIST chunk between fmt and data
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOxx".getBytes("US-ASCII")
+    val spliced = wav.take(36) ++ listChunk ++ wav.drop(36)
+    // patch the riff size (not verified by the parser, but keep honest)
+    val w2 = Codecs.decodeWav(spliced)
+    assert(w2.nSamples === 37 && w2.data.toSeq === w.data.toSeq)
+    intercept[IllegalArgumentException](
+      Codecs.decodeWav("RIFFxxxxMP3 ".getBytes("US-ASCII")))
   }
 
   test("G1 decoder generator: deterministic, partitioning-independent, n rows") {
