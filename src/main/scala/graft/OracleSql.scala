@@ -2408,7 +2408,7 @@ object OracleSql {
          |        ${codeCols.mkString(",\n        ")}
          |      FROM (SELECT vec_id, v, n, $ivfD AS dl FROM e) t),
          |q AS (SELECT vec_id AS query_id, qv, qn, lut,
-         |        unnest(list_transform((list_sort(sl))[1:4], x -> x.cid)) AS cid
+         |        unnest(list_transform((list_sort(sl))[1:10], x -> x.cid)) AS cid
          |      FROM (SELECT vec_id, v AS qv, n AS qn, $lut AS lut, $ivfS AS sl
          |            FROM e WHERE vec_id < 5) t),
          |sc AS (SELECT query_id, neighbor_id, qv, cv, qn, cn,
@@ -2418,7 +2418,7 @@ object OracleSql {
          |         ORDER BY adc DESC, neighbor_id) AS ark FROM sc),
          |rr AS (SELECT query_id, neighbor_id,
          |         round(list_inner_product(qv,cv)/sqrt(qn*cn), 5) AS cosine
-         |       FROM sh WHERE ark <= 40)
+         |       FROM sh WHERE ark <= 160)
          |SELECT query_id, neighbor_id, cosine, rk::INT AS rk FROM (
          | SELECT *, row_number() OVER (PARTITION BY query_id
          |   ORDER BY cosine DESC, neighbor_id) AS rk FROM rr) t

@@ -177,21 +177,22 @@ class DedupSimSpec extends AnyFunSuite {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
     val ivfpq = Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
       "vec_id", "embedding", graft.sim.IvfCodebook.K16,
-      graft.sim.PqCodebook.M8K16, nProbe = 4, k = 10, overfetch = 4).collect()
+      graft.sim.PqCodebook.M8K16, nProbe = 10, k = 10, overfetch = 16).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
       "vec_id", "embedding", k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivfpq.nonEmpty && ivfpq.size <= 50)
     val recall = ivfpq.intersect(brute).size.toDouble / brute.size
-    info(f"IVF-PQ recall@10: $recall%.2f")
-    // both prunings stack: recall is bounded by the weaker of IVF (~0.5)
-    // and PQ (~0.6) — the honest cost of the composed production shape
-    assert(recall >= 0.2, s"IVF-PQ recall too low: $recall")
+    info(f"IVF-PQ recall@10 (nProbe=10, overfetch=16): $recall%.2f")
+    // the pinned production operating point (tools/SweepAnn sweep):
+    // measured 0.88 at sf0.001 / 0.86 at sf0.01, wall flat vs the old
+    // nProbe=4/overfetch=4 point (which sat at 0.44-0.48)
+    assert(recall >= 0.8, s"IVF-PQ recall below the pinned floor: $recall")
     // every result must also be an IVF candidate: containment in the
     // plain IVF result's probed lists
     val ivf = Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
-      "vec_id", "embedding", graft.sim.IvfCodebook.K16, nProbe = 4, k = 1000)
+      "vec_id", "embedding", graft.sim.IvfCodebook.K16, nProbe = 10, k = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivfpq.subsetOf(ivf), "IVF-PQ returned a non-probed candidate")
   }
