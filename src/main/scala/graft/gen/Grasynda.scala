@@ -174,6 +174,108 @@ object Grasynda {
       .orderBy(col("state"), col("next_state"))
   }
 
+  /** Pure per-series twin of [[fit]]: the same quantile edges (Spark
+    * Percentile's symmetric interpolation `(hi−pos)·lo + (pos−lo)·hi`,
+    * replicated bit-for-bit), the same dedup/slice, digitize, adjacent
+    * transition counts, sorted pools and start distribution — over one
+    * in-memory series. Lets [[generateGrouped]] fit every series inside
+    * a keyed pass with no driver involvement. */
+  def fitArray(vs: Array[Double], nBins: Int = 10): GrasyndaModel = {
+    require(vs.nonEmpty, "empty series")
+    val sorted = vs.sorted
+    val n = sorted.length
+    val raw = Array.tabulate(nBins + 1) { i =>
+      val p = i.toDouble / nBins
+      val position = p * (n - 1)
+      val lower = math.floor(position).toLong
+      val higher = math.ceil(position).toLong
+      if (higher == lower) sorted(lower.toInt)
+      else (higher - position) * sorted(lower.toInt) +
+        (position - lower) * sorted(higher.toInt)
+    }
+    val edges = raw.distinct.sorted
+    val interior = edges.slice(1, edges.length - 1)
+    val k = interior.length + 1
+    def stateOf(x: Double): Int = {
+      var c = 0; var i = 0
+      while (i < interior.length) { if (interior(i) <= x) c += 1; i += 1 }
+      c
+    }
+    val states = vs.map(stateOf)
+    val transCounts = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    var i = 0
+    while (i < states.length - 1) {
+      val key = (states(i), states(i + 1))
+      transCounts(key) = transCounts.getOrElse(key, 0L) + 1L
+      i += 1
+    }
+    val transition = Array.tabulate(k) { a =>
+      val row = Array.tabulate(k)(b => transCounts.getOrElse((a, b), 0L).toDouble)
+      val s = row.sum
+      if (s > 0) row.map(_ / s) else Array.fill(k)(1.0 / k)
+    }
+    val pools = states.zip(vs).groupBy(_._1)
+      .map { case (st, arr) => st -> arr.map(_._2).sorted }
+    val counts = states.groupBy(identity).map { case (st, a) => st -> a.length.toLong }
+    val totalN = vs.length.toDouble
+    val startProbs = Array.tabulate(k)(s => counts.getOrElse(s, 0L) / totalN)
+    GrasyndaModel(interior, transition, pools, startProbs)
+  }
+
+  /** PER-SERIES seeded generation: [[fitArray]] + the seeded Markov
+    * walk for EVERY series in one keyed pass — fit and generation both
+    * distributed across the series dimension (`Random(seed + sid)` per
+    * series, the `--series_col` contract), keyed W2 reconstruction.
+    * Series with fewer than `minRows` returns are skipped. */
+  def generateGrouped(returns: DataFrame, seriesCol: String,
+                      orderCols: Seq[String], value: String, nBins: Int,
+                      seed: Long, n: Int, initialPrice: Double,
+                      minRows: Int = 10): DataFrame = {
+    val spark = returns.sparkSession
+    import spark.implicits._
+    val v = col(value).cast("double")
+    // __rn must SURVIVE the projection: dropping it would let Catalyst
+    // prune the window away, and with it the hash-clustering + sort the
+    // consecutive-run grouping below depends on
+    val data = returns.filter(v.isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(seriesCol)).orderBy(orderCols.map(col): _*)))
+      .select(col(seriesCol).cast("long").as("sid"), col("__rn"), v.as("v"))
+    val rows = data.as[(Long, Int, Double)].mapPartitions { it0 =>
+      val it = it0.buffered
+      new Iterator[(Long, Int, Double)] {
+        private var cur: Iterator[(Long, Int, Double)] = Iterator.empty
+        private def advance(): Unit =
+          while (!cur.hasNext && it.hasNext) {
+            val sid = it.head._1
+            val b = Array.newBuilder[Double]
+            while (it.hasNext && it.head._1 == sid) b += it.next()._3
+            val vs = b.result()
+            if (vs.length >= minRows) {
+              val m = fitArray(vs, nBins)
+              val rnd = new scala.util.Random(seed + sid)
+              var state = sampleCat(m.startProbs, rnd.nextDouble())
+              val out = new Array[(Long, Int, Double)](n)
+              var i = 0
+              while (i < n) {
+                val pool = m.pools.getOrElse(state, m.pools(m.pools.keys.min))
+                out(i) = (sid, i, pool(rnd.nextInt(pool.length)))
+                state = sampleCat(m.transition(state), rnd.nextDouble())
+                i += 1
+              }
+              cur = out.iterator
+            }
+          }
+        def hasNext: Boolean = { advance(); cur.hasNext }
+        def next(): (Long, Int, Double) = { advance(); cur.next() }
+      }
+    }.toDF(seriesCol, "rn", "ret")
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rows.withColumn("typical_price",
+      lit(initialPrice) * exp(sum(col("ret")).over(w)))
+  }
+
   private def sampleCat(probs: Array[Double], u: Double): Int = {
     var acc = 0.0; var i = 0
     while (i < probs.length - 1) {

@@ -10,6 +10,74 @@ import graft.series.{SeriesOps, SeriesSpec}
   * (tests/test_plugins.py:73-83): same seed ⇒ identical series,
   * different seed ⇒ different; exactly n rows; positive prices. */
 class GeneratorSpec extends AnyFunSuite {
+
+  test("Grasynda fitArray matches the DataFrame fit bit-for-bit") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val vs = Array.fill(400)(rnd.nextGaussian() * 0.01)
+    val df = vs.toIndexedSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("rn", "v")
+    val m1 = graft.gen.Grasynda.fit(df, Seq("rn"), "v", nBins = 10)
+    val m2 = graft.gen.Grasynda.fitArray(vs, nBins = 10)
+    assert(m2.interiorEdges.toSeq === m1.interiorEdges.toSeq,
+      "percentile interpolation must replicate Spark's Percentile exactly")
+    assert(m2.startProbs.toSeq === m1.startProbs.toSeq)
+    assert(m2.transition.map(_.toSeq).toSeq === m1.transition.map(_.toSeq).toSeq)
+    assert(m2.pools.keySet === m1.pools.keySet)
+    m1.pools.keys.foreach(k => assert(m2.pools(k).toSeq === m1.pools(k).toSeq))
+  }
+
+  test("Grasynda generateGrouped: deterministic per (seed, series), distinct across series") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    val rnd = new scala.util.Random(37)
+    val rows = for (u <- 0 until 2; i <- 0 until 80)
+      yield (u.toLong, i.toLong, i.toLong, rnd.nextGaussian() * 0.01)
+    val df = rows.toDF("user_id", "ts", "event_id", "ret")
+    def run() = graft.gen.Grasynda.generateGrouped(df, "user_id",
+        Seq("ts", "event_id"), "ret", nBins = 5, seed = 9L, n = 50,
+        initialPrice = 100.0)
+      .orderBy("user_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val a = run(); val b = run()
+    assert(a.toSeq === b.toSeq, "same seed must reproduce")
+    assert(a.length === 100)
+    val byUser = a.groupBy(_._1)
+    assert(byUser(0L).map(_._3).toSeq !== byUser(1L).map(_._3).toSeq,
+      "per-series seeds must differ")
+    // per-series walk values must come from that series' own pools
+    val expected = {
+      val m = graft.gen.Grasynda.fitArray(
+        rows.filter(_._1 == 0L).map(_._4).toArray, nBins = 5)
+      val r0 = new scala.util.Random(9L + 0L)
+      var state = {
+        val u = r0.nextDouble()
+        var acc = 0.0; var i = 0; var res = m.startProbs.length - 1
+        var done = false
+        while (i < m.startProbs.length - 1 && !done) {
+          acc += m.startProbs(i); if (u < acc) { res = i; done = true }; i += 1
+        }
+        res
+      }
+      val out = new Array[Double](50)
+      var i = 0
+      while (i < 50) {
+        val pool = m.pools.getOrElse(state, m.pools(m.pools.keys.min))
+        out(i) = pool(r0.nextInt(pool.length))
+        val u = r0.nextDouble()
+        var acc = 0.0; var j = 0; var res = m.transition(state).length - 1
+        var done = false
+        while (j < m.transition(state).length - 1 && !done) {
+          acc += m.transition(state)(j); if (u < acc) { res = j; done = true }; j += 1
+        }
+        state = res
+        i += 1
+      }
+      out.toSeq
+    }
+    assert(byUser(0L).sortBy(_._2).map(_._3).toSeq === expected)
+  }
   private lazy val spark = SparkSpec.spark
   private val spec = SeriesSpec(Nil, Seq("DATE_TIME"))
 
