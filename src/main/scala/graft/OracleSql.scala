@@ -2907,6 +2907,134 @@ object OracleSql {
          |FROM wr ORDER BY rn""".stripMargin
     },
 
+    // G3 PER-SERIES walk: the g02 fit+walk replayed PARTITION BY user —
+    // per-sid quantile edges/digitize/transitions/pools (the g02b fit),
+    // per-sid cumulative-probability lists (keyed recursions), and the
+    // LCG walk machine carrying one row per sid per iteration with the
+    // state scrambled from seed+sid; nextInt keeps both the
+    // power-of-two and the modulo-rejection branches (pool sizes are
+    // data-dependent per user)
+    "g02wb_grasynda_walk_per_user" -> {
+      val n = 100
+      val seed = 42L
+      s"""WITH RECURSIVE
+         |r0 AS (SELECT user_id::BIGINT AS sid, ts, event_id,
+         |         ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+         |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v
+         |       FROM events),
+         |data0 AS (SELECT sid,
+         |           row_number() OVER (PARTITION BY sid ORDER BY ts, event_id) AS rn, v
+         |         FROM r0 WHERE v IS NOT NULL),
+         |keep AS (SELECT sid FROM data0 GROUP BY sid HAVING count(*) >= 10),
+         |data AS MATERIALIZED (SELECT d.* FROM data0 d JOIN keep USING (sid)),
+         |ed AS (SELECT sid, list_sort(list_distinct(
+         |         quantile_cont(v, [${(0 to 10).map(i => i / 10.0).mkString(",")}]))) AS lst
+         |       FROM data GROUP BY sid),
+         |ei AS MATERIALIZED (SELECT sid, lst[2:len(lst)-1] AS interior FROM ed),
+         |k0 AS MATERIALIZED (SELECT sid, (len(interior)+1)::INT AS k FROM ei),
+         |st AS MATERIALIZED (SELECT d.sid, d.rn, d.v,
+         |        len(list_filter(e.interior, x -> x <= d.v))::INT AS state
+         |      FROM data d JOIN ei e ON e.sid = d.sid),
+         |states AS MATERIALIZED (SELECT sid,
+         |          unnest(generate_series(0, len(interior)))::INT AS state FROM ei),
+         |tot AS (SELECT sid, count(*)::BIGINT AS nn FROM st GROUP BY sid),
+         |pc AS (SELECT sid, state, count(*)::BIGINT AS cnt FROM st GROUP BY sid, state),
+         |sp AS (SELECT s.sid, s.state,
+         |         coalesce(pc.cnt, 0)::DOUBLE / tot.nn AS p
+         |       FROM states s JOIN tot ON tot.sid = s.sid
+         |       LEFT JOIN pc ON pc.sid = s.sid AND pc.state = s.state),
+         |tr AS (SELECT sid, state, next_state, count(*)::BIGINT AS cnt FROM
+         |        (SELECT sid, state,
+         |           lead(state) OVER (PARTITION BY sid ORDER BY rn) AS next_state
+         |         FROM st) x
+         |       WHERE next_state IS NOT NULL GROUP BY sid, state, next_state),
+         |dp AS (SELECT s1.sid, s1.state, s2.state AS nxt,
+         |         coalesce(tr.cnt, 0)::DOUBLE AS cnt
+         |       FROM states s1 JOIN states s2 ON s2.sid = s1.sid
+         |       LEFT JOIN tr ON tr.sid = s1.sid AND tr.state = s1.state
+         |                   AND tr.next_state = s2.state),
+         |rs AS (SELECT sid, state, sum(cnt) AS tot FROM dp GROUP BY sid, state),
+         |tp AS (SELECT dp.sid, dp.state, dp.nxt,
+         |         CASE WHEN rs.tot > 0 THEN dp.cnt / rs.tot
+         |              ELSE 1.0 / k0.k END AS p
+         |       FROM dp JOIN rs ON rs.sid = dp.sid AND rs.state = dp.state
+         |                JOIN k0 ON k0.sid = dp.sid),
+         |tcum AS (
+         |  SELECT sid, state, 0 AS j, p AS acc FROM tp WHERE nxt = 0
+         |  UNION ALL
+         |  SELECT c.sid, c.state, c.j + 1, c.acc + t.p
+         |  FROM tcum c JOIN tp t ON t.sid = c.sid AND t.state = c.state
+         |                       AND t.nxt = c.j + 1
+         |       JOIN k0 ON k0.sid = c.sid
+         |  WHERE c.j + 1 <= k0.k - 2),
+         |tcl AS (SELECT sid, state, list(acc ORDER BY j) AS cl
+         |        FROM tcum GROUP BY sid, state),
+         |tcll AS (SELECT sid, list(cl ORDER BY state) AS tl FROM tcl GROUP BY sid),
+         |scum AS (
+         |  SELECT sid, 0 AS j, p AS acc FROM sp WHERE state = 0
+         |  UNION ALL
+         |  SELECT c.sid, c.j + 1, c.acc + s.p
+         |  FROM scum c JOIN sp s ON s.sid = c.sid AND s.state = c.j + 1
+         |       JOIN k0 ON k0.sid = c.sid
+         |  WHERE c.j + 1 <= k0.k - 2),
+         |scl0 AS (SELECT sid, list(acc ORDER BY j) AS scl FROM scum GROUP BY sid),
+         |po AS MATERIALIZED (SELECT sid, state, list(v ORDER BY v) AS pool
+         |      FROM st GROUP BY sid, state),
+         |pl AS (SELECT s.sid, list(coalesce(po.ln0, 0) ORDER BY s.state) AS pls FROM
+         |         (SELECT sid, state FROM states) s
+         |       LEFT JOIN (SELECT sid, state, len(pool) AS ln0 FROM po) po
+         |         ON po.sid = s.sid AND po.state = s.state
+         |       GROUP BY s.sid),
+         |mp AS (SELECT sid, min(state) AS ms FROM po GROUP BY sid),
+         |walk AS (
+         |  SELECT s0.sid, 0 AS it,
+         |         CAST(xor($seed + s0.sid, 25214903917) & 281474976710655 AS HUGEINT) AS s,
+         |         1 AS phase, 0 AS curstate,
+         |         CAST(0 AS HUGEINT) AS hi, 0 AS nrets, TRUE AS isstart,
+         |         s0.scl AS scl, tcll.tl AS tl, pl.pls AS pls, mp.ms AS ms,
+         |         CAST(NULL AS INT) AS acc_step, CAST(NULL AS INT) AS acc_state,
+         |         CAST(NULL AS INT) AS acc_r
+         |  FROM scl0 s0 JOIN tcll ON tcll.sid = s0.sid
+         |       JOIN pl ON pl.sid = s0.sid JOIN mp ON mp.sid = s0.sid
+         |  UNION ALL
+         |  SELECT sid, it + 1, s2,
+         |    CASE phase WHEN 1 THEN 2 WHEN 2 THEN 0
+         |         ELSE CASE WHEN ok THEN 1 ELSE 0 END END,
+         |    CASE WHEN phase = 2
+         |         THEN len(list_filter(CASE WHEN isstart THEN scl
+         |                                   ELSE tl[curstate + 1] END, c -> c <= u))::INT
+         |         ELSE curstate END,
+         |    CASE WHEN phase = 1 THEN s2 // 4194304 ELSE hi END,
+         |    CASE WHEN phase = 0 AND ok THEN nrets + 1 ELSE nrets END,
+         |    CASE WHEN phase = 2 THEN FALSE ELSE isstart END,
+         |    scl, tl, pls, ms,
+         |    CASE WHEN phase = 0 AND ok THEN nrets END,
+         |    CASE WHEN phase = 0 AND ok THEN pk END,
+         |    CASE WHEN phase = 0 AND ok THEN r::INT END
+         |  FROM (
+         |    SELECT w2.*,
+         |           ((bnd & (-bnd)) = bnd
+         |             OR (u31 - (u31 % bnd) + bnd - 1) <= 2147483647) AS ok,
+         |           CASE WHEN (bnd & (-bnd)) = bnd
+         |                THEN (bnd * u31) // 2147483648 ELSE u31 % bnd END AS r
+         |    FROM (
+         |      SELECT w1.*, s2 // 131072 AS u31,
+         |        (hi * 134217728 + (s2 // 2097152)) / 9007199254740992.0 AS u,
+         |        CASE WHEN pls[curstate + 1] > 0 THEN curstate ELSE ms END AS pk,
+         |        pls[(CASE WHEN pls[curstate + 1] > 0 THEN curstate ELSE ms END) + 1] AS bnd
+         |      FROM (SELECT walk.*,
+         |              (s * 25214903917 + 11) % 281474976710656 AS s2
+         |            FROM walk WHERE nrets < $n) w1) w2) w3),
+         |accs AS (SELECT sid, acc_step AS rn, acc_state AS state, acc_r AS r
+         |         FROM walk WHERE acc_step IS NOT NULL),
+         |wr AS (SELECT a.sid, a.rn::INT AS rn, po.pool[a.r + 1] AS ret
+         |       FROM accs a JOIN po ON po.sid = a.sid AND po.state = a.state)
+         |SELECT sid AS user_id, rn, round(ret, 8) AS ret,
+         |  round(ln(100.0 * exp(sum(ret) OVER (PARTITION BY sid ORDER BY rn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))), 6) AS ln_price
+         |FROM wr ORDER BY user_id, rn""".stripMargin
+    },
+
     // Grasynda fit artifact: quantile edges (interior of the deduped
     // 0..1 ladder), digitize, adjacent-transition probs, per-bin pool
     // stats, start distribution
@@ -3292,6 +3420,35 @@ object OracleSql {
     "o01f_sweep_fitness" -> o01fSql,
 
     "g07t_gan_train_step" -> g07tSql,
+
+    // Adam t=2 witness: two sequential per-parameter Adam updates over
+    // literal (w0, g1, g2) — m/v moment decay + step-2 bias correction
+    // replayed with the exact Dense.adam association order; every
+    // constant ((1-β), 1-β^t) is the Scala-computed double literal
+    "g07t2_adam_two_step" -> {
+      val fx = graft.WitnessFixtures.T2Adam
+      val l = fx.layer() // fresh = initial Glorot weights
+      val lr = "2.0E-4"; val eps = "1.0E-8"
+      val b1 = "0.5"; val b1c = (1 - 0.5).toString
+      val b2 = "0.999"; val b2c = (1 - 0.999).toString
+      val c11 = (1.0 - math.pow(0.5, 1)).toString
+      val c21 = (1.0 - math.pow(0.999, 1)).toString
+      val c12 = (1.0 - math.pow(0.5, 2)).toString
+      val c22 = (1.0 - math.pow(0.999, 2)).toString
+      val rows =
+        (for (o <- 0 until fx.Out; i <- 0 until fx.In)
+          yield s"($o, $i, ${l.w(o)(i)}::DOUBLE, ${fx.G1(o)(i)}::DOUBLE, ${fx.G2(o)(i)}::DOUBLE)") ++
+        (for (o <- 0 until fx.Out)
+          yield s"($o, -1, ${l.b(o)}::DOUBLE, ${fx.Gb1(o)}::DOUBLE, ${fx.Gb2(o)}::DOUBLE)")
+      s"""WITH p(o, i, w0, g1, g2) AS (VALUES
+         |  ${rows.mkString(",\n  ")}),
+         |s1 AS (SELECT *, $b1c*g1 AS m1, $b2c*g1*g1 AS v1 FROM p),
+         |s1w AS (SELECT *, w0 - $lr*(m1/$c11)/(sqrt(v1/$c21) + $eps) AS w1 FROM s1),
+         |s2 AS (SELECT *, $b1*m1 + $b1c*g2 AS m2, $b2*v1 + $b2c*g2*g2 AS v2 FROM s1w),
+         |s2w AS (SELECT *, w1 - $lr*(m2/$c12)/(sqrt(v2/$c22) + $eps) AS w2 FROM s2)
+         |SELECT o, i, round(w2, 10) + 0.0 AS v, round(w2 - w0, 12) + 0.0 AS dv
+         |FROM s2w ORDER BY o, i""".stripMargin
+    },
 
     "g08t_timegan_sup_step" -> g08tSql,
 

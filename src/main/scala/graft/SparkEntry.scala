@@ -652,6 +652,18 @@ object SparkEntry {
         .orderBy(col("user_id"), col("rn"))
     }),
 
+    // ── G3 PER-SERIES walk: fit + seeded Markov walk for EVERY user
+    //    series in one keyed pass (fitArray per series inside
+    //    mapPartitions, Random(seed + sid) walks, keyed W2) ───────────
+    "g02wb_grasynda_walk_per_user" -> ((s, dir) => {
+      val rets = logret(s, dir).filter(col("ret").isNotNull)
+      Grasynda.generateGrouped(rets, "user_id", Seq("ts", "event_id"), "ret",
+          nBins = 10, seed = 42L, n = 100, initialPrice = 100.0)
+        .select(col("user_id"), col("rn"), round(col("ret"), 8).as("ret"),
+          round(log(col("typical_price")), 6).as("ln_price"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
     // ── G3 PER-SERIES: the Grasynda fit frame (quantile edges,
     //    digitize, transitions, pools, starts) keyed on user — one
     //    hash shuffle fits every series at once ────────────────────────
@@ -913,6 +925,35 @@ object SparkEntry {
         .select(col("net"), col("layer"), col("o"), col("i"),
           round(col("raw"), 8).as("v"), round(col("draw"), 10).as("dv"))
         .orderBy(col("net"), col("layer"), col("o"), col("i"))
+    }),
+
+    // ── Adam t=2 witness: TWO sequential Dense.adam updates over
+    //    literal gradients — pins the β-decayed moment history and
+    //    step-2 bias correction that every t=1 witness leaves
+    //    degenerate (g06t/g07t/g08t all have m=v=0 going in) ──────────
+    "g07t2_adam_two_step" -> ((s, dir) => {
+      import s.implicits._
+      val fx = WitnessFixtures.T2Adam
+      val l = fx.layer()
+      val w0 = l.w.map(_.clone()); val b0 = l.b.clone()
+      def setGrad(gw: Array[Array[Double]], gb: Array[Double]): Unit = {
+        var o = 0
+        while (o < fx.Out) {
+          l.gB(o) = gb(o)
+          var i = 0
+          while (i < fx.In) { l.gW(o)(i) = gw(o)(i); i += 1 }
+          o += 1
+        }
+      }
+      setGrad(fx.G1, fx.Gb1); l.adam(2e-4, t = 1, b1 = 0.5)
+      setGrad(fx.G2, fx.Gb2); l.adam(2e-4, t = 2, b1 = 0.5)
+      val rows = (for (o <- 0 until fx.Out; i <- 0 until fx.In)
+        yield (o, i, l.w(o)(i), l.w(o)(i) - w0(o)(i))) ++
+        (0 until fx.Out).map(o => (o, -1, l.b(o), l.b(o) - b0(o)))
+      rows.toDF("o", "i", "raw", "draw")
+        .select(col("o"), col("i"), round(col("raw"), 10).as("v"),
+          round(col("draw"), 12).as("dv"))
+        .orderBy(col("o"), col("i"))
     }),
 
     // ── G8 TRAINING witness: exactly ONE phase-2 supervised step

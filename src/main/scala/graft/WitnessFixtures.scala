@@ -198,4 +198,32 @@ object WitnessFixtures {
       Array(1.5, 1.0, 0.75),
       Array(0.5, 0.8, 1.0),
       Array(1.25, 0.6, 0.9)))
+
+  /** Literal layer + two literal gradient batches for the t=2 Adam
+    * witness (g07t2): the t=1 training witnesses (g06t/g07t/g08t) pin
+    * the degenerate bias-correction case where the moment history is
+    * empty; this fixture drives the SAME [[graft.train.VaeTrainer
+    * .Dense.adam]] twice so the β-decayed moment accumulation and the
+    * step-2 bias correction are oracle-pinned too (VERDICT r04 #8). */
+  object T2Adam {
+    import graft.train.VaeTrainer.Dense
+    val In = 4; val Out = 3
+    def layer(): Dense = new Dense(In, Out, "linear", new scala.util.Random(53L))
+    val G1: Array[Array[Double]] = {
+      val r = new scala.util.Random(54L)
+      Array.fill(Out, In)(r.nextGaussian() * 0.1)
+    }
+    val G2: Array[Array[Double]] = {
+      val r = new scala.util.Random(55L)
+      Array.fill(Out, In)(r.nextGaussian() * 0.1)
+    }
+    val Gb1: Array[Double] = {
+      val r = new scala.util.Random(56L)
+      Array.fill(Out)(r.nextGaussian() * 0.1)
+    }
+    val Gb2: Array[Double] = {
+      val r = new scala.util.Random(57L)
+      Array.fill(Out)(r.nextGaussian() * 0.1)
+    }
+  }
 }
