@@ -93,6 +93,38 @@ class PlanAuditSpec extends AnyFunSuite {
       "found an un-partitioned window in the per-series fit")
   }
 
+  test("g04tb per-series EM step: keyed shuffles only, no global window") {
+    val p = plan("g04tb_hmm_em_step_per_user")
+    assert(!p.contains("CartesianProduct"))
+    assert(!"Window .*partitionBy=\\[\\]".r.findFirstIn(p).isDefined
+      && !"Window \\[.*\\], \\[\\]".r.findFirstIn(p).isDefined,
+      "found an un-partitioned data-sized window in the grouped EM step")
+  }
+
+  test("g04wb/g05wb per-series walks: keyed W2 window, no cartesian") {
+    for (q <- Seq("g04wb_conditional_walk_per_user", "g05wb_garch_walk_per_user")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian join")
+      assert("Window .*partitionBy".r.findFirstIn(p).isEmpty
+        || !p.contains("partitionBy=[]"),
+        s"$q price reconstruction must partition on the series")
+    }
+  }
+
+  test("g02wb per-series Grasynda walk: keyed end-to-end") {
+    val p = plan("g02wb_grasynda_walk_per_user")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("partitionBy=[]"),
+      "per-series walk must not contain a global window")
+  }
+
+  test("c05 per-series ADF: one keyed pass, no second exchange after the window") {
+    val p = plan("c05_adf_per_user")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("partitionBy=[]"),
+      "ADF legs must key every window on (series, label)")
+  }
+
   test("a03 hash split is map-only: no exchange, no shuffle at all") {
     val p = plan("a03_hash_split")
     val finalPlan = p.split("== Initial Plan ==")(0)

@@ -57,16 +57,23 @@ def main():
     # BENCH_LOCAL.json: the full-precision record Bench writes alongside
     # stdout; use it whenever the driver artifact is a truncated subset
     blpath = os.path.join(ROOT, "BENCH_LOCAL.json")
+    bench_src = os.path.basename(bpath)
     if os.path.exists(blpath):
         try:
             blocal = json.load(open(blpath))
+            def norm_sf(x):
+                # "0.1", "sf0.1" and "/root/testdata/sf0.1" all mean sf0.1
+                base = str(x).rstrip("/").split("/")[-1]
+                return base[2:] if base.startswith("sf") else base
             same_sf = (not bench.get("sf") or not blocal.get("sf")
-                       or str(blocal["sf"]).rstrip("/") == str(bench["sf"]).rstrip("/"))
+                       or norm_sf(blocal["sf"]) == norm_sf(bench["sf"]))
             if same_sf and (
                     len(blocal.get("queries", {})) > len(bench.get("queries", {}))
                     or (bench.get("value") is None
                         and blocal.get("value") is not None)):
                 bench, partial = blocal, False
+                bench_src = ("BENCH_LOCAL.json (builder's end-of-round run — "
+                             f"supersedes the truncated {os.path.basename(bpath)})")
         except (ValueError, KeyError):
             pass
 
@@ -127,11 +134,11 @@ of {local[3]} queries.
     total = bench.get("value")
     qtimes = sorted(bench.get("queries", {}).items(), key=lambda kv: -kv[1])
     with open(os.path.join(ROOT, "BENCH_NOTES.md"), "w") as f:
-        f.write(f"""# BENCH_NOTES — generated from {os.path.basename(bpath)}
+        f.write(f"""# BENCH_NOTES — generated from {bench_src}
 
 **DO NOT EDIT — regenerate with `python3 tools/gen_docs.py`.**
 
-Driver round {rnd} bench (`graft.Bench`, sf={bench.get('sf')},
+Round {rnd} bench (`graft.Bench`, sf={bench.get('sf')},
 local[32]): **{f"{total:.2f} s total" if total is not None else
   "total lost to driver-side tail truncation (per-query times below are the salvaged subset)"}**
 across {len(qtimes)} queries{" (partial)" if partial else ""}.
