@@ -44,7 +44,8 @@ object Cli {
   }
 
   private def loadInput(spark: SparkSession, cfg: GraftConfig): DataFrame =
-    CsvIO.loadMultipleCsv(spark, cfg.str("input").split(",").toSeq)
+    CsvIO.loadMultipleCsv(spark, cfg.str("input").split(",").toSeq,
+      cfg.strOpt("series_col"))
 
   def runTrain(spark: SparkSession, cfg: GraftConfig): Unit = {
     val data = loadInput(spark, cfg)
@@ -92,9 +93,29 @@ object Cli {
     val p0 = cfg.double("initial_price")
     val out = cfg.str("generator") match {
       case "grasynda" =>
-        Grasynda.generate(spark, ModelIO.loadGrasynda(cfg.str("model")), seed, n, p0)
+        // --series_col <col>: fit + walk PER SERIES in one keyed pass
+        // (Grasynda.fitArray per series, Random(seed+sid) walks)
+        cfg.strOpt("series_col") match {
+          case Some(sc) =>
+            val rets = graft.series.SeriesOps.logReturns(
+                loadInput(spark, cfg),
+                graft.series.SeriesSpec(Seq(sc), Order), Price, "ret")
+              .filter(col("ret").isNotNull)
+            Grasynda.generateGrouped(rets, sc, Order, "ret",
+              cfg.int("n_bins"), seed, n, p0)
+          case None =>
+            Grasynda.generate(spark, ModelIO.loadGrasynda(cfg.str("model")), seed, n, p0)
+        }
       case "regime_conditional" | "regime_hmm_garch" =>
-        RegimeConditional.generate(spark, ModelIO.loadRegime(cfg.str("model")), seed, n, p0)
+        // --series_col <col>: one seeded AR(1)/GARCH walk per series id
+        // in the input, from the trained model (per-series seed+sid)
+        cfg.strOpt("series_col") match {
+          case Some(sc) =>
+            RegimeConditional.generateGrouped(loadInput(spark, cfg), sc,
+              ModelIO.loadRegime(cfg.str("model")), seed, n, p0)
+          case None =>
+            RegimeConditional.generate(spark, ModelIO.loadRegime(cfg.str("model")), seed, n, p0)
+        }
       case "block_bootstrap" =>
         // --series_col <col>: fit + generate PER SERIES in one shuffle
         // (beyond-reference many-series mode; per-series seed = seed+sid)

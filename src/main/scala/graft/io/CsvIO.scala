@@ -17,32 +17,55 @@ object CsvIO {
     StructField("DATE_TIME", TimestampType, nullable = false),
     StructField("typical_price", DoubleType, nullable = false)))
 
-  /** S1: one CSV with header, DATE_TIME parsed as timestamp. */
-  def loadCsv(spark: SparkSession, path: String): DataFrame = {
-    val df = spark.read
-      .option("header", "true")
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-      .schema(priceSchema)
-      .csv(path)
-    require(df.columns.contains("typical_price"),
-      s"CSV $path must contain 'typical_price'")
-    df
+  /** S1: one CSV with header, DATE_TIME parsed as timestamp. The fixed
+    * two-column schema is the reference's price-CSV contract; a
+    * `seriesCol` switches to header-matched reading so the extra series
+    * id column survives (multi-series `--series_col` inputs). */
+  def loadCsv(spark: SparkSession, path: String,
+              seriesCol: Option[String] = None): DataFrame = seriesCol match {
+    case None =>
+      val df = spark.read
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .schema(priceSchema)
+        .csv(path)
+      require(df.columns.contains("typical_price"),
+        s"CSV $path must contain 'typical_price'")
+      df
+    case Some(sc) =>
+      val df = spark.read
+        .option("header", "true")
+        .option("inferSchema", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+      require(df.columns.contains("typical_price") && df.columns.contains(sc),
+        s"CSV $path must contain 'typical_price' and '$sc'")
+      df.select(col(sc).cast("long").as(sc),
+        col("DATE_TIME").cast("timestamp").as("DATE_TIME"),
+        col("typical_price").cast("double").as("typical_price"))
   }
 
   /** S2: multi-CSV union → sort by time → keep FIRST row per duplicate
     * DATE_TIME (pandas drop_duplicates keep="first" after sort — made
     * deterministic here with an explicit source-order priority).
     * Ref: app/data_processor.py:27-34. */
-  def loadMultipleCsv(spark: SparkSession, paths: Seq[String]): DataFrame = {
+  /** S2: union + first-wins dedup by time (P7, q18 semantics). When a
+    * `seriesCol` is given, the column is CARRIED THROUGH and the dedup
+    * keys on (series, DATE_TIME) — the global-DATE_TIME dedup would
+    * otherwise silently collapse a multi-series CSV to one row per
+    * timestamp (the CLI `--series_col` inputs hit exactly this). */
+  def loadMultipleCsv(spark: SparkSession, paths: Seq[String],
+                      seriesCol: Option[String] = None): DataFrame = {
     val tagged = paths.zipWithIndex.map { case (p, i) =>
-      loadCsv(spark, p).withColumn("_src", lit(i))
+      loadCsv(spark, p, seriesCol).withColumn("_src", lit(i))
     }.reduce(_ unionByName _)
-    val w = Window.partitionBy(col("DATE_TIME")).orderBy(col("_src"))
+    val keyCols = seriesCol.toSeq.map(col) :+ col("DATE_TIME")
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("_src"))
     tagged
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1)
-      .select(col("DATE_TIME"), col("typical_price"))
-      .orderBy(col("DATE_TIME"))
+      .select(keyCols :+ col("typical_price"): _*)
+      .orderBy(keyCols: _*)
   }
 
   /** S3: ordered single-file CSV (the reference's byte-for-byte output

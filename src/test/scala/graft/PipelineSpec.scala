@@ -197,6 +197,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(metrics.contains("\"quality_score\""))
   }
 
+  test("CLI --series_col: grasynda and regime walks generate per series") {
+    import org.apache.spark.sql.functions.lit
+    val dir = java.nio.file.Files.createTempDirectory("graftsc").toString
+    val d0 = SparkSpec.randomWalk(300, seed = 41).withColumn("user_id", lit(0))
+    val d1 = SparkSpec.randomWalk(300, seed = 43).withColumn("user_id", lit(1))
+    graft.io.CsvIO.saveCsv(
+      d0.unionByName(d1).select("user_id", "DATE_TIME", "typical_price"),
+      s"$dir/real")
+    val realCsv = new java.io.File(s"$dir/real").listFiles()
+      .filter(_.getName.endsWith(".csv")).head.getPath
+
+    // grasynda per series: fit + walk in one keyed pass, no model file
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "generate", "generator" -> "grasynda",
+      "input" -> realCsv, "series_col" -> "user_id",
+      "n_samples" -> "50", "seed" -> "7", "output" -> s"$dir/synthg"))
+    val gCsv = new java.io.File(s"$dir/synthg").listFiles()
+      .filter(_.getName.endsWith(".csv")).head.getPath
+    val g = graft.io.CsvIO.loadCsv(spark, gCsv, Some("user_id"))
+    assert(g.count() === 100, "50 rows per series x 2 series")
+    assert(g.select("user_id").distinct().count() === 2)
+    val byUser = g.collect().groupBy(_.getAs[Any]("user_id").toString)
+    assert(byUser("0").map(_.getAs[Double]("typical_price")).toSeq !==
+      byUser("1").map(_.getAs[Double]("typical_price")).toSeq,
+      "per-series walks must differ (seed + sid)")
+
+    // regime walk per series: ONE model trained on a single-series CSV
+    // (the reference's two-column contract), then applied across every
+    // series id in the multi-series input
+    graft.io.CsvIO.saveCsv(d0.select("DATE_TIME", "typical_price"), s"$dir/real1")
+    val real1Csv = new java.io.File(s"$dir/real1").listFiles()
+      .filter(_.getName.endsWith(".csv")).head.getPath
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "train", "generator" -> "regime_conditional",
+      "input" -> real1Csv, "model" -> s"$dir/rc.json", "n_regimes" -> "3"))
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "generate", "generator" -> "regime_conditional",
+      "model" -> s"$dir/rc.json", "input" -> realCsv,
+      "series_col" -> "user_id", "n_samples" -> "40", "seed" -> "5",
+      "output" -> s"$dir/synthr"))
+    val rCsv = new java.io.File(s"$dir/synthr").listFiles()
+      .filter(_.getName.endsWith(".csv")).head.getPath
+    val r = graft.io.CsvIO.loadCsv(spark, rCsv, Some("user_id"))
+    assert(r.count() === 80)
+    assert(r.select("user_id").distinct().count() === 2)
+  }
+
   test("CLI conditional VAE-GAN: train conditional -> generateConditional e2e") {
     val dir = java.nio.file.Files.createTempDirectory("graftcvg").toString
     val data = SparkSpec.randomWalk(400, seed = 31).select("DATE_TIME", "typical_price")
