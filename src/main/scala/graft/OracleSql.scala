@@ -3474,13 +3474,18 @@ object OracleSql {
         |                          sum(CASE WHEN is_real THEN 0 ELSE 1 END)), 512) > 0),
         |r2 AS (SELECT rr.sid, rr.is_real, rr.t, rr.ret, le.n
         |       FROM rr JOIN le ON le.sid = rr.sid WHERE rr.t < le.n),
-        |ks AS (SELECT sid, unnest(generate_series(0, n - 1)) AS k FROM le),
+        |ks AS (SELECT sid, unnest(generate_series(0, n//2)) AS k FROM le),
         |sp AS (SELECT r2.sid, r2.is_real, k.k,
         |         sum(ret * cos(-2.0*pi()*k.k*r2.t/r2.n)) AS re,
         |         sum(ret * sin(-2.0*pi()*k.k*r2.t/r2.n)) AS im
         |       FROM r2 JOIN ks k ON k.sid = r2.sid
         |       GROUP BY r2.sid, r2.is_real, k.k),
-        |pw AS (SELECT sid, is_real, k, re*re + im*im AS p FROM sp),
+        |pw0 AS MATERIALIZED (SELECT sid, is_real, k, re*re + im*im AS p FROM sp),
+        |pw AS (SELECT sid, is_real, k, p FROM pw0
+        |       UNION ALL
+        |       SELECT p0.sid, p0.is_real, l.n - p0.k AS k, p0.p
+        |       FROM pw0 p0 JOIN le l ON l.sid = p0.sid
+        |       WHERE p0.k > 0 AND p0.k < l.n - p0.k),
         |ss AS (SELECT sid, is_real, sum(p) AS sp FROM pw GROUP BY sid, is_real),
         |nm AS (SELECT pw.sid, pw.is_real, pw.k, pw.p / (ss.sp + 1e-20) AS pn
         |       FROM pw JOIN ss ON ss.sid = pw.sid AND ss.is_real = pw.is_real),

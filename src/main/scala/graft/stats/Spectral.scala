@@ -82,14 +82,28 @@ object Spectral {
         lit(maxPoints)).cast("int").as("n"))
       .filter(col("n") > 0)
     val r = rets.join(lens, "sid").filter(col("t") < col("n"))
-    val ks = lens.select(col("sid"), col("n"),
-      explode(sequence(lit(0), col("n") - 1)).as("k"))
+    // REAL-INPUT SYMMETRY: X_{n−k} = conj(X_k) ⇒ p(n−k) = p(k), so only
+    // k ≤ n/2 is computed and the upper half is MIRRORED (values
+    // copied, not recomputed — bit-identical in both engines, and the
+    // O(n²) exploded frame halves; the oracle mirrors identically)
+    val ks = lens.select(col("sid"),
+      explode(sequence(lit(0), (col("n") / 2).cast("int"))).as("k"))
     val ang = lit(-2.0 * math.Pi) * col("k") * col("t") / col("n")
-    val spectra = r.join(ks.select(col("sid"), col("k")), "sid")
+    val spectraHalf = r.join(ks, "sid")
       .groupBy(col("sid"), col("lab"), col("k"))
       .agg(sum(col("ret") * cos(ang)).as("re"),
         sum(col("ret") * sin(ang)).as("im"))
       .withColumn("p", col("re") * col("re") + col("im") * col("im"))
+      .select(col("sid"), col("lab"), col("k"), col("p"))
+    // ONE pass emits both halves (a self-union would recompute the
+    // whole aggregation for the second branch): each computed row
+    // explodes into [k] or [k, n−k]
+    val spectra = spectraHalf.join(lens, "sid")
+      .select(col("sid"), col("lab"), col("p"),
+        explode(when(col("k") > 0 && col("k") < col("n") - col("k"),
+          array(col("k"), col("n") - col("k")))
+          .otherwise(array(col("k")))).as("k"))
+      .select(col("sid"), col("lab"), col("k"), col("p"))
     val sums = spectra.groupBy(col("sid"), col("lab"))
       .agg(sum(col("p")).as("sp"))
     val normed = spectra.join(sums, Seq("sid", "lab"))
