@@ -3454,7 +3454,10 @@ object OracleSql {
 
     // C7 PER-SERIES: per-user n-point DFT power spectra of the even/odd
     // return halves (truncated to the common length), sum-normalized,
-    // RMSE distance — keyed aggregations end to end
+    // RMSE distance — keyed aggregations end to end. The Spark side
+    // computes the same spectra by per-series FFT (property-tested
+    // ≡ DFT); round-8 absorbs the fp-fold differences. `capped` flags
+    // series longer than the 2²⁰ per-task bound (never at gate scale).
     "c01b_spectral_per_user" ->
       """WITH u0 AS (SELECT user_id::BIGINT AS sid, (event_id % 2 = 0) AS is_real,
         |              ts, event_id,
@@ -3466,12 +3469,14 @@ object OracleSql {
         |         row_number() OVER (PARTITION BY sid, is_real ORDER BY ts, event_id) - 1 AS t,
         |         ret
         |       FROM u0 WHERE ret IS NOT NULL),
-        |le AS (SELECT sid, least(least(sum(CASE WHEN is_real THEN 1 ELSE 0 END),
-        |                               sum(CASE WHEN is_real THEN 0 ELSE 1 END)),
-        |                         512)::INT AS n
+        |le AS (SELECT sid, least(sum(CASE WHEN is_real THEN 1 ELSE 0 END),
+        |                         sum(CASE WHEN is_real THEN 0 ELSE 1 END))::BIGINT AS n0,
+        |              least(least(sum(CASE WHEN is_real THEN 1 ELSE 0 END),
+        |                          sum(CASE WHEN is_real THEN 0 ELSE 1 END)),
+        |                    1048576)::INT AS n
         |       FROM rr GROUP BY sid
-        |       HAVING least(least(sum(CASE WHEN is_real THEN 1 ELSE 0 END),
-        |                          sum(CASE WHEN is_real THEN 0 ELSE 1 END)), 512) > 0),
+        |       HAVING least(sum(CASE WHEN is_real THEN 1 ELSE 0 END),
+        |                    sum(CASE WHEN is_real THEN 0 ELSE 1 END)) > 0),
         |r2 AS (SELECT rr.sid, rr.is_real, rr.t, rr.ret, le.n
         |       FROM rr JOIN le ON le.sid = rr.sid WHERE rr.t < le.n),
         |ks AS (SELECT sid, unnest(generate_series(0, n//2)) AS k FROM le),
@@ -3496,8 +3501,9 @@ object OracleSql {
         |       FROM pv p JOIN le l ON l.sid = p.sid GROUP BY p.sid)
         |SELECT p.sid AS user_id, p.k::INT AS k,
         |  round(pa, 8) + 0.0 AS p_real, round(pb, 8) + 0.0 AS p_synth,
-        |  round(d.dist, 8) + 0.0 AS spectral_distance
-        |FROM pv p JOIN dv d ON d.sid = p.sid
+        |  round(d.dist, 8) + 0.0 AS spectral_distance,
+        |  (l.n0 > 1048576)::INT AS capped
+        |FROM pv p JOIN dv d ON d.sid = p.sid JOIN le l ON l.sid = p.sid
         |ORDER BY user_id, k""".stripMargin,
 
     // C10 PER-SERIES: the q29 σ²/log-lik recursion replayed with a

@@ -1148,9 +1148,11 @@ object SparkEntry {
         .orderBy(col("avg_js_div"), col("generator"))
     }),
 
-    // ── C7 PER-SERIES: spectral distance computed fully IN-PLAN — the
-    //    per-user n-point DFT as keyed aggregation over an exploded
-    //    (t × k) frame; O(n²) per series, distributed across series ─────
+    // ── C7 PER-SERIES: spectral distance computed fully IN-PLAN — each
+    //    user's n-point power spectra by an in-partition Bluestein FFT
+    //    (O(n log n) per series) after ONE exchange on the series key;
+    //    `capped` flags any series whose half-length exceeded the
+    //    per-task memory bound (prefix-DFT, never silent) ───────────────
     "c01b_spectral_per_user" -> ((s, dir) => {
       val e = ev(s, dir)
       graft.stats.Spectral.distanceGrouped(
@@ -1160,7 +1162,8 @@ object SparkEntry {
         .select(col("user_id"), col("k"),
           round(col("p_real"), 8).as("p_real"),
           round(col("p_synth"), 8).as("p_synth"),
-          round(col("spectral_distance"), 8).as("spectral_distance"))
+          round(col("spectral_distance"), 8).as("spectral_distance"),
+          col("capped"))
         .orderBy(col("user_id"), col("k"))
     }),
 

@@ -39,22 +39,35 @@ object Spectral {
     }.toDF("k", "power")
   }
 
-  /** PER-SERIES spectral distance, fully IN-PLAN (no driver DFT): for
-    * each series key, the real/synth return halves are truncated to
-    * their common length n, the n-point DFT power spectra are computed
-    * as keyed aggregations over an exploded (t × k) frame (O(n²) work
-    * per series, distributed across series — the many-series C7 shape),
-    * sum-normalized, and reduced to the RMSE distance. Emits one row
-    * per (series, k) plus the per-series distance.
+  /** PER-SERIES spectral distance, fully IN-PLAN: for each series key,
+    * the real/synth return halves are truncated to their common length
+    * n and each half's n-point power spectrum is computed by an
+    * IN-PARTITION FFT (`Fft.dftReal`, Bluestein for arbitrary n —
+    * O(n log n) per series) inside a consecutive-run mapPartitions over
+    * a single exchange on the series key. Spectra are sum-normalized
+    * and reduced to the RMSE distance; emits one row per (series, k)
+    * plus the per-series distance.
+    *
+    * `maxPoints` (default 2²⁰) bounds per-task memory — a single series
+    * must fit one task (~4 doubles × next-pow2(2n) for the Bluestein
+    * buffers ≈ 70 MB at the default). Unlike the previous exploded-DFT
+    * shape the bound is NOT silent: every output row carries a `capped`
+    * flag (1 when the common half-length exceeded maxPoints and the
+    * spectrum is a prefix-DFT, 0 when it is the full-length
+    * composite_metric.py value).
     * Ref formula: composite_metric.py:50-56. Oracle-gated by c01b. */
   def distanceGrouped(real: DataFrame, synth: DataFrame, seriesCol: String,
                       orderCols: Seq[String], price: String,
-                      maxPoints: Int = 512): DataFrame = {
+                      maxPoints: Int = 1 << 20): DataFrame = {
     import graft.series.{SeriesOps, SeriesSpec}
+    val spark = real.sparkSession
+    import spark.implicits._
     def labeled(df: DataFrame, lab: String): DataFrame =
       df.select((col(seriesCol).cast("long").as("sid") +: lit(lab).as("lab") +:
         col(price).cast("double").as("_p") +: orderCols.map(col)): _*)
     val labSpec = SeriesSpec(Seq("sid", "lab"), orderCols)
+    // t = per-(series, half) position; rides the logReturns window's
+    // (sid, lab) exchange+sort, so it costs no further shuffle
     val rets = SeriesOps.logReturns(
         labeled(real, "real").unionByName(labeled(synth, "synth")),
         labSpec, "_p", "ret")
@@ -63,61 +76,54 @@ object Spectral {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("sid"), col("lab"))
           .orderBy(orderCols.map(col): _*)) - 1)
-      .select(col("sid"), col("lab"), col("t"), col("ret"))
-      .persist()
-    // per-series DFT-length cap (fit-prefix-style contract): the exploded
-    // (t × k) frame is O(n²) per series, so an unbounded series length
-    // would explode at 100 TB; maxPoints bounds it to ≤ maxPoints² rows
-    // per (series, side) while staying a no-op at the gate scales.
-    // NOTE the cap binds SILENTLY: a series longer than maxPoints gets a
-    // prefix-DFT distance, not the full-length composite_metric.py value.
-    // The bind is detectable from the output (rows with k = maxPoints-1
-    // present ⇒ that series hit the cap); raise maxPoints when full-length
-    // parity on long series matters more than the quadratic blowup.
-    val lens = rets.groupBy(col("sid")).agg(
-      least(
-        least(
-          sum(when(col("lab") === "real", 1).otherwise(0)),
-          sum(when(col("lab") === "synth", 1).otherwise(0))),
-        lit(maxPoints)).cast("int").as("n"))
-      .filter(col("n") > 0)
-    val r = rets.join(lens, "sid").filter(col("t") < col("n"))
-    // REAL-INPUT SYMMETRY: X_{n−k} = conj(X_k) ⇒ p(n−k) = p(k), so only
-    // k ≤ n/2 is computed and the upper half is MIRRORED (values
-    // copied, not recomputed — bit-identical in both engines, and the
-    // O(n²) exploded frame halves; the oracle mirrors identically)
-    val ks = lens.select(col("sid"),
-      explode(sequence(lit(0), (col("n") / 2).cast("int"))).as("k"))
-    val ang = lit(-2.0 * math.Pi) * col("k") * col("t") / col("n")
-    val spectraHalf = r.join(ks, "sid")
-      .groupBy(col("sid"), col("lab"), col("k"))
-      .agg(sum(col("ret") * cos(ang)).as("re"),
-        sum(col("ret") * sin(ang)).as("im"))
-      .withColumn("p", col("re") * col("re") + col("im") * col("im"))
-      .select(col("sid"), col("lab"), col("k"), col("p"))
-    // ONE pass emits both halves (a self-union would recompute the
-    // whole aggregation for the second branch): each computed row
-    // explodes into [k] or [k, n−k]
-    val spectra = spectraHalf.join(lens, "sid")
-      .select(col("sid"), col("lab"), col("p"),
-        explode(when(col("k") > 0 && col("k") < col("n") - col("k"),
-          array(col("k"), col("n") - col("k")))
-          .otherwise(array(col("k")))).as("k"))
-      .select(col("sid"), col("lab"), col("k"), col("p"))
-    val sums = spectra.groupBy(col("sid"), col("lab"))
-      .agg(sum(col("p")).as("sp"))
-    val normed = spectra.join(sums, Seq("sid", "lab"))
-      .withColumn("pn", col("p") / (col("sp") + 1e-20))
-    val pivoted = normed.groupBy(col("sid"), col("k")).agg(
-      max(when(col("lab") === "real", col("pn"))).as("p_real"),
-      max(when(col("lab") === "synth", col("pn"))).as("p_synth"))
-    val dist = pivoted.join(lens, "sid")
-      .groupBy(col("sid")).agg(
-        sqrt(sum((col("p_real") - col("p_synth")) *
-          (col("p_real") - col("p_synth"))) / max(col("n"))).as("spectral_distance"))
-    pivoted.join(dist, "sid")
-      .select(col("sid").as(seriesCol), col("k"),
-        col("p_real"), col("p_synth"), col("spectral_distance"))
+      .select(col("sid"), (col("lab") === "real").as("is_real"),
+        col("t"), col("ret"))
+    // ONE exchange on the series key; the in-partition sort puts each
+    // series' two halves back to back in t-order (real first), so the
+    // run grouping below needs no per-group shuffle or state
+    val sorted = rets
+      .repartition(col("sid"))
+      .sortWithinPartitions(col("sid"), col("is_real").desc, col("t"))
+      .as[(Long, Boolean, Long, Double)]
+    sorted.mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[(Long, Int, Double, Double, Double, Int)] {
+        private var cur: Iterator[(Long, Int, Double, Double, Double, Int)] =
+          Iterator.empty
+        private def advance(): Unit =
+          while (!cur.hasNext && it.hasNext) {
+            val sid = it.head._1
+            val rb = Array.newBuilder[Double]
+            val sb = Array.newBuilder[Double]
+            while (it.hasNext && it.head._1 == sid) {
+              val r = it.next()
+              if (r._2) rb += r._4 else sb += r._4
+            }
+            val ra = rb.result(); val sa = sb.result()
+            val n0 = math.min(ra.length, sa.length)
+            val capped = if (n0 > maxPoints) 1 else 0
+            val n = math.min(n0, maxPoints)
+            cur = if (n == 0) Iterator.empty else {
+              val pa = Fft.powerSpectrum(ra.take(n))
+              val pb = Fft.powerSpectrum(sa.take(n))
+              // same fold order as composite_metric.py:50-56
+              val za = pa.sum + 1e-20
+              val zb = pb.sum + 1e-20
+              var acc = 0.0; var k = 0
+              while (k < n) {
+                val d = pa(k) / za - pb(k) / zb; acc += d * d; k += 1
+              }
+              val dist = math.sqrt(acc / n)
+              Iterator.tabulate(n)(k =>
+                (sid, k, pa(k) / za, pb(k) / zb, dist, capped))
+            }
+          }
+        def hasNext: Boolean = { advance(); cur.hasNext }
+        def next(): (Long, Int, Double, Double, Double, Int) = {
+          advance(); cur.next()
+        }
+      }
+    }.toDF(seriesCol, "k", "p_real", "p_synth", "spectral_distance", "capped")
   }
 
   /** Spectral distance between two series (truncated to common length).
