@@ -2480,32 +2480,37 @@ object OracleSql {
         |FROM base JOIN z USING (user_id, event_type)
         |ORDER BY user_id, event_type""".stripMargin,
 
-    // mirrors the STUB codec arithmetic (Multimodal.decode): all docs
-    // are ASCII so ascii(char k) == byte k and strlen == byte length
-    // m01: the synthesized containers are REAL (PPM for images, WAV for
-    // audio) — the oracle recomputes what the Spark-side HEADER PARSE
-    // must return: PPM dims from doc_id, WAV sample count from the text
-    // byte count, and the exact container byte sizes ("P6\n<w> <h>\n255\n"
-    // + 3wh pixels; 44-byte canonical RIFF + 2 bytes/sample). Video stays
-    // the declared stub (payload-byte dims).
+    // m01: the synthesized containers are REAL (PPM images, WAV audio,
+    // AVI video) — the oracle recomputes what the Spark-side HEADER
+    // PARSE must return (all docs are ASCII so ascii(char k) == byte k
+    // and strlen == byte length): PPM dims from doc_id, WAV sample
+    // count from the text byte count, AVI dims/frame count from the
+    // synth formulas, and the exact container byte sizes
+    // ("P6\n<w> <h>\n255\n" + 3wh pixels; 44-byte canonical RIFF +
+    // 2 bytes/sample).
+    // Video n_bytes is the exact AVI container size: 232 fixed bytes
+    // (RIFF hdr 12 + hdrl 200 + movi LIST hdr 12 + idx1 hdr 8) plus
+    // 24 per frame (movi chunk hdr 8 + idx1 entry 16) plus the 3wh DIB
+    // payload (w a multiple of 4 ⇒ no row pad; 3wh even ⇒ no RIFF pad)
     "m01_multimodal_decode" ->
       """SELECT doc_id AS media_id,
         | CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         | (CASE (doc_id % 3)
         |    WHEN 0 THEN 8 + doc_id % 13
         |    WHEN 1 THEN strlen(text)
-        |    ELSE 64 + ascii(substr(text,1,1)) % 64 END)::INT AS width,
+        |    ELSE 8 + 4*(doc_id % 5) END)::INT AS width,
         | (CASE (doc_id % 3)
         |    WHEN 0 THEN 8 + doc_id % 7
         |    WHEN 1 THEN 1
-        |    ELSE 64 + ascii(substr(text,2,1)) % 64 END)::INT AS height,
+        |    ELSE 8 + doc_id % 6 END)::INT AS height,
         | (CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text)//256 ELSE 1 END)::INT AS n_frames,
         | (CASE (doc_id % 3)
         |    WHEN 0 THEN 3 + strlen((8 + doc_id % 13)::VARCHAR) + 1
         |              + strlen((8 + doc_id % 7)::VARCHAR) + 5
         |              + 3*(8 + doc_id % 13)*(8 + doc_id % 7)
         |    WHEN 1 THEN 44 + 2*strlen(text)
-        |    ELSE strlen(text) END)::BIGINT AS n_bytes
+        |    ELSE 232 + (1 + strlen(text)//256)
+        |             * (24 + 3*(8 + 4*(doc_id % 5))*(8 + doc_id % 6)) END)::BIGINT AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q25_daily_rollup" ->
@@ -2574,19 +2579,21 @@ object OracleSql {
          |FROM rec WHERE t = (SELECT n FROM st)
          |ORDER BY alpha, beta""".stripMargin,
 
-    // multimodal features: the STUB feature is a position-weighted byte
+    // multimodal features: the feature is a position-weighted byte
     // sum per dimension (order-independent by design so this aggregate
     // mirrors it; documents text is ASCII so ascii(char)=byte), then
     // brute-force cosine top-5 in the q23 shape
     // m02: features are computed over the DECODED content byte streams
     // (image: the 3wh pixel array = text bytes cycled; audio: the PCM16LE
-    // data chunk = [0, (b-128)&0xff] per sample; video: the stub payload)
+    // data chunk = [0, (b-128)&0xff] per sample; video: the nf·3wh
+    // concatenated DIB frame payloads = text bytes cycled across frames)
     // — the oracle reconstructs each stream and folds the same
-    // position-weighted sum
+    // position-weighted sum. greatest(strlen,1) keeps the modulo total on
+    // empty documents (ascii(substr('',..)) = 0 = the Spark zero-fill).
     "m02_multimodal_features" ->
       """WITH ch AS (
         |  SELECT doc_id, i,
-        |    ascii(substr(text, ((i-1) % strlen(text)) + 1, 1)) AS byte
+        |    ascii(substr(text, ((i-1) % greatest(strlen(text),1)) + 1, 1)) AS byte
         |  FROM (SELECT doc_id, text,
         |          unnest(generate_series(1, 3*(8 + doc_id % 13)*(8 + doc_id % 7))) AS i
         |        FROM documents WHERE doc_id % 3 = 0) im
@@ -2600,9 +2607,11 @@ object OracleSql {
         |          unnest(generate_series(1, 2*strlen(text))) AS i
         |        FROM documents WHERE doc_id % 3 = 1) au
         |  UNION ALL
-        |  SELECT doc_id, i, ascii(substr(text, i, 1)) AS byte
+        |  SELECT doc_id, i,
+        |    ascii(substr(text, ((i-1) % greatest(strlen(text),1)) + 1, 1)) AS byte
         |  FROM (SELECT doc_id, text,
-        |          unnest(generate_series(1, strlen(text))) AS i
+        |          unnest(generate_series(1, (1 + strlen(text)//256)
+        |            * 3*(8 + 4*(doc_id % 5))*(8 + doc_id % 6))) AS i
         |        FROM documents WHERE doc_id % 3 = 2) vi),
         |dims AS (SELECT doc_id, (i-1) % 16 AS j,
         |           ((sum(i * byte) % 1000) / 1000.0)::FLOAT::DOUBLE AS f
@@ -3814,8 +3823,8 @@ object OracleSql {
         |  round(rac10,6) + 0.0 AS real_autocorr_lag10,
         |  round(sac10,6) + 0.0 AS synthetic_autocorr_lag10,
         |  round(kl + 0.1*wass + abs(rs - ss), 6) + 0.0 AS quality_score,
-        |  round(ap.rpv, 6) + 0.0 AS real_adf_pvalue,
-        |  round(ap.spv, 6) + 0.0 AS synthetic_adf_pvalue
+        |  round(ap.rpv, 6) + 0.0 AS real_adf_pvalue_ml2,
+        |  round(ap.spv, 6) + 0.0 AS synthetic_adf_pvalue_ml2
         |FROM klv k
         |JOIN wv ON wv.sid = k.sid
         |JOIN mo ON mo.sid = k.sid

@@ -511,7 +511,7 @@ object SparkEntry {
         .orderBy(col("rn"))
     }),
 
-    // ── multimodal: binary column decode plumbing (stub codec) ────────
+    // ── multimodal: binary column decode — real PPM/WAV/AVI parses ───
     "m01_multimodal_decode" -> ((s, dir) => {
       val media = graft.mm.Multimodal.synthesizeFromDocuments(docs(s, dir))
       graft.mm.Multimodal.decode(media).toDF()
@@ -1265,8 +1265,13 @@ object SparkEntry {
           round(col("real_autocorr_lag10"), 6).as("real_autocorr_lag10"),
           round(col("synthetic_autocorr_lag10"), 6).as("synthetic_autocorr_lag10"),
           round(col("quality_score"), 6).as("quality_score"),
-          round(col("real_adf_pvalue"), 6).as("real_adf_pvalue"),
-          round(col("synthetic_adf_pvalue"), 6).as("synthetic_adf_pvalue"))
+          // _ml2 suffix: these legs use the closed-form maxlag=2 ADF, not
+          // the reference's adfuller(maxlag=20, autolag=AIC) — per-series
+          // values diverge whenever AIC would pick a lag > 2, so the
+          // record field name must not imply reference parity (q30
+          // carries the maxlag-20 production path)
+          round(col("real_adf_pvalue"), 6).as("real_adf_pvalue_ml2"),
+          round(col("synthetic_adf_pvalue"), 6).as("synthetic_adf_pvalue_ml2"))
         .orderBy(col("user_id"))
     }),
 

@@ -40,9 +40,18 @@ object CsvIO {
         .csv(path)
       require(df.columns.contains("typical_price") && df.columns.contains(sc),
         s"CSV $path must contain 'typical_price' and '$sc'")
-      df.select(col(sc).cast("long").as(sc),
+      val out = df.select(col(sc).cast("long").as(sc),
         col("DATE_TIME").cast("timestamp").as("DATE_TIME"),
         col("typical_price").cast("double").as("typical_price"))
+      // fail fast on null-producing ids: a non-numeric series id (e.g. a
+      // ticker string) casts to NULL on every row, which would silently
+      // collapse ALL series into one NULL group through the
+      // (series, DATE_TIME) dedup and every per-series fit downstream
+      require(out.filter(col(sc).isNull).isEmpty,
+        s"--series_col '$sc' in $path has null or non-numeric ids; " +
+          "series ids must be integers — map string ids (e.g. tickers) " +
+          "to a numeric surrogate key first")
+      out
   }
 
   /** S2: multi-CSV union → sort by time → keep FIRST row per duplicate

@@ -26,20 +26,35 @@ class PipelineSpec extends AnyFunSuite {
         case "audio" => // REAL WAV parse: width = samples, height = channels
           assert(d.height === 1 && d.width > 0)
           assert(d.n_bytes === 44L + 2L * d.width)
-        case _ => // video stub dims
-          assert(d.width >= 64 && d.width < 128)
+        case _ => // REAL AVI demux: dims from avih, count from movi chunks
+          assert(d.width >= 8 && d.width <= 24 && d.width % 4 === 0)
+          assert(d.height >= 8 && d.height <= 13)
+          assert(d.n_frames >= 1)
+          // exact container arithmetic: 232 + nf·(24 + 3wh)
+          assert(d.n_bytes ===
+            232L + d.n_frames.toLong * (24L + 3L * d.width * d.height))
       }
       assert(d.feature.length === 16)
       assert(d.n_bytes > 0)
       if (d.kind != "video") assert(d.n_frames === 1)
     }
-    // resize truncates payloads and nothing else
-    val resized = Multimodal.resize(media, 100).collect()
-    assert(resized.forall(_.bytes.length <= 100))
-    // frame sampling: only video rows, stride respected
+    // REAL resize: decode → scale → re-encode; every shrunk container
+    // still decodes with the same kind (1500 B fits every format floor)
+    val resized = Multimodal.resize(media, 1500).collect()
+    assert(resized.forall(_.bytes.length <= 1500))
+    val redecoded = Multimodal.decode(
+      spark.createDataset(resized.toSeq)(
+        org.apache.spark.sql.Encoders.product[graft.mm.MediaRow])).collect()
+    assert(redecoded.length === resized.length)
+    // frame sampling: only video rows, stride respected, REAL DIB frames
     val frames = Multimodal.sampleFrames(media, everyK = 2)
-    val idx = frames.select("frame_idx").collect().map(_.getInt(0))
-    assert(idx.nonEmpty && idx.forall(_ % 2 == 0))
+    val fr = frames.collect()
+    assert(fr.nonEmpty && fr.forall(_.getInt(1) % 2 == 0))
+    // every sampled frame is a full 3wh DIB payload of its media row
+    val dimsById = rows.collect { case d if d.kind == "video" =>
+      d.media_id -> 3 * d.width * d.height }.toMap
+    assert(fr.forall(r => r.getAs[Array[Byte]](2).length ===
+      dimsById(r.getLong(0))))
     // decode is deterministic
     val again = Multimodal.decode(media, featureDim = 16).collect()
     assert(rows.map(_.feature.toSeq).toSeq === again.map(_.feature.toSeq).toSeq)
@@ -77,6 +92,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(w2.nSamples === 37 && w2.data.toSeq === w.data.toSeq)
     intercept[IllegalArgumentException](
       Codecs.decodeWav("RIFFxxxxMP3 ".getBytes("US-ASCII")))
+
+    // AVI: round-trip through the real container (odd frame length to
+    // exercise the RIFF pad byte), dims/fps/frames all from headers
+    val f0 = Array.tabulate[Byte](3 * 8 * 6)(i => (i * 7).toByte)
+    val f1 = Array.tabulate[Byte](3 * 8 * 6)(i => (i * 11 + 3).toByte)
+    val avi = Codecs.decodeAvi(Codecs.encodeAvi(8, 6, 25, Seq(f0, f1)))
+    assert(avi.width === 8 && avi.height === 6 && avi.fps === 25)
+    assert(avi.nFrames === 2)
+    assert(avi.frames(0).toSeq === f0.toSeq && avi.frames(1).toSeq === f1.toSeq)
+    val odd = Array.tabulate[Byte](33)(i => i.toByte)
+    val aviOdd = Codecs.decodeAvi(Codecs.encodeAvi(4, 4, 10, Seq(odd, odd)))
+    assert(aviOdd.nFrames === 2 && aviOdd.frames.forall(_.length === 33))
+    // container size arithmetic (even frames, the synth contract)
+    assert(Codecs.encodeAvi(8, 6, 25, Seq(f0, f1)).length ===
+      232 + 2 * (24 + f0.length))
+    // rejects: wrong list type, truncated movi chunk, idx1 mismatch
+    intercept[IllegalArgumentException](
+      Codecs.decodeAvi("RIFFxxxxWAVE".getBytes("US-ASCII")))
+    val good = Codecs.encodeAvi(8, 6, 25, Seq(f0))
+    intercept[IllegalArgumentException](
+      Codecs.decodeAvi(good.take(260))) // truncated mid-movi frame payload
+    // a missing idx1 TAIL is tolerated (index is optional), movi intact
+    assert(Codecs.decodeAvi(good.take(good.length - 20)).nFrames === 1)
   }
 
   test("G1 decoder generator: deterministic, partitioning-independent, n rows") {
