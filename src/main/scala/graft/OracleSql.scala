@@ -2371,7 +2371,7 @@ object OracleSql {
          |         ORDER BY adc DESC, neighbor_id) AS ark FROM sc),
          |rr AS (SELECT query_id, neighbor_id,
          |         round(list_inner_product(qv,cv)/sqrt(qn*cn), 5) AS cosine
-         |       FROM sh WHERE ark <= 40)
+         |       FROM sh WHERE ark <= 160)
          |SELECT query_id, neighbor_id, cosine, rk::INT AS rk FROM (
          | SELECT *, row_number() OVER (PARTITION BY query_id
          |   ORDER BY cosine DESC, neighbor_id) AS rk FROM rr) t

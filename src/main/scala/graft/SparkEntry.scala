@@ -602,11 +602,18 @@ object SparkEntry {
 
     // ── PQ ANN: asymmetric-distance compressed-domain scan (per-subspace
     //    KMeans codebook frozen as literals) + exact cosine rerank of the
-    //    overfetch*k-deep shortlist (4k = 40 here, matching the oracle) ───────────────────────────────────────────────
+    //    overfetch*k-deep shortlist (16k = 160, matching the oracle).
+    //    Operating point from the build-time sweep (tools/SweepAnn):
+    //    M8K16/overfetch=16 → recall@10 0.90-0.92 (floor ≥0.8 pinned in
+    //    DedupSimSpec), wall flat vs overfetch=4 (which sat at 0.60);
+    //    the rerank depth is corpus-size-independent (160 exact dots
+    //    per query at any scale). The finer M8K64 codebook reaches the
+    //    floor at overfetch=8 but ~3x the encode codegen — documented
+    //    alternative, also floor-asserted ──────────────────────────────
     "s03_pq_ann" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.pqTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
-          graft.sim.PqCodebook.M8K16, k = 10, overfetch = 4)
+          graft.sim.PqCodebook.M8K16, k = 10, overfetch = 16)
         .orderBy(col("query_id"), col("rk"))
     }),
 

@@ -33,6 +33,18 @@ object SweepAnn {
       val recall = got.intersect(brute).size.toDouble / brute.size
       println(f"[sweep] nProbe=$nProbe%2d overfetch=$overfetch%2d recall@10=$recall%.3f wall=$dt%.2fs")
     }
+    // pure-PQ (s03) operating point: codebook granularity × overfetch
+    for ((cbName, cb) <- Seq("M8K16" -> graft.sim.PqCodebook.M8K16,
+                             "M8K64" -> graft.sim.PqCodebook.M8K64);
+         overfetch <- Seq(4, 8, 16)) {
+      val t0 = System.nanoTime()
+      val got = Similarity.pqTopK(q, emb, "vec_id", "embedding",
+          cb, k = 10, overfetch = overfetch)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dt = (System.nanoTime() - t0) / 1e9
+      val recall = got.intersect(brute).size.toDouble / brute.size
+      println(f"[sweep-pq] cb=$cbName overfetch=$overfetch%2d recall@10=$recall%.3f wall=$dt%.2fs")
+    }
     spark.stop()
   }
 }

@@ -152,20 +152,29 @@ class DedupSimSpec extends AnyFunSuite {
 
   test("PQ ANN: ADC shortlist + exact rerank recovers brute-force top-k (s03 contract)") {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
-    val pq = Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
-      "vec_id", "embedding", graft.sim.PqCodebook.M8K16, k = 10,
-      overfetch = 4).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
       "vec_id", "embedding", k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pq.nonEmpty && pq.size <= 50)
-    val recall = pq.intersect(brute).size.toDouble / brute.size
-    info(f"PQ recall@10 (m=8, k*=16, overfetch 4): $recall%.2f")
-    // 8-byte codes for 256-byte vectors: the 4k-deep ADC shortlist must
-    // still surface most of the exact top-k for rerank (measured 0.6 —
-    // honest compression loss on near-random gaussian embeddings)
-    assert(recall >= 0.5, s"PQ recall too low: $recall")
+    def recallOf(cb: Array[Array[Array[Double]]], overfetch: Int): Double = {
+      val pq = Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", cb, k = 10, overfetch = overfetch).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pq.nonEmpty && pq.size <= 50)
+      pq.intersect(brute).size.toDouble / brute.size
+    }
+    // the pinned s03 operating point (tools/SweepAnn sweep): measured
+    // 0.92 at sf0.01 / 0.90 at sf0.001 — the 16k-deep exact rerank is
+    // corpus-size-INDEPENDENT (160 exact dots per query at any scale)
+    val recall = recallOf(graft.sim.PqCodebook.M8K16, 16)
+    info(f"PQ recall@10 (m=8, k*=16, overfetch 16): $recall%.2f")
+    assert(recall >= 0.8, s"PQ recall below the pinned floor: $recall")
+    // the swept alternative: the finer M8K64 quantizer reaches the same
+    // floor at HALF the shortlist depth (better ADC fidelity, measured
+    // 1.00/0.84 at overfetch=8) but ~3x the codegen'd encode cost —
+    // kept as the documented trade if rerank depth ever binds at scale
+    val recall64 = recallOf(graft.sim.PqCodebook.M8K64, 8)
+    info(f"PQ recall@10 (m=8, k*=64, overfetch 8): $recall64%.2f")
+    assert(recall64 >= 0.8, s"M8K64 PQ recall below floor: $recall64")
     // codes must use the codebook's range, or ADC degenerates
     val distinctCodes = emb.select(
         Similarity.pqEncode(col("embedding"), graft.sim.PqCodebook.M8K16).as("c"))
