@@ -99,4 +99,62 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(again === first)
   }
+
+  // ── Skew resilience of the per-series consecutive-run families ──────
+  // (g04tb/g0*wb/c01b shape): the groupers are only as balanced as the
+  // series-key distribution, so the fit-prefix caps are the straggler
+  // bound. This fixture gives ONE series ~100x the median rows and
+  // crams everything into a single input partition; the caps must bind
+  // PER SERIES — the straggler is truncated to the cap while its
+  // co-partitioned small series keep every row.
+  test("skewed series: fit-prefix caps bound the straggler per series, not per partition") {
+    val s = spark
+    import s.implicits._
+    def mkSeries(sid: Long, n: Int, seed: Long): Seq[(Long, Long, Double)] = {
+      val rnd = new scala.util.Random(seed)
+      var p = 100.0
+      (1 to n).map { t => p *= math.exp(rnd.nextGaussian() * 0.01); (sid, t.toLong, p) }
+    }
+    val skewed = (mkSeries(0L, 20000, 1) ++ mkSeries(1L, 200, 2) ++
+        mkSeries(2L, 170, 3))
+      .toDF("user_id", "t", "price")
+      .repartition(1) // worst case: straggler shares its partition
+      .cache()
+    skewed.count()
+
+    // featuresGrouped: per-series prefix cap — straggler clipped to the
+    // cap, co-partitioned small series complete (cap-1 returns / full)
+    val feat = graft.gen.RegimeConditional.featuresGrouped(
+        skewed, "user_id", Seq("t"), "price", maxRowsPerSeries = 500)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(feat(0L) <= 500L, s"straggler not capped: ${feat(0L)}")
+    // (±1-2 rows: the NaN/first-return feature filters, not the cap)
+    assert(feat(1L) >= 195L && feat(1L) <= 199L,
+      s"small series truncated: ${feat(1L)}")
+    assert(feat(2L) >= 165L && feat(2L) <= 169L)
+
+    // emStepGrouped: the mapPartitions fit buffers at most n rows per
+    // series — every series (straggler included) emits exactly one model
+    val em = graft.gen.RegimeConditional.emStepGrouped(
+        skewed, "user_id", Seq("t"), "price", k = 3, n = 100)
+      .filter(col("param") === "ll")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(em === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+
+    // Spectral.distanceGrouped: the straggler's spectrum is truncated to
+    // maxPoints WITH the capped flag set; small series stay exact with
+    // capped=0 even in the same partition
+    val spec = graft.stats.Spectral.distanceGrouped(
+        skewed.filter(col("t") % 2 === 0), skewed.filter(col("t") % 2 === 1),
+        "user_id", Seq("t"), "price", maxPoints = 128)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("nk"), max(col("capped")).as("capped"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // series 0: halves have 9999+ returns -> capped 128-point prefix
+    // series 1: halves have 99 returns -> full 99-point spectrum
+    // series 2: halves have 84 returns -> full 84-point spectrum
+    assert(spec === Set((0L, 128L, 1), (1L, 99L, 0), (2L, 84L, 0)))
+  }
 }
