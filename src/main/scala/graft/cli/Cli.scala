@@ -40,6 +40,8 @@ object Cli {
     case "generate" => runGenerate(spark, cfg)
     case "evaluate" => runEvaluate(spark, cfg)
     case "optimize" => runOptimize(spark, cfg)
+    case "tolerance" => runTolerance(spark, cfg, v2 = false)
+    case "tolerance_v2" => runTolerance(spark, cfg, v2 = true)
     case m => throw new IllegalArgumentException(s"unknown mode $m")
   }
 
@@ -172,6 +174,12 @@ object Cli {
         graft.eval.CompositeMetric.scoreDf(real, synth, Order, Price)
       case e => throw new IllegalArgumentException(s"unknown evaluator $e")
     }
+    writeMetricsJson(metrics, cfg.str("metrics_out"))
+  }
+
+  /** S4-shape single-record metrics JSON (shared by evaluate/tolerance). */
+  private def writeMetricsJson(metrics: org.apache.spark.sql.DataFrame,
+                               path: String): Unit = {
     val row = metrics.first()
     val json = metrics.columns.zipWithIndex.map { case (c, i) =>
       val v = row.get(i) match {
@@ -181,8 +189,51 @@ object Cli {
       }
       s""""$c": $v"""
     }.mkString("{", ", ", "}")
-    Files.writeString(Paths.get(cfg.str("metrics_out")), json)
-    System.err.println(s"[graft] metrics -> ${cfg.str("metrics_out")}")
+    Files.writeString(Paths.get(path), json)
+    System.err.println(s"[graft] metrics -> $path")
+  }
+
+  /** measure_tolerance.py / measure_tolerance_v2.py entry points: split
+    * the input 60/20/20 by time, run the block-bootstrap tolerance
+    * harness (v1: per-seed augmented retrains against a cached
+    * baseline; v2: ONE fixed predictor scored across seed-varied
+    * synthetic test sets), write the summary record as metrics JSON.
+    * Knobs: n_seeds, n_samples, block_size, tol_window (harness window,
+    * default 24 as in the reference scripts), max_iter. */
+  def runTolerance(spark: SparkSession, cfg: GraftConfig, v2: Boolean): Unit = {
+    val data = loadInput(spark, cfg)
+    val n = data.count()
+    require(n >= 50, s"tolerance needs a real series (got $n rows)")
+    // global row_number is fine here: the CLI contract is one bounded
+    // series (the reference scripts read one CSV); per-series tolerance
+    // at scale goes through the library API, not this entry point
+    val w = org.apache.spark.sql.expressions.Window.orderBy(Order.map(col): _*)
+    val idx = data.withColumn("__i", row_number().over(w)).cache()
+    val nTrain = (n * 0.6).toLong; val nVal = (n * 0.2).toLong
+    val train = idx.filter(col("__i") <= nTrain).drop("__i")
+    val valid = idx.filter(col("__i") > nTrain && col("__i") <= nTrain + nVal)
+      .drop("__i")
+    val test = idx.filter(col("__i") > nTrain + nVal).drop("__i")
+    val nSeeds = cfg.strOpt("n_seeds").map(_.toInt).getOrElse(if (v2) 8 else 10)
+    val winSize = cfg.strOpt("tol_window").map(_.toInt).getOrElse(24)
+    val maxIter = cfg.strOpt("max_iter").map(_.toInt).getOrElse(20)
+    val nSamples = cfg.int("n_samples")
+    val blockSize = cfg.int("block_size")
+    val metrics =
+      if (v2)
+        graft.eval.ToleranceMeasure.blockBootstrapToleranceV2(
+          train, valid, Order, Price, nSeeds = nSeeds, nSamples = nSamples,
+          blockSize = blockSize, windowSize = winSize, maxIter = maxIter)
+      else {
+        val cache = cfg.strOpt("baseline_cache").getOrElse(
+          Files.createTempDirectory("graft_tol").resolve("baseline.json").toString)
+        graft.eval.ToleranceMeasure.blockBootstrapTolerance(
+          spark, train, valid, test, Order, Price, cache, nSeeds = nSeeds,
+          nSamples = nSamples, blockSize = blockSize, windowSize = winSize,
+          maxIter = maxIter)
+      }
+    writeMetricsJson(metrics, cfg.str("metrics_out"))
+    idx.unpersist()
   }
 
   def runOptimize(spark: SparkSession, cfg: GraftConfig): Unit = {

@@ -235,6 +235,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(metrics.contains("\"quality_score\""))
   }
 
+  test("CLI tolerance + tolerance_v2: entry-point twins of the measure scripts") {
+    val dir = java.nio.file.Files.createTempDirectory("grafttol").toString
+    val data = SparkSpec.randomWalk(420, seed = 37).select("DATE_TIME", "typical_price")
+    graft.io.CsvIO.saveCsv(data, s"$dir/real")
+    val realCsv = new java.io.File(s"$dir/real").listFiles()
+      .filter(_.getName.endsWith(".csv")).head.getPath
+    val fast = Map("input" -> realCsv, "n_seeds" -> "2", "n_samples" -> "60",
+      "block_size" -> "10", "tol_window" -> "8", "max_iter" -> "3")
+
+    Cli.run(spark, GraftConfig.defaults ++ fast ++ Map(
+      "mode" -> "tolerance_v2", "metrics_out" -> s"$dir/tol2.json"))
+    val v2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/tol2.json")))
+    assert(v2.contains("\"real_val_mae\"") && v2.contains("\"syn_mae_mean\"")
+      && v2.contains("\"recommended_tolerance_margin\""))
+
+    Cli.run(spark, GraftConfig.defaults ++ fast ++ Map(
+      "mode" -> "tolerance", "metrics_out" -> s"$dir/tol1.json"))
+    val v1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/tol1.json")))
+    assert(v1.contains("\"fitness_mean\"")
+      && v1.contains("\"recommended_tolerance_margin\""))
+  }
+
   test("CLI --series_col: grasynda and regime walks generate per series") {
     import org.apache.spark.sql.functions.lit
     val dir = java.nio.file.Files.createTempDirectory("graftsc").toString

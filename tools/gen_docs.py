@@ -165,6 +165,31 @@ family (q14/q15/q30/q30f) and the predictive pipeline (q32) are fully
 partitioned: chunked halo-replicated supervised windows, label-
 partitioned return lags, agg+broadcast totals.
 """)
+        # 10x series-count scale experiment (graft.tools.ScaleBench):
+        # measured sf0.1 vs replicated-10x walls for the per-series family
+        spath = os.path.join(ROOT, "BENCH_SF1.json")
+        if os.path.exists(spath):
+            try:
+                sdata = json.load(open(spath))
+                factor = sdata.get("factor")
+                f.write(f"""
+## {factor}x series-count scale run (`graft.tools.ScaleBench`)
+
+sf0.1 events replicated {factor}x with disjoint user_id ranges (series
+count x{factor}, per-series length fixed — the many-series shape the
+per-series families are built for). Min-of-2 walls per cell, local[32].
+A ratio near {factor} is linear in work at fixed parallelism; well
+UNDER {factor} means the extra series filled idle cores (the plan
+scales out); far over {factor} would be a plan bug.
+
+| query | sf0.1 s | x{factor} s | ratio |
+|---|---|---|---|
+""")
+                for q, r in sorted(sdata.get("queries", {}).items()):
+                    f.write(f"| {q} | {r['base_sec']:.2f} | {r['scaled_sec']:.2f} "
+                            f"| {r['ratio']:.2f} |\n")
+            except (ValueError, KeyError) as e:
+                f.write(f"\n(BENCH_SF1.json unreadable: {e})\n")
     print(f"wrote COVERAGE_GATE.md + BENCH_NOTES.md from round {rnd} artifacts "
           f"({n_pass} pass / {n_fail} fail / {n_none} rows-only; "
           f"{f'{total:.2f}s' if total is not None else 'partial bench'})")
