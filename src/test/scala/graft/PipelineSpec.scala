@@ -115,6 +115,19 @@ class PipelineSpec extends AnyFunSuite {
       Codecs.decodeAvi(good.take(260))) // truncated mid-movi frame payload
     // a missing idx1 TAIL is tolerated (index is optional), movi intact
     assert(Codecs.decodeAvi(good.take(good.length - 20)).nFrames === 1)
+
+    // AVI property sweep: round-trip across dims/frame-counts/sizes,
+    // including odd frame lengths (RIFF pad) and varying payloads
+    val prnd = new scala.util.Random(11)
+    for (_ <- 1 to 25) {
+      val w = 1 + prnd.nextInt(32); val h = 1 + prnd.nextInt(24)
+      val nf = 1 + prnd.nextInt(6)
+      val fl = 1 + prnd.nextInt(3 * w * h)
+      val fs = Vector.fill(nf)(Array.fill[Byte](fl)(prnd.nextInt(256).toByte))
+      val rt = Codecs.decodeAvi(Codecs.encodeAvi(w, h, 1 + prnd.nextInt(60), fs))
+      assert(rt.width === w && rt.height === h && rt.nFrames === nf)
+      assert(rt.frames.map(_.toSeq) === fs.map(_.toSeq))
+    }
   }
 
   test("G1 decoder generator: deterministic, partitioning-independent, n rows") {

@@ -167,11 +167,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "found an un-partitioned window in the per-series evaluator")
   }
 
-  test("c01b per-series DFT keys every stage on the series") {
+  test("c01b per-series FFT: keyed stages, bounded exchanges, no join") {
     val p = plan("c01b_spectral_per_user")
     assert(!p.contains("CartesianProduct"))
     assert(!"Window .*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined,
-      "found an un-partitioned window in the per-series DFT")
+      "found an un-partitioned window in the per-series FFT")
+    // the FFT shape is: one (sid, lab) window exchange for logReturns/t,
+    // one repartition(sid) for the consecutive-run grouping, plus the
+    // final global sort — no joins, no per-k exploded frame
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges")
+    assert(!finalPlan.contains("Join"), "per-series FFT must not join")
   }
 
   test("g05b per-(series, regime) GARCH keys every stage, no single partition") {
