@@ -133,7 +133,10 @@ object Codecs {
     * BITMAPINFOHEADER strf), LIST movi with one `00db` chunk per
     * frame, and a full idx1 (offsets relative to the movi list data,
     * AVIIF_KEYFRAME on every uncompressed frame). Frame payloads are
-    * raw DIB pixel bytes; odd-length frames get the RIFF pad byte. */
+    * raw pixel bytes and `biSizeImage` declares exactly 3wh — rows are
+    * NOT 4-byte padded (the engine's own convention, honored by
+    * [[decodeAvi]], which takes frame extents from chunk lengths, never
+    * from stride arithmetic); odd-length frames get the RIFF pad byte. */
   def encodeAvi(width: Int, height: Int, fps: Int,
                 frames: Seq[Array[Byte]]): Array[Byte] = {
     require(width > 0 && height > 0 && fps > 0, "bad AVI geometry")
@@ -222,7 +225,14 @@ object Codecs {
         if (id == "00db" || id == "00dc") {
           val f = new Array[Byte](len); bb.get(f)
           frames += f; nFrames += 1
-        } else bb.position(bb.position() + len) // rec LISTs, other streams
+        } else if (id == "LIST") {
+          // interleave-grouped files nest frame chunks inside 'rec '
+          // LISTs — recurse so grouped frames aren't silently dropped
+          val childEnd = bb.position() + len
+          val listType = tag()
+          if (listType == "rec ") walkMovi(childEnd)
+          else bb.position(childEnd)
+        } else bb.position(bb.position() + len) // other streams, junk
         if ((len & 1) == 1 && bb.position() < end) bb.get() // RIFF pad
       }
     while (bb.remaining() >= 8) {

@@ -115,6 +115,23 @@ class PipelineSpec extends AnyFunSuite {
       Codecs.decodeAvi(good.take(260))) // truncated mid-movi frame payload
     // a missing idx1 TAIL is tolerated (index is optional), movi intact
     assert(Codecs.decodeAvi(good.take(good.length - 20)).nFrames === 1)
+    // interleave-grouped variance: a frame nested inside a 'rec ' LIST
+    // (hand-spliced; RIFF + movi sizes patched) must still demux
+    val moviOff = 212 // 12 RIFF hdr + 200 hdrl
+    val chunkOff = moviOff + 12
+    val chunkLen = 8 + f0.length
+    val le = java.nio.ByteOrder.LITTLE_ENDIAN
+    val withRec = java.nio.ByteBuffer.allocate(good.length + 12).order(le)
+      .put(good, 0, chunkOff)
+      .put("LIST".getBytes("US-ASCII")).putInt(4 + chunkLen)
+      .put("rec ".getBytes("US-ASCII"))
+      .put(good, chunkOff, good.length - chunkOff).array()
+    for (off <- Seq(4, moviOff + 4)) { // grow RIFF + movi declared sizes
+      val bb2 = java.nio.ByteBuffer.wrap(withRec, off, 4).order(le)
+      val cur = bb2.getInt; bb2.position(bb2.position() - 4); bb2.putInt(cur + 12)
+    }
+    val recAvi = Codecs.decodeAvi(withRec)
+    assert(recAvi.nFrames === 1 && recAvi.frames(0).toSeq === f0.toSeq)
 
     // AVI property sweep: round-trip across dims/frame-counts/sizes,
     // including odd frame lengths (RIFF pad) and varying payloads
