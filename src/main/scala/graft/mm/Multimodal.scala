@@ -182,8 +182,13 @@ object Multimodal {
           case _ =>
             var avi = Codecs.decodeAvi(m.bytes)
             var enc = m.bytes
+            // dim-halving only applies to raw 3wh DIB payloads (this
+            // engine's convention); foreign frame encodings (e.g. 00dc
+            // compressed) can still shrink by frame dropping, then stop
+            def rawDib = avi.frames.forall(_.length == 3 * avi.width * avi.height)
             while (enc.length > maxBytes &&
-                   (avi.frames.length > 1 || avi.width > 1 || avi.height > 1)) {
+                   (avi.frames.length > 1 ||
+                    ((avi.width > 1 || avi.height > 1) && rawDib))) {
               avi =
                 if (avi.frames.length > 1) // drop every other frame first
                   avi.copy(frames =

@@ -132,6 +132,20 @@ class PipelineSpec extends AnyFunSuite {
     }
     val recAvi = Codecs.decodeAvi(withRec)
     assert(recAvi.nFrames === 1 && recAvi.frames(0).toSeq === f0.toSeq)
+    // resize on NON-raw-DIB frames (length != 3wh, e.g. a foreign
+    // codec): frame dropping still applies, dim-halving must NOT touch
+    // the payload bytes (no corrupting pixel arithmetic), and the loop
+    // terminates at one frame
+    val foreign = graft.mm.MediaRow(99L, "video",
+      Codecs.encodeAvi(4, 4, 10, Seq.fill(8)(odd)), "t")
+    val shrunk = Multimodal.resize(
+      spark.createDataset(Seq(foreign))(
+        org.apache.spark.sql.Encoders.product[graft.mm.MediaRow]),
+      maxBytes = 300).collect().head
+    val shrunkAvi = Codecs.decodeAvi(shrunk.bytes)
+    assert(shrunkAvi.nFrames === 1)
+    assert(shrunkAvi.frames(0).toSeq === odd.toSeq, "foreign payload mutated")
+    assert(shrunkAvi.width === 4 && shrunkAvi.height === 4)
 
     // AVI property sweep: round-trip across dims/frame-counts/sizes,
     // including odd frame lengths (RIFF pad) and varying payloads
