@@ -3748,6 +3748,166 @@ object OracleSql {
         |JOIN kv k ON k.sid = f.sid
         |ORDER BY user_id""".stripMargin,
 
+    // PER-SERIES FULL composite (q31c): the q31b 9-component machinery
+    // + the q16b hurst R/S replay keyed (sid, half) on PRICES + the
+    // c01b spectral-distance replay (distance CTEs only), joined on the
+    // series; composite_score is the weighted sum of the ROUNDED
+    // components in the reference's weight-table order (/ 18.5)
+    "q31c_composite_full_per_user" ->
+      """WITH u0 AS (SELECT user_id::BIGINT AS sid, (event_id % 2 = 0) AS is_real,
+        |              ts, event_id,
+        |              ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |                OVER (PARTITION BY user_id, (event_id % 2 = 0)
+        |                      ORDER BY ts, event_id) AS ret
+        |            FROM events),
+        |ur AS (SELECT sid, is_real, ts, event_id, ret FROM u0 WHERE ret IS NOT NULL),
+        |rng AS (SELECT sid, min(ret) AS lo, max(ret) AS hi FROM ur GROUP BY sid),
+        |cb AS (SELECT u.sid, least(floor((ret - lo)/(hi - lo)*99), 98)::INT AS bucket,
+        |         sum(CASE WHEN is_real THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN is_real THEN 0 ELSE 1 END) AS cb_
+        |       FROM ur u JOIN rng r ON r.sid = u.sid GROUP BY 1, 2),
+        |bins AS (SELECT sid, unnest(generate_series(0,98)) AS bucket FROM rng),
+        |h AS (SELECT b.sid, b.bucket, coalesce(ca,0)::BIGINT AS ca,
+        |        coalesce(cb_,0)::BIGINT AS cb_
+        |      FROM bins b LEFT JOIN cb ON cb.sid = b.sid AND cb.bucket = b.bucket),
+        |sm AS (SELECT sid, ca::DOUBLE / sum(ca) OVER (PARTITION BY sid) + 1e-10 AS pa_raw,
+        |         cb_::DOUBLE / sum(cb_) OVER (PARTITION BY sid) + 1e-10 AS pb_raw FROM h),
+        |pp AS (SELECT sid, pa_raw / sum(pa_raw) OVER (PARTITION BY sid) AS pa,
+        |         pb_raw / sum(pb_raw) OVER (PARTITION BY sid) AS pb FROM sm),
+        |jsv AS (SELECT sid, sqrt(sum(pa*ln(pa/((pa+pb)/2)))*0.5
+        |             + sum(pb*ln(pb/((pa+pb)/2)))*0.5) AS js FROM pp GROUP BY sid),
+        |pv AS (SELECT sid, ret AS v, sum(CASE WHEN is_real THEN 1 ELSE 0 END) AS na,
+        |         sum(CASE WHEN is_real THEN 0 ELSE 1 END) AS nb
+        |       FROM ur GROUP BY sid, ret),
+        |ec AS (SELECT sid,
+        |         sum(na) OVER wr::DOUBLE / sum(na) OVER (PARTITION BY sid) AS fa,
+        |         sum(nb) OVER wr::DOUBLE / sum(nb) OVER (PARTITION BY sid) AS fb
+        |       FROM pv
+        |       WINDOW wr AS (PARTITION BY sid ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |kv AS (SELECT sid, max(abs(fa - fb)) AS ks FROM ec GROUP BY sid),
+        |lg AS (SELECT sid, is_real, ret, lag(ret,1) OVER wl AS l1,
+        |         lag(ret,5) OVER wl AS l5, lag(ret,24) OVER wl AS l24
+        |       FROM ur WINDOW wl AS (PARTITION BY sid, is_real ORDER BY ts, event_id)),
+        |ac0 AS (SELECT sid, is_real, coalesce(corr(ret,l1),0.0) AS ac1,
+        |          coalesce(corr(ret,l5),0.0) AS ac5, coalesce(corr(ret,l24),0.0) AS ac24,
+        |          coalesce(corr(abs(ret),abs(l1)),0.0) AS vc,
+        |          avg(ret) AS mean, stddev_pop(ret) AS std
+        |        FROM lg GROUP BY sid, is_real),
+        |zk AS (SELECT l.sid, l.is_real,
+        |         avg(pow((l.ret - a.mean)/a.std, 3)) AS skew,
+        |         avg(pow((l.ret - a.mean)/a.std, 4)) AS kurt_raw
+        |       FROM ur l JOIN ac0 a ON a.sid = l.sid AND a.is_real = l.is_real
+        |       GROUP BY l.sid, l.is_real),
+        |fin AS (SELECT a.sid,
+        |    max(CASE WHEN a.is_real THEN a.ac1 END) AS rac1,
+        |    max(CASE WHEN NOT a.is_real THEN a.ac1 END) AS sac1,
+        |    max(CASE WHEN a.is_real THEN a.ac5 END) AS rac5,
+        |    max(CASE WHEN NOT a.is_real THEN a.ac5 END) AS sac5,
+        |    max(CASE WHEN a.is_real THEN a.ac24 END) AS rac24,
+        |    max(CASE WHEN NOT a.is_real THEN a.ac24 END) AS sac24,
+        |    max(CASE WHEN a.is_real THEN a.vc END) AS rvc,
+        |    max(CASE WHEN NOT a.is_real THEN a.vc END) AS svc,
+        |    max(CASE WHEN a.is_real THEN a.std END) AS rstd,
+        |    max(CASE WHEN NOT a.is_real THEN a.std END) AS sstd,
+        |    max(CASE WHEN z.is_real THEN z.skew END) AS rskew,
+        |    max(CASE WHEN NOT z.is_real THEN z.skew END) AS sskew,
+        |    max(CASE WHEN z.is_real THEN z.kurt_raw END) AS rkurt,
+        |    max(CASE WHEN NOT z.is_real THEN z.kurt_raw END) AS skurt
+        |  FROM ac0 a JOIN zk z ON z.sid = a.sid AND z.is_real = a.is_real
+        |  GROUP BY a.sid),
+        |hx AS (SELECT user_id::BIGINT AS sid, (event_id % 2 = 0) AS is_real, value AS x,
+        |         row_number() OVER (PARTITION BY user_id, (event_id % 2 = 0)
+        |           ORDER BY ts, event_id) - 1 AS rn,
+        |         count(*) OVER (PARTITION BY user_id, (event_id % 2 = 0)) AS n
+        |       FROM events),
+        |hwl AS (SELECT hx.sid, hx.is_real, hx.x, hx.rn, l.lag, floor(hx.rn / l.lag) AS seg
+        |        FROM hx, (SELECT unnest(generate_series(2,100)) AS lag) l
+        |        WHERE l.lag <= hx.n // 4),
+        |hcm1 AS (SELECT sid, is_real, lag, seg, rn, x,
+        |           avg(x) OVER (PARTITION BY sid, is_real, lag, seg) AS m FROM hwl),
+        |hcm2 AS (SELECT sid, is_real, lag, seg, x,
+        |           sum(x - m) OVER (PARTITION BY sid, is_real, lag, seg ORDER BY rn
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumdev
+        |         FROM hcm1),
+        |hps AS (SELECT sid, is_real, lag, seg, count(*)::BIGINT AS cnt,
+        |          max(cumdev) - min(cumdev) AS r, stddev_pop(x) AS s
+        |        FROM hcm2 GROUP BY sid, is_real, lag, seg),
+        |hpl AS (SELECT sid, is_real, lag, avg(r/s) AS rs_mean FROM hps
+        |        WHERE cnt = lag AND s > 1e-12 GROUP BY sid, is_real, lag),
+        |hsl AS (SELECT sid, is_real,
+        |          round(coalesce(least(greatest(
+        |            regr_slope(ln(rs_mean), ln(lag::DOUBLE)), 0.0), 1.0), 0.5), 4) AS hurst
+        |        FROM hpl WHERE rs_mean > 0 GROUP BY sid, is_real),
+        |hv AS (SELECT * FROM (
+        |         SELECT sid, max(CASE WHEN is_real THEN hurst END) AS hr,
+        |           max(CASE WHEN NOT is_real THEN hurst END) AS hs
+        |         FROM hsl GROUP BY sid) t
+        |       WHERE hr IS NOT NULL AND hs IS NOT NULL),
+        |s_rr AS (SELECT sid, is_real,
+        |           row_number() OVER (PARTITION BY sid, is_real ORDER BY ts, event_id) - 1 AS t,
+        |           ret
+        |         FROM ur),
+        |s_le AS (SELECT sid, least(sum(CASE WHEN is_real THEN 1 ELSE 0 END),
+        |                           sum(CASE WHEN is_real THEN 0 ELSE 1 END))::BIGINT AS n0,
+        |                least(least(sum(CASE WHEN is_real THEN 1 ELSE 0 END),
+        |                            sum(CASE WHEN is_real THEN 0 ELSE 1 END)),
+        |                      1048576)::INT AS n
+        |         FROM s_rr GROUP BY sid
+        |         HAVING least(sum(CASE WHEN is_real THEN 1 ELSE 0 END),
+        |                      sum(CASE WHEN is_real THEN 0 ELSE 1 END)) > 0),
+        |s_r2 AS (SELECT r.sid, r.is_real, r.t, r.ret, l.n
+        |         FROM s_rr r JOIN s_le l ON l.sid = r.sid WHERE r.t < l.n),
+        |s_ks AS (SELECT sid, unnest(generate_series(0, n//2)) AS k FROM s_le),
+        |s_sp AS (SELECT r.sid, r.is_real, k.k,
+        |           sum(ret * cos(-2.0*pi()*k.k*r.t/r.n)) AS re,
+        |           sum(ret * sin(-2.0*pi()*k.k*r.t/r.n)) AS im
+        |         FROM s_r2 r JOIN s_ks k ON k.sid = r.sid
+        |         GROUP BY r.sid, r.is_real, k.k),
+        |s_pw0 AS MATERIALIZED (SELECT sid, is_real, k, re*re + im*im AS p FROM s_sp),
+        |s_pw AS (SELECT sid, is_real, k, p FROM s_pw0
+        |         UNION ALL
+        |         SELECT p0.sid, p0.is_real, l.n - p0.k AS k, p0.p
+        |         FROM s_pw0 p0 JOIN s_le l ON l.sid = p0.sid
+        |         WHERE p0.k > 0 AND p0.k < l.n - p0.k),
+        |s_ss AS (SELECT sid, is_real, sum(p) AS sp FROM s_pw GROUP BY sid, is_real),
+        |s_nm AS (SELECT w.sid, w.is_real, w.k, w.p / (s.sp + 1e-20) AS pn
+        |         FROM s_pw w JOIN s_ss s ON s.sid = w.sid AND s.is_real = w.is_real),
+        |s_pv AS (SELECT sid, k, max(CASE WHEN is_real THEN pn END) AS pa,
+        |           max(CASE WHEN NOT is_real THEN pn END) AS pb
+        |         FROM s_nm GROUP BY sid, k),
+        |s_dv AS (SELECT p.sid, sqrt(sum((pa - pb)*(pa - pb)) / max(l.n)) AS dist
+        |         FROM s_pv p JOIN s_le l ON l.sid = p.sid GROUP BY p.sid),
+        |base AS (SELECT f.sid,
+        |  round(j.js, 8) + 0.0 AS js_divergence,
+        |  round(k.ks, 8) + 0.0 AS ks_statistic,
+        |  round(CASE WHEN abs(rac1) > 1e-6 THEN abs(sac1/rac1 - 1.0)
+        |        ELSE abs(sac1) END, 6) + 0.0 AS ac_lag1,
+        |  round(CASE WHEN abs(rac5) > 1e-6 THEN abs(sac5/rac5 - 1.0)
+        |        ELSE abs(sac5) END, 6) + 0.0 AS ac_lag5,
+        |  round(CASE WHEN abs(rac24) > 1e-6 THEN abs(sac24/rac24 - 1.0)
+        |        ELSE abs(sac24) END, 6) + 0.0 AS ac_lag24,
+        |  round(abs(h.hs - h.hr), 4) + 0.0 AS hurst_diff,
+        |  round(CASE WHEN abs(rvc) > 1e-6 THEN abs(svc/rvc - 1.0)
+        |        ELSE abs(svc) END, 6) + 0.0 AS vol_cluster,
+        |  round(d.dist, 8) + 0.0 AS spectral,
+        |  round(abs(sskew - rskew), 6) + 0.0 AS skew_diff,
+        |  round(abs(skurt - rkurt)/greatest(rkurt, 1.0), 6) + 0.0 AS kurt_diff,
+        |  round(abs(sstd/rstd - 1.0), 6) + 0.0 AS std_ratio
+        |FROM fin f
+        |JOIN jsv j ON j.sid = f.sid
+        |JOIN kv k ON k.sid = f.sid
+        |JOIN hv h ON h.sid = f.sid
+        |JOIN s_dv d ON d.sid = f.sid)
+        |SELECT sid AS user_id, js_divergence, ks_statistic, ac_lag1, ac_lag5,
+        |  ac_lag24, hurst_diff, vol_cluster, spectral, skew_diff, kurt_diff,
+        |  std_ratio,
+        |  round((js_divergence*3.0 + ks_statistic*2.0 + ac_lag1*2.0
+        |    + ac_lag5*1.5 + ac_lag24*1.0 + hurst_diff*2.0 + vol_cluster*1.5
+        |    + spectral*1.5 + skew_diff*1.0 + kurt_diff*1.0 + std_ratio*2.0)
+        |    / 18.5, 6) + 0.0 AS composite_score
+        |FROM base ORDER BY user_id""".stripMargin,
+
     // PER-SERIES DistributionEvaluator core: the q30f pipeline replayed
     // PARTITION BY user with the even/odd event_id split — per-user JS
     // (100 bins over the per-user combined support, +1e-10 smoothing,

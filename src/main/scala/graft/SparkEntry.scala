@@ -1238,6 +1238,37 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ── PER-SERIES FULL composite: all 11 reference components + the
+    //    weighted composite_score per user — the formerly driver-bounded
+    //    hurst (per-half grouped R/S) and spectral (per-series FFT) legs
+    //    now keyed end-to-end. The score is recomputed here from the
+    //    ROUNDED components in the reference's weight-table order so the
+    //    weighted fold is bit-reproducible in both engines ─────────────
+    "q31c_composite_full_per_user" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val r = graft.eval.CompositeMetric.scoreGroupedFull(
+          e.filter(col("event_id") % 2 === 0),
+          e.filter(col("event_id") % 2 === 1),
+          "user_id", Seq("ts", "event_id"), "value")
+        .select(col("user_id"),
+          round(col("js_divergence"), 8).as("js_divergence"),
+          round(col("ks_statistic"), 8).as("ks_statistic"),
+          round(col("ac_lag1"), 6).as("ac_lag1"),
+          round(col("ac_lag5"), 6).as("ac_lag5"),
+          round(col("ac_lag24"), 6).as("ac_lag24"),
+          round(col("hurst_diff"), 4).as("hurst_diff"),
+          round(col("vol_cluster"), 6).as("vol_cluster"),
+          round(col("spectral"), 8).as("spectral"),
+          round(col("skew_diff"), 6).as("skew_diff"),
+          round(col("kurt_diff"), 6).as("kurt_diff"),
+          round(col("std_ratio"), 6).as("std_ratio"))
+      val weighted = graft.eval.CompositeMetric.WeightOrder
+        .map { case (c, wt) => col(c) * lit(wt) }.reduce(_ + _) /
+        lit(graft.eval.CompositeMetric.WeightOrder.map(_._2).sum)
+      r.withColumn("composite_score", round(weighted, 6))
+        .orderBy(col("user_id"))
+    }),
+
     // ── PER-SERIES DistributionEvaluator core: one metric record per
     //    user (real = even event_ids, synth = odd — a non-empty split
     //    within every series at every SF); every stage keyed on the

@@ -186,6 +186,51 @@ object CompositeMetric {
         abs(col("sstd") / col("rstd") - 1.0).as("std_ratio"))
   }
 
+  /** PER-SERIES FULL composite: all 11 reference components + the
+    * weighted composite score, one row per series — the complete
+    * composite_metric.py record at many-series scale. Extends
+    * [[scoreGrouped]]'s 9 SQL-expressible components with the two
+    * formerly driver-bounded legs, both now keyed end-to-end:
+    * hurst per (series, half) on PRICES via
+    * [[SeriesStats.hurstGrouped]] (hurst_diff = |h_synth − h_real|,
+    * each side rounded to 4 as the grouped estimator emits) and
+    * spectral distance per series via [[Spectral.distanceGrouped]]'s
+    * in-partition FFT. Series too short for the R/S fit (fewer than 8
+    * return rows per half) are dropped — the reference errors on such
+    * inputs; here they simply have no row. Oracle-gated by q31c.
+    * `weightOrder` fixes the fold order of the weighted sum so the
+    * score is reproducible across engines. */
+  val WeightOrder: Seq[(String, Double)] = Seq(
+    "js_divergence" -> 3.0, "ks_statistic" -> 2.0,
+    "ac_lag1" -> 2.0, "ac_lag5" -> 1.5, "ac_lag24" -> 1.0,
+    "hurst_diff" -> 2.0, "vol_cluster" -> 1.5, "spectral" -> 1.5,
+    "skew_diff" -> 1.0, "kurt_diff" -> 1.0, "std_ratio" -> 2.0)
+
+  def scoreGroupedFull(real: DataFrame, synth: DataFrame, seriesCol: String,
+                       orderCols: Seq[String], price: String): DataFrame = {
+    val core = scoreGrouped(real, synth, seriesCol, orderCols, price)
+      .withColumn(seriesCol, col(seriesCol).cast("long"))
+    def labeled(df: DataFrame, lab: String): DataFrame =
+      df.select((col(seriesCol).cast("long").as("_k") +: lit(lab).as("lab") +:
+        col(price).cast("double").as("_p") +: orderCols.map(col)): _*)
+    val hu = SeriesStats.hurstGrouped(
+      labeled(real, "real").unionByName(labeled(synth, "synth")),
+      SeriesSpec(Seq("_k", "lab"), orderCols), "_p")
+    val hpiv = hu.groupBy(col("_k")).agg(
+        max(when(col("lab") === "real", col("hurst"))).as("hr"),
+        max(when(col("lab") === "synth", col("hurst"))).as("hs"))
+      .filter(col("hr").isNotNull && col("hs").isNotNull)
+      .select(col("_k").as(seriesCol), abs(col("hs") - col("hr")).as("hurst_diff"))
+    val sp = Spectral.distanceGrouped(real, synth, seriesCol, orderCols, price)
+      .groupBy(col(seriesCol))
+      .agg(max(col("spectral_distance")).as("spectral"))
+    val withAll = core.join(hpiv, seriesCol).join(sp, seriesCol)
+    val totalW = WeightOrder.map(_._2).sum
+    val weighted = WeightOrder.map { case (c, wt) => col(c) * lit(wt) }
+      .reduce(_ + _) / lit(totalW)
+    withAll.withColumn("composite_score", weighted)
+  }
+
   /** Details as a one-row DataFrame (for sinks/views). */
   def scoreDf(real: DataFrame, synth: DataFrame, orderCols: Seq[String],
               price: String, withExpensive: Boolean = true): DataFrame = {

@@ -136,6 +136,26 @@ class EvalSpec extends AnyFunSuite {
       s"in-plan DFT $grouped vs driver FFT $exact")
   }
 
+  test("grouped FULL composite on one series matches the driver score()") {
+    import org.apache.spark.sql.functions._
+    val a = SparkSpec.randomWalk(420, seed = 51).withColumn("user_id", lit(3L))
+    val b = SparkSpec.randomWalk(420, seed = 52).withColumn("user_id", lit(3L))
+    val full = CompositeMetric.scoreGroupedFull(a, b, "user_id",
+      Seq("DATE_TIME"), "typical_price").first()
+    val (score, d) = CompositeMetric.score(a.drop("user_id"), b.drop("user_id"),
+      Seq("DATE_TIME"), "typical_price")
+    // the 9 SQL-expressible components are the same keyed pipeline
+    for (c <- Seq("js_divergence", "ks_statistic", "ac_lag1", "ac_lag5",
+        "ac_lag24", "vol_cluster", "skew_diff", "kurt_diff", "std_ratio"))
+      assert(math.abs(full.getAs[Double](c) - d(c)) < 1e-9, c)
+    // hurst: same R/S estimator, grouped side rounds each hurst to 4dp
+    assert(math.abs(full.getAs[Double]("hurst_diff") - d("hurst_diff")) < 1e-3)
+    // spectral: both sides are the FFT path
+    assert(math.abs(full.getAs[Double]("spectral") - d("spectral")) < 1e-9)
+    // weighted score: only the hurst rounding separates them
+    assert(math.abs(full.getAs[Double]("composite_score") - score) < 5e-4)
+  }
+
   test("composite metric: identical series scores ~0; different walks score worse") {
     val a = SparkSpec.randomWalk(300, seed = 5)
     val (sSame, dSame) = CompositeMetric.score(a, a, Seq("DATE_TIME"), "typical_price")

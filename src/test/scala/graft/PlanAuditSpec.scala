@@ -204,6 +204,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "found an un-partitioned window in the per-series composite")
   }
 
+  test("q31c FULL composite (hurst+spectral legs) keys every window on the series") {
+    val p = plan("q31c_composite_full_per_user")
+    assert(!p.contains("CartesianProduct"))
+    assert(!"Window .*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined,
+      "found an un-partitioned window in the full per-series composite")
+  }
+
   test("q14 exact ECDF has no un-partitioned data-sized window") {
     // the cumulative scan must run per range partition — a global
     // ordered window over the distinct support dies on continuous
