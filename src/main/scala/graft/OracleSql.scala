@@ -4148,6 +4148,65 @@ object OracleSql {
         |       (SELECT nx FROM nn)::INT AS n_real, (SELECT ny FROM nn)::INT AS n_synth
         |FROM kxx, kyy, kxy""".stripMargin,
 
+    // C9 PER-GROUP: the c02 kernel replay PARTITION BY label — per-label
+    // capped halves, per-label γ from the real side, ordered list folds
+    // (i-major) matching the Spark task's summation order
+    "c02b_mmd_per_label" ->
+      """WITH xs AS MATERIALIZED (SELECT * FROM (
+        |    SELECT label::BIGINT AS label,
+        |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS ri,
+        |      embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id % 2 = 0) t WHERE ri <= 100),
+        |ys AS MATERIALIZED (SELECT * FROM (
+        |    SELECT label::BIGINT AS label,
+        |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS ri,
+        |      embedding::DOUBLE[] AS v
+        |    FROM embeddings WHERE vec_id % 2 = 1) t WHERE ri <= 100),
+        |nn AS (SELECT label, nx, ny FROM
+        |         (SELECT label, count(*) AS nx FROM xs GROUP BY label) x
+        |         JOIN (SELECT label, count(*) AS ny FROM ys GROUP BY label) y
+        |         USING (label)
+        |       WHERE nx > 0 AND ny > 0),
+        |dxx AS MATERIALIZED (SELECT a.label, a.ri AS i, b.ri AS j,
+        |    list_aggregate(list_transform(generate_series(1, len(a.v)),
+        |      d -> (a.v[d] - b.v[d])*(a.v[d] - b.v[d])), 'sum') AS sd
+        |  FROM xs a JOIN xs b USING (label)),
+        |dyy AS MATERIALIZED (SELECT a.label, a.ri AS i, b.ri AS j,
+        |    list_aggregate(list_transform(generate_series(1, len(a.v)),
+        |      d -> (a.v[d] - b.v[d])*(a.v[d] - b.v[d])), 'sum') AS sd
+        |  FROM ys a JOIN ys b USING (label)),
+        |dxy AS MATERIALIZED (SELECT a.label, a.ri AS i, b.ri AS j,
+        |    list_aggregate(list_transform(generate_series(1, len(a.v)),
+        |      d -> (a.v[d] - b.v[d])*(a.v[d] - b.v[d])), 'sum') AS sd
+        |  FROM xs a JOIN ys b USING (label)),
+        |gm AS (SELECT d.label,
+        |         1.0/(list_aggregate(list(sd ORDER BY i, j), 'sum')
+        |              /(n.nx::DOUBLE*n.nx) + 1e-8) AS g
+        |       FROM dxx d JOIN nn n USING (label) GROUP BY d.label, n.nx),
+        |kxx AS (SELECT d.label,
+        |          list_aggregate(list(exp((-g.g)*sd) ORDER BY i, j), 'sum')
+        |            /(n.nx::DOUBLE*n.nx) AS v
+        |        FROM dxx d JOIN gm g USING (label) JOIN nn n USING (label)
+        |        GROUP BY d.label, n.nx, g.g),
+        |kyy AS (SELECT d.label,
+        |          list_aggregate(list(exp((-g.g)*sd) ORDER BY i, j), 'sum')
+        |            /(n.ny::DOUBLE*n.ny) AS v
+        |        FROM dyy d JOIN gm g USING (label) JOIN nn n USING (label)
+        |        GROUP BY d.label, n.ny, g.g),
+        |kxy AS (SELECT d.label,
+        |          list_aggregate(list(exp((-g.g)*sd) ORDER BY i, j), 'sum')
+        |            /(n.nx::DOUBLE*n.ny) AS v
+        |        FROM dxy d JOIN gm g USING (label) JOIN nn n USING (label)
+        |        GROUP BY d.label, n.nx, n.ny, g.g)
+        |SELECT n.label,
+        |  round((kxx.v + kyy.v) - 2.0*kxy.v, 8) + 0.0 AS mmd2,
+        |  round(g.g, 8) + 0.0 AS gamma,
+        |  n.nx::INT AS n_real, n.ny::INT AS n_synth
+        |FROM nn n
+        |JOIN gm g USING (label)
+        |JOIN kxx USING (label) JOIN kyy USING (label) JOIN kxy USING (label)
+        |ORDER BY label""".stripMargin,
+
     // W13: crossfade stitch — alpha ramp over the first 10 positions of
     // each non-first 100-row block (optimize_generator_v3.py:87-133)
     "w13_crossfade" ->

@@ -1064,6 +1064,22 @@ object SparkEntry {
           round(col("gamma"), 8).as("gamma"), col("n_real"), col("n_synth"))
     }),
 
+    // ── C9 PER-GROUP: Gaussian-kernel MMD² per embedding label — the
+    //    many-series twin of c02: per-(label, half) ordered-prefix caps
+    //    bound the quadratic kernel per group, one exchange on the
+    //    label, kernel sums in-task in i-major fold order ──────────────
+    "c02b_mmd_per_label" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("label"), col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      graft.stats.Mmd.sampledGrouped(
+          e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+          "label", Seq("vec_id"), "v", maxRows = 100)
+        .select(col("label"), round(col("mmd2"), 8).as("mmd2"),
+          round(col("gamma"), 8).as("gamma"), col("n_real"), col("n_synth"))
+        .orderBy(col("label"))
+    }),
+
     // ── W13 witness: crossfade stitch over 100-row blocks of the global
     //    return series (pure window arithmetic, fully distributed) ─────
     "w13_crossfade" -> ((s, dir) => {

@@ -104,4 +104,59 @@ object Mmd {
     val g = defaultGamma(x)
     (gaussian(x, y, g), g, x.length, y.length)
   }
+
+  /** PER-GROUP MMD²: one (mmd², γ, n_real, n_synth) row per group key,
+    * fully IN-PLAN — the many-series twin of [[sampledDetail]]. Each
+    * group's two sides are reduced to ordered-prefix samples of
+    * ≤ `maxRows` (the per-group cap bounds the quadratic kernel at
+    * maxRows² evals per group regardless of group size), then one
+    * exchange on the group key + consecutive-run mapPartitions computes
+    * γ (real-side mean pairwise distance heuristic) and the kernel sums
+    * in-task, i-major — the same fold order as [[gaussian]], which the
+    * oracle's ordered list folds replay. Groups missing either side are
+    * dropped. Oracle-gated by c02b. */
+  def sampledGrouped(real: DataFrame, synth: DataFrame, groupCol: String,
+                     orderCols: Seq[String], vec: String,
+                     maxRows: Int = 100): DataFrame = {
+    val spark = real.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, isReal: Boolean): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gid")).orderBy(orderCols.map(col): _*)
+      df.select(col(groupCol).cast("long").as("gid") +:
+          col(vec).cast("array<double>").as("v") +: orderCols.map(col): _*)
+        .withColumn("t", row_number().over(w))
+        .filter(col("t") <= maxRows)
+        .select(col("gid"), lit(isReal).as("is_real"), col("t"), col("v"))
+    }
+    val u = side(real, isReal = true).unionByName(side(synth, isReal = false))
+      .repartition(col("gid"))
+      .sortWithinPartitions(col("gid"), col("is_real").desc, col("t"))
+      .as[(Long, Boolean, Int, Seq[Double])]
+    u.mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[(Long, Double, Double, Int, Int)] {
+        private var nextRow: Option[(Long, Double, Double, Int, Int)] = None
+        private def advance(): Unit =
+          while (nextRow.isEmpty && it.hasNext) {
+            val gid = it.head._1
+            val xb = Array.newBuilder[Array[Double]]
+            val yb = Array.newBuilder[Array[Double]]
+            while (it.hasNext && it.head._1 == gid) {
+              val r = it.next()
+              if (r._2) xb += r._4.toArray else yb += r._4.toArray
+            }
+            val x = xb.result(); val y = yb.result()
+            if (x.nonEmpty && y.nonEmpty) {
+              val g = defaultGamma(x)
+              nextRow = Some((gid, gaussian(x, y, g), g, x.length, y.length))
+            }
+          }
+        def hasNext: Boolean = { advance(); nextRow.nonEmpty }
+        def next(): (Long, Double, Double, Int, Int) = {
+          advance(); val r = nextRow.get; nextRow = None; r
+        }
+      }
+    }.toDF(groupCol, "mmd2", "gamma", "n_real", "n_synth")
+  }
 }

@@ -136,6 +136,26 @@ class EvalSpec extends AnyFunSuite {
       s"in-plan DFT $grouped vs driver FFT $exact")
   }
 
+  test("grouped MMD on one group == driver sampledDetail bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val s = SparkSpec.spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian()), 1))
+    val df = rows.toDF("vec_id", "v", "label")
+    val real = df.filter(col("vec_id") % 2 === 0)
+    val synth = df.filter(col("vec_id") % 2 === 1)
+    val g = graft.stats.Mmd.sampledGrouped(real, synth, "label",
+      Seq("vec_id"), "v", maxRows = 100).first()
+    val (mmd2, gamma, nx, ny) = graft.stats.Mmd.sampledDetail(real, synth,
+      Seq("vec_id"), "v", maxRows = 100)
+    assert(g.getAs[Long]("label") === 1L)
+    assert(g.getAs[Double]("mmd2") === mmd2)
+    assert(g.getAs[Double]("gamma") === gamma)
+    assert(g.getAs[Int]("n_real") === nx && g.getAs[Int]("n_synth") === ny)
+  }
+
   test("grouped FULL composite on one series matches the driver score()") {
     import org.apache.spark.sql.functions._
     val a = SparkSpec.randomWalk(420, seed = 51).withColumn("user_id", lit(3L))

@@ -204,6 +204,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "found an un-partitioned window in the per-series composite")
   }
 
+  test("c02b per-label MMD: keyed windows, no cartesian, no join after the exchange") {
+    val p = plan("c02b_mmd_per_label")
+    assert(!p.contains("CartesianProduct"))
+    assert(!"Window .*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined,
+      "found an un-partitioned window in the per-label MMD")
+  }
+
   test("q31c FULL composite (hurst+spectral legs) keys every window on the series") {
     val p = plan("q31c_composite_full_per_user")
     assert(!p.contains("CartesianProduct"))
