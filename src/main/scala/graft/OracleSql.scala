@@ -807,6 +807,186 @@ object OracleSql {
        |FROM sm, scr ORDER BY i""".stripMargin
   }
 
+  /** o01b: the o01fSql machine keyed PER SERIES — every CTE gains the
+    * sid key (per-sid quantile fit, transitions, pools, the LCG walk —
+    * seed scrambled per sid as `xor(5 + sid, 0x5DEECE66D) & mask`, all
+    * series advancing simultaneously in one recursive machine, the
+    * g02wb pattern — the smoothing recursion, and the composite-lite
+    * score). Series with fewer than nBins·4 = 32 capped returns are
+    * dropped (the Spark side's skip contract). */
+  private def o01bSql: String = {
+    val nBins = 8; val nGen = 200; val cap = 2000
+    val oneMinus = (1.0 - 0.2).toString
+    val smooth = 0.2.toString
+    val idxs = (1 until nBins).map(i =>
+      s"sl[floor(${i.toDouble / nBins}*(nn - 1) + 0.5)::INT + 1]").mkString(", ")
+    s"""WITH RECURSIVE
+       |d AS MATERIALIZED (SELECT sid, rn, v FROM (
+       |      SELECT user_id::BIGINT AS sid,
+       |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |        ret AS v
+       |      FROM ($perUserRets) x) t WHERE rn <= $cap),
+       |n0 AS (SELECT sid, count(*)::INT AS nn FROM d GROUP BY sid
+       |       HAVING count(*) >= ${nBins * 4}),
+       |dq AS MATERIALIZED (SELECT d.* FROM d JOIN n0 USING (sid)),
+       |srt AS (SELECT sid, list_sort(list(v)) AS sl FROM dq GROUP BY sid),
+       |e0 AS (SELECT sid, list_sort(list_distinct([$idxs])) AS interior
+       |       FROM srt JOIN n0 USING (sid)),
+       |k0 AS (SELECT sid, (len(interior)+1)::INT AS k FROM e0),
+       |st AS MATERIALIZED (SELECT dq.sid, dq.rn, dq.v,
+       |         len(list_filter(e0.interior, x -> x <= dq.v))::INT AS state
+       |       FROM dq JOIN e0 ON e0.sid = dq.sid),
+       |states AS (SELECT sid, unnest(generate_series(0, len(interior)))::INT AS state
+       |           FROM e0),
+       |tr AS (SELECT sid, state, next_state, count(*)::BIGINT AS cnt FROM
+       |        (SELECT sid, state,
+       |           lead(state) OVER (PARTITION BY sid ORDER BY rn) AS next_state
+       |         FROM st) x
+       |       WHERE next_state IS NOT NULL GROUP BY sid, state, next_state),
+       |dp AS (SELECT s1.sid, s1.state, s2.state AS nxt, coalesce(tr.cnt, 0)::DOUBLE AS cnt
+       |       FROM states s1 JOIN states s2 ON s2.sid = s1.sid
+       |       LEFT JOIN tr ON tr.sid = s1.sid AND tr.state = s1.state
+       |         AND tr.next_state = s2.state),
+       |rs AS (SELECT sid, state, sum(cnt) AS tot FROM dp GROUP BY sid, state),
+       |tp AS (SELECT dp.sid, dp.state, dp.nxt,
+       |         CASE WHEN rs.tot > 0 THEN dp.cnt / rs.tot
+       |              ELSE 1.0 / k0.k END AS p
+       |       FROM dp JOIN rs ON rs.sid = dp.sid AND rs.state = dp.state
+       |       JOIN k0 ON k0.sid = dp.sid),
+       |tcum AS (
+       |  SELECT sid, state, 0 AS j, p AS acc FROM tp WHERE nxt = 0
+       |  UNION ALL
+       |  SELECT c.sid, c.state, c.j + 1, c.acc + t.p
+       |  FROM tcum c
+       |  JOIN tp t ON t.sid = c.sid AND t.state = c.state AND t.nxt = c.j + 1
+       |  JOIN k0 ON k0.sid = c.sid
+       |  WHERE c.j + 1 <= k0.k - 2),
+       |tcl AS (SELECT sid, state, list(acc ORDER BY j) AS cl FROM tcum
+       |        GROUP BY sid, state),
+       |tcll AS (SELECT sid, list(cl ORDER BY state) AS tl FROM tcl GROUP BY sid),
+       |po AS MATERIALIZED (SELECT sid, state, list(v ORDER BY v) AS pool FROM st
+       |      GROUP BY sid, state),
+       |pl AS (SELECT sid, list(coalesce(ln0, 0) ORDER BY state) AS pls FROM (
+       |         SELECT s.sid, s.state,
+       |           (SELECT len(pool) FROM po
+       |            WHERE po.sid = s.sid AND po.state = s.state) AS ln0
+       |         FROM states s) z GROUP BY sid),
+       |mp AS (SELECT sid, min(state) AS ms FROM po GROUP BY sid),
+       |sA AS (SELECT sid, state AS st0 FROM st WHERE rn = 1),
+       |walk AS (
+       |  SELECT tcll.sid, 0 AS it,
+       |         CAST(xor(5 + tcll.sid, 25214903917) & 281474976710655 AS HUGEINT) AS s,
+       |         0 AS phase, sA.st0 AS curstate, CAST(0 AS HUGEINT) AS hi, 0 AS nrets,
+       |         tcll.tl AS tl, pl.pls AS pls, mp.ms AS ms,
+       |         CAST(NULL AS INT) AS acc_step, CAST(NULL AS INT) AS acc_state,
+       |         CAST(NULL AS INT) AS acc_r
+       |  FROM tcll
+       |  JOIN pl ON pl.sid = tcll.sid
+       |  JOIN mp ON mp.sid = tcll.sid
+       |  JOIN sA ON sA.sid = tcll.sid
+       |  UNION ALL
+       |  SELECT sid, it + 1, s2,
+       |    CASE phase WHEN 0 THEN (CASE WHEN ok THEN 1 ELSE 0 END)
+       |         WHEN 1 THEN 2 ELSE 0 END,
+       |    CASE WHEN phase = 2
+       |         THEN len(list_filter(tl[curstate + 1], c -> c <= u))::INT
+       |         ELSE curstate END,
+       |    CASE WHEN phase = 1 THEN s2 // 4194304 ELSE hi END,
+       |    CASE WHEN phase = 0 AND ok THEN nrets + 1 ELSE nrets END,
+       |    tl, pls, ms,
+       |    CASE WHEN phase = 0 AND ok THEN nrets END,
+       |    CASE WHEN phase = 0 AND ok THEN pk END,
+       |    CASE WHEN phase = 0 AND ok THEN r::INT END
+       |  FROM (
+       |    SELECT w2.*,
+       |      ((bnd & (-bnd)) = bnd
+       |        OR (u31 - (u31 % bnd) + bnd - 1) <= 2147483647) AS ok,
+       |      CASE WHEN (bnd & (-bnd)) = bnd
+       |           THEN (bnd * u31) // 2147483648 ELSE u31 % bnd END AS r
+       |    FROM (
+       |      SELECT w1.*, s2 // 131072 AS u31,
+       |        (hi * 134217728 + (s2 // 2097152)) / 9007199254740992.0 AS u,
+       |        CASE WHEN pls[curstate + 1] > 0 THEN curstate ELSE ms END AS pk,
+       |        pls[(CASE WHEN pls[curstate + 1] > 0 THEN curstate ELSE ms END) + 1] AS bnd
+       |      FROM (SELECT walk.*,
+       |              (s * 25214903917 + 11) % 281474976710656 AS s2
+       |            FROM walk WHERE nrets < $nGen) w1) w2) w3),
+       |accs AS MATERIALIZED (SELECT sid, acc_step AS i, acc_state AS state, acc_r AS r
+       |         FROM walk WHERE acc_step IS NOT NULL),
+       |pv AS MATERIALIZED (SELECT a.sid, a.i, po.pool[a.r + 1] AS pv
+       |       FROM accs a JOIN po ON po.sid = a.sid AND po.state = a.state),
+       |sm0 AS (
+       |  SELECT sid, 0 AS i, ($oneMinus*pv + $smooth*pv) AS sv FROM pv WHERE i = 0
+       |  UNION ALL
+       |  SELECT p.sid, p.i, $oneMinus*p.pv + $smooth*s.sv
+       |  FROM sm0 s JOIN pv p ON p.sid = s.sid AND p.i = s.i + 1),
+       |sm AS MATERIALIZED (SELECT sid, i, sv FROM sm0),
+       |dn AS (SELECT sid, count(*) AS cnt FROM dq GROUP BY sid),
+       |sn AS (SELECT sid, count(*) AS cnt FROM sm GROUP BY sid),
+       |lohi AS (SELECT q.sid, least(q.mn, s.mn) AS lo, greatest(q.mx, s.mx) AS hi
+       |         FROM (SELECT sid, min(v) AS mn, max(v) AS mx FROM dq GROUP BY sid) q
+       |         JOIN (SELECT sid, min(sv) AS mn, max(sv) AS mx FROM sm GROUP BY sid) s
+       |         USING (sid)),
+       |bg AS (SELECT sid, unnest(generate_series(0, 19)) AS b FROM n0),
+       |rcnt AS (SELECT dq.sid, least(floor(((v - lo)/(hi - lo + 1e-30))*20.0)::INT, 19) AS b,
+       |                count(*) AS cnt
+       |         FROM dq JOIN lohi ON lohi.sid = dq.sid GROUP BY 1, 2),
+       |scnt AS (SELECT sm.sid, least(floor(((sv - lo)/(hi - lo + 1e-30))*20.0)::INT, 19) AS b,
+       |                count(*) AS cnt
+       |         FROM sm JOIN lohi ON lohi.sid = sm.sid GROUP BY 1, 2),
+       |rh AS (SELECT bg.sid, bg.b, coalesce(rcnt.cnt, 0)::DOUBLE / dn.cnt + 1e-10 AS h
+       |       FROM bg JOIN dn USING (sid)
+       |       LEFT JOIN rcnt ON rcnt.sid = bg.sid AND rcnt.b = bg.b),
+       |sh AS (SELECT bg.sid, bg.b, coalesce(scnt.cnt, 0)::DOUBLE / sn.cnt + 1e-10 AS h
+       |       FROM bg JOIN sn USING (sid)
+       |       LEFT JOIN scnt ON scnt.sid = bg.sid AND scnt.b = bg.b),
+       |nrm AS (SELECT r.sid, r.sr, s.ss FROM
+       |          (SELECT sid, sum(h) AS sr FROM rh GROUP BY sid) r
+       |          JOIN (SELECT sid, sum(h) AS ss FROM sh GROUP BY sid) s USING (sid)),
+       |js AS (SELECT rh.sid, sqrt(greatest(sum(
+       |         0.5*(rh.h/sr)*ln((rh.h/sr)/(((rh.h/sr)+(sh.h/ss))/2))
+       |       + 0.5*(sh.h/ss)*ln((sh.h/ss)/(((rh.h/sr)+(sh.h/ss))/2))), 0.0)) AS js
+       |       FROM rh JOIN sh ON sh.sid = rh.sid AND sh.b = rh.b
+       |       JOIN nrm ON nrm.sid = rh.sid
+       |       GROUP BY rh.sid),
+       |uni AS (SELECT sid, v AS x, 0 AS side FROM dq
+       |        UNION ALL SELECT sid, sv, 1 FROM sm),
+       |kse AS (SELECT u.sid, abs(
+       |          (count(*) FILTER (WHERE side = 0) OVER w)::DOUBLE / dn.cnt
+       |        - (count(*) FILTER (WHERE side = 1) OVER w)::DOUBLE / sn.cnt) AS dd
+       |        FROM uni u JOIN dn ON dn.sid = u.sid JOIN sn ON sn.sid = u.sid
+       |        WINDOW w AS (PARTITION BY u.sid ORDER BY x, side
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |ks AS (SELECT sid, max(dd) AS ks FROM kse GROUP BY sid),
+       |rmom AS (SELECT sid, avg(v) AS m FROM dq GROUP BY sid),
+       |rstd AS (SELECT d2.sid, sqrt(sum((v - m)*(v - m)) / count(*)) AS sd
+       |         FROM dq d2 JOIN rmom ON rmom.sid = d2.sid GROUP BY d2.sid),
+       |smom AS (SELECT sid, avg(sv) AS m FROM sm GROUP BY sid),
+       |sstd AS (SELECT s2.sid, sqrt(sum((sv - m)*(sv - m)) / count(*)) AS sd
+       |         FROM sm s2 JOIN smom ON smom.sid = s2.sid GROUP BY s2.sid),
+       |rac AS (SELECT q.sid, CASE WHEN sum((v - m)*(v - m)) > 0
+       |                 THEN sum((v - m)*(pv0 - m)) / sum((v - m)*(v - m))
+       |                 ELSE 0.0 END AS ac
+       |        FROM (SELECT sid, v,
+       |                lag(v) OVER (PARTITION BY sid ORDER BY rn) AS pv0 FROM dq) q
+       |        JOIN rmom ON rmom.sid = q.sid GROUP BY q.sid),
+       |sac AS (SELECT q.sid, CASE WHEN sum((sv - m)*(sv - m)) > 0
+       |                 THEN sum((sv - m)*(pv0 - m)) / sum((sv - m)*(sv - m))
+       |                 ELSE 0.0 END AS ac
+       |        FROM (SELECT sid, sv,
+       |                lag(sv) OVER (PARTITION BY sid ORDER BY i) AS pv0 FROM sm) q
+       |        JOIN smom ON smom.sid = q.sid GROUP BY q.sid),
+       |scr AS (SELECT js.sid, (3.0*js.js + 2.0*ks.ks
+       |         + 2.0*abs(sstd.sd / greatest(rstd.sd, 1e-12) - 1.0)
+       |         + 2.0*(CASE WHEN abs(rac.ac) > 1e-6 THEN abs(sac.ac / rac.ac - 1.0)
+       |                ELSE abs(sac.ac) END)) / 9.0 AS score
+       |        FROM js JOIN ks USING (sid) JOIN rstd USING (sid)
+       |        JOIN sstd USING (sid) JOIN rac USING (sid) JOIN sac USING (sid))
+       |SELECT sm.sid AS user_id, sm.i::INT AS i, round(sm.sv, 8) AS synth,
+       |  round(scr.score, 6) AS score
+       |FROM sm JOIN scr ON scr.sid = sm.sid ORDER BY user_id, i""".stripMargin
+  }
+
   /** g06t: ONE VAE gradient step ([[graft.train.VaeTrainer.vaeStep]] —
     * encoder forward, reparametrization with the literal ε batch,
     * recon(MSE) + KL + MMD gradients, full backward, t=1 Adam; the first
@@ -3427,6 +3607,11 @@ object OracleSql {
     "g06t_vae_step" -> g06tSql,
 
     "o01f_sweep_fitness" -> o01fSql,
+
+    // §2.12 PER-SERIES sweep fitness: the o01f replay keyed by sid —
+    // per-series fit/walk/score, every series' LCG advancing in the
+    // same recursive machine (seed scrambled per sid)
+    "o01b_sweep_fitness_per_user" -> o01bSql,
 
     "g07t_gan_train_step" -> g07tSql,
 

@@ -582,6 +582,21 @@ object SparkEntry {
         .orderBy(col("i"))
     }),
 
+    // ── §2.12 PER-SERIES sweep fitness: every user's Grasynda-lite
+    //    fit + seeded walk (seed+sid) + composite-lite score in ONE
+    //    keyed pass — the many-series optimizer fitness shape (o01f is
+    //    the single-series witness; the oracle replays every per-user
+    //    LCG walk and score) ────────────────────────────────────────────
+    "o01b_sweep_fitness_per_user" -> ((s, dir) => {
+      val rets = logret(s, dir).filter(col("ret").isNotNull)
+      graft.opt.LocalFitness.grasyndaScoreGrouped(rets, "user_id",
+          Seq("ts", "event_id"), "ret", nBins = 8, smooth = 0.2, n = 200,
+          seed = 5L)
+        .select(col("user_id"), col("i"),
+          round(col("synth"), 8).as("synth"), round(col("score"), 6).as("score"))
+        .orderBy(col("user_id"), col("i"))
+    }),
+
     // ── multi-band sign-LSH ANN near-dup (planes literal ⇒ oracled) ───
     "s01_lsh_ann" -> ((s, dir) => {
       Similarity.lshNearDupPairs(emb(s, dir), "vec_id", "embedding",

@@ -71,6 +71,55 @@ object LocalFitness {
     synth
   }
 
+  /** PER-SERIES sweep fitness: [[grasyndaWalk]] + [[compositeLite]] for
+    * EVERY series in one keyed pass — the many-series optimizer shape
+    * (each series gets its own fitted walk and fitness, seeded
+    * `seed + sid` so series draw distinct streams). Per-series returns
+    * are capped at `maxRows` (the fit-prefix contract); series shorter
+    * than nBins·4 returns are skipped ([[grasyndaScore]]'s MaxValue
+    * sentinel — at scale a skip, not a poison value). Emits one row per
+    * (series, walk step) plus the per-series score. Oracle-gated by
+    * o01b. */
+  def grasyndaScoreGrouped(returns: DataFrame, seriesCol: String,
+                           orderCols: Seq[String], value: String,
+                           nBins: Int, smooth: Double, n: Int, seed: Long,
+                           maxRows: Int = 2000): DataFrame = {
+    val spark = returns.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sid")).orderBy(orderCols.map(col): _*)
+    val data = returns
+      .select(col(seriesCol).cast("long").as("sid") +:
+        col(value).cast("double").as("v") +: orderCols.map(col): _*)
+      .filter(col("v").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxRows)
+      .select(col("sid"), col("rn"), col("v"))
+    data.repartition(col("sid"))
+      .sortWithinPartitions(col("sid"), col("rn"))
+      .as[(Long, Int, Double)]
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[(Long, Int, Double, Double)] {
+          private var cur: Iterator[(Long, Int, Double, Double)] = Iterator.empty
+          private def advance(): Unit =
+            while (!cur.hasNext && it.hasNext) {
+              val sid = it.head._1
+              val b = Array.newBuilder[Double]
+              while (it.hasNext && it.head._1 == sid) b += it.next()._3
+              val x = b.result()
+              if (x.length >= nBins * 4) {
+                val synth = grasyndaWalk(x, nBins, smooth, n, seed + sid)
+                val score = compositeLite(x, synth)
+                cur = Iterator.tabulate(n)(i => (sid, i, synth(i), score))
+              }
+            }
+          def hasNext: Boolean = { advance(); cur.hasNext }
+          def next(): (Long, Int, Double, Double) = { advance(); cur.next() }
+        }
+      }.toDF(seriesCol, "i", "synth", "score")
+  }
+
   /** Composite-lite: JS divergence (20-bin) + KS + |std ratio − 1| +
     * |ac1 ratio − 1| — the dominant terms of C8 cheap enough per task. */
   def compositeLite(real: Array[Double], synth: Array[Double]): Double = {

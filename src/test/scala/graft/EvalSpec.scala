@@ -136,6 +136,28 @@ class EvalSpec extends AnyFunSuite {
       s"in-plan DFT $grouped vs driver FFT $exact")
   }
 
+  test("grouped sweep fitness on one series == driver walk+score bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val s = SparkSpec.spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val rets = Array.fill(300)(rnd.nextGaussian() * 0.01)
+    val df = rets.zipWithIndex.map { case (v, i) => (7L, i.toLong, v) }
+      .toSeq.toDF("user_id", "t", "ret")
+    val g = graft.opt.LocalFitness.grasyndaScoreGrouped(df, "user_id",
+        Seq("t"), "ret", nBins = 8, smooth = 0.2, n = 50, seed = 5L)
+      .orderBy("i").collect()
+    val synth = graft.opt.LocalFitness.grasyndaWalk(rets, 8, 0.2, 50, 5L + 7L)
+    val score = graft.opt.LocalFitness.compositeLite(rets, synth)
+    assert(g.length === 50)
+    assert(g.map(_.getAs[Double]("synth")).toSeq === synth.toSeq)
+    assert(g.forall(_.getAs[Double]("score") === score))
+    // short series are skipped, not poisoned
+    val tiny = (1 to 10).map(i => (9L, i.toLong, 0.1 * i)).toDF("user_id", "t", "ret")
+    assert(graft.opt.LocalFitness.grasyndaScoreGrouped(tiny, "user_id",
+      Seq("t"), "ret", 8, 0.2, 50, 5L).count() === 0)
+  }
+
   test("grouped MMD on one group == driver sampledDetail bit-for-bit") {
     import org.apache.spark.sql.functions._
     val s = SparkSpec.spark

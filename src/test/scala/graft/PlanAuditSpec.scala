@@ -204,6 +204,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "found an un-partitioned window in the per-series composite")
   }
 
+  test("o01b per-series sweep fitness: keyed windows, no cartesian") {
+    val p = plan("o01b_sweep_fitness_per_user")
+    assert(!p.contains("CartesianProduct"))
+    assert(!"Window .*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined,
+      "found an un-partitioned window in the per-series sweep fitness")
+  }
+
   test("c02b per-label MMD: keyed windows, no cartesian, no join after the exchange") {
     val p = plan("c02b_mmd_per_label")
     assert(!p.contains("CartesianProduct"))
