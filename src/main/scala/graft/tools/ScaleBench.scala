@@ -23,9 +23,10 @@ object ScaleBench {
     "g02wb_grasynda_walk_per_user", "g03b_regime_segments_per_user",
     "g04b_regime_features_per_user", "g04tb_hmm_em_step_per_user",
     "g04wb_conditional_walk_per_user", "g05b_regime_garch_per_user",
-    "g05wb_garch_walk_per_user", "q16b_hurst_per_user",
-    "q29b_garch_grid_per_user", "q30b_dist_per_user",
-    "q31b_composite_per_user")
+    "g05wb_garch_walk_per_user", "o01b_sweep_fitness_per_user",
+    "q16b_hurst_per_user", "q29b_garch_grid_per_user",
+    "q30b_dist_per_user", "q31b_composite_per_user",
+    "q31c_composite_full_per_user")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
