@@ -86,7 +86,14 @@ object Similarity {
     * p^nPlanes, ~5% at cos 0.3; 8 bands of 4 planes recover ~2/3 at
     * that distance and ≈1 for true near-dups). Shuffle volume is
     * O(rows × bands) bucket keys; each pair group is bounded by
-    * |bucket| so nothing is quadratic in table size. */
+    * |bucket|.
+    *
+    * Scale caveat: a band has only 2^nPlanes buckets, so at FIXED
+    * nPlanes mean occupancy — and with it candidate-pair volume —
+    * grows linearly/quadratically with the corpus (measured: the 16
+    * buckets/band of the nPlanes=4 gate config saturate by 20k
+    * vectors). At scale use [[lshNearDupPairsScaled]], which grows
+    * nPlanes with the corpus to hold occupancy constant. */
   def lshNearDupPairs(df: DataFrame, id: String, vec: String,
                       threshold: Double, nPlanes: Int = 4,
                       bands: Int = 8, seed: Long = 42L): DataFrame = {
@@ -113,6 +120,45 @@ object Similarity {
         dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Plane count that holds mean sign-LSH bucket occupancy near
+    * `targetBucket` as the corpus grows: buckets per band = 2^nPlanes,
+    * so occupancy n/2^nPlanes stays ~constant when nPlanes grows with
+    * log2(n) — the bucket join stays O(n·targetBucket·bands), linear
+    * in the corpus, instead of O(n²/2^nPlanes). */
+  def planesForOccupancy(n: Long, targetBucket: Int): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
+  /** Band count for a target recall at a cosine threshold: per-plane
+    * agreement p = 1 − acos(t)/π, per-band p^nPlanes, OR over bands ⇒
+    * recall 1 − (1 − p^nPlanes)^bands. Solving for bands keeps recall
+    * pinned as [[planesForOccupancy]] deepens the bands. Clamped to
+    * [2, 64] — beyond 64 bands the threshold is too loose for LSH to
+    * prune anything (use a blocked/exact pass instead). */
+  def bandsForRecall(nPlanes: Int, threshold: Double, recall: Double): Int = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val perBand = math.pow(p, nPlanes)
+    val b = math.ceil(math.log(1.0 - recall) / math.log(1.0 - perBand))
+    math.max(2, math.min(64, if (b.isNaN || b.isInfinite) 64 else b.toInt))
+  }
+
+  /** [[lshNearDupPairs]] with the (nPlanes, bands) operating point
+    * derived from the corpus size: occupancy-constant buckets
+    * (candidate volume linear in n) and recall re-pinned via
+    * [[bandsForRecall]]. The one extra cost is a count() of the
+    * corpus — one columnar scan, amortized against the bucket join it
+    * bounds. This is the production configuration; fixed-parameter
+    * [[lshNearDupPairs]] is the small-corpus/oracle-gate twin. */
+  def lshNearDupPairsScaled(df: DataFrame, id: String, vec: String,
+                            threshold: Double, targetBucket: Int = 64,
+                            recall: Double = 0.95,
+                            seed: Long = 42L): DataFrame = {
+    val n = df.count()
+    val nPlanes = planesForOccupancy(n, targetBucket)
+    val bands = bandsForRecall(nPlanes, threshold, recall)
+    lshNearDupPairs(df, id, vec, threshold, nPlanes, bands, seed)
   }
 
   /** Per-vector inverted-list id: argmin centroid by L2 distance.
@@ -279,11 +325,13 @@ object Similarity {
   }
 
   /** Near-dup pairs within explicit blocks, ADDITIONALLY multi-band
-    * sign-LSH banded so no stage is quadratic in block size: the join
-    * key is (block, band, bucket), bounding each pair group to vectors
-    * that agree on one band's full sign vector. OR over bands keeps
-    * recall high (see [[bandPlanes]]); [[blockedNearDupPairs]] is the
-    * small-scale exact counterpart. */
+    * sign-LSH banded: the join key is (block, band, bucket), bounding
+    * each pair group to vectors that agree on one band's full sign
+    * vector. OR over bands keeps recall high (see [[bandPlanes]]);
+    * [[blockedNearDupPairs]] is the small-scale exact counterpart.
+    * Same occupancy caveat as [[lshNearDupPairs]]: per-(block, band)
+    * buckets saturate at fixed nPlanes — derive the planes via
+    * [[planesForOccupancy]] on the largest block when blocks grow. */
   def bandedNearDupPairs(df: DataFrame, id: String, vec: String,
                          block: String, threshold: Double,
                          planes: Array[Array[Array[Double]]],

@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
   * BENCH_NOTES.md).
   *
   * Run: sbt "runMain graft.tools.ScaleBench /root/testdata/sf0.1 10"
+  *
+  * A second family, `docs`, scales the documents/embeddings corpus the
+  * same way for the dedup / text / ANN / multimodal queries: documents
+  * replicate with disjoint doc_id ranges and a per-copy alphabet
+  * rotation of the text (a bijection on letters, so within-copy
+  * shingle/Jaccard/dup structure is preserved exactly while cross-copy
+  * shingles are disjoint — pair candidates grow linearly with corpus
+  * size, never quadratically); embeddings replicate with disjoint
+  * vec_id ranges against the FIXED query set (vec_id < 5), the
+  * growing-corpus/fixed-queries ANN shape. Results → BENCH_SF1_DOCS.json.
+  *
+  * Run: sbt "runMain graft.tools.ScaleBench /root/testdata/sf0.1 10 /tmp/graft_scale docs"
   */
 object ScaleBench {
 
@@ -28,10 +40,20 @@ object ScaleBench {
     "q30b_dist_per_user", "q31b_composite_per_user",
     "q31c_composite_full_per_user")
 
+  val DocQueries: Seq[String] = Seq(
+    "q17_dedup_exact", "q19_token_stats", "q20_lang_id",
+    "q21_jaccard_neardup", "q22_doc_fingerprint",
+    "t01_decontaminate", "t02_repetition",
+    "d01_minhash_lsh", "d02_simhash_pairs", "d03_dedup_clusters",
+    "m01_multimodal_decode", "m02_multimodal_features",
+    "q23_ann_topk", "q24_embed_neardup_blocked",
+    "s01_lsh_ann", "s02_ivf_ann", "s03_pq_ann", "s04_ivfpq_ann")
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
     val out = if (args.length > 2) args(2) else "/tmp/graft_scale"
+    val family = if (args.length > 3) args(3) else "series"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .config("spark.sql.ansi.enabled", "false")
@@ -42,19 +64,47 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // series-count replication: each copy shifts user_id by the source
-    // id range, so per-series row counts (and every per-series cap) are
-    // unchanged — only the number of series grows
-    val e = graft.core.Tables.events(spark, src)
-    val nUsers = e.agg(max(col("user_id"))).first().getLong(0) + 1
-    (0 until factor).map(i =>
-        e.withColumn("user_id", col("user_id") + lit(i * nUsers)))
-      .reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    if (family == "docs") {
+      // corpus replication: disjoint doc_id ranges + per-copy letter
+      // rotation (copy 0 is the identity). translate is a bijection on
+      // the alphabet, so every within-copy shingle set / Jaccard /
+      // exact-dup group is preserved; cross-copy shingles land in
+      // different LSH buckets, so candidate pairs grow linearly.
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      val d = graft.core.Tables.documents(spark, src)
+      val nDocs = d.agg(max(col("doc_id"))).first().getLong(0) + 1
+      (0 until factor).map { i =>
+        val sh = i % 26
+        val rot = lower.drop(sh) + lower.take(sh) +
+          upper.drop(sh) + upper.take(sh)
+        d.withColumn("doc_id", col("doc_id") + lit(i * nDocs))
+          .withColumn("text", translate(col("text"), lower + upper, rot))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      // growing corpus, fixed query set: the ANN queries probe vec_id<5,
+      // which stays in copy 0, so only the searched side scales
+      val v = graft.core.Tables.embeddings(spark, src)
+      val nVecs = v.agg(max(col("vec_id"))).first().getLong(0) + 1
+      (0 until factor).map(i =>
+          v.withColumn("vec_id", col("vec_id") + lit(i * nVecs)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    } else {
+      // series-count replication: each copy shifts user_id by the source
+      // id range, so per-series row counts (and every per-series cap) are
+      // unchanged — only the number of series grows
+      val e = graft.core.Tables.events(spark, src)
+      val nUsers = e.agg(max(col("user_id"))).first().getLong(0) + 1
+      (0 until factor).map(i =>
+          e.withColumn("user_id", col("user_id") + lit(i * nUsers)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
 
-    def time(name: String, dir: String): Double = {
+    def timed(thunk: String => org.apache.spark.sql.DataFrame)(dir: String): Double = {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir).count()
+      thunk(dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
@@ -62,22 +112,45 @@ object ScaleBench {
       System.gc()
       dt
     }
-    // warm-up (JIT + codegen + scan) outside the timed cells
-    time(PerSeriesQueries.head, src)
+    def time(name: String, dir: String): Double =
+      timed(d => graft.SparkEntry.queries(name)(spark, d))(dir)
 
-    val rows = PerSeriesQueries.map { q =>
-      val base = math.min(time(q, src), time(q, src))
-      val scaled = math.min(time(q, out), time(q, out))
+    val gateQueries = if (family == "docs") DocQueries else PerSeriesQueries
+    // bench-only cells (no gate entry): the occupancy-scaled LSH
+    // near-dup operating point — s01's gate config (nPlanes=4, 16
+    // buckets/band) saturates at 10x corpus, so its ratio measures the
+    // saturated-bucket anti-pattern; this cell measures the production
+    // path (planesForOccupancy + bandsForRecall). threshold=0.45 sits
+    // above the fixture's pair tail, isolating candidate-generation
+    // cost from output size.
+    val extras: Seq[(String, String => org.apache.spark.sql.DataFrame)] =
+      if (family != "docs") Seq.empty
+      else Seq(
+        "s01x_lsh_scaled" -> ((d: String) =>
+          graft.sim.Similarity.lshNearDupPairsScaled(
+            graft.core.Tables.embeddings(spark, d), "vec_id", "embedding",
+            threshold = 0.45, targetBucket = 64, recall = 0.95, seed = 42L)))
+    val jsonOut = if (family == "docs") "BENCH_SF1_DOCS.json" else "BENCH_SF1.json"
+
+    // warm-up (JIT + codegen + scan) outside the timed cells
+    time(gateQueries.head, src)
+
+    val cells: Seq[(String, String => Double)] =
+      gateQueries.map(q => q -> ((d: String) => time(q, d))) ++
+        extras.map { case (n, th) => n -> ((d: String) => timed(th)(d)) }
+    val rows = cells.map { case (q, run) =>
+      val base = math.min(run(src), run(src))
+      val scaled = math.min(run(out), run(out))
       val ratio = scaled / base
       println(f"[scale] $q%-34s sf0.1=$base%6.2fs x$factor=$scaled%7.2fs ratio=$ratio%5.2f")
       (q, base, scaled, ratio)
     }
     val json = rows.map { case (q, b, s, r) =>
       s""""$q":{"base_sec":$b,"scaled_sec":$s,"ratio":$r}"""
-    }.mkString(s"""{"factor":$factor,"queries":{""", ",", "}}")
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SF1.json"),
+    }.mkString(s"""{"factor":$factor,"family":"$family","queries":{""", ",", "}}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(jsonOut),
       (json + "\n").getBytes("UTF-8"))
-    println(s"[scale] wrote BENCH_SF1.json (factor $factor)")
+    println(s"[scale] wrote $jsonOut (factor $factor, family $family)")
     spark.stop()
   }
 }

@@ -263,6 +263,65 @@ class DedupSimSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), "LSH must not invent pairs (exact verify stage)")
   }
 
+  test("occupancy-scaled LSH: linear candidate growth, recall on planted dups") {
+    val s = spark
+    import s.implicits._
+    // synthetic clustered corpus with planted near-dups: base vectors
+    // from a seeded Gaussian, every 10th vector a jittered copy of its
+    // predecessor (cos > 0.95) — ground truth the fixtures lack (their
+    // pair tail tops out ~0.48)
+    def corpus(n: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(7L)
+      val rows = new scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]
+      var prev: Array[Float] = null
+      (0 until n).foreach { i =>
+        val v =
+          if (i % 10 == 9 && prev != null)
+            prev.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+          else Array.fill(32)(rnd.nextGaussian().toFloat)
+        prev = v
+        rows += ((i.toLong, v))
+      }
+      rows.toSeq.toDF("vec_id", "embedding")
+    }
+    def candidates(df: org.apache.spark.sql.DataFrame, nPlanes: Int,
+                   bands: Int): Long =
+      Similarity.lshNearDupPairs(df, "vec_id", "embedding",
+        threshold = -1.0, nPlanes = nPlanes, bands = bands, seed = 42L).count()
+    val small = corpus(500)
+    val big = corpus(2000)
+
+    // fixed planes (the gate config): 16 buckets/band saturate, so 4x
+    // the corpus gives ~16x the candidate pairs — the anti-pattern
+    val fixedGrowth = candidates(big, 4, 8).toDouble / candidates(small, 4, 8)
+    // occupancy-scaled planes: candidates grow ~linearly with n
+    val pS = Similarity.planesForOccupancy(500L, 32)
+    val pB = Similarity.planesForOccupancy(2000L, 32)
+    assert(pB > pS, s"plane count must grow with the corpus ($pS -> $pB)")
+    val scaledGrowth =
+      candidates(big, pB, 8).toDouble / candidates(small, pS, 8)
+    info(f"candidate growth at 4x corpus: fixed-planes $fixedGrowth%.1fx, " +
+      f"occupancy-scaled $scaledGrowth%.1fx")
+    assert(fixedGrowth > 8.0, "expected fixed-plane buckets to saturate")
+    assert(scaledGrowth < 8.0,
+      s"scaled planes must keep candidate growth ~linear: $scaledGrowth")
+
+    // recall: the scaled operating point still finds the planted dups
+    val exact = Similarity.blockedNearDupPairs(
+      big.withColumn("one", lit(1)), "vec_id", "embedding", "one",
+      threshold = 0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 150, s"fixture must plant dups: ${exact.size}")
+    val scaled = Similarity.lshNearDupPairsScaled(big, "vec_id", "embedding",
+      threshold = 0.9, targetBucket = 32, recall = 0.95, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rec = scaled.intersect(exact).size.toDouble / exact.size
+    info(f"occupancy-scaled recall at cos>=0.9: $rec%.2f")
+    assert(rec >= 0.8, s"scaled LSH recall below floor: $rec")
+    assert(scaled.subsetOf(exact), "scaled LSH must not invent pairs")
+    // the derived operating point is sane
+    assert(Similarity.bandsForRecall(pB, 0.9, 0.95) <= 64)
+  }
+
   test("language id picks en for the/a-marked text") {
     val r = TextOps.langId(docsDf, "doc_id", "text")
       .filter(col("doc_id") === 1L).first()

@@ -190,6 +190,49 @@ scales out); far over {factor} would be a plan bug.
                             f"| {r['ratio']:.2f} |\n")
             except (ValueError, KeyError) as e:
                 f.write(f"\n(BENCH_SF1.json unreadable: {e})\n")
+        # 10x corpus-size scale experiment for the documents/embeddings
+        # family (graft.tools.ScaleBench ... docs)
+        dpath = os.path.join(ROOT, "BENCH_SF1_DOCS.json")
+        if os.path.exists(dpath):
+            try:
+                ddata = json.load(open(dpath))
+                factor = ddata.get("factor")
+                f.write(f"""
+## {factor}x corpus-size scale run (`graft.tools.ScaleBench ... docs`)
+
+sf0.1 documents replicated {factor}x with disjoint doc_id ranges and a
+per-copy alphabet rotation (a bijection on letters: within-copy
+shingle/Jaccard/dup structure preserved exactly, cross-copy shingles
+disjoint — so dedup candidate pairs grow linearly with the corpus,
+never quadratically); embeddings replicated {factor}x with disjoint
+vec_id ranges against the FIXED ANN query set (growing corpus, fixed
+queries). Min-of-2 walls per cell, local[32]. A ratio near {factor} is
+linear in work at fixed parallelism; well UNDER {factor} means the
+extra documents filled idle cores; far over {factor} is a quadratic
+candidate blow-up.
+
+Two expected outliers, both pair-enumeration queries at their
+small-corpus gate configs: `s01_lsh_ann` (nPlanes=4 — 16 sign-LSH
+buckets/band, which saturate at 10x so candidate pairs grow
+quadratically) and `q24_embed_neardup_blocked` (same effect per
+(label, band), plus the replicated fixture's identical embedding
+copies make the TRUE >=0.3 pair set itself grow ~100x). The
+`s01x_lsh_scaled` cell is the production fix measured:
+`lshNearDupPairsScaled` derives nPlanes from the corpus size
+(occupancy-constant buckets, `planesForOccupancy`) and re-pins recall
+via `bandsForRecall` — its ratio stays near-linear at the same 10x.
+The spec `DedupSimSpec."occupancy-scaled LSH"` pins both behaviors
+(fixed-plane growth ~16x vs scaled ~5x at 4x corpus, recall 1.00 on
+planted dups).
+
+| query | sf0.1 s | x{factor} s | ratio |
+|---|---|---|---|
+""")
+                for q, r in sorted(ddata.get("queries", {}).items()):
+                    f.write(f"| {q} | {r['base_sec']:.2f} | {r['scaled_sec']:.2f} "
+                            f"| {r['ratio']:.2f} |\n")
+            except (ValueError, KeyError) as e:
+                f.write(f"\n(BENCH_SF1_DOCS.json unreadable: {e})\n")
     print(f"wrote COVERAGE_GATE.md + BENCH_NOTES.md from round {rnd} artifacts "
           f"({n_pass} pass / {n_fail} fail / {n_none} rows-only; "
           f"{f'{total:.2f}s' if total is not None else 'partial bench'})")
