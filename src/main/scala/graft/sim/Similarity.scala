@@ -358,6 +358,25 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** [[bandedNearDupPairs]] with the operating point derived from the
+    * LARGEST block (occupancy is a per-(block, band) property, so the
+    * biggest block is the binding one): [[planesForOccupancy]] +
+    * [[bandsForRecall]], the same derivation as
+    * [[lshNearDupPairsScaled]]. Costs one groupBy-count + one
+    * size() probe before the banded join. */
+  def bandedNearDupPairsScaled(df: DataFrame, id: String, vec: String,
+                               block: String, threshold: Double,
+                               targetBucket: Int = 64, recall: Double = 0.95,
+                               seed: Long = 7L): DataFrame = {
+    val maxBlock = df.groupBy(col(block)).count()
+      .agg(max(col("count"))).first().getLong(0)
+    val dim = df.select(size(col(vec))).first().getInt(0)
+    val nPlanes = planesForOccupancy(maxBlock, targetBucket)
+    val bands = bandsForRecall(nPlanes, threshold, recall)
+    bandedNearDupPairs(df, id, vec, block, threshold,
+      bandPlanes(dim, nPlanes, bands, seed))
+  }
+
   /** Exact near-dup pairs within explicit blocks (e.g. a label column) —
     * the oracle-checkable counterpart of [[lshNearDupPairs]]. */
   def blockedNearDupPairs(df: DataFrame, id: String, vec: String,

