@@ -223,7 +223,14 @@ copies make the TRUE >=0.3 pair set itself grow ~100x). The
 via `bandsForRecall` — its ratio stays near-linear at the same 10x.
 The spec `DedupSimSpec."occupancy-scaled LSH"` pins both behaviors
 (fixed-plane growth ~16x vs scaled ~5x at 4x corpus, recall 1.00 on
-planted dups).
+planted dups). `q24x_banded_scaled` is the blocked twin
+(`bandedNearDupPairsScaled`, planes derived from the largest label
+block); its higher ratio is not candidate blow-up but `bandsForRecall`
+deepening 16 -> 39 bands to hold recall 0.95 at the loose 0.45
+threshold as planes grow — at a true near-dup threshold (0.9) the band
+growth is 1.5x. s01x's band count hits the 64 clamp at 10x for the
+same reason (the clamp bounds work at the cost of recall below the
+target — the documented "too loose for LSH" regime).
 
 | query | sf0.1 s | x{factor} s | ratio |
 |---|---|---|---|
