@@ -163,9 +163,17 @@ object Similarity {
 
   /** Per-vector inverted-list id: argmin centroid by L2 distance.
     * |v|² is common to all centroids, so the comparison key is
-    * `|c|² − 2·v·c` — one codegen'd dot per centroid. Ties break to the
-    * smallest centroid id (struct ordering). */
-  def ivfAssign(v: Column, centroids: Array[Array[Double]]): Column = {
+    * `|c|² − 2·v·c`. Ties break to the smallest centroid id. Runs as
+    * the single-subspace case of the native [[graft.functions.PqEncode]]
+    * expression (value-identical to the composed struct/array_min form,
+    * see [[pqEncodeComposed]]) — tight generated loops instead of a
+    * 16-dot inlined subtree. */
+  def ivfAssign(v: Column, centroids: Array[Array[Double]]): Column =
+    element_at(graft.functions.PqEncode(v, Array(centroids)), 1)
+
+  /** The composed-expression twin of [[ivfAssign]], kept for the
+    * bit-equality spec (DedupSimSpec): argmin via struct ordering. */
+  def ivfAssignComposed(v: Column, centroids: Array[Array[Double]]): Column = {
     val ds = centroids.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.map(lit): _*)
       val c2 = c.map(x => x * x).sum
@@ -214,8 +222,20 @@ object Similarity {
     * (comparison key |c|² − 2·x_m·c like [[ivfAssign]]; ties to the
     * smallest code id), packed as an array<int> of length M. Encoding is
     * map-only — the corpus never shuffles, and the 8-byte code array
-    * stands in for the 256-byte float vector in the scan. */
-  def pqEncode(v: Column, codebook: Array[Array[Array[Double]]]): Column = {
+    * stands in for the 256-byte float vector in the scan. Runs as the
+    * native [[graft.functions.PqEncode]] expression: the composed
+    * m·k*-subtree form ([[pqEncodeComposed]]) inlined ~130 expressions
+    * into the whole-stage-codegen consume method, pushing it past the
+    * JVM JIT's huge-method bytecode limit — the stage ran
+    * bytecode-interpreted (measured 2.8 s vs 0.57 s with codegen off on
+    * a 10k-row window stage; value-identical per the DedupSimSpec
+    * bit-equality test). */
+  def pqEncode(v: Column, codebook: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqEncode(v, codebook)
+
+  /** The composed-expression twin of [[pqEncode]], kept for the
+    * bit-equality spec (DedupSimSpec). */
+  def pqEncodeComposed(v: Column, codebook: Array[Array[Array[Double]]]): Column = {
     val sub = codebook(0)(0).length
     array(codebook.zipWithIndex.map { case (cents, mi) =>
       val s = slice(v, mi * sub + 1, sub)

@@ -263,6 +263,24 @@ class DedupSimSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), "LSH must not invent pairs (exact verify stage)")
   }
 
+  test("native PqEncode matches the composed struct/array_min form bit-for-bit") {
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
+    val cb = graft.sim.PqCodebook.M8K16
+    val both = emb.select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), cb).as("native"),
+        Similarity.pqEncodeComposed(col("embedding"), cb).as("composed"),
+        Similarity.ivfAssign(col("embedding"), graft.sim.IvfCodebook.K16).as("na"),
+        Similarity.ivfAssignComposed(col("embedding"), graft.sim.IvfCodebook.K16).as("ca"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+        s"codes diverge for vec ${r.getLong(0)}")
+      assert(r.getInt(3) === r.getInt(4),
+        s"ivf list diverges for vec ${r.getLong(0)}")
+    }
+  }
+
   test("occupancy-scaled LSH: linear candidate growth, recall on planted dups") {
     val s = spark
     import s.implicits._
