@@ -100,10 +100,12 @@ object Similarity {
     val dim = df.select(size(col(vec))).first().getInt(0)
     val planes = bandPlanes(dim, nPlanes, bands, seed)
     val withNorm = df.withColumn("_n", dot(col(vec), col(vec)))
-    val banded = planes.zipWithIndex.foldLeft(withNorm) { case (d, (p, b)) =>
-      signBuckets(d, vec, p, s"_bk$b")
-    }.select(col(id),
-      posexplode(array((0 until bands).map(b => col(s"_bk$b")): _*))
+    // all bands in ONE native expression (graft.functions.SignBuckets):
+    // the per-band composed columns collapsed into a single projection
+    // of bands×nPlanes inlined dot subtrees — past ~3 bands of depth 8
+    // that busts the JIT huge-method limit (the PqEncode cliff)
+    val banded = withNorm.select(col(id),
+      posexplode(graft.functions.SignBuckets(col(vec), planes))
         .as(Seq("band", "bucket")))
     // candidates de-duped on ids ONLY (distinct over the raw vectors
     // would hash every array per pair); vectors re-joined after
@@ -356,12 +358,9 @@ object Similarity {
                          block: String, threshold: Double,
                          planes: Array[Array[Array[Double]]],
                          roundTo: Int = 5): DataFrame = {
-    val bands = planes.length
     val withNorm = df.withColumn("_n", dot(col(vec), col(vec)))
-    val banded = planes.zipWithIndex.foldLeft(withNorm) { case (d, (p, b)) =>
-      signBuckets(d, vec, p, s"_bk$b")
-    }.select(col(block), col(id),
-      posexplode(array((0 until bands).map(b => col(s"_bk$b")): _*))
+    val banded = withNorm.select(col(block), col(id),
+      posexplode(graft.functions.SignBuckets(col(vec), planes))
         .as(Seq("band", "bucket")))
     val a = banded.select(col(block), col("band"), col("bucket"), col(id).as("id_a"))
     val b = banded.select(col(block), col("band"), col("bucket"), col(id).as("id_b"))

@@ -97,12 +97,33 @@ object ScaleBench {
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       // growing corpus, fixed query set: the ANN queries probe vec_id<5,
-      // which stays in copy 0, so only the searched side scales
+      // which stays in the identity copy 0, so only the searched side
+      // scales. Each further copy gets a per-copy ORTHOGONAL transform
+      // (coordinate rotation + seeded sign flips — exact on floats):
+      // within-copy dot products, and with them every cosine/near-dup
+      // relation, are preserved exactly, while cross-copy vectors
+      // decorrelate — without this, identical copies give every vector
+      // factor−1 cosine-1.0 twins and the TRUE pair set (and the ANN
+      // top-k) grows quadratically by fixture artifact rather than by
+      // plan behavior.
       val v = graft.core.Tables.embeddings(spark, src)
       val nVecs = v.agg(max(col("vec_id"))).first().getLong(0) + 1
-      (0 until factor).map(i =>
-          v.withColumn("vec_id", col("vec_id") + lit(i * nVecs)))
-        .reduce(_ unionByName _)
+      val dim = v.select(size(col("embedding"))).first().getInt(0)
+      (0 until factor).map { i =>
+        val shifted = v.withColumn("vec_id", col("vec_id") + lit(i * nVecs))
+        if (i == 0) shifted
+        else {
+          val signs = {
+            val r = new scala.util.Random(1000L + i)
+            Array.fill(dim)(if (r.nextBoolean()) 1.0f else -1.0f)
+          }
+          shifted.withColumn("embedding",
+            array((0 until dim).map { j =>
+              (element_at(col("embedding"), ((j + i) % dim) + 1) *
+                lit(signs(j))).cast("float")
+            }: _*))
+        }
+      }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     } else if (family == "length") {
       // series-length replication: same user_id, ts shifted by a full

@@ -263,6 +263,24 @@ class DedupSimSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), "LSH must not invent pairs (exact verify stage)")
   }
 
+  test("native SignBuckets matches the composed per-band when/OR form bit-for-bit") {
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
+    val planes = Similarity.bandPlanes(64, 4, 8, 42L)
+    val composed = planes.zipWithIndex.foldLeft(emb) { case (d, (p, b)) =>
+      Similarity.signBuckets(d, "embedding", p, s"_bk$b")
+    }.select(col("vec_id"),
+      array((0 until 8).map(b => col(s"_bk$b")): _*).as("cb"))
+    val rows = composed
+      .join(emb.select(col("vec_id"),
+        graft.functions.SignBuckets(col("embedding"), planes).as("nb")), "vec_id")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"buckets diverge for vec ${r.getLong(0)}")
+    }
+  }
+
   test("native PqEncode matches the composed struct/array_min form bit-for-bit") {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
     val cb = graft.sim.PqCodebook.M8K16

@@ -205,32 +205,37 @@ per-copy alphabet rotation (a bijection on letters: within-copy
 shingle/Jaccard/dup structure preserved exactly, cross-copy shingles
 disjoint — so dedup candidate pairs grow linearly with the corpus,
 never quadratically); embeddings replicated {factor}x with disjoint
-vec_id ranges against the FIXED ANN query set (growing corpus, fixed
-queries). Min-of-2 walls per cell, local[32]. A ratio near {factor} is
-linear in work at fixed parallelism; well UNDER {factor} means the
-extra documents filled idle cores; far over {factor} is a quadratic
-candidate blow-up.
+vec_id ranges and a per-copy ORTHOGONAL transform (coordinate rotation
++ seeded sign flips, exact on floats: within-copy cosines preserved
+exactly, cross-copy vectors decorrelated — identical copies would give
+every vector {factor}-1 cosine-1.0 twins and grow the true pair set
+quadratically by fixture artifact) against the FIXED ANN query set in
+the identity copy. Min-of-2 walls per cell, local[32]. A ratio near
+{factor} is linear in work at fixed parallelism; well UNDER {factor}
+means the extra documents filled idle cores; far over {factor} is a
+quadratic candidate blow-up.
 
 Two expected outliers, both pair-enumeration queries at their
 small-corpus gate configs: `s01_lsh_ann` (nPlanes=4 — 16 sign-LSH
 buckets/band, which saturate at 10x so candidate pairs grow
 quadratically) and `q24_embed_neardup_blocked` (same effect per
-(label, band), plus the replicated fixture's identical embedding
-copies make the TRUE >=0.3 pair set itself grow ~100x). The
-`s01x_lsh_scaled` cell is the production fix measured:
-`lshNearDupPairsScaled` derives nPlanes from the corpus size
+(label, band)). The `s01x_lsh_scaled` cell is the production fix
+measured: `lshNearDupPairsScaled` derives nPlanes from the corpus size
 (occupancy-constant buckets, `planesForOccupancy`) and re-pins recall
-via `bandsForRecall` — its ratio stays near-linear at the same 10x.
-The spec `DedupSimSpec."occupancy-scaled LSH"` pins both behaviors
-(fixed-plane growth ~16x vs scaled ~5x at 4x corpus, recall 1.00 on
-planted dups). `q24x_banded_scaled` is the blocked twin
-(`bandedNearDupPairsScaled`, planes derived from the largest label
-block); its higher ratio is not candidate blow-up but `bandsForRecall`
-deepening 16 -> 39 bands to hold recall 0.95 at the loose 0.45
-threshold as planes grow — at a true near-dup threshold (0.9) the band
-growth is 1.5x. s01x's band count hits the 64 clamp at 10x for the
-same reason (the clamp bounds work at the cost of recall below the
-target — the documented "too loose for LSH" regime).
+via `bandsForRecall`. The spec `DedupSimSpec."occupancy-scaled LSH"`
+pins both behaviors (fixed-plane growth ~16x vs scaled ~5x at 4x
+corpus, recall 1.00 on planted dups). `q24x_banded_scaled` is the
+blocked twin (`bandedNearDupPairsScaled`, planes derived from the
+largest label block); the scaled cells' extra cost at 10x is
+`bandsForRecall` deepening the band count to hold recall 0.95 at the
+loose 0.45 threshold as planes grow (s01x hits the 64-band clamp — the
+documented "too loose for LSH" regime; at a true near-dup threshold
+like 0.9 band growth is only ~1.5x). Banding for every cell runs
+through the native `sign_buckets` expression — the composed per-band
+columns collapsed into one projection of bands x planes inlined dot
+subtrees, which at the 64-band operating point busted the JVM JIT
+huge-method limit exactly like the PQ encoder (see PqEncode): the
+native expression cut s01x's base wall 7.4s -> 1.7s.
 
 | query | sf0.1 s | x{factor} s | ratio |
 |---|---|---|---|
