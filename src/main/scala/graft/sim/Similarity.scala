@@ -253,8 +253,19 @@ object Similarity {
   /** Per-query ADC lookup table: dot(q_m, c_{m,k}) for every subspace ×
     * centroid, flattened m-major (m·K + k). dot(q, x) ≈ Σ_m lut[m·K +
     * code_m(x)] — 8 array lookups per candidate instead of a 64-dim
-    * multiply. */
-  def pqLut(v: Column, codebook: Array[Array[Array[Double]]]): Column = {
+    * multiply. Runs as the native [[graft.functions.PqLut]] expression:
+    * the composed m·k*-dot-subtree form ([[pqLutComposed]]) generates a
+    * method that exceeds Janino's hard 64 KB bytecode limit at
+    * production dims (m=96: compile fails, the failure is NOT cached,
+    * and every run re-pays a ~7 s compile attempt before interpreted
+    * fallback — the dim-12× scale cell measured ~21× wall from this
+    * alone). */
+  def pqLut(v: Column, codebook: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqLut(v, codebook)
+
+  /** The composed-expression twin of [[pqLut]], kept for the
+    * bit-equality spec (DedupSimSpec). */
+  def pqLutComposed(v: Column, codebook: Array[Array[Array[Double]]]): Column = {
     val sub = codebook(0)(0).length
     array(codebook.zipWithIndex.flatMap { case (cents, mi) =>
       val s = slice(v, mi * sub + 1, sub)
@@ -274,26 +285,49 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, id: String, vec: String,
              codebook: Array[Array[Array[Double]]], k: Int,
              overfetch: Int = 2, roundTo: Int = 5): DataFrame = {
-    val m = codebook.length; val ks = codebook(0).length
-    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
-      dot(col(vec), col(vec)).as("qn"), pqLut(col(vec), codebook).as("lut"))
-    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
-      dot(col(vec), col(vec)).as("cn"), pqEncode(col(vec), codebook).as("codes"))
-    val adc = (0 until m).map(mi =>
-        element_at(col("lut"), element_at(col("codes"), mi + 1) + lit(mi * ks + 1)))
-      .reduce(_ + _)
+    val ks = codebook(0).length
+    // SLIM ADC ranking: the window exchange ships (query_id,
+    // neighbor_id, adc) ONLY. The raw vectors and the m·ks LUT used to
+    // ride through this shuffle+sort for the downstream rerank — at
+    // production dims they dwarf the 24-byte ranking triple (the 12x
+    // embedding-dimension scale axis measured the old shape at 24x
+    // wall); the rerank now re-reads the pruned (id, vec) columns and
+    // broadcast-joins the tiny shortlist instead.
+    val q = queries.select(col(id).as("query_id"),
+      pqLut(col(vec), codebook).as("lut"))
+    val c = corpus.select(col(id).as("neighbor_id"),
+      pqEncode(col(vec), codebook).as("codes"))
+    val adc = graft.functions.AdcSum(col("lut"), col("codes"), ks)
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
-    val shortlist = c.crossJoin(broadcast(q))
+    val shortIds = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", round(adc, roundTo))
+      .select(col("query_id"), col("neighbor_id"), round(adc, roundTo).as("adc"))
       .withColumn("ark", row_number().over(wA))
       .filter(col("ark") <= k * overfetch)
-      .withColumn("cosine",
-        round(dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), roundTo))
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(queries, corpus, id, vec, shortIds, k, roundTo)
+  }
+
+  /** Exact-cosine rerank of a (query_id, neighbor_id) shortlist:
+    * the shortlist (k·overfetch rows per query) is broadcast into a
+    * map-side semi-join against the corpus — the only corpus columns
+    * read are (id, vec), and no full vector ever crosses a shuffle. */
+  private def rerankExact(queries: DataFrame, corpus: DataFrame,
+                          id: String, vec: String, shortIds: DataFrame,
+                          k: Int, roundTo: Int): DataFrame = {
+    val qv = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      dot(col(vec), col(vec)).as("qn"))
+    val cv = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    shortlist.withColumn("rk", row_number().over(w))
+    cv.join(broadcast(shortIds), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cn", dot(col("cv"), col("cv")))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), roundTo))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
   }
@@ -312,7 +346,7 @@ object Similarity {
                 codebook: Array[Array[Array[Double]]],
                 nProbe: Int, k: Int, overfetch: Int = 4,
                 roundTo: Int = 5): DataFrame = {
-    val m = codebook.length; val ks = codebook(0).length
+    val ks = codebook(0).length
     val ds = centroids.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.map(lit): _*)
       val c2 = c.map(x => x * x).sum
@@ -320,30 +354,25 @@ object Similarity {
     }
     val probes = transform(
       slice(array_sort(array(ds: _*)), 1, nProbe), s => s.getField("cid"))
-    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
-      dot(col(vec), col(vec)).as("qn"), pqLut(col(vec), codebook).as("lut"),
-      explode(probes).as("cid"))
-    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
-      dot(col(vec), col(vec)).as("cn"),
+    // same SLIM ADC ranking shape as [[pqTopK]]: only (query_id,
+    // neighbor_id, adc) crosses the ranking window's exchange; vectors
+    // and LUT stay out of the shuffle, the rerank re-joins them from a
+    // pruned corpus scan against the broadcast shortlist
+    val q = queries.select(col(id).as("query_id"),
+      pqLut(col(vec), codebook).as("lut"), explode(probes).as("cid"))
+    val c = corpus.select(col(id).as("neighbor_id"),
       ivfAssign(col(vec), centroids).as("cid"),
       pqEncode(col(vec), codebook).as("codes"))
-    val adc = (0 until m).map(mi =>
-        element_at(col("lut"), element_at(col("codes"), mi + 1) + lit(mi * ks + 1)))
-      .reduce(_ + _)
+    val adc = graft.functions.AdcSum(col("lut"), col("codes"), ks)
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
-    val shortlist = c.join(broadcast(q), "cid")
+    val shortIds = c.join(broadcast(q), "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", round(adc, roundTo))
+      .select(col("query_id"), col("neighbor_id"), round(adc, roundTo).as("adc"))
       .withColumn("ark", row_number().over(wA))
       .filter(col("ark") <= k * overfetch)
-      .withColumn("cosine",
-        round(dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), roundTo))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    shortlist.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(queries, corpus, id, vec, shortIds, k, roundTo)
   }
 
   /** Near-dup pairs within explicit blocks, ADDITIONALLY multi-band

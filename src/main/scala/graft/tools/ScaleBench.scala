@@ -54,6 +54,60 @@ object ScaleBench {
     "g05b_regime_garch_per_user", "q29b_garch_grid_per_user",
     "q30b_dist_per_user", "q31b_composite_per_user")
 
+  /** Fourth axis: embedding DIMENSION. Production LLM embeddings are
+    * 768–4096-dim where the fixture is 64 — the ANN family's cost is
+    * dim-linear in encode/assign/exact-verify but m-linear (not
+    * dim-linear) in the PQ ADC scan, and this axis measures exactly
+    * that split. The scaled table tiles each vector `factor`× with
+    * per-tile seeded SIGN FLIPS (exact in floating point: every
+    * product s_j·x_j · s_j·y_j = x_j·y_j bit-for-bit, so per-tile dots
+    * equal the base dot and every cosine / IVF assignment / PQ code is
+    * preserved — the scaled run must return the SAME neighbors, making
+    * the cell self-checking) while cross-tile structure decorrelates.
+    * Sign flips are diagonal, so subspace boundaries survive and the
+    * dim-64 codebooks tile to the scaled dim by the same signs
+    * ([[tileIvf]]/[[tilePq]], spec-pinned in DedupSimSpec). */
+  val DimQueries: Seq[String] = Seq(
+    "q23_ann_topk", "s01_lsh_ann")
+
+  /** Per-tile sign vector; tile 0 is the identity. Shared by the
+    * fixture build and the codebook tiling so they stay consistent. */
+  def dimSigns(dim: Int, tile: Int): Array[Double] =
+    if (tile == 0) Array.fill(dim)(1.0)
+    else {
+      val r = new scala.util.Random(3000L + tile)
+      Array.fill(dim)(if (r.nextBoolean()) 1.0 else -1.0)
+    }
+
+  /** IVF centroids tiled to `factor`× the dim by the fixture's signs:
+    * ‖tiled(v) − tiled(c)‖² = factor·‖v−c‖², so assignment and probe
+    * order are unchanged. */
+  def tileIvf(cents: Array[Array[Double]], factor: Int): Array[Array[Double]] =
+    cents.map { c =>
+      val dim = c.length
+      Array.tabulate(factor * dim) { jj =>
+        val s = dimSigns(dim, jj / dim)
+        c(jj % dim) * s(jj % dim)
+      }
+    }
+
+  /** PQ codebook tiled to factor·m subspaces: subspace (t·m + mi) is
+    * codebook(mi) under tile t's sign slice — per-subspace quantization
+    * distances are preserved exactly, so codes tile-replicate and the
+    * ADC ranking matches the base dim. */
+  def tilePq(cb: Array[Array[Array[Double]]],
+             factor: Int): Array[Array[Array[Double]]] = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val dim = m * sub
+    Array.tabulate(factor * m) { mm =>
+      val s = dimSigns(dim, mm / m)
+      val mi = mm % m
+      cb(mi).map(cent =>
+        Array.tabulate(sub)(j => cent(j) * s(mi * sub + j)))
+    }
+  }
+
   val DocQueries: Seq[String] = Seq(
     "q17_dedup_exact", "q19_token_stats", "q20_lang_id",
     "q21_jaccard_neardup", "q22_doc_fingerprint",
@@ -125,6 +179,22 @@ object ScaleBench {
         }
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    } else if (family == "dim") {
+      // dimension tiling: same vec count, dim × factor. Tile 0 is the
+      // original vector; tile t is a per-tile seeded sign flip (exact
+      // in fp, see DimQueries doc). zip_with keeps the projection two
+      // expressions per tile instead of dim expressions per element.
+      val v = graft.core.Tables.embeddings(spark, src)
+      val dim = v.select(size(col("embedding"))).first().getInt(0)
+      val tiles = (0 until factor).map { t =>
+        if (t == 0) col("embedding")
+        else {
+          val s = array(dimSigns(dim, t).map(x => lit(x.toFloat)): _*)
+          zip_with(col("embedding"), s, (a, b) => (a * b).cast("float"))
+        }
+      }
+      v.withColumn("embedding", flatten(array(tiles: _*)))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     } else if (family == "length") {
       // series-length replication: same user_id, ts shifted by a full
       // span+1h per copy (disjoint time ranges, order preserved),
@@ -169,6 +239,7 @@ object ScaleBench {
     val gateQueries = family match {
       case "docs"   => DocQueries
       case "length" => LengthQueries
+      case "dim"    => DimQueries
       case _        => PerSeriesQueries
     }
     // bench-only cells (no gate entry): the occupancy-scaled LSH
@@ -178,8 +249,55 @@ object ScaleBench {
     // path (planesForOccupancy + bandsForRecall). threshold=0.45 sits
     // above the fixture's pair tail, isolating candidate-generation
     // cost from output size.
+    // dim-family extras: the IVF/PQ paths carry literal dim-64
+    // codebooks, so each cell derives the dir's dim and tiles the
+    // codebook to match (factor 1 at the base dim = the exact gate
+    // codebooks). The interesting read is the RATIO SPLIT: encode /
+    // assign / exact-verify cells should grow ~linearly with dim while
+    // the ADC scan grows with m = 8·factor only in LUT adds, and the
+    // rerank (fixed overfetch·k exact dots) grows linearly but on a
+    // corpus-size-independent candidate count.
+    def dimExtras(): Seq[(String, String => org.apache.spark.sql.DataFrame)] = {
+      def fac(d: String): Int = {
+        val dm = graft.core.Tables.embeddings(spark, d)
+          .select(size(col("embedding"))).first().getInt(0)
+        require(dm % 64 == 0, s"dim $dm not a multiple of the codebook dim 64")
+        dm / 64
+      }
+      Seq(
+        "s02x_ivf_dim" -> ((d: String) => {
+          val e = graft.core.Tables.embeddings(spark, d)
+          graft.sim.Similarity.ivfTopK(e.filter(col("vec_id") < 5), e,
+            "vec_id", "embedding",
+            tileIvf(graft.sim.IvfCodebook.K16, fac(d)), nProbe = 4, k = 10)
+        }),
+        "s03x_pq_dim" -> ((d: String) => {
+          val e = graft.core.Tables.embeddings(spark, d)
+          graft.sim.Similarity.pqTopK(e.filter(col("vec_id") < 5), e,
+            "vec_id", "embedding",
+            tilePq(graft.sim.PqCodebook.M8K16, fac(d)), k = 10, overfetch = 16)
+        }),
+        "s04x_ivfpq_dim" -> ((d: String) => {
+          val e = graft.core.Tables.embeddings(spark, d)
+          graft.sim.Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e,
+            "vec_id", "embedding",
+            tileIvf(graft.sim.IvfCodebook.K16, fac(d)),
+            tilePq(graft.sim.PqCodebook.M8K16, fac(d)),
+            nProbe = 10, k = 10, overfetch = 16)
+        }),
+        "s01x_lsh_dimscaled" -> ((d: String) =>
+          graft.sim.Similarity.lshNearDupPairsScaled(
+            graft.core.Tables.embeddings(spark, d), "vec_id", "embedding",
+            threshold = 0.45, targetBucket = 64, recall = 0.95, seed = 42L)),
+        "q24x_banded_dimscaled" -> ((d: String) =>
+          graft.sim.Similarity.bandedNearDupPairsScaled(
+            graft.core.Tables.embeddings(spark, d), "vec_id", "embedding",
+            "label", threshold = 0.45, targetBucket = 64, recall = 0.95,
+            seed = 7L)))
+    }
     val extras: Seq[(String, String => org.apache.spark.sql.DataFrame)] =
-      if (family != "docs") Seq.empty
+      if (family == "dim") dimExtras()
+      else if (family != "docs") Seq.empty
       else Seq(
         "s01x_lsh_scaled" -> ((d: String) =>
           graft.sim.Similarity.lshNearDupPairsScaled(
@@ -193,6 +311,7 @@ object ScaleBench {
     val jsonOut = family match {
       case "docs"   => "BENCH_SF1_DOCS.json"
       case "length" => "BENCH_SF1_LEN.json"
+      case "dim"    => "BENCH_SF1_DIM.json"
       case _        => "BENCH_SF1.json"
     }
 

@@ -281,6 +281,46 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("dim-tiled embeddings + tiled codebooks preserve ANN results exactly") {
+    // the ScaleBench `dim` family contract: tiling a vector factor x
+    // with per-tile sign flips multiplies every dot/dist by factor
+    // EXACTLY in fp (per-tile products are bit-identical), so brute
+    // force, IVF (tileIvf) and PQ (tilePq) must return the same
+    // neighbors at dim 192 as at dim 64
+    val factor = 3
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val tiles = (0 until factor).map { t =>
+      if (t == 0) col("embedding")
+      else {
+        val s = array(graft.tools.ScaleBench.dimSigns(dim, t)
+          .map(x => lit(x.toFloat)): _*)
+        zip_with(col("embedding"), s, (a, b) => (a * b).cast("float"))
+      }
+    }
+    val tiled = emb.withColumn("embedding", flatten(array(tiles: _*)))
+
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      df.select(col("query_id"), col("rk"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+
+    val pqBase = Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", graft.sim.PqCodebook.M8K16, k = 10, overfetch = 16)
+    val pqTiled = Similarity.pqTopK(tiled.filter(col("vec_id") < 5), tiled,
+      "vec_id", "embedding",
+      graft.tools.ScaleBench.tilePq(graft.sim.PqCodebook.M8K16, factor),
+      k = 10, overfetch = 16)
+    assert(ids(pqTiled) === ids(pqBase))
+
+    val ivfBase = Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", graft.sim.IvfCodebook.K16, nProbe = 4, k = 10)
+    val ivfTiled = Similarity.ivfTopK(tiled.filter(col("vec_id") < 5), tiled,
+      "vec_id", "embedding",
+      graft.tools.ScaleBench.tileIvf(graft.sim.IvfCodebook.K16, factor),
+      nProbe = 4, k = 10)
+    assert(ids(ivfTiled) === ids(ivfBase))
+  }
+
   test("native PqEncode matches the composed struct/array_min form bit-for-bit") {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
     val cb = graft.sim.PqCodebook.M8K16
@@ -296,6 +336,75 @@ class DedupSimSpec extends AnyFunSuite {
         s"codes diverge for vec ${r.getLong(0)}")
       assert(r.getInt(3) === r.getInt(4),
         s"ivf list diverges for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("native PqLut matches the composed slice/dot form bit-for-bit") {
+    // the native expression exists because the composed form's
+    // generated method crosses Janino's 64 KB limit at tiled (m=96)
+    // codebooks; the contract is exact fp equality at any m, checked
+    // here at both the gate codebook and a factor-3 tiled one
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
+    for (cb <- Seq(graft.sim.PqCodebook.M8K16,
+                   graft.tools.ScaleBench.tilePq(graft.sim.PqCodebook.M8K16, 3))) {
+      val dim = cb.length * cb(0)(0).length
+      val tiles = (0 until dim / 64).map { t =>
+        if (t == 0) col("embedding")
+        else {
+          val s = array(graft.tools.ScaleBench.dimSigns(64, t)
+            .map(x => lit(x.toFloat)): _*)
+          zip_with(col("embedding"), s, (a, b) => (a * b).cast("float"))
+        }
+      }
+      val v = emb.withColumn("embedding", flatten(array(tiles: _*)))
+      val both = v.select(col("vec_id"),
+          Similarity.pqLut(col("embedding"), cb).as("native"),
+          Similarity.pqLutComposed(col("embedding"), cb).as("composed"))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach { r =>
+        assert(r.getSeq[Double](1) === r.getSeq[Double](2),
+          s"lut diverges for vec ${r.getLong(0)} at m=${cb.length}")
+      }
+    }
+  }
+
+  test("native AdcSum matches the composed element_at sum bit-for-bit") {
+    // same contract as PqLut/PqEncode: the native loop must reproduce
+    // the left-to-right reduce(_+_) of element_at terms exactly;
+    // checked at the gate codebook (m=8) and a factor-3 tiled one
+    // (m=24, still below the composed form's 64 KB codegen cliff)
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
+    for (cb <- Seq(graft.sim.PqCodebook.M8K16,
+                   graft.tools.ScaleBench.tilePq(graft.sim.PqCodebook.M8K16, 3))) {
+      val m = cb.length; val ks = cb(0).length
+      val dim = m * cb(0)(0).length
+      val tiles = (0 until dim / 64).map { t =>
+        if (t == 0) col("embedding")
+        else {
+          val s = array(graft.tools.ScaleBench.dimSigns(64, t)
+            .map(x => lit(x.toFloat)): _*)
+          zip_with(col("embedding"), s, (a, b) => (a * b).cast("float"))
+        }
+      }
+      // self-ADC (each vector scored against its own LUT) exercises
+      // every lut index the codes can produce
+      val pairs = emb.withColumn("embedding", flatten(array(tiles: _*)))
+        .select(col("vec_id"),
+          Similarity.pqLut(col("embedding"), cb).as("lut"),
+          Similarity.pqEncode(col("embedding"), cb).as("codes"))
+      val composed = (0 until m).map(mi =>
+          element_at(col("lut"), element_at(col("codes"), mi + 1) + lit(mi * ks + 1)))
+        .reduce(_ + _)
+      val both = pairs.select(col("vec_id"),
+          graft.functions.AdcSum(col("lut"), col("codes"), ks).as("native"),
+          composed.as("comp"))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach { r =>
+        assert(r.getDouble(1) === r.getDouble(2),
+          s"adc diverges for vec ${r.getLong(0)} at m=$m")
+      }
     }
   }
 

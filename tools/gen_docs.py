@@ -280,6 +280,39 @@ oracles stay hash-green; ratio now ~1.4 and the sf0.1 wall dropped
                             f"| {r['ratio']:.2f} |\n")
             except (ValueError, KeyError) as e:
                 f.write(f"\n(BENCH_SF1_LEN.json unreadable: {e})\n")
+        # embedding-DIMENSION scale experiment (graft.tools.ScaleBench
+        # ... dim): same vectors, factor x the dimension
+        mpath = os.path.join(ROOT, "BENCH_SF1_DIM.json")
+        if os.path.exists(mpath):
+            try:
+                mdata = json.load(open(mpath))
+                factor = mdata.get("factor")
+                f.write(f"""
+## {factor}x embedding-dimension scale run (`graft.tools.ScaleBench ... dim`)
+
+sf0.1 embeddings tiled {factor}x along the DIMENSION (64 -> {64*factor},
+the production LLM-embedding regime) with per-tile seeded sign flips —
+exact in floating point, so every cosine, IVF assignment and PQ code is
+preserved and the scaled run must return the SAME neighbors (the
+equality is spec-pinned at factor 3 in DedupSimSpec."dim-tiled"); the
+IVF/PQ cells tile the dim-64 codebooks by the same signs
+(`ScaleBench.tileIvf/tilePq` -> m = 8·{factor} subspaces, codes
+{factor}x longer). Corpus size is FIXED — this axis isolates the
+per-dimension cost split the ANN designs claim: encode / assign /
+exact-verify are dim-linear, the PQ ADC scan is m-linear in LUT adds
+(cheaper per added dim), and the exact-rerank depth is unchanged. A
+ratio near {factor} is dim-linear work at fixed parallelism; well
+under {factor} means the dimension rode idle vector width / memory
+slack; far over {factor} is a dim-superlinear path (none expected).
+
+| query | sf0.1 s | x{factor} s | ratio |
+|---|---|---|---|
+""")
+                for q, r in sorted(mdata.get("queries", {}).items()):
+                    f.write(f"| {q} | {r['base_sec']:.2f} | {r['scaled_sec']:.2f} "
+                            f"| {r['ratio']:.2f} |\n")
+            except (ValueError, KeyError) as e:
+                f.write(f"\n(BENCH_SF1_DIM.json unreadable: {e})\n")
     print(f"wrote COVERAGE_GATE.md + BENCH_NOTES.md from round {rnd} artifacts "
           f"({n_pass} pass / {n_fail} fail / {n_none} rows-only; "
           f"{f'{total:.2f}s' if total is not None else 'partial bench'})")
