@@ -2846,6 +2846,68 @@ object OracleSql {
         |  round(1.0 - count(DISTINCT shingle)::DOUBLE / count(*), 6) AS rep_ratio
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // PII redaction: same doc_id-salted body construction, same
+    // RE2-compatible patterns (DuckDB's regexp_* IS RE2; the Spark side
+    // keeps the patterns lookaround-free so both engines agree)
+    "t03_pii_redact" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR ||
+        |    '@mail.example.com or 415-555-' ||
+        |    lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') AS body
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(body, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::INT AS n_email,
+        |  len(regexp_extract_all(body, '\d{3}-\d{3}-\d{4}'))::INT AS n_phone,
+        |  regexp_replace(
+        |    regexp_replace(body, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // chunking: chunk i = substr(1 + i·80, 120); n chunks =
+    // 1 + ceil((len-120)/80) clamped at 1 (integer ceil via +79 floor)
+    "t04_chunk" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CASE WHEN strlen(text) > 120
+        |         THEN (strlen(text) - 120 + 79) // 80 ELSE 0 END AS n_extra
+        |  FROM documents),
+        |c AS (SELECT doc_id, unnest(generate_series(0, n_extra))::INT AS chunk_id,
+        |        text FROM d)
+        |SELECT doc_id, chunk_id,
+        |  substr(text, 1 + chunk_id * 80, 120) AS chunk,
+        |  len(string_split(substr(text, 1 + chunk_id * 80, 120), ' '))::INT AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // TF-IDF: smooth idf tf·(ln((N+1)/(df+1))+1), rank per doc by
+    // (score desc, token asc) — identical formula, libm-ulp absorbed by
+    // round(...,6) on output (rank order itself is decided by integer
+    // (tf, df) pairs except at exact real coincidences)
+    "t05_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+        |              FROM documents),
+        |t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+        |        tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0) AS score
+        |      FROM tf JOIN dfq USING (token) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, token) AS rk FROM s)
+        |SELECT doc_id, token, tf, df, round(score, 6) AS score, rk::INT AS rk
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // heavy hitters: the oracle is the plain exact GROUP BY/HAVING —
+    // the Spark side's Count-Min prune is exact-by-construction (CMS
+    // never undercounts, survivors are re-counted exactly)
+    "a06_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(list_transform(
+        |    generate_series(2, len(string_split(text,' '))),
+        |    i -> string_split(text,' ')[i-1] || ' ' || string_split(text,' ')[i]))
+        |      AS bigram
+        |  FROM documents)
+        |SELECT bigram, count(*)::BIGINT AS cnt FROM t GROUP BY bigram
+        |HAVING count(*) >= 40 ORDER BY cnt DESC, bigram""".stripMargin,
+
     // MinHash+LSH: ONE portable md5-derived base value per shingle, 64
     // arithmetic permutations (a·base+b mod 2^31−1 — coefficients shared
     // with the Spark side), 16 bands of 4, md5-of-slice band buckets,
@@ -4461,6 +4523,19 @@ object OracleSql {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.user_id, l.event_id""".stripMargin,
+
+    // range join: DuckDB's native BETWEEN join is the oracle for the
+    // bucket-quantized equi-join implementation (RangeJoin.pointInInterval)
+    "a05_range_join" ->
+      """WITH r AS (SELECT user_id, event_id AS r_id,
+        |             value - 5.0 AS lo, value + 5.0 AS hi
+        |           FROM events WHERE event_id % 50 = 0),
+        |     l AS (SELECT user_id, event_id AS l_id, value AS p
+        |           FROM events WHERE event_id % 50 <> 0)
+        |SELECT l.user_id, l.l_id, r.r_id, round(l.p, 6) AS p,
+        |       round(r.lo, 6) AS lo, round(r.hi, 6) AS hi
+        |FROM l JOIN r ON l.user_id = r.user_id AND l.p BETWEEN r.lo AND r.hi
+        |ORDER BY l.user_id, l.l_id, r.r_id""".stripMargin,
 
     "a15_generator_summary" ->
       """WITH m AS (SELECT user_id AS seed,

@@ -418,6 +418,58 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── PII redaction: email/phone scrub with typed placeholders —
+    //    pure map-side regexp, zero shuffles. The corpus is synthetic
+    //    (no natural PII), so each doc is first salted with a
+    //    deterministic doc_id-derived email + phone; the redactor then
+    //    has to find and replace them inside real prose ────────────────
+    "t03_pii_redact" -> ((s, dir) => {
+      val dirty = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com or 415-555-"),
+          lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0")).as("body"))
+      graft.text.TextOps.redactPii(dirty, "body")
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Document chunking: fixed 120-char windows, stride 80 (40-char
+    //    overlap) — the training-context shaping step; map-side
+    //    explode, no shuffle ───────────────────────────────────────────
+    "t04_chunk" -> ((s, dir) => {
+      graft.text.TextOps.chunk(docs(s, dir), "doc_id", "text",
+          window = 120, stride = 80)
+        .select(col("doc_id"), col("chunk_id"), col("chunk"), col("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // ── TF-IDF top-3 terms per document (smooth idf, sklearn
+    //    convention) — two map-side-combinable aggs + broadcast N,
+    //    per-doc window rank tie-broken by token ───────────────────────
+    "t05_tfidf_topk" -> ((s, dir) => {
+      graft.text.TextOps.tfIdfTopK(docs(s, dir), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("score"), col("rk"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // ── Heavy hitters via Count-Min sketch: exact bigram counts ≥ 40
+    //    WITHOUT shuffling the distinct-bigram universe — shuffle-free
+    //    sketch pass, broadcast-probe prune, exact agg on survivors
+    //    (CMS never undercounts → no false negatives → hash-exact) ─────
+    "a06_heavy_hitters" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val bigrams = docs(s, dir).select(
+        explode(when(size(toks) >= 2,
+            transform(sequence(lit(2), size(toks)),
+              i => concat(element_at(toks, i - 1), lit(" "),
+                element_at(toks, i))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+      graft.stats.HeavyHitters.heavyHitters(bigrams, "bigram",
+          threshold = 40, eps = 1e-4)
+        .orderBy(col("cnt").desc, col("bigram"))
+    }),
+
     // ── Dedup clusters: the d01 pair list closed into connected
     //    components (min-label propagation — one keyed join + min-agg
     //    per round), canonical keeper = the component's min id ─────────
@@ -1140,6 +1192,27 @@ object SparkEntry {
           round(col("value"), 6).as("value"),
           round(col("asof_value"), 6).as("asof_value"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ── Range join (beyond reference): point-in-interval lookup with
+    //    NO cartesian / nested-loop plan — bucket-quantized equi-join
+    //    (one hash shuffle per side) + residual BETWEEN filter. Every
+    //    1-in-50 event becomes a ±5 value band; all other events of the
+    //    same user that price inside the band are matched ──────────────
+    "a05_range_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val right = e.filter(col("event_id") % 50 === 0)
+        .select(col("user_id"), col("event_id").as("r_id"),
+          (col("value") - 5.0).as("lo"), (col("value") + 5.0).as("hi"))
+      val left = e.filter(col("event_id") % 50 =!= 0)
+        .select(col("user_id"), col("event_id").as("l_id"),
+          col("value").as("p"))
+      graft.series.RangeJoin.pointInInterval(
+          left, right, Seq("user_id"), "p", "lo", "hi", bucketWidth = 10.0)
+        .select(col("user_id"), col("l_id"), col("r_id"),
+          round(col("p"), 6).as("p"),
+          round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+        .orderBy(col("user_id"), col("l_id"), col("r_id"))
     }),
 
     // ── Sessionization (beyond reference): gap-based session ids per

@@ -130,4 +130,73 @@ object TextOps {
       .groupBy(col(id))
       .agg(min(col("gram_md5")).as("fingerprint"),
            countDistinct(col("gram_md5")).as("n_grams"))
+
+  /** PII patterns used by [[redactPii]] — RE2-compatible (no lookaround,
+    * no backrefs) so the identical pattern strings run on both the JVM
+    * regex engine and DuckDB's RE2 oracle. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII redaction (beyond reference): replace email addresses and
+    * phone numbers in a text column with typed placeholder tags and
+    * count the replacements. Pure map-side `regexp_replace` /
+    * `regexp_count` — zero shuffles, codegen'd, embarrassingly parallel
+    * at 100 TB. Emits `n_email`, `n_phone` (IntegerType) and
+    * `redacted`. */
+  def redactPii(df: DataFrame, text: String): DataFrame =
+    df.withColumn("n_email", regexp_count(col(text), lit(EmailRe)))
+      .withColumn("n_phone", regexp_count(col(text), lit(PhoneRe)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(text), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+
+  /** Fixed-window document chunking with overlap (beyond reference):
+    * the training-data shaping step that turns documents into model
+    * context windows. Chunk i covers characters [i·stride, i·stride +
+    * size); the last chunk starts at the smallest multiple of `stride`
+    * whose window reaches the end of the document (a document shorter
+    * than `size` yields exactly one chunk). One `posexplode` over a
+    * computed `sequence` — map-side only, no shuffle; output is
+    * (id, chunk_id INT, chunk, n_tokens INT). */
+  def chunk(df: DataFrame, id: String, text: String,
+            window: Int = 120, stride: Int = 80): DataFrame = {
+    require(stride > 0 && window >= stride, "need 0 < stride <= window")
+    val len = length(col(text))
+    // ceil((len - window) / stride), clamped at 0: the numerator is
+    // kept positive so the toward-zero int cast equals floor
+    val nExtra = when(len > window,
+      floor((len - window + (stride - 1)) / lit(stride))).otherwise(0)
+    df.select(col(id), col(text).as("_t"),
+        explode(sequence(lit(0), nExtra.cast("int"))).as("chunk_id"))
+      .select(col(id), col("chunk_id"),
+        expr(s"substring(_t, 1 + chunk_id * $stride, $window)").as("chunk"))
+      .withColumn("n_tokens", size(split(col("chunk"), " ")))
+  }
+
+  /** TF-IDF top-k terms per document (beyond reference): smooth-idf
+    * (sklearn convention) `tf · (ln((N+1)/(df+1)) + 1)`, ranked per
+    * document by (score desc, token asc). Shuffle shape: one (doc,
+    * token) agg for tf, one token agg for df (both map-side
+    * combinable), a broadcast-sized token→df join back, and a per-doc
+    * window for the rank — no all-pairs step, so scale is bounded by
+    * the tf frame (≈ corpus token count). N comes from a 1-row agg
+    * crossJoin (kept in-plan — no driver count). */
+  def tfIdfTopK(df: DataFrame, id: String, text: String,
+                k: Int = 3): DataFrame = {
+    val toks = df.select(col(id), explode(split(col(text), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col(id), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(countDistinct(col(id)).as("_n"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (log((col("_n") + 1.0) / (col("df") + 1.0)) + 1.0))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col(id))
+        .orderBy(col("score").desc, col("token"))))
+      .filter(col("rk") <= k)
+      .select(col(id), col("token"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"), col("rk"))
+  }
 }

@@ -258,4 +258,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("*("), "expected codegen spans in the ANN plan")
     assert(p.contains("dot_product"), "expected the native DotProduct expr")
   }
+
+  test("a05 range join is a bucketed EQUI-join — no cartesian, no nested loop") {
+    // Spark's native plan for `p BETWEEN lo AND hi` is BroadcastNestedLoop
+    // (or Cartesian) — the whole point of RangeJoin is that the quantized
+    // bucket key turns it into a plain hash-shuffle equi-join
+    val p = plan("a05_range_join")
+    assert(!p.contains("CartesianProduct"), "range join must not be cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join must not fall back to the nested-loop non-equi plan")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on (key, bucket): $p")
+  }
+
+  test("a06 heavy hitters: sketch prune keeps the exact agg off the full universe") {
+    val p = plan("a06_heavy_hitters")
+    assert(!p.contains("CartesianProduct"))
+    // the exact pass is a plain partial+final hash agg over the pruned rows
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "expected a hash aggregation for the exact count pass")
+  }
 }
