@@ -22,6 +22,28 @@ object OracleSql {
 
   private val stopList = "'the','a','an','of','and','to','in','is','it','that'"
 
+  /** t01 + t06 share this oracle: bloomContamination is exact-by-
+    * construction (Bloom has no false negatives; false positives die in
+    * the exact join), so both gate against the plain 8-gram join. */
+  private val t01Sql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+      |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+      |              FROM documents),
+      |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+      |sh0 AS (SELECT doc_id,
+      |          concat_ws(' ', token, lead(token,1) OVER w, lead(token,2) OVER w,
+      |            lead(token,3) OVER w, lead(token,4) OVER w, lead(token,5) OVER w,
+      |            lead(token,6) OVER w, lead(token,7) OVER w) AS shingle,
+      |          lead(token,7) OVER w AS l7
+      |        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l7 IS NOT NULL)
+      |SELECT a.doc_id AS train_id, b.doc_id AS bench_id,
+      |       count(*)::BIGINT AS n_shared
+      |FROM sh a JOIN sh b USING (shingle)
+      |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      |GROUP BY 1, 2 HAVING count(*) >= 5
+      |ORDER BY train_id, bench_id""".stripMargin
+
   /** DuckDB list literal for one hyperplane (Double.toString round-trips
     * exactly, so both engines see bit-identical plane weights). */
   private def planeLit(p: Array[Double]): String = "[" + p.mkString(",") + "]"
@@ -2811,24 +2833,12 @@ object OracleSql {
 
     // decontamination: distinct 8-gram inverted-index join between the
     // even ("train") and odd ("benchmark") docs, shared-gram counts >= 5
-    "t01_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
-        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
-        |              FROM documents),
-        |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
-        |sh0 AS (SELECT doc_id,
-        |          concat_ws(' ', token, lead(token,1) OVER w, lead(token,2) OVER w,
-        |            lead(token,3) OVER w, lead(token,4) OVER w, lead(token,5) OVER w,
-        |            lead(token,6) OVER w, lead(token,7) OVER w) AS shingle,
-        |          lead(token,7) OVER w AS l7
-        |        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l7 IS NOT NULL)
-        |SELECT a.doc_id AS train_id, b.doc_id AS bench_id,
-        |       count(*)::BIGINT AS n_shared
-        |FROM sh a JOIN sh b USING (shingle)
-        |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
-        |GROUP BY 1, 2 HAVING count(*) >= 5
-        |ORDER BY train_id, bench_id""".stripMargin,
+    "t01_decontaminate" -> t01Sql,
+
+    // Bloom decontamination: the Spark side's sketch prune is
+    // exact-by-construction (no false negatives; false positives die in
+    // the exact join) — so the oracle is IDENTICAL to t01's plain join
+    "t06_bloom_decontaminate" -> t01Sql,
 
     // repetition: duplicated-3-gram fraction (1 - distinct/total)
     "t02_repetition" ->

@@ -411,6 +411,18 @@ object SparkEntry {
         .orderBy(col("train_id"), col("bench_id"))
     }),
 
+    // ── Bloom-filter decontamination: same output as t01, at-scale
+    //    shape — benchmark grams → broadcast Bloom filter, map-side
+    //    probe over the train corpus (no false negatives), exact gram
+    //    join only on the flagged sliver ────────────────────────────────
+    "t06_bloom_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.TextOps.bloomContamination(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", k = 8, minShared = 5)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     // ── Repetition score: duplicated-3-gram fraction per document (the
     //    Gopher-style intra-doc repetition quality filter) ──────────────
     "t02_repetition" -> ((s, dir) => {

@@ -102,6 +102,42 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Bloom-filter decontamination (beyond reference): the at-scale
+    * variant of [[contamination]]. The inverted-index join shuffles
+    * EVERY distinct train gram; on a 100 TB train corpus that shuffle
+    * dwarfs the benchmark side (benchmarks are MBs, corpora are TBs).
+    * The sketch shape fixes the asymmetry:
+    *
+    *  1. build a Bloom filter over the benchmark grams (Spark's
+    *     `DataFrameStatFunctions.bloomFilter` — a treeAggregate whose
+    *     traffic is the filter bits, independent of train size);
+    *  2. broadcast it and probe each train gram MAP-SIDE, keeping only
+    *     train docs with ≥1 possibly-shared gram. Bloom filters have no
+    *     false negatives, so no contaminated doc is lost;
+    *  3. run the exact gram join on the surviving sliver only — false
+    *     positives die here, making the output EXACTLY
+    *     `contamination(train, bench)` (which is why the t06 gate can
+    *     hash-compare it against the plain-join DuckDB oracle).
+    *
+    * Shuffle economics: the full-corpus stage is now map-only; the one
+    * gram-keyed shuffle handles only flagged docs — at the default fpp,
+    * |survivors| ≈ |true contaminated| + fpp·|train docs|. */
+  def bloomContamination(train: DataFrame, bench: DataFrame, id: String,
+                         text: String, k: Int = 8, minShared: Long = 1,
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val bg = shingles(bench, id, text, k)
+    val nGrams = math.max(bg.count(), 1L)
+    val bloom = bg.stat.bloomFilter("shingle", nGrams, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val tg = shingles(train, id, text, k)
+    val flagged = tg
+      .filter((r: org.apache.spark.sql.Row) =>
+        bc.value.mightContainString(r.getString(1)))
+      .select(col(id)).distinct()
+    contamination(train.join(flagged, id), bench, id, text, k, minShared)
+  }
+
   /** Repetition score (beyond reference): duplicated-k-gram fraction per
     * document, 1 − distinct/total — the Gopher-style intra-document
     * repetition quality filter. One explode + one keyed agg. */

@@ -70,6 +70,22 @@ class RangeJoinSketchSpec extends AnyFunSuite {
     assert(got === want, "CMS prune must keep exactly the true heavy hitters")
   }
 
+  test("bloom decontamination ≡ exact contamination (no false negatives)") {
+    val s = spark; import s.implicits._
+    val d = s.read.parquet(s"${SparkSpec.sfDir}/documents.parquet")
+    val train = d.filter(col("doc_id") % 2 === 0)
+    val bench = d.filter(col("doc_id") % 2 === 1)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("train_id", "bench_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+    val exact = toSet(TextOps.contamination(train, bench, "doc_id", "text",
+      k = 8, minShared = 2))
+    val bloomed = toSet(TextOps.bloomContamination(train, bench, "doc_id",
+      "text", k = 8, minShared = 2))
+    assert(exact.nonEmpty, "fixture must have contaminated pairs")
+    assert(bloomed === exact)
+  }
+
   test("chunk: full coverage, stride overlap, short-doc single chunk") {
     val s = spark; import s.implicits._
     val doc = ("x" * 85) + ("y" * 85) + ("z" * 85) // len 255
