@@ -42,6 +42,7 @@ object Cli {
     case "optimize" => runOptimize(spark, cfg)
     case "tolerance" => runTolerance(spark, cfg, v2 = false)
     case "tolerance_v2" => runTolerance(spark, cfg, v2 = true)
+    case "curate" => runCurate(spark, cfg)
     case m => throw new IllegalArgumentException(s"unknown mode $m")
   }
 
@@ -185,6 +186,7 @@ object Cli {
       val v = row.get(i) match {
         case d: Double => d.toString
         case b: Boolean => b.toString
+        case n: Number => n.toString
         case x => "\"" + x.toString + "\""
       }
       s""""$c": $v"""
@@ -234,6 +236,101 @@ object Cli {
       }
     writeMetricsJson(metrics, cfg.str("metrics_out"))
     idx.unpersist()
+  }
+
+  /** Training-corpus curation (beyond reference): the text-pipeline
+    * operator stack as ONE user-facing entry point —
+    *
+    *   exact dedup → near-dup cluster drop (MinHash+LSH + connected
+    *   components, non-canonical members removed) → quality filter
+    *   (repetition ratio + min token count) → optional benchmark
+    *   decontamination (Bloom prune + exact verify) → PII redaction →
+    *   fixed-window chunking → deterministic doc-keyed train/val/test
+    *   split (the split hashes the DOC id, never the chunk id, so no
+    *   document leaks across splits) → parquet partitioned by split,
+    *   plus a per-stage funnel-count metrics JSON.
+    *
+    * Flags: --input_docs <parquet|csv> --output <dir>
+    *   [--benchmark_docs p] [--doc_id_col doc_id] [--text_col text]
+    *   [--near_threshold 0.8] [--max_rep_ratio 0.5] [--min_tokens 10]
+    *   [--chunk_window 480] [--chunk_stride 384] [--metrics_out m.json]
+    */
+  def runCurate(spark: SparkSession, cfg: GraftConfig): Unit = {
+    import graft.text.{Dedup, TextOps}
+    import graft.core.ScaleOps
+    def load(p: String): DataFrame =
+      if (p.endsWith(".csv")) spark.read.option("header", "true").csv(p)
+      else spark.read.parquet(p)
+    val id = cfg.strOpt("doc_id_col").getOrElse("doc_id")
+    val text = cfg.strOpt("text_col").getOrElse("text")
+    val docs = load(cfg.str("input_docs")).select(col(id), col(text))
+    val n0 = docs.count()
+
+    val exact = Dedup.dropExactDuplicates(docs, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n1 = exact.count()
+
+    val pairs = Dedup.minhashLshPairs(exact, id, text, k = 5, numPerm = 64,
+      bands = 16,
+      threshold = cfg.strOpt("near_threshold").map(_.toDouble).getOrElse(0.8))
+    val nearDrop = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster")).select(col("id").as(id))
+    val deduped = exact.join(nearDrop, Seq(id), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n2 = deduped.count()
+
+    val maxRep = cfg.strOpt("max_rep_ratio").map(_.toDouble).getOrElse(0.5)
+    val minTokens = cfg.strOpt("min_tokens").map(_.toLong).getOrElse(10L)
+    val kept = deduped
+      .join(TextOps.repetitionScore(deduped, id, text, k = 3)
+        .select(col(id), col("rep_ratio")), id)
+      .join(TextOps.tokenStats(deduped, id, text)
+        .select(col(id), col("n_tokens").as("_nt")), id)
+      .filter(col("rep_ratio") <= maxRep && col("_nt") >= minTokens)
+      .select(col(id), col(text))
+    val n3 = kept.count()
+
+    val clean = cfg.strOpt("benchmark_docs") match {
+      case Some(p) =>
+        val bench = load(p).select(col(id), col(text))
+        val contaminated = TextOps.bloomContamination(kept, bench, id, text,
+            k = 8,
+            minShared = cfg.strOpt("min_shared").map(_.toLong).getOrElse(1L))
+          .select(col("train_id").as(id)).distinct()
+        kept.join(contaminated, Seq(id), "left_anti")
+      case None => kept
+    }
+    val redacted = TextOps.redactPii(clean, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val Seq(n4, nEmail, nPhone) = redacted
+      .agg(count(lit(1)), sum("n_email"), sum("n_phone")).collect()
+      .headOption.map(r => Seq(r.getLong(0),
+        Option(r.get(1)).fold(0L)(_.asInstanceOf[Number].longValue),
+        Option(r.get(2)).fold(0L)(_.asInstanceOf[Number].longValue)))
+      .getOrElse(Seq(0L, 0L, 0L))
+
+    val chunks = TextOps.chunk(
+      redacted.select(col(id), col("redacted").as(text)), id, text,
+      window = cfg.strOpt("chunk_window").map(_.toInt).getOrElse(480),
+      stride = cfg.strOpt("chunk_stride").map(_.toInt).getOrElse(384))
+    val split = ScaleOps.hashSplit(chunks, id,
+      salt = cfg.strOpt("split_salt").map(_.toInt).getOrElse(7),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    split.write.mode("overwrite").partitionBy("split")
+      .parquet(cfg.str("output"))
+    val nChunks = spark.read.parquet(cfg.str("output")).count()
+
+    val s = spark
+    import s.implicits._
+    val funnel = Seq((n0, n1, n2, n3, n4, nEmail, nPhone, nChunks))
+      .toDF("n_input", "n_after_exact_dedup", "n_after_near_dedup",
+        "n_after_quality", "n_after_decontaminate", "n_emails_redacted",
+        "n_phones_redacted", "n_chunks")
+    writeMetricsJson(funnel,
+      cfg.strOpt("metrics_out").getOrElse(s"${cfg.str("output")}_metrics.json"))
+    exact.unpersist(); deduped.unpersist(); redacted.unpersist()
+    System.err.println(s"[graft] curated $n0 docs -> $nChunks chunks " +
+      s"-> ${cfg.str("output")}")
   }
 
   def runOptimize(spark: SparkSession, cfg: GraftConfig): Unit = {

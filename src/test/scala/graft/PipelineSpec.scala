@@ -303,6 +303,35 @@ class PipelineSpec extends AnyFunSuite {
       && v1.contains("\"recommended_tolerance_margin\""))
   }
 
+  test("CLI curate: dedup -> quality -> decontaminate -> redact -> chunk -> split") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcur").toString
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"${SparkSpec.sfDir}/documents.parquet",
+      "benchmark_docs" -> s"${SparkSpec.sfDir}/documents.parquet",
+      "min_shared" -> "8",
+      "chunk_window" -> "120", "chunk_stride" -> "80",
+      "output" -> s"$dir/chunks", "metrics_out" -> s"$dir/funnel.json"))
+    val out = spark.read.parquet(s"$dir/chunks")
+    assert(out.count() > 0)
+    assert(out.columns.toSet === Set("doc_id", "chunk_id", "chunk",
+      "n_tokens", "split"))
+    // doc-keyed split: a document's chunks all land in ONE split
+    import org.apache.spark.sql.functions.countDistinct
+    assert(out.groupBy("doc_id").agg(countDistinct("split").as("ns"))
+      .filter(org.apache.spark.sql.functions.col("ns") > 1).count() === 0,
+      "chunks of one doc must never straddle splits")
+    val funnel = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/funnel.json")))
+    assert(funnel.contains("\"n_input\": 500"), funnel)
+    // self-decontamination (bench = same corpus, min_shared 8) must drop
+    // every doc long enough to carry 8 shared 8-grams — the funnel
+    // proves the Bloom+exact stage really fires
+    val counts = "\"n_after_quality\": (\\d+).*\"n_after_decontaminate\": (\\d+)".r
+    val m = counts.findFirstMatchIn(funnel).get
+    assert(m.group(2).toLong < m.group(1).toLong, funnel)
+  }
+
   test("CLI --series_col: grasynda and regime walks generate per series") {
     import org.apache.spark.sql.functions.lit
     val dir = java.nio.file.Files.createTempDirectory("graftsc").toString
