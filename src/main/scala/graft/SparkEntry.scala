@@ -470,13 +470,16 @@ object SparkEntry {
     //    sketch pass, broadcast-probe prune, exact agg on survivors
     //    (CMS never undercounts → no false negatives → hash-exact) ─────
     "a06_heavy_hitters" -> ((s, dir) => {
+      // bigrams via slice+arrays_zip, NOT transform(sequence(...)):
+      // higher-order lambdas are interpreted and re-evaluate the inner
+      // split() per ELEMENT (O(tokens²)/doc — measured 7.5 s at sf0.1
+      // vs 0.9 s for this per-ROW shape)
       val toks = split(col("text"), " ")
-      val bigrams = docs(s, dir).select(
-        explode(when(size(toks) >= 2,
-            transform(sequence(lit(2), size(toks)),
-              i => concat(element_at(toks, i - 1), lit(" "),
-                element_at(toks, i))))
-          .otherwise(array().cast("array<string>"))).as("bigram"))
+      val bigrams = docs(s, dir)
+        .select(explode(arrays_zip(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1))).as("pr"))
+        .select(concat(col("pr.0"), lit(" "), col("pr.1")).as("bigram"))
       graft.stats.HeavyHitters.heavyHitters(bigrams, "bigram",
           threshold = 40, eps = 1e-4)
         .orderBy(col("cnt").desc, col("bigram"))

@@ -38,7 +38,11 @@ object ScaleBench {
     "g05wb_garch_walk_per_user", "o01b_sweep_fitness_per_user",
     "q16b_hurst_per_user", "q29b_garch_grid_per_user",
     "q30b_dist_per_user", "q31b_composite_per_user",
-    "q31c_composite_full_per_user")
+    "q31c_composite_full_per_user",
+    // bucketed range join: series replication grows points AND
+    // intervals linearly; the bucketed equi-join should scale with
+    // output size, never quadratically
+    "a05_range_join")
 
   /** Third axis: series LENGTH. Each copy shifts ts by i·(span+1h) at
     * the SAME user_id, so series count is fixed and every series gets
@@ -112,6 +116,8 @@ object ScaleBench {
     "q17_dedup_exact", "q19_token_stats", "q20_lang_id",
     "q21_jaccard_neardup", "q22_doc_fingerprint",
     "t01_decontaminate", "t02_repetition",
+    "t03_pii_redact", "t04_chunk", "t05_tfidf_topk",
+    "t06_bloom_decontaminate", "a06_heavy_hitters",
     "d01_minhash_lsh", "d02_simhash_pairs", "d03_dedup_clusters",
     "m01_multimodal_decode", "m02_multimodal_features",
     "q23_ann_topk", "q24_embed_neardup_blocked",

@@ -272,6 +272,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected an equi-join on (key, bucket): $p")
   }
 
+  test("t03/t04 map-only text ops have ZERO exchanges before the output sort") {
+    // redaction and chunking are embarrassingly parallel — any Exchange
+    // in the pre-sort plan means a regression re-introduced a shuffle
+    for (q <- Seq("t03_pii_redact", "t04_chunk")) {
+      val df = SparkEntry.queries(q)(spark, SparkSpec.sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the final orderBy is the query's presentation sort; strip its
+      // range-partitioning exchange and demand no others
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toList
+      // (AQE can print the sort's range exchange twice; what matters is
+      // that no HASH exchange — i.e. no real shuffle — ever appears)
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$q must be map-only up to the output sort: $exchanges")
+      assert(!p.contains("SinglePartition"),
+        s"$q must not funnel into one partition")
+    }
+  }
+
   test("a06 heavy hitters: sketch prune keeps the exact agg off the full universe") {
     val p = plan("a06_heavy_hitters")
     assert(!p.contains("CartesianProduct"))

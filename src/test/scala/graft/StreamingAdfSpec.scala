@@ -206,6 +206,31 @@ class StreamingAdfSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming PII-redact + chunk match batch exactly (stateless map ops)") {
+    // redactPii and chunk are pure column pipelines (regexp + explode,
+    // no state, no watermark) — the SAME TextOps call must run on a
+    // readStream frame unchanged and emit identical rows in append mode
+    val sfDir = SparkSpec.sfDir
+    val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val streamDocs = spark.readStream.schema(batchDocs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .select(col("doc_id"), col("text"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      graft.text.TextOps.chunk(
+        graft.text.TextOps.redactPii(df, "text")
+          .select(col("doc_id"), col("redacted").as("text")),
+        "doc_id", "text", window = 120, stride = 80)
+    val q = pipeline(streamDocs).writeStream.format("memory")
+      .queryName("scur").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT doc_id, chunk_id, chunk FROM scur")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val batch = pipeline(batchDocs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("stateful streaming running stats produce one final row per user") {
     val stream = StreamingRollup.runningUserStats(spark, SparkSpec.sfDir)
     val q = stream.writeStream.format("memory").queryName("ustats")
