@@ -2200,6 +2200,24 @@ object OracleSql {
       |  round((vol_ratio - m2)/(s2 + 1e-10), 6) AS f2
       |FROM cl JOIN st USING (user_id)""".stripMargin
 
+  /** q24's pair list (no ORDER BY) — shared by the q24 gate entry and
+    * d04's reachability closure. */
+  private lazy val q24PairsSql: String =
+    s"""WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v,
+       |             list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
+       |           FROM embeddings),
+       |banded AS (
+       |${bandedSql("e", "label, vec_id, v, n", "v", graft.sim.Similarity.bandPlanes(64, 3, 4, 7L))}),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM banded a JOIN banded b
+       |           ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
+       |         WHERE a.vec_id < b.vec_id),
+       |p AS (SELECT id_a, id_b,
+       |        round(list_inner_product(ea.v, eb.v)/sqrt(ea.n*eb.n), 5) AS cosine
+       |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+       |                JOIN e eb ON eb.vec_id = cand.id_b)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q01_pricing_summary" ->
@@ -2642,22 +2660,29 @@ object OracleSql {
 
     // label-blocked + multi-band sign-LSH (4 bands × 3 planes, seed 7 —
     // literal-embedded so both engines compute identical buckets)
-    "q24_embed_neardup_blocked" ->
-      s"""WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v,
-         |             list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
-         |           FROM embeddings),
-         |banded AS (
-         |${bandedSql("e", "label, vec_id, v, n", "v", graft.sim.Similarity.bandPlanes(64, 3, 4, 7L))}),
-         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |         FROM banded a JOIN banded b
-         |           ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
-         |         WHERE a.vec_id < b.vec_id),
-         |p AS (SELECT id_a, id_b,
-         |        round(list_inner_product(ea.v, eb.v)/sqrt(ea.n*eb.n), 5) AS cosine
-         |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a
-         |                JOIN e eb ON eb.vec_id = cand.id_b)
-         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q24_embed_neardup_blocked" -> s"$q24PairsSql\nORDER BY id_a, id_b",
+
+    // semantic dedup clusters: reachability closure of the q24
+    // embedding near-dup pairs (same recursive-CTE machine as d03,
+    // pair source swapped from MinHash to sign-LSH cosine)
+    "d04_embed_dedup_clusters" -> {
+      // substituted AFTER stripMargin — the pair SQL's margin pipes are
+      // already resolved and its '||'s must not be re-stripped
+      """WITH RECURSIVE pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (__PAIRS__) p0),
+        |nodes AS (SELECT DISTINCT id FROM (
+        |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs) n),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id AS vec_id, cluster_id, (id = cluster_id) AS keep
+        |FROM comp ORDER BY vec_id""".stripMargin
+        .replace("__PAIRS__", q24PairsSql)
+    },
 
     // per-user regime stats: every window partitions on user_id (and the
     // AR(1) lag on user_id+event_type) — no single-partition stage

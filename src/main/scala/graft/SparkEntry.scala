@@ -288,6 +288,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── Semantic dedup clusters: the q24 embedding near-dup pairs
+    //    closed into connected components (same distributed min-label
+    //    propagation as d03 — embedding-modality dedup clustering) ─────
+    "d04_embed_dedup_clusters" -> ((s, dir) => {
+      val pairs = Similarity.bandedNearDupPairs(emb(s, dir), "vec_id",
+        "embedding", "label", threshold = 0.3,
+        Similarity.bandPlanes(64, 3, 4, 7L))
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("vec_id"), col("cluster").as("cluster_id"),
+          (col("id") === col("cluster")).as("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ── event-time daily rollup (batch shape of the streaming agg) ────
     "q25_daily_rollup" -> ((s, dir) => {
       ev(s, dir)

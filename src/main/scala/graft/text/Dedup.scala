@@ -206,18 +206,18 @@ object Dedup {
     * canonical id per duplicate cluster (`cluster` = the component's
     * minimum id, so `id === cluster` marks the keeper).
     *
-    * Scale design: each iteration is ONE keyed join + ONE min-agg on the
-    * node id — no driver-side graph state; the only driver values are
-    * the per-iteration changed-label counts. Label propagation converges
-    * in O(graph diameter) iterations, and dedup components are
-    * near-cliques from banded finders (diameter ≤ ~3 in practice); the
-    * alternating large-star/small-star variant would halve rounds on
-    * pathological chains but adds nothing for dedup-shaped graphs.
-    * Labels only decrease (monotone min), so the fixpoint is exact, not
-    * approximate. If the graph's diameter exceeds `maxIters` the labels
-    * returned are NOT yet a fixpoint — a warning is logged with the
-    * residual changed-label count; raise `maxIters` (cost is one join
-    * per extra round) for adversarially chain-shaped graphs. */
+    * Scale design: each iteration is a neighbor-min step (ONE keyed
+    * join + ONE min-agg on the node id) followed by a POINTER-JUMPING
+    * shortcut (label ← label of my label, one self-join): the neighbor
+    * step moves the min one hop, the shortcut doubles the distance
+    * already covered, so convergence is O(log n) rounds even on
+    * pathological chain-shaped components (a pure neighbor-min loop is
+    * O(path length) — a 2^20-node chain would need a million rounds;
+    * with jumping, ~20). No driver-side graph state; the only driver
+    * values are the per-iteration changed-label counts. Labels only
+    * decrease (monotone min), so the fixpoint is exact, not
+    * approximate. If a component still hasn't converged in `maxIters`
+    * rounds a warning is logged with the residual changed-label count. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIters: Int = 20): DataFrame = {
@@ -235,11 +235,23 @@ object Dedup {
       val nbr = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
         .groupBy(col("src")).agg(min(col("dlbl")).as("nlbl"))
-      val next = labels
+      val stepped = labels
         .join(nbr.select(col("src").as("id"), col("nlbl")), Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer jumping: adopt my label's own label. Doubles the covered
+      // distance per round → O(log n) total rounds on chains.
+      // localCheckpoint (eager), NOT persist: persist caches the DATA but
+      // keeps the logical plan, so each round's plan would nest the
+      // previous round's — by round ~15 Catalyst optimization of the
+      // doubled tree OOMs the DRIVER (hit by d04 at sf0.1). Checkpointing
+      // truncates lineage, keeping every round's plan constant-size.
+      val next = stepped.as("x")
+        .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
       changed = next
         .join(labels.select(col("id"), col("lbl").as("plbl")), "id")
         .filter(col("lbl") < col("plbl")).count()

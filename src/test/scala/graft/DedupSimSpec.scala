@@ -150,6 +150,21 @@ class DedupSimSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connected components: long chain converges in O(log n) rounds (pointer jumping)") {
+    // a path graph is the adversarial shape: plain neighbor-min needs
+    // ~length rounds (and the pre-localCheckpoint loop nested its plan
+    // per round until Catalyst OOM'd the driver — hit by d04 at sf0.1).
+    // With pointer jumping + lineage truncation, a 200-node chain must
+    // converge inside the DEFAULT 20-round cap, in seconds.
+    val s = spark
+    import s.implicits._
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = graft.text.Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length === 200 && cc.forall(_._2 == 0L),
+      "every chain node must resolve to the min label 0")
+  }
+
   test("PQ ANN: ADC shortlist + exact rerank recovers brute-force top-k (s03 contract)") {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
     val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,

@@ -122,6 +122,29 @@ class RangeJoinSketchSpec extends AnyFunSuite {
       .findFirstIn(r._4).isDefined))
   }
 
+  test("edge cases: empty inputs and unreachable thresholds degrade to empty") {
+    val s = spark; import s.implicits._
+    // heavy hitters: threshold above every count → empty, no error
+    val few = Seq("a", "a", "b").toDF("it")
+    assert(HeavyHitters.heavyHitters(few, "it", threshold = 10).count() === 0)
+    // range join: empty right side → empty result with full schema
+    val left = Seq((1L, 1L, 5.0)).toDF("k", "lid", "p")
+    val right = Seq.empty[(Long, Long, Double, Double)].toDF("k", "rid", "lo", "hi")
+    val rj = RangeJoin.pointInInterval(left, right, Seq("k"), "p", "lo", "hi", 1.0)
+    assert(rj.count() === 0 &&
+      rj.columns.toSeq === Seq("k", "lid", "p", "rid", "lo", "hi"))
+    // chunk: empty text still yields exactly one (empty) chunk
+    val ch = TextOps.chunk(Seq((1L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", window = 120, stride = 80)
+      .select("chunk_id", "chunk").as[(Int, String)].collect()
+    assert(ch.toSeq === Seq((0, "")))
+    // redact: null-safe (null text row passes through as null counts 0? —
+    // regexp_count(null) is null; the op must not throw)
+    val rn = TextOps.redactPii(Seq((1L, null: String)).toDF("id", "body"), "body")
+      .select("n_email", "n_phone", "redacted").collect()(0)
+    assert(rn.isNullAt(0) && rn.isNullAt(1) && rn.isNullAt(2))
+  }
+
   test("tfIdfTopK: hand-computed scores and ranks on a 3-doc corpus") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
