@@ -4572,6 +4572,18 @@ object OracleSql {
         |FROM l JOIN r ON l.user_id = r.user_id AND l.p BETWEEN r.lo AND r.hi
         |ORDER BY l.user_id, l.l_id, r.r_id""".stripMargin,
 
+    // k-per-key sample: same portable h64(salt|id) ranking, ties (never
+    // in practice) broken by id
+    "a07_sample_per_key" -> {
+      val h = h64Sql("doc_id::VARCHAR", "'13'")
+      s"""WITH d AS (SELECT lang || '/' || source AS domain, doc_id, $h AS h
+         |           FROM documents),
+         |r AS (SELECT domain, doc_id, row_number() OVER (
+         |        PARTITION BY domain ORDER BY h, doc_id) AS rk FROM d)
+         |SELECT domain, doc_id FROM r WHERE rk <= 3
+         |ORDER BY domain, doc_id""".stripMargin
+    },
+
     "a15_generator_summary" ->
       """WITH m AS (SELECT user_id AS seed,
         |    'g' || (user_id % 3)::VARCHAR AS generator,

@@ -1269,6 +1269,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Deterministic k-per-key sampling: cap docs per (lang, source)
+    //    domain by salted-hash rank — the per-domain example cap of
+    //    corpus curation; one keyed window pass, rerun-stable ──────────
+    "a07_sample_per_key" -> ((s, dir) => {
+      graft.core.ScaleOps.sampleKPerKey(
+          docs(s, dir).withColumn("domain",
+            concat_ws("/", col("lang"), col("source"))),
+          "doc_id", "domain", k = 3, salt = 13)
+        .select(col("domain"), col("doc_id"))
+        .orderBy(col("domain"), col("doc_id"))
+    }),
+
     // ── A15/A16 witness: the reference's per-generator summary view
     //    (COUNT/ROUND(AVG)/GROUP BY — evaluate_all_generators.py:245-281)
     //    over a metrics frame derived from per-user event stats ────────

@@ -80,4 +80,21 @@ object ScaleOps {
     }
     df.filter(bucket < cut)
   }
+
+  /** Deterministic k-per-key sample: keep exactly min(k, |group|) rows
+    * per key, chosen by a salted portable hash of the row id — the
+    * bounded-fan-out cousin of [[stratifiedSample]] (which keeps a
+    * FRACTION and so scales per-key output with corpus growth; this
+    * caps it). Stable under reruns and repartitioning, uniform-ish by
+    * the hash, and one keyed window pass — the standard "cap examples
+    * per domain/source/user" primitive of corpus curation. */
+  def sampleKPerKey(df: DataFrame, id: String, key: String, k: Int,
+                    salt: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+      .orderBy(graft.text.Dedup.h64(col(id).cast("string"), salt).asc,
+        col(id).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
 }

@@ -126,7 +126,10 @@ object TextOps {
                          text: String, k: Int = 8, minShared: Long = 1,
                          fpp: Double = 0.01): DataFrame = {
     val spark = train.sparkSession
+    // bench grams are read three times (count for sizing, bloom build,
+    // the exact join) — persist the small side once
     val bg = shingles(bench, id, text, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nGrams = math.max(bg.count(), 1L)
     val bloom = bg.stat.bloomFilter("shingle", nGrams, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
@@ -135,7 +138,18 @@ object TextOps {
       .filter((r: org.apache.spark.sql.Row) =>
         bc.value.mightContainString(r.getString(1)))
       .select(col(id)).distinct()
-    contamination(train.join(flagged, id), bench, id, text, k, minShared)
+    val tgFlagged = shingles(train.join(flagged, id), id, text, k)
+      .withColumnRenamed(id, "train_id")
+    // eager checkpoint: materializes the (small) result and truncates
+    // lineage, so releasing the persisted gram frame can never trigger
+    // a recompute in the caller
+    val out = tgFlagged.join(bg.withColumnRenamed(id, "bench_id"), "shingle")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .localCheckpoint(true)
+    bg.unpersist(blocking = false)
+    out
   }
 
   /** Repetition score (beyond reference): duplicated-k-gram fraction per

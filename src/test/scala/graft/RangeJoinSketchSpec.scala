@@ -145,6 +145,20 @@ class RangeJoinSketchSpec extends AnyFunSuite {
     assert(rn.isNullAt(0) && rn.isNullAt(1) && rn.isNullAt(2))
   }
 
+  test("sampleKPerKey: caps per key, stable under rerun and repartition") {
+    val s = spark; import s.implicits._
+    val df = (0L until 300L).map(i => (i, s"k${i % 7}")).toDF("id", "key")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      graft.core.ScaleOps.sampleKPerKey(d, "id", "key", k = 5, salt = 3)
+        .select("key", "id").as[(String, Long)].collect().toSet
+    val a = ids(df)
+    assert(a.groupBy(_._1).forall(_._2.size == 5), "exactly 5 per key")
+    assert(ids(df.repartition(13)) === a, "repartition must not change the sample")
+    // small groups keep everything
+    val tiny = ids(Seq((1L, "x"), (2L, "x")).toDF("id", "key"))
+    assert(tiny === Set(("x", 1L), ("x", 2L)))
+  }
+
   test("tfIdfTopK: hand-computed scores and ranks on a 3-doc corpus") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
