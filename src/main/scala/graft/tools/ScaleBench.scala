@@ -119,6 +119,7 @@ object ScaleBench {
     "t03_pii_redact", "t04_chunk", "t05_tfidf_topk",
     "t06_bloom_decontaminate", "a06_heavy_hitters",
     "d01_minhash_lsh", "d02_simhash_pairs", "d03_dedup_clusters",
+    "d04_embed_dedup_clusters", "a07_sample_per_key",
     "m01_multimodal_decode", "m02_multimodal_features",
     "q23_ann_topk", "q24_embed_neardup_blocked",
     "s01_lsh_ann", "s02_ivf_ann", "s03_pq_ann", "s04_ivfpq_ann")
