@@ -206,6 +206,32 @@ class StreamingAdfSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming bigram counts reproduce the a06 heavy-hitter set") {
+    // the a06 contract is EXACTNESS (sketch prune + exact recount); its
+    // streaming twin is a plain running count in complete mode — the
+    // same bigram map pipeline runs on the stream unchanged, and the
+    // >= 40 cut over final counts must equal the batch heavy hitters
+    val sfDir = SparkSpec.sfDir
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val toks = split(col("text"), " ")
+    def bigrams(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(arrays_zip(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1))).as("pr"))
+        .select(concat(col("pr.0"), lit(" "), col("pr.1")).as("bigram"))
+    val q = bigrams(spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sfDir))
+      .groupBy("bigram").count()
+      .writeStream.format("memory").queryName("shh")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT bigram, count FROM shh WHERE count >= 40")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = SparkEntry.queries("a06_heavy_hitters")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("streaming PII-redact + chunk match batch exactly (stateless map ops)") {
     // redactPii and chunk are pure column pipelines (regexp + explode,
     // no state, no watermark) — the SAME TextOps call must run on a
