@@ -46,6 +46,8 @@ object Tables {
   /** Local test/CLI session with the settings the driver uses. */
   def localSession(threads: Int = 4, appName: String = "graft"): SparkSession = {
     val s = SparkSession.builder()
+      // native expressions on the SQL surface (dot_product)
+      .withExtensions(new graft.GraftExtensions)
       // numpy-parity numeric semantics: division/overflow yield
       // nan/inf/null, never errors (the reference never ANSI-errors;
       // DuckDB corr on constant input is NULL, matching coalesce(corr,0))

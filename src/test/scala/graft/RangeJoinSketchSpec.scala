@@ -122,6 +122,27 @@ class RangeJoinSketchSpec extends AnyFunSuite {
       .findFirstIn(r._4).isDefined))
   }
 
+  test("GraftExtensions registers dot_product on the spark.sql surface") {
+    import org.apache.spark.sql.SparkSession
+    val base = SparkSpec.spark // keeps the shared SparkContext alive
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new graft.GraftExtensions).getOrCreate()
+      val df = s2.sql(
+        "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      assert(df.collect()(0).getDouble(0) === 11.0)
+      assert(df.queryExecution.analyzed.toString.contains("dot_product"),
+        "must resolve to the native expression, not a UDF")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("edge cases: empty inputs and unreachable thresholds degrade to empty") {
     val s = spark; import s.implicits._
     // heavy hitters: threshold above every count → empty, no error
