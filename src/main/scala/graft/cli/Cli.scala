@@ -265,6 +265,15 @@ object Cli {
     val text = cfg.strOpt("text_col").getOrElse("text")
     val docs = load(cfg.str("input_docs")).select(col(id), col(text))
     val n0 = docs.count()
+    // fail fast on non-integral doc ids (CSV reads ids as strings): the
+    // near-dup cluster stage casts ids to long — a ticker-style id would
+    // silently become NULL and collapse clusters (same failure mode as
+    // the --series_col guard in CsvIO)
+    val badIds = docs.filter(col(id).isNotNull &&
+      col(id).cast("long").isNull).count()
+    require(badIds == 0,
+      s"curate needs integral $id values; $badIds rows fail the long cast " +
+        "(map string ids to a dense surrogate key first)")
 
     val exact = Dedup.dropExactDuplicates(docs, id, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

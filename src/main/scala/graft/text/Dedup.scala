@@ -264,6 +264,9 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents: maxIters=$maxIters reached with $changed " +
           "labels still propagating — result is not a fixpoint; raise maxIters")
+    else
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"connectedComponents: fixpoint after $iter rounds")
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 }

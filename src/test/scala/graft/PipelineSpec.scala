@@ -332,6 +332,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.group(2).toLong < m.group(1).toLong, funnel)
   }
 
+  test("CLI curate: CSV input works; non-integral doc ids fail fast") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
+    val docs = spark.read.parquet(s"${SparkSpec.sfDir}/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    docs.coalesce(1).write.option("header", "true").mode("overwrite")
+      .csv(s"$dir/docs_csv")
+    val csv = new java.io.File(s"$dir/docs_csv").listFiles()
+      .filter(_.getName.endsWith(".csv")).head.getPath
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate", "input_docs" -> csv,
+      "chunk_window" -> "120", "chunk_stride" -> "80",
+      "output" -> s"$dir/chunks"))
+    assert(spark.read.parquet(s"$dir/chunks").count() > 0)
+
+    // ticker-style ids must be rejected, not silently cluster-collapsed
+    import org.apache.spark.sql.functions.concat_ws
+    docs.select(concat_ws("", org.apache.spark.sql.functions.lit("id"),
+        org.apache.spark.sql.functions.col("doc_id")).as("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .coalesce(1).write.option("header", "true").mode("overwrite")
+      .csv(s"$dir/bad_csv")
+    val bad = new java.io.File(s"$dir/bad_csv").listFiles()
+      .filter(_.getName.endsWith(".csv")).head.getPath
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, GraftConfig.defaults ++ Map(
+        "mode" -> "curate", "input_docs" -> bad,
+        "output" -> s"$dir/chunks2"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("CLI --series_col: grasynda and regime walks generate per series") {
     import org.apache.spark.sql.functions.lit
     val dir = java.nio.file.Files.createTempDirectory("graftsc").toString
