@@ -2912,6 +2912,21 @@ object OracleSql {
         |  len(string_split(substr(text, 1 + chunk_id * 80, 120), ' '))::INT AS n_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // BPE-ish token counts: same salted body as t03, same
+    // leftmost-first alternation in RE2
+    "t07_bpe_tokens" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR ||
+        |    '@mail.example.com or 415-555-' ||
+        |    lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') AS body
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(body, '[^ ]+'))::INT AS n_ws,
+        |  len(regexp_extract_all(body, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'))::INT AS n_bpe,
+        |  round(len(regexp_extract_all(body, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'))::DOUBLE
+        |    / greatest(len(regexp_extract_all(body, '[^ ]+'))::DOUBLE, 1.0), 6) AS bpe_ws_ratio
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     // TF-IDF: smooth idf tf·(ln((N+1)/(df+1))+1), rank per doc by
     // (score desc, token asc) — identical formula, libm-ulp absorbed by
     // round(...,6) on output (rank order itself is decided by integer

@@ -468,6 +468,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // ── BPE-ish token counting: whitespace vs GPT-2-style regex
+    //    pre-tokens, over the t03 salted body (its digits/@/.-/
+    //    punctuation exercise every alternation branch); map-only ─────
+    "t07_bpe_tokens" -> ((s, dir) => {
+      val body = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com or 415-555-"),
+          lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0")).as("body"))
+      graft.text.TextOps.tokenCounts(body, "body")
+        .select(col("doc_id"), col("n_ws"), col("n_bpe"), col("bpe_ws_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── TF-IDF top-3 terms per document (smooth idf, sklearn
     //    convention) — two map-side-combinable aggs + broadcast N,
     //    per-doc window rank tie-broken by token ───────────────────────

@@ -181,6 +181,24 @@ object TextOps {
       .agg(min(col("gram_md5")).as("fingerprint"),
            countDistinct(col("gram_md5")).as("n_grams"))
 
+  /** GPT-2-style pre-tokenizer regex, reduced to its RE2-compatible
+    * core (the original's `\s+(?!\S)` lookahead is not RE2-expressible;
+    * leading-space word/number/punct runs are): a token is an optional
+    * leading space + a letter run, digit run, or other-symbol run, or a
+    * bare space run. Leftmost-first alternation in both the JVM engine
+    * and RE2, so counts agree across engines. */
+  val BpeRe = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+  /** Token counting both ways (the brief's "whitespace + a BPE-ish
+    * regex"): `n_ws` = whitespace-delimited tokens, `n_bpe` = BPE-ish
+    * regex pre-tokens. Pure map-side `regexp_count` — zero shuffles. */
+  def tokenCounts(df: DataFrame, text: String): DataFrame =
+    df.withColumn("n_ws", regexp_count(col(text), lit("[^ ]+")))
+      .withColumn("n_bpe", regexp_count(col(text), lit(BpeRe)))
+      .withColumn("bpe_ws_ratio",
+        round(col("n_bpe").cast("double") /
+          greatest(col("n_ws").cast("double"), lit(1.0)), 6))
+
   /** PII patterns used by [[redactPii]] — RE2-compatible (no lookaround,
     * no backrefs) so the identical pattern strings run on both the JVM
     * regex engine and DuckDB's RE2 oracle. */

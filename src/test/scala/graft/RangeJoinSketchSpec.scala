@@ -180,6 +180,17 @@ class RangeJoinSketchSpec extends AnyFunSuite {
     assert(tiny === Set(("x", 1L), ("x", 2L)))
   }
 
+  test("tokenCounts: BPE-ish pre-tokens on a hand-tokenized string") {
+    val s = spark; import s.implicits._
+    // "ab 12x, y" → ws: [ab, 12x,, y] = 3
+    // bpe: [ab][ 12][x][,][ y] = 5 (digit run splits from letter run,
+    // punctuation is its own token, leading spaces attach)
+    val out = graft.text.TextOps.tokenCounts(
+        Seq((1L, "ab 12x, y")).toDF("id", "body"), "body")
+      .select("n_ws", "n_bpe").as[(Int, Int)].collect()(0)
+    assert(out === ((3, 5)))
+  }
+
   test("tfIdfTopK: hand-computed scores and ranks on a 3-doc corpus") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
