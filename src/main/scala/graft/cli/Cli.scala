@@ -309,7 +309,18 @@ object Cli {
         kept.join(contaminated, Seq(id), "left_anti")
       case None => kept
     }
-    val redacted = TextOps.redactPii(clean, text)
+    // optional per-source cap (--max_per_source N with --source_col c):
+    // deterministic salted-hash k-per-key sample, the a07 primitive
+    val capped = (cfg.strOpt("max_per_source"), cfg.strOpt("source_col")) match {
+      case (Some(k), Some(src)) =>
+        val withSrc = load(cfg.str("input_docs")).select(col(id), col(src))
+        graft.core.ScaleOps.sampleKPerKey(
+            clean.join(withSrc, id), id, src, k.toInt,
+            salt = cfg.strOpt("split_salt").map(_.toInt).getOrElse(7))
+          .select(col(id), col(text))
+      case _ => clean
+    }
+    val redacted = TextOps.redactPii(capped, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val Seq(n4, nEmail, nPhone) = redacted
       .agg(count(lit(1)), sum("n_email"), sum("n_phone")).collect()
