@@ -226,9 +226,13 @@ object Dedup {
       .union(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+    // mat = the round's MATERIALIZED frame (persisted/checkpointed);
+    // labels = its (id, lbl) view. Tracked separately so unpersist always
+    // targets the frame that owns the cached blocks.
+    var mat = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = mat
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -237,7 +241,7 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("dlbl")).as("nlbl"))
       val stepped = labels
         .join(nbr.select(col("src").as("id"), col("nlbl")), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("plbl"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // pointer jumping: adopt my label's own label. Doubles the covered
       // distance per round → O(log n) total rounds on chains.
@@ -246,17 +250,19 @@ object Dedup {
       // previous round's — by round ~15 Catalyst optimization of the
       // doubled tree OOMs the DRIVER (hit by d04 at sf0.1). Checkpointing
       // truncates lineage, keeping every round's plan constant-size.
+      // The changed flag rides the round's own frame (plbl is already in
+      // hand), so convergence detection is a filter-count over the
+      // checkpointed blocks — no extra join against the previous labels.
       val next = stepped.as("x")
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")),
           Seq("lbl"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .withColumn("nl", least(col("lbl"), coalesce(col("lbl2"), col("lbl"))))
+        .select(col("id"), col("nl").as("lbl"), (col("nl") < col("plbl")).as("chg"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("lbl").as("plbl")), "id")
-        .filter(col("lbl") < col("plbl")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      changed = next.filter(col("chg")).count()
+      mat.unpersist(blocking = false)
+      mat = next
+      labels = next.select(col("id"), col("lbl"))
       iter += 1
     }
     edges.unpersist(blocking = false)
