@@ -298,4 +298,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
       "expected a hash aggregation for the exact count pass")
   }
+
+  test("t05 TF-IDF broadcasts the 1-row doc count, keyed joins otherwise") {
+    val p = plan("t05_tfidf_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the N-docs scalar must broadcast, not shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("a07 k-per-key sample: one keyed window exchange, no single partition") {
+    val p = plan("a07_sample_per_key")
+    assert(p.contains("hashpartitioning(domain"),
+      "the rank window must partition on the sample key")
+    assert(!p.contains("SinglePartition"),
+      "a07 must not funnel into one partition")
+  }
+
+  test("d04 semantic clusters: banded pair join + CC stay keyed, no cartesian") {
+    val p = plan("d04_embed_dedup_clusters")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
