@@ -20,13 +20,18 @@ object Bench {
     // sorted name order: a hash-Map iteration reshuffles execution order
     // whenever a query is added, making round-over-round per-query deltas
     // absorb different JIT/page-cache states
-    val raw = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated substring filter for profiling a subset
+    // (builder-side only; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val raw = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .map { case (name, fn) =>
       // MIN OF TWO runs per query: a single-shot bench is unguarded
       // against machine noise — one GC/contention spike owned the r5
       // number of record (driver 30.5 s vs 7.5 s reproducible). The min
       // is the contention-free capability number; both runs are kept in
       // BENCH_LOCAL.json so an outlier is self-evident, not a mystery.
-      val runs = (1 to 2).map { _ =>
+      def timed(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -41,6 +46,14 @@ object Bench {
         System.gc()
         dt
       }
+      val two = Seq(timed(), timed())
+      // ADAPTIVE THIRD RUN: when the two runs disagree by >1.4x, at least
+      // one was contention-inflated (the r6 driver artifact carried a
+      // sustained spike that owned BOTH runs of q31c/t06; a third sample
+      // is the cheapest defense that leaves a visible record — three
+      // agreeing inflated runs means real cost, not noise).
+      val runs = if (two.max / math.max(two.min, 1e-9) > 1.4) two :+ timed()
+                 else two
       System.err.println(String.format(java.util.Locale.ROOT,
         "[bench] %-28s %8.2f s (runs: %s)", name, Double.box(runs.min),
         runs.map(r => String.format(java.util.Locale.ROOT, "%.2f",

@@ -2881,6 +2881,84 @@ object OracleSql {
         |  round(1.0 - count(DISTINCT shingle)::DOUBLE / count(*), 6) AS rep_ratio
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // bigram LM scoring: add-0.5-smoothed bigram LM counted on the even
+    // docs, odd docs scored by mean ln P(w2|w1) — context counts derive
+    // from the bigram counts, V = distinct train tokens; unseen grams
+    // fall back to the smoothing mass exactly as the Spark left joins do
+    "t08_lm_score" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |              FROM documents),
+        |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+        |bg0 AS (SELECT doc_id, token AS w1,
+        |          lead(token,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |        FROM t),
+        |b AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM b
+        |       WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT token)::BIGINT AS v FROM t WHERE doc_id % 2 = 0),
+        |sc AS (SELECT e.doc_id,
+        |         ln((coalesce(c2.c2, 0) + 0.5) / (coalesce(c1.c1, 0) + 0.5 * v.v)) AS lp
+        |       FROM b e
+        |       LEFT JOIN c2 ON e.w1 = c2.w1 AND e.w2 = c2.w2
+        |       LEFT JOIN c1 ON e.w1 = c1.w1
+        |       CROSS JOIN v
+        |       WHERE e.doc_id % 2 = 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(avg(lp), 6) AS avg_logprob,
+        |  round(exp(-avg(lp)), 4) AS perplexity
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // sequence packing: greedy 128-token first-fit per source in doc_id
+    // order — the recursive CTE replays the same O(1)-state scan the
+    // Spark consecutive-run mapPartitions pass performs per shard
+    "t09_pack_sequences" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+        |              FROM documents),
+        |n AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM toks
+        |      WHERE token <> '' GROUP BY doc_id),
+        |d AS (SELECT dd.source, dd.doc_id, n.n_tokens,
+        |        row_number() OVER (PARTITION BY dd.source ORDER BY dd.doc_id) AS rk
+        |      FROM documents dd JOIN n ON dd.doc_id = n.doc_id),
+        |pack AS (
+        |  SELECT source, doc_id, n_tokens, rk, 0::BIGINT AS seq_id, n_tokens AS cur
+        |  FROM d WHERE rk = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.n_tokens, d.rk,
+        |    CASE WHEN p.cur + d.n_tokens > 128 THEN p.seq_id + 1 ELSE p.seq_id END,
+        |    CASE WHEN p.cur + d.n_tokens > 128 THEN d.n_tokens ELSE p.cur + d.n_tokens END
+        |  FROM pack p JOIN d ON d.source = p.source AND d.rk = p.rk + 1)
+        |SELECT source, doc_id, n_tokens, seq_id
+        |FROM pack ORDER BY source, doc_id""".stripMargin,
+
+    // DSIR-style importance weights: 1024 md5-hashed bigram buckets
+    // (same portable h64 as a03), add-1-smoothed target/source bucket
+    // probabilities, per-even-doc sum of log ratios toward the odd docs
+    "t10_importance_weights" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+         |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+         |              FROM documents),
+         |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+         |bg0 AS (SELECT doc_id, token AS w1,
+         |          lead(token,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |        FROM t),
+         |b AS (SELECT doc_id,
+         |        ${h64Sql("w1 || ' ' || w2", "'13'")} % 1024 AS b
+         |      FROM bg0 WHERE w2 IS NOT NULL),
+         |ct AS (SELECT b, count(*)::BIGINT AS ct FROM b WHERE doc_id % 2 = 1 GROUP BY b),
+         |cs AS (SELECT b, count(*)::BIGINT AS cs FROM b WHERE doc_id % 2 = 0 GROUP BY b),
+         |tot AS (SELECT (SELECT sum(ct) FROM ct) AS nt, (SELECT sum(cs) FROM cs) AS ns),
+         |lr AS (SELECT b,
+         |         ln((coalesce(ct, 0) + 1.0) / (nt + 1024.0))
+         |           - ln((coalesce(cs, 0) + 1.0) / (ns + 1024.0)) AS lr
+         |       FROM ct FULL OUTER JOIN cs USING (b) CROSS JOIN tot)
+         |SELECT s.doc_id, count(*)::BIGINT AS n_grams,
+         |  round(sum(lr.lr), 6) AS log_weight
+         |FROM b s JOIN lr USING (b)
+         |WHERE s.doc_id % 2 = 0
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
     // PII redaction: same doc_id-salted body construction, same
     // RE2-compatible patterns (DuckDB's regexp_* IS RE2; the Spark side
     // keeps the patterns lookaround-free so both engines agree)

@@ -481,6 +481,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Bigram LM scoring: add-k LM trained on even docs, odd docs
+    //    scored by mean token log-likelihood + perplexity — the
+    //    perplexity-style quality filter of LLM pipelines ───────────────
+    "t08_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.TextOps.lmScore(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", addK = 0.5)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logprob"), 6).as("avg_logprob"),
+          round(col("perplexity"), 4).as("perplexity"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Sequence packing: greedy 128-token-budget packing per source
+    //    shard in doc_id order — the fill-the-context-window step ───────
+    "t09_pack_sequences" -> ((s, dir) => {
+      graft.text.TextOps.packSequences(docs(s, dir), "doc_id", "source",
+          "text", budget = 128L)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // ── DSIR-style importance weights: hashed-bigram log-ratio score of
+    //    even (source) docs toward the odd (target) distribution ────────
+    "t10_importance_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.TextOps.importanceWeights(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_grams"),
+          round(col("log_weight"), 6).as("log_weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── TF-IDF top-3 terms per document (smooth idf, sklearn
     //    convention) — two map-side-combinable aggs + broadcast N,
     //    per-doc window rank tie-broken by token ───────────────────────

@@ -37,6 +37,12 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // µs files written without UTC adjustment read as TIMESTAMP_NTZ;
+        // with the session TZ pinned to UTC the cast is value-preserving
+        // and restores the TIMESTAMP type the unix_micros/window ops need
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

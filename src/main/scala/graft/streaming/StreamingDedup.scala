@@ -35,13 +35,7 @@ object StreamingDedup {
       .dropDuplicates("user_id", "ts")
 
   /** Streaming events source over the testdata parquet layout (shares
-    * [[StreamingRollup.rawSchema]] and the ns→µs conversion). */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(StreamingRollup.rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+    * [[StreamingRollup.eventsStream]]'s unit-adaptive schema). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    StreamingRollup.eventsStream(spark, dir)
 }

@@ -13,27 +13,47 @@ import org.apache.spark.sql.types._
   */
 object StreamingRollup {
 
-  /** The events schema as stored (ts = TIMESTAMP(NANOS) read as long —
-    * see Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
+  /** The events schema as stored, with `ts` as the given type: LongType
+    * when the file carries TIMESTAMP(NANOS) (read as long via
+    * nanosAsLong — see Tables.events), TimestampType when it carries
+    * µs natively. */
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Streaming events source over the testdata parquet layout,
+    * unit-adaptive: `readStream` needs a declared schema, so peek at the
+    * batch-read schema once (metadata-only — no data scan) and declare
+    * ts as long + ns→µs truncation for TIMESTAMP(NANOS) files, or as a
+    * native timestamp passthrough for µs files. Either way downstream
+    * sees µs event time, matching Tables.events exactly. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stored = graft.core.Tables.table(spark, dir, "events")
+      .schema("ts").dataType
+    val stream = spark.readStream
+      .schema(rawSchema(stored))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    stored match {
+      case LongType =>  // TIMESTAMP(NANOS) read as long: truncate to µs
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>  // µs NTZ: value-preserving cast (UTC session)
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
+  }
 
   /** Streaming daily rollup over an events parquet directory: one row
     * per (day, event_type) with count and value sum. Late data beyond
     * the watermark is dropped. */
   def dailyRollup(spark: SparkSession, dir: String,
                   watermark: String = "1 day"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(spark, dir)
     stream
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -49,11 +69,7 @@ object StreamingRollup {
   def runningUserStats(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = eventsStream(spark, dir)
       .select(col("user_id"), col("value")).as[(Long, Double)]
     stream.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](

@@ -152,6 +152,127 @@ object TextOps {
     out
   }
 
+  /** Word-bigram rows (id, w1, w2) WITH duplicates — consecutive token
+    * pairs per document via one window lead over the exploded tokens
+    * (the k=2 case of [[shinglesAll]], kept as separate columns for
+    * count-table joins). */
+  def bigramsAll(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = tokens(df, text).select(col(id), col("pos"), col("token"))
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    toks.withColumn("w2", lead(col("token"), 1).over(w))
+      .withColumn("w1", col("token"))  // window exprs must be materialized
+      .filter(col("w2").isNotNull)     // before they can appear in a filter
+      .select(col(id), col("w1"), col("w2"))
+  }
+
+  /** N-gram language-model scoring (beyond reference): the classic
+    * perplexity-style quality filter of LLM data pipelines — train an
+    * add-k-smoothed bigram LM on a reference corpus, score each
+    * candidate document by its mean token log-likelihood (and
+    * perplexity = exp(−mean)). Low-likelihood documents are gibberish /
+    * wrong-language / boilerplate candidates.
+    *
+    * Model: P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V), where c(w1·) is
+    * the bigram-context count (= Σ_w2 c(w1,w2), derived from the bigram
+    * frame — no separate unigram pass) and V the train vocabulary size.
+    * Unseen grams/contexts fall back to the smoothing mass — no −inf.
+    *
+    * Scale shape: train counts are one gram-keyed map-side-combinable
+    * agg; scoring is two gram-keyed left joins (count tables are
+    * Zipf-shaped but key-partitioned — the inverted-index join shape,
+    * nothing broadcast-sized assumed) + one per-doc agg. V is the one
+    * driver scalar (a count, not data). */
+  def lmScore(train: DataFrame, eval: DataFrame, id: String, text: String,
+              addK: Double = 0.5): DataFrame = {
+    val c2 = bigramsAll(train, id, text)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = tokens(train, text).select(col("token")).distinct().count()
+    bigramsAll(eval, id, text)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .withColumn("lp",
+        log((coalesce(col("c2"), lit(0L)) + lit(addK)) /
+            (coalesce(col("c1"), lit(0L)) + lit(addK * vocab))))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("avg_logprob"))
+      .withColumn("perplexity", exp(-col("avg_logprob")))
+  }
+
+  /** Sequence packing (beyond reference): pack documents into
+    * fixed-token-budget training sequences — the standard "fill each
+    * context window" step between curation and tokenizer output in an
+    * LLM pipeline. Greedy first-fit in id order WITHIN each `key` group
+    * (shard/source): a doc that would overflow the running sequence
+    * starts the next one; an oversized doc (> budget) occupies a
+    * sequence alone. Output: one row per doc with its (per-key) seq_id.
+    *
+    * Scale shape: global greedy packing is inherently sequential, so at
+    * 100 TB packing is ALWAYS per-shard — that is exactly the `key`
+    * contract here. One keyed shuffle (repartition on key + in-partition
+    * sort), then a consecutive-run mapPartitions pass with O(1) state
+    * (the g01b pattern): a million shards pack in parallel, memory
+    * independent of shard size. */
+  def packSequences(df: DataFrame, id: String, key: String, text: String,
+                    budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    tokens(df, text)
+      .groupBy(col(key).cast("string").as("_g"), col(id).cast("long").as("_id"))
+      .agg(count(lit(1)).as("_n"))
+      .repartition(col("_g"))
+      .sortWithinPartitions(col("_g"), col("_id"))
+      .as[(String, Long, Long)]
+      .mapPartitions { rows =>
+        var curKey: String = null
+        var curSum = 0L
+        var seq = 0L
+        rows.map { case (g, i, n) =>
+          if (g != curKey) { curKey = g; seq = 0L; curSum = n }
+          else if (curSum + n > budget) { seq += 1; curSum = n }
+          else curSum += n
+          (g, i, n, seq)
+        }
+      }
+      .toDF(key, id, "n_tokens", "seq_id")
+  }
+
+  /** Hashed-n-gram importance weights (beyond reference): the
+    * importance-resampling scoring step used to select pretraining data
+    * toward a target distribution (DSIR-style). Features are hashed
+    * word bigrams in `nBuckets` buckets; each source document scores
+    * log w(d) = Σ_grams [ln p̂_target(b) − ln p̂_source(b)] with add-1
+    * smoothed bucket probabilities. High log-weight documents look like
+    * the target corpus; resample source ∝ exp(log w).
+    *
+    * Scale shape: both bucket-count tables are nBuckets rows (a
+    * map-side-combinable agg each), the log-ratio table is broadcast,
+    * and scoring is a map-side broadcast join + one per-doc agg — the
+    * full source corpus is never shuffled on anything wider than its
+    * own doc ids. */
+  def importanceWeights(source: DataFrame, target: DataFrame, id: String,
+                        text: String, nBuckets: Int = 1024,
+                        salt: Int = 13): DataFrame = {
+    def bucketed(df: DataFrame): DataFrame =
+      bigramsAll(df, id, text).withColumn("b",
+        pmod(Dedup.h64(concat_ws(" ", col("w1"), col("w2")), salt),
+          lit(nBuckets.toLong)))
+    val ct = bucketed(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val cs = bucketed(source).groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    val totals = ct.agg(sum(col("ct")).as("nt"))
+      .crossJoin(cs.agg(sum(col("cs")).as("ns")))
+    val lr = ct.join(cs, Seq("b"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+             (col("nt") + lit(nBuckets.toDouble))) -
+         log((coalesce(col("cs"), lit(0L)) + lit(1.0)) /
+             (col("ns") + lit(nBuckets.toDouble)))).as("lr"))
+    bucketed(source).join(broadcast(lr), "b")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("log_weight"))
+  }
+
   /** Repetition score (beyond reference): duplicated-k-gram fraction per
     * document, 1 − distinct/total — the Gopher-style intra-document
     * repetition quality filter. One explode + one keyed agg. */
