@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.TextOps
+
+/** Hand-computed fixtures for the round-7 corpus operators: bigram LM
+  * scoring (t08), greedy sequence packing (t09), and hashed-bigram
+  * importance weights (t10) — plus plan contracts for their scale
+  * shapes. */
+class TextLmPackSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("lmScore: add-k bigram LM on a hand-computed corpus") {
+    val train = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val eval = Seq((1L, "a b d")).toDF("doc_id", "text")
+    val r = TextOps.lmScore(train, eval, "doc_id", "text", addK = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
+    // train bigrams: (a,b) (b,a) (a,c); contexts: a->2, b->1; V=3
+    // eval bigrams: (a,b): ln((1+.5)/(2+1.5)) = ln(3/7)
+    //               (b,d): unseen, ln((0+.5)/(1+1.5)) = ln(1/5)
+    val expected = (math.log(3.0 / 7.0) + math.log(1.0 / 5.0)) / 2.0
+    assert(r._1 == 1L && r._2 == 2L)
+    assert(math.abs(r._3 - expected) < 1e-12)
+  }
+
+  test("lmScore: unseen context falls back to pure smoothing mass") {
+    val train = Seq((0L, "a b")).toDF("doc_id", "text")
+    val eval = Seq((1L, "z q")).toDF("doc_id", "text")
+    val lp = TextOps.lmScore(train, eval, "doc_id", "text", addK = 0.5)
+      .collect().head.getDouble(2)
+    // V=2; (z,q): c2=0, c1=0 -> ln(0.5 / (0.5*2)) = ln(0.5)
+    assert(math.abs(lp - math.log(0.5)) < 1e-12)
+  }
+
+  test("packSequences: greedy first-fit with overflow and oversize docs") {
+    // budget 5; counts in id order: 3,2,1,5,2,6,1
+    val docs = Seq(
+      (0L, "t t t"), (1L, "t t"), (2L, "t"), (3L, "t t t t t"),
+      (4L, "t t"), (5L, "t t t t t t"), (6L, "t")
+    ).map { case (i, s) => (i, "s0", s) }.toDF("doc_id", "source", "text")
+    val r = TextOps.packSequences(docs, "doc_id", "source", "text", budget = 5L)
+      .orderBy(col("doc_id"))
+      .collect().map(x => (x.getLong(2), x.getLong(3)))
+    // running: 3(s0) 5(s0) | 1(s1) | 5(s2 alone) | 2(s3) | 6(s4 oversize) | 1(s5)
+    assert(r.toSeq == Seq((3L, 0L), (2L, 0L), (1L, 1L), (5L, 2L),
+      (2L, 3L), (6L, 4L), (1L, 5L)))
+  }
+
+  test("packSequences: sources pack independently") {
+    val docs = Seq(
+      (0L, "a", "t t t"), (2L, "a", "t t t"),
+      (1L, "b", "t t t t"), (3L, "b", "t t t t")
+    ).toDF("doc_id", "source", "text")
+    val r = TextOps.packSequences(docs, "doc_id", "source", "text", budget = 4L)
+      .collect().map(x => ((x.getString(0), x.getLong(1)), x.getLong(3))).toMap
+    // a: 3 then 3+3>4 -> seq 1; b: 4 fills, next 4 -> seq 1
+    assert(r == Map(("a", 0L) -> 0L, ("a", 2L) -> 1L,
+      ("b", 1L) -> 0L, ("b", 3L) -> 1L))
+  }
+
+  test("importanceWeights: zero when source and target distributions match; " +
+       "target-like docs score above target-unlike docs") {
+    val corpus = Seq((0L, "x y x y"), (1L, "x y y x")).toDF("doc_id", "text")
+    val zero = TextOps.importanceWeights(corpus, corpus, "doc_id", "text")
+      .collect().map(_.getDouble(2))
+    assert(zero.forall(w => math.abs(w) < 1e-12))
+
+    val target = Seq((10L, "x y x y x y")).toDF("doc_id", "text")
+    val source = Seq((0L, "x y x y"), (1L, "q r q r")).toDF("doc_id", "text")
+    val w = TextOps.importanceWeights(source, target, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(w(0L) > 0.0, s"target-like doc should score positive: ${w(0L)}")
+    assert(w(1L) < 0.0, s"target-unlike doc should score negative: ${w(1L)}")
+    assert(w(0L) > w(1L))
+  }
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, SparkSpec.sfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("t09 packing plan: one keyed exchange on the shard key, no global sort") {
+    val p = plan("t09_pack_sequences")
+    assert(!p.contains("CartesianProduct"))
+    // the greedy scan must ride a hash partitioning on the shard key,
+    // never a single-partition or range-partitioned stage
+    assert(p.contains("hashpartitioning"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SinglePartition"),
+      "packing must not serialize onto one partition")
+  }
+
+  test("t10 importance-weight plan: log-ratio table broadcasts; corpus " +
+       "never shuffles wider than its per-doc agg") {
+    val p = plan("t10_importance_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket log-ratio table must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
