@@ -320,7 +320,22 @@ object Cli {
           .select(col(id), col(text))
       case _ => clean
     }
-    val redacted = TextOps.redactPii(capped, text)
+    // optional LM-score filter (--lm_ref_docs p --min_avg_logprob x):
+    // add-k bigram LM trained on the reference corpus, docs below the
+    // mean-log-likelihood floor dropped (the perplexity quality gate)
+    val lmFiltered = (cfg.strOpt("lm_ref_docs"),
+        cfg.strOpt("min_avg_logprob")) match {
+      case (Some(p), Some(minLp)) =>
+        val ref = load(p).select(col(id), col(text))
+        val keep = TextOps.lmScore(ref, capped, id, text)
+          .filter(col("avg_logprob") >= minLp.toDouble)
+          .select(col(id))
+        capped.join(keep, Seq(id))
+      case _ => capped
+    }
+    val nLm = lmFiltered.count()
+
+    val redacted = TextOps.redactPii(lmFiltered, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val Seq(n4, nEmail, nPhone) = redacted
       .agg(count(lit(1)), sum("n_email"), sum("n_phone")).collect()
@@ -336,16 +351,32 @@ object Cli {
     val split = ScaleOps.hashSplit(chunks, id,
       salt = cfg.strOpt("split_salt").map(_.toInt).getOrElse(7),
       Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
-    split.write.mode("overwrite").partitionBy("split")
+    // optional sequence packing (--pack_budget N): assign each chunk a
+    // per-split greedy token-budget seq_id (the t09 operator) so the
+    // output is tokenizer-feed-ready; chunk identity is the composite
+    // (doc, chunk) surrogate — unique because chunk counts are bounded
+    // by doc length / stride
+    val packed = cfg.strOpt("pack_budget") match {
+      case Some(b) =>
+        val withCid = split.withColumn("_cid",
+          col(id).cast("long") * lit(1000000L) + col("chunk_id"))
+        val seq = TextOps.packSequences(
+            withCid.withColumnRenamed("chunk", "_ctext"), "_cid", "split",
+            "_ctext", b.toLong)
+          .select(col("_cid"), col("seq_id"))
+        withCid.join(seq, Seq("_cid")).drop("_cid")
+      case None => split
+    }
+    packed.write.mode("overwrite").partitionBy("split")
       .parquet(cfg.str("output"))
     val nChunks = spark.read.parquet(cfg.str("output")).count()
 
     val s = spark
     import s.implicits._
-    val funnel = Seq((n0, n1, n2, n3, n4, nEmail, nPhone, nChunks))
+    val funnel = Seq((n0, n1, n2, n3, nLm, n4, nEmail, nPhone, nChunks))
       .toDF("n_input", "n_after_exact_dedup", "n_after_near_dedup",
-        "n_after_quality", "n_after_decontaminate", "n_emails_redacted",
-        "n_phones_redacted", "n_chunks")
+        "n_after_quality", "n_after_lm_filter", "n_after_decontaminate",
+        "n_emails_redacted", "n_phones_redacted", "n_chunks")
     writeMetricsJson(funnel,
       cfg.strOpt("metrics_out").getOrElse(s"${cfg.str("output")}_metrics.json"))
     exact.unpersist(); deduped.unpersist(); redacted.unpersist()

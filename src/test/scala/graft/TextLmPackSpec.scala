@@ -77,6 +77,26 @@ class TextLmPackSpec extends AnyFunSuite {
     assert(w(0L) > w(1L))
   }
 
+  test("streaming packer matches batch packSequences (t09 twin)") {
+    val sfDir = SparkSpec.sfDir
+    val stream = graft.streaming.StreamingPack.packSequences(
+      graft.streaming.StreamingPack.documentsStream(spark, sfDir),
+      "doc_id", "source", "text", budget = 128L)
+    val q = stream.writeStream.format("memory").queryName("pack")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT source, doc_id, n_tokens, seq_id FROM pack")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = TextOps.packSequences(
+        graft.core.Tables.documents(spark, sfDir), "doc_id", "source", "text",
+        budget = 128L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   private def plan(q: String): String = {
     val df = SparkEntry.queries(q)(spark, SparkSpec.sfDir)
     df.collect()

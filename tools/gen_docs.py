@@ -123,6 +123,66 @@ ScalaTest cross-check; see COVERAGE.md for the operator mapping.
 **{local[0]} hash-verified / {local[1]} failed / {local[2]} rows-only**
 of {local[3]} queries.
 """)
+        # Why each rows-only query is exempt, and which HASH-GREEN
+        # queries witness its pipeline stages (the sandwich: fit,
+        # one-training-step, fixed-parameter walk, per-series twins).
+        exempt = {
+            "g04_regime_conditional": (
+                "full HMM+AR(1) generation: Baum-Welch EM to convergence + "
+                "a seeded stochastic walk — 20+ iterations of coupled "
+                "forward/backward recursions have no closed SQL form",
+                "g04f (features), g04t/g04tb (one EM step, global + per-series), "
+                "g04w/g04wb (fixed-parameter walk), g04b (per-series fit)"),
+            "g05_regime_hmm_garch": (
+                "full HMM+GARCH generation: EM + per-regime GARCH MLE grid + "
+                "seeded walk (same iterative-training class as g04)",
+                "g05f (per-regime GARCH fit), g05w/g05wb (GARCH walk), "
+                "g05b (per-series fit)"),
+            "g07_regime_changepoint": (
+                "full PELT-segmented GAN training to convergence: hundreds of "
+                "Adam steps over a minimax objective",
+                "g07f (PELT segments), g07t (one GAN step), g07t2 (two Adam "
+                "steps incl. moment history), g07w (fixed-weight walk)"),
+            "o01_random_sweep": (
+                "optimizer sweep ranks seeded full generator runs — inherits "
+                "g04/g05's exemption through its candidates",
+                "o01f (candidate fitness core), o01b (per-series sweep fitness)"),
+            "q30_distribution_eval": (
+                "full metric record embeds the maxlag-20 AIC-selected ADF "
+                "(21 sequential 22-regressor OLS solves — no closed SQL form; "
+                "the maxlag-2 closed form IS oracled)",
+                "q30f (record minus ADF), q30b (per-series record), "
+                "c05 (closed-form ADF per series); maxlag-20 path golden-tested "
+                "against reference values in StatsSpec"),
+            "q31_composite_score": (
+                "composite embeds q30's ADF leg plus driver-bounded "
+                "hurst/spectral on the full series",
+                "q31f (9 SQL components), q31b/q31c (per-series, incl. "
+                "hurst+spectral legs), c01/c01b (spectral), q16/q16b (hurst)"),
+            "q32_predictive_eval": (
+                "trains two 20-iteration MLlib GBT models (baseline + "
+                "augmented) — distributed ML training has no SQL twin",
+                "window builders oracle-gated via q26; MAE math + "
+                "augmentation seam unit-tested (EvalSpec); dist_* secondary "
+                "record is q30's (witnessed there)"),
+        }
+        ro = [name for name, status, _, _ in rows if status == "rows-only"]
+        if ro:
+            f.write("""
+## Why the rows-only queries are exempt
+
+Each is an iterative-training or seeded-generation FULL run whose
+stages are independently hash-verified ("sandwich" witnesses below).
+Hard-coding an oracle would be self-defeating: the driver executes the
+oracle SQL in DuckDB independently, so only genuinely recomputable
+queries carry one.
+
+| query | why no SQL oracle | hash-green witnesses |
+|---|---|---|
+""")
+            for name in ro:
+                why, wit = exempt.get(name, ("see COVERAGE.md", "—"))
+                f.write(f"| {name} | {why} | {wit} |\n")
         f.write("""
 | query | gate | spark rows | oracle rows |
 |---|---|---|---|
