@@ -4628,6 +4628,33 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // mixture rebalancing sample: normalized target weights over three
+    // sources, N = min(n/w), per-key fraction w*N/n, round(f*10000)
+    // bucket cutoffs on the same salt-23 h64 buckets — the identical
+    // double algebra the Scala side computes (both engines IEEE-754,
+    // same operation order), so cutoffs match exactly
+    "a08_mixture_sample" -> {
+      val b = s"${h64Sql("doc_id::VARCHAR", "'23'")} % 10000"
+      // weights normalize through the SAME double ops as the Scala side:
+      // totW = (0.5+0.3+0.2) left-assoc in IEEE doubles (≈ 1 - 1ulp, NOT
+      // exactly 1), w = v/totW — DuckDB literals default to DECIMAL
+      // (exact sum = 1.0), so every term is forced ::DOUBLE
+      """WITH t(source, w) AS (VALUES
+        |  ('src0', 0.5::DOUBLE / (0.5::DOUBLE + 0.3::DOUBLE + 0.2::DOUBLE)),
+        |  ('src1', 0.3::DOUBLE / (0.5::DOUBLE + 0.3::DOUBLE + 0.2::DOUBLE)),
+        |  ('src2', 0.2::DOUBLE / (0.5::DOUBLE + 0.3::DOUBLE + 0.2::DOUBLE))),
+        |c AS (SELECT source, count(*)::BIGINT AS n FROM documents
+        |      WHERE source IN ('src0','src1','src2') GROUP BY source),
+        |nout AS (SELECT min(n::DOUBLE / w) AS nout FROM c JOIN t USING (source)),
+        |f AS (SELECT c.source, round(w * nout / n * 10000) AS cut
+        |      FROM c JOIN t USING (source) CROSS JOIN nout)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN f ON d.source = f.source
+        |WHERE BUCKET < f.cut
+        |ORDER BY d.doc_id""".stripMargin
+        .replace("BUCKET", b)
+    },
+
     // stratified sample: per-lang bucket cutoffs (en 5000, es 2500,
     // default 10000), same h64 buckets as a03 with salt 11
     "a04_stratified_sample" -> {

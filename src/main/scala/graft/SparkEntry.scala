@@ -1328,6 +1328,17 @@ object SparkEntry {
         .orderBy(col("domain"), col("doc_id"))
     }),
 
+    // ── Mixture rebalancing sample: deterministic downsample so the
+    //    output follows a target source mix (50/30/20 over three
+    //    sources) — the pretraining data-mixture step ───────────────────
+    "a08_mixture_sample" -> ((s, dir) => {
+      graft.core.ScaleOps.mixtureSample(docs(s, dir), "doc_id", "source",
+          salt = 23,
+          target = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── A15/A16 witness: the reference's per-generator summary view
     //    (COUNT/ROUND(AVG)/GROUP BY — evaluate_all_generators.py:245-281)
     //    over a metrics frame derived from per-user event stats ────────

@@ -81,6 +81,37 @@ object ScaleOps {
     df.filter(bucket < cut)
   }
 
+  /** Mixture rebalancing sample (beyond reference): deterministically
+    * downsample each key (source/domain/language) so the OUTPUT
+    * follows target proportions — the "data mixture" step of
+    * pretraining pipelines. With normalized target weights w_k and
+    * per-key counts n_k, the largest feasible output is
+    * N = min_k(n_k / w_k) total rows; each key keeps fraction
+    * f_k = w_k · N / n_k (≤ 1, = 1 on the binding key). Keys outside
+    * `target` are dropped. Sampling delegates to [[stratifiedSample]]'s
+    * salted portable-hash buckets, so the result is rerun/repartition/
+    * append-stable and oracle-verifiable.
+    *
+    * Scale shape: one map-side-combinable count agg over the keys in
+    * the target spec (driver state = |target| rows — the USER's mixture
+    * spec, not data-sized), then one map-side bucket filter. */
+  def mixtureSample(df: DataFrame, id: String, key: String, salt: Int,
+                    target: Map[String, Double]): DataFrame = {
+    require(target.nonEmpty, "need at least one target weight")
+    val totW = target.values.sum
+    val w = target.map { case (k, v) => k -> v / totW }
+    val inTarget = df.filter(col(key).isin(target.keys.toSeq: _*))
+    val counts = inTarget.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = target.keys.filterNot(counts.contains)
+    require(missing.isEmpty,
+      s"target keys with no rows: ${missing.mkString(", ")} — the mixture " +
+        "is infeasible (every weighted key needs at least one row)")
+    val nOut = w.map { case (k, wk) => counts(k).toDouble / wk }.min
+    val fracs = w.map { case (k, wk) => k -> wk * nOut / counts(k) }
+    stratifiedSample(inTarget, id, key, salt, fracs, defaultFraction = 0.0)
+  }
+
   /** Deterministic k-per-key sample: keep exactly min(k, |group|) rows
     * per key, chosen by a salted portable hash of the row id — the
     * bounded-fan-out cousin of [[stratifiedSample]] (which keeps a

@@ -107,6 +107,37 @@ class ScaleOpsSpec extends AnyFunSuite {
   // crams everything into a single input partition; the caps must bind
   // PER SERIES — the straggler is truncated to the cap while its
   // co-partitioned small series keep every row.
+  test("mixture sample: output approaches the target mix, deterministic, " +
+       "infeasible targets fail fast") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    // 1000/500/100 rows of a/b/c; target 1:1:1 -> binding key is c
+    // (n=100, w=1/3 -> N=300), so keep fractions are .1/.2/1.0
+    val df = ((0 until 1000).map(i => (i.toLong, "a")) ++
+      (1000 until 1500).map(i => (i.toLong, "b")) ++
+      (1500 until 1600).map(i => (i.toLong, "c")))
+      .toDF("id", "src")
+    val out = graft.core.ScaleOps.mixtureSample(df, "id", "src", salt = 5,
+      target = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+    val by = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by("c") === 100L, "binding key keeps everything")
+    // hash buckets are uniform-ish: ~100 from a (f=.1), ~100 from b (f=.2)
+    assert(by("a") > 60 && by("a") < 140, by.toString)
+    assert(by("b") > 60 && by("b") < 140, by.toString)
+    // deterministic under rerun + repartition
+    val again = graft.core.ScaleOps.mixtureSample(df.repartition(7), "id",
+        "src", salt = 5, target = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === out.select("id").collect().map(_.getLong(0)).toSet)
+    // a target key with no rows is an infeasible mixture
+    val e = intercept[IllegalArgumentException] {
+      graft.core.ScaleOps.mixtureSample(df, "id", "src", salt = 5,
+        target = Map("a" -> 1.0, "zz" -> 1.0))
+    }
+    assert(e.getMessage.contains("zz"))
+  }
+
   test("skewed series: fit-prefix caps bound the straggler per series, not per partition") {
     val s = spark
     import s.implicits._
