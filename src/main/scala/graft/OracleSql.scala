@@ -4628,6 +4628,31 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // span dedup: same 12-token header prepended, spans at 12-token
+    // block granularity, global keep-first by (doc_id, blk), docs
+    // reassembled from surviving spans in block order
+    "d05_span_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    'standard license header boilerplate block repeated across documents in this corpus exactly '
+        |      || text AS text FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+        |           unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |         FROM d),
+        |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+        |ti AS (SELECT doc_id, token,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS ti
+        |       FROM t),
+        |segs AS (SELECT doc_id, ti // 12 AS blk,
+        |           string_agg(token, ' ' ORDER BY ti) AS seg
+        |         FROM ti GROUP BY doc_id, ti // 12),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY seg
+        |        ORDER BY doc_id, blk) AS rk FROM segs)
+        |SELECT doc_id, count(*)::BIGINT AS n_spans,
+        |  sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN rk = 1 THEN seg END, ' ' ORDER BY blk),
+        |           '') AS cleaned
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // mixture rebalancing sample: normalized target weights over three
     // sources, N = min(n/w), per-key fraction w*N/n, round(f*10000)
     // bucket cutoffs on the same salt-23 h64 buckets — the identical

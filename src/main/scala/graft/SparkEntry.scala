@@ -1328,6 +1328,18 @@ object SparkEntry {
         .orderBy(col("domain"), col("doc_id"))
     }),
 
+    // ── Cross-doc span dedup: every doc gets the same 12-token
+    //    boilerplate header prepended (the license-block shape), span
+    //    dedup keeps its first occurrence only and reassembles ──────────
+    "d05_span_dedup" -> ((s, dir) => {
+      val hdr = "standard license header boilerplate block repeated " +
+        "across documents in this corpus exactly"
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(lit(hdr + " "), col("text")).as("text"))
+      graft.text.Dedup.spanDedup(d, "doc_id", "text", blockTokens = 12)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Mixture rebalancing sample: deterministic downsample so the
     //    output follows a target source mix (50/30/20 over three
     //    sources) — the pretraining data-mixture step ───────────────────

@@ -199,6 +199,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Cross-document SPAN dedup (beyond reference): remove duplicated
+    * spans at fixed token-block granularity while keeping each span's
+    * FIRST occurrence (by (doc, block) order) — the exact-substring
+    * dedup step of corpus curation (boilerplate headers, license
+    * blocks, templated paragraphs), which doc-level dedup cannot catch
+    * because the surrounding text differs. Documents come back
+    * reassembled without their duplicated spans, plus span/drop counts.
+    * Output text is whitespace-normalized (tokens joined by single
+    * spaces) — a doc with no dropped spans round-trips its token
+    * stream exactly.
+    *
+    * Scale shape: one doc-keyed window for dense token indices, one
+    * (doc, block) agg to form spans, one span-keyed agg to elect the
+    * global keeper (map-side combinable min-struct), one span-keyed
+    * join back, one doc-keyed reassemble. Nothing is pairwise; shuffle
+    * volume is O(corpus tokens), independent of duplication structure. */
+  def spanDedup(df: DataFrame, id: String, text: String,
+                blockTokens: Int = 12): DataFrame = {
+    val toks = TextOps.tokens(df, text).select(col(id), col("pos"), col("token"))
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val segs = toks
+      .withColumn("ti", row_number().over(w) - 1)
+      .withColumn("blk", (col("ti") / blockTokens).cast("long"))
+      .groupBy(col(id), col("blk"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ti"), col("token")))),
+        x => x("token")), " ").as("seg"))
+    val keep = segs.groupBy(col("seg"))
+      .agg(min(struct(col(id).as("kid"), col("blk").as("kblk"))).as("k"))
+      .select(col("seg"), col("k.kid").as("kid"), col("k.kblk").as("kblk"))
+    segs.join(keep, "seg")
+      .withColumn("kept", col(id) === col("kid") && col("blk") === col("kblk"))
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("blk"), col("seg"))))),
+          x => x("seg")), " ").as("cleaned"))
+  }
+
   /** Dedup CLUSTERS from a near-dup pair list: connected components by
     * iterative min-label propagation over the undirected pair graph —
     * the production step after any pair finder (exact groups / Jaccard /

@@ -77,6 +77,19 @@ class TextLmPackSpec extends AnyFunSuite {
     assert(w(0L) > w(1L))
   }
 
+  test("spanDedup: global keep-first at block granularity, docs reassemble") {
+    val docs = Seq((0L, "a b c d"), (1L, "x y a b"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val r = graft.text.Dedup.spanDedup(docs, "doc_id", "text", blockTokens = 2)
+      .orderBy(col("doc_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    // "a b" occurs at (0,blk0), (1,blk1), (2,blk0): (0,0) is the keeper
+    assert(r.toSeq == Seq(
+      (0L, 2L, 0L, "a b c d"),
+      (1L, 2L, 1L, "x y"),
+      (2L, 1L, 1L, "")))
+  }
+
   test("streaming packer matches batch packSequences (t09 twin)") {
     val sfDir = SparkSpec.sfDir
     val stream = graft.streaming.StreamingPack.packSequences(
