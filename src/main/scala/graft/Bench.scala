@@ -11,6 +11,7 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -47,12 +48,14 @@ object Bench {
         dt
       }
       val two = Seq(timed(), timed())
-      // ADAPTIVE THIRD RUN: when the two runs disagree by >1.4x, at least
-      // one was contention-inflated (the r6 driver artifact carried a
-      // sustained spike that owned BOTH runs of q31c/t06; a third sample
-      // is the cheapest defense that leaves a visible record — three
-      // agreeing inflated runs means real cost, not noise).
-      val runs = if (two.max / math.max(two.min, 1e-9) > 1.4) two :+ timed()
+      // ADAPTIVE THIRD RUN on the contention signature only: the WARM
+      // run coming in slower than the cold one (run1 slower than run2 is
+      // the normal JIT shape and needs no retry). The r6 driver artifact
+      // carried q31c at [13.1, 18.0] — a rising sustained spike that
+      // owned both runs; a third sample is the cheapest defense that
+      // leaves a visible record (three agreeing inflated runs = real
+      // cost, not noise).
+      val runs = if (two(1) > 1.2 * two(0)) two :+ timed()
                  else two
       System.err.println(String.format(java.util.Locale.ROOT,
         "[bench] %-28s %8.2f s (runs: %s)", name, Double.box(runs.min),

@@ -253,6 +253,9 @@ object Cli {
     * Flags: --input_docs <parquet|csv> --output <dir>
     *   [--benchmark_docs p] [--doc_id_col doc_id] [--text_col text]
     *   [--near_threshold 0.8] [--max_rep_ratio 0.5] [--min_tokens 10]
+    *   [--max_per_source N --source_col c]
+    *   [--mixture_target src0:0.5,src1:0.5 --source_col c]
+    *   [--lm_ref_docs p --min_avg_logprob x] [--pack_budget N]
     *   [--chunk_window 480] [--chunk_stride 384] [--metrics_out m.json]
     */
   def runCurate(spark: SparkSession, cfg: GraftConfig): Unit = {
@@ -320,6 +323,23 @@ object Cli {
           .select(col(id), col(text))
       case _ => clean
     }
+    // optional mixture rebalancing (--mixture_target src0:0.5,src1:0.5
+    // with --source_col c): deterministic downsample to the target
+    // source mix — the a08 primitive
+    val mixed = (cfg.strOpt("mixture_target"), cfg.strOpt("source_col")) match {
+      case (Some(spec), Some(src)) =>
+        val target = spec.split(",").map { kv =>
+          val Array(k, v) = kv.split(":")
+          k -> v.toDouble
+        }.toMap
+        val withSrc = load(cfg.str("input_docs")).select(col(id), col(src))
+        graft.core.ScaleOps.mixtureSample(
+            capped.join(withSrc, id), id, src,
+            salt = cfg.strOpt("split_salt").map(_.toInt).getOrElse(7), target)
+          .select(col(id), col(text))
+      case _ => capped
+    }
+
     // optional LM-score filter (--lm_ref_docs p --min_avg_logprob x):
     // add-k bigram LM trained on the reference corpus, docs below the
     // mean-log-likelihood floor dropped (the perplexity quality gate)
@@ -327,11 +347,11 @@ object Cli {
         cfg.strOpt("min_avg_logprob")) match {
       case (Some(p), Some(minLp)) =>
         val ref = load(p).select(col(id), col(text))
-        val keep = TextOps.lmScore(ref, capped, id, text)
+        val keep = TextOps.lmScore(ref, mixed, id, text)
           .filter(col("avg_logprob") >= minLp.toDouble)
           .select(col(id))
-        capped.join(keep, Seq(id))
-      case _ => capped
+        mixed.join(keep, Seq(id))
+      case _ => mixed
     }
     val nLm = lmFiltered.count()
 

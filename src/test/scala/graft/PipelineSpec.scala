@@ -344,6 +344,8 @@ class PipelineSpec extends AnyFunSuite {
       "lm_ref_docs" -> s"${SparkSpec.sfDir}/documents.parquet",
       "min_avg_logprob" -> "-50.0",
       "pack_budget" -> "128",
+      // rebalance toward an equal two-source mix on the way through
+      "mixture_target" -> "src0:0.5,src1:0.5", "source_col" -> "source",
       "chunk_window" -> "120", "chunk_stride" -> "80",
       "output" -> s"$dir/chunks", "metrics_out" -> s"$dir/funnel.json"))
     val out = spark.read.parquet(s"$dir/chunks")

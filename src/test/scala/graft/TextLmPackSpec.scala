@@ -133,4 +133,21 @@ class TextLmPackSpec extends AnyFunSuite {
       "bucket log-ratio table must broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("d05 span-dedup plan: keyed aggs only — no cartesian, no single partition") {
+    val p = plan("d05_span_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SinglePartition"),
+      "span election and reassembly must stay keyed")
+  }
+
+  test("a08 mixture-sample plan: map-side bucket filter, no join in the " +
+       "sampling pass") {
+    val df = SparkEntry.queries("a08_mixture_sample")(spark, SparkSpec.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the one join-free filter pass: cutoffs are folded into the
+    // predicate as literals (the driver holds |target| rows, not data)
+    assert(!p.contains("Join"), p.linesIterator.take(12).mkString("\n"))
+  }
 }
