@@ -166,33 +166,103 @@ object Cli {
   }
 
   def runEvaluate(spark: SparkSession, cfg: GraftConfig): Unit = {
-    val synth = CsvIO.loadMultipleCsv(spark, cfg.str("synthetic").split(",").toSeq)
+    lazy val synth = CsvIO.loadMultipleCsv(spark, cfg.str("synthetic").split(",").toSeq)
     val real = CsvIO.loadMultipleCsv(spark, cfg.str("real").split(",").toSeq)
+    // predictive-family legs: explicit --real_train/--real_val/--real_test
+    // CSVs (the reference's flags) or a 60/20/20 time split of --real
+    def legs(): (DataFrame, DataFrame, DataFrame) =
+      (cfg.strOpt("real_train"), cfg.strOpt("real_val"),
+        cfg.strOpt("real_test")) match {
+        case (Some(tr), Some(va), Some(te)) =>
+          (CsvIO.loadMultipleCsv(spark, Seq(tr)),
+            CsvIO.loadMultipleCsv(spark, Seq(va)),
+            CsvIO.loadMultipleCsv(spark, Seq(te)))
+        case _ =>
+          val n = real.count()
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(Order.map(col): _*)
+          val idx = real.withColumn("__i", row_number().over(w))
+          val nTrain = (n * 0.6).toLong; val nVal = (n * 0.2).toLong
+          (idx.filter(col("__i") <= nTrain).drop("__i"),
+            idx.filter(col("__i") > nTrain && col("__i") <= nTrain + nVal)
+              .drop("__i"),
+            idx.filter(col("__i") > nTrain + nVal).drop("__i"))
+      }
+    def knob(k: String, d: Int): Int = cfg.strOpt(k).map(_.toInt).getOrElse(d)
+    val winSize = knob("tol_window", 24)
+    val horizon = knob("horizon", 1)
+    val maxIter = knob("max_iter", 20)
+    val seed = cfg.strOpt("seed").map(_.toLong).getOrElse(42L)
     val metrics = cfg.str("evaluator") match {
       case "distribution" =>
         graft.eval.DistributionEvaluator.evaluate(real, synth, Order, Price)
       case "composite" =>
         graft.eval.CompositeMetric.scoreDf(real, synth, Order, Price)
+      // sdg_plugins/evaluator/predictive_evaluator.py — THE metric:
+      // baseline vs synthetic-augmented predictor MAE deltas
+      case "predictive" =>
+        val (tr, va, te) = legs()
+        graft.eval.PredictiveEvaluator.evaluate(synth, tr, va, te, Order,
+          Price, winSize, horizon, seed, maxIter)
+      // augmentation_evaluator.py — predictive with a cached baseline
+      // leg (the candidate-sweep shape: baseline trains once)
+      case "augmentation" =>
+        val (tr, va, te) = legs()
+        val cache = cfg.strOpt("baseline_cache").getOrElse(
+          Files.createTempDirectory("graft_aug").resolve("baseline.json")
+            .toString)
+        graft.eval.AugmentationEvaluator.evaluate(synth, tr, va, te, Order,
+          Price, cache, winSize, horizon, seed, maxIter)
+      // run_option_a_eval.py — every generator × seed, one metric row
+      // each (multi-row metrics JSON)
+      case "all" =>
+        val seeds = cfg.strOpt("seeds")
+          .map(_.split(",").toSeq.map(_.toLong)).getOrElse(Seq(42L, 43L, 44L))
+        graft.eval.EvaluateAllGenerators.run(spark, real, Order, Price,
+          seeds, n = knob("n_samples", 1000))
+      // run_ratio_sweep.py — block-bootstrap ratio + block-size sweep
+      // against one cached baseline (multi-row metrics JSON)
+      case "ratio_sweep" =>
+        val (tr, va, te) = legs()
+        val cache = cfg.strOpt("baseline_cache").getOrElse(
+          Files.createTempDirectory("graft_rs").resolve("baseline.json")
+            .toString)
+        val ratios = cfg.strOpt("ratios").map(_.split(",").toSeq.map(_.toInt))
+          .getOrElse(Seq(100, 250, 500, 750, 1000, 1575))
+        val blocks = cfg.strOpt("block_sizes").map(_.split(",").toSeq.map(_.toInt))
+          .getOrElse(Seq(10, 20, 30, 48, 60))
+        graft.eval.RatioSweep.blockBootstrapSweep(spark, tr, va, te, Order,
+          Price, cache, ratios, blocks, fixedN = knob("n_samples", 500),
+          windowSize = winSize, horizon = horizon, seed = seed,
+          maxIter = maxIter)
       case e => throw new IllegalArgumentException(s"unknown evaluator $e")
     }
     writeMetricsJson(metrics, cfg.str("metrics_out"))
   }
 
-  /** S4-shape single-record metrics JSON (shared by evaluate/tolerance). */
+  /** S4-shape metrics JSON (shared by evaluate/tolerance): one record →
+    * a JSON object (the reference's metrics_file shape); multi-record
+    * evaluators (all / ratio_sweep) → a JSON array of objects. The
+    * collect is contract-bounded: metric records, one per
+    * (generator, seed) or sweep leg, never data rows. */
   private def writeMetricsJson(metrics: org.apache.spark.sql.DataFrame,
                                path: String): Unit = {
-    val row = metrics.first()
-    val json = metrics.columns.zipWithIndex.map { case (c, i) =>
-      val v = row.get(i) match {
-        case d: Double => d.toString
-        case b: Boolean => b.toString
-        case n: Number => n.toString
-        case x => "\"" + x.toString + "\""
-      }
-      s""""$c": $v"""
-    }.mkString("{", ", ", "}")
+    def obj(row: org.apache.spark.sql.Row): String =
+      metrics.columns.zipWithIndex.map { case (c, i) =>
+        val v = row.get(i) match {
+          case d: Double => d.toString
+          case b: Boolean => b.toString
+          case n: Number => n.toString
+          case x => "\"" + x.toString + "\""
+        }
+        s""""$c": $v"""
+      }.mkString("{", ", ", "}")
+    val rows = metrics.collect()
+    val json =
+      if (rows.length == 1) obj(rows.head)
+      else rows.map(obj).mkString("[", ",\n", "]")
     Files.writeString(Paths.get(path), json)
-    System.err.println(s"[graft] metrics -> $path")
+    System.err.println(s"[graft] metrics -> $path (${rows.length} record(s))")
   }
 
   /** measure_tolerance.py / measure_tolerance_v2.py entry points: split

@@ -279,6 +279,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(metrics.contains("\"quality_score\""))
   }
 
+  test("CLI evaluate: predictive, augmentation and ratio_sweep evaluators " +
+       "(the remaining reference entry points)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftpredcli").toString
+    val data = SparkSpec.randomWalk(420, seed = 39).select("DATE_TIME", "typical_price")
+    graft.io.CsvIO.saveCsv(data, s"$dir/real")
+    val realCsv = new java.io.File(s"$dir/real").listFiles()
+      .filter(_.getName.endsWith(".csv")).head.getPath
+    val synthDf = SparkSpec.randomWalk(120, seed = 53).select("DATE_TIME", "typical_price")
+    graft.io.CsvIO.saveCsv(synthDf, s"$dir/synth")
+    val synthCsv = new java.io.File(s"$dir/synth").listFiles()
+      .filter(_.getName.endsWith(".csv")).head.getPath
+    val fast = Map("real" -> realCsv, "synthetic" -> synthCsv,
+      "tol_window" -> "8", "max_iter" -> "3")
+
+    Cli.run(spark, GraftConfig.defaults ++ fast ++ Map(
+      "mode" -> "evaluate", "evaluator" -> "predictive",
+      "metrics_out" -> s"$dir/pred.json"))
+    val pred = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/pred.json")))
+    assert(pred.contains("\"baseline_mae_val\"")
+      && pred.contains("\"synthetic_helps_test\"")
+      && pred.contains("\"dist_kl_divergence\""), pred.take(300))
+
+    // augmentation: first run populates the baseline cache, second run
+    // must reuse it (identical baseline numbers, no retrain)
+    Cli.run(spark, GraftConfig.defaults ++ fast ++ Map(
+      "mode" -> "evaluate", "evaluator" -> "augmentation",
+      "baseline_cache" -> s"$dir/base.json",
+      "metrics_out" -> s"$dir/aug1.json"))
+    Cli.run(spark, GraftConfig.defaults ++ fast ++ Map(
+      "mode" -> "evaluate", "evaluator" -> "augmentation",
+      "baseline_cache" -> s"$dir/base.json",
+      "metrics_out" -> s"$dir/aug2.json"))
+    val a1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/aug1.json")))
+    val a2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/aug2.json")))
+    def base(s: String) =
+      "\"baseline_mae_val\": ([-0-9.eE]+)".r.findFirstMatchIn(s).get.group(1)
+    assert(base(a1) === base(a2), "cached baseline must be identical")
+
+    // ratio_sweep with 2 small legs -> a JSON ARRAY of tagged records
+    Cli.run(spark, GraftConfig.defaults ++ fast ++ Map(
+      "mode" -> "evaluate", "evaluator" -> "ratio_sweep",
+      "ratios" -> "60", "block_sizes" -> "10", "n_samples" -> "60",
+      "baseline_cache" -> s"$dir/rs.json",
+      "metrics_out" -> s"$dir/sweep.json"))
+    val sweep = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/sweep.json")))
+    assert(sweep.trim.startsWith("[") && sweep.contains("\"sweep_kind\"")
+      && sweep.contains("\"bb_n60\"") && sweep.contains("\"bb_block10\""),
+      sweep.take(300))
+  }
+
   test("CLI tolerance + tolerance_v2: entry-point twins of the measure scripts") {
     val dir = java.nio.file.Files.createTempDirectory("grafttol").toString
     val data = SparkSpec.randomWalk(420, seed = 37).select("DATE_TIME", "typical_price")
