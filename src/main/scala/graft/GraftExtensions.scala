@@ -34,5 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"dot_product expects 2 arguments, got ${children.length}")
         graft.functions.DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_h64"),
+      new ExpressionInfo(classOf[graft.functions.H64].getName, "graft_h64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_h64 expects (seed, str), got ${children.length} arguments")
+        new graft.functions.H64(children.head, children(1))
+      }))
   }
 }

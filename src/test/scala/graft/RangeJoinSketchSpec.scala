@@ -135,6 +135,17 @@ class RangeJoinSketchSpec extends AnyFunSuite {
       assert(df.collect()(0).getDouble(0) === 11.0)
       assert(df.queryExecution.analyzed.toString.contains("dot_product"),
         "must resolve to the native expression, not a UDF")
+      // graft_h64: the SQL surface must reproduce Dedup.h64 exactly
+      import s2.implicits._
+      val fixture = Seq("alpha", "beta", "42").toDF("s")
+      val viaCol = fixture
+        .select(graft.text.Dedup.h64(org.apache.spark.sql.functions.col("s"), 7)
+          .as("h"))
+        .collect().map(_.getLong(0)).toSeq
+      fixture.createOrReplaceTempView("h64fix")
+      val viaSql = s2.sql("SELECT graft_h64('7', s) AS h FROM h64fix")
+        .collect().map(_.getLong(0)).toSeq
+      assert(viaSql === viaCol, "graft_h64 must equal the Column-API h64")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
