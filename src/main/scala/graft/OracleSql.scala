@@ -4653,6 +4653,15 @@ object OracleSql {
         |           '') AS cleaned
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // exact-N sample: 100 smallest salt-31 h64 ranks, tie-broken by id
+    "a09_sample_exact_n" -> {
+      val h = h64Sql("doc_id::VARCHAR", "'31'")
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source FROM documents
+         |  ORDER BY $h, doc_id LIMIT 100) t
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // mixture rebalancing sample: normalized target weights over three
     // sources, N = min(n/w), per-key fraction w*N/n, round(f*10000)
     // bucket cutoffs on the same salt-23 h64 buckets — the identical

@@ -1340,6 +1340,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Deterministic exact-N sample: the 100 smallest salt-31 hash
+    //    ranks — plans as TakeOrderedAndProject (per-partition top-n +
+    //    bounded merge), never a full sort ───────────────────────────────
+    "a09_sample_exact_n" -> ((s, dir) => {
+      graft.core.ScaleOps.sampleExactN(docs(s, dir), "doc_id", n = 100,
+          salt = 31)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Mixture rebalancing sample: deterministic downsample so the
     //    output follows a target source mix (50/30/20 over three
     //    sources) — the pretraining data-mixture step ───────────────────

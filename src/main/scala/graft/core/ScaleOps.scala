@@ -81,6 +81,22 @@ object ScaleOps {
     df.filter(bucket < cut)
   }
 
+  /** Deterministic EXACT-N global sample: the n rows with the smallest
+    * salted portable-hash rank (ties broken by id) — the "give me
+    * exactly 100k uniform docs" primitive that fraction sampling
+    * ([[stratifiedSample]]) cannot provide and k-per-key
+    * ([[sampleKPerKey]]) only bounds per group. Rerun/repartition/
+    * append-stable up to hash displacement (a new row entering the
+    * top-n evicts exactly one old row).
+    *
+    * Scale shape: global ordered limit plans as TakeOrderedAndProject —
+    * per-partition top-n then a single bounded merge, never a full
+    * sort. n is the driver-bounded quantity by definition. */
+  def sampleExactN(df: DataFrame, id: String, n: Int, salt: Int): DataFrame =
+    df.orderBy(graft.text.Dedup.h64(col(id).cast("string"), salt).asc,
+        col(id).asc)
+      .limit(n)
+
   /** Mixture rebalancing sample (beyond reference): deterministically
     * downsample each key (source/domain/language) so the OUTPUT
     * follows target proportions — the "data mixture" step of

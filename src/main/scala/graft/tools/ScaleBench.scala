@@ -119,7 +119,7 @@ object ScaleBench {
     "t03_pii_redact", "t04_chunk", "t05_tfidf_topk",
     "t06_bloom_decontaminate", "t07_bpe_tokens", "t08_lm_score",
     "t09_pack_sequences", "t10_importance_weights", "d05_span_dedup",
-    "a08_mixture_sample", "a06_heavy_hitters",
+    "a08_mixture_sample", "a09_sample_exact_n", "a06_heavy_hitters",
     "d01_minhash_lsh", "d02_simhash_pairs", "d03_dedup_clusters",
     "d04_embed_dedup_clusters", "a07_sample_per_key",
     "m01_multimodal_decode", "m02_multimodal_features",

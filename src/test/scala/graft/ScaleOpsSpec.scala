@@ -107,6 +107,26 @@ class ScaleOpsSpec extends AnyFunSuite {
   // crams everything into a single input partition; the caps must bind
   // PER SERIES — the straggler is truncated to the cap while its
   // co-partitioned small series keep every row.
+  test("exact-N sample: exactly n rows, repartition-stable, plans as " +
+       "TakeOrderedAndProject (never a full sort)") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val out = graft.core.ScaleOps.sampleExactN(df, "id", n = 37, salt = 3)
+    assert(out.count() === 37L)
+    val ids = out.select("id").collect().map(_.getLong(0)).toSet
+    val again = graft.core.ScaleOps.sampleExactN(df.repartition(11), "id",
+      n = 37, salt = 3).select("id").collect().map(_.getLong(0)).toSet
+    assert(again === ids)
+    // different salt -> a different (deterministic) sample
+    val other = graft.core.ScaleOps.sampleExactN(df, "id", n = 37, salt = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(other !== ids)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      plan.linesIterator.take(6).mkString("\n"))
+  }
+
   test("mixture sample: output approaches the target mix, deterministic, " +
        "infeasible targets fail fast") {
     val s = SparkSpec.spark
