@@ -117,7 +117,10 @@ object ScaleOps {
     val totW = target.values.sum
     val w = target.map { case (k, v) => k -> v / totW }
     val inTarget = df.filter(col(key).isin(target.keys.toSeq: _*))
-    val counts = inTarget.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    // key cast to string so integer source/domain codes survive the
+    // driver-side read (the isin filter accepts them; getString would not)
+    val counts = inTarget.groupBy(col(key).cast("string").as("_k"))
+      .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val missing = target.keys.filterNot(counts.contains)
     require(missing.isEmpty,

@@ -214,7 +214,11 @@ object Dedup {
     * (doc, block) agg to form spans, one span-keyed agg to elect the
     * global keeper (map-side combinable min-struct), one span-keyed
     * join back, one doc-keyed reassemble. Nothing is pairwise; shuffle
-    * volume is O(corpus tokens), independent of duplication structure. */
+    * volume is O(corpus tokens), independent of duplication structure.
+    * Keeper election and the join-back key on the span's 64-bit hash,
+    * not the span text — the election shuffle carries 8 bytes per span
+    * instead of the full `blockTokens`-token string (~5–10× fewer
+    * bytes); text rides only the doc-keyed reassembly leg. */
   def spanDedup(df: DataFrame, id: String, text: String,
                 blockTokens: Int = 12): DataFrame = {
     val toks = TextOps.tokens(df, text).select(col(id), col("pos"), col("token"))
@@ -226,10 +230,11 @@ object Dedup {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("ti"), col("token")))),
         x => x("token")), " ").as("seg"))
-    val keep = segs.groupBy(col("seg"))
+      .withColumn("segh", h64(col("seg"), 41))
+    val keep = segs.groupBy(col("segh"))
       .agg(min(struct(col(id).as("kid"), col("blk").as("kblk"))).as("k"))
-      .select(col("seg"), col("k.kid").as("kid"), col("k.kblk").as("kblk"))
-    segs.join(keep, "seg")
+      .select(col("segh"), col("k.kid").as("kid"), col("k.kblk").as("kblk"))
+    segs.join(keep, "segh")
       .withColumn("kept", col(id) === col("kid") && col("blk") === col("kblk"))
       .groupBy(col(id))
       .agg(

@@ -178,10 +178,13 @@ object TextOps {
     * Unseen grams/contexts fall back to the smoothing mass — no −inf.
     *
     * Scale shape: train counts are one gram-keyed map-side-combinable
-    * agg; scoring is two gram-keyed left joins (count tables are
-    * Zipf-shaped but key-partitioned — the inverted-index join shape,
-    * nothing broadcast-sized assumed) + one per-doc agg. V is the one
-    * driver scalar (a count, not data). */
+    * agg; the bigram-count join is gram-keyed on (w1, w2) — the
+    * inverted-index join shape, well-spread because the composite key
+    * dilutes the Zipf head. The CONTEXT-count table c1 is |vocab| rows
+    * by construction, so it is broadcast: joining it on the bare
+    * unigram w1 would concentrate every "the"/"of" bigram of a 100 TB
+    * eval corpus onto single reducers. One per-doc agg closes; V is
+    * the one driver scalar (a count, not data). */
   def lmScore(train: DataFrame, eval: DataFrame, id: String, text: String,
               addK: Double = 0.5): DataFrame = {
     val c2 = bigramsAll(train, id, text)
@@ -190,7 +193,7 @@ object TextOps {
     val vocab = tokens(train, text).select(col("token")).distinct().count()
     bigramsAll(eval, id, text)
       .join(c2, Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
       .withColumn("lp",
         log((coalesce(col("c2"), lit(0L)) + lit(addK)) /
             (coalesce(col("c1"), lit(0L)) + lit(addK * vocab))))

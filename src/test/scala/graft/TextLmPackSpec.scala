@@ -134,6 +134,14 @@ class TextLmPackSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("t08 lm-score plan: the |vocab|-row context-count table broadcasts " +
+       "(joining on the bare Zipf-head unigram would skew at scale)") {
+    val p = plan("t08_lm_score")
+    assert(p.contains("BroadcastHashJoin"),
+      "c1 context-count leg must be a broadcast join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("d05 span-dedup plan: keyed aggs only — no cartesian, no single partition") {
     val p = plan("d05_span_dedup")
     assert(!p.contains("CartesianProduct"))
