@@ -237,16 +237,21 @@ object Cli {
           maxIter = maxIter)
       case e => throw new IllegalArgumentException(s"unknown evaluator $e")
     }
-    writeMetricsJson(metrics, cfg.str("metrics_out"))
+    writeMetricsJson(metrics, cfg.str("metrics_out"),
+      multiRecord = Seq("all", "ratio_sweep").contains(cfg.str("evaluator")))
   }
 
-  /** S4-shape metrics JSON (shared by evaluate/tolerance): one record →
-    * a JSON object (the reference's metrics_file shape); multi-record
-    * evaluators (all / ratio_sweep) → a JSON array of objects. The
-    * collect is contract-bounded: metric records, one per
-    * (generator, seed) or sweep leg, never data rows. */
+  /** S4-shape metrics JSON (shared by evaluate/tolerance): single-record
+    * evaluators → a JSON object (the reference's metrics_file shape);
+    * multi-record evaluators (all / ratio_sweep) → ALWAYS a JSON array,
+    * even when a run happens to produce exactly one record — the output
+    * shape is a property of the evaluator, not of this run's row count,
+    * so downstream parsers never see the type flip. The collect is
+    * contract-bounded: metric records, one per (generator, seed) or
+    * sweep leg, never data rows. */
   private def writeMetricsJson(metrics: org.apache.spark.sql.DataFrame,
-                               path: String): Unit = {
+                               path: String,
+                               multiRecord: Boolean = false): Unit = {
     def obj(row: org.apache.spark.sql.Row): String =
       metrics.columns.zipWithIndex.map { case (c, i) =>
         val v = row.get(i) match {
@@ -259,7 +264,7 @@ object Cli {
       }.mkString("{", ", ", "}")
     val rows = metrics.collect()
     val json =
-      if (rows.length == 1) obj(rows.head)
+      if (rows.length == 1 && !multiRecord) obj(rows.head)
       else rows.map(obj).mkString("[", ",\n", "]")
     Files.writeString(Paths.get(path), json)
     System.err.println(s"[graft] metrics -> $path (${rows.length} record(s))")
@@ -387,9 +392,13 @@ object Cli {
     val capped = (cfg.strOpt("max_per_source"), cfg.strOpt("source_col")) match {
       case (Some(k), Some(src)) =>
         val withSrc = load(cfg.str("input_docs")).select(col(id), col(src))
+        // decorrelated from split_salt for the same reason as the
+        // mixture stage below (k-per-key ranks on the raw h64, not the
+        // mod-10000 bucket, but sharing a salt with hashSplit is still
+        // an avoidable coupling)
         graft.core.ScaleOps.sampleKPerKey(
             clean.join(withSrc, id), id, src, k.toInt,
-            salt = cfg.strOpt("split_salt").map(_.toInt).getOrElse(7))
+            salt = cfg.strOpt("split_salt").map(_.toInt).getOrElse(7) + 2027)
           .select(col(id), col(text))
       case _ => clean
     }
@@ -403,9 +412,16 @@ object Cli {
           k -> v.toDouble
         }.toMap
         val withSrc = load(cfg.str("input_docs")).select(col(id), col(src))
+        // the mixture stage MUST NOT share hashSplit's salt: both bucket
+        // pmod(h64(id, salt), 10000), so with a shared salt every doc a
+        // keep-fraction f admits has bucket < f·10000 — entirely inside
+        // hashSplit's train range whenever f ≤ 0.9, leaving val/test
+        // empty. A fixed offset decorrelates the two bucketings while
+        // keeping the stage deterministic under --split_salt.
         graft.core.ScaleOps.mixtureSample(
             capped.join(withSrc, id), id, src,
-            salt = cfg.strOpt("split_salt").map(_.toInt).getOrElse(7), target)
+            salt = cfg.strOpt("split_salt").map(_.toInt).getOrElse(7) + 1013,
+            target)
           .select(col(id), col(text))
       case _ => capped
     }
@@ -417,10 +433,16 @@ object Cli {
         cfg.strOpt("min_avg_logprob")) match {
       case (Some(p), Some(minLp)) =>
         val ref = load(p).select(col(id), col(text))
-        val keep = TextOps.lmScore(ref, mixed, id, text)
-          .filter(col("avg_logprob") >= minLp.toDouble)
-          .select(col(id))
-        mixed.join(keep, Seq(id))
+        // left join: lmScore only emits docs with ≥ 1 bigram, so an
+        // inner join would silently drop short (< 2-token) docs
+        // regardless of the floor — keep unscored docs and let the
+        // earlier length/quality gates own that decision
+        val scores = TextOps.lmScore(ref, mixed, id, text)
+          .select(col(id), col("avg_logprob"))
+        mixed.join(scores, Seq(id), "left")
+          .filter(col("avg_logprob").isNull ||
+            col("avg_logprob") >= minLp.toDouble)
+          .drop("avg_logprob")
       case _ => mixed
     }
     val nLm = lmFiltered.count()
@@ -448,8 +470,13 @@ object Cli {
     // by doc length / stride
     val packed = cfg.strOpt("pack_budget") match {
       case Some(b) =>
+        // composite chunk identity as a struct, not doc_id·1e6+chunk_id:
+        // the arithmetic encoding overflows Long for h64-derived 60-bit
+        // doc ids and silently collides pack assignments. Struct
+        // equality/ordering is field-wise, so pack order stays
+        // (doc, chunk) and the join-back key stays exact.
         val withCid = split.withColumn("_cid",
-          col(id).cast("long") * lit(1000000L) + col("chunk_id"))
+          struct(col(id), col("chunk_id")))
         val seq = TextOps.packSequences(
             withCid.withColumnRenamed("chunk", "_ctext"), "_cid", "split",
             "_ctext", b.toLong)

@@ -215,10 +215,17 @@ object Dedup {
     * global keeper (map-side combinable min-struct), one span-keyed
     * join back, one doc-keyed reassemble. Nothing is pairwise; shuffle
     * volume is O(corpus tokens), independent of duplication structure.
-    * Keeper election and the join-back key on the span's 64-bit hash,
-    * not the span text — the election shuffle carries 8 bytes per span
-    * instead of the full `blockTokens`-token string (~5–10× fewer
-    * bytes); text rides only the doc-keyed reassembly leg. */
+    * Keeper election and the join-back key on the span's FULL 128-bit
+    * md5 digest (16 raw bytes via unhex), not the span text — the
+    * election shuffle carries a constant 16 bytes per span instead of
+    * the full `blockTokens`-token string (~5× fewer bytes). A truncated
+    * 60-bit hash is NOT enough here: a single collision between
+    * distinct spans merges their keeper groups and silently deletes
+    * every copy of the losing span, and the birthday bound puts a
+    * 60-bit collision at ~50% around 2³⁰ distinct spans — tens of GB,
+    * far below the design scale. 128 bits pushes that past 2⁶⁴ spans,
+    * preserving the exact-substring round-trip contract; text rides
+    * only the doc-keyed reassembly leg. */
   def spanDedup(df: DataFrame, id: String, text: String,
                 blockTokens: Int = 12): DataFrame = {
     val toks = TextOps.tokens(df, text).select(col(id), col("pos"), col("token"))
@@ -230,7 +237,7 @@ object Dedup {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("ti"), col("token")))),
         x => x("token")), " ").as("seg"))
-      .withColumn("segh", h64(col("seg"), 41))
+      .withColumn("segh", unhex(md5(col("seg"))))
     val keep = segs.groupBy(col("segh"))
       .agg(min(struct(col(id).as("kid"), col("blk").as("kblk"))).as("k"))
       .select(col("segh"), col("k.kid").as("kid"), col("k.kblk").as("kblk"))

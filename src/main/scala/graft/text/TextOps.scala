@@ -191,9 +191,17 @@ object TextOps {
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vocab = tokens(train, text).select(col("token")).distinct().count()
+    // The c1 join key is the Zipf head ("the"/"of" carry a huge share
+    // of all bigrams), so a plain shuffle join concentrates those keys
+    // onto single reducers. Broadcasting c1 sidesteps the skew — but
+    // |c1| = |train vocab| is data-dependent, so broadcast only while
+    // the table is safely driver-sized (~tens of MB at 1M entries) and
+    // fall back to a shuffle join beyond that, where AQE's skew-join
+    // split handles the hot keys.
+    val c1Side = if (vocab <= 10_000_000L) broadcast(c1) else c1
     bigramsAll(eval, id, text)
       .join(c2, Seq("w1", "w2"), "left")
-      .join(broadcast(c1), Seq("w1"), "left")
+      .join(c1Side, Seq("w1"), "left")
       .withColumn("lp",
         log((coalesce(col("c2"), lit(0L)) + lit(addK)) /
             (coalesce(col("c1"), lit(0L)) + lit(addK * vocab))))
@@ -218,25 +226,30 @@ object TextOps {
     * independent of shard size. */
   def packSequences(df: DataFrame, id: String, key: String, text: String,
                     budget: Long): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    tokens(df, text)
-      .groupBy(col(key).cast("string").as("_g"), col(id).cast("long").as("_id"))
+    // id stays its natural type (long, string, or a composite struct
+    // like (doc_id, chunk_id)) — Row-based so packing order is the id's
+    // own ordering, and callers never need a lossy arithmetic encoding
+    // of composite identities into a Long
+    val counts = tokens(df, text)
+      .groupBy(col(key).cast("string").as("_g"), col(id).as("_id"))
       .agg(count(lit(1)).as("_n"))
       .repartition(col("_g"))
       .sortWithinPartitions(col("_g"), col("_id"))
-      .as[(String, Long, Long)]
-      .mapPartitions { rows =>
-        var curKey: String = null
-        var curSum = 0L
-        var seq = 0L
-        rows.map { case (g, i, n) =>
-          if (g != curKey) { curKey = g; seq = 0L; curSum = n }
-          else if (curSum + n > budget) { seq += 1; curSum = n }
-          else curSum += n
-          (g, i, n, seq)
-        }
+    val outSchema = counts.schema
+      .add("seq_id", org.apache.spark.sql.types.LongType, nullable = false)
+    counts.mapPartitions { rows =>
+      var curKey: String = null
+      var curSum = 0L
+      var seq = 0L
+      rows.map { r =>
+        val g = r.getString(0)
+        val n = r.getLong(2)
+        if (g != curKey) { curKey = g; seq = 0L; curSum = n }
+        else if (curSum + n > budget) { seq += 1; curSum = n }
+        else curSum += n
+        org.apache.spark.sql.Row(g, r.get(1), n, seq)
       }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF(key, id, "n_tokens", "seq_id")
   }
 
@@ -274,6 +287,42 @@ object TextOps {
     bucketed(source).join(broadcast(lr), "b")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("log_weight"))
+  }
+
+  /** Quality-filter classifier scoring (beyond reference, t11): the
+    * discriminative quality gate of LLM data pipelines — a logistic
+    * model over hashed-bigram relative frequencies, weights trained
+    * offline by [[graft.tools.TrainQualityFilter]] (distilling the t19
+    * stop-ratio/TTR heuristic) and FROZEN in [[QualityFilterModel]] so
+    * both the Spark plan and the DuckDB oracle read bit-identical
+    * doubles. Per doc: logit = w₀ + Σ_b w_b·c_b / n_grams (one division,
+    * 6-decimal rounded), q_prob = σ(logit) of the rounded logit,
+    * keep = q_prob ≥ 0.5.
+    *
+    * Scale shape: the weight table is a 256-row literal broadcast — the
+    * corpus shuffles only on (doc, bucket) and doc (both map-side
+    * combinable aggs); nothing data-dependent is collected. The
+    * importance-weight scorer ([[importanceWeights]]) is the
+    * distribution-matching sibling; this is the absolute-quality gate. */
+  def qualityClassifierScore(df: DataFrame, id: String, text: String): DataFrame = {
+    import graft.text.{QualityFilterModel => M}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(
+      M.W.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }.toSeq.toDF("b", "w"))
+    bigramsAll(df, id, text)
+      .withColumn("b", pmod(Dedup.h64(concat_ws(" ", col("w1"), col("w2")),
+        M.Salt), lit(M.NBuckets.toLong)))
+      .groupBy(col(id), col("b")).agg(count(lit(1)).as("c"))
+      .join(wdf, "b")
+      .groupBy(col(id))
+      .agg(sum(col("c")).as("n_grams"), sum(col("c") * col("w")).as("s"))
+      .withColumn("logit",
+        round(lit(M.Intercept) + col("s") / col("n_grams"), 6))
+      .withColumn("q_prob",
+        round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
+      .withColumn("keep", col("q_prob") >= 0.5)
+      .select(col(id), col("n_grams"), col("logit"), col("q_prob"), col("keep"))
   }
 
   /** Repetition score (beyond reference): duplicated-k-gram fraction per

@@ -297,11 +297,15 @@ class DedupSimSpec extends AnyFunSuite {
   }
 
   test("dim-tiled embeddings + tiled codebooks preserve ANN results exactly") {
+    SparkSpec.withConf("spark.sql.codegen.fallback" -> "false") {
     // the ScaleBench `dim` family contract: tiling a vector factor x
     // with per-tile sign flips multiplies every dot/dist by factor
     // EXACTLY in fp (per-tile products are bit-identical), so brute
     // force, IVF (tileIvf) and PQ (tilePq) must return the same
-    // neighbors at dim 192 as at dim 64
+    // neighbors at dim 192 as at dim 64 — and the whole tiled plan
+    // (native PqLut/PqEncode/AdcSum at m=24) must COMPILE: with
+    // fallback=false a 64 KB codegen regression fails the test instead
+    // of silently running interpreted
     val factor = 3
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
@@ -334,6 +338,7 @@ class DedupSimSpec extends AnyFunSuite {
       graft.tools.ScaleBench.tileIvf(graft.sim.IvfCodebook.K16, factor),
       nProbe = 4, k = 10)
     assert(ids(ivfTiled) === ids(ivfBase))
+    }
   }
 
   test("native PqEncode matches the composed struct/array_min form bit-for-bit") {
@@ -372,14 +377,28 @@ class DedupSimSpec extends AnyFunSuite {
         }
       }
       val v = emb.withColumn("embedding", flatten(array(tiles: _*)))
-      val both = v.select(col("vec_id"),
-          Similarity.pqLut(col("embedding"), cb).as("native"),
-          Similarity.pqLutComposed(col("embedding"), cb).as("composed"))
-        .collect()
-      assert(both.nonEmpty)
-      both.foreach { r =>
-        assert(r.getSeq[Double](1) === r.getSeq[Double](2),
-          s"lut diverges for vec ${r.getLong(0)} at m=${cb.length}")
+      // the NATIVE path must whole-stage-compile — fallback=false turns
+      // a silent interpreted fallback into a test failure
+      val native = SparkSpec.withConf("spark.sql.codegen.fallback" -> "false") {
+        v.select(col("vec_id"),
+            Similarity.pqLut(col("embedding"), cb).as("native"))
+          .collect()
+      }.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      // the COMPOSED form is a value oracle only — at m=24 its generated
+      // method is KNOWN to cross Janino's 64 KB limit, so skip codegen
+      // outright instead of letting the failed compile spam the log and
+      // re-run on every execution
+      val composed = SparkSpec.withConf(
+          "spark.sql.codegen.wholeStage" -> "false",
+          "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+        v.select(col("vec_id"),
+            Similarity.pqLutComposed(col("embedding"), cb).as("composed"))
+          .collect()
+      }.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(native.nonEmpty && native.keySet === composed.keySet)
+      native.foreach { case (id, lut) =>
+        assert(lut === composed(id),
+          s"lut diverges for vec $id at m=${cb.length}")
       }
     }
   }

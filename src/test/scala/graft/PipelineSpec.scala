@@ -419,6 +419,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(funnel.contains("\"n_after_lm_filter\""), funnel)
   }
 
+  test("CLI curate: low mixture keep-fraction still yields val/test splits") {
+    // regression: mixtureSample and hashSplit both bucket
+    // pmod(h64(id, salt), 10000); with a shared salt every doc a
+    // keep-fraction f admits has bucket < f·10000, which for f ≤ 0.9
+    // lies entirely inside hashSplit's train range — the downsampled
+    // source then appears ONLY in train. The stages must use
+    // decorrelated salts.
+    val dir = java.nio.file.Files.createTempDirectory("graftmix").toString
+    import org.apache.spark.sql.functions.{col, countDistinct, expr}
+    val docs = spark.range(2000).select(
+      col("id").as("doc_id"),
+      expr("concat_ws(' ', transform(sequence(0, 15), " +
+        "j -> concat('tok', id, 'x', j)))").as("text"),
+      expr("if(id < 1000, 'src0', 'src1')").as("source"))
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    // targets 0.2/0.8 over equal-size sources → src0 keeps f = 0.25,
+    // src1 is the binding key at f = 1.0: the downsampled source is the
+    // one the shared-salt bug would confine to train
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"$dir/docs",
+      "mixture_target" -> "src0:0.2,src1:0.8", "source_col" -> "source",
+      "chunk_window" -> "120", "chunk_stride" -> "80",
+      "output" -> s"$dir/chunks", "metrics_out" -> s"$dir/funnel.json"))
+    val out = spark.read.parquet(s"$dir/chunks")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val perSource = out.groupBy("source")
+      .agg(countDistinct("split").as("n_splits"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource("src1") === 3L, s"binding source: $perSource")
+    assert(perSource("src0") === 3L,
+      s"downsampled source must still reach val/test: $perSource")
+  }
+
   test("CLI curate: CSV input works; non-integral doc ids fail fast") {
     val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
     val docs = spark.read.parquet(s"${SparkSpec.sfDir}/documents.parquet")

@@ -23,6 +23,21 @@ object SparkSpec {
 
   val sfDir = "/root/testdata/sf0.001"
 
+  /** Run `body` with SQL confs temporarily set, restoring (or unsetting)
+    * each key afterwards — the shared-session equivalent of
+    * SQLHelper.withSQLConf. */
+  def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) =>
+      k -> (try Some(spark.conf.get(k)) catch { case _: Exception => None })
+    }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Seeded random-walk price fixture mirroring the reference's test
     * fixture (tests/test_plugins.py:11-21): 1.3 + cumsum(N(0,1)*5e-4),
     * 4-hour timestamps from 2020-01-01. */
