@@ -2959,6 +2959,36 @@ object OracleSql {
          |WHERE s.doc_id % 2 = 0
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
+    // quality-filter classifier: the SAME frozen weights the Spark plan
+    // broadcasts, embedded as a 256-row VALUES table (Double.toString
+    // round-trips in DuckDB); logit rounded to 6 before the sigmoid so
+    // both engines exponentiate the identical double
+    "t11_quality_classifier" -> {
+      val m = graft.text.QualityFilterModel
+      val vals = m.W.zipWithIndex
+        .map { case (wt, b) => s"($b, ${wt}::DOUBLE)" }.mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+         |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+         |              FROM documents),
+         |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+         |bg0 AS (SELECT doc_id, token AS w1,
+         |          lead(token,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |        FROM t),
+         |b AS (SELECT doc_id,
+         |        ${h64Sql("w1 || ' ' || w2", s"'${m.Salt}'")} % ${m.NBuckets} AS b
+         |      FROM bg0 WHERE w2 IS NOT NULL),
+         |cnt AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+         |w(b, w) AS (VALUES $vals),
+         |agg AS (SELECT doc_id, sum(c)::BIGINT AS n_grams,
+         |          round(${m.Intercept} + sum(c * w.w) / sum(c)
+         |            + ${m.WDistinct} * count(*) / sum(c), 6) AS logit
+         |        FROM cnt JOIN w USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_grams, logit,
+         |  round(1.0 / (1.0 + exp(-logit)), 6) AS q_prob,
+         |  (round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5)::INT AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
     // PII redaction: same doc_id-salted body construction, same
     // RE2-compatible patterns (DuckDB's regexp_* IS RE2; the Spark side
     // keeps the patterns lookaround-free so both engines agree)

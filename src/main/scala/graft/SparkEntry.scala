@@ -515,6 +515,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Quality-filter classifier: frozen hashed-bigram logistic model
+    //    (TrainQualityFilter distilling the t19 heuristic), broadcast
+    //    weight table, σ(w₀ + w·x) per doc — the discriminative quality
+    //    gate between t08 (LM score) and t10 (importance weights) ──────
+    "t11_quality_classifier" -> ((s, dir) => {
+      graft.text.TextOps.qualityClassifierScore(docs(s, dir), "doc_id", "text")
+        .withColumn("keep", col("keep").cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── TF-IDF top-3 terms per document (smooth idf, sklearn
     //    convention) — two map-side-combinable aggs + broadcast N,
     //    per-doc window rank tie-broken by token ───────────────────────

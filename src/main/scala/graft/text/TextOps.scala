@@ -316,9 +316,11 @@ object TextOps {
       .groupBy(col(id), col("b")).agg(count(lit(1)).as("c"))
       .join(wdf, "b")
       .groupBy(col(id))
-      .agg(sum(col("c")).as("n_grams"), sum(col("c") * col("w")).as("s"))
+      .agg(sum(col("c")).as("n_grams"), sum(col("c") * col("w")).as("s"),
+        count(lit(1)).as("nnz"))
       .withColumn("logit",
-        round(lit(M.Intercept) + col("s") / col("n_grams"), 6))
+        round(lit(M.Intercept) + col("s") / col("n_grams") +
+          lit(M.WDistinct) * col("nnz") / col("n_grams"), 6))
       .withColumn("q_prob",
         round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
       .withColumn("keep", col("q_prob") >= 0.5)

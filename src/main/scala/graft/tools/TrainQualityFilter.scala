@@ -58,20 +58,26 @@ object TrainQualityFilter {
     require(nDocs > 0, s"no documents in $dir")
     println(s"// training on $nDocs docs, median quality $med")
 
+    // one dense feature beyond the bucket counts: distinct-bucket ratio
+    // nnz/n — the linear-model-visible proxy for the label's TTR half
+    // (hashed counts alone cannot express distinctness)
     val w = new Array[Double](nBuckets)
+    var wd = 0.0
     var w0 = 0.0
+    def logit(f: Array[(Int, Double)], n: Double): Double =
+      w0 + f.map { case (b, c) => w(b) * c / n }.sum + wd * f.length / n
     def acc(): Double = feats.count { case (y, f, n) =>
-      val logit = w0 + f.map { case (b, c) => w(b) * c / n }.sum
-      (if (logit >= 0) 1 else 0) == y
+      (if (logit(f, n) >= 0) 1 else 0) == y
     }.toDouble / nDocs
     for (ep <- 1 to epochs) {
       val gw = new Array[Double](nBuckets)
+      var gd = 0.0
       var g0 = 0.0
       feats.foreach { case (y, f, n) =>
-        val logit = w0 + f.map { case (b, c) => w(b) * c / n }.sum
-        val p = 1.0 / (1.0 + math.exp(-logit))
+        val p = 1.0 / (1.0 + math.exp(-logit(f, n)))
         val g = p - y
         g0 += g
+        gd += g * f.length / n
         f.foreach { case (b, c) => gw(b) += g * c / n }
       }
       var b = 0
@@ -79,6 +85,7 @@ object TrainQualityFilter {
         w(b) -= lr * (gw(b) / nDocs + l2 * w(b))
         b += 1
       }
+      wd -= lr * (gd / nDocs + l2 * wd)
       w0 -= lr * g0 / nDocs
       if (ep % 100 == 0)
         println(f"// epoch $ep%4d train accuracy ${acc()}%.4f")
@@ -88,6 +95,7 @@ object TrainQualityFilter {
     println(s"  val NBuckets: Int = $nBuckets")
     println(s"  val Salt: Int = $salt")
     println(s"  val Intercept: Double = $w0")
+    println(s"  val WDistinct: Double = $wd")
     println("  val W: Array[Double] = Array(")
     w.grouped(4).foreach { g =>
       println("    " + g.mkString(", ") + ",")

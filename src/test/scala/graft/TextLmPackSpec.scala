@@ -142,6 +142,39 @@ class TextLmPackSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("t11 quality-classifier: frozen model agrees with the heuristic it " +
+       "distills on a corpus it never trained on") {
+    import org.apache.spark.sql.functions.col
+    // weights were trained on sf0.01; score sf0.001 and compare keep
+    // against the t19 quality_score >= median label — the classifier
+    // must transfer (same generator family), not just memorize
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text")
+    val stats = graft.text.TextOps.tokenStats(docs, "doc_id", "text")
+    val med = stats.stat.approxQuantile("quality_score", Array(0.5), 0.0).head
+    val scored = graft.text.TextOps
+      .qualityClassifierScore(docs, "doc_id", "text")
+      .join(stats.select(col("doc_id"),
+        (col("quality_score") >= med).as("y")), "doc_id")
+    val n = scored.count()
+    val agree = scored.filter(col("keep") === col("y")).count()
+    assert(n > 0)
+    assert(agree.toDouble / n >= 0.65,
+      s"classifier/heuristic agreement ${agree.toDouble / n} on $n docs")
+    // probabilities are proper and the rounding contract holds
+    val bad = scored.filter(col("q_prob") < 0.0 || col("q_prob") > 1.0 ||
+      col("q_prob") =!= org.apache.spark.sql.functions.round(col("q_prob"), 6))
+    assert(bad.count() === 0)
+  }
+
+  test("t11 quality-classifier plan: the 256-row weight table broadcasts; " +
+       "corpus shuffles only on its keyed aggs") {
+    val p = plan("t11_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      "frozen weight table must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("d05 span-dedup plan: keyed aggs only — no cartesian, no single partition") {
     val p = plan("d05_span_dedup")
     assert(!p.contains("CartesianProduct"))
