@@ -4683,6 +4683,74 @@ object OracleSql {
         |           '') AS cleaned
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // fuzzy span dedup: d05's block frame + d01's minhash machinery at
+    // span granularity (k=3 shingles, 16 perms, 4 bands of 4), pairs at
+    // est >= 0.5, recursive-CTE closure over dense span indices (numeric
+    // min on row_number() ORDER BY (doc_id, blk) = the Spark side's
+    // field-wise struct min), keeper = component minimum
+    "d06_fuzzy_span_dedup" -> {
+      val mask = graft.text.Dedup.MinhashBaseMask
+      val prime = graft.text.Dedup.MinhashPrime
+      val params = graft.text.Dedup.minhashParams(16).zipWithIndex
+        .map { case ((a, b), s) => s"($s, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH RECURSIVE d AS (SELECT doc_id,
+         |    'v' || (doc_id % 3)::VARCHAR ||
+         |    ' standard license header boilerplate block repeated across documents in corpus exactly '
+         |      || text AS text FROM documents),
+         |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+         |           unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+         |         FROM d),
+         |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+         |ti AS (SELECT doc_id, token,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS ti
+         |       FROM t),
+         |segs AS MATERIALIZED (SELECT doc_id, ti // 12 AS blk,
+         |          string_agg(token, ' ' ORDER BY ti) AS seg
+         |        FROM ti GROUP BY doc_id, ti // 12),
+         |sp AS MATERIALIZED (SELECT doc_id, blk,
+         |        row_number() OVER (ORDER BY doc_id, blk) AS sid, seg
+         |      FROM segs),
+         |stoks AS (SELECT sid, unnest(string_split(seg,' ')) AS token,
+         |            unnest(generate_series(1, len(string_split(seg,' ')))) AS pos
+         |          FROM sp),
+         |sh0 AS (SELECT sid,
+         |          token || ' ' || lead(token,1) OVER w || ' ' || lead(token,2) OVER w AS shingle,
+         |          lead(token,2) OVER w AS l2
+         |        FROM stoks WINDOW w AS (PARTITION BY sid ORDER BY pos)),
+         |sh AS (SELECT DISTINCT sid, shingle FROM sh0 WHERE l2 IS NOT NULL),
+         |bs AS (SELECT sid, ${h64Sql("shingle", "'0'")} & $mask AS base FROM sh),
+         |params AS (SELECT * FROM (VALUES $params) p(s, a, b)),
+         |mh AS MATERIALIZED (SELECT sid, s, min((a * base + b) % $prime) AS h
+         |      FROM bs, params GROUP BY sid, s),
+         |bands AS (SELECT sid, s // 4 AS band,
+         |            md5(string_agg(h::VARCHAR, ',' ORDER BY s)) AS bucket
+         |          FROM mh GROUP BY sid, s // 4),
+         |cand AS (SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |         WHERE a.sid < b.sid),
+         |pairs AS MATERIALIZED (SELECT id_a, id_b FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    (SELECT count(*) FROM mh x JOIN mh y ON x.s = y.s AND x.h = y.h
+         |     WHERE x.sid = c.id_a AND y.sid = c.id_b) / 16.0 AS ej
+         |  FROM cand c) e WHERE ej >= 0.5),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs) n),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT id, id AS r FROM nodes
+         |          UNION
+         |          SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id AS sid, min(r) AS cluster FROM reach GROUP BY id)
+         |SELECT sp.doc_id, count(*)::BIGINT AS n_spans,
+         |  sum(CASE WHEN comp.sid IS NULL OR sp.sid = comp.cluster
+         |      THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+         |  coalesce(string_agg(CASE WHEN comp.sid IS NULL OR sp.sid = comp.cluster
+         |      THEN sp.seg END, ' ' ORDER BY sp.blk), '') AS cleaned
+         |FROM sp LEFT JOIN comp ON sp.sid = comp.sid
+         |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin
+    },
+
     // exact-N sample: 100 smallest salt-31 h64 ranks, tie-broken by id
     "a09_sample_exact_n" -> {
       val h = h64Sql("doc_id::VARCHAR", "'31'")

@@ -1350,6 +1350,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── FUZZY span dedup: every doc gets a 12-token boilerplate block
+    //    whose FIRST token varies (v0/v1/v2 by doc_id%3) — exact span
+    //    dedup (d05) is blind across variants; the MinHash span frame
+    //    clusters them (1-token edit ⇒ shingle Jaccard 9/11) and keeps
+    //    the (doc, blk)-minimum copy ─────────────────────────────────────
+    "d06_fuzzy_span_dedup" -> ((s, dir) => {
+      val hdr = "standard license header boilerplate block repeated " +
+        "across documents in corpus exactly"
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(lit("v"), (col("doc_id") % 3).cast("string"),
+          lit(" " + hdr + " "), col("text")).as("text"))
+      graft.text.Dedup.fuzzySpanDedup(d, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Deterministic exact-N sample: the 100 smallest salt-31 hash
     //    ranks — plans as TakeOrderedAndProject (per-partition top-n +
     //    bounded merge), never a full sort ───────────────────────────────

@@ -226,23 +226,73 @@ object Dedup {
     * far below the design scale. 128 bits pushes that past 2⁶⁴ spans,
     * preserving the exact-substring round-trip contract; text rides
     * only the doc-keyed reassembly leg. */
-  def spanDedup(df: DataFrame, id: String, text: String,
-                blockTokens: Int = 12): DataFrame = {
+  /** d05/d06 shared block frame: cut each doc's token stream into
+    * `blockTokens`-token spans → one row per (doc, blk) with the span
+    * text `seg` (single-space joined). */
+  private def spanSegments(df: DataFrame, id: String, text: String,
+                           blockTokens: Int): DataFrame = {
     val toks = TextOps.tokens(df, text).select(col(id), col("pos"), col("token"))
     val w = Window.partitionBy(col(id)).orderBy(col("pos"))
-    val segs = toks
+    toks
       .withColumn("ti", row_number().over(w) - 1)
       .withColumn("blk", (col("ti") / blockTokens).cast("long"))
       .groupBy(col(id), col("blk"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("ti"), col("token")))),
         x => x("token")), " ").as("seg"))
+  }
+
+  def spanDedup(df: DataFrame, id: String, text: String,
+                blockTokens: Int = 12): DataFrame = {
+    val segs = spanSegments(df, id, text, blockTokens)
       .withColumn("segh", unhex(md5(col("seg"))))
     val keep = segs.groupBy(col("segh"))
       .agg(min(struct(col(id).as("kid"), col("blk").as("kblk"))).as("k"))
       .select(col("segh"), col("k.kid").as("kid"), col("k.kblk").as("kblk"))
     segs.join(keep, "segh")
       .withColumn("kept", col(id) === col("kid") && col("blk") === col("kblk"))
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("blk"), col("seg"))))),
+          x => x("seg")), " ").as("cleaned"))
+  }
+
+  /** FUZZY cross-document span dedup (beyond reference, d06): the
+    * one-token-edit blind spot of [[spanDedup]] — a boilerplate block
+    * whose copies differ by a version number, a date, a doc id — closed
+    * by running MinHash+LSH over the SPANS of [[spanSegments]]'s block
+    * frame instead of exact hashing: spans whose shingle Jaccard
+    * estimate reaches `threshold` join one cluster, the cluster keeps
+    * its (doc, blk)-minimum member, every other member is dropped and
+    * the docs come back reassembled (same output contract as d05).
+    * Spans shorter than `shingleK` tokens carry no shingles and are
+    * always kept — exact dup removal of sub-shingle tails stays d05's
+    * job.
+    *
+    * Scale shape: d05's frame (token-keyed aggs) + d01's banding
+    * (signature volume O(spans × numPerm), here numPerm=16 — spans are
+    * 12 tokens, so a 64-perm doc-grade signature would outweigh the
+    * text 5×), candidates only within (band, bucket), verification on
+    * signature agreement, then the O(log n) pointer-jumping closure
+    * ([[connectedComponents]], castLong=false: span ids are (doc, blk)
+    * structs, min'd field-wise). Nothing pairwise across the corpus. */
+  def fuzzySpanDedup(df: DataFrame, id: String, text: String,
+                     blockTokens: Int = 12, shingleK: Int = 3,
+                     numPerm: Int = 16, bands: Int = 4,
+                     threshold: Double = 0.5): DataFrame = {
+    val segs = spanSegments(df, id, text, blockTokens)
+      .withColumn("span", struct(col(id).as("d"), col("blk").as("b")))
+    val pairs = minhashLshPairs(
+      segs.select(col("span"), col("seg")), "span", "seg",
+      k = shingleK, numPerm = numPerm, bands = bands, threshold = threshold)
+    val clusters = connectedComponents(pairs, castLong = false)
+      .select(col("id").as("span"), col("cluster"))
+    segs.join(clusters, Seq("span"), "left")
+      .withColumn("kept", col("cluster").isNull || col("span") === col("cluster"))
       .groupBy(col(id))
       .agg(
         count(lit(1)).as("n_spans"),
@@ -274,10 +324,16 @@ object Dedup {
     * rounds a warning is logged with the residual changed-label count. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 20,
+                          castLong: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .union(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+    // castLong guards the doc-id path (a ticker-style string id would
+    // silently min() lexicographically); composite/struct node ids
+    // (d06 spans) pass castLong=false and keep their field-wise order
+    def asId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (castLong) c.cast("long") else c
+    val edges = pairs.select(asId(col(idA)).as("src"), asId(col(idB)).as("dst"))
+      .union(pairs.select(asId(col(idB)).as("src"), asId(col(idA)).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // mat = the round's MATERIALIZED frame (persisted/checkpointed);

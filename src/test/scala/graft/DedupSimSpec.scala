@@ -296,6 +296,49 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy span dedup: one-token-edited boilerplate still dedups; " +
+       "unique spans round-trip") {
+    val s = spark
+    import s.implicits._
+    val hdr = "standard license header boilerplate block repeated across all" // 8
+    // 12-token block 0 = v{k} + hdr(8) + "documents in corpus"; block 1
+    // = a unique 12-token tail per doc
+    def doc(k: Int, tail: String) =
+      s"v$k $hdr documents in corpus $tail"
+    val docs = Seq(
+      (1L, doc(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")),
+      (2L, doc(2, "one two three four five six seven eight nine ten eleven twelve")),
+      (3L, doc(1, "red orange yellow green blue indigo violet cyan magenta black white gray")))
+      .toDF("doc_id", "text")
+    // bands=16 (1 signature row per band): banding recall for a J=9/11
+    // pair at the default 4×4 banding is ~91% — enough at corpus scale
+    // (the d06 gate query dedups the planted sf0.01 cluster through
+    // cross-variant redundancy) but not for a single planted pair;
+    // 1-row bands make any agreeing slot a candidate and leave
+    // precision to the est_jaccard verification
+    val out = graft.text.Dedup.fuzzySpanDedup(docs, "doc_id", "text",
+        numPerm = 16, bands = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 holds the (doc, blk)-minimum copy: keeps both spans intact
+    assert(out(1L)._1 === 2L && out(1L)._2 === 0L)
+    assert(out(1L)._3 === docs.filter($"doc_id" === 1).head.getString(1))
+    // docs 2 (1-token edit) and 3 (exact copy) each lose ONLY block 0
+    for (id <- Seq(2L, 3L)) {
+      assert(out(id)._1 === 2L && out(id)._2 === 1L, s"doc $id: ${out(id)}")
+      assert(!out(id)._3.contains("license"), s"doc $id kept the boilerplate")
+    }
+    assert(out(2L)._3.startsWith("one two three"))
+    assert(out(3L)._3.startsWith("red orange yellow"))
+  }
+
+  test("d06 fuzzy span dedup plan: banded LSH only — no cartesian") {
+    val df = SparkEntry.queries("d06_fuzzy_span_dedup")(spark, SparkSpec.sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(20).mkString("\n"))
+    assert(df.limit(5).count() > 0)
+  }
+
   test("dim-tiled embeddings + tiled codebooks preserve ANN results exactly") {
     SparkSpec.withConf("spark.sql.codegen.fallback" -> "false") {
     // the ScaleBench `dim` family contract: tiling a vector factor x
