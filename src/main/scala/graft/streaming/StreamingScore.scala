@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming twins of the curate SCORING stages (t08 LM score, t10
+  * importance weights, t11 quality classifier) — the last curate stages
+  * without streaming counterparts. The models are FROZEN on the batch
+  * side (trained once from static reference corpora:
+  * [[graft.text.TextOps.lmTrain]] / [[graft.text.TextOps.importanceModel]]
+  * / the build-time [[graft.text.QualityFilterModel]]); the stream is
+  * scored per micro-batch via `foreachBatch` with the SAME batch
+  * expressions, so streaming and batch scores are identical by
+  * construction — scoring is per-doc math against a constant model, so
+  * micro-batch boundaries cannot change any score (unlike packing,
+  * where arrival order is semantic: [[StreamingPack]]).
+  *
+  * foreachBatch (not a stream-static join into a streaming agg) because
+  * the per-doc score needs an exploded-bigram aggregation per doc —
+  * inside foreachBatch that is a plain bounded batch agg per
+  * micro-batch; as a streaming agg it would carry unbounded doc state.
+  *
+  * State scale: ZERO streaming state — each micro-batch is scored and
+  * released; the only resident data is the model (broadcast-sized for
+  * t10/t11, vocab-bounded tables for t08).
+  */
+object StreamingScore {
+
+  /** Streaming t08: score each micro-batch against a frozen bigram LM
+    * and keep docs with avg_logprob ≥ `minAvgLogprob` — docs too short
+    * to carry a bigram are KEPT (the curate left-join contract: the
+    * length gate owns that decision, not the perplexity gate). `sink`
+    * receives each batch's surviving docs with their scores. */
+  def lmScoreFilter(model: graft.text.TextOps.LmModel, docs: DataFrame,
+                    id: String, text: String, addK: Double,
+                    minAvgLogprob: Double)
+                   (sink: DataFrame => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val scores = graft.text.TextOps
+        .lmScoreWith(model, batch, id, text, addK)
+        .select(col(id), col("n_bigrams"), col("avg_logprob"))
+      sink(batch.join(scores, Seq(id), "left")
+        .filter(col("avg_logprob").isNull ||
+          col("avg_logprob") >= minAvgLogprob))
+    }
+
+  /** Streaming t10: score each micro-batch against a frozen bucket
+    * log-ratio table and keep docs with log_weight ≥ `minLogWeight`.
+    * Docs with no bigram carry no importance evidence and are kept. */
+  def importanceFilter(lr: DataFrame, docs: DataFrame, id: String,
+                       text: String, nBuckets: Int, salt: Int,
+                       minLogWeight: Double)
+                      (sink: DataFrame => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val scores = graft.text.TextOps
+        .importanceScoreWith(lr, batch, id, text, nBuckets, salt)
+        .select(col(id), col("n_grams"), col("log_weight"))
+      sink(batch.join(scores, Seq(id), "left")
+        .filter(col("log_weight").isNull ||
+          col("log_weight") >= minLogWeight))
+    }
+
+  /** Streaming t11: per-batch quality-classifier scoring against the
+    * build-time frozen [[graft.text.QualityFilterModel]]; keeps docs
+    * with q_prob ≥ `minQProb` (unscorable sub-bigram docs kept). */
+  def qualityClassifierFilter(docs: DataFrame, id: String, text: String,
+                              minQProb: Double)
+                             (sink: DataFrame => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val scores = graft.text.TextOps
+        .qualityClassifierScore(batch, id, text)
+        .select(col(id), col("q_prob"))
+      sink(batch.join(scores, Seq(id), "left")
+        .filter(col("q_prob").isNull || col("q_prob") >= minQProb))
+    }
+
+  /** Streaming documents source (shared layout helper). */
+  def documentsStream(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame =
+    StreamingPack.documentsStream(spark, dir)
+}

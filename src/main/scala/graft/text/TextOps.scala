@@ -185,12 +185,24 @@ object TextOps {
     * unigram w1 would concentrate every "the"/"of" bigram of a 100 TB
     * eval corpus onto single reducers. One per-doc agg closes; V is
     * the one driver scalar (a count, not data). */
-  def lmScore(train: DataFrame, eval: DataFrame, id: String, text: String,
-              addK: Double = 0.5): DataFrame = {
+  /** Frozen bigram-LM model: the train-side tables of [[lmScore]],
+    * computed ONCE so a stream (or repeated batches) can score against
+    * them without re-reading the reference corpus. */
+  case class LmModel(c2: DataFrame, c1: DataFrame, vocab: Long)
+
+  /** Train [[lmScore]]'s model tables from the reference corpus. */
+  def lmTrain(train: DataFrame, id: String, text: String): LmModel = {
     val c2 = bigramsAll(train, id, text)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vocab = tokens(train, text).select(col("token")).distinct().count()
+    LmModel(c2, c1, vocab)
+  }
+
+  /** Score `eval` against a frozen [[LmModel]] (the scoring half of
+    * [[lmScore]] — per-doc math only, no model recompute). */
+  def lmScoreWith(m: LmModel, eval: DataFrame, id: String, text: String,
+                  addK: Double = 0.5): DataFrame = {
     // The c1 join key is the Zipf head ("the"/"of" carry a huge share
     // of all bigrams), so a plain shuffle join concentrates those keys
     // onto single reducers. Broadcasting c1 sidesteps the skew — but
@@ -198,17 +210,21 @@ object TextOps {
     // the table is safely driver-sized (~tens of MB at 1M entries) and
     // fall back to a shuffle join beyond that, where AQE's skew-join
     // split handles the hot keys.
-    val c1Side = if (vocab <= 10_000_000L) broadcast(c1) else c1
+    val c1Side = if (m.vocab <= 10_000_000L) broadcast(m.c1) else m.c1
     bigramsAll(eval, id, text)
-      .join(c2, Seq("w1", "w2"), "left")
+      .join(m.c2, Seq("w1", "w2"), "left")
       .join(c1Side, Seq("w1"), "left")
       .withColumn("lp",
         log((coalesce(col("c2"), lit(0L)) + lit(addK)) /
-            (coalesce(col("c1"), lit(0L)) + lit(addK * vocab))))
+            (coalesce(col("c1"), lit(0L)) + lit(addK * m.vocab))))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("avg_logprob"))
       .withColumn("perplexity", exp(-col("avg_logprob")))
   }
+
+  def lmScore(train: DataFrame, eval: DataFrame, id: String, text: String,
+              addK: Double = 0.5): DataFrame =
+    lmScoreWith(lmTrain(train, id, text), eval, id, text, addK)
 
   /** Sequence packing (beyond reference): pack documents into
     * fixed-token-budget training sequences — the standard "fill each
@@ -266,28 +282,49 @@ object TextOps {
     * and scoring is a map-side broadcast join + one per-doc agg — the
     * full source corpus is never shuffled on anything wider than its
     * own doc ids. */
-  def importanceWeights(source: DataFrame, target: DataFrame, id: String,
-                        text: String, nBuckets: Int = 1024,
-                        salt: Int = 13): DataFrame = {
-    def bucketed(df: DataFrame): DataFrame =
-      bigramsAll(df, id, text).withColumn("b",
-        pmod(Dedup.h64(concat_ws(" ", col("w1"), col("w2")), salt),
-          lit(nBuckets.toLong)))
-    val ct = bucketed(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val cs = bucketed(source).groupBy(col("b")).agg(count(lit(1)).as("cs"))
+  private def bucketedBigrams(df: DataFrame, id: String, text: String,
+                              nBuckets: Int, salt: Int): DataFrame =
+    bigramsAll(df, id, text).withColumn("b",
+      pmod(Dedup.h64(concat_ws(" ", col("w1"), col("w2")), salt),
+        lit(nBuckets.toLong)))
+
+  /** Frozen importance model: the per-bucket log-ratio table of
+    * [[importanceWeights]] (nBuckets rows, broadcastable) computed once
+    * from static source/target references — what a stream scores
+    * against. */
+  def importanceModel(source: DataFrame, target: DataFrame, id: String,
+                      text: String, nBuckets: Int = 1024,
+                      salt: Int = 13): DataFrame = {
+    val ct = bucketedBigrams(target, id, text, nBuckets, salt)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val cs = bucketedBigrams(source, id, text, nBuckets, salt)
+      .groupBy(col("b")).agg(count(lit(1)).as("cs"))
     val totals = ct.agg(sum(col("ct")).as("nt"))
       .crossJoin(cs.agg(sum(col("cs")).as("ns")))
-    val lr = ct.join(cs, Seq("b"), "full_outer")
+    ct.join(cs, Seq("b"), "full_outer")
       .crossJoin(broadcast(totals))
       .select(col("b"),
         (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
              (col("nt") + lit(nBuckets.toDouble))) -
          log((coalesce(col("cs"), lit(0L)) + lit(1.0)) /
              (col("ns") + lit(nBuckets.toDouble)))).as("lr"))
-    bucketed(source).join(broadcast(lr), "b")
+  }
+
+  /** Score docs against a frozen log-ratio table (the scoring half of
+    * [[importanceWeights]]). */
+  def importanceScoreWith(lr: DataFrame, docs: DataFrame, id: String,
+                          text: String, nBuckets: Int = 1024,
+                          salt: Int = 13): DataFrame =
+    bucketedBigrams(docs, id, text, nBuckets, salt)
+      .join(broadcast(lr), "b")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("log_weight"))
-  }
+
+  def importanceWeights(source: DataFrame, target: DataFrame, id: String,
+                        text: String, nBuckets: Int = 1024,
+                        salt: Int = 13): DataFrame =
+    importanceScoreWith(importanceModel(source, target, id, text, nBuckets, salt),
+      source, id, text, nBuckets, salt)
 
   /** Quality-filter classifier scoring (beyond reference, t11): the
     * discriminative quality gate of LLM data pipelines — a logistic

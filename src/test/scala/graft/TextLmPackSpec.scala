@@ -116,6 +116,89 @@ class TextLmPackSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  // ── streaming score-filter twins (t08 / t10 / t11): frozen model,
+  //    foreachBatch scoring, 4 micro-batches via maxFilesPerTrigger=1 —
+  //    the kept-id set must be IDENTICAL to the batch stage ─────────────
+
+  /** docs split into 4 files + a 1-file-per-trigger stream over them. */
+  private def docsIn4Batches(): (org.apache.spark.sql.DataFrame,
+                                 org.apache.spark.sql.DataFrame) = {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftstream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    (docs, stream)
+  }
+
+  private def runFilter(w: org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row]): Unit = {
+    val q = w.start()
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("streaming LM-score filter matches the batch stage across " +
+       "micro-batches (t08 twin)") {
+    val (docs, stream) = docsIn4Batches()
+    val model = TextOps.lmTrain(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text")
+    // threshold at the batch median so the gate demonstrably both keeps
+    // and drops
+    val batchScores = TextOps.lmScoreWith(model, docs, "doc_id", "text", 0.5)
+    val minLp = batchScores.stat
+      .approxQuantile("avg_logprob", Array(0.5), 0.0).head
+    val batchKept = docs
+      .join(batchScores.select($"doc_id", $"avg_logprob"), Seq("doc_id"), "left")
+      .filter($"avg_logprob".isNull || $"avg_logprob" >= minLp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val buf = scala.collection.mutable.Set.empty[Long]
+    runFilter(graft.streaming.StreamingScore.lmScoreFilter(
+        model, stream, "doc_id", "text", 0.5, minLp) { b =>
+      buf.synchronized { buf ++= b.select("doc_id").collect().map(_.getLong(0)) }
+    })
+    assert(buf.nonEmpty && buf.size < docs.count())
+    assert(buf.toSet === batchKept)
+  }
+
+  test("streaming importance filter matches the batch stage across " +
+       "micro-batches (t10 twin)") {
+    val (docs, stream) = docsIn4Batches()
+    val lr = TextOps.importanceModel(docs.filter($"doc_id" % 2 === 0),
+      docs.filter($"doc_id" % 2 === 1), "doc_id", "text").localCheckpoint()
+    val batchScores = TextOps.importanceScoreWith(lr, docs, "doc_id", "text")
+    val minLw = batchScores.stat
+      .approxQuantile("log_weight", Array(0.5), 0.0).head
+    val batchKept = docs
+      .join(batchScores.select($"doc_id", $"log_weight"), Seq("doc_id"), "left")
+      .filter($"log_weight".isNull || $"log_weight" >= minLw)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val buf = scala.collection.mutable.Set.empty[Long]
+    runFilter(graft.streaming.StreamingScore.importanceFilter(
+        lr, stream, "doc_id", "text", 1024, 13, minLw) { b =>
+      buf.synchronized { buf ++= b.select("doc_id").collect().map(_.getLong(0)) }
+    })
+    assert(buf.nonEmpty && buf.size < docs.count())
+    assert(buf.toSet === batchKept)
+  }
+
+  test("streaming quality-classifier filter matches the batch stage " +
+       "across micro-batches (t11 twin)") {
+    val (docs, stream) = docsIn4Batches()
+    val batchScores = TextOps.qualityClassifierScore(docs, "doc_id", "text")
+    val batchKept = docs
+      .join(batchScores.select($"doc_id", $"q_prob"), Seq("doc_id"), "left")
+      .filter($"q_prob".isNull || $"q_prob" >= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val buf = scala.collection.mutable.Set.empty[Long]
+    runFilter(graft.streaming.StreamingScore.qualityClassifierFilter(
+        stream, "doc_id", "text", 0.5) { b =>
+      buf.synchronized { buf ++= b.select("doc_id").collect().map(_.getLong(0)) }
+    })
+    assert(buf.nonEmpty && buf.size < docs.count())
+    assert(buf.toSet === batchKept)
+  }
+
   test("t09 packing plan: one keyed exchange on the shard key, no global sort") {
     val p = plan("t09_pack_sequences")
     assert(!p.contains("CartesianProduct"))
