@@ -330,7 +330,8 @@ object Cli {
     *   [--near_threshold 0.8] [--max_rep_ratio 0.5] [--min_tokens 10]
     *   [--max_per_source N --source_col c]
     *   [--mixture_target src0:0.5,src1:0.5 --source_col c]
-    *   [--lm_ref_docs p --min_avg_logprob x] [--pack_budget N]
+    *   [--lm_ref_docs p --min_avg_logprob x] [--min_q_prob x]
+    *   [--pack_budget N]
     *   [--chunk_window 480] [--chunk_stride 384] [--metrics_out m.json]
     */
   def runCurate(spark: SparkSession, cfg: GraftConfig): Unit = {
@@ -447,7 +448,21 @@ object Cli {
     }
     val nLm = lmFiltered.count()
 
-    val redacted = TextOps.redactPii(lmFiltered, text)
+    // optional quality-classifier gate (--min_q_prob x): the frozen t11
+    // hashed-bigram logistic model; unscorable sub-bigram docs pass
+    // (same contract as the LM gate above)
+    val qFiltered = cfg.strOpt("min_q_prob") match {
+      case Some(q) =>
+        val scores = TextOps.qualityClassifierScore(lmFiltered, id, text)
+          .select(col(id), col("q_prob"))
+        lmFiltered.join(scores, Seq(id), "left")
+          .filter(col("q_prob").isNull || col("q_prob") >= q.toDouble)
+          .drop("q_prob")
+      case None => lmFiltered
+    }
+    val nQ = qFiltered.count()
+
+    val redacted = TextOps.redactPii(qFiltered, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val Seq(n4, nEmail, nPhone) = redacted
       .agg(count(lit(1)), sum("n_email"), sum("n_phone")).collect()
@@ -490,9 +505,10 @@ object Cli {
 
     val s = spark
     import s.implicits._
-    val funnel = Seq((n0, n1, n2, n3, nLm, n4, nEmail, nPhone, nChunks))
+    val funnel = Seq((n0, n1, n2, n3, nLm, nQ, n4, nEmail, nPhone, nChunks))
       .toDF("n_input", "n_after_exact_dedup", "n_after_near_dedup",
-        "n_after_quality", "n_after_lm_filter", "n_after_decontaminate",
+        "n_after_quality", "n_after_lm_filter", "n_after_quality_classifier",
+        "n_after_decontaminate",
         "n_emails_redacted", "n_phones_redacted", "n_chunks")
     writeMetricsJson(funnel,
       cfg.strOpt("metrics_out").getOrElse(s"${cfg.str("output")}_metrics.json"))

@@ -273,26 +273,49 @@ object Dedup {
     * always kept — exact dup removal of sub-shingle tails stays d05's
     * job.
     *
-    * Scale shape: d05's frame (token-keyed aggs) + d01's banding
-    * (signature volume O(spans × numPerm), here numPerm=16 — spans are
-    * 12 tokens, so a 64-perm doc-grade signature would outweigh the
-    * text 5×), candidates only within (band, bucket), verification on
-    * signature agreement, then the O(log n) pointer-jumping closure
-    * ([[connectedComponents]], castLong=false: span ids are (doc, blk)
-    * structs, min'd field-wise). Nothing pairwise across the corpus. */
+    * Scale shape: d05's frame (token-keyed aggs) + an EXACT COLLAPSE
+    * before the fuzzy pass — the LSH self-join runs over DISTINCT span
+    * contents only (one representative = the exact group's min
+    * (doc, blk)), because the realistic 100 TB case is a bit-identical
+    * license block repeated across millions of docs: at span
+    * granularity those all land in the SAME LSH buckets, and a naive
+    * span-level self-join goes quadratic in the multiplicity, while the
+    * distinct-level join sees each content once. Connectivity is
+    * unchanged (copies of a span have identical signatures, so the
+    * span-level graph is exactly the distinct-level graph with each
+    * node blown up into an always-connected clique). Then d01's
+    * banding (numPerm=16 — spans are 12 tokens, a 64-perm doc-grade
+    * signature would outweigh the text 5×), est-jaccard verification,
+    * the O(log n) pointer-jumping closure ([[connectedComponents]],
+    * castLong=false: node ids are (doc, blk) structs, min'd
+    * field-wise), and a digest-keyed map-back. Nothing pairwise across
+    * the corpus. */
   def fuzzySpanDedup(df: DataFrame, id: String, text: String,
                      blockTokens: Int = 12, shingleK: Int = 3,
                      numPerm: Int = 16, bands: Int = 4,
                      threshold: Double = 0.5): DataFrame = {
     val segs = spanSegments(df, id, text, blockTokens)
       .withColumn("span", struct(col(id).as("d"), col("blk").as("b")))
+    // sub-shingle spans carry no MinHash evidence and are always kept
+    // (exact dedup of short tails stays d05's job) — they never enter
+    // the rep/cluster flow
+    val nTok = size(filter(split(col("seg"), " "), t => t =!= ""))
+    val reps = segs.filter(nTok >= shingleK)
+      .groupBy(unhex(md5(col("seg"))).as("segd"))
+      .agg(min(col("span")).as("rep"), min(col("seg")).as("seg"))
+      .localCheckpoint()
     val pairs = minhashLshPairs(
-      segs.select(col("span"), col("seg")), "span", "seg",
+      reps.select(col("rep"), col("seg")), "rep", "seg",
       k = shingleK, numPerm = numPerm, bands = bands, threshold = threshold)
     val clusters = connectedComponents(pairs, castLong = false)
-      .select(col("id").as("span"), col("cluster"))
-    segs.join(clusters, Seq("span"), "left")
-      .withColumn("kept", col("cluster").isNull || col("span") === col("cluster"))
+      .select(col("id").as("rep"), col("cluster"))
+    // every shingle-able span's keeper: its exact group's cluster label
+    // if the content joined a fuzzy cluster, else the exact group's rep
+    val keepers = reps.join(clusters, Seq("rep"), "left")
+      .select(col("segd"), coalesce(col("cluster"), col("rep")).as("keeper"))
+    segs.withColumn("segd", unhex(md5(col("seg"))))
+      .join(keepers, Seq("segd"), "left")
+      .withColumn("kept", col("keeper").isNull || col("span") === col("keeper"))
       .groupBy(col(id))
       .agg(
         count(lit(1)).as("n_spans"),

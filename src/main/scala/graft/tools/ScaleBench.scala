@@ -118,7 +118,8 @@ object ScaleBench {
     "t01_decontaminate", "t02_repetition",
     "t03_pii_redact", "t04_chunk", "t05_tfidf_topk",
     "t06_bloom_decontaminate", "t07_bpe_tokens", "t08_lm_score",
-    "t09_pack_sequences", "t10_importance_weights", "d05_span_dedup",
+    "t09_pack_sequences", "t10_importance_weights", "t11_quality_classifier",
+    "d05_span_dedup", "d06_fuzzy_span_dedup",
     "a08_mixture_sample", "a09_sample_exact_n", "a06_heavy_hitters",
     "d01_minhash_lsh", "d02_simhash_pairs", "d03_dedup_clusters",
     "d04_embed_dedup_clusters", "a07_sample_per_key",

@@ -397,6 +397,9 @@ class PipelineSpec extends AnyFunSuite {
       // stage runs without changing the corpus
       "lm_ref_docs" -> s"${SparkSpec.sfDir}/documents.parquet",
       "min_avg_logprob" -> "-50.0",
+      // t11 gate with a floor low enough to keep the corpus: proves the
+      // stage runs (funnel key below) without emptying the pipeline
+      "min_q_prob" -> "0.001",
       "pack_budget" -> "128",
       // rebalance toward an equal two-source mix on the way through
       "mixture_target" -> "src0:0.5,src1:0.5", "source_col" -> "source",
@@ -417,6 +420,7 @@ class PipelineSpec extends AnyFunSuite {
     val funnel = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/funnel.json")))
     assert(funnel.contains("\"n_after_lm_filter\""), funnel)
+    assert(funnel.contains("\"n_after_quality_classifier\""), funnel)
   }
 
   test("CLI curate: low mixture keep-fraction still yields val/test splits") {
