@@ -35,7 +35,11 @@ object StreamingScore {
   def lmScoreFilter(model: graft.text.TextOps.LmModel, docs: DataFrame,
                     id: String, text: String, addK: Double,
                     minAvgLogprob: Double)
-                   (sink: DataFrame => Unit): DataStreamWriter[Row] =
+                   (sink: DataFrame => Unit): DataStreamWriter[Row] = {
+    // pin the model tables: every micro-batch joins them, and an
+    // unpersisted plan would re-aggregate the reference corpus per batch
+    model.c2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    model.c1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val scores = graft.text.TextOps
         .lmScoreWith(model, batch, id, text, addK)
@@ -44,6 +48,7 @@ object StreamingScore {
         .filter(col("avg_logprob").isNull ||
           col("avg_logprob") >= minAvgLogprob))
     }
+  }
 
   /** Streaming t10: score each micro-batch against a frozen bucket
     * log-ratio table and keep docs with log_weight ≥ `minLogWeight`.
@@ -51,7 +56,10 @@ object StreamingScore {
   def importanceFilter(lr: DataFrame, docs: DataFrame, id: String,
                        text: String, nBuckets: Int, salt: Int,
                        minLogWeight: Double)
-                      (sink: DataFrame => Unit): DataStreamWriter[Row] =
+                      (sink: DataFrame => Unit): DataStreamWriter[Row] = {
+    // nBuckets-row table, but its lineage reaches back through both
+    // reference corpora — pin it so batches don't re-aggregate them
+    lr.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val scores = graft.text.TextOps
         .importanceScoreWith(lr, batch, id, text, nBuckets, salt)
@@ -60,6 +68,7 @@ object StreamingScore {
         .filter(col("log_weight").isNull ||
           col("log_weight") >= minLogWeight))
     }
+  }
 
   /** Streaming t11: per-batch quality-classifier scoring against the
     * build-time frozen [[graft.text.QualityFilterModel]]; keeps docs
