@@ -294,8 +294,12 @@ object Dedup {
                      blockTokens: Int = 12, shingleK: Int = 3,
                      numPerm: Int = 16, bands: Int = 4,
                      threshold: Double = 0.5): DataFrame = {
+    // the block frame feeds BOTH the rep/cluster flow and the final
+    // reassembly join — checkpoint it once instead of re-running the
+    // token explode + index window + span agg on each side
     val segs = spanSegments(df, id, text, blockTokens)
       .withColumn("span", struct(col(id).as("d"), col("blk").as("b")))
+      .localCheckpoint()
     // sub-shingle spans carry no MinHash evidence and are always kept
     // (exact dedup of short tails stays d05's job) — they never enter
     // the rep/cluster flow
