@@ -2910,6 +2910,45 @@ object OracleSql {
         |  round(exp(-avg(lp)), 4) AS perplexity
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // perplexity-bucket sampling: t08's scoring algebra → r6 scores →
+    // quantile_cont edges (round 6, matching Spark's percentile at the
+    // proven q13 parity) → head/middle/tail CASE → salt-29 h64 keep
+    // cutoffs (10000/5000/1000)
+    "t12_perplexity_buckets" -> {
+      val h = h64Sql("doc_id::VARCHAR", "'29'")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+         |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+         |              FROM documents),
+         |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+         |bg0 AS (SELECT doc_id, token AS w1,
+         |          lead(token,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |        FROM t),
+         |b AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+         |c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM b
+         |       WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+         |c1 AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY w1),
+         |v AS (SELECT count(DISTINCT token)::BIGINT AS v FROM t WHERE doc_id % 2 = 0),
+         |sc AS (SELECT e.doc_id,
+         |         ln((coalesce(c2.c2, 0) + 0.5) / (coalesce(c1.c1, 0) + 0.5 * v.v)) AS lp
+         |       FROM b e
+         |       LEFT JOIN c2 ON e.w1 = c2.w1 AND e.w2 = c2.w2
+         |       LEFT JOIN c1 ON e.w1 = c1.w1
+         |       CROSS JOIN v
+         |       WHERE e.doc_id % 2 = 1),
+         |s AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |        round(avg(lp), 6) AS avg_logprob
+         |      FROM sc GROUP BY doc_id),
+         |e AS (SELECT round(quantile_cont(avg_logprob, ${2.0 / 3}), 6) AS e1,
+         |        round(quantile_cont(avg_logprob, ${1.0 / 3}), 6) AS e2 FROM s),
+         |bk AS (SELECT s.*, CASE WHEN avg_logprob >= e.e1 THEN 1
+         |         WHEN avg_logprob >= e.e2 THEN 2 ELSE 3 END AS bucket
+         |       FROM s CROSS JOIN e)
+         |SELECT doc_id, n_bigrams, avg_logprob, bucket FROM bk
+         |WHERE $h % 10000 <
+         |  CASE bucket WHEN 1 THEN 10000 WHEN 2 THEN 5000 ELSE 1000 END
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // sequence packing: greedy 128-token first-fit per source in doc_id
     // order — the recursive CTE replays the same O(1)-state scan the
     // Spark consecutive-run mapPartitions pass performs per shard

@@ -515,6 +515,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── CCNet-style perplexity-bucket sampling: LM-score the odd docs
+    //    against the even-doc LM, cut the r6 score distribution into
+    //    head/middle/tail by exact percentile edges (map-side assign, no
+    //    global sort), keep 100%/50%/10% via salt-29 hash buckets ───────
+    "t12_perplexity_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.TextOps.perplexityBucketSample(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Quality-filter classifier: frozen hashed-bigram logistic model
     //    (TrainQualityFilter distilling the t19 heuristic), broadcast
     //    weight table, σ(w₀ + w·x) per doc — the discriminative quality

@@ -282,6 +282,53 @@ object TextOps {
     * and scoring is a map-side broadcast join + one per-doc agg — the
     * full source corpus is never shuffled on anything wider than its
     * own doc ids. */
+  /** CCNet-style perplexity-bucket sampling (beyond reference, t12):
+    * score docs with the reference bigram LM ([[lmScore]]), cut the
+    * 6-decimal-rounded mean-log-likelihood distribution into
+    * `fractions.length` equal-probability buckets (bucket 1 = the LM's
+    * "head": highest likelihood / lowest perplexity), then keep each
+    * bucket at its target rate via the deterministic salted-hash
+    * buckets of the a04 family — the head/middle/tail curation step
+    * that keeps SOME low-quality tail (diversity) instead of a hard
+    * perplexity floor. Docs with no bigram have no perplexity and are
+    * not emitted (gate them by length upstream).
+    *
+    * Scale shape: one LM scoring pass, ONE percentile agg for the
+    * bucket edges (a `fractions.length`-sized driver value, the
+    * Grasynda-edge pattern), then a pure map-side bucket-assign +
+    * hash-filter — no global sort, no window; the ntile alternative
+    * would funnel the corpus through a single-partition rank. Edges
+    * and scores are both 6-decimal-rounded so the bucket comparisons
+    * are exact on both oracle engines. */
+  def perplexityBucketSample(ref: DataFrame, docs: DataFrame, id: String,
+                             text: String, addK: Double = 0.5,
+                             fractions: Seq[Double] = Seq(1.0, 0.5, 0.1),
+                             salt: Int = 29): DataFrame = {
+    val n = fractions.length
+    require(n >= 2, "need at least two buckets")
+    val scores = lmScore(ref, docs, id, text, addK)
+      .select(col(id), col("n_bigrams"),
+        round(col("avg_logprob"), 6).as("avg_logprob"))
+      .localCheckpoint() // feeds the edge agg AND the bucket assign
+    val probs = (1 until n).map(i => 1.0 - i.toDouble / n)
+    val edges = scores
+      .agg(expr(s"percentile(avg_logprob, array(${probs.mkString(",")}))"))
+      .first().getSeq[Double](0)
+      .map(e => BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    val bucket = edges.zipWithIndex.foldRight(lit(n): Column) {
+      case ((e, i), acc) => when(col("avg_logprob") >= e, i + 1).otherwise(acc)
+    }
+    val hb = pmod(Dedup.h64(col(id).cast("string"), salt), lit(10000L))
+    val cut = fractions.zipWithIndex.foldRight(lit(0L): Column) {
+      case ((f, i), acc) =>
+        when(col("bucket") === i + 1, math.round(f * 10000)).otherwise(acc)
+    }
+    scores.withColumn("bucket", bucket)
+      .filter(hb < cut)
+      .select(col(id), col("n_bigrams"), col("avg_logprob"), col("bucket"))
+  }
+
   private def bucketedBigrams(df: DataFrame, id: String, text: String,
                               nBuckets: Int, salt: Int): DataFrame =
     bigramsAll(df, id, text).withColumn("b",

@@ -250,6 +250,30 @@ class TextLmPackSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("t12 perplexity buckets: head keeps everything, tail is thinned, " +
+       "head out-scores tail; assignment is map-side (no window/sort)") {
+    import org.apache.spark.sql.functions.{avg, col}
+    val df = SparkEntry.queries("t12_perplexity_buckets")(spark, SparkSpec.sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val byBucket = rows.groupBy(_.getInt(3))
+    assert(byBucket.keySet.subsetOf(Set(1, 2, 3)))
+    // equal-probability buckets × descending keep-rates (1.0/0.5/0.1)
+    // ⇒ strictly shrinking survivor counts
+    val c = (1 to 3).map(b => byBucket.getOrElse(b, Array.empty).length)
+    assert(c(0) > c(1) && c(1) > c(2), s"bucket survivor counts $c")
+    // the head really is the LM's head
+    def meanLp(b: Int): Double = {
+      val xs = byBucket(b).map(_.getDouble(2)); xs.sum / xs.length
+    }
+    assert(meanLp(1) > meanLp(3))
+    // scale audit: bucket assignment must not ride a global window/sort
+    // (the ntile alternative would single-partition the corpus); the
+    // only sort allowed is the gate entry's output orderBy
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.linesIterator.take(15).mkString("\n"))
+  }
+
   test("t11 quality-classifier plan: the 256-row weight table broadcasts; " +
        "corpus shuffles only on its keyed aggs") {
     val p = plan("t11_quality_classifier")
