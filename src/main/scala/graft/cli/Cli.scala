@@ -328,6 +328,7 @@ object Cli {
     * Flags: --input_docs <parquet|csv> --output <dir>
     *   [--benchmark_docs p] [--doc_id_col doc_id] [--text_col text]
     *   [--near_threshold 0.8] [--max_rep_ratio 0.5] [--min_tokens 10]
+    *   [--langs en,es]
     *   [--max_per_source N --source_col c]
     *   [--mixture_target src0:0.5,src1:0.5 --source_col c]
     *   [--lm_ref_docs p --min_avg_logprob x] [--min_q_prob x]
@@ -378,15 +379,29 @@ object Cli {
       .select(col(id), col(text))
     val n3 = kept.count()
 
+    // optional language filter (--langs en,es): q20's marker-word
+    // language ID, keep docs whose argmax language is in the set —
+    // the CCNet-style lang gate, before decontamination so the
+    // benchmark overlap pass only reads surviving docs
+    val langKept = cfg.strOpt("langs") match {
+      case Some(spec) =>
+        val langs = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val ids = TextOps.langId(kept, id, text)
+          .filter(col("lang_guess").isin(langs: _*)).select(col(id))
+        kept.join(ids, Seq(id))
+      case None => kept
+    }
+    val nLang = langKept.count()
+
     val clean = cfg.strOpt("benchmark_docs") match {
       case Some(p) =>
         val bench = load(p).select(col(id), col(text))
-        val contaminated = TextOps.bloomContamination(kept, bench, id, text,
+        val contaminated = TextOps.bloomContamination(langKept, bench, id, text,
             k = 8,
             minShared = cfg.strOpt("min_shared").map(_.toLong).getOrElse(1L))
           .select(col("train_id").as(id)).distinct()
-        kept.join(contaminated, Seq(id), "left_anti")
-      case None => kept
+        langKept.join(contaminated, Seq(id), "left_anti")
+      case None => langKept
     }
     // optional per-source cap (--max_per_source N with --source_col c):
     // deterministic salted-hash k-per-key sample, the a07 primitive
@@ -505,10 +520,11 @@ object Cli {
 
     val s = spark
     import s.implicits._
-    val funnel = Seq((n0, n1, n2, n3, nLm, nQ, n4, nEmail, nPhone, nChunks))
+    val funnel = Seq((n0, n1, n2, n3, nLang, nLm, nQ, n4, nEmail, nPhone,
+        nChunks))
       .toDF("n_input", "n_after_exact_dedup", "n_after_near_dedup",
-        "n_after_quality", "n_after_lm_filter", "n_after_quality_classifier",
-        "n_after_decontaminate",
+        "n_after_quality", "n_after_lang_filter", "n_after_lm_filter",
+        "n_after_quality_classifier", "n_after_decontaminate",
         "n_emails_redacted", "n_phones_redacted", "n_chunks")
     writeMetricsJson(funnel,
       cfg.strOpt("metrics_out").getOrElse(s"${cfg.str("output")}_metrics.json"))

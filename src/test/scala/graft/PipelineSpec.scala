@@ -400,6 +400,9 @@ class PipelineSpec extends AnyFunSuite {
       // t11 gate with a floor low enough to keep the corpus: proves the
       // stage runs (funnel key below) without emptying the pipeline
       "min_q_prob" -> "0.001",
+      // language gate: the corpus is multi-lingual by construction, so
+      // an en-only filter must drop a nontrivial share (assert below)
+      "langs" -> "en",
       "pack_budget" -> "128",
       // rebalance toward an equal two-source mix on the way through
       "mixture_target" -> "src0:0.5,src1:0.5", "source_col" -> "source",
@@ -421,6 +424,12 @@ class PipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dir/funnel.json")))
     assert(funnel.contains("\"n_after_lm_filter\""), funnel)
     assert(funnel.contains("\"n_after_quality_classifier\""), funnel)
+    // en-only language gate dropped the non-en docs but not the corpus
+    val langCounts =
+      "\"n_after_quality\": (\\d+).*\"n_after_lang_filter\": (\\d+)".r
+    val lm = langCounts.findFirstMatchIn(funnel).get
+    assert(lm.group(2).toLong > 0L && lm.group(2).toLong < lm.group(1).toLong,
+      funnel)
   }
 
   test("CLI curate: low mixture keep-fraction still yields val/test splits") {
