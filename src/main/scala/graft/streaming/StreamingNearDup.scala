@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of [[graft.text.Dedup.minhashLshPairs]] (d01): MinHash
+  * near-dup CANDIDATE PAIRS over a document stream. Each arriving doc's
+  * signature is computed entirely MAP-SIDE (shingles, bases and the
+  * per-permutation minima are array expressions over the doc's own
+  * text — no exploded-shingle shuffle), banded into the same md5
+  * buckets as the batch op, and verified against every signature the
+  * bucket has seen (`GroupState` = the bucket's (id, sig) list): a pair
+  * is emitted when the signature-agreement estimate reaches the
+  * threshold. Arrival order is the streaming-native pair orientation
+  * (earlier doc first); the emitted (min, max, est) tuples equal the
+  * batch pair SET regardless of micro-batch boundaries, because state
+  * accumulates across batches.
+  *
+  * Contract notes:
+  *  - a pair colliding in several bands is emitted once per colliding
+  *    band (the keyed state op cannot see across bands) — consumers
+  *    treat the output as a set, exactly like the batch `.distinct()`;
+  *  - state is one signature (numPerm longs) per doc per band, growing
+  *    with the corpus inside the retention horizon — production runs
+  *    bound it with `stateTtl` (processing-time timeout per bucket;
+  *    docs arriving after a bucket expires re-seed it, trading recall
+  *    against bounded state, the same trade [[StreamingDedup]] makes
+  *    with its watermark).
+  */
+object StreamingNearDup {
+
+  /** Per-doc MinHash signature as a pure column expression: distinct
+    * word k-shingles → md5-derived bases → min over each of the
+    * `numPerm` arithmetic permutations (the exact
+    * [[graft.text.Dedup.minhashSignatures]] algebra, one row per doc,
+    * zero shuffles). Docs with fewer than k tokens get an empty
+    * signature (guarded: Spark's `sequence(0, n)` flips direction for
+    * negative n instead of returning empty). */
+  def signature(text: Column, k: Int, numPerm: Int): Column = {
+    val toks = filter(split(text, " "), t => t =!= "")
+    val shingles = array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => array_join(slice(toks, i + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>")))
+    val bases = transform(shingles, s =>
+      graft.text.Dedup.h64(s, 0).bitwiseAND(graft.text.Dedup.MinhashBaseMask))
+    val params = graft.text.Dedup.minhashParams(numPerm)
+    array(params.map { case (a, b) =>
+      array_min(transform(bases, base =>
+        (lit(a) * base + lit(b)) % graft.text.Dedup.MinhashPrime))
+    }: _*)
+  }
+
+  def nearDupPairs(docs: DataFrame, id: String, text: String, k: Int = 5,
+                   numPerm: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5,
+                   stateTtl: Option[String] = None): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rowsPerBand = numPerm / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col(id).cast("long").as("_id"),
+        signature(col(text), k, numPerm).as("_sig"))
+      .filter(size(col("_sig")) === numPerm && !array_contains(
+        transform(col("_sig"), x => x.isNull), true))
+    val banded = sigs.select(col("_id"), col("_sig"),
+      posexplode(array((0 until bands).map(b =>
+        md5(concat_ws(",",
+          (0 until rowsPerBand).map(r =>
+            col("_sig")(b * rowsPerBand + r).cast("string")): _*))): _*))
+        .as(Seq("_band", "_bucket")))
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded
+      .select(col("_band"), col("_bucket"), col("_id"), col("_sig"))
+      .as[(Int, String, Long, Seq[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[List[(Long, Seq[Long])],
+        (Long, Long, Double)](OutputMode.Append, timeout) {
+        (_, rows, state: GroupState[List[(Long, Seq[Long])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Nil)
+            // in-batch arrival order: id order (the deterministic batch
+            // orientation); across batches, arrival order is semantic
+            val out = rows.toIndexedSeq.sortBy(_._3).flatMap {
+              case (_, _, docId, sig) =>
+                val pairs = seen.flatMap { case (pid, psig) =>
+                  var agree = 0
+                  var i = 0
+                  while (i < sig.length) {
+                    if (psig(i) == sig(i)) agree += 1
+                    i += 1
+                  }
+                  val est = agree.toDouble / sig.length
+                  if (est >= threshold && pid != docId)
+                    Some((math.min(pid, docId), math.max(pid, docId), est))
+                  else None
+                }
+                seen = (docId, sig) :: seen
+                pairs
+            }
+            state.update(seen)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+      .toDF("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Streaming documents source (shared layout helper). */
+  def documentsStream(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame =
+    StreamingPack.documentsStream(spark, dir)
+}

@@ -339,6 +339,36 @@ class DedupSimSpec extends AnyFunSuite {
     assert(df.limit(5).count() > 0)
   }
 
+  test("streaming near-dup pairs match batch minhashLshPairs across " +
+       "micro-batches (d01 twin)") {
+    // fixture: 50 real docs + a planted near-dup of each (one appended
+    // token), split into 4 files → 4 micro-batches; the pair SET must
+    // equal the batch operator's regardless of batch boundaries
+    val docs0 = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text").limit(50)
+    val docs = docs0.unionByName(docs0.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" extratoken")).as("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graftsnd").toString
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = graft.streaming.StreamingNearDup
+      .nearDupPairs(stream, "doc_id", "text")
+      .writeStream.format("memory").queryName("snd")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT id_a, id_b, est_jaccard FROM snd")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+    // the planted dups are found: at least most of the 50 pairs survive
+    // banding (recall < 1 is the LSH contract, shared with batch)
+    assert(streamed.count { case (a, b, _) => b == a + 100000L } >= 40,
+      s"planted-pair recall too low: ${streamed.size}")
+  }
+
   test("dim-tiled embeddings + tiled codebooks preserve ANN results exactly") {
     SparkSpec.withConf("spark.sql.codegen.fallback" -> "false") {
     // the ScaleBench `dim` family contract: tiling a vector factor x
