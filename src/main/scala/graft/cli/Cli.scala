@@ -249,9 +249,9 @@ object Cli {
     * so downstream parsers never see the type flip. The collect is
     * contract-bounded: metric records, one per (generator, seed) or
     * sweep leg, never data rows. */
-  private def writeMetricsJson(metrics: org.apache.spark.sql.DataFrame,
-                               path: String,
-                               multiRecord: Boolean = false): Unit = {
+  private[graft] def writeMetricsJson(metrics: org.apache.spark.sql.DataFrame,
+                                      path: String,
+                                      multiRecord: Boolean = false): Unit = {
     def obj(row: org.apache.spark.sql.Row): String =
       metrics.columns.zipWithIndex.map { case (c, i) =>
         val v = row.get(i) match {
@@ -370,12 +370,16 @@ object Cli {
 
     val maxRep = cfg.strOpt("max_rep_ratio").map(_.toDouble).getOrElse(0.5)
     val minTokens = cfg.strOpt("min_tokens").map(_.toLong).getOrElse(10L)
+    // repetitionScore only emits docs with >= k tokens — left join with
+    // a 0.0 default so sub-3-token docs answer to min_tokens alone
+    // (an inner join dropped them regardless of the configured floor)
     val kept = deduped
       .join(TextOps.repetitionScore(deduped, id, text, k = 3)
-        .select(col(id), col("rep_ratio")), id)
+        .select(col(id), col("rep_ratio")), Seq(id), "left")
       .join(TextOps.tokenStats(deduped, id, text)
         .select(col(id), col("n_tokens").as("_nt")), id)
-      .filter(col("rep_ratio") <= maxRep && col("_nt") >= minTokens)
+      .filter(coalesce(col("rep_ratio"), lit(0.0)) <= maxRep &&
+        col("_nt") >= minTokens)
       .select(col(id), col(text))
     val n3 = kept.count()
 

@@ -466,6 +466,53 @@ class PipelineSpec extends AnyFunSuite {
       s"downsampled source must still reach val/test: $perSource")
   }
 
+  test("metrics JSON shape: multi-record evaluators emit an array even " +
+       "for a single record") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftmj").toString
+    val one = Seq((1.0, "x")).toDF("metric_a", "name")
+    def read(p: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p))).trim
+    Cli.writeMetricsJson(one, s"$dir/single.json")
+    assert(read(s"$dir/single.json").startsWith("{"),
+      "single-record evaluator keeps the reference's object shape")
+    Cli.writeMetricsJson(one, s"$dir/multi.json", multiRecord = true)
+    assert(read(s"$dir/multi.json").startsWith("["),
+      "multi-record evaluator must not flip to an object at one row")
+  }
+
+  test("CLI curate: LM gate keeps sub-bigram docs; packing survives " +
+       "h64-scale doc ids (the _cid overflow regression)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcid").toString
+    // 60-bit doc ids (the h64-derived id scheme) + one 1-token doc that
+    // an inner LM join would have silently dropped
+    val base = (1L << 59)
+    val docs = (0 until 40).map { i =>
+      val body = (0 until 30).map(j => s"w${i}x$j").mkString(" ")
+      (base + i * 1000003L, if (i == 0) "solo" else body)
+    }.toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"$dir/docs",
+      "min_tokens" -> "1", "max_rep_ratio" -> "1.0",
+      "lm_ref_docs" -> s"$dir/docs", "min_avg_logprob" -> "-1000.0",
+      "pack_budget" -> "16",
+      "chunk_window" -> "8", "chunk_stride" -> "6",
+      "output" -> s"$dir/chunks", "metrics_out" -> s"$dir/funnel.json"))
+    val out = spark.read.parquet(s"$dir/chunks")
+    // the 1-token doc survived the LM gate (left join, not inner)
+    assert(out.filter(col("doc_id") === base).count() === 1L)
+    // packing assigned every chunk exactly once — the old
+    // doc_id*1e6+chunk_id surrogate overflows Long up here and
+    // collided assignments
+    assert(out.filter(col("seq_id").isNull).count() === 0L)
+    assert(out.select("doc_id", "chunk_id").distinct().count() === out.count())
+  }
+
   test("CLI curate: CSV input works; non-integral doc ids fail fast") {
     val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
     val docs = spark.read.parquet(s"${SparkSpec.sfDir}/documents.parquet")
