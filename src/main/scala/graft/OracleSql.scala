@@ -2910,6 +2910,34 @@ object OracleSql {
         |  round(exp(-avg(lp)), 4) AS perplexity
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // token-budget mixture: per-source token masses → basis-point
+    // epochs e = min(8, (w/ΣW)·B/t) quantized through the SAME IEEE
+    // double op order as the Scala side → generate_series epoch
+    // fan-out, fractional epoch kept by salt-31 h64 bucket < bps%10000
+    "t13_token_budget_mixture" -> {
+      val h = h64Sql("doc_id::VARCHAR", "'31'")
+      s"""WITH spec(source, w) AS (VALUES
+         |  ('src0', 3.0::DOUBLE), ('src1', 1.0::DOUBLE), ('src2', 1.0::DOUBLE)),
+         |n AS (SELECT doc_id, source,
+         |        len(list_filter(string_split(text, ' '),
+         |          t -> t <> ''))::BIGINT AS n_tokens
+         |      FROM documents WHERE source IN ('src0','src1','src2')),
+         |tot AS (SELECT source, sum(n_tokens)::BIGINT AS t
+         |        FROM n GROUP BY source),
+         |e AS (SELECT s.source,
+         |        CAST(round(least(8.0::DOUBLE,
+         |          (s.w / (3.0::DOUBLE + 1.0::DOUBLE + 1.0::DOUBLE))
+         |            * 6000.0 / tot.t) * 10000) AS BIGINT) AS bps
+         |      FROM spec s JOIN tot ON s.source = tot.source),
+         |x AS (SELECT n.doc_id, n.source, n.n_tokens,
+         |        e.bps // 10000 AS f, e.bps % 10000 AS cut
+         |      FROM n JOIN e ON n.source = e.source),
+         |u AS (SELECT x.*, unnest(generate_series(0, f)) AS epoch FROM x)
+         |SELECT doc_id, source, n_tokens, epoch FROM u
+         |WHERE epoch < f OR $h % 10000 < cut
+         |ORDER BY doc_id, epoch""".stripMargin
+    },
+
     // perplexity-bucket sampling: t08's scoring algebra → r6 scores →
     // quantile_cont edges (round 6, matching Spark's percentile at the
     // proven q13 parity) → head/middle/tail CASE → salt-29 h64 keep

@@ -527,6 +527,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Token-budget mixture: resample sources to target TOKEN shares
+    //    against a fixed budget, with epoch upsampling — 3:1:1 weights,
+    //    6000-token budget → src0 runs ~2.5 epochs (2 full + a salt-31
+    //    hash-sampled fractional copy), src1/src2 downsample ───────────
+    "t13_token_budget_mixture" -> ((s, dir) => {
+      graft.core.ScaleOps.tokenBudgetMixture(docs(s, dir), "doc_id",
+          "source", "text", salt = 31,
+          target = Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0),
+          budgetTokens = 6000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     // ── Quality-filter classifier: frozen hashed-bigram logistic model
     //    (TrainQualityFilter distilling the t19 heuristic), broadcast
     //    weight table, σ(w₀ + w·x) per doc — the discriminative quality

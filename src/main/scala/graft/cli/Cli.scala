@@ -331,6 +331,9 @@ object Cli {
     *   [--langs en,es]
     *   [--max_per_source N --source_col c]
     *   [--mixture_target src0:0.5,src1:0.5 --source_col c]
+    *   [--token_budget N]   (with --mixture_target: weights apply to
+    *     TOKEN mass against budget N; under-weight sources upsample
+    *     into `epoch` copies, split still keyed on the bare id)
     *   [--lm_ref_docs p --min_avg_logprob x] [--min_q_prob x]
     *   [--pack_budget N]
     *   [--chunk_window 480] [--chunk_stride 384] [--metrics_out m.json]
@@ -438,13 +441,31 @@ object Cli {
         // hashSplit's train range whenever f ≤ 0.9, leaving val/test
         // empty. A fixed offset decorrelates the two bucketings while
         // keeping the stage deterministic under --split_salt.
-        graft.core.ScaleOps.mixtureSample(
-            capped.join(withSrc, id), id, src,
-            salt = cfg.strOpt("split_salt").map(_.toInt).getOrElse(7) + 1013,
-            target)
-          .select(col(id), col(text))
+        val mixSalt = cfg.strOpt("split_salt").map(_.toInt).getOrElse(7) + 1013
+        cfg.strOpt("token_budget") match {
+          case Some(b) =>
+            // --token_budget N: t13 token-weighted mixture — the target
+            // weights apply to TOKEN mass against budget N, and a source
+            // whose desired mass exceeds its corpus is UPSAMPLED into
+            // epoch copies. The `epoch` column rides through to the
+            // output (each copy is a distinct training row) while the
+            // split hash below still keys on the bare id, so every
+            // epoch of a doc lands in ONE split — upsampling cannot
+            // leak a train doc into val/test.
+            graft.core.ScaleOps.tokenBudgetMixture(
+                capped.join(withSrc, id), id, src, text,
+                salt = mixSalt, target, budgetTokens = b.toLong)
+              .select(col(id), col("epoch"), col(text))
+          case None =>
+            graft.core.ScaleOps.mixtureSample(
+                capped.join(withSrc, id), id, src, salt = mixSalt, target)
+              .select(col(id), col(text))
+        }
       case _ => capped
     }
+    // epoch rides every stage below when the t13 mixture produced it
+    val epochCols: Seq[String] =
+      if (mixed.columns.contains("epoch")) Seq("epoch") else Nil
 
     // optional LM-score filter (--lm_ref_docs p --min_avg_logprob x):
     // add-k bigram LM trained on the reference corpus, docs below the
@@ -491,7 +512,8 @@ object Cli {
       .getOrElse(Seq(0L, 0L, 0L))
 
     val chunks = TextOps.chunk(
-      redacted.select(col(id), col("redacted").as(text)), id, text,
+      redacted.select(col(id) +: epochCols.map(col) :+
+        col("redacted").as(text): _*), id, text,
       window = cfg.strOpt("chunk_window").map(_.toInt).getOrElse(480),
       stride = cfg.strOpt("chunk_stride").map(_.toInt).getOrElse(384))
     val split = ScaleOps.hashSplit(chunks, id,
@@ -510,7 +532,7 @@ object Cli {
         // equality/ordering is field-wise, so pack order stays
         // (doc, chunk) and the join-back key stays exact.
         val withCid = split.withColumn("_cid",
-          struct(col(id), col("chunk_id")))
+          struct(col(id) +: epochCols.map(col) :+ col("chunk_id"): _*))
         val seq = TextOps.packSequences(
             withCid.withColumnRenamed("chunk", "_ctext"), "_cid", "split",
             "_ctext", b.toLong)

@@ -131,6 +131,100 @@ object ScaleOps {
     stratifiedSample(inTarget, id, key, salt, fracs, defaultFraction = 0.0)
   }
 
+  /** Token-budget mixture with epoch upsampling (beyond reference):
+    * resample each key (source/domain) so the OUTPUT token mass follows
+    * target weights w_k against a total token budget B — the LLM
+    * data-mixing step that [[mixtureSample]]'s row-count proportions
+    * cannot express (domains differ wildly in tokens-per-doc), and the
+    * one sampler here that can UPSAMPLE: a key whose desired mass
+    * w_k·B exceeds its corpus tokens emits multiple epochs (full
+    * copies, `epoch` column) plus one hash-sampled fractional epoch —
+    * how under-represented high-quality sources are repeated against a
+    * fixed pretraining token budget in practice.
+    *
+    * Per key, epochs e_k = min(maxEpochs, (w_k/ΣW)·B / t_k) with t_k
+    * the key's observed token count, quantized to basis points
+    * (round(e·10⁴)) so the fractional cutoff is an exact integer
+    * compare on both oracle engines: a doc joins every epoch
+    * i < ⌊e_k⌋ unconditionally and the last fractional epoch iff its
+    * salted hash bucket < the remainder. All epochs of a doc share the
+    * SAME id hash, so a downstream [[hashSplit]] on the same id sends
+    * every copy to one split — upsampling can never leak a train doc
+    * into val/test.
+    *
+    * Scale shape: one map-side-combinable sum over size(split(text))
+    * per key — no token explode, no shuffle wider than the |target|
+    * keys; driver state = |target| rows (the USER's mixture spec, not
+    * data-sized). The resample itself is a pure map-side
+    * sequence-explode + hash filter: no join, no window,
+    * rerun/repartition/append-stable. maxEpochs caps the fan-out so a
+    * mis-weighted tiny key cannot explode the corpus. */
+  def tokenBudgetMixture(df: DataFrame, id: String, key: String,
+                         text: String, salt: Int,
+                         target: Map[String, Double], budgetTokens: Long,
+                         maxEpochs: Int = 8): DataFrame =
+    applyTokenBudget(df, id, key, text, salt,
+      tokenBudgetPlan(df, key, text, target, budgetTokens, maxEpochs))
+
+  /** The planning half of [[tokenBudgetMixture]]: per-key basis-point
+    * epochs (key → round(e·10⁴)) from one map-side-combinable token-sum
+    * agg over the static corpus. The returned plan is the frozen
+    * "model" a stream replays ([[graft.streaming.StreamingScore]]) —
+    * |target|-sized driver state, computed once. The double expression
+    * ORDER matches the oracle SQL term for term so both engines
+    * quantize the identical IEEE value. */
+  def tokenBudgetPlan(df: DataFrame, key: String, text: String,
+                      target: Map[String, Double], budgetTokens: Long,
+                      maxEpochs: Int = 8): Map[String, Long] = {
+    require(target.nonEmpty, "need at least one target weight")
+    require(budgetTokens > 0, "token budget must be positive")
+    require(maxEpochs >= 1, "maxEpochs must be at least 1")
+    val totW = target.values.sum
+    val toks = df.filter(col(key).isin(target.keys.toSeq: _*))
+      .groupBy(col(key).cast("string").as("_k"))
+      .agg(sum(tokenCount(text)).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = target.keys.filterNot(toks.contains)
+    require(missing.isEmpty,
+      s"target keys with no tokens: ${missing.mkString(", ")} — the " +
+        "mixture is infeasible (every weighted key needs tokens)")
+    target.map { case (k, wv) =>
+      val e = math.min(maxEpochs.toDouble,
+        (wv / totW) * budgetTokens / toks(k))
+      k -> math.round(e * 10000)
+    }
+  }
+
+  /** The map-side half of [[tokenBudgetMixture]]: sequence-explode each
+    * doc into its ⌊e⌋ full epochs plus the hash-gated fractional epoch,
+    * per the frozen basis-point plan. No shuffle, no join — safe to
+    * run per micro-batch against a static plan. */
+  def applyTokenBudget(df: DataFrame, id: String, key: String,
+                       text: String, salt: Int,
+                       eBps: Map[String, Long]): DataFrame = {
+    val kc = col(key).cast("string")
+    val full = eBps.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (k, b)) => when(kc === k, b / 10000).otherwise(acc)
+    }
+    val cut = eBps.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (k, b)) => when(kc === k, b % 10000).otherwise(acc)
+    }
+    val hb = pmod(graft.text.Dedup.h64(col(id).cast("string"), salt),
+      lit(10000L))
+    df.filter(col(key).isin(eBps.keys.toSeq: _*))
+      .withColumn("n_tokens", tokenCount(text))
+      .withColumn("_full", full)
+      .withColumn("_cut", cut)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_full"))))
+      .filter(col("epoch") < col("_full") || hb < col("_cut"))
+      .drop("_full", "_cut")
+  }
+
+  /** Whitespace token count as a map-side expression — size(filter(
+    * split)), no token explode. */
+  private def tokenCount(text: String): org.apache.spark.sql.Column =
+    size(filter(split(col(text), " "), t => t =!= "")).cast("long")
+
   /** Deterministic k-per-key sample: keep exactly min(k, |group|) rows
     * per key, chosen by a salted portable hash of the row id — the
     * bounded-fan-out cousin of [[stratifiedSample]] (which keeps a

@@ -84,6 +84,48 @@ object StreamingScore {
         .filter(col("q_prob").isNull || col("q_prob") >= minQProb))
     }
 
+  /** Streaming t12: perplexity-bucket sampling against a frozen LM and
+    * FROZEN bucket edges (both computed once from static planning
+    * corpora — [[graft.text.TextOps.lmTrain]] +
+    * [[graft.text.TextOps.perplexityBucketEdges]]). Each micro-batch is
+    * scored, bucket-assigned against the frozen edges, and kept at the
+    * bucket's target rate by the salted hash gate — identical to the
+    * batch [[graft.text.TextOps.perplexityBucketApply]] by
+    * construction. Docs with no bigram have no perplexity and are not
+    * emitted (the batch contract). */
+  def perplexityBucketFilter(model: graft.text.TextOps.LmModel,
+                             edges: Seq[Double], fractions: Seq[Double],
+                             docs: DataFrame, id: String, text: String,
+                             addK: Double = 0.5, salt: Int = 29)
+                            (sink: DataFrame => Unit): DataStreamWriter[Row] = {
+    model.c2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    model.c1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val scores = graft.text.TextOps
+        .lmScoreWith(model, batch, id, text, addK)
+        .select(col(id), col("n_bigrams"),
+          round(col("avg_logprob"), 6).as("avg_logprob"))
+      sink(graft.text.TextOps
+        .perplexityBucketApply(scores, id, edges, fractions, salt))
+    }
+  }
+
+  /** Streaming t13: token-budget mixture against a FROZEN epoch plan
+    * ([[graft.core.ScaleOps.tokenBudgetPlan]], computed once from a
+    * static planning corpus). Each micro-batch doc fans out into its
+    * full epochs plus the hash-gated fractional epoch — the map-side
+    * [[graft.core.ScaleOps.applyTokenBudget]] verbatim, so batch and
+    * stream emit identical (id, epoch) sets. Zero streaming state; the
+    * plan is a |target|-sized driver map. */
+  def tokenBudgetFilter(eBps: Map[String, Long], docs: DataFrame,
+                        id: String, key: String, text: String,
+                        salt: Int = 31)
+                       (sink: DataFrame => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.core.ScaleOps.applyTokenBudget(batch, id, key, text,
+        salt, eBps))
+    }
+
   /** Streaming documents source (shared layout helper). */
   def documentsStream(spark: org.apache.spark.sql.SparkSession,
                       dir: String): DataFrame =

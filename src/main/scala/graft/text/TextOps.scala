@@ -310,12 +310,35 @@ object TextOps {
       .select(col(id), col("n_bigrams"),
         round(col("avg_logprob"), 6).as("avg_logprob"))
       .localCheckpoint() // feeds the edge agg AND the bucket assign
+    perplexityBucketApply(scores, id,
+      perplexityBucketEdges(scores, n), fractions, salt)
+  }
+
+  /** The edge-freezing half of [[perplexityBucketSample]]: the n−1
+    * equal-probability percentile edges of the r6 avg_logprob
+    * distribution — an (n−1)-sized driver value computed once from a
+    * static planning corpus, which a stream then replays against
+    * ([[graft.streaming.StreamingScore]]). */
+  def perplexityBucketEdges(scores: DataFrame, n: Int): Seq[Double] = {
     val probs = (1 until n).map(i => 1.0 - i.toDouble / n)
-    val edges = scores
+    scores
       .agg(expr(s"percentile(avg_logprob, array(${probs.mkString(",")}))"))
       .first().getSeq[Double](0)
       .map(e => BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP)
         .toDouble)
+  }
+
+  /** The map-side half of [[perplexityBucketSample]]: assign each
+    * scored doc its bucket against FROZEN edges and keep it at the
+    * bucket's target rate via the salted hash gate. No agg, no window
+    * — safe to run per micro-batch. `scores` must carry (id,
+    * n_bigrams, avg_logprob) with avg_logprob already r6-rounded. */
+  def perplexityBucketApply(scores: DataFrame, id: String,
+                            edges: Seq[Double], fractions: Seq[Double],
+                            salt: Int): DataFrame = {
+    val n = fractions.length
+    require(edges.length == n - 1,
+      s"need ${n - 1} edges for $n buckets, got ${edges.length}")
     val bucket = edges.zipWithIndex.foldRight(lit(n): Column) {
       case ((e, i), acc) => when(col("avg_logprob") >= e, i + 1).otherwise(acc)
     }
@@ -484,7 +507,8 @@ object TextOps {
     * whose window reaches the end of the document (a document shorter
     * than `size` yields exactly one chunk). One `posexplode` over a
     * computed `sequence` — map-side only, no shuffle; output is
-    * (id, chunk_id INT, chunk, n_tokens INT). */
+    * (id, chunk_id INT, chunk, n_tokens INT), with any OTHER input
+    * columns (an epoch tag, a source label) passed through per chunk. */
   def chunk(df: DataFrame, id: String, text: String,
             window: Int = 120, stride: Int = 80): DataFrame = {
     require(stride > 0 && window >= stride, "need 0 < stride <= window")
@@ -493,10 +517,11 @@ object TextOps {
     // kept positive so the toward-zero int cast equals floor
     val nExtra = when(len > window,
       floor((len - window + (stride - 1)) / lit(stride))).otherwise(0)
-    df.select(col(id), col(text).as("_t"),
-        explode(sequence(lit(0), nExtra.cast("int"))).as("chunk_id"))
-      .select(col(id), col("chunk_id"),
-        expr(s"substring(_t, 1 + chunk_id * $stride, $window)").as("chunk"))
+    df.withColumn("chunk_id",
+        explode(sequence(lit(0), nExtra.cast("int"))))
+      .withColumn("chunk",
+        expr(s"substring(`$text`, 1 + chunk_id * $stride, $window)"))
+      .drop(text)
       .withColumn("n_tokens", size(split(col("chunk"), " ")))
   }
 

@@ -466,6 +466,45 @@ class PipelineSpec extends AnyFunSuite {
       s"downsampled source must still reach val/test: $perSource")
   }
 
+  test("CLI curate: --token_budget upsamples under-weight sources into " +
+       "epoch copies that never straddle splits") {
+    val dir = java.nio.file.Files.createTempDirectory("grafttb").toString
+    import org.apache.spark.sql.functions.{col, countDistinct, expr}
+    // src0 tiny (100 docs × 16 tok), src1 large (1900 × 16 tok);
+    // weights 1:1 on a 32000-token budget → src0 desires 16000 tokens
+    // = 10 epochs (capped at 8), src1 downsamples to ~half
+    val docs = spark.range(2000).select(
+      col("id").as("doc_id"),
+      expr("concat_ws(' ', transform(sequence(0, 15), " +
+        "j -> concat('tok', id, 'x', j)))").as("text"),
+      expr("if(id < 100, 'src0', 'src1')").as("source"))
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"$dir/docs",
+      "mixture_target" -> "src0:0.5,src1:0.5", "source_col" -> "source",
+      "token_budget" -> "32000",
+      "pack_budget" -> "128",
+      "chunk_window" -> "120", "chunk_stride" -> "80",
+      "output" -> s"$dir/chunks", "metrics_out" -> s"$dir/funnel.json"))
+    val out = spark.read.parquet(s"$dir/chunks")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    assert(out.columns.contains("epoch"), out.columns.mkString(","))
+    assert(out.columns.contains("seq_id"), "packing must survive epochs")
+    // the under-weight source really is upsampled — multiple epochs of
+    // the same doc survive to the output
+    val maxEpoch = out.filter(col("source") === "src0")
+      .agg(org.apache.spark.sql.functions.max("epoch")).first().getLong(0)
+    assert(maxEpoch >= 1L, s"src0 should upsample, max epoch $maxEpoch")
+    // every (doc, epoch, chunk) is a distinct training row
+    assert(out.select("doc_id", "epoch", "chunk_id").distinct().count()
+      === out.count())
+    // leak-freedom: all epochs of a doc share one split
+    val straddlers = out.groupBy("doc_id")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(straddlers === 0L, "epoch copies must not straddle splits")
+  }
+
   test("metrics JSON shape: multi-record evaluators emit an array even " +
        "for a single record") {
     val s = spark

@@ -158,6 +158,61 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zz"))
   }
 
+  test("tokenBudgetMixture: epoch upsampling hits token targets, splits stay leak-free") {
+    val s = spark
+    import s.implicits._
+    // source a: 50 docs × 10 tokens = 500 tokens; b: 200 × 10 = 2000
+    val mk = (src: String, n: Int, off: Long) => (0 until n).map { i =>
+      (off + i, src, Seq.fill(10)("tok").mkString(" "))
+    }
+    val df = (mk("a", 50, 0L) ++ mk("b", 200, 1000L))
+      .toDF("id", "src", "text")
+    // budget 3000, weights 1:1 → a desires 1500 tokens = e 3.0 (3 full
+    // epochs, no fractional), b desires 1500 = e 0.75 (hash-kept ~75%)
+    val out = ScaleOps.tokenBudgetMixture(df, "id", "src", "text",
+      salt = 31, target = Map("a" -> 1.0, "b" -> 1.0), budgetTokens = 3000L)
+    val byEpoch = out.groupBy("src", "epoch").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a: every doc in epochs 0,1,2; NO epoch-3 fractional row
+    assert(byEpoch(("a", 0L)) === 50L && byEpoch(("a", 1L)) === 50L &&
+      byEpoch(("a", 2L)) === 50L, byEpoch.toString)
+    assert(!byEpoch.contains(("a", 3L)), byEpoch.toString)
+    // b: single fractional epoch at ~75% of 200 docs
+    assert(!byEpoch.contains(("b", 1L)), byEpoch.toString)
+    val bKept = byEpoch(("b", 0L))
+    assert(bKept > 120L && bKept < 180L, s"b kept $bKept of 200")
+    // output token mass tracks the 1:1 spec (a exactly 1500, b ~1500)
+    val mass = out.groupBy("src").agg(sum("n_tokens").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mass("a") === 1500L)
+    assert(mass("b") > 1200L && mass("b") < 1800L, mass.toString)
+    // deterministic under rerun + repartition
+    val again = ScaleOps.tokenBudgetMixture(df.repartition(7), "id", "src",
+        "text", salt = 31, target = Map("a" -> 1.0, "b" -> 1.0),
+        budgetTokens = 3000L)
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === out.select("id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // maxEpochs caps runaway upsampling of a mis-weighted tiny key
+    val capped = ScaleOps.tokenBudgetMixture(df, "id", "src", "text",
+      salt = 31, target = Map("a" -> 1000.0, "b" -> 1.0),
+      budgetTokens = 3000L, maxEpochs = 2)
+    assert(capped.agg(max("epoch")).first().getLong(0) <= 2L)
+    // leak-freedom: hashSplit on the same id puts EVERY epoch of a doc
+    // in one split — upsampled copies cannot straddle train/val
+    val split = ScaleOps.hashSplit(out, "id", salt = 7,
+      splits = Seq("train" -> 0.8, "val" -> 0.2))
+    val straddlers = split.groupBy("id")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(straddlers === 0L)
+    // a target key with no rows is an infeasible mixture
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.tokenBudgetMixture(df, "id", "src", "text", salt = 31,
+        target = Map("a" -> 1.0, "zz" -> 1.0), budgetTokens = 3000L)
+    }
+    assert(e.getMessage.contains("zz"))
+  }
+
   test("skewed series: fit-prefix caps bound the straggler per series, not per partition") {
     val s = spark
     import s.implicits._

@@ -199,6 +199,58 @@ class TextLmPackSpec extends AnyFunSuite {
     assert(buf.toSet === batchKept)
   }
 
+  test("streaming perplexity-bucket filter matches the batch stage " +
+       "across micro-batches (t12 twin)") {
+    val (docs, stream) = docsIn4Batches()
+    val model = TextOps.lmTrain(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text")
+    val fractions = Seq(1.0, 0.5, 0.1)
+    val batchScores = TextOps.lmScoreWith(model, docs, "doc_id", "text", 0.5)
+      .select($"doc_id", $"n_bigrams",
+        round($"avg_logprob", 6).as("avg_logprob"))
+      .localCheckpoint()
+    val edges = TextOps.perplexityBucketEdges(batchScores, fractions.length)
+    val batchKept = TextOps
+      .perplexityBucketApply(batchScores, "doc_id", edges, fractions, 29)
+      .select("doc_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val buf = scala.collection.mutable.Set.empty[(Long, Int)]
+    runFilter(graft.streaming.StreamingScore.perplexityBucketFilter(
+        model, edges, fractions, stream, "doc_id", "text") { b =>
+      buf.synchronized { buf ++= b.select("doc_id", "bucket").collect()
+        .map(r => (r.getLong(0), r.getInt(1))) }
+    })
+    assert(buf.nonEmpty && buf.size < docs.count())
+    assert(buf.toSet === batchKept)
+  }
+
+  test("streaming token-budget filter matches the batch mixture " +
+       "across micro-batches (t13 twin)") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graftstream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val target = Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0)
+    val plan = graft.core.ScaleOps.tokenBudgetPlan(docs, "source", "text",
+      target, budgetTokens = 6000L)
+    val batchKept = graft.core.ScaleOps.tokenBudgetMixture(docs, "doc_id",
+        "source", "text", salt = 31, target, budgetTokens = 6000L)
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val buf = scala.collection.mutable.Set.empty[(Long, Long)]
+    runFilter(graft.streaming.StreamingScore.tokenBudgetFilter(
+        plan, stream, "doc_id", "source", "text") { b =>
+      buf.synchronized { buf ++= b.select("doc_id", "epoch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))) }
+    })
+    assert(buf.nonEmpty)
+    // upsampling visible through the stream: some doc runs epoch ≥ 1
+    assert(buf.exists(_._2 >= 1L))
+    assert(buf.toSet === batchKept)
+  }
+
   test("t09 packing plan: one keyed exchange on the shard key, no global sort") {
     val p = plan("t09_pack_sequences")
     assert(!p.contains("CartesianProduct"))
