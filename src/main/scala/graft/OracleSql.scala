@@ -2910,6 +2910,38 @@ object OracleSql {
         |  round(exp(-avg(lp)), 4) AS perplexity
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Gopher rule gate: per-doc word stats + stopword presence flags
+    // (Σ of per-word max, mirroring the Spark agg), keep = all rules;
+    // ratios r6 on both engines
+    "t14_gopher_rules" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+        |              FROM documents),
+        |t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |s AS (SELECT doc_id,
+        |        count(*)::BIGINT AS n_tokens,
+        |        round(avg(length(token)), 6) AS mean_word_len,
+        |        round(avg(CASE WHEN regexp_matches(token, '[A-Za-z]')
+        |          THEN 1.0 ELSE 0.0 END), 6) AS alpha_ratio,
+        |        round(avg(CASE WHEN regexp_matches(token, '[#…]')
+        |          THEN 1.0 ELSE 0.0 END), 6) AS symbol_ratio,
+        |        (max(CASE WHEN token = 'the' THEN 1 ELSE 0 END)
+        |         + max(CASE WHEN token = 'be' THEN 1 ELSE 0 END)
+        |         + max(CASE WHEN token = 'to' THEN 1 ELSE 0 END)
+        |         + max(CASE WHEN token = 'of' THEN 1 ELSE 0 END)
+        |         + max(CASE WHEN token = 'and' THEN 1 ELSE 0 END)
+        |         + max(CASE WHEN token = 'that' THEN 1 ELSE 0 END)
+        |         + max(CASE WHEN token = 'have' THEN 1 ELSE 0 END)
+        |         + max(CASE WHEN token = 'with' THEN 1 ELSE 0 END)
+        |        )::BIGINT AS n_stop
+        |      FROM t GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, mean_word_len, alpha_ratio,
+        |  symbol_ratio, n_stop,
+        |  (n_tokens >= 50 AND n_tokens <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND alpha_ratio >= 0.8 AND symbol_ratio <= 0.1
+        |   AND n_stop >= 1)::INT AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // token-budget mixture: per-source token masses → basis-point
     // epochs e = min(8, (w/ΣW)·B/t) quantized through the SAME IEEE
     // double op order as the Scala side → generate_series epoch

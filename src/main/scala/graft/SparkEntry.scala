@@ -540,6 +540,16 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("epoch"))
     }),
 
+    // ── Gopher-style rule gate: word-count / word-length / alpha /
+    //    symbol / stopword-presence rules in one map-side-combinable
+    //    keyed agg; minStopwords=1 fits the fixture's synthetic
+    //    vocabulary (only "the" of the Gopher list occurs) ─────────────
+    "t14_gopher_rules" -> ((s, dir) => {
+      graft.text.TextOps.gopherRules(docs(s, dir), "doc_id", "text",
+          minStopwords = 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Quality-filter classifier: frozen hashed-bigram logistic model
     //    (TrainQualityFilter distilling the t19 heuristic), broadcast
     //    weight table, σ(w₀ + w·x) per doc — the discriminative quality

@@ -328,7 +328,7 @@ object Cli {
     * Flags: --input_docs <parquet|csv> --output <dir>
     *   [--benchmark_docs p] [--doc_id_col doc_id] [--text_col text]
     *   [--near_threshold 0.8] [--max_rep_ratio 0.5] [--min_tokens 10]
-    *   [--langs en,es]
+    *   [--langs en,es] [--gopher_min_stop N]
     *   [--max_per_source N --source_col c]
     *   [--mixture_target src0:0.5,src1:0.5 --source_col c]
     *   [--token_budget N]   (with --mixture_target: weights apply to
@@ -386,6 +386,19 @@ object Cli {
       .select(col(id), col(text))
     val n3 = kept.count()
 
+    // optional Gopher rule gate (--gopher_min_stop N): the t14
+    // rule-based quality filter — word-count/word-length/alpha/symbol
+    // bounds plus ≥ N distinct stopwords present; keep == all rules
+    val ruleKept = cfg.strOpt("gopher_min_stop") match {
+      case Some(n) =>
+        val ids = TextOps.gopherRules(kept, id, text,
+            minStopwords = n.toInt)
+          .filter(col("keep") === 1).select(col(id))
+        kept.join(ids, Seq(id))
+      case None => kept
+    }
+    val nGopher = ruleKept.count()
+
     // optional language filter (--langs en,es): q20's marker-word
     // language ID, keep docs whose argmax language is in the set —
     // the CCNet-style lang gate, before decontamination so the
@@ -393,10 +406,10 @@ object Cli {
     val langKept = cfg.strOpt("langs") match {
       case Some(spec) =>
         val langs = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val ids = TextOps.langId(kept, id, text)
+        val ids = TextOps.langId(ruleKept, id, text)
           .filter(col("lang_guess").isin(langs: _*)).select(col(id))
-        kept.join(ids, Seq(id))
-      case None => kept
+        ruleKept.join(ids, Seq(id))
+      case None => ruleKept
     }
     val nLang = langKept.count()
 
@@ -546,12 +559,13 @@ object Cli {
 
     val s = spark
     import s.implicits._
-    val funnel = Seq((n0, n1, n2, n3, nLang, nLm, nQ, n4, nEmail, nPhone,
-        nChunks))
+    val funnel = Seq((n0, n1, n2, n3, nGopher, nLang, nLm, nQ, n4, nEmail,
+        nPhone, nChunks))
       .toDF("n_input", "n_after_exact_dedup", "n_after_near_dedup",
-        "n_after_quality", "n_after_lang_filter", "n_after_lm_filter",
-        "n_after_quality_classifier", "n_after_decontaminate",
-        "n_emails_redacted", "n_phones_redacted", "n_chunks")
+        "n_after_quality", "n_after_gopher_rules", "n_after_lang_filter",
+        "n_after_lm_filter", "n_after_quality_classifier",
+        "n_after_decontaminate", "n_emails_redacted", "n_phones_redacted",
+        "n_chunks")
     writeMetricsJson(funnel,
       cfg.strOpt("metrics_out").getOrElse(s"${cfg.str("output")}_metrics.json"))
     exact.unpersist(); deduped.unpersist(); redacted.unpersist()

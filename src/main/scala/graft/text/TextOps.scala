@@ -49,6 +49,55 @@ object TextOps {
         (countDistinct(col("token")).cast("double") / count(lit(1))).as("ttr"))
       .withColumn("quality_score", col("stop_ratio") * 0.5 + col("ttr") * 0.5)
 
+  /** Gopher's stopword-presence list (Rae et al. 2021, A1.1): a doc
+    * must contain at least `minStopwords` of these to look like prose. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style rule filter (beyond reference, t14): the standard
+    * RULE-based quality gate of LLM pipelines (Gopher A1.1 /
+    * Dolma / RefinedWeb), complementing the heuristic score (q19), the
+    * LM gate (t08) and the learned gate (t11). Per doc: word count in
+    * [minTokens, maxTokens], mean word length in [minWordLen,
+    * maxWordLen], fraction of words with an alphabetic character ≥
+    * minAlphaRatio, symbol-word ratio ≤ maxSymbolRatio, and ≥
+    * minStopwords distinct [[GopherStops]] present; `keep` = all pass.
+    * Thresholds are parameters because every production pipeline tunes
+    * them per corpus. Ratios are r6-rounded for oracle parity.
+    *
+    * Scale shape: ONE map-side-combinable agg keyed on the doc id —
+    * stopword presence is a Σ of per-word max-flags, not a distinct
+    * agg, so no two-phase distinct expansion; everything else is
+    * count/avg. No join, no window. */
+  def gopherRules(df: DataFrame, id: String, text: String,
+                  minTokens: Long = 50, maxTokens: Long = 100000,
+                  minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+                  minAlphaRatio: Double = 0.8,
+                  maxSymbolRatio: Double = 0.1,
+                  minStopwords: Int = 2): DataFrame = {
+    val nStop = GopherStops
+      .map(s => max(when(col("token") === s, 1).otherwise(0)))
+      .reduce(_ + _)
+    tokens(df, text)
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(length(col("token")).cast("double")), 6)
+          .as("mean_word_len"),
+        round(avg(when(col("token").rlike("[A-Za-z]"), 1.0)
+          .otherwise(0.0)), 6).as("alpha_ratio"),
+        round(avg(when(col("token").rlike("[#…]"), 1.0)
+          .otherwise(0.0)), 6).as("symbol_ratio"),
+        nStop.cast("long").as("n_stop"))
+      .withColumn("keep",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          col("mean_word_len") >= minWordLen &&
+          col("mean_word_len") <= maxWordLen &&
+          col("alpha_ratio") >= minAlphaRatio &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("n_stop") >= minStopwords).cast("int"))
+  }
+
   /** Language ID: score = marker-word hits per language, argmax with a
     * deterministic (score desc, lang asc) tie-break. */
   def langId(df: DataFrame, id: String, text: String): DataFrame = {

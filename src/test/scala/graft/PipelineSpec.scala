@@ -403,6 +403,9 @@ class PipelineSpec extends AnyFunSuite {
       // language gate: the corpus is multi-lingual by construction, so
       // an en-only filter must drop a nontrivial share (assert below)
       "langs" -> "en",
+      // t14 rule gate: word-count floor 50 bites on the 30-80-token
+      // fixture (assert via the funnel key below)
+      "gopher_min_stop" -> "1",
       "pack_budget" -> "128",
       // rebalance toward an equal two-source mix on the way through
       "mixture_target" -> "src0:0.5,src1:0.5", "source_col" -> "source",
@@ -424,6 +427,12 @@ class PipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dir/funnel.json")))
     assert(funnel.contains("\"n_after_lm_filter\""), funnel)
     assert(funnel.contains("\"n_after_quality_classifier\""), funnel)
+    // the rule gate ran and thinned the corpus without emptying it
+    val gopherCounts =
+      "\"n_after_quality\": (\\d+).*\"n_after_gopher_rules\": (\\d+)".r
+    val gm = gopherCounts.findFirstMatchIn(funnel).get
+    assert(gm.group(2).toLong > 0L && gm.group(2).toLong < gm.group(1).toLong,
+      funnel)
     // en-only language gate dropped the non-en docs but not the corpus
     val langCounts =
       "\"n_after_quality\": (\\d+).*\"n_after_lang_filter\": (\\d+)".r

@@ -350,4 +350,55 @@ class TextLmPackSpec extends AnyFunSuite {
     // predicate as literals (the driver holds |target| rows, not data)
     assert(!p.contains("Join"), p.linesIterator.take(12).mkString("\n"))
   }
+
+  test("t14 gopherRules: each rule fails the doc built to break it, " +
+       "prose passes") {
+    val s = spark
+    import s.implicits._
+    val prose = (Seq("the", "of", "and") ++
+      Seq.fill(47)("word")).mkString(" ")              // 50 tokens, all rules pass
+    val short = "the of and word"                      // < 50 tokens
+    val longWords = (Seq("the", "of") ++
+      Seq.fill(48)("incomprehensibilities")).mkString(" ") // mean len > 10
+    val symbols = (Seq("the", "of") ++
+      Seq.fill(28)("word") ++ Seq.fill(20)("#")).mkString(" ") // symbols > 0.1, alpha < 0.8
+    val noStops = Seq.fill(50)("word").mkString(" ")   // 0 stopwords
+    val df = Seq((1L, prose), (2L, short), (3L, longWords), (4L, symbols),
+      (5L, noStops)).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(6), r.getLong(1), r.getLong(5))).toMap
+    assert(out(1L)._1 === 1, s"prose must pass: ${out(1L)}")
+    assert(out(2L)._1 === 0 && out(2L)._2 < 50L, "short doc fails word count")
+    assert(out(3L)._1 === 0, "long mean word length fails")
+    assert(out(4L)._1 === 0, "symbol/alpha ratios fail")
+    assert(out(5L)._1 === 0 && out(5L)._3 === 0L, "stopword presence fails")
+    // the gate query differentiates on the fixture corpus
+    val gate = SparkEntry.queries("t14_gopher_rules")(spark, SparkSpec.sfDir)
+    val keeps = gate.groupBy("keep").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(keeps.getOrElse(1, 0L) > 0L && keeps.getOrElse(0, 0L) > 0L,
+      s"rules should both keep and drop on the fixture: $keeps")
+  }
+
+  test("t13 token-budget plan: map-side epoch fan-out — no join, no " +
+       "window, no shuffle wider than the sort") {
+    val df = SparkEntry.queries("t13_token_budget_mixture")(
+      spark, SparkSpec.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the frozen epoch plan folds into literal when-chains: the apply
+    // half is scan → explode(sequence) → filter, with the ONLY
+    // exchange being the output orderBy (gate presentation, not the
+    // operator); no join, no window, no aggregation in the fan-out
+    assert(!p.contains("Join"), p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("Window"), p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("Generate"), "epoch fan-out must be an explode")
+    // AQE echoes the initial plan below the final one — count only the
+    // executed section
+    val finalPlan = p.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"only the presentation sort may shuffle:\n$finalPlan")
+  }
 }
