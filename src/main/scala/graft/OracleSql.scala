@@ -2860,6 +2860,32 @@ object OracleSql {
     // even ("train") and odd ("benchmark") docs, shared-gram counts >= 5
     "t01_decontaminate" -> t01Sql,
 
+    // eval-contamination report: bench-doc 8-gram containment in the
+    // train corpus's distinct-gram set; t01's shingle CTE, left join
+    "t15_contamination_report" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |              FROM documents),
+        |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+        |sh0 AS (SELECT doc_id,
+        |          concat_ws(' ', token, lead(token,1) OVER w, lead(token,2) OVER w,
+        |            lead(token,3) OVER w, lead(token,4) OVER w, lead(token,5) OVER w,
+        |            lead(token,6) OVER w, lead(token,7) OVER w) AS shingle,
+        |          lead(token,7) OVER w AS l7
+        |        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l7 IS NOT NULL),
+        |tg AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+        |bg AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 2 = 1)
+        |SELECT bg.bench_id,
+        |  count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN tg.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+        |  round(sum(CASE WHEN tg.shingle IS NOT NULL THEN 1 ELSE 0 END)
+        |    / count(*), 6) AS contamination,
+        |  (round(sum(CASE WHEN tg.shingle IS NOT NULL THEN 1 ELSE 0 END)
+        |    / count(*), 6) >= 0.2)::INT AS contaminated
+        |FROM bg LEFT JOIN tg ON bg.shingle = tg.shingle
+        |GROUP BY bg.bench_id ORDER BY bench_id""".stripMargin,
+
     // Bloom decontamination: the Spark side's sketch prune is
     // exact-by-construction (no false negatives; false positives die in
     // the exact join) — so the oracle is IDENTICAL to t01's plain join

@@ -424,6 +424,17 @@ object SparkEntry {
         .orderBy(col("train_id"), col("bench_id"))
     }),
 
+    // ── Eval-contamination report: per-benchmark-doc fraction of its
+    //    8-grams present anywhere in the train corpus — train side
+    //    collapses to distinct grams, one gram-keyed left join ──────────
+    "t15_contamination_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.TextOps.contaminationReport(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", k = 8, minRatio = 0.2)
+        .orderBy(col("bench_id"))
+    }),
+
     // ── Bloom-filter decontamination: same output as t01, at-scale
     //    shape — benchmark grams → broadcast Bloom filter, map-side
     //    probe over the train corpus (no false negatives), exact gram

@@ -151,6 +151,39 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Eval-contamination report (beyond reference, t15): the REVERSE
+    * direction of [[contamination]] — instead of finding train docs to
+    * drop, measure how contaminated each BENCHMARK doc is: of its
+    * distinct k-grams, what fraction appears anywhere in the train
+    * corpus. This is the standard "X% of the eval set is contaminated"
+    * disclosure that accompanies LLM releases; `contaminated` flags
+    * docs at/above `minRatio`.
+    *
+    * Scale shape: the train side collapses to DISTINCT GRAMS (a
+    * map-side-combinable agg — train doc identity is irrelevant here,
+    * which is what makes this cheaper than t01's pair join), then ONE
+    * gram-keyed left join against the benchmark grams and a per-bench
+    * agg. At 100 TB, map-side-prune the train gram frame with the
+    * benchmark Bloom filter first (the [[bloomContamination]] shape —
+    * false positives die in the exact join, so the report stays
+    * exact). */
+  def contaminationReport(train: DataFrame, bench: DataFrame, id: String,
+                          text: String, k: Int = 8,
+                          minRatio: Double = 0.2): DataFrame = {
+    val bg = shingles(bench, id, text, k).withColumnRenamed(id, "bench_id")
+    val tg = shingles(train, id, text, k)
+      .select(col("shingle")).distinct()
+      .withColumn("_hit", lit(1))
+    bg.join(tg, Seq("shingle"), "left")
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_shared"))
+      .withColumn("contamination",
+        round(col("n_shared") / col("n_grams"), 6))
+      .withColumn("contaminated",
+        (col("contamination") >= minRatio).cast("int"))
+  }
+
   /** Bloom-filter decontamination (beyond reference): the at-scale
     * variant of [[contamination]]. The inverted-index join shuffles
     * EVERY distinct train gram; on a 100 TB train corpus that shuffle

@@ -381,6 +381,33 @@ class TextLmPackSpec extends AnyFunSuite {
       s"rules should both keep and drop on the fixture: $keeps")
   }
 
+  test("t15 contaminationReport: contained bench doc scores 1.0, " +
+       "disjoint scores 0.0, partial in between") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (2L, (30 to 45).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, (5 to 16).map(i => s"w$i").mkString(" ")),   // fully inside train doc 1
+      (11L, (100 to 115).map(i => s"x$i").mkString(" ")), // disjoint
+      (12L, ((13 to 24).map(i => s"w$i") ++ Seq("zz")).mkString(" "))) // partial
+      .toDF("doc_id", "text")
+    val rep = TextOps.contaminationReport(train, bench, "doc_id", "text",
+        k = 8, minRatio = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getInt(4))).toMap
+    assert(rep(10L) === ((1.0, 1)), rep.toString)
+    assert(rep(11L) === ((0.0, 0)), rep.toString)
+    assert(rep(12L)._1 > 0.0 && rep(12L)._1 < 1.0, rep.toString)
+    // plan: the train side must collapse to distinct grams (aggregate),
+    // and the gram join must be an equi-join — no cartesian
+    val p = SparkEntry.queries("t15_contamination_report")(
+      spark, SparkSpec.sfDir).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("Aggregate"), "train grams must dedup via agg")
+  }
+
   test("t13 token-budget plan: map-side epoch fan-out — no join, no " +
        "window, no shuffle wider than the sort") {
     val df = SparkEntry.queries("t13_token_budget_mixture")(
