@@ -48,6 +48,52 @@ object OracleSql {
     * exactly, so both engines see bit-identical plane weights). */
   private def planeLit(p: Array[Double]): String = "[" + p.mkString(",") + "]"
 
+  private val s04Sql: String = {
+      val cents = graft.sim.IvfCodebook.K16
+      val ivfD = "[" + cents.map(c =>
+        s"(${c.map(x => x * x).sum} - 2.0*list_inner_product(v, ${planeLit(c)}))")
+        .mkString(",\n   ") + "]"
+      val ivfS = "[" + cents.zipWithIndex.map { case (c, i) =>
+        s"{'d': (${c.map(x => x * x).sum} - 2.0*list_inner_product(v, ${planeLit(c)})), 'cid': $i}"
+      }.mkString(",\n   ") + "]"
+      val cb = graft.sim.PqCodebook.M8K16
+      val m = cb.length; val ks = cb(0).length; val sub = cb(0)(0).length
+      def sl(mi: Int) = s"v[${mi * sub + 1}:${(mi + 1) * sub}]"
+      val codeCols = (0 until m).map { mi =>
+        val dl = "[" + cb(mi).map(c =>
+          s"(${c.map(x => x * x).sum} - 2.0*list_inner_product(${sl(mi)}, ${planeLit(c)}))")
+          .mkString(",\n      ") + "]"
+        s"(list_position($dl, list_aggregate($dl, 'min')) - 1) AS code$mi"
+      }
+      val lut = "[" + (0 until m).flatMap(mi => cb(mi).map(c =>
+        s"list_inner_product(${sl(mi)}, ${planeLit(c)})")).mkString(",\n      ") + "]"
+      val adc = (0 until m).map(mi => s"lut[code$mi + ${mi * ks + 1}]").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |             list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS neighbor_id, v AS cv, n AS cn,
+         |        (list_position(dl, list_aggregate(dl, 'min')) - 1) AS cid,
+         |        ${codeCols.mkString(",\n        ")}
+         |      FROM (SELECT vec_id, v, n, $ivfD AS dl FROM e) t),
+         |q AS (SELECT vec_id AS query_id, qv, qn, lut,
+         |        unnest(list_transform((list_sort(sl))[1:10], x -> x.cid)) AS cid
+         |      FROM (SELECT vec_id, v AS qv, n AS qn, $lut AS lut, $ivfS AS sl
+         |            FROM e WHERE vec_id < 5) t),
+         |sc AS (SELECT query_id, neighbor_id, qv, cv, qn, cn,
+         |         round($adc, 5) AS adc
+         |       FROM c JOIN q USING (cid) WHERE query_id <> neighbor_id),
+         |sh AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY adc DESC, neighbor_id) AS ark FROM sc),
+         |rr AS (SELECT query_id, neighbor_id,
+         |         round(list_inner_product(qv,cv)/sqrt(qn*cn), 5) AS cosine
+         |       FROM sh WHERE ark <= 160)
+         |SELECT query_id, neighbor_id, cosine, rk::INT AS rk FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY cosine DESC, neighbor_id) AS rk FROM rr) t
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+  }
+
+
   /** Sign-LSH bucket expression over DOUBLE[] column `v` for the given
     * literal planes — mirrors [[graft.sim.Similarity.signBuckets]]
     * (bit i set when dot(v, plane_i) >= 0). */
@@ -2600,50 +2646,13 @@ object OracleSql {
 
     // IVF-PQ: s02's probing (nProbe smallest (d, cid) structs) composed
     // with s03's codes/LUT/ADC scan and exact rerank
-    "s04_ivfpq_ann" -> {
-      val cents = graft.sim.IvfCodebook.K16
-      val ivfD = "[" + cents.map(c =>
-        s"(${c.map(x => x * x).sum} - 2.0*list_inner_product(v, ${planeLit(c)}))")
-        .mkString(",\n   ") + "]"
-      val ivfS = "[" + cents.zipWithIndex.map { case (c, i) =>
-        s"{'d': (${c.map(x => x * x).sum} - 2.0*list_inner_product(v, ${planeLit(c)})), 'cid': $i}"
-      }.mkString(",\n   ") + "]"
-      val cb = graft.sim.PqCodebook.M8K16
-      val m = cb.length; val ks = cb(0).length; val sub = cb(0)(0).length
-      def sl(mi: Int) = s"v[${mi * sub + 1}:${(mi + 1) * sub}]"
-      val codeCols = (0 until m).map { mi =>
-        val dl = "[" + cb(mi).map(c =>
-          s"(${c.map(x => x * x).sum} - 2.0*list_inner_product(${sl(mi)}, ${planeLit(c)}))")
-          .mkString(",\n      ") + "]"
-        s"(list_position($dl, list_aggregate($dl, 'min')) - 1) AS code$mi"
-      }
-      val lut = "[" + (0 until m).flatMap(mi => cb(mi).map(c =>
-        s"list_inner_product(${sl(mi)}, ${planeLit(c)})")).mkString(",\n      ") + "]"
-      val adc = (0 until m).map(mi => s"lut[code$mi + ${mi * ks + 1}]").mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-         |             list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
-         |           FROM embeddings),
-         |c AS (SELECT vec_id AS neighbor_id, v AS cv, n AS cn,
-         |        (list_position(dl, list_aggregate(dl, 'min')) - 1) AS cid,
-         |        ${codeCols.mkString(",\n        ")}
-         |      FROM (SELECT vec_id, v, n, $ivfD AS dl FROM e) t),
-         |q AS (SELECT vec_id AS query_id, qv, qn, lut,
-         |        unnest(list_transform((list_sort(sl))[1:10], x -> x.cid)) AS cid
-         |      FROM (SELECT vec_id, v AS qv, n AS qn, $lut AS lut, $ivfS AS sl
-         |            FROM e WHERE vec_id < 5) t),
-         |sc AS (SELECT query_id, neighbor_id, qv, cv, qn, cn,
-         |         round($adc, 5) AS adc
-         |       FROM c JOIN q USING (cid) WHERE query_id <> neighbor_id),
-         |sh AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |         ORDER BY adc DESC, neighbor_id) AS ark FROM sc),
-         |rr AS (SELECT query_id, neighbor_id,
-         |         round(list_inner_product(qv,cv)/sqrt(qn*cn), 5) AS cosine
-         |       FROM sh WHERE ark <= 160)
-         |SELECT query_id, neighbor_id, cosine, rk::INT AS rk FROM (
-         | SELECT *, row_number() OVER (PARTITION BY query_id
-         |   ORDER BY cosine DESC, neighbor_id) AS rk FROM rr) t
-         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
-    },
+    "s04_ivfpq_ann" -> s04Sql,
+
+    // indexed IVF-PQ serves the SAME results from a persisted
+    // partitioned index (pruning changes I/O, never values) — so the
+    // oracle is identical to s04's (the t01/t06 precedent)
+    "s05_ivfpq_indexed" -> s04Sql,
+
 
     "q23_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -832,6 +832,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // ── Indexed IVF-PQ: build the persisted list-partitioned index,
+    //    then serve the s04 query from it — values identical to s04,
+    //    I/O pruned to the probed lists (PartitionFilters) ─────────────
+    "s05_ivfpq_indexed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_idx").toString
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding",
+        graft.sim.IvfCodebook.K16, graft.sim.PqCodebook.M8K16, idxPath)
+      Similarity.ivfPqTopKIndexed(e.filter(col("vec_id") < 5), idxPath,
+          "vec_id", "embedding", graft.sim.IvfCodebook.K16,
+          graft.sim.PqCodebook.M8K16, nProbe = 10, k = 10, overfetch = 16)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // ── G2 fit witness: the block/rescale chain with deterministic
     //    strided starts — the zero-RNG twin of g01's seeded walk, fully
     //    oracle-checkable ────────────────────────────────────────────

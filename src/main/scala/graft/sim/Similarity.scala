@@ -375,6 +375,86 @@ object Similarity {
     rerankExact(queries, corpus, id, vec, shortIds, k, roundTo)
   }
 
+  /** Persist an IVF-PQ index: one map-only pass over the corpus writes
+    * (neighbor_id, codes, cv) parquet PARTITIONED BY the inverted-list
+    * id — the "build the index offline once, serve queries many times"
+    * production shape. Because the list id is the physical partition
+    * key, a query run prunes the scan to its probed lists at the FILE
+    * level (PartitionFilters), so serving cost is
+    * nProbe/nlist of the corpus in I/O, not just in compute; the
+    * encode pass itself never shuffles. */
+  def writeIvfPqIndex(corpus: DataFrame, id: String, vec: String,
+                      centroids: Array[Array[Double]],
+                      codebook: Array[Array[Array[Double]]],
+                      path: String): Unit =
+    corpus.select(col(id).as("neighbor_id"),
+        ivfAssign(col(vec), centroids).as("cid"),
+        pqEncode(col(vec), codebook).as("codes"),
+        col(vec).as("cv"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** IVF-PQ top-k served from a [[writeIvfPqIndex]] index: identical
+    * semantics (and output) to [[ivfPqTopK]], but the corpus is never
+    * re-encoded — the probed-list union is computed from the
+    * driver-bounded query set and pushed as a STATIC partition filter,
+    * so both the ADC scan and the exact rerank read only
+    * |union of probes| / nlist of the index files. */
+  def ivfPqTopKIndexed(queries: DataFrame, indexPath: String, id: String,
+                       vec: String, centroids: Array[Array[Double]],
+                       codebook: Array[Array[Array[Double]]],
+                       nProbe: Int, k: Int, overfetch: Int = 4,
+                       roundTo: Int = 5): DataFrame = {
+    val spark = queries.sparkSession
+    val ks = codebook(0).length
+    val ds = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
+      struct((dot(col(vec), cLit) * -2.0 + lit(c2)).as("d"), lit(i).as("cid"))
+    }
+    val probes = transform(
+      slice(array_sort(array(ds: _*)), 1, nProbe), s => s.getField("cid"))
+    // no persist/checkpoint: the query side is driver-bounded by
+    // contract, so recomputing its probe lists for the collect and the
+    // two broadcasts is cheaper than materialization — and keeping the
+    // lineage intact lets callers audit the pruned index scan
+    val q = queries.select(col(id).as("query_id"),
+      pqLut(col(vec), codebook).as("lut"), explode(probes).as("cid"))
+    // queries are the driver-bounded side by contract — the probed-list
+    // union is |queries|·nProbe ints at most, safe to collect, and a
+    // LITERAL isin filter prunes index partitions at plan time (no
+    // runtime DPP dependency)
+    val probedCids = q.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("cid").isin(probedCids.map(Integer.valueOf): _*))
+    val adc = graft.functions.AdcSum(col("lut"), col("codes"), ks)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortIds = idx.select(col("neighbor_id"), col("cid"), col("codes"))
+      .join(broadcast(q), "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), round(adc, roundTo).as("adc"))
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank against the SAME pruned index scan: the shortlist
+    // can only name vectors from probed lists, so no second corpus pass
+    val qv = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      dot(col(vec), col(vec)).as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    idx.select(col("neighbor_id"), col("cv"))
+      .join(broadcast(shortIds), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cn", dot(col("cv"), col("cv")))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")), roundTo))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+  }
+
   /** Near-dup pairs within explicit blocks, ADDITIONALLY multi-band
     * sign-LSH banded: the join key is (block, band, bucket), bounding
     * each pair group to vectors that agree on one band's full sign

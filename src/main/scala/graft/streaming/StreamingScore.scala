@@ -84,6 +84,21 @@ object StreamingScore {
         .filter(col("q_prob").isNull || col("q_prob") >= minQProb))
     }
 
+  /** Streaming t14: Gopher rule gate per micro-batch. The rules are
+    * pure per-doc aggregates over the doc's own tokens — no model, no
+    * corpus state — so the stream applies the batch
+    * [[graft.text.TextOps.gopherRules]] verbatim and keeps docs with
+    * keep == 1. Zero streaming state. */
+  def gopherRuleFilter(docs: DataFrame, id: String, text: String,
+                       minStopwords: Int = 2)
+                      (sink: DataFrame => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val keepIds = graft.text.TextOps
+        .gopherRules(batch, id, text, minStopwords = minStopwords)
+        .filter(col("keep") === 1).select(col(id))
+      sink(batch.join(keepIds, Seq(id)))
+    }
+
   /** Streaming t12: perplexity-bucket sampling against a frozen LM and
     * FROZEN bucket edges (both computed once from static planning
     * corpora — [[graft.text.TextOps.lmTrain]] +

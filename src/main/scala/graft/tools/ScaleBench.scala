@@ -127,7 +127,8 @@ object ScaleBench {
     "d04_embed_dedup_clusters", "a07_sample_per_key",
     "m01_multimodal_decode", "m02_multimodal_features",
     "q23_ann_topk", "q24_embed_neardup_blocked",
-    "s01_lsh_ann", "s02_ivf_ann", "s03_pq_ann", "s04_ivfpq_ann")
+    "s01_lsh_ann", "s02_ivf_ann", "s03_pq_ann", "s04_ivfpq_ann",
+    "s05_ivfpq_indexed")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

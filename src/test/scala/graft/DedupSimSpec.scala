@@ -221,6 +221,41 @@ class DedupSimSpec extends AnyFunSuite {
     assert(ivfpq.subsetOf(ivf), "IVF-PQ returned a non-probed candidate")
   }
 
+  test("indexed IVF-PQ: identical output to s04, scan pruned to the " +
+       "probed partitions (s05 contract)") {
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_idx_spec").toString
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
+      graft.sim.IvfCodebook.K16, graft.sim.PqCodebook.M8K16, idxPath)
+    // the index layout is one directory per inverted list
+    val parts = new java.io.File(idxPath).listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).toSet
+    assert(parts.nonEmpty && parts.size <= 16, parts.toString)
+    val indexed = Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") < 5),
+      idxPath, "vec_id", "embedding", graft.sim.IvfCodebook.K16,
+      graft.sim.PqCodebook.M8K16, nProbe = 10, k = 10, overfetch = 16)
+    val direct = Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", graft.sim.IvfCodebook.K16,
+      graft.sim.PqCodebook.M8K16, nProbe = 10, k = 10, overfetch = 16)
+    // indexing changes I/O, never values
+    assert(indexed.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet ===
+      direct.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet)
+    // the probed-list union is a STATIC partition filter: with 5
+    // queries × nProbe=10 of 16 lists the union is almost always a
+    // strict subset, and the filter must reach the file index
+    val p = Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") < 5),
+        idxPath, "vec_id", "embedding", graft.sim.IvfCodebook.K16,
+        graft.sim.PqCodebook.M8K16, nProbe = 2, k = 10, overfetch = 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cid#") ||
+      p.contains("PartitionFilters: [isnotnull(cid#") ||
+      (p.contains("PartitionFilters") && p.contains("cid")),
+      s"probed lists must prune at the file level:\n${p.take(4000)}")
+  }
+
   test("IVF ANN: probed top-k overlaps brute-force top-k (s02 contract)") {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
     def recallOf(cents: Array[Array[Double]]): (Set[(Long, Long)], Double) = {

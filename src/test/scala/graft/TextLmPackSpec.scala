@@ -381,6 +381,22 @@ class TextLmPackSpec extends AnyFunSuite {
       s"rules should both keep and drop on the fixture: $keeps")
   }
 
+  test("streaming gopher-rule filter matches the batch gate across " +
+       "micro-batches (t14 twin)") {
+    val (docs, stream) = docsIn4Batches()
+    val batchKept = docs
+      .join(TextOps.gopherRules(docs, "doc_id", "text", minStopwords = 1)
+        .filter($"keep" === 1).select("doc_id"), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val buf = scala.collection.mutable.Set.empty[Long]
+    runFilter(graft.streaming.StreamingScore.gopherRuleFilter(
+        stream, "doc_id", "text", minStopwords = 1) { b =>
+      buf.synchronized { buf ++= b.select("doc_id").collect().map(_.getLong(0)) }
+    })
+    assert(buf.nonEmpty && buf.size < docs.count())
+    assert(buf.toSet === batchKept)
+  }
+
   test("t15 contaminationReport: contained bench doc scores 1.0, " +
        "disjoint scores 0.0, partial in between") {
     val s = spark
