@@ -3228,6 +3228,37 @@ object OracleSql {
         .replace("__PAIRS__", d01PairsSql)
     },
 
+    // keep-best-of-cluster dedup: d03's reachability closure + q19's
+    // quality score, election by (q DESC, doc_id) per cluster;
+    // unclustered docs are their own singleton cluster
+    "d07_dedup_keep_best" -> {
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (__PAIRS__) p0),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs) n),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+         |t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         |q AS (SELECT doc_id,
+         |        round(sum(CASE WHEN token IN ($stopList) THEN 1 ELSE 0 END)::DOUBLE / count(*) * 0.5
+         |            + count(DISTINCT token)::DOUBLE / count(*) * 0.5, 6) AS q
+         |      FROM t GROUP BY doc_id),
+         |wc AS (SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id, q.q
+         |       FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+         |       JOIN q ON q.doc_id = d.doc_id)
+         |SELECT doc_id, cluster_id, q,
+         |  (row_number() OVER (PARTITION BY cluster_id
+         |     ORDER BY q DESC, doc_id) = 1)::INT AS kept
+         |FROM wc ORDER BY doc_id""".stripMargin
+        .replace("__PAIRS__", d01PairsSql)
+    },
+
     // SimHash: 60-bit portable signature, 4 rotated 15-bit bands
     // (recall 100% for hamming <= 3 by pigeonhole), bit_count(xor) verify
     "d02_simhash_pairs" ->

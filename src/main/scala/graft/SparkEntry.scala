@@ -613,6 +613,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Keep-best-of-cluster dedup: d03's MinHash clusters, but the
+    //    election is by q19 quality score (ties → min id) — dedup and
+    //    quality filtering composed, one keyed window election ──────────
+    "d07_dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", k = 5,
+        numPerm = 64, bands = 16, threshold = 0.5)
+      val q = graft.text.TextOps.tokenStats(d, "doc_id", "text")
+        .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+      Dedup.dedupKeepBest(d, "doc_id", pairs, q)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── SimHash near-dup (portable 60-bit signature ⇒ oracled) ────────
     "d02_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)

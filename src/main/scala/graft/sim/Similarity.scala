@@ -393,6 +393,25 @@ object Similarity {
         col(vec).as("cv"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
+  /** Incrementally append a corpus slice to a [[writeIvfPqIndex]]
+    * index: the same map-only encode pass in append mode — new files
+    * land inside the existing cid= partition directories, so serving
+    * ([[ivfPqTopKIndexed]]) picks them up with no index rebuild and no
+    * touch of the existing files. The codebooks are FROZEN (the
+    * IvfCodebook/PqCodebook build-time contract), which is exactly what
+    * makes incremental ingest sound: old and new codes live in the
+    * same quantization space. Rebuild only when drift degrades recall
+    * (the production re-train cadence). */
+  def appendIvfPqIndex(corpus: DataFrame, id: String, vec: String,
+                       centroids: Array[Array[Double]],
+                       codebook: Array[Array[Array[Double]]],
+                       path: String): Unit =
+    corpus.select(col(id).as("neighbor_id"),
+        ivfAssign(col(vec), centroids).as("cid"),
+        pqEncode(col(vec), codebook).as("codes"),
+        col(vec).as("cv"))
+      .write.mode("append").partitionBy("cid").parquet(path)
+
   /** IVF-PQ top-k served from a [[writeIvfPqIndex]] index: identical
     * semantics (and output) to [[ivfPqTopK]], but the corpus is never
     * re-encoded — the probed-list union is computed from the

@@ -349,6 +349,33 @@ object Dedup {
     * decrease (monotone min), so the fixpoint is exact, not
     * approximate. If a component still hasn't converged in `maxIters`
     * rounds a warning is logged with the residual changed-label count. */
+  /** Keep-BEST-of-cluster dedup (beyond reference, d07): instead of
+    * d03's keep-first (min id per near-dup cluster), elect the
+    * HIGHEST-QUALITY doc of each cluster — the RefinedWeb-style
+    * selection where dedup and quality filtering compose ("of the N
+    * copies, keep the cleanest"). `score` is any (id, q) frame (the
+    * gate uses q19's quality_score, r6-rounded); ties break to the
+    * smallest id so the election is total. Docs in no cluster are
+    * their own singleton cluster and always keep themselves.
+    *
+    * Scale shape: pair generation is the caller's LSH (linear in
+    * corpus), the closure is [[connectedComponents]]' O(log n)
+    * pointer-jumping, and the election is ONE keyed window over the
+    * docs — cluster sizes bound the window groups, nothing pairwise. */
+  def dedupKeepBest(df: DataFrame, id: String, pairs: DataFrame,
+                    score: DataFrame, scoreCol: String = "q"): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("id").as(id), col("cluster"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(id).asc)
+    df.select(col(id))
+      .join(comp, Seq(id), "left")
+      .withColumn("cluster_id", coalesce(col("cluster"), col(id)))
+      .join(score, Seq(id))
+      .withColumn("kept", (row_number().over(w) === 1).cast("int"))
+      .select(col(id), col("cluster_id"), col(scoreCol), col("kept"))
+  }
+
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIters: Int = 20,

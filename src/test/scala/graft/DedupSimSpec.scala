@@ -221,6 +221,27 @@ class DedupSimSpec extends AnyFunSuite {
     assert(ivfpq.subsetOf(ivf), "IVF-PQ returned a non-probed candidate")
   }
 
+  test("d07 dedupKeepBest: election is by score not id; singletons " +
+       "keep themselves") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    // doc 3 has the best score — keep-first would have elected doc 1
+    val q = Seq((1L, 0.2), (2L, 0.5), (3L, 0.9), (9L, 0.1)).toDF("doc_id", "q")
+    val out = graft.text.Dedup.dedupKeepBest(docs, "doc_id", pairs, q)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(3))).toMap
+    assert(out(1L) === ((1L, 0)) && out(2L) === ((1L, 0)),
+      s"cluster losers: $out")
+    assert(out(3L) === ((1L, 1)), s"best-score doc must win: $out")
+    assert(out(9L) === ((9L, 1)), s"singleton keeps itself: $out")
+    // tie on score → min id wins
+    val qt = Seq((1L, 0.5), (2L, 0.5), (3L, 0.5), (9L, 0.1)).toDF("doc_id", "q")
+    val tied = graft.text.Dedup.dedupKeepBest(docs, "doc_id", pairs, qt)
+      .filter($"kept" === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tied === Set(1L, 9L), tied.toString)
+  }
+
   test("indexed IVF-PQ: identical output to s04, scan pruned to the " +
        "probed partitions (s05 contract)") {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
@@ -254,6 +275,33 @@ class DedupSimSpec extends AnyFunSuite {
       p.contains("PartitionFilters: [isnotnull(cid#") ||
       (p.contains("PartitionFilters") && p.contains("cid")),
       s"probed lists must prune at the file level:\n${p.take(4000)}")
+  }
+
+  test("indexed IVF-PQ: incremental append serves identically to a " +
+       "full rebuild") {
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_idx_append").toString
+    // build on the even half, append the odd half — frozen codebooks
+    // put both halves in the same quantization space
+    Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", graft.sim.IvfCodebook.K16,
+      graft.sim.PqCodebook.M8K16, idxPath)
+    Similarity.appendIvfPqIndex(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", graft.sim.IvfCodebook.K16,
+      graft.sim.PqCodebook.M8K16, idxPath)
+    val appended = Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") < 5),
+        idxPath, "vec_id", "embedding", graft.sim.IvfCodebook.K16,
+        graft.sim.PqCodebook.M8K16, nProbe = 10, k = 10, overfetch = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", graft.sim.IvfCodebook.K16,
+        graft.sim.PqCodebook.M8K16, nProbe = 10, k = 10, overfetch = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(appended === direct,
+      "append must serve the same results as encoding the full corpus")
   }
 
   test("IVF ANN: probed top-k overlaps brute-force top-k (s02 contract)") {
