@@ -327,7 +327,8 @@ object Cli {
     *
     * Flags: --input_docs <parquet|csv> --output <dir>
     *   [--benchmark_docs p] [--doc_id_col doc_id] [--text_col text]
-    *   [--near_threshold 0.8] [--max_rep_ratio 0.5] [--min_tokens 10]
+    *   [--near_threshold 0.8] [--keep_best true]
+    *   [--max_rep_ratio 0.5] [--min_tokens 10]
     *   [--langs en,es] [--gopher_min_stop N]
     *   [--max_per_source N --source_col c]
     *   [--mixture_target src0:0.5,src1:0.5 --source_col c]
@@ -365,8 +366,17 @@ object Cli {
     val pairs = Dedup.minhashLshPairs(exact, id, text, k = 5, numPerm = 64,
       bands = 16,
       threshold = cfg.strOpt("near_threshold").map(_.toDouble).getOrElse(0.8))
-    val nearDrop = Dedup.connectedComponents(pairs)
-      .filter(col("id") =!= col("cluster")).select(col("id").as(id))
+    // --keep_best: elect each cluster's keeper by q19 quality (d07)
+    // instead of the default keep-first (min id, d03)
+    val nearDrop =
+      if (cfg.strOpt("keep_best").contains("true")) {
+        val q = TextOps.tokenStats(exact, id, text)
+          .select(col(id), round(col("quality_score"), 6).as("q"))
+        Dedup.dedupKeepBest(exact, id, pairs, q)
+          .filter(col("kept") === 0).select(col(id))
+      } else
+        Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("cluster")).select(col("id").as(id))
     val deduped = exact.join(nearDrop, Seq(id), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n2 = deduped.count()

@@ -514,6 +514,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(straddlers === 0L, "epoch copies must not straddle splits")
   }
 
+  test("CLI curate --keep_best: the cluster survivor is the " +
+       "quality-best doc, not the min id") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftkb").toString
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    // docs 1 and 2 are near-dups; 2 has the better q19 quality (two
+    // stopwords lift stop_ratio; ttr stays 1.0 on both)
+    val docs = Seq(
+      (1L, s"$base zz"),
+      (2L, s"$base the of"),
+      (3L, (100 to 140).map(i => s"x$i").mkString(" "))).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    def survivors(keepBest: Boolean): Set[Long] = {
+      val out = s"$dir/chunks_$keepBest"
+      Cli.run(spark, GraftConfig.defaults ++ Map(
+        "mode" -> "curate",
+        "input_docs" -> s"$dir/docs",
+        "near_threshold" -> "0.5",
+        "chunk_window" -> "400", "chunk_stride" -> "300",
+        "output" -> out, "metrics_out" -> s"$dir/funnel_$keepBest.json") ++
+        (if (keepBest) Map("keep_best" -> "true") else Map.empty))
+      spark.read.parquet(out).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    }
+    assert(survivors(keepBest = false) === Set(1L, 3L))
+    assert(survivors(keepBest = true) === Set(2L, 3L))
+  }
+
   test("metrics JSON shape: multi-record evaluators emit an array even " +
        "for a single record") {
     val s = spark
