@@ -131,6 +131,22 @@ object ScaleBench {
     "s01_lsh_ann", "s02_ivf_ann", "s03_pq_ann", "s04_ivfpq_ann",
     "s05_ivfpq_indexed")
 
+  /** Fifth axis: document LENGTH. Real corpora span 100× in
+    * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
+    * fixed and makes every doc `factor`× longer — each doc's text
+    * becomes the concatenation of `factor` alphabet-rotated copies
+    * (rotation is a bijection, so within-copy token/shingle structure
+    * is preserved while cross-copy shingles stay distinct — the
+    * repetition/dup scores don't degenerate the way naive text
+    * repetition would). The token-linear text ops (stats, chunking,
+    * packing, LM scoring, span frames) should all ride ~linearly; a
+    * superlinear cell is a per-doc materialization bug. */
+  val DocLenQueries: Seq[String] = Seq(
+    "q19_token_stats", "q22_doc_fingerprint", "t02_repetition",
+    "t03_pii_redact", "t04_chunk", "t05_tfidf_topk", "t07_bpe_tokens",
+    "t08_lm_score", "t09_pack_sequences", "t13_token_budget_mixture",
+    "t14_gopher_rules", "d05_span_dedup", "d06_fuzzy_span_dedup")
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -209,6 +225,21 @@ object ScaleBench {
       }
       v.withColumn("embedding", flatten(array(tiles: _*)))
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    } else if (family == "doclen") {
+      // document-length scaling: same doc ids, text = factor
+      // alphabet-rotated copies concatenated (see DocLenQueries doc)
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      val d = graft.core.Tables.documents(spark, src)
+      val copies = (0 until factor).map { i =>
+        val sh = i % 26
+        val rot = lower.drop(sh) + lower.take(sh) +
+          upper.drop(sh) + upper.take(sh)
+        translate(col("text"), lower + upper, rot)
+      }
+      d.withColumn("text", concat_ws(" ", copies: _*))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
     } else if (family == "length") {
       // series-length replication: same user_id, ts shifted by a full
       // span+1h per copy (disjoint time ranges, order preserved),
@@ -252,6 +283,7 @@ object ScaleBench {
 
     val gateQueries = family match {
       case "docs"   => DocQueries
+      case "doclen" => DocLenQueries
       case "length" => LengthQueries
       case "dim"    => DimQueries
       case _        => PerSeriesQueries
@@ -324,6 +356,7 @@ object ScaleBench {
             seed = 7L)))
     val jsonOut = family match {
       case "docs"   => "BENCH_SF1_DOCS.json"
+      case "doclen" => "BENCH_SF1_DOCLEN.json"
       case "length" => "BENCH_SF1_LEN.json"
       case "dim"    => "BENCH_SF1_DIM.json"
       case _        => "BENCH_SF1.json"

@@ -305,6 +305,36 @@ native expression cut s01x's base wall 7.4s -> 1.7s.
                             f"| {r['ratio']:.2f} |\n")
             except (ValueError, KeyError) as e:
                 f.write(f"\n(BENCH_SF1_DOCS.json unreadable: {e})\n")
+        # 10x document-LENGTH scale experiment (graft.tools.ScaleBench ...
+        # doclen): same doc count, each doc 10x the tokens
+        dlpath = os.path.join(ROOT, "BENCH_SF1_DOCLEN.json")
+        if os.path.exists(dlpath):
+            try:
+                dldata = json.load(open(dlpath))
+                factor = dldata.get("factor")
+                f.write(f"""
+## {factor}x document-LENGTH scale run (`graft.tools.ScaleBench ... doclen`)
+
+sf0.1 documents with the doc COUNT fixed and every doc {factor}x
+longer: each text is the concatenation of {factor} alphabet-rotated
+copies (rotation is a bijection on letters, so within-copy
+token/shingle structure is preserved while cross-copy shingles stay
+distinct -- repetition and span-dup scores do not degenerate the way
+naive text repetition would). This is the text-side twin of the
+series-length axis: real corpora span ~100x in tokens-per-doc (tweets
+vs books), and the token-linear ops (stats, chunking, packing, LM
+scoring, the d05/d06 span frames) must ride ~linearly in doc length.
+A far-over-{factor} ratio is a per-doc materialization bug. Min-of-2
+walls per cell, local[32].
+
+| query | sf0.1 s | x{factor} s | ratio |
+|---|---|---|---|
+""")
+                for q, r in sorted(dldata.get("queries", {}).items()):
+                    f.write(f"| {q} | {r['base_sec']:.2f} | {r['scaled_sec']:.2f} "
+                            f"| {r['ratio']:.2f} |\n")
+            except (ValueError, KeyError) as e:
+                f.write(f"\n(BENCH_SF1_DOCLEN.json unreadable: {e})\n")
         # 10x series-LENGTH scale experiment (graft.tools.ScaleBench ...
         # length): same series, 10x the rows each
         lpath2 = os.path.join(ROOT, "BENCH_SF1_LEN.json")
