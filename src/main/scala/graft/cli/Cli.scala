@@ -326,6 +326,9 @@ object Cli {
     *   plus a per-stage funnel-count metrics JSON.
     *
     * Flags: --input_docs <parquet|csv> --output <dir>
+    *   [--incremental_from priorOut]  (drop docs already processed by
+    *     the PRIOR run via its _seen register; every run writes
+    *     <output>_seen.parquet so increments chain)
     *   [--benchmark_docs p] [--doc_id_col doc_id] [--text_col text]
     *   [--near_threshold 0.8] [--keep_best true]
     *   [--max_rep_ratio 0.5] [--min_tokens 10]
@@ -347,7 +350,25 @@ object Cli {
       else spark.read.parquet(p)
     val id = cfg.strOpt("doc_id_col").getOrElse("doc_id")
     val text = cfg.strOpt("text_col").getOrElse("text")
-    val docs = load(cfg.str("input_docs")).select(col(id), col(text))
+    val docs0 = load(cfg.str("input_docs")).select(col(id), col(text))
+    // --incremental_from PRIOR: the daily-increment shape — drop docs
+    // whose text md5 (or id) was already processed by the PRIOR curate
+    // run, via its _seen register (cross-increment keep-first: the
+    // first increment's copy won). Every curate run writes its own
+    // register = the prior one (if any) ∪ this run's exact-dedup
+    // survivors, so increments chain. All downstream hash-keyed stages
+    // (splits, samples, mixtures) are append-stable by construction —
+    // an increment can never reassign an earlier doc's split.
+    val seenPath = cfg.strOpt("incremental_from").map(p => s"${p}_seen.parquet")
+    val docs = seenPath match {
+      case Some(p) =>
+        val seen = spark.read.parquet(p)
+        docs0
+          .join(seen.select(col("text_md5")), md5(col(text)) === col("text_md5"),
+            "left_anti")
+          .join(seen.select(col("seen_id").as(id)), Seq(id), "left_anti")
+      case None => docs0
+    }
     val n0 = docs.count()
     // fail fast on non-integral doc ids (CSV reads ids as strings): the
     // near-dup cluster stage casts ids to long — a ticker-style id would
@@ -566,6 +587,19 @@ object Cli {
     packed.write.mode("overwrite").partitionBy("split")
       .parquet(cfg.str("output"))
     val nChunks = spark.read.parquet(cfg.str("output")).count()
+
+    // the seen register this output offers to the NEXT increment:
+    // prior register (if chaining) ∪ this run's exact-dedup survivors.
+    // (seen_id, text_md5) is ~24 bytes per unique doc — join-keyed
+    // distributed state, never driver-sized.
+    val ownSeen = exact.select(col(id).cast("long").as("seen_id"),
+      md5(col(text)).as("text_md5"))
+    val allSeen = seenPath match {
+      case Some(p) => spark.read.parquet(p).unionByName(ownSeen).distinct()
+      case None    => ownSeen
+    }
+    allSeen.write.mode("overwrite")
+      .parquet(s"${cfg.str("output")}_seen.parquet")
 
     val s = spark
     import s.implicits._

@@ -543,6 +543,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors(keepBest = true) === Set(2L, 3L))
   }
 
+  test("CLI curate --incremental_from: increments union to the full " +
+       "run; cross-increment duplicates processed once") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftinc").toString
+    def mkDoc(i: Long) =
+      (i, (0 to 15).map(j => s"tok${i}x$j").mkString(" "))
+    // half2 plants doc 60 with doc 10's TEXT (cross-increment dup) and
+    // re-sends doc 11 under its own id (already-seen id)
+    val half1 = ((1L to 20L).map(mkDoc)).toDF("doc_id", "text")
+    val half2 = ((21L to 40L).map(mkDoc) :+ (60L, mkDoc(10L)._2) :+ mkDoc(11L))
+      .toDF("doc_id", "text")
+    half1.write.mode("overwrite").parquet(s"$dir/half1")
+    half2.write.mode("overwrite").parquet(s"$dir/half2")
+    half1.unionByName(half2).write.mode("overwrite").parquet(s"$dir/full")
+    def curate(in: String, out: String, from: Option[String]): Set[Long] = {
+      Cli.run(spark, GraftConfig.defaults ++ Map(
+        "mode" -> "curate",
+        "input_docs" -> s"$dir/$in",
+        // >1 threshold: no LSH band can reach it, so the near-dup stage
+        // passes everything and per-doc determinism makes increments
+        // compose exactly
+        "near_threshold" -> "1.01",
+        "chunk_window" -> "400", "chunk_stride" -> "300",
+        "output" -> s"$dir/$out",
+        "metrics_out" -> s"$dir/$out.funnel.json") ++
+        from.map(f => Map("incremental_from" -> s"$dir/$f")).getOrElse(Map.empty))
+      spark.read.parquet(s"$dir/$out").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    }
+    val inc1 = curate("half1", "out1", None)
+    val inc2 = curate("half2", "out2", Some("out1"))
+    val full = curate("full", "outFull", None)
+    // the planted dup (60) and re-sent id (11) are dropped in increment 2
+    assert(!inc2.contains(60L) && !inc2.contains(11L), inc2.toString)
+    assert(inc1.intersect(inc2).isEmpty)
+    assert(inc1.union(inc2) === full,
+      s"increments must union to the full run: ${inc1.union(inc2)} vs $full")
+    // the chained register covers both increments
+    val seen = spark.read.parquet(s"$dir/out2_seen.parquet")
+      .select("seen_id").collect().map(_.getLong(0)).toSet
+    assert((1L to 40L).toSet.subsetOf(seen), seen.toString)
+  }
+
   test("metrics JSON shape: multi-record evaluators emit an array even " +
        "for a single record") {
     val s = spark
