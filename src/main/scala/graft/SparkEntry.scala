@@ -756,6 +756,24 @@ object SparkEntry {
         .orderBy(col("avg_score"), col("config_id"))
     }),
 
+    // ── §2.12 grid search with early seed-stopping (the reference's
+    //    optimize_hybrid shape), batch two-phase: probe seeds for every
+    //    config in one job, remaining seeds only for configs within
+    //    margin of the global probe best. Rows-only like o01 (the
+    //    per-candidate fitness math is the o01f hash-green witness) ─────
+    "o02_grid_earlystop" -> ((s, dir) => {
+      val rets = logret(s, dir).filter(col("ret").isNotNull)
+        .orderBy(col("ts"), col("event_id")).limit(5000)
+        .select(col("ret")).collect().map(_.getDouble(0))
+      graft.opt.SweepOptimizer.gridSearchEarlyStop(s, rets,
+        nBinsChoices = Seq(5, 8, 10, 15), smoothChoices = Seq(0.0, 0.2, 0.5),
+        seeds = Seq(1L, 2L, 3L, 4L), genN = 500)
+        .select(col("config_id"), col("n_bins"), col("smooth"),
+          round(col("avg_score"), 6).as("avg_score"), col("n_seeds"),
+          col("early_stopped"))
+        .orderBy(col("avg_score"), col("config_id"))
+    }),
+
     // ── A17/§2.12 TRAINING witness: the sweep's per-candidate fitness —
     //    ONE (config, seed) grasynda-lite fit + walk + composite-lite
     //    score from literal params (LocalFitness.grasyndaWalk +

@@ -211,6 +211,77 @@ object SweepOptimizer {
       .orderBy(col("avg_score"), col("config_id"))
   }
 
+  /** Grid search with early seed-stopping, re-expressed Spark-first
+    * (reference: examples/scripts/optimize_hybrid.py:95-158 — grid
+    * loop, per-config sequential seeds, "after ≥ EARLY_STOP_AFTER
+    * seeds, skip the rest if running avg > best·margin"). The
+    * reference's config loop is inherently sequential (the pruning
+    * threshold is the running global best); a faithful port would
+    * serialize |grid| Spark jobs. The batch shape is TWO jobs:
+    *
+    *  1. probe phase — EVERY config × the first `earlyAfter` seeds in
+    *     one fan-out; per-config running score = the reference's
+    *     early-stop statistic.
+    *  2. full phase — the REMAINING seeds, only for configs whose
+    *     running score ≤ (global probe best)·margin.
+    *
+    * The batch threshold (min over ALL probe scores) is at most the
+    * reference's visit-order best, so batch pruning is at least as
+    * aggressive on exactly the configs the reference would skip —
+    * same intent (don't spend seeds on clearly-bad configs), no
+    * sequential driver loop, and fully deterministic. `early_stopped`
+    * marks pruned configs; their avg_score is the probe average (the
+    * reference reports the same truncated average). */
+  def gridSearchEarlyStop(spark: SparkSession, realReturns: Array[Double],
+                          nBinsChoices: Seq[Int], smoothChoices: Seq[Double],
+                          seeds: Seq[Long], genN: Int,
+                          earlyAfter: Int = 2,
+                          margin: Double = 1.3): DataFrame = {
+    import spark.implicits._
+    require(earlyAfter >= 1 && earlyAfter <= seeds.size,
+      s"earlyAfter must be in [1, ${seeds.size}]")
+    val configs = (for { nb <- nBinsChoices; sm <- smoothChoices }
+      yield (nb, sm)).zipWithIndex.map { case ((nb, sm), i) => (i, nb, sm) }
+    val bc = spark.sparkContext.broadcast(realReturns)
+    def run(tasks: Seq[(Int, Int, Double, Long)]): DataFrame =
+      tasks.toDF("config_id", "n_bins", "smooth", "seed")
+        .repartition(math.min(math.max(tasks.size, 1), 64))
+        .as[(Int, Int, Double, Long)]
+        .map { case (id, nb, sm, s) =>
+          (id, nb, sm, s, LocalFitness.grasyndaScore(bc.value, nb, sm, genN, s))
+        }
+        .toDF("config_id", "n_bins", "smooth", "seed", "score")
+    val probeSeeds = seeds.take(earlyAfter)
+    val restSeeds = seeds.drop(earlyAfter)
+    val probe = run(for { (id, nb, sm) <- configs; s <- probeSeeds }
+      yield (id, nb, sm, s))
+      .groupBy(col("config_id"), col("n_bins"), col("smooth"))
+      .agg(sum(col("score")).as("probe_sum"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    val bestProbe = probe.map(_._4 / probeSeeds.size).min
+    val survivors = probe
+      .filter { case (_, _, _, ps) =>
+        ps / probeSeeds.size <= bestProbe * margin }
+      .map { case (id, nb, sm, _) => (id, nb, sm) }
+    val restScores =
+      if (restSeeds.isEmpty || survivors.isEmpty)
+        Map.empty[Int, (Double, Int)]
+      else run(for { (id, nb, sm) <- survivors; s <- restSeeds }
+          yield (id, nb, sm, s))
+        .groupBy(col("config_id"))
+        .agg(sum(col("score")).as("s"), count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2).toInt))
+        .toMap
+    probe.map { case (id, nb, sm, ps) =>
+      val (rs, rn) = restScores.getOrElse(id, (0.0, 0))
+      val n = probeSeeds.size + rn
+      (id, nb, sm, (ps + rs) / n, n, if (rn == 0 && restSeeds.nonEmpty) 1 else 0)
+    }.toDF("config_id", "n_bins", "smooth", "avg_score", "n_seeds",
+        "early_stopped")
+      .orderBy(col("avg_score"), col("config_id"))
+  }
+
   private val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)

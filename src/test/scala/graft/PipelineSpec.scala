@@ -211,6 +211,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("grid search with early seed-stopping: pruned configs spend only " +
+       "probe seeds, survivors get the full set, ranking is exact on " +
+       "survivors") {
+    val rnd = new scala.util.Random(8)
+    var prev = 0.0
+    val rets = Array.fill(2000) {
+      val r = 0.3 * prev + rnd.nextGaussian() * 0.001; prev = r; r
+    }
+    val seeds = Seq(1L, 2L, 3L, 4L)
+    val grid = SweepOptimizer.gridSearchEarlyStop(spark, rets,
+      nBinsChoices = Seq(3, 8, 25), smoothChoices = Seq(0.0, 0.8),
+      seeds = seeds, genN = 400, earlyAfter = 2, margin = 1.1)
+    val rows = grid.collect()
+    assert(rows.length === 6, "every grid config reports a row")
+    val byId = rows.map(r => r.getAs[Int]("config_id") ->
+      (r.getAs[Double]("avg_score"), r.getAs[Int]("n_seeds"),
+        r.getAs[Int]("early_stopped"))).toMap
+    // seed accounting: pruned configs stop at the probe count, the
+    // rest run all seeds; the winner is never pruned
+    assert(byId.values.forall { case (_, n, es) =>
+      (es == 1 && n == 2) || (es == 0 && n == seeds.size) })
+    val best = rows.head
+    assert(best.getAs[Int]("early_stopped") === 0)
+    // a tight margin on a spread-out grid prunes SOMETHING (3 vs 25
+    // bins at smooth extremes scores far apart on AR(1) data)
+    assert(byId.values.exists(_._3 == 1), byId.toString)
+    // survivor averages equal the un-pruned evaluation of the same
+    // config (early stopping changes spend, not survivor math)
+    val fullBest = SweepOptimizer.gridSearchEarlyStop(spark, rets,
+      nBinsChoices = Seq(best.getAs[Int]("n_bins")),
+      smoothChoices = Seq(best.getAs[Double]("smooth")),
+      seeds = seeds, genN = 400, earlyAfter = 2, margin = 1e9)
+      .collect().head
+    assert(math.abs(fullBest.getAs[Double]("avg_score") -
+      best.getAs[Double]("avg_score")) < 1e-12)
+    // determinism
+    val again = SweepOptimizer.gridSearchEarlyStop(spark, rets,
+      nBinsChoices = Seq(3, 8, 25), smoothChoices = Seq(0.0, 0.8),
+      seeds = seeds, genN = 400, earlyAfter = 2, margin = 1.1).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("tournament GA improves or matches random init, honors patience") {
     val rnd = new scala.util.Random(6)
     // AR(1)-ish returns so autocorr matters
