@@ -2869,6 +2869,31 @@ object OracleSql {
     // even ("train") and odd ("benchmark") docs, shared-gram counts >= 5
     "t01_decontaminate" -> t01Sql,
 
+    // hashing-trick doc embeddings: signed feature hashing (h64 mod 64
+    // buckets, sign = bit 20), per-doc L2 normalization, exploded to
+    // (doc_id, j, v) rows; integer weights + IEEE sqrt keep both
+    // engines bit-aligned before the r6 round
+    "t16_hash_embed" -> {
+      val h = h64Sql("token", "'17'")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+         |              FROM documents),
+         |t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         |hb AS (SELECT doc_id, $h AS h FROM t),
+         |w AS (SELECT doc_id, (h % 64)::INT AS b,
+         |        sum(CASE WHEN (h >> 20) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS w
+         |      FROM hb GROUP BY doc_id, (h % 64)::INT),
+         |grid AS (SELECT d.doc_id, j
+         |         FROM (SELECT DISTINCT doc_id FROM t) d
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js),
+         |raw AS (SELECT g.doc_id, g.j, coalesce(w.w, 0.0) AS x
+         |        FROM grid g LEFT JOIN w ON w.doc_id = g.doc_id AND w.b = g.j),
+         |nrm AS (SELECT doc_id, sqrt(sum(x*x)) AS n FROM raw GROUP BY doc_id)
+         |SELECT raw.doc_id, raw.j::INT AS j,
+         |  round(CASE WHEN nrm.n > 0 THEN raw.x / nrm.n ELSE 0.0 END, 6) AS v
+         |FROM raw JOIN nrm ON raw.doc_id = nrm.doc_id
+         |ORDER BY raw.doc_id, j""".stripMargin
+    },
+
     // eval-contamination report: bench-doc 8-gram containment in the
     // train corpus's distinct-gram set; t01's shingle CTE, left join
     "t15_contamination_report" ->

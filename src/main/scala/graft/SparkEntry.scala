@@ -424,6 +424,15 @@ object SparkEntry {
         .orderBy(col("train_id"), col("bench_id"))
     }),
 
+    // ── Hashing-trick doc embeddings: model-free signed feature
+    //    hashing (h64 buckets + independent sign bit, L2-normalized) —
+    //    the text→vector bridge into the ANN/embedding-dedup stack;
+    //    exploded (id, j, v) for the scalar hash-compare ───────────────
+    "t16_hash_embed" -> ((s, dir) => {
+      graft.text.TextOps.hashEmbed(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"), col("j"))
+    }),
+
     // ── Eval-contamination report: per-benchmark-doc fraction of its
     //    8-grams present anywhere in the train corpus — train side
     //    collapses to distinct grams, one gram-keyed left join ──────────

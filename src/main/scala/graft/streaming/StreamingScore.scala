@@ -141,6 +141,41 @@ object StreamingScore {
         salt, eBps))
     }
 
+  /** Streaming t15: eval-contamination report for benchmark docs
+    * ARRIVING AS A STREAM (new eval sets get their contamination
+    * disclosure as they land), against a STATIC train corpus. The
+    * train side collapses to distinct grams ONCE (persisted — it is
+    * the frozen "model" here, gram-keyed distributed state, never
+    * driver-sized); each micro-batch shingles its docs and replays the
+    * batch [[graft.text.TextOps.contaminationReport]] join + agg
+    * verbatim. Per-doc math against constant state → zero streaming
+    * state, batch-identical by construction. */
+  def contaminationReportFilter(trainGrams: DataFrame, bench: DataFrame,
+                                id: String, text: String, k: Int = 8,
+                                minRatio: Double = 0.2)
+                               (sink: DataFrame => Unit): DataStreamWriter[Row] = {
+    trainGrams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bench.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val bg = graft.text.TextOps.shingles(batch, id, text, k)
+        .withColumnRenamed(id, "bench_id")
+      sink(bg.join(trainGrams.withColumn("_hit", lit(1)), Seq("shingle"), "left")
+        .groupBy(col("bench_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_shared"))
+        .withColumn("contamination",
+          round(col("n_shared") / col("n_grams"), 6))
+        .withColumn("contaminated",
+          (col("contamination") >= minRatio).cast("int")))
+    }
+  }
+
+  /** The frozen train-side state for [[contaminationReportFilter]]:
+    * the corpus's distinct k-gram frame. */
+  def trainGramSet(train: DataFrame, id: String, text: String,
+                   k: Int = 8): DataFrame =
+    graft.text.TextOps.shingles(train, id, text, k)
+      .select(col("shingle")).distinct()
+
   /** Streaming documents source (shared layout helper). */
   def documentsStream(spark: org.apache.spark.sql.SparkSession,
                       dir: String): DataFrame =

@@ -151,6 +151,53 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Hashing-trick document embeddings (beyond reference, t16): a
+    * deterministic, model-free text → vector bridge into the
+    * similarity stack (fastText/Vowpal-style signed feature hashing):
+    * bucket = h64(token) mod dim, sign = an independent hash bit,
+    * v[bucket] = Σ sign·tf, L2-normalized. Near-identical docs land at
+    * cosine ≈ 1, unrelated docs near 0 — so the q23/q24/s01–s05 ANN
+    * and embedding-dedup machinery runs on corpora that have NO
+    * pretrained embeddings, with rerun/append-stable vectors.
+    *
+    * Scale shape: one (doc, bucket)-keyed map-side-combinable agg,
+    * then a per-doc map-assemble — no joins, no windows; dim is a
+    * constant. Output is (id, j, v) EXPLODED (one row per coordinate,
+    * r6) so the driver's scalar hash-compare applies; zip back with
+    * [[hashEmbedVectors]] for the array form the sim/ stack takes. */
+  def hashEmbed(df: DataFrame, id: String, text: String, dim: Int = 64,
+                salt: Int = 17): DataFrame =
+    hashEmbedVectors(df, id, text, dim, salt)
+      .select(col(id), posexplode(col("embedding")).as(Seq("j", "v")))
+
+  /** The array-valued form of [[hashEmbed]]: (id, embedding
+    * array<double>), L2-normalized, r6 per coordinate. */
+  def hashEmbedVectors(df: DataFrame, id: String, text: String,
+                       dim: Int = 64, salt: Int = 17): DataFrame = {
+    val h = Dedup.h64(col("token"), salt).cast("long")
+    val bucket = pmod(h, lit(dim.toLong)).cast("int")
+    // sign from a bucket-independent bit (h >> 20): balanced hashing
+    // keeps collisions unbiased (the signed hashing-trick estimator).
+    // shiftright, NOT double division — h is 60-bit, past the 2^53
+    // double mantissa, so floor(h/2^20) would disagree with the
+    // oracle's integer division on the low bits
+    val sign = when(pmod(shiftright(h, 20), lit(2L)) === 0, 1.0)
+      .otherwise(-1.0)
+    val w = tokens(df, text)
+      .select(col(id), bucket.as("b"), sign.as("s"))
+      .groupBy(col(id), col("b")).agg(sum(col("s")).as("w"))
+    w.groupBy(col(id))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("w"))))
+        .as("m"))
+      .withColumn("raw", transform(sequence(lit(0), lit(dim - 1)),
+        j => coalesce(element_at(col("m"), j.cast("int")), lit(0.0))))
+      .withColumn("nrm", sqrt(aggregate(col("raw"), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .withColumn("embedding", transform(col("raw"),
+        x => round(when(col("nrm") > 0, x / col("nrm")).otherwise(0.0), 6)))
+      .select(col(id), col("embedding"))
+  }
+
   /** Eval-contamination report (beyond reference, t15): the REVERSE
     * direction of [[contamination]] — instead of finding train docs to
     * drop, measure how contaminated each BENCHMARK doc is: of its

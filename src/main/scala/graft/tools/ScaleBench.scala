@@ -120,7 +120,7 @@ object ScaleBench {
     "t06_bloom_decontaminate", "t07_bpe_tokens", "t08_lm_score",
     "t09_pack_sequences", "t10_importance_weights", "t11_quality_classifier",
     "t12_perplexity_buckets", "t13_token_budget_mixture",
-    "t14_gopher_rules", "t15_contamination_report",
+    "t14_gopher_rules", "t15_contamination_report", "t16_hash_embed",
     "d05_span_dedup", "d06_fuzzy_span_dedup",
     "a08_mixture_sample", "a09_sample_exact_n", "a06_heavy_hitters",
     "d01_minhash_lsh", "d02_simhash_pairs", "d03_dedup_clusters",
@@ -145,7 +145,8 @@ object ScaleBench {
     "q19_token_stats", "q22_doc_fingerprint", "t02_repetition",
     "t03_pii_redact", "t04_chunk", "t05_tfidf_topk", "t07_bpe_tokens",
     "t08_lm_score", "t09_pack_sequences", "t13_token_budget_mixture",
-    "t14_gopher_rules", "d05_span_dedup", "d06_fuzzy_span_dedup")
+    "t14_gopher_rules", "t16_hash_embed", "d05_span_dedup",
+    "d06_fuzzy_span_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -397,6 +397,59 @@ class TextLmPackSpec extends AnyFunSuite {
     assert(buf.toSet === batchKept)
   }
 
+  test("streaming contamination report matches the batch report across " +
+       "micro-batches (t15 twin)") {
+    val (docs, stream) = docsIn4Batches()
+    val train = docs.filter($"doc_id" % 2 === 0)
+    val batchRep = TextOps.contaminationReport(train,
+        docs, "doc_id", "text", k = 8, minRatio = 0.2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(4))).toMap
+    val grams = graft.streaming.StreamingScore.trainGramSet(train,
+      "doc_id", "text", k = 8)
+    val buf = scala.collection.mutable.Map.empty[Long, (Long, Int)]
+    val q = graft.streaming.StreamingScore.contaminationReportFilter(
+        grams, stream, "doc_id", "text", k = 8, minRatio = 0.2) { b =>
+      buf.synchronized { buf ++= b.collect().map(r =>
+        r.getLong(0) -> (r.getLong(2), r.getInt(4))) }
+    }.start()
+    q.processAllAvailable(); q.stop()
+    assert(buf.nonEmpty)
+    // train docs score contaminated=1 (self-containment); stream agrees
+    // with batch on every doc
+    assert(buf.toMap === batchRep)
+    assert(buf.exists(_._2._2 == 1) && buf.exists(_._2._2 == 0))
+  }
+
+  test("t16 hashEmbed: near-dup docs land at cosine ~1, unrelated near " +
+       "0; the vectors drive the embedding-dedup stack") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra token"),                        // near-dup of 1
+      (3L, (200 to 260).map(i => s"z$i").mkString(" ")))  // unrelated
+      .toDF("doc_id", "text")
+    val vecs = TextOps.hashEmbedVectors(docs, "doc_id", "text")
+    // unit norm
+    val norms = vecs.select($"doc_id",
+      org.apache.spark.sql.functions.aggregate($"embedding",
+        org.apache.spark.sql.functions.lit(0.0), (a, x) => a + x * x).as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    norms.values.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-4, norms.toString))
+    val topk = graft.sim.Similarity.bruteForceTopK(
+      vecs.filter($"doc_id" === 1L), vecs, "doc_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(topk(2L) > 0.9, s"near-dup cosine: $topk")
+    assert(topk.getOrElse(3L, 0.0) < 0.5, s"unrelated cosine: $topk")
+    // determinism under repartition (append-stable vectors)
+    val again = TextOps.hashEmbedVectors(docs.repartition(5), "doc_id", "text")
+      .select($"doc_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val first = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again === first)
+  }
+
   test("t15 contaminationReport: contained bench doc scores 1.0, " +
        "disjoint scores 0.0, partial in between") {
     val s = spark
