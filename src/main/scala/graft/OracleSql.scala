@@ -693,6 +693,44 @@ object OracleSql {
     * Spark side), 16 bands of 4, md5-of-slice band buckets, est_jaccard
     * = agreeing slots / 64. Shared by the d01 gate entry and the d03
     * cluster closure. */
+  /** d08 pair source: the t16 hashed-embedding CTE (r6-normalized
+    * vectors) banded with the SAME sign-LSH planes as the Spark side
+    * (seed 11), cosine r5 ≥ 0.92 on the candidates. */
+  private lazy val d08PairsSql: String = {
+    val h = h64Sql("token", "'17'")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+       |              FROM documents),
+       |t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+       |hb AS (SELECT doc_id, $h AS h FROM t),
+       |w AS (SELECT doc_id, (h % 64)::INT AS b,
+       |        sum(CASE WHEN (h >> 20) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS w
+       |      FROM hb GROUP BY doc_id, (h % 64)::INT),
+       |grid AS (SELECT d.doc_id, j
+       |         FROM (SELECT DISTINCT doc_id FROM t) d
+       |         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js),
+       |raw AS (SELECT g.doc_id, g.j, coalesce(w.w, 0.0) AS x
+       |        FROM grid g LEFT JOIN w ON w.doc_id = g.doc_id AND w.b = g.j),
+       |nrm AS (SELECT doc_id, sqrt(sum(x*x)) AS n FROM raw GROUP BY doc_id),
+       |ev AS (SELECT raw.doc_id,
+       |         list(round(CASE WHEN nrm.n > 0 THEN raw.x / nrm.n
+       |           ELSE 0.0 END, 6) ORDER BY raw.j) AS v
+       |       FROM raw JOIN nrm ON raw.doc_id = nrm.doc_id
+       |       GROUP BY raw.doc_id),
+       |e2 AS (SELECT doc_id, v, list_inner_product(v, v) AS n FROM ev),
+       |banded AS (
+       |${bandedSql("e2", "doc_id, v, n", "v",
+          graft.sim.Similarity.bandPlanes(64, 3, 4, 11L))}),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |         WHERE a.doc_id < b.doc_id),
+       |p AS (SELECT id_a, id_b,
+       |        round(list_inner_product(ea.v, eb.v)/sqrt(ea.n*eb.n), 5) AS cosine
+       |      FROM cand JOIN e2 ea ON ea.doc_id = cand.id_a
+       |                JOIN e2 eb ON eb.doc_id = cand.id_b)
+       |SELECT id_a, id_b FROM p WHERE cosine >= 0.92""".stripMargin
+  }
+
   private def d01PairsSql: String =
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
@@ -3251,6 +3289,25 @@ object OracleSql {
         |SELECT id AS doc_id, cluster_id, (id = cluster_id) AS keep
         |FROM comp ORDER BY doc_id""".stripMargin
         .replace("__PAIRS__", d01PairsSql)
+    },
+
+    // semantic dedup over the engine's own hashed embeddings: the d03
+    // recursive closure over the t16-vector sign-LSH pair source
+    "d08_semantic_dedup" -> {
+      """WITH RECURSIVE pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (__PAIRS__) p0),
+        |nodes AS (SELECT DISTINCT id FROM (
+        |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs) n),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id AS doc_id, cluster_id, (id = cluster_id) AS keep
+        |FROM comp ORDER BY doc_id""".stripMargin
+        .replace("__PAIRS__", d08PairsSql)
     },
 
     // keep-best-of-cluster dedup: d03's reachability closure + q19's

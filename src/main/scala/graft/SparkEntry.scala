@@ -635,6 +635,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Semantic dedup over the engine's OWN hashed embeddings: t16
+    //    vectors → sign-LSH banded pairs (cos ≥ 0.92 r5) → pointer-
+    //    jumping clusters — the full text→vector→LSH→cluster pipeline
+    //    with no pretrained embedding dependency ────────────────────────
+    "d08_semantic_dedup" -> ((s, dir) => {
+      val vecs = graft.text.TextOps
+        .hashEmbedVectors(docs(s, dir), "doc_id", "text")
+        .withColumn("_blk", lit(0))
+      val pairs = Similarity.bandedNearDupPairs(vecs, "doc_id", "embedding",
+          "_blk", threshold = 0.92,
+          planes = graft.sim.Similarity.bandPlanes(64, 3, 4, 11L))
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+          (col("id") === col("cluster")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── SimHash near-dup (portable 60-bit signature ⇒ oracled) ────────
     "d02_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)

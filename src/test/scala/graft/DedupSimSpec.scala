@@ -221,6 +221,36 @@ class DedupSimSpec extends AnyFunSuite {
     assert(ivfpq.subsetOf(ivf), "IVF-PQ returned a non-probed candidate")
   }
 
+  test("d08 semantic dedup: planted token-overlap near-dups cluster " +
+       "via hashed embeddings, no pretrained vectors, no cartesian") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 60).map(i => s"w$i")
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      // ~93% token overlap with doc 1 but different k-gram surface
+      // after the edit point — the SEMANTIC (bag-of-words) dup that
+      // shingle dedup (d03) can miss
+      (2L, (base.take(56) ++ Seq("q1", "q2", "q3", "q4")).mkString(" ")),
+      (3L, (200 to 260).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val vecs = TextOps.hashEmbedVectors(docs, "doc_id", "text")
+      .withColumn("_blk", org.apache.spark.sql.functions.lit(0))
+    val pairs = graft.sim.Similarity.bandedNearDupPairs(vecs, "doc_id",
+      "embedding", "_blk", threshold = 0.9,
+      planes = graft.sim.Similarity.bandPlanes(64, 3, 4, 11L))
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"overlap dup must pair: $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc must not pair: $got")
+    val p = SparkEntry.queries("d08_semantic_dedup")(spark, SparkSpec.sfDir)
+    assert(p.collect().nonEmpty)
+    val plan = p.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      plan.linesIterator.take(12).mkString("\n"))
+  }
+
   test("d07 dedupKeepBest: election is by score not id; singletons " +
        "keep themselves") {
     val s = spark
