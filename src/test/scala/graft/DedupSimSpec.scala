@@ -159,10 +159,18 @@ class DedupSimSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = graft.text.Dedup.connectedComponents(chain)
+    // driverEdgeLimit = 0 FORCES the distributed rounds: this spec
+    // guards the pointer-jumping path, which the small-graph driver
+    // fast path would otherwise bypass
+    val cc = graft.text.Dedup.connectedComponents(chain,
+        driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(cc.length === 200 && cc.forall(_._2 == 0L),
       "every chain node must resolve to the min label 0")
+    // the driver fast path agrees with the distributed fixpoint exactly
+    val fast = graft.text.Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(fast.sortBy(_._1).sameElements(cc.sortBy(_._1)))
   }
 
   test("PQ ANN: ADC shortlist + exact rerank recovers brute-force top-k (s03 contract)") {
