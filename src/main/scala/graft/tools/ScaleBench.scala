@@ -124,7 +124,7 @@ object ScaleBench {
     "d05_span_dedup", "d06_fuzzy_span_dedup",
     "a08_mixture_sample", "a09_sample_exact_n", "a06_heavy_hitters",
     "d01_minhash_lsh", "d02_simhash_pairs", "d03_dedup_clusters",
-    "d07_dedup_keep_best",
+    "d07_dedup_keep_best", "d08_semantic_dedup",
     "d04_embed_dedup_clusters", "a07_sample_per_key",
     "m01_multimodal_decode", "m02_multimodal_features",
     "q23_ann_topk", "q24_embed_neardup_blocked",
