@@ -426,6 +426,60 @@ object Dedup {
         import s.implicits._
         return out.toSeq.toDF("id", "cluster")
       }
+    } else pairs.schema(idA).dataType match {
+      // composite node ids (d06 spans): same fast path when every
+      // struct field is integral — lexicographic field order matches
+      // Spark's struct min exactly. Anything else (strings, doubles,
+      // nulls) stays on the distributed rounds.
+      case st: org.apache.spark.sql.types.StructType
+          if st.fields.forall(f => Seq[org.apache.spark.sql.types.DataType](
+            org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.ByteType).contains(f.dataType)) =>
+        val probe = pairs.select(col(idA), col(idB))
+          .limit(driverEdgeLimit + 1).collect()
+        if (probe.length <= driverEdgeLimit &&
+            !probe.exists(r => r.getStruct(0).anyNull || r.getStruct(1).anyNull)) {
+          import scala.math.Ordering.Implicits.seqOrdering
+          val ord = implicitly[Ordering[Vector[Long]]]
+          def key(r: org.apache.spark.sql.Row): Vector[Long] =
+            (0 until r.length).map(i =>
+              r.get(i).asInstanceOf[Number].longValue).toVector
+          val parent =
+            scala.collection.mutable.HashMap.empty[Vector[Long], Vector[Long]]
+          val rowOf =
+            scala.collection.mutable.HashMap.empty[Vector[Long],
+              org.apache.spark.sql.Row]
+          def find(x: Vector[Long]): Vector[Long] = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          probe.foreach { row =>
+            val sa = row.getStruct(0); val sb = row.getStruct(1)
+            val a = key(sa); val b = key(sb)
+            rowOf.getOrElseUpdate(a, sa); rowOf.getOrElseUpdate(b, sb)
+            if (!parent.contains(a)) parent(a) = a
+            if (!parent.contains(b)) parent(b) = b
+            val ra = find(a); val rb = find(b)
+            if (ord.lt(ra, rb)) parent(rb) = ra
+            else if (ord.lt(rb, ra)) parent(ra) = rb
+          }
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", st),
+            org.apache.spark.sql.types.StructField("cluster", st)))
+          val rows: Seq[org.apache.spark.sql.Row] = parent.keysIterator
+            .map(k => org.apache.spark.sql.Row(rowOf(k), rowOf(find(k))))
+            .toSeq
+          val s = pairs.sparkSession
+          return s.createDataFrame(
+            s.sparkContext.parallelize(rows,
+              math.max(1, rows.size / 100000 + 1)), schema)
+        }
+      case _ => ()
     }
     val edges = pairs.select(asId(col(idA)).as("src"), asId(col(idB)).as("dst"))
       .union(pairs.select(asId(col(idB)).as("src"), asId(col(idA)).as("dst")))

@@ -183,14 +183,17 @@ object TextOps {
     // oracle's integer division on the low bits
     val sign = when(pmod(shiftright(h, 20), lit(2L)) === 0, 1.0)
       .otherwise(-1.0)
-    val w = tokens(df, text)
+    // ONE doc-keyed shuffle: dim conditional sums per doc (map-side
+    // combinable, codegen'd) instead of a (doc, bucket) agg plus a
+    // collect_list/map re-assembly second shuffle — integer weights,
+    // so the aggregation method cannot change any value
+    val sums = (0 until dim).map(j =>
+      sum(when(col("b") === j, col("s")).otherwise(0.0)).as(s"_w$j"))
+    tokens(df, text)
       .select(col(id), bucket.as("b"), sign.as("s"))
-      .groupBy(col(id), col("b")).agg(sum(col("s")).as("w"))
-    w.groupBy(col(id))
-      .agg(map_from_entries(collect_list(struct(col("b"), col("w"))))
-        .as("m"))
-      .withColumn("raw", transform(sequence(lit(0), lit(dim - 1)),
-        j => coalesce(element_at(col("m"), j.cast("int")), lit(0.0))))
+      .groupBy(col(id))
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("raw", array((0 until dim).map(j => col(s"_w$j")): _*))
       .withColumn("nrm", sqrt(aggregate(col("raw"), lit(0.0),
         (acc, x) => acc + x * x)))
       .withColumn("embedding", transform(col("raw"),

@@ -171,6 +171,21 @@ class DedupSimSpec extends AnyFunSuite {
     val fast = graft.text.Dedup.connectedComponents(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(fast.sortBy(_._1).sameElements(cc.sortBy(_._1)))
+    // struct-id graphs (the d06 span shape): driver fast path agrees
+    // with the distributed struct-min fixpoint too
+    import org.apache.spark.sql.functions.{struct, lit, col}
+    val spairs = chain.select(
+      struct(col("id_a").as("d"), lit(0).as("b")).as("id_a"),
+      struct(col("id_b").as("d"), lit(0).as("b")).as("id_b"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "id.d AS i", "cluster.d AS c").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val sDist = norm(graft.text.Dedup.connectedComponents(spairs,
+      castLong = false, driverEdgeLimit = 0))
+    val sFast = norm(graft.text.Dedup.connectedComponents(spairs,
+      castLong = false))
+    assert(sFast === sDist)
+    assert(sFast.forall(_._2 == 0L))
   }
 
   test("PQ ANN: ADC shortlist + exact rerank recovers brute-force top-k (s03 contract)") {
