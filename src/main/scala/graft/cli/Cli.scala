@@ -331,6 +331,8 @@ object Cli {
     *     <output>_seen.parquet so increments chain)
     *   [--benchmark_docs p] [--doc_id_col doc_id] [--text_col text]
     *   [--near_threshold 0.8] [--keep_best true]
+    *   [--semantic_threshold 0.92]  (d08 hashed-embedding dedup after
+    *     the shingle stage; planes derived from corpus occupancy)
     *   [--max_rep_ratio 0.5] [--min_tokens 10]
     *   [--langs en,es] [--gopher_min_stop N]
     *   [--max_per_source N --source_col c]
@@ -398,8 +400,28 @@ object Cli {
       } else
         Dedup.connectedComponents(pairs)
           .filter(col("id") =!= col("cluster")).select(col("id").as(id))
-    val deduped = exact.join(nearDrop, Seq(id), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shingleDeduped = exact.join(nearDrop, Seq(id), "left_anti")
+    // optional semantic dedup (--semantic_threshold c): d08's pipeline —
+    // hashed embeddings → sign-LSH pairs → component drop — catching
+    // bag-of-words duplicates whose edited k-gram surface the shingle
+    // stage misses. The operating point derives from the corpus size
+    // (bandedNearDupPairsScaled: planesForOccupancy + bandsForRecall),
+    // the production contract rather than d08's gate-pinned literals.
+    val deduped = (cfg.strOpt("semantic_threshold") match {
+      case Some(t) =>
+        val vecs = TextOps
+          .hashEmbedVectors(shingleDeduped, id, text)
+          .withColumn("_blk", lit(0))
+          .localCheckpoint()
+        val pairs = graft.sim.Similarity.bandedNearDupPairsScaled(
+            vecs, id, "embedding", "_blk", threshold = t.toDouble,
+            seed = 11L)
+          .select(col("id_a"), col("id_b"))
+        val drop = Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("cluster")).select(col("id").as(id))
+        shingleDeduped.join(drop, Seq(id), "left_anti")
+      case None => shingleDeduped
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n2 = deduped.count()
 
     val maxRep = cfg.strOpt("max_rep_ratio").map(_.toDouble).getOrElse(0.5)

@@ -585,6 +585,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors(keepBest = true) === Set(2L, 3L))
   }
 
+  test("CLI curate --semantic_threshold: bag-of-words dup that survives " +
+       "shingle dedup is dropped by the embedding stage") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftsem").toString
+    val base = (1 to 60).map(i => s"w$i")
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      // same bag of words minus the tail, heavily re-ordered: k-gram
+      // shingles shatter (shingle dedup keeps it) but the hashed
+      // embedding is nearly identical
+      (2L, (base.take(56).reverse ++ Seq("qq", "rr", "ss", "tt")).mkString(" ")),
+      (3L, (200 to 260).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    def run(sem: Option[String]): Set[Long] = {
+      val out = s"$dir/chunks_${sem.isDefined}"
+      Cli.run(spark, GraftConfig.defaults ++ Map(
+        "mode" -> "curate",
+        "input_docs" -> s"$dir/docs",
+        "near_threshold" -> "0.8",
+        "chunk_window" -> "400", "chunk_stride" -> "300",
+        "output" -> out, "metrics_out" -> s"$dir/f_${sem.isDefined}.json") ++
+        sem.map(t => Map("semantic_threshold" -> t)).getOrElse(Map.empty))
+      spark.read.parquet(out).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    }
+    assert(run(None) === Set(1L, 2L, 3L),
+      "shingle dedup alone must keep the re-ordered dup")
+    assert(run(Some("0.9")) === Set(1L, 3L),
+      "the embedding stage must drop the bag-of-words dup, keep-first")
+  }
+
   test("CLI curate --incremental_from: increments union to the full " +
        "run; cross-increment duplicates processed once") {
     val s = spark
