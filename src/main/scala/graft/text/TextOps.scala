@@ -183,17 +183,32 @@ object TextOps {
     // oracle's integer division on the low bits
     val sign = when(pmod(shiftright(h, 20), lit(2L)) === 0, 1.0)
       .otherwise(-1.0)
-    // ONE doc-keyed shuffle: dim conditional sums per doc (map-side
-    // combinable, codegen'd) instead of a (doc, bucket) agg plus a
-    // collect_list/map re-assembly second shuffle — integer weights,
-    // so the aggregation method cannot change any value
-    val sums = (0 until dim).map(j =>
-      sum(when(col("b") === j, col("s")).otherwise(0.0)).as(s"_w$j"))
-    tokens(df, text)
+    val toks = tokens(df, text)
       .select(col(id), bucket.as("b"), sign.as("s"))
-      .groupBy(col(id))
-      .agg(sums.head, sums.tail: _*)
-      .withColumn("raw", array((0 until dim).map(j => col(s"_w$j")): _*))
+    // two shapes, value-identical (integer weights — the aggregation
+    // method cannot change any sum):
+    //  - dim ≤ 256: ONE doc-keyed shuffle of dim conditional sums
+    //    (map-side combinable, codegen'd) — no second shuffle;
+    //  - larger dims: the (doc, bucket) agg + map re-assembly. dim
+    //    inlined agg expressions at 1024+ would bust whole-stage
+    //    codegen exactly like the composed PQ encoder did.
+    val raw =
+      if (dim <= 256) {
+        val sums = (0 until dim).map(j =>
+          sum(when(col("b") === j, col("s")).otherwise(0.0)).as(s"_w$j"))
+        toks.groupBy(col(id))
+          .agg(sums.head, sums.tail: _*)
+          .withColumn("raw", array((0 until dim).map(j => col(s"_w$j")): _*))
+          .select(col(id), col("raw"))
+      } else
+        toks.groupBy(col(id), col("b")).agg(sum(col("s")).as("w"))
+          .groupBy(col(id))
+          .agg(map_from_entries(collect_list(struct(col("b"), col("w"))))
+            .as("m"))
+          .withColumn("raw", transform(sequence(lit(0), lit(dim - 1)),
+            j => coalesce(element_at(col("m"), j.cast("int")), lit(0.0))))
+          .select(col(id), col("raw"))
+    raw
       .withColumn("nrm", sqrt(aggregate(col("raw"), lit(0.0),
         (acc, x) => acc + x * x)))
       .withColumn("embedding", transform(col("raw"),
@@ -207,7 +222,9 @@ object TextOps {
     * distinct k-grams, what fraction appears anywhere in the train
     * corpus. This is the standard "X% of the eval set is contaminated"
     * disclosure that accompanies LLM releases; `contaminated` flags
-    * docs at/above `minRatio`.
+    * docs at/above `minRatio`. Benchmark docs shorter than k tokens
+    * carry no k-gram and are not emitted (contamination is undefined
+    * at 0/0 — gate them by length upstream, the t08/t12 contract).
     *
     * Scale shape: the train side collapses to DISTINCT GRAMS (a
     * map-side-combinable agg — train doc identity is irrelevant here,

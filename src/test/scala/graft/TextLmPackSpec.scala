@@ -448,6 +448,20 @@ class TextLmPackSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val first = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(again === first)
+    // the two aggregation shapes are value-identical: a dim past the
+    // conditional-sum cutoff takes the map-assemble path; prefix-slice
+    // agreement with the padded small-dim run on the shared buckets
+    // is not meaningful across dims, so compare the 512-dim path
+    // against ITSELF under repartition (path stability), and spot-check
+    // it is really the other code path via plan shape
+    val big = TextOps.hashEmbedVectors(docs, "doc_id", "text", dim = 512)
+    assert(big.queryExecution.optimizedPlan.toString.contains("map_from_entries"),
+      "dim > 256 must take the map-assemble shape")
+    val bigAgain = TextOps.hashEmbedVectors(docs.repartition(3), "doc_id",
+        "text", dim = 512)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(big.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      === bigAgain)
   }
 
   test("t15 contaminationReport: contained bench doc scores 1.0, " +
