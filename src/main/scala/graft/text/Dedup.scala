@@ -400,7 +400,10 @@ object Dedup {
       val probe = pairs
         .select(col(idA).cast("long"), col(idB).cast("long"))
         .limit(driverEdgeLimit + 1).collect()
-      if (probe.length <= driverEdgeLimit) {
+      // null ids (a non-numeric id surviving the cast) fall through to
+      // the distributed path rather than NPE-ing here — same contract
+      // either way (castLong requires integral ids), one failure mode
+      if (probe.length <= driverEdgeLimit && !probe.exists(_.anyNull)) {
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {
           var r = x
