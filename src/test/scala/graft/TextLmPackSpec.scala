@@ -491,6 +491,21 @@ class TextLmPackSpec extends AnyFunSuite {
     assert(p.contains("Aggregate"), "train grams must dedup via agg")
   }
 
+  test("t14/t16 plans: one keyed agg each — no join, no window") {
+    for (q <- Seq("t14_gopher_rules", "t16_hash_embed")) {
+      val df = SparkEntry.queries(q)(spark, SparkSpec.sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"$q:\n${p.linesIterator.take(12).mkString("\n")}")
+      assert(!p.contains("Window"), s"$q:\n${p.linesIterator.take(12).mkString("\n")}")
+      // the doc-keyed agg plus the presentation sort are the only
+      // exchanges (AQE echoes the initial plan — count the final only)
+      val finalPlan = p.split("== Initial Plan ==").head
+      val exchanges = finalPlan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 2, s"$q: agg + presentation sort only:\n$finalPlan")
+    }
+  }
+
   test("t13 token-budget plan: map-side epoch fan-out — no join, no " +
        "window, no shuffle wider than the sort") {
     val df = SparkEntry.queries("t13_token_budget_mixture")(
