@@ -113,6 +113,75 @@ object StreamingNearDup {
       .toDF("id_a", "id_b", "est_jaccard")
   }
 
+  /** Per-doc SimHash signature as a pure column expression: one
+    * `aggregate` over the doc's own token array per bit — the exact
+    * [[graft.text.Dedup.simhash]] algebra (token OCCURRENCES, not
+    * distinct; sign = bit j of h64(token); bit set iff the signed sum
+    * is positive), one row per doc, zero shuffles. */
+  def simhashSignature(text: Column): Column = {
+    val toks = filter(split(text, " "), t => t =!= "")
+    val hs = transform(toks, t => graft.text.Dedup.h64(t, 0).cast("long"))
+    (0 until 60).map { j =>
+      val bs = aggregate(hs, lit(0),
+        (acc, h) => acc + when(
+          shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(bs > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Streaming twin of [[graft.text.Dedup.simhashPairs]] (d02): SimHash
+    * near-dup pairs over a document stream. Same shape as
+    * [[nearDupPairs]] — map-side signature, the batch op's 4 rotated
+    * 15-bit bands as the state key, pigeonhole recall (a pair within
+    * `maxHamming` ≤ 3 agrees exactly on ≥ 1 band), `bit_count(xor)`
+    * verify against the bucket's seen signatures. State is ONE long
+    * per doc per band (vs numPerm longs for MinHash) — the cheapest
+    * streaming dedup state in the engine; `stateTtl` bounds it. */
+  def simhashPairs(docs: DataFrame, id: String, text: String,
+                   maxHamming: Int = 3,
+                   stateTtl: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col(id).cast("long").as("_id"),
+      simhashSignature(col(text)).as("_sig"))
+    val banded = sigs.select(col("_id"), col("_sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("_sig"), b * 15).bitwiseAND(0x7FFF)): _*))
+        .as(Seq("_band", "_bucket")))
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded
+      .select(col("_band"), col("_bucket"), col("_id"), col("_sig"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[List[(Long, Long)],
+        (Long, Long, Int)](OutputMode.Append, timeout) {
+        (_, rows, state: GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = rows.toIndexedSeq.sortBy(_._3).flatMap {
+              case (_, _, docId, sig) =>
+                val pairs = seen.flatMap { case (pid, psig) =>
+                  val ham = java.lang.Long.bitCount(psig ^ sig)
+                  if (ham <= maxHamming && pid != docId)
+                    Some((math.min(pid, docId), math.max(pid, docId), ham))
+                  else None
+                }
+                seen = (docId, sig) :: seen
+                pairs
+            }
+            state.update(seen)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+      .toDF("id_a", "id_b", "hamming")
+  }
+
   /** Streaming documents source (shared layout helper). */
   def documentsStream(spark: org.apache.spark.sql.SparkSession,
                       dir: String): DataFrame =

@@ -505,6 +505,33 @@ class DedupSimSpec extends AnyFunSuite {
       s"planted-pair recall too low: ${streamed.size}")
   }
 
+  test("streaming simhash pairs match batch simhashPairs across " +
+       "micro-batches (d02 twin)") {
+    // same fixture shape as the d01 twin: planted one-token-edit dups
+    // land within hamming 3 of their originals with high probability
+    val docs0 = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text").limit(50)
+    val docs = docs0.unionByName(docs0.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" extratoken")).as("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graftssh").toString
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = graft.streaming.StreamingNearDup
+      .simhashPairs(stream, "doc_id", "text")
+      .writeStream.format("memory").queryName("ssh")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT id_a, id_b, hamming FROM ssh")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.count { case (a, b, _) => b == a + 100000L } >= 35,
+      s"planted-pair recall too low: ${streamed.size}")
+  }
+
   test("dim-tiled embeddings + tiled codebooks preserve ANN results exactly") {
     SparkSpec.withConf("spark.sql.codegen.fallback" -> "false") {
     // the ScaleBench `dim` family contract: tiling a vector factor x
