@@ -23,14 +23,28 @@ import org.apache.spark.sql.types._
   * execution: the ADC scan alone measured ~13 s of a 14 s query at 12×
   * dim, vs sub-second with this expression.
   *
-  * A null `lut` or `codes` yields null; elements are non-null by
-  * construction ([[PqLut]]/[[PqEncode]] emit containsNull = false) and
-  * every code is in [0, k*) so `mi·k* + codes[mi]` is always in range.
+  * A null `lut` or `codes` yields null, as does a null ELEMENT of
+  * either (PqLut/PqEncode contract — they emit containsNull = false,
+  * but a round-trip through a persisted index may not preserve that,
+  * so the element check is only emitted when the schema says it can
+  * fire). Every code is in [0, k*) so `mi·k* + codes[mi]` is in range.
   */
 case class AdcSum(left: Expression, right: Expression, ks: Int)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => true
+  }
+
+  // same contract as DotProduct/PqLut: a null element can null the
+  // result even when both child arrays are non-null, so nullability
+  // must account for containsNull or ev.isNull constant-folds away
+  // and the guarded write below fails janino compilation
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
@@ -46,7 +60,10 @@ case class AdcSum(left: Expression, right: Expression, ks: Int)
     var acc = 0.0
     var mi = 0
     while (mi < m) {
-      acc += lut.getDouble(mi * ks + codes.getInt(mi))
+      if (codes.isNullAt(mi)) return null
+      val idx = mi * ks + codes.getInt(mi)
+      if (lut.isNullAt(idx)) return null
+      acc += lut.getDouble(idx)
       mi += 1
     }
     acc
@@ -57,11 +74,23 @@ case class AdcSum(left: Expression, right: Expression, ks: Int)
       val mi = ctx.freshName("mi")
       val m = ctx.freshName("m")
       val acc = ctx.freshName("acc")
+      val idx = ctx.freshName("idx")
+      val codeNullCheck =
+        if (elemNullable(right))
+          s"if ($codes.isNullAt($mi)) { ${ev.isNull} = true; break; }"
+        else ""
+      val lutNullCheck =
+        if (elemNullable(left))
+          s"if ($lut.isNullAt($idx)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $m = $codes.numElements();
          |double $acc = 0.0;
          |for (int $mi = 0; $mi < $m; $mi++) {
-         |  $acc += $lut.getDouble($mi * $ks + $codes.getInt($mi));
+         |  $codeNullCheck
+         |  int $idx = $mi * $ks + $codes.getInt($mi);
+         |  $lutNullCheck
+         |  $acc += $lut.getDouble($idx);
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -27,8 +27,19 @@ case class DotProduct(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
-  private def elemNullable(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].containsNull
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => true
+  }
+
+  // nullSafeEval returns null on a null ELEMENT even when both child
+  // arrays are non-null, so nullability must account for containsNull
+  // (same contract as PqLut/PqEncode). Without this the expression is
+  // declared non-nullable, ev.isNull constant-folds to `false`, and the
+  // guarded `ev.isNull = true` write below fails janino compilation —
+  // silently dropping the whole stage to interpreted execution.
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {

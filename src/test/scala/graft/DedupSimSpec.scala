@@ -79,6 +79,101 @@ class DedupSimSpec extends AnyFunSuite {
       .first().isNullAt(0))
   }
 
+  test("DotProduct compiles and nulls correctly on nullable-element arrays " +
+       "(pinned: no interpreted fallback)") {
+    SparkSpec.withConf("spark.sql.codegen.fallback" -> "false") {
+      val s = spark
+      import s.implicits._
+      // array(col, col) of nullable doubles is the hazardous shape: the
+      // ARRAY is non-nullable while its ELEMENTS are nullable
+      // (containsNull=true). Pre-fix, DotProduct declared itself
+      // non-nullable here, ev.isNull constant-folded to `false`, and the
+      // emitted `ev.isNull = true` write failed janino compilation —
+      // a silent whole-stage fallback on the exact-rerank hot path.
+      val df = Seq(
+        (1L, Option(1.0), Option(2.0), 3.0, 4.0),
+        (2L, Option(5.0), Option.empty[Double], 6.0, 7.0),
+        (3L, Option.empty[Double], Option(8.0), 9.0, 10.0))
+        .toDF("id", "x", "y", "p", "q")
+        .select(col("id"), array(col("x"), col("y")).as("a"),
+                array(col("p"), col("q")).as("b"))
+      val dot = graft.functions.DotProduct(col("a"), col("b"))
+      val rows = df.select(col("id"), dot.as("d")).orderBy("id").collect()
+      assert(rows(0).getDouble(1) === 1.0 * 3.0 + 2.0 * 4.0)
+      assert(rows(1).isNullAt(1), "null element must null the dot")
+      assert(rows(2).isNullAt(1), "null element must null the dot")
+      // and inside a join stage (the bhj_isNull_* failure shape)
+      val qdf = Seq((1L, Seq(1.0, 1.0))).toDF("qid", "qv")
+      val joined = df.join(broadcast(qdf))
+        .select(col("id"), col("qid"),
+          graft.functions.DotProduct(col("a"), col("qv")).as("d"))
+        .orderBy("id").collect()
+      assert(joined(0).getDouble(2) === 3.0)
+      assert(joined(1).isNullAt(2) && joined(2).isNullAt(2))
+    }
+  }
+
+  test("AdcSum compiles and nulls correctly on nullable-element arrays " +
+       "(pinned: no interpreted fallback)") {
+    SparkSpec.withConf("spark.sql.codegen.fallback" -> "false") {
+      val s = spark
+      import s.implicits._
+      // same hazardous shape as the DotProduct pin: non-nullable arrays
+      // with nullable elements, e.g. an index round-trip that lost
+      // containsNull=false. ks=2, m=2 -> lut length 4.
+      val df = Seq(
+        (1L, Option(0), Option(1), Option(1.0), Option(2.0), Option(3.0), Option(4.0)),
+        (2L, Option(1), Option.empty[Int], Option(1.0), Option(2.0), Option(3.0), Option(4.0)),
+        (3L, Option(0), Option(0), Option.empty[Double], Option(2.0), Option(3.0), Option(4.0)))
+        .toDF("id", "c0", "c1", "l0", "l1", "l2", "l3")
+        .select(col("id"),
+          array(col("l0"), col("l1"), col("l2"), col("l3")).as("lut"),
+          array(col("c0"), col("c1")).as("codes"))
+      val rows = df.select(col("id"),
+        graft.functions.AdcSum(col("lut"), col("codes"), ks = 2).as("s"))
+        .orderBy("id").collect()
+      assert(rows(0).getDouble(1) === 1.0 + 4.0) // lut[0] + lut[2+1]
+      assert(rows(1).isNullAt(1), "null code must null the sum")
+      assert(rows(2).isNullAt(1), "null lut entry must null the sum")
+    }
+  }
+
+  test("SignBuckets and H64 compile on nullable-element / nullable inputs " +
+       "(pinned: no interpreted fallback)") {
+    SparkSpec.withConf("spark.sql.codegen.fallback" -> "false") {
+      val s = spark
+      import s.implicits._
+      val planes = Array(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+      val df = Seq(
+        (1L, Option(1.0), Option(-2.0)),
+        (2L, Option.empty[Double], Option(3.0)))
+        .toDF("id", "x", "y")
+        .select(col("id"), array(col("x"), col("y")).as("v"))
+      val rows = df.select(col("id"),
+        graft.functions.SignBuckets(col("v"), planes).as("b"))
+        .orderBy("id").collect()
+      // row 1: dot plane0 = 1 >= 0 (bit 0), dot plane1 = -2 < 0
+      assert(rows(0).getSeq[Long](1) === Seq(1L))
+      // null element: that plane's bit stays unset (when->otherwise(0)),
+      // result array itself non-null — SignBuckets' documented contract
+      assert(rows(1).getSeq[Long](1) === Seq(0L))
+      // H64 stays whole-stage (RuntimeReplaceable -> built-ins) and
+      // matches the Column-API h64 on the same input (the SQL-surface
+      // registration itself is covered in RangeJoinSketchSpec)
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val hs = Seq("alpha", "beta", "gamma").toDF("str")
+      val h64Expr = ColumnBridge.column(new graft.functions.H64(
+        ColumnBridge.expression(lit("7")),
+        ColumnBridge.expression(col("str"))))
+      val viaExpr = hs.select(col("str"), h64Expr.as("h"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val viaCol = hs.select(col("str"),
+        graft.text.Dedup.h64(col("str"), 7).as("h"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaExpr === viaCol)
+    }
+  }
+
   test("cosine: self-similarity 1, orthogonal 0") {
     val s = spark
     import s.implicits._
