@@ -368,7 +368,13 @@ object Cli {
         docs0
           .join(seen.select(col("text_md5")), md5(col(text)) === col("text_md5"),
             "left_anti")
-          .join(seen.select(col("seen_id").as(id)), Seq(id), "left_anti")
+          // compare LONG vs LONG explicitly: the raw id column is STRING
+          // for CSV inputs, and string-vs-bigint equality coerces through
+          // DOUBLE, where ids above 2^53 silently collide. The curate
+          // fail-fast integral-id check below guarantees the cast is safe
+          // (a bad id casts to null, matches nothing, then fails require)
+          .join(seen.select(col("seen_id")),
+            col(id).cast("long") === col("seen_id"), "left_anti")
       case None => docs0
     }
     val n0 = docs.count()

@@ -515,8 +515,18 @@ object Similarity {
                                block: String, threshold: Double,
                                targetBucket: Int = 64, recall: Double = 0.95,
                                seed: Long = 7L): DataFrame = {
-    val maxBlock = df.groupBy(col(block)).count()
-      .agg(max(col("count"))).first().getLong(0)
+    // an empty frame has no operating point (max(count) is null, the
+    // dim probe has no row) — a corpus that deduped to nothing must
+    // pass through as zero pairs, not crash the probes
+    val probe = df.groupBy(col(block)).count()
+      .agg(max(col("count")).as("m")).first()
+    if (probe.isNullAt(0)) {
+      val s = df.sparkSession
+      import s.implicits._
+      return s.emptyDataset[(Long, Long, Double)]
+        .toDF("id_a", "id_b", "cosine")
+    }
+    val maxBlock = probe.getLong(0)
     val dim = df.select(size(col(vec))).first().getInt(0)
     val nPlanes = planesForOccupancy(maxBlock, targetBucket)
     val bands = bandsForRecall(nPlanes, threshold, recall)

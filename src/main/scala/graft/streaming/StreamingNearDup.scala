@@ -18,9 +18,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * accumulates across batches.
   *
   * Contract notes:
-  *  - a pair colliding in several bands is emitted once per colliding
-  *    band (the keyed state op cannot see across bands) — consumers
-  *    treat the output as a set, exactly like the batch `.distinct()`;
+  *  - a pair colliding in several bands is emitted ONLY from the
+  *    smallest agreeing band: both full signatures are in the group, so
+  *    each band decides locally whether it is the pair's first agreement
+  *    — no cross-band state, and the output is an exact multiset match
+  *    of the batch op's `.distinct()`ed pairs (identical docs agree on
+  *    all bands but emit exactly once);
   *  - state is one signature (numPerm longs) per doc per band, growing
   *    with the corpus inside the retention horizon — production runs
   *    bound it with `stateTtl` (processing-time timeout per bucket;
@@ -89,7 +92,7 @@ object StreamingNearDup {
             // in-batch arrival order: id order (the deterministic batch
             // orientation); across batches, arrival order is semantic
             val out = rows.toIndexedSeq.sortBy(_._3).flatMap {
-              case (_, _, docId, sig) =>
+              case (band, _, docId, sig) =>
                 val pairs = seen.flatMap { case (pid, psig) =>
                   var agree = 0
                   var i = 0
@@ -98,7 +101,20 @@ object StreamingNearDup {
                     i += 1
                   }
                   val est = agree.toDouble / sig.length
-                  if (est >= threshold && pid != docId)
+                  // emit only from the pair's SMALLEST agreeing band
+                  // (computable from the two full signatures — no
+                  // cross-band state): a pair agreeing on several bands
+                  // lands in each of those buckets, and without this
+                  // guard would be emitted once per bucket, overcounting
+                  // relative to the batch op's .distinct()
+                  def bandAgrees(b: Int): Boolean = {
+                    var r = b * rowsPerBand; val end = r + rowsPerBand
+                    while (r < end && psig(r) == sig(r)) r += 1
+                    r == end
+                  }
+                  val firstAgree = (0 until bands).find(bandAgrees)
+                  if (est >= threshold && pid != docId &&
+                      firstAgree.contains(band))
                     Some((math.min(pid, docId), math.max(pid, docId), est))
                   else None
                 }
@@ -164,10 +180,19 @@ object StreamingNearDup {
           } else {
             var seen = state.getOption.getOrElse(Nil)
             val out = rows.toIndexedSeq.sortBy(_._3).flatMap {
-              case (_, _, docId, sig) =>
+              case (band, _, docId, sig) =>
                 val pairs = seen.flatMap { case (pid, psig) =>
-                  val ham = java.lang.Long.bitCount(psig ^ sig)
-                  if (ham <= maxHamming && pid != docId)
+                  val x = psig ^ sig
+                  val ham = java.lang.Long.bitCount(x)
+                  // smallest-agreeing-band guard (see nearDupPairs):
+                  // identical docs agree on all 4 bands but must emit
+                  // exactly once to match batch .distinct() as a multiset.
+                  // ham ≤ 3 < 4 bands guarantees some band agrees
+                  // (pigeonhole), so the guard never drops a true pair.
+                  val firstAgree =
+                    (0 until 4).find(b => ((x >>> (b * 15)) & 0x7FFFL) == 0L)
+                  if (ham <= maxHamming && pid != docId &&
+                      firstAgree.contains(band))
                     Some((math.min(pid, docId), math.max(pid, docId), ham))
                   else None
                 }

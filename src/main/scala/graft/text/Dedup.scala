@@ -391,12 +391,16 @@ object Dedup {
     // fixed cost each (join + eager checkpoint + count), so a 500-pair
     // graph spends seconds on scheduling alone. The near-dup pair set
     // after LSH + exact verify is usually tiny relative to the corpus;
-    // probe it with an early-terminating limit — if the whole edge
-    // list fits under driverEdgeLimit (2M edges ≈ 32 MB) run min-root
-    // union-find on the driver, bit-identical to the distributed
-    // fixpoint. A bigger graph pays one bounded probe job and takes
-    // the distributed path unchanged (the 100 TB shape).
-    if (castLong) {
+    // probe SIZE first with an early-terminating limit+count (a count
+    // ships one long per partition, never rows), and only when the
+    // graph is confirmed small collect the edges — 2M boxed GenericRows
+    // are ~100 bytes each, so a blind collect-then-check would hold
+    // ~200 MB of driver transients on every LARGE graph before
+    // abandoning the fast path. A bigger graph pays one cheap count
+    // job and takes the distributed path unchanged (the 100 TB shape).
+    def graphFitsDriver: Boolean =
+      pairs.select(col(idA)).limit(driverEdgeLimit + 1).count() <= driverEdgeLimit
+    if (castLong && graphFitsDriver) {
       val probe = pairs
         .select(col(idA).cast("long"), col(idB).cast("long"))
         .limit(driverEdgeLimit + 1).collect()
@@ -440,10 +444,16 @@ object Dedup {
             org.apache.spark.sql.types.IntegerType,
             org.apache.spark.sql.types.ShortType,
             org.apache.spark.sql.types.ByteType).contains(f.dataType)) =>
-        val probe = pairs.select(col(idA), col(idB))
-          .limit(driverEdgeLimit + 1).collect()
-        if (probe.length <= driverEdgeLimit &&
-            !probe.exists(r => r.getStruct(0).anyNull || r.getStruct(1).anyNull)) {
+        val probe: Array[org.apache.spark.sql.Row] =
+          if (graphFitsDriver)
+            pairs.select(col(idA), col(idB)).limit(driverEdgeLimit + 1).collect()
+          else null // large graph: skip the row collect, go distributed
+        // an entirely-null composite id makes getStruct return null, so
+        // check isNullAt first: null ids fall through to the distributed
+        // path (the long branch's contract), never NPE here
+        if (probe != null && probe.length <= driverEdgeLimit &&
+            !probe.exists(r => r.isNullAt(0) || r.isNullAt(1) ||
+              r.getStruct(0).anyNull || r.getStruct(1).anyNull)) {
           import scala.math.Ordering.Implicits.seqOrdering
           val ord = implicitly[Ordering[Vector[Long]]]
           def key(r: org.apache.spark.sql.Row): Vector[Long] =

@@ -678,7 +678,10 @@ object TextOps {
     * (sklearn convention) `tf · (ln((N+1)/(df+1)) + 1)`, ranked per
     * document by (score desc, token asc). Shuffle shape: one (doc,
     * token) agg for tf, one token agg for df (both map-side
-    * combinable), a broadcast-sized token→df join back, and a per-doc
+    * combinable), a count-guarded broadcast token→df join back (the
+    * token key is the Zipf head — the same skew shape as [[lmScoreWith]]'s
+    * c1 join, guarded the same way: broadcast while |vocab| is safely
+    * driver-sized, shuffle + AQE skew-split beyond), and a per-doc
     * window for the rank — no all-pairs step, so scale is bounded by
     * the tf frame (≈ corpus token count). N comes from a 1-row agg
     * crossJoin (kept in-plan — no driver count). */
@@ -689,8 +692,14 @@ object TextOps {
     val tf = toks.groupBy(col(id), col("token"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // bounded probe, not a full count: stops scanning the agg output
+    // past the threshold, so the guard job is O(threshold) rows even
+    // on an open-vocabulary corpus
+    val vocabSmall =
+      dfreq.select(col("token")).limit(10_000_001).count() <= 10_000_000L
+    val dfreqSide = if (vocabSmall) broadcast(dfreq) else dfreq
     val nDocs = df.agg(countDistinct(col(id)).as("_n"))
-    val scored = tf.join(dfreq, "token").crossJoin(broadcast(nDocs))
+    val scored = tf.join(dfreqSide, "token").crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf") * (log((col("_n") + 1.0) / (col("df") + 1.0)) + 1.0))
     scored

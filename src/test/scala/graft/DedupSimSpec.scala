@@ -589,10 +589,15 @@ class DedupSimSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("snd")
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
+    // MULTISET comparison (sorted seq, not set): the smallest-agreeing-
+    // band guard must emit each pair exactly once — a set compare would
+    // mask duplicate emissions from multi-band collisions
     val streamed = spark.sql("SELECT id_a, id_b, est_jaccard FROM snd")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
     val batch = Dedup.minhashLshPairs(docs, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
     assert(streamed === batch)
     // the planted dups are found: at least most of the 50 pairs survive
     // banding (recall < 1 is the LSH contract, shared with batch)
@@ -618,10 +623,14 @@ class DedupSimSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("ssh")
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
+    // multiset comparison: identical docs agree on all 4 bands — the
+    // smallest-agreeing-band guard must still emit them exactly once
     val streamed = spark.sql("SELECT id_a, id_b, hamming FROM ssh")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq.sorted
     val batch = Dedup.simhashPairs(docs, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq.sorted
     assert(streamed === batch)
     assert(streamed.count { case (a, b, _) => b == a + 100000L } >= 35,
       s"planted-pair recall too low: ${streamed.size}")
@@ -846,6 +855,19 @@ class DedupSimSpec extends AnyFunSuite {
     info(f"blocked occupancy-scaled recall at cos>=0.9: $recB%.2f")
     assert(recB >= 0.8, s"blocked scaled recall below floor: $recB")
     assert(scaledB.subsetOf(exactB), "blocked scaled LSH must not invent pairs")
+  }
+
+  test("bandedNearDupPairsScaled passes an empty frame through as zero pairs") {
+    // a corpus that dedups to empty must not crash the operating-point
+    // probes (max(count) is null, the dim probe has no first() row)
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.bandedNearDupPairsScaled(
+      empty, "vec_id", "embedding", "label", threshold = 0.9)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("id_a", "id_b", "cosine"))
   }
 
   test("language id picks en for the/a-marked text") {

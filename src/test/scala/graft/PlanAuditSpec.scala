@@ -304,6 +304,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "the N-docs scalar must broadcast, not shuffle")
     assert(!p.contains("CartesianProduct"))
+    // the token→df join key is the Zipf head: under the vocab guard the
+    // df side must BROADCAST (t08's c1 pattern), never shuffle on token
+    assert(p.contains("BroadcastHashJoin"),
+      "token→df join must be a broadcast hash join under the vocab guard")
   }
 
   test("a07 k-per-key sample: one keyed window exchange, no single partition") {
