@@ -762,6 +762,57 @@ object OracleSql {
        |        FROM cand c)
        |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
 
+  /** o02f: [[graft.opt.SweepOptimizer.gridSearchEarlyStop]]'s two-phase
+    * SELECTION arithmetic replayed over the md5 pseudo-fitness
+    * (`SweepOptimizer.witnessScore` — h64/2⁶⁰, identical in both
+    * engines): per-config probe sums over the first `earlyAfter`
+    * seeds, the global probe best, the `≤ best·margin` survivor set,
+    * finish-phase sums for survivors only, truncated averages + the
+    * early_stopped flag for the pruned. Fp-exact by construction: each
+    * phase sums exactly two addends (commutative), the threshold
+    * compare uses the same double literals, and the hash doubles are
+    * exact quotients of 60-bit integers by 2⁶⁰. */
+  private def o02fSql: String = {
+    val nBinsChoices = Seq(5, 8, 10, 15)
+    val smoothChoices = Seq(0.0, 0.2, 0.5)
+    val seeds = Seq(1L, 2L, 3L, 4L)
+    val earlyAfter = 2
+    val margin = 1.3
+    val configs = (for { nb <- nBinsChoices; sm <- smoothChoices }
+      yield (nb, sm)).zipWithIndex
+      .map { case ((nb, sm), i) =>
+        s"($i, $nb, CAST($sm AS DOUBLE), ${math.round(sm * 10)})" }
+      .mkString(", ")
+    val probeIn = seeds.take(earlyAfter).mkString(", ")
+    val restIn = seeds.drop(earlyAfter).mkString(", ")
+    s"""WITH configs(config_id, n_bins, smooth, sm_key) AS (VALUES $configs),
+       |seeds(seed) AS (VALUES ${seeds.mkString("(", "), (", ")")}),
+       |scores AS (
+       |  SELECT c.config_id, c.n_bins, c.smooth, s.seed,
+       |    ${h64Sql("c.n_bins || '|' || c.sm_key || '|' || s.seed", "'o02'")}
+       |      / 1152921504606846976.0 AS score
+       |  FROM configs c CROSS JOIN seeds s),
+       |probe AS (
+       |  SELECT config_id, n_bins, smooth, sum(score) AS probe_sum
+       |  FROM scores WHERE seed IN ($probeIn) GROUP BY 1, 2, 3),
+       |best AS (SELECT min(probe_sum / ${earlyAfter.toDouble}) AS b FROM probe),
+       |rest AS (
+       |  SELECT sc.config_id, sum(sc.score) AS rest_sum,
+       |    count(*) AS rest_n
+       |  FROM scores sc JOIN probe p ON sc.config_id = p.config_id, best
+       |  WHERE sc.seed IN ($restIn)
+       |    AND p.probe_sum / ${earlyAfter.toDouble} <= best.b * $margin
+       |  GROUP BY 1)
+       |SELECT p.config_id, p.n_bins, p.smooth,
+       |  round((p.probe_sum + coalesce(r.rest_sum, 0.0))
+       |    / ($earlyAfter + coalesce(r.rest_n, 0)), 6) AS avg_score,
+       |  ($earlyAfter + coalesce(r.rest_n, 0)) AS n_seeds,
+       |  CASE WHEN r.config_id IS NULL THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS early_stopped
+       |FROM probe p LEFT JOIN rest r ON p.config_id = r.config_id
+       |ORDER BY avg_score, p.config_id""".stripMargin
+  }
+
   /** o01f: ONE (config, seed) sweep fitness —
     * [[graft.opt.LocalFitness.grasyndaWalk]] + compositeLite from
     * literal params (nBins=8, smooth=0.2, n=200, seed=5) over the first
@@ -4074,6 +4125,11 @@ object OracleSql {
     "g06t_vae_step" -> g06tSql,
 
     "o01f_sweep_fitness" -> o01fSql,
+
+    // §2.12 grid-earlystop SELECTION witness: probe/survivor/finish
+    // arithmetic over the deterministic md5 pseudo-fitness (the o01f
+    // fitness witnesses cannot see this driver-side logic)
+    "o02f_grid_earlystop_core" -> o02fSql,
 
     // §2.12 PER-SERIES sweep fitness: the o01f replay keyed by sid —
     // per-series fit/walk/score, every series' LCG advancing in the

@@ -816,6 +816,24 @@ object SparkEntry {
         .orderBy(col("avg_score"), col("config_id"))
     }),
 
+    // ── o02 WITNESS: the grid-earlystop two-phase SELECTION arithmetic
+    //    (probe means, the global-best margin survivor set, finish-phase
+    //    averaging, the early_stopped flag) hash-gated end to end over a
+    //    deterministic md5-derived pseudo-fitness both engines compute
+    //    identically — the one piece of o02 the o01f/o01b fitness
+    //    witnesses cannot see (it is pure driver arithmetic) ──────────
+    "o02f_grid_earlystop_core" -> ((s, dir) => {
+      graft.opt.SweepOptimizer.gridSearchEarlyStop(s, Array.empty[Double],
+        nBinsChoices = Seq(5, 8, 10, 15), smoothChoices = Seq(0.0, 0.2, 0.5),
+        seeds = Seq(1L, 2L, 3L, 4L), genN = 0, earlyAfter = 2, margin = 1.3,
+        score = graft.opt.SweepOptimizer.witnessScore)
+        .select(col("config_id"), col("n_bins"), col("smooth"),
+          round(col("avg_score"), 6).as("avg_score"),
+          col("n_seeds").cast("long").as("n_seeds"),
+          col("early_stopped").cast("long").as("early_stopped"))
+        .orderBy(col("avg_score"), col("config_id"))
+    }),
+
     // ── A17/§2.12 TRAINING witness: the sweep's per-candidate fitness —
     //    ONE (config, seed) grasynda-lite fit + walk + composite-lite
     //    score from literal params (LocalFitness.grasyndaWalk +

@@ -236,7 +236,9 @@ object SweepOptimizer {
                           nBinsChoices: Seq[Int], smoothChoices: Seq[Double],
                           seeds: Seq[Long], genN: Int,
                           earlyAfter: Int = 2,
-                          margin: Double = 1.3): DataFrame = {
+                          margin: Double = 1.3,
+                          score: (Array[Double], Int, Double, Int, Long) => Double
+                            = LocalFitness.grasyndaScore): DataFrame = {
     import spark.implicits._
     require(earlyAfter >= 1 && earlyAfter <= seeds.size,
       s"earlyAfter must be in [1, ${seeds.size}]")
@@ -248,7 +250,7 @@ object SweepOptimizer {
         .repartition(math.min(math.max(tasks.size, 1), 64))
         .as[(Int, Int, Double, Long)]
         .map { case (id, nb, sm, s) =>
-          (id, nb, sm, s, LocalFitness.grasyndaScore(bc.value, nb, sm, genN, s))
+          (id, nb, sm, s, score(bc.value, nb, sm, genN, s))
         }
         .toDF("config_id", "n_bins", "smooth", "seed", "score")
     val probeSeeds = seeds.take(earlyAfter)
@@ -280,6 +282,27 @@ object SweepOptimizer {
     }.toDF("config_id", "n_bins", "smooth", "avg_score", "n_seeds",
         "early_stopped")
       .orderBy(col("avg_score"), col("config_id"))
+  }
+
+  /** Deterministic pseudo-fitness for the o02f WITNESS query: the first
+    * 15 hex chars of md5("o02|nBins|round(smooth·10)|seed") as a
+    * base-16 long, scaled to [0, 1) by 2⁶⁰ — the engine's portable-hash
+    * construction ([[graft.text.Dedup.h64]]), so DuckDB computes the
+    * identical double and the oracle can replay gridSearchEarlyStop's
+    * probe-mean / margin-survivor / finish-phase arithmetic EXACTLY
+    * (sum order is fixed: ≤ 2 addends per phase, and fp addition is
+    * commutative). The REAL fitness math is hash-gated separately by
+    * o01f/o01b; this isolates the selection logic, which those cannot
+    * see. Smooth is keyed as round(·10) so both engines format the
+    * grid's one-decimal values identically. */
+  def witnessScore(real: Array[Double], nBins: Int, smooth: Double,
+                   genN: Int, seed: Long): Double = {
+    val key = s"o02|$nBins|${math.round(smooth * 10)}|$seed"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble /
+      (1L << 60).toDouble
   }
 
   private val mapper = {
