@@ -85,27 +85,18 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e")
     }
-    // stdout one-liner (driver contract): the driver retains only the
-    // LAST ~2000 chars of stdout, and sbt's own "[success]" trailer eats
-    // ~80 of those — r07/r08 both came back parsed:null because the full
-    // 113-query line (~3.5 KB) lost its head to the window. The line of
-    // record must FIT the window to parse, so per-query times go in
-    // DESCENDING-cost order only while the line stays under budget
-    // (the expensive queries are the ones worth a per-round read);
-    // the complete full-precision set is always in BENCH_LOCAL.json.
+    // stdout one-liner (driver contract): MINIMAL by design. Three
+    // rounds of truncated captures (r07-r09 parsed:null - the driver's
+    // stdout window clips whatever outgrows it, head or tail) proved
+    // any in-line queries map is a parse hazard; the line of record is
+    // now ~120 chars of {metric, value, unit, sf, full} that can never
+    // outgrow a capture window, and the complete full-precision
+    // per-query map + raw runs live in the committed BENCH_LOCAL.json
+    // the "full" field points at.
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val header =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir","full":"BENCH_LOCAL.json","queries":{"""
-    val budget = 1700
-    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    var len = header.length + 40 // closing brace + omitted-count slack
-    results.sortBy(-_._2).foreach { case (k, v) =>
-      val p = s""""$k":${d3(v)}"""
-      if (len + p.length + 1 <= budget) { parts += p; len += p.length + 1 }
-    }
-    println(header + parts.mkString(",") +
-      s"""},"queries_omitted":${results.size - parts.size}}""")
+    println(
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
     spark.stop()
   }
 }

@@ -412,6 +412,67 @@ object Similarity {
         col(vec).as("cv"))
       .write.mode("append").partitionBy("cid").parquet(path)
 
+  /** Tombstone sidecar location for a [[writeIvfPqIndex]] index — a
+    * plain parquet of `neighbor_id` longs kept BESIDE the index so the
+    * index files themselves stay immutable between compactions. */
+  def ivfPqTombstonePath(indexPath: String): String =
+    indexPath.stripSuffix("/") + "_tombstones"
+
+  private def ivfPqTombstones(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(ivfPqTombstonePath(indexPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Delete vectors from a [[writeIvfPqIndex]] index by id: an O(|ids|)
+    * APPEND to the tombstone sidecar — no index file is touched, no
+    * partition is read. Serving ([[ivfPqTopKIndexed]]) anti-joins the
+    * sidecar (broadcast — tombstones are small between compactions by
+    * contract); [[compactIvfPqIndex]] folds the deletions into the
+    * files and clears the sidecar. Deleting an id absent from the index
+    * is a harmless no-op, and re-deleting is idempotent at serve time
+    * (the anti-join is set semantics). */
+  def deleteFromIvfPqIndex(ids: DataFrame, id: String,
+                           indexPath: String): Unit =
+    ids.select(col(id).cast("long").as("neighbor_id")).distinct()
+      .write.mode("append").parquet(ivfPqTombstonePath(indexPath))
+
+  /** Fold the tombstone sidecar into the index files: rewrite ONLY the
+    * inverted-list partitions that contain a tombstoned id (located
+    * with one column-pruned neighbor_id scan), delete-then-append at
+    * the `cid=` directory level so a list whose vectors are ALL
+    * tombstoned ends up removed rather than stale, and clear the
+    * sidecar. The surviving rows are materialized (eager
+    * localCheckpoint) BEFORE their source directories are deleted, so
+    * the rewrite never reads files it is replacing. Returns the number
+    * of partitions rewritten. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): Int = {
+    val tombs = ivfPqTombstones(spark, indexPath).getOrElse(return 0)
+    val tomb = broadcast(tombs.select(col("neighbor_id")).distinct())
+    val idx = spark.read.parquet(indexPath)
+    val affected = idx.join(tomb, "neighbor_id")
+      .select(col("cid")).distinct().collect().map(_.getInt(0)).sorted
+    val hconf = spark.sparkContext.hadoopConfiguration
+    if (affected.nonEmpty) {
+      val keep = idx
+        .filter(col("cid").isin(affected.map(Integer.valueOf).toSeq: _*))
+        .join(tomb, Seq("neighbor_id"), "left_anti")
+        .localCheckpoint(true) // materialize before deleting source dirs
+      affected.foreach { cid =>
+        val dir = new org.apache.hadoop.fs.Path(
+          s"${indexPath.stripSuffix("/")}/cid=$cid")
+        dir.getFileSystem(hconf).delete(dir, true)
+      }
+      if (keep.limit(1).count() > 0)
+        keep.write.mode("append").partitionBy("cid").parquet(indexPath)
+    }
+    val tp = new org.apache.hadoop.fs.Path(ivfPqTombstonePath(indexPath))
+    tp.getFileSystem(hconf).delete(tp, true)
+    affected.length
+  }
+
   /** IVF-PQ top-k served from a [[writeIvfPqIndex]] index: identical
     * semantics (and output) to [[ivfPqTopK]], but the corpus is never
     * re-encoded — the probed-list union is computed from the
@@ -444,8 +505,18 @@ object Similarity {
     // runtime DPP dependency)
     val probedCids = q.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val idx = spark.read.parquet(indexPath)
+    // tombstoned ids (deleteFromIvfPqIndex) are filtered at serve time
+    // with a broadcast anti-join — the sidecar is small between
+    // compactions by contract, and the partition-pruned scan is
+    // untouched (the anti-join sits above the pruned FileScan)
+    val idx0 = spark.read.parquet(indexPath)
       .filter(col("cid").isin(probedCids.map(Integer.valueOf): _*))
+    val idx = ivfPqTombstones(spark, indexPath) match {
+      case Some(t) => idx0.join(
+        broadcast(t.select(col("neighbor_id")).distinct()),
+        Seq("neighbor_id"), "left_anti")
+      case None => idx0
+    }
     val adc = graft.functions.AdcSum(col("lut"), col("codes"), ks)
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))

@@ -452,6 +452,57 @@ class DedupSimSpec extends AnyFunSuite {
       "append must serve the same results as encoding the full corpus")
   }
 
+  test("indexed IVF-PQ: tombstone delete + compaction serve identically " +
+       "to a rebuild without the deleted vectors") {
+    val s = spark
+    import s.implicits._
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_idx_del").toString + "/idx"
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
+      graft.sim.IvfCodebook.K16, graft.sim.PqCodebook.M8K16, idxPath)
+    // delete every vec_id divisible by 7 (ids only — no vectors needed)
+    val delIds = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    Similarity.deleteFromIvfPqIndex(delIds, "vec_id", idxPath)
+    def serve() = Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") < 5),
+        idxPath, "vec_id", "embedding", graft.sim.IvfCodebook.K16,
+        graft.sim.PqCodebook.M8K16, nProbe = 10, k = 10, overfetch = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5),
+        emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+        graft.sim.IvfCodebook.K16, graft.sim.PqCodebook.M8K16,
+        nProbe = 10, k = 10, overfetch = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // phase 1: tombstones filter at serve time, index files untouched
+    val tombed = serve()
+    assert(tombed === direct,
+      "tombstoned serving must equal a rebuild without the deleted ids")
+    assert(tombed.forall { case (_, n, _, _) => n % 7 != 0 },
+      "no tombstoned id may be served as a neighbor")
+    // phase 2: compaction folds tombstones into the files and clears
+    // the sidecar; serving is unchanged and the serving plan still
+    // prunes at the file level
+    val rewritten = Similarity.compactIvfPqIndex(spark, idxPath)
+    assert(rewritten > 0, "deleting 1/7 of the corpus must touch lists")
+    assert(!new java.io.File(Similarity.ivfPqTombstonePath(idxPath)).exists,
+      "compaction must clear the tombstone sidecar")
+    assert(serve() === direct,
+      "compacted serving must equal a rebuild without the deleted ids")
+    val compactedIds = spark.read.parquet(idxPath)
+      .filter(col("neighbor_id") % 7 === 0).count()
+    assert(compactedIds === 0L, "compaction must drop tombstoned rows")
+    val p = Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") < 5),
+        idxPath, "vec_id", "embedding", graft.sim.IvfCodebook.K16,
+        graft.sim.PqCodebook.M8K16, nProbe = 2, k = 10, overfetch = 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cid"),
+      s"compacted index must still prune at the file level:\n${p.take(2000)}")
+    // compacting a clean index is a no-op
+    assert(Similarity.compactIvfPqIndex(spark, idxPath) === 0)
+  }
+
   test("IVF ANN: probed top-k overlaps brute-force top-k (s02 contract)") {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
     def recallOf(cents: Array[Array[Double]]): (Set[(Long, Long)], Double) = {
