@@ -177,6 +177,28 @@ object StreamingScore {
       .select(col("shingle")).distinct()
 
   /** Streaming documents source (shared layout helper). */
+  /** Streaming s05: serve a STREAM of query vectors against a persisted
+    * [[graft.sim.Similarity.writeIvfPqIndex]] IVF-PQ index — the online
+    * half of the build-offline/serve-online production shape. Each
+    * micro-batch runs the exact batch serving path
+    * ([[graft.sim.Similarity.ivfPqTopKIndexed]]): the probed-list union
+    * of the batch's queries is pushed as a literal partition filter, so
+    * each micro-batch reads only its own nProbe/nlist slice of the index
+    * files, and tombstoned ids ([[graft.sim.Similarity.deleteFromIvfPqIndex]])
+    * are filtered the moment the sidecar appears — deletions take
+    * effect mid-stream with no restart. Queries are independent, so
+    * the streamed union equals the batch result on the same query set
+    * regardless of micro-batch boundaries; ZERO streaming state. */
+  def ivfPqIndexServe(queries: DataFrame, indexPath: String, id: String,
+                      vec: String, centroids: Array[Array[Double]],
+                      codebook: Array[Array[Array[Double]]],
+                      nProbe: Int, k: Int, overfetch: Int = 4)
+                     (sink: DataFrame => Unit): DataStreamWriter[Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.sim.Similarity.ivfPqTopKIndexed(batch, indexPath, id, vec,
+        centroids, codebook, nProbe, k, overfetch))
+    }
+
   def documentsStream(spark: org.apache.spark.sql.SparkSession,
                       dir: String): DataFrame =
     StreamingPack.documentsStream(spark, dir)

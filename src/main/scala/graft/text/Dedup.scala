@@ -376,12 +376,20 @@ object Dedup {
       .select(col(id), col("cluster_id"), col(scoreCol), col("kept"))
   }
 
-  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+  def connectedComponents(pairs0: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIters: Int = 20,
                           castLong: Boolean = true,
                           driverEdgeLimit: Int = 2000000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // ONE materialization of the (often expensive — LSH join + exact
+    // verify) pair lineage, up front: the size probe, the fast-path
+    // collect, AND the distributed edge build all read these blocks,
+    // so no caller pays a recompute whichever path is taken. The edge
+    // list is the NEAR-DUP pair set — linear in the corpus by the LSH
+    // banding design, so this store is small relative to the data
+    // already held by the curate stages around it.
+    val pairs = pairs0.select(col(idA), col(idB)).localCheckpoint(true)
     // castLong guards the doc-id path (a ticker-style string id would
     // silently min() lexicographically); composite/struct node ids
     // (d06 spans) pass castLong=false and keep their field-wise order
@@ -391,13 +399,14 @@ object Dedup {
     // fixed cost each (join + eager checkpoint + count), so a 500-pair
     // graph spends seconds on scheduling alone. The near-dup pair set
     // after LSH + exact verify is usually tiny relative to the corpus;
-    // probe SIZE first with an early-terminating limit+count (a count
-    // ships one long per partition, never rows), and only when the
-    // graph is confirmed small collect the edges — 2M boxed GenericRows
-    // are ~100 bytes each, so a blind collect-then-check would hold
-    // ~200 MB of driver transients on every LARGE graph before
-    // abandoning the fast path. A bigger graph pays one cheap count
-    // job and takes the distributed path unchanged (the 100 TB shape).
+    // probe SIZE first with an early-terminating limit+count over the
+    // checkpointed blocks (a count ships one long per partition, never
+    // rows), and only when the graph is confirmed small collect the
+    // edges — 2M boxed GenericRows are ~100 bytes each, so a blind
+    // collect-then-check would hold ~200 MB of driver transients on
+    // every LARGE graph before abandoning the fast path. A bigger
+    // graph pays one block-read count and goes distributed (the
+    // 100 TB shape).
     def graphFitsDriver: Boolean =
       pairs.select(col(idA)).limit(driverEdgeLimit + 1).count() <= driverEdgeLimit
     if (castLong && graphFitsDriver) {

@@ -163,7 +163,7 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (family == "docs") {
+    if (family == "docs" || family == "curate") {
       // corpus replication: disjoint doc_id ranges + per-copy letter
       // rotation (copy 0 is the identity). translate is a bijection on
       // the alphabet, so every within-copy shingle set / Jaccard /
@@ -173,12 +173,29 @@ object ScaleBench {
       val upper = lower.toUpperCase
       val d = graft.core.Tables.documents(spark, src)
       val nDocs = d.agg(max(col("doc_id"))).first().getLong(0) + 1
+      // curate family: the rotation must PRESERVE the stopword lists,
+      // or the chain's Gopher/stopword gates correctly kill every
+      // non-identity copy and the back half of the pipeline (mixture,
+      // budget, chunking, packing) never sees the scaled corpus — the
+      // cell would measure dedup alone. Token-level rotation keeps
+      // stop tokens verbatim; 5 consecutive preserved stopwords are
+      // needed for a single cross-copy shingle collision, far below
+      // any dedup threshold, so pair growth stays linear like the
+      // plain docs family.
+      val preserved = (graft.text.TextOps.GopherStops ++
+        graft.text.TextOps.EnglishStop).distinct
       (0 until factor).map { i =>
         val sh = i % 26
         val rot = lower.drop(sh) + lower.take(sh) +
           upper.drop(sh) + upper.take(sh)
+        val rotText =
+          if (family == "curate")
+            array_join(transform(split(col("text"), " "),
+              t => when(t.isin(preserved: _*), t)
+                .otherwise(translate(t, lower + upper, rot))), " ")
+          else translate(col("text"), lower + upper, rot)
         d.withColumn("doc_id", col("doc_id") + lit(i * nDocs))
-          .withColumn("text", translate(col("text"), lower + upper, rot))
+          .withColumn("text", rotText)
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       // growing corpus, fixed query set: the ANN queries probe vec_id<5,
@@ -191,25 +208,27 @@ object ScaleBench {
       // factor−1 cosine-1.0 twins and the TRUE pair set (and the ANN
       // top-k) grows quadratically by fixture artifact rather than by
       // plan behavior.
-      val v = graft.core.Tables.embeddings(spark, src)
-      val nVecs = v.agg(max(col("vec_id"))).first().getLong(0) + 1
-      val dim = v.select(size(col("embedding"))).first().getInt(0)
-      (0 until factor).map { i =>
-        val shifted = v.withColumn("vec_id", col("vec_id") + lit(i * nVecs))
-        if (i == 0) shifted
-        else {
-          val signs = {
-            val r = new scala.util.Random(1000L + i)
-            Array.fill(dim)(if (r.nextBoolean()) 1.0f else -1.0f)
+      if (family == "docs") {
+        val v = graft.core.Tables.embeddings(spark, src)
+        val nVecs = v.agg(max(col("vec_id"))).first().getLong(0) + 1
+        val dim = v.select(size(col("embedding"))).first().getInt(0)
+        (0 until factor).map { i =>
+          val shifted = v.withColumn("vec_id", col("vec_id") + lit(i * nVecs))
+          if (i == 0) shifted
+          else {
+            val signs = {
+              val r = new scala.util.Random(1000L + i)
+              Array.fill(dim)(if (r.nextBoolean()) 1.0f else -1.0f)
+            }
+            shifted.withColumn("embedding",
+              array((0 until dim).map { j =>
+                (element_at(col("embedding"), ((j + i) % dim) + 1) *
+                  lit(signs(j))).cast("float")
+              }: _*))
           }
-          shifted.withColumn("embedding",
-            array((0 until dim).map { j =>
-              (element_at(col("embedding"), ((j + i) % dim) + 1) *
-                lit(signs(j))).cast("float")
-            }: _*))
-        }
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      }
     } else if (family == "dim") {
       // dimension tiling: same vec count, dim × factor. Tile 0 is the
       // original vector; tile t is a per-tile seeded sign flip (exact
@@ -287,6 +306,7 @@ object ScaleBench {
       case "doclen" => DocLenQueries
       case "length" => LengthQueries
       case "dim"    => DimQueries
+      case "curate" => Seq.empty
       case _        => PerSeriesQueries
     }
     // bench-only cells (no gate entry): the occupancy-scaled LSH
@@ -342,8 +362,37 @@ object ScaleBench {
             "label", threshold = 0.45, targetBucket = 64, recall = 0.95,
             seed = 7L)))
     }
+    // curate family: ONE cell — the full curate CLI chain (shingle
+    // dedup → semantic dedup → quality gates → mixture/token-budget
+    // sampling → chunk → pack → write), timed end to end including its
+    // output writes, against the same alphabet-rotated doc replication
+    // as the docs family. The token budget scales WITH the corpus
+    // (tokens/doc is scale-invariant here, so a fixed budget would
+    // shrink the downstream stages to a constant at 10× and the cell
+    // would measure only the dedup front half).
+    def curateExtras(): Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      "curatex_full_chain" -> ((d: String) => {
+        val runOut = s"/tmp/graft_curate_cell_${System.nanoTime()}"
+        val nDocs = spark.read.parquet(s"$d/documents.parquet").count()
+        val mix = (0 until 20).map(i => s"src$i:0.05").mkString(",")
+        graft.cli.Cli.run(spark, graft.cli.GraftConfig.defaults ++ Map(
+          "mode" -> "curate",
+          "input_docs" -> s"$d/documents.parquet",
+          "near_threshold" -> "0.5",
+          "semantic_threshold" -> "0.9",
+          "gopher_min_stop" -> "1",
+          "min_tokens" -> "10", "max_rep_ratio" -> "0.5",
+          "mixture_target" -> mix, "source_col" -> "source",
+          "token_budget" -> (nDocs * 60).toString,
+          "chunk_window" -> "400", "chunk_stride" -> "300",
+          "pack_budget" -> "128",
+          "output" -> s"$runOut/chunks",
+          "metrics_out" -> s"$runOut/metrics.json"))
+        spark.read.parquet(s"$runOut/chunks")
+      }))
     val extras: Seq[(String, String => org.apache.spark.sql.DataFrame)] =
       if (family == "dim") dimExtras()
+      else if (family == "curate") curateExtras()
       else if (family != "docs") Seq.empty
       else Seq(
         "s01x_lsh_scaled" -> ((d: String) =>
@@ -360,11 +409,12 @@ object ScaleBench {
       case "doclen" => "BENCH_SF1_DOCLEN.json"
       case "length" => "BENCH_SF1_LEN.json"
       case "dim"    => "BENCH_SF1_DIM.json"
+      case "curate" => "BENCH_SF1_CURATE.json"
       case _        => "BENCH_SF1.json"
     }
 
     // warm-up (JIT + codegen + scan) outside the timed cells
-    time(gateQueries.head, src)
+    gateQueries.headOption.foreach(time(_, src))
 
     val cells: Seq[(String, String => Double)] =
       gateQueries.map(q => q -> ((d: String) => time(q, d))) ++

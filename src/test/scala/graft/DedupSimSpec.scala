@@ -503,6 +503,53 @@ class DedupSimSpec extends AnyFunSuite {
     assert(Similarity.compactIvfPqIndex(spark, idxPath) === 0)
   }
 
+  test("streaming indexed IVF-PQ serving matches batch across " +
+       "micro-batches, tombstones take effect mid-stream (s05 twin)") {
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_idx_serve").toString + "/idx"
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
+      graft.sim.IvfCodebook.K16, graft.sim.PqCodebook.M8K16, idxPath)
+    // query stream: 6 query vectors over 3 micro-batches
+    val qdf = emb.filter(col("vec_id") < 6).select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graftqstream").toString
+    qdf.repartition(3).write.mode("overwrite").parquet(tmp)
+    def served(): Set[(Long, Long, Double, Int)] = {
+      val stream = spark.readStream.schema(qdf.schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+      val buf = scala.collection.mutable.Set.empty[(Long, Long, Double, Int)]
+      val q = graft.streaming.StreamingScore.ivfPqIndexServe(
+          stream, idxPath, "vec_id", "embedding",
+          graft.sim.IvfCodebook.K16, graft.sim.PqCodebook.M8K16,
+          nProbe = 10, k = 10, overfetch = 16) { b =>
+        buf.synchronized { buf ++= b.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))) }
+      }.start()
+      q.processAllAvailable(); q.stop()
+      buf.toSet
+    }
+    def batch(): Set[(Long, Long, Double, Int)] =
+      Similarity.ivfPqTopKIndexed(qdf, idxPath, "vec_id", "embedding",
+          graft.sim.IvfCodebook.K16, graft.sim.PqCodebook.M8K16,
+          nProbe = 10, k = 10, overfetch = 16)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // queries are independent: micro-batch boundaries cannot change
+    // any ranking, so the streamed union equals the batch result
+    val before = served()
+    assert(before === batch())
+    assert(before.nonEmpty)
+    // deletions land mid-stream with no restart: the sidecar is read
+    // per micro-batch, so the next served() run excludes tombstoned ids
+    Similarity.deleteFromIvfPqIndex(
+      emb.filter(col("vec_id") % 5 === 1).select(col("vec_id")),
+      "vec_id", idxPath)
+    val after = served()
+    assert(after === batch(), "streamed serving must see tombstones")
+    assert(after !== before)
+    assert(after.forall { case (_, n, _, _) => n % 5 != 1 })
+  }
+
   test("IVF ANN: probed top-k overlaps brute-force top-k (s02 contract)") {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
     def recallOf(cents: Array[Array[Double]]): (Set[(Long, Long)], Double) = {

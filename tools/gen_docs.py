@@ -335,6 +335,36 @@ walls per cell, local[32].
                             f"| {r['ratio']:.2f} |\n")
             except (ValueError, KeyError) as e:
                 f.write(f"\n(BENCH_SF1_DOCLEN.json unreadable: {e})\n")
+        # 10x curate END-TO-END scale experiment (graft.tools.ScaleBench
+        # ... curate): the full CLI chain over the docs-family replication
+        cpath2 = os.path.join(ROOT, "BENCH_SF1_CURATE.json")
+        if os.path.exists(cpath2):
+            try:
+                cdata = json.load(open(cpath2))
+                factor = cdata.get("factor")
+                f.write(f"""
+## {factor}x curate END-TO-END scale run (`graft.tools.ScaleBench ... curate`)
+
+The flagship pipeline measured as ONE cell, not stage by stage: the
+full curate CLI chain (shingle near-dup dedup -> semantic dedup ->
+Gopher/repetition/token gates -> mixture + corpus-proportional token
+budget -> chunk -> pack -> output/seen-register/metrics writes) over
+the docs-family replication (alphabet-rotated copies, disjoint doc_id
+ranges). The token budget scales with the corpus so every downstream
+stage carries {factor}x the docs. Min-of-2 walls, local[32]; the cell
+includes all of the chain's writes. A ratio near {factor} is linear;
+well under {factor} means the chain's fixed stage/job scheduling costs
+dominate its data costs at sf0.1 (the 100 TB-relevant reading is that
+no stage is super-linear).
+
+| query | sf0.1 s | x{factor} s | ratio |
+|---|---|---|---|
+""")
+                for q, r in sorted(cdata.get("queries", {}).items()):
+                    f.write(f"| {q} | {r['base_sec']:.2f} | {r['scaled_sec']:.2f} "
+                            f"| {r['ratio']:.2f} |\n")
+            except (ValueError, KeyError) as e:
+                f.write(f"\n(BENCH_SF1_CURATE.json unreadable: {e})\n")
         # 10x series-LENGTH scale experiment (graft.tools.ScaleBench ...
         # length): same series, 10x the rows each
         lpath2 = os.path.join(ROOT, "BENCH_SF1_LEN.json")
