@@ -2983,6 +2983,42 @@ object OracleSql {
          |ORDER BY raw.doc_id, j""".stripMargin
     },
 
+    // doc-topic assignment: the t16 embedding machinery re-assembled
+    // into per-doc DOUBLE[] lists (r6 values — both engines see the
+    // same doubles), then the s02 argmin convention over the frozen
+    // TopicCentroids.K8 literals: key |c|²−2·v·c (commutative-exact
+    // twin of the Spark PqEncode expression), first index of the min
+    "t17_topic_assign" -> {
+      val h = h64Sql("token", "'17'")
+      val dExprs = graft.text.TopicCentroids.K8.map(c =>
+        s"(${c.map(x => x * x).sum} - 2.0*list_inner_product(v, ${planeLit(c)}))")
+      val dl = "[" + dExprs.mkString(",\n   ") + "]"
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+         |              FROM documents),
+         |t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         |hb AS (SELECT doc_id, $h AS h FROM t),
+         |w AS (SELECT doc_id, (h % 64)::INT AS b,
+         |        sum(CASE WHEN (h >> 20) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS w
+         |      FROM hb GROUP BY doc_id, (h % 64)::INT),
+         |grid AS (SELECT d.doc_id, j
+         |         FROM (SELECT DISTINCT doc_id FROM t) d
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js),
+         |raw AS (SELECT g.doc_id, g.j, coalesce(w.w, 0.0) AS x
+         |        FROM grid g LEFT JOIN w ON w.doc_id = g.doc_id AND w.b = g.j),
+         |nrm AS (SELECT doc_id, sqrt(sum(x*x)) AS n FROM raw GROUP BY doc_id),
+         |emb AS (SELECT raw.doc_id,
+         |          round(CASE WHEN nrm.n > 0 THEN raw.x / nrm.n ELSE 0.0 END, 6) AS v,
+         |          raw.j
+         |        FROM raw JOIN nrm ON raw.doc_id = nrm.doc_id),
+         |vec AS (SELECT doc_id, list(v ORDER BY j) AS v FROM emb GROUP BY doc_id),
+         |asg AS (SELECT doc_id,
+         |          (list_position(dl, list_aggregate(dl, 'min')) - 1)::BIGINT AS topic
+         |        FROM (SELECT doc_id, $dl AS dl FROM vec) t)
+         |SELECT doc_id, topic,
+         |  count(*) OVER (PARTITION BY topic) AS topic_size
+         |FROM asg ORDER BY doc_id""".stripMargin
+    },
+
     // eval-contamination report: bench-doc 8-gram containment in the
     // train corpus's distinct-gram set; t01's shingle CTE, left join
     "t15_contamination_report" ->

@@ -433,6 +433,16 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("j"))
     }),
 
+    // ── Doc-topic assignment: nearest frozen KMeans centroid over the
+    //    t16 hashed embedding — model-free domain discovery for
+    //    mixture design; one doc-keyed shuffle, centroids literal ──────
+    "t17_topic_assign" -> ((s, dir) => {
+      graft.text.TextOps.topicAssign(docs(s, dir), "doc_id", "text")
+        .withColumn("topic_size",
+          count(lit(1)).over(Window.partitionBy(col("topic"))))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Eval-contamination report: per-benchmark-doc fraction of its
     //    8-grams present anywhere in the train corpus — train side
     //    collapses to distinct grams, one gram-keyed left join ──────────

@@ -612,7 +612,20 @@ object Cli {
         withCid.join(seq, Seq("_cid")).drop("_cid")
       case None => split
     }
-    packed.write.mode("overwrite").partitionBy("split")
+    // optional topic labeling (--assign_topics true): per-DOC nearest
+    // frozen topic centroid over the hashed embedding (t17) joined onto
+    // every output chunk — mixture-design metadata riding the output,
+    // assigned on the redacted full-doc text (not per chunk, so all of
+    // a doc's chunks share one topic). Keyed shuffle join on the doc
+    // id; centroids are literals, nothing collects.
+    val labeled =
+      if (cfg.strOpt("assign_topics").contains("true"))
+        packed.join(
+          TextOps.topicAssign(
+            redacted.select(col(id), col("redacted").as(text)), id, text),
+          Seq(id), "left")
+      else packed
+    labeled.write.mode("overwrite").partitionBy("split")
       .parquet(cfg.str("output"))
     val nChunks = spark.read.parquet(cfg.str("output")).count()
 

@@ -216,6 +216,25 @@ object TextOps {
       .select(col(id), col("embedding"))
   }
 
+  /** Doc-topic assignment (beyond reference, t17): nearest frozen
+    * topic centroid ([[TopicCentroids.K8]], KMeans-trained offline by
+    * [[graft.tools.TrainTopics]]) over the hashed doc embedding
+    * ([[hashEmbedVectors]]) — the standard domain-discovery step
+    * before mixture design (what fraction of the corpus is code /
+    * news / forum …), with no pretrained model anywhere: the hashing
+    * trick IS the feature space. Assignment reuses the native
+    * [[graft.sim.Similarity.ivfAssign]] argmin (`|c|² − 2·v·c` key,
+    * first-index tie-break), so the whole op is ONE doc-keyed shuffle
+    * (the embedding agg) followed by map-side math — at 100 TB the
+    * centroids are a literal, nothing joins, nothing collects. */
+  def topicAssign(df: DataFrame, id: String, text: String,
+                  centroids: Array[Array[Double]] = TopicCentroids.K8,
+                  dim: Int = 64, salt: Int = 17): DataFrame =
+    hashEmbedVectors(df, id, text, dim, salt)
+      .select(col(id),
+        graft.sim.Similarity.ivfAssign(col("embedding"), centroids)
+          .cast("long").as("topic"))
+
   /** Eval-contamination report (beyond reference, t15): the REVERSE
     * direction of [[contamination]] — instead of finding train docs to
     * drop, measure how contaminated each BENCHMARK doc is: of its

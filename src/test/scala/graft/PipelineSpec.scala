@@ -618,6 +618,38 @@ class PipelineSpec extends AnyFunSuite {
       "the embedding stage must drop the bag-of-words dup, keep-first")
   }
 
+  test("CLI curate --assign_topics: every output chunk carries its doc's " +
+       "frozen-centroid topic; all chunks of a doc share one topic") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("grafttopic").toString
+    graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text").limit(40)
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val out = s"$dir/chunks"
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"$dir/docs",
+      "near_threshold" -> "1.5", // disable near-dup for the tiny corpus
+      "chunk_window" -> "200", "chunk_stride" -> "150",
+      "assign_topics" -> "true",
+      "output" -> out, "metrics_out" -> s"$dir/funnel.json"))
+    val chunks = spark.read.parquet(out)
+    assert(chunks.columns.contains("topic"))
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(countDistinct(col("topic")).as("nt"),
+        min(col("topic")).as("t"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    assert(perDoc.forall(_.getLong(1) == 1L),
+      "chunks of one doc must share the doc-level topic")
+    // and the label is the t17 assignment of the (redacted) doc text
+    val expected = graft.text.TextOps.topicAssign(
+        spark.read.parquet(s"$dir/docs"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.forall(r => expected(r.getLong(0)) == r.getLong(2)))
+  }
+
   test("CLI curate --incremental_from: increments union to the full " +
        "run; cross-increment duplicates processed once") {
     val s = spark

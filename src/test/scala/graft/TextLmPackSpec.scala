@@ -526,4 +526,28 @@ class TextLmPackSpec extends AnyFunSuite {
     assert(exchanges <= 1,
       s"only the presentation sort may shuffle:\n$finalPlan")
   }
+
+  test("topicAssign: deterministic, spreads across topics, matches the " +
+       "composed argmin bit-for-bit (t17)") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+    val t = TextOps.topicAssign(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t.nonEmpty)
+    // a corpus clustered into one bucket means dead centroids — the
+    // frozen KMeans literals must actually partition the space
+    assert(t.values.toSet.size >= 3,
+      s"only ${t.values.toSet.size} topics used")
+    assert(t.values.forall(c => c >= 0 && c < 8))
+    // assignment equals the composed struct-argmin (PqEncode parity)
+    val composed = TextOps.hashEmbedVectors(docs, "doc_id", "text")
+      .select(col("doc_id"), graft.sim.Similarity
+        .ivfAssignComposed(col("embedding"), graft.text.TopicCentroids.K8)
+        .cast("long").as("topic"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === composed)
+    // determinism
+    val again = TextOps.topicAssign(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === again)
+  }
 }
