@@ -199,6 +199,25 @@ object StreamingScore {
         centroids, codebook, nProbe, k, overfetch))
     }
 
+  /** Streaming index INGEST — the other half of the s05 lifecycle:
+    * append each micro-batch of (id, vector) rows to a persisted
+    * IVF-PQ index ([[graft.sim.Similarity.appendIvfPqIndex]] — the
+    * same map-only encode pass, new files landing inside the existing
+    * `cid=` partition directories). FROZEN codebooks are what make
+    * this sound (old and new codes share one quantization space), so
+    * append-equals-rebuild holds across arbitrary micro-batch
+    * boundaries, and a concurrent [[ivfPqIndexServe]] stream picks up
+    * each batch's vectors as soon as its files commit. ZERO streaming
+    * state; the index IS the sink. */
+  def ivfPqIndexIngest(corpus: DataFrame, indexPath: String, id: String,
+                       vec: String, centroids: Array[Array[Double]],
+                       codebook: Array[Array[Array[Double]]])
+                      : DataStreamWriter[Row] =
+    corpus.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.sim.Similarity.appendIvfPqIndex(batch, id, vec,
+        centroids, codebook, indexPath)
+    }
+
   def documentsStream(spark: org.apache.spark.sql.SparkSession,
                       dir: String): DataFrame =
     StreamingPack.documentsStream(spark, dir)

@@ -503,6 +503,40 @@ class DedupSimSpec extends AnyFunSuite {
     assert(Similarity.compactIvfPqIndex(spark, idxPath) === 0)
   }
 
+  test("streaming IVF-PQ index ingest: append-equals-rebuild holds " +
+       "across micro-batch boundaries (s05 ingest twin)") {
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_idx_ingest").toString + "/idx"
+    // offline build on the even half; stream the odd half in via the
+    // ingest twin, one file per trigger
+    Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", graft.sim.IvfCodebook.K16,
+      graft.sim.PqCodebook.M8K16, idxPath)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graftingst").toString
+    odd.repartition(3).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(odd.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val q = graft.streaming.StreamingScore.ivfPqIndexIngest(
+      stream, idxPath, "vec_id", "embedding",
+      graft.sim.IvfCodebook.K16, graft.sim.PqCodebook.M8K16).start()
+    q.processAllAvailable(); q.stop()
+    val ingested = Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") < 5),
+        idxPath, "vec_id", "embedding", graft.sim.IvfCodebook.K16,
+        graft.sim.PqCodebook.M8K16, nProbe = 10, k = 10, overfetch = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", graft.sim.IvfCodebook.K16,
+        graft.sim.PqCodebook.M8K16, nProbe = 10, k = 10, overfetch = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(ingested === direct,
+      "streamed ingest must serve like a full-corpus rebuild")
+  }
+
   test("streaming indexed IVF-PQ serving matches batch across " +
        "micro-batches, tombstones take effect mid-stream (s05 twin)") {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)

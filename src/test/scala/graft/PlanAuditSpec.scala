@@ -310,6 +310,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "token→df join must be a broadcast hash join under the vocab guard")
   }
 
+  test("t17 topic assign: one doc-keyed agg exchange, centroids stay " +
+       "literal (no join), no cartesian") {
+    val p = plan("t17_topic_assign")
+    assert(!p.contains("CartesianProduct"))
+    // the centroids are literals inside the PqEncode expression — the
+    // assignment must NOT appear as a join against a centroid relation
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "centroid assignment must be map-side, not a join")
+    assert(p.contains("pq_encode") || p.contains("PqEncode"),
+      "assignment should run through the native argmin expression")
+  }
+
   test("a07 k-per-key sample: one keyed window exchange, no single partition") {
     val p = plan("a07_sample_per_key")
     assert(p.contains("hashpartitioning(domain"),
