@@ -116,6 +116,38 @@ object OracleSql {
   private def h64Sql(expr: String, seed: String): String =
     s"('0x' || substr(md5($seed || '|' || $expr), 1, 15))::BIGINT"
 
+  /** t17's assignment CTE chain (…, asg(doc_id, topic)): the t16
+    * hashed-embedding machinery re-assembled into per-doc DOUBLE[]
+    * lists, then the s02 argmin over the frozen TopicCentroids.K8
+    * literals. Shared by t17 and a10. */
+  private lazy val t17AsgCtes: String = {
+    val h = h64Sql("token", "'17'")
+    val dExprs = graft.text.TopicCentroids.K8.map(c =>
+      s"(${c.map(x => x * x).sum} - 2.0*list_inner_product(v, ${planeLit(c)}))")
+    val dl = "[" + dExprs.mkString(",\n   ") + "]"
+    s"""toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+       |              FROM documents),
+       |tk0 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+       |hb AS (SELECT doc_id, $h AS h FROM tk0),
+       |w AS (SELECT doc_id, (h % 64)::INT AS b,
+       |        sum(CASE WHEN (h >> 20) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS w
+       |      FROM hb GROUP BY doc_id, (h % 64)::INT),
+       |grid AS (SELECT d.doc_id, j
+       |         FROM (SELECT DISTINCT doc_id FROM tk0) d
+       |         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js),
+       |raw AS (SELECT g.doc_id, g.j, coalesce(w.w, 0.0) AS x
+       |        FROM grid g LEFT JOIN w ON w.doc_id = g.doc_id AND w.b = g.j),
+       |nrm AS (SELECT doc_id, sqrt(sum(x*x)) AS n FROM raw GROUP BY doc_id),
+       |emb AS (SELECT raw.doc_id,
+       |          round(CASE WHEN nrm.n > 0 THEN raw.x / nrm.n ELSE 0.0 END, 6) AS v,
+       |          raw.j
+       |        FROM raw JOIN nrm ON raw.doc_id = nrm.doc_id),
+       |vec AS (SELECT doc_id, list(v ORDER BY j) AS v FROM emb GROUP BY doc_id),
+       |asg AS (SELECT doc_id,
+       |          (list_position(dl, list_aggregate(dl, 'min')) - 1)::BIGINT AS topic
+       |        FROM (SELECT doc_id, $dl AS dl FROM vec) t)""".stripMargin
+  }
+
   /** Per-user log-return CTE body (W1 + clip), shared by the fit-stage
     * oracles: emits (user_id, ts, event_id, ret) with nulls dropped. */
   private val perUserRets: String =
@@ -2988,35 +3020,32 @@ object OracleSql {
     // same doubles), then the s02 argmin convention over the frozen
     // TopicCentroids.K8 literals: key |c|²−2·v·c (commutative-exact
     // twin of the Spark PqEncode expression), first index of the min
-    "t17_topic_assign" -> {
-      val h = h64Sql("token", "'17'")
-      val dExprs = graft.text.TopicCentroids.K8.map(c =>
-        s"(${c.map(x => x * x).sum} - 2.0*list_inner_product(v, ${planeLit(c)}))")
-      val dl = "[" + dExprs.mkString(",\n   ") + "]"
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
-         |              FROM documents),
-         |t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
-         |hb AS (SELECT doc_id, $h AS h FROM t),
-         |w AS (SELECT doc_id, (h % 64)::INT AS b,
-         |        sum(CASE WHEN (h >> 20) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS w
-         |      FROM hb GROUP BY doc_id, (h % 64)::INT),
-         |grid AS (SELECT d.doc_id, j
-         |         FROM (SELECT DISTINCT doc_id FROM t) d
-         |         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js),
-         |raw AS (SELECT g.doc_id, g.j, coalesce(w.w, 0.0) AS x
-         |        FROM grid g LEFT JOIN w ON w.doc_id = g.doc_id AND w.b = g.j),
-         |nrm AS (SELECT doc_id, sqrt(sum(x*x)) AS n FROM raw GROUP BY doc_id),
-         |emb AS (SELECT raw.doc_id,
-         |          round(CASE WHEN nrm.n > 0 THEN raw.x / nrm.n ELSE 0.0 END, 6) AS v,
-         |          raw.j
-         |        FROM raw JOIN nrm ON raw.doc_id = nrm.doc_id),
-         |vec AS (SELECT doc_id, list(v ORDER BY j) AS v FROM emb GROUP BY doc_id),
-         |asg AS (SELECT doc_id,
-         |          (list_position(dl, list_aggregate(dl, 'min')) - 1)::BIGINT AS topic
-         |        FROM (SELECT doc_id, $dl AS dl FROM vec) t)
+    "t17_topic_assign" ->
+      s"""WITH $t17AsgCtes
          |SELECT doc_id, topic,
          |  count(*) OVER (PARTITION BY topic) AS topic_size
-         |FROM asg ORDER BY doc_id""".stripMargin
+         |FROM asg ORDER BY doc_id""".stripMargin,
+
+    // mixture over DISCOVERED domains: the t17 assignment feeding the
+    // a08 mixture machinery keyed on the topic — same weight
+    // normalization double ops, same h64-bucket cut
+    "a10_topic_mixture" -> {
+      val b = s"${h64Sql("d.doc_id::VARCHAR", "'23'")} % 10000"
+      s"""WITH $t17AsgCtes,
+         |t(tk, w) AS (VALUES
+         |  ('0', 0.5::DOUBLE / (0.5::DOUBLE + 0.3::DOUBLE + 0.2::DOUBLE)),
+         |  ('5', 0.3::DOUBLE / (0.5::DOUBLE + 0.3::DOUBLE + 0.2::DOUBLE)),
+         |  ('7', 0.2::DOUBLE / (0.5::DOUBLE + 0.3::DOUBLE + 0.2::DOUBLE))),
+         |tt AS (SELECT doc_id, topic, topic::VARCHAR AS tk FROM asg),
+         |c AS (SELECT tk, count(*)::BIGINT AS n FROM tt
+         |      WHERE tk IN ('0','5','7') GROUP BY tk),
+         |nout AS (SELECT min(n::DOUBLE / w) AS nout FROM c JOIN t USING (tk)),
+         |f AS (SELECT c.tk, round(w * nout / n * 10000) AS cut
+         |      FROM c JOIN t USING (tk) CROSS JOIN nout)
+         |SELECT d.doc_id, d.topic
+         |FROM tt d JOIN f ON d.tk = f.tk
+         |WHERE $b < f.cut
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     // eval-contamination report: bench-doc 8-gram containment in the

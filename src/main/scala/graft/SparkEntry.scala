@@ -1548,6 +1548,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── a10: mixture over DISCOVERED domains — t17's frozen-centroid
+    //    topics feed a08's deterministic mixture sampler, the "rebalance
+    //    the corpus by topic" step when no source labels exist; the
+    //    oracle replays topic assignment AND the per-key hash cut ──────
+    "a10_topic_mixture" -> ((s, dir) => {
+      val topics = graft.text.TextOps.topicAssign(docs(s, dir), "doc_id", "text")
+        .withColumn("topic", col("topic").cast("string"))
+      graft.core.ScaleOps.mixtureSample(topics, "doc_id", "topic",
+          salt = 23, target = Map("0" -> 0.5, "5" -> 0.3, "7" -> 0.2))
+        .select(col("doc_id"), col("topic").cast("long").as("topic"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── A15/A16 witness: the reference's per-generator summary view
     //    (COUNT/ROUND(AVG)/GROUP BY — evaluate_all_generators.py:245-281)
     //    over a metrics frame derived from per-user event stats ────────
