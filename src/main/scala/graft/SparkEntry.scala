@@ -1553,8 +1553,14 @@ object SparkEntry {
     //    the corpus by topic" step when no source labels exist; the
     //    oracle replays topic assignment AND the per-key hash cut ──────
     "a10_topic_mixture" -> ((s, dir) => {
+      // materialize the assignment ONCE: the mixture is a two-pass
+      // algorithm (feasibility counts, then the hash-cut sample), and
+      // composing both passes over the live topicAssign lineage fuses
+      // the 64-sum embedding agg + argmin + when-chain cut into one
+      // pathological stage (measured 8.5 s vs 0.45 s at sf0.1)
       val topics = graft.text.TextOps.topicAssign(docs(s, dir), "doc_id", "text")
         .withColumn("topic", col("topic").cast("string"))
+        .localCheckpoint(true)
       graft.core.ScaleOps.mixtureSample(topics, "doc_id", "topic",
           salt = 23, target = Map("0" -> 0.5, "5" -> 0.3, "7" -> 0.2))
         .select(col("doc_id"), col("topic").cast("long").as("topic"))

@@ -23,6 +23,13 @@ import graft.series.{SeriesOps, SeriesSpec}
   *   graft.cli.Cli --mode evaluate --synthetic out_csv --real d4.csv \
   *     --metrics_out metrics.json
   *   graft.cli.Cli --mode optimize --input a.csv --sweep_out sweep_csv
+  *   graft.cli.Cli --mode curate --input_docs docs.parquet \
+  *     --near_threshold 0.5 --semantic_threshold 0.9 \
+  *     --gopher_min_stop 1 --langs en --min_q_prob 0.01 \
+  *     --mixture_target src0:0.5,src1:0.5 --source_col source \
+  *     --token_budget 3000000 --chunk_window 400 --chunk_stride 300 \
+  *     --pack_budget 128 --assign_topics true \
+  *     --incremental_from prior_out --output out --metrics_out funnel.json
   */
 object Cli {
 
@@ -362,9 +369,23 @@ object Cli {
     // (splits, samples, mixtures) are append-stable by construction —
     // an increment can never reassign an earlier doc's split.
     val seenPath = cfg.strOpt("incremental_from").map(p => s"${p}_seen.parquet")
+    // schema-guarded register read: a prior increment over an EMPTY (or
+    // fully-filtered) corpus may have written a register with zero part
+    // files, which parquet cannot infer a schema from — treat it as the
+    // empty register it is instead of crashing the increment chain
+    def readSeen(p: String): DataFrame =
+      try spark.read.parquet(p)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("seen_id", LongType),
+              StructField("text_md5", StringType))))
+      }
     val docs = seenPath match {
       case Some(p) =>
-        val seen = spark.read.parquet(p)
+        val seen = readSeen(p)
         docs0
           .join(seen.select(col("text_md5")), md5(col(text)) === col("text_md5"),
             "left_anti")
@@ -627,16 +648,24 @@ object Cli {
       else packed
     labeled.write.mode("overwrite").partitionBy("split")
       .parquet(cfg.str("output"))
-    val nChunks = spark.read.parquet(cfg.str("output")).count()
+    // count what actually LANDED (the contract for the funnel metric) —
+    // but an all-filtered corpus writes zero part files under
+    // partitionBy, and parquet cannot infer a schema from none: an
+    // empty corpus must flow through as an empty output, not crash
+    val nChunks =
+      try spark.read.parquet(cfg.str("output")).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
 
     // the seen register this output offers to the NEXT increment:
     // prior register (if chaining) ∪ this run's exact-dedup survivors.
     // (seen_id, text_md5) is ~24 bytes per unique doc — join-keyed
-    // distributed state, never driver-sized.
+    // distributed state, never driver-sized. An EMPTY register can
+    // write zero part files (AQE plans an empty frame to zero
+    // partitions), so the register READ below schema-guards.
     val ownSeen = exact.select(col(id).cast("long").as("seen_id"),
       md5(col(text)).as("text_md5"))
     val allSeen = seenPath match {
-      case Some(p) => spark.read.parquet(p).unionByName(ownSeen).distinct()
+      case Some(p) => readSeen(p).unionByName(ownSeen).distinct()
       case None    => ownSeen
     }
     allSeen.write.mode("overwrite")

@@ -618,6 +618,35 @@ class PipelineSpec extends AnyFunSuite {
       "the embedding stage must drop the bag-of-words dup, keep-first")
   }
 
+  test("CLI curate: an empty input corpus flows through the whole chain " +
+       "as an empty output, no stage crashes") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftempty").toString
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val out = s"$dir/chunks"
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"$dir/docs",
+      "near_threshold" -> "0.5",
+      "semantic_threshold" -> "0.9", // exercises the empty-frame probes
+      "gopher_min_stop" -> "1",
+      "assign_topics" -> "true",
+      "chunk_window" -> "400", "chunk_stride" -> "300",
+      "pack_budget" -> "128",
+      "output" -> out, "metrics_out" -> s"$dir/funnel.json"))
+    // an all-filtered partitionBy write lands zero part files, so the
+    // empty output is a schema-less dir — count 0 either way
+    val nOut =
+      try spark.read.parquet(out).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    assert(nOut === 0L)
+    val funnel = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/funnel.json")), "UTF-8")
+    assert(funnel.contains("\"n_input\": 0"))
+  }
+
   test("CLI curate --assign_topics: every output chunk carries its doc's " +
        "frozen-centroid topic; all chunks of a doc share one topic") {
     val s = spark
