@@ -3026,6 +3026,44 @@ object OracleSql {
          |  count(*) OVER (PARTITION BY topic) AS topic_size
          |FROM asg ORDER BY doc_id""".stripMargin,
 
+    // corpus report: per-language rollup of the q19 token stats under
+    // the q20 argmax language — per-doc components UNROUNDED (r6 only
+    // on the averages, matching the Spark agg exactly)
+    "t18_corpus_report" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+         |t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         |st AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |         (sum(CASE WHEN token IN ($stopList) THEN 1 ELSE 0 END)::DOUBLE / count(*)) * 0.5
+         |           + (count(DISTINCT token)::DOUBLE / count(*)) * 0.5 AS q,
+         |         count(DISTINCT token)::DOUBLE / count(*) AS ttr
+         |       FROM t GROUP BY doc_id),
+         |scores AS (
+         | SELECT doc_id, 'de' AS lang_guess,
+         |   sum(CASE WHEN token IN ('der','die','das','und','ist','ein') THEN 1 ELSE 0 END)::BIGINT AS score
+         | FROM t GROUP BY doc_id
+         | UNION ALL SELECT doc_id, 'en',
+         |   sum(CASE WHEN token IN ('the','a','of','and','to','is','in') THEN 1 ELSE 0 END)::BIGINT
+         | FROM t GROUP BY doc_id
+         | UNION ALL SELECT doc_id, 'es',
+         |   sum(CASE WHEN token IN ('el','la','los','de','que','y','un') THEN 1 ELSE 0 END)::BIGINT
+         | FROM t GROUP BY doc_id
+         | UNION ALL SELECT doc_id, 'fr',
+         |   sum(CASE WHEN token IN ('le','la','les','et','est','une') THEN 1 ELSE 0 END)::BIGINT
+         | FROM t GROUP BY doc_id
+         | UNION ALL SELECT doc_id, 'zh',
+         |   sum(CASE WHEN token IN ('de','shi','le','zhong') THEN 1 ELSE 0 END)::BIGINT
+         | FROM t GROUP BY doc_id),
+         |lang AS (SELECT doc_id, lang_guess FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_guess) AS rk
+         |  FROM scores) x WHERE rk = 1)
+         |SELECT l.lang_guess, count(*)::BIGINT AS n_docs,
+         |  sum(st.n_tokens)::BIGINT AS total_tokens,
+         |  round(avg(st.n_tokens), 6) AS avg_tokens,
+         |  round(avg(st.q), 6) AS avg_quality,
+         |  round(avg(st.ttr), 6) AS avg_ttr
+         |FROM st JOIN lang l USING (doc_id)
+         |GROUP BY l.lang_guess ORDER BY l.lang_guess""".stripMargin,
+
     // mixture over DISCOVERED domains: the t17 assignment feeding the
     // a08 mixture machinery keyed on the topic — same weight
     // normalization double ops, same h64-bucket cut

@@ -433,6 +433,24 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("j"))
     }),
 
+    // ── Corpus report: the "data card" rollup — per-language doc/token
+    //    counts and mean quality over the q19 stats × q20 language ID;
+    //    two doc-keyed map-side-combinable aggs + one tiny grouped agg ──
+    "t18_corpus_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lang = graft.text.TextOps.langId(d, "doc_id", "text")
+        .select(col("doc_id"), col("lang_guess"))
+      graft.text.TextOps.tokenStats(d, "doc_id", "text")
+        .join(lang, "doc_id")
+        .groupBy(col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("n_tokens")), 6).as("avg_tokens"),
+          round(avg(col("quality_score")), 6).as("avg_quality"),
+          round(avg(col("ttr")), 6).as("avg_ttr"))
+        .orderBy(col("lang_guess"))
+    }),
+
     // ── Doc-topic assignment: nearest frozen KMeans centroid over the
     //    t16 hashed embedding — model-free domain discovery for
     //    mixture design; one doc-keyed shuffle, centroids literal ──────

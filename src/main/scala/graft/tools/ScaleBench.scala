@@ -129,7 +129,8 @@ object ScaleBench {
     "m01_multimodal_decode", "m02_multimodal_features",
     "q23_ann_topk", "q24_embed_neardup_blocked",
     "s01_lsh_ann", "s02_ivf_ann", "s03_pq_ann", "s04_ivfpq_ann",
-    "s05_ivfpq_indexed", "t17_topic_assign", "a10_topic_mixture")
+    "s05_ivfpq_indexed", "t17_topic_assign", "a10_topic_mixture",
+    "t18_corpus_report")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
