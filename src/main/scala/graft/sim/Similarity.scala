@@ -405,12 +405,32 @@ object Similarity {
   def appendIvfPqIndex(corpus: DataFrame, id: String, vec: String,
                        centroids: Array[Array[Double]],
                        codebook: Array[Array[Array[Double]]],
-                       path: String): Unit =
+                       path: String): Unit = {
+    // FAIL FAST (before any file lands) on re-ingesting a
+    // currently-tombstoned id: without row versioning there is no
+    // sound in-place semantics — silently appending would leave the
+    // new copy invisible (and the next compaction would drop it);
+    // silently un-deleting would surface BOTH the stale rows still in
+    // the files and the new ones as duplicate neighbors. The supported
+    // cycle is delete → compact → re-ingest (compaction clears the
+    // sidecar); the check is one broadcast semi-join of the appended
+    // ids against the small sidecar.
+    ivfPqTombstones(corpus.sparkSession, path).foreach { t =>
+      val clash = corpus
+        .select(col(id).cast("long").as("neighbor_id")).distinct()
+        .join(broadcast(t.select(col("neighbor_id")).distinct()),
+          Seq("neighbor_id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"appendIvfPqIndex: appended ids are tombstoned in $path — run " +
+          "compactIvfPqIndex before re-ingesting deleted ids")
+    }
     corpus.select(col(id).as("neighbor_id"),
         ivfAssign(col(vec), centroids).as("cid"),
         pqEncode(col(vec), codebook).as("codes"),
         col(vec).as("cv"))
       .write.mode("append").partitionBy("cid").parquet(path)
+  }
 
   /** Tombstone sidecar location for a [[writeIvfPqIndex]] index — a
     * plain parquet of `neighbor_id` longs kept BESIDE the index so the

@@ -503,6 +503,45 @@ class DedupSimSpec extends AnyFunSuite {
     assert(Similarity.compactIvfPqIndex(spark, idxPath) === 0)
   }
 
+  test("indexed IVF-PQ: re-ingesting a tombstoned id fails fast; " +
+       "delete -> compact -> re-ingest round-trips") {
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_idx_reingest").toString + "/idx"
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
+      graft.sim.IvfCodebook.K16, graft.sim.PqCodebook.M8K16, idxPath)
+    val three = emb.filter(col("vec_id") < 3)
+    Similarity.deleteFromIvfPqIndex(three.select(col("vec_id")),
+      "vec_id", idxPath)
+    // without versioning there is no sound in-place re-ingest: appending
+    // a tombstoned id must fail BEFORE any file lands, not corrupt serving
+    val before = new java.io.File(idxPath).list().sorted.toSeq
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqIndex(three, "vec_id", "embedding",
+        graft.sim.IvfCodebook.K16, graft.sim.PqCodebook.M8K16, idxPath)
+    }
+    assert(new java.io.File(idxPath).list().sorted.toSeq === before,
+      "a refused append must not have written any file")
+    // the supported cycle: compaction clears the sidecar, then the
+    // re-ingest lands and serving equals the full-corpus build again
+    Similarity.compactIvfPqIndex(spark, idxPath)
+    Similarity.appendIvfPqIndex(three, "vec_id", "embedding",
+      graft.sim.IvfCodebook.K16, graft.sim.PqCodebook.M8K16, idxPath)
+    def top(queries: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopKIndexed(queries, idxPath, "vec_id", "embedding",
+          graft.sim.IvfCodebook.K16, graft.sim.PqCodebook.M8K16,
+          nProbe = 10, k = 10, overfetch = 16)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", graft.sim.IvfCodebook.K16,
+        graft.sim.PqCodebook.M8K16, nProbe = 10, k = 10, overfetch = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(top(emb.filter(col("vec_id") < 5)) === direct,
+      "delete -> compact -> re-ingest must serve like the original build")
+  }
+
   test("streaming IVF-PQ index ingest: append-equals-rebuild holds " +
        "across micro-batch boundaries (s05 ingest twin)") {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
