@@ -618,6 +618,21 @@ class PipelineSpec extends AnyFunSuite {
       "the embedding stage must drop the bag-of-words dup, keep-first")
   }
 
+  test("CLI flag validation: a typo'd flag fails fast with a suggestion " +
+       "instead of silently skipping its stage") {
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig.resolve(Array("--mode", "curate",
+        "--semantik_threshold", "0.9"))
+    }
+    assert(e.getMessage.contains("semantik_threshold"))
+    assert(e.getMessage.contains("did you mean --semantic_threshold"))
+    // known flags resolve fine, JSON-file keys are NOT validated
+    // (reference configs legitimately carry engine-ignored keys)
+    val ok = GraftConfig.resolve(Array("--mode", "curate",
+      "--semantic_threshold", "0.9"))
+    assert(ok.str("semantic_threshold") === "0.9")
+  }
+
   test("CLI curate: an empty input corpus flows through the whole chain " +
        "as an empty output, no stage crashes") {
     val s = spark
