@@ -4229,6 +4229,44 @@ object OracleSql {
 
     "o01f_sweep_fitness" -> o01fSql,
 
+    // o01's seeded CONFIG DRAW: 12 configs = 24 accepted nextInt draws
+    // off one java.util.Random(42) stream — bound alternates 4
+    // (power-of-2 branch, (4·u)>>31) and 3 (rejection branch, u mod 3
+    // redrawn on 32-bit overflow of u−r+2); replayed in the same
+    // HUGEINT recursive-CTE LCG as g01
+    "o01d_config_draw" -> {
+      val seed0 = (42L ^ 0x5DEECE66DL) & ((1L << 48) - 1)
+      s"""WITH RECURSIVE lcg AS (
+         |  SELECT 0 AS nd, CAST($seed0 AS HUGEINT) AS s,
+         |         CAST([] AS BIGINT[]) AS vals
+         |  UNION ALL
+         |  SELECT CASE WHEN bnd = 4
+         |                 OR u - (u % bnd) + bnd - 1 <= 2147483647
+         |              THEN nd + 1 ELSE nd END,
+         |         s2,
+         |         CASE WHEN bnd = 4
+         |              THEN list_append(vals, ((bnd * u) // 2147483648)::BIGINT)
+         |              WHEN u - (u % bnd) + bnd - 1 <= 2147483647
+         |              THEN list_append(vals, (u % bnd)::BIGINT)
+         |              ELSE vals END
+         |  FROM (SELECT nd, vals, s2, s2 // 131072 AS u,
+         |          CASE WHEN nd % 2 = 0 THEN 4 ELSE 3 END AS bnd
+         |        FROM (SELECT nd, vals,
+         |                (s * 25214903917 + 11) % 281474976710656 AS s2
+         |              FROM lcg WHERE nd < 24) a) b),
+         |v AS (SELECT vals FROM lcg WHERE nd = 24),
+         |nb(i, nbv) AS (VALUES (0, 5), (1, 8), (2, 10), (3, 15)),
+         |sm(i, smv) AS (VALUES (0, CAST(0.0 AS DOUBLE)),
+         |                      (1, CAST(0.2 AS DOUBLE)),
+         |                      (2, CAST(0.5 AS DOUBLE))),
+         |cfg AS (SELECT c::BIGINT AS config_id,
+         |          v.vals[2*c + 1] AS bi, v.vals[2*c + 2] AS si
+         |        FROM v, (SELECT unnest(generate_series(0, 11)) AS c) g)
+         |SELECT cfg.config_id, nb.nbv::BIGINT AS n_bins, sm.smv AS smooth
+         |FROM cfg JOIN nb ON nb.i = cfg.bi JOIN sm ON sm.i = cfg.si
+         |ORDER BY cfg.config_id""".stripMargin
+    },
+
     // §2.12 grid-earlystop SELECTION witness: probe/survivor/finish
     // arithmetic over the deterministic md5 pseudo-fitness (the o01f
     // fitness witnesses cannot see this driver-side logic)

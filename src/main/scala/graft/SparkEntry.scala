@@ -826,6 +826,21 @@ object SparkEntry {
         .orderBy(col("avg_score"), col("config_id"))
     }),
 
+    // ── o01 WITNESS: the random sweep's seeded CONFIG DRAW — the one
+    //    piece of o01 the o01f fitness witness cannot see; the oracle
+    //    replays the java.util.Random 48-bit LCG exactly (power-of-2
+    //    and rejection nextInt branches) ─────────────────────────────
+    "o01d_config_draw" -> ((s, dir) => {
+      import s.implicits._
+      graft.opt.SweepOptimizer.drawConfigs(
+          nBinsChoices = Seq(5, 8, 10, 15),
+          smoothChoices = Seq(0.0, 0.2, 0.5), nConfigs = 12, seed = 42L)
+        .toDF("config_id", "n_bins", "smooth")
+        .select(col("config_id").cast("long").as("config_id"),
+          col("n_bins").cast("long").as("n_bins"), col("smooth"))
+        .orderBy(col("config_id"))
+    }),
+
     // ── §2.12 grid search with early seed-stopping (the reference's
     //    optimize_hybrid shape), batch two-phase: probe seeds for every
     //    config in one job, remaining seeds only for configs within

@@ -185,16 +185,26 @@ object SweepOptimizer {
 
   /** Random sweep: nConfigs draws from the grid × seeds, one Spark
     * task per (config, seed), averaged per config (A17), best-first. */
+  /** o01's seeded config draw, exposed for the o01d witness: two
+    * `nextInt` calls per config off ONE java.util.Random(seed) stream
+    * (nextInt(4) takes the power-of-2 branch, nextInt(3) the rejection
+    * branch — the oracle replays the exact 48-bit LCG, rejections
+    * included). */
+  def drawConfigs(nBinsChoices: Seq[Int], smoothChoices: Seq[Double],
+                  nConfigs: Int, seed: Long): Seq[(Int, Int, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until nConfigs).map { id =>
+      (id, nBinsChoices(rnd.nextInt(nBinsChoices.size)),
+        smoothChoices(rnd.nextInt(smoothChoices.size)))
+    }
+  }
+
   def randomSweep(spark: SparkSession, realReturns: Array[Double],
                   nBinsChoices: Seq[Int], smoothChoices: Seq[Double],
                   nConfigs: Int, seeds: Seq[Long], genN: Int,
                   seed: Long = 42L): DataFrame = {
     import spark.implicits._
-    val rnd = new scala.util.Random(seed)
-    val configs = (0 until nConfigs).map { id =>
-      (id, nBinsChoices(rnd.nextInt(nBinsChoices.size)),
-        smoothChoices(rnd.nextInt(smoothChoices.size)))
-    }
+    val configs = drawConfigs(nBinsChoices, smoothChoices, nConfigs, seed)
     val tasks = for { (id, nb, sm) <- configs; s <- seeds } yield (id, nb, sm, s)
     val bc = spark.sparkContext.broadcast(realReturns)
     tasks.toDF("config_id", "n_bins", "smooth", "seed")
