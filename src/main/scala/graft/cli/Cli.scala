@@ -453,44 +453,61 @@ object Cli {
 
     val maxRep = cfg.strOpt("max_rep_ratio").map(_.toDouble).getOrElse(0.5)
     val minTokens = cfg.strOpt("min_tokens").map(_.toLong).getOrElse(10L)
+    // ── gate-stat frame, computed ONCE over the deduped survivors ─────
+    // Every gate score (repetition, token stats, Gopher keep flag,
+    // language guess) is a pure per-doc function of the text, so
+    // computing them on `deduped` and filtering the CASCADE over one
+    // persisted frame yields identical kept-sets to scoring each stage
+    // on the previous stage's survivors — while each funnel count
+    // previously recomputed its whole gate lineage (the cascade cost
+    // O(stages²) corpus tokenizations; now each active op tokenizes
+    // once and the counts read this cache).
     // repetitionScore only emits docs with >= k tokens — left join with
     // a 0.0 default so sub-3-token docs answer to min_tokens alone
     // (an inner join dropped them regardless of the configured floor)
-    val kept = deduped
+    val statsBase = deduped
       .join(TextOps.repetitionScore(deduped, id, text, k = 3)
         .select(col(id), col("rep_ratio")), Seq(id), "left")
       .join(TextOps.tokenStats(deduped, id, text)
         .select(col(id), col("n_tokens").as("_nt")), id)
+    val withGopher = cfg.strOpt("gopher_min_stop") match {
+      case Some(n) =>
+        statsBase.join(TextOps.gopherRules(deduped, id, text,
+            minStopwords = n.toInt)
+          .select(col(id), col("keep").as("_gopher_keep")), id)
+      case None => statsBase.withColumn("_gopher_keep", lit(1))
+    }
+    val gate = (cfg.strOpt("langs") match {
+      case Some(_) =>
+        withGopher.join(TextOps.langId(deduped, id, text)
+          .select(col(id), col("lang_guess").as("_lang")), id)
+      case None => withGopher.withColumn("_lang", lit(null).cast("string"))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val kept = gate
       .filter(coalesce(col("rep_ratio"), lit(0.0)) <= maxRep &&
         col("_nt") >= minTokens)
-      .select(col(id), col(text))
     val n3 = kept.count()
 
     // optional Gopher rule gate (--gopher_min_stop N): the t14
     // rule-based quality filter — word-count/word-length/alpha/symbol
     // bounds plus ≥ N distinct stopwords present; keep == all rules
-    val ruleKept = cfg.strOpt("gopher_min_stop") match {
-      case Some(n) =>
-        val ids = TextOps.gopherRules(kept, id, text,
-            minStopwords = n.toInt)
-          .filter(col("keep") === 1).select(col(id))
-        kept.join(ids, Seq(id))
-      case None => kept
-    }
+    val ruleKept =
+      if (cfg.strOpt("gopher_min_stop").isDefined)
+        kept.filter(col("_gopher_keep") === 1)
+      else kept
     val nGopher = ruleKept.count()
 
     // optional language filter (--langs en,es): q20's marker-word
     // language ID, keep docs whose argmax language is in the set —
     // the CCNet-style lang gate, before decontamination so the
     // benchmark overlap pass only reads surviving docs
-    val langKept = cfg.strOpt("langs") match {
+    val langKept = (cfg.strOpt("langs") match {
       case Some(spec) =>
         val langs = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val ids = TextOps.langId(ruleKept, id, text)
-          .filter(col("lang_guess").isin(langs: _*)).select(col(id))
-        ruleKept.join(ids, Seq(id))
+        ruleKept.filter(col("_lang").isin(langs: _*))
       case None => ruleKept
-    }
+    }).select(col(id), col(text))
     val nLang = langKept.count()
 
     val clean = cfg.strOpt("benchmark_docs") match {
@@ -682,7 +699,8 @@ object Cli {
         "n_chunks")
     writeMetricsJson(funnel,
       cfg.strOpt("metrics_out").getOrElse(s"${cfg.str("output")}_metrics.json"))
-    exact.unpersist(); deduped.unpersist(); redacted.unpersist()
+    exact.unpersist(); deduped.unpersist(); gate.unpersist()
+    redacted.unpersist()
     System.err.println(s"[graft] curated $n0 docs -> $nChunks chunks " +
       s"-> ${cfg.str("output")}")
   }
