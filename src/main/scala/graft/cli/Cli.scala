@@ -573,6 +573,11 @@ object Cli {
         }
       case _ => capped
     }
+    // NOT persisted (measured): the LM/classifier counts and the
+    // redaction build re-derive this frame, but its lineage reads the
+    // deduped/gate caches and the re-derivation is cheap — persisting
+    // the text-heavy epoch-upsampled rows instead EVICTED the upstream
+    // caches at the 10x scale cell (62.6s -> 99.0s)
     // epoch rides every stage below when the t13 mixture produced it
     val epochCols: Seq[String] =
       if (mixed.columns.contains("epoch")) Seq("epoch") else Nil
