@@ -199,6 +199,22 @@ object StreamingScore {
         centroids, codebook, nProbe, k, overfetch))
     }
 
+  /** Streaming t17 twin: label each arriving doc with its
+    * frozen-centroid topic ([[graft.text.TextOps.topicAssign]] — a pure
+    * per-doc function of the text against literal centroids, so
+    * micro-batch boundaries cannot change any label and the stream
+    * carries ZERO state). Completes the batch-stream pairing of every
+    * curate stage, `--assign_topics` included. */
+  def topicLabel(docs: DataFrame, id: String, text: String,
+                 centroids: Array[Array[Double]] =
+                   graft.text.TopicCentroids.K8)
+                (sink: DataFrame => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(batch.join(
+        graft.text.TextOps.topicAssign(batch, id, text, centroids),
+        Seq(id), "left"))
+    }
+
   /** Streaming index INGEST — the other half of the s05 lifecycle:
     * append each micro-batch of (id, vector) rows to a persisted
     * IVF-PQ index ([[graft.sim.Similarity.appendIvfPqIndex]] — the

@@ -527,6 +527,20 @@ class TextLmPackSpec extends AnyFunSuite {
       s"only the presentation sort may shuffle:\n$finalPlan")
   }
 
+  test("streaming topic labels match the batch assignment across " +
+       "micro-batches (t17 twin)") {
+    val (docs, stream) = docsIn4Batches()
+    val batchT = TextOps.topicAssign(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val buf = scala.collection.mutable.Map.empty[Long, Long]
+    runFilter(graft.streaming.StreamingScore.topicLabel(
+        stream, "doc_id", "text") { b =>
+      buf.synchronized { buf ++= b.select("doc_id", "topic").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)) }
+    })
+    assert(buf.toMap === batchT)
+  }
+
   test("topicAssign: deterministic, spreads across topics, matches the " +
        "composed argmin bit-for-bit (t17)") {
     val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
