@@ -451,6 +451,15 @@ object SparkEntry {
         .orderBy(col("lang_guess"))
     }),
 
+    // ── BM25 top-k retrieval: a literal query set scored against the
+    //    corpus (Lucene-convention Okapi BM25) — targeted data
+    //    selection; postings semi-restricted to the broadcast query
+    //    vocabulary before any df work, salted two-phase top-k ─────────
+    "t19_bm25_topk" -> ((s, dir) => {
+      graft.text.TextOps.bm25TopK(docs(s, dir), "doc_id", "text")
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // ── Doc-topic assignment: nearest frozen KMeans centroid over the
     //    t16 hashed embedding — model-free domain discovery for
     //    mixture design; one doc-keyed shuffle, centroids literal ──────

@@ -234,6 +234,26 @@ object StreamingScore {
         centroids, codebook, indexPath)
     }
 
+  /** Streaming t19 twin — BM25 retrieval SERVING: queries arrive as a
+    * stream of (query_id, qtext) rows and each micro-batch is scored
+    * against a FROZEN [[graft.text.TextOps.bm25Corpus]] (postings +
+    * 1-row stats, built once and persisted by the caller). Per-query
+    * scores depend only on the static corpus — df/avgdl never see the
+    * stream — so micro-batch boundaries cannot change any ranking and
+    * the stream carries ZERO state; each batch ships only its own
+    * broadcast-sized query vocabulary into the static postings join. */
+  def bm25Serve(queries: DataFrame, corpusTf: DataFrame,
+                corpusStats: DataFrame, id: String, k: Int = 5)
+               (sink: DataFrame => Unit): DataStreamWriter[Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val qterms = batch
+        .select(col("query_id"),
+          explode(split(col("qtext"), " ")).as("token"))
+        .filter(col("token") =!= "").distinct()
+      sink(graft.text.TextOps.bm25ScoreQueries(
+        corpusTf, corpusStats, id, qterms, k))
+    }
+
   def documentsStream(spark: org.apache.spark.sql.SparkSession,
                       dir: String): DataFrame =
     StreamingPack.documentsStream(spark, dir)

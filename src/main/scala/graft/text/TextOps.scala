@@ -728,4 +728,108 @@ object TextOps {
       .select(col(id), col("token"), col("tf"), col("df"),
         round(col("score"), 6).as("score"), col("rk"))
   }
+
+  /** The fixed retrieval query set shared by the t19 Spark query and
+    * its DuckDB oracle (the oracle embeds the same literals). Terms are
+    * drawn from the corpus vocabulary so every query has candidates. */
+  val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "hash join table",
+    2 -> "window agg stream",
+    3 -> "fast scan filter",
+    4 -> "sort merge join",
+    5 -> "customer query data",
+    6 -> "vector column batch")
+
+  /** BM25 top-k retrieval (beyond reference): score a small query set
+    * against the corpus with Okapi BM25 (Lucene convention,
+    * idf = ln(1 + (N − df + ½)/(df + ½)), k1/b length normalization)
+    * and return the k best documents per query — the targeted
+    * data-selection primitive (pull the training documents most
+    * relevant to a benchmark or domain description).
+    *
+    * Shaped for a 100 TB corpus against a KB-sized query set:
+    *
+    *  1. per-doc length is a map-side per-row regexp count fused into
+    *     the scan projection — no corpus-wide length join;
+    *  2. the (doc, token) tf agg is the only full-corpus shuffle
+    *     (map-side combinable); postings are then semi-restricted to
+    *     the broadcast query vocabulary BEFORE any df work, so df
+    *     aggregation and scoring touch only query-term postings;
+    *  3. df, the query-term table, and the 1-row corpus stats all join
+    *     back by broadcast;
+    *  4. top-k is two-phase: a salted per-(query, salt-bucket) partial
+    *     rank bounds the final per-query window to 64·k rows, so one
+    *     hot query over a 100 TB corpus cannot funnel its whole
+    *     candidate set through a single reducer. Partial top-k is
+    *     lossless here: anything outside its bucket's top k is beaten
+    *     by k same-bucket candidates and cannot be in the global top k.
+    */
+  def bm25TopK(df: DataFrame, id: String, text: String,
+               queries: Seq[(Int, String)] = Bm25Queries, k: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (tf, stats) = bm25Corpus(df, id, text)
+    val qterms = queries.flatMap { case (qid, qt) =>
+      qt.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t))
+    }.toDF("query_id", "token")
+    bm25ScoreQueries(tf, stats, id, qterms, k, k1, b)
+  }
+
+  /** The static half of BM25 serving: the per-(doc, token) postings
+    * frame (tf + doc length — the only full-corpus shuffle) and the
+    * 1-row corpus stats. Build once, persist, then score arbitrarily
+    * many query batches against it with [[bm25ScoreQueries]]. */
+  def bm25Corpus(df: DataFrame, id: String,
+                 text: String): (DataFrame, DataFrame) = {
+    val dlCol = size(regexp_extract_all(col(text), lit("[^ ]+"), lit(0)))
+      .cast("long")
+    val stats = df.agg(count(lit(1)).cast("long").as("n_docs"),
+      avg(dlCol).as("avgdl"))
+    val toks = df
+      .select(col(id), dlCol.as("dl"),
+        explode(split(col(text), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col(id), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    (tf, stats)
+  }
+
+  /** Score a (query_id, token) term table against a prebuilt
+    * [[bm25Corpus]]; see [[bm25TopK]] for the plan-shape contract. */
+  def bm25ScoreQueries(tf: DataFrame, stats: DataFrame, id: String,
+                       qterms: DataFrame, k: Int = 5,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tfq = tf.join(broadcast(qterms.select(col("token")).distinct()),
+      Seq("token"))
+    val dfq = tfq.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val parts = tfq
+      .join(broadcast(dfq), Seq("token"))
+      .join(broadcast(qterms), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("part", col("idf") * col("tf") * (lit(k1) + lit(1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    // rank on the ROUNDED score (doc_id tiebreak): per-doc part sums are
+    // order-dependent at the ulp, so ranking on the raw double would let
+    // two docs with identical part multisets swap ranks between engines;
+    // at 1e-6 granularity ties resolve by doc_id identically everywhere
+    val g = parts.groupBy(col("query_id"), col(id))
+      .agg(count(lit(1)).as("n_hit"),
+        round(sum(col("part")), 6).as("score"))
+    val pre = g
+      .withColumn("_salt", pmod(xxhash64(col(id)), lit(64)))
+      .withColumn("_prk", row_number().over(
+        Window.partitionBy(col("query_id"), col("_salt"))
+          .orderBy(col("score").desc, col(id))))
+      .filter(col("_prk") <= k)
+    pre
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col(id))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(id), col("n_hit"), col("score"),
+        col("rk"))
+  }
 }

@@ -564,4 +564,74 @@ class TextLmPackSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(t === again)
   }
+
+  test("t19 BM25: ranks are dense per query, scores non-increasing, " +
+       "every hit actually contains a query term, n_hit bounded") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text")
+    val qmap = TextOps.Bm25Queries.toMap
+    val out = TextOps.bm25TopK(docs, "doc_id", "text").collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getInt(0))
+    assert(byQ.keySet === qmap.keySet,
+      "every query must retrieve at least one doc on this corpus")
+    for ((qid, rows) <- byQ) {
+      val sorted = rows.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq === (1 to sorted.length),
+        s"query $qid ranks not dense")
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $qid scores not non-increasing: ${scores.mkString(",")}")
+      val nTerms = qmap(qid).split(" ").length
+      assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= nTerms))
+    }
+    // retrieved docs really contain a term of their query
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (r <- out) {
+      val terms = qmap(r.getInt(0)).split(" ").toSet
+      val docToks = texts(r.getLong(1)).split(" ").toSet
+      assert(terms.intersect(docToks).nonEmpty,
+        s"doc ${r.getLong(1)} retrieved for query ${r.getInt(0)} " +
+          "shares no term with it")
+    }
+  }
+
+  test("streaming BM25 serving matches the batch retrieval per query " +
+       "across micro-batches (t19 twin)") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text")
+    val (tf, stats) = TextOps.bm25Corpus(docs, "doc_id", "text")
+    tf.persist(); stats.persist()
+    val batch = TextOps.bm25TopK(docs, "doc_id", "text").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).toSet
+    // the 6 literal queries arrive as 3 micro-batches of 2
+    val tmp = java.nio.file.Files.createTempDirectory("graftbm25").toString
+    val qdf = TextOps.Bm25Queries.toDF("query_id", "qtext")
+    qdf.repartition(3).write.mode("overwrite").parquet(tmp)
+    val qstream = spark.readStream.schema(qdf.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val buf = scala.collection.mutable.Set
+      .empty[(Int, Long, Long, Double, Int)]
+    runFilter(graft.streaming.StreamingScore.bm25Serve(
+        qstream, tf, stats, "doc_id") { b =>
+      buf.synchronized { buf ++= b.collect().map(r => (r.getInt(0),
+        r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))) }
+    })
+    tf.unpersist(); stats.unpersist()
+    assert(buf.toSet === batch)
+  }
+
+  test("t19 BM25 plan: query vocabulary / df / corpus stats all " +
+       "broadcast; no sort-merge join, no cartesian on the corpus side") {
+    val p = plan("t19_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-term semi-restriction must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.linesIterator.take(40).mkString("\n"))
+    // the only BroadcastNestedLoopJoin allowed is the 1-row stats
+    // crossJoin — it must stay broadcast, never materialize a product
+    assert(!p.contains("CartesianProduct"))
+  }
 }
