@@ -120,11 +120,10 @@ object OracleSql {
     * hashed-embedding machinery re-assembled into per-doc DOUBLE[]
     * lists, then the s02 argmin over the frozen TopicCentroids.K8
     * literals. Shared by t17 and a10. */
-  private lazy val t17AsgCtes: String = {
+  /** The t16 hashed-embedding CTEs (toks → … → emb (doc_id, j, v) →
+    * vec (doc_id, list v)) — shared by t17/a10/k01. */
+  private lazy val t16VecCtes: String = {
     val h = h64Sql("token", "'17'")
-    val dExprs = graft.text.TopicCentroids.K8.map(c =>
-      s"(${c.map(x => x * x).sum} - 2.0*list_inner_product(v, ${planeLit(c)}))")
-    val dl = "[" + dExprs.mkString(",\n   ") + "]"
     s"""toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
        |              FROM documents),
        |tk0 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
@@ -142,7 +141,14 @@ object OracleSql {
        |          round(CASE WHEN nrm.n > 0 THEN raw.x / nrm.n ELSE 0.0 END, 6) AS v,
        |          raw.j
        |        FROM raw JOIN nrm ON raw.doc_id = nrm.doc_id),
-       |vec AS (SELECT doc_id, list(v ORDER BY j) AS v FROM emb GROUP BY doc_id),
+       |vec AS (SELECT doc_id, list(v ORDER BY j) AS v FROM emb GROUP BY doc_id)""".stripMargin
+  }
+
+  private lazy val t17AsgCtes: String = {
+    val dExprs = graft.text.TopicCentroids.K8.map(c =>
+      s"(${c.map(x => x * x).sum} - 2.0*list_inner_product(v, ${planeLit(c)}))")
+    val dl = "[" + dExprs.mkString(",\n   ") + "]"
+    s"""$t16VecCtes,
        |asg AS (SELECT doc_id,
        |          (list_position(dl, list_aggregate(dl, 'min')) - 1)::BIGINT AS topic
        |        FROM (SELECT doc_id, $dl AS dl FROM vec) t)""".stripMargin
@@ -3100,6 +3106,62 @@ object OracleSql {
          |SELECT query_id, doc_id, n_hit, score, rk::INT AS rk
          |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
     },
+
+    // in-engine k-means (k01): init = the 8 smallest doc ids' t16
+    // vectors, two (assign, update) Lloyd cycles, final assignment.
+    // Parity per iteration: the same r6-rounded embeddings, distance
+    // key c·c − 2·v·c via ordered-list inner products (sequential sums
+    // — the proven t17 convention), argmin to the FIRST minimal index,
+    // and centroids re-rounded to r6 after every mean update so both
+    // engines re-enter each iteration on identical doubles; empty
+    // clusters keep their previous centroid (the coalesce)
+    "k01_kmeans_fit" ->
+      s"""WITH $t16VecCtes,
+         |ids AS (SELECT doc_id FROM vec ORDER BY doc_id LIMIT 8),
+         |c0 AS (SELECT (row_number() OVER (ORDER BY v0.doc_id) - 1)::INT AS cid,
+         |         v0.v AS v
+         |       FROM vec v0 JOIN ids USING (doc_id)),
+         |d1 AS (SELECT vec.doc_id,
+         |         list(list_inner_product(c.v, c.v)
+         |              - 2.0*list_inner_product(vec.v, c.v)
+         |              ORDER BY c.cid) AS dl
+         |       FROM vec CROSS JOIN c0 c GROUP BY vec.doc_id, vec.v),
+         |a1 AS (SELECT doc_id,
+         |         (list_position(dl, list_aggregate(dl, 'min')) - 1)::INT AS cl
+         |       FROM d1),
+         |m1 AS (SELECT a1.cl AS cid, e.j, round(avg(e.v), 6) AS cv
+         |       FROM a1 JOIN emb e USING (doc_id) GROUP BY a1.cl, e.j),
+         |c0d AS (SELECT cid, j, v[j+1] AS cv FROM c0
+         |        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js),
+         |c1 AS (SELECT g.cid, list(coalesce(m1.cv, g.cv) ORDER BY g.j) AS v
+         |       FROM c0d g LEFT JOIN m1 ON m1.cid = g.cid AND m1.j = g.j
+         |       GROUP BY g.cid),
+         |d2 AS (SELECT vec.doc_id,
+         |         list(list_inner_product(c.v, c.v)
+         |              - 2.0*list_inner_product(vec.v, c.v)
+         |              ORDER BY c.cid) AS dl
+         |       FROM vec CROSS JOIN c1 c GROUP BY vec.doc_id, vec.v),
+         |a2 AS (SELECT doc_id,
+         |         (list_position(dl, list_aggregate(dl, 'min')) - 1)::INT AS cl
+         |       FROM d2),
+         |m2 AS (SELECT a2.cl AS cid, e.j, round(avg(e.v), 6) AS cv
+         |       FROM a2 JOIN emb e USING (doc_id) GROUP BY a2.cl, e.j),
+         |c1d AS (SELECT cid, j, v[j+1] AS cv FROM c1
+         |        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js),
+         |c2 AS (SELECT g.cid, list(coalesce(m2.cv, g.cv) ORDER BY g.j) AS v
+         |       FROM c1d g LEFT JOIN m2 ON m2.cid = g.cid AND m2.j = g.j
+         |       GROUP BY g.cid),
+         |d3 AS (SELECT vec.doc_id,
+         |         list(list_inner_product(c.v, c.v)
+         |              - 2.0*list_inner_product(vec.v, c.v)
+         |              ORDER BY c.cid) AS dl
+         |       FROM vec CROSS JOIN c2 c GROUP BY vec.doc_id, vec.v),
+         |a3 AS (SELECT doc_id,
+         |         (list_position(dl, list_aggregate(dl, 'min')) - 1)::BIGINT AS cluster
+         |       FROM d3)
+         |SELECT doc_id, cluster,
+         |  count(*) OVER (PARTITION BY cluster) AS cluster_size
+         |FROM a3 ORDER BY doc_id""".stripMargin,
 
     // mixture over DISCOVERED domains: the t17 assignment feeding the
     // a08 mixture machinery keyed on the topic — same weight

@@ -460,6 +460,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // ── In-engine k-means fit (Lloyd's, 2 iterations, init = the 8
+    //    smallest doc ids' t16 vectors): each iteration is one map-side
+    //    argmin + one (cluster, dim)-keyed mean, centroids rounded to
+    //    r6 per update so the replay is engine-independent ─────────────
+    "k01_kmeans_fit" -> ((s, dir) => {
+      val vecs = graft.text.TextOps
+        .hashEmbedVectors(docs(s, dir), "doc_id", "text")
+      val (_, asg) = graft.sim.KMeans.fit(vecs, "doc_id", "embedding",
+        k = 8, iters = 2)
+      asg
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Doc-topic assignment: nearest frozen KMeans centroid over the
     //    t16 hashed embedding — model-free domain discovery for
     //    mixture design; one doc-keyed shuffle, centroids literal ──────

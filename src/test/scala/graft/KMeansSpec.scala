@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.KMeans
+
+/** k01 in-engine k-means: Lloyd invariants, determinism, the
+  * empty-cluster contract, and the per-iteration plan shape. */
+class KMeansSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def docVecs = graft.text.TextOps.hashEmbedVectors(
+    graft.core.Tables.documents(spark, SparkSpec.sfDir), "doc_id", "text")
+
+  private def inertia(vecs: org.apache.spark.sql.DataFrame,
+                      cents: Array[Array[Double]]): Double =
+    vecs.select(graft.sim.Similarity
+        .ivfAssign(col("embedding"), cents).cast("int").as("cl"),
+        col("embedding"))
+      .select(posexplode(col("embedding")).as(Seq("j", "v")), col("cl"))
+      .join(cents.zipWithIndex.flatMap { case (c, i) =>
+          c.zipWithIndex.map { case (x, j) => (i, j, x) }
+        }.toSeq.toDF("cl", "j", "c"), Seq("cl", "j"))
+      .agg(sum(pow(col("v") - col("c"), 2.0))).first().getDouble(0)
+
+  test("k01: Lloyd iterations do not increase inertia (up to the r6 " +
+       "centroid rounding), assignment is total and deterministic") {
+    val vecs = docVecs.persist()
+    val (c1, _) = KMeans.fit(vecs, "doc_id", "embedding", k = 8, iters = 1)
+    val (c2, asg2) = KMeans.fit(vecs, "doc_id", "embedding", k = 8, iters = 2)
+    val i1 = inertia(vecs, c1)
+    val i2 = inertia(vecs, c2)
+    // r6 rounding can perturb each centroid coordinate by 5e-7; bound
+    // the allowed backslide generously below any real regression
+    assert(i2 <= i1 + 1e-3, s"inertia rose across an iteration: $i1 -> $i2")
+    val n = vecs.count()
+    val rows = asg2.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length.toLong === n, "assignment must cover every doc")
+    assert(rows.forall { case (_, c) => c >= 0 && c < 8 })
+    assert(rows.map(_._2).distinct.length >= 3,
+      "centroids collapsed: fewer than 3 clusters in use")
+    // determinism: a re-run reproduces centroids and assignment exactly
+    val (c2b, asg2b) = KMeans.fit(vecs, "doc_id", "embedding", k = 8,
+      iters = 2)
+    assert(c2.map(_.toSeq).toSeq === c2b.map(_.toSeq).toSeq)
+    assert(asg2b.collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      === rows.toSeq)
+    vecs.unpersist()
+  }
+
+  test("k01: a cluster emptied by the tie-break keeps its previous " +
+       "centroid (and may then re-win its exact matches)") {
+    // init centroids (ids 0,1,2): c0=(0,0), c1=(10,10), c2=(0,0) — a
+    // duplicate. Iteration 1: every (0,0)-side doc ties c0 vs c2 and
+    // the first-index convention sends all of them to c0, so cluster 2
+    // EMPTIES and must keep (0,0) while c0 drifts to the group mean.
+    // Iteration 2: the kept exact centroid then strictly beats the
+    // drifted c0 for the docs AT (0,0) — the keep-previous policy is
+    // observable in the final assignment, not just in the matrix
+    val vecs = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(10.0, 10.0)),
+      (2L, Array(0.0, 0.0)), (3L, Array(0.2, 0.0)),
+      (4L, Array(10.2, 10.0)), (5L, Array(0.0, 0.2)),
+      (6L, Array(10.0, 10.2))).toDF("id", "v")
+    val (cents, asg) = KMeans.fit(vecs, "id", "v", k = 3, iters = 2)
+    assert(cents(2).toSeq === Seq(0.0, 0.0), "empty cluster drifted")
+    val byCl = asg.collect().groupBy(_.getLong(1))
+      .map { case (c, rs) => c -> rs.map(_.getLong(0)).toSet }
+    assert(byCl.keySet === Set(0L, 1L, 2L))
+    assert(byCl(0L) === Set(3L, 5L))
+    assert(byCl(1L) === Set(1L, 4L, 6L))
+    assert(byCl(2L) === Set(0L, 2L))
+  }
+
+  test("k01 plan: the assignment pass is map-side (no join, no shuffle " +
+       "before the mean agg); the mean agg output is k*dim cells") {
+    // assign over a MATERIALIZED vector frame (the fit-loop situation:
+    // the embedding construction's own doc-keyed shuffle happens once
+    // upstream, not per iteration)
+    val tmp = java.nio.file.Files.createTempDirectory("graftkm").toString
+    docVecs.write.mode("overwrite").parquet(tmp)
+    val vecs = spark.read.parquet(tmp)
+    val cents = vecs.orderBy(col("doc_id")).limit(8)
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val assignedPlan = vecs.select(graft.sim.Similarity
+        .ivfAssign(col("embedding"), cents).as("cl"))
+      .queryExecution.executedPlan.toString
+    assert(!assignedPlan.contains("Exchange"),
+      s"assignment must not shuffle:\n$assignedPlan")
+    assert(!assignedPlan.contains("Join"),
+      "assignment must be a literal-centroid expression, not a join")
+    val means = vecs.select(graft.sim.Similarity
+        .ivfAssign(col("embedding"), cents).cast("int").as("cl"),
+        posexplode(col("embedding")).as(Seq("j", "v")))
+      .groupBy(col("cl"), col("j")).agg(avg(col("v")))
+    assert(means.count() <= 8L * 64L)
+    val meansPlan = means.queryExecution.executedPlan.toString
+    assert(meansPlan.contains("HashAggregate"),
+      "mean update must be a hash agg (map-side combinable)")
+  }
+}
