@@ -28,7 +28,7 @@ import graft.series.{SeriesOps, SeriesSpec}
   *     --gopher_min_stop 1 --langs en --min_q_prob 0.01 \
   *     --mixture_target src0:0.5,src1:0.5 --source_col source \
   *     --token_budget 3000000 --chunk_window 400 --chunk_stride 300 \
-  *     --pack_budget 128 --assign_topics true \
+  *     --pack_budget 128 --assign_topics true --train_topics 8 \
   *     --incremental_from prior_out --output out --metrics_out funnel.json
   */
 object Cli {
@@ -656,18 +656,28 @@ object Cli {
       case None => split
     }
     // optional topic labeling (--assign_topics true): per-DOC nearest
-    // frozen topic centroid over the hashed embedding (t17) joined onto
+    // topic centroid over the hashed embedding (t17) joined onto
     // every output chunk — mixture-design metadata riding the output,
     // assigned on the redacted full-doc text (not per chunk, so all of
     // a doc's chunks share one topic). Keyed shuffle join on the doc
-    // id; centroids are literals, nothing collects.
+    // id; centroids are literals, nothing data-sized collects.
+    // --train_topics <k> fits the centroids IN-ENGINE on this corpus
+    // (k01 Lloyd's over the hashed embeddings, 2 iterations) instead of
+    // using the frozen TopicCentroids.K8 — domain discovery without any
+    // offline step; only the k×64 centroid matrix touches the driver.
     val labeled =
-      if (cfg.strOpt("assign_topics").contains("true"))
-        packed.join(
-          TextOps.topicAssign(
-            redacted.select(col(id), col("redacted").as(text)), id, text),
-          Seq(id), "left")
-      else packed
+      if (cfg.strOpt("assign_topics").contains("true")) {
+        val base = redacted.select(col(id), col("redacted").as(text))
+        val topics = cfg.strOpt("train_topics") match {
+          case Some(k) =>
+            val vecs = TextOps.hashEmbedVectors(base, id, text)
+            val (cents, _) = graft.sim.KMeans.fit(
+              vecs, id, "embedding", k.toInt, iters = 2)
+            TextOps.topicAssign(base, id, text, cents)
+          case None => TextOps.topicAssign(base, id, text)
+        }
+        packed.join(topics, Seq(id), "left")
+      } else packed
     labeled.write.mode("overwrite").partitionBy("split")
       .parquet(cfg.str("output"))
     // count what actually LANDED (the contract for the funnel metric) —

@@ -77,7 +77,7 @@ object GraftConfig {
     "min_shared", "max_per_source", "mixture_target", "token_budget",
     "lm_ref_docs", "min_avg_logprob", "min_q_prob", "chunk_window",
     "chunk_stride", "split_salt", "pack_budget", "assign_topics",
-    "incremental_from")
+    "train_topics", "incremental_from")
 
   /** `--key value` CLI args → overrides; `--load_config f.json` merges
     * the file first (CLI still wins — reference precedence). Unknown

@@ -694,6 +694,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(perDoc.forall(r => expected(r.getLong(0)) == r.getLong(2)))
   }
 
+  test("CLI curate --train_topics: centroids are fit in-engine (k01) on " +
+       "the curated corpus and every chunk carries the fitted label") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("grafttt").toString
+    graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text").limit(40)
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val out = s"$dir/chunks"
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"$dir/docs",
+      "near_threshold" -> "1.5",
+      "chunk_window" -> "200", "chunk_stride" -> "150",
+      "assign_topics" -> "true", "train_topics" -> "4",
+      "output" -> out, "metrics_out" -> s"$dir/funnel.json"))
+    val chunks = spark.read.parquet(out)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(countDistinct(col("topic")).as("nt"), min(col("topic")).as("t"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    assert(perDoc.forall(_.getLong(1) == 1L))
+    assert(perDoc.forall(r => r.getLong(2) >= 0L && r.getLong(2) < 4L),
+      "labels must come from the k=4 fit, not the frozen K8")
+    assert(perDoc.map(_.getLong(2)).distinct.length >= 2,
+      "in-engine fit collapsed to one topic")
+    // the label equals a direct k01 fit + assign on the same docs (the
+    // curate chain is a pass-through for this corpus/config)
+    val docs = spark.read.parquet(s"$dir/docs")
+    val vecs = graft.text.TextOps.hashEmbedVectors(docs, "doc_id", "text")
+    val (cents, _) = graft.sim.KMeans.fit(vecs, "doc_id", "embedding",
+      k = 4, iters = 2)
+    val expected = graft.text.TextOps
+      .topicAssign(docs, "doc_id", "text", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.forall(r => expected(r.getLong(0)) == r.getLong(2)))
+  }
+
   test("CLI curate --incremental_from: increments union to the full " +
        "run; cross-increment duplicates processed once") {
     val s = spark
