@@ -5330,6 +5330,29 @@ object OracleSql {
         .replace("BUCKET", b)
     },
 
+    // temperature mixture (a11): w_k ∝ sqrt(n_k/N) — sqrt is IEEE
+    // correctly-rounded on both engines, the weight denominator sums in
+    // sorted-key order (ordered-list aggregate ≡ the Scala sorted fold),
+    // and the cut quantizes to basis points exactly like a08
+    "a11_temperature_mixture" -> {
+      val b = s"${h64Sql("d.doc_id::VARCHAR", "'29'")} % 10000"
+      s"""WITH c AS (SELECT source AS k, count(*)::BIGINT AS n
+         |           FROM documents GROUP BY source),
+         |tot AS (SELECT sum(n)::BIGINT AS nn FROM c),
+         |pw AS (SELECT k, n, sqrt(n::DOUBLE / nn) AS pa
+         |       FROM c CROSS JOIN tot),
+         |den AS (SELECT list_aggregate(list(pa ORDER BY k), 'sum') AS d
+         |        FROM pw),
+         |wt AS (SELECT k, n, pa / den.d AS w FROM pw CROSS JOIN den),
+         |nout AS (SELECT min(n::DOUBLE / w) AS nout FROM wt),
+         |f AS (SELECT k, round(w * nout / n * 10000) AS cut
+         |      FROM wt CROSS JOIN nout)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN f ON d.source = f.k
+         |WHERE $b < f.cut
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     // stratified sample: per-lang bucket cutoffs (en 5000, es 2500,
     // default 10000), same h64 buckets as a03 with salt 11
     "a04_stratified_sample" -> {

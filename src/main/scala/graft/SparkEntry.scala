@@ -1605,6 +1605,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── a11: temperature-scaled mixture — weights DERIVED from the
+    //    observed source shares (w ∝ p^0.5, the multilingual
+    //    temperature-sampling knob); sqrt is IEEE-exact so the derived
+    //    weights replay bit-identically in the oracle ──────────────────
+    "a11_temperature_mixture" -> ((s, dir) => {
+      graft.core.ScaleOps.temperatureMixtureSample(docs(s, dir), "doc_id",
+          "source", salt = 29, alpha = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── a10: mixture over DISCOVERED domains — t17's frozen-centroid
     //    topics feed a08's deterministic mixture sampler, the "rebalance
     //    the corpus by topic" step when no source labels exist; the

@@ -131,6 +131,43 @@ object ScaleOps {
     stratifiedSample(inTarget, id, key, salt, fracs, defaultFraction = 0.0)
   }
 
+  /** Temperature-scaled mixture sample (beyond reference, a11): derive
+    * the mixture weights FROM the data — w_k ∝ p_k^α with p_k the
+    * observed key share — then rebalance exactly as [[mixtureSample]]
+    * does. α &lt; 1 flattens the distribution toward uniform (α→0) while
+    * α = 1 keeps it unchanged: the standard multilingual/source
+    * "temperature sampling" knob for up-weighting tail languages
+    * against a dominant head without hand-written target weights.
+    *
+    * Determinism: the α = 0.5 case routes through `sqrt`, which IEEE
+    * 754 requires to be correctly rounded — the derived weights are
+    * then bit-identical on every engine (generic α uses `pow`, whose
+    * cross-libm ulp is absorbed by the basis-point cut rounding); the
+    * weight denominator sums in sorted-key order so the fold order is
+    * engine-independent too.
+    *
+    * Scale shape: identical to [[mixtureSample]] — one
+    * map-side-combinable count agg (driver state = |keys| rows, the
+    * key cardinality of a mixture axis, not data-sized) and one
+    * map-side bucket filter. */
+  def temperatureMixtureSample(df: DataFrame, id: String, key: String,
+                               salt: Int, alpha: Double): DataFrame = {
+    val counts = df.groupBy(col(key).cast("string").as("_k"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperature mixture needs a non-empty frame")
+    val nn = counts.values.sum
+    val pa = counts.map { case (k, n) =>
+      k -> (if (alpha == 0.5) math.sqrt(n.toDouble / nn)
+            else math.pow(n.toDouble / nn, alpha))
+    }
+    val den = pa.toSeq.sortBy(_._1).map(_._2).sum
+    val w = pa.map { case (k, x) => k -> x / den }
+    val nOut = w.map { case (k, wk) => counts(k).toDouble / wk }.min
+    val fracs = w.map { case (k, wk) => k -> wk * nOut / counts(k) }
+    stratifiedSample(df, id, key, salt, fracs, defaultFraction = 0.0)
+  }
+
   /** Token-budget mixture with epoch upsampling (beyond reference):
     * resample each key (source/domain) so the OUTPUT token mass follows
     * target weights w_k against a total token budget B — the LLM

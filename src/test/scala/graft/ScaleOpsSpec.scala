@@ -158,6 +158,39 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zz"))
   }
 
+  test("temperature mixture: alpha=0.5 flattens a skewed corpus toward " +
+       "the tail, alpha=1 is the identity, deterministic under rerun") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    // 1600/100 rows of head/tail: p = (16/17, 1/17); sqrt flattening
+    // gives w ≈ (.8, .2) -> binding key is the TAIL (kept whole) and
+    // the head is cut to w_h*N/n_h ≈ .25
+    val df = ((0 until 1600).map(i => (i.toLong, "head")) ++
+      (1600 until 1700).map(i => (i.toLong, "tail")))
+      .toDF("id", "src")
+    val out = graft.core.ScaleOps.temperatureMixtureSample(df, "id", "src",
+      salt = 7, alpha = 0.5)
+    val by = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by("tail") === 100L, "binding (tail) key keeps everything")
+    // exact expectation: w_h = sqrt(16/17)/(sqrt(16/17)+sqrt(1/17)),
+    // N = n_t/w_t, cut = round(w_h*N/n_h*1e4) -> ~2462 of 1e4 buckets
+    assert(by("head") > 300 && by("head") < 500,
+      s"head not flattened to ~0.25: $by")
+    // output shares moved toward uniform but not past it
+    val headShare = by("head").toDouble / (by("head") + by("tail"))
+    assert(headShare < 1600.0 / 1700.0 && headShare > 0.5, s"$by")
+    // alpha=1 keeps the corpus identical (w = p -> every fraction 1)
+    val id1 = graft.core.ScaleOps.temperatureMixtureSample(df, "id", "src",
+      salt = 7, alpha = 1.0)
+    assert(id1.count() === 1700L)
+    // deterministic under rerun + repartition
+    val again = graft.core.ScaleOps.temperatureMixtureSample(
+        df.repartition(7), "id", "src", salt = 7, alpha = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === out.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("tokenBudgetMixture: epoch upsampling hits token targets, splits stay leak-free") {
     val s = spark
     import s.implicits._
