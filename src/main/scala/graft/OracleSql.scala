@@ -3107,6 +3107,30 @@ object OracleSql {
          |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
     },
 
+    // cross-doc duplication ratio (t21): the t01 shingle CTEs, a gram
+    // df count, one join back; the flag compares the unrounded
+    // single-division ratio (same integers -> same double both engines)
+    "t21_dup_ratio" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |              FROM documents),
+        |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+        |sh0 AS (SELECT doc_id,
+        |          concat_ws(' ', token, lead(token,1) OVER w, lead(token,2) OVER w,
+        |            lead(token,3) OVER w, lead(token,4) OVER w, lead(token,5) OVER w,
+        |            lead(token,6) OVER w, lead(token,7) OVER w) AS shingle,
+        |          lead(token,7) OVER w AS l7
+        |        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l7 IS NOT NULL),
+        |d AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY 1),
+        |p AS (SELECT sh.doc_id, count(*)::BIGINT AS n_grams,
+        |        sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+        |      FROM sh JOIN d USING (shingle) GROUP BY sh.doc_id)
+        |SELECT doc_id, n_grams, n_shared,
+        |  round(n_shared::DOUBLE / n_grams, 6) AS dup_ratio,
+        |  (n_shared::DOUBLE / n_grams >= 0.5)::INT AS flagged
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     // in-engine k-means (k01): init = the 8 smallest doc ids' t16
     // vectors, two (assign, update) Lloyd cycles, final assignment.
     // Parity per iteration: the same r6-rounded embeddings, distance

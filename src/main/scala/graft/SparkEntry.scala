@@ -460,6 +460,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // ── Cross-doc duplication ratio: per doc, the fraction of its
+    //    distinct 8-gram shingles shared with ≥1 other doc — corpus-
+    //    level memorization-risk metric; gram-keyed df agg + one
+    //    inverted-index join back (the t01 shape) ──────────────────────
+    "t21_dup_ratio" -> ((s, dir) => {
+      graft.text.TextOps.crossDupRatio(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ── In-engine k-means fit (Lloyd's, 2 iterations, init = the 8
     //    smallest doc ids' t16 vectors): each iteration is one map-side
     //    argmin + one (cluster, dim)-keyed mean, centroids rounded to

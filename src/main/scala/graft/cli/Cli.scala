@@ -340,7 +340,7 @@ object Cli {
     *   [--near_threshold 0.8] [--keep_best true]
     *   [--semantic_threshold 0.92]  (d08 hashed-embedding dedup after
     *     the shingle stage; planes derived from corpus occupancy)
-    *   [--max_rep_ratio 0.5] [--min_tokens 10]
+    *   [--max_rep_ratio 0.5] [--max_dup_ratio 0.8] [--min_tokens 10]
     *   [--langs en,es] [--gopher_min_stop N]
     *   [--max_per_source N --source_col c]
     *   [--mixture_target src0:0.5,src1:0.5 --source_col c]
@@ -477,16 +477,30 @@ object Cli {
           .select(col(id), col("keep").as("_gopher_keep")), id)
       case None => statsBase.withColumn("_gopher_keep", lit(1))
     }
+    // optional cross-doc duplication gate (--max_dup_ratio x): the t21
+    // metric — corpus-level memorization risk, a doc assembled from
+    // corpus boilerplate scores ~1. Unlike the other gate stats this is
+    // corpus-dependent (a gram-df join), but it is still a function of
+    // `deduped`, so it joins the same one-pass stat frame; docs too
+    // short to carry a shingle default to 0 (min_tokens owns them)
+    val withDup = cfg.strOpt("max_dup_ratio") match {
+      case Some(_) =>
+        withGopher.join(TextOps.crossDupRatio(deduped, id, text)
+          .select(col(id), col("dup_ratio").as("_dup")), Seq(id), "left")
+      case None => withGopher.withColumn("_dup", lit(null).cast("double"))
+    }
     val gate = (cfg.strOpt("langs") match {
       case Some(_) =>
-        withGopher.join(TextOps.langId(deduped, id, text)
+        withDup.join(TextOps.langId(deduped, id, text)
           .select(col(id), col("lang_guess").as("_lang")), id)
-      case None => withGopher.withColumn("_lang", lit(null).cast("string"))
+      case None => withDup.withColumn("_lang", lit(null).cast("string"))
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    val maxDup = cfg.strOpt("max_dup_ratio").map(_.toDouble).getOrElse(1.0)
     val kept = gate
       .filter(coalesce(col("rep_ratio"), lit(0.0)) <= maxRep &&
-        col("_nt") >= minTokens)
+        col("_nt") >= minTokens &&
+        coalesce(col("_dup"), lit(0.0)) < maxDup)
     val n3 = kept.count()
 
     // optional Gopher rule gate (--gopher_min_stop N): the t14

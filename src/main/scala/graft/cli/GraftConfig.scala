@@ -73,6 +73,7 @@ object GraftConfig {
     "real_test", "series_col", "doc_id_col", "text_col", "source_col",
     "n_configs", "max_iter", "tol_window", "ratios", "baseline_cache",
     "near_threshold", "semantic_threshold", "keep_best", "max_rep_ratio",
+    "max_dup_ratio",
     "min_tokens", "gopher_min_stop", "langs", "benchmark_docs",
     "min_shared", "max_per_source", "mixture_target", "token_budget",
     "lm_ref_docs", "min_avg_logprob", "min_q_prob", "chunk_window",

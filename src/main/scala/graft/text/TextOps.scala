@@ -134,6 +134,37 @@ object TextOps {
   def shingles(df: DataFrame, id: String, text: String, k: Int): DataFrame =
     shinglesAll(df, id, text, k).distinct()
 
+  /** Cross-doc duplication ratio (beyond reference, t21): per document,
+    * the fraction of its DISTINCT k-gram shingles that appear in at
+    * least one OTHER document — the corpus-level complement of
+    * [[tokenStats]]' within-doc repetition and the per-doc
+    * "memorization risk" disclosure (a doc made of corpus boilerplate
+    * scores ~1, unique prose ~0). `flagged` marks docs at/above
+    * `maxRatio`, the gate threshold RefinedWeb-style pipelines drop at.
+    * Docs shorter than k tokens carry no shingle and are not emitted
+    * (0/0 — gate them by length upstream, the t15 contract).
+    *
+    * Scale shape: distinct (doc, shingle) + a gram-keyed df agg (both
+    * map-side combinable) and ONE inverted-index join back on the gram
+    * key — the t01 shape, nothing quadratic; boilerplate-gram skew is
+    * AQE-splittable and df-cappable upstream like [[Dedup.jaccardPairs]].
+    * The flag compares the UNROUNDED single-division ratio, identical
+    * on both engines. */
+  def crossDupRatio(df: DataFrame, id: String, text: String, k: Int = 8,
+                    maxRatio: Double = 0.5): DataFrame = {
+    val sg = shingles(df, id, text, k)
+    val dfreq = sg.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sg.join(dfreq, "shingle")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1).otherwise(0)).cast("long")
+          .as("n_shared"))
+      .withColumn("dup_ratio",
+        round(col("n_shared") / col("n_grams"), 6))
+      .withColumn("flagged",
+        (col("n_shared") / col("n_grams") >= maxRatio).cast("int"))
+  }
+
   /** Decontamination (beyond reference): k-gram overlap between a train
     * corpus and a benchmark/eval set — the standard eval-leakage filter
     * in LLM training pipelines. Inverted-index join keyed on the gram

@@ -694,6 +694,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(perDoc.forall(r => expected(r.getLong(0)) == r.getLong(2)))
   }
 
+  test("CLI curate --max_dup_ratio: boilerplate-built docs are gated, " +
+       "unique docs survive; without the flag nothing is dropped") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftdup").toString
+    // docs 1..3 share one 12-token boilerplate block (each with a
+    // distinct 3-token tail -> dup_ratio 5/8 = 0.625); docs 4..6 are
+    // fully unique 15-token texts -> ratio 0
+    val block = (0 until 12).map(i => s"bp$i").mkString(" ")
+    val docs = ((1L to 3L).map(i =>
+        (i, block + s" tail${i}a tail${i}b tail${i}c")) ++
+      (4L to 6L).map(i =>
+        (i, (0 until 15).map(j => s"u${i}x$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    def run(extra: Map[String, String], out: String): Set[Long] = {
+      Cli.run(spark, GraftConfig.defaults ++ Map(
+        "mode" -> "curate",
+        "input_docs" -> s"$dir/docs",
+        "near_threshold" -> "1.5",
+        "chunk_window" -> "400", "chunk_stride" -> "300",
+        "output" -> s"$dir/$out",
+        "metrics_out" -> s"$dir/$out.json") ++ extra)
+      spark.read.parquet(s"$dir/$out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val gated = run(Map("max_dup_ratio" -> "0.6"), "gated")
+    assert(gated === Set(4L, 5L, 6L),
+      s"boilerplate docs must be dropped at 0.6: $gated")
+    val open = run(Map.empty, "open")
+    assert(open === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // the funnel records the gate at the quality stage
+    val funnel = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/gated.json")), "UTF-8")
+    assert(funnel.contains("\"n_after_quality\": 3"))
+  }
+
   test("CLI curate --train_topics: centroids are fit in-engine (k01) on " +
        "the curated corpus and every chunk carries the fitted label") {
     val s = spark

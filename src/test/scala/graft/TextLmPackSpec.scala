@@ -565,6 +565,41 @@ class TextLmPackSpec extends AnyFunSuite {
     assert(t === again)
   }
 
+  test("t21 cross-doc dup ratio: shared spans are counted exactly, " +
+       "unique docs score 0, the flag fires at the threshold") {
+    import spark.implicits._
+    // doc 1: 10 tokens -> 3 distinct 8-grams, the first of which (t0..t7)
+    // also opens doc 2 -> ratio 1/3. doc 2: 9 tokens -> 2 grams, 1
+    // shared -> 1/2 >= 0.5 flags. doc 3: fully unique -> 0. doc 4: a
+    // verbatim copy of doc 3 -> both score 1 and flag.
+    val shared = (0 until 8).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " a b"),
+      (2L, shared + " zz"),
+      (3L, (0 until 9).map(i => s"u$i").mkString(" ")),
+      (4L, (0 until 9).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextOps.crossDupRatio(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 1L, 0.333333, 0),
+      (2L, 2L, 1L, 0.5, 1),
+      (3L, 2L, 2L, 1.0, 1),
+      (4L, 2L, 2L, 1.0, 1)))
+    // a doc shorter than k tokens is not emitted (0/0 contract)
+    val tiny = Seq((9L, "a b c")).toDF("doc_id", "text")
+    assert(TextOps.crossDupRatio(tiny, "doc_id", "text").count() === 0L)
+  }
+
+  test("t21 plan: keyed aggs + one gram join — no cartesian, no " +
+       "single-partition funnel") {
+    val p = plan("t21_dup_ratio")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"))
+  }
+
   test("t19 BM25: ranks are dense per query, scores non-increasing, " +
        "every hit actually contains a query term, n_hit bounded") {
     val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
