@@ -808,9 +808,18 @@ object TextOps {
   }
 
   /** The static half of BM25 serving: the per-(doc, token) postings
-    * frame (tf + doc length — the only full-corpus shuffle) and the
-    * 1-row corpus stats. Build once, persist, then score arbitrarily
-    * many query batches against it with [[bm25ScoreQueries]]. */
+    * frame (the only full-corpus shuffle) and the 1-row corpus stats.
+    * Build once, persist, then score arbitrarily many query batches
+    * against it with [[bm25ScoreQueries]].
+    *
+    * Doc length is deliberately NOT carried through the token explode:
+    * a per-row `dl` expression selected NEXT TO `explode(...)` gets
+    * pushed below the Generate by projection collapse and re-evaluates
+    * the full-text regexp ONCE PER TOKEN — O(tokens²) per doc, a 67×
+    * blowup on the 10× doc-length axis (the a06 higher-order-lambda
+    * pathology in projection form). The scorer derives dl = Σ tf per
+    * doc from the postings themselves instead; the 1-row stats agg has
+    * no Generate in its lineage, so its per-row regexp is safe. */
   def bm25Corpus(df: DataFrame, id: String,
                  text: String): (DataFrame, DataFrame) = {
     val dlCol = size(regexp_extract_all(col(text), lit("[^ ]+"), lit(0)))
@@ -818,25 +827,28 @@ object TextOps {
     val stats = df.agg(count(lit(1)).cast("long").as("n_docs"),
       avg(dlCol).as("avgdl"))
     val toks = df
-      .select(col(id), dlCol.as("dl"),
-        explode(split(col(text), " ")).as("token"))
+      .select(col(id), explode(split(col(text), " ")).as("token"))
       .filter(col("token") =!= "")
     val tf = toks.groupBy(col(id), col("token"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("tf"))
     (tf, stats)
   }
 
   /** Score a (query_id, token) term table against a prebuilt
-    * [[bm25Corpus]]; see [[bm25TopK]] for the plan-shape contract. */
+    * [[bm25Corpus]]; see [[bm25TopK]] for the plan-shape contract.
+    * Doc length joins back as a narrow (id, Σ tf) frame — one extra
+    * doc-keyed shuffle of ~16 bytes/doc, orders below the tf shuffle. */
   def bm25ScoreQueries(tf: DataFrame, stats: DataFrame, id: String,
                        qterms: DataFrame, k: Int = 5,
                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
     val tfq = tf.join(broadcast(qterms.select(col("token")).distinct()),
       Seq("token"))
     val dfq = tfq.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val parts = tfq
       .join(broadcast(dfq), Seq("token"))
       .join(broadcast(qterms), Seq("token"))
+      .join(dl, Seq(id))
       .crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) +
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

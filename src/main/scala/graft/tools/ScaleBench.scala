@@ -130,7 +130,8 @@ object ScaleBench {
     "q23_ann_topk", "q24_embed_neardup_blocked",
     "s01_lsh_ann", "s02_ivf_ann", "s03_pq_ann", "s04_ivfpq_ann",
     "s05_ivfpq_indexed", "t17_topic_assign", "a10_topic_mixture",
-    "t18_corpus_report")
+    "t18_corpus_report", "t19_bm25_topk", "t21_dup_ratio",
+    "k01_kmeans_fit", "a11_temperature_mixture")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
@@ -147,7 +148,7 @@ object ScaleBench {
     "t03_pii_redact", "t04_chunk", "t05_tfidf_topk", "t07_bpe_tokens",
     "t08_lm_score", "t09_pack_sequences", "t13_token_budget_mixture",
     "t14_gopher_rules", "t16_hash_embed", "d05_span_dedup",
-    "d06_fuzzy_span_dedup")
+    "d06_fuzzy_span_dedup", "t19_bm25_topk", "t21_dup_ratio")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

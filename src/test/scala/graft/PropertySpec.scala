@@ -82,4 +82,26 @@ class PropertySpec extends AnyFunSuite {
         loaded.forward(z).sameElements(dec.forward(z))
     })
   }
+
+  test("salted partial top-k is lossless: top-k of per-bucket top-ks " +
+       "equals the direct top-k under the (score desc, id) order") {
+    // the t19 BM25 two-phase argument: anything outside its bucket's
+    // top k is beaten by k same-bucket candidates and cannot be global
+    // top-k. Scores draw from a small integer range so ties are COMMON
+    // — the regime where a broken prune would actually diverge
+    check(Prop.forAll(Gen.choose(0L, Long.MaxValue)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(300)
+      val k = 1 + rnd.nextInt(8)
+      val items = Seq.fill(n)(
+        (rnd.nextInt(20).toDouble, rnd.nextInt(10000).toLong))
+      val ord = Ordering.by[(Double, Long), (Double, Long)] {
+        case (s, id) => (-s, id)
+      }
+      val direct = items.sorted(ord).take(k)
+      val pruned = items.groupBy { case (_, id) => id % 64 }
+        .values.flatMap(_.sorted(ord).take(k)).toSeq
+      pruned.sorted(ord).take(k) == direct
+    })
+  }
 }

@@ -631,6 +631,48 @@ class TextLmPackSpec extends AnyFunSuite {
     }
   }
 
+  test("t19 BM25 agrees with an independent driver-side brute-force " +
+       "scorer on a random corpus (formula + prune + ranking)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 't').map(_.toString)
+    val docs = (0L until 200L).map { i =>
+      (i, Seq.fill(5 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }
+    val queries = Seq(1 -> "a b c", 2 -> "t s", 3 -> "k")
+    val got = TextOps.bm25TopK(docs.toDF("doc_id", "text"), "doc_id",
+        "text", queries, k = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(4)) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    // independent scorer: plain Scala maps, same constants
+    val toks = docs.map { case (i, t) => i -> t.split(" ").toSeq }.toMap
+    val nDocs = docs.length.toLong
+    val avgdl = toks.values.map(_.length).sum.toDouble / nDocs
+    val qterms = queries.map { case (q, t) => q -> t.split(" ").toSet }
+    val dfm = vocab.map(w => w -> toks.count(_._2.contains(w))).toMap
+    val expect = qterms.flatMap { case (q, terms) =>
+      val scored = toks.toSeq.flatMap { case (d, ts) =>
+        val hit = terms.filter(ts.contains)
+        if (hit.isEmpty) None else Some { (d,
+          BigDecimal(hit.toSeq.map { w =>
+            val tf = ts.count(_ == w).toDouble
+            val df = dfm(w).toDouble
+            math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5)) * tf *
+              (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * ts.length / avgdl))
+          }.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      }
+      scored.sortBy { case (d, s) => (-s, d) }.take(4).zipWithIndex
+        .map { case ((d, s), i) => (q, i + 1) -> (d, s) }
+    }.toMap
+    assert(got.keySet === expect.keySet)
+    for ((k, (d, s)) <- expect) {
+      assert(got(k)._1 === d, s"rank $k: got ${got(k)}, want ($d,$s)")
+      assert(math.abs(got(k)._2 - s) < 1e-9, s"rank $k score mismatch")
+    }
+  }
+
   test("streaming BM25 serving matches the batch retrieval per query " +
        "across micro-batches (t19 twin)") {
     import spark.implicits._
