@@ -34,8 +34,14 @@ object KMeans {
     * and return (final centroids, assignment under them). `vecs` must
     * carry (`id`: long, `vec`: array&lt;double&gt;) with a constant
     * vector dimension. */
-  def fit(vecs: DataFrame, id: String, vec: String, k: Int,
+  def fit(vecs0: DataFrame, id: String, vec: String, k: Int,
           iters: Int): (Array[Array[Double]], DataFrame) = {
+    // materialize the input ONCE: the fit loop reads it 2·iters+2
+    // times (init probe, per-iteration assign + mean, final assign) and
+    // a live embedding-construction lineage would recompute its
+    // doc-keyed shuffle on every pass (the a10 composition lesson —
+    // measured 6.7 s → ~2 s at sf0.1 for the k01 gate entry)
+    val vecs = vecs0.localCheckpoint()
     val init: Array[Array[Double]] = vecs
       .orderBy(col(id)).limit(k).select(col(id), col(vec))
       .collect()
