@@ -5354,6 +5354,32 @@ object OracleSql {
         .replace("BUCKET", b)
     },
 
+    // shard shuffle (a12): shard = h64 mod 8, pos = per-shard rank on
+    // (h, doc_id) — the same portable md5-derived hash as a03/a04
+    "a12_shard_shuffle" -> {
+      val h = h64Sql("doc_id::VARCHAR", "'31'")
+      s"""WITH t AS (SELECT doc_id, $h AS h FROM documents)
+         |SELECT doc_id, (h % 8)::INT AS shard,
+         |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)::INT
+         |    AS pos
+         |FROM t ORDER BY shard, pos""".stripMargin
+    },
+
+    // token frequency spectrum (t22): token counts banded by integer
+    // BETWEEN against power-of-two bounds (no floor(log2) libm hazard)
+    "t22_token_spectrum" ->
+      """WITH toks AS (SELECT unnest(string_split(text,' ')) AS token
+        |              FROM documents),
+        |c AS (SELECT token, count(*)::BIGINT AS c FROM toks
+        |      WHERE token <> '' GROUP BY token),
+        |b AS (SELECT b AS band, (1::BIGINT << b) AS lo,
+        |        (1::BIGINT << (b+1)) - 1 AS hi
+        |      FROM (SELECT unnest(generate_series(0, 40)) AS b))
+        |SELECT b.band::INT AS band, b.lo,
+        |  count(*)::BIGINT AS n_types, sum(c.c)::BIGINT AS n_tokens
+        |FROM c JOIN b ON c.c >= b.lo AND c.c <= b.hi
+        |GROUP BY b.band, b.lo ORDER BY band""".stripMargin,
+
     // temperature mixture (a11): w_k ∝ sqrt(n_k/N) — sqrt is IEEE
     // correctly-rounded on both engines, the weight denominator sums in
     // sorted-key order (ordered-list aggregate ≡ the Scala sorted fold),

@@ -1614,6 +1614,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── a12: deterministic shard shuffle — the training-order
+    //    permutation as (shard, pos) from the salted portable hash;
+    //    per-SHARD windows only, never a global sort ────────────────────
+    "a12_shard_shuffle" -> ((s, dir) => {
+      graft.core.ScaleOps.shardShuffle(docs(s, dir), "doc_id",
+          salt = 31, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
+    // ── t22: token frequency spectrum — Zipf/Heaps data card; one
+    //    token-keyed agg + a 41-row broadcast bounds join (integer
+    //    BETWEEN banding, no floor(log2) libm hazard) ───────────────────
+    "t22_token_spectrum" -> ((s, dir) => {
+      graft.text.TextOps.tokenSpectrum(docs(s, dir), "doc_id", "text")
+        .orderBy(col("band"))
+    }),
+
     // ── a11: temperature-scaled mixture — weights DERIVED from the
     //    observed source shares (w ∝ p^0.5, the multilingual
     //    temperature-sampling knob); sqrt is IEEE-exact so the derived

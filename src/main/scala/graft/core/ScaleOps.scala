@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cluster-scale layout utilities: bucketed co-located joins and
@@ -96,6 +97,32 @@ object ScaleOps {
     df.orderBy(graft.text.Dedup.h64(col(id).cast("string"), salt).asc,
         col(id).asc)
       .limit(n)
+
+  /** Deterministic shard shuffle (beyond reference, a12): the global
+    * training-order permutation — every row gets a (shard, pos) from
+    * its salted portable hash, so "read shards in order, each shard in
+    * pos order" is a reproducible pseudo-random pass over the corpus
+    * (the shuffled-shard write every pretraining loader expects).
+    * Re-salting re-permutes; reruns/repartitions/appends keep every
+    * existing row's shard stable (pos shifts only within the shard an
+    * appended row lands in).
+    *
+    * Scale shape: NO global sort — shard = hash mod nShards is
+    * map-side, and pos is a per-SHARD window (nShards independent
+    * sorts, each 1/nShards of the corpus; size shards so one fits an
+    * executor, exactly like the t09 packing contract). A global
+    * row_number would single-partition the corpus — the one shape this
+    * op must never take. */
+  def shardShuffle(df: DataFrame, id: String, salt: Int,
+                   nShards: Int): DataFrame = {
+    require(nShards > 0, "need at least one shard")
+    val h = graft.text.Dedup.h64(col(id).cast("string"), salt)
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("_h"), col(id))))
+      .drop("_h")
+  }
 
   /** Mixture rebalancing sample (beyond reference): deterministically
     * downsample each key (source/domain/language) so the OUTPUT

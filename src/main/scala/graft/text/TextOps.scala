@@ -134,6 +134,34 @@ object TextOps {
   def shingles(df: DataFrame, id: String, text: String, k: Int): DataFrame =
     shinglesAll(df, id, text, k).distinct()
 
+  /** Token frequency spectrum (beyond reference, t22): the Zipf/Heaps
+    * data-card — distinct-token counts bucketed by power-of-two
+    * occurrence bands (how much of the corpus is hapax tail vs
+    * stop-word head; the vocabulary-growth diagnostic that decides
+    * tokenizer and min-frequency cuts). Per band [2^b, 2^(b+1)):
+    * `n_types` distinct tokens, `n_tokens` total occurrences they
+    * carry.
+    *
+    * Scale shape: ONE token-keyed count agg (map-side combinable) and
+    * one broadcast join against the 41-row literal bounds table —
+    * integer BETWEEN compares, so banding is exact on every engine (a
+    * floor(log2(c)) double would misband exact powers of two at libm
+    * mercy). */
+  def tokenSpectrum(df: DataFrame, id: String, text: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bounds = (0 until 41)
+      .map(b => (b, 1L << b, (1L << (b + 1)) - 1L))
+      .toDF("band", "lo", "hi")
+    val counts = tokens(df, text).groupBy(col("token"))
+      .agg(count(lit(1)).as("c"))
+    counts.join(broadcast(bounds),
+        col("c") >= col("lo") && col("c") <= col("hi"))
+      .groupBy(col("band"), col("lo"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"))
+      .select(col("band"), col("lo"), col("n_types"), col("n_tokens"))
+  }
+
   /** Cross-doc duplication ratio (beyond reference, t21): per document,
     * the fraction of its DISTINCT k-gram shingles that appear in at
     * least one OTHER document — the corpus-level complement of

@@ -158,6 +158,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zz"))
   }
 
+  test("shard shuffle: bijective (shard,pos) cover, dense per-shard " +
+       "positions, append-stable shards, never a single-partition sort") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    val df = (0L until 800L).map(i => (i, s"v$i")).toDF("id", "v")
+    val out = graft.core.ScaleOps.shardShuffle(df, "id", salt = 3,
+      nShards = 8)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    assert(rows.length === 800)
+    assert(rows.map(_._1).distinct.length === 800, "must be a permutation")
+    assert(rows.forall { case (_, sh, _) => sh >= 0 && sh < 8 })
+    for ((sh, g) <- rows.groupBy(_._2)) {
+      val ps = g.map(_._3).sorted
+      assert(ps.toSeq === (1 to g.length), s"shard $sh positions not dense")
+    }
+    // deterministic under repartition
+    val again = graft.core.ScaleOps.shardShuffle(df.repartition(7), "id",
+        salt = 3, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSet
+    assert(again === rows.toSet)
+    // appending rows never moves an existing row's SHARD (pos may shift)
+    val more = ((0L until 800L) ++ (800L until 900L)).map(i => (i, s"v$i"))
+      .toDF("id", "v")
+    val shards0 = rows.map(r => r._1 -> r._2).toMap
+    val shards1 = graft.core.ScaleOps.shardShuffle(more, "id", salt = 3,
+        nShards = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(shards0.forall { case (id, sh) => shards1(id) == sh })
+    // a different salt re-permutes (some doc changes shard)
+    val resalted = graft.core.ScaleOps.shardShuffle(df, "id", salt = 4,
+        nShards = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(shards0.exists { case (id, sh) => resalted(id) != sh })
+    // plan: per-shard windows, no global single-partition sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"shard shuffle must not serialize onto one partition:\n$plan")
+  }
+
   test("temperature mixture: alpha=0.5 flattens a skewed corpus toward " +
        "the tail, alpha=1 is the identity, deterministic under rerun") {
     val s = SparkSpec.spark

@@ -565,6 +565,31 @@ class TextLmPackSpec extends AnyFunSuite {
     assert(t === again)
   }
 
+  test("t22 token spectrum: exact power-of-two banding (boundaries " +
+       "included), hapax band, token mass conserved") {
+    import spark.implicits._
+    // engineered counts: a,b -> 1 (band 0); c -> 2, d -> 3 (band 1);
+    // e -> 4 (band 2, exact boundary); f -> 9 (band 3)
+    val text = Seq("a", "b", "c", "c", "d", "d", "d", "e", "e", "e", "e") ++
+      Seq.fill(9)("f")
+    val docs = Seq((1L, text.mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.tokenSpectrum(docs, "doc_id", "text")
+      .orderBy("band").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0, 1L, 2L, 2L),   // a,b: 2 types, 2 tokens
+      (1, 2L, 2L, 5L),   // c(2)+d(3)
+      (2, 4L, 1L, 4L),   // e exactly at 2^2
+      (3, 8L, 1L, 9L)))  // f(9)
+    assert(out.map(_._4).sum === text.length.toLong,
+      "token mass must be conserved across bands")
+    // plan: the 41-row bounds table broadcasts
+    val p = plan("t22_token_spectrum")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.linesIterator.take(20).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t21 cross-doc dup ratio: shared spans are counted exactly, " +
        "unique docs score 0, the flag fires at the threshold") {
     import spark.implicits._
