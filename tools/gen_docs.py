@@ -147,6 +147,12 @@ of {local[3]} queries.
                 "optimizer sweep ranks seeded full generator runs — inherits "
                 "g04/g05's exemption through its candidates",
                 "o01f (candidate fitness core), o01b (per-series sweep fitness)"),
+            "o02_grid_earlystop": (
+                "grid search with early seed-stopping over the same seeded "
+                "full generator runs as o01 — inherits the same exemption",
+                "o02f (probe-mean / margin-survivor / finish-phase selection "
+                "arithmetic replayed over md5-derived pseudo-fitness), "
+                "o01f/o01b (the shared fitness core), o01d (config draw)"),
             "q30_distribution_eval": (
                 "full metric record embeds the maxlag-20 AIC-selected ADF "
                 "(21 sequential 22-regressor OLS solves — no closed SQL form; "
