@@ -144,6 +144,45 @@ object OracleSql {
        |vec AS (SELECT doc_id, list(v ORDER BY j) AS v FROM emb GROUP BY doc_id)""".stripMargin
   }
 
+  /** k01's centroid chain (t16 vec CTEs + init c0 + two Lloyd
+    * assign/update cycles → c2 (cid, list v)) — shared by k01/k02. */
+  private lazy val k01CentCtes: String =
+    s"""$t16VecCtes,
+       |ids AS (SELECT doc_id FROM vec ORDER BY doc_id LIMIT 8),
+       |c0 AS (SELECT (row_number() OVER (ORDER BY v0.doc_id) - 1)::INT AS cid,
+       |         v0.v AS v
+       |       FROM vec v0 JOIN ids USING (doc_id)),
+       |d1 AS (SELECT vec.doc_id,
+       |         list(list_inner_product(c.v, c.v)
+       |              - 2.0*list_inner_product(vec.v, c.v)
+       |              ORDER BY c.cid) AS dl
+       |       FROM vec CROSS JOIN c0 c GROUP BY vec.doc_id, vec.v),
+       |a1 AS (SELECT doc_id,
+       |         (list_position(dl, list_aggregate(dl, 'min')) - 1)::INT AS cl
+       |       FROM d1),
+       |m1 AS (SELECT a1.cl AS cid, e.j, round(avg(e.v), 6) AS cv
+       |       FROM a1 JOIN emb e USING (doc_id) GROUP BY a1.cl, e.j),
+       |c0d AS (SELECT cid, j, v[j+1] AS cv FROM c0
+       |        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js),
+       |c1 AS (SELECT g.cid, list(coalesce(m1.cv, g.cv) ORDER BY g.j) AS v
+       |       FROM c0d g LEFT JOIN m1 ON m1.cid = g.cid AND m1.j = g.j
+       |       GROUP BY g.cid),
+       |d2 AS (SELECT vec.doc_id,
+       |         list(list_inner_product(c.v, c.v)
+       |              - 2.0*list_inner_product(vec.v, c.v)
+       |              ORDER BY c.cid) AS dl
+       |       FROM vec CROSS JOIN c1 c GROUP BY vec.doc_id, vec.v),
+       |a2 AS (SELECT doc_id,
+       |         (list_position(dl, list_aggregate(dl, 'min')) - 1)::INT AS cl
+       |       FROM d2),
+       |m2 AS (SELECT a2.cl AS cid, e.j, round(avg(e.v), 6) AS cv
+       |       FROM a2 JOIN emb e USING (doc_id) GROUP BY a2.cl, e.j),
+       |c1d AS (SELECT cid, j, v[j+1] AS cv FROM c1
+       |        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js),
+       |c2 AS (SELECT g.cid, list(coalesce(m2.cv, g.cv) ORDER BY g.j) AS v
+       |       FROM c1d g LEFT JOIN m2 ON m2.cid = g.cid AND m2.j = g.j
+       |       GROUP BY g.cid)""".stripMargin
+
   private lazy val t17AsgCtes: String = {
     val dExprs = graft.text.TopicCentroids.K8.map(c =>
       s"(${c.map(x => x * x).sum} - 2.0*list_inner_product(v, ${planeLit(c)}))")
@@ -3140,41 +3179,7 @@ object OracleSql {
     // engines re-enter each iteration on identical doubles; empty
     // clusters keep their previous centroid (the coalesce)
     "k01_kmeans_fit" ->
-      s"""WITH $t16VecCtes,
-         |ids AS (SELECT doc_id FROM vec ORDER BY doc_id LIMIT 8),
-         |c0 AS (SELECT (row_number() OVER (ORDER BY v0.doc_id) - 1)::INT AS cid,
-         |         v0.v AS v
-         |       FROM vec v0 JOIN ids USING (doc_id)),
-         |d1 AS (SELECT vec.doc_id,
-         |         list(list_inner_product(c.v, c.v)
-         |              - 2.0*list_inner_product(vec.v, c.v)
-         |              ORDER BY c.cid) AS dl
-         |       FROM vec CROSS JOIN c0 c GROUP BY vec.doc_id, vec.v),
-         |a1 AS (SELECT doc_id,
-         |         (list_position(dl, list_aggregate(dl, 'min')) - 1)::INT AS cl
-         |       FROM d1),
-         |m1 AS (SELECT a1.cl AS cid, e.j, round(avg(e.v), 6) AS cv
-         |       FROM a1 JOIN emb e USING (doc_id) GROUP BY a1.cl, e.j),
-         |c0d AS (SELECT cid, j, v[j+1] AS cv FROM c0
-         |        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js),
-         |c1 AS (SELECT g.cid, list(coalesce(m1.cv, g.cv) ORDER BY g.j) AS v
-         |       FROM c0d g LEFT JOIN m1 ON m1.cid = g.cid AND m1.j = g.j
-         |       GROUP BY g.cid),
-         |d2 AS (SELECT vec.doc_id,
-         |         list(list_inner_product(c.v, c.v)
-         |              - 2.0*list_inner_product(vec.v, c.v)
-         |              ORDER BY c.cid) AS dl
-         |       FROM vec CROSS JOIN c1 c GROUP BY vec.doc_id, vec.v),
-         |a2 AS (SELECT doc_id,
-         |         (list_position(dl, list_aggregate(dl, 'min')) - 1)::INT AS cl
-         |       FROM d2),
-         |m2 AS (SELECT a2.cl AS cid, e.j, round(avg(e.v), 6) AS cv
-         |       FROM a2 JOIN emb e USING (doc_id) GROUP BY a2.cl, e.j),
-         |c1d AS (SELECT cid, j, v[j+1] AS cv FROM c1
-         |        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js),
-         |c2 AS (SELECT g.cid, list(coalesce(m2.cv, g.cv) ORDER BY g.j) AS v
-         |       FROM c1d g LEFT JOIN m2 ON m2.cid = g.cid AND m2.j = g.j
-         |       GROUP BY g.cid),
+      s"""WITH $k01CentCtes,
          |d3 AS (SELECT vec.doc_id,
          |         list(list_inner_product(c.v, c.v)
          |              - 2.0*list_inner_product(vec.v, c.v)
@@ -3186,6 +3191,34 @@ object OracleSql {
          |SELECT doc_id, cluster,
          |  count(*) OVER (PARTITION BY cluster) AS cluster_size
          |FROM a3 ORDER BY doc_id""".stripMargin,
+
+    // cluster-quality report (k02): per cluster of the SAME k01 fit —
+    // member count, mean squared distance to the own centroid
+    // (min-dKey + |v|², the argmin key reused as the distance value),
+    // and the squared margin to the nearest other centroid; every
+    // reduction is an ordered-list inner product, r6 on the averages
+    "k02_cluster_quality" ->
+      s"""WITH $k01CentCtes,
+         |d3x AS (SELECT vec.doc_id,
+         |          list(list_inner_product(c.v, c.v)
+         |               - 2.0*list_inner_product(vec.v, c.v)
+         |               ORDER BY c.cid) AS dl,
+         |          list_inner_product(vec.v, vec.v) AS vv
+         |        FROM vec CROSS JOIN c2 c GROUP BY vec.doc_id, vec.v),
+         |a3x AS (SELECT doc_id,
+         |          (list_position(dl, list_aggregate(dl, 'min')) - 1)::BIGINT AS cluster,
+         |          list_aggregate(dl, 'min') + vv AS dist2
+         |        FROM d3x),
+         |per AS (SELECT cluster, count(*)::BIGINT AS n_docs,
+         |          round(avg(dist2), 6) AS avg_dist2
+         |        FROM a3x GROUP BY cluster),
+         |mg AS (SELECT a.cid::BIGINT AS cluster,
+         |         round(min(list_inner_product(a.v, a.v)
+         |           - 2.0*list_inner_product(a.v, b.v)
+         |           + list_inner_product(b.v, b.v)), 6) AS min_margin
+         |       FROM c2 a JOIN c2 b ON a.cid <> b.cid GROUP BY a.cid)
+         |SELECT per.cluster, per.n_docs, per.avg_dist2, mg.min_margin
+         |FROM per JOIN mg USING (cluster) ORDER BY cluster""".stripMargin,
 
     // mixture over DISCOVERED domains: the t17 assignment feeding the
     // a08 mixture machinery keyed on the topic — same weight

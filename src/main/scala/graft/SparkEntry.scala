@@ -484,6 +484,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Cluster-quality report over the SAME k01 fit: member count,
+    //    mean squared distance to own centroid (the argmin key reused
+    //    as the value), squared margin to the nearest other centroid ───
+    "k02_cluster_quality" -> ((s, dir) => {
+      val vecs = graft.text.TextOps
+        .hashEmbedVectors(docs(s, dir), "doc_id", "text")
+      val (cents, _) = graft.sim.KMeans.fit(vecs, "doc_id", "embedding",
+        k = 8, iters = 2)
+      graft.sim.KMeans.qualityReport(vecs, "doc_id", "embedding", cents)
+        .orderBy(col("cluster"))
+    }),
+
     // ── Doc-topic assignment: nearest frozen KMeans centroid over the
     //    t16 hashed embedding — model-free domain discovery for
     //    mixture design; one doc-keyed shuffle, centroids literal ──────

@@ -68,4 +68,47 @@ object KMeans {
       Similarity.ivfAssign(col(vec), cents).cast("long").as("cluster"))
     (cents, asg)
   }
+
+  /** Cluster-quality report (k02): per cluster — member count, mean
+    * squared distance to the own centroid, and the squared margin to
+    * the nearest OTHER centroid (small margins flag near-duplicate
+    * centroids; large avg_dist2 flags diffuse clusters). The per-doc
+    * distance reuses the argmin key itself (min dKey + |v|² — the
+    * assigned centroid IS the key minimizer), so the report is one
+    * map-side pass + one k-row agg; margins are pure centroid
+    * geometry, computed on the driver from the k×dim matrix. */
+  def qualityReport(vecs: DataFrame, id: String, vec: String,
+                    cents: Array[Array[Double]]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val margins = cents.indices.map { i =>
+      val m = cents.indices.filter(_ != i).map { j =>
+        dot(cents(i), cents(i)) - 2.0 * dot(cents(i), cents(j)) +
+          dot(cents(j), cents(j))
+      }.min
+      (i.toLong, BigDecimal(m).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("cluster", "min_margin")
+    val keyCols = cents.map { c =>
+      val cLit = array(c.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
+      Similarity.dot(col(vec), cLit) * -2.0 + lit(c2)
+    }
+    val dist2 = array_min(array(keyCols: _*)) +
+      Similarity.dot(col(vec), col(vec))
+    val per = vecs.select(
+        Similarity.ivfAssign(col(vec), cents).cast("long").as("cluster"),
+        dist2.as("dist2"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("dist2")), 6).as("avg_dist2"))
+    per.join(broadcast(margins), Seq("cluster"))
+      .select(col("cluster"), col("n_docs"), col("avg_dist2"),
+        col("min_margin"))
+  }
 }

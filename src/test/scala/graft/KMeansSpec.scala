@@ -74,6 +74,32 @@ class KMeansSpec extends AnyFunSuite {
     assert(byCl(2L) === Set(0L, 2L))
   }
 
+  test("k02 quality report: covers every doc once, distances " +
+       "non-negative, margins positive, tight toy geometry is exact") {
+    import spark.implicits._
+    val vecs = docVecs.persist()
+    val (cents, _) = KMeans.fit(vecs, "doc_id", "embedding", k = 8,
+      iters = 2)
+    val rep = KMeans.qualityReport(vecs, "doc_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rep.nonEmpty && rep.length <= 8)
+    assert(rep.map(_._2).sum === vecs.count())
+    assert(rep.forall(_._3 >= -1e-6), "mean squared distance negative")
+    assert(rep.forall(_._4 > 0.0),
+      "identical centroids should have been impossible after the fit")
+    vecs.unpersist()
+    // toy geometry: two singleton clusters at distance 5 -> avg_dist2 0,
+    // margin 25 for both
+    val toy = Seq((0L, Array(0.0, 0.0)), (1L, Array(3.0, 4.0)))
+      .toDF("id", "v")
+    val (c2, _) = KMeans.fit(toy, "id", "v", k = 2, iters = 1)
+    val r2 = KMeans.qualityReport(toy, "id", "v", c2)
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(r2.toSeq === Seq((0L, 1L, 0.0, 25.0), (1L, 1L, 0.0, 25.0)))
+  }
+
   test("k01 plan: the assignment pass is map-side (no join, no shuffle " +
        "before the mean agg); the mean agg output is k*dim cells") {
     // assign over a MATERIALIZED vector frame (the fit-loop situation:
