@@ -849,6 +849,57 @@ object OracleSql {
     * phase sums exactly two addends (commutative), the threshold
     * compare uses the same double literals, and the hash doubles are
     * exact quotients of 60-bit integers by 2⁶⁰. */
+  /** o03f: successiveHalving's rung/promotion arithmetic over the
+    * "o03"-tagged md5 pseudo-fitness. The rung structure is a pure
+    * function of the literal grid (12 configs, 9 seeds, η=3 → rungs of
+    * budget 1/3/5 keeping 12→4→2), so the replay is three chained CTE
+    * stages; every cumulative sum is an ORDERED-list fold in seed
+    * order, matching the driver's seed-sorted Vector sum bit-for-bit. */
+  private def o03fSql: String = {
+    val configs = (for { nb <- Seq(5, 8, 10, 15); sm <- Seq(0.0, 0.2, 0.5) }
+      yield (nb, sm)).zipWithIndex
+      .map { case ((nb, sm), i) =>
+        s"($i, $nb, CAST($sm AS DOUBLE), ${math.round(sm * 10)})" }
+      .mkString(", ")
+    s"""WITH configs(config_id, n_bins, smooth, sm_key) AS (VALUES $configs),
+       |seeds(seed) AS (VALUES ${(1 to 9).mkString("(", "), (", ")")}),
+       |scores AS (
+       |  SELECT c.config_id, c.n_bins, c.smooth, s.seed,
+       |    ${h64Sql("c.n_bins || '|' || c.sm_key || '|' || s.seed", "'o03'")}
+       |      / 1152921504606846976.0 AS score
+       |  FROM configs c CROSS JOIN seeds s),
+       |r0 AS (SELECT config_id, n_bins, smooth, score AS s1
+       |       FROM scores WHERE seed = 1),
+       |k0 AS (SELECT config_id,
+       |         row_number() OVER (ORDER BY s1, config_id) AS rk FROM r0),
+       |a1 AS (SELECT config_id FROM k0 WHERE rk <= 4),
+       |r1 AS (SELECT sc.config_id,
+       |         list_aggregate(list(sc.score ORDER BY sc.seed), 'sum') AS s4
+       |       FROM scores sc JOIN a1 USING (config_id) WHERE sc.seed <= 4
+       |       GROUP BY sc.config_id),
+       |k1 AS (SELECT config_id,
+       |         row_number() OVER (ORDER BY s4 / 4.0, config_id) AS rk FROM r1),
+       |a2 AS (SELECT config_id FROM k1 WHERE rk <= 2),
+       |r2 AS (SELECT sc.config_id,
+       |         list_aggregate(list(sc.score ORDER BY sc.seed), 'sum') AS s9
+       |       FROM scores sc JOIN a2 USING (config_id)
+       |       GROUP BY sc.config_id),
+       |fin AS (
+       |  SELECT r0.config_id, r0.n_bins, r0.smooth,
+       |    CASE WHEN r2.config_id IS NOT NULL THEN r2.s9 / 9.0
+       |         WHEN r1.config_id IS NOT NULL THEN r1.s4 / 4.0
+       |         ELSE r0.s1 END AS avg_raw,
+       |    CASE WHEN r2.config_id IS NOT NULL THEN 9
+       |         WHEN r1.config_id IS NOT NULL THEN 4 ELSE 1 END AS ns,
+       |    CASE WHEN r2.config_id IS NOT NULL THEN 2
+       |         WHEN r1.config_id IS NOT NULL THEN 1 ELSE 0 END AS rr
+       |  FROM r0 LEFT JOIN r1 USING (config_id)
+       |  LEFT JOIN r2 USING (config_id))
+       |SELECT config_id, n_bins, smooth, round(avg_raw, 6) AS avg_score,
+       |  ns::BIGINT AS n_seeds, rr::BIGINT AS rung_reached
+       |FROM fin ORDER BY avg_score, config_id""".stripMargin
+  }
+
   private def o02fSql: String = {
     val nBinsChoices = Seq(5, 8, 10, 15)
     val smoothChoices = Seq(0.0, 0.2, 0.5)
@@ -4427,6 +4478,8 @@ object OracleSql {
     // arithmetic over the deterministic md5 pseudo-fitness (the o01f
     // fitness witnesses cannot see this driver-side logic)
     "o02f_grid_earlystop_core" -> o02fSql,
+
+    "o03f_successive_halving_core" -> o03fSql,
 
     // §2.12 PER-SERIES sweep fitness: the o01f replay keyed by sid —
     // per-series fit/walk/score, every series' LCG advancing in the

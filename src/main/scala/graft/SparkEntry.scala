@@ -910,6 +910,36 @@ object SparkEntry {
     //    deterministic md5-derived pseudo-fitness both engines compute
     //    identically — the one piece of o02 the o01f/o01b fitness
     //    witnesses cannot see (it is pure driver arithmetic) ──────────
+    // ── o03: successive halving (ASHA-style) — geometric seed budgets,
+    //    top-1/η promotion per rung; full run over the real fitness is
+    //    rows-only like o01/o02, with o03f hash-gating the selection ────
+    "o03_successive_halving" -> ((s, dir) => {
+      val rets = logret(s, dir).filter(col("ret").isNotNull)
+        .orderBy(col("ts"), col("event_id")).limit(5000)
+        .select(col("ret")).collect().map(_.getDouble(0))
+      graft.opt.SweepOptimizer.successiveHalving(s, rets,
+        nBinsChoices = Seq(5, 8, 10, 15), smoothChoices = Seq(0.0, 0.2, 0.5),
+        seeds = (1L to 9L), genN = 500, eta = 3)
+        .select(col("config_id"), col("n_bins"), col("smooth"),
+          round(col("avg_score"), 6).as("avg_score"), col("n_seeds"),
+          col("rung_reached"))
+        .orderBy(col("avg_score"), col("config_id"))
+    }),
+
+    // ── o03f: the rung/promotion arithmetic replayed over the md5
+    //    pseudo-fitness (tag "o03") — every cumulative mean folds in
+    //    seed order on both engines ─────────────────────────────────────
+    "o03f_successive_halving_core" -> ((s, dir) => {
+      graft.opt.SweepOptimizer.successiveHalving(s, Array.empty[Double],
+        nBinsChoices = Seq(5, 8, 10, 15), smoothChoices = Seq(0.0, 0.2, 0.5),
+        seeds = (1L to 9L), genN = 0, eta = 3,
+        score = graft.opt.SweepOptimizer.witnessScoreTagged("o03"))
+        .select(col("config_id"), col("n_bins"), col("smooth"),
+          round(col("avg_score"), 6).as("avg_score"), col("n_seeds"),
+          col("rung_reached"))
+        .orderBy(col("avg_score"), col("config_id"))
+    }),
+
     "o02f_grid_earlystop_core" -> ((s, dir) => {
       graft.opt.SweepOptimizer.gridSearchEarlyStop(s, Array.empty[Double],
         nBinsChoices = Seq(5, 8, 10, 15), smoothChoices = Seq(0.0, 0.2, 0.5),

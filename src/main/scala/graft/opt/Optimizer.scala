@@ -294,6 +294,72 @@ object SweepOptimizer {
       .orderBy(col("avg_score"), col("config_id"))
   }
 
+  /** Successive halving / ASHA-style sweep (beyond reference, o03):
+    * the remaining classic budgeted-search shape after o01's random
+    * sweep and o02's grid + early seed-stop. Every config starts at a
+    * 1-seed budget; each rung keeps the top ⌈alive/η⌉ by cumulative
+    * mean (ties → smaller config id) and multiplies the next rung's
+    * fresh-seed budget by η, until the seed list is exhausted — cheap
+    * configs die on one seed, promising ones earn geometric budget.
+    *
+    * Determinism contract (the o02 conventions): each rung's
+    * evaluation is ONE Spark job over (alive × fresh seeds) with the
+    * broadcast real series; per-config scores collect (driver state =
+    * |configs|·|seeds| doubles, the user's grid — never data-sized) and
+    * every cumulative sum folds IN SEED ORDER on the driver, so the
+    * promotion compares see bit-identical doubles on any engine or
+    * partitioning — the o03f oracle replays rungs as chained CTEs with
+    * ordered-list folds. Output rows order by (r6 mean, config id). */
+  def successiveHalving(spark: SparkSession, realReturns: Array[Double],
+                        nBinsChoices: Seq[Int], smoothChoices: Seq[Double],
+                        seeds: Seq[Long], genN: Int, eta: Int = 3,
+                        score: (Array[Double], Int, Double, Int, Long) => Double
+                          = LocalFitness.grasyndaScore): DataFrame = {
+    import spark.implicits._
+    require(eta >= 2, "eta must be at least 2")
+    val configs = (for { nb <- nBinsChoices; sm <- smoothChoices }
+      yield (nb, sm)).zipWithIndex.map { case ((nb, sm), i) => (i, nb, sm) }
+    val bc = spark.sparkContext.broadcast(realReturns)
+    def run(tasks: Seq[(Int, Int, Double, Long)]): Array[(Int, Long, Double)] =
+      tasks.toDF("config_id", "n_bins", "smooth", "seed")
+        .repartition(math.min(math.max(tasks.size, 1), 64))
+        .as[(Int, Int, Double, Long)]
+        .map { case (id, nb, sm, s) => (id, s, score(bc.value, nb, sm, genN, s)) }
+        .collect()
+    var alive = configs
+    var cum = Map.empty[Int, Vector[(Long, Double)]]
+    var consumed = 0
+    var budget = 1
+    var rung = 0
+    val rungReached = scala.collection.mutable.Map.empty[Int, Int]
+    while (alive.nonEmpty && consumed < seeds.size) {
+      val rungSeeds = seeds.slice(consumed,
+        math.min(consumed + budget, seeds.size))
+      val scores = run(for { (id, nb, sm) <- alive; s <- rungSeeds }
+        yield (id, nb, sm, s))
+      for ((id, s, sc) <- scores)
+        cum = cum.updated(id, cum.getOrElse(id, Vector.empty) :+ (s, sc))
+      consumed += rungSeeds.size
+      alive.foreach { case (id, _, _) => rungReached(id) = rung }
+      if (consumed < seeds.size) {
+        val ranked = alive.map { case c @ (id, _, _) =>
+          val xs = cum(id).sortBy(_._1).map(_._2)
+          (xs.sum / xs.size, id, c)
+        }.sortBy { case (m, id, _) => (m, id) }
+        alive = ranked.take(
+          math.ceil(alive.size.toDouble / eta).toInt).map(_._3)
+      }
+      budget *= eta
+      rung += 1
+    }
+    configs.map { case (id, nb, sm) =>
+      val xs = cum(id).sortBy(_._1).map(_._2)
+      (id, nb, sm, xs.sum / xs.size, xs.size.toLong,
+        rungReached(id).toLong)
+    }.toDF("config_id", "n_bins", "smooth", "avg_score", "n_seeds",
+        "rung_reached")
+  }
+
   /** Deterministic pseudo-fitness for the o02f WITNESS query: the first
     * 15 hex chars of md5("o02|nBins|round(smooth·10)|seed") as a
     * base-16 long, scaled to [0, 1) by 2⁶⁰ — the engine's portable-hash
@@ -306,8 +372,16 @@ object SweepOptimizer {
     * see. Smooth is keyed as round(·10) so both engines format the
     * grid's one-decimal values identically. */
   def witnessScore(real: Array[Double], nBins: Int, smooth: Double,
-                   genN: Int, seed: Long): Double = {
-    val key = s"o02|$nBins|${math.round(smooth * 10)}|$seed"
+                   genN: Int, seed: Long): Double =
+    witnessScoreTagged("o02")(real, nBins, smooth, genN, seed)
+
+  /** [[witnessScore]] with a caller-chosen md5 key tag — o03f uses
+    * "o03" so its pseudo-fitness stream is independent of o02f's while
+    * sharing the same portable construction. */
+  def witnessScoreTagged(tag: String)(
+      real: Array[Double], nBins: Int, smooth: Double,
+      genN: Int, seed: Long): Double = {
+    val key = s"$tag|$nBins|${math.round(smooth * 10)}|$seed"
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(key.getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString

@@ -253,6 +253,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("successive halving: geometric seed budgets (1/4/9), 12->4->2 " +
+       "promotion, survivors rank best, deterministic") {
+    val grid = SweepOptimizer.successiveHalving(spark, Array.empty[Double],
+      nBinsChoices = Seq(5, 8, 10, 15), smoothChoices = Seq(0.0, 0.2, 0.5),
+      seeds = (1L to 9L), genN = 0, eta = 3,
+      score = SweepOptimizer.witnessScoreTagged("spec"))
+    val rows = grid.collect().map(r => (r.getInt(0), r.getDouble(3),
+      r.getLong(4), r.getLong(5)))
+    assert(rows.length === 12, "every config reports a row")
+    // rung census: 8 die at rung 0 (1 seed), 2 at rung 1 (4 seeds),
+    // 2 finish rung 2 (all 9 seeds)
+    val byRung = rows.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(byRung === Map(0L -> 8, 1L -> 2, 2L -> 2), byRung.toString)
+    assert(rows.forall { case (_, _, n, r) =>
+      (r == 0L && n == 1L) || (r == 1L && n == 4L) || (r == 2L && n == 9L) })
+    // promotion is by cumulative mean: every rung-1+ config's 1-seed
+    // score beat every rung-0 config's (the rung-0 ranking decided it)
+    val s1 = rows.map { case (id, _, _, _) =>
+      id -> SweepOptimizer.witnessScoreTagged("spec")(
+        Array.empty, Seq(5, 8, 10, 15)((id / 3)),
+        Seq(0.0, 0.2, 0.5)(id % 3), 0, 1L)
+    }.toMap
+    val promoted = rows.filter(_._4 >= 1L).map(_._1)
+    val died0 = rows.filter(_._4 == 0L).map(_._1)
+    assert(promoted.map(s1).max <= died0.map(s1).min + 1e-15,
+      "promotion must follow the rung-0 ranking")
+    // determinism
+    val again = SweepOptimizer.successiveHalving(spark, Array.empty[Double],
+      nBinsChoices = Seq(5, 8, 10, 15), smoothChoices = Seq(0.0, 0.2, 0.5),
+      seeds = (1L to 9L), genN = 0, eta = 3,
+      score = SweepOptimizer.witnessScoreTagged("spec")).collect()
+    assert(grid.collect().map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("tournament GA improves or matches random init, honors patience") {
     val rnd = new scala.util.Random(6)
     // AR(1)-ish returns so autocorr matters

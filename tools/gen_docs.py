@@ -153,6 +153,12 @@ of {local[3]} queries.
                 "o02f (probe-mean / margin-survivor / finish-phase selection "
                 "arithmetic replayed over md5-derived pseudo-fitness), "
                 "o01f/o01b (the shared fitness core), o01d (config draw)"),
+            "o03_successive_halving": (
+                "ASHA-style successive halving over the same seeded full "
+                "generator runs as o01/o02 — inherits the same exemption",
+                "o03f (rung/promotion arithmetic replayed over 'o03'-tagged "
+                "md5 pseudo-fitness with seed-ordered folds), o01f/o01b "
+                "(the shared fitness core)"),
             "q30_distribution_eval": (
                 "full metric record embeds the maxlag-20 AIC-selected ADF "
                 "(21 sequential 22-regressor OLS solves — no closed SQL form; "
