@@ -565,6 +565,17 @@ class TextLmPackSpec extends AnyFunSuite {
     assert(t === again)
   }
 
+  test("t19/t21/t22 pass an empty corpus through as empty output " +
+       "(no null-stats crash)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.bm25TopK(empty, "doc_id", "text").count() === 0L)
+    assert(TextOps.crossDupRatio(empty, "doc_id", "text").count() === 0L)
+    assert(TextOps.tokenSpectrum(empty, "doc_id", "text").count() === 0L)
+    assert(graft.core.ScaleOps.shardShuffle(empty, "doc_id", 3, 8)
+      .count() === 0L)
+  }
+
   test("t22 token spectrum: exact power-of-two banding (boundaries " +
        "included), hapax band, token mass conserved") {
     import spark.implicits._
