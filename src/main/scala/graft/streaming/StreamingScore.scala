@@ -254,6 +254,40 @@ object StreamingScore {
         corpusTf, corpusStats, id, qterms, k))
     }
 
+  /** Streaming a12 twin — shuffled-shard INGEST: each arriving doc is
+    * hash-assigned its shard exactly like the batch op (pure map-side,
+    * identical to [[graft.core.ScaleOps.shardShuffle]]), and takes the
+    * next position in that shard via ONE long of GroupState per shard.
+    * Arrival order is semantic for `pos` (the [[StreamingPack]]
+    * contract: a stream cannot know the batch op's global (hash, id)
+    * rank without unbounded state), so the batch-agreement contract is:
+    * identical shard ASSIGNMENT, dense 1..n positions per shard, and
+    * identical per-shard counts. Within a micro-batch, rows are
+    * position-ordered by (hash, id) — so a single-batch stream equals
+    * the batch op exactly. */
+  def shardIngest(docs: DataFrame, id: String, salt: Int,
+                  nShards: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val h = graft.text.Dedup.h64(col(id).cast("string"), salt)
+    docs.select(col(id).cast("long").as("_id"), h.as("_h"),
+        pmod(h, lit(nShards.toLong)).cast("int").as("_s"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Long, (Long, Int, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[(Long, Long, Int)],
+         state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toIndexedSeq.sortBy { case (i, hh, _) => (hh, i) }
+            .map { case (docId, _, _) => n += 1; (docId, shard, n) }
+          state.update(n)
+          out.iterator
+      }
+      .toDF(id, "shard", "pos")
+  }
+
   def documentsStream(spark: org.apache.spark.sql.SparkSession,
                       dir: String): DataFrame =
     StreamingPack.documentsStream(spark, dir)

@@ -565,6 +565,45 @@ class TextLmPackSpec extends AnyFunSuite {
     assert(t === again)
   }
 
+  test("streaming shard ingest (a12 twin): identical shard assignment, " +
+       "dense per-shard positions across micro-batches; single-batch " +
+       "stream equals the batch op exactly") {
+    val (docs, stream) = docsIn4Batches()
+    val batch = graft.core.ScaleOps.shardShuffle(docs, "doc_id", 31, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    val batchShards = batch.map(r => r._1 -> r._2).toMap
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val w = graft.streaming.StreamingScore
+      .shardIngest(stream, "doc_id", 31, 8)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized { buf ++= b.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))) }
+        ()
+      }
+    runFilter(w)
+    assert(buf.map(_._1).toSet === batchShards.keySet)
+    assert(buf.forall { case (id, sh, _) => batchShards(id) == sh },
+      "streamed shard assignment must equal the batch hash assignment")
+    for ((sh, g) <- buf.groupBy(_._2))
+      assert(g.map(_._3).sorted.toSeq === (1L to g.length.toLong),
+        s"shard $sh positions not dense")
+    // one micro-batch == the batch op bit-for-bit
+    val tmp = java.nio.file.Files.createTempDirectory("graftshard1").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val one = spark.readStream.schema(docs.schema).parquet(tmp)
+    val buf1 = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    runFilter(graft.streaming.StreamingScore
+      .shardIngest(one, "doc_id", 31, 8)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf1.synchronized { buf1 ++= b.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))) }
+        ()
+      })
+    assert(buf1.map(t => (t._1, t._2, t._3.toInt)).toSet === batch.toSet)
+  }
+
   test("t19/t21/t22 pass an empty corpus through as empty output " +
        "(no null-stats crash)") {
     import spark.implicits._
