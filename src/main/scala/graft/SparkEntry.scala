@@ -488,8 +488,12 @@ object SparkEntry {
     //    mean squared distance to own centroid (the argmin key reused
     //    as the value), squared margin to the nearest other centroid ───
     "k02_cluster_quality" -> ((s, dir) => {
+      // materialize the embedding lineage ONCE: fit checkpoints its own
+      // copy internally, but the report's assign+distance pass would
+      // otherwise rebuild the doc-keyed embedding shuffle (3.3 -> ~1.3 s)
       val vecs = graft.text.TextOps
         .hashEmbedVectors(docs(s, dir), "doc_id", "text")
+        .localCheckpoint()
       val (cents, _) = graft.sim.KMeans.fit(vecs, "doc_id", "embedding",
         k = 8, iters = 2)
       graft.sim.KMeans.qualityReport(vecs, "doc_id", "embedding", cents)
