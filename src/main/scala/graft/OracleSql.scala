@@ -3630,6 +3630,37 @@ object OracleSql {
     // est_jaccard = agreeing slots / 64 (exact k/64 rationals)
     "d01_minhash_lsh" -> s"$d01PairsSql\nORDER BY id_a, id_b",
 
+    // PageRank over the d01 pair graph (p01): 2 power iterations, rank
+    // r6-rounded per update (the k01 pattern — both engines re-enter
+    // each iteration on identical doubles; per-node contribution sums
+    // are unordered, r6 absorbs the fold-order ulp)
+    "p01_pagerank" -> {
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (__PAIRS__) p0),
+        |edges AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs) e),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |pr0 AS (SELECT id, round(1.0 / nn.n, 6) AS pr
+        |        FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS id, sum(p.pr / d.deg) AS cs
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN pr0 p ON p.id = e.src GROUP BY e.dst),
+        |pr1 AS (SELECT nodes.id,
+        |          round((1.0 - 0.85) / nn.n + 0.85 * coalesce(c1.cs, 0.0), 6) AS pr
+        |        FROM nodes LEFT JOIN c1 USING (id) CROSS JOIN nn),
+        |c2 AS (SELECT e.dst AS id, sum(p.pr / d.deg) AS cs
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |       JOIN pr1 p ON p.id = e.src GROUP BY e.dst),
+        |pr2 AS (SELECT nodes.id,
+        |          round((1.0 - 0.85) / nn.n + 0.85 * coalesce(c2.cs, 0.0), 6) AS pr
+        |        FROM nodes LEFT JOIN c2 USING (id) CROSS JOIN nn)
+        |SELECT id AS doc_id, pr FROM pr2 ORDER BY doc_id""".stripMargin
+        .replace("__PAIRS__", d01PairsSql)
+    },
+
     // Dedup clusters: the d01 pair list closed into connected components
     // (recursive reachability fixpoint, min id per component — the exact
     // fixpoint the Spark min-label propagation converges to)

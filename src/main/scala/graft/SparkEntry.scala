@@ -413,6 +413,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── p01: PageRank over the d01 near-dup similarity graph — graph
+    //    centrality for canonical-copy election / boilerplate-hub
+    //    detection; 2 power iterations, rank r6-rounded per update ──────
+    "p01_pagerank" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        k = 5, numPerm = 64, bands = 16, threshold = 0.5)
+      Dedup.pageRank(pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Decontamination: 8-gram overlap between the even-doc "train"
     //    corpus and the odd-doc "benchmark" set — inverted-index join
     //    keyed on the gram (the q21 shape), thresholded ─────────────────

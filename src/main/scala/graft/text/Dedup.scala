@@ -362,6 +362,48 @@ object Dedup {
     * corpus), the closure is [[connectedComponents]]' O(log n)
     * pointer-jumping, and the election is ONE keyed window over the
     * docs — cluster sizes bound the window groups, nothing pairwise. */
+  /** PageRank over an undirected pair graph (beyond reference, p01):
+    * graph centrality on the near-dup similarity graph — the signal
+    * behind "canonical copy = the most-connected one" election and
+    * boilerplate-hub detection (a license block's doc sits at the
+    * center of a dense star and outranks its satellites). Fixed
+    * `iters` power iterations with the rank ROUNDED to 6 decimals per
+    * update, the k01 determinism pattern: both engines re-enter every
+    * iteration on identical doubles (per-node contribution sums are
+    * unordered; r6 absorbs the fold-order ulp), so the DuckDB oracle
+    * replays the iterations as chained CTEs.
+    *
+    * Scale shape: the canonical distributed PageRank — the edge list
+    * (materialized ONCE) re-keys by destination each iteration (one
+    * join + one sum-agg per round, both map-side combinable), degrees
+    * are one keyed count, and no graph state ever touches the driver.
+    * Nodes outside any pair are absent by construction (every node of
+    * an undirected pair graph has degree ≥ 1 — no dangling-mass
+    * term). */
+  def pageRank(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               iters: Int = 2, damping: Double = 0.85): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val nDf = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
+    var pr = nodes.crossJoin(nDf)
+      .select(col("id"), round(lit(1.0) / col("n"), 6).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(deg, "src")
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("cs"))
+      pr = nodes.join(contrib, Seq("id"), "left").crossJoin(nDf)
+        .select(col("id"),
+          round((lit(1.0) - lit(damping)) / col("n") +
+            lit(damping) * coalesce(col("cs"), lit(0.0)), 6).as("pr"))
+    }
+    pr
+  }
+
   def dedupKeepBest(df: DataFrame, id: String, pairs: DataFrame,
                     score: DataFrame, scoreCol: String = "q"): DataFrame = {
     val comp = connectedComponents(pairs)

@@ -1053,4 +1053,31 @@ class DedupSimSpec extends AnyFunSuite {
     assert(fp(1L) === fp(2L))
     assert(fp(1L) !== fp(4L))
   }
+
+  test("pageRank (p01): star center outranks leaves with the exact " +
+       "hand-computed r6 values, mass conserved, deterministic") {
+    val s = spark
+    import s.implicits._
+    // star 1-{2,3,4}, d=0.85, 2 iterations, r6 per update:
+    // pr0 = 0.25; it1: center 0.0375+0.85*0.75 = 0.675,
+    // leaf 0.0375+0.85*(0.25/3) = 0.108333; it2: center
+    // 0.0375+0.85*3*0.108333 = 0.313749, leaf 0.0375+0.85*0.225 = 0.22875
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val pr = graft.text.Dedup.pageRank(pairs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr === Map(1L -> 0.313749, 2L -> 0.22875, 3L -> 0.22875,
+      4L -> 0.22875))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-5,
+      "undirected graph has no dangling mass; totals stay ~1")
+    // symmetric path 5-6-7: ends equal, middle highest
+    val path = Seq((5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
+    val p2 = graft.text.Dedup.pageRank(path)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p2(5L) === p2(7L))
+    assert(p2(6L) > p2(5L))
+    // determinism under repartition
+    val again = graft.text.Dedup.pageRank(pairs.repartition(5))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === pr)
+  }
 }
