@@ -5471,6 +5471,19 @@ object OracleSql {
         .replace("BUCKET", b)
     },
 
+    // weighted sample without replacement (a13): A-ES keys ln(u)/w,
+    // u = (h64+1)/2^60 (exact power-of-two scaling), r12 on the key so
+    // cross-libm ln ulp cannot flip a rank; top-100 by (key desc, id)
+    "a13_weighted_sample" -> {
+      val h = h64Sql("doc_id::VARCHAR", "'37'")
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |    round(ln(($h + 1)::DOUBLE / 1152921504606846976.0)
+         |      / greatest(n_chars, 1)::DOUBLE, 12) AS sample_key
+         |  FROM documents)
+         |SELECT doc_id, n_chars, sample_key FROM t
+         |ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin
+    },
+
     // shard shuffle (a12): shard = h64 mod 8, pos = per-shard rank on
     // (h, doc_id) — the same portable md5-derived hash as a03/a04
     "a12_shard_shuffle" -> {

@@ -1671,6 +1671,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── a13: weighted sample without replacement (Efraimidis–Spirakis)
+    //    — 100 docs with prob ∝ n_chars; ln(u)/w keys r12-rounded so
+    //    cross-libm ln ulp cannot flip a rank ───────────────────────────
+    "a13_weighted_sample" -> ((s, dir) => {
+      graft.core.ScaleOps.weightedSampleN(docs(s, dir), "doc_id",
+          greatest(col("n_chars"), lit(1L)).cast("double"), n = 100,
+          salt = 37)
+        .select(col("doc_id"), col("n_chars"), col("sample_key"))
+        .orderBy(col("sample_key").desc, col("doc_id"))
+    }),
+
     // ── a12: deterministic shard shuffle — the training-order
     //    permutation as (shard, pos) from the salted portable hash;
     //    per-SHARD windows only, never a global sort ────────────────────

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -122,6 +122,31 @@ object ScaleOps {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("_h"), col(id))))
       .drop("_h")
+  }
+
+  /** Deterministic weighted sample WITHOUT replacement (beyond
+    * reference, a13): Efraimidis–Spirakis A-ES — each row's key is
+    * u^(1/w) with u its salted portable-hash uniform draw, and the n
+    * LARGEST keys are the sample, which selects without replacement
+    * with probability proportional to weight. Ranked on ln(u)/w (the
+    * same order as u^(1/w), one libm call instead of pow) ROUNDED to
+    * 12 decimals so the one-ulp cross-libm ln skew cannot flip a rank
+    * (ties then break on id identically everywhere). u = (h+1)/2⁶⁰ is
+    * an exact power-of-two scaling of the 60-bit hash, in (0, 1] so
+    * ln never sees 0. Deterministic under rerun/repartition; re-salt
+    * re-draws.
+    *
+    * Scale shape: one map-side key projection + a global ordered
+    * limit, which plans as TakeOrderedAndProject (per-partition top-n,
+    * bounded merge — the a09 contract); n is driver-bounded by
+    * definition. Weights must be strictly positive. */
+  def weightedSampleN(df: DataFrame, id: String, weight: Column, n: Int,
+                      salt: Int): DataFrame = {
+    val u = (graft.text.Dedup.h64(col(id).cast("string"), salt) + lit(1L))
+      .cast("double") / lit(1152921504606846976.0)
+    df.withColumn("sample_key", round(log(u) / weight, 12))
+      .orderBy(col("sample_key").desc, col(id).asc)
+      .limit(n)
   }
 
   /** Mixture rebalancing sample (beyond reference): deterministically

@@ -158,6 +158,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("zz"))
   }
 
+  test("weighted sample without replacement: heavy rows dominate the " +
+       "sample, exact n, no duplicates, deterministic, TakeOrdered plan") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    // 100 rows at weight 100 vs 900 at weight 1: heavy rows carry ~92%
+    // of the total mass, so a 200-row A-ES sample should contain nearly
+    // all of them
+    val df = ((0L until 100L).map(i => (i, 100.0)) ++
+      (100L until 1000L).map(i => (i, 1.0))).toDF("id", "w")
+    val out = graft.core.ScaleOps.weightedSampleN(df, "id", col("w"),
+      n = 200, salt = 11)
+    val ids = out.select("id").collect().map(_.getLong(0))
+    assert(ids.length === 200)
+    assert(ids.distinct.length === 200, "without replacement")
+    val nHeavy = ids.count(_ < 100L)
+    assert(nHeavy >= 85, s"only $nHeavy/100 heavy rows sampled")
+    // deterministic under repartition; re-salt re-draws
+    val again = graft.core.ScaleOps.weightedSampleN(df.repartition(7),
+      "id", col("w"), n = 200, salt = 11)
+      .select("id").collect().map(_.getLong(0))
+    assert(again.toSeq === ids.toSeq)
+    val resalt = graft.core.ScaleOps.weightedSampleN(df, "id", col("w"),
+      n = 200, salt = 12).select("id").collect().map(_.getLong(0))
+    assert(resalt.toSet !== ids.toSet)
+    // the global ordered limit must plan as TakeOrderedAndProject
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      plan.linesIterator.take(6).mkString("\n"))
+  }
+
   test("shard shuffle: bijective (shard,pos) cover, dense per-shard " +
        "positions, append-stable shards, never a single-partition sort") {
     val s = SparkSpec.spark
