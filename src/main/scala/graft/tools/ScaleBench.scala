@@ -132,7 +132,8 @@ object ScaleBench {
     "s05_ivfpq_indexed", "t17_topic_assign", "a10_topic_mixture",
     "t18_corpus_report", "t19_bm25_topk", "t21_dup_ratio",
     "k01_kmeans_fit", "a11_temperature_mixture", "a12_shard_shuffle",
-    "t22_token_spectrum")
+    "t22_token_spectrum", "k02_cluster_quality", "p01_pagerank",
+    "a13_weighted_sample")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
