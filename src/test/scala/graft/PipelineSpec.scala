@@ -728,6 +728,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(perDoc.forall(r => expected(r.getLong(0)) == r.getLong(2)))
   }
 
+  test("CLI curate: seeded random flag combinations run end-to-end " +
+       "with a monotone funnel (flag-interaction robustness)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftfuzz").toString
+    graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text", "source").limit(60)
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 4) {
+      val flags = scala.collection.mutable.Map(
+        "mode" -> "curate",
+        "input_docs" -> s"$dir/docs",
+        "near_threshold" -> Seq("0.3", "0.7", "1.5")(rnd.nextInt(3)),
+        "chunk_window" -> "200", "chunk_stride" -> "150",
+        "output" -> s"$dir/out$trial",
+        "metrics_out" -> s"$dir/funnel$trial.json")
+      if (rnd.nextBoolean()) flags += "semantic_threshold" -> "0.9"
+      if (rnd.nextBoolean()) flags += "gopher_min_stop" -> "1"
+      if (rnd.nextBoolean()) flags += "max_dup_ratio" -> "0.9"
+      if (rnd.nextBoolean()) flags += "langs" -> "en,es,zh"
+      if (rnd.nextBoolean()) flags += "min_tokens" -> "5"
+      if (rnd.nextBoolean()) flags += "assign_topics" -> "true"
+      if (rnd.nextBoolean()) flags += "train_topics" -> "4"
+      if (rnd.nextBoolean()) flags += "pack_budget" -> "128"
+      if (rnd.nextBoolean()) flags += "keep_best" -> "true"
+      Cli.run(spark, GraftConfig.defaults ++ flags.toMap)
+      val funnel = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/funnel$trial.json")), "UTF-8")
+      // doc-stage funnel counts must be non-increasing through the
+      // cascade (chunking may then expand)
+      val stages = Seq("n_input", "n_after_exact_dedup",
+        "n_after_near_dedup", "n_after_quality", "n_after_gopher_rules",
+        "n_after_lang_filter", "n_after_lm_filter",
+        "n_after_quality_classifier", "n_after_decontaminate")
+      val counts = stages.map { k =>
+        val m = ("\"" + k + "\": (\\d+)").r.findFirstMatchIn(funnel)
+        assert(m.isDefined, s"trial $trial funnel missing $k:\n$funnel")
+        m.get.group(1).toLong
+      }
+      assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+        s"trial $trial funnel not monotone: ${stages.zip(counts)}")
+      assert(counts.head === 60L)
+    }
+  }
+
   test("CLI curate --max_dup_ratio: boilerplate-built docs are gated, " +
        "unique docs survive; without the flag nothing is dropped") {
     val s = spark
