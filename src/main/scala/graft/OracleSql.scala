@@ -900,6 +900,42 @@ object OracleSql {
        |FROM fin ORDER BY avg_score, config_id""".stripMargin
   }
 
+  /** t19/t20 shared oracle: BM25 top-5 per query, Lucene idf
+    * ln(1+(N−df+.5)/(df+.5)), k1=1.2 b=0.75 — query-term VALUES from
+    * the same TextOps.Bm25Queries Seq, every double op in the same
+    * order (libm-ulp absorbed by round 6; rank ties by doc_id). */
+  private lazy val t19Sql: String = {
+    val qvals = graft.text.TextOps.Bm25Queries.flatMap { case (qid, qt) =>
+      qt.split(" ").filter(_.nonEmpty).distinct
+        .map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH q(query_id, token) AS (VALUES $qvals),
+       |dlt AS (SELECT doc_id,
+       |          len(regexp_extract_all(text, '[^ ]+'))::BIGINT AS dl
+       |        FROM documents),
+       |st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dlt),
+       |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+       |         FROM documents),
+       |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks
+       |       WHERE token <> '' GROUP BY 1, 2),
+       |dfq AS (SELECT token, count(*)::BIGINT AS df
+       |        FROM tf JOIN (SELECT DISTINCT token FROM q) qt USING (token)
+       |        GROUP BY 1),
+       |s AS (SELECT q.query_id, tf.doc_id,
+       |        ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+       |          * tf.tf * (1.2 + 1.0)
+       |          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlt.dl / st.avgdl))
+       |          AS part
+       |      FROM tf JOIN dfq USING (token) JOIN q USING (token)
+       |      JOIN dlt USING (doc_id) CROSS JOIN st),
+       |g AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_hit,
+       |        round(sum(part), 6) AS score FROM s GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id) AS rk FROM g)
+       |SELECT query_id, doc_id, n_hit, score, rk::INT AS rk
+       |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
   private def o02fSql: String = {
     val nBinsChoices = Seq(5, 8, 10, 15)
     val smoothChoices = Seq(0.0, 0.2, 0.5)
@@ -3165,37 +3201,14 @@ object OracleSql {
     // TextOps.Bm25Queries Seq the Spark side scores, and every double
     // op is written in the same order (libm-ulp absorbed by round 6;
     // rank ties broken by doc_id)
-    "t19_bm25_topk" -> {
-      val qvals = graft.text.TextOps.Bm25Queries.flatMap { case (qid, qt) =>
-        qt.split(" ").filter(_.nonEmpty).distinct
-          .map(t => s"($qid, '$t')")
-      }.mkString(", ")
-      s"""WITH q(query_id, token) AS (VALUES $qvals),
-         |dlt AS (SELECT doc_id,
-         |          len(regexp_extract_all(text, '[^ ]+'))::BIGINT AS dl
-         |        FROM documents),
-         |st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dlt),
-         |toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
-         |         FROM documents),
-         |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks
-         |       WHERE token <> '' GROUP BY 1, 2),
-         |dfq AS (SELECT token, count(*)::BIGINT AS df
-         |        FROM tf JOIN (SELECT DISTINCT token FROM q) qt USING (token)
-         |        GROUP BY 1),
-         |s AS (SELECT q.query_id, tf.doc_id,
-         |        ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
-         |          * tf.tf * (1.2 + 1.0)
-         |          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlt.dl / st.avgdl))
-         |          AS part
-         |      FROM tf JOIN dfq USING (token) JOIN q USING (token)
-         |      JOIN dlt USING (doc_id) CROSS JOIN st),
-         |g AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_hit,
-         |        round(sum(part), 6) AS score FROM s GROUP BY 1, 2),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY score DESC, doc_id) AS rk FROM g)
-         |SELECT query_id, doc_id, n_hit, score, rk::INT AS rk
-         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
-    },
+    "t19_bm25_topk" -> t19Sql,
+
+    // persisted BM25 index (t20): serving is bit-identical to t19 —
+    // doc length denormalized at build, avgdl from exact persisted
+    // integer totals, df complete under bucket pruning (every posting
+    // of a token shares its bucket) — so the t19 oracle IS the t20
+    // oracle (the s04/s05 shared-oracle precedent)
+    "t20_bm25_indexed" -> t19Sql,
 
     // cross-doc duplication ratio (t21): the t01 shingle CTEs, a gram
     // df count, one join back; the flag compares the unrounded

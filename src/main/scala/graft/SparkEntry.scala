@@ -480,6 +480,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Persisted BM25 index — postings partitioned by token hash
+    //    bucket, query vocabulary pushed as a literal partition filter;
+    //    bit-identical to t19 (shared oracle, the s05 precedent) ────────
+    "t20_bm25_indexed" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graftbm25idx").toString
+      graft.text.TextOps.writeBm25Index(docs(s, dir), "doc_id", "text",
+        s"$tmp/idx")
+      graft.text.TextOps.bm25TopKIndexed(s, s"$tmp/idx")
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // ── In-engine k-means fit (Lloyd's, 2 iterations, init = the 8
     //    smallest doc ids' t16 vectors): each iteration is one map-side
     //    argmin + one (cluster, dim)-keyed mean, centroids rounded to

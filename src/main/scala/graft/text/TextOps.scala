@@ -788,6 +788,100 @@ object TextOps {
         round(col("score"), 6).as("score"), col("rk"))
   }
 
+  /** Persisted BM25 index (beyond reference, t20) — the retrieval
+    * counterpart of the s05 IVF-PQ index lifecycle: postings
+    * (id, token, tf, dl) land as parquet PARTITIONED BY a token hash
+    * bucket, so serving pushes the query vocabulary's bucket set as a
+    * literal partition filter and reads only |query tokens|/nBuckets
+    * of the index FILES. Doc length is denormalized per posting at
+    * build time (pruned postings cannot reconstruct it), and corpus
+    * stats persist as EXACT integers (n_docs, total_tokens) so
+    * incremental appends update them exactly; avgdl = total/n is one
+    * division of the same integers the in-memory path divides, so
+    * indexed scores are bit-identical to [[bm25TopK]] (shared
+    * oracle — the s04/s05 precedent). */
+  def writeBm25Index(df: DataFrame, id: String, text: String,
+                     path: String, nBuckets: Int = 64): Unit = {
+    val (tf, _) = bm25Corpus(df, id, text)
+    val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, Seq(id))
+      .withColumn("tb", pmod(Dedup.h64(col("token"), Bm25BucketSalt),
+        lit(nBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("tb").parquet(path)
+    df.agg(count(lit(1)).cast("long").as("n_docs"))
+      .crossJoin(tf.agg(
+        coalesce(sum(col("tf")), lit(0L)).cast("long").as("total_tokens")))
+      .write.mode("overwrite").parquet(s"${path}_stats")
+  }
+
+  /** Incrementally append NEW documents to a [[writeBm25Index]] index:
+    * the same postings build in append mode (files land inside the
+    * existing `tb=` bucket dirs) plus an exact-integer stats update.
+    * CONTRACT: appended doc ids must be disjoint from the indexed ones
+    * (the curate seen-register is the enforcement mechanism) — BM25
+    * postings have no per-doc versioning, so re-ingesting an id would
+    * double its term frequencies. Append-equals-rebuild holds because
+    * df/avgdl/n_docs are pure corpus totals, indifferent to which
+    * build pass contributed a posting. */
+  def appendBm25Index(df: DataFrame, id: String, text: String,
+                      path: String, nBuckets: Int = 64): Unit = {
+    val spark = df.sparkSession
+    val (tf, _) = bm25Corpus(df, id, text)
+    val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, Seq(id))
+      .withColumn("tb", pmod(Dedup.h64(col("token"), Bm25BucketSalt),
+        lit(nBuckets.toLong)).cast("int"))
+      .write.mode("append").partitionBy("tb").parquet(path)
+    val old = spark.read.parquet(s"${path}_stats").first()
+    val add = df.agg(count(lit(1)).cast("long"))
+      .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).cast("long")))
+      .first()
+    import spark.implicits._
+    Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
+      .toDF("n_docs", "total_tokens")
+      .write.mode("overwrite").parquet(s"${path}_stats")
+  }
+
+  /** Serve a literal query set from a persisted [[writeBm25Index]]:
+    * the query vocabulary's bucket set (computed driver-side with the
+    * same portable md5 hash) prunes the scan at the FILE level, then
+    * the pruned postings flow through the exact [[bm25ScoreQueries]]
+    * score path (df per query token is complete — every posting of a
+    * token shares its bucket). */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                      path: String, id: String = "doc_id",
+                      queries: Seq[(Int, String)] = Bm25Queries,
+                      k: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+                      nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, qt) =>
+      qt.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t))
+    }.toDF("query_id", "token")
+    val buckets = queries.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .distinct.map(t => (h64Local(Bm25BucketSalt, t) % nBuckets).toInt)
+      .distinct
+    val st = spark.read.parquet(s"${path}_stats")
+      .select(col("n_docs"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
+    val postings = spark.read.parquet(path)
+      .filter(col("tb").isin(buckets: _*))
+      .select(col(id), col("token"), col("tf"), col("dl"))
+    bm25ScoreQueries(postings, st, id, qterms, k, k1, b)
+  }
+
+  /** The serving-side bucket salt, shared by build and serve. */
+  val Bm25BucketSalt: Int = 19
+
+  /** Driver-side twin of [[Dedup.h64]] (first 15 hex chars of
+    * md5("salt|s") as a base-16 long) — used to turn the literal query
+    * vocabulary into a partition-filter bucket set. */
+  private def h64Local(salt: Int, s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$salt|$s".getBytes("UTF-8"))
+      .map(bb => f"${bb & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** The fixed retrieval query set shared by the t19 Spark query and
     * its DuckDB oracle (the oracle embeds the same literals). Terms are
     * drawn from the corpus vocabulary so every query has candidates. */
@@ -864,19 +958,27 @@ object TextOps {
 
   /** Score a (query_id, token) term table against a prebuilt
     * [[bm25Corpus]]; see [[bm25TopK]] for the plan-shape contract.
-    * Doc length joins back as a narrow (id, Σ tf) frame — one extra
+    * If `tf` already carries a `dl` column (the persisted-index path,
+    * where doc length is denormalized at build time because pruned
+    * postings cannot reconstruct it), it is used as-is; otherwise doc
+    * length joins back as a narrow (id, Σ tf) frame — one extra
     * doc-keyed shuffle of ~16 bytes/doc, orders below the tf shuffle. */
   def bm25ScoreQueries(tf: DataFrame, stats: DataFrame, id: String,
                        qterms: DataFrame, k: Int = 5,
                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
+    val hasDl = tf.columns.contains("dl")
+    val dl =
+      if (hasDl) null
+      else tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
     val tfq = tf.join(broadcast(qterms.select(col("token")).distinct()),
       Seq("token"))
     val dfq = tfq.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val parts = tfq
+    val withDl =
+      if (hasDl) tfq
+      else tfq.join(dl, Seq(id))
+    val parts = withDl
       .join(broadcast(dfq), Seq("token"))
       .join(broadcast(qterms), Seq("token"))
-      .join(dl, Seq(id))
       .crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) +
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

@@ -565,6 +565,36 @@ class TextLmPackSpec extends AnyFunSuite {
     assert(t === again)
   }
 
+  test("t20 BM25 index: indexed serving equals the in-memory retrieval " +
+       "bit-for-bit; append-equals-rebuild; scan prunes on the token " +
+       "bucket partition") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graftb25ix").toString
+    TextOps.writeBm25Index(docs, "doc_id", "text", s"$dir/full")
+    val mem = TextOps.bm25TopK(docs, "doc_id", "text").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).toSet
+    val served = TextOps.bm25TopKIndexed(spark, s"$dir/full")
+    assert(served.collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getInt(4))).toSet === mem)
+    // append-equals-rebuild: even half written, odd half appended
+    TextOps.writeBm25Index(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", s"$dir/inc")
+    TextOps.appendBm25Index(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", s"$dir/inc")
+    val inc = TextOps.bm25TopKIndexed(spark, s"$dir/inc")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(inc === mem, "append must serve like a full rebuild")
+    // the query vocabulary's bucket set reaches the scan as a
+    // partition filter — serving reads |q tokens|/nBuckets of the files
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tb"),
+      plan.linesIterator.filter(_.contains("PartitionFilters"))
+        .take(3).mkString("\n"))
+  }
+
   test("streaming shard ingest (a12 twin): identical shard assignment, " +
        "dense per-shard positions across micro-batches; single-batch " +
        "stream equals the batch op exactly") {
