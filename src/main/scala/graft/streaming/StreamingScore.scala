@@ -234,6 +234,31 @@ object StreamingScore {
         centroids, codebook, indexPath)
     }
 
+  /** Streaming t21 twin — duplication scoring of ARRIVING docs against
+    * a FROZEN reference corpus ("how much of this new crawl snapshot
+    * is already in yesterday's corpus"): each micro-batch's docs are
+    * shingled and left-joined against the reference's persisted
+    * distinct-gram frame (the t15 stream-static shape), emitting the
+    * t21 record (n_grams, n_shared, dup_ratio, flagged) per arriving
+    * doc. ZERO streaming state — the reference frame is static; docs
+    * shorter than k tokens carry no shingle and are not emitted (the
+    * batch contract). */
+  def dupRatioAgainst(refGrams: DataFrame, docs: DataFrame, id: String,
+                      text: String, k: Int = 8, maxRatio: Double = 0.5)
+                     (sink: DataFrame => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val bg = graft.text.TextOps.shingles(batch, id, text, k)
+      sink(bg.join(refGrams.withColumn("_hit", lit(1)),
+          Seq("shingle"), "left")
+        .groupBy(col(id))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_shared"))
+        .withColumn("dup_ratio",
+          round(col("n_shared") / col("n_grams"), 6))
+        .withColumn("flagged",
+          (col("n_shared") / col("n_grams") >= maxRatio).cast("int")))
+    }
+
   /** Streaming t19 twin — BM25 retrieval SERVING: queries arrive as a
     * stream of (query_id, qtext) rows and each micro-batch is scored
     * against a FROZEN [[graft.text.TextOps.bm25Corpus]] (postings +

@@ -565,6 +565,32 @@ class TextLmPackSpec extends AnyFunSuite {
     assert(t === again)
   }
 
+  test("streaming dup-ratio against a frozen reference matches the " +
+       "batch stream-static computation across micro-batches (t21 twin)") {
+    val (docs, stream) = docsIn4Batches()
+    val ref = docs.filter($"doc_id" % 2 === 0)
+    val refGrams = TextOps.shingles(ref, "doc_id", "text", 8)
+      .select($"shingle").distinct().localCheckpoint()
+    // batch twin: same stream-static join semantics, docs as one frame
+    val batch = TextOps.shingles(docs, "doc_id", "text", 8)
+      .join(refGrams.withColumn("_hit", lit(1)), Seq("shingle"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"_hit", lit(0))).cast("long").as("n_shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val buf = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    runFilter(graft.streaming.StreamingScore.dupRatioAgainst(
+        refGrams, stream, "doc_id", "text") { b =>
+      buf.synchronized { buf ++= b.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) }
+      ()
+    })
+    assert(buf.toSet === batch)
+    // the reference's own docs score 1.0 (every gram is in the frozen
+    // frame); odd docs' ratios land below 1 unless duplicated
+    assert(buf.nonEmpty)
+  }
+
   test("t20 BM25 index: indexed serving equals the in-memory retrieval " +
        "bit-for-bit; append-equals-rebuild; scan prunes on the token " +
        "bucket partition") {
