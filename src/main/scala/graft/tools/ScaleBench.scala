@@ -133,7 +133,7 @@ object ScaleBench {
     "t18_corpus_report", "t19_bm25_topk", "t21_dup_ratio",
     "k01_kmeans_fit", "a11_temperature_mixture", "a12_shard_shuffle",
     "t22_token_spectrum", "k02_cluster_quality", "p01_pagerank",
-    "a13_weighted_sample")
+    "a13_weighted_sample", "t20_bm25_indexed")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
