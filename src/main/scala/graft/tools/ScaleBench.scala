@@ -393,6 +393,33 @@ object ScaleBench {
           "output" -> s"$runOut/chunks",
           "metrics_out" -> s"$runOut/metrics.json"))
         spark.read.parquet(s"$runOut/chunks")
+      }),
+      // v2: the round-10 stages on top — cross-doc dup gate (lenient
+      // threshold: the cell measures the stage's cost, not a funnel
+      // collapse), keep-best election, and in-engine topic fit+label.
+      // Kept SEPARATE from the original cell so its round-over-round
+      // numbers stay comparable.
+      "curatex_full_chain_v2" -> ((d: String) => {
+        val runOut = s"/tmp/graft_curate_cell2_${System.nanoTime()}"
+        val nDocs = spark.read.parquet(s"$d/documents.parquet").count()
+        val mix = (0 until 20).map(i => s"src$i:0.05").mkString(",")
+        graft.cli.Cli.run(spark, graft.cli.GraftConfig.defaults ++ Map(
+          "mode" -> "curate",
+          "input_docs" -> s"$d/documents.parquet",
+          "near_threshold" -> "0.5",
+          "semantic_threshold" -> "0.9",
+          "keep_best" -> "true",
+          "gopher_min_stop" -> "1",
+          "min_tokens" -> "10", "max_rep_ratio" -> "0.5",
+          "max_dup_ratio" -> "0.95",
+          "mixture_target" -> mix, "source_col" -> "source",
+          "token_budget" -> (nDocs * 60).toString,
+          "chunk_window" -> "400", "chunk_stride" -> "300",
+          "pack_budget" -> "128",
+          "assign_topics" -> "true", "train_topics" -> "8",
+          "output" -> s"$runOut/chunks",
+          "metrics_out" -> s"$runOut/metrics.json"))
+        spark.read.parquet(s"$runOut/chunks")
       }))
     val extras: Seq[(String, String => org.apache.spark.sql.DataFrame)] =
       if (family == "dim") dimExtras()
