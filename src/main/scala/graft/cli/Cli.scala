@@ -354,6 +354,20 @@ object Cli {
   def runCurate(spark: SparkSession, cfg: GraftConfig): Unit = {
     import graft.text.{Dedup, TextOps}
     import graft.core.ScaleOps
+    // --stage_timing true: per-materialization wall timings to stderr.
+    // Each curate stage is lazy until its funnel count / write, so the
+    // count is where the stage's cost lands — this labels those
+    // barriers so a scale-cell regression names its stage directly.
+    val stageTiming = cfg.strOpt("stage_timing").contains("true")
+    def timedStage[T](name: String)(f: => T): T =
+      if (!stageTiming) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[graft-stage] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        r
+      }
     def load(p: String): DataFrame =
       if (p.endsWith(".csv")) spark.read.option("header", "true").csv(p)
       else spark.read.parquet(p)
@@ -398,27 +412,28 @@ object Cli {
             col(id).cast("long") === col("seen_id"), "left_anti")
       case None => docs0
     }
-    val n0 = docs.count()
+    val n0 = timedStage("input_count")(docs.count())
     // fail fast on non-integral doc ids (CSV reads ids as strings): the
     // near-dup cluster stage casts ids to long — a ticker-style id would
     // silently become NULL and collapse clusters (same failure mode as
     // the --series_col guard in CsvIO)
-    val badIds = docs.filter(col(id).isNotNull &&
-      col(id).cast("long").isNull).count()
+    val badIds = timedStage("id_guard")(docs.filter(col(id).isNotNull &&
+      col(id).cast("long").isNull).count())
     require(badIds == 0,
       s"curate needs integral $id values; $badIds rows fail the long cast " +
         "(map string ids to a dense surrogate key first)")
 
     val exact = Dedup.dropExactDuplicates(docs, id, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n1 = exact.count()
+    val n1 = timedStage("exact_dedup")(exact.count())
 
-    val pairs = Dedup.minhashLshPairs(exact, id, text, k = 5, numPerm = 64,
-      bands = 16,
-      threshold = cfg.strOpt("near_threshold").map(_.toDouble).getOrElse(0.8))
+    val pairs = timedStage("minhash_pairs_build")(
+      Dedup.minhashLshPairs(exact, id, text, k = 5, numPerm = 64,
+        bands = 16,
+        threshold = cfg.strOpt("near_threshold").map(_.toDouble).getOrElse(0.8)))
     // --keep_best: elect each cluster's keeper by q19 quality (d07)
     // instead of the default keep-first (min id, d03)
-    val nearDrop =
+    val nearDrop = timedStage("near_dedup_cc")(
       if (cfg.strOpt("keep_best").contains("true")) {
         val q = TextOps.tokenStats(exact, id, text)
           .select(col(id), round(col("quality_score"), 6).as("q"))
@@ -426,7 +441,7 @@ object Cli {
           .filter(col("kept") === 0).select(col(id))
       } else
         Dedup.connectedComponents(pairs)
-          .filter(col("id") =!= col("cluster")).select(col("id").as(id))
+          .filter(col("id") =!= col("cluster")).select(col("id").as(id)))
     val shingleDeduped = exact.join(nearDrop, Seq(id), "left_anti")
     // optional semantic dedup (--semantic_threshold c): d08's pipeline —
     // hashed embeddings → sign-LSH pairs → component drop — catching
@@ -436,20 +451,21 @@ object Cli {
     // the production contract rather than d08's gate-pinned literals.
     val deduped = (cfg.strOpt("semantic_threshold") match {
       case Some(t) =>
-        val vecs = TextOps
+        val vecs = timedStage("semantic_embed_ckpt")(TextOps
           .hashEmbedVectors(shingleDeduped, id, text)
           .withColumn("_blk", lit(0))
-          .localCheckpoint()
-        val pairs = graft.sim.Similarity.bandedNearDupPairsScaled(
-            vecs, id, "embedding", "_blk", threshold = t.toDouble,
-            seed = 11L)
-          .select(col("id_a"), col("id_b"))
-        val drop = Dedup.connectedComponents(pairs)
-          .filter(col("id") =!= col("cluster")).select(col("id").as(id))
+          .localCheckpoint())
+        val pairs = timedStage("semantic_pairs_build")(
+          graft.sim.Similarity.bandedNearDupPairsScaled(
+              vecs, id, "embedding", "_blk", threshold = t.toDouble,
+              seed = 11L)
+            .select(col("id_a"), col("id_b")))
+        val drop = timedStage("semantic_cc")(Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("cluster")).select(col("id").as(id)))
         shingleDeduped.join(drop, Seq(id), "left_anti")
       case None => shingleDeduped
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n2 = deduped.count()
+    val n2 = timedStage("near+semantic_dedup")(deduped.count())
 
     val maxRep = cfg.strOpt("max_rep_ratio").map(_.toDouble).getOrElse(0.5)
     val minTokens = cfg.strOpt("min_tokens").map(_.toLong).getOrElse(10L)
@@ -501,7 +517,7 @@ object Cli {
       .filter(coalesce(col("rep_ratio"), lit(0.0)) <= maxRep &&
         col("_nt") >= minTokens &&
         coalesce(col("_dup"), lit(0.0)) < maxDup)
-    val n3 = kept.count()
+    val n3 = timedStage("quality_gates")(kept.count())
 
     // optional Gopher rule gate (--gopher_min_stop N): the t14
     // rule-based quality filter — word-count/word-length/alpha/symbol
@@ -510,7 +526,7 @@ object Cli {
       if (cfg.strOpt("gopher_min_stop").isDefined)
         kept.filter(col("_gopher_keep") === 1)
       else kept
-    val nGopher = ruleKept.count()
+    val nGopher = timedStage("gopher_gate")(ruleKept.count())
 
     // optional language filter (--langs en,es): q20's marker-word
     // language ID, keep docs whose argmax language is in the set —
@@ -522,7 +538,7 @@ object Cli {
         ruleKept.filter(col("_lang").isin(langs: _*))
       case None => ruleKept
     }).select(col(id), col(text))
-    val nLang = langKept.count()
+    val nLang = timedStage("lang_gate")(langKept.count())
 
     val clean = cfg.strOpt("benchmark_docs") match {
       case Some(p) =>
@@ -615,7 +631,7 @@ object Cli {
           .drop("avg_logprob")
       case _ => mixed
     }
-    val nLm = lmFiltered.count()
+    val nLm = timedStage("lm_gate")(lmFiltered.count())
 
     // optional quality-classifier gate (--min_q_prob x): the frozen t11
     // hashed-bigram logistic model; unscorable sub-bigram docs pass
@@ -629,12 +645,12 @@ object Cli {
           .drop("q_prob")
       case None => lmFiltered
     }
-    val nQ = qFiltered.count()
+    val nQ = timedStage("quality_classifier")(qFiltered.count())
 
     val redacted = TextOps.redactPii(qFiltered, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val Seq(n4, nEmail, nPhone) = redacted
-      .agg(count(lit(1)), sum("n_email"), sum("n_phone")).collect()
+    val Seq(n4, nEmail, nPhone) = timedStage("pii_redact")(redacted
+      .agg(count(lit(1)), sum("n_email"), sum("n_phone")).collect())
       .headOption.map(r => Seq(r.getLong(0),
         Option(r.get(1)).fold(0L)(_.asInstanceOf[Number].longValue),
         Option(r.get(2)).fold(0L)(_.asInstanceOf[Number].longValue)))
@@ -685,22 +701,23 @@ object Cli {
         val topics = cfg.strOpt("train_topics") match {
           case Some(k) =>
             val vecs = TextOps.hashEmbedVectors(base, id, text)
-            val (cents, _) = graft.sim.KMeans.fit(
-              vecs, id, "embedding", k.toInt, iters = 2)
+            val (cents, _) = timedStage("topic_fit")(graft.sim.KMeans.fit(
+              vecs, id, "embedding", k.toInt, iters = 2))
             TextOps.topicAssign(base, id, text, cents)
           case None => TextOps.topicAssign(base, id, text)
         }
         packed.join(topics, Seq(id), "left")
       } else packed
-    labeled.write.mode("overwrite").partitionBy("split")
-      .parquet(cfg.str("output"))
+    timedStage("chunk_pack_topic_write")(
+      labeled.write.mode("overwrite").partitionBy("split")
+        .parquet(cfg.str("output")))
     // count what actually LANDED (the contract for the funnel metric) —
     // but an all-filtered corpus writes zero part files under
     // partitionBy, and parquet cannot infer a schema from none: an
     // empty corpus must flow through as an empty output, not crash
-    val nChunks =
+    val nChunks = timedStage("output_readback")(
       try spark.read.parquet(cfg.str("output")).count()
-      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L })
 
     // the seen register this output offers to the NEXT increment:
     // prior register (if chaining) ∪ this run's exact-dedup survivors.
@@ -714,8 +731,9 @@ object Cli {
       case Some(p) => readSeen(p).unionByName(ownSeen).distinct()
       case None    => ownSeen
     }
-    allSeen.write.mode("overwrite")
-      .parquet(s"${cfg.str("output")}_seen.parquet")
+    timedStage("seen_register_write")(
+      allSeen.write.mode("overwrite")
+        .parquet(s"${cfg.str("output")}_seen.parquet"))
 
     val s = spark
     import s.implicits._

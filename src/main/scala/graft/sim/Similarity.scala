@@ -146,20 +146,75 @@ object Similarity {
     math.max(2, math.min(64, if (b.isNaN || b.isInfinite) 64 else b.toInt))
   }
 
+  /** Observed-occupancy refinement of the (nPlanes, bands) operating
+    * point. [[planesForOccupancy]]'s uniform model under-plans for
+    * CORRELATED vectors: hashed-text embeddings share stopword mass,
+    * so sign patterns concentrate and a few (band, bucket) groups hold
+    * a constant FRACTION of the corpus (measured 6% of 50k docs in one
+    * bucket at the 10× curate cell — 108M candidate pairs where the
+    * model predicts 20M) and the bucket join turns quadratic. Probe
+    * the ACTUAL max bucket under the current planes (one SignBuckets
+    * scan + keyed count — linear, vs the quadratic it prevents) and
+    * deepen by log2(maxBucket / targetBucket) planes, re-solving bands
+    * via [[bandsForRecall]] so the recall pin survives the deepening,
+    * until the hottest bucket is under 16× targetBucket or the probe
+    * budget (3 scans) is spent. Extra random hyperplanes still split a
+    * correlated cloud — only sign-identical vectors are inseparable —
+    * so each round strictly shrinks the hot bucket. nPlanes is capped
+    * at 62 (the bucket id is a packed Long of sign bits). */
+  private[graft] def refinePlanes(df: DataFrame, vec: String,
+                                  block: Option[String], dim: Int,
+                                  nPlanes0: Int, threshold: Double,
+                                  targetBucket: Int, recall: Double,
+                                  seed: Long): (Int, Int) = {
+    val hardCap = 16L * targetBucket
+    var nPlanes = nPlanes0
+    var bands = bandsForRecall(nPlanes, threshold, recall)
+    var tries = 0
+    var done = false
+    while (!done && tries < 3 && nPlanes < 62) {
+      val planes = bandPlanes(dim, nPlanes, bands, seed)
+      val grouped = df.select(block.toSeq.map(col) :+
+        posexplode(graft.functions.SignBuckets(col(vec), planes))
+          .as(Seq("band", "bucket")): _*)
+      val keys = (block.toSeq ++ Seq("band", "bucket")).map(col)
+      val maxBucket = grouped.groupBy(keys: _*).count()
+        .agg(max(col("count"))).first().getLong(0)
+      if (maxBucket <= hardCap) done = true
+      else {
+        nPlanes = math.min(62, nPlanes + math.max(1, math.ceil(
+          math.log(maxBucket.toDouble / targetBucket) / math.log(2.0)).toInt))
+        bands = bandsForRecall(nPlanes, threshold, recall)
+        tries += 1
+      }
+    }
+    (nPlanes, bands)
+  }
+
   /** [[lshNearDupPairs]] with the (nPlanes, bands) operating point
     * derived from the corpus size: occupancy-constant buckets
     * (candidate volume linear in n) and recall re-pinned via
-    * [[bandsForRecall]]. The one extra cost is a count() of the
-    * corpus — one columnar scan, amortized against the bucket join it
-    * bounds. This is the production configuration; fixed-parameter
+    * [[bandsForRecall]], then refined against OBSERVED bucket skew
+    * ([[refinePlanes]] — correlated corpora concentrate sign patterns
+    * far beyond the uniform model). The extra cost is a count() plus
+    * 1–4 linear bucket probes, amortized against the bucket join they
+    * bound. This is the production configuration; fixed-parameter
     * [[lshNearDupPairs]] is the small-corpus/oracle-gate twin. */
   def lshNearDupPairsScaled(df: DataFrame, id: String, vec: String,
                             threshold: Double, targetBucket: Int = 64,
                             recall: Double = 0.95,
                             seed: Long = 42L): DataFrame = {
     val n = df.count()
-    val nPlanes = planesForOccupancy(n, targetBucket)
-    val bands = bandsForRecall(nPlanes, threshold, recall)
+    if (n == 0) {
+      val s = df.sparkSession
+      import s.implicits._
+      return s.emptyDataset[(Long, Long, Double)]
+        .toDF("id_a", "id_b", "cosine")
+    }
+    val dim = df.select(size(col(vec))).first().getInt(0)
+    val nPlanes0 = planesForOccupancy(n, targetBucket)
+    val (nPlanes, bands) = refinePlanes(df, vec, None, dim, nPlanes0,
+      threshold, targetBucket, recall, seed)
     lshNearDupPairs(df, id, vec, threshold, nPlanes, bands, seed)
   }
 
@@ -619,8 +674,9 @@ object Similarity {
     }
     val maxBlock = probe.getLong(0)
     val dim = df.select(size(col(vec))).first().getInt(0)
-    val nPlanes = planesForOccupancy(maxBlock, targetBucket)
-    val bands = bandsForRecall(nPlanes, threshold, recall)
+    val nPlanes0 = planesForOccupancy(maxBlock, targetBucket)
+    val (nPlanes, bands) = refinePlanes(df, vec, Some(block), dim, nPlanes0,
+      threshold, targetBucket, recall, seed)
     bandedNearDupPairs(df, id, vec, block, threshold,
       bandPlanes(dim, nPlanes, bands, seed))
   }

@@ -1028,6 +1028,76 @@ class DedupSimSpec extends AnyFunSuite {
     assert(scaledB.subsetOf(exactB), "blocked scaled LSH must not invent pairs")
   }
 
+  test("refinePlanes deepens the operating point on a CORRELATED corpus " +
+      "and recall survives") {
+    // the uniform occupancy model's failure mode: vectors sharing a
+    // dominant common component (hashed-text embeddings share stopword
+    // mass) concentrate sign patterns, so a few (band, bucket) groups
+    // hold a constant fraction of the corpus and the bucket join turns
+    // quadratic (measured 108M candidates for 50k docs at the 10×
+    // curate cell). Fixture: 4000 vectors = one strong shared base +
+    // per-vector noise (pairwise cosine ~0.8, sign patterns heavily
+    // correlated), plus 100 planted near-dups at cosine ~0.999.
+    val s = spark
+    import s.implicits._
+    val dim = 32
+    val rbase = new scala.util.Random(99)
+    val base = Array.fill(dim)(rbase.nextGaussian())
+    def noisy(seed: Long, scale: Double): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      base.map(b => (b + scale * r.nextGaussian()).toFloat).toSeq
+    }
+    val corpus = (0L until 4000L).map(i => (i, noisy(1000 + i, 0.5)))
+    val planted = (0L until 100L).map { i =>
+      val r = new scala.util.Random(5000 + i)
+      (4000L + i,
+        corpus(i.toInt)._2.map(x => (x + 0.02 * r.nextGaussian()).toFloat))
+    }
+    val df = (corpus ++ planted).toDF("vec_id", "embedding").localCheckpoint()
+
+    val target = 32
+    val model = Similarity.planesForOccupancy(df.count(), target)
+    val (nP, bands) = Similarity.refinePlanes(df, "embedding", None, dim,
+      model, threshold = 0.9, targetBucket = target, recall = 0.95,
+      seed = 42L)
+    assert(nP > model, s"correlated corpus must deepen planes: $model -> $nP")
+    def hotBucket(planes: Array[Array[Array[Double]]]): Long =
+      df.select(posexplode(
+          graft.functions.SignBuckets(col("embedding"), planes))
+          .as(Seq("band", "bucket")))
+        .groupBy("band", "bucket").count().agg(max("count")).first().getLong(0)
+    val modelHot = hotBucket(Similarity.bandPlanes(dim, model,
+      Similarity.bandsForRecall(model, 0.9, 0.95), 42L))
+    val refinedHot = hotBucket(Similarity.bandPlanes(dim, nP, bands, 42L))
+    info(s"hot bucket: model-planes $modelHot -> refined $refinedHot " +
+      s"(cap ${16L * target}, probe budget 3)")
+    // the refinement is BUDGETED (3 probes), so the contract is
+    // "under the cap or nearly so", not a hard bound — assert 2× cap
+    // headroom plus a large improvement over the uniform model's point
+    assert(refinedHot <= 2 * 16L * target,
+      s"refined hot bucket far over the cap: $refinedHot")
+    assert(refinedHot * 2 <= modelHot,
+      s"refinement must shrink the hot bucket: $modelHot -> $refinedHot")
+
+    // recall: the planted near-dups still surface under the deepened
+    // operating point (bands re-solved to hold the 0.95 pin)
+    val exact = Similarity.blockedNearDupPairs(
+        df.withColumn("one", lit(1)), "vec_id", "embedding", "one",
+        threshold = 0.9)
+      .filter((col("id_a") < 4000L) && (col("id_b") >= 4000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 80, s"fixture must plant verifiable dups: ${exact.size}")
+    val got = Similarity.lshNearDupPairsScaled(df, "vec_id", "embedding",
+        threshold = 0.9, targetBucket = target, recall = 0.95, seed = 42L)
+      .filter((col("id_a") < 4000L) && (col("id_b") >= 4000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rec = got.intersect(exact).size.toDouble / exact.size
+    info(f"adaptive-planes recall on correlated corpus: $rec%.2f " +
+      s"(planes $model -> $nP, bands $bands)")
+    assert(rec >= 0.8, s"adaptive recall below floor: $rec")
+    assert(got.subsetOf(exact), "must not invent pairs")
+  }
+
   test("bandedNearDupPairsScaled passes an empty frame through as zero pairs") {
     // a corpus that dedups to empty must not crash the operating-point
     // probes (max(count) is null, the dim probe has no first() row)
