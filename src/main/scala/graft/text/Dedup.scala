@@ -116,6 +116,20 @@ object Dedup {
       .select(col(id), array((0 until numPerm).map(s => col(s"h$s")): _*).as("sig"))
   }
 
+  /** Band buckets of a minhash signature frame: one (band, bucket) row
+    * per band, bucket = md5 of the comma-joined signature slice —
+    * portable (long→decimal-string rendering is identical in both
+    * engines). Shared by the self-join ([[minhashLshPairs]]) and the
+    * cross-corpus ([[fuzzyContamination]]) shapes. */
+  private def bandBuckets(sigs: DataFrame, id: String, bands: Int,
+                          rowsPerBand: Int): DataFrame =
+    sigs.select(col(id),
+      posexplode(array((0 until bands).map(b =>
+        md5(concat_ws(",",
+          (0 until rowsPerBand).map(r =>
+            col("sig")(b * rowsPerBand + r).cast("string")): _*))): _*))
+        .as(Seq("band", "bucket")))
+
   /** LSH candidate pairs from banded minhash signatures, exact-verified
     * by estimated jaccard = fraction of agreeing signature slots
     * (the unbiased minhash estimator). */
@@ -127,14 +141,7 @@ object Dedup {
     // materialize signatures once (docs × (numPerm+1) longs — bounded):
     // they feed both join sides plus the verify re-joins
     val sigs = minhashSignatures(df, id, text, k, numPerm).localCheckpoint()
-    // band bucket = md5 of the comma-joined signature slice — portable
-    // (long→decimal-string rendering is identical in both engines)
-    val banded = sigs.select(col(id),
-      posexplode(array((0 until bands).map(b =>
-        md5(concat_ws(",",
-          (0 until rowsPerBand).map(r =>
-            col("sig")(b * rowsPerBand + r).cast("string")): _*))): _*))
-        .as(Seq("band", "bucket")))
+    val banded = bandBuckets(sigs, id, bands, rowsPerBand)
     val a = banded.select(col(id).as("id_a"), col("band"), col("bucket"))
     val b = banded.select(col(id).as("id_b"), col("band"), col("bucket"))
     // dedup on the ID pair only (distinct over sig-carrying rows hashes
@@ -152,6 +159,57 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / lit(numPerm))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Fuzzy decontamination (beyond reference): MinHash-LSH near-dup
+    * join of the TRAIN corpus against a BENCHMARK/eval set — the
+    * paraphrase-robust complement to the exact-gram passes
+    * ([[TextOps.contamination]] t01, [[TextOps.bloomContamination]]
+    * t06): a benchmark item that survives reformatting, token
+    * insertions, or boilerplate wrapping still shares most shingles,
+    * so its jaccard estimate stays high while any fixed k-gram may be
+    * broken. Same signature/band machinery as [[minhashLshPairs]],
+    * but a CROSS-corpus band join instead of a self-join.
+    *
+    * Scale shape: benchmark sets are tiny next to a 100 TB train
+    * corpus, so the banded bench side (|bench| × bands rows of
+    * (band, md5, id)) is BROADCAST under a count guard — candidate
+    * generation is then a map-side hash probe over the train side's
+    * banded projection, no shuffle of train data at all; only the
+    * candidate verify re-joins the (doc-bounded) signature frames.
+    * Above the guard the join falls back to the keyed shuffle. */
+  def fuzzyContamination(train: DataFrame, bench: DataFrame, id: String,
+                         text: String, k: Int = 5, numPerm: Int = 64,
+                         bands: Int = 16,
+                         threshold: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rowsPerBand = numPerm / bands
+    val trainSigs = minhashSignatures(train, id, text, k, numPerm)
+      .localCheckpoint()
+    val benchSigs = minhashSignatures(bench, id, text, k, numPerm)
+      .localCheckpoint()
+    val ta = bandBuckets(trainSigs, id, bands, rowsPerBand)
+      .withColumnRenamed(id, "train_id")
+    val bb = bandBuckets(benchSigs, id, bands, rowsPerBand)
+      .withColumnRenamed(id, "bench_id")
+    // |bench| × bands band-bucket rows: broadcast while provably small
+    // (the checkpointed signature frame makes the count a block read);
+    // the verify's bench-signature join rides the same guard
+    val benchSmall = benchSigs.count() * bands <= 10_000_000L
+    val cands = ta.join(if (benchSmall) broadcast(bb) else bb,
+        Seq("band", "bucket"))
+      .select(col("train_id"), col("bench_id"))
+      .distinct()
+    val sa = trainSigs.select(col(id).as("train_id"), col("sig").as("sig_a"))
+    val sb = benchSigs.select(col(id).as("bench_id"), col("sig").as("sig_b"))
+    cands.join(sa, "train_id")
+      .join(if (benchSmall) broadcast(sb) else sb, "bench_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numPerm))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("train_id"), col("bench_id"), col("est_jaccard"))
   }
 
   /** SimHash bit width: 60 (the [[h64]] hash is 60-bit, so higher sign
