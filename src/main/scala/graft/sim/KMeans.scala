@@ -47,7 +47,9 @@ object KMeans {
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
-    require(init.nonEmpty, "k-means needs a non-empty input frame")
+    require(init.length == k,
+      s"k-means needs at least k=$k rows, got ${init.length} — lower k " +
+        "(curate --train_topics) or loosen the upstream filters")
     val dim = init.head.length
     var cents = init
     for (_ <- 1 to iters) {

@@ -515,13 +515,26 @@ object Similarity {
 
   /** Fold the tombstone sidecar into the index files: rewrite ONLY the
     * inverted-list partitions that contain a tombstoned id (located
-    * with one column-pruned neighbor_id scan), delete-then-append at
-    * the `cid=` directory level so a list whose vectors are ALL
-    * tombstoned ends up removed rather than stale, and clear the
-    * sidecar. The surviving rows are materialized (eager
-    * localCheckpoint) BEFORE their source directories are deleted, so
-    * the rewrite never reads files it is replacing. Returns the number
-    * of partitions rewritten. */
+    * with one column-pruned neighbor_id scan), at the `cid=` directory
+    * level so a list whose vectors are ALL tombstoned ends up removed
+    * rather than stale, and clear the sidecar. Crash-safe write-new →
+    * swap → clean ordering:
+    *
+    *  1. survivors are WRITTEN to a durable `_compact_tmp` sibling
+    *     (a real parquet write, fault-tolerant — never an
+    *     executor-memory checkpoint) while the live index is untouched;
+    *  2. each affected `cid=` dir is swapped by two renames (live →
+    *     `_compact_trash`, tmp → live) — the loss window is one rename
+    *     pair per directory, and the displaced rows always exist on
+    *     disk (trash) for manual recovery;
+    *  3. the tombstone sidecar is deleted LAST, after every swap
+    *     committed — a crash anywhere earlier leaves serving correct
+    *     (the anti-join still masks tombstoned rows) and a re-run of
+    *     compaction completes the job: already-swapped partitions no
+    *     longer contain tombstoned ids, so only the remaining dirs are
+    *     recomputed.
+    *
+    * Returns the number of partitions rewritten. */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String): Int = {
     val tombs = ivfPqTombstones(spark, indexPath).getOrElse(return 0)
@@ -530,18 +543,29 @@ object Similarity {
     val affected = idx.join(tomb, "neighbor_id")
       .select(col("cid")).distinct().collect().map(_.getInt(0)).sorted
     val hconf = spark.sparkContext.hadoopConfiguration
+    val base = indexPath.stripSuffix("/")
     if (affected.nonEmpty) {
-      val keep = idx
-        .filter(col("cid").isin(affected.map(Integer.valueOf).toSeq: _*))
+      val tmpBase = base + "_compact_tmp"
+      val trashBase = base + "_compact_trash"
+      // 1. durable write of the survivors; live index untouched
+      idx.filter(col("cid").isin(affected.map(Integer.valueOf).toSeq: _*))
         .join(tomb, Seq("neighbor_id"), "left_anti")
-        .localCheckpoint(true) // materialize before deleting source dirs
+        .write.mode("overwrite").partitionBy("cid").parquet(tmpBase)
+      // 2. per-directory swap: live → trash, tmp → live (a cid whose
+      // rows are all tombstoned has no tmp dir — the rename is skipped
+      // and the list is simply removed)
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(trashBase))
       affected.foreach { cid =>
-        val dir = new org.apache.hadoop.fs.Path(
-          s"${indexPath.stripSuffix("/")}/cid=$cid")
-        dir.getFileSystem(hconf).delete(dir, true)
+        val live = new org.apache.hadoop.fs.Path(s"$base/cid=$cid")
+        val tmp = new org.apache.hadoop.fs.Path(s"$tmpBase/cid=$cid")
+        val trash = new org.apache.hadoop.fs.Path(s"$trashBase/cid=$cid")
+        if (fs.exists(live)) fs.rename(live, trash)
+        if (fs.exists(tmp)) fs.rename(tmp, live)
       }
-      if (keep.limit(1).count() > 0)
-        keep.write.mode("append").partitionBy("cid").parquet(indexPath)
+      // 3. cleanup only after every swap committed
+      fs.delete(new org.apache.hadoop.fs.Path(trashBase), true)
+      fs.delete(new org.apache.hadoop.fs.Path(tmpBase), true)
     }
     val tp = new org.apache.hadoop.fs.Path(ivfPqTombstonePath(indexPath))
     tp.getFileSystem(hconf).delete(tp, true)

@@ -18,12 +18,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * accumulates across batches.
   *
   * Contract notes:
-  *  - a pair colliding in several bands is emitted ONLY from the
-  *    smallest agreeing band: both full signatures are in the group, so
-  *    each band decides locally whether it is the pair's first agreement
-  *    — no cross-band state, and the output is an exact multiset match
-  *    of the batch op's `.distinct()`ed pairs (identical docs agree on
-  *    all bands but emit exactly once);
+  *  - WITHOUT `stateTtl`, a pair colliding in several bands is emitted
+  *    ONLY from the smallest agreeing band: both full signatures are in
+  *    the group, so each band decides locally whether it is the pair's
+  *    first agreement — no cross-band state, and the output is an exact
+  *    multiset match of the batch op's `.distinct()`ed pairs (identical
+  *    docs agree on all bands but emit exactly once). WITH `stateTtl`
+  *    the guard is DISABLED: the smallest agreeing band's bucket may
+  *    have expired while a hotter band's bucket still holds the partner
+  *    signature, and the guard would then suppress the pair everywhere.
+  *    Under TTL every surviving band emits (at-least-once SET
+  *    semantics) — downstream consumers of a TTL'd stream should
+  *    `dropDuplicates("id_a","id_b")`;
   *  - state is one signature (numPerm longs) per doc per band, growing
   *    with the corpus inside the retention horizon — production runs
   *    bound it with `stateTtl` (processing-time timeout per bucket;
@@ -106,15 +112,22 @@ object StreamingNearDup {
                   // cross-band state): a pair agreeing on several bands
                   // lands in each of those buckets, and without this
                   // guard would be emitted once per bucket, overcounting
-                  // relative to the batch op's .distinct()
+                  // relative to the batch op's .distinct(). Under
+                  // stateTtl the guard is unsound (the smallest agreeing
+                  // band's bucket may have EXPIRED while this one still
+                  // holds the partner — the pair would be suppressed in
+                  // every surviving band), so TTL'd streams emit
+                  // per-band: at-least-once set semantics.
                   def bandAgrees(b: Int): Boolean = {
                     var r = b * rowsPerBand; val end = r + rowsPerBand
                     while (r < end && psig(r) == sig(r)) r += 1
                     r == end
                   }
-                  val firstAgree = (0 until bands).find(bandAgrees)
-                  if (est >= threshold && pid != docId &&
-                      firstAgree.contains(band))
+                  val emitHere =
+                    if (stateTtl.isEmpty)
+                      (0 until bands).find(bandAgrees).contains(band)
+                    else bandAgrees(band)
+                  if (est >= threshold && pid != docId && emitHere)
                     Some((math.min(pid, docId), math.max(pid, docId), est))
                   else None
                 }
@@ -188,11 +201,17 @@ object StreamingNearDup {
                   // identical docs agree on all 4 bands but must emit
                   // exactly once to match batch .distinct() as a multiset.
                   // ham ≤ 3 < 4 bands guarantees some band agrees
-                  // (pigeonhole), so the guard never drops a true pair.
-                  val firstAgree =
-                    (0 until 4).find(b => ((x >>> (b * 15)) & 0x7FFFL) == 0L)
-                  if (ham <= maxHamming && pid != docId &&
-                      firstAgree.contains(band))
+                  // (pigeonhole), so WITHOUT stateTtl the guard never
+                  // drops a true pair. WITH stateTtl it can (the smallest
+                  // agreeing band's bucket may have expired) — TTL'd
+                  // streams emit per-band, at-least-once set semantics.
+                  def bandAgrees(b: Int): Boolean =
+                    ((x >>> (b * 15)) & 0x7FFFL) == 0L
+                  val emitHere =
+                    if (stateTtl.isEmpty)
+                      (0 until 4).find(bandAgrees).contains(band)
+                    else bandAgrees(band)
+                  if (ham <= maxHamming && pid != docId && emitHere)
                     Some((math.min(pid, docId), math.max(pid, docId), ham))
                   else None
                 }

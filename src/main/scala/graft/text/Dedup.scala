@@ -194,8 +194,21 @@ object Dedup {
       .withColumnRenamed(id, "bench_id")
     // |bench| × bands band-bucket rows: broadcast while provably small
     // (the checkpointed signature frame makes the count a block read);
-    // the verify's bench-signature join rides the same guard
-    val benchSmall = benchSigs.count() * bands <= 10_000_000L
+    // the verify's bench-signature join rides the same guard. The bound
+    // is derived from autoBroadcastJoinThreshold and the ESTIMATED ROW
+    // WIDTH of the larger frame we'd pin on the driver — the signature
+    // frame at 8·numPerm bytes/doc dominates the 48-byte band rows — so
+    // a forced broadcast() can never serialize hundreds of MB (the
+    // explicit hint bypasses Spark's own size check). 4× headroom over
+    // the auto threshold: an intentional hint may exceed what Spark
+    // would auto-pick, but stays ~40 MB at defaults, far from OOM.
+    val autoBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(train.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    val nBench = benchSigs.count()
+    val benchBytes = math.max(nBench * bands * 48L,
+      nBench * (8L * numPerm + 24L))
+    val benchSmall = autoBytes > 0 && benchBytes <= 4L * autoBytes
     val cands = ta.join(if (benchSmall) broadcast(bb) else bb,
         Seq("band", "bucket"))
       .select(col("train_id"), col("bench_id"))

@@ -667,6 +667,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(ok.str("semantic_threshold") === "0.9")
   }
 
+  test("CLI flag validation: every config key the engine reads is in " +
+       "KnownFlags (source scan), so no reachable flag is rejected") {
+    // A key read via cfg.strOpt/str/... but absent from KnownFlags is
+    // unreachable from the CLI — the validator rejects it before the
+    // mode can see it (the round-10 --stage_timing bug).
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val keyRe = """cfg\.(?:strOpt|str|int|long|double|bool)\("([a-z_]+)"\)""".r
+    val read = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap(p => keyRe.findAllMatchIn(
+        java.nio.file.Files.readString(p)).map(_.group(1)))
+      .toSet
+    assert(read.nonEmpty, "source scan found no config reads — regex stale?")
+    val missing = read -- GraftConfig.KnownFlags
+    assert(missing.isEmpty,
+      s"config keys read in code but missing from KnownFlags: $missing")
+  }
+
   test("CLI curate: an empty input corpus flows through the whole chain " +
        "as an empty output, no stage crashes") {
     val s = spark
