@@ -24,30 +24,40 @@ object Bench {
     // optional comma-separated substring filter for profiling a subset
     // (builder-side only; the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    val raw = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
-      .map { case (name, fn) =>
-      // MIN OF TWO runs per query: a single-shot bench is unguarded
-      // against machine noise — one GC/contention spike owned the r5
-      // number of record (driver 30.5 s vs 7.5 s reproducible). The min
-      // is the contention-free capability number; both runs are kept in
-      // BENCH_LOCAL.json so an outlier is self-evident, not a mystery.
-      def timed(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Per-query hygiene (outside the timed window): localCheckpoint RDD
-        // blocks (BlockBootstrap/Dedup/Divergence) and cached plans otherwise
-        // accumulate in the block manager across the 61-query run and inflate
-        // whatever executes late in sorted order 2-3x. getPersistentRDDs covers
-        // checkpoint blocks (they register with a storage level); the GC tick
-        // lets ContextCleaner drop dead broadcasts.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        System.gc()
-        dt
-      }
-      val two = Seq(timed(), timed())
+    // MIN OF TWO runs per query: a single-shot bench is unguarded
+    // against machine noise — one GC/contention spike owned the r5
+    // number of record (driver 30.5 s vs 7.5 s reproducible). The min
+    // is the contention-free capability number; all runs are kept in
+    // BENCH_LOCAL.json so an outlier is self-evident, not a mystery.
+    def timed(fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Per-query hygiene (outside the timed window): localCheckpoint RDD
+      // blocks (BlockBootstrap/Dedup/Divergence) and cached plans otherwise
+      // accumulate in the block manager across the 61-query run and inflate
+      // whatever executes late in sorted order 2-3x. getPersistentRDDs covers
+      // checkpoint blocks (they register with a storage level); the GC tick
+      // lets ContextCleaner drop dead broadcasts.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+      dt
+    }
+    // INTERLEAVED passes (q1 q2 … qN, then q1 q2 … qN — not q1 q1
+    // q2 q2): back-to-back runs of the same query share any transient
+    // load spike, so a 30 s contention burst used to own BOTH samples
+    // of whatever executed under it (the r10 snapshot ran uniformly
+    // 1.24× over the committed record). With the samples of each query
+    // separated by a full pass (~minutes), a burst can inflate at most
+    // one of them and the per-query min stays contention-free.
+    val pass1 = qs.map { case (name, fn) => name -> timed(fn) }.toMap
+    val pass2 = qs.map { case (name, fn) => name -> timed(fn) }.toMap
+    val raw = qs.map { case (name, fn) =>
+      val two = Seq(pass1(name), pass2(name))
       // ADAPTIVE THIRD RUN on the contention signature only: the WARM
       // run coming in slower than the cold one (run1 slower than run2 is
       // the normal JIT shape and needs no retry). The r6 driver artifact
@@ -55,7 +65,7 @@ object Bench {
       // owned both runs; a third sample is the cheapest defense that
       // leaves a visible record (three agreeing inflated runs = real
       // cost, not noise).
-      val runs = if (two(1) > 1.2 * two(0)) two :+ timed()
+      val runs = if (two(1) > 1.2 * two(0)) two :+ timed(fn)
                  else two
       System.err.println(String.format(java.util.Locale.ROOT,
         "[bench] %-28s %8.2f s (runs: %s)", name, Double.box(runs.min),
@@ -95,8 +105,26 @@ object Bench {
     // the "full" field points at.
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    println(
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir","full":"BENCH_LOCAL.json"}""")
+    val line =
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir","full":"BENCH_LOCAL.json"}"""
+    // Sidecar copy of the exact stdout record: three driver rounds
+    // (r08–r10) ended `parsed: null` because sbt wraps stdout in
+    // `[info] ` prefixes and a `[success]` trailer that the driver's
+    // capture window can clip — a fixed-name file can't be missed or
+    // truncated. BENCH_STDOUT.json holds ONLY the one-line record;
+    // the full per-query map stays in BENCH_LOCAL.json.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_STDOUT.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_STDOUT.json write failed: $e")
+    }
+    // printed twice — before and after session teardown — so the
+    // record appears at two distinct stdout offsets and a capture
+    // window anchored to either end of the output sees one of them
+    println(line)
     spark.stop()
+    println(line)
   }
 }
