@@ -5448,6 +5448,99 @@ object OracleSql {
          |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin
     },
 
+    // exact-substring duplicated intervals (d09): duplicated-8-gram
+    // run collapse — gram occurrence counts ≥ 2 mark duplicated start
+    // positions, consecutive positions sessionize into maximal runs
+    // (lag + running sum, the a02 machinery), intervals ≥ 20 tokens;
+    // twin_count = the rarest gram's occurrence count
+    "d09_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |              FROM documents),
+        |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+        |ti AS (SELECT doc_id, token,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS ti
+        |       FROM t),
+        |g0 AS (SELECT doc_id, ti,
+        |         concat_ws(' ', token, lead(token,1) OVER w, lead(token,2) OVER w,
+        |           lead(token,3) OVER w, lead(token,4) OVER w, lead(token,5) OVER w,
+        |           lead(token,6) OVER w, lead(token,7) OVER w) AS g,
+        |         lead(token,7) OVER w AS l7
+        |       FROM ti WINDOW w AS (PARTITION BY doc_id ORDER BY ti)),
+        |g AS (SELECT doc_id, ti, g FROM g0 WHERE l7 IS NOT NULL),
+        |d AS (SELECT g, count(*)::BIGINT AS c FROM g GROUP BY 1 HAVING count(*) >= 2),
+        |dup AS (SELECT g.doc_id, g.ti, d.c FROM g JOIN d USING (g)),
+        |lagd AS (SELECT doc_id, ti, c,
+        |           CASE WHEN ti = lag(ti) OVER (PARTITION BY doc_id ORDER BY ti) + 1
+        |                THEN 0 ELSE 1 END AS brk
+        |         FROM dup),
+        |runs AS (SELECT doc_id, ti, c,
+        |           sum(brk) OVER (PARTITION BY doc_id ORDER BY ti
+        |             ROWS UNBOUNDED PRECEDING) AS run
+        |         FROM lagd),
+        |iv AS (SELECT doc_id, min(ti)::BIGINT AS span_start,
+        |         (max(ti) + 7)::BIGINT AS span_end, min(c)::BIGINT AS twin_count
+        |       FROM runs GROUP BY doc_id, run)
+        |SELECT doc_id, span_start, span_end,
+        |  (span_end - span_start + 1)::BIGINT AS span_tokens, twin_count
+        |FROM iv WHERE span_end - span_start + 1 >= 20
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // d09 cut form: the same interval frame, intervals grouped by the
+    // md5 of their covered token slice, keep-first (doc, start) per
+    // content, losers' tokens removed, docs reassembled in ti order
+    "d09c_substring_cut" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |              FROM documents),
+        |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+        |ti AS MATERIALIZED (SELECT doc_id, token,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS ti
+        |       FROM t),
+        |g0 AS (SELECT doc_id, ti,
+        |         concat_ws(' ', token, lead(token,1) OVER w, lead(token,2) OVER w,
+        |           lead(token,3) OVER w, lead(token,4) OVER w, lead(token,5) OVER w,
+        |           lead(token,6) OVER w, lead(token,7) OVER w) AS g,
+        |         lead(token,7) OVER w AS l7
+        |       FROM ti WINDOW w AS (PARTITION BY doc_id ORDER BY ti)),
+        |g AS (SELECT doc_id, ti, g FROM g0 WHERE l7 IS NOT NULL),
+        |d AS (SELECT g, count(*)::BIGINT AS c FROM g GROUP BY 1 HAVING count(*) >= 2),
+        |dup AS (SELECT g.doc_id, g.ti FROM g JOIN d USING (g)),
+        |lagd AS (SELECT doc_id, ti,
+        |           CASE WHEN ti = lag(ti) OVER (PARTITION BY doc_id ORDER BY ti) + 1
+        |                THEN 0 ELSE 1 END AS brk
+        |         FROM dup),
+        |runs AS (SELECT doc_id, ti,
+        |           sum(brk) OVER (PARTITION BY doc_id ORDER BY ti
+        |             ROWS UNBOUNDED PRECEDING) AS run
+        |         FROM lagd),
+        |spans AS MATERIALIZED (SELECT doc_id, min(ti)::BIGINT AS span_start,
+        |          (max(ti) + 7)::BIGINT AS span_end
+        |        FROM runs GROUP BY doc_id, run
+        |        HAVING max(ti) + 7 - min(ti) + 1 >= 20),
+        |sliced AS (SELECT sp.doc_id, sp.span_start, sp.span_end,
+        |             md5(string_agg(ti.token, ' ' ORDER BY ti.ti)) AS cd
+        |           FROM spans sp JOIN ti ON ti.doc_id = sp.doc_id
+        |             AND ti.ti BETWEEN sp.span_start AND sp.span_end
+        |           GROUP BY 1, 2, 3),
+        |keepr AS (SELECT *, row_number() OVER (PARTITION BY cd
+        |            ORDER BY doc_id, span_start) AS rk FROM sliced),
+        |dropped AS MATERIALIZED (SELECT doc_id, span_start, span_end
+        |           FROM keepr WHERE rk > 1),
+        |nd AS (SELECT doc_id, count(*)::BIGINT AS n_dropped FROM dropped GROUP BY 1),
+        |ns AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM spans GROUP BY 1),
+        |clean AS (SELECT ti.doc_id,
+        |            coalesce(string_agg(CASE WHEN NOT EXISTS (
+        |              SELECT 1 FROM dropped dr WHERE dr.doc_id = ti.doc_id
+        |                AND ti.ti BETWEEN dr.span_start AND dr.span_end)
+        |              THEN ti.token END, ' ' ORDER BY ti.ti), '') AS cleaned
+        |          FROM ti GROUP BY ti.doc_id)
+        |SELECT c.doc_id, coalesce(ns.n_spans, 0)::BIGINT AS n_spans,
+        |  coalesce(nd.n_dropped, 0)::BIGINT AS n_dropped, c.cleaned
+        |FROM clean c LEFT JOIN ns ON c.doc_id = ns.doc_id
+        |LEFT JOIN nd ON c.doc_id = nd.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+
     // exact-N sample: 100 smallest salt-31 h64 ranks, tie-broken by id
     "a09_sample_exact_n" -> {
       val h = h64Sql("doc_id::VARCHAR", "'31'")

@@ -1662,6 +1662,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── EXACT-SUBSTRING duplicated intervals (Lee et al. shape):
+    //    duplicated-8-gram runs collapsed into maximal intervals ≥ 20
+    //    tokens at ARBITRARY boundaries — the fixture's replicated
+    //    passages surface at whatever offset they sit, no block
+    //    alignment needed ────────────────────────────────────────────────
+    "d09_substring_dedup" -> ((s, dir) => {
+      graft.text.Dedup.substringSpans(docs(s, dir), "doc_id", "text",
+          k = 8, minSpanTokens = 20)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // ── d09 CUT form: duplicated intervals grouped by slice content,
+    //    keep-first election per content, losers' tokens removed and
+    //    docs reassembled (the d05 output contract at arbitrary
+    //    boundaries) ─────────────────────────────────────────────────────
+    "d09c_substring_cut" -> ((s, dir) => {
+      graft.text.Dedup.substringDedupCut(docs(s, dir), "doc_id", "text",
+          k = 8, minSpanTokens = 20)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Deterministic exact-N sample: the 100 smallest salt-31 hash
     //    ranks — plans as TakeOrderedAndProject (per-partition top-n +
     //    bounded merge), never a full sort ───────────────────────────────

@@ -341,6 +341,8 @@ object Cli {
     *   [--semantic_threshold 0.92]  (d08 hashed-embedding dedup after
     *     the shingle stage; planes derived from corpus occupancy)
     *   [--max_rep_ratio 0.5] [--max_dup_ratio 0.8] [--min_tokens 10]
+    *   [--max_dup_span 50]  (d09 exact-substring gate: drop docs with a
+    *     duplicated interval of ≥ L tokens at any boundary)
     *   [--langs en,es] [--gopher_min_stop N]
     *   [--max_per_source N --source_col c]
     *   [--mixture_target src0:0.5,src1:0.5 --source_col c]
@@ -505,18 +507,35 @@ object Cli {
           .select(col(id), col("dup_ratio").as("_dup")), Seq(id), "left")
       case None => withGopher.withColumn("_dup", lit(null).cast("double"))
     }
+    // optional exact-substring duplication gate (--max_dup_span L): the
+    // d09 metric — drop docs carrying a duplicated interval of ≥ L
+    // tokens at ANY boundary (the Lee et al. memorization gate). The
+    // span finder runs with minSpanTokens = L, so only qualifying
+    // intervals are ever materialized and the stat is simply "has one"
+    val withSpan = cfg.strOpt("max_dup_span") match {
+      case Some(l) =>
+        withDup.join(Dedup.substringSpans(deduped, id, text,
+            k = 8, minSpanTokens = l.toInt)
+          .groupBy(col(id)).agg(max(col("span_tokens")).as("_max_span")),
+          Seq(id), "left")
+      case None => withDup.withColumn("_max_span", lit(null).cast("long"))
+    }
     val gate = (cfg.strOpt("langs") match {
       case Some(_) =>
-        withDup.join(TextOps.langId(deduped, id, text)
+        withSpan.join(TextOps.langId(deduped, id, text)
           .select(col(id), col("lang_guess").as("_lang")), id)
-      case None => withDup.withColumn("_lang", lit(null).cast("string"))
+      case None => withSpan.withColumn("_lang", lit(null).cast("string"))
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val maxDup = cfg.strOpt("max_dup_ratio").map(_.toDouble).getOrElse(1.0)
     val kept = gate
       .filter(coalesce(col("rep_ratio"), lit(0.0)) <= maxRep &&
         col("_nt") >= minTokens &&
-        coalesce(col("_dup"), lit(0.0)) < maxDup)
+        coalesce(col("_dup"), lit(0.0)) < maxDup &&
+        (cfg.strOpt("max_dup_span") match {
+          case Some(_) => col("_max_span").isNull
+          case None => lit(true)
+        }))
     val n3 = timedStage("quality_gates")(kept.count())
 
     // optional Gopher rule gate (--gopher_min_stop N): the t14

@@ -401,6 +401,125 @@ object Dedup {
           x => x("seg")), " ").as("cleaned"))
   }
 
+  /** EXACT-SUBSTRING duplicated intervals at ARBITRARY token boundaries
+    * (beyond reference, d09) — the Lee et al. "Deduplicating Training
+    * Data Makes Language Models Better" operation that the fixed-block
+    * span ops cannot express: [[spanDedup]]/[[fuzzySpanDedup]] compare
+    * `blockTokens`-aligned units, so a duplicated 50-token passage that
+    * STRADDLES a block boundary (or sits at different offsets in its
+    * two hosts) escapes both. Here the duplicated region itself is
+    * recovered, wherever it starts: every k-gram occurring ≥ 2 times in
+    * the corpus (within- or cross-document — any repeat is memorization
+    * surface) marks its start position as duplicated, and maximal RUNS
+    * of consecutive duplicated positions collapse into intervals — the
+    * duplicated-k-gram run-collapse equivalent of the suffix-array scan,
+    * built from the [[TextOps.crossDupRatio]] gram-df frame and the a02
+    * gap-sessionize machinery.
+    *
+    * Per interval: `span_start`/`span_end` (inclusive dense token
+    * indices), `span_tokens`, and `twin_count` = the occurrence count of
+    * the interval's RAREST gram — an upper bound on how many corpus-wide
+    * copies the whole interval has, exact when the interval duplicates
+    * as a unit. Only intervals of ≥ `minSpanTokens` tokens are emitted
+    * (a lone duplicated k-gram is natural language, a 50-token run is a
+    * copy; Lee et al. cut at 50).
+    *
+    * Scale shape: token explode + per-doc index window (groups bounded
+    * by doc length), ONE gram-digest-keyed count agg (map-side
+    * combinable — the t21 frame on 16-byte digests instead of gram
+    * strings), and the df ≥ 2 filter lands BEFORE the join back, so the
+    * inverted-index probe's build side holds only the duplicated grams
+    * (in a clean corpus a vanishing fraction); runs are per-doc
+    * lag/running-sum windows, the closing agg is (doc, run)-keyed.
+    * Nothing pairwise, no driver state. */
+  def substringSpans(df: DataFrame, id: String, text: String, k: Int = 8,
+                     minSpanTokens: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val ti = TextOps.tokens(df, text)
+      .select(col(id), col("pos"), col("token"))
+      .withColumn("ti", row_number().over(w) - 1)
+    val parts = (0 until k).map {
+      case 0 => col("token")
+      case i => lead(col("token"), i).over(w)
+    }
+    val grams = ti.withColumn("g", concat_ws(" ", parts: _*))
+      .withColumn("_last", parts.last)
+      .filter(col("_last").isNotNull)
+      .select(col(id), col("ti"), unhex(md5(col("g"))).as("gd"))
+    val dupGrams = grams.groupBy(col("gd"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val wi = Window.partitionBy(col(id)).orderBy(col("ti"))
+    val runs = grams.join(dupGrams, "gd")
+      .select(col(id), col("ti"), col("c"))
+      .withColumn("brk",
+        when(col("ti") === lag(col("ti"), 1).over(wi) + 1, 0).otherwise(1))
+      .withColumn("run", sum(col("brk")).over(
+        wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy(col(id), col("run"))
+      .agg(min(col("ti")).cast("long").as("span_start"),
+        (max(col("ti")) + (k - 1)).cast("long").as("span_end"),
+        min(col("c")).as("twin_count"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1L)
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col(id), col("span_start"), col("span_end"),
+        col("span_tokens"), col("twin_count"))
+  }
+
+  /** CUT the duplicated intervals found by [[substringSpans]] out of
+    * each document, keeping ONE occurrence per duplicated content
+    * (beyond reference, d09 cut form): intervals are grouped by the md5
+    * of their covered token slice, each content group elects its
+    * (doc, start)-minimum occurrence as the keeper, every other
+    * occurrence's tokens are removed and the docs come back reassembled
+    * — the d05 output contract (`n_spans`/`n_dropped`/`cleaned`), at
+    * arbitrary boundaries. Interval contents that never align as a unit
+    * (different digests) are all kept: cutting is only sound when the
+    * copies are literal.
+    *
+    * Scale: [[substringSpans]] + one slice-digest agg over the interval
+    * frame (intervals are rare by construction) and one per-doc
+    * reassembly join — tokens join the doc's OWN dropped intervals
+    * (broadcast-ably small) on the doc key, never across docs. */
+  def substringDedupCut(df: DataFrame, id: String, text: String,
+                        k: Int = 8, minSpanTokens: Int = 20): DataFrame = {
+    val spans = substringSpans(df, id, text, k, minSpanTokens)
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val ti = TextOps.tokens(df, text)
+      .select(col(id), col("pos"), col("token"))
+      .withColumn("ti", row_number().over(w) - 1L)
+      .select(col(id), col("ti"), col("token"))
+      .localCheckpoint() // feeds the digest pass AND the reassembly
+    // content digest of each interval's token slice
+    val sliced = spans.join(ti, Seq(id))
+      .filter(col("ti") >= col("span_start") && col("ti") <= col("span_end"))
+      .groupBy(col(id), col("span_start"), col("span_end"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("ti"), col("token")))),
+        x => x("token")), " ")).as("cd"))
+    val keep = sliced.groupBy(col("cd"))
+      .agg(min(struct(col(id).as("kid"), col("span_start").as("ks"))).as("kk"))
+      .select(col("cd"), col("kk.kid").as("kid"), col("kk.ks").as("ks"))
+    val dropped = sliced.join(keep, "cd")
+      .filter(!(col(id) === col("kid") && col("span_start") === col("ks")))
+      .groupBy(col(id))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("cuts"),
+        count(lit(1)).as("n_dropped"))
+    val nSpans = spans.groupBy(col(id)).agg(count(lit(1)).as("n_spans"))
+    ti.groupBy(col(id))
+      .agg(collect_list(struct(col("ti"), col("token"))).as("tl"))
+      .join(dropped, Seq(id), "left")
+      .join(nSpans, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        array_join(transform(filter(array_sort(col("tl")),
+          x => col("cuts").isNull || !exists(col("cuts"),
+            c => x("ti") >= c("s") && x("ti") <= c("e"))),
+          x => x("token")), " ").as("cleaned"))
+  }
+
   /** Dedup CLUSTERS from a near-dup pair list: connected components by
     * iterative min-label propagation over the undirected pair graph —
     * the production step after any pair finder (exact groups / Jaccard /

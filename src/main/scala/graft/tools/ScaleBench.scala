@@ -133,7 +133,8 @@ object ScaleBench {
     "t18_corpus_report", "t19_bm25_topk", "t21_dup_ratio",
     "k01_kmeans_fit", "a11_temperature_mixture", "a12_shard_shuffle",
     "t22_token_spectrum", "k02_cluster_quality", "p01_pagerank",
-    "a13_weighted_sample", "t20_bm25_indexed")
+    "a13_weighted_sample", "t20_bm25_indexed",
+    "d09_substring_dedup", "d09c_substring_cut")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
@@ -150,7 +151,8 @@ object ScaleBench {
     "t03_pii_redact", "t04_chunk", "t05_tfidf_topk", "t07_bpe_tokens",
     "t08_lm_score", "t09_pack_sequences", "t13_token_budget_mixture",
     "t14_gopher_rules", "t16_hash_embed", "d05_span_dedup",
-    "d06_fuzzy_span_dedup", "t19_bm25_topk", "t21_dup_ratio")
+    "d06_fuzzy_span_dedup", "t19_bm25_topk", "t21_dup_ratio",
+    "d09_substring_dedup", "d09c_substring_cut")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -435,7 +437,7 @@ object ScaleBench {
             graft.core.Tables.embeddings(spark, d), "vec_id", "embedding",
             "label", threshold = 0.45, targetBucket = 64, recall = 0.95,
             seed = 7L)))
-    val jsonOut = family match {
+    val jsonOutFull = family match {
       case "docs"   => "BENCH_SF1_DOCS.json"
       case "doclen" => "BENCH_SF1_DOCLEN.json"
       case "length" => "BENCH_SF1_LEN.json"
@@ -443,13 +445,24 @@ object ScaleBench {
       case "curate" => "BENCH_SF1_CURATE.json"
       case _        => "BENCH_SF1.json"
     }
+    // a SPARK_GRAFT_ONLY subset must never clobber the committed
+    // full-family record
+    val jsonOut = if (sys.env.contains("SPARK_GRAFT_ONLY"))
+      s"/tmp/scale_subset_$family.json" else jsonOutFull
+
+    // optional comma-separated substring filter (builder-side profiling
+    // of a single new op's scale cell — same contract as Bench)
+    val onlyCells = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def wanted(n: String) = onlyCells.forall(_.exists(n.contains))
 
     // warm-up (JIT + codegen + scan) outside the timed cells
-    gateQueries.headOption.foreach(time(_, src))
+    gateQueries.filter(wanted).headOption.foreach(time(_, src))
 
     val cells: Seq[(String, String => Double)] =
-      gateQueries.map(q => q -> ((d: String) => time(q, d))) ++
-        extras.map { case (n, th) => n -> ((d: String) => timed(th)(d)) }
+      gateQueries.filter(wanted)
+        .map(q => q -> ((d: String) => time(q, d))) ++
+        extras.filter { case (n, _) => wanted(n) }
+          .map { case (n, th) => n -> ((d: String) => timed(th)(d)) }
     val rows = cells.map { case (q, run) =>
       val base = math.min(run(src), run(src))
       val scaled = math.min(run(out), run(out))

@@ -31,6 +31,73 @@ class DedupSimSpec extends AnyFunSuite {
     assert(Dedup.dropExactDuplicates(docsDf, "doc_id", "text").count() === 4)
   }
 
+  test("d09 substring spans: a boundary-straddling duplicated passage " +
+       "that spanDedup AND fuzzySpanDedup both miss is recovered exactly") {
+    val s = spark
+    import s.implicits._
+    // a 24-token passage P at offset 5 in doc 1 and offset 11 in doc 2:
+    // the 12-token blocks of d05/d06 are misaligned by 6 tokens, so no
+    // block pair shares more than half its tokens — both block-level
+    // ops are blind, while the duplicated-8-gram run recovers P at its
+    // exact boundaries in each host
+    val p = (1 to 24).map(i => s"p$i").mkString(" ")
+    val d = Seq(
+      (1L, "fa1 fa2 fa3 fa4 fa5 " + p + " fa6 fa7 fa8 fa9 fa10 fa11"),
+      (2L, "fb1 fb2 fb3 fb4 fb5 fb6 fb7 fb8 fb9 fb10 fb11 " + p +
+        " fb12 fb13 fb14"),
+      (3L, (1 to 30).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(d, "doc_id", "text",
+        k = 8, minSpanTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(x => (x._1, x._2))
+    assert(spans.toSeq === Seq(
+      (1L, 5L, 28L, 24L, 2L),
+      (2L, 11L, 34L, 24L, 2L)))
+    // the block ops miss it: nothing dropped anywhere
+    val d05 = Dedup.spanDedup(d, "doc_id", "text", blockTokens = 12)
+      .agg(sum("n_dropped")).collect()(0).getLong(0)
+    assert(d05 === 0L, "d05 should be blind to the misaligned copy")
+    val d06 = Dedup.fuzzySpanDedup(d, "doc_id", "text")
+      .agg(sum("n_dropped")).collect()(0).getLong(0)
+    assert(d06 === 0L, "d06 should be blind to the misaligned copy")
+  }
+
+  test("d09 cut: keep-first per duplicated content, losers' tokens " +
+       "removed; within-doc repeats count as duplicated") {
+    val s = spark
+    import s.implicits._
+    val p = (1 to 24).map(i => s"p$i").mkString(" ")
+    val d = Seq(
+      (1L, "fa1 fa2 fa3 fa4 fa5 " + p + " fa6"),
+      (2L, "fb1 fb2 fb3 " + p + " fb4"),
+      // doc 3 repeats its own 24-token block twice — within-doc
+      // duplication is memorization surface and counts (occurrences,
+      // not distinct docs)
+      (3L, {
+        val q = (1 to 24).map(i => s"q$i").mkString(" ")
+        "fc1 " + q + " fc2 " + q + " fc3"
+      })
+    ).toDF("doc_id", "text")
+    val cut = Dedup.substringDedupCut(d, "doc_id", "text",
+        k = 8, minSpanTokens = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 hosts the keeper occurrence of P — untouched
+    assert(cut(1L)._1 === 1L && cut(1L)._2 === 0L)
+    assert(cut(1L)._3 === "fa1 fa2 fa3 fa4 fa5 " + p + " fa6")
+    // doc 2's copy of P is cut
+    assert(cut(2L) === ((1L, 1L, "fb1 fb2 fb3 fb4")))
+    // doc 3: q..q is ONE maximal duplicated interval (the gap between
+    // the copies is itself covered by duplicated grams? no — fc2 breaks
+    // the run only if its grams are unique; grams straddling fc2 occur
+    // once, so two intervals result), second occurrence cut
+    val (n3, drop3, clean3) = cut(3L)
+    assert(n3 === 2L && drop3 === 1L)
+    val q = (1 to 24).map(i => s"q$i").mkString(" ")
+    assert(clean3 === "fc1 " + q + " fc2 fc3")
+  }
+
   test("n-gram jaccard finds exact and near dups, not unrelated") {
     val pairs = Dedup.jaccardPairs(docsDf, "doc_id", "text", k = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq

@@ -652,6 +652,41 @@ class PipelineSpec extends AnyFunSuite {
       "the embedding stage must drop the bag-of-words dup, keep-first")
   }
 
+  test("CLI curate --max_dup_span: docs carrying a boundary-straddling " +
+       "duplicated interval are gated out; shingle dedup alone keeps them") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftspan").toString
+    val p = (1 to 24).map(i => s"p$i").mkString(" ")
+    // docs 1 and 2 share passage P at misaligned offsets inside
+    // otherwise-unrelated text LONG enough that whole-doc shingle
+    // Jaccard stays under the near threshold; doc 3 is clean
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"a$i").mkString(" ") + " " + p + " " +
+        (41 to 60).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 47).map(i => s"b$i").mkString(" ") + " " + p + " " +
+        (48 to 62).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 60).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    def run(gate: Option[String]): Set[Long] = {
+      val out = s"$dir/chunks_${gate.isDefined}"
+      Cli.run(spark, GraftConfig.defaults ++ Map(
+        "mode" -> "curate",
+        "input_docs" -> s"$dir/docs",
+        "near_threshold" -> "0.8",
+        "chunk_window" -> "400", "chunk_stride" -> "300",
+        "output" -> out, "metrics_out" -> s"$dir/f_${gate.isDefined}.json") ++
+        gate.map(l => Map("max_dup_span" -> l)).getOrElse(Map.empty))
+      spark.read.parquet(out).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    }
+    assert(run(None) === Set(1L, 2L, 3L),
+      "without the gate, the straddling interval is invisible to dedup")
+    assert(run(Some("20")) === Set(3L),
+      "--max_dup_span 20 must drop every doc hosting the interval")
+  }
+
   test("CLI flag validation: a typo'd flag fails fast with a suggestion " +
        "instead of silently skipping its stage") {
     val e = intercept[IllegalArgumentException] {

@@ -335,4 +335,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("d09 substring spans: gram join keyed on the digest, per-doc " +
+       "windows keyed on the doc, no cartesian") {
+    val p = plan("d09_substring_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the duplicated-gram probe joins on gd (16-byte digest), never the
+    // gram string — the string must not survive into the join keys
+    val joins = p.linesIterator
+      .filter(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+      .mkString("\n")
+    assert(joins.contains("gd"), s"gram join must key on the digest:\n$joins")
+    // every window is doc-partitioned — no un-keyed data-sized window
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")),
+      "no global window allowed")
+  }
 }
