@@ -5541,6 +5541,44 @@ object OracleSql {
         |LEFT JOIN nd ON c.doc_id = nd.doc_id
         |ORDER BY c.doc_id""".stripMargin,
 
+    // URL/domain rollup (a14): the same deterministic synthetic URLs,
+    // host via the shared RE2-compatible pattern (scheme, optional
+    // userinfo@, host up to :port / path / query / fragment),
+    // registrable domain = last two dot-labels, per-domain rollup +
+    // suffix-rule blocklist flag
+    "a14_domain_rollup" ->
+      """WITH u AS (SELECT doc_id, text,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN 'u:p@' ELSE '' END ||
+        |    'site' || (doc_id % 7)::VARCHAR || '.' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'com'
+        |         WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+        |    '/p/' || doc_id::VARCHAR || '?q=x#f' AS url
+        |  FROM documents),
+        |h0 AS (SELECT doc_id, text, lower(regexp_extract(url,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS h
+        |  FROM u),
+        |hh AS (SELECT doc_id, text,
+        |    CASE WHEN h = '' THEN NULL ELSE h END AS h FROM h0),
+        |dom AS (SELECT doc_id, text,
+        |    CASE WHEN h IS NULL THEN NULL
+        |         WHEN regexp_extract(h, '([^.]+\.[^.]+)$', 1) = '' THEN h
+        |         ELSE regexp_extract(h, '([^.]+\.[^.]+)$', 1) END AS domain
+        |  FROM hh),
+        |r AS (SELECT domain, count(*)::BIGINT AS n_docs,
+        |        sum(len(list_filter(string_split(text, ' '),
+        |          t -> t <> '')))::BIGINT AS n_tokens,
+        |        sum(length(text))::BIGINT AS n_chars
+        |      FROM dom GROUP BY 1)
+        |SELECT domain, n_docs, n_tokens, n_chars,
+        |  (domain = 'site0.com' OR domain LIKE '%.site0.com'
+        |   OR domain = 'site3.org' OR domain LIKE '%.site3.org'
+        |   OR domain = 'site5.net' OR domain LIKE '%.site5.net')::INT
+        |    AS blocked
+        |FROM r ORDER BY domain""".stripMargin,
+
     // exact-N sample: 100 smallest salt-31 h64 ranks, tie-broken by id
     "a09_sample_exact_n" -> {
       val h = h64Sql("doc_id::VARCHAR", "'31'")

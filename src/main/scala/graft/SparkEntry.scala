@@ -1683,6 +1683,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── a14: URL/domain ops — deterministic synthetic URLs (the fixture
+    //    carries none): scheme, optional www./userinfo/port variants to
+    //    exercise the RE2 host extraction, 21 registrable domains from
+    //    (doc_id%7, doc_id%3); rollup + 3-entry blocklist flag ──────────
+    "a14_domain_rollup" -> ((s, dir) => {
+      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+        (col("doc_id") % 3).cast("int") + 1)
+      val u = concat(
+        lit("https://"),
+        when(col("doc_id") % 4 === 0, lit("www.")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("u:p@")).otherwise(lit("")),
+        lit("site"), (col("doc_id") % 7).cast("string"), lit("."), tld,
+        when(col("doc_id") % 5 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string"), lit("?q=x#f"))
+      graft.text.UrlOps.domainRollup(
+          docs(s, dir).withColumn("url", u), "doc_id", "url", "text",
+          blocklist = Seq("site0.com", "site3.org", "site5.net"))
+        .orderBy(col("domain"))
+    }),
+
     // ── Deterministic exact-N sample: the 100 smallest salt-31 hash
     //    ranks — plans as TakeOrderedAndProject (per-partition top-n +
     //    bounded merge), never a full sort ───────────────────────────────

@@ -337,6 +337,9 @@ object Cli {
     *     the PRIOR run via its _seen register; every run writes
     *     <output>_seen.parquet so increments chain)
     *   [--benchmark_docs p] [--doc_id_col doc_id] [--text_col text]
+    *   [--domain_blocklist d1,d2 [--url_col url]]  (a14 URL gate, first
+    *     in the chain: drop docs whose registrable domain matches or is
+    *     a subdomain of a blocked entry; un-parseable URLs are kept)
     *   [--near_threshold 0.8] [--keep_best true]
     *   [--semantic_threshold 0.92]  (d08 hashed-embedding dedup after
     *     the shingle stage; planes derived from corpus occupancy)
@@ -415,17 +418,38 @@ object Cli {
       case None => docs0
     }
     val n0 = timedStage("input_count")(docs.count())
+    // ── optional URL blocklist gate (--domain_blocklist d1,d2 with
+    // [--url_col url]): the a14 primitive, FIRST in the chain — the
+    // C4/RefinedWeb ordering, URL rules drop documents before any text
+    // is tokenized or hashed. Subdomains of a blocked domain are
+    // blocked (host-suffix rule); un-parseable URLs are kept.
+    val domainGated = cfg.strOpt("domain_blocklist") match {
+      case Some(spec) =>
+        val urlCol = cfg.strOpt("url_col").getOrElse("url")
+        val blocked = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val withUrl = load(cfg.str("input_docs"))
+        require(withUrl.columns.contains(urlCol),
+          s"--domain_blocklist needs a '$urlCol' column on the input " +
+            "(set --url_col if it is named differently)")
+        docs.join(
+          graft.text.UrlOps.domainGate(withUrl, urlCol, blocked)
+            .select(col(id)), Seq(id), "left_semi")
+      case None => docs
+    }
+    val nDomain = timedStage("domain_gate")(
+      if (cfg.strOpt("domain_blocklist").isDefined) domainGated.count()
+      else n0)
     // fail fast on non-integral doc ids (CSV reads ids as strings): the
     // near-dup cluster stage casts ids to long — a ticker-style id would
     // silently become NULL and collapse clusters (same failure mode as
     // the --series_col guard in CsvIO)
-    val badIds = timedStage("id_guard")(docs.filter(col(id).isNotNull &&
+    val badIds = timedStage("id_guard")(domainGated.filter(col(id).isNotNull &&
       col(id).cast("long").isNull).count())
     require(badIds == 0,
       s"curate needs integral $id values; $badIds rows fail the long cast " +
         "(map string ids to a dense surrogate key first)")
 
-    val exact = Dedup.dropExactDuplicates(docs, id, text)
+    val exact = Dedup.dropExactDuplicates(domainGated, id, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n1 = timedStage("exact_dedup")(exact.count())
 
@@ -756,9 +780,10 @@ object Cli {
 
     val s = spark
     import s.implicits._
-    val funnel = Seq((n0, n1, n2, n3, nGopher, nLang, nLm, nQ, n4, nEmail,
-        nPhone, nChunks))
-      .toDF("n_input", "n_after_exact_dedup", "n_after_near_dedup",
+    val funnel = Seq((n0, nDomain, n1, n2, n3, nGopher, nLang, nLm, nQ,
+        n4, nEmail, nPhone, nChunks))
+      .toDF("n_input", "n_after_domain_gate",
+        "n_after_exact_dedup", "n_after_near_dedup",
         "n_after_quality", "n_after_gopher_rules", "n_after_lang_filter",
         "n_after_lm_filter", "n_after_quality_classifier",
         "n_after_decontaminate", "n_emails_redacted", "n_phones_redacted",

@@ -687,6 +687,71 @@ class PipelineSpec extends AnyFunSuite {
       "--max_dup_span 20 must drop every doc hosting the interval")
   }
 
+  test("CLI curate --domain_blocklist: blocked domains and their " +
+       "subdomains are dropped first, bad URLs are kept, funnel records it") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftdom").toString
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"a$i").mkString(" "), "https://ads.example.com/x"),
+      (2L, (1 to 20).map(i => s"b$i").mkString(" "), "https://sub.ads.example.com/y"),
+      (3L, (1 to 20).map(i => s"c$i").mkString(" "), "https://keep.org/z"),
+      (4L, (1 to 20).map(i => s"d$i").mkString(" "), "not a url at all"))
+      .toDF("doc_id", "text", "url")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    val out = s"$dir/chunks"
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"$dir/docs",
+      "near_threshold" -> "0.8", "min_tokens" -> "1",
+      "domain_blocklist" -> "ads.example.com",
+      "chunk_window" -> "400", "chunk_stride" -> "300",
+      "output" -> out, "metrics_out" -> s"$dir/funnel.json"))
+    val kept = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L),
+      "exact + subdomain blocked, clean domain and bad URL kept")
+    val funnel = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/funnel.json"))
+    assert(funnel.contains("\"n_input\": 4"), funnel)
+    assert(funnel.contains("\"n_after_domain_gate\": 2"), funnel)
+  }
+
+  test("UrlOps host/domain: userinfo, port, www, deep subdomains, " +
+       "single-label hosts, and junk all resolve per the RE2 contract") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      "https://u:p@www.Site.COM:8080/p?q#f" -> (("www.site.com", "site.com")),
+      "http://a.b.c.example.org/x" -> (("a.b.c.example.org", "example.org")),
+      "ftp+ssh://host" -> (("host", "host")),
+      "no scheme here" -> ((null, null)),
+      "https://plain.net" -> (("plain.net", "plain.net")))
+    val got = rows.map(_._1).toDF("url")
+      .select(graft.text.UrlOps.host(col("url")).as("h"),
+        graft.text.UrlOps.domain(col("url")).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === rows.map(_._2).toSeq)
+  }
+
+  test("UrlOps domainMixture: the a08 cut keyed on the registrable domain") {
+    val s = spark
+    import s.implicits._
+    // 90 docs on big.com, 10 on small.org; a 50/50 target must cut the
+    // over-represented domain down to ~the under-represented one's mass
+    val df = (1L to 100L).map(i =>
+        (i, s"https://w$i.${if (i <= 90) "big.com" else "small.org"}/p"))
+      .toDF("doc_id", "url")
+    val out = graft.text.UrlOps.domainMixture(df, "doc_id", "url",
+        salt = 5, target = Map("big.com" -> 0.5, "small.org" -> 0.5))
+      .withColumn("d", graft.text.UrlOps.domain(col("url")))
+      .groupBy("d").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("small.org") === 10L, "minority domain fully kept")
+    assert(out("big.com") <= 15L && out("big.com") >= 5L,
+      s"majority domain cut to ≈ the minority mass, got ${out("big.com")}")
+  }
+
   test("CLI flag validation: a typo'd flag fails fast with a suggestion " +
        "instead of silently skipping its stage") {
     val e = intercept[IllegalArgumentException] {
