@@ -570,8 +570,20 @@ object Dedup {
     * Nodes outside any pair are absent by construction (every node of
     * an undirected pair graph has degree ≥ 1 — no dangling-mass
     * term). */
+  /** Deep-iteration hygiene: without truncation the plan re-derives
+    * every previous round's `edges⋈deg⋈pr` recursively — depth (and
+    * optimizer time) linear in `iters`. `checkpointEvery` materializes
+    * the rank frame every k rounds (the k01 pattern; ranks are
+    * |nodes| rows — model-sized, not data-sized), which changes
+    * NOTHING numerically: every update is already r6-rounded, a
+    * checkpoint only cuts lineage. `tol` > 0 adds an L1-convergence
+    * early stop (one |nodes|-row agg per round — only pay it when
+    * asked); the oracle-replayed gate entry keeps fixed iters and
+    * tol = 0. */
   def pageRank(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               iters: Int = 2, damping: Double = 0.85): DataFrame = {
+               iters: Int = 2, damping: Double = 0.85,
+               checkpointEvery: Int = 5, tol: Double = 0.0): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
@@ -581,15 +593,26 @@ object Dedup {
     val nDf = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
     var pr = nodes.crossJoin(nDf)
       .select(col("id"), round(lit(1.0) / col("n"), 6).as("pr"))
-    for (_ <- 1 to iters) {
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val contrib = edges.join(deg, "src")
         .join(pr.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("cs"))
-      pr = nodes.join(contrib, Seq("id"), "left").crossJoin(nDf)
+      val next0 = nodes.join(contrib, Seq("id"), "left").crossJoin(nDf)
         .select(col("id"),
           round((lit(1.0) - lit(damping)) / col("n") +
             lit(damping) * coalesce(col("cs"), lit(0.0)), 6).as("pr"))
+      val next = if ((it + 1) % checkpointEvery == 0 && it + 1 < iters)
+        next0.localCheckpoint() else next0
+      if (tol > 0.0) {
+        val l1 = pr.withColumnRenamed("pr", "pr0").join(next, "id")
+          .agg(sum(abs(col("pr") - col("pr0")))).first().getDouble(0)
+        converged = l1 < tol
+      }
+      pr = next
+      it += 1
     }
     pr
   }

@@ -428,6 +428,17 @@ object ScaleBench {
       else if (family == "curate") curateExtras()
       else if (family != "docs") Seq.empty
       else Seq(
+        // the DEEP iterative PageRank path (the gate entry runs 2
+        // rounds; production hub detection runs tens): 20 rounds with
+        // the every-5 lineage truncation — the cell measures that the
+        // per-round cost stays flat and the truncated plan doesn't
+        // re-derive earlier rounds
+        "p01x_pagerank_deep" -> ((d: String) => {
+          val pairs = graft.text.Dedup.minhashLshPairs(
+            graft.core.Tables.documents(spark, d), "doc_id", "text",
+            k = 5, numPerm = 64, bands = 16, threshold = 0.5)
+          graft.text.Dedup.pageRank(pairs, iters = 20, checkpointEvery = 5)
+        }),
         "s01x_lsh_scaled" -> ((d: String) =>
           graft.sim.Similarity.lshNearDupPairsScaled(
             graft.core.Tables.embeddings(spark, d), "vec_id", "embedding",

@@ -98,6 +98,32 @@ class DedupSimSpec extends AnyFunSuite {
     assert(clean3 === "fc1 " + q + " fc2 fc3")
   }
 
+  test("pageRank: checkpointing cadence changes nothing numerically; " +
+       "L1 tol stops a converged chain early with the same ranks") {
+    val s = spark
+    import s.implicits._
+    // star + chain + triangle: asymmetric enough that ranks differ
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    def ranks(ckEvery: Int, iters: Int = 12, tol: Double = 0.0) =
+      Dedup.pageRank(pairs, iters = iters, checkpointEvery = ckEvery,
+          tol = tol)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val every = ranks(ckEvery = 1)
+    val never = ranks(ckEvery = 1000)
+    assert(every === never,
+      "per-iteration checkpointing must be numerically invisible " +
+        "(every update is r6-rounded)")
+    // r6-rounded power iteration reaches an exact fixpoint; tol stops
+    // there with identical ranks to running the full budget
+    val tolStopped = ranks(ckEvery = 5, iters = 100, tol = 1e-9)
+    val fullBudget = ranks(ckEvery = 5, iters = 100)
+    assert(tolStopped === fullBudget,
+      "early convergence stop must land on the same fixpoint")
+    // sanity: the hub outranks its satellites
+    assert(every(1L) > every(2L) && every(4L) > every(2L))
+  }
+
   test("n-gram jaccard finds exact and near dups, not unrelated") {
     val pairs = Dedup.jaccardPairs(docsDf, "doc_id", "text", k = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
