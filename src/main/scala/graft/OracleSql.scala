@@ -144,14 +144,44 @@ object OracleSql {
        |vec AS (SELECT doc_id, list(v ORDER BY j) AS v FROM emb GROUP BY doc_id)""".stripMargin
   }
 
-  /** k01's centroid chain (t16 vec CTEs + init c0 + two Lloyd
-    * assign/update cycles → c2 (cid, list v)) — shared by k01/k02. */
-  private lazy val k01CentCtes: String =
+  /** k01's min-id init CTE: c0 = the 8 smallest doc ids' vectors,
+    * centroid index in doc-id order. */
+  private lazy val k01MinIdInit: String =
+    """ids AS (SELECT doc_id FROM vec ORDER BY doc_id LIMIT 8),
+      |c0 AS (SELECT (row_number() OVER (ORDER BY v0.doc_id) - 1)::INT AS cid,
+      |         v0.v AS v
+      |       FROM vec v0 JOIN ids USING (doc_id))""".stripMargin
+
+  /** k01d's farthest-point init CTE chain: s0 = the smallest id's
+    * vector; each round picks the vector maximizing the min distance
+    * key to the chosen set (exact doubles, ties → smallest id) —
+    * mirrors [[graft.sim.KMeans.farthestPointInit]]. */
+  private lazy val k01FarthestInit: String = {
+    // every s_t MUST be MATERIALIZED: dm_t and s_t both reference
+    // s_{t-1}, so an inlining planner would expand the chain 2^7-fold
+    // (each s_t is ≤ 8 rows — materialization is free)
+    val rounds = (1 to 7).map { t =>
+      s"""dm$t AS (SELECT vecm.doc_id, vecm.v,
+         |          min(list_inner_product(c.v, c.v)
+         |              - 2.0*list_inner_product(vecm.v, c.v)) AS dm
+         |        FROM vecm CROSS JOIN s${t - 1} c GROUP BY vecm.doc_id, vecm.v),
+         |p$t AS (SELECT v FROM dm$t ORDER BY dm DESC, doc_id LIMIT 1),
+         |s$t AS MATERIALIZED (SELECT * FROM s${t - 1}
+         |        UNION ALL SELECT $t::INT AS ord, v FROM p$t)""".stripMargin
+    }.mkString(",\n")
+    s"""vecm AS MATERIALIZED (SELECT doc_id, v FROM vec),
+       |s0 AS MATERIALIZED (SELECT 0::INT AS ord, v FROM vecm
+       |       WHERE doc_id = (SELECT min(doc_id) FROM vecm)),
+       |$rounds,
+       |c0 AS (SELECT ord AS cid, v FROM s7)""".stripMargin
+  }
+
+  /** k01's centroid chain (t16 vec CTEs + an init CTE exposing
+    * c0 (cid, v) + two Lloyd assign/update cycles → c2 (cid, list v))
+    * — shared by k01/k01d/k02. */
+  private def k01Chain(initCte: String): String =
     s"""$t16VecCtes,
-       |ids AS (SELECT doc_id FROM vec ORDER BY doc_id LIMIT 8),
-       |c0 AS (SELECT (row_number() OVER (ORDER BY v0.doc_id) - 1)::INT AS cid,
-       |         v0.v AS v
-       |       FROM vec v0 JOIN ids USING (doc_id)),
+       |$initCte,
        |d1 AS (SELECT vec.doc_id,
        |         list(list_inner_product(c.v, c.v)
        |              - 2.0*list_inner_product(vec.v, c.v)
@@ -182,6 +212,8 @@ object OracleSql {
        |c2 AS (SELECT g.cid, list(coalesce(m2.cv, g.cv) ORDER BY g.j) AS v
        |       FROM c1d g LEFT JOIN m2 ON m2.cid = g.cid AND m2.j = g.j
        |       GROUP BY g.cid)""".stripMargin
+
+  private lazy val k01CentCtes: String = k01Chain(k01MinIdInit)
 
   private lazy val t17AsgCtes: String = {
     val dExprs = graft.text.TopicCentroids.K8.map(c =>
@@ -3244,6 +3276,23 @@ object OracleSql {
     // clusters keep their previous centroid (the coalesce)
     "k01_kmeans_fit" ->
       s"""WITH $k01CentCtes,
+         |d3 AS (SELECT vec.doc_id,
+         |         list(list_inner_product(c.v, c.v)
+         |              - 2.0*list_inner_product(vec.v, c.v)
+         |              ORDER BY c.cid) AS dl
+         |       FROM vec CROSS JOIN c2 c GROUP BY vec.doc_id, vec.v),
+         |a3 AS (SELECT doc_id,
+         |         (list_position(dl, list_aggregate(dl, 'min')) - 1)::BIGINT AS cluster
+         |       FROM d3)
+         |SELECT doc_id, cluster,
+         |  count(*) OVER (PARTITION BY cluster) AS cluster_size
+         |FROM a3 ORDER BY doc_id""".stripMargin,
+
+    // k01 with farthest-point init (k01d): the same two Lloyd cycles
+    // over the init chain that greedily maximizes the min distance key
+    // — every pick an exact-double argmax both engines replay
+    "k01d_kmeans_farthest" ->
+      s"""WITH ${k01Chain(k01FarthestInit)},
          |d3 AS (SELECT vec.doc_id,
          |         list(list_inner_product(c.v, c.v)
          |              - 2.0*list_inner_product(vec.v, c.v)

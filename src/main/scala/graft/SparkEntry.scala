@@ -507,6 +507,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── k01 with FARTHEST-POINT init (deterministic k-means++ family):
+    //    c0 = smallest id's vector, then k−1 exact-double argmax rounds
+    //    (max of min distance key, ties → smallest id) before the same
+    //    2 Lloyd cycles — the init that survives a near-duplicate
+    //    prefix of doc ids ─────────────────────────────────────────────
+    "k01d_kmeans_farthest" -> ((s, dir) => {
+      val vecs = graft.text.TextOps
+        .hashEmbedVectors(docs(s, dir), "doc_id", "text")
+      val (_, asg) = graft.sim.KMeans.fit(vecs, "doc_id", "embedding",
+        k = 8, iters = 2, initMode = "farthest_point")
+      asg
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Cluster-quality report over the SAME k01 fit: member count,
     //    mean squared distance to own centroid (the argmin key reused
     //    as the value), squared margin to the nearest other centroid ───

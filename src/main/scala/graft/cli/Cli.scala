@@ -745,7 +745,8 @@ object Cli {
           case Some(k) =>
             val vecs = TextOps.hashEmbedVectors(base, id, text)
             val (cents, _) = timedStage("topic_fit")(graft.sim.KMeans.fit(
-              vecs, id, "embedding", k.toInt, iters = 2))
+              vecs, id, "embedding", k.toInt, iters = 2,
+              initMode = cfg.strOpt("topic_init").getOrElse("min_id")))
             TextOps.topicAssign(base, id, text, cents)
           case None => TextOps.topicAssign(base, id, text)
         }

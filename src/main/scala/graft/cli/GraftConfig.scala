@@ -78,7 +78,7 @@ object GraftConfig {
     "min_shared", "max_per_source", "mixture_target", "token_budget",
     "lm_ref_docs", "min_avg_logprob", "min_q_prob", "chunk_window",
     "chunk_stride", "split_salt", "pack_budget", "assign_topics",
-    "train_topics", "incremental_from", "stage_timing",
+    "train_topics", "topic_init", "incremental_from", "stage_timing",
     "max_dup_span", "domain_blocklist", "url_col")
 
   /** `--key value` CLI args → overrides; `--load_config f.json` merges

@@ -30,12 +30,49 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** Deterministic FARTHEST-POINT init (the greedy 2-approximation to
+    * k-center, the deterministic member of the k-means++ family): c₀ =
+    * the smallest id's vector; each further centroid is the vector
+    * MAXIMIZING the minimum distance key to the centroids chosen so
+    * far (ties → smallest id). Where the min-id init degenerates when
+    * the first k docs are near-duplicates (k02's min_margin flags it
+    * only after the fact), this spreads the seeds across the data by
+    * construction.
+    *
+    * Oracle-replayable without randomness: each round's distance key is
+    * min over chosen of (c·c − 2·x·c) — sequential inner products over
+    * identical r6 doubles in both engines, so the exact-double argmax
+    * (DESC, id ASC) picks the same doc. Each of the k−1 rounds is one
+    * map-side key computation + one TakeOrdered(1); driver state is the
+    * growing k×dim matrix only. `vecs` should be materialized by the
+    * caller ([[fit]] checkpoints before calling). */
+  def farthestPointInit(vecs: DataFrame, id: String, vec: String,
+                        k: Int, start: Array[Double]): Array[Array[Double]] = {
+    var chosen = Vector(start)
+    while (chosen.length < k) {
+      val keys = chosen.map { c =>
+        val cLit = array(c.map(lit): _*)
+        val c2 = c.map(x => x * x).sum
+        Similarity.dot(col(vec), cLit) * -2.0 + lit(c2)
+      }
+      val next = vecs
+        .select(col(id), col(vec), array_min(array(keys: _*)).as("_dm"))
+        .orderBy(col("_dm").desc, col(id)).limit(1)
+        .select(col(vec)).collect()(0).getSeq[Double](0).toArray
+      chosen :+= next
+    }
+    chosen.toArray
+  }
+
   /** Run `iters` (assign, update) cycles from the deterministic init
     * and return (final centroids, assignment under them). `vecs` must
     * carry (`id`: long, `vec`: array&lt;double&gt;) with a constant
-    * vector dimension. */
+    * vector dimension. `initMode`: "min_id" (the k smallest ids'
+    * vectors — the k01 contract) or "farthest_point"
+    * ([[farthestPointInit]] from the smallest id). */
   def fit(vecs0: DataFrame, id: String, vec: String, k: Int,
-          iters: Int): (Array[Array[Double]], DataFrame) = {
+          iters: Int, initMode: String = "min_id")
+      : (Array[Array[Double]], DataFrame) = {
     // materialize the input ONCE: the fit loop reads it 2·iters+2
     // times (init probe, per-iteration assign + mean, final assign) and
     // a live embedding-construction lineage would recompute its
@@ -51,7 +88,13 @@ object KMeans {
       s"k-means needs at least k=$k rows, got ${init.length} — lower k " +
         "(curate --train_topics) or loosen the upstream filters")
     val dim = init.head.length
-    var cents = init
+    var cents = initMode match {
+      case "min_id" => init
+      case "farthest_point" =>
+        farthestPointInit(vecs, id, vec, k, init.head)
+      case other => throw new IllegalArgumentException(
+        s"unknown k-means initMode '$other' (min_id | farthest_point)")
+    }
     for (_ <- 1 to iters) {
       val assigned = vecs.select(
         Similarity.ivfAssign(col(vec), cents).cast("int").as("cl"),

@@ -127,4 +127,45 @@ class KMeansSpec extends AnyFunSuite {
     assert(meansPlan.contains("HashAggregate"),
       "mean update must be a hash agg (map-side combinable)")
   }
+
+  test("k01d farthest-point init survives a near-duplicate id prefix " +
+       "where the min-id init provably degenerates") {
+    // four well-separated groups; the four SMALLEST ids are IDENTICAL
+    // vectors in group 0 — the pathological prefix k02's min_margin
+    // only flags after the fact
+    def g(axis: Int, eps: Double) =
+      Array.tabulate(4)(j => (if (j == axis) 10.0 else 0.0) + eps)
+    val rows =
+      (1L to 4L).map(i => (i, g(0, 0.0), 0)) ++        // identical prefix
+      (5L to 8L).map(i => (i, g(1, 0.01 * i), 1)) ++
+      (9L to 12L).map(i => (i, g(2, 0.01 * i), 2)) ++
+      (13L to 16L).map(i => (i, g(3, 0.01 * i), 3)) ++
+      (17L to 18L).map(i => (i, g(0, 0.01 * i), 0))
+    val vecs = rows.map { case (i, v, grp) => (i, v.toSeq, grp) }
+      .toDF("doc_id", "embedding", "grp")
+    // min-id init: all 4 centroids identical -> every doc ties to
+    // centroid 0 on iteration 1 -> at most TWO distinct final clusters
+    // (the global mean + the untouched duplicates) — degenerate
+    val (_, asgMin) = KMeans.fit(vecs, "doc_id", "embedding", k = 4,
+      iters = 2, initMode = "min_id")
+    val distinctMin = asgMin.select("cluster").distinct().count()
+    assert(distinctMin < 4,
+      s"min-id init must degenerate here, got $distinctMin clusters")
+    // farthest-point init: one seed per group by construction, and the
+    // 2-iteration fit recovers the true grouping exactly
+    val picks = KMeans.farthestPointInit(vecs, "doc_id", "embedding",
+      k = 4, start = g(0, 0.0))
+    assert(picks.map(_.indexWhere(_ >= 9.0)).sorted.toSeq === Seq(0, 1, 2, 3),
+      "farthest-point must pick one seed per group")
+    val (_, asgFp) = KMeans.fit(vecs, "doc_id", "embedding", k = 4,
+      iters = 2, initMode = "farthest_point")
+    val byGroup = asgFp.join(vecs.select(col("doc_id"), col("grp")), "doc_id")
+      .select(col("grp"), col("cluster")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    val g2c = byGroup.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(g2c.values.forall(_.size == 1),
+      s"every true group must land in one cluster: $g2c")
+    assert(g2c.values.map(_.head).toSet.size === 4,
+      s"the four groups must land in four distinct clusters: $g2c")
+  }
 }
