@@ -419,8 +419,12 @@ object TextOps {
 
   /** Train [[lmScore]]'s model tables from the reference corpus. */
   def lmTrain(train: DataFrame, id: String, text: String): LmModel = {
+    // checkpointed ONCE: c1 derives from c2 and the scoring join reads
+    // BOTH, so a live lineage would run the bigram explode + agg twice
+    // per score pass; the blocks are the bigram-agg output (model-sized)
     val c2 = bigramsAll(train, id, text)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vocab = tokens(train, text).select(col("token")).distinct().count()
     LmModel(c2, c1, vocab)
@@ -769,7 +773,12 @@ object TextOps {
       .filter(col("token") =!= "")
     val tf = toks.groupBy(col(id), col("token"))
       .agg(count(lit(1)).as("tf"))
+    // checkpointed ONCE: the broadcast guard's bounded probe AND the
+    // score join both read dfreq — a live lineage would run the token
+    // explode + agg twice (the r10 watch-list item); the blocks are the
+    // agg OUTPUT (vocab-sized), far smaller than the corpus
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
     // bounded probe, not a full count: stops scanning the agg output
     // past the threshold, so the guard job is O(threshold) rows even
     // on an open-vocabulary corpus
