@@ -279,6 +279,29 @@ object StreamingScore {
         corpusTf, corpusStats, id, qterms, k))
     }
 
+  /** Streaming t20 INGEST twin — the retrieval-index half of the s05
+    * lifecycle pairing ([[ivfPqIndexIngest]] is the ANN half): append
+    * each micro-batch of documents to a persisted
+    * [[graft.text.TextOps.writeBm25Index]] index via
+    * [[graft.text.TextOps.appendBm25Index]] — postings files land
+    * inside the existing `tb=` bucket dirs and the corpus stats update
+    * as EXACT integers (n_docs/total_tokens are pure totals), so
+    * append-equals-rebuild holds across arbitrary micro-batch
+    * boundaries and a concurrent [[bm25Serve]]/`bm25TopKIndexed`
+    * reader sees each batch as soon as its files commit. CONTRACT
+    * (the batch op's): arriving doc ids must be disjoint from the
+    * indexed ones — postings carry no per-doc versioning; the curate
+    * seen-register is the enforcement mechanism upstream. Build the
+    * index offline first; ZERO streaming state, the index IS the
+    * sink. */
+  def bm25IndexIngest(docs: DataFrame, indexPath: String, id: String,
+                      text: String, nBuckets: Int = 64)
+                     : DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.text.TextOps.appendBm25Index(batch, id, text, indexPath,
+        nBuckets)
+    }
+
   /** Streaming a12 twin — shuffled-shard INGEST: each arriving doc is
     * hash-assigned its shard exactly like the batch op (pure map-side,
     * identical to [[graft.core.ScaleOps.shardShuffle]]), and takes the

@@ -621,6 +621,39 @@ class TextLmPackSpec extends AnyFunSuite {
         .take(3).mkString("\n"))
   }
 
+  test("streaming BM25 index ingest (t20 twin): append-equals-rebuild " +
+       "across micro-batches incl. the exact-integer corpus-stat update") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graftb25st").toString
+    // offline build on doc_id % 3 == 0; stream the rest in over >= 2
+    // micro-batches (one file per trigger)
+    TextOps.writeBm25Index(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", s"$dir/idx")
+    val rest = docs.filter(col("doc_id") % 3 =!= 0)
+    rest.repartition(3).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(rest.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = graft.streaming.StreamingScore.bm25IndexIngest(
+      stream, s"$dir/idx", "doc_id", "text").start()
+    q.processAllAvailable(); q.stop()
+    val mem = TextOps.bm25TopK(docs, "doc_id", "text").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).toSet
+    val served = TextOps.bm25TopKIndexed(spark, s"$dir/idx")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(served === mem,
+      "streamed ingest must serve bit-identically to the in-memory path")
+    // corpus stats accumulated exactly (integer adds, no double drift)
+    val st = spark.read.parquet(s"$dir/idx_stats").first()
+    val expDocs = docs.count()
+    val expToks = TextOps.tokens(docs, "text").count()
+    assert(st.getLong(0) === expDocs && st.getLong(1) === expToks,
+      s"stats must be exact integers: got (${st.getLong(0)}, " +
+        s"${st.getLong(1)}), want ($expDocs, $expToks)")
+  }
+
   test("streaming shard ingest (a12 twin): identical shard assignment, " +
        "dense per-shard positions across micro-batches; single-batch " +
        "stream equals the batch op exactly") {
