@@ -3235,6 +3235,70 @@ object OracleSql {
     // rank ties broken by doc_id)
     "t19_bm25_topk" -> t19Sql,
 
+    // per-collection BM25 (t19b): every corpus stat within the source
+    // group, top-5 per (source, query) — t19's algebra with the
+    // collection key riding every group/join/window key
+    "t19b_bm25_topk_by" -> {
+      val qvals = graft.text.TextOps.Bm25Queries.flatMap { case (qid, qt) =>
+        qt.split(" ").filter(_.nonEmpty).distinct
+          .map(t => s"($qid, '$t')")
+      }.mkString(", ")
+      s"""WITH q(query_id, token) AS (VALUES $qvals),
+         |dlt AS (SELECT source, doc_id,
+         |          len(regexp_extract_all(text, '[^ ]+'))::BIGINT AS dl
+         |        FROM documents),
+         |st AS (SELECT source, count(*)::BIGINT AS n_docs, avg(dl) AS avgdl
+         |       FROM dlt GROUP BY 1),
+         |toks AS (SELECT source, doc_id, unnest(string_split(text,' ')) AS token
+         |         FROM documents),
+         |tf AS (SELECT source, doc_id, token, count(*)::BIGINT AS tf FROM toks
+         |       WHERE token <> '' GROUP BY 1, 2, 3),
+         |dfq AS (SELECT source, token, count(*)::BIGINT AS df
+         |        FROM tf JOIN (SELECT DISTINCT token FROM q) qt USING (token)
+         |        GROUP BY 1, 2),
+         |s AS (SELECT tf.source, q.query_id, tf.doc_id,
+         |        ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         |          * tf.tf * (1.2 + 1.0)
+         |          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlt.dl / st.avgdl))
+         |          AS part
+         |      FROM tf
+         |      JOIN dfq ON dfq.source = tf.source AND dfq.token = tf.token
+         |      JOIN q ON q.token = tf.token
+         |      JOIN dlt ON dlt.source = tf.source AND dlt.doc_id = tf.doc_id
+         |      JOIN st ON st.source = tf.source),
+         |g AS (SELECT source, query_id, doc_id, count(*)::BIGINT AS n_hit,
+         |        round(sum(part), 6) AS score FROM s GROUP BY 1, 2, 3),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source, query_id
+         |        ORDER BY score DESC, doc_id) AS rk FROM g)
+         |SELECT source, query_id, doc_id, n_hit, score, rk::INT AS rk
+         |FROM r WHERE rk <= 5 ORDER BY source, query_id, rk""".stripMargin
+    },
+
+    // per-collection duplication ratio (t21b): shingle df within the
+    // source group — t21's algebra keyed on (source, shingle)
+    "t21b_dup_ratio_by" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |                unnest(string_split(text,' ')) AS token,
+        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |              FROM documents),
+        |t AS (SELECT doc_id, source, token, pos FROM toks WHERE token <> ''),
+        |sh0 AS (SELECT doc_id, source,
+        |          concat_ws(' ', token, lead(token,1) OVER w, lead(token,2) OVER w,
+        |            lead(token,3) OVER w, lead(token,4) OVER w, lead(token,5) OVER w,
+        |            lead(token,6) OVER w, lead(token,7) OVER w) AS shingle,
+        |          lead(token,7) OVER w AS l7
+        |        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT DISTINCT doc_id, source, shingle FROM sh0 WHERE l7 IS NOT NULL),
+        |d AS (SELECT source, shingle, count(*)::BIGINT AS df FROM sh GROUP BY 1, 2),
+        |p AS (SELECT sh.doc_id, sh.source, count(*)::BIGINT AS n_grams,
+        |        sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+        |      FROM sh JOIN d ON d.source = sh.source AND d.shingle = sh.shingle
+        |      GROUP BY 1, 2)
+        |SELECT doc_id, source, n_grams, n_shared,
+        |  round(n_shared::DOUBLE / n_grams, 6) AS dup_ratio,
+        |  (n_shared::DOUBLE / n_grams >= 0.5)::INT AS flagged
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     // persisted BM25 index (t20): serving is bit-identical to t19 —
     // doc length denormalized at build, avgdl from exact persisted
     // integer totals, df complete under bucket pruning (every posting

@@ -480,6 +480,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── t19b: per-COLLECTION BM25 — every stat (df, n_docs, avgdl)
+    //    within the source group, top-5 per (source, query) ─────────────
+    "t19b_bm25_topk_by" -> ((s, dir) => {
+      graft.text.TextOps.bm25TopKBy(docs(s, dir), "doc_id", "source",
+          "text")
+        .orderBy(col("source"), col("query_id"), col("rk"))
+    }),
+
+    // ── t21b: per-COLLECTION duplication ratio — shingle df within the
+    //    source group, the multi-tenant memorization card ───────────────
+    "t21b_dup_ratio_by" -> ((s, dir) => {
+      graft.text.TextOps.crossDupRatioBy(docs(s, dir), "doc_id",
+          "source", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Persisted BM25 index — postings partitioned by token hash
     //    bucket, query vocabulary pushed as a literal partition filter;
     //    bit-identical to t19 (shared oracle, the s05 precedent) ────────

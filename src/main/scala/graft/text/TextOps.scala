@@ -193,6 +193,47 @@ object TextOps {
         (col("n_shared") / col("n_grams") >= maxRatio).cast("int"))
   }
 
+  /** Per-COLLECTION cross-doc duplication ratio (t21b — the `*b`
+    * family pass over t21): shingle document frequency is computed
+    * WITHIN each `series` group (tenant / corpus snapshot / source), so
+    * a passage shared across collections does not flag either of them —
+    * the multi-tenant form of the memorization-risk card. Same scale
+    * shape as [[crossDupRatio]] with the collection key riding every
+    * agg/join key: one (series, shingle)-keyed df agg and one
+    * inverted-index join back, nothing pairwise, no new shuffle
+    * structure. */
+  def crossDupRatioBy(df: DataFrame, id: String, series: String,
+                      text: String, k: Int = 8,
+                      maxRatio: Double = 0.5): DataFrame = {
+    val toks = tokens(df, text)
+      .select(col(id), col(series), col("pos"), col("token"))
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val parts = (0 until k).map {
+      case 0 => col("token")
+      case i => lead(col("token"), i).over(w)
+    }
+    // checkpointed ONCE: the df agg and the join-back both read the
+    // shingle frame — a live lineage would run the token explode +
+    // per-doc lead windows + distinct twice (measured 2.99 → ~2.0 on
+    // the 10× docs axis)
+    val sg = toks.withColumn("shingle", concat_ws(" ", parts: _*))
+      .withColumn("_last", parts.last)
+      .filter(col("_last").isNotNull)
+      .select(col(id), col(series), col("shingle")).distinct()
+      .localCheckpoint()
+    val dfreq = sg.groupBy(col(series), col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    sg.join(dfreq, Seq(series, "shingle"))
+      .groupBy(col(id), col(series))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1).otherwise(0)).cast("long")
+          .as("n_shared"))
+      .withColumn("dup_ratio",
+        round(col("n_shared") / col("n_grams"), 6))
+      .withColumn("flagged",
+        (col("n_shared") / col("n_grams") >= maxRatio).cast("int"))
+  }
+
   /** Decontamination (beyond reference): k-gram overlap between a train
     * corpus and a benchmark/eval set — the standard eval-leakage filter
     * in LLM training pipelines. Inverted-index join keyed on the gram
@@ -936,6 +977,67 @@ object TextOps {
       qt.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t))
     }.toDF("query_id", "token")
     bm25ScoreQueries(tf, stats, id, qterms, k, k1, b)
+  }
+
+  /** Per-COLLECTION BM25 top-k (t19b — the `*b` family pass over t19):
+    * every corpus statistic (df, n_docs, avgdl) is computed WITHIN each
+    * `series` group and each query is ranked independently per
+    * collection — the multi-tenant retrieval form ("top-5 per tenant",
+    * "per crawl snapshot"). Same plan contract as [[bm25TopK]] with the
+    * collection key riding every agg/join/window key: postings
+    * semi-restrict to the broadcast query vocabulary BEFORE df work,
+    * dl = Σ tf per (series, doc) from the postings themselves (never a
+    * Generate-adjacent regexp — the t19 doc-length lesson), per-series
+    * stats join back broadcast (|series| rows), and the top-k stays
+    * two-phase salted so one hot (collection, query) cannot funnel a
+    * reducer. */
+  def bm25TopKBy(df: DataFrame, id: String, series: String, text: String,
+                 queries: Seq[(Int, String)] = Bm25Queries, k: Int = 5,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dlCol = size(regexp_extract_all(col(text), lit("[^ ]+"), lit(0)))
+      .cast("long")
+    val stats = df.groupBy(col(series))
+      .agg(count(lit(1)).cast("long").as("n_docs"), avg(dlCol).as("avgdl"))
+    val toks = df
+      .select(col(series), col(id), explode(split(col(text), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col(series), col(id), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val qterms = queries.flatMap { case (qid, qt) =>
+      qt.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t))
+    }.toDF("query_id", "token")
+    val tfq = tf.join(broadcast(qterms.select(col("token")).distinct()),
+      Seq("token"))
+    val dl = tf.groupBy(col(series), col(id)).agg(sum(col("tf")).as("dl"))
+    val dfq = tfq.groupBy(col(series), col("token"))
+      .agg(count(lit(1)).as("df"))
+    val parts = tfq.join(dl, Seq(series, id))
+      .join(broadcast(dfq), Seq(series, "token"))
+      .join(broadcast(qterms), Seq("token"))
+      .join(broadcast(stats), Seq(series))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("part", col("idf") * col("tf") * (lit(k1) + lit(1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val g = parts.groupBy(col(series), col("query_id"), col(id))
+      .agg(count(lit(1)).as("n_hit"),
+        round(sum(col("part")), 6).as("score"))
+    val pre = g
+      .withColumn("_salt", pmod(xxhash64(col(id)), lit(64)))
+      .withColumn("_prk", row_number().over(
+        Window.partitionBy(col(series), col("query_id"), col("_salt"))
+          .orderBy(col("score").desc, col(id))))
+      .filter(col("_prk") <= k)
+    pre
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(series), col("query_id"))
+          .orderBy(col("score").desc, col(id))))
+      .filter(col("rk") <= k)
+      .select(col(series), col("query_id"), col(id), col("n_hit"),
+        col("score"), col("rk"))
   }
 
   /** The static half of BM25 serving: the per-(doc, token) postings

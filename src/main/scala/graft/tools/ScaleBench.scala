@@ -134,7 +134,9 @@ object ScaleBench {
     "k01_kmeans_fit", "a11_temperature_mixture", "a12_shard_shuffle",
     "t22_token_spectrum", "k02_cluster_quality", "p01_pagerank",
     "a13_weighted_sample", "t20_bm25_indexed",
-    "d09_substring_dedup", "d09c_substring_cut")
+    "d09_substring_dedup", "d09c_substring_cut",
+    "t19b_bm25_topk_by", "t21b_dup_ratio_by", "a14_domain_rollup",
+    "k01d_kmeans_farthest")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
