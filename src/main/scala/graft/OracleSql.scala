@@ -5599,6 +5599,45 @@ object OracleSql {
         |FROM iv WHERE span_end - span_start + 1 >= 20
         |ORDER BY doc_id, span_start""".stripMargin,
 
+    // exact-substring decontamination (t23): d09's run collapse with
+    // the duplicated-gram probe replaced by membership in the odd-doc
+    // benchmark's gram frame; twin_count = the rarest gram's benchmark
+    // occurrence count
+    "t23_substring_contamination" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |              FROM documents),
+        |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+        |ti AS (SELECT doc_id, token,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS ti
+        |       FROM t),
+        |g0 AS (SELECT doc_id, ti,
+        |         concat_ws(' ', token, lead(token,1) OVER w, lead(token,2) OVER w,
+        |           lead(token,3) OVER w, lead(token,4) OVER w, lead(token,5) OVER w,
+        |           lead(token,6) OVER w, lead(token,7) OVER w) AS g,
+        |         lead(token,7) OVER w AS l7
+        |       FROM ti WINDOW w AS (PARTITION BY doc_id ORDER BY ti)),
+        |g AS (SELECT doc_id, ti, g FROM g0 WHERE l7 IS NOT NULL),
+        |bg AS (SELECT g, count(*)::BIGINT AS c FROM g
+        |       WHERE doc_id % 2 = 1 GROUP BY 1),
+        |tr AS (SELECT g.doc_id, g.ti, bg.c FROM g JOIN bg USING (g)
+        |       WHERE g.doc_id % 2 = 0),
+        |lagd AS (SELECT doc_id, ti, c,
+        |           CASE WHEN ti = lag(ti) OVER (PARTITION BY doc_id ORDER BY ti) + 1
+        |                THEN 0 ELSE 1 END AS brk
+        |         FROM tr),
+        |runs AS (SELECT doc_id, ti, c,
+        |           sum(brk) OVER (PARTITION BY doc_id ORDER BY ti
+        |             ROWS UNBOUNDED PRECEDING) AS run
+        |         FROM lagd),
+        |iv AS (SELECT doc_id, min(ti)::BIGINT AS span_start,
+        |         (max(ti) + 7)::BIGINT AS span_end, min(c)::BIGINT AS twin_count
+        |       FROM runs GROUP BY doc_id, run)
+        |SELECT doc_id, span_start, span_end,
+        |  (span_end - span_start + 1)::BIGINT AS span_tokens, twin_count
+        |FROM iv WHERE span_end - span_start + 1 >= 20
+        |ORDER BY doc_id, span_start""".stripMargin,
+
     // d09 cut form: the same interval frame, intervals grouped by the
     // md5 of their covered token slice, keep-first (doc, start) per
     // content, losers' tokens removed, docs reassembled in ti order

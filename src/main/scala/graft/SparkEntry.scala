@@ -1705,6 +1705,18 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // ── t23: exact-substring DECONTAMINATION — maximal intervals of an
+    //    even-doc "train" corpus whose every 8-gram occurs in the
+    //    odd-doc "benchmark" set (the t01 split), ≥ 20 tokens; span
+    //    evidence for cut-vs-drop decisions ─────────────────────────────
+    "t23_substring_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.Dedup.substringContamination(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", k = 8, minSpanTokens = 20)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // ── d09 CUT form: duplicated intervals grouped by slice content,
     //    keep-first election per content, losers' tokens removed and
     //    docs reassembled (the d05 output contract at arbitrary

@@ -279,6 +279,34 @@ object StreamingScore {
         corpusTf, corpusStats, id, qterms, k))
     }
 
+  /** Streaming t23 twin — exact-substring decontamination of ARRIVING
+    * train docs against a FROZEN benchmark gram frame
+    * ([[graft.text.Dedup.benchGramCounts]], built once and persisted
+    * by the caller): each micro-batch runs the exact batch span path
+    * ([[graft.text.Dedup.substringSpansAgainst]]). A doc's token
+    * positions all arrive in its own row, so spans are a per-doc
+    * function of (doc, frozen benchmark) — micro-batch boundaries
+    * cannot change any interval and the stream carries ZERO state. */
+  def substringContaminationAgainst(benchGrams: DataFrame, docs: DataFrame,
+                                    id: String, text: String, k: Int = 8,
+                                    minSpanTokens: Int = 20)
+                                   (sink: DataFrame => Unit)
+                                   : DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.text.Dedup.substringSpansAgainst(
+        benchGrams, batch, id, text, k, minSpanTokens))
+    }
+
+  /** Streaming a14 twin — URL blocklist gate on a document stream: a
+    * pure per-row filter ([[graft.text.UrlOps.domainGate]] is one
+    * regex + literal suffix matches), so it applies DIRECTLY to the
+    * streaming frame — no foreachBatch, no state, batch-identical by
+    * construction. Returned as a transformed stream for composition
+    * with downstream stages. */
+  def domainGate(docs: DataFrame, url: String,
+                 blocklist: Seq[String]): DataFrame =
+    graft.text.UrlOps.domainGate(docs, url, blocklist)
+
   /** Streaming t20 INGEST twin — the retrieval-index half of the s05
     * lifecycle pairing ([[ivfPqIndexIngest]] is the ANN half): append
     * each micro-batch of documents to a persisted

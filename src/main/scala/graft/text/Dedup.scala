@@ -434,18 +434,7 @@ object Dedup {
     * Nothing pairwise, no driver state. */
   def substringSpans(df: DataFrame, id: String, text: String, k: Int = 8,
                      minSpanTokens: Int = 20): DataFrame = {
-    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
-    val ti = TextOps.tokens(df, text)
-      .select(col(id), col("pos"), col("token"))
-      .withColumn("ti", row_number().over(w) - 1)
-    val parts = (0 until k).map {
-      case 0 => col("token")
-      case i => lead(col("token"), i).over(w)
-    }
-    val grams = ti.withColumn("g", concat_ws(" ", parts: _*))
-      .withColumn("_last", parts.last)
-      .filter(col("_last").isNotNull)
-      .select(col(id), col("ti"), unhex(md5(col("g"))).as("gd"))
+    val grams = gramPositions(df, id, text, k)
     val dupGrams = grams.groupBy(col("gd"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
@@ -464,6 +453,84 @@ object Dedup {
       .filter(col("span_tokens") >= minSpanTokens)
       .select(col(id), col("span_start"), col("span_end"),
         col("span_tokens"), col("twin_count"))
+  }
+
+  /** EXACT-SUBSTRING decontamination (beyond reference, t23): the
+    * cross-corpus form of [[substringSpans]] — maximal intervals of a
+    * TRAIN document whose every k-gram also occurs in the
+    * BENCHMARK/eval corpus, at arbitrary boundaries. The gram-overlap
+    * decontaminators ([[TextOps.contamination]] t01,
+    * [[TextOps.bloomContamination]] t06) answer "which train docs
+    * overlap the benchmark"; this answers "WHERE, and how long" — the
+    * span evidence that decides between dropping a doc and cutting the
+    * leaked passage (the Lee et al. dedup machinery pointed at eval
+    * leakage). `twin_count` = the benchmark occurrence count of the
+    * interval's rarest gram.
+    *
+    * Scale shape: the benchmark side reduces to one distinct
+    * (digest, count) frame (benchmark sets are tiny next to a 100 TB
+    * train corpus — the t06/fuzzyContamination asymmetry); the train
+    * side is the d09 pipeline with the duplicated-gram probe replaced
+    * by a join against that frame. One gram-digest join, per-doc
+    * windows, nothing pairwise. */
+  def substringContamination(train: DataFrame, bench: DataFrame,
+                             id: String, text: String, k: Int = 8,
+                             minSpanTokens: Int = 20): DataFrame =
+    substringSpansAgainst(benchGramCounts(bench, id, text, k),
+      train, id, text, k, minSpanTokens)
+
+  /** The frozen benchmark side of [[substringContamination]]: one
+    * distinct (gram digest, occurrence count) frame — build once,
+    * persist, score arbitrarily many train slices (or a stream —
+    * [[graft.streaming.StreamingScore.substringContaminationAgainst]])
+    * against it. */
+  def benchGramCounts(bench: DataFrame, id: String, text: String,
+                      k: Int = 8): DataFrame =
+    gramPositions(bench, id, text, k)
+      .groupBy(col("gd")).agg(count(lit(1)).as("c"))
+
+  /** The train-side half of [[substringContamination]] against a
+    * prebuilt [[benchGramCounts]] frame. Spans are a per-doc function
+    * of (doc, frozen benchmark), so scoring slices independently — or
+    * streaming micro-batches — unions to exactly the batch result. */
+  def substringSpansAgainst(benchGrams: DataFrame, train: DataFrame,
+                            id: String, text: String, k: Int = 8,
+                            minSpanTokens: Int = 20): DataFrame = {
+    val wi = Window.partitionBy(col(id)).orderBy(col("ti"))
+    gramPositions(train, id, text, k)
+      .join(benchGrams, "gd")
+      .select(col(id), col("ti"), col("c"))
+      .withColumn("brk",
+        when(col("ti") === lag(col("ti"), 1).over(wi) + 1, 0).otherwise(1))
+      .withColumn("run", sum(col("brk")).over(
+        wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(id), col("run"))
+      .agg(min(col("ti")).cast("long").as("span_start"),
+        (max(col("ti")) + (k - 1)).cast("long").as("span_end"),
+        min(col("c")).as("twin_count"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1L)
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col(id), col("span_start"), col("span_end"),
+        col("span_tokens"), col("twin_count"))
+  }
+
+  /** (id, dense token index, 16-byte gram digest) frame shared by the
+    * d09/t23 substring ops: token explode + per-doc index window + k−1
+    * lead windows, digests so no gram string crosses a shuffle. */
+  private def gramPositions(df: DataFrame, id: String, text: String,
+                            k: Int): DataFrame = {
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val ti = TextOps.tokens(df, text)
+      .select(col(id), col("pos"), col("token"))
+      .withColumn("ti", row_number().over(w) - 1)
+    val parts = (0 until k).map {
+      case 0 => col("token")
+      case i => lead(col("token"), i).over(w)
+    }
+    ti.withColumn("g", concat_ws(" ", parts: _*))
+      .withColumn("_last", parts.last)
+      .filter(col("_last").isNotNull)
+      .select(col(id), col("ti"), unhex(md5(col("g"))).as("gd"))
   }
 
   /** CUT the duplicated intervals found by [[substringSpans]] out of

@@ -136,7 +136,7 @@ object ScaleBench {
     "a13_weighted_sample", "t20_bm25_indexed",
     "d09_substring_dedup", "d09c_substring_cut",
     "t19b_bm25_topk_by", "t21b_dup_ratio_by", "a14_domain_rollup",
-    "k01d_kmeans_farthest")
+    "k01d_kmeans_farthest", "t23_substring_contamination")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
@@ -154,7 +154,8 @@ object ScaleBench {
     "t08_lm_score", "t09_pack_sequences", "t13_token_budget_mixture",
     "t14_gopher_rules", "t16_hash_embed", "d05_span_dedup",
     "d06_fuzzy_span_dedup", "t19_bm25_topk", "t21_dup_ratio",
-    "d09_substring_dedup", "d09c_substring_cut")
+    "d09_substring_dedup", "d09c_substring_cut",
+    "t23_substring_contamination")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -63,6 +63,28 @@ class DedupSimSpec extends AnyFunSuite {
     assert(d06 === 0L, "d06 should be blind to the misaligned copy")
   }
 
+  test("t23 substring contamination: a benchmark passage leaked into a " +
+       "train doc is located at its exact boundaries; clean docs and " +
+       "sub-threshold overlaps emit nothing") {
+    val s = spark
+    import s.implicits._
+    val p = (1 to 24).map(i => s"p$i").mkString(" ")
+    val train = Seq(
+      (1L, "ta1 ta2 ta3 " + p + " ta4 ta5"),         // leaked at ti=3..26
+      (2L, (1 to 30).map(i => s"tb$i").mkString(" ")), // clean
+      // shares only 10 tokens of P (< 20-token threshold after k=8
+      // gram coverage: grams fully inside p1..p10 → run 3 grams →
+      // 10-token interval < 20)
+      (3L, "tc1 tc2 " + (1 to 10).map(i => s"p$i").mkString(" ") + " tc3"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "bz1 bz2 " + p + " bz3")).toDF("doc_id", "text")
+    val got = graft.text.Dedup.substringContamination(train, bench,
+        "doc_id", "text", k = 8, minSpanTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((1L, 3L, 26L, 24L, 1L)))
+  }
+
   test("d09 cut: keep-first per duplicated content, losers' tokens " +
        "removed; within-doc repeats count as duplicated") {
     val s = spark

@@ -621,6 +621,61 @@ class TextLmPackSpec extends AnyFunSuite {
         .take(3).mkString("\n"))
   }
 
+  test("streaming substring decontamination (t23 twin): spans of " +
+       "arriving docs against the frozen benchmark equal the batch op " +
+       "across micro-batches") {
+    val (docs, stream) = docsIn4Batches()
+    val bench = docs.filter(col("doc_id") % 2 === 1)
+    val benchGrams = graft.text.Dedup
+      .benchGramCounts(bench, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // batch: even docs against the odd-doc benchmark. The STREAM
+    // carries all docs; odd docs score against the frozen frame too
+    // (their own grams), so compare on the even subset — per-doc
+    // function, so the subset is exact.
+    val batch = graft.text.Dedup.substringContamination(
+        docs.filter(col("doc_id") % 2 === 0), bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val buf = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long)]
+    runFilter(graft.streaming.StreamingScore.substringContaminationAgainst(
+        benchGrams, stream.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text") { b =>
+      buf.synchronized { buf ++= b.collect().map(r => (r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))) }
+      ()
+    })
+    assert(buf.toSet === batch)
+    assert(batch.nonEmpty, "fixture must carry cross-parity spans")
+  }
+
+  test("streaming domain gate (a14 twin): a stateless per-row filter, " +
+       "batch-identical on the same docs") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 20L).map(i =>
+      (i, s"d$i", s"https://${if (i % 3 == 0) "ads.example.com" else "keep.org"}/p$i"))
+    val docs = rows.toDF("doc_id", "text", "url")
+    val tmp = java.nio.file.Files.createTempDirectory("graftdomst").toString
+    docs.repartition(3).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val gated = graft.streaming.StreamingScore.domainGate(
+      stream, "url", Seq("example.com"))
+    val buf = scala.collection.mutable.Set.empty[Long]
+    val q = gated.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized { buf ++= b.select("doc_id").collect()
+          .map(_.getLong(0)) }
+        ()
+    }.start()
+    q.processAllAvailable(); q.stop()
+    val batch = graft.text.UrlOps.domainGate(docs, "url", Seq("example.com"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(buf.toSet === batch)
+    assert(batch === (1L to 20L).filter(_ % 3 != 0).toSet)
+  }
+
   test("streaming BM25 index ingest (t20 twin): append-equals-rebuild " +
        "across micro-batches incl. the exact-integer corpus-stat update") {
     val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
