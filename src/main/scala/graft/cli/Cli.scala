@@ -346,6 +346,8 @@ object Cli {
     *   [--max_rep_ratio 0.5] [--max_dup_ratio 0.8] [--min_tokens 10]
     *   [--max_dup_span 50]  (d09 exact-substring gate: drop docs with a
     *     duplicated interval of ≥ L tokens at any boundary)
+    *   [--cut_dup_spans 50]  (d09c surgical cut: keep docs, remove the
+    *     non-keeper occurrences of duplicated intervals ≥ L tokens)
     *   [--langs en,es] [--gopher_min_stop N]
     *   [--max_per_source N --source_col c]
     *   [--mixture_target src0:0.5,src1:0.5 --source_col c]
@@ -493,6 +495,25 @@ object Cli {
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n2 = timedStage("near+semantic_dedup")(deduped.count())
 
+    // ── optional SURGICAL span cut (--cut_dup_spans L): instead of
+    // gating whole docs on duplicated intervals (--max_dup_span), cut
+    // the non-keeper occurrences out and keep the doc (d09c — the Lee
+    // et al. production behavior). Runs on the dedup survivors; docs
+    // cut to nothing fall to the min_tokens gate downstream. The two
+    // flags compose: cut first, then gate whatever still carries an
+    // over-long duplicated interval (non-literal copies the content
+    // election cannot collapse).
+    val curated = cfg.strOpt("cut_dup_spans") match {
+      case Some(l) =>
+        val c = Dedup.substringDedupCut(deduped, id, text,
+            k = 8, minSpanTokens = l.toInt)
+          .select(col(id), col("cleaned").as(text))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        timedStage("cut_dup_spans")(c.count())
+        c
+      case None => deduped
+    }
+
     val maxRep = cfg.strOpt("max_rep_ratio").map(_.toDouble).getOrElse(0.5)
     val minTokens = cfg.strOpt("min_tokens").map(_.toLong).getOrElse(10L)
     // ── gate-stat frame, computed ONCE over the deduped survivors ─────
@@ -507,14 +528,14 @@ object Cli {
     // repetitionScore only emits docs with >= k tokens — left join with
     // a 0.0 default so sub-3-token docs answer to min_tokens alone
     // (an inner join dropped them regardless of the configured floor)
-    val statsBase = deduped
-      .join(TextOps.repetitionScore(deduped, id, text, k = 3)
+    val statsBase = curated
+      .join(TextOps.repetitionScore(curated, id, text, k = 3)
         .select(col(id), col("rep_ratio")), Seq(id), "left")
-      .join(TextOps.tokenStats(deduped, id, text)
+      .join(TextOps.tokenStats(curated, id, text)
         .select(col(id), col("n_tokens").as("_nt")), id)
     val withGopher = cfg.strOpt("gopher_min_stop") match {
       case Some(n) =>
-        statsBase.join(TextOps.gopherRules(deduped, id, text,
+        statsBase.join(TextOps.gopherRules(curated, id, text,
             minStopwords = n.toInt)
           .select(col(id), col("keep").as("_gopher_keep")), id)
       case None => statsBase.withColumn("_gopher_keep", lit(1))
@@ -527,7 +548,7 @@ object Cli {
     // short to carry a shingle default to 0 (min_tokens owns them)
     val withDup = cfg.strOpt("max_dup_ratio") match {
       case Some(_) =>
-        withGopher.join(TextOps.crossDupRatio(deduped, id, text)
+        withGopher.join(TextOps.crossDupRatio(curated, id, text)
           .select(col(id), col("dup_ratio").as("_dup")), Seq(id), "left")
       case None => withGopher.withColumn("_dup", lit(null).cast("double"))
     }
@@ -538,7 +559,7 @@ object Cli {
     // intervals are ever materialized and the stat is simply "has one"
     val withSpan = cfg.strOpt("max_dup_span") match {
       case Some(l) =>
-        withDup.join(Dedup.substringSpans(deduped, id, text,
+        withDup.join(Dedup.substringSpans(curated, id, text,
             k = 8, minSpanTokens = l.toInt)
           .groupBy(col(id)).agg(max(col("span_tokens")).as("_max_span")),
           Seq(id), "left")
@@ -546,7 +567,7 @@ object Cli {
     }
     val gate = (cfg.strOpt("langs") match {
       case Some(_) =>
-        withSpan.join(TextOps.langId(deduped, id, text)
+        withSpan.join(TextOps.langId(curated, id, text)
           .select(col(id), col("lang_guess").as("_lang")), id)
       case None => withSpan.withColumn("_lang", lit(null).cast("string"))
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -792,6 +813,7 @@ object Cli {
     writeMetricsJson(funnel,
       cfg.strOpt("metrics_out").getOrElse(s"${cfg.str("output")}_metrics.json"))
     exact.unpersist(); deduped.unpersist(); gate.unpersist()
+    if (curated ne deduped) curated.unpersist()
     redacted.unpersist()
     System.err.println(s"[graft] curated $n0 docs -> $nChunks chunks " +
       s"-> ${cfg.str("output")}")

@@ -752,6 +752,41 @@ class PipelineSpec extends AnyFunSuite {
       s"majority domain cut to ≈ the minority mass, got ${out("big.com")}")
   }
 
+  test("CLI curate --cut_dup_spans: the non-keeper occurrence of a " +
+       "duplicated interval is cut from the surviving doc's text, " +
+       "not the whole doc dropped") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcut").toString
+    val p = (1 to 24).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"a$i").mkString(" ") + " " + p + " " +
+        (41 to 60).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 47).map(i => s"b$i").mkString(" ") + " " + p + " " +
+        (48 to 62).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 60).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    val out = s"$dir/chunks"
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"$dir/docs",
+      "near_threshold" -> "0.8", "min_tokens" -> "1",
+      "cut_dup_spans" -> "20",
+      "chunk_window" -> "400", "chunk_stride" -> "300",
+      "output" -> out, "metrics_out" -> s"$dir/funnel.json"))
+    // chunk_window 400 >> doc length: each doc lands as ONE chunk
+    val rows = spark.read.parquet(out)
+      .select("doc_id", "chunk").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L),
+      "cutting must keep every doc (contrast with --max_dup_span)")
+    assert(rows(1L).contains(p), "the keeper occurrence stays in place")
+    assert(!rows(2L).contains(p), "the non-keeper occurrence is removed")
+    assert(rows(2L).startsWith("b1 ") && rows(2L).endsWith(" b62"),
+      s"doc 2 keeps its own prose: ${rows(2L).take(80)}")
+  }
+
   test("CLI flag validation: a typo'd flag fails fast with a suggestion " +
        "instead of silently skipping its stage") {
     val e = intercept[IllegalArgumentException] {
