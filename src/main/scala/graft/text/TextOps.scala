@@ -858,10 +858,19 @@ object TextOps {
       .withColumn("tb", pmod(Dedup.h64(col("token"), Bm25BucketSalt),
         lit(nBuckets.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("tb").parquet(path)
+    // sidecars live INSIDE the index directory (underscore-prefixed, so
+    // postings readers ignore them): _docs carries one (id, dl) row per
+    // doc — the exact-integer ledger every stats correction and
+    // compaction derives from — and _stats the corpus totals. One
+    // directory holds the index's whole consistent state, so
+    // compaction swaps it with a single rename pair.
+    df.select(col(id)).join(dl, Seq(id), "left")
+      .select(col(id), coalesce(col("dl"), lit(0L)).as("dl"))
+      .write.mode("overwrite").parquet(s"$path/_docs")
     df.agg(count(lit(1)).cast("long").as("n_docs"))
       .crossJoin(tf.agg(
         coalesce(sum(col("tf")), lit(0L)).cast("long").as("total_tokens")))
-      .write.mode("overwrite").parquet(s"${path}_stats")
+      .write.mode("overwrite").parquet(s"$path/_stats")
   }
 
   /** Incrementally append NEW documents to a [[writeBm25Index]] index:
@@ -876,20 +885,110 @@ object TextOps {
   def appendBm25Index(df: DataFrame, id: String, text: String,
                       path: String, nBuckets: Int = 64): Unit = {
     val spark = df.sparkSession
+    // FAIL FAST on re-ingesting a currently-tombstoned id (the s05
+    // appendIvfPqIndex contract): postings carry no per-doc versioning,
+    // so the only sound cycle is delete → compact → re-ingest
+    bm25Tombstones(spark, path).foreach { t =>
+      val clash = df.select(col(id).cast("long").as("_id")).distinct()
+        .join(broadcast(t.select(col("_id")).distinct()), Seq("_id"),
+          "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"appendBm25Index: appended ids are tombstoned in $path — run " +
+          "compactBm25Index before re-ingesting deleted ids")
+    }
     val (tf, _) = bm25Corpus(df, id, text)
     val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
     tf.join(dl, Seq(id))
       .withColumn("tb", pmod(Dedup.h64(col("token"), Bm25BucketSalt),
         lit(nBuckets.toLong)).cast("int"))
       .write.mode("append").partitionBy("tb").parquet(path)
-    val old = spark.read.parquet(s"${path}_stats").first()
+    df.select(col(id)).join(dl, Seq(id), "left")
+      .select(col(id), coalesce(col("dl"), lit(0L)).as("dl"))
+      .write.mode("append").parquet(s"$path/_docs")
+    val old = spark.read.parquet(s"$path/_stats").first()
     val add = df.agg(count(lit(1)).cast("long"))
       .crossJoin(tf.agg(coalesce(sum(col("tf")), lit(0L)).cast("long")))
       .first()
     import spark.implicits._
     Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
       .toDF("n_docs", "total_tokens")
-      .write.mode("overwrite").parquet(s"${path}_stats")
+      .write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** Tombstone sidecar location for a [[writeBm25Index]] index — the
+    * s05 pattern: a plain parquet of `_id` longs kept BESIDE the index
+    * so the index directory itself stays immutable between
+    * compactions. */
+  def bm25TombstonePath(indexPath: String): String =
+    indexPath.stripSuffix("/") + "_tombstones"
+
+  private def bm25Tombstones(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(bm25TombstonePath(indexPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Delete documents from a [[writeBm25Index]] index by id: an
+    * O(|ids|) APPEND to the tombstone sidecar — no index file is
+    * touched. Serving ([[bm25TopKIndexed]]) anti-joins the sidecar and
+    * corrects the corpus stats EXACTLY through the `_docs` ledger
+    * (n_docs − |tombs|, total_tokens − Σ dl), so df, idf and avgdl all
+    * behave as if the docs were never indexed — delete-equals-rebuild
+    * is bit-exact, not approximate. Deleting an absent id is a no-op;
+    * re-deleting is idempotent (set semantics through the ledger
+    * join). */
+  def deleteFromBm25Index(ids: DataFrame, id: String,
+                          indexPath: String): Unit =
+    ids.select(col(id).cast("long").as("_id")).distinct()
+      .write.mode("append").parquet(bm25TombstonePath(indexPath))
+
+  /** Fold the tombstones into the index files: survivors (postings and
+    * the `_docs` ledger anti-joined, stats recomputed from the
+    * surviving ledger — exact integers) are WRITTEN to a durable
+    * `_compact_tmp` sibling, then the WHOLE index directory is swapped
+    * with one rename pair (live → trash, tmp → live) and the sidecar
+    * deleted LAST. Unlike the IVF-PQ compaction (cid-local — a doc
+    * lives in one inverted list) this is a full rewrite: postings are
+    * token-partitioned, so one doc's postings touch ~every `tb=`
+    * bucket. Crash anywhere: either the old directory is intact (tombs
+    * still correct serving), or the new one is live and the stale
+    * tombstones correct NOTHING (their ids are gone from the `_docs`
+    * ledger, so the stats correction is an empty join) — a re-run
+    * completes the cleanup. Returns the number of tombstoned ids
+    * folded. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String): Long = {
+    val tombs = bm25Tombstones(spark, indexPath).getOrElse(return 0L)
+    val tomb = broadcast(tombs.select(col("_id")).distinct())
+    val base = indexPath.stripSuffix("/")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
+    val docs0 = spark.read.parquet(s"$base/_docs")
+    val idCol = docs0.columns.filter(_ != "dl").head
+    val nFolded = docs0
+      .join(tomb, docs0(idCol).cast("long") === tomb("_id"), "left_semi")
+      .count()
+    val tmp = base + "_compact_tmp"
+    val postings = spark.read.parquet(base)
+    postings
+      .join(tomb, postings(idCol).cast("long") === tomb("_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("tb").parquet(tmp)
+    val survivors = docs0
+      .join(tomb, docs0(idCol).cast("long") === tomb("_id"), "left_anti")
+    survivors.write.mode("overwrite").parquet(s"$tmp/_docs")
+    survivors.agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("total_tokens"))
+      .write.mode("overwrite").parquet(s"$tmp/_stats")
+    val trash = new org.apache.hadoop.fs.Path(base + "_compact_trash")
+    fs.rename(new org.apache.hadoop.fs.Path(base), trash)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(base))
+    fs.delete(trash, true)
+    fs.delete(new org.apache.hadoop.fs.Path(bm25TombstonePath(indexPath)),
+      true)
+    nFolded
   }
 
   /** Serve a literal query set from a persisted [[writeBm25Index]]:
@@ -897,7 +996,12 @@ object TextOps {
     * same portable md5 hash) prunes the scan at the FILE level, then
     * the pruned postings flow through the exact [[bm25ScoreQueries]]
     * score path (df per query token is complete — every posting of a
-    * token shares its bucket). */
+    * token shares its bucket). Tombstoned docs
+    * ([[deleteFromBm25Index]]) are anti-joined out of the pruned scan,
+    * which also corrects df at serve time; n_docs/avgdl are corrected
+    * EXACTLY through the `_docs` ledger (integer count and Σ dl of the
+    * tombstoned members), so serving equals a rebuild without those
+    * docs bit-for-bit. */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
                       path: String, id: String = "doc_id",
                       queries: Seq[(Int, String)] = Bm25Queries,
@@ -910,12 +1014,29 @@ object TextOps {
     val buckets = queries.flatMap(_._2.split(" ")).filter(_.nonEmpty)
       .distinct.map(t => (h64Local(Bm25BucketSalt, t) % nBuckets).toInt)
       .distinct
-    val st = spark.read.parquet(s"${path}_stats")
-      .select(col("n_docs"),
-        (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
-    val postings = spark.read.parquet(path)
+    val st0 = spark.read.parquet(s"$path/_stats")
+    val postings0 = spark.read.parquet(path)
       .filter(col("tb").isin(buckets: _*))
       .select(col(id), col("token"), col("tf"), col("dl"))
+    val (st1, postings) = bm25Tombstones(spark, path) match {
+      case Some(t) =>
+        val tomb = broadcast(t.select(col("_id")).distinct())
+        // stale tombstones (already folded by compaction) correct
+        // nothing: the ledger join is empty for ids no longer present
+        val ledger = spark.read.parquet(s"$path/_docs")
+        val corr = ledger
+          .join(tomb, ledger(id).cast("long") === tomb("_id"), "left_semi")
+          .agg(count(lit(1)).cast("long").as("_dn"),
+            coalesce(sum(col("dl")), lit(0L)).cast("long").as("_dt"))
+        (st0.crossJoin(broadcast(corr))
+          .select((col("n_docs") - col("_dn")).as("n_docs"),
+            (col("total_tokens") - col("_dt")).as("total_tokens")),
+          postings0.join(tomb,
+            postings0(id).cast("long") === tomb("_id"), "left_anti"))
+      case None => (st0, postings0)
+    }
+    val st = st1.select(col("n_docs"),
+      (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
     bm25ScoreQueries(postings, st, id, qterms, k, k1, b)
   }
 

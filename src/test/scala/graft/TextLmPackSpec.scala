@@ -701,12 +701,63 @@ class TextLmPackSpec extends AnyFunSuite {
     assert(served === mem,
       "streamed ingest must serve bit-identically to the in-memory path")
     // corpus stats accumulated exactly (integer adds, no double drift)
-    val st = spark.read.parquet(s"$dir/idx_stats").first()
+    val st = spark.read.parquet(s"$dir/idx/_stats").first()
     val expDocs = docs.count()
     val expToks = TextOps.tokens(docs, "text").count()
     assert(st.getLong(0) === expDocs && st.getLong(1) === expToks,
       s"stats must be exact integers: got (${st.getLong(0)}, " +
         s"${st.getLong(1)}), want ($expDocs, $expToks)")
+  }
+
+  test("t20 BM25 index lifecycle: tombstone delete serves EXACTLY like " +
+       "a rebuild without the docs; compaction folds and clears; " +
+       "re-ingesting a tombstoned id fails fast") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graftb25del").toString
+    TextOps.writeBm25Index(docs, "doc_id", "text", s"$dir/idx")
+    def served() = TextOps.bm25TopKIndexed(spark, s"$dir/idx")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    // ground truth: the in-memory path on the corpus WITHOUT the
+    // deleted docs (df, idf, n_docs, avgdl all recomputed from scratch)
+    val dropped = docs.filter(col("doc_id") % 7 === 0)
+    val remaining = docs.filter(col("doc_id") % 7 =!= 0)
+    val rebuilt = TextOps.bm25TopK(remaining, "doc_id", "text").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).toSet
+    TextOps.deleteFromBm25Index(dropped.select("doc_id"), "doc_id",
+      s"$dir/idx")
+    assert(served() === rebuilt,
+      "tombstoned serving must equal a from-scratch rebuild bit-for-bit " +
+        "(df via the anti-join, n_docs/avgdl via the exact ledger)")
+    // re-delete is idempotent (set semantics through the ledger join)
+    TextOps.deleteFromBm25Index(dropped.select("doc_id"), "doc_id",
+      s"$dir/idx")
+    assert(served() === rebuilt)
+    // a tombstoned id cannot be re-ingested before compaction
+    intercept[IllegalArgumentException] {
+      TextOps.appendBm25Index(dropped.limit(1), "doc_id", "text",
+        s"$dir/idx")
+    }
+    // compaction folds the deletions into the files and clears the
+    // sidecar; serving is unchanged and the stats are the exact
+    // remaining-corpus integers
+    val folded = TextOps.compactBm25Index(spark, s"$dir/idx")
+    assert(folded === dropped.count())
+    assert(!new java.io.File(
+      TextOps.bm25TombstonePath(s"$dir/idx")).exists())
+    assert(served() === rebuilt, "post-compaction serving unchanged")
+    val st = spark.read.parquet(s"$dir/idx/_stats").first()
+    assert(st.getLong(0) === remaining.count())
+    assert(st.getLong(1) === TextOps.tokens(remaining, "text").count())
+    // the supported cycle completes: re-ingest after compaction lands
+    TextOps.appendBm25Index(dropped, "doc_id", "text", s"$dir/idx")
+    val full = TextOps.bm25TopK(docs, "doc_id", "text").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).toSet
+    assert(served() === full,
+      "delete -> compact -> re-ingest must serve like the original build")
   }
 
   test("streaming shard ingest (a12 twin): identical shard assignment, " +
