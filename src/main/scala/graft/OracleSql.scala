@@ -932,6 +932,42 @@ object OracleSql {
        |FROM fin ORDER BY avg_score, config_id""".stripMargin
   }
 
+  /** d09/d09f shared oracle body: duplicated-8-gram run collapse with
+    * a parameterized gap bridge (0 = exact, k = one-edit tolerance). */
+  private def d09Sql(bridge: Int): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+       |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+       |              FROM documents),
+       |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+       |ti AS (SELECT doc_id, token,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS ti
+       |       FROM t),
+       |g0 AS (SELECT doc_id, ti,
+       |         concat_ws(' ', token, lead(token,1) OVER w, lead(token,2) OVER w,
+       |           lead(token,3) OVER w, lead(token,4) OVER w, lead(token,5) OVER w,
+       |           lead(token,6) OVER w, lead(token,7) OVER w) AS g,
+       |         lead(token,7) OVER w AS l7
+       |       FROM ti WINDOW w AS (PARTITION BY doc_id ORDER BY ti)),
+       |g AS (SELECT doc_id, ti, g FROM g0 WHERE l7 IS NOT NULL),
+       |d AS (SELECT g, count(*)::BIGINT AS c FROM g GROUP BY 1 HAVING count(*) >= 2),
+       |dup AS (SELECT g.doc_id, g.ti, d.c FROM g JOIN d USING (g)),
+       |lagd AS (SELECT doc_id, ti, c,
+       |           CASE WHEN ti <= lag(ti) OVER (PARTITION BY doc_id ORDER BY ti)
+       |                        + 1 + $bridge
+       |                THEN 0 ELSE 1 END AS brk
+       |         FROM dup),
+       |runs AS (SELECT doc_id, ti, c,
+       |           sum(brk) OVER (PARTITION BY doc_id ORDER BY ti
+       |             ROWS UNBOUNDED PRECEDING) AS run
+       |         FROM lagd),
+       |iv AS (SELECT doc_id, min(ti)::BIGINT AS span_start,
+       |         (max(ti) + 7)::BIGINT AS span_end, min(c)::BIGINT AS twin_count
+       |       FROM runs GROUP BY doc_id, run)
+       |SELECT doc_id, span_start, span_end,
+       |  (span_end - span_start + 1)::BIGINT AS span_tokens, twin_count
+       |FROM iv WHERE span_end - span_start + 1 >= 20
+       |ORDER BY doc_id, span_start""".stripMargin
+
   /** t19/t20 shared oracle: BM25 top-5 per query, Lucene idf
     * ln(1+(N−df+.5)/(df+.5)), k1=1.2 b=0.75 — query-term VALUES from
     * the same TextOps.Bm25Queries Seq, every double op in the same
@@ -5565,39 +5601,11 @@ object OracleSql {
     // run collapse — gram occurrence counts ≥ 2 mark duplicated start
     // positions, consecutive positions sessionize into maximal runs
     // (lag + running sum, the a02 machinery), intervals ≥ 20 tokens;
-    // twin_count = the rarest gram's occurrence count
-    "d09_substring_dedup" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
-        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
-        |              FROM documents),
-        |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
-        |ti AS (SELECT doc_id, token,
-        |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS ti
-        |       FROM t),
-        |g0 AS (SELECT doc_id, ti,
-        |         concat_ws(' ', token, lead(token,1) OVER w, lead(token,2) OVER w,
-        |           lead(token,3) OVER w, lead(token,4) OVER w, lead(token,5) OVER w,
-        |           lead(token,6) OVER w, lead(token,7) OVER w) AS g,
-        |         lead(token,7) OVER w AS l7
-        |       FROM ti WINDOW w AS (PARTITION BY doc_id ORDER BY ti)),
-        |g AS (SELECT doc_id, ti, g FROM g0 WHERE l7 IS NOT NULL),
-        |d AS (SELECT g, count(*)::BIGINT AS c FROM g GROUP BY 1 HAVING count(*) >= 2),
-        |dup AS (SELECT g.doc_id, g.ti, d.c FROM g JOIN d USING (g)),
-        |lagd AS (SELECT doc_id, ti, c,
-        |           CASE WHEN ti = lag(ti) OVER (PARTITION BY doc_id ORDER BY ti) + 1
-        |                THEN 0 ELSE 1 END AS brk
-        |         FROM dup),
-        |runs AS (SELECT doc_id, ti, c,
-        |           sum(brk) OVER (PARTITION BY doc_id ORDER BY ti
-        |             ROWS UNBOUNDED PRECEDING) AS run
-        |         FROM lagd),
-        |iv AS (SELECT doc_id, min(ti)::BIGINT AS span_start,
-        |         (max(ti) + 7)::BIGINT AS span_end, min(c)::BIGINT AS twin_count
-        |       FROM runs GROUP BY doc_id, run)
-        |SELECT doc_id, span_start, span_end,
-        |  (span_end - span_start + 1)::BIGINT AS span_tokens, twin_count
-        |FROM iv WHERE span_end - span_start + 1 >= 20
-        |ORDER BY doc_id, span_start""".stripMargin,
+    // twin_count = the rarest gram's occurrence count. d09f is the
+    // same chain with gaps of up to 8 positions bridged (the
+    // single-token-edit tolerance).
+    "d09_substring_dedup" -> d09Sql(bridge = 0),
+    "d09f_substring_fuzzy" -> d09Sql(bridge = 8),
 
     // exact-substring decontamination (t23): d09's run collapse with
     // the duplicated-gram probe replaced by membership in the odd-doc

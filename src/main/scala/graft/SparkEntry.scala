@@ -1705,6 +1705,15 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // ── d09f: FUZZY substring spans — gap-bridged run collapse (gaps
+    //    ≤ k merge, so a single edited token inside a duplicated
+    //    passage no longer splits the interval below threshold) ─────────
+    "d09f_substring_fuzzy" -> ((s, dir) => {
+      graft.text.Dedup.substringSpans(docs(s, dir), "doc_id", "text",
+          k = 8, minSpanTokens = 20, bridgeGap = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // ── t23: exact-substring DECONTAMINATION — maximal intervals of an
     //    even-doc "train" corpus whose every 8-gram occurs in the
     //    odd-doc "benchmark" set (the t01 split), ≥ 20 tokens; span

@@ -433,16 +433,23 @@ object Dedup {
     * lag/running-sum windows, the closing agg is (doc, run)-keyed.
     * Nothing pairwise, no driver state. */
   def substringSpans(df: DataFrame, id: String, text: String, k: Int = 8,
-                     minSpanTokens: Int = 20): DataFrame = {
+                     minSpanTokens: Int = 20, bridgeGap: Int = 0): DataFrame = {
     val grams = gramPositions(df, id, text, k)
     val dupGrams = grams.groupBy(col("gd"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
     val wi = Window.partitionBy(col(id)).orderBy(col("ti"))
+    // bridgeGap > 0 = the FUZZY operating point: a single edited token
+    // inside a duplicated passage kills the k gram starts that cover
+    // it, splitting the run in two; bridging gaps of up to k positions
+    // re-merges the halves into one interval (an interval may then
+    // contain up to gap non-duplicated tokens per bridge — the
+    // edit-tolerant trade, off by default so d09 stays exact)
     val runs = grams.join(dupGrams, "gd")
       .select(col(id), col("ti"), col("c"))
       .withColumn("brk",
-        when(col("ti") === lag(col("ti"), 1).over(wi) + 1, 0).otherwise(1))
+        when(col("ti") <= lag(col("ti"), 1).over(wi) + 1 + bridgeGap, 0)
+          .otherwise(1))
       .withColumn("run", sum(col("brk")).over(
         wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     runs.groupBy(col(id), col("run"))
@@ -495,13 +502,15 @@ object Dedup {
     * streaming micro-batches — unions to exactly the batch result. */
   def substringSpansAgainst(benchGrams: DataFrame, train: DataFrame,
                             id: String, text: String, k: Int = 8,
-                            minSpanTokens: Int = 20): DataFrame = {
+                            minSpanTokens: Int = 20,
+                            bridgeGap: Int = 0): DataFrame = {
     val wi = Window.partitionBy(col(id)).orderBy(col("ti"))
     gramPositions(train, id, text, k)
       .join(benchGrams, "gd")
       .select(col(id), col("ti"), col("c"))
       .withColumn("brk",
-        when(col("ti") === lag(col("ti"), 1).over(wi) + 1, 0).otherwise(1))
+        when(col("ti") <= lag(col("ti"), 1).over(wi) + 1 + bridgeGap, 0)
+          .otherwise(1))
       .withColumn("run", sum(col("brk")).over(
         wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(id), col("run"))

@@ -63,6 +63,35 @@ class DedupSimSpec extends AnyFunSuite {
     assert(d06 === 0L, "d06 should be blind to the misaligned copy")
   }
 
+  test("d09f gap-bridged spans: a one-token edit inside a duplicated " +
+       "passage splits the strict runs below threshold; bridging gaps " +
+       "of k re-merges them into one interval") {
+    val s = spark
+    import s.implicits._
+    // 30-token passage P; host 2 carries it with token 16 (p16 -> XX)
+    // edited. Strict: the edit kills the 8 gram starts covering it,
+    // leaving runs of 15 and 14 tokens — both under the 20 threshold.
+    val p = (1 to 30).map(i => s"p$i").mkString(" ")
+    val pEdited = (1 to 30).map(i => if (i == 16) "XX" else s"p$i")
+      .mkString(" ")
+    val d = Seq(
+      (1L, "fa1 fa2 " + p + " fa3"),
+      (2L, "fb1 fb2 fb3 " + pEdited + " fb4"),
+      (3L, (1 to 30).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val strict = Dedup.substringSpans(d, "doc_id", "text",
+      k = 8, minSpanTokens = 20).collect()
+    assert(!strict.exists(_.getLong(0) == 2L),
+      "strict d09 must lose the edited copy to the split")
+    val fuzzy = Dedup.substringSpans(d, "doc_id", "text",
+        k = 8, minSpanTokens = 20, bridgeGap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(x => (x._1, x._2))
+    // host 1: intact P at ti=2..31; host 2: bridged interval over the
+    // edit at ti=3..32
+    assert(fuzzy.toSeq === Seq((1L, 2L, 31L, 30L), (2L, 3L, 32L, 30L)))
+  }
+
   test("t23 substring contamination: a benchmark passage leaked into a " +
        "train doc is located at its exact boundaries; clean docs and " +
        "sub-threshold overlaps emit nothing") {
