@@ -348,6 +348,9 @@ object Cli {
     *     duplicated interval of ≥ L tokens at any boundary)
     *   [--cut_dup_spans 50]  (d09c surgical cut: keep docs, remove the
     *     non-keeper occurrences of duplicated intervals ≥ L tokens)
+    *   [--cut_contaminated_spans 50]  (with --benchmark_docs: t23
+    *     surgical decontamination — cut the leaked benchmark intervals
+    *     ≥ L tokens instead of dropping whole docs)
     *   [--langs en,es] [--gopher_min_stop N]
     *   [--max_per_source N --source_col c]
     *   [--mixture_target src0:0.5,src1:0.5 --source_col c]
@@ -605,6 +608,20 @@ object Cli {
     val nLang = timedStage("lang_gate")(langKept.count())
 
     val clean = cfg.strOpt("benchmark_docs") match {
+      // --cut_contaminated_spans L: SURGICAL decontamination (t23 +
+      // cut) — locate the leaked benchmark intervals ≥ L tokens at any
+      // boundary and remove the spans, keeping the doc. ALL leaked
+      // occurrences go (no keeper election — benchmark text must not
+      // survive anywhere in the train set).
+      case Some(p) if cfg.strOpt("cut_contaminated_spans").isDefined =>
+        val l = cfg.str("cut_contaminated_spans").toInt
+        val bench = load(p).select(col(id), col(text))
+        val spans = Dedup.substringSpansAgainst(
+          Dedup.benchGramCounts(bench, id, text, k = 8),
+          langKept, id, text, k = 8, minSpanTokens = l)
+        val c = Dedup.cutSpans(langKept, id, text, spans)
+        timedStage("cut_contaminated_spans")(c.count())
+        c
       case Some(p) =>
         val bench = load(p).select(col(id), col(text))
         val contaminated = TextOps.bloomContamination(langKept, bench, id, text,

@@ -79,7 +79,8 @@ object GraftConfig {
     "lm_ref_docs", "min_avg_logprob", "min_q_prob", "chunk_window",
     "chunk_stride", "split_salt", "pack_budget", "assign_topics",
     "train_topics", "topic_init", "incremental_from", "stage_timing",
-    "max_dup_span", "cut_dup_spans", "domain_blocklist", "url_col")
+    "max_dup_span", "cut_dup_spans", "cut_contaminated_spans",
+    "domain_blocklist", "url_col")
 
   /** `--key value` CLI args → overrides; `--load_config f.json` merges
     * the file first (CLI still wins — reference precedence). Unknown

@@ -542,6 +542,33 @@ object Dedup {
       .select(col(id), col("ti"), unhex(md5(col("g"))).as("gd"))
   }
 
+  /** Remove every token covered by a span list from each document and
+    * reassemble the text — the shared surgical-cut step behind
+    * [[substringDedupCut]]'s election path and the curate
+    * `--cut_contaminated_spans` decontamination (where ALL leaked
+    * spans go, no keeper election: leaked benchmark text must not
+    * survive anywhere). `spans` carries (id, span_start, span_end);
+    * docs with no spans pass through unchanged. Per-doc collect_list
+    * groups are bounded by doc length; the cut list per doc is
+    * span-count-sized. */
+  def cutSpans(df: DataFrame, id: String, text: String,
+               spans: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val ti = TextOps.tokens(df, text)
+      .select(col(id), col("pos"), col("token"))
+      .withColumn("ti", row_number().over(w) - 1L)
+    val cuts = spans.groupBy(col(id))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("cuts"))
+    ti.groupBy(col(id))
+      .agg(collect_list(struct(col("ti"), col("token"))).as("tl"))
+      .join(cuts, Seq(id), "left")
+      .select(col(id), array_join(transform(filter(array_sort(col("tl")),
+        x => col("cuts").isNull || !exists(col("cuts"),
+          c => x("ti") >= c("s") && x("ti") <= c("e"))),
+        x => x("token")), " ").as(text))
+  }
+
   /** CUT the duplicated intervals found by [[substringSpans]] out of
     * each document, keeping ONE occurrence per duplicated content
     * (beyond reference, d09 cut form): intervals are grouped by the md5

@@ -787,6 +787,43 @@ class PipelineSpec extends AnyFunSuite {
       s"doc 2 keeps its own prose: ${rows(2L).take(80)}")
   }
 
+  test("CLI curate --cut_contaminated_spans: the leaked benchmark " +
+       "passage is cut from the train doc instead of the doc dropped") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftdecut").toString
+    val p = (1 to 24).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"a$i").mkString(" ") + " " + p + " " +
+        (21 to 40).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "bz1 " + p + " bz2")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    bench.write.mode("overwrite").parquet(s"$dir/bench")
+    def run(cut: Boolean): Map[Long, String] = {
+      val out = s"$dir/chunks_$cut"
+      Cli.run(spark, GraftConfig.defaults ++ Map(
+        "mode" -> "curate",
+        "input_docs" -> s"$dir/docs",
+        "benchmark_docs" -> s"$dir/bench",
+        "near_threshold" -> "0.8", "min_tokens" -> "1",
+        "chunk_window" -> "400", "chunk_stride" -> "300",
+        "output" -> out, "metrics_out" -> s"$dir/f_$cut.json") ++
+        (if (cut) Map("cut_contaminated_spans" -> "20") else Map.empty))
+      spark.read.parquet(out).select("doc_id", "chunk").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val dropped = run(cut = false)
+    assert(dropped.keySet === Set(2L),
+      "the bloom path drops the contaminated doc entirely")
+    val cut = run(cut = true)
+    assert(cut.keySet === Set(1L, 2L), "the cut path keeps the doc")
+    assert(!cut(1L).contains(p) && cut(1L).startsWith("a1 ") &&
+      cut(1L).endsWith(" a40"),
+      s"only the leaked span is removed: ${cut(1L).take(80)}")
+  }
+
   test("CLI flag validation: a typo'd flag fails fast with a suggestion " +
        "instead of silently skipping its stage") {
     val e = intercept[IllegalArgumentException] {
