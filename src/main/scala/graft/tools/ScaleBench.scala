@@ -136,7 +136,8 @@ object ScaleBench {
     "a13_weighted_sample", "t20_bm25_indexed",
     "d09_substring_dedup", "d09c_substring_cut",
     "t19b_bm25_topk_by", "t21b_dup_ratio_by", "a14_domain_rollup",
-    "k01d_kmeans_farthest", "t23_substring_contamination")
+    "k01d_kmeans_farthest", "t23_substring_contamination",
+    "d09f_substring_fuzzy")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
@@ -404,6 +405,31 @@ object ScaleBench {
       // collapse), keep-best election, and in-engine topic fit+label.
       // Kept SEPARATE from the original cell so its round-over-round
       // numbers stay comparable.
+      // v3: v2 + the round-11 surgical substring cut (--cut_dup_spans)
+      // — measures the d09c election + reassembly inside the full chain
+      "curatex_full_chain_v3" -> ((d: String) => {
+        val runOut = s"/tmp/graft_curate_cell3_${System.nanoTime()}"
+        val nDocs = spark.read.parquet(s"$d/documents.parquet").count()
+        val mix = (0 until 20).map(i => s"src$i:0.05").mkString(",")
+        graft.cli.Cli.run(spark, graft.cli.GraftConfig.defaults ++ Map(
+          "mode" -> "curate",
+          "input_docs" -> s"$d/documents.parquet",
+          "near_threshold" -> "0.5",
+          "semantic_threshold" -> "0.9",
+          "keep_best" -> "true",
+          "cut_dup_spans" -> "30",
+          "gopher_min_stop" -> "1",
+          "min_tokens" -> "10", "max_rep_ratio" -> "0.5",
+          "max_dup_ratio" -> "0.95",
+          "mixture_target" -> mix, "source_col" -> "source",
+          "token_budget" -> (nDocs * 60).toString,
+          "chunk_window" -> "400", "chunk_stride" -> "300",
+          "pack_budget" -> "128",
+          "assign_topics" -> "true", "train_topics" -> "8",
+          "output" -> s"$runOut/chunks",
+          "metrics_out" -> s"$runOut/metrics.json"))
+        spark.read.parquet(s"$runOut/chunks")
+      }),
       "curatex_full_chain_v2" -> ((d: String) => {
         val runOut = s"/tmp/graft_curate_cell2_${System.nanoTime()}"
         val nDocs = spark.read.parquet(s"$d/documents.parquet").count()
