@@ -460,12 +460,16 @@ object TextOps {
 
   /** Train [[lmScore]]'s model tables from the reference corpus. */
   def lmTrain(train: DataFrame, id: String, text: String): LmModel = {
-    // checkpointed ONCE: c1 derives from c2 and the scoring join reads
-    // BOTH, so a live lineage would run the bigram explode + agg twice
-    // per score pass; the blocks are the bigram-agg output (model-sized)
+    // c1 derives from c2 and the scoring join reads BOTH, so the bigram
+    // explode + agg evaluates twice per score pass. Deliberately LIVE:
+    // both materialization strategies measured SLOWER end-to-end at
+    // sf0.1 (eager localCheckpoint t08 0.49→1.44 s, lazy persist
+    // 0.49→0.96 s — cache build + row conversion outweigh the cheap
+    // re-agg, and caching breaks the whole-stage pipeline). A caller
+    // amortizing ONE model over many scoring passes should persist the
+    // returned frames itself — that is the 100 TB serving shape.
     val c2 = bigramsAll(train, id, text)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      .localCheckpoint()
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vocab = tokens(train, text).select(col("token")).distinct().count()
     LmModel(c2, c1, vocab)
@@ -814,12 +818,16 @@ object TextOps {
       .filter(col("token") =!= "")
     val tf = toks.groupBy(col(id), col("token"))
       .agg(count(lit(1)).as("tf"))
-    // checkpointed ONCE: the broadcast guard's bounded probe AND the
-    // score join both read dfreq — a live lineage would run the token
-    // explode + agg twice (the r10 watch-list item); the blocks are the
-    // agg OUTPUT (vocab-sized), far smaller than the corpus
+    // the broadcast guard's probe and the score join both read dfreq.
+    // Deliberately LIVE lineage (the probe costs one extra explode+agg
+    // evaluation): both an eager localCheckpoint and a lazy persist
+    // measured SLOWER end-to-end at sf0.1 (t05 0.9 s live vs 1.5–2.1 s
+    // materialized — cache build + row conversion outweigh the cheap
+    // re-agg and break whole-stage pipelining). The probe itself is
+    // O(threshold) rows by design, so at 100 TB the extra evaluation is
+    // one map-side-combinable agg over the corpus — bounded and
+    // shuffle-light, not a scan blowup.
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .localCheckpoint()
     // bounded probe, not a full count: stops scanning the agg output
     // past the threshold, so the guard job is O(threshold) rows even
     // on an open-vocabulary corpus

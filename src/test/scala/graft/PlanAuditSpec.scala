@@ -336,19 +336,6 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("t05 TF-IDF: the vocab-guard probe does not recompute the token " +
-       "explode — exactly ONE Generate in the scoring plan") {
-    // AQE prints the final AND the initial plan — count in the final
-    // section only
-    val p = plan("t05_tfidf_topk").split("== Initial Plan ==")(0)
-    val generates = p.linesIterator.count(_.contains("Generate"))
-    assert(generates == 1,
-      s"dfreq must come from its checkpoint, not a second explode+agg " +
-        s"lineage (found $generates Generate nodes):\n$p")
-    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
-      "the checkpointed dfreq blocks must appear as an RDD scan")
-  }
-
   test("d09 substring spans: gram join keyed on the digest, per-doc " +
        "windows keyed on the doc, no cartesian") {
     val p = plan("d09_substring_dedup")
