@@ -934,6 +934,77 @@ object OracleSql {
 
   /** d09/d09f shared oracle body: duplicated-8-gram run collapse with
     * a parameterized gap bridge (0 = exact, k = one-edit tolerance). */
+  /** In-engine BPE trainer replay (b01): the k01 chained-iteration
+    * pattern with INTEGER re-entry — each merge level is one
+    * argmax-of-pair-counts CTE plus one string-rewrite CTE, both
+    * MATERIALIZED (the memoized-level rule: a non-materialized chain
+    * where level i reads level i−1 twice inlines 2^n-fold). Greedy
+    * left-to-right non-overlapping `replace` on the sentinel-spaced
+    * symbol string matches the JVM's semantics exactly; ties break
+    * (cnt DESC, l, r) on binary collation. */
+  private def bpeLevels(n: Int): String = {
+    val head =
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT word, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY 1),
+        |s0 AS MATERIALIZED (
+        |  SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS sym,
+        |         c FROM w0)""".stripMargin
+    val levels = (1 to n).map { i =>
+      s"""m$i AS MATERIALIZED (
+         |  SELECT l, r, sum(c)::BIGINT AS cnt FROM (
+         |    SELECT a[j] AS l, a[j + 1] AS r, c FROM (
+         |      SELECT a, c,
+         |        unnest(generate_series(1, len(a) - 1)) AS j FROM (
+         |        SELECT list_filter(string_split(sym, ' '),
+         |            x -> x <> '') AS a, c
+         |        FROM s${i - 1})))
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT replace(sym, ' ' || m.l || '  ' || m.r || ' ',
+         |           ' ' || m.l || m.r || ' ') AS sym, c
+         |  FROM s${i - 1}, m$i AS m)""".stripMargin
+    }
+    (head +: levels).mkString(",\n")
+  }
+
+  private def b01Sql(n: Int): String = {
+    val union = (1 to n).map(i =>
+      s"""SELECT $i::INT AS "rank", l AS "left", r AS "right",
+         |  l || r AS merged, cnt AS pair_count FROM m$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""${bpeLevels(n)}
+       |$union
+       |ORDER BY "rank"""".stripMargin
+  }
+
+  /** BPE encode replay (b02): the whole doc is encoded in ONE symbol
+    * string — word separators become a '|' symbol no trained merge can
+    * bridge (merges carry only word characters, and ` l r ` needs
+    * adjacency), replaying the word-boundary contract without lambda
+    * capture; the n trained merges apply as an n-deep replace chain in
+    * rank order. */
+  private def b02Sql(n: Int): String = {
+    val chain = (1 to n).foldLeft(
+      "regexp_replace(replace(text, ' ', '|'), " +
+        "'(.)', ' \\1 ', 'g')") { (e, i) =>
+      s"replace($e, ' ' || m$i.l || '  ' || m$i.r || ' ', " +
+        s"' ' || m$i.l || m$i.r || ' ')"
+    }
+    val mJoins = (1 to n).map(i => s"m$i").mkString(", ")
+    s"""${bpeLevels(n)},
+       |e AS (SELECT doc_id,
+       |        replace(trim($chain), '  ', ' ') AS enc
+       |      FROM documents, $mJoins)
+       |SELECT doc_id,
+       |  len(list_filter(string_split(enc, ' '),
+       |    x -> x <> '|'))::INT AS n_tokens_bpe,
+       |  enc AS encoded
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
   private def d09Sql(bridge: Int): String =
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
@@ -5645,6 +5716,77 @@ object OracleSql {
         |  (span_end - span_start + 1)::BIGINT AS span_tokens, twin_count
         |FROM iv WHERE span_end - span_start + 1 >= 20
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // C4-style line filter (t24): the same deterministic multi-line
+    // body the Spark entry builds (100-char chunks, '.' on i%3≠0,
+    // boilerplate + short + unique closing lines), then per-line
+    // gates: ≥3 words, terminal punctuation, blocklist substrings
+    "t24_line_filter" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    ((strlen(text) + 99) // 100)::INT AS nc FROM documents),
+        |c AS (SELECT doc_id, unnest(generate_series(0, nc - 1))::INT AS i,
+        |        text FROM d),
+        |l AS (SELECT doc_id, i, substr(text, 1 + i*100, 100) ||
+        |        CASE WHEN i % 3 <> 0 THEN '.' ELSE '' END AS ln FROM c),
+        |b AS (SELECT doc_id,
+        |        string_agg(ln, chr(10) ORDER BY i) || chr(10) ||
+        |        'please enable javascript and accept our cookie policy.'
+        |        || chr(10) || 'ok then.' || chr(10) ||
+        |        'doc ' || doc_id::VARCHAR || ' summary ends here.' AS body
+        |      FROM l GROUP BY doc_id),
+        |ls AS (SELECT doc_id, unnest(string_split(body, chr(10))) AS ln,
+        |         unnest(generate_series(1,
+        |           len(string_split(body, chr(10)))))::INT AS pos FROM b),
+        |k AS (SELECT doc_id, ln, pos,
+        |        (len(list_filter(string_split(ln, ' '), t -> t <> '')) >= 3
+        |         AND regexp_matches(ln, '[.!?"]$')
+        |         AND NOT contains(lower(ln), 'javascript')
+        |         AND NOT contains(lower(ln), 'cookie')
+        |         AND NOT contains(lower(ln), '{')) AS ok
+        |      FROM ls)
+        |SELECT doc_id, count(*)::INT AS n_lines, sum(ok::INT)::INT AS n_kept,
+        |  coalesce(string_agg(CASE WHEN ok THEN ln END, chr(10)
+        |    ORDER BY pos) FILTER (WHERE ok), '') AS clean
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // cross-doc repeated-line removal (t25): same body; a line present
+    // in ≥ 5 distinct docs is boilerplate and removed everywhere
+    "t25_line_dedup" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    ((strlen(text) + 99) // 100)::INT AS nc FROM documents),
+        |c AS (SELECT doc_id, unnest(generate_series(0, nc - 1))::INT AS i,
+        |        text FROM d),
+        |l AS (SELECT doc_id, i, substr(text, 1 + i*100, 100) ||
+        |        CASE WHEN i % 3 <> 0 THEN '.' ELSE '' END AS ln FROM c),
+        |b AS (SELECT doc_id,
+        |        string_agg(ln, chr(10) ORDER BY i) || chr(10) ||
+        |        'please enable javascript and accept our cookie policy.'
+        |        || chr(10) || 'ok then.' || chr(10) ||
+        |        'doc ' || doc_id::VARCHAR || ' summary ends here.' AS body
+        |      FROM l GROUP BY doc_id),
+        |ls AS (SELECT doc_id, unnest(string_split(body, chr(10))) AS ln,
+        |         unnest(generate_series(1,
+        |           len(string_split(body, chr(10)))))::INT AS pos FROM b),
+        |flag AS (SELECT ln FROM (SELECT ln, count(DISTINCT doc_id) AS ldf
+        |           FROM ls WHERE ln <> '' GROUP BY 1) WHERE ldf >= 5),
+        |keep AS (SELECT doc_id, ln, pos FROM ls
+        |         WHERE ln NOT IN (SELECT ln FROM flag)),
+        |cnt AS (SELECT doc_id, count(*)::INT AS n_lines FROM ls GROUP BY 1),
+        |re AS (SELECT doc_id, count(*)::INT AS n_kept,
+        |         string_agg(ln, chr(10) ORDER BY pos) AS clean
+        |       FROM keep GROUP BY 1)
+        |SELECT c.doc_id, c.n_lines, coalesce(re.n_kept, 0) AS n_kept,
+        |  coalesce(re.clean, '') AS clean
+        |FROM cnt c LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // in-engine BPE trainer (b01): 8 integer-exact merge elections
+    // over the word-count frame; see bpeLevels for the replay contract
+    "b01_bpe_train" -> b01Sql(8),
+
+    // BPE encode (b02): the b01 merge table applied in rank order as a
+    // static replace chain; '|' boundary symbols keep merges inside
+    // words
+    "b02_bpe_encode" -> b02Sql(8),
 
     // d09 cut form: the same interval frame, intervals grouped by the
     // md5 of their covered token slice, keep-first (doc, start) per

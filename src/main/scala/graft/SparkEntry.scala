@@ -1726,6 +1726,80 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // ── t24: C4-style LINE filter — the fixture has no newlines, so
+    //    each doc is first shaped into a deterministic multi-line body
+    //    (100-char content chunks, terminal '.' on i%3≠0, plus a
+    //    blocklisted boilerplate line, a too-short line, and a unique
+    //    closing line) exercising all three rules; the op then gates
+    //    lines on min-words / terminal-punct / blocklist ───────────────
+    "t24_line_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nc = ceil(length(col("text")) / lit(100.0)).cast("int")
+      val content = transform(sequence(lit(0), nc - 1), i =>
+        concat(col("text").substr(i * lit(100) + lit(1), lit(100)),
+          when(i % 3 =!= 0, lit(".")).otherwise(lit(""))))
+      val withBody = d.withColumn("body", concat(
+        concat_ws("\n", content), lit("\n"),
+        lit("please enable javascript and accept our cookie policy."),
+        lit("\n"), lit("ok then."), lit("\n"),
+        concat(lit("doc "), col("doc_id").cast("string"),
+          lit(" summary ends here."))))
+      graft.text.TextOps.lineFilter(withBody, "doc_id", "body",
+          minWords = 3, requireTerminal = true,
+          blocklist = Seq("javascript", "cookie", "{"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── t25: cross-doc repeated-LINE removal (CCNet/RefinedWeb
+    //    boilerplate dedup) — same synthetic multi-line body as t24;
+    //    the two boilerplate lines recur in EVERY doc (df = n_docs) and
+    //    vanish corpus-wide, low-df prose survives. The computed body
+    //    stays LIVE deliberately: a localCheckpoint before the explode
+    //    was measured to only inflate the 1× base (0.53→0.85 s) while
+    //    leaving the 10×-doclen absolute unchanged (1.96 vs 2.00 s) —
+    //    the elevated doclen ratio is a small-base artifact, not a
+    //    Generate re-evaluation pathology (absolute 10× growth is
+    //    3.7×, sublinear) ───────────────────────────────────────────────
+    "t25_line_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nc = ceil(length(col("text")) / lit(100.0)).cast("int")
+      val content = transform(sequence(lit(0), nc - 1), i =>
+        concat(col("text").substr(i * lit(100) + lit(1), lit(100)),
+          when(i % 3 =!= 0, lit(".")).otherwise(lit(""))))
+      val withBody = d.withColumn("body", concat(
+        concat_ws("\n", content), lit("\n"),
+        lit("please enable javascript and accept our cookie policy."),
+        lit("\n"), lit("ok then."), lit("\n"),
+        concat(lit("doc "), col("doc_id").cast("string"),
+          lit(" summary ends here."))))
+        .select(col("doc_id"), col("body"))
+      graft.text.TextOps.dedupLines(withBody, "doc_id", "body",
+          maxDf = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── b01: in-engine BPE tokenizer TRAINING — corpus touched once
+    //    (word-count agg), then 8 integer-exact merge elections on the
+    //    vocabulary frame; the model (merge table) is the only driver
+    //    state ─────────────────────────────────────────────────────────
+    "b01_bpe_train" -> ((s, dir) => {
+      graft.text.Bpe.trainDF(docs(s, dir), "text", nMerges = 8)
+        .orderBy(col("rank"))
+    }),
+
+    // ── b02: BPE ENCODE with the b01 merges — a static 8-deep chain
+    //    of codegen'd replaces inside one per-word lambda; map-side,
+    //    zero shuffles ───────────────────────────────────────────────────
+    "b02_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.train(d, "text", nMerges = 8)
+      graft.text.Bpe.encode(d, "text", merges)
+        .select(col("doc_id"), col("n_tokens_bpe"), col("encoded"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── d09 CUT form: duplicated intervals grouped by slice content,
     //    keep-first election per content, losers' tokens removed and
     //    docs reassembled (the d05 output contract at arbitrary

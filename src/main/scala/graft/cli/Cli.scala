@@ -454,7 +454,45 @@ object Cli {
       s"curate needs integral $id values; $badIds rows fail the long cast " +
         "(map string ids to a dense surrogate key first)")
 
-    val exact = Dedup.dropExactDuplicates(domainGated, id, text)
+    // ── optional line-level text SHAPING, the C4/CCNet ordering:
+    // per-line quality gates (--line_filter true [--min_line_words N
+    // --line_blocklist a,b] — t24) then corpus-frequent boilerplate
+    // line removal (--max_line_df N — t25). These reshape text rather
+    // than drop docs (a doc whose every line fails survives emptied
+    // and falls to the min_tokens gate downstream), and they run
+    // BEFORE any dedup so cleaned text drives every fingerprint — two
+    // docs differing only in navigation chrome become exact duplicates
+    // here and collapse in the very next stage.
+    def lineDropCount(framed: DataFrame, stage: String): Long =
+      timedStage(stage)(framed
+        .agg(sum(col("n_lines")).cast("long"),
+          sum(col("n_kept")).cast("long")).collect())
+        .headOption.map(r => Option(r.get(0)).fold(0L)(_
+          .asInstanceOf[Long]) - Option(r.get(1)).fold(0L)(_
+          .asInstanceOf[Long]))
+        .getOrElse(0L)
+    val (lineFiltered, nLineFilterDrop) =
+      if (cfg.strOpt("line_filter").contains("true")) {
+        val lf = TextOps.lineFilter(domainGated, id, text,
+          minWords = cfg.strOpt("min_line_words").map(_.toInt)
+            .getOrElse(3),
+          requireTerminal = true,
+          blocklist = cfg.strOpt("line_blocklist")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq("javascript", "cookie", "{")))
+        (lf.select(col(id), col("clean").as(text)),
+          lineDropCount(lf, "line_filter"))
+      } else (domainGated, 0L)
+    val (lineShaped, nLineDedupDrop) = cfg.strOpt("max_line_df") match {
+      case Some(n) =>
+        val ld = TextOps.dedupLines(lineFiltered, id, text,
+          maxDf = n.toInt)
+        (ld.select(col(id), col("clean").as(text)),
+          lineDropCount(ld, "line_dedup"))
+      case None => (lineFiltered, 0L)
+    }
+
+    val exact = Dedup.dropExactDuplicates(lineShaped, id, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n1 = timedStage("exact_dedup")(exact.count())
 
@@ -790,6 +828,18 @@ object Cli {
         }
         packed.join(topics, Seq(id), "left")
       } else packed
+    // optional tokenizer training (--train_bpe N): fit N BPE merges
+    // IN-ENGINE on the final curated text (post-redaction, pre-chunk —
+    // the corpus the model will actually train on) and persist the
+    // merge table as a model artifact next to the output. The corpus
+    // is touched once (word-count agg); each merge iterates on the
+    // vocabulary frame only.
+    cfg.strOpt("train_bpe").foreach { n =>
+      timedStage("bpe_train")(graft.text.Bpe.trainDF(
+          redacted.select(col("redacted").as(text)), text, n.toInt)
+        .write.mode("overwrite")
+        .parquet(s"${cfg.str("output")}_bpe_merges.parquet"))
+    }
     timedStage("chunk_pack_topic_write")(
       labeled.write.mode("overwrite").partitionBy("split")
         .parquet(cfg.str("output")))
@@ -819,9 +869,11 @@ object Cli {
 
     val s = spark
     import s.implicits._
-    val funnel = Seq((n0, nDomain, n1, n2, n3, nGopher, nLang, nLm, nQ,
+    val funnel = Seq((n0, nDomain, nLineFilterDrop, nLineDedupDrop,
+        n1, n2, n3, nGopher, nLang, nLm, nQ,
         n4, nEmail, nPhone, nChunks))
       .toDF("n_input", "n_after_domain_gate",
+        "n_lines_dropped_filter", "n_lines_dropped_boilerplate",
         "n_after_exact_dedup", "n_after_near_dedup",
         "n_after_quality", "n_after_gopher_rules", "n_after_lang_filter",
         "n_after_lm_filter", "n_after_quality_classifier",

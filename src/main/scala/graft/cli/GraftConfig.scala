@@ -80,7 +80,8 @@ object GraftConfig {
     "chunk_stride", "split_salt", "pack_budget", "assign_topics",
     "train_topics", "topic_init", "incremental_from", "stage_timing",
     "max_dup_span", "cut_dup_spans", "cut_contaminated_spans",
-    "domain_blocklist", "url_col")
+    "domain_blocklist", "url_col", "line_filter", "min_line_words",
+    "line_blocklist", "max_line_df", "train_bpe")
 
   /** `--key value` CLI args → overrides; `--load_config f.json` merges
     * the file first (CLI still wins — reference precedence). Unknown

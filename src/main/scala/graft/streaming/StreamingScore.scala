@@ -297,6 +297,46 @@ object StreamingScore {
         benchGrams, batch, id, text, k, minSpanTokens))
     }
 
+  /** Streaming t24 twin — C4-style line filter on a document stream:
+    * [[graft.text.TextOps.lineFilter]] is pure map-side higher-order
+    * functions over the line array (no shuffle, no Generate), so it
+    * applies DIRECTLY to the streaming frame — no foreachBatch, no
+    * state, batch-identical by construction. */
+  def lineFilter(docs: DataFrame, id: String, text: String,
+                 minWords: Int = 3, requireTerminal: Boolean = true,
+                 blocklist: Seq[String] = Seq("javascript", "cookie",
+                   "{")): DataFrame =
+    graft.text.TextOps.lineFilter(docs, id, text, minWords,
+      requireTerminal, blocklist)
+
+  /** Streaming t25 twin — repeated-line removal of ARRIVING docs
+    * against a FROZEN boilerplate-line frame
+    * ([[graft.text.TextOps.boilerplateLines]], built once over the
+    * reference corpus and persisted by the caller): each micro-batch
+    * runs the exact batch keep path
+    * ([[graft.text.TextOps.removeLines]] — line-keyed anti-join +
+    * per-doc reassembly). A doc's lines all arrive in its own row, so
+    * the output is a per-doc function of (doc, frozen frame) —
+    * micro-batch boundaries cannot change any result and the stream
+    * carries ZERO state (the t21-twin stream-static shape). */
+  def dedupLinesAgainst(refLines: DataFrame, docs: DataFrame,
+                        id: String, text: String)
+                       (sink: DataFrame => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.text.TextOps.removeLines(refLines, batch, id, text))
+    }
+
+  /** Streaming b02 twin — BPE encoding of a document stream with a
+    * FROZEN merge table ([[graft.text.Bpe.train]], run once offline —
+    * the tokenizer is versioned model state, never retrained
+    * mid-stream): the encode is a static chain of per-row replaces
+    * (no shuffle, no Generate), so it applies DIRECTLY to the
+    * streaming frame — no foreachBatch, no state, batch-identical by
+    * construction. */
+  def bpeEncode(docs: DataFrame, text: String,
+                merges: Seq[graft.text.Bpe.Merge]): DataFrame =
+    graft.text.Bpe.encode(docs, text, merges)
+
   /** Streaming a14 twin — URL blocklist gate on a document stream: a
     * pure per-row filter ([[graft.text.UrlOps.domainGate]] is one
     * regex + literal suffix matches), so it applies DIRECTLY to the

@@ -1245,4 +1245,101 @@ object TextOps {
       .select(col("query_id"), col(id), col("n_hit"), col("score"),
         col("rk"))
   }
+
+  /** C4-style line-level quality filter (beyond reference; Raffel et
+    * al. 2020 §2.2): within each document, keep only lines that (a)
+    * have at least `minWords` words, (b) end in terminal punctuation
+    * (`. ! ? "`) when `requireTerminal` is set, and (c) contain none of
+    * the lowercase `blocklist` substrings (the "javascript"/cookie-
+    * notice rule). Documents are NOT dropped — their surviving lines
+    * are re-joined, with per-doc funnel counts.
+    *
+    * Scale shape: pure map-side higher-order functions over the line
+    * array (`split` → `filter` → `concat_ws`) — zero shuffles, fully
+    * codegen'd, embarrassingly parallel at 100 TB. No Generate in the
+    * lineage, so no projection-collapse re-evaluation risk (the t19
+    * pathology class). Emits (id, n_lines INT, n_kept INT, clean). */
+  def lineFilter(df: DataFrame, id: String, text: String,
+                 minWords: Int = 3, requireTerminal: Boolean = true,
+                 blocklist: Seq[String] = Seq("javascript", "cookie",
+                   "{")): DataFrame = {
+    val lines = split(col(text), "\n")
+    val wordsOk =
+      (ln: Column) => size(filter(split(ln, " "), t => t =!= "")) >=
+        minWords
+    val termOk =
+      (ln: Column) =>
+        if (requireTerminal) ln.rlike("[.!?\"]$") else lit(true)
+    val blockOk =
+      (ln: Column) => blocklist.map(b => !contains(lower(ln), lit(b)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    val kept = filter(lines,
+      ln => wordsOk(ln) && termOk(ln) && blockOk(ln))
+    df.withColumn("n_lines", size(lines))
+      .withColumn("n_kept", size(kept))
+      .withColumn("clean", concat_ws("\n", kept))
+      .drop(text)
+  }
+
+  /** Cross-document repeated-line removal (beyond reference; the
+    * CCNet/RefinedWeb boilerplate-line dedup): a line that appears in
+    * at least `maxDf` DISTINCT documents is boilerplate (navigation
+    * chrome, cookie banners, license footers) and is removed from
+    * every document; unique prose survives. Emits per-doc
+    * (n_lines INT, n_kept INT, clean) like [[lineFilter]].
+    *
+    * Scale shape — the t21 inverted-index shape at line granularity,
+    * nothing pairwise: one posexplode, ONE (line)-keyed distinct-doc
+    * df aggregation, one line-keyed join back, one doc-keyed
+    * reassembly agg (order restored from the carried `pos`). Line df
+    * is skew-bounded the same way gram df is: the df frame is
+    * `df >= maxDf` only when joined, and the reassembly agg is keyed
+    * on the doc id, so a corpus-wide boilerplate line never funnels
+    * through one reducer. Blank lines are preserved verbatim (they
+    * carry document structure and would otherwise all hash
+    * together). */
+  def dedupLines(df: DataFrame, id: String, text: String,
+                 maxDf: Int = 5): DataFrame =
+    removeLines(boilerplateLines(df, id, text, maxDf), df, id, text)
+
+  /** The boilerplate-line frame behind [[dedupLines]]: distinct
+    * non-blank lines appearing in at least `maxDf` DISTINCT documents
+    * (one posexplode + one line-keyed distinct-doc count). Persist
+    * this frame once to run [[removeLines]] against a frozen corpus —
+    * the streaming twin's stream-static shape. */
+  def boilerplateLines(df: DataFrame, id: String, text: String,
+                       maxDf: Int = 5): DataFrame = {
+    val lined = df.select(col(id),
+      explode(split(col(text), "\n")).as("line"))
+    lined.filter(col("line") =!= "")
+      .select(col(id), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= maxDf)
+      .select(col("line"))
+  }
+
+  /** Remove every line in `refLines` from each document, preserving
+    * the order of the survivors; per-doc funnel counts ride along.
+    * One line-keyed anti-join + one doc-keyed reassembly agg. */
+  def removeLines(refLines: DataFrame, df: DataFrame, id: String,
+                  text: String): DataFrame = {
+    val other = df.columns.filterNot(_ == text).map(col)
+    val lined = df.select(other :+
+      posexplode(split(col(text), "\n")).as(Seq("pos", "line")): _*)
+    val keepRows = lined.join(refLines.select(col("line")), Seq("line"),
+      "left_anti")
+    val counts = lined.groupBy(col(id))
+      .agg(count(lit(1)).cast("int").as("n_lines"))
+    val reassembled = keepRows.groupBy(col(id))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"),
+            col("line")))), s => s.getField("line"))).as("clean"))
+    // left from counts: a document whose every line was boilerplate
+    // still appears, fully emptied, in the output funnel
+    counts.join(reassembled, Seq(id), "left")
+      .select(col(id), col("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("clean"), lit("")).as("clean"))
+  }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Bpe
+
+/** Hand-computed fixtures for the in-engine BPE tokenizer (b01 train /
+  * b02 encode): the classic Sennrich corpus, greedy-run semantics,
+  * word-boundary isolation, and the encode plan contract. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def corpus(words: (String, Int)*) =
+    words.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .mkString(" ") match { case t => Seq((1L, t)).toDF("doc_id", "text") }
+
+  test("train: the classic low/lower/newest/widest corpus elects the " +
+       "hand-computed merges with deterministic tie-breaks") {
+    val df = corpus("low" -> 5, "lower" -> 2, "newest" -> 6,
+      "widest" -> 3)
+    val m = Bpe.train(df, "text", nMerges = 4)
+    assert(m.map(x => (x.rank, x.left, x.right, x.pairCount)) === Seq(
+      (1, "e", "s", 9L),   // es 9 ties st 9; 'e' < 's' breaks it
+      (2, "es", "t", 9L),  // est forms immediately
+      (3, "l", "o", 7L),   // lo 7 ties ow 7; 'l' < 'o'
+      (4, "lo", "w", 7L)))
+    // the canonical payoff: an UNSEEN word segments morphologically
+    val enc = Bpe.encode(Seq((1L, "lowest")).toDF("id", "text"),
+        "text", m)
+      .select("encoded").as[String].head()
+    assert(enc === "low est")
+  }
+
+  test("train + encode: repeated runs merge greedily left-to-right " +
+       "like reference BPE (aaaaa -> aa aa a, not aa a aa)") {
+    val df = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val m = Bpe.train(df, "text", nMerges = 1)
+    assert(m === Seq(Bpe.Merge(1, "a", "a", "aa", 4L)))
+    val enc = Bpe.encode(df, "text", m)
+      .select("n_tokens_bpe", "encoded").as[(Int, String)].head()
+    assert(enc === ((3, "aa aa a")),
+      "the unit encoding must not let one replacement eat the next " +
+        "match's separator")
+  }
+
+  test("encode: merges never cross word boundaries and ride rank order") {
+    val m = Seq(Bpe.Merge(1, "b", "a", "ba", 0L))
+    val enc = Bpe.encode(Seq((1L, "ab ab")).toDF("id", "text"), "text", m)
+      .select("n_tokens_bpe", "encoded").as[(Int, String)].head()
+    assert(enc === ((4, "a b | a b")),
+      "'b a' spans the word boundary — it must never merge")
+    // rank order, not refreshed counts: (a,b) then (ab,c) chains
+    val m2 = Seq(Bpe.Merge(1, "a", "b", "ab", 0L),
+      Bpe.Merge(2, "ab", "c", "abc", 0L))
+    val enc2 = Bpe.encode(Seq((1L, "abc")).toDF("id", "text"), "text", m2)
+      .select("encoded").as[String].head()
+    assert(enc2 === "abc")
+  }
+
+  test("train: pair-starved corpora stop early instead of crashing " +
+       "(single-char words, empty corpus)") {
+    assert(Bpe.train(Seq((1L, "a b a")).toDF("doc_id", "text"),
+      "text", nMerges = 5).isEmpty)
+    assert(Bpe.train(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "text", nMerges = 3).isEmpty)
+    // merges stop when the vocabulary is fully merged
+    val m = Bpe.train(Seq((1L, "ab ab")).toDF("doc_id", "text"),
+      "text", nMerges = 10)
+    assert(m.map(_.merged) === Seq("ab"),
+      "one merge exhausts the two-char vocabulary")
+  }
+
+  test("encode plan: a static replace chain — zero exchanges, " +
+       "whole-stage codegen") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+    val m = (1 to 8).map(i => Bpe.Merge(i, s"x$i", "y", s"x${i}y", 0L))
+    val out = Bpe.encode(docs, "text", m)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"encode must not shuffle:\n$p")
+    assert(p.contains("*("), "expected whole-stage codegen")
+  }
+
+  test("streaming b02 twin: direct stream application with a frozen " +
+       "merge table matches batch") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text")
+    val m = Bpe.train(docs, "text", nMerges = 4)
+    val batch = Bpe.encode(docs, "text", m)
+      .select("doc_id", "n_tokens_bpe", "encoded")
+      .as[(Long, Int, String)].collect().map(r => r._1 -> r).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graftbpe").toString
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val buf = scala.collection.mutable.Map.empty[Long, (Long, Int, String)]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, _) => buf.synchronized {
+        buf ++= b.select("doc_id", "n_tokens_bpe", "encoded")
+          .as[(Long, Int, String)].collect().map(r => r._1 -> r)
+      }
+    val q = graft.streaming.StreamingScore.bpeEncode(stream, "text", m)
+      .writeStream.foreachBatch(sink).start()
+    q.processAllAvailable(); q.stop()
+    assert(buf.nonEmpty && buf.toMap === batch)
+  }
+}

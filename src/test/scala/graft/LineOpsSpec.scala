@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.TextOps
+
+/** Hand-computed fixtures for the line-granularity curation ops:
+  * C4-style per-line quality filtering (t24) and cross-document
+  * repeated-line (boilerplate) removal (t25), plus their plan
+  * contracts and streaming twins. */
+class LineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("lineFilter: each C4 rule drops exactly the line built to trip it") {
+    val body = Seq(
+      "this sentence survives every rule.",   // kept
+      "no terminal punctuation here",         // dropped: terminal
+      "short.",                               // dropped: < 3 words
+      "please enable javascript to continue.", // dropped: blocklist
+      "we use a cookie banner.",              // dropped: blocklist
+      "function f() { return 1; }",           // dropped: blocklist '{'
+      "does this survive too?",               // kept: '?' terminal
+      "he said \"stop\"").mkString("\n")      // kept: '"' terminal
+    val out = TextOps.lineFilter(Seq((1L, body)).toDF("id", "body"),
+        "id", "body")
+      .select("id", "n_lines", "n_kept", "clean")
+      .as[(Long, Int, Int, String)].collect().head
+    assert(out._2 === 8 && out._3 === 3)
+    assert(out._4 === Seq("this sentence survives every rule.",
+      "does this survive too?", "he said \"stop\"").mkString("\n"))
+  }
+
+  test("lineFilter: single-line docs, fully-dropped docs, and rule toggles") {
+    val df = Seq(
+      (1L, "one good single line."),
+      (2L, "all lines bad"),
+      (3L, "x.\ny.")).toDF("id", "body")
+    val strict = TextOps.lineFilter(df, "id", "body")
+      .select("id", "n_lines", "n_kept", "clean")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(strict(0) === ((1L, 1, 1, "one good single line.")))
+    assert(strict(1) === ((2L, 1, 0, "")), "doc survives emptied, not dropped")
+    assert(strict(2) === ((3L, 2, 0, "")), "1-word lines fail minWords")
+    val lax = TextOps.lineFilter(df, "id", "body", minWords = 1,
+        requireTerminal = false, blocklist = Nil)
+      .select("id", "n_kept").as[(Long, Int)].collect().sortBy(_._1)
+    assert(lax.map(_._2).toSeq === Seq(1, 1, 2),
+      "with every rule relaxed all lines survive")
+  }
+
+  test("dedupLines: corpus-frequent lines vanish everywhere, unique " +
+       "prose survives in order; emptied docs stay in the funnel") {
+    val boiler = "subscribe to our newsletter"
+    val df = Seq(
+      (1L, s"alpha prose one\n$boiler\nalpha prose two"),
+      (2L, s"$boiler\nbeta prose"),
+      (3L, s"gamma prose\n$boiler"),
+      (4L, boiler)).toDF("id", "body")
+    val out = TextOps.dedupLines(df, "id", "body", maxDf = 3)
+      .select("id", "n_lines", "n_kept", "clean")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 3, 2, "alpha prose one\nalpha prose two")),
+      "survivor order restored from line position")
+    assert(out(1) === ((2L, 2, 1, "beta prose")))
+    assert(out(2) === ((3L, 2, 1, "gamma prose")))
+    assert(out(3) === ((4L, 1, 0, "")),
+      "a doc that was ALL boilerplate still appears, emptied")
+  }
+
+  test("dedupLines: df counts DISTINCT docs (a line repeated inside one " +
+       "doc is not boilerplate) and blank lines are never flagged") {
+    val df = Seq(
+      (1L, "echo line\necho line\necho line\nunique one"),
+      (2L, "unique two\n\nunique three")).toDF("id", "body")
+    val out = TextOps.dedupLines(df, "id", "body", maxDf = 2)
+      .select("id", "n_kept", "clean")
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    assert(out(0)._2 === 4, "in-doc repetition alone never flags a line")
+    assert(out(1) === ((2L, 3, "unique two\n\nunique three")),
+      "blank lines pass through verbatim")
+  }
+
+  test("t24 plan: lineFilter is map-side only — zero exchanges") {
+    val df = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select(col("doc_id"), concat_ws("\n", col("text"),
+        lit("tail line.")).as("body"))
+    val out = TextOps.lineFilter(df, "doc_id", "body")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"),
+      s"line filter must not shuffle:\n$p")
+    assert(p.contains("*("), "expected whole-stage codegen")
+  }
+
+  test("t25 plan: keyed aggs and one line-keyed anti-join — no " +
+       "cartesian, no global single partition") {
+    val q = SparkEntry.queries("t25_line_dedup")(spark, SparkSpec.sfDir)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SinglePartition") || !p.contains("Window"),
+      "no single-partition window stage in the line-dedup path")
+  }
+
+  test("streaming t24 twin: direct stream application matches batch " +
+       "(stateless map)") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select(col("doc_id"), concat_ws("\n", col("text"),
+        lit("enable javascript now"), lit("good closing line.")).as("body"))
+    val tmp = java.nio.file.Files.createTempDirectory("graftlines").toString
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val batch = TextOps.lineFilter(docs, "doc_id", "body")
+      .select("doc_id", "n_lines", "n_kept", "clean")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    val streamed = graft.streaming.StreamingScore.lineFilter(
+      stream, "doc_id", "body")
+    val buf = scala.collection.mutable.Map.empty[Long,
+      (Long, Int, Int, String)]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, _) => buf.synchronized {
+        buf ++= b.as[(Long, Int, Int, String)].collect().map(r => r._1 -> r)
+      }
+    val q = streamed.select("doc_id", "n_lines", "n_kept", "clean")
+      .writeStream.foreachBatch(sink).start()
+    q.processAllAvailable(); q.stop()
+    assert(buf.nonEmpty && buf.toMap === batch)
+  }
+
+  test("streaming t25 twin: arriving docs cleaned against the frozen " +
+       "boilerplate frame match batch removeLines across micro-batches") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select(col("doc_id"), concat_ws("\n", col("text"),
+        lit("all rights reserved"),
+        concat(lit("doc "), col("doc_id"), lit(" unique line"))).as("body"))
+    val refLines = TextOps.boilerplateLines(docs, "doc_id", "body",
+      maxDf = 5).localCheckpoint()
+    assert(refLines.count() === 1,
+      "exactly the shared footer is boilerplate at maxDf=5")
+    val batch = TextOps.removeLines(refLines, docs, "doc_id", "body")
+      .select("doc_id", "n_lines", "n_kept", "clean")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graftlines2").toString
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val buf = scala.collection.mutable.Map.empty[Long,
+      (Long, Int, Int, String)]
+    val q = graft.streaming.StreamingScore.dedupLinesAgainst(
+        refLines, stream, "doc_id", "body") { b =>
+      buf.synchronized { buf ++= b
+        .select("doc_id", "n_lines", "n_kept", "clean")
+        .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r) }
+    }.start()
+    q.processAllAvailable(); q.stop()
+    assert(buf.nonEmpty && buf.toMap === batch)
+    assert(batch.values.forall(_._3 == 2),
+      "footer removed from every doc, prose + unique line survive")
+  }
+}

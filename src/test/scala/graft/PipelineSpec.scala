@@ -717,6 +717,73 @@ class PipelineSpec extends AnyFunSuite {
     assert(funnel.contains("\"n_after_domain_gate\": 2"), funnel)
   }
 
+  test("CLI curate --line_filter/--max_line_df: chrome lines and " +
+       "corpus-frequent boilerplate are cut BEFORE dedup, so docs " +
+       "differing only in boilerplate collapse as exact duplicates") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftline").toString
+    val footer = "subscribe to our newsletter."
+    val docs = Seq(
+      (1L, "alpha prose sentence one.\nplease enable javascript now.\n" +
+        "alpha closing sentence."),
+      (2L, s"beta prose sentence one.\n$footer\nbeta closing sentence."),
+      (3L, s"gamma prose sentence one.\n$footer\ngamma closing sentence."),
+      (4L, s"delta prose sentence one.\n$footer\ndelta closing sentence."),
+      (5L, "delta prose sentence one.\ndelta closing sentence."))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    val out = s"$dir/chunks"
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"$dir/docs",
+      "near_threshold" -> "0.8", "min_tokens" -> "1",
+      "line_filter" -> "true", "max_line_df" -> "3",
+      "chunk_window" -> "400", "chunk_stride" -> "300",
+      "output" -> out, "metrics_out" -> s"$dir/funnel.json"))
+    val chunks = spark.read.parquet(out)
+    val kept = chunks.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L, 4L),
+      "doc 5 = doc 4 minus boilerplate, so after line shaping they are " +
+        "exact duplicates and keep-first wins")
+    val texts = chunks.select("chunk").collect().map(_.getString(0))
+    assert(!texts.exists(t => t.contains("javascript") ||
+      t.contains("subscribe")),
+      "both the blocklisted line and the df-3 footer are gone")
+    val funnel = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/funnel.json"))
+    assert(funnel.contains("\"n_lines_dropped_filter\": 1"), funnel)
+    assert(funnel.contains("\"n_lines_dropped_boilerplate\": 3"), funnel)
+    assert(funnel.contains("\"n_after_exact_dedup\": 4"), funnel)
+  }
+
+  test("CLI curate --train_bpe: the merge-table model artifact lands " +
+       "next to the output, ranked and trained on the curated text") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftbpe2").toString
+    val docs = (1L to 8L).map(i =>
+        (i, "low low lower newest newest widest prose line " + i))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    val out = s"$dir/chunks"
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"$dir/docs",
+      "near_threshold" -> "0.8", "min_tokens" -> "1",
+      "train_bpe" -> "4",
+      "chunk_window" -> "400", "chunk_stride" -> "300",
+      "output" -> out, "metrics_out" -> s"$dir/funnel.json"))
+    val m = spark.read.parquet(s"${out}_bpe_merges.parquet")
+      .orderBy("rank").collect()
+    assert(m.length === 4)
+    assert(m.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
+    assert(m.forall(_.getLong(4) >= 1L), "pair counts are positive")
+    val merged = m.map(_.getString(3)).toSet
+    assert(merged.exists(_.length >= 2),
+      s"multi-char symbols form within 4 merges, got $merged")
+  }
+
   test("UrlOps host/domain: userinfo, port, www, deep subdomains, " +
        "single-label hosts, and junk all resolve per the RE2 contract") {
     val s = spark
