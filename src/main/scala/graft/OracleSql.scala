@@ -1005,6 +1005,49 @@ object OracleSql {
        |FROM e ORDER BY doc_id""".stripMargin
   }
 
+  /** BPE id-sequence replay (b03): b02's encoded docs mapped through
+    * the induced vocabulary — base characters sorted (ids 0..C−1),
+    * merges in rank order after; positions are 0-based with the '|'
+    * word boundaries elided BEFORE numbering. */
+  private def b03Sql(n: Int): String = {
+    val chain = (1 to n).foldLeft(
+      "regexp_replace(replace(text, ' ', '|'), " +
+        "'(.)', ' \\1 ', 'g')") { (e, i) =>
+      s"replace($e, ' ' || m$i.l || '  ' || m$i.r || ' ', " +
+        s"' ' || m$i.l || m$i.r || ' ')"
+    }
+    val mJoins = (1 to n).map(i => s"m$i").mkString(", ")
+    val mergeUnion = (1 to n).map(i =>
+      s"SELECT $i AS i, l || r AS merged FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""${bpeLevels(n)},
+       |e AS (SELECT doc_id,
+       |        replace(trim($chain), '  ', ' ') AS enc
+       |      FROM documents, $mJoins),
+       |chars AS MATERIALIZED (
+       |  SELECT DISTINCT ch FROM (
+       |    SELECT unnest(regexp_extract_all(word, '.')) AS ch FROM w0)),
+       |vocab AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY ch) - 1 AS token_id,
+       |         ch AS symbol FROM chars
+       |  UNION ALL
+       |  SELECT (SELECT count(*) FROM chars) + i - 1, merged
+       |  FROM ($mergeUnion)),
+       |sy AS (SELECT doc_id, sym, rawpos FROM (
+       |    SELECT doc_id, unnest(string_split(enc, ' ')) AS sym,
+       |      unnest(generate_series(1,
+       |        len(string_split(enc, ' ')))) AS rawpos FROM e)
+       |  WHERE sym <> '|'),
+       |p AS (SELECT doc_id, sym AS symbol,
+       |        row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY rawpos) - 1 AS pos
+       |      FROM sy)
+       |SELECT p.doc_id, p.pos::INT AS pos, p.symbol,
+       |  v.token_id::INT AS token_id
+       |FROM p LEFT JOIN vocab v ON v.symbol = p.symbol
+       |ORDER BY doc_id, pos""".stripMargin
+  }
+
   private def d09Sql(bridge: Int): String =
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
@@ -5787,6 +5830,10 @@ object OracleSql {
     // static replace chain; '|' boundary symbols keep merges inside
     // words
     "b02_bpe_encode" -> b02Sql(8),
+
+    // BPE id sequences (b03): chars-then-merges vocabulary, exploded
+    // (doc, pos, symbol, token_id) rows
+    "b03_bpe_ids" -> b03Sql(8),
 
     // d09 cut form: the same interval frame, intervals grouped by the
     // md5 of their covered token slice, keep-first (doc, start) per

@@ -1800,6 +1800,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── b03: tokenizer-feed-ready INTEGER ids — the b01 merges induce
+    //    a vocabulary (chars sorted, then merges in rank order) and
+    //    every encoded symbol maps through a typedLit literal; still
+    //    map-side, exploded to the packer-consumable shape ─────────────
+    "b03_bpe_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.train(d, "text", nMerges = 8)
+      val v = graft.text.Bpe.vocab(d, "text", merges)
+      graft.text.Bpe.encodeIds(d, "doc_id", "text", merges, v)
+        .select(col("doc_id"), col("pos"), col("symbol"),
+          col("token_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ── d09 CUT form: duplicated intervals grouped by slice content,
     //    keep-first election per content, losers' tokens removed and
     //    docs reassembled (the d05 output contract at arbitrary

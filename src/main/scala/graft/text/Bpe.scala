@@ -143,4 +143,40 @@ object Bpe {
       .withColumn("encoded", array_join(col("_enc"), " | "))
       .drop("_enc")
   }
+
+  /** The tokenizer vocabulary induced by a training corpus and its
+    * merge table: base characters first (sorted, ids 0..C−1 — the
+    * deterministic convention), then merged symbols in rank order
+    * (ids C..C+N−1). Alphabet-sized by contract — the only collect. */
+  def vocab(df: DataFrame, text: String,
+            merges: Seq[Merge]): Seq[(Int, String, String)] = {
+    val chars = df
+      .select(explode(split(col(text), "")).as("ch"))
+      .filter(col("ch") =!= "" && col("ch") =!= " ")
+      .distinct().collect().map(_.getString(0)).sorted
+    val base = chars.zipWithIndex.map { case (c, i) => (i, c, "char") }
+    val m = merges.sortBy(_.rank).zipWithIndex.map { case (mg, i) =>
+      (chars.length + i, mg.merged, "merge") }
+    (base ++ m).toSeq
+  }
+
+  /** Tokenizer-feed-ready INTEGER id sequences: [[encode]] then map
+    * every symbol through the model-sized vocabulary (a `typedLit`
+    * map literal — broadcast-free, codegen'd, still zero shuffles).
+    * Emitted EXPLODED as (id, pos, symbol, token_id) — the shape
+    * sequence packers and feature stores consume; `pos` is the 0-based
+    * symbol position with word boundaries elided. A symbol outside the
+    * vocabulary (encoding a corpus the tokenizer never saw, with
+    * characters outside the base set) yields a NULL token_id — the
+    * caller's OOV policy owns it. */
+  def encodeIds(df: DataFrame, id: String, text: String,
+                merges: Seq[Merge],
+                vocab: Seq[(Int, String, String)]): DataFrame = {
+    val vmap = typedLit(vocab.map(v => v._2 -> v._1).toMap)
+    encode(df, text, merges)
+      .select(col(id), posexplode(filter(
+        split(col("encoded"), " "), s => s =!= "|"))
+        .as(Seq("pos", "symbol")))
+      .withColumn("token_id", element_at(vmap, col("symbol")))
+  }
 }

@@ -84,6 +84,27 @@ class BpeSpec extends AnyFunSuite {
     assert(p.contains("*("), "expected whole-stage codegen")
   }
 
+  test("vocab + encodeIds: chars-then-merges ids, positions elide " +
+       "word boundaries, OOV symbols map to null") {
+    val df = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val m = Bpe.train(df, "text", nMerges = 1) // (a,b) cnt 2
+    assert(m.map(_.merged) === Seq("ab"))
+    val v = Bpe.vocab(df, "text", m)
+    assert(v === Seq((0, "a", "char"), (1, "b", "char"),
+      (2, "ab", "merge")))
+    val ids = Bpe.encodeIds(df, "doc_id", "text", m, v)
+      .select("pos", "symbol", "token_id")
+      .as[(Int, String, Integer)].collect().sortBy(_._1)
+    assert(ids.toSeq === Seq((0, "ab", Integer.valueOf(2)),
+      (1, "ab", Integer.valueOf(2)), (2, "b", Integer.valueOf(1))),
+      "pos skips the two | boundaries; merged symbol takes id 2")
+    val oov = Bpe.encodeIds(Seq((9L, "xz")).toDF("doc_id", "text"),
+        "doc_id", "text", m, v)
+      .select("symbol", "token_id").as[(String, Integer)].collect()
+    assert(oov.forall(_._2 == null),
+      "characters outside the base set are NULL — caller's OOV policy")
+  }
+
   test("streaming b02 twin: direct stream application with a frozen " +
        "merge table matches batch") {
     val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
