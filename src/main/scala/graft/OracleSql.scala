@@ -1048,6 +1048,43 @@ object OracleSql {
        |ORDER BY doc_id, pos""".stripMargin
   }
 
+  /** Shared aHash pixel→grid→bits chain (m03/m04): recomputes the
+    * Spark side's decoded-pixel hash from the synth formula (pixel
+    * byte i = text byte i mod len; ASCII corpus ⇒ ascii(substr) is
+    * the byte). All comparisons integer — see the m03 entry. Ends
+    * with the `wide` CTE (media_id, b0..b3); the caller appends its
+    * final SELECT. */
+  private def aHashSql(src: String, withKeyword: Boolean = true): String =
+    (if (withKeyword) "WITH " else "") +
+      s"""img AS (SELECT doc_id AS media_id, (8 + doc_id % 13)::INT AS w,
+         |    (8 + doc_id % 7)::INT AS h, text
+         |  FROM $src WHERE doc_id % 3 = 0),
+         |pxi AS (SELECT media_id, w, h, text,
+         |    unnest(generate_series(0, w * h - 1)) AS p FROM img),
+         |gp AS (SELECT media_id,
+         |    ((p % w) * 8) // w AS gx, ((p // w) * 8) // h AS gy,
+         |    ascii(substr(text, 1 + ((3*p) % strlen(text)), 1))
+         |  + ascii(substr(text, 1 + ((3*p + 1) % strlen(text)), 1))
+         |  + ascii(substr(text, 1 + ((3*p + 2) % strlen(text)), 1)) AS g3
+         |  FROM pxi),
+         |cell AS (SELECT media_id, gy * 8 + gx AS k, sum(g3)::BIGINT AS cs,
+         |    count(*)::BIGINT AS cn FROM gp GROUP BY 1, 2),
+         |tot AS (SELECT media_id, sum(cs) AS ts, sum(cn) AS tn
+         |  FROM cell GROUP BY 1),
+         |bits AS (SELECT c.media_id, c.k,
+         |    CASE WHEN c.cs * t.tn > t.ts * c.cn THEN 1 ELSE 0 END AS bit
+         |  FROM cell c JOIN tot t USING (media_id)),
+         |bv AS (SELECT media_id, k // 16 AS b,
+         |    sum(CASE WHEN bit = 1 THEN 1 << (k % 16) ELSE 0 END)::INT AS v
+         |  FROM bits GROUP BY 1, 2),
+         |wide AS (SELECT media_id,
+         |    max(CASE WHEN b = 0 THEN v END)::INT AS b0,
+         |    max(CASE WHEN b = 1 THEN v END)::INT AS b1,
+         |    max(CASE WHEN b = 2 THEN v END)::INT AS b2,
+         |    max(CASE WHEN b = 3 THEN v END)::INT AS b3
+         |  FROM bv GROUP BY 1)
+         |""".stripMargin
+
   private def d09Sql(bridge: Int): String =
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
@@ -3150,6 +3187,46 @@ object OracleSql {
         |  round(ar1,6) AS ar1, round(skew,6) AS skew
         |FROM base JOIN z USING (user_id, event_type)
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // m03: perceptual aHash replay — the Spark side hashes REAL-decoded
+    // PPM pixels; the oracle recomputes from the synth formula (pixel
+    // byte i = text byte i mod len, ASCII ⇒ ascii(substr) == byte).
+    // Every comparison is integer (cs·totN > totS·cn — the
+    // pixel-weighted mean contract chosen exactly so no float ever
+    // appears); bands assemble via integer shifts and the hex form via
+    // to_hex per band
+    "m03_image_ahash" -> (aHashSql("documents") +
+      """SELECT media_id, b0, b1, b2, b3,
+        |  lower(lpad(to_hex(b3), 4, '0') || lpad(to_hex(b2), 4, '0') ||
+        |    lpad(to_hex(b1), 4, '0') || lpad(to_hex(b0), 4, '0'))
+        |    AS ahash_hex
+        |FROM wide ORDER BY media_id""".stripMargin),
+
+    // m04: banded hamming near-dup over the doubled corpus (+273000
+    // exact twins — a multiple of lcm(3,13,7) preserves kind and dims,
+    // so twin pixels are identical and hamming 0 pairs are guaranteed)
+    "m04_image_neardup" -> ("""WITH docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 273000, text FROM documents),
+      |""".stripMargin + aHashSql("docs2", withKeyword = false) +
+      """,
+        |be AS (
+        |  SELECT media_id, 0 AS b, b0 AS v, b0, b1, b2, b3 FROM wide
+        |  UNION ALL
+        |  SELECT media_id, 1, b1, b0, b1, b2, b3 FROM wide
+        |  UNION ALL
+        |  SELECT media_id, 2, b2, b0, b1, b2, b3 FROM wide
+        |  UNION ALL
+        |  SELECT media_id, 3, b3, b0, b1, b2, b3 FROM wide)
+        |SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b,
+        |  (bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1)) +
+        |   bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)))::INT
+        |    AS hamming
+        |FROM be l JOIN be r ON l.b = r.b AND l.v = r.v
+        |  AND l.media_id < r.media_id
+        |WHERE bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1)) +
+        |  bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin),
 
     // m01: the synthesized containers are REAL (PPM images, WAV audio,
     // AVI video) — the oracle recomputes what the Spark-side HEADER

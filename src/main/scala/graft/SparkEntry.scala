@@ -890,6 +890,32 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ── m03: perceptual aHash over REAL-decoded image pixels — the
+    //    pHash-family image-dedup fingerprint; exact-integer grid
+    //    thresholding so the oracle replays it from the synth pixel
+    //    formula bit-for-bit ───────────────────────────────────────────
+    "m03_image_ahash" -> ((s, dir) => {
+      val media = graft.mm.Multimodal.synthesizeFromDocuments(docs(s, dir))
+      graft.mm.Multimodal.imageAHash(media)
+        .orderBy(col("media_id"))
+    }),
+
+    // ── m04: image near-dup pairs via 16-bit aHash bands — the corpus
+    //    is doubled with exact twins at +273000 (a multiple of
+    //    lcm(3,13,7), so kind and dims are preserved and the twin's
+    //    pixels are identical → hamming 0, every twin pair guaranteed);
+    //    banded recall beyond hamming 3 is the documented d01-style
+    //    contract, deterministic on both engines ───────────────────────
+    "m04_image_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val twins = d.withColumn("doc_id", col("doc_id") + 273000)
+      val media = graft.mm.Multimodal.synthesizeFromDocuments(
+        d.unionByName(twins))
+      graft.mm.Multimodal.imageNearDupPairs(
+          graft.mm.Multimodal.imageAHash(media), maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── multimodal: frame sampling + feature→ANN integration ──────────
     "m02_multimodal_features" -> ((s, dir) => {
       val media = graft.mm.Multimodal.synthesizeFromDocuments(docs(s, dir))

@@ -226,4 +226,99 @@ object Multimodal {
   /** Decoded features as a DataFrame ready for Similarity ops. */
   def featureFrame(decoded: Dataset[DecodedMedia]): DataFrame =
     decoded.toDF().select(col("media_id"), col("feature"))
+
+  /** 64-bit perceptual average hash (aHash) over DECODED image pixels
+    * — the image-dedup fingerprint of dataset curation (the
+    * pHash/PDQ family's simplest member): grayscale is box-averaged
+    * onto an 8×8 grid and each cell is thresholded against the image
+    * mean; near-duplicate images (re-encodes, small edits) land within
+    * a few bits of hamming distance while distinct images scatter.
+    *
+    * EXACT-INTEGER contract (what makes the SQL oracle replay this
+    * bit-for-bit, with no float anywhere): cell (gx,gy) covers pixels
+    * x ∈ [⌊gx·w/8⌋..), via gx = ⌊x·8/w⌋; "grayscale" is the raw
+    * channel sum r+g+b (the /3 cancels from both comparison sides);
+    * the threshold is the PIXEL-WEIGHTED global mean, so bit k is set
+    * iff cellSum_k · totalPixels > totalSum · cellPixels_k — a pure
+    * integer comparison (bounded: 765·w·h·w·h < 2^63 for any sane
+    * dims). Classic aHash thresholds on the mean of cell means; the
+    * pixel-weighted form is chosen deliberately because it stays
+    * rational, where averaging 64 doubles would be
+    * summation-order-sensitive across engines.
+    *
+    * Emitted as four 16-bit bands (bit k = cell gy·8+gx; band b holds
+    * bits 16b..16b+15) ready for [[imageNearDupPairs]] banding, plus
+    * the canonical lower-hex form. Partition-local map over real
+    * [[Codecs.decodePpm]] parses — no shuffle. */
+  def imageAHash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").map { m =>
+      val p = Codecs.decodePpm(m.bytes)
+      val w = p.width
+      val h = p.height
+      val cs = Array.fill(64)(0L)
+      val cn = Array.fill(64)(0L)
+      var y = 0
+      while (y < h) {
+        val gy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val gx = x * 8 / w
+          val base = 3 * (y * w + x)
+          val g3 = (p.pixels(base) & 0xff) + (p.pixels(base + 1) & 0xff) +
+            (p.pixels(base + 2) & 0xff)
+          val c = gy * 8 + gx
+          cs(c) += g3
+          cn(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val totS = cs.sum
+      val totN = cn.sum
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (cn(k) > 0 && cs(k) * totN > totS * cn(k)) hash |= (1L << k)
+        k += 1
+      }
+      val b = Array.tabulate(4)(i => ((hash >>> (16 * i)) & 0xffffL).toInt)
+      (m.media_id, b(0), b(1), b(2), b(3), f"$hash%016x")
+    }.toDF("media_id", "b0", "b1", "b2", "b3", "ahash_hex")
+  }
+
+  /** Image near-duplicate pairs over [[imageAHash]] bands — the d01
+    * LSH contract at the pixel level: a pair is REPORTED iff some
+    * 16-bit band matches exactly AND total hamming distance ≤
+    * `maxHamming`. Pigeonhole guarantee: hamming ≤ 3 is always caught
+    * (4 bands, ≤ 3 differing bits can dirty at most 3 of them); beyond
+    * that, recall is the banding's — deterministic, so batch, oracle
+    * and streaming all agree on the exact pair set. One band-keyed
+    * self-join, nothing pairwise across the corpus; at 100 TB the
+    * 16-bit band keys give 65k-way balanced fan-out exactly like the
+    * minhash band buckets. */
+  def imageNearDupPairs(hashes: DataFrame,
+                        maxHamming: Int = 6): DataFrame = {
+    val bands = (0 to 3).map(b => hashes.select(col("media_id"),
+        lit(b).as("band"), col(s"b$b").as("bv"),
+        col("b0"), col("b1"), col("b2"), col("b3")))
+      .reduce(_ unionByName _)
+    val l = bands.select(col("media_id").as("id_a"), col("band"),
+      col("bv"), col("b0").as("a0"), col("b1").as("a1"),
+      col("b2").as("a2"), col("b3").as("a3"))
+    val r = bands.select(col("media_id").as("id_b"), col("band"),
+      col("bv"), col("b0").as("c0"), col("b1").as("c1"),
+      col("b2").as("c2"), col("b3").as("c3"))
+    l.join(r, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3")))).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -138,7 +138,8 @@ object ScaleBench {
     "t19b_bm25_topk_by", "t21b_dup_ratio_by", "a14_domain_rollup",
     "k01d_kmeans_farthest", "t23_substring_contamination",
     "d09f_substring_fuzzy", "t24_line_filter", "t25_line_dedup",
-    "b01_bpe_train", "b02_bpe_encode", "b03_bpe_ids")
+    "b01_bpe_train", "b02_bpe_encode", "b03_bpe_ids",
+    "m03_image_ahash", "m04_image_neardup")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
@@ -158,7 +159,8 @@ object ScaleBench {
     "d06_fuzzy_span_dedup", "t19_bm25_topk", "t21_dup_ratio",
     "d09_substring_dedup", "d09c_substring_cut",
     "t23_substring_contamination", "t24_line_filter", "t25_line_dedup",
-    "b01_bpe_train", "b02_bpe_encode", "b03_bpe_ids")
+    "b01_bpe_train", "b02_bpe_encode", "b03_bpe_ids",
+    "m03_image_ahash", "m04_image_neardup")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -60,6 +60,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.feature.toSeq).toSeq === again.map(_.feature.toSeq).toSeq)
   }
 
+  test("m03/m04: aHash is stable under re-encode, a small edit stays " +
+       "within hamming reach, distinct images scatter, twins pair at 0") {
+    val s = spark
+    import s.implicits._
+    import graft.mm.{Codecs, MediaRow, Multimodal}
+    // two structured images + one small edit of the first: a gradient
+    // (smooth) and a checkerboard (harsh) must land far apart; the
+    // edited gradient (one corner block brightened) stays close
+    def img(id: Long, w: Int, h: Int, f: (Int, Int) => Int) = {
+      val px = Array.tabulate(3 * w * h) { i =>
+        val p = i / 3; f(p % w, p / w).toByte
+      }
+      MediaRow(id, "image", Codecs.encodePpm(w, h, px), "t")
+    }
+    val grad = img(1L, 16, 16, (x, y) => x * 8 + y * 8)
+    val gradEdit = img(2L, 16, 16, (x, y) =>
+      if (x < 2 && y < 2) 255 else x * 8 + y * 8)
+    val checker = img(3L, 16, 16, (x, y) => ((x + y) % 2) * 255)
+    val hashes = Multimodal.imageAHash(
+      Seq(grad, gradEdit, checker).toDS())
+    val m = hashes.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    def ham(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)) =
+      Integer.bitCount(a._1 ^ b._1) + Integer.bitCount(a._2 ^ b._2) +
+        Integer.bitCount(a._3 ^ b._3) + Integer.bitCount(a._4 ^ b._4)
+    assert(ham(m(1L), m(2L)) <= 6,
+      s"corner edit moves few bits, got ${ham(m(1L), m(2L))}")
+    assert(ham(m(1L), m(3L)) > 10,
+      s"gradient vs checkerboard must scatter, got ${ham(m(1L), m(3L))}")
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 6)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      "the edit pair is found via a matching band")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+      "the checkerboard pairs with nothing")
+    // exact twin (re-encode of identical pixels) → hamming 0
+    val twin = Multimodal.imageAHash(Seq(grad,
+      grad.copy(media_id = 9L)).toDS())
+    val tp = Multimodal.imageNearDupPairs(twin)
+      .as[(Long, Long, Int)].collect()
+    assert(tp.toSeq === Seq((1L, 9L, 0)))
+  }
+
   test("codecs: PPM/WAV round-trip, spec-variance tolerance, hard rejects") {
     import graft.mm.Codecs
     val rnd = new scala.util.Random(3)
