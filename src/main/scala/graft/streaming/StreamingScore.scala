@@ -326,6 +326,47 @@ object StreamingScore {
       sink(graft.text.TextOps.removeLines(refLines, batch, id, text))
     }
 
+  /** Streaming m04 twin — image near-dup of ARRIVING media against a
+    * FROZEN hash corpus ([[graft.mm.Multimodal.imageAHash]] over the
+    * reference corpus, persisted by the caller): each micro-batch's
+    * images are hashed (real decode, partition-local) and band-joined
+    * against the static reference bands — "is this incoming image a
+    * near-dup of anything already ingested". Pairs are emitted as
+    * (id_a = reference id, id_b = arriving id, hamming); a hash is a
+    * per-row function and the reference frame is static, so
+    * micro-batch boundaries cannot change any pair and the stream
+    * carries ZERO state. Within-batch pairs are NOT emitted (the
+    * reference corpus is the dedup authority — ingest order decides
+    * when an arriving image becomes reference, exactly the s05/t20
+    * ingest contract). */
+  def imageNearDupAgainst(refHashes: DataFrame, media: DataFrame,
+                          maxHamming: Int = 6)
+                         (sink: DataFrame => Unit): DataStreamWriter[Row] =
+    media.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      import s.implicits._
+      val bh = graft.mm.Multimodal.imageAHash(batch.as[graft.mm.MediaRow])
+      val rb = (0 to 3).map(b => refHashes.select(
+          col("media_id").as("id_a"), lit(b).as("band"),
+          col(s"b$b").as("bv"), col("b0").as("a0"), col("b1").as("a1"),
+          col("b2").as("a2"), col("b3").as("a3")))
+        .reduce(_ unionByName _)
+      val nb = (0 to 3).map(b => bh.select(
+          col("media_id").as("id_b"), lit(b).as("band"),
+          col(s"b$b").as("bv"), col("b0").as("c0"), col("b1").as("c1"),
+          col("b2").as("c2"), col("b3").as("c3")))
+        .reduce(_ unionByName _)
+      sink(rb.join(nb, Seq("band", "bv"))
+        .select(col("id_a"), col("id_b"),
+          (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+            bit_count(col("a1").bitwiseXOR(col("c1"))) +
+            bit_count(col("a2").bitwiseXOR(col("c2"))) +
+            bit_count(col("a3").bitwiseXOR(col("c3")))).cast("int")
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming))
+    }
+
   /** Streaming b02 twin — BPE encoding of a document stream with a
     * FROZEN merge table ([[graft.text.Bpe.train]], run once offline —
     * the tokenizer is versioned model state, never retrained

@@ -104,6 +104,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(tp.toSeq === Seq((1L, 9L, 0)))
   }
 
+  test("streaming m04 twin: arriving images hashed and matched against " +
+       "the frozen reference hashes across micro-batches == batch pairs") {
+    val s = spark
+    import s.implicits._
+    import graft.mm.Multimodal
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+    val ref = Multimodal.synthesizeFromDocuments(docs)
+    val refHashes = Multimodal.imageAHash(ref).localCheckpoint()
+    // arriving = exact twins of the reference images (+273000 keeps
+    // kind/dims) — every arriving image must match its original at 0
+    val arriving = Multimodal.synthesizeFromDocuments(
+      docs.withColumn("doc_id", col("doc_id") + 273000))
+      .toDF().filter(col("kind") === "image")
+    val batchPairs = {
+      val bh = Multimodal.imageAHash(arriving.as[graft.mm.MediaRow])
+      refHashes.as("l").join(bh.as("r"),
+          $"l.b0" === $"r.b0" && $"l.b1" === $"r.b1" &&
+          $"l.b2" === $"r.b2" && $"l.b3" === $"r.b3")
+        .select($"l.media_id".as[Long], $"r.media_id".as[Long])
+        .collect().toSet
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graftmm").toString
+    arriving.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val buf = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val q = graft.streaming.StreamingScore.imageNearDupAgainst(
+        refHashes, stream) { b =>
+      buf.synchronized { buf ++= b.as[(Long, Long, Int)].collect() }
+    }.start()
+    q.processAllAvailable(); q.stop()
+    val zeroPairs = buf.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert(zeroPairs.nonEmpty && batchPairs.subsetOf(zeroPairs),
+      "every exact twin surfaces at hamming 0 regardless of batching")
+    assert(buf.forall(p => p._2 == p._1 + 273000 || p._3 > 0),
+      "hamming-0 hits are exactly the planted twins")
+  }
+
   test("codecs: PPM/WAV round-trip, spec-variance tolerance, hard rejects") {
     import graft.mm.Codecs
     val rnd = new scala.util.Random(3)
