@@ -3228,6 +3228,39 @@ object OracleSql {
         |  bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) <= 6
         |ORDER BY id_a, id_b""".stripMargin),
 
+    // m05: audio envelope fingerprint replay — the Spark side hashes
+    // REAL-decoded PCM16 samples; the oracle recomputes from the synth
+    // formula (sample t = (byte_t − 128)·256, mono). Same
+    // exact-integer window thresholding as m03
+    "m05_audio_ahash" ->
+      """WITH aud AS (SELECT doc_id AS media_id, strlen(text) AS n, text
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |sm AS (SELECT media_id, (t * 64) // n AS k,
+        |    abs(ascii(substr(text, t + 1, 1)) - 128) * 256 AS a
+        |  FROM (SELECT media_id, n, text,
+        |          unnest(generate_series(0, n - 1)) AS t FROM aud)),
+        |win AS (SELECT media_id, k, sum(a)::BIGINT AS ws,
+        |    count(*)::BIGINT AS wn FROM sm GROUP BY 1, 2),
+        |tot AS (SELECT media_id, sum(ws) AS ts, sum(wn) AS tn
+        |  FROM win GROUP BY 1),
+        |bits AS (SELECT w.media_id, w.k,
+        |    CASE WHEN w.ws * t.tn > t.ts * w.wn THEN 1 ELSE 0 END AS bit
+        |  FROM win w JOIN tot t USING (media_id)),
+        |bv AS (SELECT media_id, k // 16 AS b,
+        |    sum(CASE WHEN bit = 1 THEN 1 << (k % 16) ELSE 0 END)::INT AS v
+        |  FROM bits GROUP BY 1, 2),
+        |wide AS (SELECT media_id,
+        |    coalesce(max(CASE WHEN b = 0 THEN v END), 0)::INT AS b0,
+        |    coalesce(max(CASE WHEN b = 1 THEN v END), 0)::INT AS b1,
+        |    coalesce(max(CASE WHEN b = 2 THEN v END), 0)::INT AS b2,
+        |    coalesce(max(CASE WHEN b = 3 THEN v END), 0)::INT AS b3
+        |  FROM bv GROUP BY 1)
+        |SELECT media_id, b0, b1, b2, b3,
+        |  lower(lpad(to_hex(b3), 4, '0') || lpad(to_hex(b2), 4, '0') ||
+        |    lpad(to_hex(b1), 4, '0') || lpad(to_hex(b0), 4, '0'))
+        |    AS ahash_hex
+        |FROM wide ORDER BY media_id""".stripMargin,
+
     // m01: the synthesized containers are REAL (PPM images, WAV audio,
     // AVI video) — the oracle recomputes what the Spark-side HEADER
     // PARSE must return (all docs are ASCII so ascii(char k) == byte k

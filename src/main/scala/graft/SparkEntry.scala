@@ -916,6 +916,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── m05: audio envelope fingerprint over REAL-decoded PCM16 —
+    //    same exact-integer 64-window thresholding as m03; the
+    //    (b0..b3, hex) shape feeds imageNearDupPairs unchanged, so
+    //    audio near-dup is the m04 operator verbatim ────────────────────
+    "m05_audio_ahash" -> ((s, dir) => {
+      val media = graft.mm.Multimodal.synthesizeFromDocuments(docs(s, dir))
+      graft.mm.Multimodal.audioAHash(media)
+        .orderBy(col("media_id"))
+    }),
+
     // ── multimodal: frame sampling + feature→ANN integration ──────────
     "m02_multimodal_features" -> ((s, dir) => {
       val media = graft.mm.Multimodal.synthesizeFromDocuments(docs(s, dir))

@@ -288,6 +288,51 @@ object Multimodal {
     }.toDF("media_id", "b0", "b1", "b2", "b3", "ahash_hex")
   }
 
+  /** 64-bit audio fingerprint over DECODED PCM16 samples — the audio
+    * twin of [[imageAHash]] (a Chromaprint-family envelope hash at its
+    * simplest): the sample stream is cut into 64 time windows
+    * (window(t) = ⌊t·64/n⌋), each window's mean ABSOLUTE amplitude is
+    * thresholded against the sample-weighted global mean, bit k = set
+    * iff windowSum_k · totalSamples > totalSum · windowCount_k — the
+    * same exact-integer contract as the image hash (|s| ≤ 32768, sums
+    * bounded far under 2^63), so the SQL oracle replays it
+    * bit-for-bit. Re-encodes and small edits keep the loudness
+    * envelope and land within a few bits; different audio scatters.
+    * Same (b0..b3, hex) output shape, so [[imageNearDupPairs]] serves
+    * both media kinds unchanged. Requires ≥ 1 sample (the synth
+    * fixture guarantees it; empty audio would need an all-zero
+    * convention the contract leaves undefined). */
+  def audioAHash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").map { m =>
+      val wv = Codecs.decodeWav(m.bytes)
+      val n = wv.nSamples
+      val ws = Array.fill(64)(0L)
+      val wn = Array.fill(64)(0L)
+      var t = 0
+      while (t < n) {
+        val lo = wv.data(2 * t) & 0xff
+        val hi = wv.data(2 * t + 1)
+        val s = (hi << 8) | lo
+        val k = (t.toLong * 64 / n).toInt
+        ws(k) += math.abs(s)
+        wn(k) += 1
+        t += 1
+      }
+      val totS = ws.sum
+      val totN = wn.sum
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (wn(k) > 0 && ws(k) * totN > totS * wn(k)) hash |= (1L << k)
+        k += 1
+      }
+      val b = Array.tabulate(4)(i => ((hash >>> (16 * i)) & 0xffffL).toInt)
+      (m.media_id, b(0), b(1), b(2), b(3), f"$hash%016x")
+    }.toDF("media_id", "b0", "b1", "b2", "b3", "ahash_hex")
+  }
+
   /** Image near-duplicate pairs over [[imageAHash]] bands — the d01
     * LSH contract at the pixel level: a pair is REPORTED iff some
     * 16-bit band matches exactly AND total hamming distance ≤

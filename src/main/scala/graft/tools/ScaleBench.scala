@@ -139,7 +139,7 @@ object ScaleBench {
     "k01d_kmeans_farthest", "t23_substring_contamination",
     "d09f_substring_fuzzy", "t24_line_filter", "t25_line_dedup",
     "b01_bpe_train", "b02_bpe_encode", "b03_bpe_ids",
-    "m03_image_ahash", "m04_image_neardup")
+    "m03_image_ahash", "m04_image_neardup", "m05_audio_ahash")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
@@ -160,7 +160,7 @@ object ScaleBench {
     "d09_substring_dedup", "d09c_substring_cut",
     "t23_substring_contamination", "t24_line_filter", "t25_line_dedup",
     "b01_bpe_train", "b02_bpe_encode", "b03_bpe_ids",
-    "m03_image_ahash", "m04_image_neardup")
+    "m03_image_ahash", "m04_image_neardup", "m05_audio_ahash")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -142,6 +142,33 @@ class PipelineSpec extends AnyFunSuite {
       "hamming-0 hits are exactly the planted twins")
   }
 
+  test("m05: audio envelope hash — quiet/loud halves set exactly the " +
+       "loud windows' bits; re-encoded twin pairs at hamming 0 through " +
+       "the shared band join") {
+    val s = spark
+    import s.implicits._
+    import graft.mm.{Codecs, MediaRow, Multimodal}
+    def wav(id: Long, samples: Array[Short]) =
+      MediaRow(id, "audio", Codecs.encodeWavPcm16(8000, samples), "t")
+    val halves = Array.tabulate[Short](128)(t =>
+      if (t < 64) 0 else 1000)
+    val h = Multimodal.audioAHash(Seq(wav(1L, halves)).toDS())
+      .as[(Long, Int, Int, Int, Int, String)].collect().head
+    assert((h._2, h._3, h._4, h._5) === ((0, 0, 0xffff, 0xffff)),
+      "loud second half = windows 32..63 = bands 2 and 3 fully set")
+    assert(h._6 === "ffffffff00000000")
+    // a re-encode of identical samples is an exact twin; a perturbed
+    // copy (one loud sample dropped to 0) stays within band reach
+    val twin = wav(9L, halves)
+    val edit = wav(5L, halves.updated(100, 0.toShort))
+    val pairs = Multimodal.imageNearDupPairs(
+        Multimodal.audioAHash(Seq(wav(1L, halves), twin, edit).toDS()))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 9L, 0)), "exact twin at hamming 0")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 5L),
+      "the one-sample edit is still caught by an untouched band")
+  }
+
   test("codecs: PPM/WAV round-trip, spec-variance tolerance, hard rejects") {
     import graft.mm.Codecs
     val rnd = new scala.util.Random(3)
