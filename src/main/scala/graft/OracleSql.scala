@@ -1085,6 +1085,51 @@ object OracleSql {
          |  FROM bv GROUP BY 1)
          |""".stripMargin
 
+  /** Shared per-frame grid-hash chain (m06/m07): the m03 pixel replay
+    * with a frame dimension — frame f's pixel bytes sit at
+    * f·3wh + 3p + c in the cycled text. Ends with the `vwide` CTE
+    * (media_id, f, b0..b3, hex). */
+  private def frameHashSql(src: String, withKeyword: Boolean = true): String =
+    (if (withKeyword) "WITH " else "") +
+      s"""vid AS (SELECT doc_id AS media_id,
+         |    (8 + 4 * (doc_id % 5))::INT AS w, (8 + doc_id % 6)::INT AS h,
+         |    (1 + strlen(text) // 256)::INT AS nf, text
+         |  FROM $src WHERE doc_id % 3 = 2),
+         |fp AS (SELECT media_id, w, h, text,
+         |    unnest(generate_series(0, nf - 1)) AS f FROM vid),
+         |vpx AS (SELECT media_id, w, h, f, text,
+         |    unnest(generate_series(0, w * h - 1)) AS p FROM fp),
+         |vgp AS (SELECT media_id, f,
+         |    ((p % w) * 8) // w AS gx, ((p // w) * 8) // h AS gy,
+         |    ascii(substr(text, 1 + ((f*3*w*h + 3*p) % strlen(text)), 1))
+         |  + ascii(substr(text, 1 + ((f*3*w*h + 3*p + 1) % strlen(text)), 1))
+         |  + ascii(substr(text, 1 + ((f*3*w*h + 3*p + 2) % strlen(text)), 1))
+         |    AS g3
+         |  FROM vpx),
+         |vcell AS (SELECT media_id, f, gy * 8 + gx AS k,
+         |    sum(g3)::BIGINT AS cs, count(*)::BIGINT AS cn
+         |  FROM vgp GROUP BY 1, 2, 3),
+         |vtot AS (SELECT media_id, f, sum(cs) AS ts, sum(cn) AS tn
+         |  FROM vcell GROUP BY 1, 2),
+         |vbits AS (SELECT c.media_id, c.f, c.k,
+         |    CASE WHEN c.cs * t.tn > t.ts * c.cn THEN 1 ELSE 0 END AS bit
+         |  FROM vcell c JOIN vtot t USING (media_id, f)),
+         |vbv AS (SELECT media_id, f, k // 16 AS b,
+         |    sum(CASE WHEN bit = 1 THEN 1 << (k % 16) ELSE 0 END)::INT AS v
+         |  FROM vbits GROUP BY 1, 2, 3),
+         |vwide AS (SELECT media_id, f,
+         |    max(CASE WHEN b = 0 THEN v END)::INT AS b0,
+         |    max(CASE WHEN b = 1 THEN v END)::INT AS b1,
+         |    max(CASE WHEN b = 2 THEN v END)::INT AS b2,
+         |    max(CASE WHEN b = 3 THEN v END)::INT AS b3,
+         |    lower(lpad(to_hex(max(CASE WHEN b = 3 THEN v END)), 4, '0')
+         |      || lpad(to_hex(max(CASE WHEN b = 2 THEN v END)), 4, '0')
+         |      || lpad(to_hex(max(CASE WHEN b = 1 THEN v END)), 4, '0')
+         |      || lpad(to_hex(max(CASE WHEN b = 0 THEN v END)), 4, '0'))
+         |      AS hex
+         |  FROM vbv GROUP BY 1, 2)
+         |""".stripMargin
+
   private def d09Sql(bridge: Int): String =
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
@@ -3260,6 +3305,27 @@ object OracleSql {
         |    lpad(to_hex(b1), 4, '0') || lpad(to_hex(b0), 4, '0'))
         |    AS ahash_hex
         |FROM wide ORDER BY media_id""".stripMargin,
+
+    // m06: per-frame video grid hashes — the m03 replay with a frame
+    // dimension (real AVI demux on the Spark side)
+    "m06_frame_hashes" -> (frameHashSql("documents") +
+      """SELECT media_id, f::INT AS frame_idx, b0, b1, b2, b3,
+        |  hex AS ahash_hex
+        |FROM vwide ORDER BY media_id, frame_idx""".stripMargin),
+
+    // m07: video near-dup by shared frame hashes over the doubled
+    // corpus (+273000 = 100·lcm(3,5,6,7,13) preserves kind AND both
+    // video dims, so twins share every frame)
+    "m07_video_neardup" -> ("""WITH docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 273000, text FROM documents),
+      |""".stripMargin + frameHashSql("docs2", withKeyword = false) +
+      """SELECT id_a, id_b, count(*)::BIGINT AS n_shared FROM (
+        |  SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b, l.hex
+        |  FROM vwide l JOIN vwide r ON l.hex = r.hex
+        |    AND l.media_id < r.media_id)
+        |GROUP BY 1, 2 HAVING count(*) >= 1
+        |ORDER BY id_a, id_b""".stripMargin),
 
     // m01: the synthesized containers are REAL (PPM images, WAV audio,
     // AVI video) — the oracle recomputes what the Spark-side HEADER

@@ -926,6 +926,26 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ── m06: per-frame video grid hashes (real AVI demux; the m03
+    //    exact-integer grid per frame) ──────────────────────────────────
+    "m06_frame_hashes" -> ((s, dir) => {
+      val media = graft.mm.Multimodal.synthesizeFromDocuments(docs(s, dir))
+      graft.mm.Multimodal.videoFrameHashes(media)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // ── m07: video near-dup by shared frame hashes — doubled corpus
+    //    twins (+273000 preserves kind and BOTH video dims) share every
+    //    frame; one hash-keyed join, nothing pairwise ──────────────────
+    "m07_video_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val media = graft.mm.Multimodal.synthesizeFromDocuments(
+        d.unionByName(d.withColumn("doc_id", col("doc_id") + 273000)))
+      graft.mm.Multimodal.videoNearDupPairs(
+          graft.mm.Multimodal.videoFrameHashes(media), minShared = 1L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── multimodal: frame sampling + feature→ANN integration ──────────
     "m02_multimodal_features" -> ((s, dir) => {
       val media = graft.mm.Multimodal.synthesizeFromDocuments(docs(s, dir))

@@ -250,42 +250,90 @@ object Multimodal {
     * bits 16b..16b+15) ready for [[imageNearDupPairs]] banding, plus
     * the canonical lower-hex form. Partition-local map over real
     * [[Codecs.decodePpm]] parses — no shuffle. */
+  /** The shared 8×8 exact-integer grid hash over an RGB pixel array
+    * in scanline order (see [[imageAHash]] for the contract). */
+  private def gridHash(px: Array[Byte], w: Int, h: Int): Long = {
+    val cs = Array.fill(64)(0L)
+    val cn = Array.fill(64)(0L)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 8 / w
+        val base = 3 * (y * w + x)
+        val g3 = (px(base) & 0xff) + (px(base + 1) & 0xff) +
+          (px(base + 2) & 0xff)
+        val c = gy * 8 + gx
+        cs(c) += g3
+        cn(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val totS = cs.sum
+    val totN = cn.sum
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (cn(k) > 0 && cs(k) * totN > totS * cn(k)) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
+  private def hashRow(id: Long, hash: Long) = {
+    val b = Array.tabulate(4)(i => ((hash >>> (16 * i)) & 0xffffL).toInt)
+    (id, b(0), b(1), b(2), b(3), f"$hash%016x")
+  }
+
   def imageAHash(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "image").map { m =>
       val p = Codecs.decodePpm(m.bytes)
-      val w = p.width
-      val h = p.height
-      val cs = Array.fill(64)(0L)
-      val cn = Array.fill(64)(0L)
-      var y = 0
-      while (y < h) {
-        val gy = y * 8 / h
-        var x = 0
-        while (x < w) {
-          val gx = x * 8 / w
-          val base = 3 * (y * w + x)
-          val g3 = (p.pixels(base) & 0xff) + (p.pixels(base + 1) & 0xff) +
-            (p.pixels(base + 2) & 0xff)
-          val c = gy * 8 + gx
-          cs(c) += g3
-          cn(c) += 1
-          x += 1
-        }
-        y += 1
-      }
-      val totS = cs.sum
-      val totN = cn.sum
-      var hash = 0L
-      var k = 0
-      while (k < 64) {
-        if (cn(k) > 0 && cs(k) * totN > totS * cn(k)) hash |= (1L << k)
-        k += 1
-      }
-      val b = Array.tabulate(4)(i => ((hash >>> (16 * i)) & 0xffffL).toInt)
-      (m.media_id, b(0), b(1), b(2), b(3), f"$hash%016x")
+      hashRow(m.media_id, gridHash(p.pixels, p.width, p.height))
     }.toDF("media_id", "b0", "b1", "b2", "b3", "ahash_hex")
+  }
+
+  /** Per-frame grid hashes of DECODED video frames (real AVI demux;
+    * frames are the raw scanline pixel payloads the container
+    * carries): the frame-sampling fingerprint of video dedup — two
+    * videos sharing frames share hashes. Same exact-integer grid as
+    * [[imageAHash]], one row per (video, frame). */
+  def videoFrameHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val avi = Codecs.decodeAvi(m.bytes)
+      avi.frames.zipWithIndex.map { case (px, f) =>
+        val (id, b0, b1, b2, b3, hex) =
+          hashRow(m.media_id, gridHash(px, avi.width, avi.height))
+        (id, f, b0, b1, b2, b3, hex)
+      }
+    }.toDF("media_id", "frame_idx", "b0", "b1", "b2", "b3",
+      "ahash_hex")
+  }
+
+  /** Video near-duplicate pairs: count DISTINCT shared frame hashes
+    * between video pairs (exact 64-bit match — a shared frame is a
+    * shared hash; near-miss frames are [[imageNearDupPairs]]'s
+    * business at the frame level if wanted). One hash-keyed self-join
+    * over the frame-hash frame — scalable exactly like the gram-keyed
+    * dedup joins, nothing pairwise across the corpus. Reported when
+    * n_shared ≥ `minShared`. */
+  def videoNearDupPairs(frameHashes: DataFrame,
+                        minShared: Long = 1L): DataFrame = {
+    val l = frameHashes.select(col("media_id").as("id_a"),
+      col("ahash_hex"))
+    val r = frameHashes.select(col("media_id").as("id_b"),
+      col("ahash_hex"))
+    l.join(r, Seq("ahash_hex"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ahash_hex")).distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** 64-bit audio fingerprint over DECODED PCM16 samples — the audio

@@ -139,7 +139,8 @@ object ScaleBench {
     "k01d_kmeans_farthest", "t23_substring_contamination",
     "d09f_substring_fuzzy", "t24_line_filter", "t25_line_dedup",
     "b01_bpe_train", "b02_bpe_encode", "b03_bpe_ids",
-    "m03_image_ahash", "m04_image_neardup", "m05_audio_ahash")
+    "m03_image_ahash", "m04_image_neardup", "m05_audio_ahash",
+    "m06_frame_hashes", "m07_video_neardup")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
@@ -160,7 +161,8 @@ object ScaleBench {
     "d09_substring_dedup", "d09c_substring_cut",
     "t23_substring_contamination", "t24_line_filter", "t25_line_dedup",
     "b01_bpe_train", "b02_bpe_encode", "b03_bpe_ids",
-    "m03_image_ahash", "m04_image_neardup", "m05_audio_ahash")
+    "m03_image_ahash", "m04_image_neardup", "m05_audio_ahash",
+    "m06_frame_hashes", "m07_video_neardup")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

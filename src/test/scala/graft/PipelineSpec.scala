@@ -169,6 +169,38 @@ class PipelineSpec extends AnyFunSuite {
       "the one-sample edit is still caught by an untouched band")
   }
 
+  test("m06/m07: frame hashes come from the real demux; videos pair by " +
+       "shared-frame count, disjoint videos never pair") {
+    val s = spark
+    import s.implicits._
+    import graft.mm.{Codecs, MediaRow, Multimodal}
+    val w = 8; val h = 8
+    def frame(f: (Int, Int) => Int) =
+      Array.tabulate(3 * w * h) { i => val p = i / 3; f(p % w, p / w).toByte }
+    val grad = frame((x, y) => x * 16 + y * 16)
+    val checker = frame((x, y) => ((x + y) % 2) * 255)
+    // NOT uniform: a flat frame and the checkerboard both grid-hash to
+    // 0 (every cell equals the mean), which would alias them — the
+    // x-only gradient hashes distinctly from both
+    val xgrad = frame((x, _) => x * 30)
+    def vid(id: Long, frames: Vector[Array[Byte]]) =
+      MediaRow(id, "video", Codecs.encodeAvi(w, h, 25, frames), "t")
+    val a = vid(1L, Vector(grad, checker))
+    val b = vid(2L, Vector(grad, xgrad))     // shares ONE frame with a
+    val c = vid(3L, Vector(grad, checker))   // exact twin of a
+    val fh = Multimodal.videoFrameHashes(Seq(a, b, c).toDS())
+    assert(fh.count() === 6, "one hash row per demuxed frame")
+    val pairs = Multimodal.videoNearDupPairs(fh)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L, 2L)), "the twin shares both frames")
+    assert(pairs.contains((1L, 2L, 1L)) && pairs.contains((2L, 3L, 1L)),
+      "the gradient frame links a-b and b-c at n_shared=1")
+    val strict = Multimodal.videoNearDupPairs(fh, minShared = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(strict === Set((1L, 3L, 2L)),
+      "minShared=2 keeps only the true twin")
+  }
+
   test("codecs: PPM/WAV round-trip, spec-variance tolerance, hard rejects") {
     import graft.mm.Codecs
     val rnd = new scala.util.Random(3)
