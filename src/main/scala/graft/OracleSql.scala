@@ -6011,6 +6011,42 @@ object OracleSql {
     // (doc, pos, symbol, token_id) rows
     "b03_bpe_ids" -> b03Sql(8),
 
+    // per-collection line dedup (t25b): the t25 chain with line df
+    // counted within `source`
+    "t25b_line_dedup_by" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |    ((strlen(text) + 99) // 100)::INT AS nc FROM documents),
+        |c AS (SELECT doc_id, source,
+        |        unnest(generate_series(0, nc - 1))::INT AS i,
+        |        text FROM d),
+        |l AS (SELECT doc_id, source, i, substr(text, 1 + i*100, 100) ||
+        |        CASE WHEN i % 3 <> 0 THEN '.' ELSE '' END AS ln FROM c),
+        |b AS (SELECT doc_id, source,
+        |        string_agg(ln, chr(10) ORDER BY i) || chr(10) ||
+        |        'please enable javascript and accept our cookie policy.'
+        |        || chr(10) || 'ok then.' || chr(10) ||
+        |        'doc ' || doc_id::VARCHAR || ' summary ends here.' AS body
+        |      FROM l GROUP BY doc_id, source),
+        |ls AS (SELECT doc_id, source,
+        |         unnest(string_split(body, chr(10))) AS ln,
+        |         unnest(generate_series(1,
+        |           len(string_split(body, chr(10)))))::INT AS pos FROM b),
+        |flag AS (SELECT source, ln FROM (
+        |    SELECT source, ln, count(DISTINCT doc_id) AS ldf
+        |    FROM ls WHERE ln <> '' GROUP BY 1, 2) WHERE ldf >= 5),
+        |keep AS (SELECT l.doc_id, l.source, l.ln, l.pos FROM ls l
+        |         LEFT JOIN flag f ON f.source = l.source AND f.ln = l.ln
+        |         WHERE f.ln IS NULL),
+        |cnt AS (SELECT doc_id, source, count(*)::INT AS n_lines
+        |        FROM ls GROUP BY 1, 2),
+        |re AS (SELECT doc_id, source, count(*)::INT AS n_kept,
+        |         string_agg(ln, chr(10) ORDER BY pos) AS clean
+        |       FROM keep GROUP BY 1, 2)
+        |SELECT c.doc_id, c.source, c.n_lines,
+        |  coalesce(re.n_kept, 0) AS n_kept, coalesce(re.clean, '') AS clean
+        |FROM cnt c LEFT JOIN re USING (doc_id, source)
+        |ORDER BY doc_id""".stripMargin,
+
     // d09 cut form: the same interval frame, intervals grouped by the
     // md5 of their covered token slice, keep-first (doc, start) per
     // content, losers' tokens removed, docs reassembled in ti order

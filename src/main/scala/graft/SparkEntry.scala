@@ -1870,6 +1870,28 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ── t25b: per-collection line dedup — df counted within `source`;
+    //    the corpus-wide boilerplate lines still clear maxDf inside
+    //    every source (each source holds ≥ maxDf docs), while content
+    //    chunks shared ACROSS sources no longer pool their counts ──────
+    "t25b_line_dedup_by" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nc = ceil(length(col("text")) / lit(100.0)).cast("int")
+      val content = transform(sequence(lit(0), nc - 1), i =>
+        concat(col("text").substr(i * lit(100) + lit(1), lit(100)),
+          when(i % 3 =!= 0, lit(".")).otherwise(lit(""))))
+      val withBody = d.withColumn("body", concat(
+        concat_ws("\n", content), lit("\n"),
+        lit("please enable javascript and accept our cookie policy."),
+        lit("\n"), lit("ok then."), lit("\n"),
+        concat(lit("doc "), col("doc_id").cast("string"),
+          lit(" summary ends here."))))
+        .select(col("doc_id"), col("source"), col("body"))
+      graft.text.TextOps.dedupLinesBy(withBody, "doc_id", "source",
+          "body", maxDf = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── d09 CUT form: duplicated intervals grouped by slice content,
     //    keep-first election per content, losers' tokens removed and
     //    docs reassembled (the d05 output contract at arbitrary

@@ -780,7 +780,22 @@ object Cli {
         col("redacted").as(text): _*), id, text,
       window = cfg.strOpt("chunk_window").map(_.toInt).getOrElse(480),
       stride = cfg.strOpt("chunk_stride").map(_.toInt).getOrElse(384))
-    val split = ScaleOps.hashSplit(chunks, id,
+    // optional tokenizer-exact chunk annotation (--bpe_merges path):
+    // load a persisted merge table (a --train_bpe artifact or any
+    // compatible tokenizer model) and ride `n_tokens_bpe` on every
+    // output chunk — the count a sequence packer or token-budget
+    // accountant actually needs, instead of the whitespace proxy.
+    // The merge table is model-sized by contract (the only collect);
+    // the encode is a static map-side replace chain.
+    val chunksCounted = cfg.strOpt("bpe_merges") match {
+      case Some(p) =>
+        val merges = spark.read.parquet(p).orderBy(col("rank")).collect()
+          .map(r => graft.text.Bpe.Merge(r.getInt(0), r.getString(1),
+            r.getString(2), r.getString(3), r.getLong(4))).toSeq
+        graft.text.Bpe.encode(chunks, "chunk", merges).drop("encoded")
+      case None => chunks
+    }
+    val split = ScaleOps.hashSplit(chunksCounted, id,
       salt = cfg.strOpt("split_salt").map(_.toInt).getOrElse(7),
       Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     // optional sequence packing (--pack_budget N): assign each chunk a

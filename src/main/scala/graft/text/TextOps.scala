@@ -1342,4 +1342,34 @@ object TextOps {
         coalesce(col("n_kept"), lit(0)).as("n_kept"),
         coalesce(col("clean"), lit("")).as("clean"))
   }
+
+  /** Per-COLLECTION repeated-line removal (t25b — the `*b` family pass
+    * over [[dedupLines]]): line document-frequency is counted WITHIN
+    * each `series` group (tenant / corpus snapshot / source), so a
+    * footer shared by 3 docs in each of 20 sources is NOT boilerplate
+    * to any of them (global df 60, within-source df 3) — the
+    * multi-tenant form of the cleanup. Same plan shape with the
+    * collection key riding every agg/join key. */
+  def dedupLinesBy(df: DataFrame, id: String, series: String,
+                   text: String, maxDf: Int = 5): DataFrame = {
+    val lined = df.select(col(id), col(series),
+      posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+    val flagged = lined.filter(col("line") =!= "")
+      .select(col(series), col(id), col("line")).distinct()
+      .groupBy(col(series), col("line")).agg(count(lit(1)).as("ldf"))
+      .filter(col("ldf") >= maxDf)
+      .select(col(series), col("line"))
+    val keepRows = lined.join(flagged, Seq(series, "line"), "left_anti")
+    val counts = lined.groupBy(col(id), col(series))
+      .agg(count(lit(1)).cast("int").as("n_lines"))
+    val reassembled = keepRows.groupBy(col(id), col(series))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"),
+            col("line")))), s => s.getField("line"))).as("clean"))
+    counts.join(reassembled, Seq(id, series), "left")
+      .select(col(id), col(series), col("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("clean"), lit("")).as("clean"))
+  }
 }

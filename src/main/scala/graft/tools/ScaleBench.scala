@@ -413,6 +413,48 @@ object ScaleBench {
       // numbers stay comparable.
       // v3: v2 + the round-11 surgical substring cut (--cut_dup_spans)
       // — measures the d09c election + reassembly inside the full chain
+      // v4: v3 + in-engine tokenizer training (--train_bpe 16) and
+      // tokenizer-exact chunk annotation via the artifact it just
+      // wrote — measures BPE train (corpus-once + 16 vocab-frame
+      // iterations) and the encode chain inside the full pipeline.
+      // (The line-shaping flags are deliberately absent: the fixture
+      // has no newlines, so --line_filter would empty every doc and
+      // the cell would measure a funnel collapse, not the stages.)
+      "curatex_full_chain_v4" -> ((d: String) => {
+        val runOut = s"/tmp/graft_curate_cell4_${System.nanoTime()}"
+        val nDocs = spark.read.parquet(s"$d/documents.parquet").count()
+        val mix = (0 until 20).map(i => s"src$i:0.05").mkString(",")
+        graft.cli.Cli.run(spark, graft.cli.GraftConfig.defaults ++ Map(
+          "mode" -> "curate",
+          "input_docs" -> s"$d/documents.parquet",
+          "near_threshold" -> "0.5",
+          "semantic_threshold" -> "0.9",
+          "keep_best" -> "true",
+          "cut_dup_spans" -> "30",
+          "gopher_min_stop" -> "1",
+          "min_tokens" -> "10", "max_rep_ratio" -> "0.5",
+          "max_dup_ratio" -> "0.95",
+          "mixture_target" -> mix, "source_col" -> "source",
+          "token_budget" -> (nDocs * 60).toString,
+          "chunk_window" -> "400", "chunk_stride" -> "300",
+          "pack_budget" -> "128",
+          "train_bpe" -> "16",
+          "assign_topics" -> "true", "train_topics" -> "8",
+          "output" -> s"$runOut/chunks",
+          "metrics_out" -> s"$runOut/metrics.json"))
+        // second pass consumes the artifact: tokenizer-exact counts
+        val out2 = s"$runOut/chunks2"
+        graft.cli.Cli.run(spark, graft.cli.GraftConfig.defaults ++ Map(
+          "mode" -> "curate",
+          "input_docs" -> s"$d/documents.parquet",
+          "near_threshold" -> "0.5",
+          "min_tokens" -> "10",
+          "bpe_merges" -> s"$runOut/chunks_bpe_merges.parquet",
+          "chunk_window" -> "400", "chunk_stride" -> "300",
+          "output" -> out2,
+          "metrics_out" -> s"$runOut/metrics2.json"))
+        spark.read.parquet(out2)
+      }),
       "curatex_full_chain_v3" -> ((d: String) => {
         val runOut = s"/tmp/graft_curate_cell3_${System.nanoTime()}"
         val nDocs = spark.read.parquet(s"$d/documents.parquet").count()

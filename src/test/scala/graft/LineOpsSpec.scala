@@ -82,6 +82,28 @@ class LineOpsSpec extends AnyFunSuite {
       "blank lines pass through verbatim")
   }
 
+  test("dedupLinesBy: df counts within the collection — a line pooled " +
+       "across tenants survives where the global op would kill it") {
+    val global = "shared press release line"
+    val footA = "tenant a footer"
+    val df = Seq(
+      (1L, "A", s"a one\n$footA\n$global"),
+      (2L, "A", s"a two\n$footA\n$global"),
+      (3L, "A", s"a three\n$footA"),
+      (4L, "B", s"b one\n$global"),
+      (5L, "B", s"b two\n$global")).toDF("id", "src", "body")
+    val by = TextOps.dedupLinesBy(df, "id", "src", "body", maxDf = 3)
+      .select("id", "n_kept", "clean")
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    assert(by(0) === ((1L, 2, s"a one\n$global")),
+      "tenant A's df-3 footer goes; the cross-tenant line (df 2 in A) stays")
+    assert(by(3) === ((4L, 2, s"b one\n$global")))
+    val globalOp = TextOps.dedupLines(df, "id", "body", maxDf = 3)
+      .select("id", "clean").as[(Long, String)].collect().sortBy(_._1)
+    assert(!globalOp.exists(_._2.contains(global)),
+      "the global op pools df across tenants (4 >= 3) and kills it")
+  }
+
   test("t24 plan: lineFilter is map-side only — zero exchanges") {
     val df = graft.core.Tables.documents(spark, SparkSpec.sfDir)
       .select(col("doc_id"), concat_ws("\n", col("text"),

@@ -923,6 +923,28 @@ class PipelineSpec extends AnyFunSuite {
     val merged = m.map(_.getString(3)).toSet
     assert(merged.exists(_.length >= 2),
       s"multi-char symbols form within 4 merges, got $merged")
+    // second run: the artifact round-trips through --bpe_merges and
+    // every output chunk carries the tokenizer-exact count
+    val out2 = s"$dir/chunks2"
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"$dir/docs",
+      "near_threshold" -> "0.8", "min_tokens" -> "1",
+      "bpe_merges" -> s"${out}_bpe_merges.parquet",
+      "chunk_window" -> "400", "chunk_stride" -> "300",
+      "output" -> out2, "metrics_out" -> s"$dir/funnel2.json"))
+    val chunks = spark.read.parquet(out2)
+    assert(chunks.columns.contains("n_tokens_bpe"))
+    val merges = m.map(r => graft.text.Bpe.Merge(r.getInt(0),
+      r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    val expect = graft.text.Bpe.encode(
+        chunks.select(col("chunk")), "chunk", merges)
+      .select(col("n_tokens_bpe")).as[Int].collect().sorted
+    val got = chunks.select(col("n_tokens_bpe")).as[Int].collect().sorted
+    assert(got.nonEmpty && got.toSeq === expect.toSeq,
+      "chunk counts equal a direct Bpe.encode of the same chunks")
+    assert(got.forall(n => n >= 1),
+      "every chunk has a positive BPE token count")
   }
 
   test("UrlOps host/domain: userinfo, port, www, deep subdomains, " +
