@@ -6047,6 +6047,56 @@ object OracleSql {
         |FROM cnt c LEFT JOIN re USING (doc_id, source)
         |ORDER BY doc_id""".stripMargin,
 
+    // URL canonicalization (a16): the same RE2 rule chain — lowercase
+    // scheme/host, strip userinfo / default ports / fragments /
+    // tracking params (separator repaired), drop dangling ?/& and the
+    // bare root slash; junk passes through
+    "a16_url_normalize" ->
+      """WITH u AS (SELECT doc_id, CASE doc_id % 8
+        |    WHEN 0 THEN 'https://WWW.Site' || (doc_id % 7)::VARCHAR ||
+        |      '.COM:443/path?utm_source=x&a=1#frag'
+        |    WHEN 1 THEN 'https://www.site' || (doc_id % 7)::VARCHAR ||
+        |      '.com/path?a=1'
+        |    WHEN 2 THEN 'http://u:p@site' || (doc_id % 7)::VARCHAR ||
+        |      '.org:80/'
+        |    WHEN 3 THEN 'http://site' || (doc_id % 7)::VARCHAR || '.org'
+        |    WHEN 4 THEN 'https://site' || (doc_id % 7)::VARCHAR ||
+        |      '.net:8443/p?gclid=99&b=2&utm_medium=m'
+        |    WHEN 5 THEN 'not a url ' || (doc_id % 7)::VARCHAR
+        |    WHEN 6 THEN 'https://site' || (doc_id % 7)::VARCHAR ||
+        |      '.com/p/?ref=tw'
+        |    ELSE 'ftp://Site' || (doc_id % 7)::VARCHAR || '.Io/Path/#f'
+        |  END AS url FROM documents),
+        |x AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))
+        |      AS hst,
+        |    regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)',
+        |      1) AS port,
+        |    regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]+(.*)$', 1)
+        |      AS tail0
+        |  FROM u),
+        |t AS (SELECT doc_id, url, scheme, hst, port,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(tail0, '#.*$', '', 'g'),
+        |      '[?&](utm_[a-zA-Z0-9]+|gclid|fbclid|ref)=[^&]*', '', 'g'),
+        |      '^([^?&]*)&', '\1?'),
+        |      '[?&]$', '') AS t4
+        |  FROM x)
+        |SELECT doc_id, url,
+        |  CASE WHEN hst IS NULL OR hst = '' THEN url
+        |    ELSE scheme || '://' || hst ||
+        |      CASE WHEN port <> '' AND NOT ((scheme = 'http' AND
+        |          port = '80') OR (scheme = 'https' AND port = '443'))
+        |        THEN ':' || port ELSE '' END ||
+        |      CASE WHEN t4 = '/' THEN '' ELSE t4 END
+        |  END AS url_norm
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     // d09 cut form: the same interval frame, intervals grouped by the
     // md5 of their covered token slice, keep-first (doc, start) per
     // content, losers' tokens removed, docs reassembled in ti order

@@ -1870,6 +1870,32 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ── a16: URL canonicalization — deterministic variant URLs (case,
+    //    default/explicit ports, userinfo, tracking params at every
+    //    query position, fragments, root slash, junk) normalize to
+    //    canonical keys; variants 0/1 and 2/3 are built to COLLIDE ─────
+    "a16_url_normalize" -> ((s, dir) => {
+      val k = (col("doc_id") % 7).cast("string")
+      val v = col("doc_id") % 8
+      val url = when(v === 0, concat(lit("https://WWW.Site"), k,
+          lit(".COM:443/path?utm_source=x&a=1#frag")))
+        .when(v === 1, concat(lit("https://www.site"), k,
+          lit(".com/path?a=1")))
+        .when(v === 2, concat(lit("http://u:p@site"), k,
+          lit(".org:80/")))
+        .when(v === 3, concat(lit("http://site"), k, lit(".org")))
+        .when(v === 4, concat(lit("https://site"), k,
+          lit(".net:8443/p?gclid=99&b=2&utm_medium=m")))
+        .when(v === 5, concat(lit("not a url "), k))
+        .when(v === 6, concat(lit("https://site"), k,
+          lit(".com/p/?ref=tw")))
+        .otherwise(concat(lit("ftp://Site"), k, lit(".Io/Path/#f")))
+      docs(s, dir).select(col("doc_id"), url.as("url"))
+        .withColumn("url_norm",
+          graft.text.UrlOps.urlNormalize(col("url")))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── t25b: per-collection line dedup — df counted within `source`;
     //    the corpus-wide boilerplate lines still clear maxDf inside
     //    every source (each source holds ≥ maxDf docs), while content

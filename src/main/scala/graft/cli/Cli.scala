@@ -454,6 +454,32 @@ object Cli {
       s"curate needs integral $id values; $badIds rows fail the long cast " +
         "(map string ids to a dense surrogate key first)")
 
+    // ── optional URL-keyed dedup (--dedup_by_url true with
+    // [--url_col url]): two fetches of one page under tracking-param /
+    // case / default-port variants collapse to ONE canonical key
+    // (UrlOps.urlNormalize) and keep-first (min id) wins — the classic
+    // crawl dedup, BEFORE any text is read. Docs with NULL or
+    // un-normalizable-but-distinct URLs are their own keys; NULL urls
+    // are never pooled (each null-url doc is kept).
+    val urlDeduped = cfg.strOpt("dedup_by_url") match {
+      case Some("true") =>
+        val urlCol = cfg.strOpt("url_col").getOrElse("url")
+        val withUrl = load(cfg.str("input_docs"))
+        require(withUrl.columns.contains(urlCol),
+          s"--dedup_by_url needs a '$urlCol' column on the input " +
+            "(set --url_col if it is named differently)")
+        val canon = withUrl.select(col(id),
+          graft.text.UrlOps.urlNormalize(col(urlCol)).as("_cu"))
+        val keepIds = canon.filter(col("_cu").isNotNull)
+          .groupBy(col("_cu")).agg(min(col(id)).as("_keep"))
+          .select(col("_keep").as(id))
+          .unionByName(canon.filter(col("_cu").isNull).select(col(id)))
+        val ud = domainGated.join(keepIds, Seq(id), "left_semi")
+        timedStage("url_dedup")(ud.count())
+        ud
+      case _ => domainGated
+    }
+
     // ── optional line-level text SHAPING, the C4/CCNet ordering:
     // per-line quality gates (--line_filter true [--min_line_words N
     // --line_blocklist a,b] — t24) then corpus-frequent boilerplate
@@ -473,7 +499,7 @@ object Cli {
         .getOrElse(0L)
     val (lineFiltered, nLineFilterDrop) =
       if (cfg.strOpt("line_filter").contains("true")) {
-        val lf = TextOps.lineFilter(domainGated, id, text,
+        val lf = TextOps.lineFilter(urlDeduped, id, text,
           minWords = cfg.strOpt("min_line_words").map(_.toInt)
             .getOrElse(3),
           requireTerminal = true,
@@ -482,7 +508,7 @@ object Cli {
             .getOrElse(Seq("javascript", "cookie", "{")))
         (lf.select(col(id), col("clean").as(text)),
           lineDropCount(lf, "line_filter"))
-      } else (domainGated, 0L)
+      } else (urlDeduped, 0L)
     val (lineShaped, nLineDedupDrop) = cfg.strOpt("max_line_df") match {
       case Some(n) =>
         val ld = TextOps.dedupLines(lineFiltered, id, text,

@@ -51,6 +51,43 @@ object UrlOps {
   /** Per-domain doc/token/char rollup with a blocklist flag: the
     * domain-level data card (and the frame a blocklist gets tuned on).
     * Docs whose URL yields no host land under domain null. */
+  /** URL canonicalization (a16) — the normalize-before-dedup step of
+    * crawl pipelines (two fetches of one page under tracking-param /
+    * case / default-port variants must collapse to ONE canonical key
+    * before URL-keyed dedup). Deterministic rule chain, every regex
+    * RE2-compatible so the oracle replays it verbatim:
+    *   1. un-parseable URLs (no `scheme://`) pass through UNCHANGED;
+    *   2. scheme and host lowercase; `userinfo@` stripped;
+    *   3. default ports dropped (http:80, https:443); others kept;
+    *   4. fragment dropped;
+    *   5. tracking parameters dropped (`utm_*`, `gclid`, `fbclid`,
+    *      `ref`), with the query separator repaired when the first
+    *      parameter was the tracked one;
+    *   6. a dangling `?`/`&` and a bare root `/` dropped.
+    * Non-root trailing slashes and path case are PRESERVED — path
+    * semantics belong to the origin server, only scheme/host/port are
+    * case-insensitive by RFC 3986. Pure map-side expression chain. */
+  def urlNormalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hst = host(url)
+    val port = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val tail0 = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]+(.*)$", 1)
+    val t1 = regexp_replace(tail0, "#.*$", "")
+    val t2 = regexp_replace(t1,
+      "[?&](utm_[a-zA-Z0-9]+|gclid|fbclid|ref)=[^&]*", "")
+    val t3 = regexp_replace(t2, "^([^?&]*)&", "$1?")
+    val t4 = regexp_replace(t3, "[?&]$", "")
+    val tail = when(t4 === "/", lit("")).otherwise(t4)
+    when(hst.isNull, url).otherwise(concat(scheme, lit("://"), hst,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")), tail))
+  }
+
   def domainRollup(df: DataFrame, id: String, url: String, text: String,
                    blocklist: Seq[String] = Nil): DataFrame =
     df.select(domain(col(url)).as("domain"),

@@ -964,6 +964,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq === rows.map(_._2).toSeq)
   }
 
+  test("CLI curate --dedup_by_url: tracking-param/case/port variants of " +
+       "one page collapse to keep-first; junk URLs are all kept") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftudd").toString
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"a$i").mkString(" "),
+        "https://WWW.Page.COM:443/x?utm_source=tw&a=1"),
+      (2L, (1 to 20).map(i => s"b$i").mkString(" "),
+        "https://www.page.com/x?a=1"),          // canonical dup of 1
+      (3L, (1 to 20).map(i => s"c$i").mkString(" "),
+        "https://other.org/y"),
+      (4L, (1 to 20).map(i => s"d$i").mkString(" "), "junk url one"),
+      (5L, (1 to 20).map(i => s"e$i").mkString(" "), "junk url two"))
+      .toDF("doc_id", "text", "url")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    val out = s"$dir/chunks"
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"$dir/docs",
+      "near_threshold" -> "0.8", "min_tokens" -> "1",
+      "dedup_by_url" -> "true",
+      "chunk_window" -> "400", "chunk_stride" -> "300",
+      "output" -> out, "metrics_out" -> s"$dir/funnel.json"))
+    val kept = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L, 5L),
+      "doc 2 is the same canonical page as doc 1 (keep-first); " +
+        "distinct junk URLs never pool")
+  }
+
+  test("UrlOps urlNormalize: variants collapse to one canonical key, " +
+       "junk passes through, real ports and non-root slashes survive") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      "https://WWW.Site.COM:443/path?utm_source=x&a=1#frag" ->
+        "https://www.site.com/path?a=1",
+      "https://www.site.com/path?a=1" -> "https://www.site.com/path?a=1",
+      "http://u:p@site.org:80/" -> "http://site.org",
+      "http://site.org" -> "http://site.org",
+      "https://x.net:8443/p?gclid=9&b=2&utm_medium=m" ->
+        "https://x.net:8443/p?b=2",
+      "not a url at all" -> "not a url at all",
+      "https://x.com/p/?ref=tw" -> "https://x.com/p/",
+      "ftp://Site.Io/Path/#f" -> "ftp://site.io/Path/",
+      "https://x.com/a?utm_a=1&utm_b=2" -> "https://x.com/a",
+      "https://x.com/a?refresh=1&pref=2" ->
+        "https://x.com/a?refresh=1&pref=2")
+    val got = rows.map(_._1).toDF("url")
+      .select(graft.text.UrlOps.urlNormalize(col("url")).as("n"))
+      .as[String].collect()
+    rows.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g === want, s"expected $want")
+    }
+  }
+
   test("UrlOps domainMixture: the a08 cut keyed on the registrable domain") {
     val s = spark
     import s.implicits._
