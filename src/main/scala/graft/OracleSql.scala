@@ -6250,6 +6250,23 @@ object OracleSql {
          |FROM t ORDER BY shard, pos""".stripMargin
     },
 
+    // curriculum ordering (a17): a12's salted shard hash + a
+    // (n_tokens, doc_id) row_number per shard; global_pos strides
+    "a17_curriculum_order" -> {
+      val h = h64Sql("doc_id::VARCHAR", "'31'")
+      s"""WITH t AS (SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '),
+         |      x -> x <> ''))::BIGINT AS n_tokens,
+         |    $h AS h FROM documents),
+         |r AS (SELECT doc_id, n_tokens, (h % 8)::INT AS shard,
+         |    (row_number() OVER (PARTITION BY h % 8
+         |      ORDER BY n_tokens, doc_id) - 1)::INT AS pos
+         |  FROM t)
+         |SELECT doc_id, n_tokens, shard, pos,
+         |  (pos::BIGINT * 8 + shard)::BIGINT AS global_pos
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
     // token frequency spectrum (t22): token counts banded by integer
     // BETWEEN against power-of-two bounds (no floor(log2) libm hazard)
     "t22_token_spectrum" ->

@@ -1990,6 +1990,20 @@ object SparkEntry {
         .orderBy(col("shard"), col("pos"))
     }),
 
+    // ── a17: curriculum ordering — short-to-long feed order inside
+    //    hash-balanced shards, global stride index, no global sort ─────
+    "a17_curriculum_order" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nTok = size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long")
+      graft.core.ScaleOps.curriculumOrder(
+          d.withColumn("n_tokens", nTok), "doc_id", col("n_tokens"),
+          nShards = 8, salt = 31)
+        .select(col("doc_id"), col("n_tokens"), col("shard"),
+          col("pos"), col("global_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── t22: token frequency spectrum — Zipf/Heaps data card; one
     //    token-keyed agg + a 41-row broadcast bounds join (integer
     //    BETWEEN banding, no floor(log2) libm hazard) ───────────────────

@@ -124,6 +124,39 @@ object ScaleOps {
       .drop("_h")
   }
 
+  /** Curriculum ordering (beyond reference, a17): deterministic shard
+    * assignment (salted h64 — the a12 convention, so shards are
+    * balanced and append-stable) plus an intra-shard CURRICULUM
+    * position ordered by (score, id) — the easy-to-hard feed order of
+    * curriculum learning — and a strided global index
+    * `global_pos = pos·nShards + shard` that interleaves shards so
+    * consuming rows in global_pos order tracks the curriculum
+    * corpus-wide WITHOUT any global sort: the plan is one map-side
+    * hash projection and one row_number window PER SHARD KEY
+    * (nShards-way parallel), never a single-partition ordering. At
+    * 100 TB each shard is one task chain and the trainer reads shards
+    * in stride. `descending` = hard-first (anti-curriculum).
+    * Ties break on id, so any integer or pre-rounded score is
+    * engine-portable. */
+  def curriculumOrder(df: DataFrame, id: String, score: Column,
+                      nShards: Int, salt: Int,
+                      descending: Boolean = false): DataFrame = {
+    require(nShards > 0, "need at least one shard")
+    val h = graft.text.Dedup.h64(col(id).cast("string"), salt)
+    val ord =
+      if (descending) Seq(col("_sc").desc, col(id).asc)
+      else Seq(col("_sc").asc, col(id).asc)
+    df.withColumn("_sc", score)
+      .withColumn("shard",
+        pmod(h, lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy(col("shard")).orderBy(ord: _*)) - 1)
+        .cast("int"))
+      .withColumn("global_pos",
+        (col("pos").cast("long") * nShards + col("shard")))
+      .drop("_sc")
+  }
+
   /** Deterministic weighted sample WITHOUT replacement (beyond
     * reference, a13): Efraimidis–Spirakis A-ES — each row's key is
     * u^(1/w) with u its salted portable-hash uniform draw, and the n

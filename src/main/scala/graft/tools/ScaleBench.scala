@@ -133,14 +133,15 @@ object ScaleBench {
     "t18_corpus_report", "t19_bm25_topk", "t21_dup_ratio",
     "k01_kmeans_fit", "a11_temperature_mixture", "a12_shard_shuffle",
     "t22_token_spectrum", "k02_cluster_quality", "p01_pagerank",
-    "a13_weighted_sample", "t20_bm25_indexed",
+    "a13_weighted_sample", "t20_bm25_indexed", "a17_curriculum_order",
     "d09_substring_dedup", "d09c_substring_cut",
     "t19b_bm25_topk_by", "t21b_dup_ratio_by", "a14_domain_rollup",
     "k01d_kmeans_farthest", "t23_substring_contamination",
     "d09f_substring_fuzzy", "t24_line_filter", "t25_line_dedup",
     "b01_bpe_train", "b02_bpe_encode", "b03_bpe_ids",
     "m03_image_ahash", "m04_image_neardup", "m05_audio_ahash",
-    "m06_frame_hashes", "m07_video_neardup")
+    "m06_frame_hashes", "m07_video_neardup", "t25b_line_dedup_by",
+    "a16_url_normalize")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
@@ -162,7 +163,7 @@ object ScaleBench {
     "t23_substring_contamination", "t24_line_filter", "t25_line_dedup",
     "b01_bpe_train", "b02_bpe_encode", "b03_bpe_ids",
     "m03_image_ahash", "m04_image_neardup", "m05_audio_ahash",
-    "m06_frame_hashes", "m07_video_neardup")
+    "m06_frame_hashes", "m07_video_neardup", "t25b_line_dedup_by")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -188,6 +188,41 @@ class ScaleOpsSpec extends AnyFunSuite {
       plan.linesIterator.take(6).mkString("\n"))
   }
 
+  test("curriculum order: easy-to-hard within every shard, strided " +
+       "global index is a bijection, hard-first flips, no global sort") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    val df = (0L until 400L).map(i => (i, s"doc $i", (i * 7 % 100) + 1))
+      .toDF("id", "v", "difficulty")
+    val out = ScaleOps.curriculumOrder(df, "id", col("difficulty"),
+      nShards = 8, salt = 5)
+    val rows = out.select("id", "shard", "pos", "global_pos")
+      .as[(Long, Int, Int, Long)].collect()
+    // bijection: global_pos = pos*8+shard is collision-free by stride
+    assert(rows.map(_._4).distinct.length === rows.length)
+    // within every shard, difficulty is non-decreasing along pos
+    val diff = df.select("id", "difficulty").as[(Long, Long)]
+      .collect().toMap
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_._3).map(r => diff(r._1))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+    }
+    // hard-first mode reverses the per-shard order
+    val desc = ScaleOps.curriculumOrder(df, "id", col("difficulty"),
+        nShards = 8, salt = 5, descending = true)
+      .select("id", "shard", "pos").as[(Long, Int, Int)].collect()
+    desc.groupBy(_._2).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_._3).map(r => diff(r._1))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+    // plan contract: the window partitions on the shard key — never a
+    // single-partition global sort
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("shard shuffle: bijective (shard,pos) cover, dense per-shard " +
        "positions, append-stable shards, never a single-partition sort") {
     val s = SparkSpec.spark
