@@ -1130,6 +1130,46 @@ object OracleSql {
          |  FROM vbv GROUP BY 1, 2)
          |""".stripMargin
 
+  /** Tokenizer coverage replay (b04): the b01 tokenizer (clean-corpus
+    * levels + chars-then-merges vocabulary) encodes the t03-salted
+    * drifted corpus; symbols with no vocabulary row are OOV. */
+  private def b04Sql(n: Int): String = {
+    val chain = (1 to n).foldLeft(
+      "regexp_replace(replace(body, ' ', '|'), " +
+        "'(.)', ' \\1 ', 'g')") { (e, i) =>
+      s"replace($e, ' ' || m$i.l || '  ' || m$i.r || ' ', " +
+        s"' ' || m$i.l || m$i.r || ' ')"
+    }
+    val mJoins = (1 to n).map(i => s"m$i").mkString(", ")
+    val mergeUnion = (1 to n).map(i =>
+      s"SELECT $i AS i, l || r AS merged FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""${bpeLevels(n)},
+       |chars AS MATERIALIZED (
+       |  SELECT DISTINCT ch FROM (
+       |    SELECT unnest(regexp_extract_all(word, '.')) AS ch FROM w0)),
+       |vocab AS MATERIALIZED (
+       |  SELECT ch AS symbol FROM chars
+       |  UNION ALL SELECT merged FROM ($mergeUnion)),
+       |dd AS (SELECT doc_id,
+       |    text || ' contact user' || doc_id::VARCHAR ||
+       |    '@mail.example.com or 415-555-' ||
+       |    lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') AS body
+       |  FROM documents),
+       |e AS (SELECT doc_id, replace(trim($chain), '  ', ' ') AS enc
+       |      FROM dd, $mJoins),
+       |p AS (SELECT doc_id, sym FROM (
+       |    SELECT doc_id, unnest(string_split(enc, ' ')) AS sym FROM e)
+       |  WHERE sym <> '|')
+       |SELECT p.doc_id, count(*)::BIGINT AS n_tokens_bpe,
+       |  sum(CASE WHEN v.symbol IS NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_oov,
+       |  round(sum(CASE WHEN v.symbol IS NULL THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*), 6) AS oov_ratio
+       |FROM p LEFT JOIN vocab v ON v.symbol = p.sym
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   private def d09Sql(bridge: Int): String =
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
@@ -6010,6 +6050,10 @@ object OracleSql {
     // BPE id sequences (b03): chars-then-merges vocabulary, exploded
     // (doc, pos, symbol, token_id) rows
     "b03_bpe_ids" -> b03Sql(8),
+
+    // tokenizer coverage (b04): clean-corpus tokenizer scores the
+    // t03-salted drifted corpus; unseen characters surface as OOV
+    "b04_bpe_coverage" -> b04Sql(8),
 
     // per-collection line dedup (t25b): the t25 chain with line df
     // counted within `source`

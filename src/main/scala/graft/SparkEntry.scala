@@ -1918,6 +1918,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── b04: tokenizer COVERAGE — the b01 tokenizer (trained on the
+    //    clean corpus) scores a drifted copy (the t03 salt injects
+    //    digits/@/./- the training alphabet never saw) and reports
+    //    per-doc OOV mass ────────────────────────────────────────────────
+    "b04_bpe_coverage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.train(d, "text", nMerges = 8)
+      val v = graft.text.Bpe.vocab(d, "text", merges)
+      val drifted = d.select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com or 415-555-"),
+          lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0"))
+          .as("body"))
+      graft.text.Bpe.coverageReport(drifted, "doc_id", "body", merges, v)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── d09 CUT form: duplicated intervals grouped by slice content,
     //    keep-first election per content, losers' tokens removed and
     //    docs reassembled (the d05 output contract at arbitrary

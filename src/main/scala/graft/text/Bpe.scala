@@ -179,4 +179,23 @@ object Bpe {
         .as(Seq("pos", "symbol")))
       .withColumn("token_id", element_at(vmap, col("symbol")))
   }
+
+  /** Tokenizer coverage report (b04): encode a corpus with a FROZEN
+    * tokenizer and measure per-document out-of-vocabulary mass — the
+    * standard "does my tokenizer cover this data" card run before
+    * committing to a training mix (a vocabulary trained on English
+    * prose meeting code or another script shows up here first). A
+    * symbol is OOV iff it maps to no vocabulary id (with character
+    * fallback that means characters the training corpus never saw).
+    * One map-side encode + one doc-keyed agg. */
+  def coverageReport(df: DataFrame, id: String, text: String,
+                     merges: Seq[Merge],
+                     vocab: Seq[(Int, String, String)]): DataFrame =
+    encodeIds(df, id, text, merges, vocab)
+      .groupBy(col(id))
+      .agg(count(lit(1)).cast("long").as("n_tokens_bpe"),
+        sum(when(col("token_id").isNull, 1).otherwise(0)).cast("long")
+          .as("n_oov"))
+      .withColumn("oov_ratio",
+        round(col("n_oov") / col("n_tokens_bpe"), 6))
 }

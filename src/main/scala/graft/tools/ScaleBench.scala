@@ -138,7 +138,7 @@ object ScaleBench {
     "t19b_bm25_topk_by", "t21b_dup_ratio_by", "a14_domain_rollup",
     "k01d_kmeans_farthest", "t23_substring_contamination",
     "d09f_substring_fuzzy", "t24_line_filter", "t25_line_dedup",
-    "b01_bpe_train", "b02_bpe_encode", "b03_bpe_ids",
+    "b01_bpe_train", "b02_bpe_encode", "b03_bpe_ids", "b04_bpe_coverage",
     "m03_image_ahash", "m04_image_neardup", "m05_audio_ahash",
     "m06_frame_hashes", "m07_video_neardup", "t25b_line_dedup_by",
     "a16_url_normalize")
@@ -161,7 +161,7 @@ object ScaleBench {
     "d06_fuzzy_span_dedup", "t19_bm25_topk", "t21_dup_ratio",
     "d09_substring_dedup", "d09c_substring_cut",
     "t23_substring_contamination", "t24_line_filter", "t25_line_dedup",
-    "b01_bpe_train", "b02_bpe_encode", "b03_bpe_ids",
+    "b01_bpe_train", "b02_bpe_encode", "b03_bpe_ids", "b04_bpe_coverage",
     "m03_image_ahash", "m04_image_neardup", "m05_audio_ahash",
     "m06_frame_hashes", "m07_video_neardup", "t25b_line_dedup_by")
 

@@ -105,6 +105,24 @@ class BpeSpec extends AnyFunSuite {
       "characters outside the base set are NULL — caller's OOV policy")
   }
 
+  test("coverageReport: unseen characters are the OOV mass, covered " +
+       "text scores zero") {
+    val train = Seq((1L, "aa bb aa")).toDF("doc_id", "text")
+    val m = Bpe.train(train, "text", nMerges = 2)
+    val v = Bpe.vocab(train, "text", m)
+    val eval = Seq(
+      (1L, "aa bb"),          // fully covered
+      (2L, "aa 99"),          // digits never seen: 2 OOV symbols
+      (3L, "zz")).toDF("doc_id", "text") // unseen letter, unmerged: 2 OOV
+    val r = Bpe.coverageReport(eval, "doc_id", "text", m, v)
+      .select("doc_id", "n_tokens_bpe", "n_oov", "oov_ratio")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r(0)._3 === 0L && r(0)._4 === 0.0)
+    assert(r(1)._3 === 2L, "each digit is an OOV symbol")
+    assert(r(2) === ((3L, 2L, 2L, 1.0)),
+      "an entirely-unseen word is 100% OOV")
+  }
+
   test("streaming b02 twin: direct stream application with a frozen " +
        "merge table matches batch") {
     val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
