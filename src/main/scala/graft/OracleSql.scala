@@ -2849,6 +2849,20 @@ object OracleSql {
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
 
+    // CUBE revenue (q33): DuckDB GROUP BY CUBE + GROUPING() shares
+    // Spark's bit convention (first listed column = MSB)
+    "q33_revenue_cube" ->
+      """SELECT n_name, year(o_orderdate)::INT AS o_year,
+        | GROUPING(n_name, year(o_orderdate))::INT AS gid,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, year(o_orderdate))
+        |ORDER BY gid, n_name, o_year""".stripMargin,
+
     "q03_top_orders_per_priority" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rk::INT AS rk FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,

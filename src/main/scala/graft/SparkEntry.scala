@@ -79,6 +79,26 @@ object SparkEntry {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // ── q33: CUBE revenue — all four grouping sets of (nation, order
+    //    year) in ONE pass (Catalyst Expand: each input row fans to its
+    //    grouping sets before the single hash agg — one shuffle for the
+    //    whole cube, map-side partials intact); grouping_id
+    //    disambiguates subtotal NULLs, the engine-portable bit
+    //    convention (nation = MSB) ─────────────────────────────────────
+    "q33_revenue_cube" -> ((s, dir) => {
+      li(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("o_year", year(col("o_orderdate")))
+        .cube(col("n_name"), col("o_year"))
+        .agg(grouping_id().cast("int").as("gid"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("gid"), col("n_name"), col("o_year"))
+    }),
+
     // ── O2/O3: ranking window + top-k per group ───────────────────────
     "q03_top_orders_per_priority" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority"))

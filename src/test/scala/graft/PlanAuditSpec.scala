@@ -352,4 +352,19 @@ class PlanAuditSpec extends AnyFunSuite {
       l.contains("Window") && l.contains("partitionBy=[]")),
       "no global window allowed")
   }
+
+  test("q33 cube: ONE Expand feeds ONE keyed aggregation — all four " +
+       "grouping sets in a single pass, dims broadcast") {
+    val p = plan("q33_revenue_cube")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert("Expand".r.findAllIn(finalPlan).size >= 1 &&
+      finalPlan.linesIterator.count(_.trim.startsWith("Expand")) <= 2,
+      s"cube must plan as a single Expand, not one scan per set:\n" +
+        finalPlan.linesIterator.filter(_.contains("Expand")).mkString("\n"))
+    assert("BroadcastHashJoin".r.findAllIn(finalPlan).size >= 2,
+      "customer/nation broadcast")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("Union"),
+      "grouping sets must not union separate aggregations")
+  }
 }
