@@ -378,6 +378,18 @@ object StreamingScore {
                 merges: Seq[graft.text.Bpe.Merge]): DataFrame =
     graft.text.Bpe.encode(docs, text, merges)
 
+  /** Streaming a16 twin — URL canonicalization on a document stream:
+    * [[graft.text.UrlOps.urlNormalize]] is one pure per-row expression
+    * chain, so it applies DIRECTLY to the streaming frame — no
+    * foreachBatch, no state, batch-identical by construction. Feeds
+    * the same downstream key the batch `--dedup_by_url` uses (the
+    * streaming INGEST dedup then anti-joins the canonical key against
+    * the frozen seen-register exactly like the a12/s05 ingest
+    * contract). */
+  def urlNormalize(docs: DataFrame, url: String): DataFrame =
+    docs.withColumn("url_norm",
+      graft.text.UrlOps.urlNormalize(col(url)))
+
   /** Streaming a14 twin — URL blocklist gate on a document stream: a
     * pure per-row filter ([[graft.text.UrlOps.domainGate]] is one
     * regex + literal suffix matches), so it applies DIRECTLY to the

@@ -1021,6 +1021,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming a16 twin: canonical URL keys on a stream match batch " +
+       "(stateless map)") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 40L).map(i =>
+        (i, s"https://WWW.Host$i.COM:443/p?utm_source=x&a=$i#f"))
+      .toDF("doc_id", "url")
+    val batch = docs.withColumn("url_norm",
+        graft.text.UrlOps.urlNormalize(col("url")))
+      .select("doc_id", "url_norm").as[(Long, String)].collect().toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graftnurl").toString
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val buf = scala.collection.mutable.Map.empty[Long, String]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, _) => buf.synchronized {
+        buf ++= b.select("doc_id", "url_norm")
+          .as[(Long, String)].collect()
+      }
+    val q = graft.streaming.StreamingScore.urlNormalize(stream, "url")
+      .writeStream.foreachBatch(sink).start()
+    q.processAllAvailable(); q.stop()
+    assert(buf.nonEmpty && buf.toMap === batch)
+    assert(batch(7L) === "https://www.host7.com/p?a=7")
+  }
+
   test("UrlOps domainMixture: the a08 cut keyed on the registrable domain") {
     val s = spark
     import s.implicits._
