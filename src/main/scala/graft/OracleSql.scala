@@ -932,6 +932,92 @@ object OracleSql {
        |FROM fin ORDER BY avg_score, config_id""".stripMargin
   }
 
+  /** Hyperband witness (o04f): the o03f pattern ×3 brackets — per
+    * bracket a deterministic md5 config DRAW (key
+    * "o04draw|nb|smKey|bracket"), then the bracket's rung schedule as
+    * chained CTEs with seed-ordered list sums. R=9, η=3 ⇒ brackets
+    * s=2 (9 cfgs, rungs at seeds 1/4/9, keep 3 then 1), s=1 (5 cfgs,
+    * rungs at 3/9, keep 2), s=0 (3 cfgs, one rung at 9). */
+  private def o04fSql: String = {
+    val configs = (for { nb <- Seq(5, 8, 10, 15); sm <- Seq(0.0, 0.2, 0.5) }
+      yield (nb, sm)).zipWithIndex
+      .map { case ((nb, sm), i) =>
+        s"($i, $nb, CAST($sm AS DOUBLE), ${math.round(sm * 10)})" }
+      .mkString(", ")
+    def draw(s: Int) =
+      h64Sql(s"c.n_bins || '|' || c.sm_key || '|' || '$s'", "'o04draw'")
+    s"""WITH configs(config_id, n_bins, smooth, sm_key) AS (VALUES $configs),
+       |seeds(seed) AS (VALUES ${(1 to 9).mkString("(", "), (", ")")}),
+       |scores AS (
+       |  SELECT c.config_id, s.seed,
+       |    ${h64Sql("c.n_bins || '|' || c.sm_key || '|' || s.seed", "'o04'")}
+       |      / 1152921504606846976.0 AS score
+       |  FROM configs c CROSS JOIN seeds s),
+       |d2 AS (SELECT c.config_id, c.n_bins, c.smooth FROM configs c
+       |       ORDER BY ${draw(2)}, c.config_id LIMIT 9),
+       |b2r0 AS (SELECT sc.config_id,
+       |    list_aggregate(list(sc.score ORDER BY sc.seed), 'sum') AS sm
+       |  FROM scores sc JOIN d2 USING (config_id) WHERE sc.seed <= 1
+       |  GROUP BY 1),
+       |b2a1 AS (SELECT config_id FROM (SELECT config_id,
+       |    row_number() OVER (ORDER BY sm / 1.0, config_id) AS rk
+       |  FROM b2r0) WHERE rk <= 3),
+       |b2r1 AS (SELECT sc.config_id,
+       |    list_aggregate(list(sc.score ORDER BY sc.seed), 'sum') AS sm
+       |  FROM scores sc JOIN b2a1 USING (config_id) WHERE sc.seed <= 4
+       |  GROUP BY 1),
+       |b2a2 AS (SELECT config_id FROM (SELECT config_id,
+       |    row_number() OVER (ORDER BY sm / 4.0, config_id) AS rk
+       |  FROM b2r1) WHERE rk <= 1),
+       |b2r2 AS (SELECT sc.config_id,
+       |    list_aggregate(list(sc.score ORDER BY sc.seed), 'sum') AS sm
+       |  FROM scores sc JOIN b2a2 USING (config_id) GROUP BY 1),
+       |fin2 AS (SELECT 2 AS bracket, d.config_id, d.n_bins, d.smooth,
+       |    CASE WHEN r2.config_id IS NOT NULL THEN r2.sm / 9.0
+       |         WHEN r1.config_id IS NOT NULL THEN r1.sm / 4.0
+       |         ELSE r0.sm / 1.0 END AS avg_raw,
+       |    CASE WHEN r2.config_id IS NOT NULL THEN 9
+       |         WHEN r1.config_id IS NOT NULL THEN 4 ELSE 1 END AS ns,
+       |    CASE WHEN r2.config_id IS NOT NULL THEN 2
+       |         WHEN r1.config_id IS NOT NULL THEN 1 ELSE 0 END AS rr
+       |  FROM d2 d JOIN b2r0 r0 USING (config_id)
+       |  LEFT JOIN b2r1 r1 USING (config_id)
+       |  LEFT JOIN b2r2 r2 USING (config_id)),
+       |d1 AS (SELECT c.config_id, c.n_bins, c.smooth FROM configs c
+       |       ORDER BY ${draw(1)}, c.config_id LIMIT 5),
+       |b1r0 AS (SELECT sc.config_id,
+       |    list_aggregate(list(sc.score ORDER BY sc.seed), 'sum') AS sm
+       |  FROM scores sc JOIN d1 USING (config_id) WHERE sc.seed <= 3
+       |  GROUP BY 1),
+       |b1a1 AS (SELECT config_id FROM (SELECT config_id,
+       |    row_number() OVER (ORDER BY sm / 3.0, config_id) AS rk
+       |  FROM b1r0) WHERE rk <= 2),
+       |b1r1 AS (SELECT sc.config_id,
+       |    list_aggregate(list(sc.score ORDER BY sc.seed), 'sum') AS sm
+       |  FROM scores sc JOIN b1a1 USING (config_id) GROUP BY 1),
+       |fin1 AS (SELECT 1 AS bracket, d.config_id, d.n_bins, d.smooth,
+       |    CASE WHEN r1.config_id IS NOT NULL THEN r1.sm / 9.0
+       |         ELSE r0.sm / 3.0 END AS avg_raw,
+       |    CASE WHEN r1.config_id IS NOT NULL THEN 9 ELSE 3 END AS ns,
+       |    CASE WHEN r1.config_id IS NOT NULL THEN 1 ELSE 0 END AS rr
+       |  FROM d1 d JOIN b1r0 r0 USING (config_id)
+       |  LEFT JOIN b1r1 r1 USING (config_id)),
+       |d0 AS (SELECT c.config_id, c.n_bins, c.smooth FROM configs c
+       |       ORDER BY ${draw(0)}, c.config_id LIMIT 3),
+       |b0r0 AS (SELECT sc.config_id,
+       |    list_aggregate(list(sc.score ORDER BY sc.seed), 'sum') AS sm
+       |  FROM scores sc JOIN d0 USING (config_id) GROUP BY 1),
+       |fin0 AS (SELECT 0 AS bracket, d.config_id, d.n_bins, d.smooth,
+       |    r0.sm / 9.0 AS avg_raw, 9 AS ns, 0 AS rr
+       |  FROM d0 d JOIN b0r0 r0 USING (config_id))
+       |SELECT bracket::INT AS bracket, config_id, n_bins, smooth,
+       |  round(avg_raw, 6) AS avg_score, ns::BIGINT AS n_seeds,
+       |  rr::BIGINT AS rung_reached
+       |FROM (SELECT * FROM fin2 UNION ALL SELECT * FROM fin1
+       |      UNION ALL SELECT * FROM fin0)
+       |ORDER BY bracket, avg_score, config_id""".stripMargin
+  }
+
   /** d09/d09f shared oracle body: duplicated-8-gram run collapse with
     * a parameterized gap bridge (0 = exact, k = one-edit tolerance). */
   /** In-engine BPE trainer replay (b01): the k01 chained-iteration
@@ -5017,6 +5103,7 @@ object OracleSql {
     "o02f_grid_earlystop_core" -> o02fSql,
 
     "o03f_successive_halving_core" -> o03fSql,
+    "o04f_hyperband_core" -> o04fSql,
 
     // §2.12 PER-SERIES sweep fitness: the o01f replay keyed by sid —
     // per-series fit/walk/score, every series' LCG advancing in the

@@ -1061,6 +1061,35 @@ object SparkEntry {
         .orderBy(col("avg_score"), col("config_id"))
     }),
 
+    // ── o04: Hyperband — three successive-halving brackets hedging
+    //    elimination aggressiveness; rows-only (real seeded fits, the
+    //    o03 exemption) with o04f hash-gating the bracket arithmetic ───
+    "o04_hyperband" -> ((s, dir) => {
+      val rets = logret(s, dir).filter(col("ret").isNotNull)
+        .orderBy(col("ts"), col("event_id")).limit(5000)
+        .select(col("ret")).collect().map(_.getDouble(0))
+      graft.opt.SweepOptimizer.hyperband(s, rets,
+        nBinsChoices = Seq(5, 8, 10, 15), smoothChoices = Seq(0.0, 0.2, 0.5),
+        seeds = (1L to 9L), genN = 500, eta = 3)
+        .select(col("bracket"), col("config_id"), col("n_bins"),
+          col("smooth"), round(col("avg_score"), 6).as("avg_score"),
+          col("n_seeds"), col("rung_reached"))
+        .orderBy(col("bracket"), col("avg_score"), col("config_id"))
+    }),
+
+    // ── o04f: all three brackets' draw/rung/promotion arithmetic
+    //    replayed over the tagged md5 pseudo-fitness ────────────────────
+    "o04f_hyperband_core" -> ((s, dir) => {
+      graft.opt.SweepOptimizer.hyperband(s, Array.empty[Double],
+        nBinsChoices = Seq(5, 8, 10, 15), smoothChoices = Seq(0.0, 0.2, 0.5),
+        seeds = (1L to 9L), genN = 0, eta = 3,
+        score = graft.opt.SweepOptimizer.witnessScoreTagged("o04"))
+        .select(col("bracket"), col("config_id"), col("n_bins"),
+          col("smooth"), round(col("avg_score"), 6).as("avg_score"),
+          col("n_seeds"), col("rung_reached"))
+        .orderBy(col("bracket"), col("avg_score"), col("config_id"))
+    }),
+
     // ── o03f: the rung/promotion arithmetic replayed over the md5
     //    pseudo-fitness (tag "o03") — every cumulative mean folds in
     //    seed order on both engines ─────────────────────────────────────

@@ -360,6 +360,96 @@ object SweepOptimizer {
         "rung_reached")
   }
 
+  /** Deterministic md5 draw for Hyperband's per-bracket config
+    * sampling — key "o04draw|nBins|round(smooth·10)|bracket", the same
+    * portable-hash construction as [[witnessScoreTagged]], so the
+    * oracle ranks the identical longs. */
+  private def bracketDraw(nBins: Int, smooth: Double, bracket: Int): Long = {
+    val key = s"o04draw|$nBins|${math.round(smooth * 10)}|$bracket"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Hyperband (beyond reference, o04; Li et al. 2018): the
+    * multi-BRACKET form of [[successiveHalving]] — bracket s starts
+    * n_s = ⌈(B/R)·ηˢ/(s+1)⌉ configs at budget r_s = R·η⁻ˢ seeds and
+    * halves from there, so aggressive-elimination brackets (many
+    * configs, tiny first budget) and conservative ones (few configs,
+    * full budget) hedge each other; the winner is the best final-rung
+    * average across brackets. Config entry into a bracket is a
+    * deterministic seeded draw ([[bracketDraw]] — the o01d replay
+    * pattern), so both engines admit identical cohorts.
+    *
+    * Scale shape: each rung is ONE Spark job over |alive × rung
+    * seeds| fits (the o03 contract); driver state is per-bracket
+    * cumulative means. Same oracle-replayability contract as o03:
+    * fixed rung boundaries, seed-ordered folds, (mean, config_id)
+    * tie-breaks — o04f replays all three brackets' promotion
+    * arithmetic over the tagged md5 pseudo-fitness. */
+  def hyperband(spark: SparkSession, realReturns: Array[Double],
+                nBinsChoices: Seq[Int], smoothChoices: Seq[Double],
+                seeds: Seq[Long], genN: Int, eta: Int = 3,
+                score: (Array[Double], Int, Double, Int, Long) => Double
+                  = LocalFitness.grasyndaScore): DataFrame = {
+    import spark.implicits._
+    require(eta >= 2, "eta must be at least 2")
+    val bigR = seeds.size
+    val smax = (math.log(bigR.toDouble) / math.log(eta.toDouble)).toInt
+    val bigB = (smax + 1) * bigR
+    val configs = (for { nb <- nBinsChoices; sm <- smoothChoices }
+      yield (nb, sm)).zipWithIndex.map { case ((nb, sm), i) => (i, nb, sm) }
+    val bc = spark.sparkContext.broadcast(realReturns)
+    def run(tasks: Seq[(Int, Int, Double, Long)]): Array[(Int, Long, Double)] =
+      tasks.toDF("config_id", "n_bins", "smooth", "seed")
+        .repartition(math.min(math.max(tasks.size, 1), 64))
+        .as[(Int, Int, Double, Long)]
+        .map { case (id, nb, sm, s) => (id, s, score(bc.value, nb, sm, genN, s)) }
+        .collect()
+    val rows = (smax to 0 by -1).flatMap { s =>
+      val n = math.ceil(bigB.toDouble / bigR * math.pow(eta, s) / (s + 1))
+        .toInt
+      val r = math.max(1, bigR / math.pow(eta, s).toInt)
+      var alive = configs
+        .sortBy { case (id, nb, sm) => (bracketDraw(nb, sm, s), id) }
+        .take(math.min(n, configs.size))
+      val cohort = alive
+      var cum = Map.empty[Int, Vector[(Long, Double)]]
+      var consumed = 0
+      var budget = r
+      var rung = 0
+      val rungReached = scala.collection.mutable.Map.empty[Int, Int]
+      while (alive.nonEmpty && consumed < bigR) {
+        val rungSeeds = seeds.slice(consumed,
+          math.min(consumed + budget, bigR))
+        val scores = run(for { (id, nb, sm) <- alive; sd <- rungSeeds }
+          yield (id, nb, sm, sd))
+        for ((id, sd, sc) <- scores)
+          cum = cum.updated(id, cum.getOrElse(id, Vector.empty) :+ (sd, sc))
+        consumed += rungSeeds.size
+        alive.foreach { case (id, _, _) => rungReached(id) = rung }
+        if (consumed < bigR) {
+          val ranked = alive.map { case c @ (id, _, _) =>
+            val xs = cum(id).sortBy(_._1).map(_._2)
+            (xs.sum / xs.size, id, c)
+          }.sortBy { case (m, id, _) => (m, id) }
+          alive = ranked.take(
+            math.ceil(alive.size.toDouble / eta).toInt).map(_._3)
+        }
+        budget *= eta
+        rung += 1
+      }
+      cohort.map { case (id, nb, sm) =>
+        val xs = cum(id).sortBy(_._1).map(_._2)
+        (s, id, nb, sm, xs.sum / xs.size, xs.size.toLong,
+          rungReached(id).toLong)
+      }
+    }
+    rows.toDF("bracket", "config_id", "n_bins", "smooth", "avg_score",
+      "n_seeds", "rung_reached")
+  }
+
   /** Deterministic pseudo-fitness for the o02f WITNESS query: the first
     * 15 hex chars of md5("o02|nBins|round(smooth·10)|seed") as a
     * base-16 long, scaled to [0, 1) by 2⁶⁰ — the engine's portable-hash

@@ -428,6 +428,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(grid.collect().map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("hyperband: bracket cohorts are 9/5/3 with the right rung " +
+       "schedules, survivors deepen, brackets hedge each other") {
+    val out = graft.opt.SweepOptimizer.hyperband(spark,
+        Array.empty[Double],
+        nBinsChoices = Seq(5, 8, 10, 15), smoothChoices = Seq(0.0, 0.2, 0.5),
+        seeds = (1L to 9L), genN = 0, eta = 3,
+        score = graft.opt.SweepOptimizer.witnessScoreTagged("o04"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(4),
+        r.getLong(5), r.getLong(6)))
+    val byBracket = out.groupBy(_._1)
+    assert(byBracket(2).length === 9 && byBracket(1).length === 5 &&
+      byBracket(0).length === 3)
+    // s=2: exactly one config reaches rung 2 on all 9 seeds; three see
+    // >= 4 seeds; the rest stop at 1
+    assert(byBracket(2).count(r => r._5 == 2 && r._4 == 9) === 1)
+    assert(byBracket(2).count(_._4 >= 4) === 3)
+    assert(byBracket(2).count(_._4 == 1) === 6)
+    // s=1: two of five reach rung 1 with all 9 seeds
+    assert(byBracket(1).count(r => r._5 == 1 && r._4 == 9) === 2)
+    // s=0: the conservative bracket gives every entrant the full budget
+    assert(byBracket(0).forall(r => r._4 == 9 && r._5 == 0))
+    // every bracket produces a full-budget winner — the hedge exists
+    assert((0 to 2).forall(b => byBracket(b).exists(_._4 == 9)))
+  }
+
   test("tournament GA improves or matches random init, honors patience") {
     val rnd = new scala.util.Random(6)
     // AR(1)-ish returns so autocorr matters
