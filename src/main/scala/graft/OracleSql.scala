@@ -6412,6 +6412,23 @@ object OracleSql {
          |FROM r ORDER BY doc_id""".stripMargin
     },
 
+    // per-collection curriculum (a17b): the a17 chain with the source
+    // key in the hash input and the rank partition
+    "a17b_curriculum_by" -> {
+      val h = h64Sql("source || '|' || doc_id::VARCHAR", "'31'")
+      s"""WITH t AS (SELECT doc_id, source,
+         |    len(list_filter(string_split(text, ' '),
+         |      x -> x <> ''))::BIGINT AS n_tokens,
+         |    $h AS h FROM documents),
+         |r AS (SELECT doc_id, source, n_tokens, (h % 8)::INT AS shard,
+         |    (row_number() OVER (PARTITION BY source, h % 8
+         |      ORDER BY n_tokens, doc_id) - 1)::INT AS pos
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, shard, pos,
+         |  (pos::BIGINT * 8 + shard)::BIGINT AS global_pos
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
     // token frequency spectrum (t22): token counts banded by integer
     // BETWEEN against power-of-two bounds (no floor(log2) libm hazard)
     "t22_token_spectrum" ->

@@ -2070,6 +2070,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── a17b: per-collection curriculum — shards and easy-to-hard
+    //    rank within each source; one tenant's long docs never push
+    //    another's to the back of the feed ──────────────────────────────
+    "a17b_curriculum_by" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nTok = size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long")
+      graft.core.ScaleOps.curriculumOrderBy(
+          d.withColumn("n_tokens", nTok), "doc_id", "source",
+          col("n_tokens"), nShards = 8, salt = 31)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("shard"), col("pos"), col("global_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── t22: token frequency spectrum — Zipf/Heaps data card; one
     //    token-keyed agg + a 41-row broadcast bounds join (integer
     //    BETWEEN banding, no floor(log2) libm hazard) ───────────────────

@@ -157,6 +157,36 @@ object ScaleOps {
       .drop("_sc")
   }
 
+  /** Per-COLLECTION curriculum ordering (a17b — the `*b` family pass
+    * over [[curriculumOrder]]): shard assignment and curriculum rank
+    * run WITHIN each `series` group, so every tenant/source gets its
+    * own balanced shards and its own easy-to-hard order — the
+    * multi-tenant form (one tenant's giant documents must not push
+    * another's to the back of the feed). Same plan shape with the
+    * collection key riding the hash salt input and every window key:
+    * the window partitions on (series, shard) — still nShards-way
+    * parallel PER collection, never global. */
+  def curriculumOrderBy(df: DataFrame, id: String, series: String,
+                        score: Column, nShards: Int, salt: Int,
+                        descending: Boolean = false): DataFrame = {
+    require(nShards > 0, "need at least one shard")
+    val h = graft.text.Dedup.h64(
+      concat_ws("|", col(series).cast("string"), col(id).cast("string")),
+      salt)
+    val ord =
+      if (descending) Seq(col("_sc").desc, col(id).asc)
+      else Seq(col("_sc").asc, col(id).asc)
+    df.withColumn("_sc", score)
+      .withColumn("shard",
+        pmod(h, lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy(col(series), col("shard")).orderBy(ord: _*))
+        - 1).cast("int"))
+      .withColumn("global_pos",
+        (col("pos").cast("long") * nShards + col("shard")))
+      .drop("_sc")
+  }
+
   /** Deterministic weighted sample WITHOUT replacement (beyond
     * reference, a13): Efraimidis–Spirakis A-ES — each row's key is
     * u^(1/w) with u its salted portable-hash uniform draw, and the n

@@ -133,7 +133,7 @@ object ScaleBench {
     "t18_corpus_report", "t19_bm25_topk", "t21_dup_ratio",
     "k01_kmeans_fit", "a11_temperature_mixture", "a12_shard_shuffle",
     "t22_token_spectrum", "k02_cluster_quality", "p01_pagerank",
-    "a13_weighted_sample", "t20_bm25_indexed", "a17_curriculum_order",
+    "a13_weighted_sample", "t20_bm25_indexed", "a17_curriculum_order", "a17b_curriculum_by",
     "d09_substring_dedup", "d09c_substring_cut",
     "t19b_bm25_topk_by", "t21b_dup_ratio_by", "a14_domain_rollup",
     "k01d_kmeans_farthest", "t23_substring_contamination",
