@@ -153,9 +153,11 @@ object OracleSql {
       |       FROM vec v0 JOIN ids USING (doc_id))""".stripMargin
 
   /** k01d's farthest-point init CTE chain: s0 = the smallest id's
-    * vector; each round picks the vector maximizing the min distance
-    * key to the chosen set (exact doubles, ties → smallest id) —
-    * mirrors [[graft.sim.KMeans.farthestPointInit]]. */
+    * vector; each round picks the vector maximizing the min TRUE
+    * squared distance to the chosen set (exact doubles, ties →
+    * smallest id) — the x·x term adds OUTSIDE the min, matching the
+    * Spark side's float order exactly; mirrors
+    * [[graft.sim.KMeans.farthestPointInit]]. */
   private lazy val k01FarthestInit: String = {
     // every s_t MUST be MATERIALIZED: dm_t and s_t both reference
     // s_{t-1}, so an inlining planner would expand the chain 2^7-fold
@@ -163,7 +165,8 @@ object OracleSql {
     val rounds = (1 to 7).map { t =>
       s"""dm$t AS (SELECT vecm.doc_id, vecm.v,
          |          min(list_inner_product(c.v, c.v)
-         |              - 2.0*list_inner_product(vecm.v, c.v)) AS dm
+         |              - 2.0*list_inner_product(vecm.v, c.v))
+         |          + list_inner_product(vecm.v, vecm.v) AS dm
          |        FROM vecm CROSS JOIN s${t - 1} c GROUP BY vecm.doc_id, vecm.v),
          |p$t AS (SELECT v FROM dm$t ORDER BY dm DESC, doc_id LIMIT 1),
          |s$t AS MATERIALIZED (SELECT * FROM s${t - 1}
@@ -1114,11 +1117,14 @@ object OracleSql {
        |  SELECT DISTINCT ch FROM (
        |    SELECT unnest(regexp_extract_all(word, '.')) AS ch FROM w0)),
        |vocab AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY ch) - 1 AS token_id,
-       |         ch AS symbol FROM chars
-       |  UNION ALL
-       |  SELECT (SELECT count(*) FROM chars) + i - 1, merged
-       |  FROM ($mergeUnion)),
+       |  -- two merges yielding the same string keep the FIRST id
+       |  -- (mirrors Bpe.vocab's min-id dedup; prevents join fan-out)
+       |  SELECT min(token_id) AS token_id, symbol FROM (
+       |    SELECT row_number() OVER (ORDER BY ch) - 1 AS token_id,
+       |           ch AS symbol FROM chars
+       |    UNION ALL
+       |    SELECT (SELECT count(*) FROM chars) + i - 1, merged
+       |    FROM ($mergeUnion)) GROUP BY symbol),
        |sy AS (SELECT doc_id, sym, rawpos FROM (
        |    SELECT doc_id, unnest(string_split(enc, ' ')) AS sym,
        |      unnest(generate_series(1,
@@ -1235,8 +1241,9 @@ object OracleSql {
        |  SELECT DISTINCT ch FROM (
        |    SELECT unnest(regexp_extract_all(word, '.')) AS ch FROM w0)),
        |vocab AS MATERIALIZED (
-       |  SELECT ch AS symbol FROM chars
-       |  UNION ALL SELECT merged FROM ($mergeUnion)),
+       |  SELECT DISTINCT symbol FROM (
+       |    SELECT ch AS symbol FROM chars
+       |    UNION ALL SELECT merged FROM ($mergeUnion))),
        |dd AS (SELECT doc_id,
        |    text || ' contact user' || doc_id::VARCHAR ||
        |    '@mail.example.com or 415-555-' ||

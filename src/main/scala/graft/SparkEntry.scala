@@ -38,6 +38,17 @@ object SparkEntry {
   private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
   private def li(s: SparkSession, dir: String) = Tables.lineitem(s, dir)
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** The bNN oracles replay exactly `n` merge levels (m1..mn CTEs,
+    * CROSS JOINed into the encode chain) — a trainer that exhausts the
+    * corpus early would silently EMPTY the oracle result while the
+    * Spark side still emits rows. Fail loudly instead. */
+  private def bpeOracleGuard(merges: Seq[graft.text.Bpe.Merge],
+                             n: Int): Unit =
+    require(merges.size == n,
+      s"BPE oracle contract needs exactly $n merges, trainer stopped at " +
+        s"${merges.size} (corpus exhausted) — the SQL replay would " +
+        "diverge silently; shrink nMerges or widen the fixture")
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
   /** q05/q06/q10 shared: per-user log-returns (W1 + P4 clip). */
@@ -1890,7 +1901,12 @@ object SparkEntry {
     //    vocabulary frame; the model (merge table) is the only driver
     //    state ─────────────────────────────────────────────────────────
     "b01_bpe_train" -> ((s, dir) => {
-      graft.text.Bpe.trainDF(docs(s, dir), "text", nMerges = 8)
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.train(d, "text", nMerges = 8)
+      bpeOracleGuard(merges, 8)
+      import s.implicits._
+      merges.map(m => (m.rank, m.left, m.right, m.merged, m.pairCount))
+        .toDF("rank", "left", "right", "merged", "pair_count")
         .orderBy(col("rank"))
     }),
 
@@ -1900,6 +1916,7 @@ object SparkEntry {
     "b02_bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
       val merges = graft.text.Bpe.train(d, "text", nMerges = 8)
+      bpeOracleGuard(merges, 8)
       graft.text.Bpe.encode(d, "text", merges)
         .select(col("doc_id"), col("n_tokens_bpe"), col("encoded"))
         .orderBy(col("doc_id"))
@@ -1912,6 +1929,7 @@ object SparkEntry {
     "b03_bpe_ids" -> ((s, dir) => {
       val d = docs(s, dir)
       val merges = graft.text.Bpe.train(d, "text", nMerges = 8)
+      bpeOracleGuard(merges, 8)
       val v = graft.text.Bpe.vocab(d, "text", merges)
       graft.text.Bpe.encodeIds(d, "doc_id", "text", merges, v)
         .select(col("doc_id"), col("pos"), col("symbol"),
@@ -1974,6 +1992,7 @@ object SparkEntry {
     "b04_bpe_coverage" -> ((s, dir) => {
       val d = docs(s, dir)
       val merges = graft.text.Bpe.train(d, "text", nMerges = 8)
+      bpeOracleGuard(merges, 8)
       val v = graft.text.Bpe.vocab(d, "text", merges)
       val drifted = d.select(col("doc_id"),
         concat(col("text"), lit(" contact user"),

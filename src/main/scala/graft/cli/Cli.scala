@@ -468,10 +468,20 @@ object Cli {
         require(withUrl.columns.contains(urlCol),
           s"--dedup_by_url needs a '$urlCol' column on the input " +
             "(set --url_col if it is named differently)")
-        val canon = withUrl.select(col(id),
-          graft.text.UrlOps.urlNormalize(col(urlCol)).as("_cu"))
+        // election runs over the SURVIVOR frame (not the raw reload):
+        // a URL group whose smallest-id copy was already dropped
+        // upstream falls through to the next-smallest SURVIVING id
+        // instead of losing every copy. Keep-first is NUMERIC min —
+        // the id column may arrive as CSV strings where '10' < '9'
+        // lexicographically (the integral-cast guard above ensures the
+        // cast never nulls out).
+        val canon = withUrl
+          .select(col(id), graft.text.UrlOps.urlNormalize(col(urlCol))
+            .as("_cu"))
+          .join(domainGated.select(col(id)), Seq(id), "left_semi")
         val keepIds = canon.filter(col("_cu").isNotNull)
-          .groupBy(col("_cu")).agg(min(col(id)).as("_keep"))
+          .groupBy(col("_cu"))
+          .agg(min_by(col(id), col(id).cast("long")).as("_keep"))
           .select(col("_keep").as(id))
           .unionByName(canon.filter(col("_cu").isNull).select(col(id)))
         val ud = domainGated.join(keepIds, Seq(id), "left_semi")

@@ -240,8 +240,8 @@ object Multimodal {
     * channel sum r+g+b (the /3 cancels from both comparison sides);
     * the threshold is the PIXEL-WEIGHTED global mean, so bit k is set
     * iff cellSum_k · totalPixels > totalSum · cellPixels_k — a pure
-    * integer comparison (bounded: 765·w·h·w·h < 2^63 for any sane
-    * dims). Classic aHash thresholds on the mean of cell means; the
+    * integer comparison, evaluated through 128-bit products
+    * ([[mulGt]]) so even a gigapixel frame can never overflow. Classic aHash thresholds on the mean of cell means; the
     * pixel-weighted form is chosen deliberately because it stays
     * rational, where averaging 64 doubles would be
     * summation-order-sensitive across engines.
@@ -250,6 +250,17 @@ object Multimodal {
     * bits 16b..16b+15) ready for [[imageNearDupPairs]] banding, plus
     * the canonical lower-hex form. Partition-local map over real
     * [[Codecs.decodePpm]] parses — no shuffle. */
+  /** Exact a·b > c·d over non-negative longs via 128-bit products
+    * (Math.multiplyHigh + unsigned low-word compare) — the threshold
+    * comparisons below scale as ~(content size)², which overflows a
+    * plain Long product once content passes ~1.3e8 units (a 10k×10k
+    * image, ~45 min of 48 kHz audio); this stays exact at any size. */
+  private def mulGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    hi1 > hi2 || (hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0)
+  }
+
   /** The shared 8×8 exact-integer grid hash over an RGB pixel array
     * in scanline order (see [[imageAHash]] for the contract). */
   private def gridHash(px: Array[Byte], w: Int, h: Int): Long = {
@@ -276,7 +287,7 @@ object Multimodal {
     var hash = 0L
     var k = 0
     while (k < 64) {
-      if (cn(k) > 0 && cs(k) * totN > totS * cn(k)) hash |= (1L << k)
+      if (cn(k) > 0 && mulGt(cs(k), totN, totS, cn(k))) hash |= (1L << k)
       k += 1
     }
     hash
@@ -342,9 +353,10 @@ object Multimodal {
     * (window(t) = ⌊t·64/n⌋), each window's mean ABSOLUTE amplitude is
     * thresholded against the sample-weighted global mean, bit k = set
     * iff windowSum_k · totalSamples > totalSum · windowCount_k — the
-    * same exact-integer contract as the image hash (|s| ≤ 32768, sums
-    * bounded far under 2^63), so the SQL oracle replays it
-    * bit-for-bit. Re-encodes and small edits keep the loudness
+    * same exact-integer contract as the image hash, compared through
+    * 128-bit products ([[mulGt]]: both sides scale ~512·n², past 2^63
+    * once n ≳ 1.3e8 samples ≈ 45 min at 48 kHz), so the SQL oracle
+    * replays it bit-for-bit and arbitrarily long audio stays exact. Re-encodes and small edits keep the loudness
     * envelope and land within a few bits; different audio scatters.
     * Same (b0..b3, hex) output shape, so [[imageNearDupPairs]] serves
     * both media kinds unchanged. Requires ≥ 1 sample (the synth
@@ -373,7 +385,7 @@ object Multimodal {
       var hash = 0L
       var k = 0
       while (k < 64) {
-        if (wn(k) > 0 && ws(k) * totN > totS * wn(k)) hash |= (1L << k)
+        if (wn(k) > 0 && mulGt(ws(k), totN, totS, wn(k))) hash |= (1L << k)
         k += 1
       }
       val b = Array.tabulate(4)(i => ((hash >>> (16 * i)) & 0xffffL).toInt)

@@ -40,9 +40,15 @@ object KMeans {
     * construction.
     *
     * Oracle-replayable without randomness: each round's distance key is
-    * min over chosen of (c·c − 2·x·c) — sequential inner products over
-    * identical r6 doubles in both engines, so the exact-double argmax
-    * (DESC, id ASC) picks the same doc. Each of the k−1 rounds is one
+    * the TRUE squared distance min over chosen of (x·x − 2·x·c + c·c)
+    * — the x·x term is constant across the chosen set, so it adds once
+    * OUTSIDE the min (identical float order on both engines) —
+    * sequential inner products over identical r6 doubles, so the
+    * exact-double argmax (DESC, id ASC) picks the same doc. Without
+    * x·x the key is only distance-ordered for equal-norm vectors
+    * (c=(1,0): x=(10,0) keys −19 while x=(−1,0) keys +3 — the CLOSER
+    * point wins); `fit` exposes this mode for arbitrary vectors, so
+    * the full quadratic is required. Each of the k−1 rounds is one
     * map-side key computation + one TakeOrdered(1); driver state is the
     * growing k×dim matrix only. `vecs` should be materialized by the
     * caller ([[fit]] checkpoints before calling). */
@@ -56,7 +62,9 @@ object KMeans {
         Similarity.dot(col(vec), cLit) * -2.0 + lit(c2)
       }
       val next = vecs
-        .select(col(id), col(vec), array_min(array(keys: _*)).as("_dm"))
+        .select(col(id), col(vec),
+          (array_min(array(keys: _*)) +
+            Similarity.dot(col(vec), col(vec))).as("_dm"))
         .orderBy(col("_dm").desc, col(id)).limit(1)
         .select(col(vec)).collect()(0).getSeq[Double](0).toArray
       chosen :+= next

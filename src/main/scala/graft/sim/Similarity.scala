@@ -556,12 +556,25 @@ object Similarity {
       // and the list is simply removed)
       val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
       fs.mkdirs(new org.apache.hadoop.fs.Path(trashBase))
+      // Hadoop rename returns FALSE on failure rather than throwing;
+      // an unchecked swap would fall through to the cleanup below and
+      // delete the compacted copy + tombstone sidecar with the live
+      // dir still holding tombstoned rows. Abort on the first failed
+      // swap: tombstones stay intact (serving stays correct) and a
+      // re-run completes the remaining directories — the documented
+      // crash-anywhere contract.
       affected.foreach { cid =>
         val live = new org.apache.hadoop.fs.Path(s"$base/cid=$cid")
         val tmp = new org.apache.hadoop.fs.Path(s"$tmpBase/cid=$cid")
         val trash = new org.apache.hadoop.fs.Path(s"$trashBase/cid=$cid")
-        if (fs.exists(live)) fs.rename(live, trash)
-        if (fs.exists(tmp)) fs.rename(tmp, live)
+        if (fs.exists(live) && !fs.rename(live, trash))
+          throw new java.io.IOException(
+            s"ivfpq compaction: rename $live -> $trash failed; " +
+              "tombstones left intact, re-run to complete")
+        if (fs.exists(tmp) && !fs.rename(tmp, live))
+          throw new java.io.IOException(
+            s"ivfpq compaction: rename $tmp -> $live failed; " +
+              "tombstones left intact, re-run to complete")
       }
       // 3. cleanup only after every swap committed
       fs.delete(new org.apache.hadoop.fs.Path(trashBase), true)

@@ -147,7 +147,13 @@ object Bpe {
   /** The tokenizer vocabulary induced by a training corpus and its
     * merge table: base characters first (sorted, ids 0..C−1 — the
     * deterministic convention), then merged symbols in rank order
-    * (ids C..C+N−1). Alphabet-sized by contract — the only collect. */
+    * (ids C..C+N−1). Two different merges can yield the SAME merged
+    * string (e.g. (a,bc) and (ab,c) both → "abc"); the duplicate keeps
+    * its FIRST (minimum) id and later copies are dropped — so the
+    * symbol→id map is well-defined and the SQL oracle's vocab join
+    * (which applies the same min-id dedup) never fans out. Ids keep
+    * their positional values (a dropped duplicate leaves a gap).
+    * Alphabet-sized by contract — the only collect. */
   def vocab(df: DataFrame, text: String,
             merges: Seq[Merge]): Seq[(Int, String, String)] = {
     val chars = df
@@ -157,7 +163,8 @@ object Bpe {
     val base = chars.zipWithIndex.map { case (c, i) => (i, c, "char") }
     val m = merges.sortBy(_.rank).zipWithIndex.map { case (mg, i) =>
       (chars.length + i, mg.merged, "merge") }
-    (base ++ m).toSeq
+    val seen = scala.collection.mutable.HashSet[String]()
+    (base ++ m).filter { case (_, sym, _) => seen.add(sym) }.toSeq
   }
 
   /** Tokenizer-feed-ready INTEGER id sequences: [[encode]] then map

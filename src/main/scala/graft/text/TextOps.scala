@@ -989,10 +989,25 @@ object TextOps {
     survivors.agg(count(lit(1)).cast("long").as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).cast("long").as("total_tokens"))
       .write.mode("overwrite").parquet(s"$tmp/_stats")
+    // Hadoop rename reports failure by RETURNING FALSE (not throwing):
+    // an unchecked swap could delete the only surviving copy and the
+    // tombstone sidecar while the live dir still holds tombstoned rows.
+    // Check each step and abort (tombstones intact ⇒ serving stays
+    // correct, a re-run completes the job) on failure.
     val trash = new org.apache.hadoop.fs.Path(base + "_compact_trash")
-    fs.rename(new org.apache.hadoop.fs.Path(base), trash)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(base))
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    if (!fs.rename(basePath, trash))
+      throw new java.io.IOException(
+        s"bm25 compaction: rename $base -> $trash failed (leftover " +
+          "trash dir from a crashed run? remove it and re-run); " +
+          "tombstones left intact, serving unaffected")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), basePath)) {
+      // best-effort rollback so the live path keeps serving
+      fs.rename(trash, basePath)
+      throw new java.io.IOException(
+        s"bm25 compaction: rename $tmp -> $base failed; old index " +
+          "restored, tombstones left intact")
+    }
     fs.delete(trash, true)
     fs.delete(new org.apache.hadoop.fs.Path(bm25TombstonePath(indexPath)),
       true)
