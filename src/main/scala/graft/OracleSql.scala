@@ -1031,15 +1031,15 @@ object OracleSql {
     * left-to-right non-overlapping `replace` on the sentinel-spaced
     * symbol string matches the JVM's semantics exactly; ties break
     * (cnt DESC, l, r) on binary collation. */
-  private def bpeLevels(n: Int): String = {
+  private def bpeLevels(n: Int, textExpr: String = "text"): String = {
     val head =
-      """WITH w0 AS MATERIALIZED (
+      s"""WITH w0 AS MATERIALIZED (
         |  SELECT word, count(*)::BIGINT AS c
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |  FROM (SELECT unnest(string_split($textExpr, ' ')) AS word
         |        FROM documents)
         |  WHERE word <> '' GROUP BY 1),
         |s0 AS MATERIALIZED (
-        |  SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS sym,
+        |  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS sym,
         |         c FROM w0)""".stripMargin
     val levels = (1 to n).map { i =>
       s"""m$i AS MATERIALIZED (
@@ -1261,6 +1261,32 @@ object OracleSql {
        |    / count(*), 6) AS oov_ratio
        |FROM p LEFT JOIN vocab v ON v.symbol = p.sym
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Sentencepiece-marker replay (b05): training words are ▁-prefixed
+    * (`'▁' || replace(text, ' ', ' ▁')` — a space run yields bare-▁
+    * words, which is what makes decode exact); the encode chain runs
+    * over the WHOLE marked stream with spaces dropped ('▁' ||
+    * replace(text,' ','▁')) — safe because no trained merge's right
+    * component can start with ▁ (word-internal ▁ adjacencies don't
+    * exist), so no replace ever bridges a word boundary. */
+  private def b05Sql(n: Int): String = {
+    val marked = "'▁' || replace(text, ' ', ' ▁')"
+    val chain = (1 to n).foldLeft(
+      "regexp_replace('▁' || replace(text, ' ', '▁'), " +
+        "'(.)', ' \\1 ', 'g')") { (e, i) =>
+      s"replace($e, ' ' || m$i.l || '  ' || m$i.r || ' ', " +
+        s"' ' || m$i.l || m$i.r || ' ')"
+    }
+    val mJoins = (1 to n).map(i => s"m$i").mkString(", ")
+    s"""${bpeLevels(n, marked)},
+       |e AS (SELECT doc_id,
+       |        replace(trim($chain), '  ', ' ') AS enc
+       |      FROM documents, $mJoins)
+       |SELECT doc_id,
+       |  len(string_split(enc, ' '))::INT AS n_tokens_sp,
+       |  enc AS encoded_sp
+       |FROM e ORDER BY doc_id""".stripMargin
   }
 
   private def d09Sql(bridge: Int): String =
@@ -3472,6 +3498,71 @@ object OracleSql {
         |  FROM vwide l JOIN vwide r ON l.hex = r.hex
         |    AND l.media_id < r.media_id)
         |GROUP BY 1, 2 HAVING count(*) >= 1
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // m07b: video near-dup with NEAR-MISS frame matching — the m04
+    // 16-bit banding at frame granularity (band match + hamming ≤ 6)
+    // with the maxKeyDf=64 hot-key cap replayed as a HAVING filter;
+    // n_matched counts distinct matched (frame_a, frame_b) index pairs
+    "m07b_video_neardup_fuzzy" -> ("""WITH docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 273000, text FROM documents),
+      |""".stripMargin + frameHashSql("docs2", withKeyword = false) +
+      """,
+        |vbe AS (
+        |  SELECT media_id, f, 0 AS b, b0 AS v, b0, b1, b2, b3 FROM vwide
+        |  UNION ALL
+        |  SELECT media_id, f, 1, b1, b0, b1, b2, b3 FROM vwide
+        |  UNION ALL
+        |  SELECT media_id, f, 2, b2, b0, b1, b2, b3 FROM vwide
+        |  UNION ALL
+        |  SELECT media_id, f, 3, b3, b0, b1, b2, b3 FROM vwide),
+        |hot AS (SELECT b, v FROM vbe GROUP BY 1, 2
+        |        HAVING count(*) > 64),
+        |cap AS (SELECT vbe.* FROM vbe LEFT JOIN hot
+        |          ON vbe.b = hot.b AND vbe.v = hot.v
+        |        WHERE hot.b IS NULL),
+        |mp AS (
+        |  SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b,
+        |    l.f AS fa, r.f AS fb
+        |  FROM cap l JOIN cap r ON l.b = r.b AND l.v = r.v
+        |    AND l.media_id < r.media_id
+        |  WHERE bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1))
+        |    + bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3))
+        |    <= 6)
+        |SELECT id_a, id_b, count(*)::BIGINT AS n_matched
+        |FROM mp GROUP BY 1, 2 HAVING count(*) >= 1
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // m04b: per-collection image near-dup — the m04 band join also
+    // keyed on source (twins carry their original doc's source, so
+    // within-collection twin pairs survive; cross-collection content
+    // collisions are excluded by the key)
+    "m04b_image_neardup_by" -> ("""WITH docs2 AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL SELECT doc_id + 273000, text, source FROM documents),
+      |""".stripMargin + aHashSql("docs2", withKeyword = false) +
+      """,
+        |ws AS (SELECT w.media_id, d.source, w.b0, w.b1, w.b2, w.b3
+        |       FROM wide w JOIN docs2 d ON d.doc_id = w.media_id),
+        |be AS (
+        |  SELECT media_id, source, 0 AS b, b0 AS v, b0, b1, b2, b3
+        |  FROM ws
+        |  UNION ALL
+        |  SELECT media_id, source, 1, b1, b0, b1, b2, b3 FROM ws
+        |  UNION ALL
+        |  SELECT media_id, source, 2, b2, b0, b1, b2, b3 FROM ws
+        |  UNION ALL
+        |  SELECT media_id, source, 3, b3, b0, b1, b2, b3 FROM ws)
+        |SELECT DISTINCT l.source AS source, l.media_id AS id_a,
+        |  r.media_id AS id_b,
+        |  (bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1)) +
+        |   bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)))::INT
+        |    AS hamming
+        |FROM be l JOIN be r ON l.source = r.source AND l.b = r.b
+        |  AND l.v = r.v AND l.media_id < r.media_id
+        |WHERE bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1)) +
+        |  bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) <= 6
         |ORDER BY id_a, id_b""".stripMargin),
 
     // m01: the synthesized containers are REAL (PPM images, WAV audio,
@@ -6155,6 +6246,20 @@ object OracleSql {
     // words
     "b02_bpe_encode" -> b02Sql(8),
 
+    // b01p/b02p: the production BPE paths (batched multi-merge
+    // election / mapPartitions linear-scan encoder) are bit-identical
+    // to the sequential-greedy contract by construction — they replay
+    // the SAME oracles, making the equivalence driver-gated rather
+    // than spec-only
+    "b01p_bpe_train_batched" -> b01Sql(8),
+    "b02p_bpe_encode_fast" -> b02Sql(8),
+
+    // b05: sentencepiece-style ▁ word markers — training and encoding
+    // replayed over the marked stream; decode(encode(x)) == x is the
+    // spec-pinned complement (DuckDB can't express the round-trip
+    // cleanly, the encoded stream is the gated artifact)
+    "b05_bpe_sentencepiece" -> b05Sql(8),
+
     // BPE id sequences (b03): chars-then-merges vocabulary, exploded
     // (doc, pos, symbol, token_id) rows
     "b03_bpe_ids" -> b03Sql(8),
@@ -6309,6 +6414,61 @@ object OracleSql {
     // userinfo@, host up to :port / path / query / fragment),
     // registrable domain = last two dot-labels, per-domain rollup +
     // suffix-rule blocklist flag
+    // a14b: PSL-aware domain rollup — the suffix VALUES list joins at
+    // each depth (2 then 1), CASE order = longest suffix wins, depth-k
+    // match keeps k+1 labels (host itself when it has only k), then
+    // the two-label fallback
+    "a14b_domain_rollup_psl" ->
+      """WITH u AS (SELECT doc_id, text,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
+        |    'site' || (doc_id % 7)::VARCHAR || '.' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'co.uk'
+        |         WHEN doc_id % 4 = 1 THEN 'com'
+        |         WHEN doc_id % 4 = 2 THEN 'com.au' ELSE 'org' END ||
+        |    '/p/' || doc_id::VARCHAR AS url
+        |  FROM documents),
+        |h0 AS (SELECT doc_id, text, lower(regexp_extract(url,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS h
+        |  FROM u),
+        |hh AS (SELECT doc_id, text,
+        |    CASE WHEN h = '' THEN NULL ELSE h END AS h FROM h0),
+        |sfx AS (SELECT * FROM (VALUES ('co.uk'), ('com.au'), ('ac.uk'),
+        |    ('uk')) s(suffix)),
+        |j2 AS (SELECT hh.doc_id, hh.text, hh.h, s2.suffix AS sfx2
+        |  FROM hh LEFT JOIN (SELECT suffix FROM sfx
+        |    WHERE len(string_split(suffix, '.')) = 2) s2
+        |  ON regexp_extract(hh.h, '((?:[^.]+\.){1}[^.]+)$', 1) = s2.suffix),
+        |j1 AS (SELECT j2.doc_id, j2.text, j2.h, j2.sfx2, s1.suffix AS sfx1
+        |  FROM j2 LEFT JOIN (SELECT suffix FROM sfx
+        |    WHERE len(string_split(suffix, '.')) = 1) s1
+        |  ON regexp_extract(j2.h, '([^.]+)$', 1) = s1.suffix),
+        |dom AS (SELECT doc_id, text,
+        |    CASE WHEN h IS NULL THEN NULL
+        |         WHEN sfx2 IS NOT NULL THEN
+        |           CASE WHEN regexp_extract(h,
+        |                  '((?:[^.]+\.){2}[^.]+)$', 1) <> ''
+        |                THEN regexp_extract(h,
+        |                  '((?:[^.]+\.){2}[^.]+)$', 1) ELSE h END
+        |         WHEN sfx1 IS NOT NULL THEN
+        |           CASE WHEN regexp_extract(h,
+        |                  '((?:[^.]+\.){1}[^.]+)$', 1) <> ''
+        |                THEN regexp_extract(h,
+        |                  '((?:[^.]+\.){1}[^.]+)$', 1) ELSE h END
+        |         WHEN regexp_extract(h, '([^.]+\.[^.]+)$', 1) = '' THEN h
+        |         ELSE regexp_extract(h, '([^.]+\.[^.]+)$', 1) END AS domain
+        |  FROM j1),
+        |r AS (SELECT domain, count(*)::BIGINT AS n_docs,
+        |        sum(len(list_filter(string_split(text, ' '),
+        |          t -> t <> '')))::BIGINT AS n_tokens,
+        |        sum(length(text))::BIGINT AS n_chars
+        |      FROM dom GROUP BY 1)
+        |SELECT domain, n_docs, n_tokens, n_chars,
+        |  (domain = 'site0.co.uk' OR domain LIKE '%.site0.co.uk'
+        |   OR domain = 'site2.com' OR domain LIKE '%.site2.com')::INT
+        |    AS blocked
+        |FROM r ORDER BY domain""".stripMargin,
+
     "a14_domain_rollup" ->
       """WITH u AS (SELECT doc_id, text,
         |    'https://' ||

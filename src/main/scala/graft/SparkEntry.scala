@@ -977,6 +977,38 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── m07b: video near-dup with NEAR-MISS frame matching — the m04
+    //    16-bit banding composed at FRAME granularity (a re-encoded
+    //    video whose every frame hash sits 1–3 bits off escapes m07's
+    //    exact-hash join entirely; the banding catches it, pigeonhole-
+    //    guaranteed to hamming 3) + the hot-key df cap (maxKeyDf=64)
+    //    that bounds any ubiquitous-frame bucket, both replayed by the
+    //    oracle ──────────────────────────────────────────────────────────
+    "m07b_video_neardup_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val media = graft.mm.Multimodal.synthesizeFromDocuments(
+        d.unionByName(d.withColumn("doc_id", col("doc_id") + 273000)))
+      graft.mm.Multimodal.videoNearDupPairsFuzzy(
+          graft.mm.Multimodal.videoFrameHashes(media), maxHamming = 6,
+          minShared = 1L, maxKeyDf = 64L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ── m04b: PER-COLLECTION image near-dup — the m04 band join also
+    //    keyed on `source`, so tenant corpora never cross-match (the
+    //    t25b per-collection contract at the pixel level) ──────────────
+    "m04b_image_neardup_by" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val media = graft.mm.Multimodal.synthesizeFromDocuments(
+        d.unionByName(d.withColumn("doc_id", col("doc_id") + 273000)))
+      val hashes = graft.mm.Multimodal.imageAHash(media)
+        .join(media.toDF().select(col("media_id"), col("source")),
+          Seq("media_id"))
+      graft.mm.Multimodal.imageNearDupPairsBy(hashes, "source",
+          maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── multimodal: frame sampling + feature→ANN integration ──────────
     "m02_multimodal_features" -> ((s, dir) => {
       val media = graft.mm.Multimodal.synthesizeFromDocuments(docs(s, dir))
@@ -1985,6 +2017,52 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── b01p: the PRODUCTION trainer (batched non-interacting merge
+    //    election — one Spark job elects many merges) replaying the b01
+    //    oracle verbatim: the conflict-free prefix rule makes batching
+    //    bit-identical to the sequential greedy, and this entry is the
+    //    driver-gated witness (electBatch=3 forces multi-round batching
+    //    with sentinel truncation on the fixture) ──────────────────────
+    "b01p_bpe_train_batched" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.trainBatched(d, "text", nMerges = 8,
+        electBatch = 3)
+      bpeOracleGuard(merges, 8)
+      import s.implicits._
+      merges.map(m => (m.rank, m.left, m.right, m.merged, m.pairCount))
+        .toDF("rank", "left", "right", "merged", "pair_count")
+        .orderBy(col("rank"))
+    }),
+
+    // ── b02p: the PRODUCTION encoder (mapPartitions greedy linear
+    //    scan over a broadcast merge-rank map — per-word cost
+    //    independent of |merges|, no 32k-deep replace chain, no janino
+    //    method cliff) replaying the b02 oracle verbatim over the
+    //    batched trainer's table ────────────────────────────────────────
+    "b02p_bpe_encode_fast" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.trainBatched(d, "text", nMerges = 8)
+      bpeOracleGuard(merges, 8)
+      graft.text.Bpe.encodeFast(d, "text", merges)
+        .select(col("doc_id"), col("n_tokens_bpe"), col("encoded"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── b05: sentencepiece-style ▁ word markers — boundaries live IN
+    //    the symbols, so the encoded stream detokenizes by pure
+    //    concatenation (decodeSp ∘ encodeSp == id, spec-pinned); the
+    //    oracle replays both the marked trainer and the whole-stream
+    //    encode (no trained merge can bridge a boundary: a right
+    //    component starting with ▁ is untrainable) ─────────────────────
+    "b05_bpe_sentencepiece" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.trainSp(d, "text", nMerges = 8)
+      bpeOracleGuard(merges, 8)
+      graft.text.Bpe.encodeSp(d, "text", merges)
+        .select(col("doc_id"), col("n_tokens_sp"), col("encoded_sp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── b04: tokenizer COVERAGE — the b01 tokenizer (trained on the
     //    clean corpus) scores a drifted copy (the t03 salt injects
     //    digits/@/./- the training alphabet never saw) and reports
@@ -2030,6 +2108,28 @@ object SparkEntry {
       graft.text.UrlOps.domainRollup(
           docs(s, dir).withColumn("url", u), "doc_id", "url", "text",
           blocklist = Seq("site0.com", "site3.org", "site5.net"))
+        .orderBy(col("domain"))
+    }),
+
+    // ── a14b: PSL-aware domain rollup — a caller-supplied public-
+    //    suffix frame (co.uk / com.au / ac.uk / uk) keeps one extra
+    //    label, so the seven site*.co.uk sites stay DISTINCT rollup
+    //    keys where the two-label rule collapses them all into one
+    //    "co.uk" row; the bare "uk" entry pins longest-suffix-wins.
+    //    One broadcast equi-join per suffix depth ───────────────────────
+    "a14b_domain_rollup_psl" -> ((s, dir) => {
+      import s.implicits._
+      val tld = element_at(array(lit("co.uk"), lit("com"),
+        lit("com.au"), lit("org")), (col("doc_id") % 4).cast("int") + 1)
+      val u = concat(
+        lit("https://"),
+        when(col("doc_id") % 4 === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), (col("doc_id") % 7).cast("string"), lit("."), tld,
+        lit("/p/"), col("doc_id").cast("string"))
+      val suffixes = Seq("co.uk", "com.au", "ac.uk", "uk").toDF("suffix")
+      graft.text.UrlOps.domainRollupPsl(
+          docs(s, dir).withColumn("url", u), "doc_id", "url", "text",
+          suffixes, blocklist = Seq("site0.co.uk", "site2.com"))
         .orderBy(col("domain"))
     }),
 

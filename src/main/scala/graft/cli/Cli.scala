@@ -515,7 +515,15 @@ object Cli {
           requireTerminal = true,
           blocklist = cfg.strOpt("line_blocklist")
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-            .getOrElse(Seq("javascript", "cookie", "{")))
+            .getOrElse(Seq("javascript", "cookie", "{")),
+          // --line_terminal latin|cjk|<regex>: the terminal-punct rule
+          // per language (the default drops every CJK line — a zh/ja
+          // corpus needs the 。！？ set)
+          terminalRegex = cfg.strOpt("line_terminal") match {
+            case None | Some("latin") => TextOps.TerminalPunctLatin
+            case Some("cjk")          => TextOps.TerminalPunctCjk
+            case Some(custom)         => custom
+          })
         (lf.select(col(id), col("clean").as(text)),
           lineDropCount(lf, "line_filter"))
       } else (urlDeduped, 0L)
@@ -822,13 +830,16 @@ object Cli {
     // output chunk — the count a sequence packer or token-budget
     // accountant actually needs, instead of the whitespace proxy.
     // The merge table is model-sized by contract (the only collect);
-    // the encode is a static map-side replace chain.
+    // the encode is the PRODUCTION linear-scan path (broadcast rank
+    // map + mapPartitions — per-chunk cost independent of |merges|, so
+    // a real 32k-merge tokenizer model works here, where a replace
+    // chain would blow janino's method limit).
     val chunksCounted = cfg.strOpt("bpe_merges") match {
       case Some(p) =>
         val merges = spark.read.parquet(p).orderBy(col("rank")).collect()
           .map(r => graft.text.Bpe.Merge(r.getInt(0), r.getString(1),
             r.getString(2), r.getString(3), r.getLong(4))).toSeq
-        graft.text.Bpe.encode(chunks, "chunk", merges).drop("encoded")
+        graft.text.Bpe.encodeFast(chunks, "chunk", merges).drop("encoded")
       case None => chunks
     }
     val split = ScaleOps.hashSplit(chunksCounted, id,
@@ -883,11 +894,15 @@ object Cli {
     // IN-ENGINE on the final curated text (post-redaction, pre-chunk —
     // the corpus the model will actually train on) and persist the
     // merge table as a model artifact next to the output. The corpus
-    // is touched once (word-count agg); each merge iterates on the
-    // vocabulary frame only.
+    // is touched once (word-count agg); elections run BATCHED on the
+    // vocabulary frame (trainBatched — bit-identical to the sequential
+    // greedy, but a 32k-merge run takes hundreds of jobs, not 32k).
     cfg.strOpt("train_bpe").foreach { n =>
-      timedStage("bpe_train")(graft.text.Bpe.trainDF(
+      import spark.implicits._
+      timedStage("bpe_train")(graft.text.Bpe.trainBatched(
           redacted.select(col("redacted").as(text)), text, n.toInt)
+        .map(m => (m.rank, m.left, m.right, m.merged, m.pairCount))
+        .toDF("rank", "left", "right", "merged", "pair_count")
         .write.mode("overwrite")
         .parquet(s"${cfg.str("output")}_bpe_merges.parquet"))
     }

@@ -334,10 +334,12 @@ object Multimodal {
     * dedup joins, nothing pairwise across the corpus. Reported when
     * n_shared ≥ `minShared`. */
   def videoNearDupPairs(frameHashes: DataFrame,
-                        minShared: Long = 1L): DataFrame = {
-    val l = frameHashes.select(col("media_id").as("id_a"),
+                        minShared: Long = 1L,
+                        maxKeyDf: Long = 0L): DataFrame = {
+    val keyed = capHotKeys(frameHashes, Seq("ahash_hex"), maxKeyDf)
+    val l = keyed.select(col("media_id").as("id_a"),
       col("ahash_hex"))
-    val r = frameHashes.select(col("media_id").as("id_b"),
+    val r = keyed.select(col("media_id").as("id_b"),
       col("ahash_hex"))
     l.join(r, Seq("ahash_hex"))
       .filter(col("id_a") < col("id_b"))
@@ -345,6 +347,66 @@ object Multimodal {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Hot-key skew cap for the hash-keyed self-joins (the q21 df-cap
+    * precedent at the media level): when `maxKeyDf` > 0, join keys
+    * carried by more than `maxKeyDf` rows are dropped BEFORE the
+    * self-join — a ubiquitous frame (a black frame, a network intro
+    * card) otherwise makes one bucket quadratic in corpus size. The
+    * key-count agg is one map-side-combinable pass; the filter is a
+    * broadcast ANTI-join of the HOT keys — hot keys are few by
+    * definition (it's the rows under them that are many), so the
+    * broadcast stays small at any corpus size. Dropped keys trade
+    * recall on exactly the content that is boilerplate, the same trade
+    * q21's df cap makes for boilerplate shingles. */
+  private def capHotKeys(df: DataFrame, keys: Seq[String],
+                         maxKeyDf: Long): DataFrame =
+    if (maxKeyDf <= 0L) df
+    else {
+      val kc = keys.map(col)
+      val hot = df.groupBy(kc: _*).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxKeyDf).drop("_df")
+      df.join(broadcast(hot), keys, "left_anti")
+    }
+
+  /** Video near-duplicate pairs with NEAR-MISS frame matching (m07b):
+    * the m07 exact-hash join misses a re-encoded video entirely (every
+    * frame hash lands 1–3 bits off); this composes the
+    * [[imageNearDupPairs]] 16-bit banding at FRAME granularity — a
+    * frame pair is matched iff some band matches exactly AND the full
+    * hamming distance ≤ `maxHamming` (pigeonhole: ≤ 3 bits always
+    * caught) — then counts DISTINCT matched (frame_a, frame_b) index
+    * pairs per video pair. Still one band-keyed equi-join, nothing
+    * pairwise across the corpus; `maxKeyDf` caps ubiquitous band
+    * values exactly like [[videoNearDupPairs]]'s hash cap. */
+  def videoNearDupPairsFuzzy(frameHashes: DataFrame,
+                             maxHamming: Int = 6,
+                             minShared: Long = 1L,
+                             maxKeyDf: Long = 0L): DataFrame = {
+    val bands = (0 to 3).map(b => frameHashes.select(col("media_id"),
+        col("frame_idx"), lit(b).as("band"), col(s"b$b").as("bv"),
+        col("b0"), col("b1"), col("b2"), col("b3")))
+      .reduce(_ unionByName _)
+    val capped = capHotKeys(bands, Seq("band", "bv"), maxKeyDf)
+    val l = capped.select(col("media_id").as("id_a"),
+      col("frame_idx").as("fa"), col("band"), col("bv"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"),
+      col("b3").as("a3"))
+    val r = capped.select(col("media_id").as("id_b"),
+      col("frame_idx").as("fb"), col("band"), col("bv"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"),
+      col("b3").as("c3"))
+    l.join(r, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("a0").bitwiseXOR(col("c0"))) +
+        bit_count(col("a1").bitwiseXOR(col("c1"))) +
+        bit_count(col("a2").bitwiseXOR(col("c2"))) +
+        bit_count(col("a3").bitwiseXOR(col("c3"))) <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("fa"), col("fb")).distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minShared)
   }
 
   /** 64-bit audio fingerprint over DECODED PCM16 samples — the audio
@@ -404,25 +466,46 @@ object Multimodal {
     * 16-bit band keys give 65k-way balanced fan-out exactly like the
     * minhash band buckets. */
   def imageNearDupPairs(hashes: DataFrame,
-                        maxHamming: Int = 6): DataFrame = {
-    val bands = (0 to 3).map(b => hashes.select(col("media_id"),
-        lit(b).as("band"), col(s"b$b").as("bv"),
-        col("b0"), col("b1"), col("b2"), col("b3")))
+                        maxHamming: Int = 6,
+                        maxKeyDf: Long = 0L): DataFrame =
+    imageNearDupPairsKeyed(hashes, Seq.empty, maxHamming, maxKeyDf)
+
+  /** Per-collection image/audio near-dup (m04b): the m04 operator with
+    * the band join ALSO keyed on `by` — tenant corpora never
+    * cross-match, and every agg/join partitions on the collection key
+    * first (the t25b precedent). `hashes` must carry the `by` column
+    * (attach it before hashing or join it on media_id). */
+  def imageNearDupPairsBy(hashes: DataFrame, by: String,
+                          maxHamming: Int = 6,
+                          maxKeyDf: Long = 0L): DataFrame =
+    imageNearDupPairsKeyed(hashes, Seq(by), maxHamming, maxKeyDf)
+
+  private def imageNearDupPairsKeyed(hashes: DataFrame,
+                                     extraKeys: Seq[String],
+                                     maxHamming: Int,
+                                     maxKeyDf: Long): DataFrame = {
+    val keep = extraKeys.map(col)
+    val bands = (0 to 3).map(b => hashes.select(
+        keep ++ Seq(col("media_id"), lit(b).as("band"),
+          col(s"b$b").as("bv"),
+          col("b0"), col("b1"), col("b2"), col("b3")): _*))
       .reduce(_ unionByName _)
-    val l = bands.select(col("media_id").as("id_a"), col("band"),
-      col("bv"), col("b0").as("a0"), col("b1").as("a1"),
-      col("b2").as("a2"), col("b3").as("a3"))
-    val r = bands.select(col("media_id").as("id_b"), col("band"),
-      col("bv"), col("b0").as("c0"), col("b1").as("c1"),
-      col("b2").as("c2"), col("b3").as("c3"))
-    l.join(r, Seq("band", "bv"))
+    val joinKeys = extraKeys ++ Seq("band", "bv")
+    val capped = capHotKeys(bands, joinKeys, maxKeyDf)
+    val l = capped.select(keep ++ Seq(col("media_id").as("id_a"),
+      col("band"), col("bv"), col("b0").as("a0"), col("b1").as("a1"),
+      col("b2").as("a2"), col("b3").as("a3")): _*)
+    val r = capped.select(keep ++ Seq(col("media_id").as("id_b"),
+      col("band"), col("bv"), col("b0").as("c0"), col("b1").as("c1"),
+      col("b2").as("c2"), col("b3").as("c3")): _*)
+    l.join(r, joinKeys)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+      .select(keep ++ Seq(col("id_a"), col("id_b"),
         (bit_count(col("a0").bitwiseXOR(col("c0"))) +
           bit_count(col("a1").bitwiseXOR(col("c1"))) +
           bit_count(col("a2").bitwiseXOR(col("c2"))) +
           bit_count(col("a3").bitwiseXOR(col("c3")))).cast("int")
-          .as("hamming"))
+          .as("hamming")): _*)
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

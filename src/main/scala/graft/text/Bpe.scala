@@ -63,20 +63,30 @@ object Bpe {
       .otherwise(array().cast("array<struct<l:string,r:string>>"))
   }
 
+  /** The distinct-word count frame (word, wcount) — the ONE pass over
+    * the corpus both trainers share; materialized because every merge
+    * iteration re-reads it. */
+  private def wordCounts(df: DataFrame, text: String): DataFrame = df
+    .select(explode(split(col(text), " ")).as("word"))
+    .filter(col("word") =!= "")
+    .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+    .localCheckpoint()
+
   /** Train `nMerges` BPE merges over a whitespace-pretokenized text
     * column. Returns the merge table in rank order; stops early if the
     * corpus runs out of co-occurring pairs. `checkpointEvery`
     * truncates the symbol frame's lineage (each merge stacks one
     * `replace` — fine for tens of merges, a 32k-merge production run
-    * needs periodic truncation exactly like k01/pageRank). */
+    * needs periodic truncation exactly like k01/pageRank).
+    *
+    * ONE Spark job per merge — the right shape for the model-sized
+    * merge counts the SQL oracle replays, but at a production 32k-merge
+    * vocabulary 32k sequential jobs of fixed scheduling cost dominate
+    * the wall; [[trainBatched]] is the production path (bit-identical
+    * output by construction, spec-pinned). */
   def train(df: DataFrame, text: String, nMerges: Int,
             checkpointEvery: Int = 64): Seq[Merge] = {
-    val words = df
-      .select(explode(split(col(text), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
-      // read 2× per merge (pair agg + rewrite): materialize once
-      .localCheckpoint()
+    val words = wordCounts(df, text)
     var syms = words.select(charSyms(col("word")).as("sym"),
       col("wcount"))
     val merges = Seq.newBuilder[Merge]
@@ -99,6 +109,116 @@ object Bpe {
             lit(s" $l$r ")))
         if (rank % checkpointEvery == 0) syms = syms.localCheckpoint()
         rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Production trainer: identical output to [[train]] (spec-pinned,
+    * and the b01p gate entry replays the b01 oracle over this path),
+    * but each Spark job elects a BATCH of merges instead of one —
+    * standard parallel-BPE with a conflict-free prefix rule that makes
+    * the batching EXACT, not approximate:
+    *
+    *  1. One pair-count job collects the top `electBatch`+1 candidates
+    *     (TakeOrdered — the same (cnt DESC, l, r) order the sequential
+    *     argmax uses).
+    *  2. The accepted batch is the maximal PREFIX of that order in
+    *     which no pair interacts with an earlier one. Two pairs
+    *     interact iff their symbol sets {l, r, l+r} intersect —
+    *     sharing a component means one merge consumes the other's
+    *     occurrences; producing the other's component (l+r) means one
+    *     merge creates new occurrences of it.
+    *  3. The prefix is truncated to pairs whose count is STRICTLY
+    *     above the first non-accepted candidate's count (the
+    *     sentinel). Every pair interacting with the batch sits at or
+    *     below the sentinel in the sort (all pairs above it were
+    *     accepted, and accepted pairs are mutually non-interacting),
+    *     and a pair newly CREATED by applying batch member (l,r) has
+    *     count bounded by an existing interacting pair's count
+    *     ((x,l+r) occurrences each came from an (x,l) adjacency, and
+    *     (x,l) shares a symbol with the applied pair, so it sits at or
+    *     below the sentinel) — so after applying any batch prefix, the
+    *     next sequential argmax is exactly the next batch member: same
+    *     merges, same ranks, same counts as [[train]], including
+    *     tie-breaks (strictness of the sentinel cut protects the
+    *     (l,r) tie order).
+    *  4. SELF-pairs (l == r) are the one case where a newly created
+    *     pair's count is bounded only by the applied pair's OWN count,
+    *     not by an interacting neighbor's (a run " l l l " rewrites to
+    *     " ll l ", creating (ll,ll)/(ll,l) pairs that can outrank
+    *     every later candidate) — so a self-pair always TERMINATES its
+    *     batch: accepted first, it ships alone; encountered later, it
+    *     becomes the sentinel and leads the next round.
+    *  5. All accepted merges apply in ONE chained rewrite.
+    *
+    * Worst case (every candidate interacts) degenerates to one merge
+    * per job = [[train]]; English-like corpora accept tens of pairs
+    * per batch, collapsing a 32k-merge run from 32k sequential jobs to
+    * hundreds. The corpus is still touched once; elections still run
+    * on the distributed vocabulary frame. */
+  def trainBatched(df: DataFrame, text: String, nMerges: Int,
+                   electBatch: Int = 256,
+                   checkpointEvery: Int = 64): Seq[Merge] = {
+    val words = wordCounts(df, text)
+    var syms = words.select(charSyms(col("word")).as("sym"),
+      col("wcount"))
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    var sinceCheckpoint = 0
+    while (rank <= nMerges && !exhausted) {
+      val top = syms
+        .select(explode(pairsOf(col("sym"))).as("p"), col("wcount"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wcount")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(electBatch + 1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val cand = top.map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2)))
+        // the (electBatch+1)-th row is only ever a sentinel
+        val window = cand.take(electBatch)
+        val dirty = scala.collection.mutable.HashSet[String]()
+        val accepted = Seq.newBuilder[(String, String, Long)]
+        var sentinel = // count of the first candidate NOT accepted
+          if (cand.length > electBatch) Some(cand(electBatch)._3)
+          else None
+        var i = 0
+        var stopped = false
+        while (i < window.length && !stopped) {
+          val (l, r, c) = window(i)
+          val ss = Seq(l, r, l + r)
+          if (i > 0 && (l == r || ss.exists(dirty.contains))) {
+            sentinel = Some(c)
+            stopped = true
+          } else {
+            accepted += ((l, r, c))
+            dirty ++= ss
+            i += 1
+            if (l == r) stopped = true // self-pair ships alone (rule 4)
+          }
+        }
+        val batch0 = accepted.result()
+        val batch = (batch0.take(1) ++ batch0.drop(1).takeWhile(p =>
+          sentinel.forall(p._3 > _))).take(nMerges - rank + 1)
+        val applied = batch.map { case (l, r, c) =>
+          val m = Merge(rank, l, r, l + r, c)
+          rank += 1
+          m
+        }
+        merges ++= applied
+        syms = syms.withColumn("sym",
+          applied.foldLeft(col("sym")) { (e, m) =>
+            call_function("replace", e, lit(s" ${m.left}  ${m.right} "),
+              lit(s" ${m.merged} "))
+          })
+        sinceCheckpoint += applied.length
+        if (sinceCheckpoint >= checkpointEvery) {
+          syms = syms.localCheckpoint()
+          sinceCheckpoint = 0
+        }
       }
     }
     merges.result()
@@ -142,6 +262,214 @@ object Bpe {
           acc + size(split(s, " "))).cast("int"))
       .withColumn("encoded", array_join(col("_enc"), " | "))
       .drop("_enc")
+  }
+
+  /** A word's initial symbol list, replicating [[charSyms]]'s regex
+    * semantics exactly: `(.)` matches one CODEPOINT (surrogate pairs
+    * stay whole) and skips line terminators, so a run of terminator
+    * chars is never space-wrapped and survives as ONE unmergeable
+    * symbol (single-spaced in the unit string, no merge pattern can
+    * touch it). */
+  private def charSymbols(word: String): Array[String] = {
+    def isTerm(cp: Int) = cp == '\n' || cp == '\r' || cp == 0x85 ||
+      cp == 0x2028 || cp == 0x2029
+    val out = Array.newBuilder[String]
+    val run = new java.lang.StringBuilder
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      if (isTerm(cp)) run.appendCodePoint(cp)
+      else {
+        if (run.length > 0) { out += run.toString; run.setLength(0) }
+        out += word.substring(i, i + n)
+      }
+      i += n
+    }
+    if (run.length > 0) out += run.toString
+    out.result()
+  }
+
+  /** One word through the merge table by greedy lowest-rank-first
+    * merging — the standard fast-BPE encoder. Equivalent to the
+    * rank-ordered replace chain (spec-pinned): a merge's components
+    * are themselves chars or lower-rank merges, so any adjacency a
+    * merge can consume exists by the time its rank comes up in either
+    * order; within one rank, all occurrences merge left-to-right
+    * non-overlapping in both. Work per word is O(len²) HASH LOOKUPS
+    * independent of |merges| — vs the replace chain's O(|merges|·len)
+    * and its janino 64 KB method blowup at real vocabulary sizes.
+    * Line-terminator run symbols never merge (their single-space
+    * representation in the chain path means no ` l  r ` pattern ever
+    * matches them). */
+  private def encodeWordFast(word: String,
+                             ranks: java.util.HashMap[String, Integer])
+      : Array[String] = {
+    var syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    syms ++= charSymbols(word)
+    def mergeable(s: String) = {
+      val c = s.charAt(0).toInt
+      !(c == 10 || c == 13 || c == 0x85 || c == 0x2028 || c == 0x2029)
+    }
+    var done = syms.length < 2
+    while (!done) {
+      // lowest-rank adjacent pair present in the table
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        if (mergeable(syms(i)) && mergeable(syms(i + 1))) {
+          val r = ranks.get(syms(i) + " " + syms(i + 1))
+          if (r != null && r < best) best = r
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // merge ALL its occurrences, left-to-right non-overlapping
+        val next = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && mergeable(syms(j)) &&
+              mergeable(syms(j + 1)) && {
+                val r = ranks.get(syms(j) + " " + syms(j + 1))
+                r != null && r == best
+              }) {
+            next += syms(j) + syms(j + 1)
+            j += 2
+          } else {
+            next += syms(j)
+            j += 1
+          }
+        }
+        syms = next
+        if (syms.length < 2) done = true
+      }
+    }
+    syms.toArray
+  }
+
+  /** [[encode]] at the PRODUCTION operating point: same output
+    * bit-for-bit (spec-pinned; the b02p gate entry replays the b02
+    * oracle over this path), but the merge table ships as a broadcast
+    * rank map and each word runs the [[encodeWordFast]] greedy scan
+    * inside one `mapPartitions` pass — no 32k-deep expression chain,
+    * no janino method-size cliff, per-word cost independent of
+    * |merges|. Still map-side, zero shuffles, embarrassingly parallel;
+    * use this for large frozen merge tables, [[encode]] for the
+    * model-sized oracle-replayable ones. */
+  def encodeFast(df: DataFrame, text: String,
+                 merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    val rankMap = new java.util.HashMap[String, Integer](
+      math.max(16, merges.size * 2))
+    merges.foreach(m =>
+      rankMap.put(m.left + " " + m.right, Integer.valueOf(m.rank)))
+    val bc = spark.sparkContext.broadcast(rankMap)
+    val ti = df.schema.fieldIndex(text)
+    val outSchema = df.schema
+      .add("n_tokens_bpe", org.apache.spark.sql.types.IntegerType)
+      .add("encoded", org.apache.spark.sql.types.StringType)
+    df.mapPartitions { rows =>
+      val ranks = bc.value
+      val cache = newWordCache()
+      rows.map { row =>
+        val t = row.getString(ti)
+        val words =
+          if (t == null) Array.empty[String]
+          else t.split(" ").filter(_.nonEmpty)
+        val enc = words.map(w => cachedEncode(w, ranks, cache))
+        val nTok = enc.iterator.map(_.length).sum
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq :+ nTok :+ enc.map(_.mkString(" ")).mkString(" | "))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Per-task word→encoding cache (the fastBPE/HF-tokenizers token
+    * cache): natural corpora are Zipf-distributed, so the hit rate is
+    * near-total and per-word work amortizes to a hash probe. Bounded —
+    * cleared when it reaches 100k entries — so a pathological
+    * all-unique-words corpus can't grow task memory. */
+  private def newWordCache() =
+    new java.util.HashMap[String, Array[String]](1 << 12)
+
+  private def cachedEncode(w: String,
+                           ranks: java.util.HashMap[String, Integer],
+                           cache: java.util.HashMap[String, Array[String]])
+      : Array[String] = {
+    val hit = cache.get(w)
+    if (hit != null) hit
+    else {
+      val e = encodeWordFast(w, ranks)
+      if (cache.size >= 100000) cache.clear()
+      cache.put(w, e)
+      e
+    }
+  }
+
+  /** Sentencepiece-style word marking (b05): every word gets a ▁
+    * (U+2581) prefix — including a synthetic leading one — so word
+    * boundaries live IN the symbol stream and encoded text
+    * detokenizes by pure concatenation. Runs of spaces round-trip
+    * exactly: each space becomes one bare-▁ "word". Input contract:
+    * the text carries no literal ▁ (true of any natural corpus; ▁ is
+    * a block-drawing character chosen for exactly that reason). */
+  def markWords(text: Column): Column =
+    concat(lit("▁"), regexp_replace(text, " ", " ▁"))
+
+  /** Train on the ▁-marked corpus: identical mechanics to
+    * [[trainBatched]], with the marker as an ordinary character. The
+    * marker keeps merges word-local even on a CONCATENATED encode
+    * stream: ▁ appears only word-initially, so no trained pair's
+    * right component can start with ▁ (that would need a
+    * word-internal ▁ adjacency), while every cross-word adjacency has
+    * a ▁-initial right side — no trained merge can ever bridge it. */
+  def trainSp(df: DataFrame, text: String, nMerges: Int,
+              electBatch: Int = 256): Seq[Merge] =
+    trainBatched(df.select(markWords(col(text)).as("_sp")), "_sp",
+      nMerges, electBatch)
+
+  /** Encode with word markers: the marked words run the
+    * [[encodeWordFast]] greedy scan and ALL symbols join into one
+    * space-separated stream — no `|` separator needed, the ▁s carry
+    * the boundaries. Emits `n_tokens_sp` / `encoded_sp`;
+    * [[decodeSp]] inverts it exactly. */
+  def encodeSp(df: DataFrame, text: String,
+               merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    val rankMap = new java.util.HashMap[String, Integer](
+      math.max(16, merges.size * 2))
+    merges.foreach(m =>
+      rankMap.put(m.left + " " + m.right, Integer.valueOf(m.rank)))
+    val bc = spark.sparkContext.broadcast(rankMap)
+    val ti = df.schema.fieldIndex(text)
+    val outSchema = df.schema
+      .add("n_tokens_sp", org.apache.spark.sql.types.IntegerType)
+      .add("encoded_sp", org.apache.spark.sql.types.StringType)
+    df.mapPartitions { rows =>
+      val ranks = bc.value
+      val cache = newWordCache()
+      rows.map { row =>
+        val t = row.getString(ti)
+        val words =
+          if (t == null) Array.empty[String]
+          else ("▁" + t.replace(" ", " ▁"))
+            .split(" ").filter(_.nonEmpty)
+        val enc = words.flatMap(w => cachedEncode(w, ranks, cache))
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq :+ enc.length :+ enc.mkString(" "))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Exact inverse of [[encodeSp]]'s stream: drop the inter-symbol
+    * spaces, turn each ▁ back into a space, drop the synthetic
+    * leading one. `decodeSp(encodeSp(x)) == x` for any x without
+    * literal ▁ (round-trip spec-pinned, including space runs and
+    * leading/trailing spaces). */
+  def decodeSp(encoded: Column): Column = {
+    val joined = translate(encoded, "▁ ", " ")
+    joined.substr(lit(2), length(joined))
   }
 
   /** The tokenizer vocabulary induced by a training corpus and its

@@ -1261,6 +1261,17 @@ object TextOps {
         col("rk"))
   }
 
+  /** C4's Latin-script terminal-punctuation rule — the [[lineFilter]]
+    * default. */
+  val TerminalPunctLatin = "[.!?\"]$"
+
+  /** CJK-inclusive terminal rule: the Latin set plus the ideographic
+    * full stop / full-width !? (。！？), ellipsis (…), and the closing
+    * CJK quotes/bracket (」』）) — the set a zh/ja corpus needs so the
+    * C4 line gate stops dropping every CJK sentence. */
+  val TerminalPunctCjk =
+    "[.!?\"。！？…」』）]$"
+
   /** C4-style line-level quality filter (beyond reference; Raffel et
     * al. 2020 §2.2): within each document, keep only lines that (a)
     * have at least `minWords` words, (b) end in terminal punctuation
@@ -1273,18 +1284,24 @@ object TextOps {
     * array (`split` → `filter` → `concat_ws`) — zero shuffles, fully
     * codegen'd, embarrassingly parallel at 100 TB. No Generate in the
     * lineage, so no projection-collapse re-evaluation risk (the t19
-    * pathology class). Emits (id, n_lines INT, n_kept INT, clean). */
+    * pathology class). Emits (id, n_lines INT, n_kept INT, clean).
+    *
+    * `terminalRegex` is the terminal-punctuation rule — the default is
+    * C4's Latin-script set, which (deliberately visible here) drops
+    * every CJK line; pass [[TerminalPunctCjk]] (or any RE2-compatible
+    * class) for corpora where sentences end in 。！？…」』. */
   def lineFilter(df: DataFrame, id: String, text: String,
                  minWords: Int = 3, requireTerminal: Boolean = true,
                  blocklist: Seq[String] = Seq("javascript", "cookie",
-                   "{")): DataFrame = {
+                   "{"),
+                 terminalRegex: String = TerminalPunctLatin): DataFrame = {
     val lines = split(col(text), "\n")
     val wordsOk =
       (ln: Column) => size(filter(split(ln, " "), t => t =!= "")) >=
         minWords
     val termOk =
       (ln: Column) =>
-        if (requireTerminal) ln.rlike("[.!?\"]$") else lit(true)
+        if (requireTerminal) ln.rlike(terminalRegex) else lit(true)
     val blockOk =
       (ln: Column) => blocklist.map(b => !contains(lower(ln), lit(b)))
         .reduceOption(_ && _).getOrElse(lit(true))

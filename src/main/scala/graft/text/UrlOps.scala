@@ -88,6 +88,65 @@ object UrlOps {
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")), tail))
   }
 
+  /** Registrable domain under a CALLER-SUPPLIED public-suffix frame
+    * (a14b — closes the two-label rule's `co.uk` collapse): `suffixes`
+    * carries one lowercase dot-separated `suffix` column (a PSL
+    * excerpt, e.g. "co.uk", "com.au"); a host ending in `.suffix`
+    * keeps one extra label (`a.b.site.co.uk` → `site.co.uk`), the
+    * LONGEST listed suffix winning, everything else falling back to
+    * the two-label rule. A host that IS a listed suffix stays its own
+    * key (the PSL says "no registrable domain"; a stable key beats a
+    * null for rollups).
+    *
+    * Scale shape: one BROADCAST equi-join per distinct suffix DEPTH
+    * (the full PSL has 2–5 labels → ≤ 4 joins), keyed on the host's
+    * last-k-label slice — never a per-row scan of the list, never an
+    * expression chain that grows with |list| (a 9k-entry PSL as
+    * `when` chains would blow janino's method limit). The depth probe
+    * is one tiny agg on the model-sized suffix frame. */
+  def withDomainPsl(df: DataFrame, url: String,
+                    suffixes: DataFrame,
+                    out: String = "domain"): DataFrame = {
+    def lastK(c: Column, k: Int): Column =
+      regexp_extract(c, s"((?:[^.]+\\.){${k - 1}}[^.]+)$$", 1)
+    val sfx = suffixes.select(lower(col("suffix")).as("suffix"))
+      .distinct()
+    val ks = sfx.select(size(split(col("suffix"), "\\.")).as("k"))
+      .distinct().collect().map(_.getInt(0)).sorted.reverse.toSeq
+    val withH = df.withColumn("_h", host(col(url)))
+    val joined = ks.foldLeft(withH) { (cur, k) =>
+      val s = broadcast(sfx
+        .filter(size(split(col("suffix"), "\\.")) === k)
+        .select(col("suffix").as(s"_sfx$k")))
+      cur.join(s, lastK(col("_h"), k) === col(s"_sfx$k"), "left")
+    }
+    val cands = ks.map { k =>
+      when(col(s"_sfx$k").isNotNull,
+        when(lastK(col("_h"), k + 1) =!= "", lastK(col("_h"), k + 1))
+          .otherwise(col("_h")))
+    }
+    val twoLabel = {
+      val d = regexp_extract(col("_h"), DomainPattern, 1)
+      when(col("_h").isNotNull, when(d === "", col("_h")).otherwise(d))
+    }
+    joined.withColumn(out, coalesce(cands :+ twoLabel: _*))
+      .drop("_h" +: ks.map(k => s"_sfx$k"): _*)
+  }
+
+  /** [[domainRollup]] keyed by the PSL-aware registrable domain. */
+  def domainRollupPsl(df: DataFrame, id: String, url: String,
+                      text: String, suffixes: DataFrame,
+                      blocklist: Seq[String] = Nil): DataFrame =
+    withDomainPsl(df, url, suffixes)
+      .select(col("domain"),
+        size(filter(split(col(text), " "), t => t =!= ""))
+          .cast("long").as("_nt"),
+        length(col(text)).cast("long").as("_nc"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"),
+        sum(col("_nc")).as("n_chars"))
+      .withColumn("blocked", blockedFlag(col("domain"), blocklist))
+
   def domainRollup(df: DataFrame, id: String, url: String, text: String,
                    blocklist: Seq[String] = Nil): DataFrame =
     df.select(domain(col(url)).as("domain"),

@@ -293,6 +293,26 @@ object ScaleBench {
             .withColumn("event_id", col("event_id") + lit(i * nEid)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/events.parquet")
+    } else if (family == "bpe") {
+      // merge-count axis (VERDICT r11 #1): the data is FIXED and the
+      // scaled dimension is the merge-table size, base 256 vs
+      // 256·factor (4096 at the default factor 16). The natural sf0.1
+      // text exhausts its pair space at ~90 merges, so the fixture
+      // hex-ifies every word (md5 — a large random-hex vocabulary
+      // whose merge headroom is ~31·|vocab|, far past 4096) while
+      // keeping the corpus shape (docs, words-per-doc) identical.
+      // Near-linear train wall validates the batched election (one job
+      // per conflict-free batch, not per merge); a ~flat encode ratio
+      // validates the linear-scan encoder's |merges|-independence (vs
+      // the replace chain's O(|merges|·len) and janino method cliff).
+      // The doc_id%16 salt lifts the fixture's 31-word vocabulary to
+      // ~500 distinct 32-hex-char words (~15k merge headroom).
+      graft.core.Tables.documents(spark, src)
+        .select(col("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            w => md5(concat(w, lit("#"), (col("doc_id") % 16)
+              .cast("string")).cast("binary"))), " ").as("text"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
     } else {
       // series-count replication: each copy shifts user_id by the source
       // id range, so per-series row counts (and every per-series cap) are
@@ -324,6 +344,7 @@ object ScaleBench {
       case "length" => LengthQueries
       case "dim"    => DimQueries
       case "curate" => Seq.empty
+      case "bpe"    => Seq.empty
       case _        => PerSeriesQueries
     }
     // bench-only cells (no gate entry): the occupancy-scaled LSH
@@ -501,9 +522,38 @@ object ScaleBench {
           "metrics_out" -> s"$runOut/metrics.json"))
         spark.read.parquet(s"$runOut/chunks")
       }))
+    // bpe family cells: the thunk's dir only selects the merge COUNT
+    // (src ⇒ 256, scaled ⇒ 256·factor); the corpus is always src. The
+    // encode cells use merge tables trained OUTSIDE the timed region
+    // (lazy, computed once) so they time encoding alone.
+    def bpeExtras(): Seq[(String, String => org.apache.spark.sql.DataFrame)] = {
+      val nBase = 256
+      def nFor(d: String) = if (d == src) nBase else nBase * factor
+      def corpus() = spark.read.parquet(s"$out/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val tables = scala.collection.mutable.Map.empty[Int, Seq[graft.text.Bpe.Merge]]
+      def tableFor(n: Int) = tables.getOrElseUpdate(n, {
+        val m = graft.text.Bpe.trainBatched(corpus(), "text", n)
+        println(s"[scale] bpe merge table: requested $n, trained ${m.size}")
+        m
+      })
+      Seq(
+        "b01x_train_merges" -> ((d: String) => {
+          import spark.implicits._
+          graft.text.Bpe.trainBatched(corpus(), "text", nFor(d))
+            .map(m => (m.rank, m.merged)).toDF("rank", "merged")
+        }),
+        "b02x_encode_merges" -> ((d: String) =>
+          graft.text.Bpe.encodeFast(corpus(), "text", tableFor(nFor(d)))
+            .select(col("doc_id"), col("n_tokens_bpe"))))
+    }
+    // (encode cells fill the table memo on their first run; each cell
+    // is timed twice and min()'d, so the table-building first pass
+    // never lands in the recorded number)
     val extras: Seq[(String, String => org.apache.spark.sql.DataFrame)] =
       if (family == "dim") dimExtras()
       else if (family == "curate") curateExtras()
+      else if (family == "bpe") bpeExtras()
       else if (family != "docs") Seq.empty
       else Seq(
         // the DEEP iterative PageRank path (the gate entry runs 2
@@ -532,6 +582,7 @@ object ScaleBench {
       case "length" => "BENCH_SF1_LEN.json"
       case "dim"    => "BENCH_SF1_DIM.json"
       case "curate" => "BENCH_SF1_CURATE.json"
+      case "bpe"    => "BENCH_SF1_BPE.json"
       case _        => "BENCH_SF1.json"
     }
     // a SPARK_GRAFT_ONLY subset must never clobber the committed

@@ -123,6 +123,120 @@ class BpeSpec extends AnyFunSuite {
       "an entirely-unseen word is 100% OOV")
   }
 
+  test("encodeFast ≡ encode: bit-identical on the gate fixture and on " +
+       "repeated-run / chain / boundary adversaries") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text")
+    val m = Bpe.train(docs, "text", nMerges = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens_bpe", "encoded")
+        .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(rows(Bpe.encodeFast(docs, "text", m)) ===
+      rows(Bpe.encode(docs, "text", m)))
+    // adversaries: greedy repeated runs, rank chains, word boundaries,
+    // unseen symbols, empty-ish text
+    val adv = Seq((1L, "aaaaa"), (2L, "ab ab"), (3L, "abc abc zq"),
+      (4L, "a"), (5L, "aa aaa aaaa b ab ba")).toDF("doc_id", "text")
+    val m2 = Seq(Bpe.Merge(1, "a", "a", "aa", 0L),
+      Bpe.Merge(2, "a", "b", "ab", 0L),
+      Bpe.Merge(3, "ab", "c", "abc", 0L),
+      Bpe.Merge(4, "aa", "aa", "aaaa", 0L))
+    assert(rows(Bpe.encodeFast(adv, "text", m2)) ===
+      rows(Bpe.encode(adv, "text", m2)))
+  }
+
+  test("encodeFast: per-word cost independent of merge count — a " +
+       "4096-entry merge table encodes without a 4096-deep expression " +
+       "chain (and without shuffles)") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text").filter(col("doc_id") < 50)
+    // a large synthetic merge table: mostly never-matching entries +
+    // a real chain at scattered ranks, as a frozen production table
+    val filler = (1 to 4090).map(i =>
+      Bpe.Merge(i, s"q${i}z", "qq", s"q${i}zqq", 0L))
+    val real = Seq(Bpe.Merge(4091, "t", "h", "th", 0L),
+      Bpe.Merge(4092, "th", "e", "the", 0L),
+      Bpe.Merge(4093, "a", "n", "an", 0L),
+      Bpe.Merge(4094, "an", "d", "and", 0L),
+      Bpe.Merge(4095, "i", "n", "in", 0L),
+      Bpe.Merge(4096, "o", "f", "of", 0L))
+    val out = Bpe.encodeFast(docs, "text", filler ++ real)
+    val small = Bpe.encode(docs, "text", real)
+    import org.apache.spark.sql.functions.col
+    val a = out.select("doc_id", "n_tokens_bpe", "encoded")
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    val b = small.select("doc_id", "n_tokens_bpe", "encoded")
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(a === b, "filler merges never match — output must equal the " +
+      "6-merge chain's")
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"encodeFast must not shuffle:\n$p")
+  }
+
+  test("trainBatched ≡ train: gate fixture at several batch widths") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text")
+    val seq = Bpe.train(docs, "text", nMerges = 8)
+    for (w <- Seq(1, 2, 256)) {
+      assert(Bpe.trainBatched(docs, "text", nMerges = 8,
+        electBatch = w) === seq, s"electBatch=$w diverged")
+    }
+  }
+
+  test("trainBatched ≡ train: adversarial corpora — self-pair runs, " +
+       "count ties, interacting top pairs, early exhaustion") {
+    val fixtures = Seq(
+      // self-pair dominates: (a,a) then its run-derived (aa,aa)/(aa,a)
+      corpus("aaaaaaaa" -> 3, "aaaa" -> 2, "bc" -> 4),
+      // ties everywhere: es/st tie, lo/ow tie (the classic corpus)
+      corpus("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3),
+      // interacting top pairs sharing symbols: ab, bc, cd all touch
+      corpus("abcd" -> 7, "bcd" -> 5, "cd" -> 3, "xy" -> 6),
+      // merged symbol equals a later candidate's component
+      corpus("ab" -> 9, "abc" -> 8, "abab" -> 4),
+      // exhaustion before nMerges
+      corpus("ab" -> 2))
+    for ((df, fi) <- fixtures.zipWithIndex; w <- Seq(1, 2, 3, 64)) {
+      val seq = Bpe.train(df, "text", nMerges = 12)
+      val bat = Bpe.trainBatched(df, "text", nMerges = 12,
+        electBatch = w)
+      assert(bat === seq, s"fixture $fi electBatch=$w diverged")
+    }
+  }
+
+  test("b05 sentencepiece markers: decode(encode(x)) == x exactly — " +
+       "space runs, leading/trailing spaces, empty text, unicode — and " +
+       "merges learn across the ▁ boundary marker without crossing it") {
+    val train = corpus("low" -> 5, "lower" -> 2, "newest" -> 6,
+      "widest" -> 3)
+    val m = Bpe.trainSp(train, "text", nMerges = 6)
+    assert(m.exists(x => x.left == "▁" || x.merged.startsWith("▁")),
+      "the marker participates in merges like any character")
+    assert(m.forall(x => !x.right.startsWith("▁")),
+      "no trained merge's RIGHT side can start with ▁ — the invariant " +
+        "that keeps whole-stream encoding word-local")
+    val texts = Seq(
+      "low lower lowest",
+      "  leading and  double  spaces",
+      "trailing space ",
+      "",
+      " ",
+      "größe café 𝄞clef",
+      "low low low low")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Bpe.encodeSp(df, "text", m)
+      .withColumn("decoded", Bpe.decodeSp(col("encoded_sp")))
+      .select("doc_id", "text", "decoded", "n_tokens_sp", "encoded_sp")
+      .as[(Long, String, String, Int, String)].collect().sortBy(_._1)
+    for ((orig, i) <- texts.zipWithIndex)
+      assert(out(i)._3 === orig, s"round-trip broke on '${orig}'")
+    // the token count is the symbol count of the stream
+    assert(out.forall(r => r._4 ===
+      r._5.split(" ").count(_.nonEmpty)))
+  }
+
   test("streaming b02 twin: direct stream application with a frozen " +
        "merge table matches batch") {
     val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)

@@ -50,6 +50,28 @@ class LineOpsSpec extends AnyFunSuite {
       "with every rule relaxed all lines survive")
   }
 
+  test("lineFilter: the CJK terminal rule keeps 。！？…」-terminated " +
+       "lines the Latin default drops, and still drops unterminated " +
+       "ones") {
+    val body = Seq(
+      "这 个 句子 以 句号 结束 。",   // ideographic full stop
+      "真 的 吗 ？",                  // full-width question mark
+      "太 好 了 ！",                  // full-width exclamation
+      "他 说 到 此 为 止 」",          // closing CJK quote
+      "这 行 没有 标点 符号",          // dropped: no terminal
+      "latin line still works.").mkString("\n")
+    val df = Seq((1L, body)).toDF("id", "body")
+    val latin = TextOps.lineFilter(df, "id", "body", blocklist = Nil)
+      .select("n_kept").as[Int].head()
+    assert(latin === 1, "the Latin default keeps only the latin line")
+    val cjk = TextOps.lineFilter(df, "id", "body", blocklist = Nil,
+        terminalRegex = TextOps.TerminalPunctCjk)
+      .select("n_kept", "clean").as[(Int, String)].head()
+    assert(cjk._1 === 5, "every terminated CJK line survives")
+    assert(!cjk._2.contains("没有 标点"),
+      "an unterminated CJK line still fails the gate")
+  }
+
   test("dedupLines: corpus-frequent lines vanish everywhere, unique " +
        "prose survives in order; emptied docs stay in the funnel") {
     val boiler = "subscribe to our newsletter"

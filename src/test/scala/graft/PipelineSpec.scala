@@ -201,6 +201,89 @@ class PipelineSpec extends AnyFunSuite {
       "minShared=2 keeps only the true twin")
   }
 
+  test("m07b: a re-encoded video (every frame hash a bit off) escapes " +
+       "the exact m07 join entirely; frame-level banding catches it") {
+    val s = spark
+    import s.implicits._
+    import graft.mm.{Codecs, MediaRow, Multimodal}
+    val w = 8; val h = 8
+    def frame(f: (Int, Int) => Int) =
+      Array.tabulate(3 * w * h) { i => val p = i / 3; f(p % w, p / w).toByte }
+    // 8×8 frames where every pixel is its own grid cell: the x/y
+    // gradients sit 24 gray-units from the mean on every cell, so the
+    // single (0,0) pixel 0→72 edit flips EXACTLY the (0,0) bit (new
+    // mean 171.375 moves no other cell across its threshold)
+    val xgrad = frame((x, _) => x * 16)
+    val ygrad = frame((_, y) => y * 16)
+    def reenc(fr: Array[Byte]) = { val c = fr.clone()
+      c(0) = 72.toByte; c(1) = 72.toByte; c(2) = 72.toByte; c }
+    val a = MediaRow(1L, "video", Codecs.encodeAvi(w, h, 25,
+      Vector(xgrad, ygrad)), "t")
+    val b = MediaRow(2L, "video", Codecs.encodeAvi(w, h, 25,
+      Vector(reenc(xgrad), reenc(ygrad))), "t")
+    val fh = Multimodal.videoFrameHashes(Seq(a, b).toDS())
+      .localCheckpoint()
+    assert(Multimodal.videoNearDupPairs(fh).count() === 0,
+      "no frame hash is bit-identical — exact matching is blind here")
+    val fuzzy = Multimodal.videoNearDupPairsFuzzy(fh, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fuzzy === Seq((1L, 2L, 2L)),
+      "both frame pairs match through an untouched band (hamming 1); " +
+        "cross-frame xgrad/ygrad shares no band")
+  }
+
+  test("m07/m07b hot-key cap: a ubiquitous intro frame is dropped " +
+       "before the self-join instead of exploding one bucket") {
+    val s = spark
+    import s.implicits._
+    import graft.mm.{Codecs, MediaRow, Multimodal}
+    val w = 8; val h = 8
+    def frame(f: (Int, Int) => Int) =
+      Array.tabulate(3 * w * h) { i => val p = i / 3; f(p % w, p / w).toByte }
+    val intro = frame((x, _) => x * 16) // shared by every video
+    val vids = (1 to 6).map { id =>
+      val unique = frame((_, y) => (((y + id) % 8) * 16))
+      MediaRow(id.toLong, "video",
+        Codecs.encodeAvi(w, h, 25, Vector(intro, unique)), "t")
+    }
+    val fh = Multimodal.videoFrameHashes(vids.toDS()).localCheckpoint()
+    assert(Multimodal.videoNearDupPairs(fh).count() === 15,
+      "uncapped: the shared intro links all C(6,2) pairs")
+    assert(Multimodal.videoNearDupPairs(fh, maxKeyDf = 5L).count() === 0,
+      "capped: the intro hash (df 6 > 5) is dropped; the unique " +
+        "second frames share nothing")
+    assert(Multimodal.videoNearDupPairsFuzzy(fh, maxHamming = 6)
+      .count() === 15, "uncapped fuzzy: intro bands link every pair")
+    assert(Multimodal.videoNearDupPairsFuzzy(fh, maxHamming = 6,
+      maxKeyDf = 5L).count() === 0,
+      "capped fuzzy: hot band values dropped; rotated gradients that " +
+        "still share a cold band (both-zero rows) fail the hamming gate")
+  }
+
+  test("m04b: identical images in DIFFERENT collections never pair; " +
+       "within-collection twins still do") {
+    val s = spark
+    import s.implicits._
+    import graft.mm.{Codecs, MediaRow, Multimodal}
+    def img(id: Long, src: String) = {
+      val px = Array.tabulate(3 * 16 * 16) { i =>
+        val p = i / 3; ((p % 16) * 8 + (p / 16) * 8).toByte }
+      MediaRow(id, "image", Codecs.encodePpm(16, 16, px), src)
+    }
+    val media = Seq(img(1L, "web"), img(2L, "web"), img(3L, "books"))
+    val hashes = Multimodal.imageAHash(media.toDS())
+      .join(media.toDF().select($"media_id", $"source"), Seq("media_id"))
+    val global = Multimodal.imageNearDupPairs(hashes)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(global === Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)),
+      "globally all three identical images pair")
+    val by = Multimodal.imageNearDupPairsBy(hashes, "source")
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(by === Set((1L, 2L, 0)),
+      "per-collection: the cross-source twins are excluded by the key")
+  }
+
   test("codecs: PPM/WAV round-trip, spec-variance tolerance, hard rejects") {
     import graft.mm.Codecs
     val rnd = new scala.util.Random(3)
@@ -987,6 +1070,31 @@ class PipelineSpec extends AnyFunSuite {
         graft.text.UrlOps.domain(col("url")).as("d"))
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(got.toSeq === rows.map(_._2).toSeq)
+  }
+
+  test("UrlOps withDomainPsl: distinct co.uk sites stop merging under " +
+       "a supplied suffix list; longest suffix wins; hosts that ARE a " +
+       "suffix keep themselves; everything else falls back two-label") {
+    val s = spark
+    import s.implicits._
+    val suffixes = Seq("co.uk", "com.au", "uk").toDF("suffix")
+    val rows = Seq(
+      // two-label rule would merge BOTH of these into one "co.uk" key
+      "https://alpha.co.uk/a" -> "alpha.co.uk",
+      "https://www.beta.co.uk/b" -> "beta.co.uk",
+      // longest-wins: .uk is listed too, but co.uk takes precedence
+      // (a bare-uk host still keeps an extra label via the 'uk' entry)
+      "https://gov.uk/x" -> "gov.uk",
+      "https://a.deep.gamma.com.au/c" -> "gamma.com.au",
+      // the host IS a public suffix: stays its own stable key
+      "https://co.uk/" -> "co.uk",
+      // unlisted TLD: plain two-label rule
+      "https://x.y.site.com/d" -> "site.com",
+      "no scheme" -> null)
+    val got = graft.text.UrlOps.withDomainPsl(
+        rows.map(_._1).toDF("url"), "url", suffixes)
+      .select("domain").as[String].collect().toSeq
+    assert(got === rows.map(_._2))
   }
 
   test("CLI curate --dedup_by_url: tracking-param/case/port variants of " +
