@@ -378,6 +378,18 @@ object StreamingScore {
                 merges: Seq[graft.text.Bpe.Merge]): DataFrame =
     graft.text.Bpe.encode(docs, text, merges)
 
+  /** Streaming twin of the PRODUCTION encoders ([[graft.text.Bpe
+    * .encodeFast]] / [[graft.text.Bpe.encodeSp]]): per-row
+    * mapPartitions over a broadcast merge-rank map — stateless, no
+    * shuffle, so it applies DIRECTLY to the streaming frame and is
+    * batch-identical by construction (encodeFast ≡ encode is itself
+    * spec-pinned). `sp = true` selects the ▁-marker form. */
+  def bpeEncodeFast(docs: DataFrame, text: String,
+                    merges: Seq[graft.text.Bpe.Merge],
+                    sp: Boolean = false): DataFrame =
+    if (sp) graft.text.Bpe.encodeSp(docs, text, merges)
+    else graft.text.Bpe.encodeFast(docs, text, merges)
+
   /** Streaming a16 twin — URL canonicalization on a document stream:
     * [[graft.text.UrlOps.urlNormalize]] is one pure per-row expression
     * chain, so it applies DIRECTLY to the streaming frame — no

@@ -433,8 +433,14 @@ object Dedup {
     * lag/running-sum windows, the closing agg is (doc, run)-keyed.
     * Nothing pairwise, no driver state. */
   def substringSpans(df: DataFrame, id: String, text: String, k: Int = 8,
-                     minSpanTokens: Int = 20, bridgeGap: Int = 0): DataFrame = {
-    val grams = gramPositions(df, id, text, k)
+                     minSpanTokens: Int = 20, bridgeGap: Int = 0): DataFrame =
+    substringSpansOfTi(tiFrame(df, id, text), id, k, minSpanTokens,
+      bridgeGap)
+
+  private def substringSpansOfTi(ti: DataFrame, id: String, k: Int,
+                                 minSpanTokens: Int,
+                                 bridgeGap: Int): DataFrame = {
+    val grams = gramsOfTi(ti, id, k)
     val dupGrams = grams.groupBy(col("gd"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
@@ -523,15 +529,22 @@ object Dedup {
         col("span_tokens"), col("twin_count"))
   }
 
-  /** (id, dense token index, 16-byte gram digest) frame shared by the
-    * d09/t23 substring ops: token explode + per-doc index window + k−1
-    * lead windows, digests so no gram string crosses a shuffle. */
-  private def gramPositions(df: DataFrame, id: String, text: String,
-                            k: Int): DataFrame = {
+  /** (id, dense token index ti, token) — the tokenized frame the d09
+    * family's gram pass AND reassembly pass both consume. Callers that
+    * need it twice ([[substringDedupCut]]) checkpoint it ONCE instead
+    * of re-running the tokenize+window lineage per pass. */
+  private def tiFrame(df: DataFrame, id: String, text: String): DataFrame = {
     val w = Window.partitionBy(col(id)).orderBy(col("pos"))
-    val ti = TextOps.tokens(df, text)
+    TextOps.tokens(df, text)
       .select(col(id), col("pos"), col("token"))
-      .withColumn("ti", row_number().over(w) - 1)
+      .withColumn("ti", row_number().over(w) - 1L)
+      .select(col(id), col("ti"), col("token"))
+  }
+
+  /** 16-byte k-gram digests at every token index of a [[tiFrame]]:
+    * k−1 lead windows + md5, so no gram string crosses a shuffle. */
+  private def gramsOfTi(ti: DataFrame, id: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(id)).orderBy(col("ti"))
     val parts = (0 until k).map {
       case 0 => col("token")
       case i => lead(col("token"), i).over(w)
@@ -541,6 +554,12 @@ object Dedup {
       .filter(col("_last").isNotNull)
       .select(col(id), col("ti"), unhex(md5(col("g"))).as("gd"))
   }
+
+  /** (id, dense token index, 16-byte gram digest) frame shared by the
+    * d09/t23 substring ops. */
+  private def gramPositions(df: DataFrame, id: String, text: String,
+                            k: Int): DataFrame =
+    gramsOfTi(tiFrame(df, id, text), id, k)
 
   /** Remove every token covered by a span list from each document and
     * reassemble the text — the shared surgical-cut step behind
@@ -586,13 +605,12 @@ object Dedup {
     * (broadcast-ably small) on the doc key, never across docs. */
   def substringDedupCut(df: DataFrame, id: String, text: String,
                         k: Int = 8, minSpanTokens: Int = 20): DataFrame = {
-    val spans = substringSpans(df, id, text, k, minSpanTokens)
-    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
-    val ti = TextOps.tokens(df, text)
-      .select(col(id), col("pos"), col("token"))
-      .withColumn("ti", row_number().over(w) - 1L)
-      .select(col(id), col("ti"), col("token"))
-      .localCheckpoint() // feeds the digest pass AND the reassembly
+    // ONE tokenize+window pass feeds the gram/span pass, the content-
+    // digest pass AND the reassembly (the span finder used to re-run
+    // its own tokenize lineage — at the curate chain's 10× cell that
+    // was a second full corpus tokenization per invocation)
+    val ti = tiFrame(df, id, text).localCheckpoint()
+    val spans = substringSpansOfTi(ti, id, k, minSpanTokens, 0)
     // content digest of each interval's token slice
     val sliced = spans.join(ti, Seq(id))
       .filter(col("ti") >= col("span_start") && col("ti") <= col("span_end"))

@@ -532,24 +532,22 @@ object ScaleBench {
       def corpus() = spark.read.parquet(s"$out/documents.parquet")
         .select(col("doc_id"), col("text"))
       val tables = scala.collection.mutable.Map.empty[Int, Seq[graft.text.Bpe.Merge]]
-      def tableFor(n: Int) = tables.getOrElseUpdate(n, {
-        val m = graft.text.Bpe.trainBatched(corpus(), "text", n)
-        println(s"[scale] bpe merge table: requested $n, trained ${m.size}")
-        m
-      })
       Seq(
+        // the train cell RUNS the training (timed) and donates its
+        // table to the encode cell — a 4096-merge run is minutes-long,
+        // training it twice per process would blow the session budget
         "b01x_train_merges" -> ((d: String) => {
           import spark.implicits._
-          graft.text.Bpe.trainBatched(corpus(), "text", nFor(d))
-            .map(m => (m.rank, m.merged)).toDF("rank", "merged")
+          val n = nFor(d)
+          val m = graft.text.Bpe.trainBatched(corpus(), "text", n)
+          println(s"[scale] bpe merge table: requested $n, trained ${m.size}")
+          tables(n) = m
+          m.map(x => (x.rank, x.merged)).toDF("rank", "merged")
         }),
         "b02x_encode_merges" -> ((d: String) =>
-          graft.text.Bpe.encodeFast(corpus(), "text", tableFor(nFor(d)))
+          graft.text.Bpe.encodeFast(corpus(), "text", tables(nFor(d)))
             .select(col("doc_id"), col("n_tokens_bpe"))))
     }
-    // (encode cells fill the table memo on their first run; each cell
-    // is timed twice and min()'d, so the table-building first pass
-    // never lands in the recorded number)
     val extras: Seq[(String, String => org.apache.spark.sql.DataFrame)] =
       if (family == "dim") dimExtras()
       else if (family == "curate") curateExtras()
@@ -603,9 +601,14 @@ object ScaleBench {
         .map(q => q -> ((d: String) => time(q, d))) ++
         extras.filter { case (n, _) => wanted(n) }
           .map { case (n, th) => n -> ((d: String) => timed(th)(d)) }
+    // bpe cells run ONCE per dir (a 4096-merge training is minutes;
+    // min-of-two would double a wall that is job-count-dominated, not
+    // noise-dominated); everything else keeps the min-of-two contract
+    def timedBest(run: String => Double, d: String): Double =
+      if (family == "bpe") run(d) else math.min(run(d), run(d))
     val rows = cells.map { case (q, run) =>
-      val base = math.min(run(src), run(src))
-      val scaled = math.min(run(out), run(out))
+      val base = timedBest(run, src)
+      val scaled = timedBest(run, out)
       val ratio = scaled / base
       println(f"[scale] $q%-34s sf0.1=$base%6.2fs x$factor=$scaled%7.2fs ratio=$ratio%5.2f")
       (q, base, scaled, ratio)

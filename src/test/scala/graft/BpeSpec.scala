@@ -237,6 +237,31 @@ class BpeSpec extends AnyFunSuite {
       r._5.split(" ").count(_.nonEmpty)))
   }
 
+  test("streaming production-encoder twin: mapPartitions encodeSp " +
+       "applies directly to a stream and matches batch") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text")
+    val m = Bpe.trainSp(docs, "text", nMerges = 4)
+    val batch = Bpe.encodeSp(docs, "text", m)
+      .select("doc_id", "n_tokens_sp", "encoded_sp")
+      .as[(Long, Int, String)].collect().map(r => r._1 -> r).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graftbpesp").toString
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val buf = scala.collection.mutable.Map.empty[Long, (Long, Int, String)]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, _) => buf.synchronized {
+        buf ++= b.select("doc_id", "n_tokens_sp", "encoded_sp")
+          .as[(Long, Int, String)].collect().map(r => r._1 -> r)
+      }
+    val q = graft.streaming.StreamingScore.bpeEncodeFast(
+        stream, "text", m, sp = true)
+      .writeStream.foreachBatch(sink).start()
+    q.processAllAvailable(); q.stop()
+    assert(buf.nonEmpty && buf.toMap === batch)
+  }
+
   test("streaming b02 twin: direct stream application with a frozen " +
        "merge table matches batch") {
     val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
