@@ -141,7 +141,10 @@ object ScaleBench {
     "b01_bpe_train", "b02_bpe_encode", "b03_bpe_ids", "b04_bpe_coverage",
     "m03_image_ahash", "m04_image_neardup", "m05_audio_ahash",
     "m06_frame_hashes", "m07_video_neardup", "t25b_line_dedup_by",
-    "a16_url_normalize")
+    "a16_url_normalize",
+    "b01p_bpe_train_batched", "b02p_bpe_encode_fast",
+    "b05_bpe_sentencepiece", "a14b_domain_rollup_psl",
+    "m04b_image_neardup_by", "m07b_video_neardup_fuzzy")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
@@ -163,7 +166,10 @@ object ScaleBench {
     "t23_substring_contamination", "t24_line_filter", "t25_line_dedup",
     "b01_bpe_train", "b02_bpe_encode", "b03_bpe_ids", "b04_bpe_coverage",
     "m03_image_ahash", "m04_image_neardup", "m05_audio_ahash",
-    "m06_frame_hashes", "m07_video_neardup", "t25b_line_dedup_by")
+    "m06_frame_hashes", "m07_video_neardup", "t25b_line_dedup_by",
+    "b01p_bpe_train_batched", "b02p_bpe_encode_fast",
+    "b05_bpe_sentencepiece", "m04b_image_neardup_by",
+    "m07b_video_neardup_fuzzy")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
