@@ -1128,6 +1128,48 @@ class PipelineSpec extends AnyFunSuite {
         "distinct junk URLs never pool")
   }
 
+  test("CLI curate --dedup_by_url: a URL group whose elected keeper was " +
+       "dropped upstream falls through to the next SURVIVING copy, and " +
+       "string ids elect numerically ('9' beats '10')") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftudd2").toString
+    // ids 2 < 9 < 10 share one canonical page; doc 2 (the would-be
+    // keeper) is already in the PRIOR increment's seen register —
+    // under raw-reload election the whole group vanished; under
+    // survivor election doc 9 (numeric min — lexicographic would
+    // pick '10') survives
+    val docs = Seq(
+      (2L, (1 to 20).map(i => s"k$i").mkString(" "),
+        "https://www.page.com/x?a=1"),
+      (9L, (1 to 20).map(i => s"m$i").mkString(" "),
+        "https://WWW.Page.COM:443/x?utm_source=tw&a=1"),
+      (10L, (1 to 20).map(i => s"n$i").mkString(" "),
+        "https://www.page.com/x?a=1&fbclid=zz"),
+      (11L, (1 to 20).map(i => s"p$i").mkString(" "),
+        "https://other.org/y"))
+      .toDF("doc_id", "text", "url")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    // prior increment's register: doc 2 already processed (text_md5
+    // entries deliberately non-matching so only the id path fires)
+    Seq((2L, "no-such-md5")).toDF("seen_id", "text_md5")
+      .write.mode("overwrite").parquet(s"$dir/prior_seen.parquet")
+    val out = s"$dir/chunks"
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"$dir/docs",
+      "incremental_from" -> s"$dir/prior",
+      "near_threshold" -> "0.8", "min_tokens" -> "1",
+      "dedup_by_url" -> "true",
+      "chunk_window" -> "400", "chunk_stride" -> "300",
+      "output" -> out, "metrics_out" -> s"$dir/funnel.json"))
+    val kept = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === Set(9L, 11L),
+      "doc 2 dropped by the seen register; the URL group keeps doc 9 " +
+        "(the smallest SURVIVING id, numerically), not nothing")
+  }
+
   test("UrlOps urlNormalize: variants collapse to one canonical key, " +
        "junk passes through, real ports and non-root slashes survive") {
     val s = spark
