@@ -367,6 +367,61 @@ object StreamingScore {
         .filter(col("hamming") <= maxHamming))
     }
 
+  /** Streaming m07b twin — arriving VIDEOS frame-hashed (real AVI
+    * demux, per batch) and band-joined at FRAME granularity against a
+    * FROZEN reference frame-hash frame ([[graft.mm.Multimodal
+    * .videoFrameHashes]], built once over the ingested corpus): "is
+    * this incoming video a re-encode of anything ingested" — the
+    * near-miss question m07's exact-hash ingest twin cannot answer.
+    * Emits (id_a = reference video, id_b = arriving video, n_matched)
+    * per batch; zero state, within-batch pairs deliberately not
+    * emitted (the ingest contract). `maxKeyDf` caps ubiquitous-frame
+    * band keys on the REFERENCE side exactly like the batch op. */
+  def videoNearDupFuzzyAgainst(refFrameHashes: DataFrame,
+                               media: DataFrame,
+                               maxHamming: Int = 6,
+                               minShared: Long = 1L,
+                               maxKeyDf: Long = 0L)
+                              (sink: DataFrame => Unit)
+      : DataStreamWriter[Row] = {
+    // reference banding (and its hot-key cap) computed ONCE, outside
+    // the per-batch closure
+    val rb0 = (0 to 3).map(b => refFrameHashes.select(
+        col("media_id").as("id_a"), col("frame_idx").as("fa"),
+        lit(b).as("band"), col(s"b$b").as("bv"),
+        col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"),
+        col("b3").as("a3")))
+      .reduce(_ unionByName _)
+    val rb = (if (maxKeyDf > 0L) {
+      val hot = rb0.groupBy(col("band"), col("bv"))
+        .agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxKeyDf).drop("_df")
+      rb0.join(broadcast(hot), Seq("band", "bv"), "left_anti")
+    } else rb0).localCheckpoint()
+    media.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      import s.implicits._
+      val bh = graft.mm.Multimodal.videoFrameHashes(
+        batch.as[graft.mm.MediaRow])
+      val nb = (0 to 3).map(b => bh
+          .select(col("media_id").as("id_b"), col("frame_idx").as("fb"),
+            lit(b).as("band"), col(s"b$b").as("bv"),
+            col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"),
+            col("b3").as("c3")))
+        .reduce(_ unionByName _)
+      sink(rb.join(nb, Seq("band", "bv"))
+        .filter(bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3"))) <= maxHamming)
+        .select(col("id_a"), col("id_b"), col("fa"), col("fb"))
+        .distinct()
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_matched"))
+        .filter(col("n_matched") >= minShared))
+    }
+  }
+
   /** Streaming b02 twin — BPE encoding of a document stream with a
     * FROZEN merge table ([[graft.text.Bpe.train]], run once offline —
     * the tokenizer is versioned model state, never retrained

@@ -260,6 +260,42 @@ class PipelineSpec extends AnyFunSuite {
         "still share a cold band (both-zero rows) fail the hamming gate")
   }
 
+  test("streaming m07b twin: arriving re-encoded videos frame-match " +
+       "the frozen reference across micro-batches == batch pairs") {
+    val s = spark
+    import s.implicits._
+    import graft.mm.Multimodal
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+    val videos = Multimodal.synthesizeFromDocuments(docs)
+      .filter(_.kind == "video")
+    val refHashes = Multimodal.videoFrameHashes(videos).localCheckpoint()
+    // arriving = exact twins (+273000 preserves kind and dims) —
+    // every arriving video must frame-match its original
+    val arriving = Multimodal.synthesizeFromDocuments(
+        docs.withColumn("doc_id", col("doc_id") + 273000))
+      .toDF().filter(col("kind") === "video")
+    val batchPairs = Multimodal.videoNearDupPairsFuzzy(
+        refHashes.unionByName(Multimodal.videoFrameHashes(
+          arriving.as[graft.mm.MediaRow])), maxHamming = 6)
+      .filter(col("id_b") >= 273000 && col("id_a") < 273000)
+      .as[(Long, Long, Long)].collect().toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graftm07b").toString
+    arriving.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val buf = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val q = graft.streaming.StreamingScore.videoNearDupFuzzyAgainst(
+        refHashes, stream, maxHamming = 6) { b =>
+      buf.synchronized { buf ++= b.as[(Long, Long, Long)].collect() }
+    }.start()
+    q.processAllAvailable(); q.stop()
+    assert(buf.nonEmpty && batchPairs.subsetOf(buf.toSet),
+      "every reference↔arriving frame-matched pair surfaces " +
+        "regardless of micro-batching")
+    assert(buf.forall { case (a, b, _) => a < 273000 && b >= 273000 },
+      "only reference↔arriving pairs are emitted (the ingest contract)")
+  }
+
   test("m04b: identical images in DIFFERENT collections never pair; " +
        "within-collection twins still do") {
     val s = spark

@@ -760,6 +760,48 @@ class TextLmPackSpec extends AnyFunSuite {
       "delete -> compact -> re-ingest must serve like the original build")
   }
 
+  test("t20 compaction crash-safety: a failed directory swap ABORTS " +
+       "with tombstones intact and serving still correct (Hadoop " +
+       "rename reports failure by returning false)") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text").filter(col("doc_id") < 60)
+    val dir = java.nio.file.Files.createTempDirectory("graftb25rn").toString
+    TextOps.writeBm25Index(docs, "doc_id", "text", s"$dir/idx")
+    val dropped = docs.filter(col("doc_id") % 7 === 0)
+    TextOps.deleteFromBm25Index(dropped.select("doc_id"), "doc_id",
+      s"$dir/idx")
+    val rebuilt = TextOps.bm25TopK(docs.filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    def served() = TextOps.bm25TopKIndexed(spark, s"$dir/idx")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    // force the live→trash rename to FAIL: the trash path already
+    // exists as a plain FILE, so LocalFS rename returns false (a
+    // leftover from a crashed prior compaction — the advisor's exact
+    // scenario; unchecked, the old code deleted the tombstone sidecar
+    // anyway and the deleted docs silently resurfaced)
+    val trash = new java.io.File(s"$dir/idx_compact_trash")
+    assert(trash.createNewFile())
+    intercept[java.io.IOException] {
+      TextOps.compactBm25Index(spark, s"$dir/idx")
+    }
+    assert(new java.io.File(
+      TextOps.bm25TombstonePath(s"$dir/idx")).exists(),
+      "the tombstone sidecar must survive an aborted compaction")
+    assert(served() === rebuilt,
+      "serving stays correct through the aborted swap (tombstones " +
+        "still mask the deleted docs)")
+    // clear the obstruction: the re-run completes and clears the sidecar
+    assert(trash.delete())
+    assert(TextOps.compactBm25Index(spark, s"$dir/idx") ===
+      dropped.count())
+    assert(!new java.io.File(
+      TextOps.bm25TombstonePath(s"$dir/idx")).exists())
+    assert(served() === rebuilt, "post-compaction serving unchanged")
+  }
+
   test("streaming shard ingest (a12 twin): identical shard assignment, " +
        "dense per-shard positions across micro-batches; single-batch " +
        "stream equals the batch op exactly") {
