@@ -506,9 +506,15 @@ object Bpe {
     * caller's OOV policy owns it. */
   def encodeIds(df: DataFrame, id: String, text: String,
                 merges: Seq[Merge],
-                vocab: Seq[(Int, String, String)]): DataFrame = {
+                vocab: Seq[(Int, String, String)],
+                fast: Boolean = false): DataFrame = {
     val vmap = typedLit(vocab.map(v => v._2 -> v._1).toMap)
-    encode(df, text, merges)
+    // `fast` routes through the production linear-scan encoder —
+    // spec-pinned identical output, required once the merge table
+    // outgrows the replace chain's janino ceiling
+    val enc = if (fast) encodeFast(df, text, merges)
+              else encode(df, text, merges)
+    enc
       .select(col(id), posexplode(filter(
         split(col("encoded"), " "), s => s =!= "|"))
         .as(Seq("pos", "symbol")))
@@ -525,8 +531,9 @@ object Bpe {
     * One map-side encode + one doc-keyed agg. */
   def coverageReport(df: DataFrame, id: String, text: String,
                      merges: Seq[Merge],
-                     vocab: Seq[(Int, String, String)]): DataFrame =
-    encodeIds(df, id, text, merges, vocab)
+                     vocab: Seq[(Int, String, String)],
+                     fast: Boolean = false): DataFrame =
+    encodeIds(df, id, text, merges, vocab, fast)
       .groupBy(col(id))
       .agg(count(lit(1)).cast("long").as("n_tokens_bpe"),
         sum(when(col("token_id").isNull, 1).otherwise(0)).cast("long")

@@ -174,6 +174,19 @@ class BpeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"encodeFast must not shuffle:\n$p")
   }
 
+  test("encodeIds fast=true ≡ fast=false (ids, positions, OOV nulls)") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text").filter(col("doc_id") < 80)
+    val m = Bpe.train(docs, "text", nMerges = 6)
+    val v = Bpe.vocab(docs, "text", m)
+    def rows(fast: Boolean) =
+      Bpe.encodeIds(docs, "doc_id", "text", m, v, fast = fast)
+        .select("doc_id", "pos", "symbol", "token_id")
+        .as[(Long, Int, String, Integer)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    assert(rows(fast = true) === rows(fast = false))
+  }
+
   test("trainBatched ≡ train: gate fixture at several batch widths") {
     val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
       .select("doc_id", "text")
