@@ -445,6 +445,39 @@ slack; far over {factor} is a dim-superlinear path (none expected).
                             f"| {r['ratio']:.2f} |\n")
             except (ValueError, KeyError) as e:
                 f.write(f"\n(BENCH_SF1_DIM.json unreadable: {e})\n")
+        # BPE merge-count scale experiment (graft.tools.ScaleBench ...
+        # bpe): fixed corpus, base 256 vs 256*factor merges
+        bpath = os.path.join(ROOT, "BENCH_SF1_BPE.json")
+        if os.path.exists(bpath):
+            try:
+                bdata = json.load(open(bpath))
+                factor = bdata.get("factor")
+                f.write(f"""
+## BPE merge-count scale run (`graft.tools.ScaleBench ... bpe`)
+
+The tokenizer's PRODUCTION axis: the corpus is fixed (sf0.1 docs with
+words hex-ified via md5 + a doc_id%16 salt — ~500 distinct 32-char
+words, ~15k merge headroom, where the natural fixture exhausts at ~90
+merges) and the merge budget scales 256 vs 256*{factor}. Single-run
+walls (a 4096-merge training is minutes and job-count-dominated, not
+noise-dominated). The train cell measures `trainBatched` (exact
+conflict-free batched election); a ratio near {factor} is linear in
+merges — the per-batch job cost is the floor, and the sequential
+trainer's one-job-per-merge shape is the alternative, not a faster
+one. The encode cell measures `encodeFast` (broadcast rank map +
+mapPartitions + word cache); its ratio should be ~flat — per-word
+cost is independent of the merge-table size, where the unrolled
+replace chain would be O(|merges|*len) and die at janino's 64 KB
+method limit long before 4096.
+
+| cell | 256 merges s | {256*factor} merges s | ratio |
+|---|---|---|---|
+""")
+                for q, r in sorted(bdata.get("queries", {}).items()):
+                    f.write(f"| {q} | {r['base_sec']:.2f} | {r['scaled_sec']:.2f} "
+                            f"| {r['ratio']:.2f} |\n")
+            except (ValueError, KeyError) as e:
+                f.write(f"\n(BENCH_SF1_BPE.json unreadable: {e})\n")
     print(f"wrote COVERAGE_GATE.md + BENCH_NOTES.md from round {rnd} artifacts "
           f"({n_pass} pass / {n_fail} fail / {n_none} rows-only; "
           f"{f'{total:.2f}s' if total is not None else 'partial bench'})")
