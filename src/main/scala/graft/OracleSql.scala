@@ -6254,6 +6254,43 @@ object OracleSql {
     "b01p_bpe_train_batched" -> b01Sql(8),
     "b02p_bpe_encode_fast" -> b02Sql(8),
 
+    // t26: script-aware language ID — codepoint-RANGE char classes
+    // (identical semantics in Java regex and RE2, unlike \p{script=…}
+    // whose tables drift across engines/Unicode versions); argmax via
+    // a name-ASC CASE chain, unknown when no class char occurs
+    "t26_langid_script" ->
+      """WITH b AS (SELECT doc_id,
+        |    CASE (doc_id % 5)
+        |      WHEN 0 THEN 'the quick brown fox jumps over the lazy dog'
+        |      WHEN 1 THEN '这 是 一个 中文 句子 我们 在 训练 数据 管道 里 检测 语言 使用 汉字'
+        |      WHEN 2 THEN 'これ は にほんご の ぶん です かな が とても おおい 日本語'
+        |      WHEN 3 THEN '이것 은 한국어 문장 입니다 언어 감지 테스트 입니다'
+        |      ELSE 'это русское предложение для проверки определения языка'
+        |    END AS body
+        |  FROM documents),
+        |c AS (SELECT doc_id, body,
+        |    len(regexp_extract_all(body, '[؀-ۿ]'))::BIGINT AS n_ara,
+        |    len(regexp_extract_all(body, '[一-鿿]'))::BIGINT AS n_cjk,
+        |    len(regexp_extract_all(body, '[Ѐ-ӿ]'))::BIGINT AS n_cyr,
+        |    len(regexp_extract_all(body, '[぀-ヿ]'))::BIGINT AS n_jpn_kana,
+        |    len(regexp_extract_all(body, '[가-힯]'))::BIGINT AS n_kor,
+        |    len(regexp_extract_all(body, '[A-Za-z]'))::BIGINT AS n_lat
+        |  FROM b),
+        |m AS (SELECT c.*, greatest(n_ara, n_cjk, n_cyr, n_jpn_kana,
+        |    n_kor, n_lat) AS mx FROM c)
+        |SELECT doc_id, n_ara, n_cjk, n_cyr, n_jpn_kana, n_kor, n_lat,
+        |  CASE WHEN mx = 0 THEN 'unknown'
+        |       WHEN n_ara = mx THEN 'ara'
+        |       WHEN n_cjk = mx THEN 'cjk'
+        |       WHEN n_cyr = mx THEN 'cyr'
+        |       WHEN n_jpn_kana = mx THEN 'jpn_kana'
+        |       WHEN n_kor = mx THEN 'kor'
+        |       ELSE 'lat' END AS script_guess,
+        |  CASE WHEN mx = 0 THEN 0.0
+        |       ELSE round(mx::DOUBLE / greatest(len(body)::DOUBLE, 1.0), 6)
+        |  END AS script_ratio
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // b05: sentencepiece-style ▁ word markers — training and encoding
     // replayed over the marked stream; decode(encode(x)) == x is the
     // spec-pinned complement (DuckDB can't express the round-trip

@@ -2048,6 +2048,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── t26: script-aware language ID — deterministic multilingual
+    //    fixture (doc_id%5 selects a latin / CJK / kana-heavy / hangul
+    //    / cyrillic sample); codepoint-RANGE counts replay identically
+    //    in Java regex and RE2, argmax ties break on class name ──────
+    "t26_langid_script" -> ((s, dir) => {
+      val samples = Seq(
+        "the quick brown fox jumps over the lazy dog",
+        "这 是 一个 中文 句子 我们 在 训练 数据 管道 里 检测 语言 使用 汉字",
+        "これ は にほんご の ぶん です かな が とても おおい 日本語",
+        "이것 은 한국어 문장 입니다 언어 감지 테스트 입니다",
+        "это русское предложение для проверки определения языка")
+      val body = element_at(
+        array(samples.map(lit): _*), (col("doc_id") % 5).cast("int") + 1)
+      graft.text.TextOps.langIdScript(
+          docs(s, dir).select(col("doc_id"), body.as("body")),
+          "doc_id", "body")
+        .orderBy(col("doc_id"))
+    }),
+
     // ── b05: sentencepiece-style ▁ word markers — boundaries live IN
     //    the symbols, so the encoded stream detokenizes by pure
     //    concatenation (decodeSp ∘ encodeSp == id, spec-pinned); the

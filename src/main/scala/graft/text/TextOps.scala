@@ -113,6 +113,54 @@ object TextOps {
       .drop("rk")
   }
 
+  /** Script classes for [[langIdScript]]: (name, codepoint-range char
+    * class). EXPLICIT RANGES, not \p{script=...} — Unicode script
+    * tables differ across regex engines and Unicode versions, while
+    * literal ranges are identical in Java regex and RE2, so the oracle
+    * replays the counts bit-for-bit. Names sorted ASC = the argmax
+    * tie-break order. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "ara" -> "[؀-ۿ]",
+    "cjk" -> "[一-鿿]",
+    "cyr" -> "[Ѐ-ӿ]",
+    "jpn_kana" -> "[぀-ヿ]",
+    "kor" -> "[가-힯]",
+    "lat" -> "[A-Za-z]")
+
+  /** Script-aware language ID (beyond reference; the companion to the
+    * marker-word [[langId]], which is blind outside Latin scripts —
+    * a zh/ja/ko/ru/ar document scores 0 on every marker list and gets
+    * an arbitrary tie-break guess): per-document codepoint counts for
+    * six script classes, argmax with a deterministic (count DESC, name
+    * ASC) tie-break, `unknown` when no class character occurs, plus
+    * the winning class's character ratio. Kana outranking Han picks
+    * Japanese over Chinese on mixed kanji/kana text — the standard
+    * script-first cue a real pipeline routes on BEFORE any per-language
+    * model.
+    *
+    * Scale shape: six `regexp_count` expressions + a when-chain — pure
+    * map-side, zero shuffles, fully codegen'd, embarrassingly parallel
+    * at 100 TB; applies unchanged to a stream. */
+  def langIdScript(df: DataFrame, id: String, text: String): DataFrame = {
+    val counted = ScriptClasses.foldLeft(df.select(col(id), col(text))) {
+      case (d, (name, cls)) =>
+        d.withColumn(s"n_$name",
+          regexp_count(col(text), lit(cls)).cast("long"))
+    }
+    val maxCnt = greatest(ScriptClasses.map { case (n, _) => col(s"n_$n") }: _*)
+    val guess = ScriptClasses.foldLeft(
+      when(maxCnt === 0L, lit("unknown"))) { case (w, (name, _)) =>
+      w.when(col(s"n_$name") === maxCnt, lit(name))
+    }
+    counted
+      .withColumn("script_guess", guess)
+      .withColumn("script_ratio",
+        when(maxCnt === 0L, lit(0.0))
+          .otherwise(round(maxCnt.cast("double") /
+            greatest(length(col(text)).cast("double"), lit(1.0)), 6)))
+      .drop(text)
+  }
+
   /** Word k-gram shingles WITH duplicates (one row per gram occurrence)
     * via k−1 window leads over the exploded tokens (no array
     * materialization per row) — the repetition-scoring input;

@@ -72,6 +72,32 @@ class LineOpsSpec extends AnyFunSuite {
       "an unterminated CJK line still fails the gate")
   }
 
+  test("langIdScript: each script class wins its own text, kana beats " +
+       "kanji on mixed Japanese, ties break on class name, no letters " +
+       "at all is unknown") {
+    val df = Seq(
+      (1L, "plain english text here"),
+      (2L, "中文 文本 没有 假名"),               // pure Han → cjk
+      (3L, "これは にほんご 日本"),              // kana-heavy + 2 kanji → jpn_kana
+      (4L, "한국어 텍스트 입니다"),
+      (5L, "русский текст без латиницы"),
+      (6L, "نص عربي قصير"),
+      (7L, "12345 !!! ???"),                     // no class chars → unknown
+      (8L, "ab 汉字")                            // 2 lat vs 2 cjk TIE → cjk (name asc)
+    ).toDF("id", "body")
+    val got = graft.text.TextOps.langIdScript(df, "id", "body")
+      .select("id", "script_guess").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(1L -> "lat", 2L -> "cjk", 3L -> "jpn_kana",
+      4L -> "kor", 5L -> "cyr", 6L -> "ara", 7L -> "unknown",
+      8L -> "cjk"))
+    // the ratio is the winning class's character share:
+    // 'ab 汉字' = 5 chars, 2 of them cjk → 0.4
+    val r = graft.text.TextOps.langIdScript(df, "id", "body")
+      .filter(col("id") === 8L).select("script_ratio").as[Double].head()
+    assert(r === 0.4)
+  }
+
   test("dedupLines: corpus-frequent lines vanish everywhere, unique " +
        "prose survives in order; emptied docs stay in the funnel") {
     val boiler = "subscribe to our newsletter"
