@@ -647,6 +647,51 @@ class DedupSimSpec extends AnyFunSuite {
     assert(Similarity.compactIvfPqIndex(spark, idxPath) === 0)
   }
 
+  test("indexed IVF-PQ: a failed per-list swap ABORTS compaction with " +
+       "tombstones intact and serving still correct") {
+    val s = spark
+    import s.implicits._
+    val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_idx_rn").toString + "/idx"
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
+      graft.sim.IvfCodebook.K16, graft.sim.PqCodebook.M8K16, idxPath)
+    val delIds = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    Similarity.deleteFromIvfPqIndex(delIds, "vec_id", idxPath)
+    def serve() = Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") < 5),
+        idxPath, "vec_id", "embedding", graft.sim.IvfCodebook.K16,
+        graft.sim.PqCodebook.M8K16, nProbe = 10, k = 10, overfetch = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val tombed = serve()
+    // force one per-cid live→trash rename to FAIL: an affected cid's
+    // trash path pre-exists as a plain FILE (leftover of a crashed
+    // run), so LocalFS rename returns false — unchecked, the old code
+    // fell through to cleanup, deleted the compacted copy AND the
+    // sidecar, and the deleted vectors silently resurfaced in serving
+    val affectedCid = spark.read.parquet(idxPath)
+      .join(delIds.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .select(col("cid")).distinct().orderBy(col("cid"))
+      .first().getInt(0)
+    val trashDir = new java.io.File(s"${idxPath}_compact_trash")
+    assert(trashDir.mkdirs())
+    val blocker = new java.io.File(trashDir, s"cid=$affectedCid")
+    assert(blocker.createNewFile())
+    intercept[java.io.IOException] {
+      Similarity.compactIvfPqIndex(spark, idxPath)
+    }
+    assert(new java.io.File(Similarity.ivfPqTombstonePath(idxPath)).exists,
+      "the tombstone sidecar must survive an aborted compaction")
+    assert(serve() === tombed,
+      "serving stays correct through the aborted swap")
+    // clear the obstruction; the re-run completes the remaining lists
+    assert(blocker.delete())
+    assert(Similarity.compactIvfPqIndex(spark, idxPath) > 0)
+    assert(!new java.io.File(Similarity.ivfPqTombstonePath(idxPath)).exists)
+    assert(serve() === tombed, "post-compaction serving unchanged")
+  }
+
   test("indexed IVF-PQ: re-ingesting a tombstoned id fails fast; " +
        "delete -> compact -> re-ingest round-trips") {
     val emb = graft.core.Tables.embeddings(spark, SparkSpec.sfDir)
