@@ -6254,6 +6254,30 @@ object OracleSql {
     "b01p_bpe_train_batched" -> b01Sql(8),
     "b02p_bpe_encode_fast" -> b02Sql(8),
 
+    // t27: CJK segmentation — spaces inserted around Han/kana chars
+    // (\1 backref exists in DuckDB regexp_replace), space runs
+    // collapsed, trimmed; n_tokens = whitespace token count of the
+    // segmented text
+    "t27_cjk_segment" ->
+      """WITH b AS (SELECT doc_id,
+        |    CASE (doc_id % 5)
+        |      WHEN 0 THEN 'plain english stays words'
+        |      WHEN 1 THEN '这是一个中文句子没有空格'
+        |      WHEN 2 THEN 'これはにほんごのぶんです日本語まじり'
+        |      WHEN 3 THEN 'mixed英文和中文text在一起'
+        |      ELSE '한국어 문장 은 띄어쓰기 유지'
+        |    END AS body
+        |  FROM documents),
+        |sg AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(body,
+        |      '([一-鿿぀-ヿ])', ' \1 ', 'g'), '  +', ' ', 'g'))
+        |      AS segmented
+        |  FROM b)
+        |SELECT doc_id, segmented,
+        |  len(list_filter(string_split(segmented, ' '),
+        |    t -> t <> ''))::BIGINT AS n_tokens
+        |FROM sg ORDER BY doc_id""".stripMargin,
+
     // t26: script-aware language ID — codepoint-RANGE char classes
     // (identical semantics in Java regex and RE2, unlike \p{script=…}
     // whose tables drift across engines/Unicode versions); argmax via

@@ -2067,6 +2067,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── t27: CJK segmentation shim — unsegmented Han/kana text (the
+    //    fixture strips spaces from mixed zh/ja samples) comes back
+    //    char-tokenized with latin runs intact, so the whitespace
+    //    token stack works on CJK corpora; hangul deliberately
+    //    unsplit ──────────────────────────────────────────────────────
+    "t27_cjk_segment" -> ((s, dir) => {
+      val samples = Seq(
+        "plain english stays words",
+        "这是一个中文句子没有空格",
+        "これはにほんごのぶんです日本語まじり",
+        "mixed英文和中文text在一起",
+        "한국어 문장 은 띄어쓰기 유지")
+      val body = element_at(
+        array(samples.map(lit): _*), (col("doc_id") % 5).cast("int") + 1)
+      graft.text.TextOps.cjkSegmentFrame(
+          docs(s, dir).select(col("doc_id"), body.as("body")),
+          "doc_id", "body")
+        .select(col("doc_id"), col("segmented"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── b05: sentencepiece-style ▁ word markers — boundaries live IN
     //    the symbols, so the encoded stream detokenizes by pure
     //    concatenation (decodeSp ∘ encodeSp == id, spec-pinned); the

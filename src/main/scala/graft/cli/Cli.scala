@@ -507,9 +507,18 @@ object Cli {
           .asInstanceOf[Long]) - Option(r.get(1)).fold(0L)(_
           .asInstanceOf[Long]))
         .getOrElse(0L)
+    // ── optional CJK segmentation (--cjk_segment true — t27): insert
+    // spaces around Han/kana chars BEFORE any token-based stage, so an
+    // unsegmented zh/ja corpus stops reading as one-giant-word docs
+    // (q19/Gopher/shingles/chunking all assume whitespace tokens).
+    // Pure map-side regex — free at any scale.
+    val segmented =
+      if (cfg.strOpt("cjk_segment").contains("true"))
+        urlDeduped.withColumn(text, trim(TextOps.cjkSegment(col(text))))
+      else urlDeduped
     val (lineFiltered, nLineFilterDrop) =
       if (cfg.strOpt("line_filter").contains("true")) {
-        val lf = TextOps.lineFilter(urlDeduped, id, text,
+        val lf = TextOps.lineFilter(segmented, id, text,
           minWords = cfg.strOpt("min_line_words").map(_.toInt)
             .getOrElse(3),
           requireTerminal = true,
@@ -526,7 +535,7 @@ object Cli {
           })
         (lf.select(col(id), col("clean").as(text)),
           lineDropCount(lf, "line_filter"))
-      } else (urlDeduped, 0L)
+      } else (segmented, 0L)
     val (lineShaped, nLineDedupDrop) = cfg.strOpt("max_line_df") match {
       case Some(n) =>
         val ld = TextOps.dedupLines(lineFiltered, id, text,

@@ -161,6 +161,34 @@ object TextOps {
       .drop(text)
   }
 
+  /** CJK segmentation shim (t27; the mC4/CCNet preprocessing rule):
+    * whitespace tokenization sees an unsegmented Chinese/Japanese
+    * document as ONE giant "word", silently defeating every token op
+    * downstream (q19 counts 1 token, Gopher's mean word length
+    * explodes, shingles never match, chunk windows never split). This
+    * inserts spaces around every Han ideograph and kana character —
+    * the standard char-level baseline (each ideograph is
+    * approximately a token; real morphological segmenters are
+    * per-language models out of engine scope) — and collapses the
+    * resulting space runs. Hangul is deliberately NOT split: Korean
+    * text carries real spaces and per-char splitting would destroy
+    * its words. Latin runs embedded in CJK text survive as words.
+    * Pure two-regex map-side chain, zero shuffles, RE2-compatible
+    * (oracle-replayable), applies unchanged to a stream. */
+  def cjkSegment(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "([一-鿿぀-ヿ])", " $1 "),
+      "  +", " ")
+
+  /** [[cjkSegment]] as a frame op: adds `segmented` (trimmed) and its
+    * whitespace token count `n_tokens` — run BEFORE the token stack
+    * (curate `--cjk_segment`). */
+  def cjkSegmentFrame(df: DataFrame, id: String, text: String): DataFrame =
+    df.withColumn("segmented", trim(cjkSegment(col(text))))
+      .withColumn("n_tokens",
+        size(filter(split(col("segmented"), " "), t => t =!= ""))
+          .cast("long"))
+
   /** Word k-gram shingles WITH duplicates (one row per gram occurrence)
     * via k−1 window leads over the exploded tokens (no array
     * materialization per row) — the repetition-scoring input;

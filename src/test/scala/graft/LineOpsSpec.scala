@@ -98,6 +98,35 @@ class LineOpsSpec extends AnyFunSuite {
     assert(r === 0.4)
   }
 
+  test("cjkSegment: unsegmented Han/kana text char-tokenizes, latin " +
+       "runs and hangul words survive intact, already-spaced text is " +
+       "unchanged") {
+    val df = Seq(
+      (1L, "这是中文"),
+      (2L, "mixed英文text"),
+      (3L, "これは日本語"),
+      (4L, "한국어 문장 유지"),
+      (5L, "plain english words"),
+      (6L, "已 经 分 词")).toDF("id", "body")
+    val got = graft.text.TextOps.cjkSegmentFrame(df, "id", "body")
+      .select("id", "segmented", "n_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got(0) === ((1L, "这 是 中 文", 4L)))
+    assert(got(1) === ((2L, "mixed 英 文 text", 4L)),
+      "latin runs embedded in CJK survive as words")
+    assert(got(2) === ((3L, "こ れ は 日 本 語", 6L)))
+    assert(got(3) === ((4L, "한국어 문장 유지", 3L)),
+      "hangul is NOT split — Korean carries real spaces")
+    assert(got(4) === ((5L, "plain english words", 3L)))
+    assert(got(5) === ((6L, "已 经 分 词", 4L)),
+      "already-segmented text round-trips unchanged")
+    // the payoff: token ops see real tokens — q19 on the raw text
+    // counts ONE token for doc 1, the segmented frame counts 4
+    val raw = graft.text.TextOps.tokenStats(df.filter(col("id") === 1L),
+      "id", "body").select("n_tokens").as[Long].head()
+    assert(raw === 1L, "unsegmented CJK is one giant word to q19")
+  }
+
   test("dedupLines: corpus-frequent lines vanish everywhere, unique " +
        "prose survives in order; emptied docs stay in the funnel") {
     val boiler = "subscribe to our newsletter"
