@@ -6254,6 +6254,40 @@ object OracleSql {
     "b01p_bpe_train_batched" -> b01Sql(8),
     "b02p_bpe_encode_fast" -> b02Sql(8),
 
+    // t28: HTML stripping — the same RE2 chain (comments, script/style
+    // with contents, tags, entity decode with &amp; LAST, whitespace
+    // collapse); replace() chains mirror the Spark side exactly
+    "t28_html_strip" ->
+      """WITH b AS (SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style>' ||
+        |    '<script>var x=1;</script></head><body><h1>Doc ' ||
+        |    doc_id::VARCHAR || '</h1>' || chr(10) ||
+        |    '<p class="a">' || text ||
+        |    '</p><!-- hidden --><br/>&amp; &lt;tag&gt; ' ||
+        |    '&quot;q&quot;&nbsp;&#39;s</body></html>' AS body
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |    regexp_replace(body, '(?s)<!--.*?-->', ' ', 'g') AS t FROM b),
+        |s2 AS (SELECT doc_id,
+        |    regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g')
+        |    AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |    regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g')
+        |    AS t FROM s2),
+        |s4 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(t, '(?s)<[^>]*>', ' ', 'g'),
+        |      '(?s)<[^>]*$', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(t,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+        |  FROM s4),
+        |s6 AS (SELECT doc_id,
+        |    trim(regexp_replace(t, '[ \t\r\n]+', ' ', 'g')) AS clean
+        |  FROM s5)
+        |SELECT doc_id, clean, length(clean)::BIGINT AS n_chars
+        |FROM s6 ORDER BY doc_id""".stripMargin,
+
     // t27: CJK segmentation — spaces inserted around Han/kana chars
     // (\1 backref exists in DuckDB regexp_replace), space runs
     // collapsed, trimmed; n_tokens = whitespace token count of the

@@ -2048,6 +2048,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── t28: HTML stripping — the fixture wraps each doc's text in a
+    //    deterministic page (head with style+script, headings, a
+    //    comment, entities); script/style contents and tags must
+    //    vanish, entities decode single-pass, prose survives ──────────
+    "t28_html_strip" -> ((s, dir) => {
+      val body = concat(
+        lit("<html><head><style>p{color:red}</style>"),
+        lit("<script>var x=1;</script></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1>\n<p class=\"a\">"), col("text"),
+        lit("</p><!-- hidden --><br/>&amp; &lt;tag&gt; "),
+        lit("&quot;q&quot;&nbsp;&#39;s</body></html>"))
+      graft.text.TextOps.htmlStripFrame(
+          docs(s, dir).select(col("doc_id"), body.as("body")),
+          "doc_id", "body")
+        .select(col("doc_id"), col("clean"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── t26: script-aware language ID — deterministic multilingual
     //    fixture (doc_id%5 selects a latin / CJK / kana-heavy / hangul
     //    / cyrillic sample); codepoint-RANGE counts replay identically

@@ -507,6 +507,13 @@ object Cli {
           .asInstanceOf[Long]) - Option(r.get(1)).fold(0L)(_
           .asInstanceOf[Long]))
         .getOrElse(0L)
+    // ── optional HTML stripping (--html_strip true — t28): crawl data
+    // arrives as markup; script/style/tags/entities go FIRST so every
+    // later gate and fingerprint sees prose. Map-side regex chain.
+    val htmlStripped =
+      if (cfg.strOpt("html_strip").contains("true"))
+        urlDeduped.withColumn(text, TextOps.htmlStrip(col(text)))
+      else urlDeduped
     // ── optional CJK segmentation (--cjk_segment true — t27): insert
     // spaces around Han/kana chars BEFORE any token-based stage, so an
     // unsegmented zh/ja corpus stops reading as one-giant-word docs
@@ -514,8 +521,8 @@ object Cli {
     // Pure map-side regex — free at any scale.
     val segmented =
       if (cfg.strOpt("cjk_segment").contains("true"))
-        urlDeduped.withColumn(text, trim(TextOps.cjkSegment(col(text))))
-      else urlDeduped
+        htmlStripped.withColumn(text, trim(TextOps.cjkSegment(col(text))))
+      else htmlStripped
     val (lineFiltered, nLineFilterDrop) =
       if (cfg.strOpt("line_filter").contains("true")) {
         val lf = TextOps.lineFilter(segmented, id, text,

@@ -189,6 +189,44 @@ object TextOps {
         size(filter(split(col("segmented"), " "), t => t =!= ""))
           .cast("long"))
 
+  /** HTML stripping (t28; the step before every line/token gate on
+    * crawl data): drop `<script>`/`<style>` elements WITH their
+    * contents and HTML comments, strip remaining tags, single-pass
+    * decode the six ubiquitous entities (`&amp;` LAST, so a literal
+    * `&amp;lt;` decodes to `&lt;` and stops — the correct single-pass
+    * semantics), collapse whitespace runs. A regex baseline, not a
+    * DOM parser — the honest hermetic cut (production extractors like
+    * trafilatura are per-site ML models out of engine scope); malformed
+    * HTML degrades to over-stripping, never to leaked tags. Every
+    * pattern is RE2-compatible (no backreferences — script and style
+    * are spelled out because RE2 has no \1 in patterns; `(?is)` inline
+    * flags and non-greedy exist in both engines), so the oracle
+    * replays it verbatim. Pure map-side chain, zero shuffles,
+    * stream-safe. */
+  def htmlStrip(text: Column): Column = {
+    val noComment = regexp_replace(text, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    // an UNCLOSED trailing tag (truncated crawl record) has no '>' for
+    // the rule above — strip it to end-of-text rather than leak it
+    val noTrunc = regexp_replace(noTags, "(?s)<[^>]*$", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTrunc) { case (c, (e, v)) =>
+        call_function("replace", c, lit(e), lit(v))
+      }
+    trim(regexp_replace(ent, "[ \\t\\r\\n]+", " "))
+  }
+
+  /** [[htmlStrip]] as a frame op: adds `clean` and its character
+    * count (curate `--html_strip`, the FIRST text-shaping stage). */
+  def htmlStripFrame(df: DataFrame, id: String, text: String): DataFrame =
+    df.withColumn("clean", htmlStrip(col(text)))
+      .withColumn("n_chars", length(col("clean")).cast("long"))
+
   /** Word k-gram shingles WITH duplicates (one row per gram occurrence)
     * via k−1 window leads over the exploded tokens (no array
     * materialization per row) — the repetition-scoring input;

@@ -127,6 +127,32 @@ class LineOpsSpec extends AnyFunSuite {
     assert(raw === 1L, "unsegmented CJK is one giant word to q19")
   }
 
+  test("htmlStrip: script/style contents vanish, tags vanish, entities " +
+       "decode single-pass (&amp;lt; stays &lt;), comments go, " +
+       "malformed markup over-strips rather than leaks") {
+    val df = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "<script>alert('x')</script>keep<style>a{b:c}</style>this"),
+      (3L, "a &lt;tag&gt; &amp; &quot;q&quot; &#39;s&nbsp;end"),
+      (4L, "&amp;lt; double-escaped stays literal"),
+      (5L, "<!-- secret -->visible<!-- more\nlines -->"),
+      (6L, "<SCRIPT TYPE=\"x\">UPPER\ncase</SCRIPT>ok"),
+      (7L, "broken <tag never closes")).toDF("id", "body")
+    val got = graft.text.TextOps.htmlStripFrame(df, "id", "body")
+      .select("id", "clean").as[(Long, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(got(0) === ((1L, "hello world")))
+    assert(got(1) === ((2L, "keep this")),
+      "script/style contents must vanish, surrounding prose survives")
+    assert(got(2) === ((3L, "a <tag> & \"q\" 's end")))
+    assert(got(3) === ((4L, "&lt; double-escaped stays literal")),
+      "single-pass decode: &amp;lt; -> &lt; and STOPS")
+    assert(got(4) === ((5L, "visible")))
+    assert(got(5) === ((6L, "ok")), "case-insensitive, multiline script")
+    assert(got(6) === ((7L, "broken")),
+      "an unclosed tag over-strips to the end — never leaks markup")
+  }
+
   test("dedupLines: corpus-frequent lines vanish everywhere, unique " +
        "prose survives in order; emptied docs stay in the funnel") {
     val boiler = "subscribe to our newsletter"
