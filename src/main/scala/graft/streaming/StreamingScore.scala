@@ -305,9 +305,26 @@ object StreamingScore {
   def lineFilter(docs: DataFrame, id: String, text: String,
                  minWords: Int = 3, requireTerminal: Boolean = true,
                  blocklist: Seq[String] = Seq("javascript", "cookie",
-                   "{")): DataFrame =
+                   "{"),
+                 terminalRegex: String =
+                   graft.text.TextOps.TerminalPunctLatin): DataFrame =
     graft.text.TextOps.lineFilter(docs, id, text, minWords,
-      requireTerminal, blocklist)
+      requireTerminal, blocklist, terminalRegex)
+
+  /** Streaming t28/t27/t26 twins — HTML stripping, CJK segmentation
+    * and script language-ID are pure per-row expression chains, so
+    * they apply DIRECTLY to the streaming frame: no foreachBatch, no
+    * state, batch-identical by construction. The full curate text-
+    * shaping prefix (strip → segment → line gates) therefore runs on
+    * a stream exactly as in batch. */
+  def htmlStrip(docs: DataFrame, id: String, text: String): DataFrame =
+    graft.text.TextOps.htmlStripFrame(docs, id, text)
+
+  def cjkSegment(docs: DataFrame, id: String, text: String): DataFrame =
+    graft.text.TextOps.cjkSegmentFrame(docs, id, text)
+
+  def langIdScript(docs: DataFrame, id: String, text: String): DataFrame =
+    graft.text.TextOps.langIdScript(docs, id, text)
 
   /** Streaming t25 twin — repeated-line removal of ARRIVING docs
     * against a FROZEN boilerplate-line frame

@@ -145,7 +145,7 @@ object ScaleBench {
     "b01p_bpe_train_batched", "b02p_bpe_encode_fast",
     "b05_bpe_sentencepiece", "a14b_domain_rollup_psl",
     "m04b_image_neardup_by", "m07b_video_neardup_fuzzy",
-    "t26_langid_script", "t27_cjk_segment")
+    "t26_langid_script", "t27_cjk_segment", "t28_html_strip")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
@@ -170,7 +170,7 @@ object ScaleBench {
     "m06_frame_hashes", "m07_video_neardup", "t25b_line_dedup_by",
     "b01p_bpe_train_batched", "b02p_bpe_encode_fast",
     "b05_bpe_sentencepiece", "m04b_image_neardup_by",
-    "m07b_video_neardup_fuzzy")
+    "m07b_video_neardup_fuzzy", "t28_html_strip")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
