@@ -359,6 +359,7 @@ object Bpe {
     * model-sized oracle-replayable ones. */
   def encodeFast(df: DataFrame, text: String,
                  merges: Seq[Merge]): DataFrame = {
+    requireRankConsistent(merges)
     val spark = df.sparkSession
     val rankMap = new java.util.HashMap[String, Integer](
       math.max(16, merges.size * 2))
@@ -383,6 +384,38 @@ object Bpe {
           row.toSeq :+ nTok :+ enc.map(_.mkString(" ")).mkString(" | "))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Greedy-scan ≡ rank-ordered-chain holds ONLY for RANK-CONSISTENT
+    * tables: no merge's component may be the OUTPUT of a later-rank
+    * merge. Every table this engine trains satisfies it by
+    * construction (a pair is elected only over symbols that already
+    * exist); a hand-edited or corrupted `--bpe_merges` artifact might
+    * not — e.g. rank 1 = (ab, c) with rank 2 = (a, b): the chain
+    * passes rank 1 before `ab` exists and never returns, while the
+    * greedy scan forms `ab` then happily applies rank 1 — silently
+    * different tokens. (Components that are formable by NO merge at
+    * all — single chars or dead entries — are fine: they match
+    * identically, or never, in both paths.) Fail loudly instead.
+    * O(|merges|) hash probes, once per encode call. */
+  private def requireRankConsistent(merges: Seq[Merge]): Unit = {
+    val mergedRank = new java.util.HashMap[String, Integer]()
+    merges.foreach { m =>
+      val prev = mergedRank.get(m.merged)
+      if (prev == null || prev > m.rank)
+        mergedRank.put(m.merged, Integer.valueOf(m.rank))
+    }
+    merges.foreach { m =>
+      Seq(m.left, m.right).foreach { c =>
+        val r = mergedRank.get(c)
+        require(r == null || r <= m.rank,
+          s"merge table is not rank-consistent: rank ${m.rank} uses " +
+            s"component '$c', which is first FORMED by the later rank " +
+            s"$r — the linear-scan encoder and the rank-ordered chain " +
+            "would diverge on such a table; re-export it from " +
+            "Bpe.train/trainBatched")
+      }
+    }
   }
 
   /** Per-task word→encoding cache (the fastBPE/HF-tokenizers token
@@ -436,6 +469,7 @@ object Bpe {
     * [[decodeSp]] inverts it exactly. */
   def encodeSp(df: DataFrame, text: String,
                merges: Seq[Merge]): DataFrame = {
+    requireRankConsistent(merges)
     val spark = df.sparkSession
     val rankMap = new java.util.HashMap[String, Integer](
       math.max(16, merges.size * 2))

@@ -197,6 +197,26 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeFast rejects rank-INCONSISTENT tables (component formed " +
+       "by a later merge) but accepts dead never-formable entries") {
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    // rank 1 consumes 'ab', which only rank 2 can form — the chain
+    // and the greedy scan would silently tokenize differently
+    val bad = Seq(Bpe.Merge(1, "ab", "c", "abc", 0L),
+      Bpe.Merge(2, "a", "b", "ab", 0L))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.encodeFast(df, "text", bad).collect()
+    }
+    assert(e.getMessage.contains("rank-consistent"))
+    // a dead multi-char component no merge ever forms is harmless —
+    // it can match in NEITHER path
+    val dead = Seq(Bpe.Merge(1, "qqq", "zzz", "qqqzzz", 0L),
+      Bpe.Merge(2, "a", "b", "ab", 0L))
+    val out = Bpe.encodeFast(df, "text", dead)
+      .select("encoded").as[String].head()
+    assert(out === "ab c")
+  }
+
   test("trainBatched ≡ train: adversarial corpora — self-pair runs, " +
        "count ties, interacting top pairs, early exhaustion") {
     val fixtures = Seq(
@@ -248,6 +268,27 @@ class BpeSpec extends AnyFunSuite {
     // the token count is the symbol count of the stream
     assert(out.forall(r => r._4 ===
       r._5.split(" ").count(_.nonEmpty)))
+  }
+
+  test("trainBatched ≡ train: randomized property — 12 seeded corpora " +
+       "over a 3-letter alphabet (maximal interaction/tie/self-pair " +
+       "density) at two batch widths") {
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed * 7919L)
+      val words = Seq.fill(4 + rnd.nextInt(5)) {
+        val len = 1 + rnd.nextInt(6)
+        (Seq.fill(len)("abc" (rnd.nextInt(3))).mkString,
+          1 + rnd.nextInt(4))
+      }
+      val df = corpus(words: _*)
+      val seq = Bpe.train(df, "text", nMerges = 6)
+      for (w <- Seq(2, 4)) {
+        val bat = Bpe.trainBatched(df, "text", nMerges = 6,
+          electBatch = w)
+        assert(bat === seq,
+          s"seed=$seed electBatch=$w corpus=$words diverged")
+      }
+    }
   }
 
   test("streaming production-encoder twin: mapPartitions encodeSp " +
