@@ -1133,6 +1133,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === rows.map(_._2))
   }
 
+  test("CLI curate --html_strip + --cjk_segment: markup vanishes and " +
+       "CJK char-tokenizes BEFORE the token gates, so a markup-wrapped " +
+       "CJK doc survives min_tokens instead of reading as one word") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftscjk").toString
+    val docs = Seq(
+      (1L, "<p>" + "这是一个没有空格的中文文档需要切分成字符" + "</p>" +
+        "<script>tracking()</script>"),
+      (2L, "<div>plain english words survive the chain too okay " +
+        "friend</div>")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"$dir/docs",
+      "html_strip" -> "true", "cjk_segment" -> "true",
+      "near_threshold" -> "0.8", "min_tokens" -> "5",
+      "chunk_window" -> "400", "chunk_stride" -> "300",
+      "output" -> s"$dir/chunks", "metrics_out" -> s"$dir/funnel.json"))
+    val out = spark.read.parquet(s"$dir/chunks")
+      .select("doc_id", "chunk").as[(Long, String)].collect().toMap
+    assert(out.keySet === Set(1L, 2L),
+      "the CJK doc clears min_tokens=5 only because segmentation ran " +
+        "(unsegmented it is ONE token); both docs survive")
+    assert(!out(1L).contains("<") && !out(1L).contains("tracking"),
+      "markup and script contents are gone")
+    assert(out(1L).startsWith("这 是 一 个"), "CJK is char-tokenized")
+  }
+
   test("CLI curate --dedup_by_url: tracking-param/case/port variants of " +
        "one page collapse to keep-first; junk URLs are all kept") {
     val s = spark
