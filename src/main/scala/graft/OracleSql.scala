@@ -6254,6 +6254,22 @@ object OracleSql {
     "b01p_bpe_train_batched" -> b01Sql(8),
     "b02p_bpe_encode_fast" -> b02Sql(8),
 
+    // t29: Unicode NFC normalization — DuckDB's nfc_normalize and
+    // java.text.Normalizer both implement UAX #15, so the outputs
+    // agree by standard; the decomposed variant is built with chr(769)
+    // (combining acute)
+    "t29_nfc_normalize" ->
+      """WITH b AS (SELECT doc_id,
+        |    text || CASE (doc_id % 3)
+        |      WHEN 0 THEN ' café résumé'
+        |      WHEN 1 THEN ' cafe' || chr(769) || ' re' || chr(769) ||
+        |                  'sume' || chr(769)
+        |      ELSE ' plain ascii' END AS body
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(body) AS normalized,
+        |  (nfc_normalize(body) <> body)::INT AS changed
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     // t28: HTML stripping — the same RE2 chain (comments, script/style
     // with contents, tags, entity decode with &amp; LAST, whitespace
     // collapse); replace() chains mirror the Spark side exactly

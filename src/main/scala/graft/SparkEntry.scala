@@ -2048,6 +2048,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── t29: Unicode NFC normalization — composed vs decomposed forms
+    //    of the same visible text (é vs e+U+0301) converge; docs at
+    //    %3∈{0,1} end byte-identical after normalization, the changed
+    //    flag marks exactly the decomposed third ──────────────────────
+    "t29_nfc_normalize" -> ((s, dir) => {
+      val tail = element_at(array(
+        lit(" café résumé"),
+        lit(" café résumé"),
+        lit(" plain ascii")), (col("doc_id") % 3).cast("int") + 1)
+      graft.text.TextOps.nfcNormalizeFrame(
+          docs(s, dir).select(col("doc_id"),
+            concat(col("text"), tail).as("body")),
+          "doc_id", "body")
+        .select(col("doc_id"), col("normalized"), col("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── t28: HTML stripping — the fixture wraps each doc's text in a
     //    deterministic page (head with style+script, headings, a
     //    comment, entities); script/style contents and tags must

@@ -507,13 +507,21 @@ object Cli {
           .asInstanceOf[Long]) - Option(r.get(1)).fold(0L)(_
           .asInstanceOf[Long]))
         .getOrElse(0L)
+    // ── optional Unicode NFC normalization (--nfc_normalize true —
+    // t29): composed/decomposed twins byte-converge BEFORE anything
+    // fingerprints the text (the CCNet ordering). Map-side pass.
+    val nfcNormalized =
+      if (cfg.strOpt("nfc_normalize").contains("true"))
+        TextOps.nfcNormalizeFrame(urlDeduped, id, text)
+          .drop(text, "changed").withColumnRenamed("normalized", text)
+      else urlDeduped
     // ── optional HTML stripping (--html_strip true — t28): crawl data
     // arrives as markup; script/style/tags/entities go FIRST so every
     // later gate and fingerprint sees prose. Map-side regex chain.
     val htmlStripped =
       if (cfg.strOpt("html_strip").contains("true"))
-        urlDeduped.withColumn(text, TextOps.htmlStrip(col(text)))
-      else urlDeduped
+        nfcNormalized.withColumn(text, TextOps.htmlStrip(col(text)))
+      else nfcNormalized
     // ── optional CJK segmentation (--cjk_segment true — t27): insert
     // spaces around Han/kana chars BEFORE any token-based stage, so an
     // unsegmented zh/ja corpus stops reading as one-giant-word docs

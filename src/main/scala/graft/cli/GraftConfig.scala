@@ -82,7 +82,7 @@ object GraftConfig {
     "max_dup_span", "cut_dup_spans", "cut_contaminated_spans",
     "domain_blocklist", "url_col", "line_filter", "min_line_words",
     "line_blocklist", "line_terminal", "cjk_segment", "html_strip",
-    "max_line_df", "train_bpe", "bpe_merges",
+    "nfc_normalize", "max_line_df", "train_bpe", "bpe_merges",
     "dedup_by_url")
 
   /** `--key value` CLI args → overrides; `--load_config f.json` merges

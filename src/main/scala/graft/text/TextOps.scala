@@ -227,6 +227,39 @@ object TextOps {
     df.withColumn("clean", htmlStrip(col(text)))
       .withColumn("n_chars", length(col("clean")).cast("long"))
 
+  /** Unicode NFC normalization (t29; the CCNet "normalize before you
+    * fingerprint" rule): the same visible text arrives from different
+    * sources in composed (é = U+00E9) and decomposed (e + U+0301)
+    * forms — byte-distinct, so exact dedup, shingle/minhash
+    * fingerprints, BM25 tokens and decontamination grams all silently
+    * miss the match until the corpus is canonicalized. One
+    * `java.text.Normalizer` NFC pass per row inside `mapPartitions`
+    * (NFC has no Catalyst expression; the normalizer is stateless and
+    * allocation-free for already-normalized text, which Normalizer
+    * detects with a quick-check scan) — map-side, zero shuffles,
+    * stream-safe. The oracle replays it with DuckDB's
+    * `nfc_normalize` (both sides implement UAX #15, so agreement is
+    * by standard, not by luck). Emits `normalized` + a `changed`
+    * flag (the corpus-hygiene funnel count). */
+  def nfcNormalizeFrame(df: DataFrame, id: String,
+                        text: String): DataFrame = {
+    val ti = df.schema.fieldIndex(text)
+    val outSchema = df.schema
+      .add("normalized", org.apache.spark.sql.types.StringType)
+      .add("changed", org.apache.spark.sql.types.IntegerType)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val t = row.getString(ti)
+        val n =
+          if (t == null) null
+          else java.text.Normalizer.normalize(t,
+            java.text.Normalizer.Form.NFC)
+        val changed = if (t != null && n != t) 1 else 0
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ n :+ changed)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Word k-gram shingles WITH duplicates (one row per gram occurrence)
     * via k−1 window leads over the exploded tokens (no array
     * materialization per row) — the repetition-scoring input;

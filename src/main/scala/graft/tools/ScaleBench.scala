@@ -145,7 +145,8 @@ object ScaleBench {
     "b01p_bpe_train_batched", "b02p_bpe_encode_fast",
     "b05_bpe_sentencepiece", "a14b_domain_rollup_psl",
     "m04b_image_neardup_by", "m07b_video_neardup_fuzzy",
-    "t26_langid_script", "t27_cjk_segment", "t28_html_strip")
+    "t26_langid_script", "t27_cjk_segment", "t28_html_strip",
+    "t29_nfc_normalize")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT

@@ -153,6 +153,30 @@ class LineOpsSpec extends AnyFunSuite {
       "an unclosed tag over-strips to the end — never leaks markup")
   }
 
+  test("nfcNormalize: decomposed forms converge on the composed ones " +
+       "(so exact dedup sees them as twins), already-NFC text is " +
+       "flagged unchanged, nulls pass through") {
+    val composed = "café résumé"
+    val decomposed = "café résumé"
+    assert(composed != decomposed, "the fixture forms are byte-distinct")
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "plain"),
+      (4L, null.asInstanceOf[String])).toDF("id", "body")
+    val got = graft.text.TextOps.nfcNormalizeFrame(df, "id", "body")
+      .select("id", "normalized", "changed")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(got(0) === ((1L, composed, 0)))
+    assert(got(1) === ((2L, composed, 1)),
+      "the decomposed twin converges and is flagged")
+    assert(got(2) === ((3L, "plain", 0)))
+    assert(got(3)._2 === null && got(3)._3 === 0)
+    // the payoff: exact dedup now collapses the pair
+    val norm = graft.text.TextOps.nfcNormalizeFrame(
+        df.filter(col("id") <= 2L), "id", "body")
+      .select(col("id"), col("normalized").as("body"))
+    assert(norm.select("body").distinct().count() === 1L,
+      "one distinct text after normalization — dedup sees twins")
+  }
+
   test("dedupLines: corpus-frequent lines vanish everywhere, unique " +
        "prose survives in order; emptied docs stay in the funnel") {
     val boiler = "subscribe to our newsletter"
