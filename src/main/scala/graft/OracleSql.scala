@@ -6320,7 +6320,7 @@ object OracleSql {
         |  FROM documents),
         |sg AS (SELECT doc_id,
         |    trim(regexp_replace(regexp_replace(body,
-        |      '([一-鿿぀-ヿ])', ' \1 ', 'g'), '  +', ' ', 'g'))
+        |      '([㐀-䶿一-鿿぀-ヿｦ-ﾟ])', ' \1 ', 'g'), '  +', ' ', 'g'))
         |      AS segmented
         |  FROM b)
         |SELECT doc_id, segmented,
@@ -6344,9 +6344,9 @@ object OracleSql {
         |  FROM documents),
         |c AS (SELECT doc_id, body,
         |    len(regexp_extract_all(body, '[؀-ۿ]'))::BIGINT AS n_ara,
-        |    len(regexp_extract_all(body, '[一-鿿]'))::BIGINT AS n_cjk,
+        |    len(regexp_extract_all(body, '[㐀-䶿一-鿿]'))::BIGINT AS n_cjk,
         |    len(regexp_extract_all(body, '[Ѐ-ӿ]'))::BIGINT AS n_cyr,
-        |    len(regexp_extract_all(body, '[぀-ヿ]'))::BIGINT AS n_jpn_kana,
+        |    len(regexp_extract_all(body, '[぀-ヿｦ-ﾟ]'))::BIGINT AS n_jpn_kana,
         |    len(regexp_extract_all(body, '[가-힯]'))::BIGINT AS n_kor,
         |    len(regexp_extract_all(body, '[A-Za-z]'))::BIGINT AS n_lat
         |  FROM b),

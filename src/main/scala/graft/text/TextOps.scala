@@ -117,13 +117,16 @@ object TextOps {
     * class). EXPLICIT RANGES, not \p{script=...} — Unicode script
     * tables differ across regex engines and Unicode versions, while
     * literal ranges are identical in Java regex and RE2, so the oracle
-    * replays the counts bit-for-bit. Names sorted ASC = the argmax
-    * tie-break order. */
+    * replays the counts bit-for-bit. cjk = Ext-A (U+3400–4DBF) + the
+    * unified block (U+4E00–9FFF); kana = hiragana/katakana
+    * (U+3040–30FF) + HALFWIDTH katakana (U+FF66–9F, ubiquitous in
+    * legacy ja text). Names sorted ASC = the argmax tie-break
+    * order. */
   val ScriptClasses: Seq[(String, String)] = Seq(
     "ara" -> "[؀-ۿ]",
-    "cjk" -> "[一-鿿]",
+    "cjk" -> "[㐀-䶿一-鿿]",
     "cyr" -> "[Ѐ-ӿ]",
-    "jpn_kana" -> "[぀-ヿ]",
+    "jpn_kana" -> "[぀-ヿｦ-ﾟ]",
     "kor" -> "[가-힯]",
     "lat" -> "[A-Za-z]")
 
@@ -177,7 +180,8 @@ object TextOps {
     * (oracle-replayable), applies unchanged to a stream. */
   def cjkSegment(text: Column): Column =
     regexp_replace(
-      regexp_replace(text, "([一-鿿぀-ヿ])", " $1 "),
+      regexp_replace(text,
+        "([㐀-䶿一-鿿぀-ヿｦ-ﾟ])", " $1 "),
       "  +", " ")
 
   /** [[cjkSegment]] as a frame op: adds `segmented` (trimmed) and its

@@ -120,6 +120,13 @@ class LineOpsSpec extends AnyFunSuite {
     assert(got(4) === ((5L, "plain english words", 3L)))
     assert(got(5) === ((6L, "已 经 分 词", 4L)),
       "already-segmented text round-trips unchanged")
+    // extension blocks: CJK Ext-A ideographs and HALFWIDTH katakana
+    // (legacy ja encodings) segment like their main-block siblings
+    val ext = graft.text.TextOps.cjkSegmentFrame(
+        Seq((9L, "㐀㑇textｦﾝ")).toDF("id", "body"),
+        "id", "body")
+      .select("segmented", "n_tokens").as[(String, Long)].head()
+    assert(ext === (("㐀 㑇 text ｦ ﾝ", 5L)))
     // the payoff: token ops see real tokens — q19 on the raw text
     // counts ONE token for doc 1, the segmented frame counts 4
     val raw = graft.text.TextOps.tokenStats(df.filter(col("id") === 1L),
