@@ -1289,6 +1289,51 @@ object OracleSql {
        |FROM e ORDER BY doc_id""".stripMargin
   }
 
+  /** Sentencepiece id-sequence replay (b06): the b05 marked-stream
+    * encode mapped through the MARKED-corpus vocabulary (▁ is a base
+    * char, so it and the ▁-initial merges carry ids); no boundary
+    * elision — positions number every symbol. */
+  private def b06Sql(n: Int): String = {
+    val marked = "'▁' || replace(text, ' ', ' ▁')"
+    val chain = (1 to n).foldLeft(
+      "regexp_replace('▁' || replace(text, ' ', '▁'), " +
+        "'(.)', ' \\1 ', 'g')") { (e, i) =>
+      s"replace($e, ' ' || m$i.l || '  ' || m$i.r || ' ', " +
+        s"' ' || m$i.l || m$i.r || ' ')"
+    }
+    val mJoins = (1 to n).map(i => s"m$i").mkString(", ")
+    val mergeUnion = (1 to n).map(i =>
+      s"SELECT $i AS i, l || r AS merged FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""${bpeLevels(n, marked)},
+       |e AS (SELECT doc_id,
+       |        replace(trim($chain), '  ', ' ') AS enc
+       |      FROM documents, $mJoins),
+       |chars AS MATERIALIZED (
+       |  SELECT DISTINCT ch FROM (
+       |    SELECT unnest(regexp_extract_all(word, '.')) AS ch FROM w0)),
+       |vocab AS MATERIALIZED (
+       |  SELECT min(token_id) AS token_id, symbol FROM (
+       |    SELECT row_number() OVER (ORDER BY ch) - 1 AS token_id,
+       |           ch AS symbol FROM chars
+       |    UNION ALL
+       |    SELECT (SELECT count(*) FROM chars) + i - 1, merged
+       |    FROM ($mergeUnion)) GROUP BY symbol),
+       |sy AS (SELECT doc_id, sym, rawpos FROM (
+       |    SELECT doc_id, unnest(string_split(enc, ' ')) AS sym,
+       |      unnest(generate_series(1,
+       |        len(string_split(enc, ' ')))) AS rawpos FROM e)
+       |  WHERE sym <> ''),
+       |p AS (SELECT doc_id, sym AS symbol,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY rawpos)
+       |          - 1 AS pos
+       |      FROM sy)
+       |SELECT p.doc_id, p.pos::INT AS pos, p.symbol,
+       |  v.token_id::INT AS token_id
+       |FROM p LEFT JOIN vocab v ON v.symbol = p.symbol
+       |ORDER BY doc_id, pos""".stripMargin
+  }
+
   private def d09Sql(bridge: Int): String =
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
@@ -6370,6 +6415,7 @@ object OracleSql {
     // spec-pinned complement (DuckDB can't express the round-trip
     // cleanly, the encoded stream is the gated artifact)
     "b05_bpe_sentencepiece" -> b05Sql(8),
+    "b06_bpe_sp_ids" -> b06Sql(8),
 
     // BPE id sequences (b03): chars-then-merges vocabulary, exploded
     // (doc, pos, symbol, token_id) rows

@@ -2139,6 +2139,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── b06: sentencepiece id sequences — the b05 stream through a
+    //    marked-corpus vocabulary (▁ is a base character; word-initial
+    //    symbols carry their own ids, the sentencepiece shape) ─────────
+    "b06_bpe_sp_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.trainSp(d, "text", nMerges = 8)
+      bpeOracleGuard(merges, 8)
+      val marked = d.select(col("doc_id"),
+        graft.text.Bpe.markWords(col("text")).as("sp"))
+      val v = graft.text.Bpe.vocab(marked, "sp", merges)
+      graft.text.Bpe.encodeIdsSp(d, "doc_id", "text", merges, v)
+        .select(col("doc_id"), col("pos"), col("symbol"),
+          col("token_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ── b04: tokenizer COVERAGE — the b01 tokenizer (trained on the
     //    clean corpus) scores a drifted copy (the t03 salt injects
     //    digits/@/./- the training alphabet never saw) and reports

@@ -496,6 +496,24 @@ object Bpe {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Tokenizer-feed INTEGER ids for the ▁-marker form (b06): the
+    * [[encodeSp]] stream mapped through a vocabulary built on the
+    * MARKED corpus (▁ is an ordinary base character there, so
+    * word-initial symbols get their own ids — exactly how
+    * sentencepiece vocabularies look). No boundary elision needed:
+    * the ▁s ARE the boundaries, so `pos` is simply the symbol
+    * position. */
+  def encodeIdsSp(df: DataFrame, id: String, text: String,
+                  merges: Seq[Merge],
+                  vocab: Seq[(Int, String, String)]): DataFrame = {
+    val vmap = typedLit(vocab.map(v => v._2 -> v._1).toMap)
+    encodeSp(df, text, merges)
+      .select(col(id), posexplode(filter(
+        split(col("encoded_sp"), " "), s => s =!= ""))
+        .as(Seq("pos", "symbol")))
+      .withColumn("token_id", element_at(vmap, col("symbol")))
+  }
+
   /** Exact inverse of [[encodeSp]]'s stream: drop the inter-symbol
     * spaces, turn each ▁ back into a space, drop the synthetic
     * leading one. `decodeSp(encodeSp(x)) == x` for any x without
