@@ -1129,7 +1129,7 @@ object OracleSql {
        |    SELECT doc_id, unnest(string_split(enc, ' ')) AS sym,
        |      unnest(generate_series(1,
        |        len(string_split(enc, ' ')))) AS rawpos FROM e)
-       |  WHERE sym <> '|'),
+       |  WHERE sym <> '|' AND sym <> ''),
        |p AS (SELECT doc_id, sym AS symbol,
        |        row_number() OVER (PARTITION BY doc_id
        |          ORDER BY rawpos) - 1 AS pos
@@ -1253,7 +1253,7 @@ object OracleSql {
        |      FROM dd, $mJoins),
        |p AS (SELECT doc_id, sym FROM (
        |    SELECT doc_id, unnest(string_split(enc, ' ')) AS sym FROM e)
-       |  WHERE sym <> '|')
+       |  WHERE sym <> '|' AND sym <> '')
        |SELECT p.doc_id, count(*)::BIGINT AS n_tokens_bpe,
        |  sum(CASE WHEN v.symbol IS NULL THEN 1 ELSE 0 END)::BIGINT
        |    AS n_oov,

@@ -863,7 +863,15 @@ object Cli {
         val merges = spark.read.parquet(p).orderBy(col("rank")).collect()
           .map(r => graft.text.Bpe.Merge(r.getInt(0), r.getString(1),
             r.getString(2), r.getString(3), r.getLong(4))).toSeq
-        graft.text.Bpe.encodeFast(chunks, "chunk", merges).drop("encoded")
+        // rank-straddling tables (a component also formable by a
+        // LATER rank — rare but legal trainer output) are outside the
+        // greedy scan's equivalence contract; route them through the
+        // rank-ordered chain, whose semantics IS the pinned one
+        val counted =
+          if (graft.text.Bpe.isRankConsistent(merges))
+            graft.text.Bpe.encodeFast(chunks, "chunk", merges)
+          else graft.text.Bpe.encode(chunks, "chunk", merges)
+        counted.drop("encoded")
       case None => chunks
     }
     val split = ScaleOps.hashSplit(chunksCounted, id,

@@ -150,6 +150,16 @@ object Bpe {
     *     every later candidate) — so a self-pair always TERMINATES its
     *     batch: accepted first, it ships alone; encountered later, it
     *     becomes the sentinel and leads the next round.
+    *  4b. A candidate whose l+r equals an ALREADY-EXISTING merged
+    *     string (produced by an earlier round — duplicate-formable
+    *     symbols) also terminates its batch the same way: applying it
+    *     ADDS occurrences of (x, l+r) to occurrences that already
+    *     exist in the corpus, and while each population is bounded by
+    *     the sentinel, their SUM is not — a pair could leapfrog a
+    *     later batch member and break bit-exactness. Shipped alone,
+    *     the next election recounts the combined population, which is
+    *     exactly the sequential semantics. (Within one batch the
+    *     dirty-set check already catches this case.)
     *  5. All accepted merges apply in ONE chained rewrite.
     *
     * Worst case (every candidate interacts) degenerates to one merge
@@ -164,6 +174,9 @@ object Bpe {
     var syms = words.select(charSyms(col("word")).as("sym"),
       col("wcount"))
     val merges = Seq.newBuilder[Merge]
+    // every merged string produced by a PRIOR round (rule 4b): a
+    // candidate re-forming one of these must ship alone
+    val producedAll = scala.collection.mutable.HashSet[String]()
     var rank = 1
     var exhausted = false
     var sinceCheckpoint = 0
@@ -190,14 +203,16 @@ object Bpe {
         while (i < window.length && !stopped) {
           val (l, r, c) = window(i)
           val ss = Seq(l, r, l + r)
-          if (i > 0 && (l == r || ss.exists(dirty.contains))) {
+          val reForms = producedAll.contains(l + r) // rule 4b
+          if (i > 0 && (l == r || reForms || ss.exists(dirty.contains))) {
             sentinel = Some(c)
             stopped = true
           } else {
             accepted += ((l, r, c))
             dirty ++= ss
             i += 1
-            if (l == r) stopped = true // self-pair ships alone (rule 4)
+            // self-pair (rule 4) / re-forming pair (rule 4b) ship alone
+            if (l == r || reForms) stopped = true
           }
         }
         val batch0 = accepted.result()
@@ -209,6 +224,7 @@ object Bpe {
           m
         }
         merges ++= applied
+        producedAll ++= applied.iterator.map(_.merged)
         syms = syms.withColumn("sym",
           applied.foldLeft(col("sym")) { (e, m) =>
             call_function("replace", e, lit(s" ${m.left}  ${m.right} "),
@@ -388,35 +404,49 @@ object Bpe {
 
   /** Greedy-scan ≡ rank-ordered-chain holds ONLY for RANK-CONSISTENT
     * tables: no merge's component may be the OUTPUT of a later-rank
-    * merge. Every table this engine trains satisfies it by
-    * construction (a pair is elected only over symbols that already
-    * exist); a hand-edited or corrupted `--bpe_merges` artifact might
-    * not — e.g. rank 1 = (ab, c) with rank 2 = (a, b): the chain
-    * passes rank 1 before `ab` exists and never returns, while the
-    * greedy scan forms `ab` then happily applies rank 1 — silently
-    * different tokens. (Components that are formable by NO merge at
-    * all — single chars or dead entries — are fine: they match
-    * identically, or never, in both paths.) Fail loudly instead.
+    * merge — checked against EVERY rank that can form the component,
+    * not just the earliest. The same merged string can be formable at
+    * several ranks (e.g. (a,bc)→abc at rank 3 AND (ab,c)→abc at
+    * rank 5); a use at rank 4 then straddles them: on an input where
+    * `abc` only assembles via the rank-5 route, the chain has already
+    * passed rank 4 and never applies it, while the greedy scan forms
+    * `abc` and happily merges — silently different tokens. So a
+    * component is only safe when its MAXIMUM forming rank precedes
+    * the using merge. (Components formable by NO merge at all —
+    * single chars or dead entries — are fine: they match identically,
+    * or never, in both paths.) Fail loudly instead.
     * O(|merges|) hash probes, once per encode call. */
-  private def requireRankConsistent(merges: Seq[Merge]): Unit = {
-    val mergedRank = new java.util.HashMap[String, Integer]()
+  def isRankConsistent(merges: Seq[Merge]): Boolean =
+    firstStraddle(merges).isEmpty
+
+  /** The first (using-merge, component, later-forming-rank) violation,
+    * if any — shared by the boolean probe and the loud guard. */
+  private def firstStraddle(merges: Seq[Merge])
+      : Option[(Merge, String, Int)] = {
+    val maxFormingRank = new java.util.HashMap[String, Integer]()
     merges.foreach { m =>
-      val prev = mergedRank.get(m.merged)
-      if (prev == null || prev > m.rank)
-        mergedRank.put(m.merged, Integer.valueOf(m.rank))
+      val prev = maxFormingRank.get(m.merged)
+      if (prev == null || prev < m.rank)
+        maxFormingRank.put(m.merged, Integer.valueOf(m.rank))
     }
-    merges.foreach { m =>
-      Seq(m.left, m.right).foreach { c =>
-        val r = mergedRank.get(c)
-        require(r == null || r <= m.rank,
-          s"merge table is not rank-consistent: rank ${m.rank} uses " +
-            s"component '$c', which is first FORMED by the later rank " +
-            s"$r — the linear-scan encoder and the rank-ordered chain " +
-            "would diverge on such a table; re-export it from " +
-            "Bpe.train/trainBatched")
+    merges.iterator.flatMap { m =>
+      Seq(m.left, m.right).iterator.flatMap { c =>
+        val r = maxFormingRank.get(c)
+        if (r != null && r > m.rank) Some((m, c, r.intValue())) else None
       }
-    }
+    }.nextOption()
   }
+
+  private def requireRankConsistent(merges: Seq[Merge]): Unit =
+    firstStraddle(merges).foreach { case (m, c, r) =>
+      throw new IllegalArgumentException(
+        s"merge table is not rank-consistent: rank ${m.rank} uses " +
+          s"component '$c', which is also FORMED by the later rank " +
+          s"$r — the linear-scan encoder and the rank-ordered chain " +
+          "would diverge on such a table; use the rank-ordered " +
+          "Bpe.encode chain for it, or re-export it from " +
+          "Bpe.train/trainBatched")
+    }
 
   /** Per-task word→encoding cache (the fastBPE/HF-tokenizers token
     * cache): natural corpora are Zipf-distributed, so the hit rate is
@@ -567,8 +597,11 @@ object Bpe {
     val enc = if (fast) encodeFast(df, text, merges)
               else encode(df, text, merges)
     enc
+      // drop word separators AND the empty symbol an empty/whitespace-
+      // only document splits to — otherwise it lands as a spurious
+      // NULL-token_id row and inflates coverageReport's OOV mass
       .select(col(id), posexplode(filter(
-        split(col("encoded"), " "), s => s =!= "|"))
+        split(col("encoded"), " "), s => s =!= "|" && s =!= ""))
         .as(Seq("pos", "symbol")))
       .withColumn("token_id", element_at(vmap, col("symbol")))
   }

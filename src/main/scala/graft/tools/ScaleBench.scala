@@ -553,7 +553,11 @@ object ScaleBench {
           m.map(x => (x.rank, x.merged)).toDF("rank", "merged")
         }),
         "b02x_encode_merges" -> ((d: String) =>
-          graft.text.Bpe.encodeFast(corpus(), "text", tables(nFor(d)))
+          // getOrElseUpdate: a SPARK_GRAFT_ONLY filter can select just
+          // this cell, so train (untimed here) when b01x didn't run
+          graft.text.Bpe.encodeFast(corpus(), "text",
+            tables.getOrElseUpdate(nFor(d),
+              graft.text.Bpe.trainBatched(corpus(), "text", nFor(d))))
             .select(col("doc_id"), col("n_tokens_bpe"))))
     }
     val extras: Seq[(String, String => org.apache.spark.sql.DataFrame)] =

@@ -103,6 +103,12 @@ class BpeSpec extends AnyFunSuite {
       .select("symbol", "token_id").as[(String, Integer)].collect()
     assert(oov.forall(_._2 == null),
       "characters outside the base set are NULL — caller's OOV policy")
+    // an empty / whitespace-only document has NO symbols — it must
+    // contribute zero rows (not a spurious ''-symbol OOV row)
+    val empty = Bpe.encodeIds(
+      Seq((7L, ""), (8L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text", m, v)
+    assert(empty.count() === 0L)
   }
 
   test("coverageReport: unseen characters are the OOV mass, covered " +
@@ -217,6 +223,42 @@ class BpeSpec extends AnyFunSuite {
     assert(out === "ab c")
   }
 
+  test("rank-consistency guard: rejects a component whose forming " +
+       "ranks STRADDLE its use (min rank before, max rank after) — " +
+       "the case a min-rank-only check waves through") {
+    val df = Seq((1L, "dabc")).toDF("doc_id", "text")
+    // 'abc' forms at rank 3 AND rank 5; rank 4 uses it in between.
+    // On 'dabc' the chain yields [d, abc] (rank 4 has already passed
+    // when rank 5 finally assembles abc) while the greedy scan forms
+    // abc via rank 5 and then applies rank 4 → [dabc].
+    val straddle = Seq(Bpe.Merge(1, "a", "b", "ab", 0L),
+      Bpe.Merge(2, "b", "c", "bc", 0L),
+      Bpe.Merge(3, "a", "bc", "abc", 0L),
+      Bpe.Merge(4, "d", "abc", "dabc", 0L),
+      Bpe.Merge(5, "ab", "c", "abc", 0L))
+    assert(!Bpe.isRankConsistent(straddle))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.encodeFast(df, "text", straddle).collect()
+    }
+    assert(e.getMessage.contains("rank-consistent"))
+    // the chain itself stays available and pins the semantics
+    assert(Bpe.encode(df, "text", straddle)
+      .select("encoded").as[String].head() === "d abc")
+    // duplicate-formable is FINE when every forming rank precedes
+    // every use: same table with ranks 4/5 swapped is consistent and
+    // the two paths agree
+    val ok = Seq(Bpe.Merge(1, "a", "b", "ab", 0L),
+      Bpe.Merge(2, "b", "c", "bc", 0L),
+      Bpe.Merge(3, "a", "bc", "abc", 0L),
+      Bpe.Merge(4, "ab", "c", "abc", 0L),
+      Bpe.Merge(5, "d", "abc", "dabc", 0L))
+    assert(Bpe.isRankConsistent(ok))
+    assert(Bpe.encodeFast(df, "text", ok)
+        .select("encoded").as[String].head() ===
+      Bpe.encode(df, "text", ok)
+        .select("encoded").as[String].head())
+  }
+
   test("trainBatched ≡ train: adversarial corpora — self-pair runs, " +
        "count ties, interacting top pairs, early exhaustion") {
     val fixtures = Seq(
@@ -228,6 +270,12 @@ class BpeSpec extends AnyFunSuite {
       corpus("abcd" -> 7, "bcd" -> 5, "cd" -> 3, "xy" -> 6),
       // merged symbol equals a later candidate's component
       corpus("ab" -> 9, "abc" -> 8, "abab" -> 4),
+      // rule 4b: run-heavy corpora where a later candidate can
+      // RE-FORM an earlier round's merged string (aa/aaa/aaaa have
+      // multiple formation routes), so existing + freshly-created
+      // pair populations would otherwise double-count
+      corpus("aaaaaa" -> 5, "aaa" -> 7, "aa" -> 9, "baab" -> 3),
+      corpus("aabaab" -> 6, "aaaa" -> 6, "ab" -> 11, "ba" -> 2),
       // exhaustion before nMerges
       corpus("ab" -> 2))
     for ((df, fi) <- fixtures.zipWithIndex; w <- Seq(1, 2, 3, 64)) {
