@@ -1031,12 +1031,14 @@ object OracleSql {
     * left-to-right non-overlapping `replace` on the sentinel-spaced
     * symbol string matches the JVM's semantics exactly; ties break
     * (cnt DESC, l, r) on binary collation. */
-  private def bpeLevels(n: Int, textExpr: String = "text"): String = {
+  private def bpeLevels(n: Int, textExpr: String = "text",
+                        src: String = "documents",
+                        prelude: String = ""): String = {
     val head =
-      s"""WITH w0 AS MATERIALIZED (
+      s"""WITH ${prelude}w0 AS MATERIALIZED (
         |  SELECT word, count(*)::BIGINT AS c
         |  FROM (SELECT unnest(string_split($textExpr, ' ')) AS word
-        |        FROM documents)
+        |        FROM $src)
         |  WHERE word <> '' GROUP BY 1),
         |s0 AS MATERIALIZED (
         |  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS sym,
@@ -1332,6 +1334,73 @@ object OracleSql {
        |  v.token_id::INT AS token_id
        |FROM p LEFT JOIN vocab v ON v.symbol = p.symbol
        |ORDER BY doc_id, pos""".stripMargin
+  }
+
+  /** Byte-fallback replay (b07): the GPT-2-style byte→surrogate
+    * alphabet as a LITERAL 256-row map — each document's UTF-8 bytes
+    * walk through `hex(encode(text))` two hex chars at a time, map to
+    * surrogate chars (0x20 stays a space: it is the word separator
+    * the ▁ marker carries), and the b05 marked trainer + whole-stream
+    * encode run over the premapped corpus unchanged. Coverage of a
+    * UNICODE-salted drifted corpus (multi-byte + astral-plane chars
+    * the clean corpus never contains) against the CLOSED byte
+    * vocabulary is identically zero OOV — the property that makes a
+    * byte-level tokenizer the production choice. */
+  private def b07Sql(n: Int): String = {
+    val bmapRows = (0 until 256).map { b =>
+      val cp = if (b == 0x20) 32 else graft.text.Bpe.byteAlphabet(b).toInt
+      f"('$b%02X', chr($cp))"
+    }.mkString(", ")
+    def premap(srcTable: String, textCol: String, out: String) =
+      s"""${out}h AS (SELECT doc_id, hex(encode($textCol)) AS h
+         |  FROM $srcTable),
+         |${out}c AS (SELECT doc_id, j, substr(h, 2 * j - 1, 2) AS hx
+         |  FROM (SELECT doc_id, h,
+         |          unnest(generate_series(1, len(h) // 2)) AS j
+         |        FROM ${out}h)),
+         |$out AS MATERIALIZED (
+         |  SELECT s.doc_id, coalesce(a.pt, '') AS pt
+         |  FROM $srcTable s LEFT JOIN (
+         |    SELECT c.doc_id, string_agg(bm.s, '' ORDER BY c.j) AS pt
+         |    FROM ${out}c c JOIN bmap bm ON bm.hx = c.hx
+         |    GROUP BY c.doc_id) a USING (doc_id))""".stripMargin
+    val prelude =
+      s"""bmap AS MATERIALIZED (
+         |  SELECT * FROM (VALUES $bmapRows) AS t(hx, s)),
+         |${premap("documents", "text", "pm")},
+         |""".stripMargin
+    val chain = (1 to n).foldLeft(
+      "regexp_replace('▁' || replace(pt, ' ', '▁'), " +
+        "'(.)', ' \\1 ', 'g')") { (e, i) =>
+      s"replace($e, ' ' || m$i.l || '  ' || m$i.r || ' ', " +
+        s"' ' || m$i.l || m$i.r || ' ')"
+    }
+    val mJoins = (1 to n).map(i => s"m$i").mkString(", ")
+    val mergeUnion = (1 to n).map(i =>
+      s"SELECT l || r AS merged FROM m$i").mkString(" UNION ALL ")
+    s"""${bpeLevels(n, "'▁' || replace(pt, ' ', ' ▁')", "pm", prelude)},
+       |dd AS (SELECT doc_id,
+       |    text || ' café 日本語 𝄞 ' || doc_id::VARCHAR AS text
+       |  FROM documents),
+       |${premap("dd", "text", "pm2")},
+       |e AS (SELECT pm2.doc_id AS doc_id,
+       |        replace(trim($chain), '  ', ' ') AS enc
+       |      FROM pm2, $mJoins),
+       |vocab AS MATERIALIZED (
+       |  SELECT DISTINCT symbol FROM (
+       |    SELECT s AS symbol FROM bmap
+       |    UNION ALL SELECT '▁'
+       |    UNION ALL $mergeUnion)),
+       |p AS (SELECT doc_id, sym FROM (
+       |    SELECT doc_id, unnest(string_split(enc, ' ')) AS sym FROM e)
+       |  WHERE sym <> '')
+       |SELECT p.doc_id, count(*)::BIGINT AS n_tokens_b,
+       |  sum(CASE WHEN v.symbol IS NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_oov,
+       |  round(sum(CASE WHEN v.symbol IS NULL THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*), 6) AS oov_ratio
+       |FROM p LEFT JOIN vocab v ON v.symbol = p.sym
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
   private def d09Sql(bridge: Int): String =
@@ -6424,6 +6493,10 @@ object OracleSql {
     // tokenizer coverage (b04): clean-corpus tokenizer scores the
     // t03-salted drifted corpus; unseen characters surface as OOV
     "b04_bpe_coverage" -> b04Sql(8),
+
+    // byte-fallback coverage (b07): the 256-surrogate byte alphabet
+    // as a literal map; a unicode-salted drift scores ZERO OOV
+    "b07_bpe_byte_fallback" -> b07Sql(8),
 
     // per-collection line dedup (t25b): the t25 chain with line df
     // counted within `source`

@@ -2173,6 +2173,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── b07: BYTE-FALLBACK tokenizer — the corpus premaps to the
+    //    GPT-2-style 256-surrogate byte alphabet under ▁ markers, so
+    //    EVERY UTF-8 string tokenizes with zero OOV (the b04 gap,
+    //    closed); coverage of a unicode-salted drifted corpus (accents,
+    //    CJK, an astral-plane 𝄞 — none in the clean training text) is
+    //    identically zero against the CLOSED byte vocabulary ──────────
+    "b07_bpe_byte_fallback" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.trainBytes(d, "text", nMerges = 8)
+      bpeOracleGuard(merges, 8)
+      val v = graft.text.Bpe.byteVocab(merges)
+      val drifted = d.select(col("doc_id"),
+        concat(col("text"), lit(" café 日本語 𝄞 "),
+          col("doc_id").cast("string")).as("body"))
+      graft.text.Bpe.coverageReportBytes(drifted, "doc_id", "body",
+          merges, v)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── d09 CUT form: duplicated intervals grouped by slice content,
     //    keep-first election per content, losers' tokens removed and
     //    docs reassembled (the d05 output contract at arbitrary

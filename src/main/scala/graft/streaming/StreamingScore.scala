@@ -468,6 +468,15 @@ object StreamingScore {
     if (sp) graft.text.Bpe.encodeSp(docs, text, merges)
     else graft.text.Bpe.encodeFast(docs, text, merges)
 
+  /** Streaming b07 twin — byte-fallback encode on a document stream:
+    * the same stateless mapPartitions greedy scan over a broadcast
+    * rank map, so it applies DIRECTLY to the streaming frame and is
+    * batch-identical by construction (serving shape: tokenize ingest
+    * with a FROZEN byte-level tokenizer, zero OOV on any input). */
+  def bpeEncodeBytes(docs: DataFrame, text: String,
+                     merges: Seq[graft.text.Bpe.Merge]): DataFrame =
+    graft.text.Bpe.encodeBytes(docs, text, merges)
+
   /** Streaming a16 twin — URL canonicalization on a document stream:
     * [[graft.text.UrlOps.urlNormalize]] is one pure per-row expression
     * chain, so it applies DIRECTLY to the streaming frame — no

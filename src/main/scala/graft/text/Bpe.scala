@@ -625,4 +625,205 @@ object Bpe {
           .as("n_oov"))
       .withColumn("oov_ratio",
         round(col("n_oov") / col("n_tokens_bpe"), 6))
+
+  // ── byte-fallback mode (b07): the zero-OOV production tokenizer ──
+
+  /** The byte-fallback alphabet: each of the 256 byte values maps to
+    * one printable, non-space BMP character — bytes that are already
+    * printable latin keep themselves ('!'..'~', '¡'..'¬', '®'..'ÿ');
+    * the remaining 68 take consecutive codepoints from U+0100 up (the
+    * GPT-2 byte-to-unicode construction, public since the GPT-2
+    * release; sentencepiece's `byte_fallback` is the same idea).
+    * Tokenizing at the BYTE level over this alphabet makes every
+    * UTF-8 string encodable with ZERO out-of-vocabulary mass: the
+    * base alphabet is CLOSED (exactly 256 symbols, all reachable),
+    * unlike the char-level mode where an unseen character is a
+    * permanent OOV (the mass b04 measures). A fixed 256-entry table,
+    * so the SQL oracle replays it as a literal map. */
+  val byteAlphabet: IndexedSeq[Char] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[Char](256)
+    var next = 256
+    (0 until 256).foreach { b =>
+      if (keep(b)) out(b) = b.toChar
+      else { out(b) = next.toChar; next += 1 }
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  /** Inverse of [[byteAlphabet]]: surrogate char → byte value, −1 for
+    * any char outside the alphabet (the 68 non-printable bytes take
+    * U+0100..U+0143; the array is sized to the alphabet's max). */
+  private val byteOfChar: Array[Int] = {
+    val out = Array.fill(byteAlphabet.max.toInt + 1)(-1)
+    (0 until 256).foreach(b => out(byteAlphabet(b)) = b)
+    out
+  }
+
+  /** Byte-premap a text: every UTF-8 byte becomes its surrogate char,
+    * except the space byte 0x20, which stays a literal space — here
+    * spaces are word SEPARATORS (the ▁ marker carries them into the
+    * symbol stream exactly like [[markWords]]), and no multi-byte
+    * UTF-8 sequence contains a 0x20 byte, so the pass-through never
+    * misfires inside a character. Distributes over concatenation, so
+    * premapping the whole text ≡ premapping each word. */
+  def premapBytes(t: String): String = {
+    val bs = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bs.length)
+    var i = 0
+    while (i < bs.length) {
+      val b = bs(i) & 0xff
+      sb.append(if (b == 0x20) ' ' else byteAlphabet(b))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** The ▁-marked, byte-premapped training frame: one `_sp` column,
+    * `▁w1 ▁w2 …` with every word's bytes surrogate-mapped. Stateless
+    * `mapPartitions` (a per-row byte walk has no Column equivalent —
+    * UTF-8 expansion is not char-to-char). */
+  private def byteMarkedFrame(df: DataFrame, text: String): DataFrame = {
+    val ti = df.schema.fieldIndex(text)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("_sp", org.apache.spark.sql.types.StringType)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val t = row.getString(ti)
+        org.apache.spark.sql.Row(
+          if (t == null) null
+          else "▁" + premapBytes(t).replace(" ", " ▁"))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Train in byte-fallback mode: [[trainBatched]] over the marked,
+    * premapped corpus — the marker and every surrogate are ordinary
+    * characters to the trainer, so all the batching/exactness
+    * machinery (and the b01 oracle pattern) applies unchanged. The ▁
+    * word-locality invariant holds for the same reason as [[trainSp]]:
+    * ▁ appears only word-initially in the training frame. */
+  def trainBytes(df: DataFrame, text: String, nMerges: Int,
+                 electBatch: Int = 256): Seq[Merge] =
+    trainBatched(byteMarkedFrame(df, text), "_sp", nMerges, electBatch)
+
+  /** Encode in byte-fallback mode: [[encodeSp]]'s greedy-scan
+    * mapPartitions over the marked PREMAPPED words, emitting one
+    * concatenated symbol stream (`n_tokens_b` / `encoded_b`).
+    * [[decodeBytes]] inverts it byte-exactly for ANY input — there is
+    * no OOV and no lossy step anywhere. Map-side, zero shuffles,
+    * stateless (streaming-safe). */
+  def encodeBytes(df: DataFrame, text: String,
+                  merges: Seq[Merge]): DataFrame = {
+    requireRankConsistent(merges)
+    val spark = df.sparkSession
+    val rankMap = new java.util.HashMap[String, Integer](
+      math.max(16, merges.size * 2))
+    merges.foreach(m =>
+      rankMap.put(m.left + " " + m.right, Integer.valueOf(m.rank)))
+    val bc = spark.sparkContext.broadcast(rankMap)
+    val ti = df.schema.fieldIndex(text)
+    val outSchema = df.schema
+      .add("n_tokens_b", org.apache.spark.sql.types.IntegerType)
+      .add("encoded_b", org.apache.spark.sql.types.StringType)
+    df.mapPartitions { rows =>
+      val ranks = bc.value
+      val cache = newWordCache()
+      rows.map { row =>
+        val t = row.getString(ti)
+        val words =
+          if (t == null) Array.empty[String]
+          else ("▁" + premapBytes(t).replace(" ", " ▁"))
+            .split(" ").filter(_.nonEmpty)
+        val enc = words.flatMap(w => cachedEncode(w, ranks, cache))
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq :+ enc.length :+ enc.mkString(" "))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Exact inverse of [[encodeBytes]]'s stream: skip the inter-symbol
+    * spaces, map ▁ to the space byte and every surrogate char back to
+    * its byte, UTF-8-decode the byte run, drop the synthetic leading
+    * space. `decodeBytes(encodeBytes(x)) == x` for EVERY string —
+    * space runs, astral-plane characters, characters the training
+    * corpus never saw (property spec-pinned). */
+  def decodeBytes(enc: String): String = {
+    val out = new java.io.ByteArrayOutputStream(enc.length)
+    var i = 0
+    while (i < enc.length) {
+      val c = enc.charAt(i)
+      if (c == ' ') () // symbol separator, not content
+      else if (c == '▁') out.write(0x20)
+      else {
+        val b = if (c.toInt < byteOfChar.length) byteOfChar(c.toInt)
+                else -1
+        require(b >= 0,
+          s"'$c' (U+${Integer.toHexString(c.toInt)}) is not a " +
+            "byte-alphabet symbol character — not an encodeBytes stream")
+        out.write(b)
+      }
+      i += 1
+    }
+    val s = new String(out.toByteArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (s.nonEmpty && s.charAt(0) == ' ') s.substring(1) else s
+  }
+
+  /** [[decodeBytes]] over a frame column (round-trip checks and
+    * detokenization sinks); stateless mapPartitions. */
+  def decodeBytesFrame(df: DataFrame, enc: String): DataFrame = {
+    val ti = df.schema.fieldIndex(enc)
+    val outSchema = df.schema
+      .add("decoded_b", org.apache.spark.sql.types.StringType)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val e = row.getString(ti)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+
+          (if (e == null) null else decodeBytes(e)))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Byte-mode vocabulary: the CLOSED base alphabet — all 256
+    * surrogates plus the ▁ marker, sorted (ids 0..256) — then merges
+    * in rank order, with [[vocab]]'s min-id dedup. No corpus scan:
+    * the base set does not depend on the data, which is the whole
+    * point of byte fallback. */
+  def byteVocab(merges: Seq[Merge]): Seq[(Int, String, String)] = {
+    val base = (byteAlphabet :+ '▁').map(_.toString).sorted
+      .zipWithIndex.map { case (c, i) => (i, c, "char") }
+    val m = merges.sortBy(_.rank).zipWithIndex.map { case (mg, i) =>
+      (base.length + i, mg.merged, "merge") }
+    val seen = scala.collection.mutable.HashSet[String]()
+    (base ++ m).filter { case (_, sym, _) => seen.add(sym) }.toSeq
+  }
+
+  /** Byte-mode id sequences: [[encodeBytes]] exploded through the
+    * byte vocabulary — every symbol resolves (token_id is never NULL
+    * when `vocab` is [[byteVocab]] of the same merges). */
+  def encodeIdsBytes(df: DataFrame, id: String, text: String,
+                     merges: Seq[Merge],
+                     vocab: Seq[(Int, String, String)]): DataFrame = {
+    val vmap = typedLit(vocab.map(v => v._2 -> v._1).toMap)
+    encodeBytes(df, text, merges)
+      .select(col(id), posexplode(filter(
+        split(col("encoded_b"), " "), s => s =!= ""))
+        .as(Seq("pos", "symbol")))
+      .withColumn("token_id", element_at(vmap, col("symbol")))
+  }
+
+  /** [[coverageReport]] in byte mode (b07): by construction the OOV
+    * mass is ZERO on any corpus — the card that certifies a frozen
+    * byte-level tokenizer covers arbitrary drifted data. */
+  def coverageReportBytes(df: DataFrame, id: String, text: String,
+                          merges: Seq[Merge],
+                          vocab: Seq[(Int, String, String)]): DataFrame =
+    encodeIdsBytes(df, id, text, merges, vocab)
+      .groupBy(col(id))
+      .agg(count(lit(1)).cast("long").as("n_tokens_b"),
+        sum(when(col("token_id").isNull, 1).otherwise(0)).cast("long")
+          .as("n_oov"))
+      .withColumn("oov_ratio",
+        round(col("n_oov") / col("n_tokens_b"), 6))
 }

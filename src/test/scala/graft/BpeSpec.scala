@@ -339,6 +339,111 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("b07 byte fallback: decodeBytes(encodeBytes(x)) == x for " +
+       "ARBITRARY UTF-8 — space runs, controls, astral plane, even a " +
+       "literal ▁ — and coverage is identically ZERO OOV") {
+    val train = corpus("low" -> 5, "lower" -> 2, "newest" -> 6,
+      "widest" -> 3)
+    val m = Bpe.trainBytes(train, "text", nMerges = 8)
+    assert(m.size === 8)
+    val texts = Seq(
+      "low lower lowest",
+      "  leading and  double  spaces",
+      "trailing space ",
+      "",
+      " ",
+      "größe café 𝄞clef 日本語のテキスト",
+      "emoji 🎼🎶 mixed عربى и кириллица",
+      "\ttab\nnewline\r\nmixed " + 0.toChar + " control bytes",
+      // in byte mode a literal ▁ is just three UTF-8 bytes — it
+      // byte-maps to surrogates and round-trips (b05's one input
+      // contract disappears)
+      "literal ▁ marker is fine here")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Bpe.decodeBytesFrame(
+        Bpe.encodeBytes(df, "text", m), "encoded_b")
+      .select("doc_id", "decoded_b").as[(Long, String)]
+      .collect().sortBy(_._1)
+    for ((orig, i) <- texts.zipWithIndex)
+      assert(out(i)._2 === orig,
+        s"byte round-trip broke on fixture $i")
+    // randomized round-trip: seeded unicode strings over the full
+    // codepoint space (minus lone surrogates)
+    val rnd = new scala.util.Random(2026L)
+    val fuzz = (0 until 40).map { i =>
+      val sb = new java.lang.StringBuilder
+      (0 until 1 + rnd.nextInt(30)).foreach { _ =>
+        val cp0 = rnd.nextInt(0x10FFFF + 1)
+        val cp = if (cp0 >= 0xD800 && cp0 <= 0xDFFF) 0x40 + cp0 % 26
+                 else cp0
+        sb.appendCodePoint(cp)
+      }
+      (i.toLong, sb.toString)
+    }
+    val fdf = fuzz.toDF("doc_id", "text")
+    val fout = Bpe.decodeBytesFrame(
+        Bpe.encodeBytes(fdf, "text", m), "encoded_b")
+      .select("doc_id", "decoded_b").as[(Long, String)]
+      .collect().sortBy(_._1)
+    for (((_, orig), i) <- fuzz.zipWithIndex)
+      assert(fout(i)._2 === orig, s"fuzz round-trip broke on seed row $i")
+    // the b04 motivation, closed: the drifted corpus (chars the
+    // training alphabet never saw) scores ZERO OOV in byte mode
+    val v = Bpe.byteVocab(m)
+    val cov = Bpe.coverageReportBytes(
+        df.unionAll(fdf.withColumn("doc_id", col("doc_id") + 100)),
+        "doc_id", "text", m, v)
+      .select("doc_id", "n_oov", "oov_ratio")
+      .as[(Long, Long, Double)].collect()
+    assert(cov.nonEmpty && cov.forall(r => r._2 === 0L && r._3 === 0.0),
+      "byte fallback must have no OOV mass on ANY corpus")
+  }
+
+  test("b07 byteVocab: closed 257-symbol base (256 surrogates + ▁) " +
+       "then merges; byteAlphabet is a 256-char bijection with no " +
+       "space and no ▁ collision") {
+    assert(Bpe.byteAlphabet.size === 256)
+    assert(Bpe.byteAlphabet.distinct.size === 256)
+    assert(!Bpe.byteAlphabet.contains(' ') &&
+      !Bpe.byteAlphabet.contains('▁'))
+    // printable latin bytes keep themselves
+    assert(Bpe.byteAlphabet('a'.toInt) === 'a')
+    assert(Bpe.byteAlphabet(0xFF) === 'ÿ')
+    val m = Seq(Bpe.Merge(1, "▁", "a", "▁a", 0L))
+    val v = Bpe.byteVocab(m)
+    assert(v.size === 258)
+    assert(v.take(257).forall(_._3 == "char"))
+    assert(v.last === ((257, "▁a", "merge")))
+    // ids are dense and unique over the closed base
+    assert(v.map(_._1) === (0 until 258))
+  }
+
+  test("streaming b07 twin: byte-fallback encode applies directly to " +
+       "a stream and matches batch") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text")
+    val m = Bpe.trainBytes(docs, "text", nMerges = 4)
+    val batch = Bpe.encodeBytes(docs, "text", m)
+      .select("doc_id", "n_tokens_b", "encoded_b")
+      .as[(Long, Int, String)].collect().map(r => r._1 -> r).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graftbpeb").toString
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val buf = scala.collection.mutable.Map.empty[Long, (Long, Int, String)]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, _) => buf.synchronized {
+        buf ++= b.select("doc_id", "n_tokens_b", "encoded_b")
+          .as[(Long, Int, String)].collect().map(r => r._1 -> r)
+      }
+    val q = graft.streaming.StreamingScore.bpeEncodeBytes(
+        stream, "text", m)
+      .writeStream.foreachBatch(sink).start()
+    q.processAllAvailable(); q.stop()
+    assert(buf.nonEmpty && buf.toMap === batch)
+  }
+
   test("streaming production-encoder twin: mapPartitions encodeSp " +
        "applies directly to a stream and matches batch") {
     val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
