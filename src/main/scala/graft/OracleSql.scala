@@ -1097,10 +1097,11 @@ object OracleSql {
   }
 
   /** BPE id-sequence replay (b03): b02's encoded docs mapped through
-    * the induced vocabulary — base characters sorted (ids 0..C−1),
-    * merges in rank order after; positions are 0-based with the '|'
-    * word boundaries elided BEFORE numbering. */
-  private def b03Sql(n: Int): String = {
+    * the induced vocabulary — 4 RESERVED special ids first
+    * (<pad>/<bos>/<eos>/<unk>, never matched by corpus symbols), then
+    * base characters sorted, then merges in rank order; positions are
+    * 0-based with the '|' word boundaries elided BEFORE numbering. */
+  private def b03Sql(n: Int, reserved: Int = 4): String = {
     val chain = (1 to n).foldLeft(
       "regexp_replace(replace(text, ' ', '|'), " +
         "'(.)', ' \\1 ', 'g')") { (e, i) =>
@@ -1120,12 +1121,14 @@ object OracleSql {
        |    SELECT unnest(regexp_extract_all(word, '.')) AS ch FROM w0)),
        |vocab AS MATERIALIZED (
        |  -- two merges yielding the same string keep the FIRST id
-       |  -- (mirrors Bpe.vocab's min-id dedup; prevents join fan-out)
+       |  -- (mirrors Bpe.vocab's min-id dedup; prevents join fan-out);
+       |  -- the $reserved reserved specials shift chars and merges up
        |  SELECT min(token_id) AS token_id, symbol FROM (
-       |    SELECT row_number() OVER (ORDER BY ch) - 1 AS token_id,
-       |           ch AS symbol FROM chars
+       |    SELECT row_number() OVER (ORDER BY ch) - 1 + $reserved
+       |           AS token_id, ch AS symbol FROM chars
        |    UNION ALL
-       |    SELECT (SELECT count(*) FROM chars) + i - 1, merged
+       |    SELECT (SELECT count(*) FROM chars) + i - 1 + $reserved,
+       |      merged
        |    FROM ($mergeUnion)) GROUP BY symbol),
        |sy AS (SELECT doc_id, sym, rawpos FROM (
        |    SELECT doc_id, unnest(string_split(enc, ' ')) AS sym,
@@ -1293,9 +1296,10 @@ object OracleSql {
 
   /** Sentencepiece id-sequence replay (b06): the b05 marked-stream
     * encode mapped through the MARKED-corpus vocabulary (▁ is a base
-    * char, so it and the ▁-initial merges carry ids); no boundary
-    * elision — positions number every symbol. */
-  private def b06Sql(n: Int): String = {
+    * char, so it and the ▁-initial merges carry ids); 4 reserved
+    * special ids first, like b03; no boundary elision — positions
+    * number every symbol. */
+  private def b06Sql(n: Int, reserved: Int = 4): String = {
     val marked = "'▁' || replace(text, ' ', ' ▁')"
     val chain = (1 to n).foldLeft(
       "regexp_replace('▁' || replace(text, ' ', '▁'), " +
@@ -1316,10 +1320,11 @@ object OracleSql {
        |    SELECT unnest(regexp_extract_all(word, '.')) AS ch FROM w0)),
        |vocab AS MATERIALIZED (
        |  SELECT min(token_id) AS token_id, symbol FROM (
-       |    SELECT row_number() OVER (ORDER BY ch) - 1 AS token_id,
-       |           ch AS symbol FROM chars
+       |    SELECT row_number() OVER (ORDER BY ch) - 1 + $reserved
+       |           AS token_id, ch AS symbol FROM chars
        |    UNION ALL
-       |    SELECT (SELECT count(*) FROM chars) + i - 1, merged
+       |    SELECT (SELECT count(*) FROM chars) + i - 1 + $reserved,
+       |      merged
        |    FROM ($mergeUnion)) GROUP BY symbol),
        |sy AS (SELECT doc_id, sym, rawpos FROM (
        |    SELECT doc_id, unnest(string_split(enc, ' ')) AS sym,
@@ -1334,6 +1339,83 @@ object OracleSql {
        |  v.token_id::INT AS token_id
        |FROM p LEFT JOIN vocab v ON v.symbol = p.symbol
        |ORDER BY doc_id, pos""".stripMargin
+  }
+
+  /** Packed token-id stream replay (t09b): the b03 ids (reserved-
+    * offset vocabulary) cost each doc count+1 (its <eos>), the t09
+    * recursive greedy pack assigns seq_ids per source shard, and the
+    * output is the packed stream itself — every doc's symbols then
+    * one eos row with the RESERVED id, positions renumbered within
+    * (source, seq). */
+  private def t09bSql(n: Int, budget: Int, eosId: Int,
+                      reserved: Int = 4): String = {
+    val chain = (1 to n).foldLeft(
+      "regexp_replace(replace(text, ' ', '|'), " +
+        "'(.)', ' \\1 ', 'g')") { (e, i) =>
+      s"replace($e, ' ' || m$i.l || '  ' || m$i.r || ' ', " +
+        s"' ' || m$i.l || m$i.r || ' ')"
+    }
+    val mJoins = (1 to n).map(i => s"m$i").mkString(", ")
+    val mergeUnion = (1 to n).map(i =>
+      s"SELECT $i AS i, l || r AS merged FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""${bpeLevels(n, prelude = "RECURSIVE ")},
+       |e AS (SELECT doc_id,
+       |        replace(trim($chain), '  ', ' ') AS enc
+       |      FROM documents, $mJoins),
+       |chars AS MATERIALIZED (
+       |  SELECT DISTINCT ch FROM (
+       |    SELECT unnest(regexp_extract_all(word, '.')) AS ch FROM w0)),
+       |vocab AS MATERIALIZED (
+       |  SELECT min(token_id) AS token_id, symbol FROM (
+       |    SELECT row_number() OVER (ORDER BY ch) - 1 + $reserved
+       |           AS token_id, ch AS symbol FROM chars
+       |    UNION ALL
+       |    SELECT (SELECT count(*) FROM chars) + i - 1 + $reserved,
+       |      merged
+       |    FROM ($mergeUnion)) GROUP BY symbol),
+       |sy AS (SELECT doc_id, sym, rawpos FROM (
+       |    SELECT doc_id, unnest(string_split(enc, ' ')) AS sym,
+       |      unnest(generate_series(1,
+       |        len(string_split(enc, ' ')))) AS rawpos FROM e)
+       |  WHERE sym <> '|' AND sym <> ''),
+       |ids AS MATERIALIZED (
+       |  SELECT sy.doc_id,
+       |    row_number() OVER (PARTITION BY sy.doc_id ORDER BY rawpos)
+       |      - 1 AS pos,
+       |    v.token_id::INT AS token_id
+       |  FROM sy LEFT JOIN vocab v ON v.symbol = sy.sym),
+       |cnt AS (SELECT dd.doc_id, dd.source,
+       |    coalesce(c.c, 0) + 1 AS n
+       |  FROM documents dd LEFT JOIN (
+       |    SELECT doc_id, count(*)::BIGINT AS c FROM ids GROUP BY 1) c
+       |  USING (doc_id)),
+       |d AS (SELECT source, doc_id, n,
+       |        row_number() OVER (PARTITION BY source
+       |          ORDER BY doc_id) AS rk
+       |      FROM cnt),
+       |pack AS (
+       |  SELECT source, doc_id, n, rk, 0::BIGINT AS seq_id, n AS cur
+       |  FROM d WHERE rk = 1
+       |  UNION ALL
+       |  SELECT d.source, d.doc_id, d.n, d.rk,
+       |    CASE WHEN p.cur + d.n > $budget THEN p.seq_id + 1
+       |         ELSE p.seq_id END,
+       |    CASE WHEN p.cur + d.n > $budget THEN d.n
+       |         ELSE p.cur + d.n END
+       |  FROM pack p JOIN d ON d.source = p.source AND d.rk = p.rk + 1),
+       |stream AS (
+       |  SELECT doc_id, pos, token_id FROM ids
+       |  UNION ALL
+       |  SELECT doc_id, (n - 1)::INT AS pos, $eosId AS token_id
+       |  FROM cnt),
+       |j AS (SELECT pk.source, pk.seq_id, s.doc_id, s.pos, s.token_id
+       |      FROM stream s JOIN pack pk ON s.doc_id = pk.doc_id)
+       |SELECT source, seq_id, doc_id,
+       |  (row_number() OVER (PARTITION BY source, seq_id
+       |     ORDER BY doc_id, pos) - 1)::INT AS seq_pos,
+       |  token_id
+       |FROM j ORDER BY source, seq_id, seq_pos""".stripMargin
   }
 
   /** Byte-fallback replay (b07): the GPT-2-style byte→surrogate
@@ -6497,6 +6579,10 @@ object OracleSql {
     // byte-fallback coverage (b07): the 256-surrogate byte alphabet
     // as a literal map; a unicode-salted drift scores ZERO OOV
     "b07_bpe_byte_fallback" -> b07Sql(8),
+
+    // packed token-id stream (t09b): b03 ids + per-doc <eos> cost,
+    // greedy per-shard pack, positions renumbered within sequences
+    "t09b_pack_token_ids" -> t09bSql(8, 256, 2),
 
     // per-collection line dedup (t25b): the t25 chain with line df
     // counted within `source`

@@ -43,6 +43,10 @@ object SparkEntry {
     * CROSS JOINed into the encode chain) — a trainer that exhausts the
     * corpus early would silently EMPTY the oracle result while the
     * Spark side still emits rows. Fail loudly instead. */
+  /** The reserved special tokens the b03/b06/t09b vocabularies carry
+    * at ids 0..3 (the tokenizer artifact contract). */
+  private val reservedTokens = Seq("<pad>", "<bos>", "<eos>", "<unk>")
+
   private def bpeOracleGuard(merges: Seq[graft.text.Bpe.Merge],
                              n: Int): Unit =
     require(merges.size == n,
@@ -1955,18 +1959,34 @@ object SparkEntry {
     }),
 
     // ── b03: tokenizer-feed-ready INTEGER ids — the b01 merges induce
-    //    a vocabulary (chars sorted, then merges in rank order) and
-    //    every encoded symbol maps through a typedLit literal; still
+    //    a vocabulary (RESERVED specials <pad>/<bos>/<eos>/<unk> at ids
+    //    0..3 — the artifact contract every packer/trainer specifies —
+    //    then chars sorted, then merges in rank order) and every
+    //    encoded symbol maps through a typedLit literal; still
     //    map-side, exploded to the packer-consumable shape ─────────────
     "b03_bpe_ids" -> ((s, dir) => {
       val d = docs(s, dir)
       val merges = graft.text.Bpe.train(d, "text", nMerges = 8)
       bpeOracleGuard(merges, 8)
-      val v = graft.text.Bpe.vocab(d, "text", merges)
+      val v = graft.text.Bpe.vocab(d, "text", merges, reservedTokens)
       graft.text.Bpe.encodeIds(d, "doc_id", "text", merges, v)
         .select(col("doc_id"), col("pos"), col("symbol"),
           col("token_id"))
         .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ── t09b: sequence packing over the REAL tokenizer feed — each
+    //    doc costs its b03 token count plus one <eos> (reserved id 2),
+    //    and the output is the packed id stream itself: per-shard
+    //    greedy budget fill, every document terminated by its eos row ──
+    "t09b_pack_token_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.train(d, "text", nMerges = 8)
+      bpeOracleGuard(merges, 8)
+      val v = graft.text.Bpe.vocab(d, "text", merges, reservedTokens)
+      graft.text.TextOps.packTokenIds(d, "doc_id", "source", "text",
+          merges, v, budget = 256L, eosId = 2)
+        .orderBy(col("source"), col("seq_id"), col("seq_pos"))
     }),
 
     // ── a16: URL canonicalization — deterministic variant URLs (case,
@@ -2148,7 +2168,7 @@ object SparkEntry {
       bpeOracleGuard(merges, 8)
       val marked = d.select(col("doc_id"),
         graft.text.Bpe.markWords(col("text")).as("sp"))
-      val v = graft.text.Bpe.vocab(marked, "sp", merges)
+      val v = graft.text.Bpe.vocab(marked, "sp", merges, reservedTokens)
       graft.text.Bpe.encodeIdsSp(d, "doc_id", "text", merges, v)
         .select(col("doc_id"), col("pos"), col("symbol"),
           col("token_id"))

@@ -929,14 +929,30 @@ object Cli {
     // is touched once (word-count agg); elections run BATCHED on the
     // vocabulary frame (trainBatched — bit-identical to the sequential
     // greedy, but a 32k-merge run takes hundreds of jobs, not 32k).
+    // --target_vocab V stops training when reserved + base chars +
+    // merges reach V (the knob a training run actually specifies);
+    // --reserved_tokens "<pad>,<bos>,<eos>,<unk>" pins special ids
+    // 0..R−1 and also persists the full id↔symbol vocabulary artifact
+    // (the table a packer/serving layer loads to learn the eos id).
     cfg.strOpt("train_bpe").foreach { n =>
       import spark.implicits._
-      timedStage("bpe_train")(graft.text.Bpe.trainBatched(
-          redacted.select(col("redacted").as(text)), text, n.toInt)
+      val corpus = redacted.select(col("redacted").as(text))
+      val reserved = cfg.strOpt("reserved_tokens")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+      val merges = timedStage("bpe_train")(graft.text.Bpe.trainBatched(
+        corpus, text, n.toInt,
+        targetVocab = cfg.strOpt("target_vocab").map(_.toInt),
+        reservedCount = reserved.length))
+      merges
         .map(m => (m.rank, m.left, m.right, m.merged, m.pairCount))
         .toDF("rank", "left", "right", "merged", "pair_count")
         .write.mode("overwrite")
-        .parquet(s"${cfg.str("output")}_bpe_merges.parquet"))
+        .parquet(s"${cfg.str("output")}_bpe_merges.parquet")
+      if (reserved.nonEmpty)
+        graft.text.Bpe.vocab(corpus, text, merges, reserved)
+          .toDF("token_id", "symbol", "kind")
+          .write.mode("overwrite")
+          .parquet(s"${cfg.str("output")}_bpe_vocab.parquet")
     }
     timedStage("chunk_pack_topic_write")(
       labeled.write.mode("overwrite").partitionBy("split")

@@ -166,10 +166,27 @@ object Bpe {
     * per job = [[train]]; English-like corpora accept tens of pairs
     * per batch, collapsing a 32k-merge run from 32k sequential jobs to
     * hundreds. The corpus is still touched once; elections still run
-    * on the distributed vocabulary frame. */
+    * on the distributed vocabulary frame.
+    *
+    * `targetVocab` is the knob a training run actually specifies:
+    * stop when reserved specials + base characters + merges reach it
+    * (so the [[vocab]] built with `reservedCount` specials lands at
+    * EXACTLY `targetVocab` entries, minus any duplicate-merged-string
+    * gaps). One distinct-char count up front — the merge budget is a
+    * subtraction, batching is unchanged, and the tighter of
+    * (`nMerges`, the budget) wins. */
   def trainBatched(df: DataFrame, text: String, nMerges: Int,
                    electBatch: Int = 256,
-                   checkpointEvery: Int = 64): Seq[Merge] = {
+                   checkpointEvery: Int = 64,
+                   targetVocab: Option[Int] = None,
+                   reservedCount: Int = 0): Seq[Merge] = {
+    val nTarget = targetVocab.fold(nMerges) { tv =>
+      val nChars = df
+        .select(explode(split(col(text), "")).as("ch"))
+        .filter(col("ch") =!= "" && col("ch") =!= " ")
+        .distinct().count().toInt
+      math.min(nMerges, math.max(0, tv - reservedCount - nChars))
+    }
     val words = wordCounts(df, text)
     var syms = words.select(charSyms(col("word")).as("sym"),
       col("wcount"))
@@ -180,7 +197,7 @@ object Bpe {
     var rank = 1
     var exhausted = false
     var sinceCheckpoint = 0
-    while (rank <= nMerges && !exhausted) {
+    while (rank <= nTarget && !exhausted) {
       val top = syms
         .select(explode(pairsOf(col("sym"))).as("p"), col("wcount"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
@@ -217,7 +234,7 @@ object Bpe {
         }
         val batch0 = accepted.result()
         val batch = (batch0.take(1) ++ batch0.drop(1).takeWhile(p =>
-          sentinel.forall(p._3 > _))).take(nMerges - rank + 1)
+          sentinel.forall(p._3 > _))).take(nTarget - rank + 1)
         val applied = batch.map { case (l, r, c) =>
           val m = Merge(rank, l, r, l + r, c)
           rank += 1
@@ -563,18 +580,30 @@ object Bpe {
     * symbol→id map is well-defined and the SQL oracle's vocab join
     * (which applies the same min-id dedup) never fans out. Ids keep
     * their positional values (a dropped duplicate leaves a gap).
-    * Alphabet-sized by contract — the only collect. */
-  def vocab(df: DataFrame, text: String,
-            merges: Seq[Merge]): Seq[(Int, String, String)] = {
+    * Alphabet-sized by contract — the only collect.
+    *
+    * `reserved` prepends SPECIAL tokens (`<pad>/<bos>/<eos>/<unk>`,
+    * caller-supplied, caller-ordered) at ids 0..R−1 with base chars
+    * and merges shifted by R — the artifact contract every downstream
+    * packer and trainer specifies (eos/pad ids are configuration, not
+    * corpus facts, so they come first and never move when the corpus
+    * grows the alphabet). A corpus symbol that happens to equal a
+    * special token's string resolves to the special id (min-id dedup,
+    * the sentencepiece user-defined-symbol behavior). */
+  def vocab(df: DataFrame, text: String, merges: Seq[Merge],
+            reserved: Seq[String] = Nil): Seq[(Int, String, String)] = {
     val chars = df
       .select(explode(split(col(text), "")).as("ch"))
       .filter(col("ch") =!= "" && col("ch") =!= " ")
       .distinct().collect().map(_.getString(0)).sorted
-    val base = chars.zipWithIndex.map { case (c, i) => (i, c, "char") }
+    val r = reserved.zipWithIndex.map { case (t, i) => (i, t, "special") }
+    val off = reserved.length
+    val base = chars.zipWithIndex.map { case (c, i) =>
+      (off + i, c, "char") }
     val m = merges.sortBy(_.rank).zipWithIndex.map { case (mg, i) =>
-      (chars.length + i, mg.merged, "merge") }
+      (off + chars.length + i, mg.merged, "merge") }
     val seen = scala.collection.mutable.HashSet[String]()
-    (base ++ m).filter { case (_, sym, _) => seen.add(sym) }.toSeq
+    (r ++ base ++ m).filter { case (_, sym, _) => seen.add(sym) }.toSeq
   }
 
   /** Tokenizer-feed-ready INTEGER id sequences: [[encode]] then map
@@ -790,13 +819,16 @@ object Bpe {
     * in rank order, with [[vocab]]'s min-id dedup. No corpus scan:
     * the base set does not depend on the data, which is the whole
     * point of byte fallback. */
-  def byteVocab(merges: Seq[Merge]): Seq[(Int, String, String)] = {
+  def byteVocab(merges: Seq[Merge],
+                reserved: Seq[String] = Nil): Seq[(Int, String, String)] = {
+    val r = reserved.zipWithIndex.map { case (t, i) => (i, t, "special") }
+    val off = reserved.length
     val base = (byteAlphabet :+ '▁').map(_.toString).sorted
-      .zipWithIndex.map { case (c, i) => (i, c, "char") }
+      .zipWithIndex.map { case (c, i) => (off + i, c, "char") }
     val m = merges.sortBy(_.rank).zipWithIndex.map { case (mg, i) =>
-      (base.length + i, mg.merged, "merge") }
+      (off + base.length + i, mg.merged, "merge") }
     val seen = scala.collection.mutable.HashSet[String]()
-    (base ++ m).filter { case (_, sym, _) => seen.add(sym) }.toSeq
+    (r ++ base ++ m).filter { case (_, sym, _) => seen.add(sym) }.toSeq
   }
 
   /** Byte-mode id sequences: [[encodeBytes]] exploded through the

@@ -676,11 +676,20 @@ object TextOps {
     val counts = tokens(df, text)
       .groupBy(col(key).cast("string").as("_g"), col(id).as("_id"))
       .agg(count(lit(1)).as("_n"))
+    packCounts(counts, budget).toDF(key, id, "n_tokens", "seq_id")
+  }
+
+  /** The greedy first-fit core shared by [[packSequences]] and
+    * [[packTokenIds]]: a (`_g` group, `_id`, `_n` cost) frame → one
+    * keyed shuffle, in-partition sort, O(1)-state consecutive-run
+    * pass. */
+  private def packCounts(counts: DataFrame, budget: Long): DataFrame = {
+    val sorted = counts
       .repartition(col("_g"))
       .sortWithinPartitions(col("_g"), col("_id"))
-    val outSchema = counts.schema
+    val outSchema = sorted.schema
       .add("seq_id", org.apache.spark.sql.types.LongType, nullable = false)
-    counts.mapPartitions { rows =>
+    sorted.mapPartitions { rows =>
       var curKey: String = null
       var curSum = 0L
       var seq = 0L
@@ -693,7 +702,52 @@ object TextOps {
         org.apache.spark.sql.Row(g, r.get(1), n, seq)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-      .toDF(key, id, "n_tokens", "seq_id")
+  }
+
+  /** Tokenizer-feed sequence packing (t09b): [[packSequences]] on the
+    * REAL token ids — each document costs its BPE token count PLUS
+    * one `eosId` separator (the reserved special id from
+    * [[graft.text.Bpe.vocab]]'s `reserved` block), and the output is
+    * the packed id STREAM itself: one row per token,
+    * (key, seq_id, doc, seq_pos, token_id), every document followed
+    * by its eos row — exactly what a training loader memory-maps.
+    * Documents that encode to zero symbols still ship their eos (an
+    * empty doc is a document boundary, not nothing).
+    *
+    * Scale shape: the encode is the map-side [[graft.text.Bpe
+    * .encodeIds]]; costs aggregate per doc; the greedy pass is the
+    * per-shard [[packCounts]] core; the final seq_pos is a window
+    * over (key, seq) partitions — each a bounded `budget`-sized run,
+    * so the sort inside the window never sees more than one
+    * sequence's tokens per group. */
+  def packTokenIds(df: DataFrame, id: String, key: String, text: String,
+                   merges: Seq[graft.text.Bpe.Merge],
+                   vocab: Seq[(Int, String, String)],
+                   budget: Long, eosId: Int): DataFrame = {
+    val keys = df.select(col(id).as("_id"),
+      col(key).cast("string").as("_g"))
+    val ids = graft.text.Bpe.encodeIds(df, id, text, merges, vocab)
+      .select(col(id).as("_id"), col("pos"), col("token_id"))
+    // per-doc cost = symbol count + 1 eos; zero-symbol docs kept
+    val counts = keys.join(
+        ids.groupBy(col("_id")).agg(count(lit(1)).as("_c")),
+        Seq("_id"), "left")
+      .select(col("_g"), col("_id"),
+        (coalesce(col("_c"), lit(0L)) + 1L).as("_n"))
+    val packed = packCounts(counts, budget)
+      .toDF("_g", "_id", "_n", "seq_id")
+    val eosRows = packed.select(col("_id"),
+      (col("_n") - 1L).cast("int").as("pos"),
+      lit(eosId).as("token_id"))
+    ids.unionByName(eosRows)
+      .join(packed.select(col("_g"), col("_id"), col("seq_id")),
+        Seq("_id"))
+      .withColumn("seq_pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_g"), col("seq_id"))
+          .orderBy(col("_id"), col("pos"))) - 1)
+      .select(col("_g").as(key), col("seq_id"), col("_id").as(id),
+        col("seq_pos"), col("token_id"))
   }
 
   /** Hashed-n-gram importance weights (beyond reference): the

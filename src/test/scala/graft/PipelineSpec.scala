@@ -1091,6 +1091,61 @@ class PipelineSpec extends AnyFunSuite {
       "every chunk has a positive BPE token count")
   }
 
+  test("CLI curate --train_bpe with --target_vocab / --reserved_tokens: " +
+       "training stops at the vocab budget and the id↔symbol artifact " +
+       "lands with specials at ids 0..R−1") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftbpe3").toString
+    val docs = (1L to 8L).map(i =>
+        (i, "low low lower newest newest widest prose line " + i))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    // run 1 — no target: calibrates how many base chars the CURATED
+    // corpus (post near-dedup/redaction) actually has, and shows the
+    // trainer goes past 2 merges when unconstrained
+    val out0 = s"$dir/chunks0"
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"$dir/docs",
+      "near_threshold" -> "0.8", "min_tokens" -> "1",
+      "train_bpe" -> "10",
+      "reserved_tokens" -> "<pad>,<bos>,<eos>,<unk>",
+      "chunk_window" -> "400", "chunk_stride" -> "300",
+      "output" -> out0, "metrics_out" -> s"$dir/funnel0.json"))
+    val v0 = spark.read.parquet(s"${out0}_bpe_vocab.parquet")
+    val nChars = v0.filter(col("kind") === "char").count().toInt
+    val m0 = spark.read.parquet(s"${out0}_bpe_merges.parquet").count()
+    assert(m0 > 2, s"calibration run must exceed the budgeted 2 merges")
+    // run 2 — target leaves room for EXACTLY 2 merges
+    val target = 4 + nChars + 2
+    val out = s"$dir/chunks"
+    Cli.run(spark, GraftConfig.defaults ++ Map(
+      "mode" -> "curate",
+      "input_docs" -> s"$dir/docs",
+      "near_threshold" -> "0.8", "min_tokens" -> "1",
+      "train_bpe" -> "10", "target_vocab" -> target.toString,
+      "reserved_tokens" -> "<pad>,<bos>,<eos>,<unk>",
+      "chunk_window" -> "400", "chunk_stride" -> "300",
+      "output" -> out, "metrics_out" -> s"$dir/funnel.json"))
+    val m = spark.read.parquet(s"${out}_bpe_merges.parquet")
+      .orderBy("rank").collect()
+    assert(m.length === 2,
+      s"target $target minus 4 specials minus $nChars chars = 2 merges")
+    val v = spark.read.parquet(s"${out}_bpe_vocab.parquet")
+      .orderBy("token_id")
+      .select("token_id", "symbol", "kind")
+      .as[(Int, String, String)].collect().toSeq
+    assert(v.size === target, "the vocabulary lands exactly on target")
+    assert(v.map(_._1) === (0 until target))
+    assert(v.take(4) === Seq((0, "<pad>", "special"),
+      (1, "<bos>", "special"), (2, "<eos>", "special"),
+      (3, "<unk>", "special")))
+    assert(v.slice(4, 4 + nChars).forall(_._3 == "char"))
+    assert(v.drop(4 + nChars).map(x => (x._2, x._3)) ===
+      m.map(r => (r.getString(3), "merge")).toSeq)
+  }
+
   test("UrlOps host/domain: userinfo, port, www, deep subdomains, " +
        "single-label hosts, and junk all resolve per the RE2 contract") {
     val s = spark

@@ -61,6 +61,63 @@ class TextLmPackSpec extends AnyFunSuite {
       ("b", 1L) -> 0L, ("b", 3L) -> 1L))
   }
 
+  test("packTokenIds (t09b): packed id stream — every doc terminated " +
+       "by the reserved eos id, empty docs ship eos alone, budget " +
+       "counts the eos, positions renumber within sequences") {
+    import graft.text.Bpe
+    val docs = Seq(
+      (0L, "s0", "ab ab"),   // 2 symbols (+eos = 3)
+      (1L, "s0", "b"),       // 1 symbol  (+eos = 2)
+      (2L, "s0", ""),        // 0 symbols (+eos = 1)
+      (3L, "s0", "ab b b")   // 3 symbols (+eos = 4)
+    ).toDF("doc_id", "source", "text")
+    val m = Bpe.train(docs, "text", nMerges = 1) // (a,b)->ab
+    assert(m.map(_.merged) === Seq("ab"))
+    val v = Bpe.vocab(docs, "text", m,
+      Seq("<pad>", "<bos>", "<eos>", "<unk>"))
+    // reserved 0..3, chars a=4 b=5, merge ab=6
+    assert(v.take(4).map(_._3).forall(_ == "special"))
+    assert(v.drop(4) === Seq((4, "a", "char"), (5, "b", "char"),
+      (6, "ab", "merge")))
+    val r = graft.text.TextOps.packTokenIds(docs, "doc_id", "source",
+        "text", m, v, budget = 5L, eosId = 2)
+      .select("source", "seq_id", "doc_id", "seq_pos", "token_id")
+      .as[(String, Long, Long, Int, Int)].collect()
+      .sortBy(t => (t._1, t._2, t._4)).toSeq
+    // costs in id order: 3, 2, 1, 4 at budget 5 →
+    //   seq0 = doc0 (3) + doc1 (2); seq1 = doc2 (1) + doc3 (4)
+    assert(r === Seq(
+      ("s0", 0L, 0L, 0, 6), ("s0", 0L, 0L, 1, 6), ("s0", 0L, 0L, 2, 2),
+      ("s0", 0L, 1L, 3, 5), ("s0", 0L, 1L, 4, 2),
+      ("s0", 1L, 2L, 0, 2),
+      ("s0", 1L, 3L, 1, 6), ("s0", 1L, 3L, 2, 5), ("s0", 1L, 3L, 3, 5),
+      ("s0", 1L, 3L, 4, 2)))
+  }
+
+  test("trainBatched targetVocab stop rule: reserved + base chars + " +
+       "merges lands exactly on the target; nMerges still caps when " +
+       "tighter; a target at or below the floor trains nothing") {
+    import graft.text.Bpe
+    val df = Seq((1L, "low low low low low lower lower newest newest " +
+      "newest newest newest newest widest widest widest"))
+      .toDF("doc_id", "text")
+    // distinct chars: d,e,i,l,n,o,r,s,t,w = 10
+    val seq = Bpe.train(df, "text", nMerges = 6)
+    val m = Bpe.trainBatched(df, "text", nMerges = 100,
+      targetVocab = Some(17), reservedCount = 4)
+    assert(m === seq.take(3), "17 - 4 reserved - 10 chars = 3 merges")
+    val v = Bpe.vocab(df, "text", m,
+      Seq("<pad>", "<bos>", "<eos>", "<unk>"))
+    assert(v.size === 17, "the vocab lands exactly on targetVocab")
+    assert(Bpe.trainBatched(df, "text", nMerges = 2,
+      targetVocab = Some(17), reservedCount = 4) === seq.take(2))
+    assert(Bpe.trainBatched(df, "text", nMerges = 5,
+      targetVocab = Some(14), reservedCount = 4).isEmpty)
+    assert(Bpe.trainBatched(df, "text", nMerges = 5,
+      targetVocab = Some(3), reservedCount = 4).isEmpty,
+      "a target below even the reserved block must not go negative")
+  }
+
   test("importanceWeights: zero when source and target distributions match; " +
        "target-like docs score above target-unlike docs") {
     val corpus = Seq((0L, "x y x y"), (1L, "x y y x")).toDF("doc_id", "text")
