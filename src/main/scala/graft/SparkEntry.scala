@@ -2105,19 +2105,44 @@ object SparkEntry {
     }),
 
     // ── t26: script-aware language ID — deterministic multilingual
-    //    fixture (doc_id%5 selects a latin / CJK / kana-heavy / hangul
-    //    / cyrillic sample); codepoint-RANGE counts replay identically
-    //    in Java regex and RE2, argmax ties break on class name ──────
+    //    fixture (doc_id%9 selects a latin / CJK / kana / hangul /
+    //    cyrillic / devanagari / greek / hebrew / thai sample);
+    //    codepoint-RANGE counts replay identically in Java regex and
+    //    RE2, argmax ties break on class name ──────────────────────────
     "t26_langid_script" -> ((s, dir) => {
       val samples = Seq(
         "the quick brown fox jumps over the lazy dog",
         "这 是 一个 中文 句子 我们 在 训练 数据 管道 里 检测 语言 使用 汉字",
         "これ は にほんご の ぶん です かな が とても おおい 日本語",
         "이것 은 한국어 문장 입니다 언어 감지 테스트 입니다",
-        "это русское предложение для проверки определения языка")
+        "это русское предложение для проверки определения языка",
+        "यह भाषा पहचान की जाँच के लिए एक हिंदी वाक्य है",
+        "αυτή είναι μια ελληνική πρόταση για τον έλεγχο της γλώσσας",
+        "זה משפט בעברית לבדיקת זיהוי השפה שלנו",
+        "นี่คือประโยคภาษาไทยสำหรับการตรวจสอบภาษา")
       val body = element_at(
-        array(samples.map(lit): _*), (col("doc_id") % 5).cast("int") + 1)
+        array(samples.map(lit): _*), (col("doc_id") % 9).cast("int") + 1)
       graft.text.TextOps.langIdScript(
+          docs(s, dir).select(col("doc_id"), body.as("body")),
+          "doc_id", "body")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── t30: SAME-SCRIPT language ID — es/fr/pt held-out sentences
+    //    (none in the training corpus) rotated by doc_id%6; the frozen
+    //    hashed char-trigram multinomial scores replay in SQL via the
+    //    256-row literal weight table, argmax ties break lang ASC ─────
+    "t30_langid_trigram" -> ((s, dir) => {
+      val samples = Seq(
+        "la reunión de vecinos se celebra el jueves por la noche en el salón del ayuntamiento",
+        "le médecin m'a dit que je devais me reposer quelques jours et boire beaucoup d'eau",
+        "a reunião dos vizinhos realiza-se na quinta à noite no salão da junta",
+        "el médico me dijo que debía descansar unos días y beber mucha agua",
+        "la réunion des voisins aura lieu jeudi soir dans la salle de la mairie",
+        "o médico disse-me que devia descansar uns dias e beber muita água")
+      val body = element_at(
+        array(samples.map(lit): _*), (col("doc_id") % 6).cast("int") + 1)
+      graft.text.TextOps.langIdTrigram(
           docs(s, dir).select(col("doc_id"), body.as("body")),
           "doc_id", "body")
         .orderBy(col("doc_id"))

@@ -126,22 +126,27 @@ object TextOps {
     "ara" -> "[؀-ۿ]",
     "cjk" -> "[㐀-䶿一-鿿]",
     "cyr" -> "[Ѐ-ӿ]",
+    "dev" -> "[ऀ-ॿ]",
+    "ell" -> "[Ͱ-Ͽ]",
+    "heb" -> "[֐-׿]",
     "jpn_kana" -> "[぀-ヿｦ-ﾟ]",
     "kor" -> "[가-힯]",
-    "lat" -> "[A-Za-z]")
+    "lat" -> "[A-Za-z]",
+    "tha" -> "[฀-๿]")
 
   /** Script-aware language ID (beyond reference; the companion to the
     * marker-word [[langId]], which is blind outside Latin scripts —
     * a zh/ja/ko/ru/ar document scores 0 on every marker list and gets
     * an arbitrary tie-break guess): per-document codepoint counts for
-    * six script classes, argmax with a deterministic (count DESC, name
+    * ten script classes (the r13 extension adds Devanagari, Thai,
+    * Greek, Hebrew — the next-largest crawl populations), argmax with a deterministic (count DESC, name
     * ASC) tie-break, `unknown` when no class character occurs, plus
     * the winning class's character ratio. Kana outranking Han picks
     * Japanese over Chinese on mixed kanji/kana text — the standard
     * script-first cue a real pipeline routes on BEFORE any per-language
     * model.
     *
-    * Scale shape: six `regexp_count` expressions + a when-chain — pure
+    * Scale shape: ten `regexp_count` expressions + a when-chain — pure
     * map-side, zero shuffles, fully codegen'd, embarrassingly parallel
     * at 100 TB; applies unchanged to a stream. */
   def langIdScript(df: DataFrame, id: String, text: String): DataFrame = {
@@ -162,6 +167,58 @@ object TextOps {
           .otherwise(round(maxCnt.cast("double") /
             greatest(length(col(text)).cast("double"), lit(1.0)), 6)))
       .drop(text)
+  }
+
+  /** Same-script language ID (t30; the step AFTER [[langIdScript]]
+    * routes a doc to `lat`): hashed char-trigram multinomial logistic
+    * regression over the es/fr/pt family — three Latin-script
+    * languages the script counter cannot separate and marker words
+    * confuse on short text. The classic char-n-gram langid shape
+    * (Cavnar & Trenkle 1994) distilled the t11 way: frozen literal
+    * weights ([[LangIdTrigramModel]], trained offline by
+    * [[graft.tools.TrainLangIdTrigram]]), relative hashed-trigram
+    * frequencies of the LOWERCASED text (trigrams include spaces, so
+    * function-word boundaries — " el", "ção", "le " — carry the
+    * signal). Scores are 6-rounded per class; argmax tie-breaks on
+    * language ASC. Documents shorter than 3 characters have no
+    * trigrams and are not emitted (gate by length upstream).
+    *
+    * Scale shape: one map-side gram explode + one (id, bucket) agg +
+    * a broadcast join against the 256-row literal weight table + one
+    * per-doc agg — no shuffle wider than the doc's own id, the t11
+    * scoring pattern exactly; the model is three dot products. */
+  def langIdTrigram(df: DataFrame, id: String, text: String): DataFrame = {
+    import graft.text.{LangIdTrigramModel => M}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(
+      (0 until M.NBuckets).map(b =>
+        (b.toLong, M.W(0)(b), M.W(1)(b), M.W(2)(b)))
+        .toSeq.toDF("b", "w_es", "w_fr", "w_pt"))
+    df.select(col(id), lower(col(text)).as("_t"))
+      .filter(length(col("_t")) >= 3)
+      .select(col(id),
+        explode(transform(sequence(lit(1), length(col("_t")) - 2),
+          j => col("_t").substr(j, lit(3)))).as("gram"))
+      .withColumn("b", pmod(Dedup.h64(col("gram"), M.Salt),
+        lit(M.NBuckets.toLong)))
+      .groupBy(col(id), col("b")).agg(count(lit(1)).as("c"))
+      .join(wdf, "b")
+      .groupBy(col(id))
+      .agg(sum(col("c")).as("n_grams"),
+        round(lit(M.Intercepts(0)) +
+          sum(col("c") * col("w_es")) / sum(col("c")), 6).as("score_es"),
+        round(lit(M.Intercepts(1)) +
+          sum(col("c") * col("w_fr")) / sum(col("c")), 6).as("score_fr"),
+        round(lit(M.Intercepts(2)) +
+          sum(col("c") * col("w_pt")) / sum(col("c")), 6).as("score_pt"))
+      .withColumn("lang_guess", {
+        val mx = greatest(col("score_es"), col("score_fr"),
+          col("score_pt"))
+        when(col("score_es") === mx, lit("es"))
+          .when(col("score_fr") === mx, lit("fr"))
+          .otherwise(lit("pt"))
+      })
   }
 
   /** CJK segmentation shim (t27; the mC4/CCNet preprocessing rule):
