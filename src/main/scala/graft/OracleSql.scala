@@ -6530,36 +6530,101 @@ object OracleSql {
     // a name-ASC CASE chain, unknown when no class char occurs
     "t26_langid_script" ->
       """WITH b AS (SELECT doc_id,
-        |    CASE (doc_id % 5)
+        |    CASE (doc_id % 9)
         |      WHEN 0 THEN 'the quick brown fox jumps over the lazy dog'
         |      WHEN 1 THEN '这 是 一个 中文 句子 我们 在 训练 数据 管道 里 检测 语言 使用 汉字'
         |      WHEN 2 THEN 'これ は にほんご の ぶん です かな が とても おおい 日本語'
         |      WHEN 3 THEN '이것 은 한국어 문장 입니다 언어 감지 테스트 입니다'
-        |      ELSE 'это русское предложение для проверки определения языка'
+        |      WHEN 4 THEN 'это русское предложение для проверки определения языка'
+        |      WHEN 5 THEN 'यह भाषा पहचान की जाँच के लिए एक हिंदी वाक्य है'
+        |      WHEN 6 THEN 'αυτή είναι μια ελληνική πρόταση για τον έλεγχο της γλώσσας'
+        |      WHEN 7 THEN 'זה משפט בעברית לבדיקת זיהוי השפה שלנו'
+        |      ELSE 'นี่คือประโยคภาษาไทยสำหรับการตรวจสอบภาษา'
         |    END AS body
         |  FROM documents),
         |c AS (SELECT doc_id, body,
         |    len(regexp_extract_all(body, '[؀-ۿ]'))::BIGINT AS n_ara,
         |    len(regexp_extract_all(body, '[㐀-䶿一-鿿]'))::BIGINT AS n_cjk,
         |    len(regexp_extract_all(body, '[Ѐ-ӿ]'))::BIGINT AS n_cyr,
+        |    len(regexp_extract_all(body, '[ऀ-ॿ]'))::BIGINT AS n_dev,
+        |    len(regexp_extract_all(body, '[Ͱ-Ͽ]'))::BIGINT AS n_ell,
+        |    len(regexp_extract_all(body, '[֐-׿]'))::BIGINT AS n_heb,
         |    len(regexp_extract_all(body, '[぀-ヿｦ-ﾟ]'))::BIGINT AS n_jpn_kana,
         |    len(regexp_extract_all(body, '[가-힯]'))::BIGINT AS n_kor,
-        |    len(regexp_extract_all(body, '[A-Za-z]'))::BIGINT AS n_lat
+        |    len(regexp_extract_all(body, '[A-Za-z]'))::BIGINT AS n_lat,
+        |    len(regexp_extract_all(body, '[฀-๿]'))::BIGINT AS n_tha
         |  FROM b),
-        |m AS (SELECT c.*, greatest(n_ara, n_cjk, n_cyr, n_jpn_kana,
-        |    n_kor, n_lat) AS mx FROM c)
-        |SELECT doc_id, n_ara, n_cjk, n_cyr, n_jpn_kana, n_kor, n_lat,
+        |m AS (SELECT c.*, greatest(n_ara, n_cjk, n_cyr, n_dev, n_ell,
+        |    n_heb, n_jpn_kana, n_kor, n_lat, n_tha) AS mx FROM c)
+        |SELECT doc_id, n_ara, n_cjk, n_cyr, n_dev, n_ell, n_heb,
+        |  n_jpn_kana, n_kor, n_lat, n_tha,
         |  CASE WHEN mx = 0 THEN 'unknown'
         |       WHEN n_ara = mx THEN 'ara'
         |       WHEN n_cjk = mx THEN 'cjk'
         |       WHEN n_cyr = mx THEN 'cyr'
+        |       WHEN n_dev = mx THEN 'dev'
+        |       WHEN n_ell = mx THEN 'ell'
+        |       WHEN n_heb = mx THEN 'heb'
         |       WHEN n_jpn_kana = mx THEN 'jpn_kana'
         |       WHEN n_kor = mx THEN 'kor'
-        |       ELSE 'lat' END AS script_guess,
+        |       WHEN n_lat = mx THEN 'lat'
+        |       ELSE 'tha' END AS script_guess,
         |  CASE WHEN mx = 0 THEN 0.0
         |       ELSE round(mx::DOUBLE / greatest(len(body)::DOUBLE, 1.0), 6)
         |  END AS script_ratio
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // t30: same-script language ID — the t11 frozen-weights pattern
+    // over hashed char-trigrams: the SAME LangIdTrigramModel doubles
+    // the Spark plan broadcasts, embedded as a 256-row VALUES table
+    // (Double.toString round-trips in DuckDB), same h64 bucketing
+    // (h64 is a 60-bit non-negative value, so % == pmod), scores
+    // 6-rounded per class, argmax CASE in es/fr/pt order. FP-sum
+    // order is engine-chosen on both sides; like t11, r6 rounding of
+    // a ≤256-term dot product absorbs the last-ulp wobble (a mismatch
+    // needs a score within ~1 ulp of a .5e-6 boundary).
+    "t30_langid_trigram" -> {
+      val m = graft.text.LangIdTrigramModel
+      val vals = (0 until m.NBuckets).map(b =>
+        s"($b, ${m.W(0)(b)}::DOUBLE, ${m.W(1)(b)}::DOUBLE, " +
+          s"${m.W(2)(b)}::DOUBLE)").mkString(", ")
+      s"""WITH d AS (SELECT doc_id,
+         |    lower(CASE (doc_id % 6)
+         |      WHEN 0 THEN 'la reunión de vecinos se celebra el jueves por la noche en el salón del ayuntamiento'
+         |      WHEN 1 THEN 'le médecin m''a dit que je devais me reposer quelques jours et boire beaucoup d''eau'
+         |      WHEN 2 THEN 'a reunião dos vizinhos realiza-se na quinta à noite no salão da junta'
+         |      WHEN 3 THEN 'el médico me dijo que debía descansar unos días y beber mucha agua'
+         |      WHEN 4 THEN 'la réunion des voisins aura lieu jeudi soir dans la salle de la mairie'
+         |      ELSE 'o médico disse-me que devia descansar uns dias e beber muita água'
+         |    END) AS t
+         |  FROM documents),
+         |f AS (SELECT doc_id, t FROM d WHERE len(t) >= 3),
+         |g0 AS (SELECT doc_id, t,
+         |         unnest(generate_series(1, len(t) - 2))::INT AS j
+         |       FROM f),
+         |g AS (SELECT doc_id, substr(t, j, 3) AS gram FROM g0),
+         |bk AS (SELECT doc_id,
+         |         ${h64Sql("gram", s"'${m.Salt}'")} % ${m.NBuckets} AS b
+         |       FROM g),
+         |cnt AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM bk
+         |        GROUP BY 1, 2),
+         |w(b, w_es, w_fr, w_pt) AS (VALUES $vals),
+         |agg AS (SELECT doc_id, sum(c)::BIGINT AS n_grams,
+         |          round(${m.Intercepts(0)} + sum(c * w.w_es) / sum(c), 6)
+         |            AS score_es,
+         |          round(${m.Intercepts(1)} + sum(c * w.w_fr) / sum(c), 6)
+         |            AS score_fr,
+         |          round(${m.Intercepts(2)} + sum(c * w.w_pt) / sum(c), 6)
+         |            AS score_pt
+         |        FROM cnt JOIN w USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_grams, score_es, score_fr, score_pt,
+         |  CASE WHEN score_es = greatest(score_es, score_fr, score_pt)
+         |         THEN 'es'
+         |       WHEN score_fr = greatest(score_es, score_fr, score_pt)
+         |         THEN 'fr'
+         |       ELSE 'pt' END AS lang_guess
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
 
     // b05: sentencepiece-style ▁ word markers — training and encoding
     // replayed over the marked stream; decode(encode(x)) == x is the

@@ -937,8 +937,15 @@ object Cli {
     cfg.strOpt("train_bpe").foreach { n =>
       import spark.implicits._
       val corpus = redacted.select(col("redacted").as(text))
+      // trim each special after the split — a user-supplied
+      // "<pad>, <bos>" must not mint a ' <bos>' special and silently
+      // shift every vocab id; empty or duplicate specials fail loudly
+      // because downstream consumers key on exact id↔symbol identity
       val reserved = cfg.strOpt("reserved_tokens")
-        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+      require(reserved.distinct.length == reserved.length,
+        s"--reserved_tokens has duplicates: ${reserved.mkString(",")}")
       val merges = timedStage("bpe_train")(graft.text.Bpe.trainBatched(
         corpus, text, n.toInt,
         targetVocab = cfg.strOpt("target_vocab").map(_.toInt),

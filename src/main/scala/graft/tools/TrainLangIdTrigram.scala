@@ -24,8 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object TrainLangIdTrigram {
 
-  /** ~20 sentences per language, everyday register, function-word
-    * rich. Held-out gate/spec fixtures must NOT appear here. */
+  /** ~28 sentences per language, everyday register, function-word
+    * rich, deliberately near-parallel across the three languages so
+    * the model must learn discriminative function-word trigrams
+    * rather than topic. Held-out gate/spec fixtures must NOT appear
+    * here (the last 8 rows per language cover the speech-report /
+    * rest / drink-water constructions the r13 model missed on the
+    * held-out set — parallel in all three languages, so no bias). */
   val Corpus: Seq[(String, String)] = Seq(
     // ── Spanish ──
     "es" -> "el mercado de la ciudad abre temprano y los vendedores preparan sus puestos con fruta fresca",
@@ -48,6 +53,14 @@ object TrainLangIdTrigram {
     "es" -> "aunque era tarde seguimos hablando de los viejos tiempos hasta la madrugada",
     "es" -> "la empresa anunció que va a abrir una nueva fábrica cerca de la frontera",
     "es" -> "cada año las familias se reúnen en la plaza para celebrar la fiesta del pueblo",
+    "es" -> "la vecina me dijo que el autobús tarda unos veinte minutos en llegar al centro",
+    "es" -> "tienes que beber mucha agua cuando haces deporte en los días de calor",
+    "es" -> "el abuelo descansa unos minutos después de comer y luego sale a caminar",
+    "es" -> "mi madre preparó una sopa de verduras y todos pidieron un poco más",
+    "es" -> "el partido terminó tarde y volvimos a casa caminando bajo la lluvia",
+    "es" -> "ella estudia por la noche porque durante el día trabaja en la tienda",
+    "es" -> "dime si necesitas algo más antes de que salga para el aeropuerto",
+    "es" -> "los trabajadores piden mejores horarios y un descanso más largo al mediodía",
     // ── French ──
     "fr" -> "le marché de la ville ouvre très tôt et les vendeurs installent leurs étals de fruits frais",
     "fr" -> "nous ne savons pas si le train arrive aujourd'hui parce que la gare était fermée ce matin",
@@ -69,6 +82,14 @@ object TrainLangIdTrigram {
     "fr" -> "même s'il était tard nous avons continué à parler du bon vieux temps jusqu'à l'aube",
     "fr" -> "l'entreprise a annoncé qu'elle va ouvrir une nouvelle usine près de la frontière",
     "fr" -> "chaque année les familles se retrouvent sur la place pour fêter la fête du village",
+    "fr" -> "la voisine m'a dit que le bus met environ vingt minutes pour arriver au centre",
+    "fr" -> "il faut boire beaucoup d'eau quand on fait du sport pendant les jours de chaleur",
+    "fr" -> "le grand-père se repose quelques minutes après le repas puis sort marcher",
+    "fr" -> "ma mère a préparé une soupe de légumes et tout le monde en a redemandé",
+    "fr" -> "le match s'est terminé tard et nous sommes rentrés à pied sous la pluie",
+    "fr" -> "elle étudie le soir parce que pendant la journée elle travaille au magasin",
+    "fr" -> "dis-moi si tu as besoin d'autre chose avant que je parte pour l'aéroport",
+    "fr" -> "les ouvriers demandent de meilleurs horaires et une pause plus longue à midi",
     // ── Portuguese ──
     "pt" -> "o mercado da cidade abre cedo e os vendedores preparam as bancas com fruta fresca",
     "pt" -> "não sabemos se o comboio chega hoje porque a estação estava fechada quando passámos",
@@ -89,7 +110,15 @@ object TrainLangIdTrigram {
     "pt" -> "precisamos de comprar pão e leite antes que as lojas do centro fechem",
     "pt" -> "embora fosse tarde continuámos a falar dos velhos tempos até de madrugada",
     "pt" -> "a empresa anunciou que vai abrir uma fábrica nova perto da fronteira",
-    "pt" -> "todos os anos as famílias juntam-se na praça para celebrar a festa da aldeia")
+    "pt" -> "todos os anos as famílias juntam-se na praça para celebrar a festa da aldeia",
+    "pt" -> "a vizinha disse-me que o autocarro demora uns vinte minutos a chegar ao centro",
+    "pt" -> "é preciso beber muita água quando se faz desporto nos dias de calor",
+    "pt" -> "o avô descansa uns minutos depois do almoço e depois sai para caminhar",
+    "pt" -> "a minha mãe preparou uma sopa de legumes e todos pediram mais um pouco",
+    "pt" -> "o jogo acabou tarde e voltámos para casa a pé debaixo da chuva",
+    "pt" -> "ela estuda à noite porque durante o dia trabalha na loja",
+    "pt" -> "diz-me se precisas de mais alguma coisa antes de eu sair para o aeroporto",
+    "pt" -> "os trabalhadores pedem melhores horários e uma pausa mais longa ao meio-dia")
 
   def main(args: Array[String]): Unit = {
     val nBuckets = 256

@@ -83,14 +83,19 @@ class LineOpsSpec extends AnyFunSuite {
       (5L, "русский текст без латиницы"),
       (6L, "نص عربي قصير"),
       (7L, "12345 !!! ???"),                     // no class chars → unknown
-      (8L, "ab 汉字")                            // 2 lat vs 2 cjk TIE → cjk (name asc)
+      (8L, "ab 汉字"),                           // 2 lat vs 2 cjk TIE → cjk (name asc)
+      (9L, "हिंदी वाक्य की जाँच"),                 // Devanagari → dev
+      (10L, "ελληνική πρόταση εδώ"),              // Greek → ell
+      (11L, "משפט בעברית כאן"),                  // Hebrew → heb
+      (12L, "ประโยคภาษาไทย")                     // Thai → tha
     ).toDF("id", "body")
     val got = graft.text.TextOps.langIdScript(df, "id", "body")
       .select("id", "script_guess").as[(Long, String)]
       .collect().sortBy(_._1).toSeq
     assert(got === Seq(1L -> "lat", 2L -> "cjk", 3L -> "jpn_kana",
       4L -> "kor", 5L -> "cyr", 6L -> "ara", 7L -> "unknown",
-      8L -> "cjk"))
+      8L -> "cjk", 9L -> "dev", 10L -> "ell", 11L -> "heb",
+      12L -> "tha"))
     // the ratio is the winning class's character share:
     // 'ab 汉字' = 5 chars, 2 of them cjk → 0.4
     val r = graft.text.TextOps.langIdScript(df, "id", "body")
@@ -317,5 +322,44 @@ class LineOpsSpec extends AnyFunSuite {
     assert(buf.nonEmpty && buf.toMap === batch)
     assert(batch.values.forall(_._3 == 2),
       "footer removed from every doc, prose + unique line survive")
+  }
+
+  test("langIdTrigram: held-out es/fr/pt sentences classify correctly, " +
+       "scores are finite and 6-rounded, <3-char docs are dropped") {
+    // none of these sentences appear in TrainLangIdTrigram's embedded
+    // corpus — the six are the t30 gate fixture (held out by design),
+    // the last three are fresh everyday-register prose
+    val rows = Seq(
+      (1L, "la reunión de vecinos se celebra el jueves por la noche en el salón del ayuntamiento", "es"),
+      (2L, "le médecin m'a dit que je devais me reposer quelques jours et boire beaucoup d'eau", "fr"),
+      (3L, "a reunião dos vizinhos realiza-se na quinta à noite no salão da junta", "pt"),
+      (4L, "el médico me dijo que debía descansar unos días y beber mucha agua", "es"),
+      (5L, "la réunion des voisins aura lieu jeudi soir dans la salle de la mairie", "fr"),
+      (6L, "o médico disse-me que devia descansar uns dias e beber muita água", "pt"),
+      (7L, "los niños juegan en el parque cuando hace buen tiempo por la tarde", "es"),
+      (8L, "nous avons acheté du pain et du fromage au marché ce matin", "fr"),
+      (9L, "as crianças brincam no parque quando faz bom tempo à tarde", "pt"))
+    val df = rows.map(r => (r._1, r._2)).toDF("id", "body")
+    val got = graft.text.TextOps.langIdTrigram(df, "id", "body")
+      .select("id", "lang_guess", "n_grams",
+        "score_es", "score_fr", "score_pt")
+      .as[(Long, String, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got.map(g => g._1 -> g._2) === rows.map(r => r._1 -> r._3))
+    val bodyById = rows.map(r => r._1 -> r._2).toMap
+    got.foreach { g =>
+      assert(g._3 === bodyById(g._1).length.toLong - 2,
+        "every overlapping trigram of the lowercased text is counted")
+      Seq(g._4, g._5, g._6).foreach { s =>
+        assert(!s.isNaN && !s.isInfinite)
+        assert(s === math.rint(s * 1e6) / 1e6, s"score $s is 6-rounded")
+      }
+    }
+    // documents shorter than 3 characters have no trigrams: dropped,
+    // not emitted with a null/zero score row
+    val short = graft.text.TextOps.langIdTrigram(
+      Seq((1L, "ab"), (2L, ""), (3L, "sí")).toDF("id", "body"),
+      "id", "body")
+    assert(short.count() === 0L)
   }
 }

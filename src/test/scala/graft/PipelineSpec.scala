@@ -1117,17 +1117,20 @@ class PipelineSpec extends AnyFunSuite {
     val nChars = v0.filter(col("kind") === "char").count().toInt
     val m0 = spark.read.parquet(s"${out0}_bpe_merges.parquet").count()
     assert(m0 > 2, s"calibration run must exceed the budgeted 2 merges")
-    // run 2 — target leaves room for EXACTLY 2 merges
+    // run 2 — target leaves room for EXACTLY 2 merges. This run goes
+    // through GraftConfig.resolve (the REAL --flag path, validator
+    // included) so a knob missing from KnownFlags fails here, and the
+    // reserved list carries spaces to pin the post-split trim.
     val target = 4 + nChars + 2
     val out = s"$dir/chunks"
-    Cli.run(spark, GraftConfig.defaults ++ Map(
-      "mode" -> "curate",
-      "input_docs" -> s"$dir/docs",
-      "near_threshold" -> "0.8", "min_tokens" -> "1",
-      "train_bpe" -> "10", "target_vocab" -> target.toString,
-      "reserved_tokens" -> "<pad>,<bos>,<eos>,<unk>",
-      "chunk_window" -> "400", "chunk_stride" -> "300",
-      "output" -> out, "metrics_out" -> s"$dir/funnel.json"))
+    Cli.run(spark, GraftConfig.resolve(Array(
+      "--mode", "curate",
+      "--input_docs", s"$dir/docs",
+      "--near_threshold", "0.8", "--min_tokens", "1",
+      "--train_bpe", "10", "--target_vocab", target.toString,
+      "--reserved_tokens", "<pad>, <bos>, <eos>, <unk>",
+      "--chunk_window", "400", "--chunk_stride", "300",
+      "--output", out, "--metrics_out", s"$dir/funnel.json")))
     val m = spark.read.parquet(s"${out}_bpe_merges.parquet")
       .orderBy("rank").collect()
     assert(m.length === 2,
