@@ -487,6 +487,57 @@ object Bpe {
     }
   }
 
+  /** One word through the merges IN RANK ORDER — the pinned chain
+    * semantics ([[encode]]'s replace chain) on the JVM side, for
+    * rank-straddling tables where the greedy scan's equivalence
+    * contract does not hold. Each merge consumes all its adjacencies
+    * left-to-right non-overlapping, exactly like the ` l  r ` string
+    * replace. O(|merges|·len) — the fallback's price; consistent
+    * tables (every trainer output in practice) take the greedy
+    * scan. */
+  private def encodeWordChain(word: String,
+                              ordered: Array[Merge]): Array[String] = {
+    var syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    syms ++= charSymbols(word)
+    def mergeable(s: String) = {
+      val c = s.charAt(0).toInt
+      !(c == 10 || c == 13 || c == 0x85 || c == 0x2028 || c == 0x2029)
+    }
+    var mi = 0
+    while (mi < ordered.length && syms.length > 1) {
+      val m = ordered(mi)
+      val next = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == m.left &&
+            syms(j + 1) == m.right && mergeable(syms(j)) &&
+            mergeable(syms(j + 1))) {
+          next += m.merged
+          j += 2
+        } else {
+          next += syms(j)
+          j += 1
+        }
+      }
+      syms = next
+      mi += 1
+    }
+    syms.toArray
+  }
+
+  private def cachedEncodeChain(w: String, ordered: Array[Merge],
+      cache: java.util.HashMap[String, Array[String]])
+      : Array[String] = {
+    val hit = cache.get(w)
+    if (hit != null) hit
+    else {
+      val e = encodeWordChain(w, ordered)
+      if (cache.size >= 100000) cache.clear()
+      cache.put(w, e)
+      e
+    }
+  }
+
   /** Sentencepiece-style word marking (b05): every word gets a ▁
     * (U+2581) prefix — including a synthetic leading one — so word
     * boundaries live IN the symbol stream and encoded text
@@ -741,30 +792,44 @@ object Bpe {
     * concatenated symbol stream (`n_tokens_b` / `encoded_b`).
     * [[decodeBytes]] inverts it byte-exactly for ANY input — there is
     * no OOV and no lossy step anywhere. Map-side, zero shuffles,
-    * stateless (streaming-safe). */
+    * stateless (streaming-safe). Rank-straddling tables fall back to
+    * the per-word rank-ordered chain (the pinned semantics) instead
+    * of hard-failing the serving path. */
   def encodeBytes(df: DataFrame, text: String,
                   merges: Seq[Merge]): DataFrame = {
-    requireRankConsistent(merges)
+    // rank-straddling tables (rare but legal trainer output) are
+    // outside the greedy scan's equivalence contract; instead of
+    // hard-failing the serving/streaming path, route each word
+    // through the rank-ordered chain — the pinned semantics — like
+    // the Cli batch-encode path does for char mode
+    val consistent = isRankConsistent(merges)
     val spark = df.sparkSession
     val rankMap = new java.util.HashMap[String, Integer](
       math.max(16, merges.size * 2))
     merges.foreach(m =>
       rankMap.put(m.left + " " + m.right, Integer.valueOf(m.rank)))
     val bc = spark.sparkContext.broadcast(rankMap)
+    val bcOrdered = spark.sparkContext.broadcast(
+      if (consistent) Array.empty[Merge]
+      else merges.sortBy(_.rank).toArray)
     val ti = df.schema.fieldIndex(text)
     val outSchema = df.schema
       .add("n_tokens_b", org.apache.spark.sql.types.IntegerType)
       .add("encoded_b", org.apache.spark.sql.types.StringType)
     df.mapPartitions { rows =>
       val ranks = bc.value
+      val ordered = bcOrdered.value
       val cache = newWordCache()
+      val enc1: String => Array[String] =
+        if (consistent) w => cachedEncode(w, ranks, cache)
+        else w => cachedEncodeChain(w, ordered, cache)
       rows.map { row =>
         val t = row.getString(ti)
         val words =
           if (t == null) Array.empty[String]
           else ("▁" + premapBytes(t).replace(" ", " ▁"))
             .split(" ").filter(_.nonEmpty)
-        val enc = words.flatMap(w => cachedEncode(w, ranks, cache))
+        val enc = words.flatMap(enc1)
         org.apache.spark.sql.Row.fromSeq(
           row.toSeq :+ enc.length :+ enc.mkString(" "))
       }

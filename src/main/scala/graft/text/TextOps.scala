@@ -1593,8 +1593,30 @@ object TextOps {
     * carry document structure and would otherwise all hash
     * together). */
   def dedupLines(df: DataFrame, id: String, text: String,
-                 maxDf: Int = 5): DataFrame =
-    removeLines(boilerplateLines(df, id, text, maxDf), df, id, text)
+                 maxDf: Int = 5): DataFrame = {
+    // ONE explode pass: the exploded line frame is materialized once
+    // (localCheckpoint) and shared by its three consumers — the
+    // line-df aggregation, the anti-join probe side, and the per-doc
+    // line counts. Unmaterialized, each consumer re-runs the
+    // scan + split + posexplode (r12/r13 bench: the t25 doclen-axis
+    // ratio sat at 5–6× because the 10×-longer text was split three
+    // times); storing the lines once trades executor-local spill
+    // space for two full corpus re-reads — the right trade at any
+    // scale where the text dominates the row.
+    val other = df.columns.filterNot(_ == text).map(col)
+    val lined = df.select(other :+
+        posexplode(split(col(text), "\n")).as(Seq("pos", "line")): _*)
+      .localCheckpoint()
+    // count_distinct instead of distinct-then-count: one logical agg
+    // keyed on the line with map-side partial aggregation, not two
+    // full exchanges of the exploded line text
+    val flagged = lined.filter(col("line") =!= "")
+      .groupBy(col("line"))
+      .agg(count_distinct(col(id)).as("line_df"))
+      .filter(col("line_df") >= maxDf)
+      .select(col("line"))
+    removeLinesFrom(lined, flagged, id)
+  }
 
   /** The boilerplate-line frame behind [[dedupLines]]: distinct
     * non-blank lines appearing in at least `maxDf` DISTINCT documents
@@ -1606,8 +1628,8 @@ object TextOps {
     val lined = df.select(col(id),
       explode(split(col(text), "\n")).as("line"))
     lined.filter(col("line") =!= "")
-      .select(col(id), col("line")).distinct()
-      .groupBy(col("line")).agg(count(lit(1)).as("line_df"))
+      .groupBy(col("line"))
+      .agg(count_distinct(col(id)).as("line_df"))
       .filter(col("line_df") >= maxDf)
       .select(col("line"))
   }
@@ -1620,21 +1642,32 @@ object TextOps {
     val other = df.columns.filterNot(_ == text).map(col)
     val lined = df.select(other :+
       posexplode(split(col(text), "\n")).as(Seq("pos", "line")): _*)
-    val keepRows = lined.join(refLines.select(col("line")), Seq("line"),
-      "left_anti")
-    val counts = lined.groupBy(col(id))
-      .agg(count(lit(1)).cast("int").as("n_lines"))
-    val reassembled = keepRows.groupBy(col(id))
-      .agg(count(lit(1)).cast("int").as("n_kept"),
+    removeLinesFrom(lined, refLines, id)
+  }
+
+  /** [[removeLines]] over an already-exploded (pos, line) frame —
+    * shared with [[dedupLines]], whose caller materializes the frame
+    * once for all consumers. ONE pass: boilerplate lines are MARKED
+    * with a broadcast-able left join (refLines is small by contract —
+    * lines frequent enough to cross maxDf), and counts + reassembly
+    * fold into a single doc-keyed agg. The previous anti-join +
+    * count-agg + rejoin shape read the exploded frame three times; a
+    * document whose every line was boilerplate still lands, fully
+    * emptied, because the left join keeps all rows. */
+  private def removeLinesFrom(lined: DataFrame, refLines: DataFrame,
+                              id: String): DataFrame = {
+    val marks = refLines.select(col("line")).distinct()
+      .withColumn("_bp", lit(1))
+    lined.join(marks, Seq("line"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).cast("int").as("n_lines"),
+        count(when(col("_bp").isNull, 1)).cast("int").as("n_kept"),
         concat_ws("\n",
-          transform(array_sort(collect_list(struct(col("pos"),
-            col("line")))), s => s.getField("line"))).as("clean"))
-    // left from counts: a document whose every line was boilerplate
-    // still appears, fully emptied, in the output funnel
-    counts.join(reassembled, Seq(id), "left")
-      .select(col(id), col("n_lines"),
-        coalesce(col("n_kept"), lit(0)).as("n_kept"),
-        coalesce(col("clean"), lit("")).as("clean"))
+          transform(
+            filter(array_sort(collect_list(struct(col("pos"),
+                col("line"), col("_bp")))),
+              s => s.getField("_bp").isNull),
+            s => s.getField("line"))).as("clean"))
   }
 
   /** Per-COLLECTION repeated-line removal (t25b — the `*b` family pass
@@ -1646,24 +1679,30 @@ object TextOps {
     * collection key riding every agg/join key. */
   def dedupLinesBy(df: DataFrame, id: String, series: String,
                    text: String, maxDf: Int = 5): DataFrame = {
+    // same one-explode-pass materialization as [[dedupLines]]
     val lined = df.select(col(id), col(series),
-      posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+        posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+      .localCheckpoint()
+    // count_distinct instead of distinct-then-count: one logical agg
+    // keyed (series, line) with map-side partial aggregation, not two
+    // full exchanges of the exploded line text
     val flagged = lined.filter(col("line") =!= "")
-      .select(col(series), col(id), col("line")).distinct()
-      .groupBy(col(series), col("line")).agg(count(lit(1)).as("ldf"))
+      .groupBy(col(series), col("line"))
+      .agg(count_distinct(col(id)).as("ldf"))
       .filter(col("ldf") >= maxDf)
       .select(col(series), col("line"))
-    val keepRows = lined.join(flagged, Seq(series, "line"), "left_anti")
-    val counts = lined.groupBy(col(id), col(series))
-      .agg(count(lit(1)).cast("int").as("n_lines"))
-    val reassembled = keepRows.groupBy(col(id), col(series))
-      .agg(count(lit(1)).cast("int").as("n_kept"),
+    // same one-pass mark-join + fold as [[removeLinesFrom]], with the
+    // collection key riding the join and the agg
+    val marks = flagged.withColumn("_bp", lit(1))
+    lined.join(marks, Seq(series, "line"), "left")
+      .groupBy(col(id), col(series))
+      .agg(count(lit(1)).cast("int").as("n_lines"),
+        count(when(col("_bp").isNull, 1)).cast("int").as("n_kept"),
         concat_ws("\n",
-          transform(array_sort(collect_list(struct(col("pos"),
-            col("line")))), s => s.getField("line"))).as("clean"))
-    counts.join(reassembled, Seq(id, series), "left")
-      .select(col(id), col(series), col("n_lines"),
-        coalesce(col("n_kept"), lit(0)).as("n_kept"),
-        coalesce(col("clean"), lit("")).as("clean"))
+          transform(
+            filter(array_sort(collect_list(struct(col("pos"),
+                col("line"), col("_bp")))),
+              s => s.getField("_bp").isNull),
+            s => s.getField("line"))).as("clean"))
   }
 }

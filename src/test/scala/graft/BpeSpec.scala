@@ -259,6 +259,36 @@ class BpeSpec extends AnyFunSuite {
         .select("encoded").as[String].head())
   }
 
+  test("encodeBytes: a rank-straddling frozen table routes through the " +
+       "rank-ordered chain (serving-path fallback, no hard fail) and " +
+       "still round-trips; consistent tables keep the greedy scan") {
+    val df = Seq((1L, "dabc")).toDF("doc_id", "text")
+    // ascii letters are their own byte-alphabet surrogates, so the
+    // char-mode straddle fixture carries over: 'abc' forms at rank 3
+    // AND rank 5, rank 4 uses it in between
+    val straddle = Seq(Bpe.Merge(1, "a", "b", "ab", 0L),
+      Bpe.Merge(2, "b", "c", "bc", 0L),
+      Bpe.Merge(3, "a", "bc", "abc", 0L),
+      Bpe.Merge(4, "d", "abc", "dabc", 0L),
+      Bpe.Merge(5, "ab", "c", "abc", 0L))
+    assert(!Bpe.isRankConsistent(straddle))
+    val got = Bpe.encodeBytes(df, "text", straddle)
+      .select("encoded_b").as[String].head()
+    assert(got === "▁ d abc",
+      "chain semantics: rank 4 already passed when rank 5 forms abc")
+    assert(Bpe.decodeBytes(got) === "dabc")
+    // consistent variant (ranks 4/5 swapped): greedy path, full merge
+    val ok = Seq(Bpe.Merge(1, "a", "b", "ab", 0L),
+      Bpe.Merge(2, "b", "c", "bc", 0L),
+      Bpe.Merge(3, "a", "bc", "abc", 0L),
+      Bpe.Merge(4, "ab", "c", "abc", 0L),
+      Bpe.Merge(5, "d", "abc", "dabc", 0L))
+    val got2 = Bpe.encodeBytes(df, "text", ok)
+      .select("encoded_b").as[String].head()
+    assert(got2 === "▁ dabc")
+    assert(Bpe.decodeBytes(got2) === "dabc")
+  }
+
   test("trainBatched ≡ train: adversarial corpora — self-pair runs, " +
        "count ties, interacting top pairs, early exhaustion") {
     val fixtures = Seq(
