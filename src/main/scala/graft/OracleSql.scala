@@ -6466,6 +6466,38 @@ object OracleSql {
         |  (nfc_normalize(body) <> body)::INT AS changed
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // t29b: Unicode NFKC — DuckDB has no nfkc_normalize, so the
+    // COMPATIBILITY step is replayed with a frozen literal map that
+    // covers exactly the fixture's compatibility repertoire
+    // (fullwidth latin/digits/percent, fi/fl ligatures, ㎞/㎡ squared
+    // units — each expansion is the UAX #15 recursive compatibility
+    // decomposition), then nfc_normalize composes the canonical step
+    // (the decomposed accent). The corpus text itself is ASCII (no
+    // compatibility chars), so the map is exhaustive for this body.
+    "t29b_nfkc_normalize" -> {
+      val compat = Seq(
+        "Ｇ" -> "G", "ｒ" -> "r", "ａ" -> "a", "ｆ" -> "f", "ｔ" -> "t",
+        "５" -> "5", "０" -> "0", "％" -> "%",
+        "ﬁ" -> "fi", "ﬂ" -> "fl", "㎞" -> "km", "㎡" -> "m2")
+      val mapped = compat.foldLeft("body") { case (e, (from, to)) =>
+        s"replace($e, '$from', '$to')"
+      }
+      s"""WITH b AS (SELECT doc_id,
+         |    text || CASE (doc_id % 5)
+         |      WHEN 0 THEN ' Ｇｒａｆｔ ５０％ faster'
+         |      WHEN 1 THEN ' the ﬁrst ﬂoor'
+         |      WHEN 2 THEN ' ５㎞ in ㎡ units'
+         |      WHEN 3 THEN ' cafe' || chr(769) || ' visit'
+         |      ELSE ' plain ascii' END AS body
+         |  FROM documents),
+         |n AS (SELECT doc_id, body,
+         |    nfc_normalize($mapped) AS normalized
+         |  FROM b)
+         |SELECT doc_id, normalized,
+         |  (normalized <> body)::INT AS changed
+         |FROM n ORDER BY doc_id""".stripMargin
+    },
+
     // t28: HTML stripping — the same RE2 chain (comments, script/style
     // with contents, tags, entity decode with &amp; LAST, whitespace
     // collapse); replace() chains mirror the Spark side exactly

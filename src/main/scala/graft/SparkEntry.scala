@@ -2085,6 +2085,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── t29b: Unicode NFKC — compatibility forms (fullwidth latin +
+    //    digits, ﬁ/ﬂ ligatures, squared units, plus one decomposed
+    //    accent) collapse onto their plain twins; NFC alone leaves
+    //    all but the accent byte-distinct. The ja/zh-crawl
+    //    normalization mode ─────────────────────────────────────────
+    "t29b_nfkc_normalize" -> ((s, dir) => {
+      val tail = element_at(array(
+        lit(" Ｇｒａｆｔ ５０％ faster"),
+        lit(" the ﬁrst ﬂoor"),
+        lit(" ５㎞ in ㎡ units"),
+        lit(" cafe" + 0x301.toChar + " visit"),
+        lit(" plain ascii")), (col("doc_id") % 5).cast("int") + 1)
+      graft.text.TextOps.nfcNormalizeFrame(
+          docs(s, dir).select(col("doc_id"),
+            concat(col("text"), tail).as("body")),
+          "doc_id", "body", form = "NFKC")
+        .select(col("doc_id"), col("normalized"), col("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── t28: HTML stripping — the fixture wraps each doc's text in a
     //    deterministic page (head with style+script, headings, a
     //    comment, entities); script/style contents and tags must

@@ -507,14 +507,24 @@ object Cli {
           .asInstanceOf[Long]) - Option(r.get(1)).fold(0L)(_
           .asInstanceOf[Long]))
         .getOrElse(0L)
-    // ── optional Unicode NFC normalization (--nfc_normalize true —
-    // t29): composed/decomposed twins byte-converge BEFORE anything
-    // fingerprints the text (the CCNet ordering). Map-side pass.
-    val nfcNormalized =
-      if (cfg.strOpt("nfc_normalize").contains("true"))
-        TextOps.nfcNormalizeFrame(urlDeduped, id, text)
-          .drop(text, "changed").withColumnRenamed("normalized", text)
-      else urlDeduped
+    // ── optional Unicode normalization (--nfc_normalize true — t29;
+    // --nfkc_normalize true — t29b, the compatibility superset for
+    // ja/zh crawl: fullwidth latin, ligatures, squared units; NFKC
+    // wins if both are set): composed/decomposed twins byte-converge
+    // BEFORE anything fingerprints the text (the CCNet ordering).
+    // Map-side pass.
+    val nfcNormalized = {
+      val form =
+        if (cfg.strOpt("nfkc_normalize").contains("true")) Some("NFKC")
+        else if (cfg.strOpt("nfc_normalize").contains("true")) Some("NFC")
+        else None
+      form match {
+        case Some(f) =>
+          TextOps.nfcNormalizeFrame(urlDeduped, id, text, f)
+            .drop(text, "changed").withColumnRenamed("normalized", text)
+        case None => urlDeduped
+      }
+    }
     // ── optional HTML stripping (--html_strip true — t28): crawl data
     // arrives as markup; script/style/tags/entities go FIRST so every
     // later gate and fingerprint sees prose. Map-side regex chain.

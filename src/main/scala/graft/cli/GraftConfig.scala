@@ -82,8 +82,8 @@ object GraftConfig {
     "max_dup_span", "cut_dup_spans", "cut_contaminated_spans",
     "domain_blocklist", "url_col", "line_filter", "min_line_words",
     "line_blocklist", "line_terminal", "cjk_segment", "html_strip",
-    "nfc_normalize", "max_line_df", "train_bpe", "bpe_merges",
-    "target_vocab", "reserved_tokens",
+    "nfc_normalize", "nfkc_normalize", "max_line_df", "train_bpe",
+    "bpe_merges", "target_vocab", "reserved_tokens",
     "dedup_by_url")
 
   /** `--key value` CLI args → overrides; `--load_config f.json` merges

@@ -326,11 +326,12 @@ object StreamingScore {
   def langIdScript(docs: DataFrame, id: String, text: String): DataFrame =
     graft.text.TextOps.langIdScript(docs, id, text)
 
-  /** Streaming t29 twin — NFC normalization is a stateless per-row
-    * mapPartitions pass, so it applies DIRECTLY to the streaming
-    * frame; batch-identical by construction. */
-  def nfcNormalize(docs: DataFrame, id: String, text: String): DataFrame =
-    graft.text.TextOps.nfcNormalizeFrame(docs, id, text)
+  /** Streaming t29/t29b twin — NFC/NFKC normalization is a stateless
+    * per-row mapPartitions pass, so it applies DIRECTLY to the
+    * streaming frame; batch-identical by construction. */
+  def nfcNormalize(docs: DataFrame, id: String, text: String,
+                   form: String = "NFC"): DataFrame =
+    graft.text.TextOps.nfcNormalizeFrame(docs, id, text, form)
 
   /** Streaming t25 twin — repeated-line removal of ARRIVING docs
     * against a FROZEN boilerplate-line frame

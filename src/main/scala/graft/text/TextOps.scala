@@ -301,9 +301,18 @@ object TextOps {
     * stream-safe. The oracle replays it with DuckDB's
     * `nfc_normalize` (both sides implement UAX #15, so agreement is
     * by standard, not by luck). Emits `normalized` + a `changed`
-    * flag (the corpus-hygiene funnel count). */
+    * flag (the corpus-hygiene funnel count).
+    *
+    * `form = "NFKC"` (t29b) additionally applies COMPATIBILITY
+    * decompositions — fullwidth latin/digits (ja/zh crawl), ﬁ/ﬂ
+    * ligatures, squared units (㎞ → km), ideographic space — which
+    * NFC leaves byte-distinct from their plain twins; the standard
+    * tokenizer-prep choice (sentencepiece's default normalizer is
+    * NFKC) and what dedup/decontamination need on CJK-adjacent
+    * crawl. */
   def nfcNormalizeFrame(df: DataFrame, id: String,
-                        text: String): DataFrame = {
+                        text: String, form: String = "NFC"): DataFrame = {
+    val f = java.text.Normalizer.Form.valueOf(form)
     val ti = df.schema.fieldIndex(text)
     val outSchema = df.schema
       .add("normalized", org.apache.spark.sql.types.StringType)
@@ -313,8 +322,7 @@ object TextOps {
         val t = row.getString(ti)
         val n =
           if (t == null) null
-          else java.text.Normalizer.normalize(t,
-            java.text.Normalizer.Form.NFC)
+          else java.text.Normalizer.normalize(t, f)
         val changed = if (t != null && n != t) 1 else 0
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ n :+ changed)
       }

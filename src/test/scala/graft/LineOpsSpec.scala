@@ -189,6 +189,35 @@ class LineOpsSpec extends AnyFunSuite {
       "one distinct text after normalization — dedup sees twins")
   }
 
+  test("nfkcNormalize (t29b): fullwidth latin/digits, fi/fl ligatures, " +
+       "squared units and decomposed accents all collapse onto plain " +
+       "twins; plain ascii is flagged unchanged; NFC alone leaves the " +
+       "compatibility forms byte-distinct") {
+    val df = Seq(
+      (1L, "Ｇｒａｆｔ ５０％ faster"),
+      (2L, "the ﬁrst ﬂoor"),
+      (3L, "５㎞ in ㎡ units"),
+      (4L, "cafe" + 0x301.toChar + " visit"),
+      (5L, "plain ascii")).toDF("id", "body")
+    val nfkc = graft.text.TextOps.nfcNormalizeFrame(
+        df, "id", "body", form = "NFKC")
+      .select("id", "normalized", "changed")
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(nfkc(0) === ((1L, "Graft 50% faster", 1)))
+    assert(nfkc(1) === ((2L, "the first floor", 1)))
+    assert(nfkc(2) === ((3L, "5km in m2 units", 1)),
+      "squared units decompose recursively (m-squared -> m2)")
+    assert(nfkc(3) === ((4L, "café visit", 1)),
+      "NFKC includes the canonical composition step")
+    assert(nfkc(4) === ((5L, "plain ascii", 0)))
+    // NFC alone composes only the accent — every compatibility form
+    // survives byte-distinct (the gap t29b exists to close)
+    val nfc = graft.text.TextOps.nfcNormalizeFrame(df, "id", "body")
+      .select("id", "changed").as[(Long, Int)]
+      .collect().sortBy(_._1).map(_._2).toSeq
+    assert(nfc === Seq(0, 0, 0, 1, 0))
+  }
+
   test("dedupLines: corpus-frequent lines vanish everywhere, unique " +
        "prose survives in order; emptied docs stay in the funnel") {
     val boiler = "subscribe to our newsletter"
