@@ -146,7 +146,9 @@ object ScaleBench {
     "b05_bpe_sentencepiece", "a14b_domain_rollup_psl",
     "m04b_image_neardup_by", "m07b_video_neardup_fuzzy",
     "t26_langid_script", "t27_cjk_segment", "t28_html_strip",
-    "t29_nfc_normalize")
+    "t29_nfc_normalize",
+    "b07_bpe_byte_fallback", "t09b_pack_token_ids",
+    "t30_langid_trigram", "t29b_nfkc_normalize")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
@@ -171,7 +173,11 @@ object ScaleBench {
     "m06_frame_hashes", "m07_video_neardup", "t25b_line_dedup_by",
     "b01p_bpe_train_batched", "b02p_bpe_encode_fast",
     "b05_bpe_sentencepiece", "m04b_image_neardup_by",
-    "m07b_video_neardup_fuzzy", "t28_html_strip")
+    "m07b_video_neardup_fuzzy", "t28_html_strip",
+    // t30 is NOT here: its fixture replaces the doc text with fixed
+    // rotated sample sentences, so the length axis never reaches it
+    "b07_bpe_byte_fallback", "t09b_pack_token_ids",
+    "t29b_nfkc_normalize")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
