@@ -507,6 +507,19 @@ object Cli {
           .asInstanceOf[Long]) - Option(r.get(1)).fold(0L)(_
           .asInstanceOf[Long]))
         .getOrElse(0L)
+    // ── optional HTML stripping (--html_strip true — t28): crawl data
+    // arrives as markup; script/style/tags/entities go FIRST so every
+    // later stage sees prose — including the normalizer (r14: this
+    // stage moved ahead of normalization to pin the contract order
+    // t28 → t29 → t27 → t24; markup must never reach the normalizer /
+    // segmenter / line ops, and if the entity decoder ever grows
+    // numeric-entity support, decoded output — &#769; would be a raw
+    // combining accent — must still flow through normalization).
+    // Map-side regex chain.
+    val htmlStripped =
+      if (cfg.strOpt("html_strip").contains("true"))
+        urlDeduped.withColumn(text, TextOps.htmlStrip(col(text)))
+      else urlDeduped
     // ── optional Unicode normalization (--nfc_normalize true — t29;
     // --nfkc_normalize true — t29b, the compatibility superset for
     // ja/zh crawl: fullwidth latin, ligatures, squared units; NFKC
@@ -520,18 +533,11 @@ object Cli {
         else None
       form match {
         case Some(f) =>
-          TextOps.nfcNormalizeFrame(urlDeduped, id, text, f)
+          TextOps.nfcNormalizeFrame(htmlStripped, id, text, f)
             .drop(text, "changed").withColumnRenamed("normalized", text)
-        case None => urlDeduped
+        case None => htmlStripped
       }
     }
-    // ── optional HTML stripping (--html_strip true — t28): crawl data
-    // arrives as markup; script/style/tags/entities go FIRST so every
-    // later gate and fingerprint sees prose. Map-side regex chain.
-    val htmlStripped =
-      if (cfg.strOpt("html_strip").contains("true"))
-        nfcNormalized.withColumn(text, TextOps.htmlStrip(col(text)))
-      else nfcNormalized
     // ── optional CJK segmentation (--cjk_segment true — t27): insert
     // spaces around Han/kana chars BEFORE any token-based stage, so an
     // unsegmented zh/ja corpus stops reading as one-giant-word docs
@@ -539,8 +545,8 @@ object Cli {
     // Pure map-side regex — free at any scale.
     val segmented =
       if (cfg.strOpt("cjk_segment").contains("true"))
-        htmlStripped.withColumn(text, trim(TextOps.cjkSegment(col(text))))
-      else htmlStripped
+        nfcNormalized.withColumn(text, trim(TextOps.cjkSegment(col(text))))
+      else nfcNormalized
     val (lineFiltered, nLineFilterDrop) =
       if (cfg.strOpt("line_filter").contains("true")) {
         val lf = TextOps.lineFilter(segmented, id, text,

@@ -1149,6 +1149,71 @@ class PipelineSpec extends AnyFunSuite {
       m.map(r => (r.getString(3), "merge")).toSeq)
   }
 
+  test("curate stage-order audit: t28 html-strip → t29 NFKC → t27 " +
+       "cjk-segment → t24 line-filter, pinned by order-observable " +
+       "fixtures, plus the full funnel key set") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftorder").toString
+    val docs = Seq(
+      // doc 1 — t28 BEFORE t29: real markup strips (the <b> tags, the
+      // comment), while the FULLWIDTH ＜script＞…＜/script＞ is plain
+      // text at strip time and only becomes ascii '<script>' when
+      // NFKC runs afterwards; were the order reversed, NFKC would
+      // mint real tag chars first and the stripper would delete the
+      // evil-stays span as a script block
+      (1L, "<b>alpha</b> the raw text ＜script＞evil stays＜/script＞ " +
+        "right here.<!-- hidden -->"),
+      // doc 2 — t29 BEFORE t27 and t27 BEFORE t24: the halfwidth
+      // ｶ+ﾞ pair composes to ガ only while still adjacent (NFKC
+      // before the segmenter splits them), and the unsegmented CJK
+      // line passes the ≥3-words gate only because segmentation runs
+      // before the line filter (unsegmented it is ONE token and the
+      // doc would empty out)
+      (2L, "ｶﾞ这是中文句子。"),
+      (3L, "plain prose control line that simply survives every stage.")
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    val out = s"$dir/chunks"
+    Cli.run(spark, GraftConfig.resolve(Array(
+      "--mode", "curate", "--input_docs", s"$dir/docs",
+      "--html_strip", "true", "--nfkc_normalize", "true",
+      "--cjk_segment", "true", "--line_filter", "true",
+      "--line_terminal", "cjk",
+      "--near_threshold", "0.8", "--min_tokens", "1",
+      "--chunk_window", "4000", "--chunk_stride", "4000",
+      "--output", out, "--metrics_out", s"$dir/funnel.json")))
+    val byDoc = spark.read.parquet(out)
+      .select(col("doc_id"), col("chunk"))
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).mkString(" ") }
+    val d1 = byDoc(1L)
+    assert(d1.contains("<script>evil stays</script>"),
+      s"fullwidth script text survives stripping, then NFKC → ascii: $d1")
+    assert(d1.contains("alpha") && !d1.contains("hidden") &&
+      !d1.contains("<b>"), s"real markup stripped: $d1")
+    val d2 = byDoc.get(2L).getOrElse(
+      fail("the CJK doc was dropped — the line filter ran before " +
+        "segmentation (order regression)"))
+    assert(d2.contains("ガ"),
+      s"halfwidth ｶ+ﾞ composed BEFORE segmentation split them: $d2")
+    assert(d2.contains("句 子 。"), s"CJK char-segmented: $d2")
+    assert(byDoc.contains(3L))
+    // the per-stage funnel key set is part of the pinned contract
+    val funnel = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/funnel.json")), "UTF-8")
+    Seq("n_input", "n_after_domain_gate", "n_lines_dropped_filter",
+        "n_lines_dropped_boilerplate", "n_after_exact_dedup",
+        "n_after_near_dedup", "n_after_quality",
+        "n_after_gopher_rules", "n_after_lang_filter",
+        "n_after_lm_filter", "n_after_quality_classifier",
+        "n_after_decontaminate", "n_emails_redacted",
+        "n_phones_redacted", "n_chunks").foreach { k =>
+      assert(funnel.contains("\"" + k + "\""), s"funnel key $k: $funnel")
+    }
+    assert(funnel.contains("\"n_input\": 3"), funnel)
+  }
+
   test("UrlOps host/domain: userinfo, port, www, deep subdomains, " +
        "single-label hosts, and junk all resolve per the RE2 contract") {
     val s = spark
