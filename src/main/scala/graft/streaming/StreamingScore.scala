@@ -326,6 +326,14 @@ object StreamingScore {
   def langIdScript(docs: DataFrame, id: String, text: String): DataFrame =
     graft.text.TextOps.langIdScript(docs, id, text)
 
+  /** Streaming t30 twin — same-script language ID scores each doc
+    * locally ([[graft.text.TextOps.langIdTrigramFast]]: one stateless
+    * mapPartitions pass, zero shuffles), so it applies DIRECTLY to
+    * the streaming frame; agreement with the batch explode+agg shape
+    * is spec-pinned. */
+  def langIdTrigram(docs: DataFrame, id: String, text: String): DataFrame =
+    graft.text.TextOps.langIdTrigramFast(docs, id, text)
+
   /** Streaming t29/t29b twin — NFC/NFKC normalization is a stateless
     * per-row mapPartitions pass, so it applies DIRECTLY to the
     * streaming frame; batch-identical by construction. */

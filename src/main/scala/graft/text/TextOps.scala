@@ -221,6 +221,87 @@ object TextOps {
       })
   }
 
+  /** [[langIdTrigram]] at the PRODUCTION / streaming operating point:
+    * scoring is per-document local (hash trigrams into a 256-bucket
+    * histogram, three dot products against the broadcast-free frozen
+    * literals), so one `mapPartitions` pass does it with ZERO
+    * shuffles — the batch shape above keeps its explode + agg + join
+    * form because that is what the DuckDB oracle replays. Buckets
+    * fold in ascending order, so the FP sums are deterministic
+    * regardless of partitioning; trigrams are taken over CODEPOINTS
+    * (surrogate pairs whole) exactly like Spark's `substr`; scores
+    * r6-round like the batch path (HALF_UP, Spark's `round`).
+    * Stateless — applies unchanged to a streaming frame. */
+  def langIdTrigramFast(df: DataFrame, id: String,
+                        text: String): DataFrame = {
+    import graft.text.{LangIdTrigramModel => M}
+    val ti = df.schema.fieldIndex(text)
+    val keep = df.schema(id)
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add(keep)
+      .add("n_grams", org.apache.spark.sql.types.LongType)
+      .add("score_es", org.apache.spark.sql.types.DoubleType)
+      .add("score_fr", org.apache.spark.sql.types.DoubleType)
+      .add("score_pt", org.apache.spark.sql.types.DoubleType)
+      .add("lang_guess", org.apache.spark.sql.types.StringType)
+    val ii = df.schema.fieldIndex(id)
+    def r6(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def bucket(gram: String): Int = {
+        val hex = md.digest(s"${M.Salt}|$gram".getBytes("UTF-8"))
+          .map(bb => f"${bb & 0xff}%02x").mkString
+        (java.lang.Long.parseLong(hex.substring(0, 15), 16) %
+          M.NBuckets).toInt
+      }
+      rows.flatMap { row =>
+        val raw = row.getString(ti)
+        val t = if (raw == null) null
+                else raw.toLowerCase(java.util.Locale.ROOT)
+        val n = if (t == null) 0 else t.codePointCount(0, t.length)
+        if (n < 3) Iterator.empty
+        else {
+          // codepoint start offsets, so each trigram matches Spark's
+          // substr(j, 3) on astral-plane text too
+          val offs = new Array[Int](n + 1)
+          var i = 0
+          var o = 0
+          while (i < n) { offs(i) = o
+            o += Character.charCount(t.codePointAt(o)); i += 1 }
+          offs(n) = t.length
+          val counts = new Array[Long](M.NBuckets)
+          var j = 0
+          while (j + 3 <= n) {
+            counts(bucket(t.substring(offs(j), offs(j + 3)))) += 1L
+            j += 1
+          }
+          var nGrams = 0L
+          var dEs = 0.0; var dFr = 0.0; var dPt = 0.0
+          var b = 0
+          while (b < M.NBuckets) {
+            val c = counts(b)
+            if (c > 0) {
+              nGrams += c
+              dEs += c * M.W(0)(b); dFr += c * M.W(1)(b)
+              dPt += c * M.W(2)(b)
+            }
+            b += 1
+          }
+          val sEs = r6(M.Intercepts(0) + dEs / nGrams)
+          val sFr = r6(M.Intercepts(1) + dFr / nGrams)
+          val sPt = r6(M.Intercepts(2) + dPt / nGrams)
+          val mx = math.max(sEs, math.max(sFr, sPt))
+          val guess = if (sEs == mx) "es" else if (sFr == mx) "fr"
+                      else "pt"
+          Iterator.single(org.apache.spark.sql.Row(
+            row.get(ii), nGrams, sEs, sFr, sPt, guess))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** CJK segmentation shim (t27; the mC4/CCNet preprocessing rule):
     * whitespace tokenization sees an unsegmented Chinese/Japanese
     * document as ONE giant "word", silently defeating every token op

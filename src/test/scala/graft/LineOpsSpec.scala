@@ -391,4 +391,39 @@ class LineOpsSpec extends AnyFunSuite {
       "id", "body")
     assert(short.count() === 0L)
   }
+
+  test("langIdTrigramFast: the zero-shuffle mapPartitions scorer " +
+       "matches the batch explode+agg shape exactly (ids, guesses, " +
+       "every r6 score), drops <3-char docs, and plans no Exchange") {
+    val rows = Seq(
+      (1L, "la reunión de vecinos se celebra el jueves por la noche en el salón del ayuntamiento"),
+      (2L, "le médecin m'a dit que je devais me reposer quelques jours et boire beaucoup d'eau"),
+      (3L, "a reunião dos vizinhos realiza-se na quinta à noite no salão da junta"),
+      (4L, "nous avons acheté du pain et du fromage au marché ce matin"),
+      (5L, "as crianças brincam no parque quando faz bom tempo à tarde"),
+      (6L, "ab"),                                  // dropped: 2 chars
+      (7L, "astral 😀😀 plane mixed prose here"))
+    val df = rows.toDF("id", "body").repartition(4)
+    def slurp(d: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Double, Double, Double, String)] = d
+      .select("id", "n_grams", "score_es", "score_fr", "score_pt",
+        "lang_guess")
+      .as[(Long, Long, Double, Double, Double, String)]
+      .collect().sortBy(_._1).toSeq
+    val batch = slurp(graft.text.TextOps.langIdTrigram(df, "id", "body"))
+    val fast = slurp(
+      graft.text.TextOps.langIdTrigramFast(df, "id", "body"))
+    assert(fast === batch,
+      "per-doc local scoring replays the distributed agg bit-for-bit")
+    assert(!batch.map(_._1).contains(6L))
+    // plan over an un-repartitioned input: the scorer itself must
+    // introduce no Exchange
+    val q = graft.text.TextOps.langIdTrigramFast(
+      rows.toDF("id", "body"), "id", "body")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"),
+      s"the fast scorer must not shuffle:\n$plan")
+  }
 }
