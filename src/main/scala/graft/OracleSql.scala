@@ -3300,6 +3300,75 @@ object OracleSql {
         |SELECT user_id, round(min((value - peak)/peak),6) AS max_drawdown
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // c03: Ljung–Box portmanteau on per-user log-returns, h=10 — the
+    // full-series acf estimator, Q = n(n+2)·Σρ_k²/(n−k), p = the EVEN-
+    // dof closed-form chi-square survival exp(−Q/2)·Σ_{j<5}(Q/2)^j/j!
+    // (a finite polynomial — identical arithmetic in both engines; no
+    // incomplete gamma anywhere). Lag list generated, not hand-typed.
+    "c03_ljung_box" -> {
+      val h = 10
+      val lagCols = (1 to h).map(k =>
+        s"lag(c,$k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c$k")
+        .mkString(",\n        ")
+      val sums = (1 to h).map(k => s"sum(c*c$k) AS m$k").mkString(", ")
+      val qTerms = (1 to h).map(k =>
+        s"(m$k/den)*(m$k/den)/(n_obs-$k)").mkString(" + ")
+      val tPow = (0 until h / 2).map { j =>
+        val fact = (1 to j).foldLeft(1.0)(_ * _)
+        if (j == 0) "1"
+        else List.fill(j)("(qs/2)").mkString("*") + s"/$fact"
+      }.mkString(" + ")
+      s"""WITH r AS (
+         | SELECT user_id, ts, event_id,
+         |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+         |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+         | FROM events),
+         |x AS (SELECT user_id, ts, event_id, ret FROM r
+         |      WHERE ret IS NOT NULL),
+         |m AS (SELECT user_id, avg(ret) AS xbar FROM x GROUP BY user_id),
+         |c0 AS (SELECT x.user_id, ts, event_id, ret - xbar AS c
+         |       FROM x JOIN m USING (user_id)),
+         |l AS (SELECT user_id, c,
+         |        $lagCols
+         |      FROM c0),
+         |a AS (SELECT user_id, count(c)::BIGINT AS n_obs,
+         |        sum(c*c) AS den, $sums
+         |      FROM l GROUP BY user_id),
+         |q AS (SELECT user_id, n_obs,
+         |        n_obs*(n_obs+2.0)*($qTerms) AS qs
+         |      FROM a)
+         |SELECT user_id, n_obs, round(qs, 6) AS q_stat,
+         |  round(exp(-qs/2)*($tPow), 6) AS p_value
+         |FROM q ORDER BY user_id""".stripMargin
+    },
+
+    // w15: classical additive seasonal decomposition, period 7 —
+    // centered MA trend (full-window-only), per-phase detrended means
+    // centered to zero sum, residual; both engines share the exact
+    // window/agg/join shape
+    "w15_seasonal_decompose" ->
+      """WITH b AS (SELECT user_id, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    CASE WHEN count(value) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+        |         THEN avg(value) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) END AS trend
+        |  FROM events),
+        |p AS (SELECT user_id, ((rn-1) % 7) AS phase,
+        |        avg(value - trend) AS pmean
+        |      FROM b WHERE trend IS NOT NULL GROUP BY 1, 2),
+        |ctr AS (SELECT user_id, avg(pmean) AS ctr FROM p GROUP BY user_id),
+        |s AS (SELECT p.user_id, phase, pmean - ctr.ctr AS seasonal
+        |      FROM p JOIN ctr USING (user_id))
+        |SELECT b.user_id, rn, round(trend, 6) AS trend,
+        |  round(seasonal, 6) AS seasonal,
+        |  round(value - trend - seasonal, 6) AS resid
+        |FROM b JOIN s ON s.user_id = b.user_id
+        |              AND s.phase = ((b.rn-1) % 7)
+        |ORDER BY b.user_id, rn""".stripMargin,
+
     "q12_histogram_price" ->
       """WITH rng AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
         |b AS (SELECT least(floor((l_extendedprice - lo)/(hi - lo)*100), 99)::INT AS bucket,
@@ -6676,6 +6745,76 @@ object OracleSql {
     // byte-fallback coverage (b07): the 256-surrogate byte alphabet
     // as a literal map; a unicode-salted drift scores ZERO OOV
     "b07_bpe_byte_fallback" -> b07Sql(8),
+
+    // b08: unigram-LM Viterbi tokenization — the same frequency-seeded
+    // inventory (top-64 substrings by (cnt DESC, piece ASC) + all
+    // chars, log-probs 6-ROUNDED so both engines' DPs add identical
+    // doubles), then the per-word Viterbi DP unrolled position by
+    // position over the DISTINCT-WORD frame: state = a (score,
+    // −pieces) struct whose lexicographic max IS the
+    // max-score-then-fewest-pieces tie-break (struct comparison is
+    // value-based, so candidate order never matters); 12 levels cover
+    // the corpus's max word length 8 with margin. Per-doc totals join
+    // the word scores back through the token multiset.
+    "b08_unigram_viterbi" -> {
+      val maxLevel = 12
+      val levels = (1 to maxLevel).map { i =>
+        val lo = math.max(0, i - 4)
+        s"""d$i AS MATERIALIZED (
+           |  SELECT * FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT w.word, $i AS pos,
+           |    max(struct_pack(
+           |      s := struct_extract(p.st, 's') +
+           |        COALESCE(lp.lp, CASE WHEN $i - p.pos = 1
+           |                             THEN -30.0::DOUBLE END),
+           |      n := struct_extract(p.st, 'n') - 1)) AS st
+           |  FROM words w
+           |  JOIN d${i - 1} p ON p.word = w.word
+           |    AND p.pos >= $lo AND p.pos <= ${i - 1}
+           |  LEFT JOIN lp ON lp.piece = substr(w.word, p.pos + 1,
+           |    $i - p.pos)
+           |  WHERE w.len >= $i
+           |    AND (lp.lp IS NOT NULL OR $i - p.pos = 1)
+           |  GROUP BY w.word)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(string_split(text, ' ')) AS w FROM documents),
+         |t AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+         |wc AS (SELECT w, count(*)::BIGINT AS c FROM t GROUP BY w),
+         |st0 AS (SELECT w, c,
+         |    unnest(generate_series(1, len(w)))::INT AS i FROM wc),
+         |sl AS (SELECT w, c, i,
+         |    unnest(generate_series(1, least(4, len(w) - i + 1)))::INT
+         |      AS l
+         |  FROM st0),
+         |pc AS (SELECT substr(w, i, l) AS piece, sum(c)::BIGINT AS cnt
+         |       FROM sl GROUP BY 1),
+         |multi AS (SELECT piece, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+         |  FROM pc WHERE len(piece) >= 2),
+         |sel AS (SELECT piece, cnt FROM multi WHERE rk <= 64
+         |        UNION ALL
+         |        SELECT piece, cnt FROM pc WHERE len(piece) = 1),
+         |tot AS (SELECT sum(cnt)::DOUBLE AS tt FROM sel),
+         |lp AS (SELECT piece, round(ln(cnt::DOUBLE / tt), 6) AS lp
+         |       FROM sel CROSS JOIN tot),
+         |words AS (SELECT w AS word, len(w) AS len FROM wc),
+         |d0 AS (SELECT word, 0 AS pos,
+         |        struct_pack(s := 0.0::DOUBLE, n := 0) AS st
+         |       FROM words),
+         |$levels,
+         |ws AS (SELECT d.word,
+         |        struct_extract(d.st, 's') AS s,
+         |        -struct_extract(d.st, 'n') AS np
+         |       FROM d$maxLevel d JOIN words v ON v.word = d.word
+         |       WHERE d.pos = v.len)
+         |SELECT t.doc_id, count(*)::BIGINT AS n_words,
+         |  sum(ws.np)::BIGINT AS n_pieces,
+         |  round(sum(ws.s), 6) AS logprob
+         |FROM t JOIN ws ON ws.word = t.w
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+    },
 
     // packed token-id stream (t09b): b03 ids + per-doc <eos> cost,
     // greedy per-shard pack, positions renumbered within sequences

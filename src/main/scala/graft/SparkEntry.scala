@@ -1715,6 +1715,30 @@ object SparkEntry {
 
     // ── W13 witness: crossfade stitch over 100-row blocks of the global
     //    return series (pure window arithmetic, fully distributed) ─────
+    // ── W15: classical additive seasonal decomposition per series —
+    //    centered 7-point MA trend, zero-sum per-phase seasonal,
+    //    residual; one series-keyed shuffle + a tiny (series, phase)
+    //    agg joined back ─────────────────────────────────────────────
+    "w15_seasonal_decompose" -> ((s, dir) => {
+      SeriesOps.seasonalDecompose(ev(s, dir), perUser, "value",
+          period = 7)
+        .select(col("user_id"), col("rn"), col("trend"),
+          col("seasonal"), col("resid"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // ── C-family: Ljung–Box whiteness test on per-user log-returns,
+    //    h=10 (even → closed-form chi-square survival, exact in both
+    //    engines) ────────────────────────────────────────────────────
+    "c03_ljung_box" -> ((s, dir) => {
+      SeriesStats.ljungBox(
+          logret(s, dir).filter(col("ret").isNotNull),
+          perUser, "ret", h = 10)
+        .select(col("user_id"), col("n_obs"), col("q_stat"),
+          col("p_value"))
+        .orderBy(col("user_id"))
+    }),
+
     "w13_crossfade" -> ((s, dir) => {
       val r = SeriesOps.logReturns(ev(s, dir), global, "value", "ret")
         .filter(col("ret").isNotNull)
@@ -2254,6 +2278,19 @@ object SparkEntry {
           col("doc_id").cast("string")).as("body"))
       graft.text.Bpe.coverageReportBytes(drifted, "doc_id", "body",
           merges, v)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── b08: unigram-LM Viterbi tokenization — frequency-seeded
+    //    piece inventory (top-64 substrings + all chars, r6 log-probs)
+    //    and per-word max-logprob/fewest-pieces DP; per-doc totals.
+    //    The other major subword family next to BPE ─────────────────
+    "b08_unigram_viterbi" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pieces = graft.text.Unigram.trainPieces(d, "text", topK = 64)
+      graft.text.Unigram.encodeViterbi(d, "text", pieces)
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          col("logprob"))
         .orderBy(col("doc_id"))
     }),
 

@@ -291,4 +291,46 @@ object SeriesOps {
 
   // spark's `size` shadowed by WindowSpec import contexts; local alias
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
+  /** W15 (beyond reference): CLASSICAL additive seasonal decomposition
+    * — value = trend + seasonal + resid — the moving-average method
+    * every STL implementation bootstraps from (and the standard first
+    * look at any periodic series before fitting a generator on it):
+    * trend = centered `period`-point moving average (defined only
+    * where the full window exists — ODD period required so the window
+    * centers exactly); seasonal = per-phase mean of the detrended
+    * series, centered so the m phase effects sum to zero; resid = the
+    * rest. Emits per-row (rn, trend, seasonal, resid).
+    *
+    * Scale shape: one shuffle on the series key for the windows, then
+    * a (series, phase)-keyed agg whose output is m rows per series —
+    * tiny — joined back broadcast-style. Nothing global. */
+  def seasonalDecompose(df: DataFrame, spec: SeriesSpec, value: String,
+                        period: Int): DataFrame = {
+    require(period % 2 == 1 && period > 1,
+      s"classical decomposition needs an odd period > 1, got $period")
+    val half = (period - 1) / 2
+    val cw = spec.w.rowsBetween(-half.toLong, half.toLong)
+    val based = df
+      .withColumn("rn", row_number().over(spec.w))
+      .withColumn("_trend",
+        when(count(col(value)).over(cw) === period,
+          avg(col(value)).over(cw)))
+      .withColumn("_phase", (col("rn") - 1) % period)
+    val keys = spec.partitionCols
+    val phaseMeans = based.filter(col("_trend").isNotNull)
+      .groupBy((keys :+ "_phase").map(col): _*)
+      .agg(avg(col(value) - col("_trend")).as("_pmean"))
+    val centers = phaseMeans.groupBy(keys.map(col): _*)
+      .agg(avg(col("_pmean")).as("_center"))
+    based
+      .join(phaseMeans, keys :+ "_phase")
+      .join(centers, keys)
+      .withColumn("_seasonal", col("_pmean") - col("_center"))
+      .withColumn("trend", round(col("_trend"), 6))
+      .withColumn("seasonal", round(col("_seasonal"), 6))
+      .withColumn("resid",
+        round(col(value) - col("_trend") - col("_seasonal"), 6))
+      .drop("_trend", "_phase", "_pmean", "_center", "_seasonal")
+  }
 }

@@ -257,4 +257,51 @@ object SeriesStats {
         coalesce(least(greatest(col("slope"), lit(0.0)), lit(1.0)), lit(0.5)).as("hurst"),
         col("n_lags"))
   }
+
+  /** Ljung–Box portmanteau test of no autocorrelation up to lag `h`
+    * (beyond reference; Ljung & Box 1978 — the standard residual
+    * whiteness check after fitting any series generator, the natural
+    * complement to the per-lag A10 autocorr): with the full-series
+    * acf estimator ρ_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)²,
+    * Q = n(n+2)·Σ_{k≤h} ρ_k²/(n−k), and the p-value is the χ²_h
+    * survival function — `h` EVEN by contract so it has the
+    * closed finite form exp(−Q/2)·Σ_{j<h/2}(Q/2)^j/j!, exact in both
+    * engines (no incomplete-gamma dependency).
+    *
+    * Scale shape: one shuffle on the series key; the mean is a
+    * full-partition window (same exchange), the h lags ride the same
+    * window order, and everything reduces in one keyed hash agg. */
+  def ljungBox(df: DataFrame, spec: SeriesSpec, value: String,
+               h: Int = 10): DataFrame = {
+    require(h > 0 && h % 2 == 0,
+      s"even h keeps the chi-square survival closed-form, got $h")
+    val keys = spec.partitionCols
+    val xbar = avg(col(value)).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*))
+    val centered = df.filter(col(value).isNotNull)
+      .withColumn("_c", col(value) - xbar)
+    val withLags = (1 to h).foldLeft(centered)((acc, k) =>
+      acc.withColumn(s"_c$k", lag(col("_c"), k).over(spec.w)))
+    val aggs = Seq(
+      count(col("_c")).as("n_obs"),
+      sum(col("_c") * col("_c")).as("_den")) ++
+      (1 to h).map(k => sum(col("_c") * col(s"_c$k")).as(s"_num$k"))
+    val g = withLags.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val n = col("n_obs").cast("double")
+    val q = (1 to h).map { k =>
+      val rho = col(s"_num$k") / col("_den")
+      rho * rho / (n - lit(k.toDouble))
+    }.reduce(_ + _) * n * (n + lit(2.0))
+    val t = col("_q") / lit(2.0)
+    val survival = (0 until h / 2).map { j =>
+      val fact = (1 to j).foldLeft(1.0)(_ * _.toDouble)
+      pow(t, lit(j.toDouble)) / lit(fact)
+    }.reduce(_ + _) * exp(-t)
+    g.withColumn("_q", q)
+      .withColumn("q_stat", round(col("_q"), 6))
+      .withColumn("p_value", round(survival, 6))
+      .drop(("_den" +: "_q" +: (1 to h).map(k => s"_num$k")): _*)
+  }
 }

@@ -326,6 +326,13 @@ object StreamingScore {
   def langIdScript(docs: DataFrame, id: String, text: String): DataFrame =
     graft.text.TextOps.langIdScript(docs, id, text)
 
+  /** Streaming b08 twin — unigram-LM Viterbi scoring is a stateless
+    * mapPartitions pass over broadcast pieces; batch-identical by
+    * construction. */
+  def unigramViterbi(docs: DataFrame, text: String,
+                     pieces: Seq[graft.text.Unigram.Piece]): DataFrame =
+    graft.text.Unigram.encodeViterbi(docs, text, pieces)
+
   /** Streaming t30 twin — same-script language ID scores each doc
     * locally ([[graft.text.TextOps.langIdTrigramFast]]: one stateless
     * mapPartitions pass, zero shuffles), so it applies DIRECTLY to

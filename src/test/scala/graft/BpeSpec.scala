@@ -522,4 +522,44 @@ class BpeSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     assert(buf.nonEmpty && buf.toMap === batch)
   }
+
+  test("unigram viterbi (b08): hand-computed segmentation totals, " +
+       "tie prefers fewer pieces, OOV chars take the frozen penalty, " +
+       "trainPieces inventory is deterministic with chars always kept") {
+    import graft.text.Unigram
+    val pieces = Seq(
+      Unigram.Piece("ab", 100L, -0.1),
+      Unigram.Piece("abab", 50L, -0.05),
+      Unigram.Piece("a", 10L, -2.0),
+      Unigram.Piece("b", 10L, -3.0))
+    val r = Unigram.encodeViterbi(
+        Seq((1L, "abab ab xq")).toDF("doc_id", "text"), "text", pieces)
+      .select("n_words", "n_pieces", "logprob")
+      .as[(Long, Long, Double)].head()
+    // abab -> the single -0.05 piece beats ab+ab (-0.2); ab -> -0.1;
+    // xq -> two unseen chars at -30 each
+    assert(r._1 === 3L)
+    assert(r._2 === 4L)
+    assert(r._3 === -60.15)
+    // exact score tie: aa (-2.0) vs a+a (-1.0 -1.0) -> fewer pieces win
+    val tp = Seq(Unigram.Piece("aa", 1L, -2.0),
+      Unigram.Piece("a", 1L, -1.0))
+    val r2 = Unigram.encodeViterbi(
+        Seq((1L, "aa")).toDF("doc_id", "text"), "text", tp)
+      .select("n_pieces").as[Long].head()
+    assert(r2 === 1L)
+    // inventory: "aa ab aa" -> words aa(2), ab(1); counts a=5, b=1,
+    // aa=2, ab=1 (every start of every occurrence); total 9
+    val ps = Unigram.trainPieces(
+      Seq((1L, "aa ab aa")).toDF("doc_id", "text"), "text", topK = 2)
+    assert(ps.map(pp => pp.piece -> pp.cnt).toMap ===
+      Map("a" -> 5L, "b" -> 1L, "aa" -> 2L, "ab" -> 1L))
+    val expected = new java.math.BigDecimal(math.log(2.0 / 9.0))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(ps.find(_.piece == "aa").get.logp6 === expected)
+    // chars survive any topK: with topK=0 the inventory is a,b only
+    val charsOnly = Unigram.trainPieces(
+      Seq((1L, "aa ab aa")).toDF("doc_id", "text"), "text", topK = 0)
+    assert(charsOnly.map(_.piece).sorted === Seq("a", "b"))
+  }
 }

@@ -139,4 +139,40 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12) // cos(0)
     assert(math.abs(r.getDouble(2) - math.sin(13.0 * 2 * math.Pi / 24)) < 1e-12)
   }
+
+  test("seasonalDecompose: exact recovery of a planted trend + zero-sum " +
+       "seasonal pattern; edges have null trend/resid; even period refused") {
+    val s = spark
+    import s.implicits._
+    // v_t = t + s[(t-1)%3], s = (3, 0, -3): any 3 consecutive phases
+    // sum to zero, so the centered MA(3) recovers trend = t EXACTLY on
+    // interior rows, the phase means recover s exactly (center 0), and
+    // the residual is identically zero
+    val sPat = Seq(3.0, 0.0, -3.0)
+    val df = (1 to 12).map(t => (1L, t, t.toDouble + sPat((t - 1) % 3)))
+      .toDF("uid", "rn0", "v")
+    val spec = SeriesSpec(Seq("uid"), Seq("rn0"))
+    val got = SeriesOps.seasonalDecompose(df, spec, "v", period = 3)
+      .select("rn", "trend", "seasonal", "resid")
+      .collect().map(r => (r.getInt(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .sortBy(_._1)
+    got.foreach { case (rn, trend, seasonal, resid) =>
+      if (rn == 1 || rn == 12) {
+        assert(trend.isEmpty && resid.isEmpty,
+          s"edge row $rn has no full centered window")
+      } else {
+        assert(trend.contains(rn.toDouble), s"trend at $rn")
+        assert(resid.contains(0.0), s"resid at $rn")
+      }
+      assert(seasonal === sPat((rn - 1) % 3), s"seasonal at $rn")
+    }
+    // the m phase effects sum to zero by construction
+    assert(math.abs(got.take(3).map(_._3).sum) < 1e-12)
+    intercept[IllegalArgumentException] {
+      SeriesOps.seasonalDecompose(df, spec, "v", period = 4)
+    }
+  }
 }

@@ -138,4 +138,33 @@ class StatsSpec extends AnyFunSuite {
       .first().getAs[Double]("acf")
     assert(ac > 0.99)
   }
+
+  test("ljungBox: hand-computed Q and closed-form p on an alternating " +
+       "series; seeded white noise is not rejected; odd h refused") {
+    val s = spark
+    import s.implicits._
+    // x = 1,2,1,2,1,2 → x̄=1.5, c=±.5, den=1.5; ρ1=−1.25/1.5,
+    // ρ2=1.0/1.5; Q = 6·8·(ρ1²/5 + ρ2²/4) = 12 exactly;
+    // p(h=2) = exp(−Q/2) = e⁻⁶ → r6 0.002479
+    val alt = (1 to 6).map(i => (i, if (i % 2 == 1) 1.0 else 2.0))
+      .toDF("rn", "v")
+    val r = SeriesStats.ljungBox(alt, SeriesSpec(Nil, Seq("rn")), "v",
+        h = 2)
+      .select("n_obs", "q_stat", "p_value")
+      .as[(Long, Double, Double)].head()
+    assert(r._1 === 6L)
+    assert(math.abs(r._2 - 12.0) < 1e-9)
+    assert(r._3 === 0.002479)
+    // seeded iid noise: the test must NOT reject whiteness
+    val rnd = new scala.util.Random(7L)
+    val noise = (1 to 400).map(i => (i, rnd.nextGaussian()))
+      .toDF("rn", "v")
+    val p = SeriesStats.ljungBox(noise, SeriesSpec(Nil, Seq("rn")), "v",
+        h = 10)
+      .select("p_value").as[Double].head()
+    assert(p > 0.05, s"white noise rejected: p=$p")
+    intercept[IllegalArgumentException] {
+      SeriesStats.ljungBox(alt, SeriesSpec(Nil, Seq("rn")), "v", h = 3)
+    }
+  }
 }
