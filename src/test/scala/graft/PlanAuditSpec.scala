@@ -367,4 +367,32 @@ class PlanAuditSpec extends AnyFunSuite {
       !finalPlan.contains("Union"),
       "grouping sets must not union separate aggregations")
   }
+
+  test("w15 seasonal decomposition: series-keyed windows, no cartesian, " +
+       "the phase-mean join stays off the single-partition path") {
+    val p = plan("w15_seasonal_decompose")
+    assert(!p.contains("CartesianProduct"))
+    assert(!"Window .*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined,
+      "found an un-partitioned window in the per-series decomposition")
+  }
+
+  test("c03 Ljung-Box: series-keyed windows + one hash agg, no " +
+       "cartesian, no global window") {
+    val p = plan("c03_ljung_box")
+    assert(!p.contains("CartesianProduct"))
+    assert(!"Window .*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined,
+      "found an un-partitioned window in the whiteness test")
+  }
+
+  test("b08 unigram viterbi encode: map-side after the model collect — " +
+       "the encode stage itself plans no join and no window") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+    val pieces = graft.text.Unigram.trainPieces(docs, "text", topK = 16)
+    val df = graft.text.Unigram.encodeViterbi(docs, "text", pieces)
+    df.collect()
+    val enc = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!enc.contains("Exchange"), s"encode must not shuffle:\n$enc")
+    assert(!enc.contains("Window") && !enc.contains("Join"))
+  }
 }

@@ -215,6 +215,14 @@ local[32]): **{f"{total:.2f} s total" if total is not None else
   "total lost to driver-side tail truncation (per-query times below are the salvaged subset)"}**
 across {len(qtimes)} queries{" (partial)" if partial else ""}.
 
+Same-box spread caveat (r14 measurement): two full runs of identical
+code a few hours apart on the same box measured 198.1 s and 254.6 s
+(182 common queries, per-query inflation MEDIAN 1.27x, p10 1.08 /
+p90 1.60 — uniform across the suite, i.e. box speed, not any query's
+plan). Cross-round totals within ~1.3x are measurement noise; the
+per-query table below is the committed record from the round's final
+run.
+
 Slowest queries this round:
 
 | query | seconds |
@@ -330,6 +338,13 @@ columns collapsed into one projection of bands x planes inlined dot
 subtrees, which at the 64-band operating point busted the JVM JIT
 huge-method limit exactly like the PQ encoder (see PqEncode): the
 native expression cut s01x's base wall 7.4s -> 1.7s.
+
+r14 rows (b07/t09b/t30/t29b/b08): all flat-to-mildly-linear on this
+axis — b07's premap+train+encode, t29b's normalizer and b08's Viterbi
+encode are map-side; t30's gram explode + (id,bucket) agg + 256-row
+broadcast join rides at ~1.0 because fixed per-doc fixture work
+dominates; t09b is base-dominated by its in-query 8-merge trainer +
+two encode passes (fixed cost), the pack itself one keyed shuffle.
 
 | query | sf0.1 s | x{factor} s | ratio |
 |---|---|---|---|
