@@ -3342,6 +3342,54 @@ object OracleSql {
          |FROM q ORDER BY user_id""".stripMargin
     },
 
+    // c04: Jarque–Bera normality per user — the q04 two-pass moments
+    // pattern over the q10 returns CTE; χ²₂ survival = exp(−JB/2)
+    // exactly (dof 2), so p is closed-form in both engines
+    "c04_jarque_bera" ->
+      """WITH r AS (
+        | SELECT user_id, ts, event_id,
+        |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+        | FROM events),
+        |x AS (SELECT user_id, ret FROM r WHERE ret IS NOT NULL),
+        |base AS (SELECT user_id, count(ret)::BIGINT AS n,
+        |           avg(ret) AS mean, stddev_pop(ret) AS std_pop
+        |         FROM x GROUP BY user_id),
+        |z AS (SELECT x.user_id,
+        |        avg(pow((ret - mean)/std_pop, 3)) AS skew,
+        |        avg(pow((ret - mean)/std_pop, 4)) AS kurt_raw
+        |      FROM x JOIN base USING (user_id) GROUP BY x.user_id),
+        |jb AS (SELECT b.user_id, n, skew, kurt_raw - 3.0 AS kurt_excess,
+        |         n/6.0 * (skew*skew + (kurt_raw-3.0)*(kurt_raw-3.0)/4.0)
+        |           AS jb_stat
+        |       FROM base b JOIN z USING (user_id))
+        |SELECT user_id, n, round(skew, 6) AS skew,
+        |  round(kurt_excess, 6) AS kurt_excess,
+        |  round(jb_stat, 6) AS jb_stat,
+        |  round(exp(-jb_stat/2.0), 6) AS p_value
+        |FROM jb ORDER BY user_id""".stripMargin,
+
+    // t31: Zipf rank-frequency fit — token tf, (f DESC, token ASC)
+    // rank, OLS of ln(f) on ln(rank) as five sums; α = −slope
+    "t31_zipf_fit" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        |tf AS (SELECT token, count(*)::BIGINT AS f FROM toks
+        |       WHERE token <> '' GROUP BY token),
+        |rk AS (SELECT f,
+        |         row_number() OVER (ORDER BY f DESC, token) AS rk
+        |       FROM tf),
+        |xy AS (SELECT ln(rk::DOUBLE) AS x, ln(f::DOUBLE) AS y FROM rk
+        |       WHERE rk <= 1000),
+        |s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        |      FROM xy)
+        |SELECT n::BIGINT AS n_terms,
+        |  round(-( (n*sxy - sx*sy) / (n*sxx - sx*sx) ), 6) AS alpha,
+        |  round((n*sxy - sx*sy)*(n*sxy - sx*sy)
+        |    / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+        |FROM s""".stripMargin,
+
     // w15: classical additive seasonal decomposition, period 7 —
     // centered MA trend (full-window-only), per-phase detrended means
     // centered to zero sum, residual; both engines share the exact

@@ -1739,6 +1739,28 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ── C-family: Jarque–Bera normality test on per-user log-returns
+    //    — χ²₂ survival is exactly exp(−JB/2), closed-form in both
+    //    engines; the companion to c03's whiteness ───────────────────
+    "c04_jarque_bera" -> ((s, dir) => {
+      SeriesStats.jarqueBera(logret(s, dir), perUser, "ret")
+        .select(col("user_id"), col("n"),
+          round(col("skew"), 6).as("skew"),
+          round(col("kurt_excess"), 6).as("kurt_excess"),
+          round(col("jb_stat"), 6).as("jb_stat"),
+          round(col("p_value"), 6).as("p_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── t31: Zipf rank-frequency fit — corpus-level exponent α and
+    //    fit r² from an OLS of ln(freq) on ln(rank); the
+    //    training-data-report diagnostic of vocabulary shape ─────────
+    "t31_zipf_fit" -> ((s, dir) => {
+      graft.text.TextOps.zipfFit(docs(s, dir), "text", maxRank = 1000)
+        .select(col("n_terms"), round(col("alpha"), 6).as("alpha"),
+          round(col("r2"), 6).as("r2"))
+    }),
+
     "w13_crossfade" -> ((s, dir) => {
       val r = SeriesOps.logReturns(ev(s, dir), global, "value", "ret")
         .filter(col("ret").isNotNull)

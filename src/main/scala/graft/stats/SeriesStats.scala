@@ -271,6 +271,30 @@ object SeriesStats {
     * Scale shape: one shuffle on the series key; the mean is a
     * full-partition window (same exchange), the h lags ride the same
     * window order, and everything reduces in one keyed hash agg. */
+  /** Jarque–Bera normality test per series (beyond reference; Jarque
+    * & Bera 1980 — the standard "are these returns actually Gaussian"
+    * check, the companion to [[ljungBox]]'s whiteness): with
+    * population skewness S and EXCESS kurtosis K from
+    * [[Moments.describe]], JB = n/6·(S² + K²/4); the null
+    * distribution is χ²₂, whose survival function IS exp(−JB/2)
+    * exactly (dof 2 — no incomplete gamma), so both engines compute
+    * the identical closed form. Same scale shape as the moments op:
+    * two keyed hash aggs with a broadcast rejoin. */
+  def jarqueBera(df: DataFrame, spec: SeriesSpec,
+                 value: String): DataFrame = {
+    val m = Moments.describe(df.filter(col(value).isNotNull), value,
+      spec.partitionCols)
+    val n = col("n").cast("double")
+    val kExc = col("kurt_raw") - lit(3.0)
+    m.withColumn("kurt_excess", kExc)
+      .withColumn("jb_stat",
+        n / 6.0 * (col("skew") * col("skew") +
+          col("kurt_excess") * col("kurt_excess") / 4.0))
+      .withColumn("p_value", exp(-col("jb_stat") / 2.0))
+      .select((spec.partitionCols.map(col) ++ Seq(col("n"), col("skew"),
+        col("kurt_excess"), col("jb_stat"), col("p_value"))): _*)
+  }
+
   def ljungBox(df: DataFrame, spec: SeriesSpec, value: String,
                h: Int = 10): DataFrame = {
     require(h > 0 && h % 2 == 0,

@@ -302,6 +302,40 @@ object TextOps {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Zipf rank-frequency fit (t31, beyond reference): the corpus
+    * diagnostic every training-data report carries — OLS of ln(freq)
+    * on ln(rank) over the top `maxRank` terms gives the Zipf exponent
+    * α = −slope (natural language sits near α ≈ 1; a synthetic or
+    * template-heavy corpus drifts visibly) and the fit r² says how
+    * Zipfian the corpus actually is. One token explode + one term
+    * agg; the rank window runs on the TERM-FREQUENCY frame, bounded
+    * by vocabulary (the b01 vocabulary-frame argument), and the OLS
+    * reduces to five sums in one tiny agg. Emits one row:
+    * (n_terms, alpha, r2). */
+  def zipfFit(df: DataFrame, text: String,
+              maxRank: Int = 1000): DataFrame = {
+    val tf = tokens(df, text).groupBy(col("token"))
+      .agg(count(lit(1)).as("f"))
+    val ranked = tf
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("f").desc, col("token"))))
+      .filter(col("rk") <= maxRank)
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("f").cast("double")).as("y"))
+    val s = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    s.select(col("n").cast("long").as("n_terms"),
+      (-(cov / vx)).as("alpha"),
+      (cov * cov / (vx * vy)).as("r2"))
+  }
+
   /** CJK segmentation shim (t27; the mC4/CCNet preprocessing rule):
     * whitespace tokenization sees an unsegmented Chinese/Japanese
     * document as ONE giant "word", silently defeating every token op

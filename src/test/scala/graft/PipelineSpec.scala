@@ -1922,4 +1922,30 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy("DATE_TIME").collect().map(_.toSeq).toSeq
     assert(a == b, "same seed must generate identical conditional output")
   }
+
+  test("zipfFit: an exactly-Zipfian corpus (f = 60/rank) fits alpha 1 " +
+       "and r2 1; a uniform vocabulary fits alpha 0") {
+    val s = spark
+    import s.implicits._
+    // 6 distinct words with counts 60,30,20,15,12,10 = 60/rank —
+    // ln(f) on ln(rank) is EXACTLY linear with slope −1
+    val counts = Seq("w1" -> 60, "w2" -> 30, "w3" -> 20,
+      "w4" -> 15, "w5" -> 12, "w6" -> 10)
+    val text = counts.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .mkString(" ")
+    val r = graft.text.TextOps.zipfFit(
+        Seq((1L, text)).toDF("doc_id", "text"), "text")
+      .select("n_terms", "alpha", "r2")
+      .as[(Long, Double, Double)].head()
+    assert(r._1 === 6L)
+    assert(math.abs(r._2 - 1.0) < 1e-9)
+    assert(math.abs(r._3 - 1.0) < 1e-9)
+    // a flat vocabulary (every word equally frequent): slope 0
+    val flat = Seq.fill(4)(Seq("a", "b", "c", "d")).flatten
+      .mkString(" ")
+    val rf = graft.text.TextOps.zipfFit(
+        Seq((1L, flat)).toDF("doc_id", "text"), "text")
+      .select("alpha").as[Double].head()
+    assert(math.abs(rf) < 1e-12)
+  }
 }

@@ -167,4 +167,29 @@ class StatsSpec extends AnyFunSuite {
       SeriesStats.ljungBox(alt, SeriesSpec(Nil, Seq("rn")), "v", h = 3)
     }
   }
+
+  test("jarqueBera: hand-computed JB and closed-form p on an " +
+       "alternating sample; a heavy-tailed sample rejects harder") {
+    val s = spark
+    import s.implicits._
+    // 1,2,1,2,1,2: z = ±1 → skew 0, kurt_raw 1 (excess −2);
+    // JB = 6/6·(0 + 4/4) = 1; p = exp(−1/2)
+    val alt = (1 to 6).map(i => (i, if (i % 2 == 1) 1.0 else 2.0))
+      .toDF("rn", "v")
+    val r = SeriesStats.jarqueBera(alt, SeriesSpec(Nil, Seq("rn")), "v")
+      .select("n", "skew", "kurt_excess", "jb_stat", "p_value")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(r._1 === 6L)
+    assert(math.abs(r._2) < 1e-12)
+    assert(math.abs(r._3 - (-2.0)) < 1e-12)
+    assert(math.abs(r._4 - 1.0) < 1e-12)
+    assert(math.abs(r._5 - math.exp(-0.5)) < 1e-12)
+    // one extreme outlier: kurtosis explodes, p collapses toward 0
+    val heavy = ((1 to 40).map(i => (i, (i % 5 - 2).toDouble)) :+
+      (41, 60.0)).toDF("rn", "v")
+    val p = SeriesStats.jarqueBera(heavy, SeriesSpec(Nil, Seq("rn")),
+        "v")
+      .select("p_value").as[Double].head()
+    assert(p < 1e-6, s"heavy tail must reject normality: p=$p")
+  }
 }
