@@ -3390,6 +3390,53 @@ object OracleSql {
         |    / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
         |FROM s""".stripMargin,
 
+    // a18: HyperLogLog approx-distinct per event_type — register-exact
+    // twin of graft.stats.Hll over the portable h64: bucket = top p
+    // bits, rank = 60-p+1 - bitlength(remainder), harmonic sum in
+    // exact DECIMAL(38,0) units of 2^-58, raw ↔ linear-counting switch
+    // at 2.5·m; p=4 exercises the raw branch, p=8 linear counting
+    "a18_hll_distinct" -> {
+      def sketch(tag: String, p: Int): String = {
+        val m = 1 << p
+        val wBits = 60 - p
+        val alpha =
+          if (p == 4) "0.673" else "(0.7213/(1 + 1.079/" + m + ".0))"
+        s"""r$tag AS (SELECT event_type, h >> $wBits AS bucket,
+           |    max(CASE WHEN (h & ((1::BIGINT << $wBits) - 1)) = 0
+           |             THEN ${wBits + 1}
+           |             ELSE ${wBits + 1} -
+           |               length(bin(h & ((1::BIGINT << $wBits) - 1)))
+           |        END)::INT AS rank
+           |  FROM h GROUP BY 1, 2),
+           |c$tag AS (SELECT event_type, rank, count(*)::BIGINT AS cnt
+           |          FROM r$tag GROUP BY 1, 2),
+           |s$tag AS (SELECT event_type, sum(cnt) AS present,
+           |    sum((cnt * pow(2, 58 - rank))::DECIMAL(38,0)) AS su
+           |  FROM c$tag GROUP BY 1),
+           |f$tag AS (SELECT event_type,
+           |    ($m - present)::BIGINT AS zeros,
+           |    $alpha*$m*$m / ((su + (($m - present) *
+           |        pow(2, 58))::DECIMAL(38,0))::DOUBLE / pow(2, 58))
+           |      AS raw
+           |  FROM s$tag),
+           |g$tag AS (SELECT event_type, zeros AS zeros_$tag,
+           |    round(CASE WHEN raw <= ${2.5 * m} AND zeros > 0
+           |               THEN $m * ln($m.0 / zeros) ELSE raw END, 6)
+           |      AS est_$tag
+           |  FROM f$tag)""".stripMargin
+      }
+      s"""WITH e AS (SELECT event_type, user_id::VARCHAR AS uid
+         |           FROM events),
+         |h AS (SELECT event_type, ${h64Sql("uid", "'41'")} AS h FROM e),
+         |${sketch("p4", 4)},
+         |${sketch("p8", 8)},
+         |ex AS (SELECT event_type, count(DISTINCT uid)::BIGINT AS n_exact
+         |       FROM e GROUP BY 1)
+         |SELECT event_type, est_p4, zeros_p4, est_p8, zeros_p8, n_exact
+         |FROM gp4 JOIN gp8 USING (event_type) JOIN ex USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
+
     // w15: classical additive seasonal decomposition, period 7 —
     // centered MA trend (full-window-only), per-phase detrended means
     // centered to zero sum, residual; both engines share the exact

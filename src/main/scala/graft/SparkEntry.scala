@@ -777,6 +777,30 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("bigram"))
     }),
 
+    // ── HyperLogLog approx-distinct per key: portable-h64 registers,
+    //    exact-decimal harmonic sum (no float-order dependence), raw
+    //    estimator at p=4 (~100 ≫ 2.5·16) AND linear-counting at p=8
+    //    (~100 ≪ 2.5·256) so both correction branches are gated; exact
+    //    distinct joined alongside as the accuracy witness ─────────────
+    "a18_hll_distinct" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_type"),
+        col("user_id").cast("string").as("uid"))
+      val h4 = graft.stats.Hll.approxDistinct(e, Seq("event_type"),
+          col("uid"), p = 4, seed = 41)
+        .select(col("event_type"), col("n_est").as("est_p4"),
+          col("n_zeros").as("zeros_p4"))
+      val h8 = graft.stats.Hll.approxDistinct(e, Seq("event_type"),
+          col("uid"), p = 8, seed = 41)
+        .select(col("event_type"), col("n_est").as("est_p8"),
+          col("n_zeros").as("zeros_p8"))
+      val exact = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("uid")).as("n_exact"))
+      h4.join(h8, Seq("event_type")).join(exact, Seq("event_type"))
+        .select(col("event_type"), col("est_p4"), col("zeros_p4"),
+          col("est_p8"), col("zeros_p8"), col("n_exact"))
+        .orderBy(col("event_type"))
+    }),
+
     // ── Dedup clusters: the d01 pair list closed into connected
     //    components (min-label propagation — one keyed join + min-agg
     //    per round), canonical keeper = the component's min id ─────────
