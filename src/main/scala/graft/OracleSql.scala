@@ -3369,6 +3369,54 @@ object OracleSql {
         |  round(exp(-jb_stat/2.0), 6) AS p_value
         |FROM jb ORDER BY user_id""".stripMargin,
 
+    // c06: Wald–Wolfowitz sign-runs test — zero-crossing signs over
+    // per-user log-returns; E/Var/z closed-form, two-sided p via the
+    // A&S 7.1.26 erfc Horner chain in the exact op order of
+    // SeriesStats.runsTest
+    "c06_runs_test" ->
+      """WITH r AS (
+        | SELECT user_id, ts, event_id,
+        |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+        | FROM events),
+        |x AS (SELECT user_id, ts, event_id,
+        |        CASE WHEN ret > 0 THEN 1 ELSE -1 END AS s
+        |      FROM r WHERE ret IS NOT NULL AND ret <> 0),
+        |c AS (SELECT user_id, s,
+        |        CASE WHEN lag(s) OVER w IS NOT NULL
+        |              AND s <> lag(s) OVER w THEN 1 ELSE 0 END AS chg
+        |      FROM x
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id,
+        |        sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |        sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+        |        (1 + sum(chg))::BIGINT AS n_runs
+        |      FROM c GROUP BY user_id),
+        |z AS (SELECT user_id, n_pos, n_neg, n_runs,
+        |        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |          (n_runs::DOUBLE -
+        |            (2.0*n_pos::DOUBLE*n_neg::DOUBLE
+        |               /(n_pos::DOUBLE + n_neg::DOUBLE) + 1.0))
+        |          / sqrt(2.0*n_pos::DOUBLE*n_neg::DOUBLE
+        |              *(2.0*n_pos::DOUBLE*n_neg::DOUBLE
+        |                - (n_pos::DOUBLE + n_neg::DOUBLE))
+        |            /((n_pos::DOUBLE + n_neg::DOUBLE)
+        |              *(n_pos::DOUBLE + n_neg::DOUBLE)
+        |              *((n_pos::DOUBLE + n_neg::DOUBLE) - 1.0)))
+        |        END AS zv
+        |      FROM g),
+        |e AS (SELECT user_id, n_pos, n_neg, n_runs, zv,
+        |        abs(zv)/sqrt(2.0) AS ax,
+        |        1.0/(1.0 + 0.3275911*(abs(zv)/sqrt(2.0))) AS t
+        |      FROM z)
+        |SELECT user_id, n_pos, n_neg, n_runs,
+        |  round(zv, 6) AS z_score,
+        |  CASE WHEN zv IS NOT NULL THEN
+        |    round(t*(0.254829592 + t*(-0.284496736 + t*(1.421413741
+        |      + t*(-1.453152027 + t*1.061405429)))) * exp(-ax*ax), 6)
+        |  END AS p_value
+        |FROM e ORDER BY user_id""".stripMargin,
+
     // t31: Zipf rank-frequency fit — token tf, (f DESC, token ASC)
     // rank, OLS of ln(f) on ln(rank) as five sums; α = −slope
     "t31_zipf_fit" ->

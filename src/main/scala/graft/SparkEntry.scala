@@ -1776,6 +1776,17 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ── C-family: Wald–Wolfowitz sign-runs randomness test on per-user
+    //    log-returns — zero-crossing signs (integer-deterministic cut),
+    //    two-sided normal p via the A&S erfc Horner chain mirrored in
+    //    the oracle; completes the c03/c04 diagnostic trio ────────────
+    "c06_runs_test" -> ((s, dir) => {
+      SeriesStats.runsTest(logret(s, dir), perUser, "ret")
+        .select(col("user_id"), col("n_pos"), col("n_neg"),
+          col("n_runs"), col("z_score"), col("p_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── t31: Zipf rank-frequency fit — corpus-level exponent α and
     //    fit r² from an OLS of ln(freq) on ln(rank); the
     //    training-data-report diagnostic of vocabulary shape ─────────

@@ -295,6 +295,52 @@ object SeriesStats {
         col("kurt_excess"), col("jb_stat"), col("p_value"))): _*)
   }
 
+  /** Wald–Wolfowitz sign-runs randomness test per series (beyond
+    * reference; Wald & Wolfowitz 1940): signs of the value itself
+    * (zero-crossing variant — no mean/median threshold, so the cut is
+    * integer-deterministic in both engines; exact zeros are dropped,
+    * the standard treatment). With n₁ positives, n₂ negatives and R
+    * observed runs, E[R] = 2n₁n₂/n + 1,
+    * Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1)), z = (R−E)/√Var, and the
+    * two-sided normal p-value via the Abramowitz–Stegun 7.1.26 erfc
+    * polynomial — a fixed Horner chain both engines evaluate in the
+    * identical order. Scale shape: one shuffle on the series key
+    * (the lag window), then a keyed hash agg; all O(n) per series. */
+  def runsTest(df: DataFrame, spec: SeriesSpec, value: String): DataFrame = {
+    val keys = spec.partitionCols
+    val x = df.filter(col(value).isNotNull && col(value) =!= 0.0)
+      .withColumn("_s", when(col(value) > 0, lit(1)).otherwise(lit(-1)))
+    val prev = lag(col("_s"), 1).over(spec.w)
+    val chg = x.withColumn("_chg",
+      when(prev.isNotNull && col("_s") =!= prev, lit(1)).otherwise(lit(0)))
+    val g = chg.groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(col("_s") === 1, lit(1L)).otherwise(lit(0L))).as("n_pos"),
+        sum(when(col("_s") === -1, lit(1L)).otherwise(lit(0L))).as("n_neg"),
+        (lit(1L) + sum(col("_chg"))).as("n_runs"))
+    val n1 = col("n_pos").cast("double")
+    val n2 = col("n_neg").cast("double")
+    val n = n1 + n2
+    val mu = lit(2.0) * n1 * n2 / n + lit(1.0)
+    val v = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n) /
+      (n * n * (n - lit(1.0)))
+    val z = (col("n_runs").cast("double") - mu) / sqrt(v)
+    // erfc(|z|/√2) via A&S 7.1.26 — the Horner chain is mirrored
+    // verbatim in the oracle so both engines round identically
+    val ax = abs(col("_z")) / sqrt(lit(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * ax)
+    val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) +
+      t * (lit(1.421413741) + t * (lit(-1.453152027) +
+        t * lit(1.061405429)))))
+    val p = poly * exp(-ax * ax)
+    g.withColumn("_z",
+        when(col("n_pos") > 0 && col("n_neg") > 0, z))
+      .withColumn("z_score", round(col("_z"), 6))
+      .withColumn("p_value",
+        when(col("_z").isNotNull, round(p, 6)))
+      .drop("_z")
+  }
+
   def ljungBox(df: DataFrame, spec: SeriesSpec, value: String,
                h: Int = 10): DataFrame = {
     require(h > 0 && h % 2 == 0,

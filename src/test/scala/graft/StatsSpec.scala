@@ -22,6 +22,49 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(m.getAs[Double]("kurt_raw") - 1.64) < 1e-12)
   }
 
+  test("runs test: counts, z and two-sided p on a known sign pattern") {
+    val s = spark
+    import s.implicits._
+    // signs + + - - +  => n1=3, n2=2, R=3; E[R]=3.4, Var=0.84
+    val df = Seq(1.0, 2.0, -1.0, -2.0, 3.0).zipWithIndex
+      .map { case (v, i) => ("u", i, v) }.toDF("k", "i", "v")
+    val r = SeriesStats.runsTest(df, SeriesSpec(Seq("k"), Seq("i")), "v")
+      .first()
+    assert(r.getAs[Long]("n_pos") === 3L)
+    assert(r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Long]("n_runs") === 3L)
+    val z = (3.0 - 3.4) / math.sqrt(0.84)
+    assert(math.abs(r.getAs[Double]("z_score") - z) < 1e-6)
+    // two-sided normal p via erfc(|z|/sqrt2): ~0.6625 (A&S |eps|<=1.5e-7)
+    assert(math.abs(r.getAs[Double]("p_value") - 0.662463) < 1e-4)
+  }
+
+  test("runs test: zeros dropped, one-sided series yields null z") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1.0, 0.0, 2.0, 0.0, 3.0).zipWithIndex
+      .map { case (v, i) => ("u", i, v) }.toDF("k", "i", "v")
+    val r = SeriesStats.runsTest(df, SeriesSpec(Seq("k"), Seq("i")), "v")
+      .first()
+    assert(r.getAs[Long]("n_pos") === 3L)
+    assert(r.getAs[Long]("n_neg") === 0L)
+    assert(r.getAs[Long]("n_runs") === 1L)
+    assert(r.isNullAt(r.fieldIndex("z_score")))
+    assert(r.isNullAt(r.fieldIndex("p_value")))
+  }
+
+  test("runs test: alternating signs maximize runs (positive z)") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 20).map(i => ("u", i, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("k", "i", "v")
+    val r = SeriesStats.runsTest(df, SeriesSpec(Seq("k"), Seq("i")), "v")
+      .first()
+    assert(r.getAs[Long]("n_runs") === 20L)
+    assert(r.getAs[Double]("z_score") > 3.0) // far from random
+    assert(r.getAs[Double]("p_value") < 0.01)
+  }
+
   test("histogram: buckets cover range, counts sum to n, density integrates to 1") {
     val s = spark
     import s.implicits._
