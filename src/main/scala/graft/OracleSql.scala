@@ -3417,6 +3417,22 @@ object OracleSql {
         |  END AS p_value
         |FROM e ORDER BY user_id""".stripMargin,
 
+    // t32: per-doc char Shannon entropy — H = ln n − (Σ c·ln c)/n;
+    // the Σ is ordered by char to mirror the engine's sorted fold
+    "t32_char_entropy" ->
+      """WITH c AS (SELECT doc_id,
+        |    unnest(string_split_regex(text, '')) AS ch FROM documents),
+        |ct AS (SELECT doc_id, ch, count(*)::BIGINT AS c
+        |       FROM c GROUP BY doc_id, ch),
+        |a AS (SELECT doc_id, sum(c)::BIGINT AS n_chars_h,
+        |        count(*)::BIGINT AS n_uniq,
+        |        sum(c::DOUBLE * ln(c::DOUBLE) ORDER BY ch) AS acc
+        |      FROM ct GROUP BY doc_id)
+        |SELECT doc_id, n_chars_h, n_uniq,
+        |  round(ln(n_chars_h::DOUBLE) - acc/n_chars_h::DOUBLE, 6)
+        |    AS entropy
+        |FROM a WHERE n_chars_h > 0 ORDER BY doc_id""".stripMargin,
+
     // t31: Zipf rank-frequency fit — token tf, (f DESC, token ASC)
     // rank, OLS of ln(f) on ln(rank) as five sums; α = −slope
     "t31_zipf_fit" ->

@@ -1787,6 +1787,17 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ── t32: per-doc character Shannon entropy — the gibberish /
+    //    encoding-noise quality signal; ZERO shuffle (in-task
+    //    sorted-array run-length fold, no char histogram ever
+    //    materialized) ────────────────────────────────────────────────
+    "t32_char_entropy" -> ((s, dir) => {
+      graft.text.TextOps.charEntropy(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars_h"), col("n_uniq"),
+          col("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── t31: Zipf rank-frequency fit — corpus-level exponent α and
     //    fit r² from an OLS of ln(freq) on ln(rank); the
     //    training-data-report diagnostic of vocabulary shape ─────────

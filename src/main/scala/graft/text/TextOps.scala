@@ -336,6 +336,54 @@ object TextOps {
       (cov * cov / (vx * vy)).as("r2"))
   }
 
+  /** Per-document character Shannon entropy (t32, beyond reference):
+    * the cheap gibberish / encoding-noise quality signal — natural
+    * prose sits near 4–4.5 bits/char over its alphabet, base64 blobs
+    * and mojibake spike toward ln(|alphabet|), single-char spam drops
+    * to ~0. H = ln n − (Σ c·ln c)/n over per-char counts c.
+    *
+    * ZERO-shuffle: the char histogram never materializes — each doc's
+    * char array is sorted in-task and folded run-length-wise
+    * (aggregate over array_sort, O(1) state per element), so the op is
+    * a pure map at any corpus size. The fold adds run terms in sorted
+    * char order; the oracle mirrors it with sum(... ORDER BY ch), so
+    * the float accumulation order is identical in both engines. */
+  def charEntropy(df: DataFrame, id: String, text: String): DataFrame = {
+    val st0 = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0.0).as("acc"), lit(0L).as("uniq"))
+    val folded = aggregate(
+      // array_remove: split on the empty pattern may emit "" sentinels
+      // (engine-version-dependent); they are not characters
+      array_sort(array_remove(split(col("_t"), ""), "")),
+      st0,
+      (st, ch) => {
+        val fresh = struct(ch.as("prev"), lit(1L).as("run"),
+          (st("acc") + st("run").cast("double") *
+            log(st("run").cast("double"))).as("acc"),
+          (st("uniq") + 1L).as("uniq"))
+        when(st("prev").isNull,
+          struct(ch.as("prev"), lit(1L).as("run"),
+            lit(0.0).as("acc"), lit(1L).as("uniq")))
+          .when(ch === st("prev"),
+            struct(st("prev").as("prev"), (st("run") + 1L).as("run"),
+              st("acc").as("acc"), st("uniq").as("uniq")))
+          .otherwise(fresh)
+      },
+      st => struct(
+        (st("acc") + st("run").cast("double") *
+          log(st("run").cast("double"))).as("acc"),
+        st("uniq").as("uniq")))
+    df.select(col(id), col(text).as("_t"),
+        length(col(text)).cast("long").as("n_chars_h"))
+      .where(col("n_chars_h") > 0)
+      .withColumn("_st", folded)
+      .withColumn("n_uniq", col("_st.uniq"))
+      .withColumn("entropy",
+        round(log(col("n_chars_h").cast("double")) -
+          col("_st.acc") / col("n_chars_h").cast("double"), 6))
+      .drop("_t", "_st")
+  }
+
   /** CJK segmentation shim (t27; the mC4/CCNet preprocessing rule):
     * whitespace tokenization sees an unsegmented Chinese/Japanese
     * document as ONE giant "word", silently defeating every token op

@@ -13,6 +13,35 @@ class LineOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   import spark.implicits._
 
+  test("charEntropy: known closed-form entropies, zeros and uniforms") {
+    val df = Seq(
+      (1L, "aaaa"),     // single symbol: H = 0
+      (2L, "abab"),     // two equiprobable: H = ln 2
+      (3L, "abcd"),     // four equiprobable: H = ln 4
+      (4L, ""),         // empty: dropped
+      (5L, "aab")       // 2/3,1/3: H = ln3 - (2 ln2)/3
+    ).toDF("doc_id", "text")
+    val out = TextOps.charEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length === 4) // empty doc dropped
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Double]("entropy") === 0.0)
+    assert(byId(1L).getAs[Long]("n_uniq") === 1L)
+    assert(math.abs(byId(2L).getAs[Double]("entropy") - math.log(2)) < 1e-6)
+    assert(math.abs(byId(3L).getAs[Double]("entropy") - math.log(4)) < 1e-6)
+    assert(byId(3L).getAs[Long]("n_uniq") === 4L)
+    val h5 = math.log(3) - 2.0 * math.log(2) / 3.0
+    assert(math.abs(byId(5L).getAs[Double]("entropy") - h5) < 1e-6)
+    assert(byId(5L).getAs[Long]("n_chars_h") === 3L)
+  }
+
+  test("charEntropy plan: no exchange — the fold is a pure map") {
+    val df = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val plan = TextOps.charEntropy(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("lineFilter: each C4 rule drops exactly the line built to trip it") {
     val body = Seq(
       "this sentence survives every rule.",   // kept
