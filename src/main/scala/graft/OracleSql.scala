@@ -6915,6 +6915,79 @@ object OracleSql {
     // value-based, so candidate order never matters); 12 levels cover
     // the corpus's max word length 8 with margin. Per-doc totals join
     // the word scores back through the token multiset.
+    // b09: WordPiece — inventory from the CLEAN corpus (positioned
+    // substrings, start>1 → ##-continuation; top-64 multi-char by
+    // (cnt DESC, marked ASC) + all singles), greedy longest-match
+    // unrolled to MaxWordLen levels over the drifted corpus; no-match
+    // or >12 chars → whole word [UNK] (np=1, unk=1) — BERT semantics
+    "b09_wordpiece" -> {
+      val maxLevel = 12
+      val levels = (1 to maxLevel).map { i =>
+        s"""m$i AS MATERIALIZED (
+           |  SELECT g.word, g.pos, max(len(v.core)) AS ml
+           |  FROM g${i - 1} g JOIN vocab v
+           |    ON v.is_cont = (g.pos > 0)
+           |   AND len(v.core) <= g.len - g.pos
+           |   AND v.core = substr(g.word, g.pos + 1, len(v.core))
+           |  WHERE g.pos < g.len
+           |  GROUP BY g.word, g.pos),
+           |g$i AS MATERIALIZED (
+           |  SELECT g.word, g.len,
+           |    CASE WHEN g.pos >= g.len THEN g.pos
+           |         WHEN m.ml IS NULL THEN g.len
+           |         ELSE g.pos + m.ml END AS pos,
+           |    CASE WHEN g.pos >= g.len THEN g.np
+           |         WHEN m.ml IS NULL THEN 1
+           |         ELSE g.np + 1 END AS np,
+           |    CASE WHEN g.pos >= g.len THEN g.unk
+           |         WHEN m.ml IS NULL THEN 1
+           |         ELSE g.unk END AS unk
+           |  FROM g${i - 1} g LEFT JOIN m$i m
+           |    ON m.word = g.word AND m.pos = g.pos)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH clean AS (SELECT unnest(string_split(text, ' ')) AS w
+         |              FROM documents),
+         |cw AS (SELECT w, count(*)::BIGINT AS c FROM clean
+         |       WHERE w <> '' GROUP BY w),
+         |st0 AS (SELECT w, c,
+         |    unnest(generate_series(1, len(w)))::INT AS i FROM cw),
+         |sl AS (SELECT w, c, i,
+         |    unnest(generate_series(1, least(4, len(w) - i + 1)))::INT
+         |      AS l
+         |  FROM st0),
+         |pc AS (SELECT substr(w, i, l) AS core, (i > 1) AS is_cont,
+         |         sum(c)::BIGINT AS cnt
+         |       FROM sl GROUP BY 1, 2),
+         |mk AS (SELECT core, is_cont, cnt,
+         |         CASE WHEN is_cont THEN '##' || core ELSE core END
+         |           AS marked
+         |       FROM pc),
+         |multi AS (SELECT core, is_cont,
+         |    row_number() OVER (ORDER BY cnt DESC, marked) AS rk
+         |  FROM mk WHERE len(core) >= 2),
+         |vocab AS (SELECT core, is_cont FROM multi WHERE rk <= 64
+         |          UNION ALL
+         |          SELECT core, is_cont FROM mk WHERE len(core) = 1),
+         |drift AS (SELECT doc_id,
+         |    text || ' café naïve' || doc_id::VARCHAR ||
+         |      ' supercalifragilistic' AS body
+         |  FROM documents),
+         |toks AS (SELECT doc_id,
+         |    unnest(string_split(body, ' ')) AS w FROM drift),
+         |t AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+         |g0 AS (SELECT w AS word, len(w) AS len,
+         |    CASE WHEN len(w) > $maxLevel THEN len(w) ELSE 0 END AS pos,
+         |    CASE WHEN len(w) > $maxLevel THEN 1 ELSE 0 END AS np,
+         |    CASE WHEN len(w) > $maxLevel THEN 1 ELSE 0 END AS unk
+         |  FROM (SELECT DISTINCT w FROM t)),
+         |$levels
+         |SELECT t.doc_id, count(*)::BIGINT AS n_words,
+         |  sum(g.np)::BIGINT AS n_pieces,
+         |  sum(g.unk)::BIGINT AS n_unk
+         |FROM t JOIN g$maxLevel g ON g.word = t.w
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+    },
+
     "b08_unigram_viterbi" -> {
       val maxLevel = 12
       val levels = (1 to maxLevel).map { i =>

@@ -2362,6 +2362,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── b09: WordPiece tokenization — the THIRD subword family next
+    //    to BPE (b01..b07) and unigram-LM (b08): greedy longest-match
+    //    with ##-continuation pieces and BERT's whole-word-[UNK]
+    //    fallback; trained on the clean corpus, encoded over a drifted
+    //    copy (accents + digits + an over-length word) so every [UNK]
+    //    path fires. Integer outputs — exact parity by construction ──
+    "b09_wordpiece" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pieces = graft.text.WordPiece.trainPieces(d, "text", topK = 64)
+      val drifted = d.select(col("doc_id"),
+        concat(col("text"), lit(" café naïve"),
+          col("doc_id").cast("string"),
+          lit(" supercalifragilistic")).as("body"))
+      graft.text.WordPiece.encode(drifted, "body", pieces)
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          col("n_unk"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── d09 CUT form: duplicated intervals grouped by slice content,
     //    keep-first election per content, losers' tokens removed and
     //    docs reassembled (the d05 output contract at arbitrary

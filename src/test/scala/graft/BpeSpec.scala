@@ -562,4 +562,49 @@ class BpeSpec extends AnyFunSuite {
       Seq((1L, "aa ab aa")).toDF("doc_id", "text"), "text", topK = 0)
     assert(charsOnly.map(_.piece).sorted === Seq("a", "b"))
   }
+  test("wordpiece (b09): greedy longest-match, ##-continuations, " +
+       "whole-word [UNK] on unseen chars and over-length words, " +
+       "trainPieces splits initial vs continuation forms") {
+    import graft.text.WordPiece
+    val pieces = Seq(
+      WordPiece.Piece("play", isCont = false, 10L),
+      WordPiece.Piece("p", isCont = false, 10L),
+      WordPiece.Piece("ing", isCont = true, 10L),
+      WordPiece.Piece("i", isCont = true, 5L),
+      WordPiece.Piece("n", isCont = true, 5L),
+      WordPiece.Piece("g", isCont = true, 5L),
+      WordPiece.Piece("l", isCont = true, 5L),
+      WordPiece.Piece("a", isCont = true, 5L),
+      WordPiece.Piece("y", isCont = true, 5L))
+    val r = WordPiece.encode(
+        Seq((1L, "playing play pxq verylongwordhere")).toDF("doc_id", "text"),
+        "text", pieces)
+      .select("n_words", "n_pieces", "n_unk")
+      .as[(Long, Long, Long)].head()
+    // playing -> play + ##ing (2); play -> play (1);
+    // pxq -> p then no ##x -> [UNK] (1); 16-char word -> [UNK] (1)
+    assert(r._1 === 4L)
+    assert(r._2 === 5L)
+    assert(r._3 === 2L)
+    // continuation form is NOT usable word-initially: "ing" alone has
+    // no initial 'i' piece -> [UNK]
+    val r2 = WordPiece.encode(
+        Seq((1L, "ing")).toDF("doc_id", "text"), "text", pieces)
+      .select("n_unk").as[Long].head()
+    assert(r2 === 1L)
+    // inventory: "aa ab aa" -> initial substrings a(3), aa(2), ab(1);
+    // continuation a(2), b(1)
+    val ps = WordPiece.trainPieces(
+      Seq((1L, "aa ab aa")).toDF("doc_id", "text"), "text", topK = 64)
+    val byKey = ps.map(p => (p.core, p.isCont) -> p.cnt).toMap
+    assert(byKey === Map(
+      ("a", false) -> 3L, ("aa", false) -> 2L, ("ab", false) -> 1L,
+      ("a", true) -> 2L, ("b", true) -> 1L))
+    // greedy prefers the longest piece even when shorter pieces exist:
+    // "playing" = play + ##ing (2 pieces), NOT p + ##l + ##a + ...
+    val r3 = WordPiece.encode(
+        Seq((1L, "playing")).toDF("doc_id", "text"), "text", pieces)
+      .select("n_pieces").as[Long].head()
+    assert(r3 === 2L)
+  }
 }
