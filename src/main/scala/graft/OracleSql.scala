@@ -3679,6 +3679,32 @@ object OracleSql {
         |WHERE shared::DOUBLE/(sa.sz + sb.sz - shared) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // d10: prefix-filtered exact Jaccard join — the oracle is the
+    // BRUTE-FORCE all-shared-shingles join (no df cap, no prefix):
+    // lossless filtering means the engine must reproduce it exactly
+    "d10_prefix_join" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token,
+        |                unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |              FROM documents),
+        |t AS (SELECT doc_id, token, pos FROM toks WHERE token <> ''),
+        |sh0 AS (SELECT doc_id,
+        |          token || ' ' || lead(token,1) OVER w || ' ' || lead(token,2) OVER w
+        |            || ' ' || lead(token,3) OVER w || ' ' || lead(token,4) OVER w AS shingle,
+        |          lead(token,4) OVER w AS l4
+        |        FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE l4 IS NOT NULL),
+        |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_inter
+        |           FROM sh a JOIN sh b USING (shingle)
+        |           WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, n_inter,
+        |  round(n_inter::DOUBLE/(sa.sz + sb.sz - n_inter),6) AS jaccard
+        |FROM shared
+        |JOIN sz sa ON sa.doc_id = shared.id_a
+        |JOIN sz sb ON sb.doc_id = shared.id_b
+        |WHERE n_inter::DOUBLE/(sa.sz + sb.sz - n_inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q22_doc_fingerprint" ->
       """WITH g AS (SELECT doc_id, md5(substr(text, i, 8)) AS gram_md5
         |           FROM (SELECT doc_id, text,

@@ -299,6 +299,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ── d10: EXACT Jaccard threshold join via AllPairs/PPJoin prefix
+    //    filtering — the lossless scale path (no df cap, no banding):
+    //    rarity-ordered prefixes prune candidates, exact verify after;
+    //    must emit exactly the brute-force pair set ──────────────────
+    "d10_prefix_join" -> ((s, dir) => {
+      Dedup.prefixJaccardJoin(docs(s, dir), "doc_id", "text", k = 5,
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("n_inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ── document fingerprint (char-8-gram min-hash digest) ────────────
     "q22_doc_fingerprint" -> ((s, dir) => {
       TextOps.charGramFingerprint(docs(s, dir), "doc_id", "text", 8)

@@ -101,6 +101,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact Jaccard threshold self-join via AllPairs/PPJoin PREFIX
+    * filtering (Bayardo et al. 2007 "Scaling Up All Pairs Similarity
+    * Search"; Xiao et al. 2008 PPJoin) — the LOSSLESS scale path next
+    * to [[jaccardPairs]]'s df-cap prune and [[minhashLshPairs]]'s
+    * probabilistic banding: each doc's shingles are ordered by global
+    * rarity (df ASC, shingle ASC) and only the first
+    * |x| − ⌈θ·|x|⌉ + 2 ("prefix") participate in the candidate
+    * self-join; any pair with J ≥ θ must share ≥ ⌈θ·|x|⌉ tokens, so it
+    * shares a prefix token — no candidate is ever lost. (+2 not the
+    * textbook +1: one extra slot absorbs FP ulp drift in ⌈θ·|x|⌉ so
+    * losslessness never hinges on a rounding boundary.) Survivors are
+    * verified EXACTLY: one bounded intersection count per candidate.
+    *
+    * Scale shape: the all-pairs blowup collapses from Σ df² over every
+    * shingle to Σ df² over RARE prefix shingles (rarity order makes
+    * prefix df's the smallest by construction); hot boilerplate
+    * shingles never join. One df agg, one per-doc rank window, one
+    * candidate equi-join, one verify join — all keyed, nothing
+    * quadratic in the corpus. */
+  def prefixJaccardJoin(df: DataFrame, id: String, text: String,
+                        k: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sh = TextOps.shingles(df, id, text, k).localCheckpoint()
+    val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("df"), col("shingle"))
+    val pref = sh.join(dfc, "shingle")
+      .withColumn("pos", row_number().over(wDoc))
+      .join(sizes, id)
+      .filter(col("pos") <=
+        col("sz") - ceil(lit(threshold) * col("sz")) + 2)
+      .select(col(id), col("shingle"), col("sz"))
+    val cand = pref
+      .select(col(id).as("id_a"), col("shingle"), col("sz").as("sz_a"))
+      .join(pref.select(col(id).as("id_b"), col("shingle"),
+        col("sz").as("sz_b")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      // length filter: J ≤ min/max, so J ≥ θ needs θ·max ≤ min
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = cand
+      .join(sh.select(col(id).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(id).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+  }
+
   /** MinHash signature: for each of `numPerm` arithmetic permutations
     * over the shingle's md5-derived base value, the min over the doc's
     * shingles. One row per doc, signature as an array column. */

@@ -186,6 +186,36 @@ class DedupSimSpec extends AnyFunSuite {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("d10 prefix join: equals the brute-force pair set on the fixture " +
+       "and on 8 seeded random corpora (losslessness property)") {
+    val s = spark
+    import s.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame, k: Int, th: Double) = {
+      val pj = Dedup.prefixJaccardJoin(df, "doc_id", "text", k, th)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val bf = Dedup.jaccardPairs(df, "doc_id", "text", k,
+          threshold = th, maxDf = Int.MaxValue)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      (pj, bf)
+    }
+    val (p0, b0) = pairs(docsDf, 5, 0.5)
+    assert(p0 === b0)
+    assert(p0.nonEmpty) // the fixture's dup/near-dup pairs survive
+    val rnd = new scala.util.Random(1234)
+    val vocab = ('a' to 'j').map(_.toString)
+    (1 to 8).foreach { trial =>
+      val th = Seq(0.3, 0.5, 0.6, 0.8)(trial % 4)
+      val docs = (1L to 30L).map { i =>
+        val n = 6 + rnd.nextInt(20)
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val (pj, bf) = pairs(docs, 2, th)
+      assert(pj === bf, s"trial $trial th=$th: prefix join lost pairs")
+    }
+  }
+
   test("minhash LSH: exact dup has estimated jaccard 1.0; candidates cover true near-dups") {
     val pairs = Dedup.minhashLshPairs(docsDf, "doc_id", "text", k = 3,
         numPerm = 64, bands = 16, threshold = 0.3)
