@@ -3417,6 +3417,54 @@ object OracleSql {
         |  END AS p_value
         |FROM e ORDER BY user_id""".stripMargin,
 
+    // c07: Welch drift test — first vs second chronological half of
+    // each user's log-returns; op order mirrors SeriesStats.welchDrift
+    // exactly (se1+se2 reused, A&S erfc Horner chain for p)
+    "c07_welch_drift" ->
+      """WITH r AS (
+        | SELECT user_id, ts, event_id,
+        |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+        | FROM events),
+        |x AS (SELECT user_id, ts, event_id, ret FROM r
+        |      WHERE ret IS NOT NULL),
+        |b AS (SELECT user_id, ret,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n_all
+        |      FROM x),
+        |h AS (SELECT user_id, ret,
+        |        CASE WHEN rn <= n_all/2.0 THEN 1 ELSE 2 END AS half
+        |      FROM b),
+        |g AS (SELECT user_id,
+        |        sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |        sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |        avg(CASE WHEN half = 1 THEN ret END) AS m1,
+        |        avg(CASE WHEN half = 2 THEN ret END) AS m2,
+        |        var_samp(CASE WHEN half = 1 THEN ret END) AS v1,
+        |        var_samp(CASE WHEN half = 2 THEN ret END) AS v2
+        |      FROM h GROUP BY user_id),
+        |z AS (SELECT user_id, n1, n2, m1, m2,
+        |        v1/n1 AS se1, v2/n2 AS se2 FROM g),
+        |w AS (SELECT user_id, n1, n2, m1, m2, se1, se2,
+        |        CASE WHEN n1 > 1 AND n2 > 1
+        |             THEN (m1 - m2)/sqrt(se1 + se2) END AS t0,
+        |        (se1 + se2)*(se1 + se2) /
+        |          (se1*se1/(n1 - 1.0) + se2*se2/(n2 - 1.0)) AS dfw
+        |      FROM z),
+        |e AS (SELECT *, abs(t0)/sqrt(2.0) AS ax,
+        |        1.0/(1.0 + 0.3275911*(abs(t0)/sqrt(2.0))) AS t
+        |      FROM w)
+        |SELECT user_id, n1, n2,
+        |  round(m1 - m2, 6) AS mean_diff,
+        |  round(t0, 6) AS t_stat,
+        |  CASE WHEN t0 IS NOT NULL THEN round(dfw, 6) END AS df_w,
+        |  CASE WHEN t0 IS NOT NULL THEN
+        |    round(t*(0.254829592 + t*(-0.284496736 + t*(1.421413741
+        |      + t*(-1.453152027 + t*1.061405429)))) * exp(-ax*ax), 6)
+        |  END AS p_value
+        |FROM e ORDER BY user_id""".stripMargin,
+
     // t32: per-doc char Shannon entropy — H = ln n − (Σ c·ln c)/n;
     // the Σ is ordered by char to mirror the engine's sorted fold
     "t32_char_entropy" ->

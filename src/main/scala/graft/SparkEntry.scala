@@ -1799,6 +1799,18 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ── C-family: Welch two-sample drift test on per-user log-returns
+    //    — chronological first vs second half, Welch–Satterthwaite df,
+    //    two-sided normal-approx p (halves ≥30 obs); completes the
+    //    c03 whiteness / c04 normality / c06 randomness panel ────────
+    "c07_welch_drift" -> ((s, dir) => {
+      SeriesStats.welchDrift(
+          logret(s, dir).filter(col("ret").isNotNull), perUser, "ret")
+        .select(col("user_id"), col("n1"), col("n2"), col("mean_diff"),
+          col("t_stat"), col("df_w"), col("p_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── t32: per-doc character Shannon entropy — the gibberish /
     //    encoding-noise quality signal; ZERO shuffle (in-task
     //    sorted-array run-length fold, no char histogram ever

@@ -341,6 +341,53 @@ object SeriesStats {
       .drop("_z")
   }
 
+  /** Welch two-sample t-test per series between the chronological
+    * first and second half (beyond reference; Welch 1947) — the
+    * standard "did the mean drift" diagnostic next to [[runsTest]]'s
+    * randomness and [[ljungBox]]'s whiteness. Sample variances,
+    * t = (m₁−m₂)/√(s₁²/n₁+s₂²/n₂), Welch–Satterthwaite df, and a
+    * two-sided p under the NORMAL approximation of the t null (halves
+    * are ≥30 obs at fixture scale; documented approximation, same A&S
+    * erfc Horner chain as [[runsTest]] so both engines round alike).
+    * Scale shape: one series-keyed window for the split + one keyed
+    * hash agg. */
+  def welchDrift(df: DataFrame, spec: SeriesSpec, value: String): DataFrame = {
+    val keys = spec.partitionCols
+    val x = df.filter(col(value).isNotNull)
+      .withColumn("_rn", row_number().over(spec.w))
+      .withColumn("_n_all",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)))
+      .withColumn("_half",
+        when(col("_rn") <= col("_n_all") / 2, lit(1)).otherwise(lit(2)))
+    val g = x.groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(col("_half") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(col("_half") === 2, lit(1L)).otherwise(lit(0L))).as("n2"),
+        avg(when(col("_half") === 1, col(value))).as("_m1"),
+        avg(when(col("_half") === 2, col(value))).as("_m2"),
+        var_samp(when(col("_half") === 1, col(value))).as("_v1"),
+        var_samp(when(col("_half") === 2, col(value))).as("_v2"))
+    val se1 = col("_v1") / col("n1").cast("double")
+    val se2 = col("_v2") / col("n2").cast("double")
+    val t0 = (col("_m1") - col("_m2")) / sqrt(se1 + se2)
+    val dfw = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (col("n1").cast("double") - lit(1.0)) +
+        se2 * se2 / (col("n2").cast("double") - lit(1.0)))
+    val ax = abs(col("_t")) / sqrt(lit(2.0))
+    val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * ax)
+    val poly = tt * (lit(0.254829592) + tt * (lit(-0.284496736) +
+      tt * (lit(1.421413741) + tt * (lit(-1.453152027) +
+        tt * lit(1.061405429)))))
+    val p = poly * exp(-ax * ax)
+    g.withColumn("_t", when(col("n1") > 1 && col("n2") > 1, t0))
+      .withColumn("mean_diff", round(col("_m1") - col("_m2"), 6))
+      .withColumn("t_stat", round(col("_t"), 6))
+      .withColumn("df_w", round(when(col("_t").isNotNull, dfw), 6))
+      .withColumn("p_value", when(col("_t").isNotNull, round(p, 6)))
+      .drop("_m1", "_m2", "_v1", "_v2", "_t")
+  }
+
   def ljungBox(df: DataFrame, spec: SeriesSpec, value: String,
                h: Int = 10): DataFrame = {
     require(h > 0 && h % 2 == 0,

@@ -65,6 +65,37 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("p_value") < 0.01)
   }
 
+  test("welch drift: closed-form t/df on a known split, null on tiny halves") {
+    val s = spark
+    import s.implicits._
+    // halves [1,2,3] vs [4,5,6]: m=2 vs 5, v=1 both, se=1/3 each
+    // t = -3/sqrt(2/3), df_w = (2/3)^2 / ((1/9)/2 * 2) = 4
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0).zipWithIndex
+      .map { case (v, i) => ("u", i, v) }.toDF("k", "i", "v")
+    val r = SeriesStats.welchDrift(df, SeriesSpec(Seq("k"), Seq("i")), "v")
+      .first()
+    assert(r.getAs[Long]("n1") === 3L && r.getAs[Long]("n2") === 3L)
+    assert(math.abs(r.getAs[Double]("mean_diff") - (-3.0)) < 1e-9)
+    val t = -3.0 / math.sqrt(2.0 / 3.0)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-5)
+    assert(math.abs(r.getAs[Double]("df_w") - 4.0) < 1e-5)
+    assert(r.getAs[Double]("p_value") < 0.01) // strong shift
+    // identical halves: t == 0, p == 1 (erfc(0) = 1)
+    val same = Seq(1.0, 2.0, 3.0, 1.0, 2.0, 3.0).zipWithIndex
+      .map { case (v, i) => ("u", i, v) }.toDF("k", "i", "v")
+    val r2 = SeriesStats.welchDrift(same, SeriesSpec(Seq("k"), Seq("i")), "v")
+      .first()
+    assert(r2.getAs[Double]("t_stat") === 0.0)
+    assert(math.abs(r2.getAs[Double]("p_value") - 1.0) < 1e-6)
+    // a 2-row series has 1-obs halves: no sample variance, null t
+    val tiny = Seq(1.0, 2.0).zipWithIndex
+      .map { case (v, i) => ("u", i, v) }.toDF("k", "i", "v")
+    val r3 = SeriesStats.welchDrift(tiny, SeriesSpec(Seq("k"), Seq("i")), "v")
+      .first()
+    assert(r3.isNullAt(r3.fieldIndex("t_stat")))
+    assert(r3.isNullAt(r3.fieldIndex("p_value")))
+  }
+
   test("histogram: buckets cover range, counts sum to n, density integrates to 1") {
     val s = spark
     import s.implicits._
