@@ -4101,6 +4101,55 @@ object OracleSql {
         | round(sum(value),4) AS sum_value, round(avg(value),6) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
+    // q34: ordered funnel — min-ts gating per stage, rate vs the
+    // previous stage (stage 0 vs all users)
+    "q34_funnel" ->
+      """WITH u AS (SELECT count(DISTINCT user_id)::BIGINT AS total
+        |           FROM events),
+        |t0 AS (SELECT user_id, min(ts) AS t FROM events
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t0 ON t0.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t0.t
+        |       GROUP BY e.user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t1 ON t1.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t1.t
+        |       GROUP BY e.user_id),
+        |n AS (SELECT (SELECT total FROM u) AS total,
+        |        (SELECT count(*)::BIGINT FROM t0) AS n0,
+        |        (SELECT count(*)::BIGINT FROM t1) AS n1,
+        |        (SELECT count(*)::BIGINT FROM t2) AS n2)
+        |SELECT 0 AS stage_idx, 'view' AS stage, n0 AS n_users,
+        |  CASE WHEN total > 0
+        |       THEN round(n0::DOUBLE/total::DOUBLE, 6) END AS rate
+        |FROM n
+        |UNION ALL
+        |SELECT 1, 'click', n1,
+        |  CASE WHEN n0 > 0 THEN round(n1::DOUBLE/n0::DOUBLE, 6) END
+        |FROM n
+        |UNION ALL
+        |SELECT 2, 'purchase', n2,
+        |  CASE WHEN n1 > 0 THEN round(n2::DOUBLE/n1::DOUBLE, 6) END
+        |FROM n
+        |ORDER BY stage_idx""".stripMargin,
+
+    // q35: cohort retention — first-seen-day cohorts × day offsets
+    "q35_retention" ->
+      """WITH e AS (SELECT user_id, ts::DATE AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cd FROM e GROUP BY user_id),
+        |sz AS (SELECT cd, count(DISTINCT user_id)::BIGINT AS n_cohort
+        |       FROM c GROUP BY cd),
+        |g AS (SELECT c.cd, date_diff('day', c.cd, e.d) AS offset_days,
+        |        count(DISTINCT e.user_id)::BIGINT AS n_active
+        |      FROM e JOIN c USING (user_id)
+        |      GROUP BY c.cd, date_diff('day', c.cd, e.d))
+        |SELECT strftime(g.cd, '%Y-%m-%d') AS cohort,
+        |  g.offset_days::INT AS offset_days, n_active, n_cohort,
+        |  round(n_active::DOUBLE/n_cohort::DOUBLE, 6) AS retention
+        |FROM g JOIN sz ON sz.cd = g.cd
+        |ORDER BY cohort, offset_days""".stripMargin,
+
     "q26_sliding_window_sum" ->
       """SELECT user_id, event_id, round(x_sum,6) AS x_sum, y FROM (
         | SELECT user_id, event_id,

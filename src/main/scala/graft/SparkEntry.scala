@@ -358,6 +358,23 @@ object SparkEntry {
         .orderBy(col("day"), col("event_type"))
     }),
 
+    // ── q34: ordered conversion funnel view → click → purchase —
+    //    stage i counts users whose first stage-i event strictly
+    //    follows their stage-(i−1) entry; per-stage keyed min-aggs,
+    //    no global window ─────────────────────────────────────────────
+    "q34_funnel" -> ((s, dir) => {
+      graft.series.EventAnalytics.funnel(ev(s, dir), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))
+    }),
+
+    // ── q35: cohort retention matrix — first-seen-day cohorts ×
+    //    day offsets, distinct active users and cohort share ──────────
+    "q35_retention" -> ((s, dir) => {
+      graft.series.EventAnalytics.retention(ev(s, dir), "user_id", "ts")
+        .orderBy(col("cohort"), col("offset_days"))
+    }),
+
     // ── W3+W4: sliding windows + supervised X/y ───────────────────────
     "q26_sliding_window_sum" -> ((s, dir) => {
       SeriesOps.supervisedWindows(ev(s, dir), perUser, "value", 5, 3, "x", "y")

@@ -1,0 +1,79 @@
+package graft.series
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Beyond-reference event-stream analytics: the ordered conversion
+  * funnel and the cohort retention matrix — the two staple queries of
+  * any event warehouse, expressed as keyed aggs so they hold at any
+  * scale (no window over the global stream, no driver loops over
+  * data — only over the fixed stage list).
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: stage i counts users whose FIRST stage-i event
+    * strictly follows their entry time into stage i−1 (min-ts
+    * semantics, the standard "did they progress" definition — a
+    * purchase before the first click does not count).
+    *
+    * Returns one row per stage: (stage_idx, stage, n_users, rate) with
+    * rate = n_i / n_{i−1} (stage 0 against the full user universe).
+    * Scale shape: one distinct-users agg + one keyed min-agg and one
+    * same-key join PER STAGE (stage list is a small constant), then a
+    * single global count row — no shuffle wider than the user key. */
+  def funnel(df: DataFrame, user: String, ts: String, typeCol: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val base = df.select(col(user).as("_u"), col(ts).as("_ts"),
+      col(typeCol).as("_e"))
+    var acc = base.select(col("_u")).distinct()
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val evts = base.filter(col("_e") === st)
+        .select(col("_u"), col("_ts"))
+      val gated =
+        if (i == 0) evts
+        else evts.join(acc.select(col("_u"), col(s"_t${i - 1}")), "_u")
+          .filter(col(s"_t${i - 1}").isNotNull &&
+            col("_ts") > col(s"_t${i - 1}"))
+          .select(col("_u"), col("_ts"))
+      val ti = gated.groupBy(col("_u")).agg(min(col("_ts")).as(s"_t$i"))
+      acc = acc.join(ti, Seq("_u"), "left")
+    }
+    val aggs = count(lit(1)).as("_total") +:
+      stages.indices.map(i => count(col(s"_t$i")).as(s"_n$i"))
+    val g = acc.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = stages.zipWithIndex.map { case (st, i) =>
+      s"$i, '$st', _n$i, _r$i"
+    }
+    val withRates = stages.indices.foldLeft(g) { (acc0, i) =>
+      val prev = if (i == 0) col("_total") else col(s"_n${i - 1}")
+      acc0.withColumn(s"_r$i", when(prev > 0,
+        round(col(s"_n$i").cast("double") / prev.cast("double"), 6)))
+    }
+    withRates.select(expr(
+      s"stack(${stages.size}, ${stackArgs.mkString(", ")}) " +
+        "as (stage_idx, stage, n_users, rate)"))
+  }
+
+  /** Cohort retention: cohort = the user's first-seen calendar day;
+    * one row per (cohort, day offset) with the distinct active users
+    * and the retention share of the cohort. Days render as
+    * 'yyyy-MM-dd' strings (never raw timestamps — the oracle-parity
+    * rule). Scale shape: one keyed min-agg, one same-key join, two
+    * keyed count-distinct aggs. */
+  def retention(df: DataFrame, user: String, ts: String): DataFrame = {
+    val e = df.select(col(user).as("_u"), to_date(col(ts)).as("_d"))
+    val cohort = e.groupBy(col("_u")).agg(min(col("_d")).as("_cd"))
+    val sz = cohort.groupBy(col("_cd"))
+      .agg(countDistinct(col("_u")).as("n_cohort"))
+    e.join(cohort, "_u")
+      .groupBy(col("_cd"), datediff(col("_d"), col("_cd")).as("offset_days"))
+      .agg(countDistinct(col("_u")).as("n_active"))
+      .join(sz, "_cd")
+      .select(date_format(col("_cd"), "yyyy-MM-dd").as("cohort"),
+        col("offset_days").cast("int").as("offset_days"),
+        col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") /
+          col("n_cohort").cast("double"), 6).as("retention"))
+  }
+}
