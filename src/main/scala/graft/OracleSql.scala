@@ -3369,6 +3369,27 @@ object OracleSql {
         |  round(exp(-jb_stat/2.0), 6) AS p_value
         |FROM jb ORDER BY user_id""".stripMargin,
 
+    // w16: truncated adjusted EWMA — the k-term Horner chains nest
+    // exactly as SeriesOps.ewma's foldRight builds them
+    "w16_ewma" -> {
+      val k = 20
+      val q = "0.8"
+      def term(j: Int) =
+        if (j == 0) "value" else s"lag(value, $j) OVER w"
+      val num = (0 to k).foldRight("0.0")((j, acc) =>
+        s"(coalesce(${term(j)}, 0.0) + $q*$acc)")
+      val den = (0 to k).foldRight("0.0")((j, acc) =>
+        s"((CASE WHEN ${term(j)} IS NOT NULL THEN 1.0 ELSE 0.0 END) " +
+          s"+ $q*$acc)")
+      s"""WITH b AS (SELECT user_id,
+         |    row_number() OVER w AS rn,
+         |    $num / $den AS ewma
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, rn, round(ewma, 6) AS ewma
+         |FROM b ORDER BY user_id, rn""".stripMargin
+    },
+
     // c06: Wald–Wolfowitz sign-runs test — zero-crossing signs over
     // per-user log-returns; E/Var/z closed-form, two-sided p via the
     // A&S 7.1.26 erfc Horner chain in the exact op order of
@@ -3480,6 +3501,38 @@ object OracleSql {
         |  round(ln(n_chars_h::DOUBLE) - acc/n_chars_h::DOUBLE, 6)
         |    AS entropy
         |FROM a WHERE n_chars_h > 0 ORDER BY doc_id""".stripMargin,
+
+    // t33: Heaps-law fit — first-doc-per-token marks vocabulary entry;
+    // integer cumsums in doc-id order, then the t31 five-sum OLS
+    "t33_heaps_fit" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS token FROM documents),
+        |t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |pd AS (SELECT doc_id, count(*)::BIGINT AS n_toks
+        |       FROM t GROUP BY doc_id),
+        |fd AS (SELECT token, min(doc_id) AS fd FROM t GROUP BY token),
+        |nt AS (SELECT fd AS doc_id, count(*)::BIGINT AS new_types
+        |       FROM fd GROUP BY fd),
+        |bd AS (SELECT pd.doc_id, n_toks,
+        |         coalesce(nt.new_types, 0) AS new_types
+        |       FROM pd LEFT JOIN nt USING (doc_id)),
+        |c AS (SELECT doc_id,
+        |        sum(n_toks) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nn,
+        |        sum(new_types) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vv
+        |      FROM bd),
+        |xy AS (SELECT ln(nn::DOUBLE) AS x, ln(vv::DOUBLE) AS y FROM c),
+        |s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        |      FROM xy)
+        |SELECT n::BIGINT AS n_docs,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS beta,
+        |  round(exp((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx) / n), 6)
+        |    AS k_coef,
+        |  round((n*sxy - sx*sy)*(n*sxy - sx*sy)
+        |    / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+        |FROM s""".stripMargin,
 
     // t31: Zipf rank-frequency fit — token tf, (f DESC, token ASC)
     // rank, OLS of ln(f) on ln(rank) as five sums; α = −slope

@@ -1839,6 +1839,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── t33: Heaps-law vocabulary-growth fit — V(N) ≈ K·N^β over
+    //    per-doc cumulative (tokens, new types); t31's companion ──────
+    "t33_heaps_fit" -> ((s, dir) => {
+      graft.text.TextOps.heapsFit(docs(s, dir), "doc_id", "text")
+    }),
+
     // ── t31: Zipf rank-frequency fit — corpus-level exponent α and
     //    fit r² from an OLS of ln(freq) on ln(rank); the
     //    training-data-report diagnostic of vocabulary shape ─────────
@@ -1846,6 +1852,18 @@ object SparkEntry {
       graft.text.TextOps.zipfFit(docs(s, dir), "text", maxRank = 1000)
         .select(col("n_terms"), round(col("alpha"), 6).as("alpha"),
           round(col("r2"), 6).as("r2"))
+    }),
+
+    // ── W16: exponentially-weighted moving average per series —
+    //    pandas ewm(adjust=True) truncated at k=20 lags (≤1.2% mass at
+    //    q=0.8), so both engines evaluate the identical Horner chain;
+    //    one series-keyed window shuffle ───────────────────────────────
+    "w16_ewma" -> ((s, dir) => {
+      SeriesOps.ewma(ev(s, dir), perUser, "value", q = 0.8, k = 20)
+        .withColumn("rn", row_number().over(perUser.w))
+        .select(col("user_id"), col("rn"),
+          round(col("ewma"), 6).as("ewma"))
+        .orderBy(col("user_id"), col("rn"))
     }),
 
     "w13_crossfade" -> ((s, dir) => {

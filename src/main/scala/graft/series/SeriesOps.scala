@@ -305,6 +305,34 @@ object SeriesOps {
     * Scale shape: one shuffle on the series key for the windows, then
     * a (series, phase)-keyed agg whose output is m rows per series —
     * tiny — joined back broadcast-style. Nothing global. */
+  /** W16 (beyond reference): exponentially-weighted moving average per
+    * series — pandas `ewm(adjust=True).mean()` semantics TRUNCATED at
+    * `k` lags: s_t = Σ_{j=0..k} q^j·x_{t−j} / Σ_{j=0..k} q^j over the
+    * lags that exist, q the decay (q^k is the documented truncation
+    * mass, ≤ 1.2% at the default q=0.8, k=20). Truncation is what
+    * makes the op distributable AND oracle-replayable: both engines
+    * evaluate the SAME k-term Horner chain (num and den nest
+    * identically), so no running-state recursion and no float-order
+    * divergence. Pass q as a plain decimal literal — the oracle prints
+    * it back verbatim, so both engines parse the identical double
+    * (never compute it as 1−α, which rounds differently).
+    *
+    * Scale shape: one shuffle on the series key; k lags ride one
+    * window — the c03 lag-chain shape. */
+  def ewma(df: DataFrame, spec: SeriesSpec, value: String,
+           q: Double, k: Int = 20): DataFrame = {
+    require(q > 0 && q < 1, s"decay q must be in (0,1), got $q")
+    require(k >= 1, s"need at least one lag, got $k")
+    val lags = (0 to k).map { j =>
+      if (j == 0) col(value) else lag(col(value), j).over(spec.w)
+    }
+    val num = lags.foldRight(lit(0.0): Column)((t, acc) =>
+      coalesce(t, lit(0.0)) + lit(q) * acc)
+    val den = lags.foldRight(lit(0.0): Column)((t, acc) =>
+      when(t.isNotNull, lit(1.0)).otherwise(lit(0.0)) + lit(q) * acc)
+    df.withColumn("ewma", num / den)
+  }
+
   def seasonalDecompose(df: DataFrame, spec: SeriesSpec, value: String,
                         period: Int): DataFrame = {
     require(period % 2 == 1 && period > 1,

@@ -333,6 +333,19 @@ object StreamingScore {
                      pieces: Seq[graft.text.Unigram.Piece]): DataFrame =
     graft.text.Unigram.encodeViterbi(docs, text, pieces)
 
+  /** Streaming t32 twin — char-entropy is a per-row sorted-array fold
+    * (zero shuffles, no state), so it applies DIRECTLY to the
+    * streaming frame; batch-identical by construction. */
+  def charEntropy(docs: DataFrame, id: String, text: String): DataFrame =
+    graft.text.TextOps.charEntropy(docs, id, text)
+
+  /** Streaming b09 twin — WordPiece greedy encode is a stateless
+    * mapPartitions pass over the broadcast piece set (the b08-twin
+    * shape); batch-identical by construction. */
+  def wordPieceEncode(docs: DataFrame, text: String,
+                      pieces: Seq[graft.text.WordPiece.Piece]): DataFrame =
+    graft.text.WordPiece.encode(docs, text, pieces)
+
   /** Streaming t30 twin — same-script language ID scores each doc
     * locally ([[graft.text.TextOps.langIdTrigramFast]]: one stateless
     * mapPartitions pass, zero shuffles), so it applies DIRECTLY to

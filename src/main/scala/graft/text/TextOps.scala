@@ -336,6 +336,52 @@ object TextOps {
       (cov * cov / (vx * vy)).as("r2"))
   }
 
+  /** Heaps-law fit (t33, beyond reference; Heaps 1978): vocabulary
+    * growth V(N) ≈ K·N^β — [[zipfFit]]'s companion diagnostic in a
+    * training-data report (β ≈ 0.4–0.6 for natural text; a template
+    * corpus flattens, an OCR-noise corpus inflates toward 1). Each
+    * token's FIRST document (min doc id) marks where it enters the
+    * vocabulary; per-doc new-type and token counts cumsum in doc-id
+    * order into (N_d, V_d) checkpoints, and the OLS of ln V on ln N is
+    * the same five-sum reduce as [[zipfFit]].
+    *
+    * Scale shape: one token agg (map-side combinable), one min-agg
+    * over the vocabulary frame, then a cumsum over the PER-DOC frame —
+    * one row per document, INTEGER sums (exact at any order). The
+    * cumsum window is a global order over that per-doc frame; at
+    * extreme corpus sizes fit on a doc-id prefix sample — the curve is
+    * a diagnostic, not a per-doc output. */
+  def heapsFit(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = tokens(df, text)
+    val perDoc = toks.groupBy(col(id)).agg(count(lit(1)).as("n_toks"))
+    val newTypes = toks.groupBy(col("token"))
+      .agg(min(col(id)).as("fd"))
+      .groupBy(col("fd").as(id))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col(id))
+    val xy = perDoc.join(newTypes, Seq(id), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("nn", sum(col("n_toks")).over(w))
+      .withColumn("vv", sum(col("new_types")).over(w))
+      .select(log(col("nn").cast("double")).as("x"),
+        log(col("vv").cast("double")).as("y"))
+    val s = xy.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val beta = cov / vx
+    s.select(col("n").cast("long").as("n_docs"),
+      round(beta, 6).as("beta"),
+      round(exp((col("sy") - beta * col("sx")) / col("n")), 6)
+        .as("k_coef"),
+      round(cov * cov / (vx * vy), 6).as("r2"))
+  }
+
   /** Per-document character Shannon entropy (t32, beyond reference):
     * the cheap gibberish / encoding-noise quality signal — natural
     * prose sits near 4–4.5 bits/char over its alphabet, base64 blobs

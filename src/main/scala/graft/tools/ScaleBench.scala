@@ -40,6 +40,8 @@ object ScaleBench {
     "q30b_dist_per_user", "q31b_composite_per_user",
     "q31c_composite_full_per_user",
     "c03_ljung_box", "w15_seasonal_decompose", "c04_jarque_bera",
+    "c06_runs_test", "c07_welch_drift", "a18_hll_distinct",
+    "q34_funnel", "q35_retention",
     // bucketed range join: series replication grows points AND
     // intervals linearly; the bucketed equi-join should scale with
     // output size, never quadratically
@@ -58,7 +60,8 @@ object ScaleBench {
     "g04b_regime_features_per_user", "g04tb_hmm_em_step_per_user",
     "g05b_regime_garch_per_user", "q29b_garch_grid_per_user",
     "q30b_dist_per_user", "q31b_composite_per_user",
-    "c03_ljung_box", "w15_seasonal_decompose", "c04_jarque_bera")
+    "c03_ljung_box", "w15_seasonal_decompose", "c04_jarque_bera",
+    "c06_runs_test", "c07_welch_drift")
 
   /** Fourth axis: embedding DIMENSION. Production LLM embeddings are
     * 768–4096-dim where the fixture is 64 — the ANN family's cost is
@@ -151,7 +154,8 @@ object ScaleBench {
     "t29_nfc_normalize",
     "b07_bpe_byte_fallback", "t09b_pack_token_ids",
     "t30_langid_trigram", "t29b_nfkc_normalize",
-    "b08_unigram_viterbi", "t31_zipf_fit")
+    "b08_unigram_viterbi", "t31_zipf_fit",
+    "t32_char_entropy", "b09_wordpiece", "d10_prefix_join")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
@@ -180,7 +184,8 @@ object ScaleBench {
     // t30 is NOT here: its fixture replaces the doc text with fixed
     // rotated sample sentences, so the length axis never reaches it
     "b07_bpe_byte_fallback", "t09b_pack_token_ids",
-    "t29b_nfkc_normalize", "b08_unigram_viterbi", "t31_zipf_fit")
+    "t29b_nfkc_normalize", "b08_unigram_viterbi", "t31_zipf_fit",
+    "t32_char_entropy", "b09_wordpiece", "d10_prefix_join")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

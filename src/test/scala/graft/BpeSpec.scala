@@ -607,4 +607,30 @@ class BpeSpec extends AnyFunSuite {
       .select("n_pieces").as[Long].head()
     assert(r3 === 2L)
   }
+
+  test("streaming b09 twin: WordPiece encode applies directly to a " +
+       "stream and matches batch") {
+    import graft.text.WordPiece
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text")
+    val pieces = WordPiece.trainPieces(docs, "text", topK = 16)
+    val batch = WordPiece.encode(docs, "text", pieces)
+      .select("doc_id", "n_words", "n_pieces", "n_unk")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graftwp").toString
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val buf = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, _) => buf.synchronized {
+        buf ++= b.select("doc_id", "n_words", "n_pieces", "n_unk")
+          .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r)
+      }
+    val q = graft.streaming.StreamingScore.wordPieceEncode(
+        stream, "text", pieces)
+      .writeStream.foreachBatch(sink).start()
+    q.processAllAvailable(); q.stop()
+    assert(buf.nonEmpty && buf.toMap === batch)
+  }
 }

@@ -42,6 +42,30 @@ class LineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("streaming t32 twin: char entropy applies directly to a stream " +
+       "and matches batch") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select("doc_id", "text")
+    val batch = TextOps.charEntropy(docs, "doc_id", "text")
+      .select("doc_id", "n_chars_h", "n_uniq", "entropy")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graftent").toString
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val buf = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Double)]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, _) => buf.synchronized {
+        buf ++= b.select("doc_id", "n_chars_h", "n_uniq", "entropy")
+          .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r)
+      }
+    val q = graft.streaming.StreamingScore.charEntropy(
+        stream, "doc_id", "text")
+      .writeStream.foreachBatch(sink).start()
+    q.processAllAvailable(); q.stop()
+    assert(buf.nonEmpty && buf.toMap === batch)
+  }
+
   test("lineFilter: each C4 rule drops exactly the line built to trip it") {
     val body = Seq(
       "this sentence survives every rule.",   // kept

@@ -1948,4 +1948,23 @@ class PipelineSpec extends AnyFunSuite {
       .select("alpha").as[Double].head()
     assert(math.abs(rf) < 1e-12)
   }
+
+  test("heapsFit: a corpus built so V = N^0.5 at every checkpoint " +
+       "fits beta 0.5, K 1, r2 1") {
+    val s = spark
+    import s.implicits._
+    // checkpoints: (N,V) = (4,2), (16,4), (64,8) — ln V = 0.5 ln N
+    val docs = Seq(
+      (1L, "a a b b"),
+      (2L, ("c d " + Seq.fill(10)("a").mkString(" "))),   // 12 toks, 2 new
+      (3L, ("e f g h " + Seq.fill(44)("b").mkString(" ")))) // 48 toks, 4 new
+      .toDF("doc_id", "text")
+    val r = graft.text.TextOps.heapsFit(docs, "doc_id", "text")
+      .select("n_docs", "beta", "k_coef", "r2")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 === 3L)
+    assert(math.abs(r._2 - 0.5) < 1e-9)
+    assert(math.abs(r._3 - 1.0) < 1e-9)
+    assert(math.abs(r._4 - 1.0) < 1e-9)
+  }
 }

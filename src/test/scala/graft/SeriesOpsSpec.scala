@@ -140,6 +140,24 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - math.sin(13.0 * 2 * math.Pi / 24)) < 1e-12)
   }
 
+  test("W16 ewma: hand-computed adjusted weights, truncation at k lags") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1.0, 2.0, 3.0).zipWithIndex
+      .map { case (v, i) => ("u", i, v) }.toDF("k", "i", "v")
+    val spec = SeriesSpec(Seq("k"), Seq("i"))
+    val out = SeriesOps.ewma(df, spec, "v", q = 0.5, k = 2)
+      .orderBy("i").select("ewma").as[Double].collect()
+    // t1: 1/1; t2: (2+0.5)/(1.5); t3: (3+0.5*(2+0.5))/(1+0.5*(1.5))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1) - 2.5 / 1.5) < 1e-12)
+    assert(math.abs(out(2) - 4.25 / 1.75) < 1e-12)
+    // truncation: with k=1 the lag-2 term must vanish
+    val out1 = SeriesOps.ewma(df, spec, "v", q = 0.5, k = 1)
+      .orderBy("i").select("ewma").as[Double].collect()
+    assert(math.abs(out1(2) - 4.0 / 1.5) < 1e-12)
+  }
+
   test("seasonalDecompose: exact recovery of a planted trend + zero-sum " +
        "seasonal pattern; edges have null trend/resid; even period refused") {
     val s = spark
