@@ -3438,6 +3438,34 @@ object OracleSql {
         |  END AS p_value
         |FROM e ORDER BY user_id""".stripMargin,
 
+    // c08: CUSUM drift — centered running sum per user (the q06 cumsum
+    // precedent), max/min excursion + rescaled range R/(σ√n)
+    "c08_cusum" ->
+      """WITH r AS (
+        | SELECT user_id, ts, event_id,
+        |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+        | FROM events),
+        |x AS (SELECT user_id, ts, event_id, ret,
+        |        avg(ret) OVER (PARTITION BY user_id) AS mu
+        |      FROM r WHERE ret IS NOT NULL),
+        |c AS (SELECT user_id, ret,
+        |        sum(ret - mu) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |      FROM x),
+        |g AS (SELECT user_id, count(*)::BIGINT AS n_obs,
+        |        max(s) AS cmax, min(s) AS cmin,
+        |        stddev_pop(ret) AS sd
+        |      FROM c GROUP BY user_id)
+        |SELECT user_id, n_obs,
+        |  round(cmax, 6) + 0.0 AS cusum_max,
+        |  round(cmin, 6) + 0.0 AS cusum_min,
+        |  CASE WHEN sd > 0 THEN
+        |    round((cmax - cmin)/(sd * sqrt(n_obs::DOUBLE)), 6)
+        |  END AS rr_stat
+        |FROM g ORDER BY user_id""".stripMargin,
+
     // c07: Welch drift test — first vs second chronological half of
     // each user's log-returns; op order mirrors SeriesStats.welchDrift
     // exactly (se1+se2 reused, A&S erfc Horner chain for p)

@@ -1816,6 +1816,18 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ── C-family: CUSUM drift statistic on per-user log-returns —
+    //    max/min excursion of the centered cumulative sum plus the
+    //    Brownian-bridge rescaled range; sees a break ANYWHERE (the
+    //    c07 midpoint test's complement) ──────────────────────────────
+    "c08_cusum" -> ((s, dir) => {
+      SeriesStats.cusum(
+          logret(s, dir).filter(col("ret").isNotNull), perUser, "ret")
+        .select(col("user_id"), col("n_obs"), col("cusum_max"),
+          col("cusum_min"), col("rr_stat"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── C-family: Welch two-sample drift test on per-user log-returns
     //    — chronological first vs second half, Welch–Satterthwaite df,
     //    two-sided normal-approx p (halves ≥30 obs); completes the

@@ -341,6 +341,40 @@ object SeriesStats {
       .drop("_z")
   }
 
+  /** CUSUM drift statistic per series (beyond reference; Page 1954's
+    * cumulative-sum control chart reduced to its batch diagnostic):
+    * S_t = Σ_{i≤t}(x_i − x̄) in series order; emits the max/min
+    * excursion and the rescaled range R/(σ√n) — the Brownian-bridge
+    * normalization under which a stable series is O(1) and a
+    * mean-shifted one grows like √n. Complements [[welchDrift]] (which
+    * needs the break at the midpoint; CUSUM sees a break anywhere).
+    * Scale shape: one series-keyed window (mean + running sum ride the
+    * same exchange) and one keyed agg — the q06 cumsum precedent. */
+  def cusum(df: DataFrame, spec: SeriesSpec, value: String): DataFrame = {
+    val keys = spec.partitionCols
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val wRun = spec.w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val x = df.filter(col(value).isNotNull)
+      .withColumn("_mu", avg(col(value)).over(wAll))
+      .withColumn("_s", sum(col(value) - col("_mu")).over(wRun))
+    val g = x.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_obs"),
+        max(col("_s")).as("_cmax"),
+        min(col("_s")).as("_cmin"),
+        stddev_pop(col(value)).as("_sd"))
+    // + 0.0 collapses IEEE −0.0 to +0.0 (round(−1e-9, 6) signs differ
+    // across engines; the gate compares bit patterns)
+    g.withColumn("cusum_max", round(col("_cmax"), 6) + lit(0.0))
+      .withColumn("cusum_min", round(col("_cmin"), 6) + lit(0.0))
+      .withColumn("rr_stat",
+        when(col("_sd") > 0, round((col("_cmax") - col("_cmin")) /
+          (col("_sd") * sqrt(col("n_obs").cast("double"))), 6)))
+      .drop("_cmax", "_cmin", "_sd")
+  }
+
   /** Welch two-sample t-test per series between the chronological
     * first and second half (beyond reference; Welch 1947) — the
     * standard "did the mean drift" diagnostic next to [[runsTest]]'s

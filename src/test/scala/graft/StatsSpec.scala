@@ -96,6 +96,29 @@ class StatsSpec extends AnyFunSuite {
     assert(r3.isNullAt(r3.fieldIndex("p_value")))
   }
 
+  test("cusum: hand-computed excursions; level shift inflates the " +
+       "rescaled range far beyond a stable series") {
+    val s = spark
+    import s.implicits._
+    // x = [1,2,3]: mean 2, S = [-1,-1,0] -> max 0, min -1
+    val df = Seq(1.0, 2.0, 3.0).zipWithIndex
+      .map { case (v, i) => ("u", i, v) }.toDF("k", "i", "v")
+    val r = SeriesStats.cusum(df, SeriesSpec(Seq("k"), Seq("i")), "v")
+      .first()
+    assert(r.getAs[Long]("n_obs") === 3L)
+    assert(r.getAs[Double]("cusum_max") === 0.0)
+    assert(math.abs(r.getAs[Double]("cusum_min") - (-1.0)) < 1e-12)
+    // alternating series (no drift) vs the same values sorted (pure
+    // drift): the sorted one must have a much larger rescaled range
+    val alt = (0 until 40).map(i => ("u", i, if (i % 2 == 0) 1.0 else -1.0))
+    val drift = (0 until 40).map(i => ("u", i, if (i < 20) -1.0 else 1.0))
+    def rr(rows: Seq[(String, Int, Double)]) =
+      SeriesStats.cusum(rows.toDF("k", "i", "v"),
+        SeriesSpec(Seq("k"), Seq("i")), "v").first()
+        .getAs[Double]("rr_stat")
+    assert(rr(drift) > 2.0 * rr(alt))
+  }
+
   test("histogram: buckets cover range, counts sum to n, density integrates to 1") {
     val s = spark
     import s.implicits._
