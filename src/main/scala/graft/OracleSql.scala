@@ -4589,6 +4589,33 @@ object OracleSql {
          |SELECT per.cluster, per.n_docs, per.avg_dist2, mg.min_margin
          |FROM per JOIN mg USING (cluster) ORDER BY cluster""".stripMargin,
 
+    // k03: simplified silhouette of the SAME k01 fit — sorted argmin
+    // keys give own (pos 1) and nearest-other (pos 2) dist²; clamp at
+    // 0, s = (b−a)/max(a,b), degenerate max 0 scores 0
+    "k03_silhouette" ->
+      s"""WITH $k01CentCtes,
+         |d3x AS (SELECT vec.doc_id,
+         |          list(list_inner_product(c.v, c.v)
+         |               - 2.0*list_inner_product(vec.v, c.v)
+         |               ORDER BY c.cid) AS dl,
+         |          list_inner_product(vec.v, vec.v) AS vv
+         |        FROM vec CROSS JOIN c2 c GROUP BY vec.doc_id, vec.v),
+         |sl AS (SELECT doc_id,
+         |         (list_position(dl, list_aggregate(dl, 'min')) - 1)::BIGINT
+         |           AS cluster,
+         |         greatest(list_sort(dl)[1] + vv, 0.0) AS a2,
+         |         greatest(list_sort(dl)[2] + vv, 0.0) AS b2
+         |       FROM d3x),
+         |sv AS (SELECT cluster,
+         |         CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+         |              THEN (sqrt(b2) - sqrt(a2))
+         |                   / greatest(sqrt(a2), sqrt(b2))
+         |              ELSE 0.0 END AS s
+         |       FROM sl)
+         |SELECT cluster, count(*)::BIGINT AS n_docs,
+         |  round(avg(s), 6) AS silhouette
+         |FROM sv GROUP BY cluster ORDER BY cluster""".stripMargin,
+
     // mixture over DISCOVERED domains: the t17 assignment feeding the
     // a08 mixture machinery keyed on the topic — same weight
     // normalization double ops, same h64-bucket cut

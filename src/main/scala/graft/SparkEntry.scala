@@ -606,6 +606,19 @@ object SparkEntry {
     // ── Cluster-quality report over the SAME k01 fit: member count,
     //    mean squared distance to own centroid (the argmin key reused
     //    as the value), squared margin to the nearest other centroid ───
+    // ── k03: simplified silhouette per cluster of the k01 fit — the
+    //    O(n·k) centroid-approximated silhouette (exact pairwise is
+    //    not a 100 TB shape); map-side argmin keys, one keyed agg ─────
+    "k03_silhouette" -> ((s, dir) => {
+      val vecs = graft.text.TextOps
+        .hashEmbedVectors(docs(s, dir), "doc_id", "text")
+        .localCheckpoint()
+      val (cents, _) = graft.sim.KMeans.fit(vecs, "doc_id", "embedding",
+        k = 8, iters = 2)
+      graft.sim.KMeans.silhouetteReport(vecs, "doc_id", "embedding", cents)
+        .orderBy(col("cluster"))
+    }),
+
     "k02_cluster_quality" -> ((s, dir) => {
       // materialize the embedding lineage ONCE: fit checkpoints its own
       // copy internally, but the report's assign+distance pass would

@@ -164,4 +164,37 @@ object KMeans {
       .select(col("cluster"), col("n_docs"), col("avg_dist2"),
         col("min_margin"))
   }
+
+  /** Simplified silhouette per cluster (k03; Kaufman & Rousseeuw's
+    * silhouette with the CENTROID approximation — a_i = distance to
+    * own centroid, b_i = distance to the nearest OTHER centroid,
+    * s_i = (b−a)/max(a,b)): the O(n·k) member of the silhouette family
+    * — the exact O(n²) pairwise form is not a 100 TB shape. Entirely
+    * map-side against driver-literal centroids (the k02 argmin key,
+    * sorted: position 1 = own dist², position 2 = nearest other), one
+    * cluster-keyed agg. FP guard: dist² clamps at 0 (x≈centroid can go
+    * −ε), degenerate max(a,b)=0 scores 0. */
+  def silhouetteReport(vecs: DataFrame, id: String, vec: String,
+                       cents: Array[Array[Double]]): DataFrame = {
+    val keyCols = cents.map { c =>
+      val cLit = array(c.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
+      Similarity.dot(col(vec), cLit) * -2.0 + lit(c2)
+    }
+    val dl = array_sort(array(keyCols: _*))
+    val vv = Similarity.dot(col(vec), col(vec))
+    val a2 = greatest(element_at(dl, 1) + vv, lit(0.0))
+    val b2 = greatest(element_at(dl, 2) + vv, lit(0.0))
+    val a = sqrt(col("_a2"))
+    val b = sqrt(col("_b2"))
+    val s = when(greatest(a, b) > 0, (b - a) / greatest(a, b))
+      .otherwise(lit(0.0))
+    vecs.select(
+        Similarity.ivfAssign(col(vec), cents).cast("long").as("cluster"),
+        a2.as("_a2"), b2.as("_b2"))
+      .withColumn("_s", s)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("_s")), 6).as("silhouette"))
+  }
 }

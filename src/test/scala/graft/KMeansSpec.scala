@@ -100,6 +100,32 @@ class KMeansSpec extends AnyFunSuite {
     assert(r2.toSeq === Seq((0L, 1L, 0.0, 25.0), (1L, 1L, 0.0, 25.0)))
   }
 
+  test("k03 silhouette: hand-computed scores — tight clusters near 1, " +
+       "an equidistant point scores exactly 0") {
+    import spark.implicits._
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0)),   // a=0,  b=10 -> s = 1
+      (2L, Seq(1.0, 0.0)),   // a=1,  b=9  -> s = 8/9
+      (3L, Seq(5.0, 0.0)),   // a=5,  b=5  -> s = 0 (ties to cluster 0)
+      (4L, Seq(10.0, 0.0)),  // a=0,  b=10 -> s = 1
+      (5L, Seq(9.0, 0.0)))   // a=1,  b=9  -> s = 8/9
+      .toDF("doc_id", "embedding")
+      .select(col("doc_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val out = KMeans.silhouetteReport(vecs, "doc_id", "embedding", cents)
+      .orderBy("cluster").collect()
+    assert(out.length === 2)
+    val c0 = out(0)
+    assert(c0.getAs[Long]("n_docs") === 3L)
+    val exp0 = (1.0 + 8.0 / 9 + 0.0) / 3
+    assert(math.abs(c0.getAs[Double]("silhouette") - exp0) < 1e-6)
+    val c1 = out(1)
+    assert(c1.getAs[Long]("n_docs") === 2L)
+    assert(math.abs(c1.getAs[Double]("silhouette") - (1.0 + 8.0 / 9) / 2)
+      < 1e-6)
+  }
+
   test("k01 plan: the assignment pass is map-side (no join, no shuffle " +
        "before the mean agg); the mean agg output is k*dim cells") {
     // assign over a MATERIALIZED vector frame (the fit-loop situation:
