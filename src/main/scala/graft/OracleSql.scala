@@ -3440,6 +3440,71 @@ object OracleSql {
 
     // c08: CUSUM drift — centered running sum per user (the q06 cumsum
     // precedent), max/min excursion + rescaled range R/(σ√n)
+    // c09: Mann–Kendall trend + Sen's slope — pairwise over the rn ≤
+    // 2048 prefix (never binds at sf0.01); all integer accumulations
+    // exact in double, Sen median = explicit two-middle-rank average
+    // ((m+1)//2, (m+2)//2 — one (a+b) rounding + exact /2 on both
+    // engines), erfc via the c06 A&S Horner chain in identical order
+    "c09_mann_kendall" ->
+      """WITH r0 AS (
+        | SELECT user_id, ts, event_id,
+        |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+        | FROM events),
+        |r AS (SELECT user_id, ret,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS rn
+        |      FROM r0 WHERE ret IS NOT NULL),
+        |rc AS (SELECT * FROM r WHERE rn <= 2048),
+        |p AS (SELECT a.user_id,
+        |        CASE WHEN b.ret > a.ret THEN 1
+        |             WHEN b.ret < a.ret THEN -1 ELSE 0 END AS sg,
+        |        (b.ret - a.ret) / (b.rn - a.rn)::DOUBLE AS slope
+        |      FROM rc a JOIN rc b
+        |        ON a.user_id = b.user_id AND b.rn > a.rn),
+        |sl AS (SELECT user_id, slope,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY slope) AS rk,
+        |         count(*) OVER (PARTITION BY user_id) AS m
+        |       FROM p),
+        |sen AS (SELECT user_id,
+        |          sum(CASE WHEN rk = (m+1)//2 OR rk = (m+2)//2
+        |                   THEN slope END)
+        |            / count(CASE WHEN rk = (m+1)//2 OR rk = (m+2)//2
+        |                         THEN 1 END) AS sen_raw
+        |        FROM sl GROUP BY user_id),
+        |s AS (SELECT user_id, sum(sg)::BIGINT AS s_stat
+        |      FROM p GROUP BY user_id),
+        |tg AS (SELECT user_id, count(*)::DOUBLE AS t
+        |       FROM rc GROUP BY user_id, ret),
+        |tt AS (SELECT user_id, sum(t*(t-1.0)*(2.0*t+5.0)) AS tie_term
+        |       FROM tg GROUP BY user_id),
+        |g AS (SELECT user_id, count(*)::BIGINT AS n_obs
+        |      FROM rc GROUP BY user_id),
+        |v AS (SELECT g.user_id, n_obs, s_stat, sen_raw,
+        |        (n_obs::DOUBLE*(n_obs::DOUBLE-1.0)
+        |           *(2.0*n_obs::DOUBLE+5.0) - tie_term)/18.0 AS var_s
+        |      FROM g JOIN s USING (user_id) JOIN sen USING (user_id)
+        |        JOIN tt USING (user_id)),
+        |z AS (SELECT *, CASE WHEN var_s > 0 THEN
+        |        CASE WHEN s_stat > 0
+        |               THEN (s_stat::DOUBLE - 1.0)/sqrt(var_s)
+        |             WHEN s_stat < 0
+        |               THEN (s_stat::DOUBLE + 1.0)/sqrt(var_s)
+        |             ELSE 0.0 END END AS zv
+        |      FROM v),
+        |e AS (SELECT *, abs(zv)/sqrt(2.0) AS ax,
+        |        1.0/(1.0 + 0.3275911*(abs(zv)/sqrt(2.0))) AS t
+        |      FROM z)
+        |SELECT user_id, n_obs, s_stat,
+        |  round(zv, 6) + 0.0 AS z_score,
+        |  CASE WHEN zv IS NOT NULL THEN
+        |    round(t*(0.254829592 + t*(-0.284496736 + t*(1.421413741
+        |      + t*(-1.453152027 + t*1.061405429)))) * exp(-ax*ax), 6)
+        |  END AS p_value,
+        |  round(sen_raw, 6) + 0.0 AS sen_slope
+        |FROM e ORDER BY user_id""".stripMargin,
+
     "c08_cusum" ->
       """WITH r AS (
         | SELECT user_id, ts, event_id,
@@ -3532,6 +3597,97 @@ object OracleSql {
 
     // t33: Heaps-law fit — first-doc-per-token marks vocabulary entry;
     // integer cumsums in doc-id order, then the t31 five-sum OLS
+    // t34: robust winnowing (MOSS) — k=8 grams hashed with the
+    // portable h64, window w=4 rightmost-min via row_number over
+    // (hash ASC, pos DESC) on exploded (window, member) pairs, per-doc
+    // digest of the distinct selection set
+    "t34_winnowing" -> {
+      val h = h64Sql("substr(t, j, 8)", "'34'")
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+         |           WHERE len(lower(text)) >= 11),
+         |g0 AS (SELECT doc_id, t, (len(t) - 7)::INT AS ng,
+         |         (len(t) - 10)::INT AS nw,
+         |         unnest(generate_series(1, len(t) - 7))::INT AS j
+         |       FROM d),
+         |g AS (SELECT doc_id, ng, nw, j, $h AS h FROM g0),
+         |w AS (SELECT doc_id, ng, nw, j, h,
+         |        unnest(generate_series(greatest(1, j - 3),
+         |          least(j, nw)))::INT AS i
+         |      FROM g),
+         |s0 AS (SELECT doc_id, ng, nw, j, h,
+         |         row_number() OVER (PARTITION BY doc_id, i
+         |           ORDER BY h, j DESC) AS rn
+         |       FROM w),
+         |sel AS (SELECT DISTINCT doc_id, ng, nw, j, h
+         |        FROM s0 WHERE rn = 1)
+         |SELECT doc_id, max(ng)::BIGINT AS n_grams,
+         |  max(nw)::BIGINT AS n_windows,
+         |  count(*)::BIGINT AS n_sel,
+         |  count(DISTINCT h)::BIGINT AS n_fp,
+         |  bit_xor(h) AS fp_xor, min(h) AS fp_min, max(h) AS fp_max
+         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // t35: Flesch / FK readability — fixture periods injected before
+    // three common corpus words (regexp_replace 'g'); words/syllables
+    // from lowercased regexp_extract_all, sentences clamped to ≥ 1
+    "t35_readability" ->
+      """WITH b AS (SELECT doc_id,
+        |    regexp_replace(text, ' (table|value|key) ', '. \1 ', 'g')
+        |      AS body
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    len(regexp_extract_all(lower(body), '[a-z0-9]+'))::BIGINT
+        |      AS n_words,
+        |    greatest(len(regexp_extract_all(body, '[.!?]+')),
+        |      1)::BIGINT AS n_sentences,
+        |    len(regexp_extract_all(lower(body), '[aeiouy]+'))::BIGINT
+        |      AS n_syllables
+        |  FROM b)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(206.835 - 1.015*(n_words::DOUBLE/n_sentences::DOUBLE)
+        |      - 84.6*(n_syllables::DOUBLE/n_words::DOUBLE), 6)
+        |  END AS flesch,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(0.39*(n_words::DOUBLE/n_sentences::DOUBLE)
+        |      + 11.8*(n_syllables::DOUBLE/n_words::DOUBLE) - 15.59, 6)
+        |  END AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // t36: corpus-pair bigram overlap — distinct word bigrams per
+    // source, exact |A∩B| via the bigram-keyed self-join, all source
+    // pairs kept (zero-intersection pairs included)
+    "t36_ngram_overlap" ->
+      """WITH f AS (SELECT source AS g,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS a
+        |  FROM documents),
+        |f2 AS (SELECT g, a FROM f WHERE len(a) >= 2),
+        |bg0 AS (SELECT g, a,
+        |          unnest(generate_series(1, len(a) - 1))::INT AS i
+        |        FROM f2),
+        |bg AS (SELECT DISTINCT g, a[i] || ' ' || a[i+1] AS bigram
+        |       FROM bg0),
+        |sz AS (SELECT g, count(*)::BIGINT AS n FROM bg GROUP BY g),
+        |it AS (SELECT x.g AS group_a, y.g AS group_b,
+        |         count(*)::BIGINT AS ni
+        |       FROM bg x JOIN bg y
+        |         ON x.bigram = y.bigram AND x.g < y.g
+        |       GROUP BY 1, 2),
+        |pr AS (SELECT a.g AS group_a, a.n AS n_a,
+        |         b.g AS group_b, b.n AS n_b
+        |       FROM sz a JOIN sz b ON a.g < b.g)
+        |SELECT group_a, group_b, n_a, n_b,
+        |  coalesce(ni, 0)::BIGINT AS n_inter,
+        |  round(coalesce(ni, 0)::DOUBLE
+        |    / (n_a + n_b - coalesce(ni, 0))::DOUBLE, 6) AS jaccard,
+        |  round(coalesce(ni, 0)::DOUBLE / n_a::DOUBLE, 6)
+        |    AS containment_a,
+        |  round(coalesce(ni, 0)::DOUBLE / n_b::DOUBLE, 6)
+        |    AS containment_b
+        |FROM pr LEFT JOIN it USING (group_a, group_b)
+        |ORDER BY group_a, group_b""".stripMargin,
+
     "t33_heaps_fit" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(string_split(text, ' ')) AS token FROM documents),
@@ -3628,6 +3784,40 @@ object OracleSql {
          |SELECT event_type, est_p4, zeros_p4, est_p8, zeros_p8, n_exact
          |FROM gp4 JOIN gp8 USING (event_type) JOIN ex USING (event_type)
          |ORDER BY event_type""".stripMargin
+    },
+
+    // a19: Count–Min sketch — cell-exact twin of graft.stats.CountMin
+    // (d=4 portable-h64 rows salted 19..22, w=64 buckets); probes =
+    // exact top-32 tokens (count DESC, token ASC), estimate = min
+    // over the 4 cells; counters are exact integers, no FP anywhere
+    "a19_countmin" -> {
+      def hb(r: Int) = s"(${h64Sql("token", s"'${19 + r}'")} % 64)"
+      val rows = (0 until 4).map(r =>
+        s"SELECT $r AS r, ${hb(r)} AS b FROM tk").mkString(" UNION ALL ")
+      val probeB = (0 until 4).map(r =>
+        s"WHEN $r THEN ${hb(r)}").mkString(" ")
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+         |              FROM documents),
+         |tk AS (SELECT token FROM toks WHERE token <> ''),
+         |cell AS (SELECT r, b, count(*)::BIGINT AS cnt FROM (
+         |        $rows)
+         |      GROUP BY r, b),
+         |ex AS (SELECT token, count(*)::BIGINT AS n_exact
+         |       FROM tk GROUP BY token),
+         |pr AS (SELECT token, n_exact,
+         |         row_number() OVER (ORDER BY n_exact DESC, token)
+         |           AS rk
+         |       FROM ex QUALIFY rk <= 32),
+         |pb AS (SELECT p.rk, p.token, p.n_exact, rr.r,
+         |         CASE rr.r $probeB END AS b
+         |       FROM pr p CROSS JOIN
+         |         (SELECT unnest(generate_series(0, 3)) AS r) rr)
+         |SELECT pb.rk, pb.token, pb.n_exact,
+         |  min(cell.cnt) AS cm_est,
+         |  (min(cell.cnt) - pb.n_exact)::BIGINT AS overcount
+         |FROM pb JOIN cell ON cell.r = pb.r AND cell.b = pb.b
+         |GROUP BY pb.rk, pb.token, pb.n_exact
+         |ORDER BY pb.rk""".stripMargin
     },
 
     // w15: classical additive seasonal decomposition, period 7 —
@@ -4216,6 +4406,32 @@ object OracleSql {
         |ORDER BY stage_idx""".stripMargin,
 
     // q35: cohort retention — first-seen-day cohorts × day offsets
+    // q36: activity concentration — discrete Gini over per-user event
+    // counts (rank ties broken on user_id on both engines) + the
+    // ⌈n/10⌉-heaviest-users share; integer sums, two FP divisions
+    "q36_concentration" ->
+      """WITH t AS (SELECT event_type, user_id, count(*)::BIGINT AS x
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, x,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY x, user_id) AS i,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY x DESC, user_id) AS rd,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM t),
+        |g AS (SELECT event_type, count(*)::BIGINT AS n_users,
+        |        sum(x)::BIGINT AS total_events,
+        |        sum(i * x)::BIGINT AS s1,
+        |        sum(CASE WHEN rd <= ceil(n/10.0) THEN x ELSE 0
+        |            END)::BIGINT AS topx
+        |      FROM r GROUP BY event_type)
+        |SELECT event_type, n_users, total_events,
+        |  round(2.0*s1::DOUBLE/(n_users::DOUBLE*total_events::DOUBLE)
+        |    - (n_users::DOUBLE + 1.0)/n_users::DOUBLE, 6) AS gini,
+        |  round(topx::DOUBLE/total_events::DOUBLE, 6)
+        |    AS top_decile_share
+        |FROM g ORDER BY event_type""".stripMargin,
+
     "q35_retention" ->
       """WITH e AS (SELECT user_id, ts::DATE AS d FROM events),
         |c AS (SELECT user_id, min(d) AS cd FROM e GROUP BY user_id),

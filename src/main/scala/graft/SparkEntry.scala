@@ -375,6 +375,15 @@ object SparkEntry {
         .orderBy(col("cohort"), col("offset_days"))
     }),
 
+    // ── q36: activity concentration per event_type — discrete Gini
+    //    over per-user event counts + top-decile share; every sum is
+    //    an exact integer, so both engines round identically ──────────
+    "q36_concentration" -> ((s, dir) => {
+      graft.series.EventAnalytics.concentration(
+          ev(s, dir), "event_type", "user_id")
+        .orderBy(col("event_type"))
+    }),
+
     // ── W3+W4: sliding windows + supervised X/y ───────────────────────
     "q26_sliding_window_sum" -> ((s, dir) => {
       SeriesOps.supervisedWindows(ev(s, dir), perUser, "value", 5, 3, "x", "y")
@@ -841,6 +850,32 @@ object SparkEntry {
         .select(col("event_type"), col("est_p4"), col("zeros_p4"),
           col("est_p8"), col("zeros_p8"), col("n_exact"))
         .orderBy(col("event_type"))
+    }),
+
+    // ── Count–Min sketch frequency estimation: d=4 rows × w=64
+    //    buckets over the document token stream (w ≪ vocabulary so
+    //    collisions actually overcount — the sketch's defining error
+    //    mode is gated, not dodged); probes = exact top-32 tokens,
+    //    est = min over the 4 rows, always ≥ exact ──────────────────────
+    "a19_countmin" -> ((s, dir) => {
+      val toks = TextOps.tokens(
+        docs(s, dir).select(col("doc_id"), col("text")), "text")
+        .select(col("token"))
+      val cells = graft.stats.CountMin.sketch(
+        toks, col("token"), d = 4, w = 64, seed = 19)
+      // probe rank window runs on the term-frequency frame — bounded
+      // by vocabulary (the t31 precedent), not corpus size
+      val probes = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("n_exact"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n_exact").desc, col("token"))))
+        .filter(col("rk") <= 32)
+      graft.stats.CountMin.estimate(probes, "token", cells,
+          d = 4, w = 64, seed = 19)
+        .withColumn("overcount", col("cm_est") - col("n_exact"))
+        .select(col("rk"), col("token"), col("n_exact"), col("cm_est"),
+          col("overcount"))
+        .orderBy(col("rk"))
     }),
 
     // ── Dedup clusters: the d01 pair list closed into connected
@@ -1841,6 +1876,18 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ── C-family: Mann–Kendall monotonic-trend test + Sen's slope on
+    //    per-user log-returns — pairwise sign statistic with tie
+    //    correction, continuity-corrected z, A&S erfc p; the
+    //    "is there a trend" complement to c08's break detection.
+    //    One series-keyed exchange, O(n²) pair sweep in-task ─────────
+    "c09_mann_kendall" -> ((s, dir) => {
+      SeriesStats.mannKendall(logret(s, dir), perUser, "ret")
+        .select(col("user_id"), col("n_obs"), col("s_stat"),
+          col("z_score"), col("p_value"), col("sen_slope"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── C-family: Welch two-sample drift test on per-user log-returns
     //    — chronological first vs second half, Welch–Satterthwaite df,
     //    two-sided normal-approx p (halves ≥30 obs); completes the
@@ -1868,6 +1915,40 @@ object SparkEntry {
     //    per-doc cumulative (tokens, new types); t31's companion ──────
     "t33_heaps_fit" -> ((s, dir) => {
       graft.text.TextOps.heapsFit(docs(s, dir), "doc_id", "text")
+    }),
+
+    // ── t34: robust-winnowing fingerprints (MOSS) — per-doc digest of
+    //    the k=8/w=4 rightmost-min selection set; any shared substring
+    //    of length ≥ 11 guarantees a shared fingerprint ────────────────
+    "t34_winnowing" -> ((s, dir) => {
+      graft.text.TextOps.winnowFingerprints(
+          docs(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── t35: Flesch / Flesch–Kincaid readability — the fixture
+    //    synthesizes sentence breaks (a period before three common
+    //    corpus words) so the sentence term is non-degenerate; all
+    //    three counts are regexp_count/regexp_extract_all pairs ────────
+    "t35_readability" -> ((s, dir) => {
+      val body = regexp_replace(col("text"),
+        " (table|value|key) ", ". $1 ")
+      graft.text.TextOps.readability(
+          docs(s, dir).select(col("doc_id"), body.as("body")),
+          "doc_id", "body")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── t36: corpus-pair bigram overlap matrix — distinct word
+    //    bigrams per source, |A∩B| / Jaccard / containments for all
+    //    20·19/2 source pairs; the "did the generator memorize its
+    //    seed corpus" divergence check ──────────────────────────────────
+    "t36_ngram_overlap" -> ((s, dir) => {
+      graft.text.TextOps.ngramOverlapByGroup(
+          docs(s, dir).select(col("source"), col("text")),
+          "source", "text")
+        .orderBy(col("group_a"), col("group_b"))
     }),
 
     // ── t31: Zipf rank-frequency fit — corpus-level exponent α and

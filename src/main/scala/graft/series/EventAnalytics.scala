@@ -76,4 +76,47 @@ object EventAnalytics {
         round(col("n_active").cast("double") /
           col("n_cohort").cast("double"), 6).as("retention"))
   }
+
+  /** Activity-concentration report per key (q36; the "how skewed is
+    * this corpus/user-base" staple): the discrete Gini coefficient
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over per-user event counts
+    * ranked ascending (ties broken on the user id so both engines rank
+    * identically), plus the top-decile share (the mass owned by the
+    * ⌈n/10⌉ heaviest users). The same query shape reports
+    * tokens-per-domain skew in a curate pipeline — the number that
+    * decides whether a19's sketch or an exact count table is feasible.
+    *
+    * Every accumulated quantity (Σx, Σi·xᵢ, top-k sum) is an exact
+    * integer below 2⁵³; the two divisions are the only FP ops, so
+    * engine op order cannot diverge. Scale shape: one (key, user)
+    * count agg, then rank windows on the USER-TOTALS frame — bounded
+    * by distinct users per key, not events (the t31 vocabulary-frame
+    * argument); one final keyed agg. */
+  def concentration(df: DataFrame, key: String,
+                    user: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = df.groupBy(col(key).as("_k"), col(user).as("_u"))
+      .agg(count(lit(1)).as("_x"))
+    val ranked = totals
+      .withColumn("_i", row_number().over(
+        Window.partitionBy(col("_k"))
+          .orderBy(col("_x").asc, col("_u").asc)))
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(col("_k"))))
+      .withColumn("_rd", row_number().over(
+        Window.partitionBy(col("_k"))
+          .orderBy(col("_x").desc, col("_u").asc)))
+    val g = ranked.groupBy(col("_k"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("_x")).as("total_events"),
+        sum(col("_i") * col("_x")).as("_s1"),
+        sum(when(col("_rd") <= ceil(col("_n") / lit(10.0)),
+          col("_x")).otherwise(lit(0L))).as("_top"))
+    val nD = col("n_users").cast("double")
+    val sxD = col("total_events").cast("double")
+    g.select(col("_k").as(key), col("n_users"), col("total_events"),
+      round(lit(2.0) * col("_s1").cast("double") / (nD * sxD) -
+        (nD + lit(1.0)) / nD, 6).as("gini"),
+      round(col("_top").cast("double") / sxD, 6).as("top_decile_share"))
+  }
 }

@@ -455,4 +455,130 @@ object SeriesStats {
       .withColumn("p_value", round(survival, 6))
       .drop(("_den" +: "_q" +: (1 to h).map(k => s"_num$k")): _*)
   }
+
+  /** Mann–Kendall trend test + Sen's slope per series (beyond
+    * reference; Mann 1945, Kendall 1975, Sen 1968): the standard
+    * nonparametric "is there a monotonic trend" diagnostic next to
+    * [[cusum]]'s break detection — S = Σ_{i<j} sgn(x_j−x_i), the
+    * tie-corrected variance n(n−1)(2n+5)−Σt(t−1)(2t+5) over 18, the
+    * continuity-corrected z = (S∓1)/√Var, a two-sided p via the same
+    * A&S 7.1.26 erfc Horner chain as [[runsTest]], and Sen's slope =
+    * median of all pairwise (x_j−x_i)/(j−i) with the explicit
+    * two-middle-rank average (so both engines hit the identical one
+    * rounding — no quantile-interpolation formula dependence).
+    *
+    * Scale shape: ONE exchange on the series key, then an in-partition
+    * consecutive-run pass (the [[hurstGrouped]] harness) — the O(n²)
+    * pair sweep never materializes rows, and `maxN` prefix-caps the
+    * per-task work/memory (slope buffer = n²/2 doubles) the same way
+    * the fit-prefix caps bound the GARCH/ADF legs; the cap never binds
+    * at fixture scale and exists for pathological stragglers. All
+    * integer accumulations (S, ties, n-polynomials) are exact in
+    * double below 2⁵³, so op order cannot diverge across engines.
+    * Output per series: (partitionCols, n_obs, s_stat, z_score r6,
+    * p_value r6, sen_slope r6); z/p null when Var ≤ 0. */
+  def mannKendall(df: DataFrame, spec: SeriesSpec, value: String,
+                  maxN: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val nPc = spec.partitionCols.length
+    val keyCols = spec.partitionCols.map(col)
+    val input = df.filter(col(value).isNotNull)
+      .select((keyCols :+ col(value).cast("double").as("__x")) ++
+        spec.orderCols.map(col): _*)
+      .repartition(keyCols: _*)
+      .sortWithinPartitions((spec.partitionCols ++ spec.orderCols).map(col): _*)
+    val midSchema = StructType(input.schema.fields.take(nPc) ++ Seq(
+      StructField("n_obs", LongType, nullable = false),
+      StructField("s_stat", LongType, nullable = false),
+      StructField("z", DoubleType, nullable = true),
+      StructField("p", DoubleType, nullable = true),
+      StructField("sen", DoubleType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(midSchema)
+    val raw = input.mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[Row] {
+        private var pending: Row = _
+        private def advance(): Unit =
+          while (pending == null && it.hasNext) {
+            val key = (0 until nPc).map(it.head.get)
+            val xb = Array.newBuilder[Double]
+            var taken = 0
+            while (it.hasNext && (0 until nPc).map(it.head.get) == key) {
+              val r = it.next()
+              if (taken < maxN) { xb += r.getDouble(nPc); taken += 1 }
+            }
+            pending = mannKendallOfSeries(xb.result()) match {
+              case Some((n, s, z, p, sen)) =>
+                Row.fromSeq(key ++ Seq(n, s, z, p, sen))
+              case None => null
+            }
+          }
+        def hasNext: Boolean = { advance(); pending != null }
+        def next(): Row = {
+          advance(); val r = pending; pending = null; r
+        }
+      }
+    }
+    // + 0.0 collapses IEEE −0.0 (gate compares bit patterns)
+    raw.select((keyCols :+ col("n_obs") :+ col("s_stat") :+
+      (round(col("z"), 6) + lit(0.0)).as("z_score") :+
+      round(col("p"), 6).as("p_value") :+
+      (round(col("sen"), 6) + lit(0.0)).as("sen_slope")): _*)
+  }
+
+  /** One series' Mann–Kendall sweep (n ≥ 2; None below). The slope
+    * median averages the two middle RANKS ((m+1)/2, (m+2)/2 in 1-based
+    * integer division — equal when m is odd), mirrored literally in the
+    * oracle SQL, so even-m medians cost exactly one (a+b) rounding plus
+    * an exact /2 in both engines. */
+  private[stats] def mannKendallOfSeries(xs: Array[Double])
+      : Option[(Long, Long, java.lang.Double, java.lang.Double, Double)] = {
+    val n = xs.length
+    if (n < 2) return None
+    var s = 0L
+    val slopes = new Array[Double](n * (n - 1) / 2)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val d = xs(j) - xs(i)
+        if (d > 0) s += 1 else if (d < 0) s -= 1
+        slopes(m) = d / (j - i).toDouble
+        m += 1
+        j += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(slopes)
+    val lo = (m + 1) / 2; val hi = (m + 2) / 2 // 1-based middle ranks
+    val sen = (slopes(lo - 1) + slopes(hi - 1)) / 2.0
+    // tie groups over exact double equality (same parquet doubles on
+    // both engines; counts are exact integers < 2^53)
+    val tieCounts = new java.util.HashMap[Double, Int]()
+    xs.foreach(x => tieCounts.merge(x, 1, _ + _))
+    var tieTerm = 0.0
+    tieCounts.values.forEach { c =>
+      val t = c.toDouble
+      tieTerm += t * (t - 1.0) * (2.0 * t + 5.0)
+    }
+    val nd = n.toDouble
+    val varS = (nd * (nd - 1.0) * (2.0 * nd + 5.0) - tieTerm) / 18.0
+    if (varS <= 0) Some((n.toLong, s, null, null, sen))
+    else {
+      val z =
+        if (s > 0) (s.toDouble - 1.0) / math.sqrt(varS)
+        else if (s < 0) (s.toDouble + 1.0) / math.sqrt(varS)
+        else 0.0
+      // A&S 7.1.26 erfc chain — op order mirrors runsTest/the oracle
+      val ax = math.abs(z) / math.sqrt(2.0)
+      val t = 1.0 / (1.0 + 0.3275911 * ax)
+      val poly = t * (0.254829592 + t * (-0.284496736 +
+        t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+      val p = poly * math.exp(-ax * ax)
+      Some((n.toLong, s, z, p, sen))
+    }
+  }
 }

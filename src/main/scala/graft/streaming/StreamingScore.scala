@@ -339,6 +339,11 @@ object StreamingScore {
   def charEntropy(docs: DataFrame, id: String, text: String): DataFrame =
     graft.text.TextOps.charEntropy(docs, id, text)
 
+  /** Streaming t35 twin — readability is three regexp counts plus
+    * arithmetic, pure map-side; batch-identical by construction. */
+  def readability(docs: DataFrame, id: String, text: String): DataFrame =
+    graft.text.TextOps.readability(docs, id, text)
+
   /** Streaming b09 twin — WordPiece greedy encode is a stateless
     * mapPartitions pass over the broadcast piece set (the b08-twin
     * shape); batch-identical by construction. */

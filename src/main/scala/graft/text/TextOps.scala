@@ -430,6 +430,157 @@ object TextOps {
       .drop("_t", "_st")
   }
 
+  /** Readability scores (t35, beyond reference; Flesch 1948, Kincaid
+    * et al. 1975): Flesch Reading Ease
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) and the
+    * Flesch–Kincaid grade level — the classic curate-stage quality
+    * signal next to the Gopher rules (very low ease flags legal/OCR
+    * boilerplate, negative grade flags token soup). Sentences are
+    * terminal-punctuation runs (clamped to ≥ 1 — headline-ish docs
+    * divide by one, not zero); words are [a-z0-9]+ runs and syllables
+    * the standard [aeiouy]+ vowel-group heuristic, both over the
+    * lowercased text, so every count replays as a `regexp_count` /
+    * `len(regexp_extract_all)` pair bit-for-bit across engines.
+    *
+    * Scale shape: three regexp counts + arithmetic — pure map-side,
+    * zero shuffles, fully codegen'd; applies unchanged to a stream. */
+  def readability(df: DataFrame, id: String, text: String): DataFrame = {
+    val lo = lower(col(text))
+    val nw = regexp_count(lo, lit("[a-z0-9]+")).cast("long")
+    val ns = greatest(regexp_count(col(text), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val ny = regexp_count(lo, lit("[aeiouy]+")).cast("long")
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    df.select(col(id), col(text))
+      .withColumn("n_words", nw)
+      .withColumn("n_sentences", ns)
+      .withColumn("n_syllables", ny)
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)))
+      .withColumn("fk_grade",
+        when(col("n_words") > 0,
+          round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)))
+      .drop(text)
+  }
+
+  /** Robust-winnowing document fingerprints (t34, beyond reference;
+    * Schleimer, Wilkerson & Aiken 2003 — the MOSS algorithm): hash
+    * every k-gram of the lowercased text, slide a window of `win`
+    * consecutive hashes, keep each window's minimum (ties broken
+    * RIGHTMOST — the robust rule that makes consecutive windows reuse
+    * one selection), and dedupe (position, hash) picks. Winnowing
+    * guarantees any shared substring of length ≥ k+win−1 contributes a
+    * shared fingerprint, at expected density 2/(win+1) — the
+    * local-sampling complement to d05's fixed-stride span shingles
+    * (stride sampling misses alignments; winnowing can't).
+    *
+    * The rightmost-min rule is implemented as the argmin under
+    * (hash ASC, position DESC) via one row_number over exploded
+    * (window, member) pairs — n·win rows, linear in text — because a
+    * plain frame-min can't name WHICH member won ties. Output is the
+    * per-doc digest (gram/window/selection counts, distinct-fingerprint
+    * count, bit_xor/min/max of the selected hashes — xor over the
+    * selected (pos, hash) PAIRS, so a hash selected at two positions
+    * cancels; deterministic either way), which pins the exact selection
+    * set without materializing ~0.4·n rows per document in the gate.
+    *
+    * Scale shape: gram hashing is map-side; the only exchange is the
+    * (doc, window) row_number — keyed finer than the document, so one
+    * huge doc spreads over many tasks; the digest agg is map-side
+    * combinable except countDistinct's one expand. Docs shorter than
+    * k+win−1 have no complete window and are dropped (gate by length
+    * upstream). */
+  def winnowFingerprints(df: DataFrame, id: String, text: String,
+                         k: Int = 8, win: Int = 4,
+                         seed: Int = 34): DataFrame =
+    winnowSelections(df, id, text, k, win, seed).groupBy(col(id))
+      .agg(max(col("_ng")).cast("long").as("n_grams"),
+        max(col("_nw")).cast("long").as("n_windows"),
+        count(lit(1)).as("n_sel"),
+        countDistinct(col("h")).as("n_fp"),
+        expr("bit_xor(h)").as("fp_xor"),
+        min(col("h")).as("fp_min"),
+        max(col("h")).as("fp_max"))
+
+  /** [[winnowFingerprints]]'s selection frame — one row per distinct
+    * winnowing pick: (id, _ng, _nw, j, h) with j the 1-based gram
+    * position and h the selected k-gram hash. The digest aggregates
+    * this; near-dup pipelines join it on h directly (the d05 span-
+    * shingle shape with the winnowing guarantee instead of stride
+    * luck). */
+  def winnowSelections(df: DataFrame, id: String, text: String,
+                       k: Int = 8, win: Int = 4,
+                       seed: Int = 34): DataFrame = {
+    val g = df.select(col(id), lower(col(text)).as("_t"))
+      .filter(length(col("_t")) >= k + win - 1)
+      .withColumn("_ng", (length(col("_t")) - (k - 1)).cast("int"))
+      .withColumn("_nw", (col("_ng") - (win - 1)).cast("int"))
+      .select(col(id), col("_ng"), col("_nw"),
+        posexplode(transform(sequence(lit(1), col("_ng")),
+          j => col("_t").substr(j, lit(k)))))
+      .withColumn("j", col("pos") + 1)
+      .withColumn("h", Dedup.h64(col("col"), seed))
+      .withColumn("i", explode(sequence(
+        greatest(lit(1), col("j") - (win - 1)),
+        least(col("j"), col("_nw")))))
+    g.withColumn("rn", row_number().over(
+        Window.partitionBy(col(id), col("i"))
+          .orderBy(col("h").asc, col("j").desc)))
+      .filter(col("rn") === 1)
+      .select(col(id), col("_ng"), col("_nw"), col("j"), col("h"))
+      .distinct()
+  }
+
+  /** Corpus-pair n-gram overlap matrix (t36, beyond reference; the
+    * synthetic-data evaluation everyone runs — how much of corpus B's
+    * phrasing already exists in corpus A): distinct word bigrams per
+    * group, then |A∩B|, Jaccard and both containments for every
+    * unordered group pair. Deduplication-adjacent but a DIVERGENCE
+    * metric: t15 asks "is this document contaminated", this asks "how
+    * far apart are these corpora" (the q15 JS divergence story at the
+    * n-gram level — near-1 Jaccard between a synthetic source and its
+    * seed corpus means the generator memorized).
+    *
+    * Scale shape: bigram construction is map-side (one array transform
+    * per doc); the distinct and the self-join both key on the BIGRAM,
+    * so pairs per bigram are bounded by the group count squared —
+    * never all-pairs in documents. The group-pair frame is tiny and
+    * broadcast. At extreme group counts, band the bigram space first
+    * (the d01 LSH shape) — exact overlap is the gate semantics here. */
+  def ngramOverlapByGroup(df: DataFrame, group: String,
+                          text: String): DataFrame = {
+    val bg = df
+      .select(col(group).as("_g"),
+        filter(split(col(text), " "), t => t =!= "").as("_a"))
+      .filter(size(col("_a")) >= 2)
+      .select(col("_g"), explode(transform(
+        sequence(lit(1), size(col("_a")) - 1),
+        i => concat_ws(" ", element_at(col("_a"), i),
+          element_at(col("_a"), i + 1)))).as("bigram"))
+      .distinct()
+    val sizes = bg.groupBy(col("_g")).agg(count(lit(1)).as("n"))
+    val inter = bg.toDF("ga", "bigram")
+      .join(bg.toDF("gb", "bigram"), Seq("bigram"))
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = broadcast(sizes.toDF("ga", "n_a"))
+      .join(broadcast(sizes.toDF("gb", "n_b")), col("ga") < col("gb"))
+    pairs.join(inter, Seq("ga", "gb"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("n_a"), col("n_b"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"),
+        round(col("n_inter").cast("double") / col("n_a").cast("double"), 6)
+          .as("containment_a"),
+        round(col("n_inter").cast("double") / col("n_b").cast("double"), 6)
+          .as("containment_b"))
+  }
+
   /** CJK segmentation shim (t27; the mC4/CCNet preprocessing rule):
     * whitespace tokenization sees an unsegmented Chinese/Japanese
     * document as ONE giant "word", silently defeating every token op

@@ -41,7 +41,8 @@ object ScaleBench {
     "q31c_composite_full_per_user",
     "c03_ljung_box", "w15_seasonal_decompose", "c04_jarque_bera",
     "c06_runs_test", "c07_welch_drift", "a18_hll_distinct",
-    "q34_funnel", "q35_retention",
+    "q34_funnel", "q35_retention", "q36_concentration",
+    "c08_cusum", "w16_ewma", "c09_mann_kendall",
     // bucketed range join: series replication grows points AND
     // intervals linearly; the bucketed equi-join should scale with
     // output size, never quadratically
@@ -61,7 +62,12 @@ object ScaleBench {
     "g05b_regime_garch_per_user", "q29b_garch_grid_per_user",
     "q30b_dist_per_user", "q31b_composite_per_user",
     "c03_ljung_box", "w15_seasonal_decompose", "c04_jarque_bera",
-    "c06_runs_test", "c07_welch_drift")
+    "c06_runs_test", "c07_welch_drift",
+    // c09 is the axis's honest quadratic: the exact pairwise MK
+    // statistic is O(n²) per series BY DEFINITION (expected ratio
+    // ≈ factor², not factor, until the maxN=2048 prefix cap binds
+    // and flattens it — the documented production guard)
+    "c08_cusum", "w16_ewma", "c09_mann_kendall")
 
   /** Fourth axis: embedding DIMENSION. Production LLM embeddings are
     * 768–4096-dim where the fixture is 64 — the ANN family's cost is
@@ -155,7 +161,10 @@ object ScaleBench {
     "b07_bpe_byte_fallback", "t09b_pack_token_ids",
     "t30_langid_trigram", "t29b_nfkc_normalize",
     "b08_unigram_viterbi", "t31_zipf_fit",
-    "t32_char_entropy", "b09_wordpiece", "d10_prefix_join")
+    "t32_char_entropy", "b09_wordpiece", "d10_prefix_join",
+    "t33_heaps_fit", "k03_silhouette",
+    "t34_winnowing", "t35_readability", "t36_ngram_overlap",
+    "a19_countmin")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
@@ -185,7 +194,9 @@ object ScaleBench {
     // rotated sample sentences, so the length axis never reaches it
     "b07_bpe_byte_fallback", "t09b_pack_token_ids",
     "t29b_nfkc_normalize", "b08_unigram_viterbi", "t31_zipf_fit",
-    "t32_char_entropy", "b09_wordpiece", "d10_prefix_join")
+    "t32_char_entropy", "b09_wordpiece", "d10_prefix_join",
+    "t33_heaps_fit", "t34_winnowing", "t35_readability",
+    "t36_ngram_overlap", "a19_countmin")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

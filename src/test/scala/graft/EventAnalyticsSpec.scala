@@ -66,4 +66,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("2024-01-02", 0, 1L, 1L, 1.0),
       ("2024-01-02", 1, 1L, 1L, 1.0)))
   }
+
+  test("concentration: uniform counts give Gini 0; hand-computed skew; " +
+       "top-decile is the single heaviest user below 10 users") {
+    val s = spark
+    import s.implicits._
+    // key A: users a,b,c,d each with 1 event -> gini 0, top share 1/4
+    // key B: a=1, b=1, c=4 -> s1 = 1+2+12 = 15, n=3, sx=6
+    //        gini = 30/18 - 4/3 = 1/3; top ⌈0.3⌉=1 user (c) -> 4/6
+    val rows =
+      Seq("a", "b", "c", "d").map(u => ("A", u)) ++
+        Seq(("B", "a"), ("B", "b")) ++ Seq.fill(4)(("B", "c"))
+    val df = rows.toDF("k", "u")
+    val out = EventAnalytics.concentration(df, "k", "u").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n_users") === 4L)
+    assert(a.getAs[Double]("gini") === 0.0)
+    assert(a.getAs[Double]("top_decile_share") === 0.25)
+    val b = out("B")
+    assert(b.getAs[Long]("total_events") === 6L)
+    assert(math.abs(b.getAs[Double]("gini") - 1.0 / 3.0) < 1e-6)
+    assert(math.abs(b.getAs[Double]("top_decile_share") - 4.0 / 6.0)
+      < 1e-6)
+  }
 }

@@ -479,4 +479,85 @@ class LineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"the fast scorer must not shuffle:\n$plan")
   }
+
+  test("winnowing: the MOSS guarantee — docs sharing a substring of " +
+       "length ≥ k+w−1 share a fingerprint; density ≈ 2/(w+1); digest " +
+       "agrees with the selection frame") {
+    val s = spark
+    import s.implicits._
+    val shared = "identical stolen phrase here"  // 28 chars ≥ 11
+    val rows = Seq(
+      (1L, s"completely original opening text then $shared and an end"),
+      (2L, s"$shared surrounded by otherwise different wording entirely"),
+      (3L, "nothing in common with either of the other two documents"))
+      .toDF("id", "body")
+    val sel = TextOps.winnowSelections(rows, "id", "body")
+      .select(col("id"), col("h")).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) =>
+        k -> v.map(_.getLong(1)).toSet }
+    assert((sel(1L) intersect sel(2L)).nonEmpty,
+      "shared ≥11-char substring must contribute a shared fingerprint")
+    // density: distinct positions selected per window ≈ 2/(w+1) = 0.4
+    val dig = TextOps.winnowFingerprints(rows, "id", "body").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_sel"), r.getAs[Long]("n_windows"))).toMap
+    dig.values.foreach { case (nSel, nWin) =>
+      val d = nSel.toDouble / nWin
+      assert(d > 0.15 && d < 0.7, s"winnowing density out of band: $d")
+    }
+    // short doc (< k+w−1) yields no row
+    val tiny = Seq((9L, "abcdefghij")).toDF("id", "body") // 10 < 11
+    assert(TextOps.winnowFingerprints(tiny, "id", "body").count() === 0L)
+  }
+
+  test("readability: hand-counted Flesch/FK on a known sentence pair; " +
+       "zero-word doc nulls the scores") {
+    val s = spark
+    import s.implicits._
+    // "the cat sat. it ran away!" -> 2 sentences; words: the,cat,sat,
+    // it,ran,away = 6; vowel runs: e,a,a,i,a,a,ay... count by hand:
+    // the(1) cat(1) sat(1) it(1) ran(1) away(2: a, ay... 'away' =
+    // a-w-a-y -> runs 'a','ay' = 2) -> 7 syllables
+    val df = Seq((1L, "the cat sat. it ran away!"), (2L, "?!... --"))
+      .toDF("id", "body")
+    val r = TextOps.readability(df, "id", "body").collect()
+      .map(x => x.getAs[Long]("id") -> x).toMap
+    val a = r(1L)
+    assert(a.getAs[Long]("n_words") === 6L)
+    assert(a.getAs[Long]("n_sentences") === 2L)
+    assert(a.getAs[Long]("n_syllables") === 7L)
+    val wps = 6.0 / 2.0; val spw = 7.0 / 6.0
+    assert(math.abs(a.getAs[Double]("flesch") -
+      (206.835 - 1.015 * wps - 84.6 * spw)) < 1e-5)
+    assert(math.abs(a.getAs[Double]("fk_grade") -
+      (0.39 * wps + 11.8 * spw - 15.59)) < 1e-5)
+    val b = r(2L)
+    assert(b.getAs[Long]("n_words") === 0L)
+    assert(b.isNullAt(b.fieldIndex("flesch")))
+    assert(b.isNullAt(b.fieldIndex("fk_grade")))
+  }
+
+  test("ngram overlap: hand-computed bigram Jaccard/containment; " +
+       "disjoint pair emits a zero row; within-group dups collapse") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("A", "a b c"),          // bigrams {a b, b c}
+      ("A", "a b c"),          // duplicate doc: no new bigrams
+      ("B", "a b x"),          // {a b, b x}
+      ("C", "z z")             // {z z} — disjoint from A and B
+    ).toDF("src", "body")
+    val out = TextOps.ngramOverlapByGroup(df, "src", "body").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Long]("n_a") === 2L)
+    assert(ab.getAs[Long]("n_b") === 2L)
+    assert(ab.getAs[Long]("n_inter") === 1L)
+    assert(math.abs(ab.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-6)
+    assert(math.abs(ab.getAs[Double]("containment_a") - 0.5) < 1e-12)
+    val ac = out(("A", "C"))
+    assert(ac.getAs[Long]("n_inter") === 0L)
+    assert(ac.getAs[Double]("jaccard") === 0.0)
+    assert(out.size === 3) // AB, AC, BC — every unordered pair present
+  }
 }

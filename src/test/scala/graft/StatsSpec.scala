@@ -289,4 +289,37 @@ class StatsSpec extends AnyFunSuite {
       .select("p_value").as[Double].head()
     assert(p < 1e-6, s"heavy tail must reject normality: p=$p")
   }
+
+  test("mann-kendall: known S/z/sen on hand series; tie-saturated " +
+       "series nulls z; even-pair median averages the two middle ranks") {
+    val s = spark
+    import s.implicits._
+    def mk(xs: Seq[Double]) = SeriesStats.mannKendall(
+      xs.zipWithIndex.map { case (v, i) => ("u", i, v) }.toDF("k", "i", "v"),
+      SeriesSpec(Seq("k"), Seq("i")), "v").first()
+    // strictly increasing 1..10: S = 45, no ties -> Var = 10·9·25/18
+    // = 125, z = 44/√125 ≈ 3.935507; every pairwise slope is 1
+    val up = mk((1 to 10).map(_.toDouble))
+    assert(up.getAs[Long]("s_stat") === 45L)
+    assert(math.abs(up.getAs[Double]("z_score") -
+      44.0 / math.sqrt(125.0)) < 1e-5)
+    assert(up.getAs[Double]("p_value") < 1e-3)
+    assert(up.getAs[Double]("sen_slope") === 1.0)
+    // [1,3,2]: S = 1; slopes sorted [-1, 0.5, 2] -> median 0.5
+    val mid = mk(Seq(1.0, 3.0, 2.0))
+    assert(mid.getAs[Long]("s_stat") === 1L)
+    assert(mid.getAs[Double]("sen_slope") === 0.5)
+    // [1,2,4,3]: m = 6 pairs, slopes sorted
+    // [-1, 0.5, 2/3, 1, 1.5, 2] -> median = (2/3 + 1)/2
+    val even = mk(Seq(1.0, 2.0, 4.0, 3.0))
+    assert(even.getAs[Long]("s_stat") === 4L)
+    assert(math.abs(even.getAs[Double]("sen_slope") -
+      ((2.0 / 3.0 + 1.0) / 2.0)) < 1e-6)
+    // all-equal: S = 0, the tie term saturates Var -> z/p null, sen 0
+    val flat = mk(Seq(5.0, 5.0, 5.0, 5.0))
+    assert(flat.getAs[Long]("s_stat") === 0L)
+    assert(flat.isNullAt(flat.fieldIndex("z_score")))
+    assert(flat.isNullAt(flat.fieldIndex("p_value")))
+    assert(flat.getAs[Double]("sen_slope") === 0.0)
+  }
 }
