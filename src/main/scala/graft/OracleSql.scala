@@ -1096,6 +1096,43 @@ object OracleSql {
        |FROM e ORDER BY doc_id""".stripMargin
   }
 
+  /** Tokenizer fertility replay (b10): b02's encode chain, then
+    * per-language tokens/word and chars/token (chars = non-space
+    * characters — exactly what the tokens carry). */
+  private def b10Sql(n: Int): String = {
+    val chain = (1 to n).foldLeft(
+      "regexp_replace(replace(text, ' ', '|'), " +
+        "'(.)', ' \\1 ', 'g')") { (e, i) =>
+      s"replace($e, ' ' || m$i.l || '  ' || m$i.r || ' ', " +
+        s"' ' || m$i.l || m$i.r || ' ')"
+    }
+    val mJoins = (1 to n).map(i => s"m$i").mkString(", ")
+    s"""${bpeLevels(n)},
+       |e AS (SELECT doc_id,
+       |        replace(trim($chain), '  ', ' ') AS enc
+       |      FROM documents, $mJoins),
+       |tok AS (SELECT doc_id,
+       |        len(list_filter(string_split(enc, ' '),
+       |          x -> x <> '|'))::BIGINT AS n_tok
+       |      FROM e),
+       |base AS (SELECT doc_id, lang,
+       |        len(list_filter(string_split(text, ' '),
+       |          t -> t <> ''))::BIGINT AS n_words,
+       |        len(replace(text, ' ', ''))::BIGINT AS n_chars
+       |      FROM documents),
+       |g AS (SELECT lang, count(*)::BIGINT AS n_docs,
+       |        sum(n_words)::BIGINT AS total_words,
+       |        sum(n_chars)::BIGINT AS total_chars,
+       |        sum(n_tok)::BIGINT AS total_tokens
+       |      FROM tok JOIN base USING (doc_id) GROUP BY lang)
+       |SELECT lang, n_docs, total_words, total_chars, total_tokens,
+       |  round(total_tokens::DOUBLE/total_words::DOUBLE, 6)
+       |    AS fertility,
+       |  round(total_chars::DOUBLE/total_tokens::DOUBLE, 6)
+       |    AS chars_per_token
+       |FROM g ORDER BY lang""".stripMargin
+  }
+
   /** BPE id-sequence replay (b03): b02's encoded docs mapped through
     * the induced vocabulary — 4 RESERVED special ids first
     * (<pad>/<bos>/<eos>/<unk>, never matched by corpus symbols), then
@@ -1181,6 +1218,42 @@ object OracleSql {
          |    max(CASE WHEN b = 3 THEN v END)::INT AS b3
          |  FROM bv GROUP BY 1)
          |""".stripMargin
+
+  /** m08 dHash replay: the m03 pixel stream on an 8×9 grid, bit (r,c)
+    * = mean(r,c+1) > mean(r,c) via exact cross-multiplication; the
+    * adjacent-cell inner join drops pairs a narrow image leaves empty
+    * (mirrors gradientHash's cn > 0 guards). */
+  private def dHashSql(src: String): String =
+    s"""WITH img AS (SELECT doc_id AS media_id,
+       |    (8 + doc_id % 13)::INT AS w,
+       |    (8 + doc_id % 7)::INT AS h, text
+       |  FROM $src WHERE doc_id % 3 = 0),
+       |pxi AS (SELECT media_id, w, h, text,
+       |    unnest(generate_series(0, w * h - 1)) AS p FROM img),
+       |gp AS (SELECT media_id,
+       |    ((p % w) * 9) // w AS gx, ((p // w) * 8) // h AS gy,
+       |    ascii(substr(text, 1 + ((3*p) % strlen(text)), 1))
+       |  + ascii(substr(text, 1 + ((3*p + 1) % strlen(text)), 1))
+       |  + ascii(substr(text, 1 + ((3*p + 2) % strlen(text)), 1)) AS g3
+       |  FROM pxi),
+       |cell AS (SELECT media_id, gy * 9 + gx AS k, sum(g3)::BIGINT AS cs,
+       |    count(*)::BIGINT AS cn FROM gp GROUP BY 1, 2),
+       |bits AS (SELECT a.media_id,
+       |    (a.k // 9) * 8 + (a.k % 9) AS kb,
+       |    CASE WHEN b.cs * a.cn > a.cs * b.cn THEN 1 ELSE 0 END AS bit
+       |  FROM cell a JOIN cell b
+       |    ON b.media_id = a.media_id AND b.k = a.k + 1
+       |  WHERE a.k % 9 < 8),
+       |bv AS (SELECT media_id, kb // 16 AS b,
+       |    sum(CASE WHEN bit = 1 THEN 1 << (kb % 16) ELSE 0 END)::INT AS v
+       |  FROM bits GROUP BY 1, 2),
+       |wide AS (SELECT media_id,
+       |    max(CASE WHEN b = 0 THEN v END)::INT AS b0,
+       |    max(CASE WHEN b = 1 THEN v END)::INT AS b1,
+       |    max(CASE WHEN b = 2 THEN v END)::INT AS b2,
+       |    max(CASE WHEN b = 3 THEN v END)::INT AS b3
+       |  FROM bv GROUP BY 1)
+       |""".stripMargin
 
   /** Shared per-frame grid-hash chain (m06/m07): the m03 pixel replay
     * with a frame dimension — frame f's pixel bytes sit at
@@ -3440,6 +3513,69 @@ object OracleSql {
 
     // c08: CUSUM drift — centered running sum per user (the q06 cumsum
     // precedent), max/min excursion + rescaled range R/(σ√n)
+    // c10: KPSS level-stationarity — Bartlett long-run variance at the
+    // statsmodels-legacy bandwidth (capped at 8), piecewise-linear
+    // table p; the s² chain and the interpolation slopes are emitted
+    // from the same Scala doubles the Spark plan evaluates
+    "c10_kpss" -> {
+      val maxLag = 8
+      val lags = (1 to maxLag).map(j =>
+        s"lag(e, $j) OVER w AS e$j").mkString(",\n        |        ")
+      val gsums = (1 to maxLag).map(j =>
+        s"sum(CASE WHEN $j <= l THEN e*e$j END) AS g$j")
+        .mkString(",\n        |        ")
+      val s2chain = (1 to maxLag).map(j =>
+        s"+ 2.0*(CASE WHEN $j <= n_lags THEN (1.0 - $j.0/" +
+          s"(n_lags::DOUBLE + 1.0))*(coalesce(g$j, 0.0)/" +
+          s"n_obs::DOUBLE) ELSE 0.0 END)").mkString(" ")
+      def slope(x0: Double, p0: Double, x1: Double, p1: Double) =
+        (p1 - p0) / (x1 - x0)
+      s"""WITH r AS (
+        | SELECT user_id, ts, event_id,
+        |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+        | FROM events),
+        |x AS (SELECT user_id, ts, event_id, ret,
+        |        avg(ret) OVER (PARTITION BY user_id) AS mu,
+        |        count(*) OVER (PARTITION BY user_id) AS n
+        |      FROM r WHERE ret IS NOT NULL),
+        |e0 AS (SELECT user_id, ts, event_id, n, ret - mu AS e,
+        |        sum(ret - mu) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS s,
+        |        least(floor(4.0 * pow(n::DOUBLE/100.0, 0.25)),
+        |          $maxLag) AS l
+        |      FROM x),
+        |le AS (SELECT user_id, n, e, s, l,
+        |        $lags
+        |      FROM e0
+        |      WINDOW w AS (PARTITION BY user_id
+        |        ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, count(*)::BIGINT AS n_obs,
+        |        max(l)::BIGINT AS n_lags,
+        |        sum(s*s) AS ss, sum(e*e) AS g0,
+        |        $gsums
+        |      FROM le GROUP BY user_id),
+        |v AS (SELECT user_id, n_obs, n_lags,
+        |        g0/n_obs::DOUBLE $s2chain AS s2, ss
+        |      FROM g),
+        |st AS (SELECT user_id, n_obs, n_lags,
+        |        ss/(n_obs::DOUBLE*n_obs::DOUBLE)/s2 AS stat
+        |      FROM v)
+        |SELECT user_id, n_obs, n_lags,
+        |  round(stat, 6) AS kpss_stat,
+        |  round(CASE WHEN stat <= 0.347 THEN 0.10
+        |    WHEN stat <= 0.463 THEN
+        |      0.10 + (stat - 0.347) * ${slope(0.347, 0.10, 0.463, 0.05)}
+        |    WHEN stat <= 0.574 THEN
+        |      0.05 + (stat - 0.463) * ${slope(0.463, 0.05, 0.574, 0.025)}
+        |    WHEN stat <= 0.739 THEN
+        |      0.025 + (stat - 0.574) * ${slope(0.574, 0.025, 0.739, 0.01)}
+        |    ELSE 0.01 END, 6) AS p_value
+        |FROM st ORDER BY user_id""".stripMargin
+    },
+
     // c09: Mann–Kendall trend + Sen's slope — pairwise over the rn ≤
     // 2048 prefix (never binds at sf0.01); all integer accumulations
     // exact in double, Sen median = explicit two-middle-rank average
@@ -4187,6 +4323,15 @@ object OracleSql {
         |  lower(lpad(to_hex(b3), 4, '0') || lpad(to_hex(b2), 4, '0') ||
         |    lpad(to_hex(b1), 4, '0') || lpad(to_hex(b0), 4, '0'))
         |    AS ahash_hex
+        |FROM wide ORDER BY media_id""".stripMargin),
+
+    // m08: image difference hash — the m03 pixel replay on an 8×9
+    // grid with adjacent-cell cross-multiplied comparisons
+    "m08_image_dhash" -> (dHashSql("documents") +
+      """SELECT media_id, b0, b1, b2, b3,
+        |  lower(lpad(to_hex(b3), 4, '0') || lpad(to_hex(b2), 4, '0') ||
+        |    lpad(to_hex(b1), 4, '0') || lpad(to_hex(b0), 4, '0'))
+        |    AS dhash_hex
         |FROM wide ORDER BY media_id""".stripMargin),
 
     // m04: banded hamming near-dup over the doubled corpus (+273000
@@ -7343,6 +7488,9 @@ object OracleSql {
     // BPE id sequences (b03): chars-then-merges vocabulary, exploded
     // (doc, pos, symbol, token_id) rows
     "b03_bpe_ids" -> b03Sql(8),
+
+    // b10: per-language tokenizer fertility over the b02 encode chain
+    "b10_fertility" -> b10Sql(8),
 
     // tokenizer coverage (b04): clean-corpus tokenizer scores the
     // t03-salted drifted corpus; unseen characters surface as OOV

@@ -1036,6 +1036,15 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ── m08: image difference hash (dHash) — adjacent-cell gradient
+    //    comparisons on an 8×9 grid; keys on local gradients where
+    //    aHash keys on the global mean (the ensemble complement) ──────
+    "m08_image_dhash" -> ((s, dir) => {
+      val media = graft.mm.Multimodal.synthesizeFromDocuments(docs(s, dir))
+      graft.mm.Multimodal.imageDHash(media)
+        .orderBy(col("media_id"))
+    }),
+
     // ── m04: image near-dup pairs via 16-bit aHash bands — the corpus
     //    is doubled with exact twins at +273000 (a multiple of
     //    lcm(3,13,7), so kind and dims are preserved and the twin's
@@ -1876,6 +1885,17 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ── C-family: KPSS level-stationarity test on per-user
+    //    log-returns — the ADF complement (null = stationary);
+    //    Bartlett long-run variance at the statsmodels-legacy
+    //    bandwidth, table-interpolated p clamped to [0.01, 0.10] ─────
+    "c10_kpss" -> ((s, dir) => {
+      SeriesStats.kpss(logret(s, dir), perUser, "ret")
+        .select(col("user_id"), col("n_obs"), col("n_lags"),
+          col("kpss_stat"), col("p_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── C-family: Mann–Kendall monotonic-trend test + Sen's slope on
     //    per-user log-returns — pairwise sign statistic with tie
     //    correction, continuity-corrected z, A&S erfc p; the
@@ -2493,6 +2513,38 @@ object SparkEntry {
           .as("body"))
       graft.text.Bpe.coverageReport(drifted, "doc_id", "body", merges, v)
         .orderBy(col("doc_id"))
+    }),
+
+    // ── b10: tokenizer fertility report — per-language tokens/word
+    //    and chars/token over the b02 encode (the eval every tokenizer
+    //    paper tables; a language fertility ≫ corpus mean means the
+    //    vocabulary under-serves that language) ─────────────────────────
+    "b10_fertility" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.text.Bpe.train(d, "text", nMerges = 8)
+      bpeOracleGuard(merges, 8)
+      val enc = graft.text.Bpe.encode(d, "text", merges)
+        .select(col("doc_id"), col("n_tokens_bpe").cast("long")
+          .as("n_tok"))
+      val base = d.select(col("doc_id"), col("lang"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long")
+          .as("n_chars"))
+      enc.join(base, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tok")).as("total_tokens"))
+        .select(col("lang"), col("n_docs"), col("total_words"),
+          col("total_chars"), col("total_tokens"),
+          round(col("total_tokens").cast("double") /
+            col("total_words").cast("double"), 6).as("fertility"),
+          round(col("total_chars").cast("double") /
+            col("total_tokens").cast("double"), 6)
+            .as("chars_per_token"))
+        .orderBy(col("lang"))
     }),
 
     // ── b07: BYTE-FALLBACK tokenizer — the corpus premaps to the

@@ -307,6 +307,67 @@ object Multimodal {
     }.toDF("media_id", "b0", "b1", "b2", "b3", "ahash_hex")
   }
 
+  /** The 8×9 exact-integer GRADIENT grid for [[imageDHash]]: cell sums
+    * over nine columns, bit (r,c) = mean(r,c+1) > mean(r,c) via the
+    * same cross-multiplication trick as [[gridHash]] (no division ever
+    * happens, so the oracle replays bit-for-bit); a column left empty
+    * by a narrow image (w < 9 can skip one) contributes no bit — the
+    * oracle's inner join drops the same pairs. */
+  private def gradientHash(px: Array[Byte], w: Int, h: Int): Long = {
+    val cs = Array.fill(72)(0L)
+    val cn = Array.fill(72)(0L)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 9 / w
+        val base = 3 * (y * w + x)
+        val g3 = (px(base) & 0xff) + (px(base + 1) & 0xff) +
+          (px(base + 2) & 0xff)
+        val c = gy * 9 + gx
+        cs(c) += g3
+        cn(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val a = r * 9 + c
+        val b = a + 1
+        if (cn(a) > 0 && cn(b) > 0 && mulGt(cs(b), cn(a), cs(a), cn(b)))
+          hash |= (1L << (r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Difference hash (m08; the OTHER standard perceptual image hash
+    * next to [[imageAHash]]'s mean hash): dHash compares ADJACENT
+    * downsampled cells instead of each cell against the global mean,
+    * so it keys on LOCAL gradients rather than global statistics —
+    * the standard complement in a perceptual-hash ensemble
+    * (aHash/dHash band-pair near-dup beats either alone, because the
+    * two disagree on different distortion classes: tone curves move
+    * cells relative to the global mean, crops/shifts move local
+    * gradients). 8 rows × 9 columns → 64 horizontal comparisons; same
+    * exact-integer arithmetic, same map-side Dataset.map shape, zero
+    * shuffles. */
+  def imageDHash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").map { m =>
+      val p = Codecs.decodePpm(m.bytes)
+      hashRow(m.media_id, gradientHash(p.pixels, p.width, p.height))
+    }.toDF("media_id", "b0", "b1", "b2", "b3", "dhash_hex")
+  }
+
   /** Per-frame grid hashes of DECODED video frames (real AVI demux;
     * frames are the raw scanline pixel payloads the container
     * carries): the frame-sampling fingerprint of video dedup — two

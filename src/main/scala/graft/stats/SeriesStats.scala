@@ -456,6 +456,81 @@ object SeriesStats {
       .drop(("_den" +: "_q" +: (1 to h).map(k => s"_num$k")): _*)
   }
 
+  /** KPSS level-stationarity test per series (beyond reference;
+    * Kwiatkowski, Phillips, Schmidt & Shin 1992) — the complement of
+    * the ADF test ([[Adf]]): ADF's null is a unit root, KPSS's null is
+    * stationarity, and the pair's four verdict combinations are the
+    * standard pre-modeling routing table. η = Σ S_t² / (n²·s²(l)) with
+    * S_t the running sum of demeaned values and s²(l) the Bartlett-
+    * weighted long-run variance at the statsmodels-legacy bandwidth
+    * l = ⌊4·(n/100)^0.25⌋ (capped at `maxLag` — the cap never binds at
+    * fixture scale); the p-value is the standard piecewise-linear
+    * interpolation of the KPSS critical-value table, clamped to
+    * [0.01, 0.10] — both engines evaluate the identical CASE chain.
+    *
+    * Scale shape: one series-keyed window exchange (mean, running sum
+    * and the ≤ maxLag lag columns all ride it) and one keyed hash agg
+    * — the c03 Ljung–Box shape exactly; the lag-product sums are
+    * included per row only while j ≤ l, so the bandwidth is honored
+    * without a second pass. Output per series: (partitionCols, n_obs,
+    * n_lags, kpss_stat r6, p_value r6). */
+  def kpss(df: DataFrame, spec: SeriesSpec, value: String,
+           maxLag: Int = 8): DataFrame = {
+    val keys = spec.partitionCols
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val wRun = spec.w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val x = df.filter(col(value).isNotNull)
+      .withColumn("_mu", avg(col(value)).over(wAll))
+      .withColumn("_nw", count(lit(1)).over(wAll))
+      .withColumn("_e", col(value) - col("_mu"))
+      .withColumn("_s", sum(col("_e")).over(wRun))
+      .withColumn("_lw", least(
+        floor(lit(4.0) * pow(col("_nw").cast("double") / lit(100.0),
+          lit(0.25))), lit(maxLag.toLong)))
+    val withLags = (1 to maxLag).foldLeft(x)((acc, j) =>
+      acc.withColumn(s"_e$j", lag(col("_e"), j).over(spec.w)))
+    val aggs = Seq(
+      count(lit(1)).as("n_obs"),
+      max(col("_lw")).as("n_lags"),
+      sum(col("_s") * col("_s")).as("_ss"),
+      sum(col("_e") * col("_e")).as("_g0")) ++
+      (1 to maxLag).map(j =>
+        sum(when(lit(j) <= col("_lw"), col("_e") * col(s"_e$j")))
+          .as(s"_g$j"))
+    val g = withLags.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val nd = col("n_obs").cast("double")
+    val ld = col("n_lags").cast("double")
+    // s² = γ0 + 2·Σ w_j·γ_j with w_j = 1 − j/(l+1); the Σ is a FIXED
+    // j=1..maxLag expression chain (same op order as the oracle SQL),
+    // out-of-bandwidth terms contribute exactly 0
+    val s2 = (1 to maxLag).foldLeft(col("_g0") / nd) { (acc, j) =>
+      acc + lit(2.0) * when(lit(j) <= col("n_lags"),
+        (lit(1.0) - lit(j.toDouble) / (ld + lit(1.0))) *
+          (coalesce(col(s"_g$j"), lit(0.0)) / nd)).otherwise(lit(0.0))
+    }
+    val stat = col("_ss") / (nd * nd) / col("_s2")
+    // piecewise-linear p from the KPSS table (10/5/2.5/1% critical
+    // values 0.347/0.463/0.574/0.739), clamped to [0.01, 0.10]
+    def seg(x0: Double, p0: Double, x1: Double, p1: Double) =
+      lit(p0) + (col("_stat") - lit(x0)) *
+        lit((p1 - p0) / (x1 - x0))
+    val p = when(col("_stat") <= 0.347, lit(0.10))
+      .when(col("_stat") <= 0.463, seg(0.347, 0.10, 0.463, 0.05))
+      .when(col("_stat") <= 0.574, seg(0.463, 0.05, 0.574, 0.025))
+      .when(col("_stat") <= 0.739, seg(0.574, 0.025, 0.739, 0.01))
+      .otherwise(lit(0.01))
+    g.withColumn("_s2", s2)
+      .withColumn("_stat", stat)
+      .withColumn("kpss_stat", round(col("_stat"), 6))
+      .withColumn("p_value", round(p, 6))
+      .drop((Seq("_ss", "_g0", "_s2", "_stat") ++
+        (1 to maxLag).map(j => s"_g$j")): _*)
+  }
+
   /** Mann–Kendall trend test + Sen's slope per series (beyond
     * reference; Mann 1945, Kendall 1975, Sen 1968): the standard
     * nonparametric "is there a monotonic trend" diagnostic next to

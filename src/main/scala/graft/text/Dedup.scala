@@ -33,6 +33,24 @@ object Dedup {
     conv(substring(md5(concat_ws("|", lit(seed.toString), c)), 1, 15), 16, 10)
       .cast("long")
 
+  /** In-task JVM twin of [[h64]] for zero-shuffle map operators (the
+    * t34 winnowing pass): the first 15 hex chars of md5 are the top
+    * 60 bits of the first 8 digest bytes — spec-pinned equal to the
+    * Column expression on ASCII and multi-byte inputs. Callers reuse
+    * one MessageDigest per partition via [[h64Hasher]]. */
+  def h64Jvm(md: java.security.MessageDigest, s: String,
+             seed: Int): Long = {
+    md.reset()
+    val d = md.digest((seed.toString + "|" + s).getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def h64Hasher(): java.security.MessageDigest =
+    java.security.MessageDigest.getInstance("MD5")
+
   /** MinHash permutation family: h_s(x) = (a_s·(base & 2³⁰−1) + b_s)
     * mod (2³¹−1), over ONE md5-derived base value per shingle — the
     * standard universal hash family over Z_p. The modulus must be CLOSE

@@ -476,61 +476,139 @@ object TextOps {
     * local-sampling complement to d05's fixed-stride span shingles
     * (stride sampling misses alignments; winnowing can't).
     *
-    * The rightmost-min rule is implemented as the argmin under
-    * (hash ASC, position DESC) via one row_number over exploded
-    * (window, member) pairs — n·win rows, linear in text — because a
-    * plain frame-min can't name WHICH member won ties. Output is the
-    * per-doc digest (gram/window/selection counts, distinct-fingerprint
-    * count, bit_xor/min/max of the selected hashes — xor over the
-    * selected (pos, hash) PAIRS, so a hash selected at two positions
-    * cancels; deterministic either way), which pins the exact selection
-    * set without materializing ~0.4·n rows per document in the gate.
+    * The rightmost-min rule is the argmin under (hash ASC, position
+    * DESC) per window. Winnowing is PER-DOCUMENT LOCAL, so the whole
+    * pass — gram hashing (the JVM twin of the portable h64), window
+    * argmins, selection dedupe, digest — runs inside one mapPartitions
+    * with ZERO shuffles (the charEntropy shape; an earlier exploded
+    * (window, member) row_number formulation measured 32× at 10× doc
+    * length — 40M four-row window groups are pure overhead). The
+    * oracle replays the same argmin as SQL over exploded pairs, which
+    * pins the in-task pass against an independent formulation. Output
+    * is the per-doc digest (gram/window/selection counts, distinct-
+    * fingerprint count, bit_xor/min/max over the selected (pos, hash)
+    * pairs — a hash selected at two positions xor-cancels;
+    * deterministic either way). Docs shorter than k+win−1 have no
+    * complete window and are dropped (gate by length upstream).
     *
-    * Scale shape: gram hashing is map-side; the only exchange is the
-    * (doc, window) row_number — keyed finer than the document, so one
-    * huge doc spreads over many tasks; the digest agg is map-side
-    * combinable except countDistinct's one expand. Docs shorter than
-    * k+win−1 have no complete window and are dropped (gate by length
-    * upstream). */
+    * Scale shape: embarrassingly parallel, per-task memory = one doc's
+    * hash array; a multi-GB document would chunk with a k+win−2 halo
+    * (winnowing is local, so chunk seams lose nothing — the
+    * chunkedSupervisedWindows argument). */
   def winnowFingerprints(df: DataFrame, id: String, text: String,
                          k: Int = 8, win: Int = 4,
-                         seed: Int = 34): DataFrame =
-    winnowSelections(df, id, text, k, win, seed).groupBy(col(id))
-      .agg(max(col("_ng")).cast("long").as("n_grams"),
-        max(col("_nw")).cast("long").as("n_windows"),
-        count(lit(1)).as("n_sel"),
-        countDistinct(col("h")).as("n_fp"),
-        expr("bit_xor(h)").as("fp_xor"),
-        min(col("h")).as("fp_min"),
-        max(col("h")).as("fp_max"))
+                         seed: Int = 34): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val input = df.select(col(id), lower(col(text)).as("_t"))
+      .filter(length(col("_t")) >= k + win - 1)
+    val outSchema = StructType(input.schema.fields.take(1) ++ Seq(
+      StructField("n_grams", LongType, nullable = false),
+      StructField("n_windows", LongType, nullable = false),
+      StructField("n_sel", LongType, nullable = false),
+      StructField("n_fp", LongType, nullable = false),
+      StructField("fp_xor", LongType, nullable = false),
+      StructField("fp_min", LongType, nullable = false),
+      StructField("fp_max", LongType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    input.mapPartitions { rows =>
+      val md = Dedup.h64Hasher()
+      rows.map { r =>
+        val cps = r.getString(1).codePoints().toArray
+        val (js, hs) = winnowDoc(md, cps, k, win, seed)
+        val ng = (cps.length - (k - 1)).toLong
+        val nw = ng - (win - 1)
+        var x = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        val uniq = new java.util.HashSet[java.lang.Long]()
+        var i = 0
+        while (i < hs.length) {
+          val h = hs(i)
+          x ^= h
+          if (h < mn) mn = h
+          if (h > mx) mx = h
+          uniq.add(h)
+          i += 1
+        }
+        Row.fromSeq(Seq(r.get(0), ng, nw, js.length.toLong,
+          uniq.size.toLong, x, mn, mx))
+      }
+    }
+  }
 
   /** [[winnowFingerprints]]'s selection frame — one row per distinct
     * winnowing pick: (id, _ng, _nw, j, h) with j the 1-based gram
-    * position and h the selected k-gram hash. The digest aggregates
-    * this; near-dup pipelines join it on h directly (the d05 span-
-    * shingle shape with the winnowing guarantee instead of stride
-    * luck). */
+    * position and h the selected k-gram hash. Same zero-shuffle
+    * in-task pass; near-dup pipelines join it on h directly (the d05
+    * span-shingle shape with the winnowing guarantee instead of
+    * stride luck). */
   def winnowSelections(df: DataFrame, id: String, text: String,
                        k: Int = 8, win: Int = 4,
                        seed: Int = 34): DataFrame = {
-    val g = df.select(col(id), lower(col(text)).as("_t"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val input = df.select(col(id), lower(col(text)).as("_t"))
       .filter(length(col("_t")) >= k + win - 1)
-      .withColumn("_ng", (length(col("_t")) - (k - 1)).cast("int"))
-      .withColumn("_nw", (col("_ng") - (win - 1)).cast("int"))
-      .select(col(id), col("_ng"), col("_nw"),
-        posexplode(transform(sequence(lit(1), col("_ng")),
-          j => col("_t").substr(j, lit(k)))))
-      .withColumn("j", col("pos") + 1)
-      .withColumn("h", Dedup.h64(col("col"), seed))
-      .withColumn("i", explode(sequence(
-        greatest(lit(1), col("j") - (win - 1)),
-        least(col("j"), col("_nw")))))
-    g.withColumn("rn", row_number().over(
-        Window.partitionBy(col(id), col("i"))
-          .orderBy(col("h").asc, col("j").desc)))
-      .filter(col("rn") === 1)
-      .select(col(id), col("_ng"), col("_nw"), col("j"), col("h"))
-      .distinct()
+    val outSchema = StructType(input.schema.fields.take(1) ++ Seq(
+      StructField("_ng", IntegerType, nullable = false),
+      StructField("_nw", IntegerType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    input.mapPartitions { rows =>
+      val md = Dedup.h64Hasher()
+      rows.flatMap { r =>
+        val cps = r.getString(1).codePoints().toArray
+        val (js, hs) = winnowDoc(md, cps, k, win, seed)
+        val ng = cps.length - (k - 1)
+        val nw = ng - (win - 1)
+        js.indices.map(i =>
+          Row.fromSeq(Seq(r.get(0), ng, nw, js(i), hs(i))))
+      }
+    }
+  }
+
+  /** One document's winnowing pass over its CODEPOINT array (Spark
+    * length/substr count codepoints, not UTF-16 units — astral chars
+    * must gram identically): k-gram h64 hashes, each window's argmin
+    * under (hash ASC, position DESC), consecutive duplicate picks
+    * collapsed (a position re-winning a later window always wins every
+    * window between, so repeats are adjacent). Returns parallel arrays
+    * of the selected 1-based positions and their hashes, position-
+    * ascending. O(n·win) direct scan — the arithmetic the oracle's
+    * exploded argmin SQL replays. */
+  private def winnowDoc(md: java.security.MessageDigest, cps: Array[Int],
+                        k: Int, win: Int,
+                        seed: Int): (Array[Int], Array[Long]) = {
+    val ng = cps.length - (k - 1)
+    val nw = ng - (win - 1)
+    val hs = new Array[Long](ng)
+    var g = 0
+    while (g < ng) {
+      hs(g) = Dedup.h64Jvm(md, new String(cps, g, k), seed)
+      g += 1
+    }
+    val jb = Array.newBuilder[Int]
+    val hb = Array.newBuilder[Long]
+    var last = -1
+    var i = 0
+    while (i < nw) {
+      var best = i
+      var m = 1
+      while (m < win) {
+        // rightmost min: strictly smaller wins, equal prefers larger j
+        if (hs(i + m) <= hs(best)) best = i + m
+        m += 1
+      }
+      if (best != last) {
+        jb += best + 1
+        hb += hs(best)
+        last = best
+      }
+      i += 1
+    }
+    (jb.result(), hb.result())
   }
 
   /** Corpus-pair n-gram overlap matrix (t36, beyond reference; the

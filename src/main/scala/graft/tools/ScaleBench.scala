@@ -42,7 +42,7 @@ object ScaleBench {
     "c03_ljung_box", "w15_seasonal_decompose", "c04_jarque_bera",
     "c06_runs_test", "c07_welch_drift", "a18_hll_distinct",
     "q34_funnel", "q35_retention", "q36_concentration",
-    "c08_cusum", "w16_ewma", "c09_mann_kendall",
+    "c08_cusum", "w16_ewma", "c09_mann_kendall", "c10_kpss",
     // bucketed range join: series replication grows points AND
     // intervals linearly; the bucketed equi-join should scale with
     // output size, never quadratically
@@ -67,7 +67,7 @@ object ScaleBench {
     // statistic is O(n²) per series BY DEFINITION (expected ratio
     // ≈ factor², not factor, until the maxN=2048 prefix cap binds
     // and flattens it — the documented production guard)
-    "c08_cusum", "w16_ewma", "c09_mann_kendall")
+    "c08_cusum", "w16_ewma", "c09_mann_kendall", "c10_kpss")
 
   /** Fourth axis: embedding DIMENSION. Production LLM embeddings are
     * 768–4096-dim where the fixture is 64 — the ANN family's cost is
@@ -164,7 +164,7 @@ object ScaleBench {
     "t32_char_entropy", "b09_wordpiece", "d10_prefix_join",
     "t33_heaps_fit", "k03_silhouette",
     "t34_winnowing", "t35_readability", "t36_ngram_overlap",
-    "a19_countmin")
+    "a19_countmin", "b10_fertility", "m08_image_dhash")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
@@ -196,7 +196,8 @@ object ScaleBench {
     "t29b_nfkc_normalize", "b08_unigram_viterbi", "t31_zipf_fit",
     "t32_char_entropy", "b09_wordpiece", "d10_prefix_join",
     "t33_heaps_fit", "t34_winnowing", "t35_readability",
-    "t36_ngram_overlap", "a19_countmin")
+    "t36_ngram_overlap", "a19_countmin", "b10_fertility",
+    "m08_image_dhash")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -633,4 +633,29 @@ class BpeSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     assert(buf.nonEmpty && buf.toMap === batch)
   }
+
+  test("b10 fertility invariants: tokens partition the non-space " +
+       "chars, so chars/token ≥ 1 and fertility = tokens/words; " +
+       "hand-checked on a two-lang micro corpus") {
+    val s = spark
+    import s.implicits._
+    // one merge forms 'ab': 'ab ab cd' -> tokens [ab, ab, c, d]
+    val df = Seq((1L, "ab ab cd", "en"), (2L, "ab cd cd", "de"))
+      .toDF("doc_id", "text", "lang")
+    val m = Bpe.train(df, "text", nMerges = 1)
+    assert(m.map(_.merged) === Seq("ab"))
+    val enc = Bpe.encode(df, "text", m)
+      .select(col("doc_id"), col("n_tokens_bpe")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // doc1: [ab][ab][c][d] = 4 tokens over 3 words, 6 chars
+    // doc2: [ab][c][d][c][d] = 5 tokens over 3 words, 6 chars
+    assert(enc(1L) === 4 && enc(2L) === 5)
+    val fert = enc.map { case (id, t) =>
+      val (w, c) = (3.0, 6.0)
+      id -> ((t / w, c / t))
+    }
+    assert(fert(1L) === ((4.0 / 3.0, 1.5)))
+    assert(fert(2L) === ((5.0 / 3.0, 1.2)))
+    fert.values.foreach { case (_, cpt) => assert(cpt >= 1.0) }
+  }
 }

@@ -480,6 +480,22 @@ class LineOpsSpec extends AnyFunSuite {
       s"the fast scorer must not shuffle:\n$plan")
   }
 
+  test("h64Jvm: the in-task hash equals the Column h64 on ascii, " +
+       "multi-byte and astral inputs, across seeds") {
+    val s = spark
+    import s.implicits._
+    val samples = Seq("abcdefgh", "汉字かな混じり", "emoji 😀 tail",
+      " spaces  inside ", "ß-ligatures-ﬁ")
+    val md = graft.text.Dedup.h64Hasher()
+    for (seed <- Seq(0, 34, 1234)) {
+      val viaCol = samples.toDF("s")
+        .select(graft.text.Dedup.h64(col("s"), seed)).as[Long].collect()
+      val viaJvm = samples.map(graft.text.Dedup.h64Jvm(md, _, seed))
+      assert(viaCol.toSeq === viaJvm,
+        s"JVM/Column h64 diverge at seed $seed")
+    }
+  }
+
   test("winnowing: the MOSS guarantee — docs sharing a substring of " +
        "length ≥ k+w−1 share a fingerprint; density ≈ 2/(w+1); digest " +
        "agrees with the selection frame") {

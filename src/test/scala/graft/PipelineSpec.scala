@@ -104,6 +104,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(tp.toSeq === Seq((1L, 9L, 0)))
   }
 
+  test("m08: dHash is invariant under a uniform brightness shift, " +
+       "flips wholesale when every gradient reverses, twins collide") {
+    val s = spark
+    import s.implicits._
+    import graft.mm.{Codecs, MediaRow, Multimodal}
+    def img(id: Long, w: Int, h: Int, f: (Int, Int) => Int) = {
+      val px = Array.tabulate(3 * w * h) { i =>
+        val p = i / 3; f(p % w, p / w).toByte
+      }
+      MediaRow(id, "image", Codecs.encodePpm(w, h, px), "t")
+    }
+    // a gradient and the SAME gradient globally brightened (no
+    // clipping): every adjacent-cell comparison is unchanged -> dHash
+    // identical; reversing the gradient flips every comparison
+    val grad = img(1L, 18, 16, (x, y) => x * 6 + y * 6)
+    val bright = img(2L, 18, 16, (x, y) => x * 6 + y * 6 + 40)
+    val reversed = img(3L, 18, 16, (x, y) => 220 - x * 6 - y * 6)
+    val out = Multimodal.imageDHash(Seq(grad, bright, reversed).toDS())
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    def ham(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)) =
+      Integer.bitCount(a._1 ^ b._1) + Integer.bitCount(a._2 ^ b._2) +
+        Integer.bitCount(a._3 ^ b._3) + Integer.bitCount(a._4 ^ b._4)
+    assert(ham(out(1L), out(2L)) === 0,
+      "a global brightness shift must not move any dHash bit")
+    assert(ham(out(1L), out(3L)) >= 48,
+      s"reversing every gradient flips ~all comparison bits: " +
+        s"${ham(out(1L), out(3L))}")
+    // exact twin -> identical hex
+    val twin = Multimodal.imageDHash(
+      Seq(grad, grad.copy(media_id = 9L)).toDS()).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(twin(1L) === twin(9L))
+  }
+
   test("streaming m04 twin: arriving images hashed and matched against " +
        "the frozen reference hashes across micro-batches == batch pairs") {
     val s = spark

@@ -384,6 +384,59 @@ class PlanAuditSpec extends AnyFunSuite {
       "found an un-partitioned window in the whiteness test")
   }
 
+  test("c09 mann-kendall: one exchange on the series key feeding the " +
+       "in-partition pair sweep — no window, no join, no cartesian") {
+    val p = plan("c09_mann_kendall")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"))
+    // the lag window building the returns is series-keyed; the MK pass
+    // itself is mapPartitions after one hashpartitioning exchange
+    assert(!"Window .*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined,
+      "found an un-partitioned window in the trend test")
+  }
+
+  test("c10 kpss: series-keyed windows + one hash agg — no cartesian, " +
+       "no global window") {
+    val p = plan("c10_kpss")
+    assert(!p.contains("CartesianProduct"))
+    assert(!"Window .*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined,
+      "found an un-partitioned window in the stationarity test")
+  }
+
+  test("t34 winnowing: the whole pass is one in-task map — zero " +
+       "exchanges, no window, no join (the charEntropy contract)") {
+    val df = SparkEntry.queries("t34_winnowing")(spark, SparkSpec.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the entry's orderBy plans one global sort for display; everything
+    // BELOW the sort must be exchange-free — assert on the un-ordered op
+    val core = graft.text.TextOps.winnowFingerprints(
+      graft.core.Tables.documents(spark, SparkSpec.sfDir), "doc_id", "text")
+    core.collect()
+    val cp = core.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!cp.contains("Exchange"), s"winnowing must not shuffle:\n$cp")
+    assert(!cp.contains("Window") && !cp.contains("Join"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t36 ngram overlap: the pair frame broadcasts; the intersection " +
+       "join keys on the bigram — never cartesian") {
+    val p = plan("t36_ngram_overlap")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "the group-pair frame must broadcast")
+  }
+
+  test("a19 count-min: the probe-to-cell join broadcasts the d·w cell " +
+       "table; sketch build is one keyed agg") {
+    val p = plan("a19_countmin")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the sketch cell table must broadcast to the probes")
+  }
+
   test("b08 unigram viterbi encode: map-side after the model collect — " +
        "the encode stage itself plans no join and no window") {
     val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)

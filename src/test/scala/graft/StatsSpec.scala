@@ -290,6 +290,31 @@ class StatsSpec extends AnyFunSuite {
     assert(p < 1e-6, s"heavy tail must reject normality: p=$p")
   }
 
+  test("kpss: trend series rejects stationarity (p clamps at 0.01), " +
+       "hash-noise stays under the 5% critical value; maxLag caps the " +
+       "bandwidth") {
+    val s = spark
+    import s.implicits._
+    def run(xs: Seq[Double], cap: Int = 8) = SeriesStats.kpss(
+      xs.zipWithIndex.map { case (v, i) => ("u", i, v) }.toDF("k", "i", "v"),
+      SeriesSpec(Seq("k"), Seq("i")), "v", maxLag = cap).first()
+    // deterministic iid-ish noise: Knuth multiplicative hash mod 1000
+    val noise = (1 to 80).map(t =>
+      ((t * 2654435761L) % 1000L).toDouble / 1000.0 - 0.5)
+    val quiet = run(noise)
+    assert(quiet.getAs[Double]("kpss_stat") < 0.463,
+      s"stationary noise must sit under the 5% CV: ${quiet}")
+    assert(quiet.getAs[Double]("p_value") > 0.05)
+    // pure trend 1..80: the canonical KPSS rejection
+    val trend = run((1 to 80).map(_.toDouble))
+    assert(trend.getAs[Double]("kpss_stat") > 0.739,
+      s"trend must exceed the 1% CV: ${trend}")
+    assert(trend.getAs[Double]("p_value") === 0.01)
+    // bandwidth: n=80 -> l = ⌊4·0.8^0.25⌋ = 3; cap=2 binds
+    assert(run(noise).getAs[Long]("n_lags") === 3L)
+    assert(run(noise, cap = 2).getAs[Long]("n_lags") === 2L)
+  }
+
   test("mann-kendall: known S/z/sen on hand series; tie-saturated " +
        "series nulls z; even-pair median averages the two middle ranks") {
     val s = spark
