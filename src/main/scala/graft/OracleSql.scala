@@ -3922,6 +3922,44 @@ object OracleSql {
          |ORDER BY event_type""".stripMargin
     },
 
+    // a20: hash-sampled quantiles — deterministic h64 sample at
+    // p = 1/8 (threshold 2^57), type-7 interpolation via the explicit
+    // lo/hi-rank formula; full-data exact side as the witness
+    "a20_hash_quantiles" -> {
+      val h = h64Sql("event_id::VARCHAR", "'20'")
+      s"""WITH vals AS (SELECT value, $h AS h FROM events),
+         |rs AS (SELECT value, row_number() OVER (ORDER BY value) AS rn,
+         |         count(*) OVER () AS m
+         |       FROM vals WHERE h < ${1L << 57}),
+         |rf AS (SELECT value, row_number() OVER (ORDER BY value) AS rn,
+         |         count(*) OVER () AS m
+         |       FROM vals),
+         |qs(q) AS (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)),
+         |qa AS (SELECT q, (SELECT max(m) FROM rs) AS m,
+         |         ((SELECT max(m) FROM rs)-1)*q AS x,
+         |         floor(((SELECT max(m) FROM rs)-1)*q) AS fl
+         |       FROM qs),
+         |ea AS (SELECT qa.q, qa.m AS n_sample,
+         |         lo.value + (hi.value - lo.value) * (x - fl)
+         |           AS est_sample
+         |       FROM qa JOIN rs lo ON lo.rn = fl + 1
+         |         JOIN rs hi ON hi.rn = least(fl + 2, qa.m)),
+         |qb AS (SELECT q, (SELECT max(m) FROM rf) AS m,
+         |         ((SELECT max(m) FROM rf)-1)*q AS x,
+         |         floor(((SELECT max(m) FROM rf)-1)*q) AS fl
+         |       FROM qs),
+         |eb AS (SELECT qb.q, qb.m AS n_full,
+         |         lo.value + (hi.value - lo.value) * (x - fl)
+         |           AS exact_full
+         |       FROM qb JOIN rf lo ON lo.rn = fl + 1
+         |         JOIN rf hi ON hi.rn = least(fl + 2, qb.m))
+         |SELECT q, n_sample, n_full,
+         |  round(est_sample, 6) AS est_sample,
+         |  round(exact_full, 6) AS exact_full,
+         |  round(abs(est_sample - exact_full), 6) AS abs_err
+         |FROM ea JOIN eb USING (q) ORDER BY q""".stripMargin
+    },
+
     // a19: Count–Min sketch — cell-exact twin of graft.stats.CountMin
     // (d=4 portable-h64 rows salted 19..22, w=64 buckets); probes =
     // exact top-32 tokens (count DESC, token ASC), estimate = min

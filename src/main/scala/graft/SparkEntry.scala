@@ -852,6 +852,29 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ── a20: hash-sampled quantiles — deterministic h64 sampling at
+    //    p = 1/8 + explicit two-rank type-7 interpolation; the exact
+    //    full-data side rides along as the accuracy witness (the a18
+    //    n_exact pattern) ────────────────────────────────────────────────
+    "a20_hash_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val (rs, rf) = Histogram.hashSampleQuantiles(
+        ev(s, dir), "value", "event_id",
+        qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99), pShift = 3, seed = 20)
+      val qdf = Seq(0.25, 0.5, 0.75, 0.9, 0.99).toDF("q")
+      val a = Histogram.quantileFrame(rs, qdf, "est_sample")
+        .withColumnRenamed("m", "n_sample")
+      val b = Histogram.quantileFrame(rf, qdf, "exact_full")
+        .withColumnRenamed("m", "n_full")
+      a.join(b, "q")
+        .select(col("q"), col("n_sample"), col("n_full"),
+          round(col("est_sample"), 6).as("est_sample"),
+          round(col("exact_full"), 6).as("exact_full"),
+          round(abs(col("est_sample") - col("exact_full")), 6)
+            .as("abs_err"))
+        .orderBy(col("q"))
+    }),
+
     // ── Count–Min sketch frequency estimation: d=4 rows × w=64
     //    buckets over the document token stream (w ≪ vocabulary so
     //    collisions actually overcount — the sketch's defining error

@@ -44,4 +44,52 @@ object Histogram {
         col("cnt") / (sum(col("cnt")).over(totW) * col("bin_width")))
       .drop("bin_width")
   }
+
+  /** Hash-sampled exact quantiles (a20, beyond reference): exact
+    * percentiles of a petabyte column need a full sort; a DETERMINISTIC
+    * sample — rows whose portable h64(key) falls under p·2⁶⁰ — gives
+    * type-7 (numpy-default) interpolated quantiles with
+    * O(1/√(p·n)) order-statistic error, and unlike rand()-sampling it
+    * is reproducible across runs, mergeable across shards (the sample
+    * of a union IS the union of samples), and consistent across
+    * queries (the same rows are 'the sample' everywhere). The rank
+    * window runs on the SAMPLE (p sized so it fits one task — the
+    * production knob); the full-data exact side computed here is the
+    * gate-scale accuracy WITNESS (the a18 n_exact pattern), not the
+    * production path.
+    *
+    * Both engines interpolate with the explicit lo/hi-rank formula
+    * v_lo + (v_hi−v_lo)·frac over exact-integer ranks — no reliance on
+    * either engine's quantile() interpolation convention. */
+  def hashSampleQuantiles(df: DataFrame, value: String, key: String,
+                          qs: Seq[Double], pShift: Int,
+                          seed: Int): (DataFrame, DataFrame) = {
+    val vals = df.select(col(value).as("value"),
+      graft.text.Dedup.h64(col(key).cast("string"), seed).as("_h"))
+    def ranked(d: DataFrame) = d.select(col("value"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("value"))))
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    (ranked(vals.filter(col("_h") < lit(1L << (60 - pShift)))),
+      ranked(vals))
+  }
+
+  /** One quantile frame over a [[hashSampleQuantiles]] ranked side:
+    * (q, m, est) via the explicit two-rank interpolation. */
+  def quantileFrame(ranked: DataFrame, qdf: DataFrame,
+                    est: String): DataFrame = {
+    val m1 = broadcast(ranked.agg(max(col("m")).as("m")))
+    qdf.crossJoin(m1)
+      .withColumn("_x", (col("m") - lit(1)).cast("double") * col("q"))
+      .withColumn("_fl", floor(col("_x")))
+      .withColumn("_frac", col("_x") - col("_fl"))
+      .join(ranked.select(col("rn").as("_rlo"), col("value").as("_vlo")),
+        col("_rlo") === col("_fl") + 1)
+      .join(ranked.select(col("rn").as("_rhi"), col("value").as("_vhi")),
+        col("_rhi") === least(col("_fl") + 2, col("m")))
+      .select(col("q"), col("m"),
+        (col("_vlo") + (col("_vhi") - col("_vlo")) * col("_frac"))
+          .as(est))
+  }
 }

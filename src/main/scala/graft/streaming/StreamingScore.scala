@@ -344,6 +344,13 @@ object StreamingScore {
   def readability(docs: DataFrame, id: String, text: String): DataFrame =
     graft.text.TextOps.readability(docs, id, text)
 
+  /** Streaming t34 twin — the winnowing digest is a stateless
+    * per-document mapPartitions pass (zero shuffles, no state), so it
+    * applies DIRECTLY to the streaming frame; batch-identical by
+    * construction. */
+  def winnowDigest(docs: DataFrame, id: String, text: String): DataFrame =
+    graft.text.TextOps.winnowFingerprints(docs, id, text)
+
   /** Streaming b09 twin — WordPiece greedy encode is a stateless
     * mapPartitions pass over the broadcast piece set (the b08-twin
     * shape); batch-identical by construction. */

@@ -43,6 +43,10 @@ object ScaleBench {
     "c06_runs_test", "c07_welch_drift", "a18_hll_distinct",
     "q34_funnel", "q35_retention", "q36_concentration",
     "c08_cusum", "w16_ewma", "c09_mann_kendall", "c10_kpss",
+    // a20's rank windows are single-partition BY DESIGN (the sample
+    // is p-bounded to one task; the full side is the gate witness) —
+    // expect ~linear-in-events wall on one core, not a plan bug
+    "a20_hash_quantiles",
     // bucketed range join: series replication grows points AND
     // intervals linearly; the bucketed equi-join should scale with
     // output size, never quadratically
@@ -67,7 +71,11 @@ object ScaleBench {
     // statistic is O(n²) per series BY DEFINITION (expected ratio
     // ≈ factor², not factor, until the maxN=2048 prefix cap binds
     // and flattens it — the documented production guard)
-    "c08_cusum", "w16_ewma", "c09_mann_kendall", "c10_kpss")
+    "c08_cusum", "w16_ewma", "c09_mann_kendall", "c10_kpss",
+    // a20's rank windows are single-partition BY DESIGN (the sample
+    // is p-bounded to one task; the full side is the gate witness) —
+    // expect ~linear-in-events wall on one core, not a plan bug
+    "a20_hash_quantiles")
 
   /** Fourth axis: embedding DIMENSION. Production LLM embeddings are
     * 768–4096-dim where the fixture is 64 — the ANN family's cost is

@@ -480,6 +480,50 @@ class LineOpsSpec extends AnyFunSuite {
       s"the fast scorer must not shuffle:\n$plan")
   }
 
+  test("streaming t34/t35 twins: stateless per-doc passes match batch " +
+       "across micro-batches") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+      .select(col("doc_id"), concat_ws(". ", col("text"),
+        lit("a closing sentence here")).as("body"))
+    val tmp = java.nio.file.Files.createTempDirectory("graftwin").toString
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val batchW = TextOps.winnowFingerprints(docs, "doc_id", "body")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val batchR = TextOps.readability(docs, "doc_id", "body")
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val bufW = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, Long, Long, Long, Long, Long, Long)]
+    val sinkW: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, _) => bufW.synchronized { bufW ++= b
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().map(r => r._1 -> r) }
+    val qw = graft.streaming.StreamingScore
+      .winnowDigest(stream, "doc_id", "body")
+      .writeStream.foreachBatch(sinkW).start()
+    qw.processAllAvailable(); qw.stop()
+    assert(bufW.nonEmpty && bufW.toMap === batchW)
+    val bufR = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, Long, Long)]
+    val sinkR: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, _) => bufR.synchronized { bufR ++= b
+        .as[(Long, Long, Long, Long)]
+        .collect().map(r => r._1 -> r) }
+    val qr = graft.streaming.StreamingScore
+      .readability(stream, "doc_id", "body")
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"))
+      .writeStream.foreachBatch(sinkR).start()
+    qr.processAllAvailable(); qr.stop()
+    assert(bufR.nonEmpty && bufR.toMap === batchR)
+  }
+
   test("h64Jvm: the in-task hash equals the Column h64 on ascii, " +
        "multi-byte and astral inputs, across seeds") {
     val s = spark

@@ -290,6 +290,40 @@ class StatsSpec extends AnyFunSuite {
     assert(p < 1e-6, s"heavy tail must reject normality: p=$p")
   }
 
+  test("hash-sample quantiles: type-7 interpolation exact on 1..101; " +
+       "the deterministic 1/8 sample tracks the true quantiles and " +
+       "re-runs identically") {
+    val s = spark
+    import s.implicits._
+    val small = (1 to 101).map(i => (i.toLong, i.toDouble)).toDF("k", "value")
+    // pShift=0 -> threshold 2^60 -> the sample IS the full data: the
+    // interpolation arithmetic is checked exactly
+    val (_, rf) = Histogram.hashSampleQuantiles(small, "value", "k",
+      Seq(0.5), pShift = 0, seed = 20)
+    val qdf = Seq(0.25, 0.5, 0.9).toDF("q")
+    val full = Histogram.quantileFrame(rf, qdf, "est").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    assert(full(0.5) === 51.0)   // x = 100·0.5 = 50, frac 0 -> rank 51
+    assert(full(0.25) === 26.0)
+    assert(full(0.9) === 91.0)
+    // 1..20000 at p = 1/8: the sampled median lands near the truth,
+    // and the hash sample is bit-reproducible across runs
+    val big = (1 to 20000).map(i => (i.toLong, i.toDouble)).toDF("k", "value")
+    val (rs1, _) = Histogram.hashSampleQuantiles(big, "value", "k",
+      Seq(0.5), pShift = 3, seed = 20)
+    val med = Histogram.quantileFrame(rs1, Seq(0.5).toDF("q"), "est")
+      .collect()(0)
+    val m = med.getLong(1)
+    assert(m > 2000 && m < 3000, s"1/8 sample of 20k: got $m rows")
+    assert(math.abs(med.getDouble(2) - 10000.5) < 1500.0,
+      s"sampled median ${med.getDouble(2)}")
+    val (rs2, _) = Histogram.hashSampleQuantiles(big, "value", "k",
+      Seq(0.5), pShift = 3, seed = 20)
+    val again = Histogram.quantileFrame(rs2, Seq(0.5).toDF("q"), "est")
+      .collect()(0)
+    assert(again.getLong(1) === m && again.getDouble(2) === med.getDouble(2))
+  }
+
   test("kpss: trend series rejects stationarity (p clamps at 0.01), " +
        "hash-noise stays under the 5% critical value; maxLag caps the " +
        "bandwidth") {
