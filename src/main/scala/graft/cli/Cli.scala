@@ -351,7 +351,7 @@ object Cli {
     *   [--cut_contaminated_spans 50]  (with --benchmark_docs: t23
     *     surgical decontamination — cut the leaked benchmark intervals
     *     ≥ L tokens instead of dropping whole docs)
-    *   [--langs en,es] [--gopher_min_stop N]
+    *   [--langs en,es] [--gopher_min_stop N] [--min_flesch X]
     *   [--max_per_source N --source_col c]
     *   [--mixture_target src0:0.5,src1:0.5 --source_col c]
     *   [--token_budget N]   (with --mixture_target: weights apply to
@@ -690,11 +690,20 @@ object Cli {
           Seq(id), "left")
       case None => withDup.withColumn("_max_span", lit(null).cast("long"))
     }
+    // optional readability gate (--min_flesch X): the t35 Flesch score
+    // — the boilerplate/token-soup ease floor; a doc with zero words
+    // has no score and is dropped by the gate (it is not prose)
+    val withRead = cfg.strOpt("min_flesch") match {
+      case Some(_) =>
+        withSpan.join(TextOps.readability(curated, id, text)
+          .select(col(id), col("flesch").as("_flesch")), Seq(id), "left")
+      case None => withSpan.withColumn("_flesch", lit(null).cast("double"))
+    }
     val gate = (cfg.strOpt("langs") match {
       case Some(_) =>
-        withSpan.join(TextOps.langId(curated, id, text)
+        withRead.join(TextOps.langId(curated, id, text)
           .select(col(id), col("lang_guess").as("_lang")), id)
-      case None => withSpan.withColumn("_lang", lit(null).cast("string"))
+      case None => withRead.withColumn("_lang", lit(null).cast("string"))
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val maxDup = cfg.strOpt("max_dup_ratio").map(_.toDouble).getOrElse(1.0)
@@ -704,6 +713,11 @@ object Cli {
         coalesce(col("_dup"), lit(0.0)) < maxDup &&
         (cfg.strOpt("max_dup_span") match {
           case Some(_) => col("_max_span").isNull
+          case None => lit(true)
+        }) &&
+        (cfg.strOpt("min_flesch") match {
+          case Some(x) =>
+            col("_flesch").isNotNull && col("_flesch") >= x.toDouble
           case None => lit(true)
         }))
     val n3 = timedStage("quality_gates")(kept.count())

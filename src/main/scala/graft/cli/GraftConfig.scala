@@ -84,7 +84,7 @@ object GraftConfig {
     "line_blocklist", "line_terminal", "cjk_segment", "html_strip",
     "nfc_normalize", "nfkc_normalize", "max_line_df", "train_bpe",
     "bpe_merges", "target_vocab", "reserved_tokens",
-    "dedup_by_url")
+    "dedup_by_url", "min_flesch")
 
   /** `--key value` CLI args → overrides; `--load_config f.json` merges
     * the file first (CLI still wins — reference precedence). Unknown

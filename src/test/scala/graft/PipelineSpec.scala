@@ -782,6 +782,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.group(2).toLong < m.group(1).toLong, funnel)
   }
 
+  test("CLI curate --min_flesch: a permissive floor keeps the corpus, " +
+       "an impossible floor empties the quality gate") {
+    def run(floor: String): Long = {
+      val dir = java.nio.file.Files.createTempDirectory("graftflesch").toString
+      Cli.run(spark, GraftConfig.defaults ++ Map(
+        "mode" -> "curate",
+        "input_docs" -> s"${SparkSpec.sfDir}/documents.parquet",
+        "min_flesch" -> floor,
+        "output" -> s"$dir/chunks", "metrics_out" -> s"$dir/funnel.json"))
+      val funnel = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/funnel.json")))
+      "\"n_after_quality\": (\\d+)".r.findFirstMatchIn(funnel)
+        .get.group(1).toLong
+    }
+    // the word-soup fixture scores deeply negative Flesch (no sentence
+    // breaks, ~1.3 syllables/word): -1e6 keeps all survivors, +1e6
+    // keeps none — the flag is plumbed and the gate actually fires
+    val permissive = run("-1000000")
+    assert(permissive > 0, "permissive floor must keep the corpus")
+    assert(run("1000000") === 0L, "impossible floor must empty the gate")
+  }
+
   test("CLI curate: LM-score filter and sequence packing stages") {
     val dir = java.nio.file.Files.createTempDirectory("graftcurlm").toString
     Cli.run(spark, GraftConfig.defaults ++ Map(
