@@ -1219,6 +1219,48 @@ object OracleSql {
          |  FROM bv GROUP BY 1)
          |""".stripMargin
 
+  /** Shared Ljung–Box portmanteau chain (c03 on `ret`, c11 on
+    * `ret*ret` — the McLeod–Li ARCH variant): `valueSel` is an
+    * expression over the r CTE's `ret`; everything downstream (mean
+    * centering, h=10 lag products, Q, even-dof survival) is
+    * identical. */
+  private def ljungBoxSql(valueSel: String): String = {
+    val h = 10
+    val lagCols = (1 to h).map(k =>
+      s"lag(c,$k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c$k")
+      .mkString(",\n        ")
+    val sums = (1 to h).map(k => s"sum(c*c$k) AS m$k").mkString(", ")
+    val qTerms = (1 to h).map(k =>
+      s"(m$k/den)*(m$k/den)/(n_obs-$k)").mkString(" + ")
+    val tPow = (0 until h / 2).map { j =>
+      val fact = (1 to j).foldLeft(1.0)(_ * _)
+      if (j == 0) "1"
+      else List.fill(j)("(qs/2)").mkString("*") + s"/$fact"
+    }.mkString(" + ")
+    s"""WITH r AS (
+       | SELECT user_id, ts, event_id,
+       |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+       |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+       | FROM events),
+       |x AS (SELECT user_id, ts, event_id, $valueSel AS ret FROM r
+       |      WHERE ret IS NOT NULL),
+       |m AS (SELECT user_id, avg(ret) AS xbar FROM x GROUP BY user_id),
+       |c0 AS (SELECT x.user_id, ts, event_id, ret - xbar AS c
+       |       FROM x JOIN m USING (user_id)),
+       |l AS (SELECT user_id, c,
+       |        $lagCols
+       |      FROM c0),
+       |a AS (SELECT user_id, count(c)::BIGINT AS n_obs,
+       |        sum(c*c) AS den, $sums
+       |      FROM l GROUP BY user_id),
+       |q AS (SELECT user_id, n_obs,
+       |        n_obs*(n_obs+2.0)*($qTerms) AS qs
+       |      FROM a)
+       |SELECT user_id, n_obs, round(qs, 6) AS q_stat,
+       |  round(exp(-qs/2)*($tPow), 6) AS p_value
+       |FROM q ORDER BY user_id""".stripMargin
+  }
+
   /** m08 dHash replay: the m03 pixel stream on an 8×9 grid, bit (r,c)
     * = mean(r,c+1) > mean(r,c) via exact cross-multiplication; the
     * adjacent-cell inner join drops pairs a narrow image leaves empty
@@ -3378,42 +3420,12 @@ object OracleSql {
     // dof closed-form chi-square survival exp(−Q/2)·Σ_{j<5}(Q/2)^j/j!
     // (a finite polynomial — identical arithmetic in both engines; no
     // incomplete gamma anywhere). Lag list generated, not hand-typed.
-    "c03_ljung_box" -> {
-      val h = 10
-      val lagCols = (1 to h).map(k =>
-        s"lag(c,$k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c$k")
-        .mkString(",\n        ")
-      val sums = (1 to h).map(k => s"sum(c*c$k) AS m$k").mkString(", ")
-      val qTerms = (1 to h).map(k =>
-        s"(m$k/den)*(m$k/den)/(n_obs-$k)").mkString(" + ")
-      val tPow = (0 until h / 2).map { j =>
-        val fact = (1 to j).foldLeft(1.0)(_ * _)
-        if (j == 0) "1"
-        else List.fill(j)("(qs/2)").mkString("*") + s"/$fact"
-      }.mkString(" + ")
-      s"""WITH r AS (
-         | SELECT user_id, ts, event_id,
-         |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
-         |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
-         | FROM events),
-         |x AS (SELECT user_id, ts, event_id, ret FROM r
-         |      WHERE ret IS NOT NULL),
-         |m AS (SELECT user_id, avg(ret) AS xbar FROM x GROUP BY user_id),
-         |c0 AS (SELECT x.user_id, ts, event_id, ret - xbar AS c
-         |       FROM x JOIN m USING (user_id)),
-         |l AS (SELECT user_id, c,
-         |        $lagCols
-         |      FROM c0),
-         |a AS (SELECT user_id, count(c)::BIGINT AS n_obs,
-         |        sum(c*c) AS den, $sums
-         |      FROM l GROUP BY user_id),
-         |q AS (SELECT user_id, n_obs,
-         |        n_obs*(n_obs+2.0)*($qTerms) AS qs
-         |      FROM a)
-         |SELECT user_id, n_obs, round(qs, 6) AS q_stat,
-         |  round(exp(-qs/2)*($tPow), 6) AS p_value
-         |FROM q ORDER BY user_id""".stripMargin
-    },
+    "c03_ljung_box" -> ljungBoxSql("ret"),
+
+    // c11: McLeod–Li ARCH-effect test — the identical portmanteau
+    // chain on SQUARED returns (volatility clustering detector; the
+    // "does GARCH apply" gate for the q29/g05 surface)
+    "c11_arch_lb" -> ljungBoxSql("ret*ret"),
 
     // c04: Jarque–Bera normality per user — the q04 two-pass moments
     // pattern over the q10 returns CTE; χ²₂ survival = exp(−JB/2)
@@ -4589,6 +4601,32 @@ object OracleSql {
         |ORDER BY stage_idx""".stripMargin,
 
     // q35: cohort retention — first-seen-day cohorts × day offsets
+    // p03: bipartite HITS — 2 unrolled hub/auth half-steps, sum
+    // normalization with round-6 after every half-step (the p01
+    // per-iteration rounding trick: cross-engine FP drift resets
+    // instead of compounding)
+    "p03_hits" -> {
+      val steps = (1 to 2).map { i =>
+        val pa = if (i == 1) "a0" else s"a${i - 1}"
+        s"""h${i}r AS (SELECT s, sum(a) AS hr FROM e JOIN $pa USING (d)
+           |        GROUP BY s),
+           |h$i AS (SELECT s, round(hr / (SELECT sum(hr) FROM h${i}r), 6)
+           |          AS h FROM h${i}r),
+           |a${i}r AS (SELECT d, sum(h) AS ar FROM e JOIN h$i USING (s)
+           |        GROUP BY d),
+           |a$i AS (SELECT d, round(ar / (SELECT sum(ar) FROM a${i}r), 6)
+           |          AS a FROM a${i}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT user_id::VARCHAR AS s, event_type AS d
+         |           FROM events),
+         |a0 AS (SELECT DISTINCT d, 1.0 AS a FROM e),
+         |$steps
+         |SELECT 'hub' AS kind, s AS node, h AS score FROM h2
+         |UNION ALL
+         |SELECT 'auth' AS kind, d AS node, a AS score FROM a2
+         |ORDER BY kind, node""".stripMargin
+    },
+
     // q36: activity concentration — discrete Gini over per-user event
     // counts (rank ties broken on user_id on both engines) + the
     // ⌈n/10⌉-heaviest-users share; integer sums, two FP divisions

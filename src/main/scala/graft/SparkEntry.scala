@@ -375,6 +375,15 @@ object SparkEntry {
         .orderBy(col("cohort"), col("offset_days"))
     }),
 
+    // ── p03: bipartite HITS over user→event_type — hubs (users
+    //    touching strong authorities) and authorities (types endorsed
+    //    by strong hubs), sum-normalized + r6 per half-step ────────────
+    "p03_hits" -> ((s, dir) => {
+      Dedup.hits(ev(s, dir).select(col("user_id"), col("event_type")),
+          "user_id", "event_type", iters = 2)
+        .orderBy(col("kind"), col("node"))
+    }),
+
     // ── q36: activity concentration per event_type — discrete Gini
     //    over per-user event counts + top-decile share; every sum is
     //    an exact integer, so both engines round identically ──────────
@@ -1867,6 +1876,20 @@ object SparkEntry {
       SeriesStats.ljungBox(
           logret(s, dir).filter(col("ret").isNotNull),
           perUser, "ret", h = 10)
+        .select(col("user_id"), col("n_obs"), col("q_stat"),
+          col("p_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── C-family: McLeod–Li ARCH-effect test — the c03 portmanteau on
+    //    SQUARED log-returns (McLeod & Li 1983); a small p says
+    //    volatility clusters, i.e. the GARCH surface (q29/g05)
+    //    actually applies to this series ───────────────────────────────
+    "c11_arch_lb" -> ((s, dir) => {
+      SeriesStats.ljungBox(
+          logret(s, dir).filter(col("ret").isNotNull)
+            .withColumn("ret2", col("ret") * col("ret")),
+          perUser, "ret2", h = 10)
         .select(col("user_id"), col("n_obs"), col("q_stat"),
           col("p_value"))
         .orderBy(col("user_id"))

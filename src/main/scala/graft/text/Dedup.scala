@@ -812,6 +812,49 @@ object Dedup {
     pr
   }
 
+  /** Bipartite HITS (p03, beyond reference; Kleinberg 1999): hubs and
+    * authorities over a directed src→dst edge set — on a
+    * user→event-type (or doc→domain, query→url) bipartite graph, an
+    * AUTHORITY is a dst endorsed by strong hubs and a HUB is a src
+    * touching strong authorities, the mutual-reinforcement pair
+    * PageRank's single score can't express. Sum-normalized per
+    * half-step with the p01 trick — scores round to 6 after every
+    * normalization, so cross-engine FP drift resets each iteration
+    * instead of compounding.
+    *
+    * Scale shape: per iteration, two edge-keyed join+agg rounds and
+    * two broadcast one-row sums — no global window, no cartesian; the
+    * edge list is checkpointed once so the iteration lineage stays
+    * flat (the pageRank discipline). Output: (kind 'hub'|'auth',
+    * node, score r6). */
+  def hits(edges: DataFrame, src: String, dst: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val e = edges.select(col(src).cast("string").as("s"),
+        col(dst).cast("string").as("d"))
+      .distinct().localCheckpoint()
+    var auth = e.select(col("d")).distinct().withColumn("a", lit(1.0))
+    var hub: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val hraw = e.join(auth, "d").groupBy(col("s"))
+        .agg(sum(col("a")).as("hr"))
+      val hsum = broadcast(hraw.agg(sum(col("hr")).as("hs")))
+      hub = hraw.crossJoin(hsum)
+        .select(col("s"), round(col("hr") / col("hs"), 6).as("h"))
+      val araw = e.join(hub, "s").groupBy(col("d"))
+        .agg(sum(col("h")).as("ar"))
+      val asum = broadcast(araw.agg(sum(col("ar")).as("asum")))
+      auth = araw.crossJoin(asum)
+        .select(col("d"), round(col("ar") / col("asum"), 6).as("a"))
+      it += 1
+    }
+    hub.select(lit("hub").as("kind"), col("s").as("node"),
+        col("h").as("score"))
+      .unionByName(auth.select(lit("auth").as("kind"),
+        col("d").as("node"), col("a").as("score")))
+  }
+
   def dedupKeepBest(df: DataFrame, id: String, pairs: DataFrame,
                     score: DataFrame, scoreCol: String = "q"): DataFrame = {
     val comp = connectedComponents(pairs)

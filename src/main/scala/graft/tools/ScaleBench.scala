@@ -41,8 +41,9 @@ object ScaleBench {
     "q31c_composite_full_per_user",
     "c03_ljung_box", "w15_seasonal_decompose", "c04_jarque_bera",
     "c06_runs_test", "c07_welch_drift", "a18_hll_distinct",
-    "q34_funnel", "q35_retention", "q36_concentration",
+    "q34_funnel", "q35_retention", "q36_concentration", "p03_hits",
     "c08_cusum", "w16_ewma", "c09_mann_kendall", "c10_kpss",
+    "c11_arch_lb",
     // a20's rank windows are single-partition BY DESIGN (the sample
     // is p-bounded to one task; the full side is the gate witness) —
     // expect ~linear-in-events wall on one core, not a plan bug
@@ -72,6 +73,7 @@ object ScaleBench {
     // ≈ factor², not factor, until the maxN=2048 prefix cap binds
     // and flattens it — the documented production guard)
     "c08_cusum", "w16_ewma", "c09_mann_kendall", "c10_kpss",
+    "c11_arch_lb",
     // a20's rank windows are single-partition BY DESIGN (the sample
     // is p-bounded to one task; the full side is the gate witness) —
     // expect ~linear-in-events wall on one core, not a plan bug

@@ -1369,4 +1369,27 @@ class DedupSimSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(again === pr)
   }
+
+  test("hits (p03): hand-computed two-iteration hub/auth scores on a " +
+       "3x3 bipartite graph; each side sums to ~1") {
+    val s = spark
+    import s.implicits._
+    // u1->{A,B}, u2->{A}, u3->{B,C}; iter1: h=(.4,.2,.4),
+    // a=(.333333,.444444,.222222); iter2 (exact after r6):
+    // h=(0.4375, 0.1875, 0.375), a=(0.344828, 0.448276, 0.206897)
+    val edges = Seq(("u1", "A"), ("u1", "B"), ("u2", "A"),
+      ("u3", "B"), ("u3", "C")).toDF("u", "t")
+    val out = graft.text.Dedup.hits(edges, "u", "t", iters = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(2)).toMap
+    assert(math.abs(out(("hub", "u1")) - 0.4375) < 1e-9)
+    assert(math.abs(out(("hub", "u2")) - 0.1875) < 1e-9)
+    assert(math.abs(out(("hub", "u3")) - 0.375) < 1e-9)
+    assert(math.abs(out(("auth", "A")) - 0.344828) < 1e-9)
+    assert(math.abs(out(("auth", "B")) - 0.448276) < 1e-9)
+    assert(math.abs(out(("auth", "C")) - 0.206897) < 1e-9)
+    val hubSum = out.collect { case (("hub", _), v) => v }.sum
+    val authSum = out.collect { case (("auth", _), v) => v }.sum
+    assert(math.abs(hubSum - 1.0) < 1e-5 && math.abs(authSum - 1.0) < 1e-5)
+  }
 }

@@ -290,6 +290,30 @@ class StatsSpec extends AnyFunSuite {
     assert(p < 1e-6, s"heavy tail must reject normality: p=$p")
   }
 
+  test("mcleod-li (c11 shape): volatility clustering rejects on " +
+       "squared series, iid-ish noise squares do not") {
+    val s = spark
+    import s.implicits._
+    def lbSq(xs: Seq[Double]) = {
+      val df = xs.zipWithIndex
+        .map { case (v, i) => ("u", i, v * v) }.toDF("k", "i", "v2")
+      SeriesStats.ljungBox(df, SeriesSpec(Seq("k"), Seq("i")), "v2")
+        .first()
+    }
+    // two vol regimes (|ret| 2 then 0.1): the squared series is a
+    // level shift -> massive portmanteau rejection
+    val clustered = (0 until 20).map(i => if (i % 2 == 0) 2.0 else -2.0) ++
+      (0 until 20).map(i => if (i % 2 == 0) 0.1 else -0.1)
+    assert(lbSq(clustered).getAs[Double]("p_value") < 1e-20)
+    // sin-hash noise: squares carry no lag structure (Q ≈ 10 on 10
+    // dof, p ≈ 0.44 — precomputed with the same formula)
+    val noise = (1 to 80).map(t =>
+      math.sin(t.toDouble) * 43758.5453 % 1.0)
+    val r = lbSq(noise)
+    assert(r.getAs[Double]("p_value") > 0.05,
+      s"iid squares must not reject: $r")
+  }
+
   test("hash-sample quantiles: type-7 interpolation exact on 1..101; " +
        "the deterministic 1/8 sample tracks the true quantiles and " +
        "re-runs identically") {
