@@ -3999,9 +3999,9 @@ object OracleSql {
          |       FROM pr p CROSS JOIN
          |         (SELECT unnest(generate_series(0, 3)) AS r) rr)
          |SELECT pb.rk, pb.token, pb.n_exact,
-         |  min(cell.cnt) AS cm_est,
-         |  (min(cell.cnt) - pb.n_exact)::BIGINT AS overcount
-         |FROM pb JOIN cell ON cell.r = pb.r AND cell.b = pb.b
+         |  min(coalesce(cell.cnt, 0)) AS cm_est,
+         |  (min(coalesce(cell.cnt, 0)) - pb.n_exact)::BIGINT AS overcount
+         |FROM pb LEFT JOIN cell ON cell.r = pb.r AND cell.b = pb.b
          |GROUP BY pb.rk, pb.token, pb.n_exact
          |ORDER BY pb.rk""".stripMargin
     },

@@ -21,8 +21,14 @@ object EventAnalytics {
     * Scale shape: one distinct-users agg + one keyed min-agg and one
     * same-key join PER STAGE (stage list is a small constant), then a
     * single global count row — no shuffle wider than the user key. */
-  def funnel(df: DataFrame, user: String, ts: String, typeCol: String,
-             stages: Seq[String]): DataFrame = {
+  /** Per-user stage-entry times: one row per user seen in `df`, with
+    * `_t0.._tk` = the min event time at which the user entered each
+    * stage under the strict-ordering gate (null = never progressed).
+    * This is [[funnel]]'s internal state, exposed because it is also
+    * the natural FROZEN static side of the stream-static funnel twin
+    * ([[graft.streaming.StreamingEvents]]). */
+  def stageEntries(df: DataFrame, user: String, ts: String,
+                   typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val base = df.select(col(user).as("_u"), col(ts).as("_ts"),
       col(typeCol).as("_e"))
@@ -39,20 +45,31 @@ object EventAnalytics {
       val ti = gated.groupBy(col("_u")).agg(min(col("_ts")).as(s"_t$i"))
       acc = acc.join(ti, Seq("_u"), "left")
     }
+    acc
+  }
+
+  def funnel(df: DataFrame, user: String, ts: String, typeCol: String,
+             stages: Seq[String]): DataFrame = {
+    val acc = stageEntries(df, user, ts, typeCol, stages)
     val aggs = count(lit(1)).as("_total") +:
       stages.indices.map(i => count(col(s"_t$i")).as(s"_n$i"))
     val g = acc.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = stages.zipWithIndex.map { case (st, i) =>
-      s"$i, '$st', _n$i, _r$i"
-    }
     val withRates = stages.indices.foldLeft(g) { (acc0, i) =>
       val prev = if (i == 0) col("_total") else col(s"_n${i - 1}")
       acc0.withColumn(s"_r$i", when(prev > 0,
         round(col(s"_n$i").cast("double") / prev.cast("double"), 6)))
     }
-    withRates.select(expr(
-      s"stack(${stages.size}, ${stackArgs.mkString(", ")}) " +
-        "as (stage_idx, stage, n_users, rate)"))
+    // typed-column unpivot (explode over an array of stage structs) —
+    // stage names are DATA here, never SQL text, so a name carrying a
+    // quote ("new-year's-sale") can't break a spliced stack() parse
+    // (the r14 verdict hygiene item)
+    val rows = stages.zipWithIndex.map { case (st, i) =>
+      struct(lit(i).as("stage_idx"), lit(st).as("stage"),
+        col(s"_n$i").as("n_users"), col(s"_r$i").as("rate"))
+    }
+    withRates.select(explode(array(rows: _*)).as("_s"))
+      .select(col("_s.stage_idx"), col("_s.stage"),
+        col("_s.n_users"), col("_s.rate"))
   }
 
   /** Cohort retention: cohort = the user's first-seen calendar day;
@@ -61,9 +78,16 @@ object EventAnalytics {
     * 'yyyy-MM-dd' strings (never raw timestamps — the oracle-parity
     * rule). Scale shape: one keyed min-agg, one same-key join, two
     * keyed count-distinct aggs. */
+  /** Per-user cohort (first-seen calendar day) frame: (_u, _cd).
+    * [[retention]]'s internal state, exposed as the frozen static side
+    * of the stream-static retention twin. */
+  def cohorts(df: DataFrame, user: String, ts: String): DataFrame =
+    df.select(col(user).as("_u"), to_date(col(ts)).as("_d"))
+      .groupBy(col("_u")).agg(min(col("_d")).as("_cd"))
+
   def retention(df: DataFrame, user: String, ts: String): DataFrame = {
     val e = df.select(col(user).as("_u"), to_date(col(ts)).as("_d"))
-    val cohort = e.groupBy(col("_u")).agg(min(col("_d")).as("_cd"))
+    val cohort = cohorts(df, user, ts)
     val sz = cohort.groupBy(col("_cd"))
       .agg(countDistinct(col("_u")).as("n_cohort"))
     e.join(cohort, "_u")

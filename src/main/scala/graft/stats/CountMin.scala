@@ -45,7 +45,14 @@ object CountMin {
   /** Point estimates for a probe set: join each (probe, row) pair to
     * its sketch cell and take min(cnt) over the d rows. `probes` must
     * carry the probe string in `probeCol`; passthrough columns are
-    * kept. Output adds `cm_est` (BIGINT, ≥ true count). */
+    * kept. Output adds `cm_est` (BIGINT, ≥ true count).
+    *
+    * LEFT join + coalesce-to-0: a sparse sketch stores no row for an
+    * untouched cell, and the CM-correct reading of an empty cell is
+    * counter = 0 — so a probe whose (row,bucket) cell is absent still
+    * contributes 0 to the min, and a fully-unseen probe emits
+    * `cm_est = 0` instead of silently vanishing from the output (an
+    * inner join would drop it — the r14 advisor finding). */
   def estimate(probes: DataFrame, probeCol: String, cells: DataFrame,
                d: Int, w: Int, seed: Int): DataFrame = {
     val keyed = (0 until d).map { r =>
@@ -55,8 +62,8 @@ object CountMin {
             lit(w.toLong)))
     }.reduce(_ unionByName _)
     val passThru = probes.columns.toSeq
-    keyed.join(broadcast(cells), Seq("row", "bucket"))
+    keyed.join(broadcast(cells), Seq("row", "bucket"), "left")
       .groupBy(passThru.map(col): _*)
-      .agg(min(col("cnt")).as("cm_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }
 }

@@ -64,16 +64,33 @@ object Histogram {
   def hashSampleQuantiles(df: DataFrame, value: String, key: String,
                           qs: Seq[Double], pShift: Int,
                           seed: Int): (DataFrame, DataFrame) = {
-    val vals = df.select(col(value).as("value"),
-      graft.text.Dedup.h64(col(key).cast("string"), seed).as("_h"))
-    def ranked(d: DataFrame) = d.select(col("value"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("value"))))
-      .withColumn("m", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-    (ranked(vals.filter(col("_h") < lit(1L << (60 - pShift)))),
-      ranked(vals))
+    val vals = hashKeyed(df, value, key, seed)
+    (rankedFrame(vals.filter(col("_h") < lit(1L << (60 - pShift)))),
+      rankedFrame(vals))
   }
+
+  /** PRODUCTION entry point: only the p-bounded SAMPLE side of
+    * [[hashSampleQuantiles]] — its global rank window is bounded by
+    * the sample size by construction, so this is the path a 100 TB
+    * caller runs. The full-data exact side (a global sort over every
+    * row) exists solely as the gate-scale accuracy witness; callers
+    * who don't need the witness must never pay for it (the r14
+    * advisor finding — use this method, then [[quantileFrame]]). */
+  def sampleQuantiles(df: DataFrame, value: String, key: String,
+                      pShift: Int, seed: Int): DataFrame =
+    rankedFrame(hashKeyed(df, value, key, seed)
+      .filter(col("_h") < lit(1L << (60 - pShift))))
+
+  private def hashKeyed(df: DataFrame, value: String, key: String,
+                        seed: Int): DataFrame =
+    df.select(col(value).as("value"),
+      graft.text.Dedup.h64(col(key).cast("string"), seed).as("_h"))
+
+  private def rankedFrame(d: DataFrame): DataFrame = d.select(col("value"))
+    .withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("value"))))
+    .withColumn("m", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy()))
 
   /** One quantile frame over a [[hashSampleQuantiles]] ranked side:
     * (q, m, est) via the explicit two-rank interpolation. */

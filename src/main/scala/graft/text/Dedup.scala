@@ -820,7 +820,15 @@ object Dedup {
     * PageRank's single score can't express. Sum-normalized per
     * half-step with the p01 trick — scores round to 6 after every
     * normalization, so cross-engine FP drift resets each iteration
-    * instead of compounding.
+    * instead of compounding. Caveat (the p01 precedent's, verbatim):
+    * the per-half-step rounding is drift CONTAINMENT, not a
+    * determinism guarantee — hr/hs are unrounded double sums whose
+    * accumulation order varies across engines and task schedules, so
+    * a quotient landing within ~1 ulp of a 5e-7 rounding boundary
+    * could flip the 6th decimal and cascade through later iterations;
+    * at the gate's scale and iteration count no boundary tie has been
+    * observed, and any flip is bounded to ±1e-6 per affected score
+    * per iteration.
     *
     * Scale shape: per iteration, two edge-keyed join+agg rounds and
     * two broadcast one-row sums — no global window, no cartesian; the

@@ -308,18 +308,22 @@ object TextOps {
     * α = −slope (natural language sits near α ≈ 1; a synthetic or
     * template-heavy corpus drifts visibly) and the fit r² says how
     * Zipfian the corpus actually is. One token explode + one term
-    * agg; the rank window runs on the TERM-FREQUENCY frame, bounded
-    * by vocabulary (the b01 vocabulary-frame argument), and the OLS
-    * reduces to five sums in one tiny agg. Emits one row:
-    * (n_terms, alpha, r2). */
+    * agg; the top-`maxRank` cut runs as `orderBy(...).limit(maxRank)`
+    * — Catalyst compiles that to TakeOrderedAndProject, a per-partition
+    * bounded heap + driver-side merge of ≤maxRank rows per partition
+    * (the q03/a13 top-k shape), so the FULL vocabulary never funnels
+    * through a single sort task. Only the ≤maxRank survivors see the
+    * rank window (bounded by construction — the mannKendall-maxN
+    * argument), and the OLS reduces to five sums in one tiny agg.
+    * Emits one row: (n_terms, alpha, r2). */
   def zipfFit(df: DataFrame, text: String,
               maxRank: Int = 1000): DataFrame = {
     val tf = tokens(df, text).groupBy(col("token"))
       .agg(count(lit(1)).as("f"))
-    val ranked = tf
+    val top = tf.orderBy(col("f").desc, col("token")).limit(maxRank)
+    val ranked = top
       .withColumn("rk", row_number().over(
         Window.orderBy(col("f").desc, col("token"))))
-      .filter(col("rk") <= maxRank)
       .select(log(col("rk").cast("double")).as("x"),
         log(col("f").cast("double")).as("y"))
     val s = ranked.agg(
@@ -348,11 +352,19 @@ object TextOps {
     * Scale shape: one token agg (map-side combinable), one min-agg
     * over the vocabulary frame, then a cumsum over the PER-DOC frame —
     * one row per document, INTEGER sums (exact at any order). The
-    * cumsum window is a global order over that per-doc frame; at
-    * extreme corpus sizes fit on a doc-id prefix sample — the curve is
-    * a diagnostic, not a per-doc output. */
-  def heapsFit(df: DataFrame, id: String, text: String): DataFrame = {
-    val toks = tokens(df, text)
+    * cumsum window is a global order over that per-doc frame, so the
+    * fit runs on the `maxDocs` DOC-ID PREFIX of the corpus (filter
+    * `id < maxDocs` BEFORE tokenizing — it pushes to the parquet scan
+    * as a min/max-pruned predicate): the curve is a corpus diagnostic,
+    * not a per-doc output, and a million-doc prefix pins β as tightly
+    * as the full web corpus would, while bounding the single-task
+    * cumsum at ≤maxDocs tiny rows by construction (the mannKendall
+    * `maxN` pattern, stats/SeriesStats.scala). Requires a numeric doc
+    * id; the default cap never binds at fixture scale, so the gate
+    * hash is prefix-invariant. */
+  def heapsFit(df: DataFrame, id: String, text: String,
+               maxDocs: Long = 1000000L): DataFrame = {
+    val toks = tokens(df.filter(col(id) < maxDocs), text)
     val perDoc = toks.groupBy(col(id)).agg(count(lit(1)).as("n_toks"))
     val newTypes = toks.groupBy(col("token"))
       .agg(min(col(id)).as("fd"))
@@ -1056,9 +1068,12 @@ object TextOps {
     val bloom = bg.stat.bloomFilter("shingle", nGrams, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val tg = shingles(train, id, text, k)
+    // codegen'd probe (graft.functions.BloomProbe) — the old Scala
+    // Row-closure filter deserialized every train gram and ended the
+    // whole-stage-codegen span; the native expression keeps the probe
+    // in-span, probes the UTF-8 bytes directly, and is plan-visible
     val flagged = tg
-      .filter((r: org.apache.spark.sql.Row) =>
-        bc.value.mightContainString(r.getString(1)))
+      .filter(graft.functions.BloomProbe(col("shingle"), bc))
       .select(col(id)).distinct()
     val tgFlagged = shingles(train.join(flagged, id), id, text, k)
       .withColumnRenamed(id, "train_id")

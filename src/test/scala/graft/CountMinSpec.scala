@@ -52,4 +52,23 @@ class CountMinSpec extends AnyFunSuite {
     assert(a.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))) ===
       b.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))))
   }
+
+  test("count-min: a probe with empty sketch cells still emits a row — " +
+       "unseen keys estimate 0, never silently disappear") {
+    val s = spark
+    import s.implicits._
+    // tiny corpus on a wide sketch: most of the 4×4096 cells are empty,
+    // so an unseen probe's cells are (near-)certainly all absent — the
+    // r14 advisor's inner-join bug dropped such probes entirely
+    val df = Seq("a", "a", "b").toDF("v")
+    val cells = CountMin.sketch(df, col("v"), d = 4, w = 4096, seed = 7)
+    val probes = Seq("a", "b", "never_seen_1", "never_seen_2").toDF("v")
+    val est = CountMin.estimate(probes, "v", cells, d = 4, w = 4096,
+      seed = 7).collect().map(r =>
+        r.getAs[String]("v") -> r.getAs[Long]("cm_est")).toMap
+    assert(est.size === 4, "every probe must emit exactly one row")
+    assert(est("a") === 2L && est("b") === 1L)
+    assert(est("never_seen_1") === 0L && est("never_seen_2") === 0L,
+      "unseen probes must estimate 0 (empty cell = counter 0)")
+  }
 }

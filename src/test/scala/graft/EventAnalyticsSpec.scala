@@ -47,6 +47,79 @@ class EventAnalyticsSpec extends AnyFunSuite {
       out(1).getAs[Double]("rate") === 0.0)
   }
 
+  test("funnel: stage names with quotes are data, not SQL — the " +
+       "spliced-stack() parse error is gone") {
+    val df = ev(
+      ("u1", "2024-01-01 01:00:00", "new-year's-sale"),
+      ("u1", "2024-01-01 02:00:00", "bought \"the\" thing"))
+    val out = EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+        Seq("new-year's-sale", "bought \"the\" thing"))
+      .orderBy("stage_idx").collect()
+    assert(out.map(_.getAs[String]("stage")).toSeq ===
+      Seq("new-year's-sale", "bought \"the\" thing"))
+    assert(out.map(_.getAs[Long]("n_users")).toSeq === Seq(1L, 1L))
+  }
+
+  test("streaming q34/q35 twins: stream-static funnel entries and " +
+       "retention actives converge to the batch results") {
+    val s = spark
+    import s.implicits._
+    val dir = SparkSpec.sfDir
+    val batch = graft.core.Tables.events(s, dir)
+    val stages = Seq("view", "click", "purchase")
+    val frozen = graft.series.EventAnalytics
+      .stageEntries(batch, "user_id", "ts", "event_type", stages)
+      .localCheckpoint()
+    val cohorts = graft.series.EventAnalytics
+      .cohorts(batch, "user_id", "ts").localCheckpoint()
+    val stream = graft.streaming.StreamingRollup.eventsStream(s, dir)
+
+    // funnel twin: streamed (stage, user) entry mins == batch _ti
+    val wantEntries = stages.indices.flatMap { i =>
+      frozen.select(col("_u"), col(s"_t$i"))
+        .filter(col(s"_t$i").isNotNull)
+        .as[(Long, java.sql.Timestamp)].collect()
+        .map { case (u, t) => (i, u) -> t }
+    }.toMap
+    val gotEntries = scala.collection.mutable
+      .Map.empty[(Int, Long), java.sql.Timestamp]
+    val qf = graft.streaming.StreamingEvents
+      .funnelStageEntries(stream, frozen, "user_id", "ts", "event_type",
+        stages)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        gotEntries.synchronized { gotEntries ++= b
+          .as[(Int, Long, java.sql.Timestamp)].collect()
+          .map(r => (r._1, r._2) -> r._3) }
+        ()
+      }.start()
+    qf.processAllAvailable(); qf.stop()
+    assert(gotEntries.nonEmpty && gotEntries.toMap === wantEntries,
+      "streamed funnel entries must converge to the batch stage mins")
+
+    // retention twin: distinct streamed (cohort, offset, user) rows
+    // counted per cell == the batch n_active matrix
+    val wantCells = graft.series.EventAnalytics
+      .retention(batch, "user_id", "ts")
+      .select(col("cohort"), col("offset_days"), col("n_active"))
+      .as[(String, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val gotRows = scala.collection.mutable.Set.empty[(String, Int, Long)]
+    val qr = graft.streaming.StreamingEvents
+      .retentionActives(stream, cohorts, "user_id", "ts")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        gotRows.synchronized { gotRows ++= b
+          .as[(String, Int, Long)].collect() }
+        ()
+      }.start()
+    qr.processAllAvailable(); qr.stop()
+    val gotCells = gotRows.groupBy(r => (r._1, r._2))
+      .view.mapValues(_.size.toLong).toMap
+    assert(gotCells.nonEmpty && gotCells === wantCells,
+      "streamed retention actives must converge to the batch matrix")
+  }
+
   test("retention: first-seen-day cohorts, distinct actives per offset") {
     val df = ev(
       ("u1", "2024-01-01 10:00:00", "view"),

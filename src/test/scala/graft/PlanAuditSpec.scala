@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan contracts for representative queries: pushdown and
@@ -435,6 +436,61 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("BroadcastHashJoin"),
       "the sketch cell table must broadcast to the probes")
+  }
+
+  test("t06 bloom probe: the train-gram pre-filter is the codegen'd " +
+       "BloomProbe expression, plan-visible and inside a codegen span") {
+    // the t06 entry localCheckpoints its (small) result, so its own
+    // executedPlan is just the checkpoint scan — audit the probe stage
+    // as bloomContamination builds it
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+    val bg = graft.text.TextOps.shingles(
+      docs.filter(col("doc_id") < 20), "doc_id", "text", 8)
+    val bloom = bg.stat.bloomFilter("shingle", 1000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val probed = graft.text.TextOps.shingles(docs, "doc_id", "text", 8)
+      .filter(graft.functions.BloomProbe(col("shingle"), bc))
+    probed.collect()
+    val p = probed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("bloom_might_contain"),
+      s"expected the native BloomProbe expr in the plan:\n$p")
+    val line = p.linesIterator
+      .find(_.contains("bloom_might_contain")).getOrElse("")
+    // "*(n) Filter …" marks the codegen span (the line may carry a
+    // "+- " tree prefix); the old Row-closure probe planned as a
+    // bare non-codegen "Filter <function1>"
+    assert("\\*\\(\\d+\\) Filter".r.findFirstIn(line).isDefined,
+      s"the probe filter must sit inside a whole-stage-codegen span: $line")
+    // the probe itself adds no shuffle: the only exchange below it is
+    // the doc-keyed window that shingle construction always carries
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the probe stage must not funnel into one partition:\n$p")
+  }
+
+  test("t31 zipf: the top-maxRank cut is TakeOrderedAndProject — the " +
+       "full vocabulary never funnels through one global sort task") {
+    val p = plan("t31_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected orderBy+limit to compile to TakeOrderedAndProject:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the only window left ranks the <=maxRank survivors ABOVE the
+    // bounded take — it must sit over the take in the tree, never under
+    val wi = p.indexOf("Window")
+    val ti = p.indexOf("TakeOrderedAndProject")
+    assert(wi < 0 || (ti >= 0 && wi < ti),
+      s"rank window must consume the TakeOrderedAndProject output:\n$p")
+  }
+
+  test("t33 heaps: the maxDocs prefix cap pushes to the parquet scan") {
+    val df = graft.text.TextOps.heapsFit(
+      graft.core.Tables.documents(spark, SparkSpec.sfDir),
+      "doc_id", "text", maxDocs = 1000000L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val scan = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(scan.contains("LessThan(doc_id"),
+      s"the doc-id prefix cap must reach the scan as a pushed filter: $scan")
   }
 
   test("b08 unigram viterbi encode: map-side after the model collect — " +

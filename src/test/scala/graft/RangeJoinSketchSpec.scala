@@ -86,6 +86,27 @@ class RangeJoinSketchSpec extends AnyFunSuite {
     assert(bloomed === exact)
   }
 
+  test("BloomProbe expression ≡ mightContainString row-by-row; null → false") {
+    val s = spark; import s.implicits._
+    val corpus = (0 until 500).map(i => s"gram_$i")
+    val bloom = corpus.toDF("g").stat.bloomFilter("g", 500L, 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val probes = ((0 until 1000 by 3).map(i => s"gram_$i") ++
+      Seq("absent", "ümläut_gräm", "", "汉字-gram")).map(Option(_)) :+
+      (None: Option[String])
+    val df = probes.toDF("g")
+    val got = df.select(col("g"),
+        graft.functions.BloomProbe(col("g"), bc).as("hit"))
+      .as[(Option[String], Boolean)].collect()
+    got.foreach { case (g, hit) =>
+      val want = g.exists(bloom.mightContainString) // None → false
+      assert(hit === want, s"probe mismatch for $g")
+    }
+    // the probe honors the no-false-negative contract on present keys
+    assert(got.collect { case (Some(g), h) if corpus.contains(g) => h }
+      .forall(identity))
+  }
+
   test("chunk: full coverage, stride overlap, short-doc single chunk") {
     val s = spark; import s.implicits._
     val doc = ("x" * 85) + ("y" * 85) + ("z" * 85) // len 255

@@ -7,12 +7,20 @@ and writes:
   - COVERAGE_GATE.md : per-query gate status table + headline counts
   - BENCH_NOTES.md   : bench totals + slowest queries from the bench JSON
 
-Run after each driver round:  python3 tools/gen_docs.py
+Run after each driver round:  python3 tools/gen_docs.py [round]
+
+The round label defaults to the newest CORRECTNESS_r*.json, BUMPED BY
+ONE when LOCAL_GATE.json postdates that artifact — the end-of-round
+regen happens while the builder's round-N work is newer than the
+driver's round-(N-1) artifacts, and the old behavior labeled the fresh
+bench record with the stale round (VERDICT r14 item 5). Pass an
+explicit round number to override.
 """
 import glob
 import json
 import os
 import re
+import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -28,7 +36,18 @@ def main():
     bpath = newest("BENCH_r*.json")
     if not cpath or not bpath:
         raise SystemExit("no driver artifacts found")
-    rnd = re.search(r"_r(\d+)", cpath).group(1)
+    # gate_rnd labels the DRIVER's correctness numbers (always the
+    # artifact's own round); rnd labels the BUILDER-side content (bench
+    # record, local gate) and bumps past the artifact when the local
+    # state postdates it
+    gate_rnd = re.search(r"_r(\d+)", cpath).group(1)
+    rnd = gate_rnd
+    if len(sys.argv) > 1 and sys.argv[1].isdigit():
+        rnd = sys.argv[1]
+    else:
+        lg = os.path.join(ROOT, "LOCAL_GATE.json")
+        if os.path.exists(lg) and os.path.getmtime(lg) > os.path.getmtime(cpath):
+            rnd = str(int(gate_rnd) + 1)
     corr = json.load(open(cpath))
     bench = json.load(open(bpath))
     # the driver artifact wraps the Bench JSON line: {n, rc, sf, tail,
@@ -110,7 +129,7 @@ def main():
 
 **DO NOT EDIT — regenerate with `python3 tools/gen_docs.py`.**
 
-Driver round {rnd} gate: **{n_pass} hash-verified / {n_fail} failed /
+Driver round {gate_rnd} gate: **{n_pass} hash-verified / {n_fail} failed /
 {n_none} rows-only** of {len(rows)} queries. "rows-only" = no DuckDB
 oracle by design (seeded-RNG generator walks, ML training outputs) —
 each has a deterministic fit-stage twin (`g0*f_*` queries) or a
