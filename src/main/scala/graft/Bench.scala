@@ -88,9 +88,14 @@ object Bench {
       s"\"" + k + "\":[" + rs.mkString(",") + "]" }.mkString("{", ",", "}")
     val fileJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"runs":$runsFull,"sf":"$sfDir"}"""
+    // a SPARK_GRAFT_ONLY subset must never clobber the committed
+    // full-suite record (the ScaleBench rule — an isolated-profiling
+    // run overwrote BENCH_LOCAL.json with a one-query record in r15)
+    val localOut = if (sys.env.contains("SPARK_GRAFT_ONLY"))
+      "/tmp/bench_subset.json" else "BENCH_LOCAL.json"
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        java.nio.file.Paths.get(localOut),
         (fileJson + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e")
@@ -113,9 +118,11 @@ object Bench {
     // capture window can clip — a fixed-name file can't be missed or
     // truncated. BENCH_STDOUT.json holds ONLY the one-line record;
     // the full per-query map stays in BENCH_LOCAL.json.
+    val stdoutOut = if (sys.env.contains("SPARK_GRAFT_ONLY"))
+      "/tmp/bench_subset_stdout.json" else "BENCH_STDOUT.json"
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_STDOUT.json"),
+        java.nio.file.Paths.get(stdoutOut),
         (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_STDOUT.json write failed: $e")
