@@ -3653,6 +3653,118 @@ object OracleSql {
         |  round(sen_raw, 6) + 0.0 AS sen_slope
         |FROM e ORDER BY user_id""".stripMargin,
 
+    // c12: Pettitt change-point — rank-telescoped V_t = n − 2·rk + 2
+    // − eq, integer cumsum U_t, K = max|U_t| with first-t tie-break;
+    // every accumulation exact integer, the one FP expression (the
+    // p-value) mirrors the Spark op order token-for-token
+    "c12_pettitt" ->
+      """WITH x AS (SELECT user_id, ts, event_id, value
+        |           FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT user_id, ts, event_id,
+        |        count(*) OVER (PARTITION BY user_id) AS n,
+        |        rank() OVER (PARTITION BY user_id
+        |          ORDER BY value) AS rk,
+        |        count(*) OVER (PARTITION BY user_id, value) AS eq
+        |      FROM x),
+        |u AS (SELECT user_id, n,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS t,
+        |        sum(n - 2*rk + 2 - eq) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS uu
+        |      FROM r),
+        |b AS (SELECT user_id, n, t, abs(uu)::BIGINT AS au
+        |      FROM u WHERE t < n),
+        |g AS (SELECT user_id, max(n)::BIGINT AS n_obs,
+        |        max(au)::BIGINT AS k_stat
+        |      FROM b GROUP BY user_id),
+        |ta AS (SELECT b.user_id, min(b.t)::BIGINT AS tau
+        |       FROM b JOIN g ON b.user_id = g.user_id
+        |                    AND b.au = g.k_stat
+        |       GROUP BY b.user_id)
+        |SELECT g.user_id, n_obs, k_stat, tau,
+        |  round(least(1.0, 2.0 * exp(-6.0 * k_stat::DOUBLE
+        |      * k_stat::DOUBLE
+        |      / (n_obs::DOUBLE * n_obs::DOUBLE * n_obs::DOUBLE
+        |         + n_obs::DOUBLE * n_obs::DOUBLE))), 6) AS p_value
+        |FROM g JOIN ta USING (user_id)
+        |ORDER BY g.user_id""".stripMargin,
+
+    // c13: Anderson–Darling normality — z from sample mean/std
+    // (ddof 1), sorted rank k with the reversed-index pairing folded
+    // in, Φ via the c06/c09 A&S erfc Horner chain evaluated at |u|
+    // (both branches — identical to the Spark when/otherwise), tails
+    // floored at 1e-300, D'Agostino table 4.9 p-value chain
+    "c13_anderson_darling" ->
+      """WITH r0 AS (
+        | SELECT user_id, ts, event_id,
+        |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+        | FROM events),
+        |x AS (SELECT user_id, ts, event_id, ret
+        |      FROM r0 WHERE ret IS NOT NULL),
+        |m AS (SELECT user_id, ret,
+        |        count(*) OVER (PARTITION BY user_id) AS n,
+        |        avg(ret) OVER (PARTITION BY user_id) AS mu,
+        |        stddev_samp(ret) OVER (PARTITION BY user_id) AS sd,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ret, ts, event_id) AS k
+        |      FROM x),
+        |z AS (SELECT user_id, n, k, (ret - mu)/sd AS zz FROM m),
+        |e AS (SELECT user_id, n, k,
+        |        (-zz/sqrt(2.0)) >= 0 AS upos,
+        |        abs(-zz/sqrt(2.0)) AS a1,
+        |        (zz/sqrt(2.0)) >= 0 AS vpos,
+        |        abs(zz/sqrt(2.0)) AS a2
+        |      FROM z),
+        |c AS (SELECT *, 1.0/(1.0 + 0.3275911*a1) AS t1,
+        |        1.0/(1.0 + 0.3275911*a2) AS t2
+        |      FROM e),
+        |h AS (SELECT user_id, n, k, upos, vpos,
+        |        t1*(0.254829592 + t1*(-0.284496736 + t1*(1.421413741
+        |          + t1*(-1.453152027 + t1*1.061405429))))*exp(-a1*a1)
+        |          AS ch1,
+        |        t2*(0.254829592 + t2*(-0.284496736 + t2*(1.421413741
+        |          + t2*(-1.453152027 + t2*1.061405429))))*exp(-a2*a2)
+        |          AS ch2
+        |      FROM c),
+        |f AS (SELECT user_id, n, k,
+        |        0.5*(CASE WHEN upos THEN ch1 ELSE 2.0 - ch1 END)
+        |          AS phi,
+        |        0.5*(CASE WHEN vpos THEN ch2 ELSE 2.0 - ch2 END)
+        |          AS phic
+        |      FROM h),
+        |tm AS (SELECT user_id, n,
+        |        (2*k - 1)::DOUBLE * ln(greatest(phi, 1e-300))
+        |        + (2*n - 2*k + 1)::DOUBLE * ln(greatest(phic, 1e-300))
+        |          AS term
+        |      FROM f),
+        |g AS (SELECT user_id, max(n)::BIGINT AS n_obs,
+        |        sum(term) AS s
+        |      FROM tm GROUP BY user_id),
+        |a AS (SELECT user_id, n_obs,
+        |        -(n_obs::DOUBLE) - s/n_obs::DOUBLE AS a2s
+        |      FROM g),
+        |aa AS (SELECT user_id, n_obs, a2s,
+        |        a2s * (1.0 + 0.75/n_obs::DOUBLE
+        |          + 2.25/(n_obs::DOUBLE * n_obs::DOUBLE)) AS ast
+        |      FROM a)
+        |SELECT user_id, n_obs,
+        |  round(a2s, 6) AS a2_stat,
+        |  round(ast, 6) AS a2_mod,
+        |  round(least(1.0, greatest(0.0,
+        |    CASE WHEN ast >= 0.6 THEN
+        |      exp(1.2937 - 5.709*ast + 0.0186*ast*ast)
+        |    WHEN ast > 0.34 THEN
+        |      exp(0.9177 - 4.279*ast - 1.38*ast*ast)
+        |    WHEN ast > 0.2 THEN
+        |      1.0 - exp(-8.318 + 42.796*ast - 59.938*ast*ast)
+        |    ELSE
+        |      1.0 - exp(-13.436 + 101.14*ast - 223.73*ast*ast)
+        |    END)), 6) AS p_value
+        |FROM aa ORDER BY user_id""".stripMargin,
+
     "c08_cusum" ->
       """WITH r AS (
         | SELECT user_id, ts, event_id,
@@ -4667,6 +4779,22 @@ object OracleSql {
         |  round(n_active::DOUBLE/n_cohort::DOUBLE, 6) AS retention
         |FROM g JOIN sz ON sz.cd = g.cd
         |ORDER BY cohort, offset_days""".stripMargin,
+
+    // q37: first-order event-transition matrix — user-keyed lag, pair
+    // counts (exact integers), row-normalized probability r6
+    "q37_event_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_event
+        |  FROM events),
+        |c AS (SELECT prev_event, event_type AS event,
+        |        count(*)::BIGINT AS n_trans
+        |      FROM t WHERE prev_event IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_event, event, n_trans,
+        |  round(n_trans::DOUBLE /
+        |    (sum(n_trans) OVER (PARTITION BY prev_event))::DOUBLE, 6)
+        |    AS prob
+        |FROM c ORDER BY prev_event, event""".stripMargin,
 
     "q26_sliding_window_sum" ->
       """SELECT user_id, event_id, round(x_sum,6) AS x_sum, y FROM (

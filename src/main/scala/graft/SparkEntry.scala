@@ -375,6 +375,14 @@ object SparkEntry {
         .orderBy(col("cohort"), col("offset_days"))
     }),
 
+    // ── q37: first-order event-transition matrix — Markov next-event
+    //    counts + row-normalized probabilities per prev_event ─────────
+    "q37_event_transitions" -> ((s, dir) => {
+      graft.series.EventAnalytics.transitions(ev(s, dir), "user_id",
+          Seq("ts", "event_id"), "event_type")
+        .orderBy(col("prev_event"), col("event"))
+    }),
+
     // ── p03: bipartite HITS over user→event_type — hubs (users
     //    touching strong authorities) and authorities (types endorsed
     //    by strong hubs), sum-normalized + r6 per half-step ────────────
@@ -1885,6 +1893,25 @@ object SparkEntry {
     //    SQUARED log-returns (McLeod & Li 1983); a small p says
     //    volatility clusters, i.e. the GARCH surface (q29/g05)
     //    actually applies to this series ───────────────────────────────
+    // ── c12: Pettitt change-point — rank-telescoped U_t (keyed
+    //    windows only, no pair sweep), K/τ/p per user over value ──────
+    "c12_pettitt" -> ((s, dir) => {
+      SeriesStats.pettitt(ev(s, dir), perUser, "value")
+        .select(col("user_id"), col("n_obs"), col("k_stat"),
+          col("tau"), col("p_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── c13: Anderson–Darling normality on per-user log-returns —
+    //    the tail-weighted complement to c04 Jarque–Bera ──────────────
+    "c13_anderson_darling" -> ((s, dir) => {
+      SeriesStats.andersonDarling(
+          logret(s, dir).filter(col("ret").isNotNull), perUser, "ret")
+        .select(col("user_id"), col("n_obs"), col("a2_stat"),
+          col("a2_mod"), col("p_value"))
+        .orderBy(col("user_id"))
+    }),
+
     "c11_arch_lb" -> ((s, dir) => {
       SeriesStats.ljungBox(
           logret(s, dir).filter(col("ret").isNotNull)

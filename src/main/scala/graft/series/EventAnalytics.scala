@@ -143,4 +143,34 @@ object EventAnalytics {
         (nD + lit(1.0)) / nD, 6).as("gini"),
       round(col("_top").cast("double") / sxD, 6).as("top_decile_share"))
   }
+
+  /** First-order event-transition matrix (q37): the Markov "what
+    * happens next" view of a user journey — per (prev_event, event)
+    * pair, the transition count and the row-normalized probability
+    * P(event | prev_event). The behavioral companion to [[funnel]]:
+    * the funnel checks ONE prescribed path, the transition matrix
+    * surfaces every observed path, weighted.
+    *
+    * Scale shape: one user-keyed lag window over the event stream
+    * (the per-series exchange every q2x query already pays), one
+    * (prev, next) keyed count agg — map-side combinable — and the
+    * row-normalizing sum runs as a window on the TRANSITION-TOTALS
+    * frame, bounded by |event types|², never the event stream (the
+    * q36 user-totals argument). Counts are exact integers; the one
+    * division rounds to 6 on both engines. Output: (prev_event,
+    * event, n_trans, prob r6). */
+  def transitions(df: DataFrame, user: String, orderCols: Seq[String],
+                  typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(user))
+      .orderBy(orderCols.map(col): _*)
+    val t = df
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("prev_event"), col(typeCol).as("event"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wRow = Window.partitionBy(col("prev_event"))
+    t.withColumn("prob", round(col("n_trans").cast("double") /
+        sum(col("n_trans")).over(wRow).cast("double"), 6))
+  }
 }

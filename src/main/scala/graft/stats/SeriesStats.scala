@@ -603,6 +603,126 @@ object SeriesStats {
       (round(col("sen"), 6) + lit(0.0)).as("sen_slope")): _*)
   }
 
+  /** Pettitt change-point test per series (beyond reference; Pettitt
+    * 1979): the nonparametric "WHERE did the level shift" companion to
+    * [[cusum]]'s drift excursion and [[mannKendall]]'s monotonic
+    * trend. U_t = Σ_{i≤t} Σ_{j>t} sgn(x_j − x_i); K = max_t |U_t|,
+    * τ = the argmax (first if tied), and the approximate significance
+    * p ≈ 2·exp(−6K²/(n³+n²)) (Pettitt's eq. 10), clamped to ≤ 1.
+    *
+    * NOT the textbook O(n²) pair sweep: U_t − U_{t−1} telescopes to
+    * V_t = Σ_{j≠t} sgn(x_j − x_t) = n − 2·rank_t + 2 − eq_t (rank =
+    * min-rank of x_t ascending, eq = tie-group size), so the whole
+    * statistic is three SERIES-KEYED windows — a value-ordered rank, a
+    * tie count, a time-ordered cumsum — and one keyed agg. Every
+    * accumulated quantity (rank, V, U, K) is an exact integer, so
+    * engine FP order cannot diverge; the single FP expression is the
+    * p-value, mirrored op-for-op in the oracle. τ tie-breaks to the
+    * SMALLEST t via max(struct(K, −t)). Output per series:
+    * (partitionCols, n_obs, k_stat, tau, p_value r6). */
+  def pettitt(df: DataFrame, spec: SeriesSpec, value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = spec.partitionCols
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val wVal = Window.partitionBy(keys.map(col): _*).orderBy(col(value))
+    val wTie = Window.partitionBy((keys.map(col) :+ col(value)): _*)
+    val x = df.filter(col(value).isNotNull)
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_rk", rank().over(wVal).cast("long"))
+      .withColumn("_eq", count(lit(1)).over(wTie))
+      .withColumn("_v",
+        col("_n") - lit(2L) * col("_rk") + lit(2L) - col("_eq"))
+      .withColumn("_t", row_number().over(spec.w).cast("long"))
+      .withColumn("_u", sum(col("_v")).over(spec.running))
+    // t = n is excluded: U_n ≡ 0 by antisymmetry, and keeping it would
+    // let a flat series tie-break τ to n instead of 1
+    val g = x.filter(col("_t") < col("_n"))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("_n")).as("n_obs"),
+        max(struct(abs(col("_u")).as("k"), (-col("_t")).as("negt")))
+          .as("_best"))
+    val kd = col("k_stat").cast("double")
+    val nd = col("n_obs").cast("double")
+    g.withColumn("k_stat", col("_best.k"))
+      .withColumn("tau", -col("_best.negt"))
+      .withColumn("p_value", round(least(lit(1.0),
+        lit(2.0) * exp(lit(-6.0) * kd * kd /
+          (nd * nd * nd + nd * nd))), 6))
+      .drop("_best")
+  }
+
+  /** Anderson–Darling normality test per series (beyond reference;
+    * Anderson & Darling 1954, case-3 estimated-parameter variant with
+    * D'Agostino & Stephens 1986 table 4.9 p-values): the heavier-
+    * tailed complement to [[jarqueBera]] — JB sees only the 3rd/4th
+    * moments, A² weights the whole ECDF with emphasis on the tails.
+    * z-scores from the sample mean/std (ddof 1), sorted ascending;
+    * A² = −n − (1/n)·Σ_k [(2k−1)·lnΦ(z_k) + (2n−2k+1)·ln(1−Φ(z_k))]
+    * (the reversed-index pairing folded into one pass over the sorted
+    * rank k), A*² = A²·(1 + 0.75/n + 2.25/n²), p from the four-segment
+    * exp chain. Φ via the same A&S 7.1.26 erfc Horner chain as
+    * [[runsTest]]/[[welchDrift]] in both engines — a documented
+    * approximation whose op order the oracle mirrors exactly; tails
+    * are floored at 1e-300 so ln never sees 0.
+    *
+    * Scale shape: two series-keyed windows (moments; the value-ordered
+    * row_number — same exchange, second sort) and one keyed agg. Tie
+    * rows swap only equal terms, so the rank's order-col tie-break
+    * keeps both engines' sums identical. Output per series:
+    * (partitionCols, n_obs, a2_stat r6, a2_mod r6, p_value r6). */
+  def andersonDarling(df: DataFrame, spec: SeriesSpec,
+                      value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = spec.partitionCols
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val wVal = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(value) +: spec.orderCols.map(col)): _*)
+    def erfcChain(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * a)
+      val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) +
+        t * (lit(1.421413741) + t * (lit(-1.453152027) +
+          t * lit(1.061405429)))))
+      poly * exp(-a * a)
+    }
+    def erfc(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(u >= 0, erfcChain(u)).otherwise(lit(2.0) - erfcChain(-u))
+    val x = df.filter(col(value).isNotNull)
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_mu", avg(col(value)).over(wAll))
+      .withColumn("_sd", stddev_samp(col(value)).over(wAll))
+      .withColumn("_z", (col(value) - col("_mu")) / col("_sd"))
+      .withColumn("_k", row_number().over(wVal).cast("long"))
+    val phi = lit(0.5) * erfc(-col("_z") / sqrt(lit(2.0)))
+    val phiC = lit(0.5) * erfc(col("_z") / sqrt(lit(2.0)))
+    val term =
+      (lit(2L) * col("_k") - lit(1L)).cast("double") *
+        log(greatest(phi, lit(1e-300))) +
+      (lit(2L) * col("_n") - lit(2L) * col("_k") + lit(1L)).cast("double") *
+        log(greatest(phiC, lit(1e-300)))
+    val g = x.withColumn("_term", term)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("_n")).as("n_obs"), sum(col("_term")).as("_s"))
+    val nd = col("n_obs").cast("double")
+    val a2 = -nd - col("_s") / nd
+    val aStar = col("_a2") * (lit(1.0) + lit(0.75) / nd +
+      lit(2.25) / (nd * nd))
+    val a = col("_as")
+    val p = when(a >= 0.6,
+        exp(lit(1.2937) - lit(5.709) * a + lit(0.0186) * a * a))
+      .when(a > 0.34,
+        exp(lit(0.9177) - lit(4.279) * a - lit(1.38) * a * a))
+      .when(a > 0.2, lit(1.0) -
+        exp(lit(-8.318) + lit(42.796) * a - lit(59.938) * a * a))
+      .otherwise(lit(1.0) -
+        exp(lit(-13.436) + lit(101.14) * a - lit(223.73) * a * a))
+    g.withColumn("_a2", a2)
+      .withColumn("_as", aStar)
+      .withColumn("a2_stat", round(col("_a2"), 6))
+      .withColumn("a2_mod", round(col("_as"), 6))
+      .withColumn("p_value", round(least(lit(1.0), greatest(lit(0.0), p)), 6))
+      .drop("_s", "_a2", "_as")
+  }
+
   /** One series' Mann–Kendall sweep (n ≥ 2; None below). The slope
     * median averages the two middle RANKS ((m+1)/2, (m+2)/2 in 1-based
     * integer division — equal when m is odd), mirrored literally in the

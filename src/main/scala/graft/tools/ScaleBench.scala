@@ -43,7 +43,8 @@ object ScaleBench {
     "c06_runs_test", "c07_welch_drift", "a18_hll_distinct",
     "q34_funnel", "q35_retention", "q36_concentration", "p03_hits",
     "c08_cusum", "w16_ewma", "c09_mann_kendall", "c10_kpss",
-    "c11_arch_lb",
+    "c11_arch_lb", "c12_pettitt", "c13_anderson_darling",
+    "q37_event_transitions",
     // a20's rank windows are single-partition BY DESIGN (the sample
     // is p-bounded to one task; the full side is the gate witness) —
     // expect ~linear-in-events wall on one core, not a plan bug
@@ -73,7 +74,9 @@ object ScaleBench {
     // ≈ factor², not factor, until the maxN=2048 prefix cap binds
     // and flattens it — the documented production guard)
     "c08_cusum", "w16_ewma", "c09_mann_kendall", "c10_kpss",
-    "c11_arch_lb",
+    // c12's rank/tie/cumsum windows and c13's sorted-rank window are
+    // all series-keyed: expect ~n·log n in series length
+    "c11_arch_lb", "c12_pettitt", "c13_anderson_darling",
     // a20's rank windows are single-partition BY DESIGN (the sample
     // is p-bounded to one task; the full side is the gate witness) —
     // expect ~linear-in-events wall on one core, not a plan bug

@@ -60,6 +60,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_users")).toSeq === Seq(1L, 1L))
   }
 
+  test("transitions: hand-counted first-order matrix with " +
+       "row-normalized probabilities; first events contribute nothing") {
+    val df = ev(
+      ("u1", "2024-01-01 01:00:00", "a"),
+      ("u1", "2024-01-01 02:00:00", "b"),
+      ("u1", "2024-01-01 03:00:00", "a"),
+      ("u2", "2024-01-01 01:00:00", "a"),
+      ("u2", "2024-01-01 02:00:00", "a"))
+      .withColumn("event_id", monotonically_increasing_id())
+    val out = graft.series.EventAnalytics
+      .transitions(df, "user_id", Seq("ts", "event_id"), "event_type")
+      .collect().map(r => (r.getAs[String]("prev_event"),
+        r.getAs[String]("event")) ->
+        (r.getAs[Long]("n_trans"), r.getAs[Double]("prob"))).toMap
+    assert(out === Map(
+      ("a", "b") -> (1L, 0.5), ("a", "a") -> (1L, 0.5),
+      ("b", "a") -> (1L, 1.0)))
+  }
+
   test("streaming q34/q35 twins: stream-static funnel entries and " +
        "retention actives converge to the batch results") {
     val s = spark

@@ -403,6 +403,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "found an un-partitioned window in the stationarity test")
   }
 
+  test("c12/c13 new diagnostics: series-keyed windows + keyed agg — " +
+       "no cartesian, no unpartitioned data-sized window") {
+    for (q <- Seq("c12_pettitt", "c13_anderson_darling")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian join")
+      assert(!"Window .*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined,
+        s"$q must not plan an un-partitioned window:\n$p")
+    }
+  }
+
+  test("q37 transitions: the row-normalizing window runs on the " +
+       "pair-totals frame keyed by prev_event, never the event stream") {
+    val p = plan("q37_event_transitions")
+    assert(!p.contains("CartesianProduct"))
+    assert(!"Window .*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined,
+      s"q37 must not plan a global window:\n$p")
+  }
+
   test("t34 winnowing: the whole pass is one in-task map — zero " +
        "exchanges, no window, no join (the charEntropy contract)") {
     val df = SparkEntry.queries("t34_winnowing")(spark, SparkSpec.sfDir)

@@ -373,6 +373,93 @@ class StatsSpec extends AnyFunSuite {
     assert(run(noise, cap = 2).getAs[Long]("n_lags") === 2L)
   }
 
+  test("pettitt: known K/tau/p on hand series; the rank-telescoped " +
+       "V_t reproduces the O(n^2) definition; flat series clamps p=1") {
+    val s = spark
+    import s.implicits._
+    def pt(xs: Seq[Double]) = SeriesStats.pettitt(
+      xs.zipWithIndex.map { case (v, i) => ("u", i, v) }.toDF("k", "i", "v"),
+      SeriesSpec(Seq("k"), Seq("i")), "v").first()
+    // strictly increasing 1..10: U_t = t(n-t), max at t=5 -> K=25;
+    // p = 2 exp(-6*625/1100)
+    val up = pt((1 to 10).map(_.toDouble))
+    assert(up.getAs[Long]("k_stat") === 25L)
+    assert(up.getAs[Long]("tau") === 5L)
+    assert(math.abs(up.getAs[Double]("p_value") -
+      2.0 * math.exp(-3750.0 / 1100.0)) < 1e-6)
+    // level shift 0x10 then 5x10: U_t = 10t rising to K=100 at tau=10
+    val shift = pt(Seq.fill(10)(0.0) ++ Seq.fill(10)(5.0))
+    assert(shift.getAs[Long]("k_stat") === 100L)
+    assert(shift.getAs[Long]("tau") === 10L)
+    assert(shift.getAs[Double]("p_value") < 0.01,
+      s"a clean level shift must be significant: $shift")
+    // brute-force O(n^2) cross-check of the telescoped U on an
+    // irregular tie-heavy series
+    val xs = Seq(3.0, 1.0, 3.0, 2.0, 5.0, 2.0, 2.0, 4.0)
+    val n = xs.length
+    val us = (1 until n).map { t =>
+      (for (i <- 0 until t; j <- t until n)
+        yield math.signum(xs(j) - xs(i)).toLong).sum
+    }
+    val k = us.map(math.abs).max
+    val tau = us.indexWhere(u => math.abs(u) == k) + 1
+    val got = pt(xs)
+    assert(got.getAs[Long]("k_stat") === k)
+    assert(got.getAs[Long]("tau") === tau.toLong)
+    // all-equal: K=0, tau tie-breaks to 1, p clamps at 1.0
+    val flat = pt(Seq.fill(6)(7.0))
+    assert(flat.getAs[Long]("k_stat") === 0L)
+    assert(flat.getAs[Long]("tau") === 1L)
+    assert(flat.getAs[Double]("p_value") === 1.0)
+  }
+
+  test("anderson-darling: near-normal sample accepts, exponential " +
+       "sample rejects hard; A2 matches a local replay of the formula") {
+    val s = spark
+    import s.implicits._
+    def ad(xs: Seq[Double]) = SeriesStats.andersonDarling(
+      xs.zipWithIndex.map { case (v, i) => ("u", i, v) }.toDF("k", "i", "v"),
+      SeriesSpec(Seq("k"), Seq("i")), "v").first()
+    // deterministic uniforms via the Knuth hash; Irwin-Hall sum of 12
+    // uniforms - 6 is near-normal
+    def u(t: Int) = (((t * 2654435761L) % 100000L + 100000L) % 100000L)
+      .toDouble / 100000.0
+    val normish = (0 until 100).map(i =>
+      (0 until 12).map(j => u(i * 12 + j + 1)).sum - 6.0)
+    val nr = ad(normish)
+    assert(nr.getAs[Double]("p_value") > 0.05,
+      s"near-normal sample must not reject: $nr")
+    // exponential: -ln(u) is strongly right-skewed
+    val expo = (1 to 100).map(i => -math.log(math.max(u(i), 1e-9)))
+    val er = ad(expo)
+    assert(er.getAs[Double]("p_value") < 0.01,
+      s"exponential sample must reject normality: $er")
+    // local replay of the exact formula (same erfc chain) on a small
+    // series — pins the distributed sort/weight pairing
+    val xs = Seq(1.0, 4.0, 2.0, 9.0, 3.0, 6.0, 5.0)
+    val n = xs.length
+    val mu = xs.sum / n
+    val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+    def chain(a: Double) = {
+      val t = 1.0 / (1.0 + 0.3275911 * a)
+      t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+        t * (-1.453152027 + t * 1.061405429)))) * math.exp(-a * a)
+    }
+    def erfc(x: Double) = if (x >= 0) chain(x) else 2.0 - chain(-x)
+    def phi(z: Double) = 0.5 * erfc(-z / math.sqrt(2.0))
+    def phiC(z: Double) = 0.5 * erfc(z / math.sqrt(2.0))
+    val zs = xs.map(x => (x - mu) / sd).sorted
+    val sum = zs.zipWithIndex.map { case (z, i0) =>
+      val k = i0 + 1
+      (2.0 * k - 1.0) * math.log(math.max(phi(z), 1e-300)) +
+        (2.0 * n - 2.0 * k + 1.0) * math.log(math.max(phiC(z), 1e-300))
+    }.sum
+    val a2 = -n.toDouble - sum / n
+    val got = ad(xs)
+    assert(math.abs(got.getAs[Double]("a2_stat") - a2) < 1e-5,
+      s"A2 mismatch: got $got want $a2")
+  }
+
   test("mann-kendall: known S/z/sen on hand series; tie-saturated " +
        "series nulls z; even-pair median averages the two middle ranks") {
     val s = spark
