@@ -4796,6 +4796,35 @@ object OracleSql {
         |    AS prob
         |FROM c ORDER BY prev_event, event""".stripMargin,
 
+    // q38: top session paths — a02's gap-session ids, first-8 event
+    // types string_agg'd in row order, count per path, top-20 with
+    // (count DESC, path ASC) rank; counts exact integers
+    "q38_session_paths" ->
+      """WITH g AS (SELECT user_id, event_id, ts, event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, ts, event_type,
+        |    (sum(CASE WHEN gap IS NULL OR gap > 1800000000
+        |              THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      )::BIGINT AS session_id
+        |  FROM g),
+        |r AS (SELECT user_id, session_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM s),
+        |p AS (SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 8 GROUP BY user_id, session_id),
+        |c AS (SELECT path, count(*)::BIGINT AS n_sessions
+        |      FROM p GROUP BY path)
+        |SELECT row_number() OVER (ORDER BY n_sessions DESC, path)::INT
+        |    AS rk,
+        |  path, n_sessions
+        |FROM c ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
     "q26_sliding_window_sum" ->
       """SELECT user_id, event_id, round(x_sum,6) AS x_sum, y FROM (
         | SELECT user_id, event_id,

@@ -383,6 +383,15 @@ object SparkEntry {
         .orderBy(col("prev_event"), col("event"))
     }),
 
+    // ── q38: top session paths — 30-min gap sessions rendered as
+    //    '>'-joined journeys, top-20 by session count ──────────────────
+    "q38_session_paths" -> ((s, dir) => {
+      graft.series.EventAnalytics.sessionPaths(ev(s, dir), "user_id",
+          Seq("ts", "event_id"), "event_type", gapSeconds = 1800,
+          maxEvents = 8, topK = 20)
+        .orderBy(col("rk"))
+    }),
+
     // ── p03: bipartite HITS over user→event_type — hubs (users
     //    touching strong authorities) and authorities (types endorsed
     //    by strong hubs), sum-normalized + r6 per half-step ────────────

@@ -173,4 +173,42 @@ object EventAnalytics {
     t.withColumn("prob", round(col("n_trans").cast("double") /
         sum(col("n_trans")).over(wRow).cast("double"), 6))
   }
+
+  /** Top session paths (q38): gap-sessionize each user's stream
+    * ([[graft.series.SeriesOps.sessionize]]), render each session as
+    * the '>'-joined sequence of its first `maxEvents` event types, and
+    * rank the `topK` most common paths — [[transitions]] is the
+    * one-step view, this is the whole-journey census behind
+    * "what do users actually do" dashboards.
+    *
+    * Scale shape: the sessionize window is user-keyed; the per-session
+    * path assembles in ONE (user, session)-keyed agg via the
+    * sort-structs-then-transform fold (the t25 reassembly pattern —
+    * order restored from the carried row number, no second window);
+    * path counts are a keyed agg; the top-k compiles to
+    * TakeOrderedAndProject (the t31 cut), and the final rank window
+    * sees ≤ topK rows by construction. Output: (rk, path,
+    * n_sessions), rk dense in (count DESC, path ASC) order. */
+  def sessionPaths(df: DataFrame, user: String, orderCols: Seq[String],
+                   typeCol: String, gapSeconds: Long,
+                   maxEvents: Int = 8, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spec = graft.series.SeriesSpec(Seq(user), orderCols)
+    val sess = graft.series.SeriesOps.sessionize(df, spec, orderCols.head,
+      gapSeconds)
+    val wS = Window.partitionBy(col(user), col("session_id"))
+      .orderBy(orderCols.map(col): _*)
+    val paths = sess.withColumn("_rn", row_number().over(wS))
+      .filter(col("_rn") <= maxEvents)
+      .groupBy(col(user), col("session_id"))
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct(col("_rn"),
+          col(typeCol).as("_e")))), s => s.getField("_e"))).as("path"))
+    val counts = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+    counts.orderBy(col("n_sessions").desc, col("path")).limit(topK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+      .select(col("rk"), col("path"), col("n_sessions"))
+  }
 }

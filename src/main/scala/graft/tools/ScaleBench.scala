@@ -44,7 +44,7 @@ object ScaleBench {
     "q34_funnel", "q35_retention", "q36_concentration", "p03_hits",
     "c08_cusum", "w16_ewma", "c09_mann_kendall", "c10_kpss",
     "c11_arch_lb", "c12_pettitt", "c13_anderson_darling",
-    "q37_event_transitions",
+    "q37_event_transitions", "q38_session_paths",
     // a20's rank windows are single-partition BY DESIGN (the sample
     // is p-bounded to one task; the full side is the gate witness) —
     // expect ~linear-in-events wall on one core, not a plan bug

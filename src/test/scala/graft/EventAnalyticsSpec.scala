@@ -79,6 +79,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("b", "a") -> (1L, 1.0)))
   }
 
+  test("sessionPaths: gap-split journeys, first-maxEvents truncation, " +
+       "count-desc/path-asc ranking") {
+    val rows = Seq(
+      ("u1", "2024-01-01 01:00:00", "a"),
+      ("u1", "2024-01-01 01:10:00", "b"),
+      ("u1", "2024-01-01 03:00:00", "c"), // > 30 min gap -> new session
+      ("u2", "2024-01-01 01:00:00", "a"),
+      ("u2", "2024-01-01 01:05:00", "b")) ++
+      (0 until 10).map(i => ("u3", f"2024-01-01 01:${i}%02d:00", "x"))
+    val df = ev(rows: _*)
+      .withColumn("event_id", monotonically_increasing_id())
+    val out = graft.series.EventAnalytics.sessionPaths(df, "user_id",
+        Seq("ts", "event_id"), "event_type", gapSeconds = 1800,
+        maxEvents = 8, topK = 20)
+      .collect().map(r => (r.getAs[Int]("rk"), r.getAs[String]("path"),
+        r.getAs[Long]("n_sessions")))
+    assert(out.toSeq === Seq(
+      (1, "a>b", 2L),
+      (2, "c", 1L),
+      (3, "x>x>x>x>x>x>x>x", 1L))) // 10 events truncate to 8
+  }
+
   test("streaming q34/q35 twins: stream-static funnel entries and " +
        "retention actives converge to the batch results") {
     val s = spark

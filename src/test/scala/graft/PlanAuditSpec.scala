@@ -421,6 +421,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q37 must not plan a global window:\n$p")
   }
 
+  test("q38 session paths: keyed session/path aggs, the top-k cut is " +
+       "TakeOrderedAndProject, the rank window sees <= topK rows") {
+    val p = plan("q38_session_paths")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must compile to TakeOrderedAndProject:\n$p")
+    val wi = p.indexOf("Window")
+    val ti = p.indexOf("TakeOrderedAndProject")
+    assert(wi < 0 || (ti >= 0 && wi < ti),
+      s"the rank window must consume the bounded take:\n$p")
+  }
+
   test("t34 winnowing: the whole pass is one in-task map — zero " +
        "exchanges, no window, no join (the charEntropy contract)") {
     val df = SparkEntry.queries("t34_winnowing")(spark, SparkSpec.sfDir)
