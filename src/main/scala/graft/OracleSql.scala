@@ -4555,6 +4555,33 @@ object OracleSql {
         |    AS ahash_hex
         |FROM wide ORDER BY media_id""".stripMargin,
 
+    // m09: audio energy / silence — the m05 byte replay with
+    // 160-sample frames; silence decision is the exact integer
+    // cross-multiply ws < thr·wn, RMS/ratio the only FP ops
+    "m09_audio_energy" ->
+      """WITH aud AS (SELECT doc_id AS media_id, strlen(text) AS n, text
+        |  FROM documents WHERE doc_id % 3 = 1 AND strlen(text) > 0),
+        |sm AS (SELECT media_id, t // 160 AS k,
+        |    abs(ascii(substr(text, t + 1, 1)) - 128) * 256 AS a,
+        |    (ascii(substr(text, t + 1, 1)) - 128) * 256 AS s
+        |  FROM (SELECT media_id, n, text,
+        |          unnest(generate_series(0, n - 1)) AS t FROM aud)),
+        |fr AS (SELECT media_id, k, sum(a)::BIGINT AS ws,
+        |    count(*)::BIGINT AS wn FROM sm GROUP BY 1, 2),
+        |fg AS (SELECT media_id, count(*)::BIGINT AS n_frames,
+        |    sum(CASE WHEN ws < 1024 * wn THEN 1 ELSE 0 END)::BIGINT
+        |      AS silent
+        |  FROM fr GROUP BY 1),
+        |tot AS (SELECT media_id, count(*)::BIGINT AS n_samples,
+        |    max(a)::BIGINT AS peak,
+        |    sum((s::BIGINT) * (s::BIGINT))::BIGINT AS ss
+        |  FROM sm GROUP BY 1)
+        |SELECT t.media_id, n_samples, n_frames, peak,
+        |  round(sqrt(ss::DOUBLE / n_samples::DOUBLE), 6) AS rms,
+        |  round(silent::DOUBLE / n_frames::DOUBLE, 6) AS silence_ratio
+        |FROM tot t JOIN fg USING (media_id)
+        |ORDER BY t.media_id""".stripMargin,
+
     // m06: per-frame video grid hashes — the m03 replay with a frame
     // dimension (real AVI demux on the Spark side)
     "m06_frame_hashes" -> (frameHashSql("documents") +

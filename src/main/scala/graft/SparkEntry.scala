@@ -1094,6 +1094,14 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ── m09: audio energy / silence report — RMS, peak, and the
+    //    20 ms-frame silence ratio; the gate before transcription ─────
+    "m09_audio_energy" -> ((s, dir) => {
+      val media = graft.mm.Multimodal.synthesizeFromDocuments(docs(s, dir))
+      graft.mm.Multimodal.audioEnergy(media)
+        .orderBy(col("media_id"))
+    }),
+
     // ── m04: image near-dup pairs via 16-bit aHash bands — the corpus
     //    is doubled with exact twins at +273000 (a multiple of
     //    lcm(3,13,7), so kind and dims are preserved and the twin's

@@ -516,6 +516,67 @@ object Multimodal {
     }.toDF("media_id", "b0", "b1", "b2", "b3", "ahash_hex")
   }
 
+  /** Audio energy / silence report (m09, beyond reference): the
+    * curation signals every speech/audio pipeline gates on BEFORE
+    * expensive transcription — global RMS level (dead-air and
+    * clipped-upload detection), peak amplitude, and the silence ratio
+    * over fixed 160-sample (20 ms @ 8 kHz) frames: a frame is silent
+    * when its mean |sample| falls under `silenceThr` (an exact
+    * integer cross-multiplied compare, ws < thr·wn — no FP in the
+    * decision). The only FP ops are the final RMS sqrt and the two
+    * r6-rounded ratios, mirrored op-for-op in the oracle.
+    *
+    * Scale shape: the m05 contract — real WAV decode per row inside
+    * one zero-shuffle Dataset.map; every accumulation (Σ|s|, Σs²,
+    * peak, frame counts) is an exact integer (Σs² ≤ 2³⁰·n, safe in a
+    * long to petabyte sample counts). Zero-sample containers are
+    * dropped (no frames to grade — the oracle's empty generate_series
+    * mirrors this). Output per audio row: (media_id, n_samples,
+    * n_frames, peak, rms r6, silence_ratio r6). */
+  def audioEnergy(media: Dataset[MediaRow], frameLen: Int = 160,
+                  silenceThr: Long = 1024L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").flatMap { m =>
+      val wv = Codecs.decodeWav(m.bytes)
+      val n = wv.nSamples
+      if (n == 0) None
+      else {
+        var t = 0
+        var ss = 0L
+        var peak = 0L
+        var frameAbs = 0L
+        var frameLeft = frameLen
+        var silent = 0L
+        var frames = 0L
+        while (t < n) {
+          val lo = wv.data(2 * t) & 0xff
+          val hi = wv.data(2 * t + 1)
+          val s = (hi << 8) | lo
+          val a = math.abs(s).toLong
+          ss += s.toLong * s.toLong
+          if (a > peak) peak = a
+          frameAbs += a
+          frameLeft -= 1
+          if (frameLeft == 0 || t == n - 1) {
+            val wn = (frameLen - frameLeft).toLong
+            if (frameAbs < silenceThr * wn) silent += 1
+            frames += 1
+            frameAbs = 0L
+            frameLeft = frameLen
+          }
+          t += 1
+        }
+        Some((m.media_id, n.toLong, frames, peak,
+          math.sqrt(ss.toDouble / n.toDouble), silent))
+      }
+    }.toDF("media_id", "n_samples", "n_frames", "peak", "_rms", "_silent")
+      .select(col("media_id"), col("n_samples"), col("n_frames"),
+        col("peak"), round(col("_rms"), 6).as("rms"),
+        round(col("_silent").cast("double") /
+          col("n_frames").cast("double"), 6).as("silence_ratio"))
+  }
+
   /** Image near-duplicate pairs over [[imageAHash]] bands — the d01
     * LSH contract at the pixel level: a pair is REPORTED iff some
     * 16-bit band matches exactly AND total hamming distance ≤

@@ -177,7 +177,7 @@ object ScaleBench {
     "t32_char_entropy", "b09_wordpiece", "d10_prefix_join",
     "t33_heaps_fit", "k03_silhouette",
     "t34_winnowing", "t35_readability", "t36_ngram_overlap",
-    "a19_countmin", "b10_fertility", "m08_image_dhash")
+    "a19_countmin", "b10_fertility", "m08_image_dhash", "m09_audio_energy")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
@@ -210,7 +210,7 @@ object ScaleBench {
     "t32_char_entropy", "b09_wordpiece", "d10_prefix_join",
     "t33_heaps_fit", "t34_winnowing", "t35_readability",
     "t36_ngram_overlap", "a19_countmin", "b10_fertility",
-    "m08_image_dhash")
+    "m08_image_dhash", "m09_audio_energy")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

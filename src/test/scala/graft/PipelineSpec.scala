@@ -204,6 +204,38 @@ class PipelineSpec extends AnyFunSuite {
       "the one-sample edit is still caught by an untouched band")
   }
 
+  test("m09: audio energy — hand-computed RMS/peak; frame silence " +
+       "ratio counts exactly the sub-threshold frames, partial last " +
+       "frame graded on its own length; empty audio drops") {
+    val s = spark
+    import s.implicits._
+    import graft.mm.{Codecs, MediaRow, Multimodal}
+    def wav(id: Long, samples: Array[Short]) =
+      MediaRow(id, "audio", Codecs.encodeWavPcm16(8000, samples), "t")
+    // 10 samples at frameLen=4: frames [loud,loud,loud,loud],
+    // [0,0,0,0], [loud,loud] — silence ratio 1/3
+    val xs = Array[Short](2000, -2000, 2000, -2000, 0, 0, 0, 0, 3000, -3000)
+    val r = Multimodal.audioEnergy(Seq(wav(1L, xs)).toDS(), frameLen = 4)
+      .collect().head
+    assert(r.getAs[Long]("n_samples") === 10L)
+    assert(r.getAs[Long]("n_frames") === 3L)
+    assert(r.getAs[Long]("peak") === 3000L)
+    val wantRms = math.sqrt(xs.map(v => v.toDouble * v).sum / 10.0)
+    assert(math.abs(r.getAs[Double]("rms") - wantRms) < 1e-5)
+    assert(math.abs(r.getAs[Double]("silence_ratio") - 1.0 / 3) < 1e-5)
+    // a partial trailing frame of quiet samples counts as silent on
+    // its own length (mean, not a fixed-frame sum)
+    val tail = Array[Short](2000, 2000, 2000, 2000, 1)
+    val r2 = Multimodal.audioEnergy(Seq(wav(2L, tail)).toDS(), frameLen = 4)
+      .collect().head
+    assert(r2.getAs[Long]("n_frames") === 2L)
+    assert(r2.getAs[Double]("silence_ratio") === 0.5)
+    // zero-sample container emits no row (matches the oracle's empty
+    // generate_series)
+    assert(Multimodal.audioEnergy(
+      Seq(wav(3L, Array.empty[Short])).toDS()).count() === 0L)
+  }
+
   test("m06/m07: frame hashes come from the real demux; videos pair by " +
        "shared-frame count, disjoint videos never pair") {
     val s = spark
