@@ -3653,6 +3653,60 @@ object OracleSql {
         |  round(sen_raw, 6) + 0.0 AS sen_slope
         |FROM e ORDER BY user_id""".stripMargin,
 
+    // c14: Wilcoxon rank-sum / Mann–Whitney U between chronological
+    // halves — average ranks (rank + (t−1)/2, exact halves), per-row
+    // tie term Σ(eq²−1), continuity-corrected z, the shared erfc chain
+    "c14_rank_sum_drift" ->
+      """WITH r0 AS (
+        | SELECT user_id, ts, event_id,
+        |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+        | FROM events),
+        |x AS (SELECT user_id, ts, event_id, ret FROM r0
+        |      WHERE ret IS NOT NULL),
+        |b AS (SELECT user_id, ret,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n_all,
+        |        rank() OVER (PARTITION BY user_id ORDER BY ret) AS rk,
+        |        count(*) OVER (PARTITION BY user_id, ret) AS eq
+        |      FROM x),
+        |h AS (SELECT user_id,
+        |        CASE WHEN rn <= n_all/2.0 THEN 1 ELSE 2 END AS half,
+        |        rk::DOUBLE + (eq::DOUBLE - 1.0)/2.0 AS avgrk, eq
+        |      FROM b),
+        |g AS (SELECT user_id,
+        |        sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |        sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |        sum(CASE WHEN half = 1 THEN avgrk ELSE 0.0 END) AS r1,
+        |        sum(eq*eq - 1)::BIGINT AS tie
+        |      FROM h GROUP BY user_id),
+        |v AS (SELECT user_id, n1, n2,
+        |        r1 - n1::DOUBLE * (n1::DOUBLE + 1.0) / 2.0 AS u,
+        |        n1::DOUBLE * n2::DOUBLE / 2.0 AS mu,
+        |        n1::DOUBLE * n2::DOUBLE / 12.0 *
+        |          ((n1::DOUBLE + n2::DOUBLE + 1.0)
+        |           - tie::DOUBLE / ((n1::DOUBLE + n2::DOUBLE)
+        |               * (n1::DOUBLE + n2::DOUBLE - 1.0))) AS var_u
+        |      FROM g),
+        |z AS (SELECT user_id, n1, n2, u,
+        |        CASE WHEN var_u > 0 THEN
+        |          CASE WHEN u > mu THEN (u - 0.5 - mu)/sqrt(var_u)
+        |               WHEN u < mu THEN (u + 0.5 - mu)/sqrt(var_u)
+        |               ELSE 0.0 END END AS zv
+        |      FROM v),
+        |e AS (SELECT *, abs(zv)/sqrt(2.0) AS ax,
+        |        1.0/(1.0 + 0.3275911*(abs(zv)/sqrt(2.0))) AS t
+        |      FROM z)
+        |SELECT user_id, n1, n2,
+        |  round(u, 6) AS u_stat,
+        |  round(zv, 6) + 0.0 AS z_score,
+        |  CASE WHEN zv IS NOT NULL THEN
+        |    round(t*(0.254829592 + t*(-0.284496736 + t*(1.421413741
+        |      + t*(-1.453152027 + t*1.061405429)))) * exp(-ax*ax), 6)
+        |  END AS p_value
+        |FROM e ORDER BY user_id""".stripMargin,
+
     // c12: Pettitt change-point — rank-telescoped V_t = n − 2·rk + 2
     // − eq, integer cumsum U_t, K = max|U_t| with first-t tie-break;
     // every accumulation exact integer, the one FP expression (the

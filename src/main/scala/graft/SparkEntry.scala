@@ -1910,6 +1910,16 @@ object SparkEntry {
     //    SQUARED log-returns (McLeod & Li 1983); a small p says
     //    volatility clusters, i.e. the GARCH surface (q29/g05)
     //    actually applies to this series ───────────────────────────────
+    // ── c14: Wilcoxon rank-sum drift — the rank-based robust twin of
+    //    c07 Welch between the chronological halves ────────────────────
+    "c14_rank_sum_drift" -> ((s, dir) => {
+      SeriesStats.rankSumDrift(
+          logret(s, dir).filter(col("ret").isNotNull), perUser, "ret")
+        .select(col("user_id"), col("n1"), col("n2"), col("u_stat"),
+          col("z_score"), col("p_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── c12: Pettitt change-point — rank-telescoped U_t (keyed
     //    windows only, no pair sweep), K/τ/p per user over value ──────
     "c12_pettitt" -> ((s, dir) => {

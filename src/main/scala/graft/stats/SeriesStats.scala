@@ -603,6 +603,75 @@ object SeriesStats {
       (round(col("sen"), 6) + lit(0.0)).as("sen_slope")): _*)
   }
 
+  /** Wilcoxon rank-sum / Mann–Whitney U drift test per series (beyond
+    * reference; Wilcoxon 1945, Mann & Whitney 1947): the RANK-based
+    * complement to [[welchDrift]]'s mean test between the
+    * chronological halves — outlier-robust and distribution-free,
+    * the pair every drift report carries. Average ranks for ties
+    * (rank_min + (t−1)/2 — exact halves in double), U₁ = R₁ −
+    * n₁(n₁+1)/2, tie-corrected σ²_U = n₁n₂/12·[(n+1) −
+    * Σ(t³−t)/(n(n−1))] with the tie term accumulated per ROW as
+    * Σ(eq²−1) (= Σ_groups t³−t, exact integers), continuity-corrected
+    * z, two-sided p via the shared A&S erfc chain.
+    *
+    * Scale shape: the [[welchDrift]] exchange plus a value-ordered
+    * rank on the same series key (second sort, same shuffle) and one
+    * keyed agg. Output per series: (partitionCols, n1, n2, u_stat,
+    * z_score r6, p_value r6); z/p null when the variance degenerates
+    * (all values tied). */
+  def rankSumDrift(df: DataFrame, spec: SeriesSpec,
+                   value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = spec.partitionCols
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val wVal = Window.partitionBy(keys.map(col): _*).orderBy(col(value))
+    val wTie = Window.partitionBy((keys.map(col) :+ col(value)): _*)
+    val x = df.filter(col(value).isNotNull)
+      .withColumn("_rn", row_number().over(spec.w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_half",
+        when(col("_rn") <= col("_n") / 2, lit(1)).otherwise(lit(2)))
+      .withColumn("_rk", rank().over(wVal).cast("long"))
+      .withColumn("_eq", count(lit(1)).over(wTie))
+      .withColumn("_avgrk",
+        col("_rk").cast("double") +
+          (col("_eq").cast("double") - lit(1.0)) / lit(2.0))
+    val g = x.groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(col("_half") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(col("_half") === 2, lit(1L)).otherwise(lit(0L))).as("n2"),
+        sum(when(col("_half") === 1, col("_avgrk"))
+          .otherwise(lit(0.0))).as("_r1"),
+        sum(col("_eq") * col("_eq") - lit(1L)).as("_tie"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val nd = n1 + n2
+    val u1 = col("_r1") - n1 * (n1 + lit(1.0)) / lit(2.0)
+    val muU = n1 * n2 / lit(2.0)
+    val varU = n1 * n2 / lit(12.0) *
+      ((nd + lit(1.0)) -
+        col("_tie").cast("double") / (nd * (nd - lit(1.0))))
+    val z0 = when(col("_u") > col("_mu"),
+        (col("_u") - lit(0.5) - col("_mu")) / sqrt(col("_var")))
+      .when(col("_u") < col("_mu"),
+        (col("_u") + lit(0.5) - col("_mu")) / sqrt(col("_var")))
+      .otherwise(lit(0.0))
+    val ax = abs(col("_z")) / sqrt(lit(2.0))
+    val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * ax)
+    val poly = tt * (lit(0.254829592) + tt * (lit(-0.284496736) +
+      tt * (lit(1.421413741) + tt * (lit(-1.453152027) +
+        tt * lit(1.061405429)))))
+    val p = poly * exp(-ax * ax)
+    g.withColumn("_u", u1)
+      .withColumn("_mu", muU)
+      .withColumn("_var", varU)
+      .withColumn("_z", when(col("_var") > 0, z0))
+      .withColumn("u_stat", round(col("_u"), 6))
+      .withColumn("z_score", round(col("_z"), 6) + lit(0.0))
+      .withColumn("p_value", when(col("_z").isNotNull, round(p, 6)))
+      .drop("_r1", "_tie", "_u", "_mu", "_var", "_z")
+  }
+
   /** Pettitt change-point test per series (beyond reference; Pettitt
     * 1979): the nonparametric "WHERE did the level shift" companion to
     * [[cusum]]'s drift excursion and [[mannKendall]]'s monotonic

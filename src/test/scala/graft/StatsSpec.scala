@@ -373,6 +373,34 @@ class StatsSpec extends AnyFunSuite {
     assert(run(noise, cap = 2).getAs[Long]("n_lags") === 2L)
   }
 
+  test("rank-sum drift: hand U/z/p on a clean shift; all-tied series " +
+       "nulls z; average ranks handle ties exactly") {
+    val s = spark
+    import s.implicits._
+    def rs(xs: Seq[Double]) = SeriesStats.rankSumDrift(
+      xs.zipWithIndex.map { case (v, i) => ("u", i, v) }.toDF("k", "i", "v"),
+      SeriesSpec(Seq("k"), Seq("i")), "v").first()
+    // halves [1..4] vs [101..104]: R1 = 10, U1 = 0, mu = 8, var = 12,
+    // z = (0 + 0.5 - 8)/sqrt(12) ≈ -2.165064
+    val shift = rs(Seq(1.0, 2.0, 3.0, 4.0, 101.0, 102.0, 103.0, 104.0))
+    assert(shift.getAs[Long]("n1") === 4L && shift.getAs[Long]("n2") === 4L)
+    assert(shift.getAs[Double]("u_stat") === 0.0)
+    assert(math.abs(shift.getAs[Double]("z_score") -
+      (-7.5 / math.sqrt(12.0))) < 1e-5)
+    assert(shift.getAs[Double]("p_value") < 0.05)
+    // all-tied: the tie correction zeroes the variance -> z/p null
+    val flat = rs(Seq.fill(8)(3.0))
+    assert(flat.isNullAt(flat.fieldIndex("z_score")))
+    assert(flat.isNullAt(flat.fieldIndex("p_value")))
+    // tie-averaged ranks: [1,1,2,2] -> avg ranks (1.5,1.5,3.5,3.5),
+    // R1 = 3.0, U1 = 3 - 3 = 0, mu = 2; tie term 2*(8-2)=12;
+    // var = 4/12*(5 - 12/12) = 4/3
+    val ties = rs(Seq(1.0, 1.0, 2.0, 2.0))
+    assert(ties.getAs[Double]("u_stat") === 0.0)
+    assert(math.abs(ties.getAs[Double]("z_score") -
+      (-1.5 / math.sqrt(4.0 / 3.0))) < 1e-5)
+  }
+
   test("pettitt: known K/tau/p on hand series; the rank-telescoped " +
        "V_t reproduces the O(n^2) definition; flat series clamps p=1") {
     val s = spark
