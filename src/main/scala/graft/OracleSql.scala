@@ -3653,6 +3653,52 @@ object OracleSql {
         |  round(sen_raw, 6) + 0.0 AS sen_slope
         |FROM e ORDER BY user_id""".stripMargin,
 
+    // p04: degree-oriented triangle counting over the top-64-token
+    // collocation graph — orientation, wedge join, close join and the
+    // three-way count replayed literally; all integers, the clustering
+    // coefficient the single r6 division
+    "p04_token_triangles" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS token FROM documents),
+        |tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |tf AS (SELECT token, count(*) AS f FROM tk GROUP BY token),
+        |top AS (SELECT token FROM tf ORDER BY f DESC, token LIMIT 64),
+        |dt AS (SELECT DISTINCT doc_id, token FROM tk
+        |       JOIN top USING (token)),
+        |e AS (SELECT l.token AS u, r.token AS v
+        |      FROM dt l JOIN dt r ON l.doc_id = r.doc_id
+        |                         AND l.token < r.token
+        |      GROUP BY 1, 2 HAVING count(*) >= 5),
+        |deg AS (SELECT node, count(*)::BIGINT AS degree FROM (
+        |    SELECT u AS node FROM e
+        |    UNION ALL SELECT v AS node FROM e) GROUP BY node),
+        |o AS (SELECT
+        |    CASE WHEN du.degree < dv.degree
+        |           OR (du.degree = dv.degree AND e.u < e.v)
+        |         THEN e.u ELSE e.v END AS s,
+        |    CASE WHEN du.degree < dv.degree
+        |           OR (du.degree = dv.degree AND e.u < e.v)
+        |         THEN e.v ELSE e.u END AS t
+        |  FROM e JOIN deg du ON du.node = e.u
+        |         JOIN deg dv ON dv.node = e.v),
+        |w AS (SELECT e1.s AS w0, least(e1.t, e2.t) AS x,
+        |        greatest(e1.t, e2.t) AS y
+        |      FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.t < e2.t),
+        |tr AS (SELECT w0, x, y FROM w
+        |       JOIN e ON e.u = w.x AND e.v = w.y),
+        |pn AS (SELECT node, count(*)::BIGINT AS n_triangles FROM (
+        |    SELECT w0 AS node FROM tr
+        |    UNION ALL SELECT x AS node FROM tr
+        |    UNION ALL SELECT y AS node FROM tr) GROUP BY node)
+        |SELECT deg.node, degree,
+        |  coalesce(n_triangles, 0)::BIGINT AS n_triangles,
+        |  CASE WHEN degree >= 2 THEN
+        |    round(2.0 * coalesce(n_triangles, 0)::DOUBLE /
+        |      (degree::DOUBLE * (degree::DOUBLE - 1.0)), 6)
+        |  END AS clustering
+        |FROM deg LEFT JOIN pn USING (node)
+        |ORDER BY deg.node""".stripMargin,
+
     // c14: Wilcoxon rank-sum / Mann–Whitney U between chronological
     // halves — average ranks (rank + (t−1)/2, exact halves), per-row
     // tie term Σ(eq²−1), continuity-corrected z, the shared erfc chain

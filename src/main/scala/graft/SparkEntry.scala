@@ -1910,6 +1910,27 @@ object SparkEntry {
     //    SQUARED log-returns (McLeod & Li 1983); a small p says
     //    volatility clusters, i.e. the GARCH surface (q29/g05)
     //    actually applies to this series ───────────────────────────────
+    // ── p04: token-collocation triangles — degree-oriented triangle
+    //    counting + local clustering coefficient over the top-64-token
+    //    co-occurrence graph (edge = co-occur in ≥5 docs) ──────────────
+    "p04_token_triangles" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tok = graft.text.TextOps.tokens(d, "text")
+        .select(col("doc_id"), col("token"))
+      val top = tok.groupBy(col("token")).agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("token")).limit(64)
+        .select(col("token"))
+      val dt = tok.join(broadcast(top), "token").distinct()
+      val pairs = dt.as("l").join(dt.as("r"),
+          col("l.doc_id") === col("r.doc_id") &&
+            col("l.token") < col("r.token"))
+        .groupBy(col("l.token").as("t1"), col("r.token").as("t2"))
+        .agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 5)
+      graft.text.Dedup.triangleCounts(pairs, "t1", "t2")
+        .orderBy(col("node"))
+    }),
+
     // ── c14: Wilcoxon rank-sum drift — the rank-based robust twin of
     //    c07 Welch between the chronological halves ────────────────────
     "c14_rank_sum_drift" -> ((s, dir) => {

@@ -863,6 +863,61 @@ object Dedup {
         col("d").as("node"), col("a").as("score")))
   }
 
+  /** Per-node triangle counts + local clustering coefficient (p04,
+    * beyond reference; Schank & Wagner 2005 degree orientation, the
+    * MapReduce formulation of Suri & Vassilvitskii 2011): triangles
+    * are the community-structure primitive behind dup-cluster density
+    * and collocation-graph analysis, and the naive wedge join is the
+    * canonical quadratic trap — a hub of degree d spawns d² wedges.
+    * Orienting every edge from the (degree, id)-SMALLER endpoint to
+    * the larger caps out-degree at O(√m), so each triangle is found
+    * exactly once at its unique two-out-edge apex, and the wedge join
+    * fan-out is bounded regardless of hubs.
+    *
+    * Scale shape: one distinct-edge agg, one degree agg joined back,
+    * one wedge self-join keyed on the apex, one edge-keyed close
+    * join, then a three-way projection union + keyed count. Every
+    * count is an exact integer; the clustering coefficient
+    * 2T/(d(d−1)) is the single FP division (r6). Output per node:
+    * (node, degree, n_triangles, clustering r6 — null when deg < 2). */
+  def triangleCounts(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val e = pairs
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val oriented = e
+      .join(deg.select(col("node").as("u"), col("degree").as("_du")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("_dv")), "v")
+      .select(
+        when(col("_du") < col("_dv") ||
+            (col("_du") === col("_dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("_e"))
+      .select(col("_e.s").as("s"), col("_e.t").as("t"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("w0"),
+        least(col("e1.t"), col("e2.t")).as("x"),
+        greatest(col("e1.t"), col("e2.t")).as("y"))
+    val tris = wedges.join(
+      e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val perNode = tris.select(col("w0").as("node"))
+      .unionByName(tris.select(col("x").as("node")))
+      .unionByName(tris.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("clustering",
+        when(col("degree") >= 2, round(
+          lit(2.0) * col("n_triangles").cast("double") /
+            (col("degree").cast("double") *
+              (col("degree").cast("double") - lit(1.0))), 6)))
+  }
+
   def dedupKeepBest(df: DataFrame, id: String, pairs: DataFrame,
                     score: DataFrame, scoreCol: String = "q"): DataFrame = {
     val comp = connectedComponents(pairs)

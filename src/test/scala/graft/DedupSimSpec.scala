@@ -231,6 +231,47 @@ class DedupSimSpec extends AnyFunSuite {
     assert(pairs.get((1L, 2L)).contains(0))
   }
 
+  test("triangleCounts: K4-plus-pendant hand graph; star has none; " +
+       "degree orientation matches a brute-force sweep on a hashed graph") {
+    val s = spark
+    import s.implicits._
+    def tri(edges: Seq[(String, String)]) =
+      graft.text.Dedup.triangleCounts(edges.toDF("id_a", "id_b"),
+        "id_a", "id_b").collect()
+        .map(r => r.getAs[String]("node") ->
+          (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+            Option(r.getAs[java.lang.Double]("clustering")))).toMap
+    // K4 on a..d (every node in 3 triangles, clustering 1.0) plus a
+    // pendant e-a (deg(a) -> 4, its clustering 3/C(4,2) = 0.5)
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d", "e" -> "a")
+    val got = tri(k4)
+    assert(got("a") === ((4L, 3L, Some(0.5: java.lang.Double))))
+    assert(got("b") === ((3L, 3L, Some(1.0: java.lang.Double))))
+    assert(got("e")._1 === 1L && got("e")._2 === 0L && got("e")._3.isEmpty)
+    // star: hub of degree 6, zero triangles everywhere
+    val star = (1 to 6).map(i => "hub" -> s"leaf$i")
+    assert(tri(star).values.forall(_._2 === 0L))
+    // deterministic pseudo-random graph vs an O(n^3) brute force
+    val nodes = (0 until 24).map(i => f"n$i%02d")
+    val edges = for {
+      i <- 0 until 24; j <- i + 1 until 24
+      if (i * 31 + j * 17 + i * j) % 5 == 0
+    } yield nodes(i) -> nodes(j)
+    val eset = edges.toSet
+    def adj(x: String, y: String) =
+      eset.contains(x -> y) || eset.contains(y -> x)
+    val want = nodes.map { v =>
+      val nb = nodes.filter(u => u != v && adj(u, v))
+      v -> nb.combinations(2).count { case Seq(x, y) => adj(x, y) }
+    }.filter(_._2 > 0).toMap
+    val g2 = tri(edges)
+    assert(want.nonEmpty, "fixture must contain triangles")
+    for ((v, t) <- want)
+      assert(g2(v)._2 === t.toLong, s"triangle count mismatch at $v")
+    assert(g2.filter(_._2._2 > 0).keySet === want.keySet)
+  }
+
   test("DotProduct expression matches the interpreted zip_with fold bit-for-bit") {
     val s = spark
     import s.implicits._

@@ -422,6 +422,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q37 must not plan a global window:\n$p")
   }
 
+  test("p04 triangles: top-64 cut via TakeOrderedAndProject, keyed " +
+       "wedge/close joins, never cartesian") {
+    val p = plan("p04_token_triangles")
+    assert(!p.contains("CartesianProduct"))
+    // triangleCounts checkpoints the edge frame, so the result plan
+    // hides the cut — audit the collocation-graph builder directly
+    val d = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+    val tok = graft.text.TextOps.tokens(d, "text")
+      .select(col("doc_id"), col("token"))
+    val top = tok.groupBy(col("token"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("f"))
+      .orderBy(col("f").desc, col("token")).limit(64)
+    top.collect()
+    val tp = top.queryExecution.executedPlan.toString
+    assert(tp.contains("TakeOrderedAndProject"),
+      s"top-64 token cut must be a bounded take:\n$tp")
+  }
+
   test("q38 session paths: keyed session/path aggs, the top-k cut is " +
        "TakeOrderedAndProject, the rank window sees <= topK rows") {
     val p = plan("q38_session_paths")
