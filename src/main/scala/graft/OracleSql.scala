@@ -22,6 +22,32 @@ object OracleSql {
 
   private val stopList = "'the','a','an','of','and','to','in','is','it','that'"
 
+  /** t34 + t37 share this CTE chain: the exploded-argmin replay of the
+    * winnowing selection frame (k=8, win=4, seed 34), ending at
+    * `sel(doc_id, ng, nw, j, h)`. Consumers append their SELECT (t34)
+    * or further CTEs prefixed with a comma (t37). */
+  private lazy val winnowSelCte: String = {
+    val h = h64Sql("substr(t, j, 8)", "'34'")
+    s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+       |           WHERE len(lower(text)) >= 11),
+       |g0 AS (SELECT doc_id, t, (len(t) - 7)::INT AS ng,
+       |         (len(t) - 10)::INT AS nw,
+       |         unnest(generate_series(1, len(t) - 7))::INT AS j
+       |       FROM d),
+       |g AS (SELECT doc_id, ng, nw, j, $h AS h FROM g0),
+       |w AS (SELECT doc_id, ng, nw, j, h,
+       |        unnest(generate_series(greatest(1, j - 3),
+       |          least(j, nw)))::INT AS i
+       |      FROM g),
+       |s0 AS (SELECT doc_id, ng, nw, j, h,
+       |         row_number() OVER (PARTITION BY doc_id, i
+       |           ORDER BY h, j DESC) AS rn
+       |       FROM w),
+       |sel AS (SELECT DISTINCT doc_id, ng, nw, j, h
+       |        FROM s0 WHERE rn = 1)
+       |""".stripMargin
+  }
+
   /** t01 + t06 share this oracle: bloomContamination is exact-by-
     * construction (Bloom has no false negatives; false positives die in
     * the exact join), so both gate against the plain 8-gram join. */
@@ -3961,32 +3987,30 @@ object OracleSql {
     // portable h64, window w=4 rightmost-min via row_number over
     // (hash ASC, pos DESC) on exploded (window, member) pairs, per-doc
     // digest of the distinct selection set
-    "t34_winnowing" -> {
-      val h = h64Sql("substr(t, j, 8)", "'34'")
-      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
-         |           WHERE len(lower(text)) >= 11),
-         |g0 AS (SELECT doc_id, t, (len(t) - 7)::INT AS ng,
-         |         (len(t) - 10)::INT AS nw,
-         |         unnest(generate_series(1, len(t) - 7))::INT AS j
-         |       FROM d),
-         |g AS (SELECT doc_id, ng, nw, j, $h AS h FROM g0),
-         |w AS (SELECT doc_id, ng, nw, j, h,
-         |        unnest(generate_series(greatest(1, j - 3),
-         |          least(j, nw)))::INT AS i
-         |      FROM g),
-         |s0 AS (SELECT doc_id, ng, nw, j, h,
-         |         row_number() OVER (PARTITION BY doc_id, i
-         |           ORDER BY h, j DESC) AS rn
-         |       FROM w),
-         |sel AS (SELECT DISTINCT doc_id, ng, nw, j, h
-         |        FROM s0 WHERE rn = 1)
-         |SELECT doc_id, max(ng)::BIGINT AS n_grams,
-         |  max(nw)::BIGINT AS n_windows,
-         |  count(*)::BIGINT AS n_sel,
-         |  count(DISTINCT h)::BIGINT AS n_fp,
-         |  bit_xor(h) AS fp_xor, min(h) AS fp_min, max(h) AS fp_max
-         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "t34_winnowing" ->
+      (winnowSelCte +
+        """SELECT doc_id, max(ng)::BIGINT AS n_grams,
+          |  max(nw)::BIGINT AS n_windows,
+          |  count(*)::BIGINT AS n_sel,
+          |  count(DISTINCT h)::BIGINT AS n_fp,
+          |  bit_xor(h) AS fp_xor, min(h) AS fp_min, max(h) AS fp_max
+          |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // t37: winnow-fingerprint decontamination — the t34 selection CTE
+    // reduced to DISTINCT (doc, hash) fingerprints per even/odd half,
+    // boilerplate fingerprints dropped at df > 32 (counted across both
+    // halves), fingerprint-keyed join, pair counts >= 2; all integers
+    "t37_winnow_decontaminate" ->
+      (winnowSelCte +
+        """,fp AS (SELECT DISTINCT doc_id, h FROM sel),
+          |rare AS (SELECT h FROM fp GROUP BY h
+          |         HAVING count(*) <= 32)
+          |SELECT a.doc_id AS train_id, b.doc_id AS bench_id,
+          |  count(*)::BIGINT AS n_shared
+          |FROM fp a JOIN rare USING (h) JOIN fp b USING (h)
+          |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+          |GROUP BY 1, 2 HAVING count(*) >= 2
+          |ORDER BY train_id, bench_id""".stripMargin),
 
     // t35: Flesch / FK readability — fixture periods injected before
     // three common corpus words (regexp_replace 'g'); words/syllables

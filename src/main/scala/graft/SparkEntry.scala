@@ -1910,6 +1910,17 @@ object SparkEntry {
     //    SQUARED log-returns (McLeod & Li 1983); a small p says
     //    volatility clusters, i.e. the GARCH surface (q29/g05)
     //    actually applies to this series ───────────────────────────────
+    // ── t37: winnow-fingerprint decontamination — the MOSS-guarantee
+    //    sketch tier of t01 over the same even/odd fixture ─────────────
+    "t37_winnow_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.TextOps.winnowContamination(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", k = 8, win = 4, seed = 34, minShared = 2)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     // ── p04: token-collocation triangles — degree-oriented triangle
     //    counting + local clustering coefficient over the top-64-token
     //    co-occurrence graph (edge = co-occur in ≥5 docs) ──────────────

@@ -581,6 +581,50 @@ object TextOps {
     }
   }
 
+  /** Winnow-fingerprint decontamination (t37, beyond reference): the
+    * sketch-tier cousin of [[contamination]] built on the MOSS
+    * guarantee instead of every-gram joins — each side reduces to its
+    * DISTINCT winnowing fingerprints (expected density 2/(win+1) of
+    * grams, ~0.4 at the defaults: the fingerprint frame is ~2.5×
+    * smaller than the t01 gram frame before the join even starts),
+    * and any shared substring ≥ k+win−1 chars STILL surfaces, because
+    * winnowing selects at least one common fingerprint inside it —
+    * positional sampling with a recall guarantee, where d05's stride
+    * shingles rely on alignment luck. `minShared ≥ 2` (default)
+    * suppresses single-hash coincidences.
+    *
+    * `maxDf` drops fingerprints present in more than that many docs
+    * (counted across BOTH sides) before the join — template/boilerplate
+    * passages are not contamination signal, and they are exactly the
+    * hot keys that would turn the fingerprint join quadratic (the t21
+    * gram-df / t25 line-df skew bound, at the fingerprint level: join
+    * fan-out per key is capped at maxDf² pairs by construction).
+    *
+    * Scale shape: two zero-shuffle winnowing passes (the t34 in-task
+    * map), one fingerprint df agg, one fingerprint-keyed join of the
+    * df-capped frames, one pair-keyed count agg. Complements rather
+    * than replaces [[contamination]]: winnowing is a sampler, so
+    * n_shared counts shared FINGERPRINTS, not shared grams — use it
+    * to flag candidate pairs at scale and the exact gram join to
+    * score the survivors (the [[bloomContamination]] tiering, one
+    * level sparser). */
+  def winnowContamination(train: DataFrame, bench: DataFrame, id: String,
+                          text: String, k: Int = 8, win: Int = 4,
+                          seed: Int = 34, minShared: Long = 2,
+                          maxDf: Int = 32): DataFrame = {
+    val tFp = winnowSelections(train, id, text, k, win, seed)
+      .select(col(id).as("train_id"), col("h")).distinct()
+    val bFp = winnowSelections(bench, id, text, k, win, seed)
+      .select(col(id).as("bench_id"), col("h")).distinct()
+    val rare = tFp.select(col("h")).unionByName(bFp.select(col("h")))
+      .groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select(col("h"))
+    tFp.join(rare, "h").join(bFp, "h")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** One document's winnowing pass over its CODEPOINT array (Spark
     * length/substr count codepoints, not UTF-16 units — astral chars
     * must gram identically): k-gram h64 hashes, each window's argmin

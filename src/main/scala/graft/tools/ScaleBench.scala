@@ -179,7 +179,8 @@ object ScaleBench {
     "t32_char_entropy", "b09_wordpiece", "d10_prefix_join",
     "t33_heaps_fit", "k03_silhouette",
     "t34_winnowing", "t35_readability", "t36_ngram_overlap",
-    "a19_countmin", "b10_fertility", "m08_image_dhash", "m09_audio_energy", "p04_token_triangles")
+    "a19_countmin", "b10_fertility", "m08_image_dhash", "m09_audio_energy", "p04_token_triangles",
+    "t37_winnow_decontaminate")
 
   /** Fifth axis: document LENGTH. Real corpora span 100× in
     * tokens-per-doc (tweets vs books); this axis holds the doc COUNT
@@ -212,7 +213,7 @@ object ScaleBench {
     "t32_char_entropy", "b09_wordpiece", "d10_prefix_join",
     "t33_heaps_fit", "t34_winnowing", "t35_readability",
     "t36_ngram_overlap", "a19_countmin", "b10_fertility",
-    "m08_image_dhash", "m09_audio_energy")
+    "m08_image_dhash", "m09_audio_energy", "t37_winnow_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -540,6 +540,28 @@ class LineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowContamination: a planted >= k+win-1 shared passage " +
+       "pairs train and bench docs; disjoint docs never pair") {
+    val s = spark
+    import s.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog " * 2
+    val train = Seq(
+      (2L, s"training document alpha with $passage inside the middle"),
+      (4L, "completely unrelated training text about database engines " +
+        "and distributed shuffles and partition pruning strategies"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, s"benchmark item beta contains $passage verbatim too"),
+      (3L, "another benchmark question on astronomy orbits and comets"))
+      .toDF("doc_id", "text")
+    val got = TextOps.winnowContamination(train, bench, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.exists(p => p._1 == 2L && p._2 == 1L && p._3 >= 2L),
+      s"the planted passage must pair (2,1): $got")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 3L),
+      s"disjoint docs must not pair: $got")
+  }
+
   test("winnowing: the MOSS guarantee — docs sharing a substring of " +
        "length ≥ k+w−1 share a fingerprint; density ≈ 2/(w+1); digest " +
        "agrees with the selection frame") {
