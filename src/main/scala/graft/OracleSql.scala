@@ -22,6 +22,33 @@ object OracleSql {
 
   private val stopList = "'the','a','an','of','and','to','in','is','it','that'"
 
+  /** w15 + c15 share this CTE chain: the period-7 additive
+    * decomposition, ending at `dec(user_id, rn, trend, seasonal,
+    * resid)` with the components r6-rounded. Consumers append their
+    * SELECT (w15) or further CTEs prefixed with a comma (c15). */
+  private lazy val w15Cte: String =
+    """WITH b AS (SELECT user_id, ts, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    CASE WHEN count(value) OVER (PARTITION BY user_id
+      |             ORDER BY ts, event_id
+      |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+      |         THEN avg(value) OVER (PARTITION BY user_id
+      |             ORDER BY ts, event_id
+      |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) END AS trend
+      |  FROM events),
+      |p AS (SELECT user_id, ((rn-1) % 7) AS phase,
+      |        avg(value - trend) AS pmean
+      |      FROM b WHERE trend IS NOT NULL GROUP BY 1, 2),
+      |ctr AS (SELECT user_id, avg(pmean) AS ctr FROM p GROUP BY user_id),
+      |s AS (SELECT p.user_id, phase, pmean - ctr.ctr AS seasonal
+      |      FROM p JOIN ctr USING (user_id)),
+      |dec AS (SELECT b.user_id, rn, round(trend, 6) AS trend,
+      |    round(seasonal, 6) AS seasonal,
+      |    round(value - trend - seasonal, 6) AS resid
+      |  FROM b JOIN s ON s.user_id = b.user_id
+      |                AND s.phase = ((b.rn-1) % 7))
+      |""".stripMargin
+
   /** t34 + t37 share this CTE chain: the exploded-argmin replay of the
     * winnowing selection frame (k=8, win=4, seed 34), ending at
     * `sel(doc_id, ng, nw, j, h)`. Consumers append their SELECT (t34)
@@ -4247,27 +4274,25 @@ object OracleSql {
     // centered to zero sum, residual; both engines share the exact
     // window/agg/join shape
     "w15_seasonal_decompose" ->
-      """WITH b AS (SELECT user_id, ts, event_id, value,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-        |    CASE WHEN count(value) OVER (PARTITION BY user_id
-        |             ORDER BY ts, event_id
-        |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
-        |         THEN avg(value) OVER (PARTITION BY user_id
-        |             ORDER BY ts, event_id
-        |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) END AS trend
-        |  FROM events),
-        |p AS (SELECT user_id, ((rn-1) % 7) AS phase,
-        |        avg(value - trend) AS pmean
-        |      FROM b WHERE trend IS NOT NULL GROUP BY 1, 2),
-        |ctr AS (SELECT user_id, avg(pmean) AS ctr FROM p GROUP BY user_id),
-        |s AS (SELECT p.user_id, phase, pmean - ctr.ctr AS seasonal
-        |      FROM p JOIN ctr USING (user_id))
-        |SELECT b.user_id, rn, round(trend, 6) AS trend,
-        |  round(seasonal, 6) AS seasonal,
-        |  round(value - trend - seasonal, 6) AS resid
-        |FROM b JOIN s ON s.user_id = b.user_id
-        |              AND s.phase = ((b.rn-1) % 7)
-        |ORDER BY b.user_id, rn""".stripMargin,
+      (w15Cte +
+        """SELECT user_id, rn, trend, seasonal, resid
+          |FROM dec ORDER BY user_id, rn""".stripMargin),
+
+    // c15: trend / seasonal strength (Wang–Smith–Hyndman) over the w15
+    // decomposition — one further keyed agg over the r6-rounded
+    // components (identical doubles on both engines), complete rows
+    // only (trend non-null)
+    "c15_decomp_strength" ->
+      (w15Cte +
+        """,g AS (SELECT user_id, count(*)::BIGINT AS n_obs,
+          |    var_samp(resid) AS vr,
+          |    var_samp(trend + resid) AS vtr,
+          |    var_samp(seasonal + resid) AS vsr
+          |  FROM dec WHERE trend IS NOT NULL GROUP BY user_id)
+          |SELECT user_id, n_obs,
+          |  round(greatest(0.0, 1.0 - vr/vtr), 6) AS f_trend,
+          |  round(greatest(0.0, 1.0 - vr/vsr), 6) AS f_seasonal
+          |FROM g ORDER BY user_id""".stripMargin),
 
     "q12_histogram_price" ->
       """WITH rng AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),

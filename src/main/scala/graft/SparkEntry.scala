@@ -1942,6 +1942,16 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // ── c15: trend/seasonal strength (Wang–Smith–Hyndman) over the
+    //    w15 decomposition — the forecasting-report feature pair ───────
+    "c15_decomp_strength" -> ((s, dir) => {
+      SeriesStats.decompositionStrength(ev(s, dir), perUser, "value",
+          period = 7)
+        .select(col("user_id"), col("n_obs"), col("f_trend"),
+          col("f_seasonal"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── c14: Wilcoxon rank-sum drift — the rank-based robust twin of
     //    c07 Welch between the chronological halves ────────────────────
     "c14_rank_sum_drift" -> ((s, dir) => {

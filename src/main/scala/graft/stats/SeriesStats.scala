@@ -603,6 +603,39 @@ object SeriesStats {
       (round(col("sen"), 6) + lit(0.0)).as("sen_slope")): _*)
   }
 
+  /** Trend / seasonal strength per series (c15, beyond reference;
+    * Wang, Smith & Hyndman 2006 — the feature pair every forecasting
+    * report leads with): over a [[graft.series.SeriesOps.seasonalDecompose]]
+    * frame (trend T, seasonal S, remainder R per row),
+    * F_trend = max(0, 1 − Var(R)/Var(T+R)) and
+    * F_seas = max(0, 1 − Var(R)/Var(S+R)) — near 1 when the component
+    * explains the detrended/deseasonalized variance, near 0 when the
+    * series is remainder-dominated. Sample variances over the rows
+    * where the decomposition is complete (trend non-null — the w15
+    * centered-MA edge rows drop on both engines identically).
+    *
+    * Scale shape: w15's series-keyed windows + ONE further keyed agg;
+    * the inputs are w15's r6-ROUNDED components, so both engines
+    * aggregate identical doubles and the only fresh FP is the variance
+    * fold (r6-contained). Output per series: (partitionCols, n_obs,
+    * f_trend r6, f_seasonal r6). */
+  def decompositionStrength(df: DataFrame, spec: SeriesSpec,
+                            value: String, period: Int = 7): DataFrame = {
+    val dec = graft.series.SeriesOps
+      .seasonalDecompose(df, spec, value, period)
+      .filter(col("trend").isNotNull)
+    val g = dec.groupBy(spec.partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_obs"),
+        var_samp(col("resid")).as("_vr"),
+        var_samp(col("trend") + col("resid")).as("_vtr"),
+        var_samp(col("seasonal") + col("resid")).as("_vsr"))
+    g.withColumn("f_trend", round(greatest(lit(0.0),
+        lit(1.0) - col("_vr") / col("_vtr")), 6))
+      .withColumn("f_seasonal", round(greatest(lit(0.0),
+        lit(1.0) - col("_vr") / col("_vsr")), 6))
+      .drop("_vr", "_vtr", "_vsr")
+  }
+
   /** Wilcoxon rank-sum / Mann–Whitney U drift test per series (beyond
     * reference; Wilcoxon 1945, Mann & Whitney 1947): the RANK-based
     * complement to [[welchDrift]]'s mean test between the

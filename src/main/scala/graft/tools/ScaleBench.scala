@@ -44,7 +44,7 @@ object ScaleBench {
     "q34_funnel", "q35_retention", "q36_concentration", "p03_hits",
     "c08_cusum", "w16_ewma", "c09_mann_kendall", "c10_kpss",
     "c11_arch_lb", "c12_pettitt", "c13_anderson_darling",
-    "c14_rank_sum_drift",
+    "c14_rank_sum_drift", "c15_decomp_strength",
     "q37_event_transitions", "q38_session_paths",
     // a20's rank windows are single-partition BY DESIGN (the sample
     // is p-bounded to one task; the full side is the gate witness) —
@@ -78,7 +78,7 @@ object ScaleBench {
     // c12's rank/tie/cumsum windows and c13's sorted-rank window are
     // all series-keyed: expect ~n·log n in series length
     "c11_arch_lb", "c12_pettitt", "c13_anderson_darling",
-    "c14_rank_sum_drift",
+    "c14_rank_sum_drift", "c15_decomp_strength",
     // a20's rank windows are single-partition BY DESIGN (the sample
     // is p-bounded to one task; the full side is the gate witness) —
     // expect ~linear-in-events wall on one core, not a plan bug

@@ -406,7 +406,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("c12/c13 new diagnostics: series-keyed windows + keyed agg — " +
        "no cartesian, no unpartitioned data-sized window") {
     for (q <- Seq("c12_pettitt", "c13_anderson_darling",
-                  "c14_rank_sum_drift")) {
+                  "c14_rank_sum_drift", "c15_decomp_strength")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian join")
       assert(!"Window .*\\[partitionBy=\\[\\]".r.findFirstIn(p).isDefined,

@@ -373,6 +373,28 @@ class StatsSpec extends AnyFunSuite {
     assert(run(noise, cap = 2).getAs[Long]("n_lags") === 2L)
   }
 
+  test("decomposition strength: pure trend maxes f_trend, a clean " +
+       "period-7 pattern maxes f_seasonal, hash noise scores low on both") {
+    val s = spark
+    import s.implicits._
+    def ds(xs: Seq[Double]) = SeriesStats.decompositionStrength(
+      xs.zipWithIndex.map { case (v, i) => ("u", i, v) }.toDF("k", "i", "v"),
+      SeriesSpec(Seq("k"), Seq("i")), "v", period = 7).first()
+    val trend = ds((1 to 70).map(_.toDouble))
+    assert(trend.getAs[Double]("f_trend") > 0.99,
+      s"pure ramp must be trend-dominated: $trend")
+    val pattern = Seq(5.0, 1.0, -2.0, 7.0, 0.0, -4.0, 3.0)
+    val seas = ds(Seq.fill(10)(pattern).flatten)
+    assert(seas.getAs[Double]("f_seasonal") > 0.99,
+      s"a repeating period-7 pattern must be seasonal-dominated: $seas")
+    val noise = (1 to 70).map(t =>
+      ((t * 2654435761L) % 1000L).toDouble / 1000.0)
+    val nz = ds(noise)
+    assert(nz.getAs[Double]("f_trend") < 0.6 &&
+      nz.getAs[Double]("f_seasonal") < 0.6,
+      s"hash noise must be remainder-dominated: $nz")
+  }
+
   test("rank-sum drift: hand U/z/p on a clean shift; all-tied series " +
        "nulls z; average ranks handle ties exactly") {
     val s = spark
