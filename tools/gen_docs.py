@@ -360,6 +360,33 @@ scales out); far over {factor} would be a plan bug.
                             f"| {r['ratio']:.2f} |\n")
             except (ValueError, KeyError) as e:
                 f.write(f"\n(BENCH_SF1.json unreadable: {e})\n")
+        # one-off 30x series-count run (r15): the extrapolation check on
+        # the diagnostics/event families beyond the standing 10x axis
+        s30path = os.path.join(ROOT, "BENCH_SF1_SERIES30.json")
+        if os.path.exists(s30path):
+            try:
+                s30 = json.load(open(s30path))
+                f30 = s30.get("factor")
+                f.write(f"""
+## {f30}x series-count spot run (r15 extrapolation check)
+
+Same construction as the series axis above but at factor {f30}
+(~{f30}00 users, per-series length fixed), run once for the
+diagnostics panel (c03-c15), the event-analytics family (q34-q38) and
+the decomposition/EWMA ops: every one of these is a keyed-window +
+keyed-agg chain, so the extra series should fill cores, not queues —
+a ratio materially above {f30} would mean some stage secretly keys on
+nothing. Min-of-2 walls per cell, local[32].
+
+| query | sf0.1 s | x{f30} s | ratio | ratio/{f30} |
+|---|---|---|---|---|
+""")
+                for q, r in sorted(s30.get("queries", {}).items()):
+                    f.write(f"| {q} | {r['base_sec']:.2f} "
+                            f"| {r['scaled_sec']:.2f} | {r['ratio']:.2f} "
+                            f"| {r['ratio'] / f30:.2f} |\n")
+            except (ValueError, KeyError) as e:
+                f.write(f"\n(BENCH_SF1_SERIES30.json unreadable: {e})\n")
         # 10x corpus-size scale experiment for the documents/embeddings
         # family (graft.tools.ScaleBench ... docs)
         dpath = os.path.join(ROOT, "BENCH_SF1_DOCS.json")
