@@ -4972,6 +4972,33 @@ object OracleSql {
         |    AS prob
         |FROM c ORDER BY prev_event, event""".stripMargin,
 
+    // q39: per-user inter-event cadence — exact integer microsecond
+    // gaps, two-middle-rank median (the c09 Sen rule), type-1
+    // ceil(0.9m)-rank p90; no quantile-interpolation dependence
+    "q39_activity_cadence" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap,
+        |    count(*) OVER (PARTITION BY user_id) AS ne
+        |  FROM events),
+        |x AS (SELECT user_id, ne, gap, ts, event_id FROM g
+        |      WHERE gap IS NOT NULL),
+        |r AS (SELECT user_id, ne, gap,
+        |    count(*) OVER (PARTITION BY user_id) AS m,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY gap, ts, event_id) AS rk
+        |  FROM x)
+        |SELECT user_id, max(ne)::BIGINT AS n_events,
+        |  max(m)::BIGINT AS n_gaps,
+        |  sum(CASE WHEN rk = (m+1)//2 OR rk = (m+2)//2
+        |           THEN gap END)::DOUBLE
+        |    / count(CASE WHEN rk = (m+1)//2 OR rk = (m+2)//2
+        |             THEN 1 END) AS median_gap_us,
+        |  max(CASE WHEN rk = ceil(m * 0.9)::BIGINT
+        |           THEN gap END)::BIGINT AS p90_gap_us,
+        |  max(gap)::BIGINT AS max_gap_us
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // q38: top session paths — a02's gap-session ids, first-8 event
     // types string_agg'd in row order, count per path, top-20 with
     // (count DESC, path ASC) rank; counts exact integers

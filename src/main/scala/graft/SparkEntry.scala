@@ -383,6 +383,14 @@ object SparkEntry {
         .orderBy(col("prev_event"), col("event"))
     }),
 
+    // ── q39: activity cadence — per-user inter-event-gap median /
+    //    type-1 p90 / max in exact integer microseconds ────────────────
+    "q39_activity_cadence" -> ((s, dir) => {
+      graft.series.EventAnalytics.cadence(ev(s, dir), "user_id",
+          Seq("ts", "event_id"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── q38: top session paths — 30-min gap sessions rendered as
     //    '>'-joined journeys, top-20 by session count ──────────────────
     "q38_session_paths" -> ((s, dir) => {

@@ -174,6 +174,54 @@ object EventAnalytics {
         sum(col("n_trans")).over(wRow).cast("double"), 6))
   }
 
+  /** Activity-cadence report (q39): per-user inter-event-gap
+    * statistics — the engagement-frequency staple next to [[retention]]
+    * (who is hourly, who is monthly), and the principled way to pick
+    * [[graft.series.SeriesOps.sessionize]]'s gap threshold (the p90
+    * gap of real users, not a folklore 30 minutes). Gaps are exact
+    * integer MICROSECONDS; the median is the explicit two-middle-rank
+    * average (the Sen-slope rule — exact halves, no interpolation
+    * convention) and the p90 is the type-1 ⌈0.9·m⌉-ranked gap (an
+    * exact integer), so nothing here depends on either engine's
+    * quantile formula.
+    *
+    * Scale shape: one user-keyed lag window, one user-keyed gap-rank
+    * window on the same exchange, one keyed agg. Output per user with
+    * ≥ 1 gap: (user, n_events, n_gaps, median_gap_us, p90_gap_us,
+    * max_gap_us). */
+  def cadence(df: DataFrame, user: String,
+              orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(user)).orderBy(orderCols.map(col): _*)
+    val ts = orderCols.head
+    val g = df
+      .withColumn("_gap",
+        unix_micros(col(ts)) - lag(unix_micros(col(ts)), 1).over(w))
+      .withColumn("_ne", count(lit(1)).over(
+        Window.partitionBy(col(user))))
+    val gaps = g.filter(col("_gap").isNotNull)
+      .withColumn("_m", count(lit(1)).over(
+        Window.partitionBy(col(user))))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(user))
+          .orderBy((col("_gap") +: orderCols.map(col)): _*)))
+    // 1-based middle ranks (m+1)/2 and (m+2)/2 (equal when m odd);
+    // p90 rank = ceil(0.9·m) = (9m+9)/10 in integer arithmetic
+    val lo = (col("_m") + lit(1L)) / lit(2L)
+    val hi = (col("_m") + lit(2L)) / lit(2L)
+    val p90 = ceil(col("_m").cast("double") * lit(0.9)).cast("long")
+    gaps.groupBy(col(user))
+      .agg(max(col("_ne")).as("n_events"),
+        max(col("_m")).as("n_gaps"),
+        (sum(when(col("_rk") === lo.cast("long") ||
+            col("_rk") === hi.cast("long"), col("_gap"))) .cast("double") /
+          count(when(col("_rk") === lo.cast("long") ||
+            col("_rk") === hi.cast("long"), lit(1))).cast("double"))
+          .as("median_gap_us"),
+        max(when(col("_rk") === p90, col("_gap"))).as("p90_gap_us"),
+        max(col("_gap")).as("max_gap_us"))
+  }
+
   /** Top session paths (q38): gap-sessionize each user's stream
     * ([[graft.series.SeriesOps.sessionize]]), render each session as
     * the '>'-joined sequence of its first `maxEvents` event types, and

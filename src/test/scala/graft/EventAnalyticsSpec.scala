@@ -79,6 +79,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("b", "a") -> (1L, 1.0)))
   }
 
+  test("cadence: hand-computed median (even-count two-rank average), " +
+       "type-1 p90 and max gap in exact microseconds") {
+    // u1 gaps (minutes): 1, 2, 3, 10 -> m=4: median = (2+3)/2 min,
+    // p90 rank = ceil(3.6) = 4 -> 10 min, max = 10 min
+    val df = ev(
+      ("u1", "2024-01-01 01:00:00", "a"),
+      ("u1", "2024-01-01 01:01:00", "a"),
+      ("u1", "2024-01-01 01:03:00", "a"),
+      ("u1", "2024-01-01 01:06:00", "a"),
+      ("u1", "2024-01-01 01:16:00", "a"),
+      // u2: single event -> no gaps -> no row
+      ("u2", "2024-01-01 01:00:00", "a"))
+      .withColumn("event_id", monotonically_increasing_id())
+    val out = graft.series.EventAnalytics
+      .cadence(df, "user_id", Seq("ts", "event_id")).collect()
+    assert(out.length === 1, "gapless users must emit no row")
+    val r = out.head
+    val min = 60L * 1000000L
+    assert(r.getAs[String]("user_id") === "u1")
+    assert(r.getAs[Long]("n_events") === 5L)
+    assert(r.getAs[Long]("n_gaps") === 4L)
+    assert(r.getAs[Double]("median_gap_us") === 2.5 * min)
+    assert(r.getAs[Long]("p90_gap_us") === 10L * min)
+    assert(r.getAs[Long]("max_gap_us") === 10L * min)
+  }
+
   test("sessionPaths: gap-split journeys, first-maxEvents truncation, " +
        "count-desc/path-asc ranking") {
     val rows = Seq(

@@ -316,10 +316,10 @@ and one environmental:
    but cannot remove box-level contention.
 
 r15 measurements on the fixed code (same box, serialized runs):
-isolated SPARK_GRAFT_ONLY walls 2.60/2.92/3.31 s; mid-round full-suite
-in-suite wall 3.95 s (runs 4.11/3.95); end-of-round bench-of-record
-in-suite wall 2.75 s — both suite walls within 1.3x of isolated,
-meeting the verdict's <=2x criterion on the builder box.
+isolated SPARK_GRAFT_ONLY walls 2.60/2.92/3.31 s; three full-suite
+in-suite walls across the round 3.95 / 2.75 / 2.54 s (the last is the
+bench of record) — every suite wall within 1.3x of isolated, meeting
+the verdict's <=2x criterion on the builder box.
 
 ## t25/t25b doclen re-measure (r15)
 
