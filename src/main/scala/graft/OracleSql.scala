@@ -3864,7 +3864,8 @@ object OracleSql {
         |        row_number() OVER (PARTITION BY user_id
         |          ORDER BY ret, ts, event_id) AS k
         |      FROM x),
-        |z AS (SELECT user_id, n, k, (ret - mu)/sd AS zz FROM m),
+        |z AS (SELECT user_id, n, k,
+        |        CASE WHEN sd > 0 THEN (ret - mu)/sd END AS zz FROM m),
         |e AS (SELECT user_id, n, k,
         |        (-zz/sqrt(2.0)) >= 0 AS upos,
         |        abs(-zz/sqrt(2.0)) AS a1,
@@ -3889,9 +3890,10 @@ object OracleSql {
         |          AS phic
         |      FROM h),
         |tm AS (SELECT user_id, n,
-        |        (2*k - 1)::DOUBLE * ln(greatest(phi, 1e-300))
-        |        + (2*n - 2*k + 1)::DOUBLE * ln(greatest(phic, 1e-300))
-        |          AS term
+        |        CASE WHEN phi IS NOT NULL THEN
+        |          (2*k - 1)::DOUBLE * ln(greatest(phi, 1e-300))
+        |          + (2*n - 2*k + 1)::DOUBLE * ln(greatest(phic, 1e-300))
+        |        END AS term
         |      FROM f),
         |g AS (SELECT user_id, max(n)::BIGINT AS n_obs,
         |        sum(term) AS s
@@ -3906,6 +3908,7 @@ object OracleSql {
         |SELECT user_id, n_obs,
         |  round(a2s, 6) AS a2_stat,
         |  round(ast, 6) AS a2_mod,
+        |  CASE WHEN a2s IS NOT NULL THEN
         |  round(least(1.0, greatest(0.0,
         |    CASE WHEN ast >= 0.6 THEN
         |      exp(1.2937 - 5.709*ast + 0.0186*ast*ast)
@@ -3915,7 +3918,7 @@ object OracleSql {
         |      1.0 - exp(-8.318 + 42.796*ast - 59.938*ast*ast)
         |    ELSE
         |      1.0 - exp(-13.436 + 101.14*ast - 223.73*ast*ast)
-        |    END)), 6) AS p_value
+        |    END)), 6) END AS p_value
         |FROM aa ORDER BY user_id""".stripMargin,
 
     "c08_cusum" ->
@@ -4290,8 +4293,10 @@ object OracleSql {
           |    var_samp(seasonal + resid) AS vsr
           |  FROM dec WHERE trend IS NOT NULL GROUP BY user_id)
           |SELECT user_id, n_obs,
-          |  round(greatest(0.0, 1.0 - vr/vtr), 6) AS f_trend,
-          |  round(greatest(0.0, 1.0 - vr/vsr), 6) AS f_seasonal
+          |  CASE WHEN vtr > 0 THEN
+          |    round(greatest(0.0, 1.0 - vr/vtr), 6) END AS f_trend,
+          |  CASE WHEN vsr > 0 THEN
+          |    round(greatest(0.0, 1.0 - vr/vsr), 6) END AS f_seasonal
           |FROM g ORDER BY user_id""".stripMargin),
 
     "q12_histogram_price" ->

@@ -112,29 +112,59 @@ object EventAnalytics {
     *
     * Every accumulated quantity (Σx, Σi·xᵢ, top-k sum) is an exact
     * integer below 2⁵³; the two divisions are the only FP ops, so
-    * engine op order cannot diverge. Scale shape: one (key, user)
-    * count agg, then rank windows on the USER-TOTALS frame — bounded
-    * by distinct users per key, not events (the t31 vocabulary-frame
-    * argument); one final keyed agg. */
+    * engine op order cannot diverge.
+    *
+    * Scale shape — the bucketed two-phase rank (the C3/C4
+    * [[graft.stats.Divergence.ecdfStats]] machinery, keyed): the gate
+    * keys on event_type, a CONSTANT-cardinality column, so a rank
+    * window partitioned by the key alone would funnel each key's
+    * ENTIRE user base through one sort task at 100×. Instead the
+    * (key, user, count) totals frame range-partitions on the full
+    * sort key (_k, _x, _u) — balanced by range sampling regardless of
+    * key skew — and the exact ascending rank composes as (this key's
+    * rows in lower buckets) + (local rank inside this key's slice of
+    * the bucket). Bucket ids are monotone in the (count, user) order
+    * within a key and the order is total (no ties to split), so the
+    * result is boundary-invariant; the one localCheckpoint pins the
+    * sampled boundaries so the offset frame and the main pass see the
+    * same buckets. The per-(key, bucket) offset frame is range-tiny
+    * (≤ |keys| + nBuckets rows — each bucket holds a contiguous key
+    * range), so its prefix window is bounded by construction. The
+    * descending rank needed for the top-decile share is the mirror
+    * n − i + 1 of the same total order — no second rank pass. */
   def concentration(df: DataFrame, key: String,
                     user: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val totals = df.groupBy(col(key).as("_k"), col(user).as("_u"))
       .agg(count(lit(1)).as("_x"))
-    val ranked = totals
-      .withColumn("_i", row_number().over(
-        Window.partitionBy(col("_k"))
-          .orderBy(col("_x").asc, col("_u").asc)))
-      .withColumn("_n", count(lit(1)).over(
+    val nb = math.max(1,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val bucketed = totals
+      .repartitionByRange(nb, col("_k"), col("_x").asc, col("_u").asc)
+      .withColumn("_b", spark_partition_id())
+      .localCheckpoint() // one totals-sized materialization feeds both
+                         // the offset frame and the main rank pass
+    val bCounts = bucketed.groupBy(col("_k"), col("_b"))
+      .agg(count(lit(1)).as("_bc"))
+    val offsets = bCounts
+      .withColumn("_off", coalesce(sum(col("_bc")).over(
+        Window.partitionBy(col("_k")).orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum(col("_bc")).over(
         Window.partitionBy(col("_k"))))
-      .withColumn("_rd", row_number().over(
-        Window.partitionBy(col("_k"))
-          .orderBy(col("_x").desc, col("_u").asc)))
+      .select(col("_k"), col("_b"), col("_off"), col("_n"))
+    val ranked = bucketed
+      .withColumn("_lr", row_number().over(
+        Window.partitionBy(col("_k"), col("_b"))
+          .orderBy(col("_x").asc, col("_u").asc)))
+      .join(offsets, Seq("_k", "_b"))
+      .withColumn("_i", col("_off") + col("_lr"))
     val g = ranked.groupBy(col("_k"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("_x")).as("total_events"),
         sum(col("_i") * col("_x")).as("_s1"),
-        sum(when(col("_rd") <= ceil(col("_n") / lit(10.0)),
+        sum(when(col("_n") - col("_i") + lit(1L) <=
+            ceil(col("_n") / lit(10.0)),
           col("_x")).otherwise(lit(0L))).as("_top"))
     val nD = col("n_users").cast("double")
     val sxD = col("total_events").cast("double")
@@ -206,7 +236,9 @@ object EventAnalytics {
         Window.partitionBy(col(user))
           .orderBy((col("_gap") +: orderCols.map(col)): _*)))
     // 1-based middle ranks (m+1)/2 and (m+2)/2 (equal when m odd);
-    // p90 rank = ceil(0.9·m) = (9m+9)/10 in integer arithmetic
+    // p90 rank = ceil(m·0.9) computed as the IDENTICAL FP expression
+    // in both engines (the q39 oracle mirrors ceil(m*0.9) verbatim, so
+    // the long m·0.9 double product rounds the same way on both sides)
     val lo = (col("_m") + lit(1L)) / lit(2L)
     val hi = (col("_m") + lit(2L)) / lit(2L)
     val p90 = ceil(col("_m").cast("double") * lit(0.9)).cast("long")
@@ -237,21 +269,32 @@ object EventAnalytics {
     * TakeOrderedAndProject (the t31 cut), and the final rank window
     * sees ≤ topK rows by construction. Output: (rk, path,
     * n_sessions), rk dense in (count DESC, path ASC) order. */
-  def sessionPaths(df: DataFrame, user: String, orderCols: Seq[String],
-                   typeCol: String, gapSeconds: Long,
-                   maxEvents: Int = 8, topK: Int = 20): DataFrame = {
+  /** The per-(user, session) rendered-path frame — [[sessionPaths]]'s
+    * internal state, exposed as the batch reference of the streaming
+    * session-path twin ([[graft.streaming.StreamingEvents]]). */
+  def sessionPathFrame(df: DataFrame, user: String,
+                       orderCols: Seq[String], typeCol: String,
+                       gapSeconds: Long, maxEvents: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spec = graft.series.SeriesSpec(Seq(user), orderCols)
     val sess = graft.series.SeriesOps.sessionize(df, spec, orderCols.head,
       gapSeconds)
     val wS = Window.partitionBy(col(user), col("session_id"))
       .orderBy(orderCols.map(col): _*)
-    val paths = sess.withColumn("_rn", row_number().over(wS))
+    sess.withColumn("_rn", row_number().over(wS))
       .filter(col("_rn") <= maxEvents)
       .groupBy(col(user), col("session_id"))
       .agg(concat_ws(">",
         transform(array_sort(collect_list(struct(col("_rn"),
           col(typeCol).as("_e")))), s => s.getField("_e"))).as("path"))
+  }
+
+  def sessionPaths(df: DataFrame, user: String, orderCols: Seq[String],
+                   typeCol: String, gapSeconds: Long,
+                   maxEvents: Int = 8, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paths = sessionPathFrame(df, user, orderCols, typeCol,
+      gapSeconds, maxEvents)
     val counts = paths.groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"))
     counts.orderBy(col("n_sessions").desc, col("path")).limit(topK)

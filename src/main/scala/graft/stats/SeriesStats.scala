@@ -629,10 +629,18 @@ object SeriesStats {
         var_samp(col("resid")).as("_vr"),
         var_samp(col("trend") + col("resid")).as("_vtr"),
         var_samp(col("seasonal") + col("resid")).as("_vsr"))
-    g.withColumn("f_trend", round(greatest(lit(0.0),
-        lit(1.0) - col("_vr") / col("_vtr")), 6))
-      .withColumn("f_seasonal", round(greatest(lit(0.0),
-        lit(1.0) - col("_vr") / col("_vsr")), 6))
+    // degenerate-variance guard (the c14 when(_var > 0) pattern): a
+    // flat component (_vtr/_vsr = 0) or a single complete row (Spark
+    // var_samp → NaN, DuckDB → NULL) yields NULL on both engines —
+    // never a NaN-vs-NULL divergence (NaN > 0 is false in Spark, so
+    // the guard absorbs both shapes); the c15 oracle carries the same
+    // CASE
+    g.withColumn("f_trend", when(col("_vtr") > 0,
+        round(greatest(lit(0.0),
+          lit(1.0) - col("_vr") / col("_vtr")), 6)))
+      .withColumn("f_seasonal", when(col("_vsr") > 0,
+        round(greatest(lit(0.0),
+          lit(1.0) - col("_vr") / col("_vsr")), 6)))
       .drop("_vr", "_vtr", "_vsr")
   }
 
@@ -801,7 +809,13 @@ object SeriesStats {
         log(greatest(phi, lit(1e-300))) +
       (lit(2L) * col("_n") - lit(2L) * col("_k") + lit(1L)).cast("double") *
         log(greatest(phiC, lit(1e-300)))
-    val g = x.withColumn("_term", term)
+    // degenerate guard (the welch/c14 when(_var > 0) pattern): an
+    // all-tied series (_sd = 0) or a single row (Spark stddev_samp →
+    // NaN, DuckDB → NULL) nulls every term — NaN > 0 is false, so the
+    // guard absorbs both shapes and the series' sum degrades to NULL
+    // on both engines instead of a NaN-vs-NULL divergence; n ≥ 2
+    // non-constant rows are required for a defined A²
+    val g = x.withColumn("_term", when(col("_sd") > 0, term))
       .groupBy(keys.map(col): _*)
       .agg(max(col("_n")).as("n_obs"), sum(col("_term")).as("_s"))
     val nd = col("n_obs").cast("double")
@@ -821,7 +835,11 @@ object SeriesStats {
       .withColumn("_as", aStar)
       .withColumn("a2_stat", round(col("_a2"), 6))
       .withColumn("a2_mod", round(col("_as"), 6))
-      .withColumn("p_value", round(least(lit(1.0), greatest(lit(0.0), p)), 6))
+      // p gated on the sum existing: Spark greatest() SKIPS nulls
+      // (greatest(0.0, null) = 0.0) while the clamp must stay NULL for
+      // a degenerate series, matching the oracle's NULL propagation
+      .withColumn("p_value", when(col("_s").isNotNull,
+        round(least(lit(1.0), greatest(lit(0.0), p)), 6)))
       .drop("_s", "_a2", "_as")
   }
 

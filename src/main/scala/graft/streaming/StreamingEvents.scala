@@ -3,15 +3,19 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Stream-static twins of the event-analytics family (q34 funnel /
-  * q35 retention — `graft.series.EventAnalytics`), completing the
+/** Streaming twins of the event-analytics family
+  * (`graft.series.EventAnalytics`), completing the
   * every-family-batch-stream-paired discipline (SURVEY §2.10; the
-  * reference is strictly batch). Both twins follow the stream-static
-  * shape: the per-user reference frame is FROZEN batch state (stage
-  * entry times / cohort days), the event stream joins against it, and
-  * the streaming engine owns the incremental state (an update-mode
-  * min-agg, a dropDuplicates dedup store) — never a global window
-  * over the unbounded stream.
+  * reference is strictly batch). The q34 funnel / q35 retention twins
+  * follow the stream-static shape: the per-user reference frame is
+  * FROZEN batch state (stage entry times / cohort days), the event
+  * stream joins against it, and the streaming engine owns the
+  * incremental state (an update-mode min-agg, a dropDuplicates dedup
+  * store). The q37 transitions / q39 cadence twins carry ONE
+  * last-event / last-timestamp tuple per user in GroupState, and the
+  * q38 session-path twin rides the native session window — in every
+  * case bounded keyed state, never a global window over the unbounded
+  * stream.
   */
 object StreamingEvents {
 
@@ -66,4 +70,104 @@ object StreamingEvents {
         datediff(col("_d"), col("_cd")).cast("int").as("offset_days"),
         col("_u"))
       .dropDuplicates("cohort", "offset_days", "_u")
+
+  /** Streaming twin of q37 ([[graft.series.EventAnalytics.transitions]]):
+    * per-user LAST-EVENT state (one (ts, event_id, type) triple per
+    * user — the GroupState analogue of the batch lag window) emits one
+    * (prev_event, event) row per observed transition; counting the
+    * emitted rows per pair IS `n_trans` (the [[retentionActives]]
+    * counting contract), and the row-normalized probability is the
+    * same bounded totals-frame division downstream. Within a
+    * micro-batch each group's rows replay in (ts, event_id) order;
+    * across batches the state carries the last seen event, so the
+    * emitted pairs converge to the batch lag exactly when the stream
+    * replays per-user event-time-ordered (a single-batch replay — the
+    * batch-agreement spec — is always ordered). Output (append):
+    * (_u, prev_event, event). */
+  def transitionPairs(stream: DataFrame, user: String, ts: String,
+                      eventId: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val src = stream.select(col(user).cast("long").as("_u"),
+      unix_micros(col(ts)).as("_t"),
+      col(eventId).cast("long").as("_i"),
+      col(typeCol).as("_e")).as[(Long, Long, Long, String)]
+    src.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (u: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, String)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          val out = Seq.newBuilder[(Long, String, String)]
+          var last = state.getOption
+          sorted.foreach { r =>
+            last.foreach(l => out += ((u, l._3, r._4)))
+            last = Some((r._2, r._3, r._4))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }.toDF("_u", "prev_event", "event")
+  }
+
+  /** Streaming twin of q39 ([[graft.series.EventAnalytics.cadence]]):
+    * per-user LAST-TIMESTAMP state emits each inter-event gap in exact
+    * integer microseconds as it is observed — the stateful half of the
+    * cadence report; the keyed gap statistics (median / p90 / max)
+    * aggregate the emitted gap stream downstream exactly as the batch
+    * agg does. Same in-order replay contract as [[transitionPairs]].
+    * Output (append): (_u, gap_us). */
+  def cadenceGaps(stream: DataFrame, user: String, ts: String,
+                  eventId: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val src = stream.select(col(user).cast("long").as("_u"),
+      unix_micros(col(ts)).as("_t"),
+      col(eventId).cast("long").as("_i")).as[(Long, Long, Long)]
+    src.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (u: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          val out = Seq.newBuilder[(Long, Long)]
+          var last = state.getOption
+          sorted.foreach { r =>
+            last.foreach(l => out += ((u, r._2 - l._1)))
+            last = Some((r._2, r._3))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }.toDF("_u", "gap_us")
+  }
+
+  /** Streaming twin of q38 ([[graft.series.EventAnalytics.sessionPaths]]):
+    * the a02 native session window assembles each user's gap-bounded
+    * session and renders its first `maxEvents` event types as the
+    * '>'-joined path — state is the OPEN sessions only, expired by the
+    * event-time watermark (the [[StreamingSessions]] contract, and its
+    * exactly-gap-sized-step boundary caveat applies verbatim). Append
+    * mode — the only mode Spark supports for streaming session-window
+    * aggregation: a session emits exactly ONCE, when the event-time
+    * watermark passes its close, so counting the emitted rows per
+    * path IS the q38 census (the top-k cut is the same bounded take
+    * downstream); sessions still open at the tail of a bounded replay
+    * stay in state, which the batch-agreement spec pins as a
+    * two-sided containment (emitted ⊆ batch census; every
+    * watermark-closed session emitted, path-identical). Output
+    * (append): (_u, session_start, path). */
+  def sessionPathRows(stream: DataFrame, user: String, ts: String,
+                      eventId: String, typeCol: String,
+                      gap: String = "30 minutes",
+                      watermark: String = "1 hour",
+                      maxEvents: Int = 8): DataFrame =
+    stream.withWatermark(ts, watermark)
+      .groupBy(col(user).as("_u"), session_window(col(ts), gap))
+      .agg(concat_ws(">", slice(transform(array_sort(collect_list(struct(
+          col(ts).as("_t"), col(eventId).as("_i"),
+          col(typeCol).as("_e")))),
+        s => s.getField("_e")), 1, maxEvents)).as("path"))
+      .select(col("_u"), col("session_window.start").as("session_start"),
+        col("path"))
 }

@@ -353,18 +353,28 @@ object TextOps {
     * over the vocabulary frame, then a cumsum over the PER-DOC frame —
     * one row per document, INTEGER sums (exact at any order). The
     * cumsum window is a global order over that per-doc frame, so the
-    * fit runs on the `maxDocs` DOC-ID PREFIX of the corpus (filter
-    * `id < maxDocs` BEFORE tokenizing — it pushes to the parquet scan
-    * as a min/max-pruned predicate): the curve is a corpus diagnostic,
-    * not a per-doc output, and a million-doc prefix pins β as tightly
-    * as the full web corpus would, while bounding the single-task
-    * cumsum at ≤maxDocs tiny rows by construction (the mannKendall
-    * `maxN` pattern, stats/SeriesStats.scala). Requires a numeric doc
-    * id; the default cap never binds at fixture scale, so the gate
-    * hash is prefix-invariant. */
+    * fit runs on a `maxDocs`-sized HASH SAMPLE of the corpus: one
+    * cheap doc count derives the modulus k = ⌈n/maxDocs⌉ and the fit
+    * keeps docs with xxhash64(id) % k == 0 (the a03 hash-split
+    * machinery — id-distribution-proof: sparse, hashed or string doc
+    * ids sample at the same ~maxDocs rate where an id-prefix cap
+    * would silently starve or implicit-cast them). The curve is a
+    * corpus diagnostic, not a per-doc output, and a million-doc
+    * sample pins β as tightly as the full web corpus would, while
+    * bounding the single-task cumsum at ≈maxDocs tiny rows by
+    * construction (the mannKendall `maxN` pattern,
+    * stats/SeriesStats.scala). When the sample binds, `n_docs` in the
+    * output row IS the number of docs actually fitted — the cap is
+    * never silent. k = 1 below the cap (the fixture/gate case), where
+    * the filter is skipped entirely and the fit is exact. */
   def heapsFit(df: DataFrame, id: String, text: String,
                maxDocs: Long = 1000000L): DataFrame = {
-    val toks = tokens(df.filter(col(id) < maxDocs), text)
+    val nDocs = df.select(col(id)).count()
+    val k = math.max(1L, (nDocs + maxDocs - 1L) / maxDocs)
+    val sampled =
+      if (k == 1L) df
+      else df.filter(pmod(xxhash64(col(id)), lit(k)) === 0)
+    val toks = tokens(sampled, text)
     val perDoc = toks.groupBy(col(id)).agg(count(lit(1)).as("n_toks"))
     val newTypes = toks.groupBy(col("token"))
       .agg(min(col(id)).as("fd"))

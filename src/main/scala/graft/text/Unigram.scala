@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Unigram-LM subword tokenization (b08) — the OTHER major subword
@@ -21,7 +20,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: training is one word-count agg (map-side combinable)
   * plus a substring explode over the DISTINCT-WORD frame (bounded by
-  * vocabulary, not corpus) and a top-K window; the model is
+  * vocabulary, not corpus) and a bounded top-K take
+  * (TakeOrderedAndProject — never a global rank window); the model is
   * model-sized by contract (the only collect). Encoding is one
   * stateless mapPartitions pass with the broadcast piece map and a
   * per-task word cache — zero shuffles, embarrassingly parallel at
@@ -39,13 +39,17 @@ object Unigram {
 
   final case class Piece(piece: String, cnt: Long, logp6: Double)
 
-  /** Fit the piece inventory: all substrings of length 1..MaxPieceLen
-    * of the corpus's words, weighted by word frequency (every start
-    * position counts), top `topK` multi-char pieces by
-    * (cnt DESC, piece ASC) plus ALL single characters; log-probs from
-    * relative counts over the selected set, 6-rounded. */
-  def trainPieces(df: DataFrame, text: String,
-                  topK: Int = 64): Seq[Piece] = {
+  /** The distributed piece selection, exposed for the plan audit:
+    * top `topK` multi-char substrings by (cnt DESC, piece ASC) — the
+    * cut runs as `orderBy(...).limit(topK)`, which Catalyst compiles
+    * to TakeOrderedAndProject (a per-partition bounded heap + driver
+    * merge of ≤topK rows per partition, the t31/q03 top-k shape), so
+    * the FULL substring-candidate frame (every ≤[[MaxPieceLen]]
+    * substring of every distinct word — billions of rows on a web
+    * corpus) never funnels through one unpartitioned window task —
+    * unioned with ALL single characters (alphabet-bounded). */
+  private[graft] def selectedPieces(df: DataFrame, text: String,
+                                   topK: Int): DataFrame = {
     val words = df
       .select(explode(split(col(text), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -59,13 +63,20 @@ object Unigram {
           .as("l"))
       .select(col("w").substr(col("i"), col("l")).as("piece"), col("c"))
       .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
-    val rk = Window.orderBy(col("cnt").desc, col("piece"))
     val multi = pieces.filter(length(col("piece")) >= 2)
-      .withColumn("rk", row_number().over(rk))
-      .filter(col("rk") <= topK)
+      .orderBy(col("cnt").desc, col("piece")).limit(topK)
       .select(col("piece"), col("cnt"))
-    val selected = multi
-      .unionByName(pieces.filter(length(col("piece")) === 1))
+    multi.unionByName(pieces.filter(length(col("piece")) === 1))
+  }
+
+  /** Fit the piece inventory: all substrings of length 1..MaxPieceLen
+    * of the corpus's words, weighted by word frequency (every start
+    * position counts), top `topK` multi-char pieces by
+    * (cnt DESC, piece ASC) plus ALL single characters; log-probs from
+    * relative counts over the selected set, 6-rounded. */
+  def trainPieces(df: DataFrame, text: String,
+                  topK: Int = 64): Seq[Piece] = {
+    val selected = selectedPieces(df, text, topK)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)

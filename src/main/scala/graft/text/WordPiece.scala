@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** WordPiece subword tokenization (b09) — the third major subword
@@ -23,7 +22,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: training is one word-count agg plus a substring
   * explode over the DISTINCT-WORD frame (vocabulary-bounded, not
-  * corpus-bounded) and a top-K window; the model is model-sized by
+  * corpus-bounded) and a bounded top-K take (TakeOrderedAndProject —
+  * never a global rank window); the model is model-sized by
   * contract (the only collect). Encoding is a stateless mapPartitions
   * pass with the broadcast piece set and a per-task word cache — zero
   * shuffles, embarrassingly parallel, applies unchanged to a stream. */
@@ -40,9 +40,17 @@ object WordPiece {
 
   final case class Piece(core: String, isCont: Boolean, cnt: Long)
 
-  /** Fit the piece inventory (see object doc). */
-  def trainPieces(df: DataFrame, text: String,
-                  topK: Int = 64): Seq[Piece] = {
+  /** The distributed piece selection, exposed for the plan audit:
+    * top `topK` multi-char positioned substrings by
+    * (cnt DESC, marked-piece ASC) — the cut runs as
+    * `orderBy(...).limit(topK)`, which Catalyst compiles to
+    * TakeOrderedAndProject (per-partition bounded heap + driver merge,
+    * the t31/[[Unigram.selectedPieces]] shape), so the full
+    * substring-candidate frame never funnels through one unpartitioned
+    * rank-window task — unioned with ALL single characters in both
+    * forms (alphabet-bounded). */
+  private[graft] def selectedPieces(df: DataFrame, text: String,
+                                   topK: Int): DataFrame = {
     val words = df
       .select(explode(split(col(text), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -61,14 +69,17 @@ object WordPiece {
       .withColumn("marked",
         when(col("is_cont"), concat(lit("##"), col("core")))
           .otherwise(col("core")))
-    val rk = Window.orderBy(col("cnt").desc, col("marked"))
     val multi = pieces.filter(length(col("core")) >= 2)
-      .withColumn("rk", row_number().over(rk))
-      .filter(col("rk") <= topK)
+      .orderBy(col("cnt").desc, col("marked")).limit(topK)
       .select(col("core"), col("is_cont"), col("cnt"))
-    multi
-      .unionByName(pieces.filter(length(col("core")) === 1)
-        .select(col("core"), col("is_cont"), col("cnt")))
+    multi.unionByName(pieces.filter(length(col("core")) === 1)
+      .select(col("core"), col("is_cont"), col("cnt")))
+  }
+
+  /** Fit the piece inventory (see object doc). */
+  def trainPieces(df: DataFrame, text: String,
+                  topK: Int = 64): Seq[Piece] = {
+    selectedPieces(df, text, topK)
       .collect()
       .map(r => Piece(r.getString(0), r.getBoolean(1), r.getLong(2)))
       .sortBy(p => (p.core, p.isCont))

@@ -187,6 +187,108 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "streamed retention actives must converge to the batch matrix")
   }
 
+  test("streaming q37/q38/q39 twins: transition pairs, session paths " +
+       "and cadence gaps converge to the batch results") {
+    val s = spark
+    import s.implicits._
+    val dir = SparkSpec.sfDir
+    val batch = graft.core.Tables.events(s, dir)
+    val stream = graft.streaming.StreamingRollup.eventsStream(s, dir)
+
+    // q37 twin: counting streamed (prev, event) pairs == batch n_trans
+    val wantTrans = graft.series.EventAnalytics
+      .transitions(batch, "user_id", Seq("ts", "event_id"), "event_type")
+      .select(col("prev_event"), col("event"), col("n_trans"))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val gotPairs = scala.collection.mutable
+      .ArrayBuffer.empty[(String, String)]
+    val qt = graft.streaming.StreamingEvents
+      .transitionPairs(stream, "user_id", "ts", "event_id", "event_type")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        gotPairs.synchronized { gotPairs ++= b
+          .select(col("prev_event"), col("event"))
+          .as[(String, String)].collect() }
+        ()
+      }.start()
+    qt.processAllAvailable(); qt.stop()
+    val gotTrans = gotPairs.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    assert(gotTrans.nonEmpty && gotTrans === wantTrans,
+      "streamed transition pairs must converge to the batch matrix")
+
+    // q39 twin: the streamed gap multiset per user == the batch lag gaps
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wantGaps = batch
+      .withColumn("_gap", unix_micros(col("ts")) -
+        lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("_gap").isNotNull)
+      .select(col("user_id"), col("_gap"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val gotGaps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val qg = graft.streaming.StreamingEvents
+      .cadenceGaps(stream, "user_id", "ts", "event_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        gotGaps.synchronized { gotGaps ++= b
+          .as[(Long, Long)].collect() }
+        ()
+      }.start()
+    qg.processAllAvailable(); qg.stop()
+    assert(gotGaps.nonEmpty && gotGaps.sorted.toSeq === wantGaps,
+      "streamed cadence gaps must converge to the batch lag gaps")
+
+    // q38 twin (append mode — a session emits once, when the
+    // watermark passes its close): two-sided containment against the
+    // batch frame — every emitted (user, session_start) matches the
+    // batch session's path, and every session whose close the final
+    // watermark definitely passed was emitted
+    val spec38 = graft.series.SeriesSpec(Seq("user_id"),
+      Seq("ts", "event_id"))
+    val sess = graft.series.SeriesOps.sessionize(batch, spec38, "ts",
+      1800L)
+    val extents = sess.groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("_start"), max(col("ts")).as("_end"))
+    val frame = graft.series.EventAnalytics
+      .sessionPathFrame(batch, "user_id", Seq("ts", "event_id"),
+        "event_type", gapSeconds = 1800, maxEvents = 8)
+      .join(extents, Seq("user_id", "session_id"))
+      .select(col("user_id"), col("_start"), col("_end"), col("path"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, String)]
+      .collect()
+    val allSessions = frame.map(r => (r._1, r._2) -> r._4).toMap
+    val maxTsUs = batch.agg(max(unix_micros(col("ts"))))
+      .as[Long].head()
+    // 1s guard over the ms-precision getTime so a boundary-adjacent
+    // session can never flake into the must-emit set
+    val mustEmit = frame.filter(r =>
+      r._3.getTime * 1000L + 1801L * 1000000L < maxTsUs)
+      .map(r => (r._1, r._2)).toSet
+    val gotSessions = scala.collection.mutable
+      .Map.empty[(Long, java.sql.Timestamp), String]
+    val qp = graft.streaming.StreamingEvents
+      .sessionPathRows(stream, "user_id", "ts", "event_id",
+        "event_type", gap = "30 minutes", watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        gotSessions.synchronized { gotSessions ++= b
+          .as[(Long, java.sql.Timestamp, String)].collect()
+          .map(r => (r._1, r._2) -> r._3) }
+        ()
+      }.start()
+    qp.processAllAvailable(); qp.stop()
+    assert(gotSessions.nonEmpty,
+      "the bounded replay must close and emit sessions")
+    gotSessions.foreach { case (k, path) =>
+      assert(allSessions.get(k).contains(path),
+        s"emitted session $k path '$path' must match the batch census") }
+    val missing = mustEmit -- gotSessions.keySet
+    assert(missing.isEmpty,
+      s"sessions closed by the final watermark must emit: $missing")
+  }
+
   test("retention: first-seen-day cohorts, distinct actives per offset") {
     val df = ev(
       ("u1", "2024-01-01 10:00:00", "view"),

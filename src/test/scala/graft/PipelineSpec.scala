@@ -2056,4 +2056,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(r._3 - 1.0) < 1e-9)
     assert(math.abs(r._4 - 1.0) < 1e-9)
   }
+
+  test("heapsFit: sparse/huge doc ids sample at the same rate — the " +
+       "hash-mod cap cannot starve the fit (an id<maxDocs prefix " +
+       "would keep ZERO of these), and n_docs reports the docs " +
+       "actually fitted when the cap binds") {
+    val s = spark
+    import s.implicits._
+    val sparse = (0 until 40).map(i =>
+      (10000000000L + i * 1000L,
+        s"tok$i alt$i common a b c d e f")).toDF("doc_id", "text")
+    // cap binds: k = ceil(40/8) = 5 → a ~1/5 deterministic hash sample
+    val capped = graft.text.TextOps
+      .heapsFit(sparse, "doc_id", "text", maxDocs = 8L)
+      .select("n_docs").as[Long].head()
+    assert(capped >= 1L && capped < 40L,
+      s"the binding cap must keep a nonzero strict subset, got $capped")
+    // below the cap the filter is skipped entirely: exact fit,
+    // invariant to how the ids are distributed
+    val exact = graft.text.TextOps.heapsFit(sparse, "doc_id", "text")
+      .select("n_docs").as[Long].head()
+    assert(exact === 40L)
+  }
 }

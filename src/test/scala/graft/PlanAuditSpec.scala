@@ -532,15 +532,48 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rank window must consume the TakeOrderedAndProject output:\n$p")
   }
 
-  test("t33 heaps: the maxDocs prefix cap pushes to the parquet scan") {
+  test("t33 heaps: the hash-mod doc sample reads only (doc_id, text) — " +
+       "no unused columns reach the scan") {
     val df = graft.text.TextOps.heapsFit(
       graft.core.Tables.documents(spark, SparkSpec.sfDir),
       "doc_id", "text", maxDocs = 1000000L)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    val scan = p.linesIterator.filter(_.contains("PushedFilters")).mkString
-    assert(scan.contains("LessThan(doc_id"),
-      s"the doc-id prefix cap must reach the scan as a pushed filter: $scan")
+    val scan = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(scan.contains("doc_id") && scan.contains("text"),
+      s"scan schema: $scan")
+    assert(!scan.contains("lang") && !scan.contains("source"),
+      s"t33 must not read unused columns: $scan")
+  }
+
+  test("b08/b09 trainers: the top-K piece cut is TakeOrderedAndProject " +
+       "— the substring-candidate frame plans NO window at all (the " +
+       "t31 zipfFit fix, applied to both tokenizer train paths)") {
+    val docs = graft.core.Tables.documents(spark, SparkSpec.sfDir)
+    val stages = Seq(
+      "b08" -> graft.text.Unigram.selectedPieces(docs, "text", 64),
+      "b09" -> graft.text.WordPiece.selectedPieces(docs, "text", 64))
+    for ((name, sel) <- stages) {
+      sel.collect()
+      val p = sel.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name top-K cut must compile to TakeOrderedAndProject:\n$p")
+      assert(!p.contains("Window"),
+        s"$name train path must plan no rank window:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q36 gini: bucketed two-phase rank — every row_number window " +
+       "keys on (key, bucket), never the constant-cardinality key alone") {
+    val p = plan("q36_concentration")
+    assert(!p.contains("CartesianProduct"))
+    val rn = p.linesIterator
+      .filter(_.contains("row_number")).toSeq
+    assert(rn.nonEmpty, s"expected the local-rank window:\n$p")
+    rn.foreach(l => assert(l.contains("_b"),
+      s"the rank window must include the range-bucket key: $l"))
   }
 
   test("b08 unigram viterbi encode: map-side after the model collect — " +

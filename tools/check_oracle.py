@@ -77,10 +77,15 @@ def main(sf_dir, out_dir):
     print(f"== {npass}/{len(results)} pass")
     return results
 
-def write_json(results, path):
+def write_json(results, path, round_label=None):
     """Driver-CORRECTNESS-format dump so gen_docs.py can fold the local
-    end-of-round gate state into COVERAGE_GATE.md."""
+    end-of-round gate state into COVERAGE_GATE.md. `round_label` is
+    stored under "_meta" so gen_docs.py can label the round explicitly
+    instead of inferring it from file mtimes (which git does not
+    preserve — a fresh checkout reorders them)."""
     out = {}
+    if round_label is not None:
+        out["_meta"] = {"round": int(round_label)}
     for name, v in results.items():
         if v.startswith("ROWS_ONLY"):
             rows = int(v.split("rows=")[1])
@@ -101,4 +106,5 @@ def write_json(results, path):
 if __name__ == "__main__":
     res = main(sys.argv[1], sys.argv[2])
     if len(sys.argv) > 3 and sys.argv[3] == "--json":
-        write_json(res, sys.argv[4] if len(sys.argv) > 4 else "LOCAL_GATE.json")
+        write_json(res, sys.argv[4] if len(sys.argv) > 4 else "LOCAL_GATE.json",
+                   sys.argv[5] if len(sys.argv) > 5 else None)

@@ -45,9 +45,18 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1].isdigit():
         rnd = sys.argv[1]
     else:
+        # prefer the explicit round stored in LOCAL_GATE.json's _meta
+        # (written by check_oracle.py --json <path> <round>); fall back
+        # to the mtime heuristic only for legacy gate files — git does
+        # not preserve mtimes, so a fresh checkout reorders them
+        # (ADVICE r15)
         lg = os.path.join(ROOT, "LOCAL_GATE.json")
-        if os.path.exists(lg) and os.path.getmtime(lg) > os.path.getmtime(cpath):
-            rnd = str(int(gate_rnd) + 1)
+        if os.path.exists(lg):
+            meta = json.load(open(lg)).get("_meta") or {}
+            if "round" in meta:
+                rnd = str(meta["round"])
+            elif os.path.getmtime(lg) > os.path.getmtime(cpath):
+                rnd = str(int(gate_rnd) + 1)
     corr = json.load(open(cpath))
     bench = json.load(open(bpath))
     # the driver artifact wraps the Bench JSON line: {n, rc, sf, tail,
@@ -118,7 +127,8 @@ def main():
     local = None
     lpath = os.path.join(ROOT, "LOCAL_GATE.json")
     if os.path.exists(lpath):
-        lcorr = json.load(open(lpath))
+        lcorr = {k: v for k, v in json.load(open(lpath)).items()
+                 if not k.startswith("_")}
         lp = sum(1 for r in lcorr.values() if r.get("hash_match") is True)
         ln = sum(1 for r in lcorr.values() if r.get("err") == "no_oracle")
         lf = len(lcorr) - lp - ln
@@ -177,6 +187,13 @@ of {local[3]} queries.
                 "generator runs as o01/o02 — inherits the same exemption",
                 "o03f (rung/promotion arithmetic replayed over 'o03'-tagged "
                 "md5 pseudo-fitness with seed-ordered folds), o01f/o01b "
+                "(the shared fitness core)"),
+            "o04_hyperband": (
+                "Hyperband runs three successive-halving brackets over the "
+                "same seeded full generator runs as o01-o03 — inherits the "
+                "same exemption",
+                "o04f (all three brackets' draw/rung/promotion arithmetic "
+                "replayed over 'o04'-tagged md5 pseudo-fitness), o01f/o01b "
                 "(the shared fitness core)"),
             "q30_distribution_eval": (
                 "full metric record embeds the maxlag-20 AIC-selected ADF "
