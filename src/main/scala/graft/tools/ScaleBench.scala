@@ -628,7 +628,22 @@ object ScaleBench {
           graft.sim.Similarity.bandedNearDupPairsScaled(
             graft.core.Tables.embeddings(spark, d), "vec_id", "embedding",
             "label", threshold = 0.45, targetBucket = 64, recall = 0.95,
-            seed = 7L)))
+            seed = 7L)),
+        // d04's production operating point: the gate entry's fixed
+        // bandPlanes(64, 3, 4) saturates its 16 buckets per (label,
+        // band) as the corpus grows (the s01/q24 small-corpus-config
+        // regime — candidate pairs go ~O(n²) past ~10x), so the scale
+        // path derives planes/bands from occupancy+recall and feeds
+        // the SAME connected-components clustering
+        "d04x_embed_cluster_scaled" -> ((d: String) => {
+          val pairs = graft.sim.Similarity.bandedNearDupPairsScaled(
+            graft.core.Tables.embeddings(spark, d), "vec_id", "embedding",
+            "label", threshold = 0.3, targetBucket = 64, recall = 0.95,
+            seed = 7L)
+          graft.text.Dedup.connectedComponents(pairs)
+            .select(col("id").as("vec_id"), col("cluster").as("cluster_id"),
+              (col("id") === col("cluster")).as("keep"))
+        }))
     val jsonOutFull = family match {
       case "docs"   => "BENCH_SF1_DOCS.json"
       case "doclen" => "BENCH_SF1_DOCLEN.json"

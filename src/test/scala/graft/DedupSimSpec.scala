@@ -1288,6 +1288,45 @@ class DedupSimSpec extends AnyFunSuite {
     assert(scaledB.subsetOf(exactB), "blocked scaled LSH must not invent pairs")
   }
 
+  test("d04x shape: occupancy-scaled pair clustering groups exact twins " +
+       "at probability 1 and never merges beyond the exact clusters") {
+    val s = spark
+    import s.implicits._
+    // 3 planted twin groups of IDENTICAL vectors (same sign pattern
+    // under ANY plane set, so the scaled operating point pairs them
+    // deterministically) among Gaussian noise singletons, one block
+    val rnd = new scala.util.Random(11L)
+    val base = Array.fill(3)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 60).map { i =>
+      val v = if (i < 12) base(i % 3)
+              else Array.fill(16)(rnd.nextGaussian().toFloat)
+      (i.toLong, v, "a")
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    def clustersOf(pairs: org.apache.spark.sql.DataFrame)
+        : Map[Long, Long] =
+      graft.text.Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactC = clustersOf(Similarity.blockedNearDupPairs(
+      df, "vec_id", "embedding", "label", threshold = 0.9))
+    val scaledC = clustersOf(Similarity.bandedNearDupPairsScaled(
+      df, "vec_id", "embedding", "label", threshold = 0.9,
+      targetBucket = 16, recall = 0.95, seed = 7L))
+    // every twin group lands in ONE scaled cluster
+    for (g <- 0 until 3) {
+      val ids = (0 until 12).filter(_ % 3 == g).map(_.toLong)
+      val cl = ids.map(scaledC.getOrElse(_, -1L)).distinct
+      assert(cl.size == 1 && cl.head >= 0,
+        s"twin group $g must cluster together, got $cl")
+    }
+    // refinement: scaled pairs ⊆ exact pairs, so no scaled cluster may
+    // span two exact clusters
+    val span = scaledC.groupBy(_._2).values
+      .map(m => m.keys.map(exactC.getOrElse(_, -1L)).toSet.size)
+    assert(span.forall(_ == 1),
+      "a scaled cluster must never merge across exact clusters")
+  }
+
   test("refinePlanes deepens the operating point on a CORRELATED corpus " +
       "and recall survives") {
     // the uniform occupancy model's failure mode: vectors sharing a

@@ -352,6 +352,71 @@ quantified: the old 5-6x ratios were the triple-explode shape (fixed in
 r14); the residual over 3x is measurement spread plus the _by agg key,
 not a hidden superlinear pass.
 """)
+        # r16 ask-#9 closure: the dense-id guard audit
+        f.write("""
+## dense-id guard audit (r16)
+
+heapsFit's `id < maxDocs` prefix cap (the one operator-level filter
+that ASSUMED dense numeric ids) is replaced in r16 by a hash-mod
+sample: one cheap doc count derives k = ceil(n/maxDocs) and the fit
+keeps `xxhash64(id) % k == 0` — id-distribution-proof (sparse, hashed
+or string ids sample at the same rate), exact below the cap (k = 1
+skips the filter, so the t33 gate hash is unchanged), and never
+silent (`n_docs` in the output row is the count actually fitted). A
+sweep for other `col(id) < N`-style caps over src/main found only two
+remaining classes, both sound: (a) gate-fixture QUERY-SET selection
+(`vec_id < 5` for the ANN query side, `media_id < 3` for multimodal
+probes, `doc_id < 20` for the t06 train split) — wiring that selects
+a fixed probe set on testdata's known-dense ids, not library
+operators; (b) hash-DOMAIN filters (a20's `_h < 2^(60-pShift)`
+sample gate), which partition the uniform xxhash64 range and are
+distribution-proof by construction.
+""")
+        # r16 ask-#5 closure: the q30/q31 driver-inflation record
+        f.write("""
+## q30/q31 family driver-inflation closure (r16)
+
+Two consecutive driver runs (r14, r15) inflated the evaluator/pair
+families 2-3x over the committed record on untouched code (r15 driver
+in-suite: q30 8.19 / q30b 6.75 / q31b 5.72 / d01 5.31 s vs the r15
+committed record 3.87 / 2.44 / 2.18 / 2.62 s). r16 closes it with a
+DRIVER-FORMAT isolated record (`BENCH_ISOLATED_r16.json`): three
+identical `SPARK_GRAFT_ONLY graft.Bench` invocations at sf0.1,
+min-of-2 per query, run conditions logged per sample.
+
+- Quiet box (1-min load 1.25): q30 4.57 / q30b 3.43 / q31b 2.93 /
+  d01 2.86 / d02 2.12 / q24 0.90 s — every driver in-suite wall is
+  1.6-2.0x the clean isolated wall, inside the documented in-suite
+  context band and nowhere near a plan regression.
+- The LOADED sample (15-min load avg 6.8, residue of a 30x scale run
+  on the same box) REPRODUCES the driver's numbers almost exactly:
+  q30 7.98 / q30b 7.78 / q31b 5.00 / d01 5.05 s. The driver's
+  inflation signature is box load during its full-suite pass — the
+  same code, same plans (PlanAuditSpec-pinned), measured minutes
+  apart, moves 1.7x with load and nothing else.
+
+The committed record remains the quiet-box capability number; driver
+re-runs now land in BENCH_LOCAL_latest.json (see Bench.scala) so they
+can no longer overwrite it.
+
+## r16 scale-polish summary
+
+- b08/b09 tokenizer trainers: the top-K piece cut over the
+  substring-candidate frame is now `orderBy(...).limit(topK)` →
+  TakeOrderedAndProject (the r15 zipfFit fix applied to the two
+  surviving instances of the anti-pattern); gate hashes unchanged,
+  PlanAuditSpec pins TakeOrderedAndProject-and-no-Window on both
+  train paths, and the 10x docs-axis rows re-measured flat
+  (b08 1.08, b09 0.93).
+- q36 Gini: per-key rank windows → bucketed two-phase rank (the
+  C3/C4 ecdfStats machinery, keyed); gate hash unchanged,
+  PlanAuditSpec pins every row_number window on (key, bucket), 30x
+  series row re-measured at 1.58.
+- q37/q38/q39 streaming twins (StreamingEvents): per-user last-event
+  and last-timestamp GroupState for transitions/cadence, the native
+  session window for session paths — batch-agreement specs pin all
+  three against the batch results on the gate data.
+""")
         # 10x series-count scale experiment (graft.tools.ScaleBench):
         # measured sf0.1 vs replicated-10x walls for the per-series family
         spath = os.path.join(ROOT, "BENCH_SF1.json")
@@ -393,7 +458,13 @@ diagnostics panel (c03-c15), the event-analytics family (q34-q38) and
 the decomposition/EWMA ops: every one of these is a keyed-window +
 keyed-agg chain, so the extra series should fill cores, not queues —
 a ratio materially above {f30} would mean some stage secretly keys on
-nothing. Min-of-2 walls per cell, local[32].
+nothing. Min-of-2 walls per cell, local[32]. (r16: the q36 row is
+RE-measured after its rank rewrite — the per-key windows became a
+bucketed two-phase rank, range-partitioned on the full (key, count,
+user) sort key, so a constant-cardinality key can no longer funnel
+the whole user base through one sort task; the ratio is unchanged at
+fixture scale because the win is plan shape, not constant factors.
+q39 joins the table.)
 
 | query | sf0.1 s | x{f30} s | ratio | ratio/{f30} |
 |---|---|---|---|---|
@@ -474,11 +545,14 @@ two encode passes (fixed cost), the pack itself one keyed shuffle.
                 d30 = json.load(open(d30path))
                 f30 = d30.get("factor")
                 f.write(f"""
-## {f30}x corpus-size spot run (r15 extrapolation check)
+## {f30}x corpus-size spot run (r15 headline ops; r16 pair family)
 
 Same construction as the standing docs axis above but at factor
-{f30} (≈150k docs / {f30}x embeddings), run once for the headline
-curate ops: if a plan only LOOKED linear because 10x fit in cache or
+{f30} (≈150k docs / {f30}x embeddings): r15 ran the headline curate
+ops once, and r16 extends the table to the full PAIR-ENUMERATION
+family (d02-d10, t37 — the ops where a quadratic tail would show
+late; d01/q21/t01/t06 were already in the r15 run). If a plan only
+LOOKED linear because 10x fit in cache or
 parallel slack, a {f30}x ratio materially above {f30} would expose it.
 Min-of-2 walls per cell, local[32]. The fixed-plane `s01_lsh_ann` gate
 config is EXCLUDED by design at this factor: its 16 sign-LSH buckets
@@ -502,6 +576,36 @@ thresholds (0.7+, p ≥ 0.79) band growth between 1x and 30x is ~1.5x
 and the scan stays corpus-linear. The cell is kept as measured: it
 documents WHERE the LSH path's contract ends, which a 10x run is too
 small to show.
+
+r16 pair-family findings (every cell kept as measured):
+
+- d02/d03/d05/d06/d07/d08/d09/t37 ratios 1.3-5.4 (work-normalized
+  slope <= 0.18) — the banded/df-capped/winnowed plans hold at 30x.
+- d04 (ratio ~356) is the fixed-plane saturation regime caught in the
+  act: the gate config's bandPlanes(64, 3, 4) gives 16 buckets per
+  (label, band), so at 30x vectors every bucket holds thousands and
+  the candidate join goes ~O(n²) — the 10x row (3.03) was too small
+  to expose it because the 0.86s base wall is overhead-dominated.
+  The production path is the new `d04x_embed_cluster_scaled` cell:
+  occupancy-derived planes + the SAME connected-components clustering
+  (spec-pinned in DedupSimSpec). Its 30x ratio (~57) is the s01x
+  honest-superlinear story again, amplified by d04's threshold: at
+  cos >= 0.3 the per-plane agreement is p ≈ 0.60, the recall pin is
+  unsatisfiable (bands clamp at 64), and LSH cannot prune — the
+  bandsForRecall scaladoc's "use a blocked/exact pass instead"
+  regime. At production near-dup thresholds (0.7+) the scaled path's
+  band growth is ~1.5x and the scan stays corpus-linear.
+- q24 (ratio ~150) is the same fixed-plane gate-config saturation
+  (survives at 30x where s01's tighter config exhausts the heap);
+  its production twin q24x lands at ratio 20.4 — sublinear in work.
+- d10 (ratio 22.0) stays SUBLINEAR in work (< factor) — the jump vs
+  its 10x slope is two honest effects, not a plan change: the 2.79s
+  base is job-overhead-dominated (slope comparisons against it
+  overstate), and factor 30 WRAPS the 26-letter rotation, so copies
+  i and i+26 are byte-identical corpora with disjoint ids — every
+  doc in copies 0-3 gains an exact twin whose shingles share dfs and
+  whose pairs the LOSSLESS AllPairs join must enumerate and verify
+  exactly (factor-10 runs never wrap, so this cost is new at 30).
 
 | query | sf0.1 s | x{f30} s | ratio | ratio/{f30} |
 |---|---|---|---|---|
