@@ -3755,6 +3755,51 @@ object OracleSql {
     // c14: Wilcoxon rank-sum / Mann–Whitney U between chronological
     // halves — average ranks (rank + (t−1)/2, exact halves), per-row
     // tie term Σ(eq²−1), continuity-corrected z, the shared erfc chain
+    // c16: Cramér–von Mises two-sample drift — Anderson's rank
+    // formula between the chronological halves; pooled and own-sample
+    // ranks replay the identical (ret, ts, event_id) total order, all
+    // Σ(r−i)² exact integers, final products/divisions op-order-
+    // mirrored against the Spark expression
+    "c16_cvm_drift" ->
+      """WITH r0 AS (
+        | SELECT user_id, ts, event_id,
+        |   ln(greatest(value,1e-10)) - lag(ln(greatest(value,1e-10)))
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret
+        | FROM events),
+        |x AS (SELECT user_id, ts, event_id, ret FROM r0
+        |      WHERE ret IS NOT NULL),
+        |b AS (SELECT user_id, ret, ts, event_id,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n_all,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ret, ts, event_id) AS r
+        |      FROM x),
+        |h AS (SELECT user_id, r, ret, ts, event_id,
+        |        CASE WHEN rn <= n_all/2.0 THEN 1 ELSE 2 END AS half
+        |      FROM b),
+        |o AS (SELECT user_id, half, r,
+        |        row_number() OVER (PARTITION BY user_id, half
+        |          ORDER BY ret, ts, event_id) AS i
+        |      FROM h),
+        |g AS (SELECT user_id,
+        |        sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |        sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |        sum(CASE WHEN half = 1 THEN (r - i)*(r - i)
+        |            ELSE 0 END)::BIGINT AS s1,
+        |        sum(CASE WHEN half = 2 THEN (r - i)*(r - i)
+        |            ELSE 0 END)::BIGINT AS s2
+        |      FROM o GROUP BY user_id),
+        |v AS (SELECT user_id, n1, n2,
+        |        n1::DOUBLE * s1::DOUBLE + n2::DOUBLE * s2::DOUBLE AS u,
+        |        n1::DOUBLE AS n1d, n2::DOUBLE AS n2d,
+        |        n1::DOUBLE + n2::DOUBLE AS nn
+        |      FROM g)
+        |SELECT user_id, n1, n2, round(u, 6) AS u_stat,
+        |  round(u/(n1d*n2d*nn) - (4.0*n1d*n2d - 1.0)/(6.0*nn), 6)
+        |    AS t_stat
+        |FROM v ORDER BY user_id""".stripMargin,
+
     "c14_rank_sum_drift" ->
       """WITH r0 AS (
         | SELECT user_id, ts, event_id,
@@ -4960,6 +5005,23 @@ object OracleSql {
         |  round(n_active::DOUBLE/n_cohort::DOUBLE, 6) AS retention
         |FROM g JOIN sz ON sz.cd = g.cd
         |ORDER BY cohort, offset_days""".stripMargin,
+
+    // q40: rolling-active stickiness — per-day DAU/WAU/MAU distinct
+    // counts via the constant-bounded day explode (each activity day
+    // feeds the windows ending d..d+w−1), one r6 division
+    "q40_active_ratios" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, ts::DATE AS d
+        |            FROM events),
+        |dau AS (SELECT d AS day, count(DISTINCT u)::BIGINT AS dau
+        |        FROM ud GROUP BY 1),
+        |wau AS (SELECT d + x::INT AS day, count(DISTINCT u)::BIGINT AS wau
+        |        FROM ud, range(7) t(x) GROUP BY 1),
+        |mau AS (SELECT d + x::INT AS day, count(DISTINCT u)::BIGINT AS mau
+        |        FROM ud, range(30) t(x) GROUP BY 1)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau, mau,
+        |  round(dau::DOUBLE/mau::DOUBLE, 6) AS stickiness
+        |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+        |ORDER BY day""".stripMargin,
 
     // q37: first-order event-transition matrix — user-keyed lag, pair
     // counts (exact integers), row-normalized probability r6

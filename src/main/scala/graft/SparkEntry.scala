@@ -409,6 +409,13 @@ object SparkEntry {
         .orderBy(col("kind"), col("node"))
     }),
 
+    // ── q40: rolling-active stickiness — per-day DAU/WAU/MAU distinct
+    //    counts + the DAU/MAU ratio; exact integers, one r6 division ──
+    "q40_active_ratios" -> ((s, dir) => {
+      graft.series.EventAnalytics.activeRatios(ev(s, dir), "user_id", "ts")
+        .orderBy(col("day"))
+    }),
+
     // ── q36: activity concentration per event_type — discrete Gini
     //    over per-user event counts + top-decile share; every sum is
     //    an exact integer, so both engines round identically ──────────
@@ -1967,6 +1974,17 @@ object SparkEntry {
           logret(s, dir).filter(col("ret").isNotNull), perUser, "ret")
         .select(col("user_id"), col("n1"), col("n2"), col("u_stat"),
           col("z_score"), col("p_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── c16: Cramér–von Mises two-sample drift — the ECDF-integral
+    //    complement to c07/c14 between the chronological halves;
+    //    Anderson's rank formula, exact-integer Σ(r−i)² ──────────────
+    "c16_cvm_drift" -> ((s, dir) => {
+      SeriesStats.cvmDrift(
+          logret(s, dir).filter(col("ret").isNotNull), perUser, "ret")
+        .select(col("user_id"), col("n1"), col("n2"), col("u_stat"),
+          col("t_stat"))
         .orderBy(col("user_id"))
     }),
 

@@ -174,6 +174,39 @@ object EventAnalytics {
       round(col("_top").cast("double") / sxD, 6).as("top_decile_share"))
   }
 
+  /** Rolling-active stickiness report (q40): per calendar day, DAU /
+    * WAU / MAU — distinct users active that day / in the trailing
+    * `wauDays` / `mauDays` window — and the DAU/MAU stickiness ratio,
+    * THE engagement headline of any event warehouse (how much of the
+    * monthly base shows up daily). Days with no activity emit no row
+    * (DAU drives the frame); windows at the stream head count the
+    * days that exist, by construction.
+    *
+    * Scale shape: one (user, day) dedup agg, then each activity day
+    * contributes to the trailing windows ending on days d..d+w−1 via
+    * a CONSTANT-bounded explode (7 and 30 rows per (user, day) —
+    * never data-sized; the q26 supervised-window halo argument), each
+    * followed by one day-keyed distinct-count agg; one final
+    * day-keyed join of three day-sized frames. All counts are exact
+    * integers; the one division rounds to 6 on both engines. */
+  def activeRatios(df: DataFrame, user: String, ts: String,
+                   wauDays: Int = 7, mauDays: Int = 30): DataFrame = {
+    val ud = df.select(col(user).as("_u"), to_date(col(ts)).as("_d"))
+      .distinct()
+    def rolling(days: Int, name: String): DataFrame = ud
+      .select(col("_u"), explode(sequence(col("_d"),
+        date_add(col("_d"), days - 1))).as("day"))
+      .groupBy(col("day")).agg(countDistinct(col("_u")).as(name))
+    val dau = ud.groupBy(col("_d").as("day"))
+      .agg(countDistinct(col("_u")).as("dau"))
+    dau.join(rolling(wauDays, "wau"), "day")
+      .join(rolling(mauDays, "mau"), "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"), col("mau"),
+        round(col("dau").cast("double") / col("mau").cast("double"), 6)
+          .as("stickiness"))
+  }
+
   /** First-order event-transition matrix (q37): the Markov "what
     * happens next" view of a user journey — per (prev_event, event)
     * pair, the transition count and the row-normalized probability

@@ -713,6 +713,64 @@ object SeriesStats {
       .drop("_r1", "_tie", "_u", "_mu", "_var", "_z")
   }
 
+  /** Cramér–von Mises two-sample drift statistic per series (c16,
+    * beyond reference; Anderson 1962, "On the Distribution of the
+    * Two-Sample Cramér–von Mises Criterion"): the ECDF-integral
+    * complement to [[welchDrift]] (means) and [[rankSumDrift]]
+    * (locations) between the chronological halves — sensitive to ANY
+    * distribution change (shape, scale, tails), not just a location
+    * shift. Anderson's rank computing formula:
+    * U = n1·Σᵢ(rᵢ−i)² + n2·Σⱼ(sⱼ−j)² over the pooled ranks r/s and
+    * own-sample indices i/j, T = U/(n1·n2·N) − (4·n1·n2 − 1)/(6·N).
+    * Every rank and both Σ(…)² accumulate as EXACT integers (ties
+    * broken on the order cols, so both engines replay the same total
+    * order); the only FP ops are the final two products/divisions,
+    * op-order-mirrored in the oracle. Under H0, E[T] = 1/6 + 1/(6N);
+    * significance is read from Anderson's table (T ≥ 0.461 ≈ 5%), so
+    * no p-value approximation is emitted.
+    *
+    * Scale shape: the c14 exchange — one chronological row_number, a
+    * value-ordered pooled rank and a value-ordered within-half rank
+    * on the same series-keyed exchange (extra sorts, no extra
+    * shuffle width), one keyed agg. Output per series:
+    * (partitionCols, n1, n2, u_stat, t_stat r6). */
+  def cvmDrift(df: DataFrame, spec: SeriesSpec,
+               value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = spec.partitionCols
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val wVal = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(value) +: spec.orderCols.map(col)): _*)
+    val x = df.filter(col(value).isNotNull)
+      .withColumn("_rn", row_number().over(spec.w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_half",
+        when(col("_rn") <= col("_n") / 2, lit(1)).otherwise(lit(2)))
+      .withColumn("_r", row_number().over(wVal).cast("long"))
+    val wOwn = Window.partitionBy((keys.map(col) :+ col("_half")): _*)
+      .orderBy((col(value) +: spec.orderCols.map(col)): _*)
+    val y = x.withColumn("_i", row_number().over(wOwn).cast("long"))
+      .withColumn("_d2",
+        (col("_r") - col("_i")) * (col("_r") - col("_i")))
+    val g = y.groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(col("_half") === 1, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(col("_half") === 2, lit(1L)).otherwise(lit(0L))).as("n2"),
+        sum(when(col("_half") === 1, col("_d2"))
+          .otherwise(lit(0L))).as("_s1"),
+        sum(when(col("_half") === 2, col("_d2"))
+          .otherwise(lit(0L))).as("_s2"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val nn = n1 + n2
+    val u = n1 * col("_s1").cast("double") + n2 * col("_s2").cast("double")
+    g.select((keys.map(col) :+ col("n1") :+ col("n2") :+
+      round(u, 6).as("u_stat") :+
+      round(u / (n1 * n2 * nn) -
+        (lit(4.0) * n1 * n2 - lit(1.0)) / (lit(6.0) * nn), 6)
+        .as("t_stat")): _*)
+  }
+
   /** Pettitt change-point test per series (beyond reference; Pettitt
     * 1979): the nonparametric "WHERE did the level shift" companion to
     * [[cusum]]'s drift excursion and [[mannKendall]]'s monotonic

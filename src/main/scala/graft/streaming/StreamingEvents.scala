@@ -71,6 +71,30 @@ object StreamingEvents {
         col("_u"))
       .dropDuplicates("cohort", "offset_days", "_u")
 
+  /** Streaming twin of q40 ([[graft.series.EventAnalytics.activeRatios]]):
+    * each arriving event expands to its (day, window) memberships via
+    * the same CONSTANT-bounded explode as the batch op (day d feeds
+    * the dau cell of d and the wau/mau cells of d..d+w−1) and the
+    * streaming dedup store keeps the first (day, window, user) row —
+    * append mode, one state row per distinct active cell, no stream
+    * window (the [[retentionActives]] contract). Counting the emitted
+    * rows per (day, window) IS the DAU/WAU/MAU triple; the stickiness
+    * division happens on the bounded day-sized frame downstream.
+    * Output (append): one row per newly-seen (day, window, _u). */
+  def activeCells(stream: DataFrame, user: String, ts: String,
+                  wauDays: Int = 7, mauDays: Int = 30): DataFrame = {
+    val d = to_date(col(ts))
+    def tagged(days: Int, tag: String) =
+      transform(sequence(d, date_add(d, days - 1)),
+        x => struct(x.as("day"), lit(tag).as("win")))
+    stream.select(col(user).as("_u"),
+        explode(concat(tagged(1, "dau"), tagged(wauDays, "wau"),
+          tagged(mauDays, "mau"))).as("_e"))
+      .select(date_format(col("_e.day"), "yyyy-MM-dd").as("day"),
+        col("_e.win").as("win"), col("_u"))
+      .dropDuplicates("day", "win", "_u")
+  }
+
   /** Streaming twin of q37 ([[graft.series.EventAnalytics.transitions]]):
     * per-user LAST-EVENT state (one (ts, event_id, type) triple per
     * user — the GroupState analogue of the batch lag window) emits one

@@ -44,9 +44,9 @@ object ScaleBench {
     "q34_funnel", "q35_retention", "q36_concentration", "p03_hits",
     "c08_cusum", "w16_ewma", "c09_mann_kendall", "c10_kpss",
     "c11_arch_lb", "c12_pettitt", "c13_anderson_darling",
-    "c14_rank_sum_drift", "c15_decomp_strength",
+    "c14_rank_sum_drift", "c15_decomp_strength", "c16_cvm_drift",
     "q37_event_transitions", "q38_session_paths",
-    "q39_activity_cadence",
+    "q39_activity_cadence", "q40_active_ratios",
     // a20's rank windows are single-partition BY DESIGN (the sample
     // is p-bounded to one task; the full side is the gate witness) —
     // expect ~linear-in-events wall on one core, not a plan bug
@@ -76,10 +76,11 @@ object ScaleBench {
     // ≈ factor², not factor, until the maxN=2048 prefix cap binds
     // and flattens it — the documented production guard)
     "c08_cusum", "w16_ewma", "c09_mann_kendall", "c10_kpss",
-    // c12's rank/tie/cumsum windows and c13's sorted-rank window are
-    // all series-keyed: expect ~n·log n in series length
+    // c12's rank/tie/cumsum windows, c13's sorted-rank window and
+    // c16's pooled/own-half ranks are all series-keyed: expect
+    // ~n·log n in series length
     "c11_arch_lb", "c12_pettitt", "c13_anderson_darling",
-    "c14_rank_sum_drift", "c15_decomp_strength",
+    "c14_rank_sum_drift", "c15_decomp_strength", "c16_cvm_drift",
     // a20's rank windows are single-partition BY DESIGN (the sample
     // is p-bounded to one task; the full side is the gate witness) —
     // expect ~linear-in-events wall on one core, not a plan bug

@@ -289,6 +289,59 @@ class EventAnalyticsSpec extends AnyFunSuite {
       s"sessions closed by the final watermark must emit: $missing")
   }
 
+  test("streaming q40 twin: deduped (day, window, user) cells counted " +
+       "per cell converge to the batch DAU/WAU/MAU triple") {
+    val s = spark
+    import s.implicits._
+    val dir = SparkSpec.sfDir
+    val batch = graft.core.Tables.events(s, dir)
+    val stream = graft.streaming.StreamingRollup.eventsStream(s, dir)
+    val want = graft.series.EventAnalytics
+      .activeRatios(batch, "user_id", "ts")
+      .select(col("day"), col("dau"), col("wau"), col("mau"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val got = scala.collection.mutable.Set.empty[(String, String, Long)]
+    val q = graft.streaming.StreamingEvents
+      .activeCells(stream, "user_id", "ts")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= b
+          .as[(String, String, Long)].collect() }
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val counts = got.groupBy(r => (r._1, r._2))
+      .view.mapValues(_.size.toLong).toMap
+    assert(want.nonEmpty)
+    // batch rows exist only for days with DAU; the streamed cells also
+    // cover trailing wau/mau-only days beyond each activity burst
+    want.foreach { case (day, (dau, wau, mau)) =>
+      assert(counts.get((day, "dau")).contains(dau), s"dau($day)")
+      assert(counts.get((day, "wau")).contains(wau), s"wau($day)")
+      assert(counts.get((day, "mau")).contains(mau), s"mau($day)")
+    }
+  }
+
+  test("activeRatios: hand DAU/WAU/MAU on a 3-day fixture; trailing " +
+       "windows pick up earlier activity; stickiness = dau/mau") {
+    val df = ev(
+      ("u1", "2024-01-01 10:00:00", "view"),
+      ("u1", "2024-01-01 11:00:00", "click"), // same (user, day) dedups
+      ("u2", "2024-01-01 10:00:00", "view"),
+      ("u3", "2024-01-02 10:00:00", "view"),
+      ("u1", "2024-01-03 10:00:00", "view"))
+    val out = EventAnalytics.activeRatios(df, "user_id", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Long]("dau"),
+        r.getAs[Long]("wau"), r.getAs[Long]("mau"),
+        r.getAs[Double]("stickiness")))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 2L, 2L, 2L, 1.0),
+      ("2024-01-02", 1L, 3L, 3L, 0.333333),
+      ("2024-01-03", 1L, 3L, 3L, 0.333333)))
+  }
+
   test("retention: first-seen-day cohorts, distinct actives per offset") {
     val df = ev(
       ("u1", "2024-01-01 10:00:00", "view"),

@@ -565,6 +565,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q40/c16: day-keyed distinct aggs join day-sized frames with no " +
+       "cartesian; the cvm rank windows all key on the series") {
+    val p = plan("q40_active_ratios")
+    assert(!p.contains("CartesianProduct"))
+    val pc = plan("c16_cvm_drift")
+    assert(!pc.contains("CartesianProduct"))
+    val rn = pc.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("user_id")),
+      s"c16 rank windows must key on the series:\n${rn.mkString("\n")}")
+  }
+
   test("q36 gini: bucketed two-phase rank — every row_number window " +
        "keys on (key, bucket), never the constant-cardinality key alone") {
     val p = plan("q36_concentration")

@@ -423,6 +423,44 @@ class StatsSpec extends AnyFunSuite {
       (-1.5 / math.sqrt(4.0 / 3.0))) < 1e-5)
   }
 
+  test("cvm drift: hand U/T on separated and interleaved halves; the " +
+       "rank formula reproduces the ECDF-integral definition") {
+    val s = spark
+    import s.implicits._
+    def cvm(xs: Seq[Double]) = SeriesStats.cvmDrift(
+      xs.zipWithIndex.map { case (v, i) => ("u", i, v) }.toDF("k", "i", "v"),
+      SeriesSpec(Seq("k"), Seq("i")), "v").first()
+    // fully separated halves [1,2] vs [3,4]: pooled ranks 1..4, own
+    // ranks (1,2 | 1,2) -> s1=0, s2=(3-1)^2+(4-2)^2=8, U=2*0+2*8=16,
+    // T = 16/(2*2*4) - (4*2*2-1)/(6*4) = 1 - 15/24 = 0.375
+    val sep = cvm(Seq(1.0, 2.0, 3.0, 4.0))
+    assert(sep.getAs[Long]("n1") === 2L && sep.getAs[Long]("n2") === 2L)
+    assert(sep.getAs[Double]("u_stat") === 16.0)
+    assert(math.abs(sep.getAs[Double]("t_stat") - 0.375) < 1e-9)
+    // interleaved [1,3] vs [2,4]: s1=(1-1)^2+(3-2)^2=1,
+    // s2=(2-1)^2+(4-2)^2=5, U=12, T = 12/16 - 15/24 = 0.125
+    val mix = cvm(Seq(1.0, 3.0, 2.0, 4.0))
+    assert(mix.getAs[Double]("u_stat") === 12.0)
+    assert(math.abs(mix.getAs[Double]("t_stat") - 0.125) < 1e-9)
+    // brute-force equivalence (distinct values): Anderson's rank
+    // formula equals T = (n1*n2/N^2) * sum_pooled (F1 - F2)^2
+    def brute(xs: Seq[Double]): Double = {
+      val h1 = xs.take(xs.length / 2)
+      val h2 = xs.drop(xs.length / 2)
+      val t = xs.sorted.map { z =>
+        val f1 = h1.count(_ <= z).toDouble / h1.size
+        val f2 = h2.count(_ <= z).toDouble / h2.size
+        (f1 - f2) * (f1 - f2)
+      }.sum
+      t * h1.size * h2.size / (xs.length.toDouble * xs.length)
+    }
+    val noise = (1 to 21).map(t => ((t * 2654435761L) % 10007L).toDouble)
+    assert(noise.distinct.size === noise.size)
+    val got = cvm(noise).getAs[Double]("t_stat")
+    assert(math.abs(got - brute(noise)) < 1e-6,
+      s"rank formula $got must equal the ECDF integral ${brute(noise)}")
+  }
+
   test("pettitt: known K/tau/p on hand series; the rank-telescoped " +
        "V_t reproduces the O(n^2) definition; flat series clamps p=1") {
     val s = spark
