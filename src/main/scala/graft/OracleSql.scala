@@ -5006,6 +5006,43 @@ object OracleSql {
         |FROM g JOIN sz ON sz.cd = g.cd
         |ORDER BY cohort, offset_days""".stripMargin,
 
+    // q42: funnel time-to-convert — the q34 stage-entry CTE chain,
+    // per-transition entry-time gaps in exact integer µs, the q39
+    // two-middle-rank median / type-1 p90 idiom per stage
+    "q42_funnel_timing" ->
+      """WITH t0 AS (SELECT user_id, min(ts) AS t FROM events
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t0 ON t0.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t0.t
+        |       GROUP BY e.user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t1 ON t1.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t1.t
+        |       GROUP BY e.user_id),
+        |g AS (SELECT 1 AS stage_idx, 'click' AS stage, t1.user_id,
+        |        epoch_us(t1.t) - epoch_us(t0.t) AS gap
+        |      FROM t1 JOIN t0 USING (user_id)
+        |      UNION ALL
+        |      SELECT 2, 'purchase', t2.user_id,
+        |        epoch_us(t2.t) - epoch_us(t1.t)
+        |      FROM t2 JOIN t1 USING (user_id)),
+        |r AS (SELECT stage_idx, stage, gap,
+        |        count(*) OVER (PARTITION BY stage_idx) AS m,
+        |        row_number() OVER (PARTITION BY stage_idx
+        |          ORDER BY gap, user_id) AS rk
+        |      FROM g)
+        |SELECT stage_idx, stage, max(m)::BIGINT AS n_converted,
+        |  sum(CASE WHEN rk = (m+1)//2 OR rk = (m+2)//2
+        |           THEN gap END)::DOUBLE
+        |    / count(CASE WHEN rk = (m+1)//2 OR rk = (m+2)//2
+        |             THEN 1 END) AS median_gap_us,
+        |  max(CASE WHEN rk = ceil(m * 0.9)::BIGINT
+        |           THEN gap END)::BIGINT AS p90_gap_us,
+        |  max(gap)::BIGINT AS max_gap_us
+        |FROM r GROUP BY stage_idx, stage
+        |ORDER BY stage_idx""".stripMargin,
+
     // q40: rolling-active stickiness — per-day DAU/WAU/MAU distinct
     // counts via the constant-bounded day explode (each activity day
     // feeds the windows ending d..d+w−1), one r6 division

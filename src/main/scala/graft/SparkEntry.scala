@@ -409,6 +409,15 @@ object SparkEntry {
         .orderBy(col("kind"), col("node"))
     }),
 
+    // ── q42: funnel time-to-convert — per stage transition, the
+    //    median / type-1 p90 / max entry-time gap in exact integer
+    //    microseconds over users who entered both stages ─────────────
+    "q42_funnel_timing" -> ((s, dir) => {
+      graft.series.EventAnalytics.funnelTiming(ev(s, dir), "user_id",
+          "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))
+    }),
+
     // ── q40: rolling-active stickiness — per-day DAU/WAU/MAU distinct
     //    counts + the DAU/MAU ratio; exact integers, one r6 division ──
     "q40_active_ratios" -> ((s, dir) => {

@@ -1,6 +1,6 @@
 package graft.series
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Beyond-reference event-stream analytics: the ordered conversion
@@ -114,51 +114,64 @@ object EventAnalytics {
     * integer below 2⁵³; the two divisions are the only FP ops, so
     * engine op order cannot diverge.
     *
-    * Scale shape — the bucketed two-phase rank (the C3/C4
-    * [[graft.stats.Divergence.ecdfStats]] machinery, keyed): the gate
-    * keys on event_type, a CONSTANT-cardinality column, so a rank
-    * window partitioned by the key alone would funnel each key's
-    * ENTIRE user base through one sort task at 100×. Instead the
-    * (key, user, count) totals frame range-partitions on the full
-    * sort key (_k, _x, _u) — balanced by range sampling regardless of
-    * key skew — and the exact ascending rank composes as (this key's
-    * rows in lower buckets) + (local rank inside this key's slice of
-    * the bucket). Bucket ids are monotone in the (count, user) order
-    * within a key and the order is total (no ties to split), so the
-    * result is boundary-invariant; the one localCheckpoint pins the
-    * sampled boundaries so the offset frame and the main pass see the
-    * same buckets. The per-(key, bucket) offset frame is range-tiny
-    * (≤ |keys| + nBuckets rows — each bucket holds a contiguous key
-    * range), so its prefix window is bounded by construction. The
-    * descending rank needed for the top-decile share is the mirror
-    * n − i + 1 of the same total order — no second rank pass. */
-  def concentration(df: DataFrame, key: String,
-                    user: String): DataFrame = {
+    * Scale shape: the gate keys on event_type, a CONSTANT-cardinality
+    * column, so a rank window partitioned by the key alone would
+    * funnel each key's ENTIRE user base through one sort task at
+    * 100× — the (key, user, count) totals frame instead ranks via
+    * [[bucketedRankN]] (range-partitioned on the full (_k, _x, _u)
+    * total order). The descending rank needed for the top-decile
+    * share is the mirror n − i + 1 of the same total order — no
+    * second rank pass. */
+  /** Exact ascending rank (`_i`) and group size (`_n`) per `keyCol`
+    * group under the `orderCols` total order — the bucketed two-phase
+    * rank shared by [[concentration]] and [[funnelTiming]] (the C3/C4
+    * [[graft.stats.Divergence.ecdfStats]] machinery, keyed): the
+    * frame range-partitions on (key +: order) — balanced by range
+    * sampling regardless of key skew, so a CONSTANT-cardinality key
+    * can never funnel its whole group through one sort task — and the
+    * exact rank composes as (this key's rows in lower buckets) +
+    * (local rank inside this key's slice of the bucket). The order
+    * must be TOTAL (caller supplies a unique tiebreaker): that is
+    * what makes the result boundary-invariant. The localCheckpoint
+    * pins the sampled boundaries so the offset frame and the main
+    * pass see the same buckets; the per-(key, bucket) offset frame is
+    * range-tiny (≤ |keys| + nBuckets rows — each bucket holds a
+    * contiguous key range), so its prefix window is bounded by
+    * construction. Input columns are preserved. */
+  private[graft] def bucketedRankN(df: DataFrame, keyCol: String,
+                                   orderCols: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val totals = df.groupBy(col(key).as("_k"), col(user).as("_u"))
-      .agg(count(lit(1)).as("_x"))
     val nb = math.max(1,
       df.sparkSession.sessionState.conf.numShufflePartitions)
-    val bucketed = totals
-      .repartitionByRange(nb, col("_k"), col("_x").asc, col("_u").asc)
+    val bucketed = df
+      .repartitionByRange(nb, (col(keyCol) +: orderCols): _*)
       .withColumn("_b", spark_partition_id())
-      .localCheckpoint() // one totals-sized materialization feeds both
+      .localCheckpoint() // one frame-sized materialization feeds both
                          // the offset frame and the main rank pass
-    val bCounts = bucketed.groupBy(col("_k"), col("_b"))
+    val bCounts = bucketed.groupBy(col(keyCol), col("_b"))
       .agg(count(lit(1)).as("_bc"))
     val offsets = bCounts
       .withColumn("_off", coalesce(sum(col("_bc")).over(
-        Window.partitionBy(col("_k")).orderBy(col("_b"))
+        Window.partitionBy(col(keyCol)).orderBy(col("_b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("_n", sum(col("_bc")).over(
-        Window.partitionBy(col("_k"))))
-      .select(col("_k"), col("_b"), col("_off"), col("_n"))
-    val ranked = bucketed
+        Window.partitionBy(col(keyCol))))
+      .select(col(keyCol), col("_b"), col("_off"), col("_n"))
+    bucketed
       .withColumn("_lr", row_number().over(
-        Window.partitionBy(col("_k"), col("_b"))
-          .orderBy(col("_x").asc, col("_u").asc)))
-      .join(offsets, Seq("_k", "_b"))
+        Window.partitionBy(col(keyCol), col("_b"))
+          .orderBy(orderCols: _*)))
+      .join(offsets, Seq(keyCol, "_b"))
       .withColumn("_i", col("_off") + col("_lr"))
+      .drop("_b", "_off", "_lr")
+  }
+
+  def concentration(df: DataFrame, key: String,
+                    user: String): DataFrame = {
+    val totals = df.groupBy(col(key).as("_k"), col(user).as("_u"))
+      .agg(count(lit(1)).as("_x"))
+    val ranked = bucketedRankN(totals, "_k",
+      Seq(col("_x").asc, col("_u").asc))
     val g = ranked.groupBy(col("_k"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("_x")).as("total_events"),
@@ -172,6 +185,51 @@ object EventAnalytics {
       round(lit(2.0) * col("_s1").cast("double") / (nD * sxD) -
         (nD + lit(1.0)) / nD, 6).as("gini"),
       round(col("_top").cast("double") / sxD, 6).as("top_decile_share"))
+  }
+
+  /** Funnel time-to-convert report (q42): per stage transition
+    * i−1 → i, the distribution of the per-user entry-time gap
+    * (_tᵢ − _tᵢ₋₁ over [[stageEntries]], for users who entered both) —
+    * the "HOW LONG does conversion take" companion to [[funnel]]'s
+    * "how many convert". Gaps are exact integer MICROSECONDS; the
+    * median is the explicit two-middle-rank average and the p90 the
+    * type-1 ⌈0.9·m⌉-ranked gap (the q39 contract — no engine quantile
+    * convention anywhere).
+    *
+    * Scale shape: the q34 per-stage keyed min-agg chain, then ranks
+    * via [[bucketedRankN]] — stage_idx is a CONSTANT-cardinality key,
+    * exactly the case a per-key rank window must not handle (the q36
+    * lesson) — and one stage-keyed agg. Output per transition:
+    * (stage_idx, stage, n_converted, median_gap_us, p90_gap_us,
+    * max_gap_us). */
+  def funnelTiming(df: DataFrame, user: String, ts: String,
+                   typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "funnel timing needs at least two stages")
+    val acc = stageEntries(df, user, ts, typeCol, stages)
+    val gaps = stages.indices.drop(1).map { i =>
+      acc.filter(col(s"_t${i - 1}").isNotNull && col(s"_t$i").isNotNull)
+        .select(lit(i).as("stage_idx"), lit(stages(i)).as("stage"),
+          col("_u"),
+          (unix_micros(col(s"_t$i")) -
+            unix_micros(col(s"_t${i - 1}"))).as("_gap"))
+    }.reduce(_ unionByName _)
+    val ranked = bucketedRankN(gaps, "stage_idx",
+      Seq(col("_gap").asc, col("_u").asc))
+    // 1-based middle ranks (m+1)/2 and (m+2)/2 (equal when m odd);
+    // p90 rank = ceil(m·0.9), the identical FP expression in both
+    // engines (the q39 contract)
+    val lo = (col("_n") + lit(1L)) / lit(2L)
+    val hi = (col("_n") + lit(2L)) / lit(2L)
+    val p90 = ceil(col("_n").cast("double") * lit(0.9)).cast("long")
+    ranked.groupBy(col("stage_idx"), col("stage"))
+      .agg(max(col("_n")).as("n_converted"),
+        (sum(when(col("_i") === lo.cast("long") ||
+            col("_i") === hi.cast("long"), col("_gap"))).cast("double") /
+          count(when(col("_i") === lo.cast("long") ||
+            col("_i") === hi.cast("long"), lit(1))).cast("double"))
+          .as("median_gap_us"),
+        max(when(col("_i") === p90, col("_gap"))).as("p90_gap_us"),
+        max(col("_gap")).as("max_gap_us"))
   }
 
   /** Rolling-active stickiness report (q40): per calendar day, DAU /

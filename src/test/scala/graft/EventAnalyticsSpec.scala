@@ -323,6 +323,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelTiming: hand median/p90/max per transition; strict gating " +
+       "drops never-converted users; even-m median averages two ranks") {
+    val df = ev(
+      ("u1", "2024-01-01 01:00:00", "view"),
+      ("u1", "2024-01-01 02:00:00", "click"),    // gap 3600 s
+      ("u1", "2024-01-01 04:00:00", "purchase"), // gap 7200 s
+      ("u2", "2024-01-01 01:00:00", "view"),
+      ("u2", "2024-01-01 01:30:00", "click"),    // gap 1800 s
+      ("u3", "2024-01-01 01:00:00", "view"))     // never converts
+    val out = EventAnalytics.funnelTiming(df, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getAs[Int]("stage_idx"), r.getAs[String]("stage"),
+        r.getAs[Long]("n_converted"), r.getAs[Double]("median_gap_us"),
+        r.getAs[Long]("p90_gap_us"), r.getAs[Long]("max_gap_us")))
+    assert(out.toSeq === Seq(
+      // click: gaps {1800s, 3600s} -> median 2700s, p90 rank 2 -> 3600s
+      (1, "click", 2L, 2700.0e6, 3600000000L, 3600000000L),
+      (2, "purchase", 1L, 7200.0e6, 7200000000L, 7200000000L)))
+  }
+
   test("activeRatios: hand DAU/WAU/MAU on a 3-day fixture; trailing " +
        "windows pick up earlier activity; stickiness = dau/mau") {
     val df = ev(

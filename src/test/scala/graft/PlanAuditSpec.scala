@@ -576,15 +576,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"c16 rank windows must key on the series:\n${rn.mkString("\n")}")
   }
 
-  test("q36 gini: bucketed two-phase rank — every row_number window " +
+  test("q36/q42: bucketed two-phase rank — every row_number window " +
        "keys on (key, bucket), never the constant-cardinality key alone") {
-    val p = plan("q36_concentration")
-    assert(!p.contains("CartesianProduct"))
-    val rn = p.linesIterator
-      .filter(_.contains("row_number")).toSeq
-    assert(rn.nonEmpty, s"expected the local-rank window:\n$p")
-    rn.foreach(l => assert(l.contains("_b"),
-      s"the rank window must include the range-bucket key: $l"))
+    for (q <- Seq("q36_concentration", "q42_funnel_timing")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      val rn = p.linesIterator
+        .filter(_.contains("row_number")).toSeq
+      assert(rn.nonEmpty, s"$q: expected the local-rank window:\n$p")
+      rn.foreach(l => assert(l.contains("_b"),
+        s"$q rank window must include the range-bucket key: $l"))
+    }
   }
 
   test("b08 unigram viterbi encode: map-side after the model collect — " +
