@@ -5006,6 +5006,44 @@ object OracleSql {
         |FROM g JOIN sz ON sz.cd = g.cd
         |ORDER BY cohort, offset_days""".stripMargin,
 
+    // q43: per-day session stats — the q38 session CTE, one
+    // (user, session) extent agg, then the q39 rank idiom keyed on
+    // the session-start day; bounce = single-event sessions share
+    "q43_session_stats" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |    (sum(CASE WHEN gap IS NULL OR gap > 1800000000
+        |              THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      )::BIGINT AS session_id
+        |  FROM g),
+        |e AS (SELECT user_id, session_id,
+        |        min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+        |        count(*)::BIGINT AS ne
+        |      FROM s GROUP BY user_id, session_id),
+        |x AS (SELECT user_id, session_id,
+        |        strftime(make_timestamp(t0), '%Y-%m-%d') AS day,
+        |        t1 - t0 AS dur, ne FROM e),
+        |r AS (SELECT *, count(*) OVER (PARTITION BY day) AS m,
+        |        row_number() OVER (PARTITION BY day
+        |          ORDER BY dur, user_id, session_id) AS rk
+        |      FROM x)
+        |SELECT day, max(m)::BIGINT AS n_sessions,
+        |  round(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS bounce_rate,
+        |  sum(CASE WHEN rk = (m+1)//2 OR rk = (m+2)//2
+        |           THEN dur END)::DOUBLE
+        |    / count(CASE WHEN rk = (m+1)//2 OR rk = (m+2)//2
+        |             THEN 1 END) AS median_dur_us,
+        |  max(CASE WHEN rk = ceil(m * 0.9)::BIGINT
+        |           THEN dur END)::BIGINT AS p90_dur_us,
+        |  max(dur)::BIGINT AS max_dur_us
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
+
     // q42: funnel time-to-convert — the q34 stage-entry CTE chain,
     // per-transition entry-time gaps in exact integer µs, the q39
     // two-middle-rank median / type-1 p90 idiom per stage

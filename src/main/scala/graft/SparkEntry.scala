@@ -409,6 +409,15 @@ object SparkEntry {
         .orderBy(col("kind"), col("node"))
     }),
 
+    // ── q43: per-day session stats — session count, bounce rate and
+    //    the duration median / type-1 p90 / max in exact integer µs
+    //    per session-start day ───────────────────────────────────────
+    "q43_session_stats" -> ((s, dir) => {
+      graft.series.EventAnalytics.sessionStatsDaily(ev(s, dir),
+          "user_id", Seq("ts", "event_id"), gapSeconds = 1800)
+        .orderBy(col("day"))
+    }),
+
     // ── q42: funnel time-to-convert — per stage transition, the
     //    median / type-1 p90 / max entry-time gap in exact integer
     //    microseconds over users who entered both stages ─────────────

@@ -345,6 +345,54 @@ object EventAnalytics {
         max(col("_gap")).as("max_gap_us"))
   }
 
+  /** Per-day session statistics (q43): gap-sessionize each user's
+    * stream, then per session-START calendar day report the session
+    * count, bounce rate (share of single-event sessions, r6) and the
+    * session-duration median / type-1 p90 / max in exact integer
+    * microseconds — the daily health panel next to [[activeRatios]]
+    * (traffic) and [[sessionPaths]] (journeys). Durations are exact
+    * integers; the median/p90 follow the q39 two-middle-rank /
+    * ⌈0.9·m⌉ contract.
+    *
+    * Scale shape: the user-keyed sessionize window, ONE
+    * (user, session)-keyed agg to session extents, then ranks via
+    * [[bucketedRankN]] — a day's session count is unbounded (a hot
+    * day IS the workload), exactly the hot-key shape a per-day rank
+    * window must not sort in one task (the q36 lesson) — and one
+    * day-keyed agg. */
+  def sessionStatsDaily(df: DataFrame, user: String,
+                        orderCols: Seq[String],
+                        gapSeconds: Long): DataFrame = {
+    val spec = graft.series.SeriesSpec(Seq(user), orderCols)
+    val ts = orderCols.head
+    val sess = graft.series.SeriesOps.sessionize(df, spec, ts, gapSeconds)
+    val ext = sess.groupBy(col(user).as("_u"), col("session_id"))
+      .agg(min(unix_micros(col(ts))).as("_t0"),
+        max(unix_micros(col(ts))).as("_t1"),
+        count(lit(1)).as("_ne"))
+      .select(col("_u"), col("session_id"),
+        date_format(timestamp_micros(col("_t0")), "yyyy-MM-dd").as("day"),
+        (col("_t1") - col("_t0")).as("_dur"), col("_ne"))
+    val ranked = bucketedRankN(ext, "day",
+      Seq(col("_dur").asc, col("_u").asc, col("session_id").asc))
+    // the q39 rank contract: two-middle-rank median, FP-ceil p90
+    val lo = (col("_n") + lit(1L)) / lit(2L)
+    val hi = (col("_n") + lit(2L)) / lit(2L)
+    val p90 = ceil(col("_n").cast("double") * lit(0.9)).cast("long")
+    ranked.groupBy(col("day"))
+      .agg(max(col("_n")).as("n_sessions"),
+        round(sum(when(col("_ne") === 1, lit(1L)).otherwise(lit(0L)))
+            .cast("double") / count(lit(1)).cast("double"), 6)
+          .as("bounce_rate"),
+        (sum(when(col("_i") === lo.cast("long") ||
+            col("_i") === hi.cast("long"), col("_dur"))).cast("double") /
+          count(when(col("_i") === lo.cast("long") ||
+            col("_i") === hi.cast("long"), lit(1))).cast("double"))
+          .as("median_dur_us"),
+        max(when(col("_i") === p90, col("_dur"))).as("p90_dur_us"),
+        max(col("_dur")).as("max_dur_us"))
+  }
+
   /** Top session paths (q38): gap-sessionize each user's stream
     * ([[graft.series.SeriesOps.sessionize]]), render each session as
     * the '>'-joined sequence of its first `maxEvents` event types, and

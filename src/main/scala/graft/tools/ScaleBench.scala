@@ -47,6 +47,7 @@ object ScaleBench {
     "c14_rank_sum_drift", "c15_decomp_strength", "c16_cvm_drift",
     "q37_event_transitions", "q38_session_paths",
     "q39_activity_cadence", "q40_active_ratios", "q42_funnel_timing",
+    "q43_session_stats",
     // a20's rank windows are single-partition BY DESIGN (the sample
     // is p-bounded to one task; the full side is the gate witness) —
     // expect ~linear-in-events wall on one core, not a plan bug

@@ -323,6 +323,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionStatsDaily: hand bounce/median/p90/max on a one-day " +
+       "fixture; single-event sessions are zero-duration bounces") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("u1", "2024-01-01 01:00:00", 1L),
+      ("u1", "2024-01-01 01:10:00", 2L), // same session: dur 600s, ne 2
+      ("u1", "2024-01-01 03:00:00", 3L), // new session: bounce, dur 0
+      ("u2", "2024-01-01 01:00:00", 4L)) // bounce, dur 0
+      .toDF("user_id", "t", "event_id")
+      .withColumn("ts", to_timestamp(col("t")))
+    val out = EventAnalytics.sessionStatsDaily(df, "user_id",
+        Seq("ts", "event_id"), gapSeconds = 1800)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("day") === "2024-01-01")
+    assert(r.getAs[Long]("n_sessions") === 3L)
+    assert(math.abs(r.getAs[Double]("bounce_rate") - 0.666667) < 1e-9)
+    // durations sorted (0, 0, 600s): m=3, both middle ranks = 2 -> 0;
+    // p90 rank ceil(2.7) = 3 -> 600s
+    assert(r.getAs[Double]("median_dur_us") === 0.0)
+    assert(r.getAs[Long]("p90_dur_us") === 600000000L)
+    assert(r.getAs[Long]("max_dur_us") === 600000000L)
+  }
+
   test("funnelTiming: hand median/p90/max per transition; strict gating " +
        "drops never-converted users; even-m median averages two ranks") {
     val df = ev(

@@ -578,7 +578,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q36/q42: bucketed two-phase rank — every row_number window " +
        "keys on (key, bucket), never the constant-cardinality key alone") {
-    for (q <- Seq("q36_concentration", "q42_funnel_timing")) {
+    for (q <- Seq("q36_concentration", "q42_funnel_timing",
+                  "q43_session_stats")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
       val rn = p.linesIterator

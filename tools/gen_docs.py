@@ -416,17 +416,18 @@ can no longer overwrite it.
   and last-timestamp GroupState for transitions/cadence, the native
   session window for session paths — batch-agreement specs pin all
   three against the batch results on the gate data.
-- Three new oracle-gated ops, each hash-green on first contact with
+- Four new oracle-gated ops, each hash-green on first contact with
   plan audits and axis rows: q40 rolling-active DAU/WAU/MAU
   stickiness (constant-bounded day explode + day-keyed distinct
   counts; streaming twin activeCells born with it), c16 Cramér-von
   Mises two-sample drift (Anderson's rank formula, exact-integer
-  sums, brute-force ECDF-integral equivalence spec), and q42 funnel
-  time-to-convert (the q34 entry chain + the q39 median/p90 idiom).
+  sums, brute-force ECDF-integral equivalence spec), q42 funnel
+  time-to-convert (the q34 entry chain + the q39 median/p90 idiom)
+  and q43 per-day session stats (bounce rate + duration quantiles).
   q36's bucketed two-phase rank is extracted as the shared
-  EventAnalytics.bucketedRankN and q42 ranks through it at birth —
-  stage_idx is a constant-cardinality key, exactly the shape the
-  q36 fix exists for.
+  EventAnalytics.bucketedRankN and q42/q43 rank through it at birth —
+  stage_idx / a hot day are exactly the constant-cardinality and
+  hot-key shapes the q36 fix exists for.
 """)
         # 10x series-count scale experiment (graft.tools.ScaleBench):
         # measured sf0.1 vs replicated-10x walls for the per-series family
