@@ -199,7 +199,11 @@ object EventAnalytics {
     * Scale shape: the q34 per-stage keyed min-agg chain, then ranks
     * via [[bucketedRankN]] — stage_idx is a CONSTANT-cardinality key,
     * exactly the case a per-key rank window must not handle (the q36
-    * lesson) — and one stage-keyed agg. Output per transition:
+    * lesson) — and one stage-keyed agg. Streaming pairing: this is a
+    * pure function of the [[stageEntries]] frame, and
+    * [[graft.streaming.StreamingEvents.funnelStageEntries]] converges
+    * to that frame (spec-pinned), so the timing report streams by
+    * composition. Output per transition:
     * (stage_idx, stage, n_converted, median_gap_us, p90_gap_us,
     * max_gap_us). */
   def funnelTiming(df: DataFrame, user: String, ts: String,
@@ -370,11 +374,20 @@ object EventAnalytics {
       .agg(min(unix_micros(col(ts))).as("_t0"),
         max(unix_micros(col(ts))).as("_t1"),
         count(lit(1)).as("_ne"))
-      .select(col("_u"), col("session_id"),
+      .select(col("_u"), col("session_id").as("_sid"),
         date_format(timestamp_micros(col("_t0")), "yyyy-MM-dd").as("day"),
         (col("_t1") - col("_t0")).as("_dur"), col("_ne"))
+    sessionStatsFromExtents(ext)
+  }
+
+  /** The day-keyed half of [[sessionStatsDaily]] over a session-extent
+    * frame (_u, _sid, day, _dur µs, _ne) — exposed because the
+    * streaming twin produces the SAME extent shape from the native
+    * session window ([[graft.streaming.StreamingEvents]]), so twin
+    * agreement reduces to extent agreement. */
+  private[graft] def sessionStatsFromExtents(ext: DataFrame): DataFrame = {
     val ranked = bucketedRankN(ext, "day",
-      Seq(col("_dur").asc, col("_u").asc, col("session_id").asc))
+      Seq(col("_dur").asc, col("_u").asc, col("_sid").asc))
     // the q39 rank contract: two-middle-rank median, FP-ceil p90
     val lo = (col("_n") + lit(1L)) / lit(2L)
     val hi = (col("_n") + lit(2L)) / lit(2L)

@@ -95,6 +95,33 @@ object StreamingEvents {
       .dropDuplicates("day", "win", "_u")
   }
 
+  /** Streaming twin of q43
+    * ([[graft.series.EventAnalytics.sessionStatsDaily]]): the native
+    * session window assembles each session's extent — the window's
+    * [first, last+gap) range with the gap padding subtracted back off
+    * the end, so `_dur` is exactly the batch last−first in integer
+    * microseconds — plus its event count; append mode on watermark
+    * close (the [[sessionPathRows]] contract and boundary caveat).
+    * The emitted frame IS the batch extent shape (_u, _sid = session
+    * start µs, day, _dur, _ne), so
+    * `EventAnalytics.sessionStatsFromExtents` over it reproduces the
+    * q43 report — twin agreement reduces to extent agreement, which
+    * the spec pins two-sided on the gate data. */
+  def sessionExtents(stream: DataFrame, user: String, ts: String,
+                     gapSeconds: Long = 1800L,
+                     watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark(ts, watermark)
+      .groupBy(col(user).as("_u"),
+        session_window(col(ts), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("_ne"))
+      .select(col("_u"),
+        unix_micros(col("session_window.start")).as("_sid"),
+        date_format(col("session_window.start"), "yyyy-MM-dd").as("day"),
+        (unix_micros(col("session_window.end")) -
+          lit(gapSeconds * 1000000L) -
+          unix_micros(col("session_window.start"))).as("_dur"),
+        col("_ne"))
+
   /** Streaming twin of q37 ([[graft.series.EventAnalytics.transitions]]):
     * per-user LAST-EVENT state (one (ts, event_id, type) triple per
     * user — the GroupState analogue of the batch lag window) emits one

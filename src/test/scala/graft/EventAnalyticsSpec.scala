@@ -323,6 +323,78 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketedRankN: composed ranks equal the single-window global " +
+       "rank and _n the group sizes, across many range buckets") {
+    val s = spark
+    import s.implicits._
+    // 3 keys x 400 rows, hash-shuffled values — spans the range
+    // buckets, so ranks genuinely compose offsets + local ranks
+    val rows = for (k <- Seq("a", "b", "c"); i <- 0 until 400)
+      yield (k, i * 2654435761L % 1009L, i.toLong)
+    val df = rows.toDF("k", "v", "id")
+    val got = EventAnalytics.bucketedRankN(df, "k",
+        Seq(col("v").asc, col("id").asc))
+      .select(col("k"), col("v"), col("id"), col("_i"), col("_n"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v").asc, col("id").asc)
+    val want = df.withColumn("_i", row_number().over(w).cast("long"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(got.length === 1200)
+    got.foreach { case (k, v, id, i, n) =>
+      assert(n === 400L)
+      assert(want((k, v, id)) === i, s"rank mismatch at ($k,$v,$id)")
+    }
+  }
+
+  test("streaming q43 twin: session-window extents converge to the " +
+       "batch sessionize extents (two-sided, watermark-closed coverage)") {
+    val s = spark
+    import s.implicits._
+    val dir = SparkSpec.sfDir
+    val batch = graft.core.Tables.events(s, dir)
+    val stream = graft.streaming.StreamingRollup.eventsStream(s, dir)
+    val spec43 = graft.series.SeriesSpec(Seq("user_id"),
+      Seq("ts", "event_id"))
+    val sess = graft.series.SeriesOps.sessionize(batch, spec43, "ts",
+      1800L)
+    val wantAll = sess.groupBy(col("user_id"), col("session_id"))
+      .agg(min(unix_micros(col("ts"))).as("t0"),
+        max(unix_micros(col("ts"))).as("t1"),
+        count(lit(1)).as("ne"))
+      .select(col("user_id"), col("t0"),
+        (col("t1") - col("t0")).as("dur"), col("ne"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val maxTsUs = batch.agg(max(unix_micros(col("ts")))).as[Long].head()
+    // 1s guard (the q38 twin rule) so a boundary-adjacent session can
+    // never flake into the must-emit set
+    val mustEmit = wantAll.filter { case ((_, t0), (dur, _)) =>
+      t0 + dur + 1801L * 1000000L < maxTsUs }.keySet
+    val got = scala.collection.mutable
+      .Map.empty[(Long, Long), (Long, Long)]
+    val q = graft.streaming.StreamingEvents
+      .sessionExtents(stream, "user_id", "ts", gapSeconds = 1800L,
+        watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= b
+          .select(col("_u"), col("_sid"), col("_dur"), col("_ne"))
+          .as[(Long, Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> ((r._3, r._4))) }
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(got.nonEmpty)
+    got.foreach { case (k, v) =>
+      assert(wantAll.get(k).contains(v),
+        s"emitted extent $k -> $v must match the batch extent") }
+    val missing = mustEmit -- got.keySet
+    assert(missing.isEmpty,
+      s"watermark-closed sessions must emit: ${missing.take(5)}")
+  }
+
   test("sessionStatsDaily: hand bounce/median/p90/max on a one-day " +
        "fixture; single-event sessions are zero-duration bounces") {
     val s = spark
