@@ -165,6 +165,73 @@ object OracleSql {
       s"SELECT $cols, $b AS band, ${bucketExpr(v, p)} AS bucket FROM $src"
     }.mkString("\nUNION ALL\n")
 
+  /** DuckDB replay of the LADDER-derived sign-LSH near-dup pairs —
+    * mirrors [[graft.sim.Similarity.ladderOperatingPoint]] +
+    * [[graft.sim.Similarity.bandedNearDupPairs]] /
+    * [[graft.sim.Similarity.lshNearDupPairs]] end to end, INCLUDING
+    * the data-driven operating-point selection. The ladder's rungs
+    * share plane prefixes (one RNG stream per band), so the oracle
+    * embeds only the DEEPEST rung's planes and recovers every rung's
+    * bucket as a low-bit mask; rung selection is a comparison of exact
+    * integer occupancy counts, identical in both engines. Emits the
+    * chain from `banded` onward — the caller supplies a CTE `e` with
+    * columns (blockCol?, idCol, v DOUBLE[], n) and prepends it.
+    * `roundBeforeFilter` mirrors the two Spark variants: banded pairs
+    * round the cosine to r5 THEN threshold-filter; lsh pairs filter
+    * the raw cosine and the gate entry rounds in its select. */
+  private def ladderPairsSql(idCol: String, blockCol: Option[String],
+                             threshold: Double, dim: Int, seed: Long,
+                             rungs: Seq[Int] = Seq(4, 6, 8, 10, 12),
+                             bandCap: Int = 16, targetBucket: Int = 64,
+                             recall: Double = 0.95,
+                             roundBeforeFilter: Boolean = true): String = {
+    val pts = rungs.map(np => (np,
+      graft.sim.Similarity.ladderBands(np, threshold, recall, bandCap)))
+    val deep = graft.sim.Similarity.bandPlanes(
+      dim, rungs.last, pts.map(_._2).max, seed)
+    val hardCap = 16L * targetBucket
+    val rungRows = pts.zipWithIndex.map { case ((np, nb), i) =>
+      s"($i, $nb, ${(1L << np) - 1L})" }.mkString(", ")
+    val blk = blockCol.toSeq
+    val blkPrefix = if (blk.isEmpty) "" else blk.mkString("", ", ", ", ")
+    val blkJoin = blk.map(c => s"a.$c = b.$c AND ").mkString
+    val srcCols = blkPrefix + idCol
+    val p = if (roundBeforeFilter)
+      s"""p AS (SELECT id_a, id_b,
+         |        round(list_inner_product(ea.v, eb.v)/sqrt(ea.n*eb.n), 5) AS cosine
+         |      FROM cand JOIN e ea ON ea.$idCol = cand.id_a
+         |                JOIN e eb ON eb.$idCol = cand.id_b)
+         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= $threshold""".stripMargin
+    else
+      s"""p AS (SELECT id_a, id_b,
+         |        list_inner_product(ea.v, eb.v)/sqrt(ea.n*eb.n) AS cosine
+         |      FROM cand JOIN e ea ON ea.$idCol = cand.id_a
+         |                JOIN e eb ON eb.$idCol = cand.id_b)
+         |SELECT id_a, id_b, round(cosine, 5) AS cosine FROM p
+         |WHERE cosine >= $threshold""".stripMargin
+    s"""banded AS MATERIALIZED (
+       |${bandedSql("e", srcCols, "v", deep)}),
+       |rungs(rung, nb, mask) AS (VALUES $rungRows),
+       |deepc AS (SELECT $blkPrefix band, bucket, count(*) AS cnt
+       |          FROM banded GROUP BY $blkPrefix band, bucket),
+       |occ AS (SELECT r.rung, $blkPrefix d.band,
+       |          (d.bucket & r.mask) AS mb, sum(d.cnt) AS c
+       |        FROM deepc d, rungs r WHERE d.band < r.nb
+       |        GROUP BY r.rung, $blkPrefix d.band, mb),
+       |omax AS (SELECT rung, max(c) AS mx FROM occ GROUP BY rung),
+       |sel AS MATERIALIZED (
+       |  SELECT r.nb, r.mask FROM omax o JOIN rungs r USING (rung)
+       |  ORDER BY CASE WHEN o.mx <= $hardCap THEN 0 ELSE 1 END,
+       |           CASE WHEN o.mx <= $hardCap THEN o.rung ELSE -o.rung END
+       |  LIMIT 1),
+       |cand AS (SELECT DISTINCT a.$idCol AS id_a, b.$idCol AS id_b
+       |         FROM banded a, banded b, sel s
+       |         WHERE ${blkJoin}a.band = b.band AND a.band < s.nb
+       |           AND (a.bucket & s.mask) = (b.bucket & s.mask)
+       |           AND a.$idCol < b.$idCol),
+       |$p""".stripMargin
+  }
+
   /** Portable 60-bit hash — SQL twin of [[graft.text.Dedup.h64]]. */
   private def h64Sql(expr: String, seed: String): String =
     s"('0x' || substr(md5($seed || '|' || $expr), 1, 15))::BIGINT"
@@ -3287,22 +3354,15 @@ object OracleSql {
       |FROM cl JOIN st USING (user_id)""".stripMargin
 
   /** q24's pair list (no ORDER BY) — shared by the q24 gate entry and
-    * d04's reachability closure. */
+    * d04's reachability closure. LADDER replay: the oracle re-derives
+    * the occupancy-selected operating point from the same integer
+    * bucket counts the Spark side probes (see [[ladderPairsSql]]). */
   private lazy val q24PairsSql: String =
     s"""WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v,
        |             list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
        |           FROM embeddings),
-       |banded AS (
-       |${bandedSql("e", "label, vec_id, v, n", "v", graft.sim.Similarity.bandPlanes(64, 3, 4, 7L))}),
-       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |         FROM banded a JOIN banded b
-       |           ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
-       |         WHERE a.vec_id < b.vec_id),
-       |p AS (SELECT id_a, id_b,
-       |        round(list_inner_product(ea.v, eb.v)/sqrt(ea.n*eb.n), 5) AS cosine
-       |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a
-       |                JOIN e eb ON eb.vec_id = cand.id_b)
-       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3""".stripMargin
+       |${ladderPairsSql("vec_id", Some("label"), threshold = 0.3, dim = 64,
+          seed = 7L)}""".stripMargin
 
   val all: Map[String, String] = Map(
 
@@ -5044,6 +5104,54 @@ object OracleSql {
         |  max(dur)::BIGINT AS max_dur_us
         |FROM r GROUP BY day ORDER BY day""".stripMargin,
 
+    // q41: per-user return-time / churn panel — the q43 sessionize
+    // CTE reduced to extents, inter-session return gaps via lag over
+    // the per-session frame, the q39 two-middle-rank median / type-1
+    // p90 idiom per user, and quiet time vs the corpus max ts
+    "q41_return_time" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |    (sum(CASE WHEN gap IS NULL OR gap > 1800000000
+        |              THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      )::BIGINT AS session_id
+        |  FROM g),
+        |e AS (SELECT user_id, session_id,
+        |        min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+        |      FROM s GROUP BY user_id, session_id),
+        |x AS (SELECT user_id, session_id, t0, t1,
+        |        t0 - lag(t1) OVER (PARTITION BY user_id
+        |          ORDER BY session_id) AS ret
+        |      FROM e),
+        |b AS (SELECT user_id, count(*)::BIGINT AS n_sessions,
+        |        max(t1) AS last_t1
+        |      FROM x GROUP BY user_id),
+        |r AS (SELECT user_id, session_id, ret,
+        |        count(*) OVER (PARTITION BY user_id) AS m,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ret, session_id) AS rk
+        |      FROM x WHERE ret IS NOT NULL),
+        |rs AS (SELECT user_id, count(*)::BIGINT AS n_returns,
+        |         sum(CASE WHEN rk = (m+1)//2 OR rk = (m+2)//2
+        |                  THEN ret END)::DOUBLE
+        |           / count(CASE WHEN rk = (m+1)//2 OR rk = (m+2)//2
+        |                    THEN 1 END) AS median_return_us,
+        |         max(CASE WHEN rk = ceil(m * 0.9)::BIGINT
+        |                  THEN ret END)::BIGINT AS p90_return_us,
+        |         max(ret)::BIGINT AS max_return_us
+        |       FROM r GROUP BY user_id),
+        |mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
+        |SELECT b.user_id, b.n_sessions,
+        |  coalesce(rs.n_returns, 0)::BIGINT AS n_returns,
+        |  rs.median_return_us, rs.p90_return_us, rs.max_return_us,
+        |  (mx.m - b.last_t1)::BIGINT AS quiet_us
+        |FROM b LEFT JOIN rs USING (user_id) CROSS JOIN mx
+        |ORDER BY user_id""".stripMargin,
+
     // q42: funnel time-to-convert — the q34 stage-entry CTE chain,
     // per-transition entry-time gaps in exact integer µs, the q39
     // two-middle-rank median / type-1 p90 idiom per stage
@@ -6041,24 +6149,16 @@ object OracleSql {
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // multi-band sign-LSH ANN (8 bands × 4 planes, seed 42) — planes
-    // literal-embedded so both engines compute identical buckets;
-    // exact cosine verify
+    // multi-band sign-LSH ANN at the LADDER-selected operating point
+    // (seed 42) — the oracle replays the occupancy-driven rung
+    // selection from the same integer bucket counts, then the banded
+    // candidate join + exact cosine verify (see ladderPairsSql)
     "s01_lsh_ann" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |             list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
          |           FROM embeddings),
-         |banded AS (
-         |${bandedSql("e", "vec_id, v, n", "v", graft.sim.Similarity.bandPlanes(64, 4, 8, 42L))}),
-         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |         FROM banded a JOIN banded b
-         |           ON a.band = b.band AND a.bucket = b.bucket
-         |         WHERE a.vec_id < b.vec_id),
-         |p AS (SELECT id_a, id_b,
-         |        list_inner_product(ea.v, eb.v)/sqrt(ea.n*eb.n) AS cosine
-         |      FROM cand JOIN e ea ON ea.vec_id = cand.id_a
-         |                JOIN e eb ON eb.vec_id = cand.id_b)
-         |SELECT id_a, id_b, round(cosine,5) AS cosine FROM p WHERE cosine >= 0.3
+         |${ladderPairsSql("vec_id", None, threshold = 0.3, dim = 64,
+            seed = 42L, roundBeforeFilter = false)}
          |ORDER BY id_a, id_b""".stripMargin,
 
     // block-bootstrap chain with deterministic strided starts: start_b =

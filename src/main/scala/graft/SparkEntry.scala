@@ -325,23 +325,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
-    // ── embedding near-dup pairs (label-blocked + sign-LSH banded: the
-    //    join key is (label, bucket) so no pair group is quadratic in
-    //    block size — the 100 TB-safe default; blockedNearDupPairs
-    //    remains the exact small-scale counterpart) ────────────────────
+    // ── embedding near-dup pairs (label-blocked + sign-LSH banded at
+    //    the LADDER-selected operating point: observed bucket occupancy
+    //    picks the plane depth from a fixed quantized ladder, so the
+    //    candidate join stays occupancy-bounded as the corpus grows —
+    //    the r16 30× run measured the old fixed bandPlanes(64, 3, 4)
+    //    config going ~O(n²) (ratio 150); the ladder derivation is
+    //    replayed by the DuckDB oracle from the same integer counts.
+    //    blockedNearDupPairs remains the exact small-scale witness ─────
     "q24_embed_neardup_blocked" -> ((s, dir) => {
-      Similarity.bandedNearDupPairs(emb(s, dir), "vec_id", "embedding",
-          "label", threshold = 0.3, Similarity.bandPlanes(64, 3, 4, 7L))
+      Similarity.bandedNearDupPairsLadder(emb(s, dir), "vec_id",
+          "embedding", "label", threshold = 0.3, seed = 7L)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     // ── Semantic dedup clusters: the q24 embedding near-dup pairs
     //    closed into connected components (same distributed min-label
-    //    propagation as d03 — embedding-modality dedup clustering) ─────
+    //    propagation as d03 — embedding-modality dedup clustering);
+    //    rides the same ladder-derived operating point as q24 ──────────
     "d04_embed_dedup_clusters" -> ((s, dir) => {
-      val pairs = Similarity.bandedNearDupPairs(emb(s, dir), "vec_id",
-        "embedding", "label", threshold = 0.3,
-        Similarity.bandPlanes(64, 3, 4, 7L))
+      val pairs = Similarity.bandedNearDupPairsLadder(emb(s, dir), "vec_id",
+        "embedding", "label", threshold = 0.3, seed = 7L)
       Dedup.connectedComponents(pairs)
         .select(col("id").as("vec_id"), col("cluster").as("cluster_id"),
           (col("id") === col("cluster")).as("keep"))
@@ -432,6 +436,15 @@ object SparkEntry {
     "q40_active_ratios" -> ((s, dir) => {
       graft.series.EventAnalytics.activeRatios(ev(s, dir), "user_id", "ts")
         .orderBy(col("day"))
+    }),
+
+    // ── q41: per-user return-time / churn panel — session count,
+    //    inter-session return-gap median / type-1 p90 / max in exact
+    //    integer µs, and trailing quiet time vs the corpus max ts ─────
+    "q41_return_time" -> ((s, dir) => {
+      graft.series.EventAnalytics.returnTimes(ev(s, dir), "user_id",
+          Seq("ts", "event_id"), gapSeconds = 1800)
+        .orderBy(col("user_id"))
     }),
 
     // ── q36: activity concentration per event_type — discrete Gini
@@ -1400,10 +1413,14 @@ object SparkEntry {
         .orderBy(col("user_id"), col("i"))
     }),
 
-    // ── multi-band sign-LSH ANN near-dup (planes literal ⇒ oracled) ───
+    // ── multi-band sign-LSH ANN near-dup at the LADDER-selected
+    //    operating point (occupancy-bounded candidates; the r15 fixed
+    //    nPlanes=4 config's 16 buckets/band saturated past 10× — the
+    //    ladder deepens with the corpus and the oracle replays the
+    //    selection from the same integer bucket counts) ────────────────
     "s01_lsh_ann" -> ((s, dir) => {
-      Similarity.lshNearDupPairs(emb(s, dir), "vec_id", "embedding",
-          threshold = 0.3, nPlanes = 4, bands = 8, seed = 42L)
+      Similarity.lshNearDupPairsLadder(emb(s, dir), "vec_id", "embedding",
+          threshold = 0.3, seed = 42L)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 5).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     }),

@@ -137,7 +137,16 @@ object EventAnalytics {
     * pass see the same buckets; the per-(key, bucket) offset frame is
     * range-tiny (≤ |keys| + nBuckets rows — each bucket holds a
     * contiguous key range), so its prefix window is bounded by
-    * construction. Input columns are preserved. */
+    * construction. Input columns are preserved.
+    *
+    * Cost contract: the localCheckpoint MATERIALIZES the bucketed
+    * frame EAGERLY at call time (one job per invocation) and truncates
+    * lineage — executor loss after it re-fails the query instead of
+    * recomputing upstream, and the checkpoint blocks live until the
+    * consuming action's session drops them. That one frame-sized
+    * materialization is the price of boundary determinism (both
+    * passes MUST see identical buckets); callers ranking the same
+    * frame twice should rank once and reuse. */
   private[graft] def bucketedRankN(df: DataFrame, keyCol: String,
                                    orderCols: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -207,9 +216,20 @@ object EventAnalytics {
     * (stage_idx, stage, n_converted, median_gap_us, p90_gap_us,
     * max_gap_us). */
   def funnelTiming(df: DataFrame, user: String, ts: String,
-                   typeCol: String, stages: Seq[String]): DataFrame = {
+                   typeCol: String, stages: Seq[String]): DataFrame =
+    funnelTimingFromEntries(
+      stageEntries(df, user, ts, typeCol, stages), stages)
+
+  /** [[funnelTiming]]'s pure downstream over an entries frame shaped
+    * like [[stageEntries]] (_u, _t0.._tk) — split out so the
+    * streaming composition is EXECUTABLE, not just argued:
+    * [[graft.streaming.StreamingEvents.funnelStageEntries]] converges
+    * to the stageEntries frame (spec-pinned), and the q42 composition
+    * spec runs THIS over the pivoted streamed entries and equates it
+    * to the batch report (the q43 sessionStatsFromExtents precedent). */
+  def funnelTimingFromEntries(acc: DataFrame,
+                              stages: Seq[String]): DataFrame = {
     require(stages.size >= 2, "funnel timing needs at least two stages")
-    val acc = stageEntries(df, user, ts, typeCol, stages)
     val gaps = stages.indices.drop(1).map { i =>
       acc.filter(col(s"_t${i - 1}").isNotNull && col(s"_t$i").isNotNull)
         .select(lit(i).as("stage_idx"), lit(stages(i)).as("stage"),
@@ -244,29 +264,54 @@ object EventAnalytics {
     * (DAU drives the frame); windows at the stream head count the
     * days that exist, by construction.
     *
-    * Scale shape: one (user, day) dedup agg, then each activity day
-    * contributes to the trailing windows ending on days d..d+w−1 via
-    * a CONSTANT-bounded explode (7 and 30 rows per (user, day) —
-    * never data-sized; the q26 supervised-window halo argument), each
-    * followed by one day-keyed distinct-count agg; one final
-    * day-keyed join of three day-sized frames. All counts are exact
-    * integers; the one division rounds to 6 on both engines. */
+    * Scale shape: one (user, day) dedup agg, then ONE tagged
+    * CONSTANT-bounded explode ([[activityCells]] — 1+7+30 rows per
+    * (user, day), never data-sized; the q26 supervised-window halo
+    * argument) into a single (day, win)-keyed distinct-count agg and
+    * a day-keyed pivot over the bounded day-sized frame. All counts
+    * are exact integers; the one division rounds to 6 on both
+    * engines. */
   def activeRatios(df: DataFrame, user: String, ts: String,
                    wauDays: Int = 7, mauDays: Int = 30): DataFrame = {
     val ud = df.select(col(user).as("_u"), to_date(col(ts)).as("_d"))
       .distinct()
-    def rolling(days: Int, name: String): DataFrame = ud
-      .select(col("_u"), explode(sequence(col("_d"),
-        date_add(col("_d"), days - 1))).as("day"))
-      .groupBy(col("day")).agg(countDistinct(col("_u")).as(name))
-    val dau = ud.groupBy(col("_d").as("day"))
-      .agg(countDistinct(col("_u")).as("dau"))
-    dau.join(rolling(wauDays, "wau"), "day")
-      .join(rolling(mauDays, "mau"), "day")
-      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-        col("dau"), col("wau"), col("mau"),
+    // ONE tagged explode over the deduped (user, day) frame + ONE
+    // distinct-count agg + a day-keyed pivot — the streaming twin's
+    // shape adopted in batch (r16 built this as three separate
+    // explode+countDistinct passes over a thrice-rebuilt ud: three
+    // full dedup shuffles where one suffices). Days with no activity
+    // emit no row (the dau IS NULL filter — a wau/mau halo day after
+    // the last burst has no dau cell), identical to the old
+    // dau-driven inner join.
+    val counts = activityCells(ud, "_u", col("_d"), wauDays, mauDays)
+      .groupBy(col("day"), col("win"))
+      .agg(countDistinct(col("_u")).as("n"))
+    counts.groupBy(col("day"))
+      .pivot("win", Seq("dau", "wau", "mau")).agg(first(col("n")))
+      .filter(col("dau").isNotNull)
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
         round(col("dau").cast("double") / col("mau").cast("double"), 6)
           .as("stickiness"))
+  }
+
+  /** The (day, window, user) activity-cell expansion shared by the
+    * batch [[activeRatios]] and its streaming twin
+    * ([[graft.streaming.StreamingEvents.activeCells]]): activity day d
+    * feeds the dau cell of d and the trailing wau/mau cells of
+    * d..d+w−1 — a CONSTANT-bounded explode (1+wau+mau rows per input
+    * row, never data-sized; the q26 supervised-window halo argument).
+    * Output: (day yyyy-MM-dd, win ∈ {dau,wau,mau}, _u). */
+  private[graft] def activityCells(df: DataFrame, user: String,
+                                   dayCol: Column, wauDays: Int,
+                                   mauDays: Int): DataFrame = {
+    def tagged(days: Int, tag: String) =
+      transform(sequence(dayCol, date_add(dayCol, days - 1)),
+        x => struct(x.as("day"), lit(tag).as("win")))
+    df.select(col(user).as("_u"),
+        explode(concat(tagged(1, "dau"), tagged(wauDays, "wau"),
+          tagged(mauDays, "mau"))).as("_e"))
+      .select(date_format(col("_e.day"), "yyyy-MM-dd").as("day"),
+        col("_e.win").as("win"), col("_u"))
   }
 
   /** First-order event-transition matrix (q37): the Markov "what
@@ -404,6 +449,72 @@ object EventAnalytics {
           .as("median_dur_us"),
         max(when(col("_i") === p90, col("_dur"))).as("p90_dur_us"),
         max(col("_dur")).as("max_dur_us"))
+  }
+
+  /** Per-user return-time / churn panel (q41 — closing the q40→q42
+    * namespace gap): gap-sessionize each user's stream, reduce to
+    * session extents, and per user report the session count, the
+    * RETURN-gap distribution (next session's first event − previous
+    * session's last event, exact integer µs — how long it takes a
+    * user to come back) as the q39-contract median / type-1 p90 /
+    * max, and the trailing quiet time (corpus max event time − the
+    * user's last activity): the churn-risk panel beside q39
+    * (within-session cadence) and q43 (per-day session health). A
+    * single-session user emits n_returns 0 with NULL gap stats —
+    * never churn-invisible (identical NULLs in the oracle replay).
+    *
+    * Scale shape: the user-keyed sessionize window, ONE
+    * (user, session)-keyed extent agg, then ONE pass over the
+    * per-SESSION frame — every window (lag, rank, count) partitions
+    * on the USER (bounded by each user's session count, the q39
+    * per-user gap shape, never a global or constant-key window) and
+    * a single user-keyed agg produces the whole row: exactly one
+    * session per user has a NULL return gap (the first, by session
+    * order), so ranking nulls-first and subtracting 1 ranks the
+    * returns 1..m with no second scan, no filter-join, no rebuild of
+    * the extent frame (the q40 one-pass lesson). The corpus max ts
+    * is a 1-row broadcast. */
+  def returnTimes(df: DataFrame, user: String, orderCols: Seq[String],
+                  gapSeconds: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spec = graft.series.SeriesSpec(Seq(user), orderCols)
+    val ts = orderCols.head
+    val sess = graft.series.SeriesOps.sessionize(df, spec, ts, gapSeconds)
+    val ext = sess.groupBy(col(user).as("_u"), col("session_id").as("_sid"))
+      .agg(min(unix_micros(col(ts))).as("_t0"),
+        max(unix_micros(col(ts))).as("_t1"))
+    val wLag = Window.partitionBy(col("_u")).orderBy(col("_sid"))
+    // the single NULL-gap row per user (its first session) ranks
+    // first under asc_nulls_first, so non-null returns take exact
+    // ranks 1..m after the −1 shift — one rank window, no filter
+    val wr = Window.partitionBy(col("_u"))
+      .orderBy(col("_ret").asc_nulls_first, col("_sid").asc)
+    val ranked = ext
+      .withColumn("_ret", col("_t0") - lag(col("_t1"), 1).over(wLag))
+      .withColumn("_i", row_number().over(wr).cast("long") - lit(1L))
+      .withColumn("_m",
+        count(col("_ret")).over(Window.partitionBy(col("_u"))))
+    // the q39 rank contract: two-middle-rank median, FP-ceil p90
+    val lo = (col("_m") + lit(1L)) / lit(2L)
+    val hi = (col("_m") + lit(2L)) / lit(2L)
+    val p90 = ceil(col("_m").cast("double") * lit(0.9)).cast("long")
+    val isMid = col("_ret").isNotNull &&
+      (col("_i") === lo.cast("long") || col("_i") === hi.cast("long"))
+    val mx = df.agg(max(unix_micros(col(ts))).as("_mx"))
+    ranked.groupBy(col("_u"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("_t1")).as("_last"),
+        count(col("_ret")).as("n_returns"),
+        (sum(when(isMid, col("_ret"))).cast("double") /
+          count(when(isMid, lit(1))).cast("double"))
+          .as("median_return_us"),
+        max(when(col("_i") === p90, col("_ret"))).as("p90_return_us"),
+        max(col("_ret")).as("max_return_us"))
+      .crossJoin(broadcast(mx))
+      .select(col("_u").as(user), col("n_sessions"), col("n_returns"),
+        col("median_return_us"), col("p90_return_us"),
+        col("max_return_us"),
+        (col("_mx") - col("_last")).as("quiet_us"))
   }
 
   /** Top session paths (q38): gap-sessionize each user's stream

@@ -218,6 +218,103 @@ object Similarity {
     lshNearDupPairs(df, id, vec, threshold, nPlanes, bands, seed)
   }
 
+  /** Bands for a ladder rung: [[bandsForRecall]] capped at `bandCap`.
+    * The cap bounds per-row band·plane work REGARDLESS of threshold —
+    * at loose thresholds (cos ≲ 0.5) the recall pin is unsatisfiable
+    * (bandsForRecall wants hundreds of bands) and an uncapped config
+    * pays the full clamp work for recall it never reaches (measured:
+    * the 64-band clamp at cos 0.3/0.45 is the whole 20–57× tail of
+    * the 30× pair-family run). Under the cap, recall degrades
+    * gracefully with rung depth and every emitted pair is still
+    * exact-verified (precision 1.0); exhaustive recall at loose
+    * thresholds is [[blockedNearDupPairs]]' job, not LSH's. */
+  def ladderBands(nPlanes: Int, threshold: Double, recall: Double,
+                  bandCap: Int): Int =
+    math.min(bandCap, bandsForRecall(nPlanes, threshold, recall))
+
+  /** Occupancy-selected rung of a FIXED QUANTIZED LADDER of sign-LSH
+    * operating points — the oracle-replayable form of the
+    * [[refinePlanes]] derivation. Rungs share plane PREFIXES: band b
+    * of every rung draws from the same RNG stream
+    * ([[hyperplanes]](dim, nP, seed·101+b) fills row-major), so rung
+    * (nP, ·)'s bucket is the low-nP-bit mask of the deepest rung's
+    * bucket. That makes the whole derivation ONE SignBuckets scan at
+    * (maxNP, maxBands) + one keyed count + one rung-exploded agg — and
+    * lets a SQL oracle replay it exactly: embed the deepest planes
+    * once, mask bits per rung, pick the same rung from the same
+    * integer counts. Selection: the SHALLOWEST rung whose observed max
+    * (block, band, bucket) occupancy is ≤ 16·targetBucket (the
+    * [[refinePlanes]] hard cap), else the deepest rung. Returns
+    * (nPlanes, bands, dim), or None on an empty corpus.
+    *
+    * The default rung list covers blocks up to ~4M vectors (2^12
+    * buckets/band × the 16·64 hot-bucket cap); at larger block sizes
+    * pass deeper rungs — selection cost stays one scan + one agg. The
+    * unquantized [[refinePlanes]] twins remain for library callers
+    * that don't need oracle replay. */
+  def ladderOperatingPoint(df: DataFrame, vec: String, block: Option[String],
+                           threshold: Double,
+                           rungs: Seq[Int] = Seq(4, 6, 8, 10, 12),
+                           bandCap: Int = 16, targetBucket: Int = 64,
+                           recall: Double = 0.95,
+                           seed: Long = 7L): Option[(Int, Int, Int)] = {
+    require(rungs.nonEmpty && rungs == rungs.sorted.distinct,
+      s"rungs must be strictly increasing: $rungs")
+    require(rungs.last <= 62, "bucket ids are sign bits packed in a Long")
+    val pts = rungs.map(np => (np, ladderBands(np, threshold, recall, bandCap)))
+    val dimRow = df.select(size(col(vec))).limit(1).collect()
+    if (dimRow.isEmpty) return None
+    val dim = dimRow(0).getInt(0)
+    val deep = bandPlanes(dim, rungs.last, pts.map(_._2).max, seed)
+    val blockCols = block.toSeq.map(col)
+    val deepCounts = df.select(blockCols :+
+        posexplode(graft.functions.SignBuckets(col(vec), deep))
+          .as(Seq("band", "bucket")): _*)
+      .groupBy((block.toSeq ++ Seq("band", "bucket")).map(col): _*)
+      .count()
+    // one agg over the (already aggregated) deep counts: explode the
+    // rung table (≤ |rungs| literal structs per counted bucket), mask
+    // the deep bucket to the rung's prefix, max per rung — exact
+    // integer counts, so both engines pick the identical rung
+    val rungCol = explode(array(pts.zipWithIndex.map { case ((np, nb), i) =>
+      struct(lit(i).as("rung"), lit(nb).as("nb"),
+        lit((1L << np) - 1L).as("mask"))
+    }: _*))
+    val occ = deepCounts.withColumn("r", rungCol)
+      .filter(col("band") < col("r.nb"))
+      .groupBy(blockCols ++ Seq(col("r.rung").as("rung"), col("band"),
+        col("bucket").bitwiseAND(col("r.mask")).as("mb")): _*)
+      .agg(sum(col("count")).as("c"))
+      .groupBy(col("rung")).agg(max(col("c")).as("mx"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (occ.isEmpty) return None
+    val hardCap = 16L * targetBucket
+    val sel = pts.indices.find(i => occ(i) <= hardCap).getOrElse(pts.size - 1)
+    Some((pts(sel)._1, pts(sel)._2, dim))
+  }
+
+  /** [[lshNearDupPairs]] at the ladder-selected operating point — the
+    * oracle-GATED production configuration (gate entry s01): bounded
+    * band work via `bandCap`, occupancy-bounded candidates via rung
+    * selection, and a derivation a SQL oracle replays bit-for-bit
+    * (see [[ladderOperatingPoint]]). */
+  def lshNearDupPairsLadder(df: DataFrame, id: String, vec: String,
+                            threshold: Double,
+                            rungs: Seq[Int] = Seq(4, 6, 8, 10, 12),
+                            bandCap: Int = 16, targetBucket: Int = 64,
+                            recall: Double = 0.95,
+                            seed: Long = 42L): DataFrame =
+    ladderOperatingPoint(df, vec, None, threshold, rungs, bandCap,
+        targetBucket, recall, seed) match {
+      case None =>
+        val s = df.sparkSession
+        import s.implicits._
+        s.emptyDataset[(Long, Long, Double)].toDF("id_a", "id_b", "cosine")
+      case Some((np, nb, _)) =>
+        lshNearDupPairs(df, id, vec, threshold, np, nb, seed)
+    }
+
   /** Per-vector inverted-list id: argmin centroid by L2 distance.
     * |v|² is common to all centroids, so the comparison key is
     * `|c|² − 2·v·c`. Ties break to the smallest centroid id. Runs as
@@ -717,6 +814,30 @@ object Similarity {
     bandedNearDupPairs(df, id, vec, block, threshold,
       bandPlanes(dim, nPlanes, bands, seed))
   }
+
+  /** [[bandedNearDupPairs]] at the ladder-selected operating point —
+    * the oracle-GATED production configuration (gate entries q24/d04).
+    * Occupancy is probed per (block, band, bucket), so the binding
+    * block selects the rung for the whole corpus, same as
+    * [[bandedNearDupPairsScaled]]; unlike it, the derivation is a
+    * fixed quantized ladder a SQL oracle replays exactly
+    * (see [[ladderOperatingPoint]]). */
+  def bandedNearDupPairsLadder(df: DataFrame, id: String, vec: String,
+                               block: String, threshold: Double,
+                               rungs: Seq[Int] = Seq(4, 6, 8, 10, 12),
+                               bandCap: Int = 16, targetBucket: Int = 64,
+                               recall: Double = 0.95, seed: Long = 7L,
+                               roundTo: Int = 5): DataFrame =
+    ladderOperatingPoint(df, vec, Some(block), threshold, rungs, bandCap,
+        targetBucket, recall, seed) match {
+      case None =>
+        val s = df.sparkSession
+        import s.implicits._
+        s.emptyDataset[(Long, Long, Double)].toDF("id_a", "id_b", "cosine")
+      case Some((np, nb, dim)) =>
+        bandedNearDupPairs(df, id, vec, block, threshold,
+          bandPlanes(dim, np, nb, seed), roundTo)
+    }
 
   /** Exact near-dup pairs within explicit blocks (e.g. a label column) —
     * the oracle-checkable counterpart of [[lshNearDupPairs]]. */

@@ -73,8 +73,9 @@ object StreamingEvents {
 
   /** Streaming twin of q40 ([[graft.series.EventAnalytics.activeRatios]]):
     * each arriving event expands to its (day, window) memberships via
-    * the same CONSTANT-bounded explode as the batch op (day d feeds
-    * the dau cell of d and the wau/mau cells of d..d+w−1) and the
+    * the SHARED [[graft.series.EventAnalytics.activityCells]] explode
+    * (day d feeds the dau cell of d and the wau/mau cells of
+    * d..d+w−1 — constant-bounded, shared at birth with batch) and the
     * streaming dedup store keeps the first (day, window, user) row —
     * append mode, one state row per distinct active cell, no stream
     * window (the [[retentionActives]] contract). Counting the emitted
@@ -82,18 +83,10 @@ object StreamingEvents {
     * division happens on the bounded day-sized frame downstream.
     * Output (append): one row per newly-seen (day, window, _u). */
   def activeCells(stream: DataFrame, user: String, ts: String,
-                  wauDays: Int = 7, mauDays: Int = 30): DataFrame = {
-    val d = to_date(col(ts))
-    def tagged(days: Int, tag: String) =
-      transform(sequence(d, date_add(d, days - 1)),
-        x => struct(x.as("day"), lit(tag).as("win")))
-    stream.select(col(user).as("_u"),
-        explode(concat(tagged(1, "dau"), tagged(wauDays, "wau"),
-          tagged(mauDays, "mau"))).as("_e"))
-      .select(date_format(col("_e.day"), "yyyy-MM-dd").as("day"),
-        col("_e.win").as("win"), col("_u"))
+                  wauDays: Int = 7, mauDays: Int = 30): DataFrame =
+    graft.series.EventAnalytics
+      .activityCells(stream, user, to_date(col(ts)), wauDays, mauDays)
       .dropDuplicates("day", "win", "_u")
-  }
 
   /** Streaming twin of q43
     * ([[graft.series.EventAnalytics.sessionStatsDaily]]): the native
@@ -122,74 +115,123 @@ object StreamingEvents {
           unix_micros(col("session_window.start"))).as("_dur"),
         col("_ne"))
 
+  /** Per-user ordered-replay GroupState for the q37/q39 twins: the
+    * last FLUSHED event (the lag anchor) plus every event still
+    * inside the watermark lateness window, in (_t µs, _i, type)
+    * triples. Per-invocation memory is one micro-batch group plus the
+    * lateness tail — bounded by the lateness window, never the
+    * stream. */
+  private[streaming] case class OrderedBuf(
+      last: Option[(Long, Long, String)],
+      buf: Seq[(Long, Long, String)])
+
+  /** The shared buffer-and-flush step of the order-robust q37/q39
+    * twins: admit the batch's rows unless they are already behind the
+    * watermark (flatMapGroupsWithState does NOT pre-filter late rows —
+    * a row behind the watermark is LATE by contract, its lag anchor
+    * has advanced past it, and it is dropped exactly as the watermark
+    * promises), flush every buffered event STRICTLY below the
+    * watermark in (event-time, event-id) order through `emit`, hold
+    * the rest, and arm an event-time timeout at the earliest held
+    * event so the flush resumes as soon as the watermark passes it.
+    * Flushing strictly below / admitting at-or-above the watermark
+    * means a flushed event can never tie an admissible arrival, so
+    * the emitted order is the batch (ts, event_id) order up to the
+    * watermark — the order-robustness contract. */
+  private def flushOrdered[O](
+      state: org.apache.spark.sql.streaming.GroupState[OrderedBuf],
+      incoming: Iterator[(Long, Long, String)],
+      emit: ((Long, Long, String), (Long, Long, String)) => O)
+      : Iterator[O] = {
+    val st = state.getOption.getOrElse(OrderedBuf(None, Nil))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val admitted = incoming.filter(_._1 >= wmUs).toSeq
+    val (ready, hold) = (st.buf ++ admitted).partition(_._1 < wmUs)
+    val sorted = ready.sortBy(r => (r._1, r._2))
+    val out = Seq.newBuilder[O]
+    var last = st.last
+    sorted.foreach { r =>
+      last.foreach(l => out += emit(l, r))
+      last = Some(r)
+    }
+    if (hold.isEmpty && last.isEmpty) state.remove()
+    else state.update(OrderedBuf(last, hold))
+    if (hold.nonEmpty)
+      state.setTimeoutTimestamp(hold.map(_._1).min / 1000L + 1L)
+    out.result().iterator
+  }
+
   /** Streaming twin of q37 ([[graft.series.EventAnalytics.transitions]]):
-    * per-user LAST-EVENT state (one (ts, event_id, type) triple per
-    * user — the GroupState analogue of the batch lag window) emits one
-    * (prev_event, event) row per observed transition; counting the
-    * emitted rows per pair IS `n_trans` (the [[retentionActives]]
-    * counting contract), and the row-normalized probability is the
-    * same bounded totals-frame division downstream. Within a
-    * micro-batch each group's rows replay in (ts, event_id) order;
-    * across batches the state carries the last seen event, so the
-    * emitted pairs converge to the batch lag exactly when the stream
-    * replays per-user event-time-ordered (a single-batch replay — the
-    * batch-agreement spec — is always ordered). Output (append):
-    * (_u, prev_event, event). */
+    * per-user GroupState holds the last FLUSHED event (the lag
+    * anchor) plus an event-time buffer of the watermark lateness
+    * window, and emits one (prev_event, event) row per transition as
+    * the watermark passes the later event — so arrivals that are
+    * out-of-order ACROSS micro-batches (the real-clickstream case)
+    * still replay in exact (ts, event_id) order; only rows later than
+    * the lateness window are dropped, the standard watermark
+    * contract. Counting the emitted rows per pair IS `n_trans` (the
+    * [[retentionActives]] counting contract), and the row-normalized
+    * probability is the same bounded totals-frame division
+    * downstream. The user key is kept as a STRING of its natural
+    * value — a non-numeric id must stay a distinct group, never a
+    * silent null-collapse. Convergence: emitted pairs equal the batch
+    * lag over every event strictly below the final watermark
+    * (spec-pinned with shuffled multi-batch replays); events at/above
+    * it stay buffered. Output (append): (_u, prev_event, event). */
   def transitionPairs(stream: DataFrame, user: String, ts: String,
-                      eventId: String, typeCol: String): DataFrame = {
+                      eventId: String, typeCol: String,
+                      lateness: String = "0 seconds"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
-    val src = stream.select(col(user).cast("long").as("_u"),
-      unix_micros(col(ts)).as("_t"),
-      col(eventId).cast("long").as("_i"),
-      col(typeCol).as("_e")).as[(Long, Long, Long, String)]
+    // the watermarked ts attribute must stay in the fMGWS input (the
+    // checker needs a watermark column in scope, and aliasing keeps
+    // its delay metadata); the µs value the buffer orders on is the
+    // exact unix_micros column beside it
+    val src = stream.withWatermark(ts, lateness)
+      .select(col(user).cast("string").as("_u"),
+        col(ts).as("_wm"),
+        unix_micros(col(ts)).as("_t"),
+        col(eventId).cast("long").as("_i"),
+        col(typeCol).as("_e"))
+      .as[(String, java.sql.Timestamp, Long, Long, String)]
     src.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, String), (Long, String, String)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (u: Long, rows: Iterator[(Long, Long, Long, String)],
-         state: GroupState[(Long, Long, String)]) =>
-          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
-          val out = Seq.newBuilder[(Long, String, String)]
-          var last = state.getOption
-          sorted.foreach { r =>
-            last.foreach(l => out += ((u, l._3, r._4)))
-            last = Some((r._2, r._3, r._4))
-          }
-          last.foreach(state.update)
-          out.result().iterator
+      .flatMapGroupsWithState[OrderedBuf, (String, String, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u: String, rows: Iterator[(String, java.sql.Timestamp, Long, Long, String)],
+         state: GroupState[OrderedBuf]) =>
+          flushOrdered(state, rows.map(r => (r._3, r._4, r._5)),
+            (l, r) => (u, l._3, r._3))
       }.toDF("_u", "prev_event", "event")
   }
 
   /** Streaming twin of q39 ([[graft.series.EventAnalytics.cadence]]):
-    * per-user LAST-TIMESTAMP state emits each inter-event gap in exact
-    * integer microseconds as it is observed — the stateful half of the
-    * cadence report; the keyed gap statistics (median / p90 / max)
-    * aggregate the emitted gap stream downstream exactly as the batch
-    * agg does. Same in-order replay contract as [[transitionPairs]].
-    * Output (append): (_u, gap_us). */
+    * the same watermark-ordered per-user buffer as
+    * [[transitionPairs]], emitting each inter-event gap in exact
+    * integer microseconds when the watermark passes the later event —
+    * order-robust across micro-batches up to the lateness window. The
+    * keyed gap statistics (median / p90 / max) aggregate the emitted
+    * gap stream downstream exactly as the batch agg does. Output
+    * (append): (_u string, gap_us). */
   def cadenceGaps(stream: DataFrame, user: String, ts: String,
-                  eventId: String): DataFrame = {
+                  eventId: String,
+                  lateness: String = "0 seconds"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
-    val src = stream.select(col(user).cast("long").as("_u"),
-      unix_micros(col(ts)).as("_t"),
-      col(eventId).cast("long").as("_i")).as[(Long, Long, Long)]
+    val src = stream.withWatermark(ts, lateness)
+      .select(col(user).cast("string").as("_u"),
+        col(ts).as("_wm"),
+        unix_micros(col(ts)).as("_t"),
+        col(eventId).cast("long").as("_i"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
     src.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long), (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (u: Long, rows: Iterator[(Long, Long, Long)],
-         state: GroupState[(Long, Long)]) =>
-          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
-          val out = Seq.newBuilder[(Long, Long)]
-          var last = state.getOption
-          sorted.foreach { r =>
-            last.foreach(l => out += ((u, r._2 - l._1)))
-            last = Some((r._2, r._3))
-          }
-          last.foreach(state.update)
-          out.result().iterator
+      .flatMapGroupsWithState[OrderedBuf, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u: String, rows: Iterator[(String, java.sql.Timestamp, Long, Long)],
+         state: GroupState[OrderedBuf]) =>
+          flushOrdered(state, rows.map(r => (r._3, r._4, "")),
+            (l, r) => (u, r._1 - l._1))
       }.toDF("_u", "gap_us")
   }
 

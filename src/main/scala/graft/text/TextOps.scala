@@ -366,7 +366,15 @@ object TextOps {
     * stats/SeriesStats.scala). When the sample binds, `n_docs` in the
     * output row IS the number of docs actually fitted — the cap is
     * never silent. k = 1 below the cap (the fixture/gate case), where
-    * the filter is skipped entirely and the fit is exact. */
+    * the filter is skipped entirely and the fit is exact.
+    *
+    * Cost contract: the modulus probe is an EAGER df.count() at call
+    * time — one id-column scan before the returned plan exists (the
+    * plan itself cannot see its own row count), so calling heapsFit
+    * is never free even if the result is not evaluated. The hash
+    * sample is binomial AROUND maxDocs, not a hard cap: the
+    * single-task cumsum bound is ≈maxDocs (±√maxDocs), which is the
+    * documented contract. */
   def heapsFit(df: DataFrame, id: String, text: String,
                maxDocs: Long = 1000000L): DataFrame = {
     val nDocs = df.select(col(id)).count()

@@ -46,8 +46,8 @@ object ScaleBench {
     "c11_arch_lb", "c12_pettitt", "c13_anderson_darling",
     "c14_rank_sum_drift", "c15_decomp_strength", "c16_cvm_drift",
     "q37_event_transitions", "q38_session_paths",
-    "q39_activity_cadence", "q40_active_ratios", "q42_funnel_timing",
-    "q43_session_stats",
+    "q39_activity_cadence", "q40_active_ratios", "q41_return_time",
+    "q42_funnel_timing", "q43_session_stats",
     // a20's rank windows are single-partition BY DESIGN (the sample
     // is p-bounded to one task; the full side is the gate witness) —
     // expect ~linear-in-events wall on one core, not a plan bug
@@ -254,10 +254,25 @@ object ScaleBench {
       // plain docs family.
       val preserved = (graft.text.TextOps.GopherStops ++
         graft.text.TextOps.EnglishStop).distinct
+      // SPARK_GRAFT_PERMUTE switches the per-copy bijection from the
+      // 26-letter ROTATION (wraps at factor > 26: copies i and i+26
+      // are byte-identical corpora with disjoint ids, so every doc
+      // gains a true exact twin whose pairs a LOSSLESS join must
+      // verify — the d10 factor-30 artifact, kept as the documented
+      // exact-twin stress case) to a seeded random PERMUTATION of the
+      // alphabet (26! variants — no wrap at any factor, same
+      // bijection guarantees: within-copy shingle/Jaccard/dup
+      // structure preserved exactly, cross-copy shingles disjoint)
+      val permute = sys.env.contains("SPARK_GRAFT_PERMUTE")
       (0 until factor).map { i =>
         val sh = i % 26
-        val rot = lower.drop(sh) + lower.take(sh) +
-          upper.drop(sh) + upper.take(sh)
+        val rot =
+          if (permute && i > 0) {
+            val p = new scala.util.Random(7700L + i)
+              .shuffle(lower.toList).mkString
+            p + p.toUpperCase
+          } else lower.drop(sh) + lower.take(sh) +
+            upper.drop(sh) + upper.take(sh)
         val rotText =
           if (family == "curate")
             array_join(transform(split(col("text"), " "),

@@ -1472,4 +1472,108 @@ class DedupSimSpec extends AnyFunSuite {
     val authSum = out.collect { case (("auth", _), v) => v }.sum
     assert(math.abs(hubSum - 1.0) < 1e-5 && math.abs(authSum - 1.0) < 1e-5)
   }
+
+  // ── ladder operating point (the r17 oracle-gated scale path) ────────
+
+  test("ladder planes share prefixes: rung (nP,·)'s bucket is the " +
+       "low-nP-bit mask of the deepest rung's bucket") {
+    val s = spark
+    import s.implicits._
+    // the load-bearing RNG assumption: hyperplanes(dim, nP, seed) is a
+    // row prefix of hyperplanes(dim, nP', seed) for nP < nP' (same
+    // stream, row-major fill) — if this breaks, the oracle's masked
+    // replay diverges from the Spark side's second scan
+    val shallow = Similarity.bandPlanes(16, 4, 6, 7L)
+    val deep = Similarity.bandPlanes(16, 12, 16, 7L)
+    for (b <- 0 until 6; p <- 0 until 4)
+      assert(shallow(b)(p).sameElements(deep(b)(p)),
+        s"band $b plane $p diverges between depths")
+    // and on data: masked deep buckets == shallow buckets
+    val rnd = new scala.util.Random(3L)
+    val df = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        posexplode(graft.functions.SignBuckets(col("embedding"), deep))
+          .as(Seq("band", "bucket")))
+      .filter(col("band") < 6)
+      .select(col("vec_id"), col("band"),
+        col("bucket").bitwiseAND(lit(15L)).as("bucket"))
+    val want = df.select(col("vec_id"),
+        posexplode(graft.functions.SignBuckets(col("embedding"), shallow))
+          .as(Seq("band", "bucket")))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "masked deep buckets must equal shallow-rung buckets")
+  }
+
+  test("ladder rung selection: small corpora stay shallow, occupancy " +
+       "pressure deepens, and the gate output equals the selected rung") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17L)
+    def corpus(n: Int) = (0 until n).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val small = corpus(300).cache()
+    // 300 vectors: every rung's hot bucket is far under 16·64 → rung 0
+    val Some((np0, nb0, dim0)) = Similarity.ladderOperatingPoint(
+      small, "embedding", None, threshold = 0.3, seed = 42L)
+    assert(np0 === 4 && dim0 === 8, s"expected shallowest rung, got $np0")
+    // 24k uniform vectors: nP=4's 16 buckets/band average 1500 ≫ the
+    // 1024 hot-bucket cap, so selection must deepen past rung 0
+    val big = corpus(24000).cache()
+    val Some((npB, nbB, _)) = Similarity.ladderOperatingPoint(
+      big, "embedding", None, threshold = 0.3, seed = 42L)
+    assert(npB > 4, s"24k vectors must deepen the rung, got $npB")
+    info(s"selected rungs: 300 vecs -> ($np0, $nb0); 24k -> ($npB, $nbB)")
+    // composition: the ladder gate path IS lshNearDupPairs at the
+    // selected rung (prefix-sharing makes the probe and the pair scan
+    // see the same planes)
+    val ladder = Similarity.lshNearDupPairsLadder(small, "vec_id",
+      "embedding", threshold = 0.3, seed = 42L)
+    val direct = Similarity.lshNearDupPairs(small, "vec_id", "embedding",
+      threshold = 0.3, nPlanes = np0, bands = nb0, seed = 42L)
+    assert(ladder.exceptAll(direct).isEmpty && direct.exceptAll(ladder).isEmpty)
+    small.unpersist(); big.unpersist()
+  }
+
+  test("ladder blocked twin: selection keys on the binding block and " +
+       "empty frames pass through as zero pairs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23L)
+    // block 0: 200 vectors; block 1: 6k vectors — the binding block.
+    // Occupancy is probed per (block, band, bucket), so block 1 alone
+    // must push the rung past 4 even though block 0 is tiny.
+    val rows = (0 until 200).map(i => (i.toLong, 0,
+        Array.fill(8)(rnd.nextGaussian().toFloat))) ++
+      (200 until 6200).map(i => (i.toLong, 1,
+        Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val Some((np, nb, _)) = Similarity.ladderOperatingPoint(
+      df, "embedding", Some("label"), threshold = 0.3, seed = 7L)
+    // block 1: 6000/16 buckets ≈ 375 avg — hot bucket under 1024 can
+    // happen at uniform data, so assert via the probe's own contract:
+    // re-derive on block 1 alone and expect the SAME rung (binding
+    // block decides), and a strictly deeper rung than 60k would give
+    val Some((np1, _, _)) = Similarity.ladderOperatingPoint(
+      df.filter(col("label") === 1), "embedding", Some("label"),
+      threshold = 0.3, seed = 7L)
+    assert(np === np1, s"binding block must select the rung: $np vs $np1")
+    val pairs = Similarity.bandedNearDupPairsLadder(df, "vec_id",
+      "embedding", "label", threshold = 0.3, seed = 7L)
+    val direct = Similarity.bandedNearDupPairs(df, "vec_id", "embedding",
+      "label", threshold = 0.3, Similarity.bandPlanes(8, np, nb, 7L))
+    assert(pairs.exceptAll(direct).isEmpty && direct.exceptAll(pairs).isEmpty)
+    // cross-block pairs never emitted
+    val ids = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.forall { case (a, b) => (a < 200) === (b < 200) })
+    // empty corpus → zero pairs, no probe crash
+    val empty = s.emptyDataset[(Long, Int, Array[Float])]
+      .toDF("vec_id", "label", "embedding")
+    assert(Similarity.bandedNearDupPairsLadder(empty, "vec_id", "embedding",
+      "label", threshold = 0.3).count() === 0L)
+    assert(Similarity.lshNearDupPairsLadder(empty, "vec_id", "embedding",
+      threshold = 0.3).count() === 0L)
+  }
 }

@@ -195,10 +195,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val batch = graft.core.Tables.events(s, dir)
     val stream = graft.streaming.StreamingRollup.eventsStream(s, dir)
 
+    // q37/q39 twins flush pairs/gaps when the watermark passes the
+    // LATER event (lateness 0 → final watermark = max event ts), so
+    // the must-emit set is every batch transition whose next event is
+    // STRICTLY below the final watermark; later-or-equal events stay
+    // buffered in state (the q38 session-close contract, per-event)
+    val maxTsUs37 = batch.agg(max(unix_micros(col("ts")))).as[Long].head()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lagFrame = batch
+      .withColumn("_t", unix_micros(col("ts")))
+      .withColumn("_prev", lag(col("event_type"), 1).over(w))
+      .withColumn("_pt", lag(col("_t"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+
     // q37 twin: counting streamed (prev, event) pairs == batch n_trans
-    val wantTrans = graft.series.EventAnalytics
-      .transitions(batch, "user_id", Seq("ts", "event_id"), "event_type")
-      .select(col("prev_event"), col("event"), col("n_trans"))
+    // over the must-emit transitions
+    val wantTrans = lagFrame.filter(col("_t") < maxTsUs37)
+      .groupBy(col("_prev"), col("event_type")).agg(count(lit(1)))
       .as[(String, String, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     val gotPairs = scala.collection.mutable
@@ -216,16 +230,13 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val gotTrans = gotPairs.groupBy(identity)
       .view.mapValues(_.size.toLong).toMap
     assert(gotTrans.nonEmpty && gotTrans === wantTrans,
-      "streamed transition pairs must converge to the batch matrix")
+      "streamed transition pairs must converge to the batch matrix " +
+      "over events below the final watermark")
 
-    // q39 twin: the streamed gap multiset per user == the batch lag gaps
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val wantGaps = batch
-      .withColumn("_gap", unix_micros(col("ts")) -
-        lag(unix_micros(col("ts")), 1).over(w))
-      .filter(col("_gap").isNotNull)
-      .select(col("user_id"), col("_gap"))
+    // q39 twin: the streamed gap multiset per user == the batch lag
+    // gaps whose later event the final watermark passed
+    val wantGaps = lagFrame.filter(col("_t") < maxTsUs37)
+      .select(col("user_id"), col("_t") - col("_pt"))
       .as[(Long, Long)].collect().sorted.toSeq
     val gotGaps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val qg = graft.streaming.StreamingEvents
@@ -233,12 +244,14 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .writeStream.outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         gotGaps.synchronized { gotGaps ++= b
+          .select(col("_u").cast("long"), col("gap_us"))
           .as[(Long, Long)].collect() }
         ()
       }.start()
     qg.processAllAvailable(); qg.stop()
     assert(gotGaps.nonEmpty && gotGaps.sorted.toSeq === wantGaps,
-      "streamed cadence gaps must converge to the batch lag gaps")
+      "streamed cadence gaps must converge to the batch lag gaps " +
+      "over events below the final watermark")
 
     // q38 twin (append mode — a session emits once, when the
     // watermark passes its close): two-sided containment against the
@@ -287,6 +300,113 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val missing = mustEmit -- gotSessions.keySet
     assert(missing.isEmpty,
       s"sessions closed by the final watermark must emit: $missing")
+  }
+
+  test("q37/q39 twins replay OUT-OF-ORDER cross-batch arrivals in " +
+       "event-time order up to the watermark; later rows are dropped") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $m:00")
+    // u1's B arrives a BATCH AFTER C though it precedes C in event
+    // time — the cross-batch disorder the r16 last-event twins
+    // silently mis-paired (they would emit A>C then C>B); u9 is the
+    // watermark advancer
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val df = mem.toDF.toDF("user_id", "ts", "event_id", "event_type")
+    val gotPairs = scala.collection.mutable
+      .ArrayBuffer.empty[(String, String, String)]
+    val qt = graft.streaming.StreamingEvents
+      .transitionPairs(df, "user_id", "ts", "event_id", "event_type",
+        lateness = "10 minutes")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        gotPairs.synchronized { gotPairs ++= b
+          .as[(String, String, String)].collect() }
+        ()
+      }.start()
+    mem.addData((1L, ts("10:00"), 1L, "A"), (1L, ts("10:20"), 3L, "C"))
+    qt.processAllAvailable()
+    // watermark is now 10:10 — B@10:12 is strictly inside the
+    // lateness window (an event AT the watermark is dropped by the
+    // engine's late filter), A flushed (anchor), C buffered; the
+    // advancer pushes the watermark to 10:50 so the no-data batch
+    // flushes B then C
+    mem.addData((1L, ts("10:12"), 2L, "B"), (9L, ts("11:00"), 9L, "X"))
+    qt.processAllAvailable()
+    // a row BEHIND the watermark (09:00 < 10:50) is late → dropped
+    mem.addData((1L, ts("09:00"), 0L, "Z"))
+    qt.processAllAvailable()
+    qt.stop()
+    assert(gotPairs.filter(_._1 == "1").sorted.toSeq ===
+      Seq(("1", "A", "B"), ("1", "B", "C")).sorted,
+      s"ordered replay must emit A>B, B>C — got $gotPairs")
+
+    // the cadence twin on the same disorder: gaps 720s and 480s, not
+    // the arrival-order 1200s/−480s
+    val mem2 = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val df2 = mem2.toDF.toDF("user_id", "ts", "event_id")
+    val gotGaps = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val qg = graft.streaming.StreamingEvents
+      .cadenceGaps(df2, "user_id", "ts", "event_id",
+        lateness = "10 minutes")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        gotGaps.synchronized { gotGaps ++= b
+          .as[(String, Long)].collect() }
+        ()
+      }.start()
+    mem2.addData((1L, ts("10:00"), 1L), (1L, ts("10:20"), 3L))
+    qg.processAllAvailable()
+    mem2.addData((1L, ts("10:12"), 2L), (9L, ts("11:00"), 9L))
+    qg.processAllAvailable()
+    qg.stop()
+    assert(gotGaps.filter(_._1 == "1").map(_._2).sorted.toSeq ===
+      Seq(480000000L, 720000000L),
+      s"ordered replay must emit the 720s and 480s gaps — got $gotGaps")
+  }
+
+  test("q42 streaming composition is EXECUTABLE: funnelTiming's " +
+       "downstream over the streamed stage entries equals the batch " +
+       "report") {
+    val s = spark
+    import s.implicits._
+    val dir = SparkSpec.sfDir
+    val batch = graft.core.Tables.events(s, dir)
+    val stream = graft.streaming.StreamingRollup.eventsStream(s, dir)
+    val stages = Seq("view", "click", "purchase")
+    val frozen = graft.series.EventAnalytics
+      .stageEntries(batch, "user_id", "ts", "event_type", stages)
+      .localCheckpoint()
+    val gotEntries = scala.collection.mutable
+      .Map.empty[(Int, Long), java.sql.Timestamp]
+    val q = graft.streaming.StreamingEvents
+      .funnelStageEntries(stream, frozen, "user_id", "ts", "event_type",
+        stages)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        gotEntries.synchronized { gotEntries ++= b
+          .as[(Int, Long, java.sql.Timestamp)].collect()
+          .map(r => (r._1, r._2) -> r._3) }
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    // rebuild the stageEntries-shaped wide frame from the streamed
+    // update-mode rows and run the REAL downstream over it
+    val users = gotEntries.keysIterator.map(_._2).toSeq.distinct
+    val wide = users.map { u =>
+      (u, gotEntries.get((0, u)).orNull, gotEntries.get((1, u)).orNull,
+        gotEntries.get((2, u)).orNull)
+    }.toDF("_u", "_t0", "_t1", "_t2")
+    val got = graft.series.EventAnalytics
+      .funnelTimingFromEntries(wide, stages)
+      .orderBy(col("stage_idx")).collect().map(_.toSeq)
+    val want = graft.series.EventAnalytics
+      .funnelTiming(batch, "user_id", "ts", "event_type", stages)
+      .orderBy(col("stage_idx")).collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq === want.toSeq,
+      "the composed streaming q42 report must equal the batch report")
   }
 
   test("streaming q40 twin: deduped (day, window, user) cells counted " +
@@ -368,10 +488,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
     val maxTsUs = batch.agg(max(unix_micros(col("ts")))).as[Long].head()
+    // users with an EXACTLY-gap-sized step: the half-open streaming
+    // session_window splits there while batch sessionize (strict >)
+    // merges — the documented containment caveat, so those users are
+    // excluded from both the emitted-extent equality and the
+    // must-emit set (none exist in the gate fixture today; this keeps
+    // the spec pinned to the CONTRACT, not the fixture)
+    val wGap43 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val boundaryUsers = batch
+      .withColumn("_gap", unix_micros(col("ts")) -
+        lag(unix_micros(col("ts")), 1).over(wGap43))
+      .filter(col("_gap") === 1800L * 1000000L)
+      .select(col("user_id")).distinct().as[Long].collect().toSet
     // 1s guard (the q38 twin rule) so a boundary-adjacent session can
     // never flake into the must-emit set
-    val mustEmit = wantAll.filter { case ((_, t0), (dur, _)) =>
-      t0 + dur + 1801L * 1000000L < maxTsUs }.keySet
+    val mustEmit = wantAll.filter { case ((u, t0), (dur, _)) =>
+      !boundaryUsers(u) && t0 + dur + 1801L * 1000000L < maxTsUs }.keySet
     val got = scala.collection.mutable
       .Map.empty[(Long, Long), (Long, Long)]
     val q = graft.streaming.StreamingEvents
@@ -387,9 +520,10 @@ class EventAnalyticsSpec extends AnyFunSuite {
       }.start()
     q.processAllAvailable(); q.stop()
     assert(got.nonEmpty)
-    got.foreach { case (k, v) =>
-      assert(wantAll.get(k).contains(v),
-        s"emitted extent $k -> $v must match the batch extent") }
+    got.filterNot { case ((u, _), _) => boundaryUsers(u) }
+      .foreach { case (k, v) =>
+        assert(wantAll.get(k).contains(v),
+          s"emitted extent $k -> $v must match the batch extent") }
     val missing = mustEmit -- got.keySet
     assert(missing.isEmpty,
       s"watermark-closed sessions must emit: ${missing.take(5)}")
@@ -419,6 +553,42 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("median_dur_us") === 0.0)
     assert(r.getAs[Long]("p90_dur_us") === 600000000L)
     assert(r.getAs[Long]("max_dur_us") === 600000000L)
+  }
+
+  test("returnTimes: hand inter-session gaps, even-m two-rank median, " +
+       "quiet time vs corpus max; single-session users emit zero " +
+       "returns with NULL stats") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("u1", "2024-01-01 01:00:00", 1L),
+      ("u1", "2024-01-01 01:10:00", 2L), // session 1: [01:00, 01:10]
+      ("u1", "2024-01-01 03:00:00", 3L), // session 2: ret 6600s
+      ("u1", "2024-01-01 06:00:00", 4L), // session 3: ret 10800s
+      ("u2", "2024-01-01 05:00:00", 5L)) // one session, no returns
+      .toDF("user_id", "t", "event_id")
+      .withColumn("ts", to_timestamp(col("t")))
+    val out = EventAnalytics.returnTimes(df, "user_id",
+        Seq("ts", "event_id"), gapSeconds = 1800)
+      .orderBy(col("user_id")).collect()
+    assert(out.length === 2)
+    val u1 = out(0)
+    assert(u1.getAs[Long]("n_sessions") === 3L)
+    assert(u1.getAs[Long]("n_returns") === 2L)
+    // returns {6600s, 10800s}: m=2 → both middle ranks → 8700s avg;
+    // p90 rank ceil(1.8)=2 → 10800s
+    assert(u1.getAs[Double]("median_return_us") === 8700.0e6)
+    assert(u1.getAs[Long]("p90_return_us") === 10800000000L)
+    assert(u1.getAs[Long]("max_return_us") === 10800000000L)
+    assert(u1.getAs[Long]("quiet_us") === 0L) // u1 owns the corpus max
+    val u2 = out(1)
+    assert(u2.getAs[Long]("n_sessions") === 1L)
+    assert(u2.getAs[Long]("n_returns") === 0L)
+    assert(u2.isNullAt(u2.fieldIndex("median_return_us")) &&
+      u2.isNullAt(u2.fieldIndex("p90_return_us")) &&
+      u2.isNullAt(u2.fieldIndex("max_return_us")),
+      "no-return users must carry NULL gap stats, not zeros")
+    assert(u2.getAs[Long]("quiet_us") === 3600000000L) // 05:00 → 06:00
   }
 
   test("funnelTiming: hand median/p90/max per transition; strict gating " +
