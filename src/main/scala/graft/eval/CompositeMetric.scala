@@ -54,50 +54,57 @@ object CompositeMetric {
     val rr = u.filter(col("lab") === "real")
     val rs = u.filter(col("lab") === "synth")
 
-    val js = Divergence.histJsd(u, "ret", col("lab"), "real", "synth", 99)
-      .first().getAs[Double]("js_divergence")
-    val ks = Divergence.ecdfStats(u, "ret", col("lab"), "real", "synth")
-      .first().getAs[Double]("ks_stat")
-
-    // per-label lag autocorrs + |ret| vol clustering + moments, one pass
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lab")).orderBy(orderCols.map(col): _*)
-    val lagged = u
-      .withColumn("l1", lag(col("ret"), 1).over(w))
-      .withColumn("l5", lag(col("ret"), 5).over(w))
-      .withColumn("l24", lag(col("ret"), 24).over(w))
-      .groupBy(col("lab")).agg(
-        coalesce(corr(col("ret"), col("l1")), lit(0.0)).as("ac1"),
-        coalesce(corr(col("ret"), col("l5")), lit(0.0)).as("ac5"),
-        coalesce(corr(col("ret"), col("l24")), lit(0.0)).as("ac24"),
-        coalesce(corr(abs(col("ret")), abs(col("l1"))), lit(0.0)).as("vc"),
-        avg(col("ret")).as("mean"),
-        stddev_pop(col("ret")).as("std"),
-        skewness(col("ret")).as("skew"),
-        (kurtosis(col("ret")) + 3.0).as("kurt_raw")) // fisher=False
-      .collect().map(r => r.getString(0) -> r).toMap
-    val (re, sy) = (lagged("real"), lagged("synth"))
-
-    def ratioDev(r: Double, s: Double): Double =
-      if (math.abs(r) > 1e-6) math.abs(s / r - 1.0) else math.abs(s)
-
-    val (hr, hs, spectral) =
+    // The sub-metric legs are INDEPENDENT jobs over the two persisted
+    // frames; run them concurrently (guide §2.6 — overlap independent
+    // jobs) so each leg's task tail back-fills the others. Every leg is
+    // the byte-identical plan it was when sequential.
+    val (js, ks, lagged, expensiveLegs) = graft.core.Par.par4(
+      Divergence.histJsd(u, "ret", col("lab"), "real", "synth", 99)
+        .first().getAs[Double]("js_divergence"),
+      Divergence.ecdfStats(u, "ret", col("lab"), "real", "synth")
+        .first().getAs[Double]("ks_stat"),
+      {
+        // per-label lag autocorrs + |ret| vol clustering + moments, one pass
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lab")).orderBy(orderCols.map(col): _*)
+        u.withColumn("l1", lag(col("ret"), 1).over(w))
+          .withColumn("l5", lag(col("ret"), 5).over(w))
+          .withColumn("l24", lag(col("ret"), 24).over(w))
+          .groupBy(col("lab")).agg(
+            coalesce(corr(col("ret"), col("l1")), lit(0.0)).as("ac1"),
+            coalesce(corr(col("ret"), col("l5")), lit(0.0)).as("ac5"),
+            coalesce(corr(col("ret"), col("l24")), lit(0.0)).as("ac24"),
+            coalesce(corr(abs(col("ret")), abs(col("l1"))), lit(0.0)).as("vc"),
+            avg(col("ret")).as("mean"),
+            stddev_pop(col("ret")).as("std"),
+            skewness(col("ret")).as("skew"),
+            (kurtosis(col("ret")) + 3.0).as("kurt_raw")) // fisher=False
+          .collect().map(r => r.getString(0) -> r).toMap
+      },
       if (!withExpensive) (0.0, 0.0, 0.0)
       else {
         // hurst runs on PRICES — feed it the persisted labeled halves
-        // rather than re-deriving the raw inputs
-        val h1 = SeriesStats.hurst(lp.filter(col("lab") === "real"), spec, "_p")
-          .first().getAs[Double]("hurst")
-        val h2 = SeriesStats.hurst(lp.filter(col("lab") === "synth"), spec, "_p")
-          .first().getAs[Double]("hurst")
-        val retsR = rr.orderBy(orderCols.map(col): _*)
-          .limit(SeriesStats.MaxCollectRows) // bounded collect (FFT leg)
-          .select("ret").collect().map(_.getDouble(0))
-        val retsS = rs.orderBy(orderCols.map(col): _*)
-          .limit(SeriesStats.MaxCollectRows)
-          .select("ret").collect().map(_.getDouble(0))
-        (h1, h2, Spectral.distance(spark, retsR, retsS))
-      }
+        // rather than re-deriving the raw inputs; the two hurst fits and
+        // the two bounded FFT collects are themselves independent
+        val (h1, h2, rets) = graft.core.Par.par3(
+          SeriesStats.hurst(lp.filter(col("lab") === "real"), spec, "_p")
+            .first().getAs[Double]("hurst"),
+          SeriesStats.hurst(lp.filter(col("lab") === "synth"), spec, "_p")
+            .first().getAs[Double]("hurst"),
+          graft.core.Par.par2(
+            rr.orderBy(orderCols.map(col): _*)
+              .limit(SeriesStats.MaxCollectRows) // bounded collect (FFT leg)
+              .select("ret").collect().map(_.getDouble(0)),
+            rs.orderBy(orderCols.map(col): _*)
+              .limit(SeriesStats.MaxCollectRows)
+              .select("ret").collect().map(_.getDouble(0))))
+        (h1, h2, Spectral.distance(spark, rets._1, rets._2))
+      })
+    val (re, sy) = (lagged("real"), lagged("synth"))
+    val (hr, hs, spectral) = expensiveLegs
+
+    def ratioDev(r: Double, s: Double): Double =
+      if (math.abs(r) > 1e-6) math.abs(s / r - 1.0) else math.abs(s)
 
     val kurtR = re.getAs[Double]("kurt_raw")
     val details = Map(

@@ -165,16 +165,36 @@ object DistributionEvaluator {
       .select((col("lab") +: col("ret") +: orderCols.map(col)): _*)
       .persist()
 
-    val kl = Divergence.histJsd(u, "ret", col("lab"), "real", "synth", 100)
-      .select(col("kl_divergence"))
-    val wass = Divergence.ecdfStats(u, "ret", col("lab"), "real", "synth")
-      .select(col("wasserstein").as("wasserstein_distance"))
+    // the kl/wass builders each run bounded eager actions (support agg +
+    // counts collect; checkpoint + partition-stats collect) and the ADF
+    // leg is one bounded collect — all INDEPENDENT jobs over the
+    // persisted returns; run them concurrently (guide §2.6) so each
+    // leg's task tail back-fills the others. Each leg's jobs are the
+    // byte-identical plans they were when sequential.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lab")).orderBy(orderCols.map(col): _*)
+    val (kl, wass, adfSeries) = graft.core.Par.par3(
+      Divergence.histJsd(u, "ret", col("lab"), "real", "synth", 100)
+        .select(col("kl_divergence")),
+      Divergence.ecdfStats(u, "ret", col("lab"), "real", "synth")
+        .select(col("wasserstein").as("wasserstein_distance")),
+      // BOTH labels' bounded prefixes in one action (per-label row_number
+      // cap + ordered driver sort), instead of two separate sort+collects;
+      // skipped outright when the caller asked for no ADF
+      if (!withAdf) Map.empty[String, Array[Double]]
+      else {
+        val rk = row_number().over(w)
+        u.withColumn("_rk", rk)
+          .filter(col("_rk") <= graft.stats.SeriesStats.MaxCollectRows)
+          .select(col("lab"), col("_rk"), col("ret"))
+          .collect()
+          .groupBy(_.getString(0))
+          .view.mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2))).toMap
+      })
 
     // moments + autocorr (lags 1/5/10) per label in ONE window+agg
     // pass, pivoted into one row — the mean/std aggregate over exactly
     // the same rows, so a separate moments scan would duplicate work
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lab")).orderBy(orderCols.map(col): _*)
     val lagged = u
       .withColumn("l1", lag(col("ret"), 1).over(w))
       .withColumn("l5", lag(col("ret"), 5).over(w))
@@ -198,17 +218,6 @@ object DistributionEvaluator {
       max(when(col("lab") === "real", col("ac10"))).as("real_autocorr_lag10"),
       max(when(col("lab") === "synth", col("ac10"))).as("synthetic_autocorr_lag10"))
 
-    // BOTH labels' bounded prefixes in one action (per-label row_number
-    // cap + ordered driver sort), instead of two separate sort+collects
-    lazy val adfSeries: Map[String, Array[Double]] = {
-      val rk = row_number().over(w)
-      u.withColumn("_rk", rk)
-        .filter(col("_rk") <= graft.stats.SeriesStats.MaxCollectRows)
-        .select(col("lab"), col("_rk"), col("ret"))
-        .collect()
-        .groupBy(_.getString(0))
-        .view.mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2))).toMap
-    }
     def adfOf(lab: String): Double =
       if (!withAdf) -1.0
       else {

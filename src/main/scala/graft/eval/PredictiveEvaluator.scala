@@ -79,9 +79,10 @@ object PredictiveEvaluator {
     val spark = synthetic.sparkSession
 
     // leg sizes first: they gate the distributed-vs-direct index/window
-    // builders AND feed the output bookkeeping
-    val nTrain = realTrain.count(); val nSyn = synthetic.count()
-    val nVal = realVal.count(); val nTest = realTest.count()
+    // builders AND feed the output bookkeeping — four independent
+    // count jobs, submitted concurrently (guide §2.6)
+    val (nTrain, nSyn, nVal, nTest) = graft.core.Par.par4(
+      realTrain.count(), synthetic.count(), realVal.count(), realTest.count())
     def isBig(n: Long) = n > BigSeriesRows
 
     val sTrain = indexed(realTrain, orderCols, price, isBig(nTrain)).cache()
@@ -99,10 +100,25 @@ object PredictiveEvaluator {
     val wTest = windowsXy(sTest, windowSize, horizon, isBig(nTest)).cache()
     val wAug = windowsXy(augmented, windowSize, horizon, isBig(nSyn + nTrain)).cache()
 
-    val base = fitPredictor(wTrain, seed, maxIter)
-    val bTrain = mae(base, wTrain); val bVal = mae(base, wVal); val bTest = mae(base, wTest)
-    val aug = fitPredictor(wAug, seed, maxIter)
-    val aTrain = mae(aug, wAug); val aVal = mae(aug, wVal); val aTest = mae(aug, wTest)
+    // the BASELINE chain (fit + 3 MAEs), the AUGMENTED chain (fit + 3
+    // MAEs) and the secondary distribution record are mutually
+    // independent — three concurrent driver chains (guide §2.6); inside
+    // each chain the three MAE aggregations after the fit are
+    // independent too. Both GBT fits keep the identical data, params
+    // and seed, so every leg computes exactly what it did sequentially.
+    val (baseMaes, augMaes, dist) = graft.core.Par.par3(
+      {
+        val base = fitPredictor(wTrain, seed, maxIter)
+        graft.core.Par.par3(mae(base, wTrain), mae(base, wVal), mae(base, wTest))
+      },
+      {
+        val aug = fitPredictor(wAug, seed, maxIter)
+        graft.core.Par.par3(mae(aug, wAug), mae(aug, wVal), mae(aug, wTest))
+      },
+      // secondary distribution metrics: dist_* of synthetic vs real train
+      DistributionEvaluator.evaluate(sTrain, sSyn, Seq("rn"), "p"))
+    val (bTrain, bVal, bTest) = baseMaes
+    val (aTrain, aVal, aTest) = augMaes
 
     val dVal = aVal - bVal
     val dTest = aTest - bTest
@@ -123,9 +139,6 @@ object PredictiveEvaluator {
         "window_size", "horizon",
         "synthetic_helps_val", "synthetic_helps_test")
 
-    // secondary distribution metrics: dist_* of synthetic vs real train
-    val dist = DistributionEvaluator
-      .evaluate(sTrain, sSyn, Seq("rn"), "p")
     val distRenamed = dist.columns.foldLeft(dist)((d, c) =>
       d.withColumnRenamed(c, s"dist_$c"))
 

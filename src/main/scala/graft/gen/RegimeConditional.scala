@@ -291,38 +291,59 @@ object RegimeConditional {
       .map { case (r, lab) => (r.getInt(0), r.getDouble(1), lab) }
       .toDF("rn", "ret", "regime")
     val wReg = Window.partitionBy(col("regime")).orderBy(col("rn"))
-    val statsDf = labeled
-      .withColumn("lag_ret", lag(col("ret"), 1).over(wReg))
-      .groupBy(col("regime"))
-      .agg(count(lit(1)).as("n"), avg(col("ret")).as("mean"),
-        stddev_pop(col("ret")).as("std"), skewness(col("ret")).as("skew"),
-        coalesce(corr(col("ret"), col("lag_ret")), lit(0.0)).as("ar1"))
-      .collect().map { r =>
-        def dbl(i: Int): Double =
-          if (r.isNullAt(i)) 0.0
-          else { val v = r.getDouble(i); if (v.isNaN) 0.0 else v }
-        r.getInt(0) -> RegimeParams(dbl(2), dbl(3), dbl(4), dbl(5), r.getLong(1))
-      }.toMap
-    val globalStd = feat.agg(stddev_pop(col("ret"))).first().getDouble(0)
+    // the per-regime stats agg, the global std, the znorm row, the
+    // price stats and the G5 GARCH grid are five INDEPENDENT actions
+    // (the grid's regime subsequences are already on the driver — they
+    // fed the EM); submit them concurrently (guide §2.6). The GARCH
+    // stage itself is ONE job of regimes × (α, β) tasks over the
+    // broadcast subsequences ([[Garch.fitMany]]) instead of a
+    // sequential count + collect + grid job per regime — identical
+    // variance targeting, likelihood recursion and tie-break.
+    val ((statsDf, globalStd, znorm, priceStats), rawFits) =
+      graft.core.Par.par2(
+        graft.core.Par.par4(
+          labeled
+            .withColumn("lag_ret", lag(col("ret"), 1).over(wReg))
+            .groupBy(col("regime"))
+            .agg(count(lit(1)).as("n"), avg(col("ret")).as("mean"),
+              stddev_pop(col("ret")).as("std"), skewness(col("ret")).as("skew"),
+              coalesce(corr(col("ret"), col("lag_ret")), lit(0.0)).as("ar1"))
+            .collect().map { r =>
+              def dbl(i: Int): Double =
+                if (r.isNullAt(i)) 0.0
+                else { val v = r.getDouble(i); if (v.isNaN) 0.0 else v }
+              r.getInt(0) -> RegimeParams(dbl(2), dbl(3), dbl(4), dbl(5), r.getLong(1))
+            }.toMap,
+          feat.agg(stddev_pop(col("ret"))).first().getDouble(0),
+          feat.select("m0", "s0", "m1", "s1", "m2", "s2").first(),
+          prices.agg(
+            avg(col(price)).as("m"), stddev_pop(col(price)).as("s")).first()),
+        if (!withGarch) Map.empty[Int, GarchFit]
+        else {
+          // same subsequences Garch.fit saw: rn-ascending returns of
+          // each labeled regime, ≥30 rows to earn a grid
+          val ordered = rows.zip(labels)
+            .map { case (r, lab) => (r.getInt(0), r.getDouble(1), lab) }
+            .sortBy(_._1)
+          val byRegime = ordered.groupBy(_._3)
+            .map { case (k, a) => k -> a.map(_._2) }
+          Garch.fitMany(spark, byRegime.filter(_._2.length >= 30))
+        })
     val params = Array.tabulate(nRegimes) { k =>
       statsDf.get(k).filter(_.count >= 5).getOrElse(
         RegimeParams(0.0, globalStd, 0.0, 0.0,
           statsDf.get(k).map(_.count).getOrElse(0L)))
     }
 
-    // G5: per-regime GARCH(1,1) over that regime's return subsequence
+    // G5: regimes whose subsequence is too short for a grid keep the
+    // global-variance fallback (unchanged)
     val garchFits =
       if (!withGarch) None
       else Some(Array.tabulate(nRegimes) { k =>
-        val sub = labeled.filter(col("regime") === k)
-        if (sub.count() >= 30) Garch.fit(sub, Seq("rn"), "ret")
-        else GarchFit(globalStd * globalStd * 0.05, 0.05, 0.90,
-          globalStd * globalStd, 0.0)
+        rawFits.getOrElse(k, GarchFit(globalStd * globalStd * 0.05, 0.05, 0.90,
+          globalStd * globalStd, 0.0))
       })
 
-    val znorm = feat.select("m0", "s0", "m1", "s1", "m2", "s2").first()
-    val priceStats = prices.agg(
-      avg(col(price)).as("m"), stddev_pop(col(price)).as("s")).first()
     feat.unpersist()
     RegimeModel(nRegimes, hmm.transition, hmm.startProbs, params, garchFits,
       featureMeans = Array(znorm.getDouble(0), znorm.getDouble(2), znorm.getDouble(4)),

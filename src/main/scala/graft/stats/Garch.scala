@@ -71,6 +71,41 @@ object Garch {
       best.getDouble(3), best.getDouble(4))
   }
 
+  /** [[fit]] for MANY already-collected series in ONE job: the same
+    * grid, variance targeting, log-likelihood recursion and
+    * (ll desc, α, β) winner per series, but the cluster dimension is
+    * |series| × |grid| tasks over the broadcast series map instead of
+    * one sequential collect + grid job per series. Numerics are
+    * byte-identical to per-series [[fit]] calls: each task sees the
+    * same ordered return array, computes the same driver-order
+    * variance sum, and the driver argmax applies the same
+    * (ll desc, α asc, β asc) tie-break. */
+  def fitMany(spark: SparkSession, series: Map[Int, Array[Double]],
+              alphas: Seq[Double] = DefaultAlphas,
+              betas: Seq[Double] = DefaultBetas): Map[Int, GarchFit] = {
+    if (series.isEmpty) return Map.empty
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(series)
+    val grid = for {
+      k <- series.keys.toSeq.sorted
+      a <- alphas; b <- betas if a + b < 0.999
+    } yield (k, a, b)
+    val fits = grid.toDF("k", "alpha", "beta").as[(Int, Double, Double)]
+      .map { case (k, a, b) =>
+        val r = bc.value(k)
+        val variance = {
+          val mean = r.sum / r.length
+          r.map(x => (x - mean) * (x - mean)).sum / r.length
+        }
+        val omega = variance * (1.0 - a - b)
+        (k, omega, a, b, variance, logLik(r, omega, a, b, variance))
+      }.collect()
+    fits.groupBy(_._1).map { case (k, cs) =>
+      val best = cs.minBy(c => (-c._6, c._3, c._4))
+      k -> GarchFit(best._2, best._3, best._4, best._5, best._6)
+    }
+  }
+
   /** The G5 fit stage as a checkable frame: one GARCH grid PER REGIME
     * label (ref regime_hmm_garch.py:96-128 fits one GARCH per HMM
     * regime). The cluster dimension is regimes × (α,β) candidates; each

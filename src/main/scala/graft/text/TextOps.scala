@@ -1306,16 +1306,27 @@ object TextOps {
                    budget: Long, eosId: Int): DataFrame = {
     val keys = df.select(col(id).as("_id"),
       col(key).cast("string").as("_g"))
+    // the encoded id stream feeds TWO consumers (the per-doc cost agg
+    // and the final union+join) and the merge-fold encode chain is the
+    // most expensive map work in the op — materialize it once instead
+    // of encoding the corpus twice (guide §5: reuse beats recompute
+    // when the recompute is the hot path; spills to disk when the
+    // token stream outgrows memory)
     val ids = graft.text.Bpe.encodeIds(df, id, text, merges, vocab)
       .select(col(id).as("_id"), col("pos"), col("token_id"))
+      .localCheckpoint()
     // per-doc cost = symbol count + 1 eos; zero-symbol docs kept
     val counts = keys.join(
         ids.groupBy(col("_id")).agg(count(lit(1)).as("_c")),
         Seq("_id"), "left")
       .select(col("_g"), col("_id"),
         (coalesce(col("_c"), lit(0L)) + 1L).as("_n"))
+    // doc-sized (one row per document) and consumed twice (eos rows +
+    // the seq assignment join) — checkpoint so the shard sort + greedy
+    // pass runs once
     val packed = packCounts(counts, budget)
       .toDF("_g", "_id", "_n", "seq_id")
+      .localCheckpoint()
     val eosRows = packed.select(col("_id"),
       (col("_n") - 1L).cast("int").as("pos"),
       lit(eosId).as("token_id"))
