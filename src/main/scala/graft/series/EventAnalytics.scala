@@ -273,23 +273,55 @@ object EventAnalytics {
     * engines. */
   def activeRatios(df: DataFrame, user: String, ts: String,
                    wauDays: Int = 7, mauDays: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ud = df.select(col(user).as("_u"), to_date(col(ts)).as("_d"))
       .distinct()
-    // ONE tagged explode over the deduped (user, day) frame + ONE
-    // distinct-count agg + a day-keyed pivot — the streaming twin's
-    // shape adopted in batch (r16 built this as three separate
-    // explode+countDistinct passes over a thrice-rebuilt ud: three
-    // full dedup shuffles where one suffices). Days with no activity
-    // emit no row (the dau IS NULL filter — a wau/mau halo day after
-    // the last burst has no dau cell), identical to the old
-    // dau-driven inner join.
-    val counts = activityCells(ud, "_u", col("_d"), wauDays, mauDays)
-      .groupBy(col("day"), col("win"))
-      .agg(countDistinct(col("_u")).as("n"))
-    counts.groupBy(col("day"))
-      .pivot("win", Seq("dau", "wau", "mau")).agg(first(col("n")))
+    // A user counts toward day D's W-day trailing window iff they were
+    // active in [D−W+1, D] ⇔ D ∈ ∪ [d, d+W−1] over the user's activity
+    // days. Per user, activity days whose consecutive gaps are ≤ W−1
+    // merge into ONE contiguous covered run [first, last+W−1] (interval
+    // union), so the per-day distinct-user count is a plain count over
+    // the exploded runs — each user contributes a covered day AT MOST
+    // ONCE by construction, no dedup needed. This replaces the r16
+    // tagged explode (1+wau+mau cells per (user, day)) feeding a wide
+    // (day, win, user) distinct-agg: the data-sized dedup exchange of
+    // ~38× the frame is gone (guide §2.3/§2.4 — shuffle fewer bytes /
+    // remove shuffles; measured 3.87 s → see OPTIMIZATION_r17.md);
+    // what remains is the user-keyed window (one exchange, reused by
+    // both window sizes) and day-sized map-combinable count aggs. Days
+    // stay DATE-typed until the single final format (the old shape
+    // date_format'ed every exploded cell). Days with no activity emit
+    // no row (the dau IS NULL filter), identical to the cell shape the
+    // streaming twin still uses ([[activityCells]]).
+    val wU = Window.partitionBy(col("_u")).orderBy(col("_d"))
+    val withGap = ud.withColumn("_gap",
+      datediff(col("_d"), lag(col("_d"), 1).over(wU)))
+    def covered(wdays: Int, tag: String): DataFrame =
+      withGap
+        .withColumn("_new",
+          when(col("_gap").isNull || col("_gap") > wdays - 1, 1)
+            .otherwise(0))
+        .withColumn("_iv", sum(col("_new")).over(
+          wU.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("_u"), col("_iv"))
+        .agg(min(col("_d")).as("_s"), max(col("_d")).as("_e"))
+        .select(explode(sequence(col("_s"),
+          date_add(col("_e"), wdays - 1))).as("_day"))
+        .groupBy(col("_day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("_day"), lit(tag).as("win"), col("n"))
+    val dau = ud.groupBy(col("_d").as("_day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("_day"), lit("dau").as("win"), col("n"))
+    dau.unionByName(covered(wauDays, "wau"))
+      .unionByName(covered(mauDays, "mau"))
+      .groupBy(col("_day"))
+      .agg(max(when(col("win") === "dau", col("n"))).as("dau"),
+        max(when(col("win") === "wau", col("n"))).as("wau"),
+        max(when(col("win") === "mau", col("n"))).as("mau"))
       .filter(col("dau").isNotNull)
-      .select(col("day"), col("dau"), col("wau"), col("mau"),
+      .select(date_format(col("_day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"), col("mau"),
         round(col("dau").cast("double") / col("mau").cast("double"), 6)
           .as("stickiness"))
   }

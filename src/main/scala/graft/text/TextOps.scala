@@ -1656,11 +1656,23 @@ object TextOps {
     * oracle — the s04/s05 precedent). */
   def writeBm25Index(df: DataFrame, id: String, text: String,
                      path: String, nBuckets: Int = 64): Unit = {
-    val (tf, _) = bm25Corpus(df, id, text)
+    // the tokenize+count postings frame feeds FOUR consumers (the
+    // postings write, the dl agg it joins — itself consumed twice —
+    // and the _stats total); materialize each once instead of
+    // re-tokenizing the corpus per consumer (guide §5 reuse; ~5 scans
+    // → 1 at any corpus size)
+    val (tf0, _) = bm25Corpus(df, id, text)
+    val tf = tf0.localCheckpoint()
     val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
     tf.join(dl, Seq(id))
       .withColumn("tb", pmod(Dedup.h64(col("token"), Bm25BucketSalt),
         lit(nBuckets.toLong)).cast("int"))
+      // cluster by the bucket key before the partitioned write (guide
+      // §6): without it every write task opens a file in every tb=
+      // directory (tasks × nBuckets small files); with it a bucket's
+      // postings land in one task's file and AQE sizes the shuffle
+      .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(path)
     // sidecars live INSIDE the index directory (underscore-prefixed, so
     // postings readers ignore them): _docs carries one (id, dl) row per
