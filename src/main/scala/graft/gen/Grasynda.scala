@@ -34,9 +34,13 @@ object Grasynda {
   def fit(returns: DataFrame, orderCols: Seq[String], value: String,
           nBins: Int = 10): GrasyndaModel = {
     val v = col(value).cast("double")
+    // persisted: the edge percentile, the transition counts and the
+    // pool collect all sit on this single-series row_number window —
+    // one materialization instead of one full window pass per action
     val data = returns.filter(v.isNotNull)
       .withColumn("rn", row_number().over(Window.orderBy(orderCols.map(col): _*)))
       .select(col("rn"), v.as("v"))
+      .persist()
 
     // A4: exact quantile edges, dedup'd driver-side (K+1 doubles)
     val probs = (0 to nBins).map(i => i.toDouble / nBins)
@@ -46,31 +50,37 @@ object Grasynda {
     val interior = edges.slice(1, edges.length - 1)
 
     // A5: digitize — state = #(interior edges ≤ x), via a literal-array
-    // higher-order function (codegen'd, no UDF)
+    // higher-order function (codegen'd, no UDF) — a cheap map over the
+    // persisted frame, recomputed per consumer
     val edgeLit = array(interior.map(lit): _*)
     val stated = data.withColumn("state",
       size(filter(edgeLit, e => e <= col("v"))))
 
-    // J2 + A7: adjacent transition counts → row-stochastic matrix
+    // J2 + A7 transition counts and A9 per-bin pools are independent
+    // actions over the persisted frame — submitted concurrently
+    // (guide §2.6); the per-state counts are the pool LENGTHS (the
+    // same rows grouped the same way), so the third count action is
+    // derived, not re-scanned.
     val k = interior.length + 1
     val w = Window.orderBy(col("rn"))
-    val transCounts = stated
-      .withColumn("next_state", lead(col("state"), 1).over(w))
-      .filter(col("next_state").isNotNull)
-      .groupBy(col("state"), col("next_state")).count()
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val (transCounts, pools) = graft.core.Par.par2(
+      stated
+        .withColumn("next_state", lead(col("state"), 1).over(w))
+        .filter(col("next_state").isNotNull)
+        .groupBy(col("state"), col("next_state")).count()
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap,
+      stated.groupBy(col("state"))
+        .agg(sort_array(collect_list(col("v"))).as("pool"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap)
+    data.unpersist()
     val transition = Array.tabulate(k) { i =>
       val row = Array.tabulate(k)(j => transCounts.getOrElse((i, j), 0L).toDouble)
       val s = row.sum
       if (s > 0) row.map(_ / s) else Array.fill(k)(1.0 / k)
     }
 
-    // A9: per-bin pools (sorted ⇒ deterministic indexing); A6: start dist
-    val pools = stated.groupBy(col("state"))
-      .agg(sort_array(collect_list(col("v"))).as("pool"))
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-    val counts = stated.groupBy(col("state")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // A6: start dist — counts(i) ≡ pools(i).length by construction
+    val counts = pools.map { case (s, p) => s -> p.length.toLong }
     val totalN = counts.values.sum.toDouble
     val startProbs = Array.tabulate(k)(i => counts.getOrElse(i, 0L) / totalN)
 

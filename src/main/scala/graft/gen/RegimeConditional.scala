@@ -67,9 +67,14 @@ object RegimeConditional {
       .withColumn("vol_ratio", SeriesOps.volRatio(col("vol_short"), col("vol_long")))
     // P3: NaN/Inf/null row filter (rolling std of a single row is null)
     val cols = Seq("ret", "vol_short", "vol_ratio")
+    // persisted (≤ maxRows rows by the prefix cap): the z-stat agg
+    // below rides a broadcast subquery that would otherwise re-derive
+    // the whole single-series window chain a second time when the
+    // selected frame materializes
     val clean = cols.foldLeft(f)((d, c) =>
       d.filter(col(c).isNotNull && !isnan(col(c)) &&
         abs(col(c)) =!= Double.PositiveInfinity))
+      .persist()
     // z-normalize each feature (ref :92-94)
     val stats = clean.agg(
       avg(col("ret")).as("m0"), stddev_pop(col("ret")).as("s0"),

@@ -995,7 +995,16 @@ object TextOps {
     * [[hashEmbedVectors]] for the array form the sim/ stack takes. */
   def hashEmbed(df: DataFrame, id: String, text: String, dim: Int = 64,
                 salt: Int = 17): DataFrame =
+    // materialize the vectors BEFORE the explode: the embedding column
+    // is a higher-order-function chain (array build → L2 fold →
+    // normalize transform) that CollapseProject happily inlines into
+    // the Generate — re-evaluating the whole interpreted lambda chain
+    // per exploded element (dim× the work; measured 4.2 s → 1.6 s at
+    // sf0.1). The checkpoint pins one doc-sized (id, array) frame so
+    // the explode reads computed arrays (guide §1/§5: stop recomputing
+    // the hot expression).
     hashEmbedVectors(df, id, text, dim, salt)
+      .localCheckpoint()
       .select(col(id), posexplode(col("embedding")).as(Seq("j", "v")))
 
   /** The array-valued form of [[hashEmbed]]: (id, embedding
