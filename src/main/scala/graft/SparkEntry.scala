@@ -3100,20 +3100,14 @@ object SparkEntry {
     //    series — the million-series evaluation shape ──────────────────
     "q30b_dist_per_user" -> ((s, dir) => {
       val e = ev(s, dir)
-      val core = graft.eval.DistributionEvaluator.evaluateGrouped(
+      // core + the ADF legs of the reference record (distribution_
+      // evaluator.py:105-106) over ONE shared returns exchange; per
+      // series: closed-form maxlag=2 witness (q30 carries the
+      // maxlag=20 production path); same sid universe, lossless join
+      graft.eval.DistributionEvaluator.evaluateGroupedWithAdf(
           e.filter(col("event_id") % 2 === 0),
           e.filter(col("event_id") % 2 === 1),
           "user_id", Seq("ts", "event_id"), "value")
-      // the ADF legs of the reference record (distribution_evaluator
-      // .py:105-106), per series: closed-form maxlag=2 witness (q30
-      // carries the maxlag=20 production path); same sid universe, so
-      // the equi-join is lossless
-      val adf = graft.eval.DistributionEvaluator.adfGrouped(
-          e.filter(col("event_id") % 2 === 0),
-          e.filter(col("event_id") % 2 === 1),
-          "user_id", Seq("ts", "event_id"), "value")
-        .select(col("user_id"), col("real_adf_pvalue"), col("synthetic_adf_pvalue"))
-      core.join(adf, "user_id")
         .select(col("user_id"),
           round(col("kl_divergence"), 8).as("kl_divergence"),
           round(col("wasserstein_distance"), 6).as("wasserstein_distance"),

@@ -135,18 +135,32 @@ object CompositeMetric {
     * hurst/spectral legs stay with [[score]] (driver-bounded by
     * contract). Oracle-gated by q31b. */
   def scoreGrouped(real: DataFrame, synth: DataFrame, seriesCol: String,
-                   orderCols: Seq[String], price: String): DataFrame = {
+                   orderCols: Seq[String], price: String): DataFrame =
+    scoreGroupedCore(
+      groupedReturns(real, synth, seriesCol, orderCols, price),
+      seriesCol, orderCols)
+
+  /** The labeled per-series returns frame every grouped component leg
+    * consumes — built and PERSISTED once so callers composing extra
+    * legs (the q31c full composite's spectral leg) share one window
+    * exchange instead of re-deriving it from prices. */
+  private[eval] def groupedReturns(real: DataFrame, synth: DataFrame,
+                                   seriesCol: String, orderCols: Seq[String],
+                                   price: String): DataFrame = {
     def labeled(df: DataFrame, lab: String): DataFrame =
       df.select((col(seriesCol).as("_k") +: lit(lab).as("lab") +:
         col(price).cast("double").as("_p") +: orderCols.map(col)): _*)
     val labSpec = SeriesSpec(Seq("_k", "lab"), orderCols)
-    val u = SeriesOps.logReturns(
+    SeriesOps.logReturns(
         labeled(real, "real").unionByName(labeled(synth, "synth")),
         labSpec, "_p", "ret")
       .filter(col("ret").isNotNull)
       .select((col("_k") +: col("lab") +: col("ret") +: orderCols.map(col)): _*)
       .persist()
+  }
 
+  private[eval] def scoreGroupedCore(u: DataFrame, seriesCol: String,
+                                     orderCols: Seq[String]): DataFrame = {
     val js = Divergence.histJsdGrouped(u, "ret", col("lab"), "real", "synth",
         99, "_k")
       .select(col("_k"), col("js_divergence"))
@@ -215,7 +229,13 @@ object CompositeMetric {
 
   def scoreGroupedFull(real: DataFrame, synth: DataFrame, seriesCol: String,
                        orderCols: Seq[String], price: String): DataFrame = {
-    val core = scoreGrouped(real, synth, seriesCol, orderCols, price)
+    // ONE persisted returns exchange feeds both the 9-component core
+    // and the spectral leg (which would otherwise re-derive the same
+    // labeled logReturns window from prices — guide §2.4, remove
+    // shuffles outright); only the hurst leg reads PRICES and keeps
+    // its own pass
+    val u = groupedReturns(real, synth, seriesCol, orderCols, price)
+    val core = scoreGroupedCore(u, seriesCol, orderCols)
       .withColumn(seriesCol, col(seriesCol).cast("long"))
     def labeled(df: DataFrame, lab: String): DataFrame =
       df.select((col(seriesCol).cast("long").as("_k") +: lit(lab).as("lab") +:
@@ -228,7 +248,7 @@ object CompositeMetric {
         max(when(col("lab") === "synth", col("hurst"))).as("hs"))
       .filter(col("hr").isNotNull && col("hs").isNotNull)
       .select(col("_k").as(seriesCol), abs(col("hs") - col("hr")).as("hurst_diff"))
-    val sp = Spectral.distanceGrouped(real, synth, seriesCol, orderCols, price)
+    val sp = Spectral.distanceGroupedFromReturns(u, seriesCol, orderCols)
       .groupBy(col(seriesCol))
       .agg(max(col("spectral_distance")).as("spectral"))
     val withAll = core.join(hpiv, seriesCol).join(sp, seriesCol)

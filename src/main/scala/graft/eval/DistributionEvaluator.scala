@@ -34,18 +34,31 @@ object DistributionEvaluator {
     * millions of real-vs-synthetic series pairs in one pass at 100 TB.
     * No ADF leg (that is [[evaluate]]'s driver-side C5 path). */
   def evaluateGrouped(real: DataFrame, synth: DataFrame, seriesCol: String,
-                      orderCols: Seq[String], price: String): DataFrame = {
+                      orderCols: Seq[String], price: String): DataFrame =
+    groupedCore(groupedReturns(real, synth, seriesCol, orderCols, price),
+      seriesCol, orderCols)
+
+  /** The labeled per-series returns frame every grouped metric leg
+    * consumes — built and PERSISTED once so callers composing several
+    * legs (the q30b core + ADF record) share one window exchange
+    * instead of re-deriving it per leg. */
+  private[eval] def groupedReturns(real: DataFrame, synth: DataFrame,
+                                   seriesCol: String, orderCols: Seq[String],
+                                   price: String): DataFrame = {
     def labeled(df: DataFrame, lab: String): DataFrame =
       df.select((col(seriesCol).as("_k") +: lit(lab).as("lab") +:
         col(price).cast("double").as("_p") +: orderCols.map(col)): _*)
     val labSpec = SeriesSpec(Seq("_k", "lab"), orderCols)
-    val u = SeriesOps.logReturns(
+    SeriesOps.logReturns(
         labeled(real, "real").unionByName(labeled(synth, "synth")),
         labSpec, "_p", "ret")
       .filter(col("ret").isNotNull)
       .select((col("_k") +: col("lab") +: col("ret") +: orderCols.map(col)): _*)
       .persist()
+  }
 
+  private[eval] def groupedCore(u: DataFrame, seriesCol: String,
+                                orderCols: Seq[String]): DataFrame = {
     val kl = Divergence.histJsdGrouped(u, "ret", col("lab"), "real", "synth",
         100, "_k")
       .select(col("_k"), col("kl_divergence"))
@@ -102,8 +115,6 @@ object DistributionEvaluator {
   def adfGrouped(real: DataFrame, synth: DataFrame, seriesCol: String,
                  orderCols: Seq[String], price: String,
                  maxRows: Int = graft.stats.SeriesStats.MaxCollectRows): DataFrame = {
-    val spark = real.sparkSession
-    import spark.implicits._
     def labeled(df: DataFrame, isReal: Int): DataFrame =
       df.select((col(seriesCol).cast("long").as("_k") +: lit(isReal).as("lab") +:
         col(price).cast("double").as("_p") +: orderCols.map(col)): _*)
@@ -113,6 +124,42 @@ object DistributionEvaluator {
         labSpec, "_p", "ret")
       .filter(col("ret").isNotNull)
       .select(col("_k"), col("lab"), col("ret"))
+    adfFromClustered(u, seriesCol, maxRows)
+  }
+
+  /** The full grouped metric record in ONE pass over the shared
+    * returns frame: [[evaluateGrouped]]'s core joined with the
+    * [[adfGrouped]] legs, both consuming the SAME persisted
+    * (series, label)-clustered returns — one window exchange total
+    * instead of each leg re-deriving its own (the q30b shape). The
+    * ADF leg sees the identical per-(series, label) return sequences
+    * [[adfGrouped]] builds itself (the label string maps to its int
+    * AFTER the clustering, preserving runs), so every output value is
+    * unchanged. `seriesCol` must be long-typed (the adfGrouped
+    * contract). */
+  def evaluateGroupedWithAdf(real: DataFrame, synth: DataFrame,
+                             seriesCol: String, orderCols: Seq[String],
+                             price: String,
+                             maxRows: Int =
+                               graft.stats.SeriesStats.MaxCollectRows): DataFrame = {
+    val u = groupedReturns(real, synth, seriesCol, orderCols, price)
+    val core = groupedCore(u, seriesCol, orderCols)
+    val adf = adfFromClustered(
+      u.select(col("_k").cast("long").as("_k"),
+        when(col("lab") === "real", 1).otherwise(0).as("lab"), col("ret")),
+      seriesCol, maxRows)
+      .select(col(seriesCol), col("real_adf_pvalue"),
+        col("synthetic_adf_pvalue"))
+    core.join(adf, seriesCol)
+  }
+
+  /** Consecutive-run ADF fit over an already-(series, label)-clustered
+    * (_k long, lab int, ret) frame — the shared tail of [[adfGrouped]]
+    * and [[evaluateGroupedWithAdf]]. */
+  private def adfFromClustered(u: DataFrame, seriesCol: String,
+                               maxRows: Int): DataFrame = {
+    val spark = u.sparkSession
+    import spark.implicits._
     val perLab = u.as[(Long, Int, Double)].mapPartitions { rows =>
       val it = rows.buffered
       new Iterator[(Long, Int, Double, Double, Int)] {

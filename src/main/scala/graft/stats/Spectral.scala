@@ -60,23 +60,39 @@ object Spectral {
                       orderCols: Seq[String], price: String,
                       maxPoints: Int = 1 << 20): DataFrame = {
     import graft.series.{SeriesOps, SeriesSpec}
-    val spark = real.sparkSession
-    import spark.implicits._
     def labeled(df: DataFrame, lab: String): DataFrame =
-      df.select((col(seriesCol).cast("long").as("sid") +: lit(lab).as("lab") +:
+      df.select((col(seriesCol).cast("long").as("_k") +: lit(lab).as("lab") +:
         col(price).cast("double").as("_p") +: orderCols.map(col)): _*)
-    val labSpec = SeriesSpec(Seq("sid", "lab"), orderCols)
-    // t = per-(series, half) position; rides the logReturns window's
+    val labSpec = SeriesSpec(Seq("_k", "lab"), orderCols)
+    distanceGroupedFromReturns(
+      SeriesOps.logReturns(
+          labeled(real, "real").unionByName(labeled(synth, "synth")),
+          labSpec, "_p", "ret")
+        .filter(col("ret").isNotNull),
+      seriesCol, orderCols, maxPoints)
+  }
+
+  /** [[distanceGrouped]] over an ALREADY-BUILT labeled returns frame
+    * (`(_k, lab ∈ {real, synth}, ret, orderCols…)` — the
+    * CompositeMetric/DistributionEvaluator shared shape): callers that
+    * computed the returns for their other metric legs reuse that one
+    * window exchange instead of re-deriving it from prices. Values are
+    * identical — the per-(series, half) return sequences and their
+    * t-order are the same either way. */
+  def distanceGroupedFromReturns(rets0: DataFrame, seriesCol: String,
+                                 orderCols: Seq[String],
+                                 maxPoints: Int = 1 << 20): DataFrame = {
+    val spark = rets0.sparkSession
+    import spark.implicits._
+    // t = per-(series, half) position; rides the returns window's
     // (sid, lab) exchange+sort, so it costs no further shuffle
-    val rets = SeriesOps.logReturns(
-        labeled(real, "real").unionByName(labeled(synth, "synth")),
-        labSpec, "_p", "ret")
-      .filter(col("ret").isNotNull)
+    val rets = rets0
       .withColumn("t",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("sid"), col("lab"))
+          .partitionBy(col("_k"), col("lab"))
           .orderBy(orderCols.map(col): _*)) - 1)
-      .select(col("sid"), (col("lab") === "real").as("is_real"),
+      .select(col("_k").cast("long").as("sid"),
+        (col("lab") === "real").as("is_real"),
         col("t"), col("ret"))
     // ONE exchange on the series key; the in-partition sort puts each
     // series' two halves back to back in t-order (real first), so the
