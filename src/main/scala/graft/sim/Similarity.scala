@@ -68,6 +68,46 @@ object Similarity {
                  seed: Long): Array[Array[Array[Double]]] =
     Array.tabulate(bands)(b => hyperplanes(dim, planesPerBand, seed * 101L + b))
 
+  /** Exact-verify join of a candidate id-pair frame against the vector
+    * frame: `cand(id_a, id_b) ⋈ va ⋈ vb`, returning the pair rows with
+    * `va/na/vb/nb` attached (the caller computes the cosine and the
+    * threshold filter so rounding contracts stay at the call site).
+    *
+    * The JOIN STRATEGY decides the shuffle bill here, not the join
+    * itself: the candidate frame is the potentially enormous side (at
+    * loose thresholds the LSH pair set grows superlinearly with the
+    * corpus) while the vector frame is linear in the corpus. The
+    * default sort-merge plan shuffles + sorts the candidate frame by
+    * id_a, then AGAIN by id_b — the second time CARRYING the first
+    * vector payload (~8·dim bytes/row), the guide-§8 anti-pattern of
+    * moving heavy bytes twice; the 30× ladder cells measured exactly
+    * this as executor page-allocation pressure. When the vector side is
+    * provably small — nVectors·dim ≤
+    * `spark.graft.verify.broadcastMaxElements` (default 16M elements ≈
+    * 128 MB of raw doubles per side; at dim 64 that is ~256k vectors) —
+    * BROADCAST it: candidates then stream through two in-place hash
+    * joins with zero post-distinct exchanges and no vector shuffle at
+    * all. Beyond the cap, hint SHUFFLED-HASH so the data-sized vector
+    * side is the per-partition build and the candidate frame, while
+    * still shuffled, is never sorted. Emitted rows are identical under
+    * every strategy; gate outputs carry their own final orderBy. */
+  private def verifyPairs(cand: DataFrame, withNorm: DataFrame,
+                          id: String, vec: String,
+                          nVectors: Long, dim: Int): DataFrame = {
+    val cap = withNorm.sparkSession.conf
+      .getOption("spark.graft.verify.broadcastMaxElements")
+      .map(_.toLong).getOrElse(16L * 1024 * 1024)
+    val va0 = withNorm.select(col(id).as("id_a"), col(vec).as("va"),
+      col("_n").as("na"))
+    val vb0 = withNorm.select(col(id).as("id_b"), col(vec).as("vb"),
+      col("_n").as("nb"))
+    val (va, vb) =
+      if (nVectors > 0 && nVectors * math.max(1, dim).toLong <= cap)
+        (broadcast(va0), broadcast(vb0))
+      else (va0.hint("shuffle_hash"), vb0.hint("shuffle_hash"))
+    cand.join(va, "id_a").join(vb, "id_b")
+  }
+
   /** Random-hyperplane (sign) LSH bucket id per vector: one bit per
     * plane packed into a long. Vectors in the same bucket agree on all
     * nPlanes signs ⇒ small angular distance with high probability. */
@@ -98,6 +138,9 @@ object Similarity {
                       threshold: Double, nPlanes: Int = 4,
                       bands: Int = 8, seed: Long = 42L): DataFrame = {
     val dim = df.select(size(col(vec))).first().getInt(0)
+    // eager (this function already probes dim eagerly): the corpus size
+    // gates the verify join's broadcast guard in [[verifyPairs]]
+    val nVectors = df.count()
     val planes = bandPlanes(dim, nPlanes, bands, seed)
     val withNorm = df.withColumn("_n", dot(col(vec), col(vec)))
     // all bands in ONE native expression (graft.functions.SignBuckets):
@@ -115,9 +158,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val va = withNorm.select(col(id).as("id_a"), col(vec).as("va"), col("_n").as("na"))
-    val vb = withNorm.select(col(id).as("id_b"), col(vec).as("vb"), col("_n").as("nb"))
-    cand.join(va, "id_a").join(vb, "id_b")
+    verifyPairs(cand, withNorm, id, vec, nVectors, dim)
       .withColumn("cosine",
         dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
@@ -766,6 +807,11 @@ object Similarity {
                          block: String, threshold: Double,
                          planes: Array[Array[Array[Double]]],
                          roundTo: Int = 5): DataFrame = {
+    // eager count (one column-pruned job) gating the verify join's
+    // broadcast guard — see [[verifyPairs]]
+    val nVectors = df.count()
+    val dim = planes.headOption.map(_.headOption.map(_.length)
+      .getOrElse(0)).getOrElse(0)
     val withNorm = df.withColumn("_n", dot(col(vec), col(vec)))
     val banded = withNorm.select(col(block), col(id),
       posexplode(graft.functions.SignBuckets(col(vec), planes))
@@ -776,9 +822,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val va = withNorm.select(col(id).as("id_a"), col(vec).as("va"), col("_n").as("na"))
-    val vb = withNorm.select(col(id).as("id_b"), col(vec).as("vb"), col("_n").as("nb"))
-    cand.join(va, "id_a").join(vb, "id_b")
+    verifyPairs(cand, withNorm, id, vec, nVectors, dim)
       .withColumn("cosine",
         round(dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")), roundTo))
       .filter(col("cosine") >= threshold)

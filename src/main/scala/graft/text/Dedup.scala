@@ -72,6 +72,32 @@ object Dedup {
       rnd.nextLong().abs % MinhashPrime))
   }
 
+  /** Join-strategy chooser for attaching a PER-ID side frame (sizes,
+    * signatures — always ≤ one bounded row per doc) to an UNBOUNDED
+    * pair frame (guide §8: decide placement with small rows, move heavy
+    * bytes once). The default sort-merge plan shuffles + sorts the pair
+    * frame by id_a and then AGAIN by id_b — the second time carrying
+    * the first attach's payload — while the per-id side is the small
+    * one. While the side frame is provably small (estimated bytes ≤ 4×
+    * autoBroadcastJoinThreshold, the [[fuzzyContamination]] bound — an
+    * intentional hint may exceed Spark's auto pick but stays ~40 MB at
+    * defaults, far from OOM), BROADCAST both aliased sides: the pair
+    * frame then streams through in-place hash joins with no exchange
+    * at all. Above the bound, hint SHUFFLED-HASH so the doc-bounded
+    * side is the per-partition build and the pair frame, while still
+    * shuffled, is never sorted. Emitted rows are identical under every
+    * strategy. */
+  private def pairSideJoin(spark: org.apache.spark.sql.SparkSession,
+                           estBytes: Long, sideA: DataFrame,
+                           sideB: DataFrame): (DataFrame, DataFrame) = {
+    val autoBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    if (autoBytes > 0 && estBytes <= 4L * autoBytes)
+      (broadcast(sideA), broadcast(sideB))
+    else (sideA.hint("shuffle_hash"), sideB.hint("shuffle_hash"))
+  }
+
   /** Exact dedup: keeper = min id per md5(text); n = group size. */
   def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
     df.groupBy(md5(col(text)).as("text_md5"))
@@ -93,8 +119,9 @@ object Dedup {
   def jaccardPairs(df: DataFrame, id: String, text: String, k: Int = 5,
                    threshold: Double = 0.5, maxDf: Int = 1000,
                    maxDfFraction: Option[Double] = None): DataFrame = {
+    val nDocs = df.count()
     val effMaxDf = maxDfFraction match {
-      case Some(f) => math.max(math.ceil(df.count() * f).toLong, 2L)
+      case Some(f) => math.max(math.ceil(nDocs * f).toLong, 2L)
       case None    => maxDf.toLong
     }
     // materialize the shingle explode once: it feeds the df-count AND
@@ -110,9 +137,15 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
+    // the size attach rides [[pairSideJoin]]'s guarded broadcast: the
+    // shared-count pair frame is the unbounded side, sizes is ≤ one
+    // 32-byte row per doc
+    val (szA, szB) = pairSideJoin(df.sparkSession, nDocs * 32L,
+      sizes.select(col(id).as("id_a"), col("sz").as("sz_a")),
+      sizes.select(col(id).as("id_b"), col("sz").as("sz_b")))
     shared
-      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .join(szA, "id_a")
+      .join(szB, "id_b")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
@@ -166,9 +199,14 @@ object Dedup {
         Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
+    // size attach rides [[pairSideJoin]] (sizes ≤ one 32-byte row per
+    // doc; the verified-pair frame is the unbounded side)
+    val (szA, szB) = pairSideJoin(df.sparkSession, df.count() * 32L,
+      sizes.select(col(id).as("id_a"), col("sz").as("sz_a")),
+      sizes.select(col(id).as("id_b"), col("sz").as("sz_b")))
     inter
-      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .join(szA, "id_a")
+      .join(szB, "id_b")
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
@@ -224,8 +262,15 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val sa = sigs.select(col(id).as("id_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col(id).as("id_b"), col("sig").as("sig_b"))
+    // verify attach rides [[pairSideJoin]]: the candidate frame is the
+    // unbounded side (a sort-merge plan would sort it by id_a, then
+    // AGAIN by id_b carrying sig_a — 8·numPerm bytes/row); the
+    // signature frame is doc-bounded and already checkpointed, so its
+    // count is a block read
+    val sigBytes = sigs.count() * (8L * numPerm + 24L)
+    val (sa, sb) = pairSideJoin(df.sparkSession, sigBytes,
+      sigs.select(col(id).as("id_a"), col("sig").as("sig_a")),
+      sigs.select(col(id).as("id_b"), col("sig").as("sig_b")))
     cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
