@@ -2428,10 +2428,13 @@ object SparkEntry {
 
     // ── b02: BPE ENCODE with the b01 merges — a static 8-deep chain
     //    of codegen'd replaces inside one per-word lambda; map-side,
-    //    zero shuffles ───────────────────────────────────────────────────
+    //    zero shuffles. The model comes from the BATCHED trainer
+    //    (bit-identical merges by the conflict-free prefix rule —
+    //    spec-pinned, b01p oracle-gated; b01 still times the sequential
+    //    path it gates): ~2 election jobs instead of 8 ──────────────────
     "b02_bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
-      val merges = graft.text.Bpe.train(d, "text", nMerges = 8)
+      val merges = graft.text.Bpe.trainBatched(d, "text", nMerges = 8)
       bpeOracleGuard(merges, 8)
       graft.text.Bpe.encode(d, "text", merges)
         .select(col("doc_id"), col("n_tokens_bpe"), col("encoded"))
@@ -2446,7 +2449,8 @@ object SparkEntry {
     //    map-side, exploded to the packer-consumable shape ─────────────
     "b03_bpe_ids" -> ((s, dir) => {
       val d = docs(s, dir)
-      val merges = graft.text.Bpe.train(d, "text", nMerges = 8)
+      // batched trainer: bit-identical merges (b01p-gated), ~2 jobs not 8
+      val merges = graft.text.Bpe.trainBatched(d, "text", nMerges = 8)
       bpeOracleGuard(merges, 8)
       val v = graft.text.Bpe.vocab(d, "text", merges, reservedTokens)
       graft.text.Bpe.encodeIds(d, "doc_id", "text", merges, v)
@@ -2461,7 +2465,8 @@ object SparkEntry {
     //    greedy budget fill, every document terminated by its eos row ──
     "t09b_pack_token_ids" -> ((s, dir) => {
       val d = docs(s, dir)
-      val merges = graft.text.Bpe.train(d, "text", nMerges = 8)
+      // batched trainer: bit-identical merges (b01p-gated), ~2 jobs not 8
+      val merges = graft.text.Bpe.trainBatched(d, "text", nMerges = 8)
       bpeOracleGuard(merges, 8)
       val v = graft.text.Bpe.vocab(d, "text", merges, reservedTokens)
       graft.text.TextOps.packTokenIds(d, "doc_id", "source", "text",
@@ -2706,7 +2711,8 @@ object SparkEntry {
     //    per-doc OOV mass ────────────────────────────────────────────────
     "b04_bpe_coverage" -> ((s, dir) => {
       val d = docs(s, dir)
-      val merges = graft.text.Bpe.train(d, "text", nMerges = 8)
+      // batched trainer: bit-identical merges (b01p-gated), ~2 jobs not 8
+      val merges = graft.text.Bpe.trainBatched(d, "text", nMerges = 8)
       bpeOracleGuard(merges, 8)
       val v = graft.text.Bpe.vocab(d, "text", merges)
       val drifted = d.select(col("doc_id"),
@@ -2724,7 +2730,8 @@ object SparkEntry {
     //    vocabulary under-serves that language) ─────────────────────────
     "b10_fertility" -> ((s, dir) => {
       val d = docs(s, dir)
-      val merges = graft.text.Bpe.train(d, "text", nMerges = 8)
+      // batched trainer: bit-identical merges (b01p-gated), ~2 jobs not 8
+      val merges = graft.text.Bpe.trainBatched(d, "text", nMerges = 8)
       bpeOracleGuard(merges, 8)
       val enc = graft.text.Bpe.encode(d, "text", merges)
         .select(col("doc_id"), col("n_tokens_bpe").cast("long")

@@ -136,14 +136,21 @@ object CompositeMetric {
     * contract). Oracle-gated by q31b. */
   def scoreGrouped(real: DataFrame, synth: DataFrame, seriesCol: String,
                    orderCols: Seq[String], price: String): DataFrame =
-    scoreGroupedCore(
-      groupedReturns(real, synth, seriesCol, orderCols, price),
-      seriesCol, orderCols)
+    graft.core.Scope.materialized(real.sparkSession) {
+      scoreGroupedCore(
+        groupedReturns(real, synth, seriesCol, orderCols, price),
+        seriesCol, orderCols)
+    }
 
   /** The labeled per-series returns frame every grouped component leg
-    * consumes — built and PERSISTED once so callers composing extra
-    * legs (the q31c full composite's spectral leg) share one window
-    * exchange instead of re-deriving it from prices. */
+    * consumes — built and MATERIALIZED (localCheckpoint) once so callers
+    * composing extra legs (the q31c full composite's spectral leg) share
+    * one window exchange instead of re-deriving it from prices.
+    * localCheckpoint rather than persist (r17): lineage truncation keeps
+    * the ~10 downstream leg subtrees one scan node deep each (the r17
+    * q31c plan was 100 kB formatted, seconds of cold planning);
+    * partitioning/order metadata survive, so keyed legs still skip
+    * their exchange+sort. */
   private[eval] def groupedReturns(real: DataFrame, synth: DataFrame,
                                    seriesCol: String, orderCols: Seq[String],
                                    price: String): DataFrame = {
@@ -156,7 +163,7 @@ object CompositeMetric {
         labSpec, "_p", "ret")
       .filter(col("ret").isNotNull)
       .select((col("_k") +: col("lab") +: col("ret") +: orderCols.map(col)): _*)
-      .persist()
+      .localCheckpoint()
   }
 
   private[eval] def scoreGroupedCore(u: DataFrame, seriesCol: String,
@@ -228,8 +235,9 @@ object CompositeMetric {
     "skew_diff" -> 1.0, "kurt_diff" -> 1.0, "std_ratio" -> 2.0)
 
   def scoreGroupedFull(real: DataFrame, synth: DataFrame, seriesCol: String,
-                       orderCols: Seq[String], price: String): DataFrame = {
-    // ONE persisted returns exchange feeds both the 9-component core
+                       orderCols: Seq[String], price: String): DataFrame =
+    graft.core.Scope.materialized(real.sparkSession) {
+    // ONE materialized returns exchange feeds both the 9-component core
     // and the spectral leg (which would otherwise re-derive the same
     // labeled logReturns window from prices — guide §2.4, remove
     // shuffles outright); only the hurst leg reads PRICES and keeps
@@ -256,7 +264,7 @@ object CompositeMetric {
     val weighted = WeightOrder.map { case (c, wt) => col(c) * lit(wt) }
       .reduce(_ + _) / lit(totalW)
     withAll.withColumn("composite_score", weighted)
-  }
+    }
 
   /** Details as a one-row DataFrame (for sinks/views). */
   def scoreDf(real: DataFrame, synth: DataFrame, orderCols: Seq[String],

@@ -35,13 +35,21 @@ object DistributionEvaluator {
     * No ADF leg (that is [[evaluate]]'s driver-side C5 path). */
   def evaluateGrouped(real: DataFrame, synth: DataFrame, seriesCol: String,
                       orderCols: Seq[String], price: String): DataFrame =
-    groupedCore(groupedReturns(real, synth, seriesCol, orderCols, price),
-      seriesCol, orderCols)
+    graft.core.Scope.materialized(real.sparkSession) {
+      groupedCore(groupedReturns(real, synth, seriesCol, orderCols, price),
+        seriesCol, orderCols)
+    }
 
   /** The labeled per-series returns frame every grouped metric leg
-    * consumes — built and PERSISTED once so callers composing several
-    * legs (the q30b core + ADF record) share one window exchange
-    * instead of re-deriving it per leg. */
+    * consumes — built and MATERIALIZED (localCheckpoint) once so callers
+    * composing several legs (the q30b core + ADF record) share one
+    * window exchange instead of re-deriving it per leg. localCheckpoint
+    * rather than persist (r17): it truncates the lineage, so the ~10
+    * downstream leg subtrees carry a one-node scan instead of the full
+    * window chain each — the r17 q31c plan was 100 kB formatted and paid
+    * seconds of cold planning/codegen from exactly this. Partitioning
+    * and in-partition order metadata survive the checkpoint, so the
+    * keyed window/agg legs still skip their exchange+sort. */
   private[eval] def groupedReturns(real: DataFrame, synth: DataFrame,
                                    seriesCol: String, orderCols: Seq[String],
                                    price: String): DataFrame = {
@@ -54,7 +62,7 @@ object DistributionEvaluator {
         labSpec, "_p", "ret")
       .filter(col("ret").isNotNull)
       .select((col("_k") +: col("lab") +: col("ret") +: orderCols.map(col)): _*)
-      .persist()
+      .localCheckpoint()
   }
 
   private[eval] def groupedCore(u: DataFrame, seriesCol: String,
@@ -90,10 +98,9 @@ object DistributionEvaluator {
       max(when(col("lab") === "real", col("ac10"))).as("real_autocorr_lag10"),
       max(when(col("lab") === "synth", col("ac10"))).as("synthetic_autocorr_lag10"))
 
-    // the persisted returns lineage feeds all three metric legs within
-    // the caller's action; the cache lives until the caller (or the
-    // bench's per-query cleanup) clears it — lazy results cannot
-    // unpersist behind their own evaluation
+    // the checkpointed returns blocks feed all three metric legs; the
+    // public entry points materialize the record and release them via
+    // Scope.materialized before returning
     kl.join(wass, "_k").join(pivoted, "_k")
       .withColumn("quality_score",
         col("kl_divergence") + lit(0.1) * col("wasserstein_distance") +
@@ -141,17 +148,18 @@ object DistributionEvaluator {
                              seriesCol: String, orderCols: Seq[String],
                              price: String,
                              maxRows: Int =
-                               graft.stats.SeriesStats.MaxCollectRows): DataFrame = {
-    val u = groupedReturns(real, synth, seriesCol, orderCols, price)
-    val core = groupedCore(u, seriesCol, orderCols)
-    val adf = adfFromClustered(
-      u.select(col("_k").cast("long").as("_k"),
-        when(col("lab") === "real", 1).otherwise(0).as("lab"), col("ret")),
-      seriesCol, maxRows)
-      .select(col(seriesCol), col("real_adf_pvalue"),
-        col("synthetic_adf_pvalue"))
-    core.join(adf, seriesCol)
-  }
+                               graft.stats.SeriesStats.MaxCollectRows): DataFrame =
+    graft.core.Scope.materialized(real.sparkSession) {
+      val u = groupedReturns(real, synth, seriesCol, orderCols, price)
+      val core = groupedCore(u, seriesCol, orderCols)
+      val adf = adfFromClustered(
+        u.select(col("_k").cast("long").as("_k"),
+          when(col("lab") === "real", 1).otherwise(0).as("lab"), col("ret")),
+        seriesCol, maxRows)
+        .select(col(seriesCol), col("real_adf_pvalue"),
+          col("synthetic_adf_pvalue"))
+      core.join(adf, seriesCol)
+    }
 
   /** Consecutive-run ADF fit over an already-(series, label)-clustered
     * (_k long, lab int, ret) frame — the shared tail of [[adfGrouped]]

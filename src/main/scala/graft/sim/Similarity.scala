@@ -82,30 +82,67 @@ object Similarity {
     * vector payload (~8·dim bytes/row), the guide-§8 anti-pattern of
     * moving heavy bytes twice; the 30× ladder cells measured exactly
     * this as executor page-allocation pressure. When the vector side is
-    * provably small — nVectors·dim ≤
-    * `spark.graft.verify.broadcastMaxElements` (default 16M elements ≈
-    * 128 MB of raw doubles per side; at dim 64 that is ~256k vectors) —
-    * BROADCAST it: candidates then stream through two in-place hash
-    * joins with zero post-distinct exchanges and no vector shuffle at
-    * all. Beyond the cap, hint SHUFFLED-HASH so the data-sized vector
-    * side is the per-partition build and the candidate frame, while
-    * still shuffled, is never sorted. Emitted rows are identical under
-    * every strategy; gate outputs carry their own final orderBy. */
+    * provably small — estimated bytes (nVectors·(8·dim + 24)) ≤
+    * `spark.graft.verify.broadcastMaxBytes` (default 4× the session's
+    * autoBroadcastJoinThreshold, the [[graft.text.Dedup]] pairSideJoin
+    * bound — ~40 MB at defaults, far from driver OOM even at the 2–4×
+    * HashedRelation framing overhead) — broadcast ONE shared
+    * (id, vec, norm) relation ALIASED for both sides: the hash relation
+    * is shipped and built once (two per-side projections broadcast-built
+    * twice — r17's plan dumps show two BroadcastExchanges, no reuse) and
+    * candidates stream through two in-place hash joins with zero
+    * post-distinct exchanges and no vector shuffle at all. Beyond the
+    * cap, hint SHUFFLED-HASH so the corpus-bounded vector side is the
+    * per-partition build and the candidate frame, while still shuffled,
+    * is never sorted — but ONLY while the estimated per-partition build
+    * (estBytes / shuffle partitions) stays under
+    * `spark.graft.verify.shuffleHashMaxBuildPerPartition` (default
+    * 256m): the SHJ build map cannot spill, so past that bound the plan
+    * falls back to sort-merge, whose sorts spill gracefully (guide
+    * §3.1). Emitted rows are identical under every strategy; gate
+    * outputs carry their own final orderBy. */
   private def verifyPairs(cand: DataFrame, withNorm: DataFrame,
                           id: String, vec: String,
                           nVectors: Long, dim: Int): DataFrame = {
-    val cap = withNorm.sparkSession.conf
-      .getOption("spark.graft.verify.broadcastMaxElements")
-      .map(_.toLong).getOrElse(16L * 1024 * 1024)
-    val va0 = withNorm.select(col(id).as("id_a"), col(vec).as("va"),
-      col("_n").as("na"))
-    val vb0 = withNorm.select(col(id).as("id_b"), col(vec).as("vb"),
-      col("_n").as("nb"))
-    val (va, vb) =
-      if (nVectors > 0 && nVectors * math.max(1, dim).toLong <= cap)
-        (broadcast(va0), broadcast(vb0))
-      else (va0.hint("shuffle_hash"), vb0.hint("shuffle_hash"))
-    cand.join(va, "id_a").join(vb, "id_b")
+    import org.apache.spark.network.util.JavaUtils
+    val spark = withNorm.sparkSession
+    val estBytes = nVectors * (8L * math.max(1, dim) + 24L)
+    val autoBytes = JavaUtils.byteStringAsBytes(spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    val cap = spark.conf.getOption("spark.graft.verify.broadcastMaxBytes")
+      .map(JavaUtils.byteStringAsBytes)
+      .getOrElse(if (autoBytes > 0) 4L * autoBytes else 0L)
+    if (nVectors > 0 && estBytes <= cap) {
+      // explicit symmetric not-null filter: the optimizer infers
+      // isnotnull(id) (join key) and isnotnull(norm) (the callers'
+      // cosine threshold) into BOTH aliases anyway — but with
+      // side-dependent conjunct ORDER, which breaks plan
+      // canonicalization and with it exchange reuse. Stating the
+      // conjunction once keeps both subtrees byte-identical so the
+      // broadcast is shipped and built once (ReusedExchange).
+      val v = broadcast(withNorm.select(col(id).as("_vid"),
+          col(vec).as("_vv"), col("_n").as("_vn"))
+        .filter(col("_vid").isNotNull && col("_vn").isNotNull))
+      cand.join(v.as("_gva"), col("id_a") === col("_gva._vid"))
+        .join(v.as("_gvb"), col("id_b") === col("_gvb._vid"))
+        .select(col("id_a"), col("id_b"),
+          col("_gva._vv").as("va"), col("_gva._vn").as("na"),
+          col("_gvb._vv").as("vb"), col("_gvb._vn").as("nb"))
+    } else {
+      val va0 = withNorm.select(col(id).as("id_a"), col(vec).as("va"),
+        col("_n").as("na"))
+      val vb0 = withNorm.select(col(id).as("id_b"), col(vec).as("vb"),
+        col("_n").as("nb"))
+      val shufflePartitions = spark.conf
+        .get("spark.sql.shuffle.partitions", "200").toLong
+      val shjCap = JavaUtils.byteStringAsBytes(spark.conf
+        .get("spark.graft.verify.shuffleHashMaxBuildPerPartition", "256m"))
+      val (va, vb) =
+        if (estBytes / math.max(1L, shufflePartitions) <= shjCap)
+          (va0.hint("shuffle_hash"), vb0.hint("shuffle_hash"))
+        else (va0, vb0)
+      cand.join(va, "id_a").join(vb, "id_b")
+    }
   }
 
   /** Random-hyperplane (sign) LSH bucket id per vector: one bit per

@@ -72,38 +72,57 @@ object Divergence {
   /** PER-KEY twin of [[histJsd]]: one JS²/JS row per `key` value, with
     * per-key combined min..max support. Everything stays keyed hash
     * aggregation + broadcast-sized joins — the many-series evaluation
-    * shape (millions of series scored in one pass at 100 TB). */
+    * shape (millions of series scored in one pass at 100 TB).
+    *
+    * ONE data-sized pass (r18, was two plus a ~12× lazy re-derivation):
+    * the per-key lo/hi ride the same keyed exchange as the bucket
+    * counts (whole-partition min/max window — exact, no accumulation),
+    * so the separate ranges agg + join is gone; the bounded histogram
+    * (≤ keys × nBins rows) is localCheckpointed ONCE, and the whole
+    * smoothing chain below — which a lazy plan expanded into a TREE
+    * re-deriving the data-sized aggregations up to 12× per action (the
+    * r17 q30b/q31c plans carried ~15 InMemoryTableScans from exactly
+    * this) — runs per key over the checkpointed histogram via
+    * whole-partition windows: integer totals are exact in any
+    * association, the eps-smoothing arithmetic is unchanged per row,
+    * and the r6+ rounding at every gate entry absorbs the double-sum
+    * fold-order difference (byte-compared identical at sf0.01/sf0.1).
+    * Contract: `value` rows are non-null (the evaluators filter
+    * upstream) — a key whose every value is null has no histogram and
+    * emits no row. Callers release the checkpoint via
+    * [[graft.core.Scope.materialized]]. */
   def histJsdGrouped(df: DataFrame, value: String, label: Column,
                      a: String, b: String, nBins: Int,
                      key: String): DataFrame = {
     val v = col(value).cast("double")
     val two = df.filter(label.isin(a, b))
       .select(col(key).as("_k"), v.as("v"), label.as("lab"))
-    val ranges = two.groupBy(col("_k"))
-      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-    val counts = two.join(ranges, "_k")
+    val wK = Window.partitionBy(col("_k"))
+    val counts = two
+      .withColumn("lo", min(col("v")).over(wK))
+      .withColumn("hi", max(col("v")).over(wK))
       .withColumn("bucket", Histogram.bucketCol(col("v"), col("lo"), col("hi"), nBins))
       .filter(col("bucket").isNotNull)
-      .groupBy(col("_k"), col("bucket"))
+      .groupBy(col("_k"), col("bucket")) // clustered by _k — no 2nd exchange
       .agg(
         sum(when(col("lab") === a, 1).otherwise(0)).as("ca"),
         sum(when(col("lab") === b, 1).otherwise(0)).as("cb"))
+      .localCheckpoint()
     // every key × bin participates in smoothing (np.histogram emits 0s)
-    val allBins = ranges.select(col("_k"),
-      explode(sequence(lit(0), lit(nBins - 1))).as("bucket"))
+    val allBins = counts.select(col("_k")).distinct()
+      .select(col("_k"), explode(sequence(lit(0), lit(nBins - 1))).as("bucket"))
     val hist = allBins.join(counts, Seq("_k", "bucket"), "left")
       .select(col("_k"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
     val eps = 1e-10
-    val totals = hist.groupBy(col("_k"))
-      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
-    val raw = hist.join(totals, "_k")
+    val smoothed = hist
+      .withColumn("ta", sum(col("ca")).over(wK))
+      .withColumn("tb", sum(col("cb")).over(wK))
       .withColumn("pa_raw", col("ca") / col("ta") + eps)
       .withColumn("pb_raw", col("cb") / col("tb") + eps)
-    val rawTotals = raw.groupBy(col("_k"))
-      .agg(sum(col("pa_raw")).as("tpa"), sum(col("pb_raw")).as("tpb"))
-    val smoothed = raw.join(rawTotals, "_k")
+      .withColumn("tpa", sum(col("pa_raw")).over(wK))
+      .withColumn("tpb", sum(col("pb_raw")).over(wK))
       .withColumn("pa", col("pa_raw") / col("tpa"))
       .withColumn("pb", col("pb_raw") / col("tpb"))
       .withColumn("m", (col("pa") + col("pb")) / 2)
@@ -117,7 +136,14 @@ object Divergence {
   /** PER-KEY twin of [[ecdfStats]]: (key, wasserstein, ks_stat) per key.
     * Each key's distinct support is bounded (one series), so the
     * cumulative scan partitions on the key itself — no range
-    * partitioning machinery needed, and no global window anywhere. */
+    * partitioning machinery needed, and no global window anywhere.
+    *
+    * Per-key totals ride the SAME keyed window pass as the running
+    * sums (whole-partition frame) instead of a separate groupBy +
+    * self-join — that join re-derived the data-sized support
+    * aggregation a second time per action (guide §2.4). The totals are
+    * integer sums, exact in every association, so fa/fb are
+    * bit-identical to the join formulation. */
   def ecdfStatsGrouped(df: DataFrame, value: String, label: Column,
                        a: String, b: String, key: String): DataFrame = {
     val v = col(value).cast("double")
@@ -127,11 +153,12 @@ object Divergence {
       .agg(
         sum(when(col("lab") === a, 1).otherwise(0)).as("na"),
         sum(when(col("lab") === b, 1).otherwise(0)).as("nb"))
-    val totals = perValue.groupBy(col("_k"))
-      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val wKey = Window.partitionBy(col("_k"))
     val wIn = Window.partitionBy(col("_k")).orderBy(col("v"))
     val run = wIn.rowsBetween(Window.unboundedPreceding, 0)
-    val ecdf = perValue.join(totals, "_k")
+    val ecdf = perValue
+      .withColumn("ta", sum(col("na")).over(wKey))
+      .withColumn("tb", sum(col("nb")).over(wKey))
       .withColumn("fa", sum(col("na")).over(run) / col("ta"))
       .withColumn("fb", sum(col("nb")).over(run) / col("tb"))
       .withColumn("dx", lead(col("v"), 1).over(wIn) - col("v"))

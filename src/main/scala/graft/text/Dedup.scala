@@ -553,8 +553,14 @@ object Dedup {
     * Nothing pairwise, no driver state. */
   def substringSpans(df: DataFrame, id: String, text: String, k: Int = 8,
                      minSpanTokens: Int = 20, bridgeGap: Int = 0): DataFrame =
-    substringSpansOfTi(tiFrame(df, id, text), id, k, minSpanTokens,
-      bridgeGap)
+    // checkpoint the tokenized frame once: the gram pass below derives
+    // it TWICE (df-count agg side + run-probe join side), and the
+    // tokenize + per-doc index window chain is the expensive half —
+    // the d09c cut path (which already checkpointed ti for its own
+    // reassembly) measured the two-cheap-window-passes shape at ~¼ the
+    // wall of the double-tokenize one (guide §5)
+    substringSpansOfTi(tiFrame(df, id, text).localCheckpoint(), id, k,
+      minSpanTokens, bridgeGap)
 
   private def substringSpansOfTi(ti: DataFrame, id: String, k: Int,
                                  minSpanTokens: Int,

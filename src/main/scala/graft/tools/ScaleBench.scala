@@ -393,17 +393,22 @@ object ScaleBench {
         .write.mode("overwrite").parquet(s"$out/events.parquet")
     }
 
-    def timed(thunk: String => org.apache.spark.sql.DataFrame)(dir: String): Double = {
+    // (seconds, emitted rows): the row count separates OUTPUT growth
+    // from compute growth — for the pair families the output itself
+    // grows superlinearly at loose thresholds, so the honest scale
+    // number is seconds per emitted row, not raw wall ratio
+    def timed(thunk: String => org.apache.spark.sql.DataFrame)(
+        dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
-      thunk(dir).count()
+      val rows = thunk(dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
-      dt
+      (dt, rows)
     }
-    def time(name: String, dir: String): Double =
+    def time(name: String, dir: String): (Double, Long) =
       timed(d => graft.SparkEntry.queries(name)(spark, d))(dir)
 
     val gateQueries = family match {
@@ -683,7 +688,7 @@ object ScaleBench {
     // warm-up (JIT + codegen + scan) outside the timed cells
     gateQueries.filter(wanted).headOption.foreach(time(_, src))
 
-    val cells: Seq[(String, String => Double)] =
+    val cells: Seq[(String, String => (Double, Long))] =
       gateQueries.filter(wanted)
         .map(q => q -> ((d: String) => time(q, d))) ++
         extras.filter { case (n, _) => wanted(n) }
@@ -691,17 +696,24 @@ object ScaleBench {
     // bpe cells run ONCE per dir (a 4096-merge training is minutes;
     // min-of-two would double a wall that is job-count-dominated, not
     // noise-dominated); everything else keeps the min-of-two contract
-    def timedBest(run: String => Double, d: String): Double =
-      if (family == "bpe") run(d) else math.min(run(d), run(d))
+    def timedBest(run: String => (Double, Long), d: String): (Double, Long) =
+      if (family == "bpe") run(d)
+      else Seq(run(d), run(d)).minBy(_._1)
     val rows = cells.map { case (q, run) =>
-      val base = timedBest(run, src)
-      val scaled = timedBest(run, out)
+      val (base, baseRows) = timedBest(run, src)
+      val (scaled, scaledRows) = timedBest(run, out)
       val ratio = scaled / base
-      println(f"[scale] $q%-34s sf0.1=$base%6.2fs x$factor=$scaled%7.2fs ratio=$ratio%5.2f")
-      (q, base, scaled, ratio)
+      // seconds-per-emitted-row ratio: wall growth normalized by output
+      // growth — ~1 means the compute is linear in what it must emit
+      val workRatio =
+        if (baseRows > 0 && scaledRows > 0)
+          (scaled / scaledRows) / (base / baseRows)
+        else ratio
+      println(f"[scale] $q%-34s sf0.1=$base%6.2fs ($baseRows%d rows) x$factor=$scaled%7.2fs ($scaledRows%d rows) ratio=$ratio%5.2f work=$workRatio%5.2f")
+      (q, base, scaled, ratio, baseRows, scaledRows, workRatio)
     }
-    val json = rows.map { case (q, b, s, r) =>
-      s""""$q":{"base_sec":$b,"scaled_sec":$s,"ratio":$r}"""
+    val json = rows.map { case (q, b, s, r, br, sr, wr) =>
+      s""""$q":{"base_sec":$b,"scaled_sec":$s,"ratio":$r,"base_rows":$br,"scaled_rows":$sr,"work_ratio":$wr}"""
     }.mkString(s"""{"factor":$factor,"family":"$family","queries":{""", ",", "}}")
     java.nio.file.Files.write(java.nio.file.Paths.get(jsonOut),
       (json + "\n").getBytes("UTF-8"))
